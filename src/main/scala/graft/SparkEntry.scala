@@ -1,13 +1,267 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.extract.Extractor
+import graft.ops._
+import graft.udf.StableAgg
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2.B is exposed as a named query; those with
+  * a DuckDB-expressible equivalent also have an `oracleSql` entry (the
+  * driver's t2 correctness gate hash-compares them on sf0.01). Column names
+  * and row order are aligned on both sides; timestamps are compared as epoch
+  * micros (`unix_micros` ≡ DuckDB `epoch_us`), and cross-row float aggregates
+  * go through exact per-row integer mappings (see [[graft.ops.Relational]]).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ extraction
+  // These run the real Extractor decision tree (graft.extract.Extractor),
+  // then project timestamps to epoch micros + impose a deterministic order
+  // for the oracle compare.
+
+  private def eventsOut(df: DataFrame): DataFrame =
+    df.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .orderBy("event_id")
+
+  private val eventsIncrTs = TableConfig("events",
+    replicationMethod = ReplicationMethod.Incremental,
+    iterateColumn = Some("ts"), iterateColumnType = IterateType.DatetimeCol)
+
+  private val eventsIncrId = TableConfig("events",
+    replicationMethod = ReplicationMethod.Incremental,
+    iterateColumn = Some("event_id"), iterateColumnType = IterateType.IntCol)
+
+  private def extractFull(spark: SparkSession, dir: String): DataFrame =
+    new Extractor(dir).extract(spark, TableConfig("orders")).df.get
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"))
+      .orderBy("o_orderkey")
+
+  private def extractIncrInitial(spark: SparkSession, dir: String): DataFrame =
+    eventsOut(new Extractor(dir).extract(spark, eventsIncrTs, lastPoint = None).df.get)
+
+  private def extractIncrWatermark(spark: SparkSession, dir: String): DataFrame =
+    eventsOut(new Extractor(dir)
+      .extract(spark, eventsIncrTs, lastPoint = Some("2024-01-15 00:00:00")).df.get)
+
+  private def extractIncrBounds(spark: SparkSession, dir: String): DataFrame =
+    eventsOut(new Extractor(dir).extract(spark,
+      eventsIncrId.copy(filterLowerBound = Some("200"), filterUpperBound = Some("700"))).df.get)
+
+  private def extractIncrLowerOnly(spark: SparkSession, dir: String): DataFrame =
+    eventsOut(new Extractor(dir).extract(spark,
+      eventsIncrId.copy(filterLowerBound = Some("500"))).df.get)
+
+  private def watermarkMax(spark: SparkSession, dir: String): DataFrame =
+    new Extractor(dir)
+      .extract(spark, eventsIncrTs, lastPoint = Some("2024-01-15 00:00:00")).df.get
+      .agg(unix_micros(max(col("ts"))).as("max_val"))
+
+  private def probeNonempty(spark: SparkSession, dir: String): DataFrame =
+    Tables.t(spark, dir, "events")
+      .orderBy("event_id").limit(1)
+      .select("event_id", "user_id", "event_type")
+
+  /** A9 splice of an *aggregating* template, run directly on Catalyst. (The
+    * extractor path requires the custom query to keep the iterate column —
+    * the reference computes max(iterate_column) on the query result,
+    * __init__.py:112 — so aggregate templates go through splice+sql only.)
+    */
+  private def customQuerySplice(spark: SparkSession, dir: String): DataFrame = {
+    val (clause, _) = graft.extract.Predicates.incrementalClause(
+      eventsIncrTs, Some("2024-01-10 00:00:00"))
+    Tables.t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(graft.extract.QueryTemplate.splice(
+      "SELECT event_type, count(*) AS c FROM events {query_filter} GROUP BY event_type",
+      clause)).orderBy("event_type")
+  }
+
+  /** A9 through the full extractor decision tree: a projection template that
+    * keeps the iterate column, spliced with the watermark clause; the
+    * watermark max is then computed on the result as in the reference.
+    */
+  private def customQueryExtract(spark: SparkSession, dir: String): DataFrame =
+    new Extractor(dir).extract(spark,
+      eventsIncrTs.copy(customQuery = Some(
+        "SELECT event_id, ts, user_id, event_type, value FROM events {query_filter}")),
+      lastPoint = Some("2024-01-10 00:00:00")).df.get
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+
+  // ------------------------------------------------------------ the inventory
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // scans / sources / sinks (SURVEY §2.B)
+    "scan_full" -> (Relational.scanFull _),
+    "scan_projection" -> (Relational.scanProjection _),
+    "scan_partitioned" -> (Relational.scanPartitioned _),
+    "sink_coalesce" -> (Relational.sinkCoalesce _),
+    // extraction / replication semantics (the reference's core)
+    "extract_full" -> (extractFull _),
+    "extract_incr_initial" -> (extractIncrInitial _),
+    "extract_incr_watermark" -> (extractIncrWatermark _),
+    "extract_incr_bounds" -> (extractIncrBounds _),
+    "extract_incr_lower_only" -> (extractIncrLowerOnly _),
+    "watermark_max" -> (watermarkMax _),
+    "probe_nonempty" -> (probeNonempty _),
+    "custom_query_splice" -> (customQuerySplice _),
+    "custom_query_extract" -> (customQueryExtract _),
+    // joins
+    "join_inner_hash" -> (Relational.joinInnerHash _),
+    "join_multiway" -> (Relational.joinMultiway _),
+    "join_left_outer" -> (Relational.joinLeftOuter _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    "join_range_theta" -> (Relational.joinRangeTheta _),
+    "join_asof_latest" -> (Relational.joinAsofLatest _),
+    // aggregations
+    "agg_pricing_summary" -> (Relational.aggPricingSummary _),
+    "agg_distinct_count" -> (Relational.aggDistinctCount _),
+    "agg_approx_distinct" -> (Relational.aggApproxDistinct _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
+    "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    // windows
+    "window_rank_topn" -> (Relational.windowRankTopN _),
+    "window_running_sum" -> (Relational.windowRunningSum _),
+    "window_lag_delta" -> (Relational.windowLagDelta _),
+    "window_moving_avg" -> (Relational.windowMovingAvg _),
+    // sorts / limits / set ops
+    "sort_limit_topk" -> (Relational.sortLimitTopK _),
+    "setop_union" -> (Relational.setopUnion _),
+    "setop_intersect" -> (Relational.setopIntersect _),
+    "setop_except" -> (Relational.setopExcept _),
+    // scalar functions
+    "scalar_string" -> (Scalars.scalarString _),
+    "scalar_date" -> (Scalars.scalarDate _),
+    "scalar_math" -> (Scalars.scalarMath _),
+    "scalar_json" -> (Scalars.scalarJson _),
+    "scalar_array" -> (Scalars.scalarArray _),
+    // LLM-data-pipeline extensions
+    "dedup_exact" -> (LlmPipeline.dedupExact _),
+    "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
+    "text_fingerprint" -> (LlmPipeline.textFingerprint _),
+    "sim_topk_cosine" -> (LlmPipeline.simTopkCosine _),
+    "sim_topk_ivf" -> ((s, d) => LlmPipeline.simTopkIvf(s, d)),
+    "text_tokenize_tf" -> (LlmPipeline.textTokenizeTf _),
+    "text_stats" -> (LlmPipeline.textStats _),
+    "text_quality" -> (LlmPipeline.textQuality _),
+    "text_langid" -> (LlmPipeline.textLangId _),
+    // multimodal plumbing
+    "multimodal_fingerprint" -> (Multimodal.multimodalFingerprint _),
+    "multimodal_decode" -> (Multimodal.decodeFeatures _),
+    // streaming (batch-equivalent event-time windows)
+    "stream_tumbling" -> (StreamingOps.streamTumbling _),
+    "stream_sliding" -> (StreamingOps.streamSliding _),
+    "stream_session" -> (StreamingOps.streamSession _),
+    // UDAF extension point
+    "udaf_stable_mean" -> (StableAgg.udafStableMean _),
+  )
+
+  /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
+    * sketches, float HOFs, LSH, sliding windows, xxhash fingerprints) are
+    * scalatest-verified instead and get the driver's rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "scan_full" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, epoch_us(l_shipdate) AS l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+    "scan_projection" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events ORDER BY event_id""",
+    "scan_partitioned" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+    "sink_coalesce" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey""",
+    "extract_full" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority FROM orders ORDER BY o_orderkey""",
+    "extract_incr_initial" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events ORDER BY event_id""",
+    "extract_incr_watermark" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id""",
+    "extract_incr_bounds" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events WHERE event_id >= 200 AND event_id < 700 ORDER BY event_id""",
+    "extract_incr_lower_only" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props FROM events WHERE event_id >= 500 ORDER BY event_id""",
+    "watermark_max" ->
+      """SELECT epoch_us(max(ts)) AS max_val FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'""",
+    "probe_nonempty" ->
+      """SELECT event_id, user_id, event_type FROM events ORDER BY event_id LIMIT 1""",
+    "custom_query_splice" ->
+      """SELECT event_type, count(*) AS c FROM events WHERE ts >= '2024-01-10 00:00:00' GROUP BY event_type ORDER BY event_type""",
+    "custom_query_extract" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events WHERE ts >= '2024-01-10 00:00:00' ORDER BY event_id""",
+    "join_inner_hash" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
+    "join_multiway" ->
+      """SELECT n_name, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY n_name ORDER BY n_name""",
+    "join_left_outer" ->
+      """SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS order_cnt FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey""",
+    "join_range_theta" ->
+      """SELECT e.user_id, count(*) AS pair_cnt FROM events e JOIN orders o ON (o.o_custkey % 16) = e.user_id AND o.o_orderdate <= e.ts GROUP BY e.user_id ORDER BY e.user_id""",
+    "join_asof_latest" ->
+      """SELECT event_id, user_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id FROM events ORDER BY event_id""",
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt, floor((sum_qty/cnt)*100 + 0.5)/100.0 AS avg_qty FROM (SELECT l_returnflag, l_linestatus, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty, sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS sum_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus) ORDER BY l_returnflag, l_linestatus""",
+    "agg_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS et, coalesce(CAST(bucket AS VARCHAR), 'ALL') AS bucket, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM (SELECT event_type, user_id % 4 AS bucket, value FROM events) GROUP BY ROLLUP(event_type, bucket) ORDER BY et, bucket""",
+    "agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt, sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS et, coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid, count(*) AS cnt FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ()) ORDER BY et, uid""",
+    "window_rank_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "window_running_sum" ->
+      """SELECT event_id, user_id, sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS run_sum FROM events ORDER BY event_id""",
+    "window_lag_delta" ->
+      """SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events ORDER BY event_id""",
+    "window_moving_avg" ->
+      """SELECT o_orderkey, floor(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER w / count(*) OVER w + 0.5)/100.0 AS mavg FROM orders WINDOW w AS (ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""",
+    "sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 10""",
+    "setop_union" ->
+      """SELECT user_id, event_id FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, event_id FROM events WHERE event_type = 'purchase' ORDER BY event_id""",
+    "setop_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id""",
+    "setop_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id""",
+    "scalar_string" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS pre, concat(c_mktsegment, '#', c_name) AS tagged, (c_name LIKE '%5') AS ends5 FROM customer ORDER BY c_custkey""",
+    "scalar_date" ->
+      """SELECT event_id, epoch_us(date_trunc('day', ts)) AS day_us, epoch_us(date_trunc('hour', ts)) AS hour_us, dayofweek(ts) + 1 AS dow, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since FROM events ORDER BY event_id""",
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, floor((l_extendedprice*(1-l_discount)*(1+l_tax))*100 + 0.5)/100.0 AS net, abs(l_discount-0.05) AS adisc, CAST(ceil(l_extendedprice) AS BIGINT) AS cprice FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
+    "scalar_json" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id""",
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
+    "text_tokenize_tf" ->
+      """SELECT lang, term, cnt, rk FROM (SELECT lang, term, count(*) AS cnt, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY lang, term) WHERE rk <= 5 ORDER BY lang, rk""",
+    "text_stats" ->
+      """SELECT source, count(*) AS docs, floor((sum(n_chars)/(count(*)*1.0))*100 + 0.5)/100.0 AS avg_chars, count(DISTINCT lang) AS langs FROM documents GROUP BY source ORDER BY source""",
+    "text_quality" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, CAST(ceil(length(text)/4.0) AS BIGINT) AS est_bpe_tokens, floor((length(text)/(len(string_split(text, ' '))*1.0))*100 + 0.5)/100.0 AS mean_word_len, floor((len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for','by')))/(len(string_split(text, ' '))*1.0))*10000 + 0.5)/10000.0 AS stopword_ratio FROM documents ORDER BY doc_id""",
+    "multimodal_fingerprint" ->
+      """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS fingerprint, 'text' AS kind FROM documents ORDER BY asset_id""",
+    "stream_tumbling" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "stream_session" ->
+      """SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n_events FROM (SELECT user_id, ts, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM (SELECT user_id, event_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events)) GROUP BY user_id, sid ORDER BY user_id, session_start""",
+  )
 }

@@ -1,0 +1,97 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature expression.
+  *
+  * The composable HOF formulation (transform/aggregate lambdas) evaluates
+  * interpreted per element — 64 hashes × ~400 shingles × interpreted lambda
+  * dispatch per document made it the bench hotspot (>250s at sf0.1). This
+  * expression computes the whole signature in one JIT-compiled loop per row:
+  * tokenize → distinct word shingles → one 64-bit base hash per shingle
+  * (FNV-1a) → 64 affine rehashes (odd multipliers ⇒ permutations of Z/2^64)
+  * with a running min. ~25k primitive ops per document, no allocation beyond
+  * the signature array.
+  *
+  * This is the engine's "custom Expression beats UDF" extension point
+  * (SURVEY §7.6): deterministic, null-safe, partition-local — scales linearly
+  * with corpus size and is embarrassingly parallel.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val tokens = text.split(' ')
+    val nShingles = math.max(tokens.length - shingleLen + 1, 1)
+    // Distinct shingle base hashes (FNV-1a over the joined shingle text).
+    val seen = new mutable.HashSet[Long]
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < nShingles) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + shingleLen, tokens.length)
+      while (j < end) {
+        val t = tokens(j)
+        var k = 0
+        while (k < t.length) {
+          h = (h ^ t.charAt(k)) * 0x100000001b3L
+          k += 1
+        }
+        h = (h ^ ' ') * 0x100000001b3L
+        j += 1
+      }
+      if (seen.add(h)) {
+        var m = 0
+        while (m < numHashes) {
+          val v = MinHashSignature.A(m) * h + MinHashSignature.B(m)
+          if (v < sig(m)) sig(m) = v
+          m += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Deterministic affine-permutation parameters: odd multipliers (bijective
+    * mod 2^64) and arbitrary offsets, from a fixed-seed generator.
+    */
+  private val rng = new scala.util.Random(42)
+  private[functions] val A: Array[Long] = Array.fill(256)(rng.nextLong() | 1L)
+  private[functions] val B: Array[Long] = Array.fill(256)(rng.nextLong())
+
+  /** Register `graft_minhash(text)` in the session's function registry (the
+    * Column companion is private[sql] in Spark 4, so a registered builder +
+    * `call_function` is the public bridge from Expression to Column — and it
+    * makes the function available to SQL too).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int, shingleLen: Int): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash",
+        exprs => MinHashSignature(exprs.head, numHashes, shingleLen),
+        "built-in")
+
+  def minhash(spark: org.apache.spark.sql.SparkSession, text: Column,
+      numHashes: Int, shingleLen: Int): Column = {
+    register(spark, numHashes, shingleLen)
+    org.apache.spark.sql.functions.call_function("graft_minhash", text)
+  }
+}

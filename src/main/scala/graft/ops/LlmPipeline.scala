@@ -1,0 +1,247 @@
+package graft.ops
+
+import graft.Tables.t
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Large-scale training-data pipeline operators (north star:
+  * BASELINE.json "north_star"): deduplication, similarity search, and text
+  * analysis over the `documents` / `embeddings` fixtures. The reference has no
+  * such surface — it ships SQL to ClickHouse (mkpipe_extractor_clickhouse/
+  * __init__.py:96-101) — so these are designed Spark-first for 100 TB:
+  *
+  *   - exact dedup groups on a 256-bit content hash, so the shuffle carries
+  *     (hash, doc_id) pairs — never the document bodies;
+  *   - near-dup detection is MinHash + LSH banding: the band bucket is the
+  *     shuffle key, candidate pairs only form inside buckets — no O(n²)
+  *     cross-join ever materializes;
+  *   - similarity search is brute-force top-k here (TakeOrderedAndProject:
+  *     per-partition heaps), with the LSH/IVF bucketed path as the documented
+  *     scale-out (prune to candidate buckets, then exact re-rank).
+  */
+object LlmPipeline {
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact text dedup: one surviving row (min doc_id) per distinct text.
+    * Groups on sha2(text) so at 100 TB the shuffle moves 32-byte keys, not
+    * documents; collision probability at 2^128 docs is negligible.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+      .orderBy("doc_id")
+
+  /** MinHash signature parameters: 64 hashes = 16 bands × 4 rows. With
+    * Jaccard threshold t, the LSH S-curve gives P(candidate) = 1-(1-t^4)^16 —
+    * ~0.97 at t=0.7, ~0.04 at t=0.2.
+    */
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = NumHashes / Bands
+  val ShingleLen = 3
+
+  /** The composable HOF formulation of the MinHash signature (hash h of
+    * shingle s is xxhash64(s, h); signature = per-h min over shingles). Kept
+    * as the built-ins-only reference formulation — but HOF lambdas evaluate
+    * interpreted per element, which made this the bench hotspot; the
+    * production path is the native [[graft.functions.MinHashSignature]]
+    * expression (one JIT'd loop per row, ~100× faster).
+    */
+  def minhashSignatureHof(text: Column): Column = {
+    val tokens = split(text, " ")
+    val shingles = array_distinct(
+      transform(sequence(lit(0), greatest(size(tokens) - ShingleLen, lit(0))),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(ShingleLen)))))
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      h => aggregate(shingles, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, h))))
+  }
+
+  /** Near-duplicate candidate pairs via LSH banding. Pipeline:
+    * signature → explode 16 bands → bucket = hash(band slice) → self-join on
+    * (band, bucket) → estimate Jaccard as the fraction of agreeing signature
+    * positions → keep est >= 0.5. The (band, bucket) equi-join is the only
+    * shuffle; bucket sizes are the skew knob (salt or cap at scale).
+    */
+  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // Native MinHash expression (one JIT'd loop per doc); signatures are tiny
+    // (64×8B) and reused three times below, so persist them.
+    val sigs = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.MinHashSignature.minhash(spark, col("text"), NumHashes, ShingleLen).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Band buckets carry only (doc_id, band, bucket) — signatures don't
+    // travel through the candidate-generation shuffle.
+    val banded = sigs
+      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bucket"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    // Re-attach signatures only for the (few) surviving candidates, then
+    // estimate Jaccard as the fraction of agreeing signature positions.
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          / lit(NumHashes.toDouble)).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash (64-bit) fingerprint per document: per-token 64-bit hash votes
+    * bitwise; near-dups differ in few bits. Output fingerprint per doc —
+    * at scale, group by fingerprint prefix buckets for candidate generation.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val tokens = split(col("text"), " ")
+    // For each bit position b: sum over tokens of +1/-1 by bit b of xxhash64(token);
+    // bit is set if the vote is positive. Unrolled over the 64 static bit
+    // positions (shift functions take literal ints); still one codegen'd
+    // projection — at production scale this would be a custom Expression
+    // hashing each token once.
+    val simhash = (0 until 64).map { bit =>
+      when(
+        aggregate(tokens, lit(0L),
+          (vote, tok) => vote + when(shiftright(xxhash64(tok), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), simhash.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- similarity
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  private def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k against a probe vector (vec_id = 0): one scan,
+    * per-row HOF dot product, TakeOrderedAndProject top-k — per-partition
+    * heaps, no global sort. At 100 TB the documented scale path is
+    * [[simTopkIvf]]: prune to nearest coarse buckets first.
+    */
+  def simTopkCosine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val p = typedlit(probe)
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), p) / (l2(col("embedding")) * l2(p))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** IVF-style pruned search: coarse centroids = per-label mean vectors
+    * (stand-in for k-means cells), probe searches only the nProbe nearest
+    * cells. The candidate set shrinks by ~cells/nProbe — the standard ANN
+    * recall/latency trade. Exact re-rank inside cells.
+    */
+  def simTopkIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val p = typedlit(probe)
+    // Coarse centroids: mean per dimension within each label cell.
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    val nearCells = centroids
+      .select(col("label"), (dot(col("centroid"), p) / (l2(col("centroid")) * l2(p))).as("ccos"))
+      .orderBy(col("ccos").desc, col("label"))
+      .limit(nProbe)
+      .select("label")
+    emb.join(broadcast(nearCells), Seq("label"))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        (dot(col("embedding"), p) / (l2(col("embedding")) * l2(p))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  // ---------------------------------------------------------------- text analysis
+
+  /** Per-language top-5 terms by frequency: explode → two-phase count →
+    * per-key top-k window. The generator (`explode`) is the engine's UDTF story.
+    */
+  def textTokenizeTf(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    t(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "rk")
+  }
+
+  /** Per-source corpus stats; avg computed as exact integer sum / count. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        (floor((sum(col("n_chars")) / (count(lit(1)) * lit(1.0))) * 100 + 0.5) / 100.0).as("avg_chars"),
+        countDistinct(col("lang")).as("langs"))
+      .orderBy("source")
+
+  /** Heuristic quality scoring + token counts per document: length, word
+    * count (whitespace tokenization), a BPE-ish subword estimate (chars/4 —
+    * the common ~4-chars-per-token heuristic), mean word length, and a
+    * stopword ratio over a tiny built-in English list. Pure codegen'd
+    * expressions — runs at scan speed.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "by")
+    val tokens = split(col("text"), " ")
+    val nTokens = size(tokens)
+    val stopCnt = size(filter(tokens, t => t.isin(stop.map(s => s: Any): _*)))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        nTokens.cast("long").as("n_words"),
+        ceil(length(col("text")) / 4.0).as("est_bpe_tokens"),
+        Exact.r2(length(col("text")) / (nTokens * lit(1.0))).as("mean_word_len"),
+        Exact.r4(stopCnt / (nTokens * lit(1.0))).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-frequency language ID heuristic: score each candidate language by
+    * overlap between the doc's tokens and that language's top terms (learned
+    * from the corpus itself — per-lang top-20 terms), pick argmax. Entirely
+    * joins + HOFs; at scale the per-lang term lists are a broadcast dim.
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    val topTerms = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .groupBy(col("lang").as("cand_lang"))
+      .agg(collect_set(col("term")).as("cand_terms"))
+    val scored = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("tokens"))
+      .crossJoin(broadcast(topTerms))
+      .select(col("doc_id"), col("lang"), col("cand_lang"),
+        size(array_intersect(array_distinct(col("tokens")), col("cand_terms"))).as("overlap"))
+    val best = Window.partitionBy("doc_id")
+      .orderBy(col("overlap").desc, col("cand_lang"))
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("overlap").cast("long").as("overlap"))
+      .orderBy("doc_id")
+  }
+}

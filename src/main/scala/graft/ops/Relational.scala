@@ -1,0 +1,298 @@
+package graft.ops
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The analytic operator surface the reference delegates to ClickHouse via
+  * `custom_query` (mkpipe_extractor_clickhouse/__init__.py:96-101,
+  * README.md:57-66), re-expressed as native Catalyst plans. Every query is
+  * deterministically ordered (driver hash-compares against a DuckDB oracle).
+  *
+  * Float-determinism convention: cross-row float aggregates go through a
+  * per-row integer mapping (`cents`) so the sum is exact integer arithmetic —
+  * identical regardless of accumulation order in Spark vs DuckDB. Per-row
+  * double math is bit-identical between engines (same IEEE ops on the same
+  * parquet values), so only cross-row accumulation needs this.
+  *
+  * Scale notes are per-operator in the scaladoc; the shared principles: small
+  * dimensions are broadcast (no shuffle of the fact side), aggregations are
+  * partial+final hash aggregates, top-k is TakeOrderedAndProject (per-partition
+  * heaps, no global sort).
+  */
+object Relational {
+
+  import Exact.{cents, bp}
+
+  // ---------------------------------------------------------------- scans
+
+  /** A1/A4: full scan, all columns. Timestamps → epoch micros for oracle parity. */
+  def scanFull(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .withColumn("l_shipdate", unix_micros(col("l_shipdate")))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** A4: README's custom projection (README.md:63), column pruning reaches the scan. */
+  def scanProjection(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy("event_id")
+
+  /** A15: range-partitioned parallel read — same rows, `partitionsCount` slices.
+    * On a JDBC source this is stride partitioning; here `repartitionByRange`
+    * gives the same per-slice parallelism contract.
+    */
+  def scanPartitioned(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .repartitionByRange(8, col("l_orderkey"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** A16: write-partition coalesce (README.md:114). */
+  def sinkCoalesce(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .coalesce(1)
+
+  // ---------------------------------------------------------------- joins
+
+  /** Broadcast hash join: fact `orders` ⋈ small dim `customer` — dim is
+    * broadcast so the 100 TB fact side never shuffles.
+    */
+  def joinInnerHash(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "inner")
+      .select(o("o_orderkey"), c("c_custkey"), c("c_name"), c("c_mktsegment"), o("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** TPC-H-Q5-like multiway join: lineitem ⋈ orders shuffles on orderkey
+    * (sort-merge at scale); customer/nation/region are broadcast. Revenue is
+    * summed exactly via basis-point integers (price*(1-disc) has 4 decimals).
+    */
+  def joinMultiway(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg((sum(bp(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 10000.0).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Left outer join preserving order-less customers (count = 0 for them). */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(c("c_custkey"), c("c_name"))
+      .agg(count(o("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left semi join — EXISTS. No right-side columns, no row multiplication. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left anti join — NOT EXISTS. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Theta/range join done the scalable way: an equi bucket key
+    * (`o_custkey % 16 = user_id`) carries the shuffle so Catalyst plans a
+    * hash/sort-merge join, and the range condition (`o_orderdate <= ts`) is a
+    * post-join residual — never a nested-loop cross product.
+    */
+  def joinRangeTheta(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val o = t(spark, dir, "orders")
+    e.join(o, (o("o_custkey") % 16 === e("user_id")) && (o("o_orderdate") <= e("ts")))
+      .groupBy(e("user_id"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("user_id")
+  }
+
+  /** As-of (latest prior event per user): window `lag` over a per-user sort —
+    * one shuffle on user_id, no self-cross-product. The canonical Spark shape
+    * for as-of/point-in-time joins against the same stream.
+    */
+  def joinAsofLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"))
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- aggregations
+
+  /** TPC-H-Q1-like pricing summary: partial+final hash aggregate; all float
+    * sums exact via integer cents/basis-points.
+    */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(cents(col("l_quantity"))) / 100.0).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))) / 100.0).as("sum_base"),
+        (sum(bp(col("l_extendedprice") * (lit(1) - col("l_discount")))) / 10000.0).as("sum_disc"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_qty", floor((col("sum_qty") / col("cnt")) * 100 + 0.5) / 100.0)
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Exact distinct count — expands to a two-phase aggregate (partial distinct
+    * per partition, then merge) under Catalyst.
+    */
+  def aggDistinctCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("event_type")
+
+  /** HLL++ approximate distinct (rsd 0.05) — constant memory per group at any
+    * scale, vs the full hash set exact distinct needs. Verified by tolerance
+    * in scalatest (no DuckDB oracle — different sketch).
+    */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
+      .orderBy("event_type")
+
+  /** ROLLUP with subtotal rows; NULL grouping keys are coalesced to sentinels
+    * so Spark-vs-DuckDB NULL sort order can't diverge.
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("bucket", col("user_id") % 4)
+      .rollup(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), (sum(cents(col("value"))) / 100.0).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("et"),
+        coalesce(col("bucket").cast("string"), lit("ALL")).as("bucket"),
+        col("cnt"), col("sum_value"))
+      .orderBy("et", "bucket")
+
+  /** CUBE over order status × priority. */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), (sum(cents(col("o_totalprice"))) / 100.0).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** Explicit GROUPING SETS via SQL. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT coalesce(event_type, 'ALL') AS et,
+        |       coalesce(CAST(user_id AS STRING), 'ALL') AS uid,
+        |       count(*) AS cnt
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id), ())
+        |ORDER BY et, uid""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- windows
+
+  /** Top-3 orders per customer: row_number + filter — per-key heaps after one
+    * shuffle on the partition key.
+    */
+  def windowRankTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Per-user running sum over event time — exact via integer cents. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (sum(cents(col("value"))).over(w) / 100.0).as("run_sum"))
+      .orderBy("event_id")
+  }
+
+  /** Inter-event gap per user in micros (`lag`) — exact integer deltas. */
+  def windowLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        (us - lag(us, 1).over(w)).as("delta_us"))
+      .orderBy("event_id")
+  }
+
+  /** 7-row moving average of order totalprice by date. NOTE: a global
+    * (unpartitioned) window — single-partition by construction; fine for this
+    * fixture, but at 100 TB you'd bound it with a partition key or use a
+    * time-bucketed two-pass rewrite. Exact via cents.
+    */
+  def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-6, 0)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        (floor(sum(cents(col("o_totalprice"))).over(w) / count(lit(1)).over(w) + 0.5) / 100.0).as("mavg"))
+      .orderBy("o_orderkey")
+  }
+
+  // ---------------------------------------------------------------- sort / set ops
+
+  /** Global top-10 by price — plans as TakeOrderedAndProject: per-partition
+    * heaps of size k, merge on driver; no global sort at any scale.
+    */
+  def sortLimitTopK(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .limit(10)
+
+  def setopUnion(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id", "event_id")
+      .union(e.filter(col("event_type") === "purchase").select("user_id", "event_id"))
+      .orderBy("event_id")
+  }
+
+  def setopIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  def setopExcept(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "view").select("user_id")
+      .except(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function surface (string / date / math / json / array) — the class
+  * of expressions the reference could only reach through `custom_query` SQL
+  * executed by ClickHouse (mkpipe_extractor_clickhouse/__init__.py:96-101).
+  * All are codegen'd Catalyst built-ins (whole-stage codegen, no UDFs).
+  * Computed integer outputs are cast to long so Spark and DuckDB (which
+  * defaults many functions to BIGINT) agree on output schema.
+  */
+object Scalars {
+
+  /** upper / substring / concat / LIKE over customer. */
+  def scalarString(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("pre"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+        col("c_name").like("%5").as("ends5"))
+      .orderBy("c_custkey")
+
+  /** date_trunc day/hour (as epoch micros), day-of-week, date arithmetic.
+    * Spark dayofweek is Sunday=1 (DuckDB's is Sunday=0 — oracle adds 1).
+    */
+  def scalarDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+        unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("days_since"))
+      .orderBy("event_id")
+
+  /** Discount math — per-row double ops are bit-identical across engines. */
+  def scalarMath(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        Exact.r2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("net"),
+        abs(col("l_discount") - 0.05).as("adisc"),
+        ceil(col("l_extendedprice")).as("cprice"))
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  /** JSON extraction from `events.props` (shape {"k": <int>}). */
+  def scalarJson(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Higher-order array functions over embeddings: size, element access, and
+    * an `aggregate`-built L2 norm — all codegen-friendly, no UDFs. Verified in
+    * scalatest (float HOFs have no stable DuckDB oracle).
+    */
+  def scalarArray(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).as("first"),
+        sqrt(aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2_norm"))
+      .orderBy("vec_id")
+}

@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 DuckDB-oracle compare.
+
+Usage: python3 tools/local_check.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: run the oracle SQL in DuckDB
+(with each fixture table registered as a view over the sf parquet), load the
+Spark result parquet, sort columns by name, and compare row-by-row.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle errored: {e}")
+            n_bad += 1
+            continue
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_bad += 1
+            continue
+        want = want.reindex(sorted(want.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(want.columns) != list(got.columns):
+            print(f"FAIL {name}: columns differ: oracle={list(want.columns)} spark={list(got.columns)}")
+            n_bad += 1
+            continue
+        if len(want) != len(got):
+            print(f"FAIL {name}: rows differ: oracle={len(want)} spark={len(got)}")
+            n_bad += 1
+            continue
+        mismatch = None
+        for c in want.columns:
+            wv, gv = want[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(wv, gv)):
+                if a is None and b is None:
+                    continue
+                if pd.isna(a) and pd.isna(b):
+                    continue
+                if a != b:
+                    mismatch = (c, i, a, b)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            c, i, a, b = mismatch
+            print(f"FAIL {name}: col {c} row {i}: oracle={a!r} spark={b!r}")
+            n_bad += 1
+        else:
+            print(f"ok   {name} ({len(want)} rows)")
+    extra = [k for k in oracle if False]
+    print(f"\n{len(oracle) - n_bad}/{len(oracle)} oracle queries match")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
