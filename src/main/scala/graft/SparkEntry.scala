@@ -262,6 +262,6 @@ object SparkEntry {
     "stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
     "stream_session" ->
-      """SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n_events FROM (SELECT user_id, ts, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM (SELECT user_id, event_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events)) GROUP BY user_id, sid ORDER BY user_id, session_start""",
+      """SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n_events FROM (SELECT user_id, ts, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM (SELECT user_id, event_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events)) GROUP BY user_id, sid ORDER BY user_id, session_start""",
   )
 }

@@ -41,9 +41,11 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("ws"), col("cnt"), col("sum_value"))
       .orderBy("ws")
 
-  /** Per-user session windows, 30-minute gap. A new session starts when the
-    * gap from the previous event is >= 30 min (session end is exclusive:
-    * [start, last+gap)). Oracle reproduces this with lag + cumulative sum.
+  /** Per-user session windows, 30-minute gap. Spark's session gap is
+    * INCLUSIVE: an event exactly `gap` after the previous one still merges
+    * (windows [t, t+gap] merge on overlap, verified in StreamingSpec); a new
+    * session starts only when the gap is strictly greater. Oracle reproduces
+    * this with lag + cumulative sum using `> gap`.
     */
   def streamSession(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.StreamingOps
+
+/** True Structured Streaming semantics (SURVEY §2.B stream_watermark_late +
+  * batch/streaming window equivalence): the fixture windows run identically
+  * in batch; MemoryStream drives the watermark/late-data behavior that only
+  * exists in streaming.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("batch window() equals streaming window() on the same closed input") {
+    val batch = StreamingOps.streamTumbling(spark, sf).collect().toSeq
+
+    val events = Tables.t(spark, sf, "events")
+      .select($"ts", $"event_type").as[(Timestamp, String)].collect().toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    stream.addData(events)
+    val q = stream.toDF().toDF("ts", "event_type")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros($"window.start").as("ws"), $"event_type", $"cnt")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out").orderBy("ws", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("withWatermark drops late rows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long)]
+    val agg = stream.toDF().toDF("ts", "v")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros($"window.start").as("ws"), $"cnt")
+    val q = agg.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      // Batch 1: two events in hour 10, one in hour 13 (advances event time).
+      stream.addData(Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:30:00"), 2L),
+        (ts("2024-01-01 13:00:00"), 3L)))
+      q.processAllAvailable()
+      // Watermark is now 13:00 - 1h = 12:00 → the hour-10 window is closed.
+      // Batch 2: a LATE event for hour 10 (before the watermark) must be
+      // dropped; an on-time event for hour 13 is kept open.
+      stream.addData(Seq((ts("2024-01-01 10:45:00"), 4L), (ts("2024-01-01 13:30:00"), 5L)))
+      q.processAllAvailable()
+      // Batch 3: advance far enough to close hour 13 too.
+      stream.addData(Seq((ts("2024-01-01 20:00:00"), 6L)))
+      q.processAllAvailable()
+      val out = spark.table("late_out").orderBy("ws").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val h10 = Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000
+      val h13 = Timestamp.valueOf("2024-01-01 13:00:00").getTime * 1000
+      // hour-10 window: 2 events (the late 10:45 row dropped); hour-13: 2.
+      assert(out.contains((h10, 2L)), s"hour-10 window wrong: ${out.toList}")
+      assert(out.contains((h13, 2L)), s"hour-13 window wrong: ${out.toList}")
+    } finally q.stop()
+  }
+
+  test("session_window gap is inclusive: merge at exactly +gap, split strictly after") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:29:59")),        // +29:59 → same session
+      (1L, ts("2024-01-01 00:59:59")),        // +30:00 EXACTLY → still merges
+      (1L, ts("2024-01-01 01:29:59.000001")), // +30:00.000001 → NEW session
+      (2L, ts("2024-01-01 00:00:00")))
+    val df = rows.toDF("user_id", "ts")
+    val sessions = df.groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_micros($"session_window.start").as("s"), $"n")
+      .orderBy("user_id", "s").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(sessions == Seq((1L, 3L), (1L, 1L), (2L, 1L)), sessions.toString)
+  }
+}
