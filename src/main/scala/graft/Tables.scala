@@ -22,6 +22,7 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.PushdownNanosTimestamp.install(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val cols: Array[Column] = df.schema.fields.map { f =>
       if (f.dataType == TimestampNTZType)
