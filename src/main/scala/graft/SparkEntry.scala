@@ -152,6 +152,8 @@ object SparkEntry {
     // LLM-data-pipeline extensions
     "dedup_exact" -> (LlmPipeline.dedupExact _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
+    "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
+    "dedup_near_embedding" -> ((s, d) => LlmPipeline.dedupNearEmbedding(s, d)),
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
     "sim_topk_cosine" -> (LlmPipeline.simTopkCosine _),
     "sim_topk_ivf" -> ((s, d) => LlmPipeline.simTopkIvf(s, d)),
@@ -166,8 +168,9 @@ object SparkEntry {
     "stream_tumbling" -> (StreamingOps.streamTumbling _),
     "stream_sliding" -> (StreamingOps.streamSliding _),
     "stream_session" -> (StreamingOps.streamSession _),
-    // UDAF extension point
+    // UDF / UDAF extension points
     "udaf_stable_mean" -> (StableAgg.udafStableMean _),
+    "udf_slugify" -> (StableAgg.udfSlugify _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -251,6 +254,8 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
+    "udf_slugify" ->
+      """SELECT c_custkey, lower(replace(c_name, ' ', '-')) AS slug FROM customer ORDER BY c_custkey""",
     "text_tokenize_tf" ->
       """SELECT lang, term, cnt, rk FROM (SELECT lang, term, count(*) AS cnt, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY lang, term) WHERE rk <= 5 ORDER BY lang, rk""",
     "text_stats" ->

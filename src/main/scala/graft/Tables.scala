@@ -20,19 +20,26 @@ object Tables {
   val All = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.plans.PushdownNanosTimestamp.install(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    val cols: Array[Column] = df.schema.fields.map { f =>
-      if (f.dataType == TimestampNTZType)
-        col(f.name).cast("timestamp").as(f.name)
-      else if (f.name == "ts" && f.dataType == LongType)
-        timestamp_micros(expr("ts DIV 1000")).as("ts")
-      else col(f.name)
-    }
-    df.select(cols.toSeq: _*)
-  }
+  // DataFrames are immutable plans — cache per (session, dir, table) so
+  // repeated reads skip file listing + footer schema inference (a fixed
+  // ~100ms planning tax per read otherwise).
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.plans.PushdownNanosTimestamp.install(spark)
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val cols: Array[Column] = df.schema.fields.map { f =>
+        if (f.dataType == TimestampNTZType)
+          col(f.name).cast("timestamp").as(f.name)
+        else if (f.name == "ts" && f.dataType == LongType)
+          timestamp_micros(expr("ts DIV 1000")).as("ts")
+        else col(f.name)
+      }
+      df.select(cols.toSeq: _*)
+    })
 
   /** Register every fixture table as a temp view for spark.sql paths. */
   def registerViews(spark: SparkSession, dir: String, names: Seq[String] = All): Unit =

@@ -67,10 +67,11 @@ object LlmPipeline {
     * positions → keep est >= 0.5. The (band, bucket) equi-join is the only
     * shuffle; bucket sizes are the skew knob (salt or cap at scale).
     */
-  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Persisted (doc_id, sig) signatures + the LSH-banded candidate pairs.
+    * Signatures are tiny (64×8B) and reused by several downstream operators.
+    */
+  private def minhashCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
-    // Native MinHash expression (one JIT'd loop per doc); signatures are tiny
-    // (64×8B) and reused three times below, so persist them.
     val sigs = t(spark, dir, "documents")
       .select(col("doc_id"),
         graft.functions.MinHashSignature.minhash(spark, col("text"), NumHashes, ShingleLen).as("sig"))
@@ -85,6 +86,11 @@ object LlmPipeline {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .distinct()
+    (sigs, cands)
+  }
+
+  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val (sigs, cands) = minhashCandidates(spark, dir)
     // Re-attach signatures only for the (few) surviving candidates, then
     // estimate Jaccard as the fraction of agreeing signature positions.
     val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -95,6 +101,60 @@ object LlmPipeline {
           / lit(NumHashes.toDouble)).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Distinct word-shingle set as a column (the HOF counterpart of the
+    * shingling inside [[graft.functions.MinHashSignature]]).
+    */
+  private def shingleSet(text: Column): Column = {
+    val tokens = split(text, " ")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(tokens) - ShingleLen, lit(0))),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(ShingleLen)))))
+  }
+
+  /** Exact n-gram (word-shingle) Jaccard over the LSH candidate pairs: the
+    * verify-stage of a production dedup — MinHash banding proposes, exact
+    * Jaccard disposes. Only candidate pairs ever join back to the texts, so
+    * document bodies are shuffled for ~candidates rows, not n².
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val (_, cands) = minhashCandidates(spark, dir)
+    val docs = t(spark, dir, "documents").select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val da = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val db = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cands.join(da, "doc_a").join(db, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup via signed-random-projection (SRP) LSH: a
+    * 16-bit sign code from fixed random hyperplanes buckets the vectors; only
+    * same-code pairs get an exact cosine check. Collision probability for
+    * angle θ is (1-θ/π)^16 — near-identical vectors collide w.h.p., unrelated
+    * ones almost never. At 100 TB: the code is the shuffle key (multi-probe /
+    * banded codes raise recall); bodies never cross-join.
+    */
+  def dedupNearEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
+    val NumPlanes = 16
+    val rng = new scala.util.Random(7)
+    val planes: IndexedSeq[Seq[Double]] =
+      IndexedSeq.fill(NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
+    val code = (0 until NumPlanes).map { h =>
+      when(dot(col("embedding"), typedlit(planes(h))) > 0, lit(1 << h)).otherwise(lit(0))
+    }.reduce(_ bitwiseOR _)
+    val coded = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"), code.as("code"))
+    val a = coded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("code"))
+    val b = coded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("code"))
+    a.join(b, "code")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("emb_a"), col("emb_b")) / (l2(col("emb_a")) * l2(col("emb_b")))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
   }
 
   /** SimHash (64-bit) fingerprint per document: per-token 64-bit hash votes

@@ -47,4 +47,17 @@ object StableAgg {
       .agg(round(stableMean(col("value")), 2).as("mean_value"))
       .orderBy("event_type")
   }
+
+  /** Scalar UDF extension-point demo (SURVEY §7.6). Deliberately trivial —
+    * a slugifier — because the lesson is the preference order: built-in
+    * functions (codegen'd) > native Expression > Scala UDF (opaque to
+    * Catalyst: no pushdown through it, boxing per row). The oracle expresses
+    * the same thing with built-ins, which is also how production code should.
+    */
+  def udfSlugify(spark: SparkSession, dir: String): DataFrame = {
+    val slug = udf((s: String) => if (s == null) null else s.toLowerCase.replace(' ', '-'))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), slug(col("c_name")).as("slug"))
+      .orderBy("c_custkey")
+  }
 }

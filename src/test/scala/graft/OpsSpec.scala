@@ -86,6 +86,51 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)) && !pairs.contains((1L, 3L)), "unrelated doc matched")
   }
 
+  test("ngram jaccard verify-stage: exact dups 1.0, near dups high, est ≈ true") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jac").toString
+    val words = (0 until 40).map(i => s"tok$i")
+    val base = words.mkString(" ")
+    val near = words.updated(20, "CHANGED").mkString(" ")
+    import spark.implicits._
+    Seq((0L, base, "en", "s", 1L), (1L, base, "en", "s", 1L), (2L, near, "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val jac = LlmPipeline.dedupNgramJaccard(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((0L, 1L)) == 1.0)
+    // one changed token perturbs 3 of ~38 shingles → true Jaccard 35/41
+    assert(math.abs(jac((0L, 2L)) - 35.0 / 41.0) < 1e-9, jac.toString)
+    val est = LlmPipeline.dedupNearMinhash(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(est((0L, 2L)) - jac((0L, 2L))) < 0.25, s"est ${est((0L, 2L))} vs true ${jac((0L, 2L))}")
+  }
+
+  test("embedding near-dup SRP LSH: identical vectors collide at cosine 1.0; no self pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    val rng = new scala.util.Random(3)
+    val v1 = Array.fill(64)(rng.nextGaussian().toFloat)
+    val v1near = v1.map(x => x + 0.001f) // tiny perturbation → cosine ≈ 1
+    val v2 = Array.fill(64)(rng.nextGaussian().toFloat)
+    import spark.implicits._
+    Seq((0L, v1.toSeq, 0), (1L, v1.toSeq, 0), (2L, v1near.toSeq, 0), (3L, v2.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = LlmPipeline.dedupNearEmbedding(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.9999)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.999)
+    assert(!pairs.keys.exists { case (a, b) => a >= b })
+    assert(!pairs.contains((0L, 3L)), "unrelated vector matched")
+  }
+
+  test("udf_slugify matches built-in equivalent") {
+    val viaUdf = graft.udf.StableAgg.udfSlugify(spark, sf).collect().toSeq
+    val viaBuiltins = Tables.t(spark, sf, "customer")
+      .select(col("c_custkey"), lower(regexp_replace(col("c_name"), " ", "-")).as("slug"))
+      .orderBy("c_custkey").collect().toSeq
+    assert(viaUdf == viaBuiltins)
+  }
+
   test("simhash fingerprints: identical text → identical hash; determinism") {
     val fp1 = LlmPipeline.textFingerprint(spark, sf).collect()
     val fp2 = LlmPipeline.textFingerprint(spark, sf).collect()
