@@ -168,6 +168,9 @@ object SparkEntry {
     "stream_tumbling" -> (StreamingOps.streamTumbling _),
     "stream_sliding" -> (StreamingOps.streamSliding _),
     "stream_session" -> (StreamingOps.streamSession _),
+    // skew mitigation (salted two-phase agg / salted join)
+    "agg_salted_user" -> ((s, d) => Skew.aggSaltedUserRevenue(s, d)),
+    "join_salted" -> (Skew.joinSaltedCustomer _),
     // UDF / UDAF extension points
     "udaf_stable_mean" -> (StableAgg.udafStableMean _),
     "udf_slugify" -> (StableAgg.udfSlugify _),
@@ -256,6 +259,10 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
     "udf_slugify" ->
       """SELECT c_custkey, lower(replace(c_name, ' ', '-')) AS slug FROM customer ORDER BY c_custkey""",
+    "agg_salted_user" ->
+      """SELECT user_id, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events GROUP BY user_id ORDER BY user_id""",
+    "join_salted" ->
+      """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
     "text_tokenize_tf" ->
       """SELECT lang, term, cnt, rk FROM (SELECT lang, term, count(*) AS cnt, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY lang, term) WHERE rk <= 5 ORDER BY lang, rk""",
     "text_stats" ->
