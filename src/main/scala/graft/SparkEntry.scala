@@ -133,6 +133,9 @@ object SparkEntry {
     "agg_rollup" -> (Relational.aggRollup _),
     "agg_cube" -> (Relational.aggCube _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
+    "agg_pivot" -> (Relational.aggPivot _),
+    "agg_percentiles" -> (Relational.aggPercentiles _),
+    "window_ntile" -> (Relational.windowNtile _),
     // windows
     "window_rank_topn" -> (Relational.windowRankTopN _),
     "window_running_sum" -> (Relational.windowRunningSum _),
@@ -231,6 +234,12 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt, sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS sum_price FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
     "agg_grouping_sets" ->
       """SELECT coalesce(event_type, 'ALL') AS et, coalesce(CAST(user_id AS VARCHAR), 'ALL') AS uid, count(*) AS cnt FROM events GROUP BY GROUPING SETS ((event_type), (user_id), ()) ORDER BY et, uid""",
+    "agg_pivot" ->
+      """SELECT user_id % 4 AS bucket, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'error') AS error, count(*) FILTER (WHERE event_type = 'purchase') AS purchase, count(*) FILTER (WHERE event_type = 'signup') AS signup, count(*) FILTER (WHERE event_type = 'view') AS view FROM events GROUP BY 1 ORDER BY bucket""",
+    "agg_percentiles" ->
+      """SELECT event_type, floor(quantile_cont(value, 0.5)*100 + 0.5)/100.0 AS p50, floor(quantile_cont(value, 0.9)*100 + 0.5)/100.0 AS p90 FROM events GROUP BY event_type ORDER BY event_type""",
+    "window_ntile" ->
+      """SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile FROM events ORDER BY event_id""",
     "window_rank_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "window_running_sum" ->

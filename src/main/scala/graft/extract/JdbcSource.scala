@@ -1,0 +1,69 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+
+import graft.model.{ConnectionConfig, TableConfig}
+
+/** Live-source reader plumbing (reference A1/A2/A3/A15/A20): maps the
+  * engine's config surface onto Spark's built-in JDBC source options —
+  * exactly what the reference's connector options become on a real cluster
+  * (__init__.py:26-43 option plumbing; README.md:72-96 stride partitioning;
+  * fetchsize README.md:95,111). Zero-egress here, so option construction is
+  * unit-tested and `reader` is exercised only when a URL is reachable; the
+  * Parquet `Extractor` is behaviorally equivalent (same predicates, same
+  * decision tree) by construction.
+  */
+object JdbcSource {
+
+  /** ClickHouse speaks HTTP JDBC on port 8123 (reference default,
+    * __init__.py:20); any JDBC-capable engine can be substituted via `urlFor`.
+    */
+  def urlFor(c: ConnectionConfig): String =
+    s"jdbc:clickhouse://${c.host}:${c.port}/${c.database}"
+
+  /** Base connection options (reference `_base_options`, __init__.py:26-33). */
+  def baseOptions(c: ConnectionConfig): Map[String, String] = Map(
+    "url" -> urlFor(c),
+    "user" -> c.user,
+    "password" -> c.password)
+
+  /** Per-table read options: `dbtable` vs pushed `query` (A1 vs A2), fetch
+    * size (A20's columnar round-trip knob), and — incremental only, per
+    * README.md:93 — Spark's stride partitioning (A15): `partitionColumn` +
+    * `numPartitions` with bounds the caller supplies from source min/max.
+    */
+  def tableOptions(
+      t: TableConfig,
+      pushedSql: Option[String],
+      bounds: Option[(String, String)]): Map[String, String] = {
+    val source = pushedSql match {
+      case Some(sql) => Map("query" -> sql)
+      case None      => Map("dbtable" -> t.name)
+    }
+    val partitioning = (t.effectivePartitionsColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) =>
+        Map("partitionColumn" -> c, "lowerBound" -> lo, "upperBound" -> hi,
+          "numPartitions" -> t.partitionsCount.toString)
+      case _ => Map.empty
+    }
+    source ++ partitioning + ("fetchsize" -> t.fetchsize.toString)
+  }
+
+  /** Assemble the reader; executing it requires a reachable source. */
+  def reader(
+      spark: SparkSession,
+      conn: ConnectionConfig,
+      t: TableConfig,
+      pushedSql: Option[String] = None,
+      bounds: Option[(String, String)] = None): DataFrameReader =
+    spark.read.format("jdbc")
+      .options(baseOptions(conn) ++ tableOptions(t, pushedSql, bounds))
+
+  def load(
+      spark: SparkSession,
+      conn: ConnectionConfig,
+      t: TableConfig,
+      pushedSql: Option[String] = None,
+      bounds: Option[(String, String)] = None): DataFrame =
+    reader(spark, conn, t, pushedSql, bounds).load()
+}

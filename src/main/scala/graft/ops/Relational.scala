@@ -216,7 +216,47 @@ object Relational {
         |ORDER BY et, uid""".stripMargin)
   }
 
+  /** Pivot: per user-bucket event-type counts as columns. Spark's `pivot`
+    * with an explicit value list is a single-pass hash aggregate (no extra
+    * shuffle vs the plain groupBy); the oracle expresses it as conditional
+    * aggregation, which is also the portable SQL form.
+    */
+  def aggPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = t(spark, dir, "events")
+      .withColumn("bucket", col("user_id") % 4)
+      .groupBy(col("bucket"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("bucket") +: types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+      .orderBy("bucket")
+  }
+
+  /** Exact interpolated percentiles (median / p90) per group. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the lerp definition.
+    * Exact percentile requires per-group sort — at 100 TB prefer
+    * `approx_percentile` (t-digest-style sketch, constant memory); kept exact
+    * here because the oracle demands bit-agreement.
+    */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        Exact.r2(expr("percentile(value, 0.5)")).as("p50"),
+        Exact.r2(expr("percentile(value, 0.9)")).as("p90"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- windows
+
+  /** ntile bucketing per user over event time. */
+  def windowNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
 
   /** Top-3 orders per customer: row_number + filter — per-key heaps after one
     * shuffle on the partition key.

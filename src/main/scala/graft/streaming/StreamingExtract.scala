@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** The reference's incremental mode, as true Structured Streaming.
+  *
+  * The batch extractor (graft.extract.Extractor) re-implements the
+  * reference's micro-snapshot loop: poll → filter `>= last_point` → compute
+  * new watermark → append (mkpipe_extractor_clickhouse/__init__.py:86-115).
+  * Structured Streaming subsumes that loop: the file source tracks processed
+  * files (exactly-once within the checkpoint, vs the reference's
+  * at-least-once boundary-row re-read), `withWatermark` bounds state, and the
+  * sink appends — so "incremental replication" becomes a standing query
+  * instead of scheduled batches. At 100 TB this is the same plan per
+  * micro-batch: pruned scan → stateful agg, state store partitioned by key.
+  */
+object StreamingExtract {
+
+  /** Continuous incremental extraction of an events directory into a parquet
+    * sink: the streaming equivalent of
+    * `extract(replication_method=incremental, iterate_column=ts)`.
+    */
+  def run(
+      spark: SparkSession,
+      srcDir: String,
+      schema: StructType,
+      sinkDir: String,
+      checkpointDir: String,
+      lateness: String = "1 hour"): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .parquet(srcDir)
+      .withWatermark("ts", lateness)
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Session record emitted by the stateful sessionizer. */
+  final case class SessionOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * extension point for session logic `session_window` can't express
+    * (per-session payloads, dynamic gaps, side outputs). Event-time timeout
+    * closes a session `gapMs` after its last event once the watermark passes.
+    * The input keeps its watermarked Timestamp column — projecting the event
+    * time away before a stateful op drops the watermark tag and fails
+    * analysis.
+    */
+  def sessionize(
+      events: Dataset[(Long, java.sql.Timestamp)], // (userId, eventTime) — withWatermark applied
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          val rows = rowsTs.map { case (u, t) => (u, t.getTime * 1000) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.startUs, s.lastUs, s.n))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (us <- sorted) {
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = us, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.startUs, s.lastUs, s.n)
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
