@@ -135,6 +135,8 @@ object SparkEntry {
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_pivot" -> (Relational.aggPivot _),
     "agg_percentiles" -> (Relational.aggPercentiles _),
+    "agg_approx_percentiles" -> (Relational.aggApproxPercentiles _),
+    "sql_tpch_q3" -> (Relational.sqlTpchQ3 _),
     "window_ntile" -> (Relational.windowNtile _),
     // windows
     "window_rank_topn" -> (Relational.windowRankTopN _),
@@ -240,6 +242,8 @@ object SparkEntry {
       """SELECT event_type, floor(quantile_cont(value, 0.5)*100 + 0.5)/100.0 AS p50, floor(quantile_cont(value, 0.9)*100 + 0.5)/100.0 AS p90 FROM events GROUP BY event_type ORDER BY event_type""",
     "window_ntile" ->
       """SELECT event_id, user_id, ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile FROM events ORDER BY event_id""",
+    "sql_tpch_q3" ->
+      """SELECT l_orderkey, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey, o_orderdate, o_orderpriority ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "window_rank_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "window_running_sum" ->

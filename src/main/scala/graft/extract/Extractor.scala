@@ -27,6 +27,15 @@ import org.apache.spark.storage.StorageLevel
   */
 final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
 
+  /** Structured start/end logging (reference A18, __init__.py:59-65,125-131):
+    * key=value pairs with table, replication method, mode, status.
+    */
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Extractor])
+
+  private def logExtract(table: TableConfig, status: String, mode: String): Unit =
+    log.info("extract table={} replication_method={} write_mode={} status={}",
+      table.name, table.replicationMethod.toString.toLowerCase, mode, status)
+
   def readTable(spark: SparkSession, name: String): DataFrame =
     graft.Tables.t(spark, sfDir, name)
 
@@ -52,9 +61,12 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
       lastPoint: Option[String] = None,
       sqlDir: String = "./sql"): ExtractResult = {
     val customQuery = QueryTemplate.resolve(table, sqlDir)
+    logExtract(table, "started", "-")
     table.replicationMethod match {
       case ReplicationMethod.Incremental if table.iterateColumn.isDefined =>
-        extractIncremental(spark, table, lastPoint, customQuery)
+        val r = extractIncremental(spark, table, lastPoint, customQuery)
+        logExtract(table, "completed", r.writeMode.toString.toLowerCase)
+        r
       case _ =>
         // Full refresh (reference __init__.py:116-123): no predicate stage,
         // overwrite mode, no watermark; custom query spliced with WHERE 1=1.
@@ -64,6 +76,7 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
             spark.sql(QueryTemplate.splice(q, Predicates.Tautology))
           case None => readTable(spark, table.name)
         }
+        logExtract(table, "completed", "overwrite")
         ExtractResult(Some(df), SaveMode.Overwrite, None)
     }
   }

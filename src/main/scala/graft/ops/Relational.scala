@@ -303,6 +303,40 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Sketch percentiles — the 100 TB path: approx_percentile's digest is
+    * constant memory per group vs exact percentile's per-group sort.
+    * Scalatest bounds it against the exact values (no oracle — different
+    * sketch than DuckDB's).
+    */
+  def aggApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        Exact.r2(expr("approx_percentile(value, 0.5, 10000)")).as("p50"),
+        Exact.r2(expr("approx_percentile(value, 0.9, 10000)")).as("p90"))
+      .orderBy("event_type")
+
+  /** The SQL entry point, end to end: a TPC-H-Q3-style query through
+    * `spark.sql` over registered views — same Catalyst plan as the DataFrame
+    * form (shuffles on the join keys, partial+final agg, top-k). The engine's
+    * `custom_query` path (A2/A9) runs arbitrary SQL like this.
+    */
+  def sqlTpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(n =>
+      t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT l_orderkey,
+        |       sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0D AS revenue,
+        |       unix_micros(o_orderdate) AS orderdate_us,
+        |       o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- sort / set ops
 
   /** Global top-10 by price — plans as TakeOrderedAndProject: per-partition

@@ -207,6 +207,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile within tolerance of exact percentiles") {
+    val approx = Relational.aggApproxPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.aggPercentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (p50, p90)) <- exact) {
+      val (a50, a90) = approx(k)
+      assert(math.abs(a50 - p50) / math.max(p50, 1.0) < 0.05, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) / math.max(p90, 1.0) < 0.05, s"$k p90: $a90 vs $p90")
+    }
+  }
+
+  test("aggregate results are invariant to shuffle-partition count (exact arithmetic)") {
+    val names = Seq("agg_pricing_summary", "join_multiway", "window_running_sum", "text_stats")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = names.map(n => n -> SparkEntry.queries(n)(spark, sf).collect().toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      for (n <- names)
+        assert(SparkEntry.queries(n)(spark, sf).collect().toSeq == base(n),
+          s"$n drifted under different partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("entry flagship returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
