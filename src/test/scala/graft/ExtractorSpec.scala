@@ -141,6 +141,19 @@ class ExtractorSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("readPartitioned produces partitionsCount slices with all rows (A15)") {
+    val cfg = TableConfig("lineitem",
+      replicationMethod = ReplicationMethod.Incremental,
+      iterateColumn = Some("l_orderkey"), partitionsCount = 8)
+    val df = ex.readPartitioned(spark, cfg)
+    assert(df.rdd.getNumPartitions == 8)
+    assert(df.count() == Tables.t(spark, sf, "lineitem").count())
+    // Full replication: partitioning not applied (README.md:93 semantics —
+    // partitionsCount defaults through but no iterate/partitions column set).
+    assert(ex.readPartitioned(spark, TableConfig("nation")).rdd.getNumPartitions ==
+      Tables.t(spark, sf, "nation").rdd.getNumPartitions)
+  }
+
   test("Column predicate path equals SQL clause path") {
     val cfgs = Seq(
       incrId.copy(filterLowerBound = Some("100"), filterUpperBound = Some("300")),
