@@ -126,6 +126,8 @@ object SparkEntry {
     "join_anti" -> (Relational.joinAnti _),
     "join_range_theta" -> (Relational.joinRangeTheta _),
     "join_asof_latest" -> (Relational.joinAsofLatest _),
+    "join_full_outer" -> (Relational.joinFullOuter _),
+    "join_cross" -> (Relational.joinCross _),
     // aggregations
     "agg_pricing_summary" -> (Relational.aggPricingSummary _),
     "agg_distinct_count" -> (Relational.aggDistinctCount _),
@@ -134,10 +136,12 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_grouping_sets" -> (Relational.aggGroupingSets _),
     "agg_pivot" -> (Relational.aggPivot _),
+    "agg_minmax_by" -> (Relational.aggMinmaxBy _),
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_approx_percentiles" -> (Relational.aggApproxPercentiles _),
     "sql_tpch_q3" -> (Relational.sqlTpchQ3 _),
     "window_ntile" -> (Relational.windowNtile _),
+    "window_first_last" -> (Relational.windowFirstLast _),
     // windows
     "window_rank_topn" -> (Relational.windowRankTopN _),
     "window_running_sum" -> (Relational.windowRunningSum _),
@@ -146,10 +150,14 @@ object SparkEntry {
     // sorts / limits / set ops
     "sort_limit_topk" -> (Relational.sortLimitTopK _),
     "setop_union" -> (Relational.setopUnion _),
+    "setop_union_distinct" -> (Relational.setopUnionDistinct _),
     "setop_intersect" -> (Relational.setopIntersect _),
     "setop_except" -> (Relational.setopExcept _),
     // scalar functions
     "scalar_string" -> (Scalars.scalarString _),
+    "scalar_regex" -> (Scalars.scalarRegex _),
+    "scalar_conditional" -> (Scalars.scalarConditional _),
+    "scalar_casts" -> (Scalars.scalarCasts _),
     "scalar_date" -> (Scalars.scalarDate _),
     "scalar_math" -> (Scalars.scalarMath _),
     "scalar_json" -> (Scalars.scalarJson _),
@@ -226,6 +234,22 @@ object SparkEntry {
       """SELECT e.user_id, count(*) AS pair_cnt FROM events e JOIN orders o ON (o.o_custkey % 16) = e.user_id AND o.o_orderdate <= e.ts GROUP BY e.user_id ORDER BY e.user_id""",
     "join_asof_latest" ->
       """SELECT event_id, user_id, lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id FROM events ORDER BY event_id""",
+    "join_full_outer" ->
+      """SELECT nk, coalesce(customers, 0) AS customers, coalesce(suppliers, 0) AS suppliers FROM (SELECT c_nationkey AS nk, count(*) AS customers FROM customer GROUP BY 1) c FULL JOIN (SELECT s_nationkey AS nk, count(*) AS suppliers FROM supplier GROUP BY 1) s USING (nk) ORDER BY nk""",
+    "join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey""",
+    "agg_minmax_by" ->
+      """SELECT event_type, arg_max(event_id, ts) AS latest_event, arg_min(event_id, ts) AS earliest_event FROM events GROUP BY event_type ORDER BY event_type""",
+    "setop_union_distinct" ->
+      """SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id""",
+    "window_first_last" ->
+      """SELECT o_orderkey, o_custkey, first_value(o_orderkey) OVER w AS cheapest, last_value(o_orderkey) OVER w AS priciest FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey""",
+    "scalar_regex" ->
+      """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS num_suffix, string_split(c_name, '#')[1] AS name_head, regexp_matches(c_name, '^Customer') AS is_customer FROM customer ORDER BY c_custkey""",
+    "scalar_conditional" ->
+      """SELECT o_orderkey, CASE WHEN o_totalprice >= 200000 THEN 'high' WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS tier, coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_alias, least(o_totalprice, CAST(150000.0 AS DOUBLE)) AS capped, greatest(o_totalprice, CAST(1000.0 AS DOUBLE)) AS floored FROM orders ORDER BY o_orderkey""",
+    "scalar_casts" ->
+      """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, CAST(trunc(value) AS INTEGER) AS value_int, concat(CAST(user_id AS VARCHAR), '#', event_type) AS composite, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_str FROM events ORDER BY event_id""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt, floor((sum_qty/cnt)*100 + 0.5)/100.0 AS avg_qty FROM (SELECT l_returnflag, l_linestatus, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty, sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS sum_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus) ORDER BY l_returnflag, l_linestatus""",
     "agg_distinct_count" ->

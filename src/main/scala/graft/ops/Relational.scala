@@ -132,6 +132,29 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Full outer join: every customer and every order key bucket represented,
+    * null-preserved on both sides (sentinel-coalesced for deterministic
+    * output). Uses aggregated sides so the output stays small.
+    */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    // customers per nationkey vs suppliers per nationkey: some nations have
+    // customers but no suppliers and vice versa → both null sides exercised.
+    val c = t(spark, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("customers"))
+    val s = t(spark, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("suppliers"))
+    c.join(s, Seq("nk"), "full_outer")
+      .select(col("nk"), coalesce(col("customers"), lit(0L)).as("customers"),
+        coalesce(col("suppliers"), lit(0L)).as("suppliers"))
+      .orderBy("nk")
+  }
+
+  /** Cross join (explicit cartesian of two small dims). */
+  def joinCross(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "region").crossJoin(t(spark, dir, "nation"))
+      .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+
   /** As-of (latest prior event per user): window `lag` over a per-user sort —
     * one shuffle on user_id, no self-cross-product. The canonical Spark shape
     * for as-of/point-in-time joins against the same stream.
@@ -246,7 +269,32 @@ object Relational {
         Exact.r2(expr("percentile(value, 0.9)")).as("p90"))
       .orderBy("event_type")
 
+  /** max_by / min_by (argmax-style aggregates — DuckDB arg_max/arg_min):
+    * latest/earliest event id per type by event time. Deterministic because
+    * event ids are unique and µs timestamps are collision-free in the
+    * fixtures.
+    */
+  def aggMinmaxBy(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(max_by(col("event_id"), col("ts")).as("latest_event"),
+        min_by(col("event_id"), col("ts")).as("earliest_event"))
+      .orderBy("event_type")
+
   // ---------------------------------------------------------------- windows
+
+  /** first_value / last_value over an explicit frame: each order vs its
+    * customer's cheapest and priciest order.
+    */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("cheapest"),
+        last(col("o_orderkey")).over(w).as("priciest"))
+      .orderBy("o_orderkey")
+  }
 
   /** ntile bucketing per user over event time. */
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
@@ -360,6 +408,15 @@ object Relational {
     val e = t(spark, dir, "events")
     e.filter(col("event_type") === "click").select("user_id")
       .intersect(e.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** UNION with set semantics (distinct), vs setop_union's UNION ALL. */
+  def setopUnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    e.filter(col("event_type") === "click").select("user_id")
+      .union(e.filter(col("event_type") === "purchase").select("user_id"))
+      .distinct()
       .orderBy("user_id")
   }
 

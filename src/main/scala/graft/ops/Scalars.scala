@@ -51,6 +51,39 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** Regex functions: extract the numeric suffix of c_name, split-part-style
+    * token access, and a match flag.
+    */
+  def scalarRegex(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)$", 1).as("num_suffix"),
+        element_at(split(col("c_name"), "#"), 1).as("name_head"),
+        col("c_name").rlike("^Customer").as("is_customer"))
+      .orderBy("c_custkey")
+
+  /** Conditional expressions: CASE WHEN tiers, nullif/coalesce, least/greatest. */
+  def scalarConditional(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") >= 200000, "high")
+          .when(col("o_totalprice") >= 100000, "mid")
+          .otherwise("low").as("tier"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_alias"),
+        least(col("o_totalprice"), lit(150000.0)).as("capped"),
+        greatest(col("o_totalprice"), lit(1000.0)).as("floored"))
+      .orderBy("o_orderkey")
+
+  /** Cast matrix: number↔string, timestamp→date→string round-trips. */
+  def scalarCasts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        col("event_id").cast("string").as("id_str"),
+        col("value").cast("int").as("value_int"),
+        concat(col("user_id").cast("string"), lit("#"), col("event_type")).as("composite"),
+        to_date(col("ts")).cast("string").as("day_str"))
+      .orderBy("event_id")
+
   /** Higher-order array functions over embeddings: size, element access, and
     * an `aggregate`-built L2 norm — all codegen-friendly, no UDFs. Verified in
     * scalatest (float HOFs have no stable DuckDB oracle).
