@@ -166,6 +166,7 @@ object SparkEntry {
     "dedup_exact" -> (LlmPipeline.dedupExact _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
+    "curation_pipeline" -> (LlmPipeline.curationPipeline _),
     "dedup_near_embedding" -> ((s, d) => LlmPipeline.dedupNearEmbedding(s, d)),
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
     "sim_topk_cosine" -> (LlmPipeline.simTopkCosine _),
@@ -310,6 +311,8 @@ object SparkEntry {
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS fingerprint, 'text' AS kind FROM documents ORDER BY asset_id""",
     "stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "stream_sliding" ->
+      """SELECT epoch_us(g.ws) AS ws, count(*) AS cnt, sum(CAST(floor(e.value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events e JOIN (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00', TIMESTAMP '2024-06-01 00:00:00', INTERVAL 15 MINUTE)) AS ws) g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 60 MINUTE GROUP BY g.ws ORDER BY ws""",
     "stream_session" ->
       """SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n_events FROM (SELECT user_id, ts, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM (SELECT user_id, event_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events)) GROUP BY user_id, sid ORDER BY user_id, session_start""",
   )

@@ -233,6 +233,26 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** End-to-end training-data curation capstone: exact dedup (keep min
+    * doc_id per content hash) → drop near-duplicate losers (higher doc_id of
+    * each LSH-confirmed pair) → quality gate (length + stopword-bearing).
+    * Returns surviving doc ids with their quality stats — the composed form
+    * of the individual operators, sharing their scale properties (hash
+    * shuffles + anti joins; nothing quadratic, bodies shuffled only for
+    * candidate verification).
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val survivorsExact = dedupExact(spark, dir).select("doc_id")
+    val nearLosers = dedupNearMinhash(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    val quality = textQuality(spark, dir)
+    quality
+      .join(survivorsExact, Seq("doc_id"), "left_semi")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+      .filter(col("n_words") >= 10 && col("mean_word_len") < 20)
+      .select("doc_id", "lang", "n_words", "est_bpe_tokens")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- text analysis
 
   /** Per-language top-5 terms by frequency: explode → two-phase count →
