@@ -140,6 +140,8 @@ object SparkEntry {
     "agg_percentiles" -> (Relational.aggPercentiles _),
     "agg_approx_percentiles" -> (Relational.aggApproxPercentiles _),
     "sql_tpch_q3" -> (Relational.sqlTpchQ3 _),
+    "sql_tpch_q6" -> (Relational.sqlTpchQ6 _),
+    "typed_event_stats" -> (Relational.typedEventStats _),
     "window_ntile" -> (Relational.windowNtile _),
     "window_first_last" -> (Relational.windowFirstLast _),
     // windows
@@ -245,6 +247,10 @@ object SparkEntry {
       """SELECT user_id FROM events WHERE event_type = 'click' UNION SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id""",
     "window_first_last" ->
       """SELECT o_orderkey, o_custkey, first_value(o_orderkey) OVER w AS cheapest, last_value(o_orderkey) OVER w AS priciest FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey""",
+    "sql_tpch_q6" ->
+      """SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "typed_event_stats" ->
+      """SELECT event_type, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events WHERE value > 50.0 GROUP BY event_type ORDER BY event_type""",
     "scalar_regex" ->
       """SELECT c_custkey, regexp_extract(c_name, '([0-9]+)$', 1) AS num_suffix, string_split(c_name, '#')[1] AS name_head, regexp_matches(c_name, '^Customer') AS is_customer FROM customer ORDER BY c_custkey""",
     "scalar_conditional" ->

@@ -25,6 +25,11 @@ object Relational {
 
   import Exact.{cents, bp}
 
+  /** Typed row for the Dataset[T] demo (object-level: encoder derivation
+    * needs a stable, non-local class).
+    */
+  final case class Ev(event_id: Long, user_id: Long, event_type: String, value: Double)
+
   // ---------------------------------------------------------------- scans
 
   /** A1/A4: full scan, all columns. Timestamps → epoch micros for oracle parity. */
@@ -383,6 +388,44 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H-Q6 (forecast revenue change): pure scan–filter–aggregate; the
+    * plan should be a single codegen'd stage over a pruned, filter-pushed
+    * parquet scan — the canonical "is pushdown working" query.
+    */
+  def sqlTpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))/10000.0D AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** Typed Dataset[T] API demo: the same computation as a typed pipeline —
+    * case-class encoder, typed filter, groupByKey + mapGroups. Encoders keep
+    * Tungsten's binary format (no Kryo/Java serialization); `mapGroups` is
+    * the typed escape hatch when an aggregate isn't expressible as Columns —
+    * note it forgoes partial aggregation, so prefer Column aggs at scale.
+    */
+  def typedEventStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ds = t(spark, dir, "events")
+      .select("event_id", "user_id", "event_type", "value").as[Ev]
+    ds.filter(_.value > 50.0)
+      .groupByKey(_.event_type)
+      .mapGroups { (k, rows) =>
+        var n = 0L
+        var cents = 0L
+        rows.foreach { e => n += 1; cents += math.floor(e.value * 100 + 0.5).toLong }
+        (k, n, cents / 100.0)
+      }
+      .toDF("event_type", "cnt", "sum_value")
+      .orderBy("event_type")
   }
 
   // ---------------------------------------------------------------- sort / set ops
