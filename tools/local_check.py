@@ -66,7 +66,6 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_bad += 1
         else:
             print(f"ok   {name} ({len(want)} rows)")
-    extra = [k for k in oracle if False]
     print(f"\n{len(oracle) - n_bad}/{len(oracle)} oracle queries match")
     return 1 if n_bad else 0
 
