@@ -144,6 +144,7 @@ object SparkEntry {
     "typed_event_stats" -> (Relational.typedEventStats _),
     "window_ntile" -> (Relational.windowNtile _),
     "window_first_last" -> (Relational.windowFirstLast _),
+    "window_range_frame" -> (Relational.windowRangeFrame _),
     // windows
     "window_rank_topn" -> (Relational.windowRankTopN _),
     "window_running_sum" -> (Relational.windowRunningSum _),
@@ -174,6 +175,8 @@ object SparkEntry {
     "sim_topk_cosine" -> (LlmPipeline.simTopkCosine _),
     "sim_topk_ivf" -> ((s, d) => LlmPipeline.simTopkIvf(s, d)),
     "text_tokenize_tf" -> (LlmPipeline.textTokenizeTf _),
+    "text_tfidf" -> (LlmPipeline.textTfidf _),
+    "text_scrub" -> (LlmPipeline.textScrub _),
     "text_stats" -> (LlmPipeline.textStats _),
     "text_quality" -> (LlmPipeline.textQuality _),
     "text_langid" -> (LlmPipeline.textLangId _),
@@ -307,6 +310,12 @@ object SparkEntry {
       """SELECT user_id, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events GROUP BY user_id ORDER BY user_id""",
     "join_salted" ->
       """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
+    "window_range_frame" ->
+      """SELECT event_id, user_id, sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)/100.0 AS hour_sum FROM events ORDER BY event_id""",
+    "text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents) SELECT doc_id, term, tf, df, score, rk FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, tf.tf * n.n * 1.0 / dfreq.df AS score, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * n.n * 1.0 / dfreq.df DESC, tf.term) AS rk FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "text_scrub" ->
+      """SELECT doc_id, substring(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 40) AS scrubbed_head, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
     "text_tokenize_tf" ->
       """SELECT lang, term, cnt, rk FROM (SELECT lang, term, count(*) AS cnt, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY lang, term) WHERE rk <= 5 ORDER BY lang, rk""",
     "text_stats" ->

@@ -277,6 +277,38 @@ object LlmPipeline {
         countDistinct(col("lang")).as("langs"))
       .orderBy("source")
 
+  /** Vowel-masking scrub — the regexp_replace-based shape of PII/content
+    * masking passes (per-row, codegen'd, runs at scan speed).
+    */
+  def textScrub(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        substring(regexp_replace(col("text"), "[aeiou]", "*"), 1, 40).as("scrubbed_head"),
+        graft.functions.TokenCount.tokenCount(spark, col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** TF-IDF-style term salience, integer-exact: score = tf · N / df where
+    * tf, N, df are exact integers and the single double division is
+    * bit-identical across engines (no log(), which can differ by 1 ulp
+    * between libm implementations). Top-3 terms per doc. Plan: explode →
+    * two hash aggregates → broadcast-joined df table → per-doc top-k window.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val n = docs.count()
+    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy((col("tf") * n * 1.0 / col("df")).desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .withColumn("score", col("tf") * n * 1.0 / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rk")
+      .orderBy("doc_id", "rk")
+  }
+
   /** Heuristic quality scoring + token counts per document: length, word
     * count (whitespace tokenization), a BPE-ish subword estimate (chars/4 —
     * the common ~4-chars-per-token heuristic), mean word length, and a

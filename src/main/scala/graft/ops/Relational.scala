@@ -301,6 +301,21 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** RANGE frame (vs ROWS): per-user trailing-hour revenue — the frame is
+    * bounded by the ORDER BY *value* (epoch micros), so ties are peers and
+    * frame width is data-dependent. The windowed form of the reference's
+    * watermark arithmetic.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    t(spark, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"),
+        (sum(cents(col("value"))).over(w) / 100.0).as("hour_sum"))
+      .orderBy("event_id")
+  }
+
   /** ntile bucketing per user over event time. */
   def windowNtile(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

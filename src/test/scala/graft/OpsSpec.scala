@@ -207,6 +207,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("TokenCount codegen expression equals size(split()) and stays in codegen") {
+    val docs = Tables.t(spark, sf, "documents")
+    val viaExpr = docs.select(col("doc_id"),
+        graft.functions.TokenCount.tokenCount(spark, col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val viaSplit = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(viaExpr == viaSplit)
+    // The projection containing the expression must sit inside a
+    // whole-stage-codegen span — the "*(n)" prefix in the plan string (a
+    // CodegenFallback expression would strip the star from the Project).
+    val plan = docs.select(graft.functions.TokenCount.tokenCount(spark, col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // And it's callable from SQL:
+    docs.createOrReplaceTempView("documents")
+    assert(spark.sql("SELECT graft_token_count(text) FROM documents LIMIT 1").count() == 1)
+  }
+
   test("approx_percentile within tolerance of exact percentiles") {
     val approx = Relational.aggApproxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
