@@ -177,6 +177,7 @@ object SparkEntry {
     "text_tokenize_tf" -> (LlmPipeline.textTokenizeTf _),
     "text_tfidf" -> (LlmPipeline.textTfidf _),
     "text_scrub" -> (LlmPipeline.textScrub _),
+    "text_token_regex" -> (LlmPipeline.textTokenRegex _),
     "text_stats" -> (LlmPipeline.textStats _),
     "text_quality" -> (LlmPipeline.textQuality _),
     "text_langid" -> (LlmPipeline.textLangId _),
@@ -316,6 +317,8 @@ object SparkEntry {
       """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1, 2), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), n AS (SELECT count(*) AS n FROM documents) SELECT doc_id, term, tf, df, score, rk FROM (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, tf.tf * n.n * 1.0 / dfreq.df AS score, row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf * n.n * 1.0 / dfreq.df DESC, tf.term) AS rk FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n) WHERE rk <= 3 ORDER BY doc_id, rk""",
     "text_scrub" ->
       """SELECT doc_id, substring(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 40) AS scrubbed_head, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
+    "text_token_regex" ->
+      """SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS regex_tokens, len(string_split(text, ' ')) AS ws_tokens FROM documents ORDER BY doc_id""",
     "text_tokenize_tf" ->
       """SELECT lang, term, cnt, rk FROM (SELECT lang, term, count(*) AS cnt, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY lang, term) WHERE rk <= 5 ORDER BY lang, rk""",
     "text_stats" ->

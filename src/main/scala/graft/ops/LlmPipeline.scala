@@ -330,6 +330,18 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish regex token counting (word / number / single-symbol classes —
+    * the shape of GPT-style pre-tokenization), alongside whitespace tokens:
+    * the two standard token-count estimators for corpus budgeting.
+    */
+  def textTokenRegex(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(expr("regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)"))
+          .cast("long").as("regex_tokens"),
+        graft.functions.TokenCount.tokenCount(spark, col("text")).as("ws_tokens"))
+      .orderBy("doc_id")
+
   /** N-gram-frequency language ID heuristic: score each candidate language by
     * overlap between the doc's tokens and that language's top terms (learned
     * from the corpus itself — per-lang top-20 terms), pick argmax. Entirely

@@ -62,10 +62,24 @@ object Multimodal {
     (w, ht, payload.length / 1000.0)
   }
 
+  /** STUB "resize": a decoded image would be scaled to targetW×targetH; the
+    * stand-in down-samples the payload bytes at the equivalent stride so the
+    * output size contract (≤ target "pixels") is real.
+    */
+  def stubResize(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+    // ??? real scaler goes here; deterministic stride-sample below.
+    if (payload.length <= targetLen) payload
+    else {
+      val stride = payload.length.toDouble / targetLen
+      Array.tabulate(targetLen)(i => payload((i * stride).toInt))
+    }
+  }
+
   /** Partition-local batch "decode" via mapPartitions — the Scala analogue of
     * `mapInPandas`: one iterator per partition, media bytes never shuffled,
-    * output is the small feature row. Frame-sampling is modeled by slicing
-    * the payload at a fixed stride.
+    * output is the small feature row. The pipeline per asset:
+    * decode (stub) → resize to a bounded thumbnail → frame-sample at a fixed
+    * stride — the real shapes of an image/video featurization pass.
     */
   def decodeFeatures(spark: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -73,7 +87,9 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType),
       StructField("duration_s", DoubleType),
-      StructField("n_frames_sampled", IntegerType)))
+      StructField("n_frames_sampled", IntegerType),
+      StructField("thumb_len", IntegerType),
+      StructField("thumb_fingerprint", LongType)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     mediaTable(spark, dir)
       .select(col("asset_id"), col("media"))
@@ -82,8 +98,10 @@ object Multimodal {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val (w, h, d) = stubDecode(payload)
+          val thumb = stubResize(payload, 128)
           val frames = math.max(1, payload.length / 256) // stride "frame sample"
-          Row(id, w, h, d, frames)
+          Row(id, w, h, d, frames, thumb.length,
+            java.util.Arrays.hashCode(thumb).toLong)
         }
       }(enc)
       .orderBy("asset_id")
