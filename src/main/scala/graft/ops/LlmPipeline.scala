@@ -137,6 +137,12 @@ object LlmPipeline {
     * angle θ is (1-θ/π)^16 — near-identical vectors collide w.h.p., unrelated
     * ones almost never. At 100 TB: the code is the shuffle key (multi-probe /
     * banded codes raise recall); bodies never cross-join.
+    *
+    * Pass `threshold = -1` to emit every bucket collision with its exact
+    * cosine (candidate generation + scoring; the cut is downstream policy) —
+    * the registered query does this because the fixture has no true
+    * near-dups (max pairwise cosine ≈ 0.51), so any real threshold would
+    * return an empty, undemonstrative result.
     */
   def dedupNearEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
     val NumPlanes = 16

@@ -115,7 +115,7 @@ class OpsSpec extends SparkSpec {
     Seq((0L, v1.toSeq, 0), (1L, v1.toSeq, 0), (2L, v1near.toSeq, 0), (3L, v2.toSeq, 1))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val pairs = LlmPipeline.dedupNearEmbedding(spark, dir).collect()
+    val pairs = LlmPipeline.dedupNearEmbedding(spark, dir, threshold = 0.9).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) > 0.9999)
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.999)
