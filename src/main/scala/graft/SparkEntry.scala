@@ -141,6 +141,9 @@ object SparkEntry {
     "agg_approx_percentiles" -> (Relational.aggApproxPercentiles _),
     "sql_tpch_q3" -> (Relational.sqlTpchQ3 _),
     "sql_tpch_q6" -> (Relational.sqlTpchQ6 _),
+    "sql_tpch_q4" -> (Relational.sqlTpchQ4 _),
+    "sql_tpch_q12" -> (Relational.sqlTpchQ12 _),
+    "sql_tpch_q14" -> (Relational.sqlTpchQ14 _),
     "typed_event_stats" -> (Relational.typedEventStats _),
     "window_ntile" -> (Relational.windowNtile _),
     "window_first_last" -> (Relational.windowFirstLast _),
@@ -253,6 +256,12 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, first_value(o_orderkey) OVER w AS cheapest, last_value(o_orderkey) OVER w AS priciest FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_orderkey""",
     "sql_tpch_q6" ->
       """SELECT sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00' AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+    "sql_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "sql_tpch_q12" ->
+      """SELECT l_returnflag, sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_cnt, sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sql_tpch_q14" ->
+      """SELECT CAST(100.0 AS DOUBLE) * sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) ELSE 0 END) / sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS promo_revenue_pct, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "typed_event_stats" ->
       """SELECT event_type, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events WHERE value > 50.0 GROUP BY event_type ORDER BY event_type""",
     "scalar_regex" ->

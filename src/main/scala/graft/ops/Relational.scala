@@ -421,6 +421,52 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin)
   }
 
+  /** TPC-H-Q4-style (adapted to the fixture schema): priority counts of 1996
+    * orders having at least one heavy lineitem — correlated EXISTS, which
+    * Catalyst decorrelates into a left-semi join.
+    */
+  def sqlTpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H-Q12-style (adapted): per return flag, counts of high- vs
+    * low-priority orders — join + conditional aggregation.
+    */
+  def sqlTpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_cnt,
+        |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** TPC-H-Q14-style promo revenue share: ratio of two order-independent
+    * integer-exact sums — the one double division is bit-identical across
+    * engines.
+    */
+  def sqlTpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT 100.0D * sum(CASE WHEN p_type = 'PROMO'
+        |                    THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)
+        |                    ELSE 0L END)
+        |       / sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS promo_revenue_pct,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)
+  }
+
   /** Typed Dataset[T] API demo: the same computation as a typed pipeline —
     * case-class encoder, typed filter, groupByKey + mapGroups. Encoders keep
     * Tungsten's binary format (no Kryo/Java serialization); `mapGroups` is
