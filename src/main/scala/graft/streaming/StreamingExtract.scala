@@ -42,6 +42,36 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Idempotent append sink via foreachBatch: each micro-batch is
+    * anti-joined against the keys already in the sink before appending — the
+    * loader-side compensation for the reference's at-least-once inclusive
+    * watermark (__init__.py:89 re-extracts the boundary row every run;
+    * SURVEY §7.5 names downstream dedup as the canonical fix).
+    *
+    * Scale note: this naive form rescans the whole sink per batch; at 100 TB
+    * the anti-join must be scoped to the affected key/partition range (or a
+    * transactional table format's MERGE), but the foreachBatch shape — batch
+    * df + deterministic batchId for replay idempotence — is exactly the same.
+    */
+  def dedupAppendSink(
+      stream: DataFrame,
+      keyCol: String,
+      sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh =
+          if (new java.io.File(sinkDir).exists())
+            batch.join(spark.read.parquet(sinkDir).select(keyCol), Seq(keyCol), "left_anti")
+          else batch
+        fresh.write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Session record emitted by the stateful sessionizer. */
   final case class SessionOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
 

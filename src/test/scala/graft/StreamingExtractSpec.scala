@@ -41,6 +41,32 @@ class StreamingExtractSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 15L).toSeq, s"got ${ids.toSeq}")
   }
 
+  test("dedupAppendSink drops re-delivered boundary rows (at-least-once → effectively-once)") {
+    val src = java.nio.file.Files.createTempDirectory("graft-dsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-dsink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dckpt").toString
+
+    def writeBatch(ids: Seq[Int]): Unit =
+      ids.map(i => (i.toLong, s"payload$i")).toDF("event_id", "payload")
+        .write.mode("append").parquet(src)
+
+    // Batch 1: ids 0..9. Batch 2 RE-DELIVERS the boundary row 9 (the
+    // reference's inclusive watermark does exactly this) plus 10..14.
+    writeBatch(0 until 10)
+    val schema = spark.read.parquet(src).schema
+    StreamingExtract.dedupAppendSink(
+      spark.readStream.schema(schema).parquet(src), "event_id", sink, ckpt)
+      .awaitTermination()
+    writeBatch(Seq(9) ++ (10 until 15))
+    StreamingExtract.dedupAppendSink(
+      spark.readStream.schema(schema).parquet(src), "event_id", sink, ckpt)
+      .awaitTermination()
+
+    val ids = spark.read.parquet(sink).select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, s"sink has duplicates: ${ids.sorted.toSeq}")
+    assert(ids.sorted.toSeq == (0L until 15L).toSeq)
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     def us(s: String) = Timestamp.valueOf(s).getTime * 1000
