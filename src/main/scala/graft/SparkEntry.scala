@@ -181,6 +181,7 @@ object SparkEntry {
     "text_tfidf" -> (LlmPipeline.textTfidf _),
     "text_scrub" -> (LlmPipeline.textScrub _),
     "text_token_regex" -> (LlmPipeline.textTokenRegex _),
+    "generator_posexplode" -> (LlmPipeline.generatorPosexplode _),
     "text_stats" -> (LlmPipeline.textStats _),
     "text_quality" -> (LlmPipeline.textQuality _),
     "text_langid" -> (LlmPipeline.textLangId _),
@@ -328,6 +329,8 @@ object SparkEntry {
       """SELECT doc_id, substring(regexp_replace(text, '[aeiou]', '*', 'g'), 1, 40) AS scrubbed_head, len(string_split(text, ' ')) AS n_tokens FROM documents ORDER BY doc_id""",
     "text_token_regex" ->
       """SELECT doc_id, len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS regex_tokens, len(string_split(text, ' ')) AS ws_tokens FROM documents ORDER BY doc_id""",
+    "generator_posexplode" ->
+      """SELECT doc_id, i AS pos, ss[i] AS term FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents) t, (SELECT unnest(generate_series(1, 5)) AS i) g WHERE i <= len(ss) ORDER BY doc_id, pos""",
     "text_tokenize_tf" ->
       """SELECT lang, term, cnt, rk FROM (SELECT lang, term, count(*) AS cnt, row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, term) AS rk FROM (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY lang, term) WHERE rk <= 5 ORDER BY lang, rk""",
     "text_stats" ->

@@ -336,6 +336,16 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Positional generator (posexplode — the UDTF extension point with
+    * ordinality): first 5 tokens of each document with 1-based positions.
+    */
+  def generatorPosexplode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+      .filter(col("pos") <= 5)
+      .orderBy("doc_id", "pos")
+
   /** BPE-ish regex token counting (word / number / single-symbol classes —
     * the shape of GPT-style pre-tokenization), alongside whitespace tokens:
     * the two standard token-count estimators for corpus budgeting.
