@@ -26,7 +26,9 @@ object SparkEntry {
   // ------------------------------------------------------------ extraction
   // These run the real Extractor decision tree (graft.extract.Extractor),
   // then project timestamps to epoch micros + impose a deterministic order
-  // for the oracle compare.
+  // for the oracle compare. cacheBatches=false: Verify/Bench execute each
+  // returned df exactly once and nothing here could unpersist afterwards —
+  // the caching (+ unpersist-after-load) path is Pipeline.run's.
 
   private def eventsOut(df: DataFrame): DataFrame =
     df.select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
@@ -42,29 +44,29 @@ object SparkEntry {
     iterateColumn = Some("event_id"), iterateColumnType = IterateType.IntCol)
 
   private def extractFull(spark: SparkSession, dir: String): DataFrame =
-    new Extractor(dir).extract(spark, TableConfig("orders")).df.get
+    new Extractor(dir, cacheBatches = false).extract(spark, TableConfig("orders")).df.get
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
         col("o_orderpriority"))
       .orderBy("o_orderkey")
 
   private def extractIncrInitial(spark: SparkSession, dir: String): DataFrame =
-    eventsOut(new Extractor(dir).extract(spark, eventsIncrTs, lastPoint = None).df.get)
+    eventsOut(new Extractor(dir, cacheBatches = false).extract(spark, eventsIncrTs, lastPoint = None).df.get)
 
   private def extractIncrWatermark(spark: SparkSession, dir: String): DataFrame =
-    eventsOut(new Extractor(dir)
+    eventsOut(new Extractor(dir, cacheBatches = false)
       .extract(spark, eventsIncrTs, lastPoint = Some("2024-01-15 00:00:00")).df.get)
 
   private def extractIncrBounds(spark: SparkSession, dir: String): DataFrame =
-    eventsOut(new Extractor(dir).extract(spark,
+    eventsOut(new Extractor(dir, cacheBatches = false).extract(spark,
       eventsIncrId.copy(filterLowerBound = Some("200"), filterUpperBound = Some("700"))).df.get)
 
   private def extractIncrLowerOnly(spark: SparkSession, dir: String): DataFrame =
-    eventsOut(new Extractor(dir).extract(spark,
+    eventsOut(new Extractor(dir, cacheBatches = false).extract(spark,
       eventsIncrId.copy(filterLowerBound = Some("500"))).df.get)
 
   private def watermarkMax(spark: SparkSession, dir: String): DataFrame =
-    new Extractor(dir)
+    new Extractor(dir, cacheBatches = false)
       .extract(spark, eventsIncrTs, lastPoint = Some("2024-01-15 00:00:00")).df.get
       .agg(unix_micros(max(col("ts"))).as("max_val"))
 
@@ -92,7 +94,7 @@ object SparkEntry {
     * watermark max is then computed on the result as in the reference.
     */
   private def customQueryExtract(spark: SparkSession, dir: String): DataFrame =
-    new Extractor(dir).extract(spark,
+    new Extractor(dir, cacheBatches = false).extract(spark,
       eventsIncrTs.copy(customQuery = Some(
         "SELECT event_id, ts, user_id, event_type, value FROM events {query_filter}")),
       lastPoint = Some("2024-01-10 00:00:00")).df.get
@@ -260,7 +262,7 @@ object SparkEntry {
     "sql_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45) GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "sql_tpch_q12" ->
-      """SELECT l_returnflag, sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_cnt, sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """SELECT l_returnflag, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt, CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_tpch_q14" ->
       """SELECT CAST(100.0 AS DOUBLE) * sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) ELSE 0 END) / sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS promo_revenue_pct, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey""",
     "typed_event_stats" ->

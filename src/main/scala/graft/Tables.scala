@@ -22,14 +22,34 @@ object Tables {
 
   // DataFrames are immutable plans — cache per (session, dir, table) so
   // repeated reads skip file listing + footer schema inference (a fixed
-  // ~100ms planning tax per read otherwise).
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]
+  // ~100ms planning tax per read otherwise). The outer map holds the session
+  // itself with reference-identity semantics (SparkSession doesn't override
+  // equals) and weak keys — a stopped, GC'd session drops its plans instead
+  // of a recycled identity hash serving DataFrames bound to a dead session.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((System.identityHashCode(spark), dir, name), _ => {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      graft.plans.PushdownNanosTimestamp.install(spark)
+  /** Per-session inner cache, shared with other per-session memoizers. */
+  private[graft] def sessionCache[V](
+      outer: java.util.Map[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), V]],
+      spark: SparkSession): java.util.concurrent.ConcurrentHashMap[(String, String), V] = {
+    outer.synchronized {
+      var m = outer.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), V]
+        outer.put(spark, m)
+      }
+      m
+    }
+  }
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // Session-level setup must run on every call, not only on cache miss —
+    // a fresh session hitting a warm (dir, name) key still needs them.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.PushdownNanosTimestamp.install(spark)
+    sessionCache(cache, spark).computeIfAbsent((dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       val cols: Array[Column] = df.schema.fields.map { f =>
         if (f.dataType == TimestampNTZType)
@@ -40,6 +60,7 @@ object Tables {
       }
       df.select(cols.toSeq: _*)
     })
+  }
 
   /** Register every fixture table as a temp view for spark.sql paths. */
   def registerViews(spark: SparkSession, dir: String, names: Seq[String] = All): Unit =

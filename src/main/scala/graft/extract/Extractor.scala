@@ -120,12 +120,25 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
   }
 
   /** Watermark string round-trip (reference `str(max_val)`, __init__.py:114).
-    * java.sql.Timestamp.toString renders `yyyy-MM-dd HH:mm:ss.f…` (session TZ
-    * pinned UTC), which [[Predicates.typedLit]] parses back losslessly at µs
-    * precision; Python's str(datetime) omits a zero fraction — both shapes
-    * parse identically on re-splice, so semantics are preserved.
+    * Timestamps are rendered explicitly in UTC: `Timestamp.toString` uses the
+    * JVM default timezone (spark.sql.session.timeZone does NOT affect it), so
+    * on a non-UTC host the naive rendering would shift the persisted watermark
+    * by the zone offset — silently skipping or re-extracting hours of rows on
+    * re-splice (the re-parse path, [[Predicates.typedLit]] / SQL splice, is
+    * interpreted in the UTC session zone). We convert the instant to a UTC
+    * LocalDateTime and render it through `Timestamp.valueOf(...).toString`,
+    * which formats the wall-clock fields directly — same
+    * `yyyy-MM-dd HH:mm:ss.f…` shape as Python's str(datetime), preserved to
+    * nanosecond precision, on every host.
     */
-  private def stringify(v: Any): String = v.toString
+  private def stringify(v: Any): String = v match {
+    case ts: java.sql.Timestamp =>
+      val utc = ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      java.sql.Timestamp.valueOf(utc).toString
+    case i: java.time.Instant => // spark.sql.datetime.java8API.enabled sessions
+      java.sql.Timestamp.valueOf(i.atZone(java.time.ZoneOffset.UTC).toLocalDateTime).toString
+    case other => other.toString
+  }
 
   /** Loader-side write, completing the reference's ExtractResult contract:
     * sink-mode selection (A14) + write-partition coalesce (A16, README.md:114).

@@ -68,9 +68,21 @@ object LlmPipeline {
     * shuffle; bucket sizes are the skew knob (salt or cap at scale).
     */
   /** Persisted (doc_id, sig) signatures + the LSH-banded candidate pairs.
-    * Signatures are tiny (64×8B) and reused by several downstream operators.
+    * Signatures are tiny (64×8B) and reused by several downstream operators
+    * — memoized per (session, dir) the way Tables.t caches plans, so
+    * dedup_near_minhash / dedup_ngram_jaccard / curation_pipeline share ONE
+    * persisted signature table per session instead of each leaking a fresh
+    * MEMORY_AND_DISK entry per invocation.
     */
-  private def minhashCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private val minhashCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]]())
+
+  private def minhashCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graft.Tables.sessionCache(minhashCache, spark).computeIfAbsent((dir, "minhash"), _ =>
+      buildMinhashCandidates(spark, dir))
+
+  private def buildMinhashCandidates(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val sigs = t(spark, dir, "documents")
       .select(col("doc_id"),

@@ -26,10 +26,14 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *   ns DIV 1000 <= X  ⟺  ns <  (X+1)*1000
   *   ns DIV 1000 =  X  ⟺  ns >= X*1000 AND ns < (X+1)*1000
   *
-  * The ⟺s hold for non-negative ns (post-1970 data; `DIV` truncates toward
-  * zero). Pre-epoch nanos would need floor-division forms — not present in
-  * any fixture, and guarded by leaving such plans untouched is impossible to
-  * decide statically, so this engine documents the post-1970 assumption.
+  * `DIV` truncates toward zero, so for *negative* ns the µs value rounds up
+  * (ns=-500 → 0), which breaks the naive equivalences against literals at or
+  * below the epoch (e.g. ns=-500 satisfies tsµ >= epoch-0 but fails ns >= 0).
+  * For a strictly positive literal (us > 0) every form above is safe for ALL
+  * ns — negative ns then falls on the same side of both inequalities — so the
+  * rule only rewrites when `us > 0` and leaves epoch/pre-epoch literals
+  * untouched (they keep correctness at the cost of pushdown, which no real
+  * watermark hits).
   *
   * Registered via `spark.experimental.extraOptimizations` (runs after the
   * standard batches — by then PushDownPredicates has already collapsed the
@@ -52,27 +56,38 @@ object PushdownNanosTimestamp extends Rule[LogicalPlan] {
 
   private def nsLit(us: Long): Literal = Literal(us * 1000L, LongType)
 
+  /** Strictly-positive µs literal — the only range where the truncating-DIV
+    * equivalences hold for every ns (including pre-epoch negatives).
+    */
+  private object PosUs {
+    def unapply(e: Expression): Option[Long] = e match {
+      // Upper guard: (us+1)*1000 must not overflow Long (year ~294k µs range).
+      case Literal(us: Long, TimestampType) if us > 0 && us < Long.MaxValue / 1000 - 1 => Some(us)
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, _) =>
       f.copy(condition = cond.transformUp {
-        case GreaterThanOrEqual(MicrosOfNanos(ns), Literal(us: Long, TimestampType)) =>
+        case GreaterThanOrEqual(MicrosOfNanos(ns), PosUs(us)) =>
           GreaterThanOrEqual(ns, nsLit(us))
-        case GreaterThan(MicrosOfNanos(ns), Literal(us: Long, TimestampType)) =>
+        case GreaterThan(MicrosOfNanos(ns), PosUs(us)) =>
           GreaterThanOrEqual(ns, nsLit(us + 1))
-        case LessThan(MicrosOfNanos(ns), Literal(us: Long, TimestampType)) =>
+        case LessThan(MicrosOfNanos(ns), PosUs(us)) =>
           LessThan(ns, nsLit(us))
-        case LessThanOrEqual(MicrosOfNanos(ns), Literal(us: Long, TimestampType)) =>
+        case LessThanOrEqual(MicrosOfNanos(ns), PosUs(us)) =>
           LessThan(ns, nsLit(us + 1))
-        case EqualTo(MicrosOfNanos(ns), Literal(us: Long, TimestampType)) =>
+        case EqualTo(MicrosOfNanos(ns), PosUs(us)) =>
           And(GreaterThanOrEqual(ns, nsLit(us)), LessThan(ns, nsLit(us + 1)))
         // Mirrored literal-on-the-left forms:
-        case LessThanOrEqual(Literal(us: Long, TimestampType), MicrosOfNanos(ns)) =>
+        case LessThanOrEqual(PosUs(us), MicrosOfNanos(ns)) =>
           GreaterThanOrEqual(ns, nsLit(us))
-        case LessThan(Literal(us: Long, TimestampType), MicrosOfNanos(ns)) =>
+        case LessThan(PosUs(us), MicrosOfNanos(ns)) =>
           GreaterThanOrEqual(ns, nsLit(us + 1))
-        case GreaterThan(Literal(us: Long, TimestampType), MicrosOfNanos(ns)) =>
+        case GreaterThan(PosUs(us), MicrosOfNanos(ns)) =>
           LessThan(ns, nsLit(us))
-        case GreaterThanOrEqual(Literal(us: Long, TimestampType), MicrosOfNanos(ns)) =>
+        case GreaterThanOrEqual(PosUs(us), MicrosOfNanos(ns)) =>
           LessThan(ns, nsLit(us + 1))
       })
   }

@@ -61,10 +61,19 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val fresh =
-          if (new java.io.File(sinkDir).exists())
-            batch.join(spark.read.parquet(sinkDir).select(keyCol), Seq(keyCol), "left_anti")
-          else batch
+        // Existence must be checked through the Hadoop FileSystem resolved
+        // from the path (java.io.File is always false on hdfs://, s3a://, …,
+        // which would silently skip the anti-join and re-append duplicates).
+        // An existing-but-empty dir (no parquet footers yet) is treated as
+        // "no existing keys" — spark.read.parquet would throw on it.
+        val existingKeys: Option[DataFrame] = {
+          val p = new org.apache.hadoop.fs.Path(sinkDir)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            scala.util.Try(spark.read.parquet(sinkDir).select(keyCol)).toOption
+          else None
+        }
+        val fresh = existingKeys.fold(batch.toDF())(k => batch.join(k, Seq(keyCol), "left_anti"))
         fresh.write.mode("append").parquet(sinkDir)
         ()
       }

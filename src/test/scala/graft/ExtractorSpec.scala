@@ -22,6 +22,28 @@ class ExtractorSpec extends SparkSpec {
     replicationMethod = ReplicationMethod.Incremental,
     iterateColumn = Some("event_id"), iterateColumnType = IterateType.IntCol)
 
+  test("datetime watermark stringify is UTC regardless of JVM default timezone") {
+    // Timestamp.toString renders in the JVM default zone; the fix renders the
+    // instant explicitly in UTC so the persisted watermark re-splices to the
+    // same instant on any host (the re-parse path uses the UTC session TZ).
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val r = ex.extract(spark, incrTs, lastPoint = None)
+      val wm = r.lastPoint.get
+      val inst = java.time.LocalDateTime.parse(wm.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      val parsedUs = inst.getEpochSecond * 1000000L + inst.getNano / 1000
+      val wantUs = Tables.t(spark, sf, "events")
+        .agg(unix_micros(max(col("ts")))).head().getLong(0)
+      assert(parsedUs == wantUs,
+        s"watermark '$wm' parsed as UTC gives $parsedUs µs, batch max is $wantUs µs")
+      // Round-trip: re-splicing the watermark must re-extract the boundary row.
+      val second = ex.extract(spark, incrTs, lastPoint = Some(wm))
+      assert(second.df.isDefined && second.df.get.count() >= 1)
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("full replication: overwrite, no watermark, all rows") {
     val r = ex.extract(spark, TableConfig("orders"))
     assert(r.writeMode == SaveMode.Overwrite)

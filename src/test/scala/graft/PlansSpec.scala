@@ -42,4 +42,21 @@ class PlansSpec extends SparkSpec {
     check("geq-mirror", blit <= col("ts"), _ >= boundary)
     check("lt-mirror", blit > col("ts"), _ < boundary)
   }
+
+  test("epoch/pre-epoch literals are not rewritten (negative-ns truncation trap)") {
+    // IntegralDivide truncates toward zero, so ns=-500 normalizes to µs=0:
+    // it must satisfy ts >= epoch. The old unguarded rewrite (ns >= 0) would
+    // drop it. The rule now only fires for strictly positive µs literals.
+    import spark.implicits._
+    graft.plans.PushdownNanosTimestamp.install(spark)
+    val df = Seq(-1500L, -500L, 0L, 500L, 1500L).toDF("ns")
+      .select(col("ns"), timestamp_micros(expr("ns DIV 1000")).as("ts"))
+    val epoch = lit(new Timestamp(0L)) // µs = 0 → not rewritten
+    assert(df.filter(col("ts") >= epoch).count() == 4,
+      "ns=-500 truncates to µs 0 and must satisfy ts >= epoch")
+    // A positive literal is still rewritten (plan shape proven on the parquet
+    // scan in the first test), and stays correct for negative ns.
+    val oneUs = new Timestamp(0L); oneUs.setNanos(1000)
+    assert(df.filter(col("ts") >= lit(oneUs)).count() == 1)
+  }
 }
