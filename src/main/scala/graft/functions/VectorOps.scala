@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector dot product over two numeric arrays, with real codegen.
+  *
+  * The HOF formulation `aggregate(zip_with(a, b, x*y), 0.0, acc+x)` evaluates
+  * interpreted — a lambda dispatch per element — which made the cosine math
+  * the hotspot of every similarity operator (dedup_near_embedding, sim_topk_*;
+  * the reference has no such surface, it ships SQL to ClickHouse —
+  * mkpipe_extractor_clickhouse/__init__.py:96-101). This expression compiles
+  * to one primitive `double` loop inside WholeStageCodegen: no lambda frames,
+  * no per-element boxing, no ArrayData allocation.
+  *
+  * Semantics match the HOF form exactly, including the left-fold accumulation
+  * order (bit-identical doubles): mismatched lengths or a null element yield
+  * NULL (zip_with pads with null → null product → null sum).
+  *
+  * Scale: O(dim) per row, partition-local, embarrassingly parallel — the
+  * right building block for brute-force re-rank inside LSH/IVF buckets.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires two numeric arrays, got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def getDouble(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case _ => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = l.asInstanceOf[ArrayData]
+    val y = r.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var s = 0.0d
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += getDouble(x, lt, i) * getDouble(y, rt, i)
+      i += 1
+    }
+    s
+  }
+
+  /** Java primitive accessor for the codegen'd loop. */
+  private def accessor(t: DataType): String = t match {
+    case FloatType => "getFloat"
+    case DoubleType => "getDouble"
+    case IntegerType => "getInt"
+    case LongType => "getLong"
+    case ShortType => "getShort"
+    case ByteType => "getByte"
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("sum")
+      val bad = ctx.freshName("nullElem")
+      val la = accessor(elemType(left))
+      val ra = accessor(elemType(right))
+      s"""
+         |final int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0d;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.isNullAt($i) || $y.isNullAt($i)) { $bad = true; break; }
+         |    $s += ((double) $x.$la($i)) * ((double) $y.$ra($i));
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $s; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorOps {
+
+  /** Register `graft_dot(a, b)` (same registry bridge as graft_minhash: the
+    * Column companion is private[sql] in Spark 4, so Expression → Column goes
+    * through a registered builder + `call_function`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot",
+        exprs => DotProduct(exprs(0), exprs(1)),
+        "built-in")
+
+  def dot(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_dot", a, b)
+  }
+
+  /** L2 norm via the same codegen'd loop: sqrt(a·a). */
+  def l2(spark: org.apache.spark.sql.SparkSession, a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dot(spark, a, a))
+}

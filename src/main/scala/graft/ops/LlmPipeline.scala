@@ -162,15 +162,22 @@ object LlmPipeline {
     val planes: IndexedSeq[Seq[Double]] =
       IndexedSeq.fill(NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
     val code = (0 until NumPlanes).map { h =>
-      when(dot(col("embedding"), typedlit(planes(h))) > 0, lit(1 << h)).otherwise(lit(0))
+      when(dot(spark, col("embedding"), typedlit(planes(h))) > 0, lit(1 << h)).otherwise(lit(0))
     }.reduce(_ bitwiseOR _)
-    val coded = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"), code.as("code"))
-    val a = coded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"), col("code"))
-    val b = coded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"), col("code"))
+    // Precompute each vector's norm once BEFORE the pair join: the per-pair
+    // stage then runs a single dot-product loop instead of three (norms would
+    // otherwise be recomputed for every pair a vector appears in).
+    val coded = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), code.as("code"),
+        l2(spark, col("embedding")).as("norm"))
+    val a = coded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"), col("code"))
+    val b = coded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"), col("code"))
     a.join(b, "code")
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        (dot(col("emb_a"), col("emb_b")) / (l2(col("emb_a")) * l2(col("emb_b")))).as("cosine"))
+        (dot(spark, col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
@@ -199,11 +206,15 @@ object LlmPipeline {
 
   // ---------------------------------------------------------------- similarity
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+  // Native codegen'd dot product ([[graft.functions.DotProduct]]): the HOF
+  // form (aggregate ∘ zip_with) evaluates interpreted per element and was the
+  // hotspot of every similarity operator. Same semantics, same left-fold
+  // accumulation order — bit-identical doubles.
+  private def dot(spark: SparkSession, a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot(spark, a, b)
 
-  private def l2(a: Column): Column = sqrt(dot(a, a))
+  private def l2(spark: SparkSession, a: Column): Column =
+    graft.functions.VectorOps.l2(spark, a)
 
   /** Brute-force cosine top-k against a probe vector (vec_id = 0): one scan,
     * per-row HOF dot product, TakeOrderedAndProject top-k — per-partition
@@ -217,7 +228,7 @@ object LlmPipeline {
     val p = typedlit(probe)
     emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        (dot(col("embedding"), p) / (l2(col("embedding")) * l2(p))).as("cosine"))
+        (dot(spark, col("embedding"), p) / (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(5)
   }
@@ -239,14 +250,14 @@ object LlmPipeline {
       .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
     val nearCells = centroids
-      .select(col("label"), (dot(col("centroid"), p) / (l2(col("centroid")) * l2(p))).as("ccos"))
+      .select(col("label"), (dot(spark, col("centroid"), p) / (l2(spark, col("centroid")) * l2(spark, p))).as("ccos"))
       .orderBy(col("ccos").desc, col("label"))
       .limit(nProbe)
       .select("label")
     emb.join(broadcast(nearCells), Seq("label"))
       .filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
-        (dot(col("embedding"), p) / (l2(col("embedding")) * l2(p))).as("cosine"))
+        (dot(spark, col("embedding"), p) / (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(5)
   }

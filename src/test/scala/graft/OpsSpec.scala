@@ -227,6 +227,34 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_token_count(text) FROM documents LIMIT 1").count() == 1)
   }
 
+  test("DotProduct codegen expression equals HOF fold and stays in codegen") {
+    import graft.functions.VectorOps
+    val emb = Tables.t(spark, sf, "embeddings")
+    // Semantics: bit-identical to the interpreted HOF left fold.
+    val hofDot = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val viaExpr = emb.select(col("vec_id"), VectorOps.dot(spark, col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    val viaHof = emb.select(col("vec_id"), hofDot.as("d"))
+      .orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+    assert(viaExpr == viaHof, "native dot diverges from HOF fold")
+    // Null semantics match zip_with padding: length mismatch → null.
+    import spark.implicits._
+    val mixed = Seq((Seq(1.0f, 2.0f), Seq(1.0f)), (Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)))
+      .toDF("a", "b")
+      .select(VectorOps.dot(spark, col("a"), col("b")).as("d")).collect()
+    assert(mixed(0).isNullAt(0), "length mismatch must yield null")
+    assert(mixed(1).getDouble(0) == 11.0)
+    // Whole-stage codegen: the Project keeps its "*(n)" star.
+    val plan = emb.select(VectorOps.dot(spark, col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // Callable from SQL too.
+    emb.createOrReplaceTempView("embeddings_v")
+    assert(spark.sql("SELECT graft_dot(embedding, embedding) FROM embeddings_v LIMIT 1").count() == 1)
+  }
+
   test("approx_percentile within tolerance of exact percentiles") {
     val approx = Relational.aggApproxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
