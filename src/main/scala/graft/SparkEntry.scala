@@ -146,8 +146,25 @@ object SparkEntry {
     "sql_tpch_q4" -> (Relational.sqlTpchQ4 _),
     "sql_tpch_q12" -> (Relational.sqlTpchQ12 _),
     "sql_tpch_q14" -> (Relational.sqlTpchQ14 _),
+    "sql_tpch_q10" -> (Relational.sqlTpchQ10 _),
+    "sql_tpch_q13" -> (Relational.sqlTpchQ13 _),
+    "sql_tpch_q15" -> (Relational.sqlTpchQ15 _),
+    "sql_tpch_q18" -> (Relational.sqlTpchQ18 _),
+    "sql_tpch_q19" -> (Relational.sqlTpchQ19 _),
+    "sql_tpch_q22" -> (Relational.sqlTpchQ22 _),
     "typed_event_stats" -> (Relational.typedEventStats _),
     "window_ntile" -> (Relational.windowNtile _),
+    "window_percent_rank" -> (Relational.windowPercentRank _),
+    "window_nth_lead" -> (Relational.windowNthLead _),
+    "agg_every_any" -> (Relational.aggEveryAny _),
+    "agg_bitwise" -> (Relational.aggBitwise _),
+    "agg_stddev_median" -> (Relational.aggStddevMedian _),
+    "agg_string_concat" -> (Relational.aggStringConcat _),
+    "generator_stack" -> (Relational.generatorStack _),
+    "generator_explode_outer" -> (Relational.generatorExplodeOuter _),
+    "sort_nulls_order" -> (Relational.sortNullsOrder _),
+    "scalar_bitwise" -> (Scalars.scalarBitwise _),
+    "scalar_datetime_extras" -> (Scalars.scalarDatetimeExtras _),
     "window_first_last" -> (Relational.windowFirstLast _),
     "window_range_frame" -> (Relational.windowRangeFrame _),
     // windows
@@ -265,6 +282,18 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt, CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_tpch_q14" ->
       """SELECT CAST(100.0 AS DOUBLE) * sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) ELSE 0 END) / sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS promo_revenue_pct, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "sql_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (SELECT c_custkey, count(o_orderkey) AS c_count FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "sql_tpch_q15" ->
+      """WITH revenue AS (SELECT l_suppkey AS supplier_no, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS total_bp FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_bp/10000.0 AS total_revenue FROM supplier JOIN revenue ON s_suppkey = supplier_no WHERE total_bp = (SELECT max(total_bp) FROM revenue) ORDER BY s_suppkey""",
+    "sql_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS total_qty FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 25000) GROUP BY c_custkey, o_orderkey, o_orderdate ORDER BY total_qty DESC, o_orderkey""",
+    "sql_tpch_q19" ->
+      """SELECT sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 30.0) OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 40.0) OR (p_type LIKE 'PROMO%' AND l_quantity >= 20.0)""",
+    "sql_tpch_q22" ->
+      """WITH pos AS (SELECT c_custkey, c_mktsegment, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c FROM customer WHERE c_acctbal > 0.0), tot AS (SELECT sum(bal_c) AS s, count(*) AS n FROM pos) SELECT c_mktsegment AS seg, count(*) AS numcust, sum(bal_c)/100.0 AS totacctbal FROM pos CROSS JOIN tot WHERE bal_c * n > s AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY c_mktsegment ORDER BY seg""",
     "typed_event_stats" ->
       """SELECT event_type, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events WHERE value > 50.0 GROUP BY event_type ORDER BY event_type""",
     "scalar_regex" ->
@@ -273,6 +302,32 @@ object SparkEntry {
       """SELECT o_orderkey, CASE WHEN o_totalprice >= 200000 THEN 'high' WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS tier, coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_alias, least(o_totalprice, CAST(150000.0 AS DOUBLE)) AS capped, greatest(o_totalprice, CAST(1000.0 AS DOUBLE)) AS floored FROM orders ORDER BY o_orderkey""",
     "scalar_casts" ->
       """SELECT event_id, CAST(event_id AS VARCHAR) AS id_str, CAST(trunc(value) AS INTEGER) AS value_int, concat(CAST(user_id AS VARCHAR), '#', event_type) AS composite, CAST(CAST(ts AS DATE) AS VARCHAR) AS day_str FROM events ORDER BY event_id""",
+    "scalar_array" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, embedding[1] AS first, sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS l2_norm FROM embeddings ORDER BY vec_id""",
+    "scalar_bitwise" ->
+      """SELECT event_id, event_id & 255 AS band, event_id | 4096 AS bor, xor(event_id, user_id) AS bxor, event_id << 2 AS shl, event_id >> 3 AS shr, CAST(bit_count(event_id) AS BIGINT) AS bits FROM events ORDER BY event_id""",
+    "scalar_datetime_extras" ->
+      """SELECT o_orderkey, CAST(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS VARCHAR) AS plus3m, CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end, CAST(quarter(o_orderdate) AS BIGINT) AS qtr, CAST(dayofyear(o_orderdate) AS BIGINT) AS doy, CAST(weekofyear(o_orderdate) AS BIGINT) AS woy FROM orders ORDER BY o_orderkey""",
+    "window_percent_rank" ->
+      """SELECT event_id, event_type, value, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id) ORDER BY event_id""",
+    "window_nth_lead" ->
+      """SELECT event_id, nth_value(value, 3) OVER w AS third, lead(value, 2, -1.0) OVER w2 AS lead2 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), w2 AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id""",
+    "agg_every_any" ->
+      """SELECT o_orderstatus, bool_and(o_totalprice > 1000.0) AS all_over_1k, bool_or(o_totalprice > 400000.0) AS any_over_400k, CAST(count(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT) AS n_over_200k FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_bitwise" ->
+      """SELECT event_type, bit_and(user_id) AS uand, bit_or(user_id) AS uor, bit_xor(user_id) AS uxor FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_stddev_median" ->
+      """SELECT o_orderstatus, floor(stddev_samp(o_totalprice)*100 + 0.5)/100.0 AS sd, median(o_totalprice) AS med FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_string_concat" ->
+      """SELECT c_mktsegment, count(*) AS cnt, string_agg(c_name, ',' ORDER BY c_name) AS names FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "generator_stack" ->
+      """SELECT * FROM (SELECT o_orderkey, 'price' AS metric, o_totalprice AS val FROM orders UNION ALL SELECT o_orderkey, 'cust' AS metric, CAST(o_custkey AS DOUBLE) AS val FROM orders) ORDER BY o_orderkey, metric""",
+    "generator_explode_outer" ->
+      """SELECT event_id, u.e FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN CAST([] AS BIGINT[]) ELSE [user_id, user_id+1] END AS arr FROM events) t LEFT JOIN LATERAL (SELECT unnest(arr) AS e) u ON true ORDER BY event_id, e NULLS FIRST""",
+    "sort_nulls_order" ->
+      """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders ORDER BY st ASC NULLS LAST, o_orderkey""",
+    "text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), tt AS (SELECT lang AS cand_lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2), top AS (SELECT cand_lang, term FROM (SELECT cand_lang, term, row_number() OVER (PARTITION BY cand_lang ORDER BY cnt DESC, term) AS rk FROM tt) WHERE rk <= 20), dtok AS (SELECT DISTINCT doc_id, term FROM tok), ov AS (SELECT dt.doc_id, tp.cand_lang, count(*) AS ovl FROM dtok dt JOIN top tp ON dt.term = tp.term GROUP BY 1, 2), fullgrid AS (SELECT d.doc_id, d.lang, c.cand_lang, coalesce(ov.ovl, 0) AS ovl FROM documents d CROSS JOIN (SELECT DISTINCT cand_lang FROM top) c LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.cand_lang = c.cand_lang) SELECT doc_id, lang, cand_lang AS pred_lang, CAST(ovl AS BIGINT) AS overlap FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ovl DESC, cand_lang) AS rk FROM fullgrid) WHERE rk = 1 ORDER BY doc_id""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt, floor((sum_qty/cnt)*100 + 0.5)/100.0 AS avg_qty FROM (SELECT l_returnflag, l_linestatus, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty, sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS sum_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus) ORDER BY l_returnflag, l_linestatus""",
     "agg_distinct_count" ->

@@ -25,6 +25,215 @@ object Relational {
 
   import Exact.{cents, bp}
 
+  /** TPC-H-Q10-style returned-item revenue per customer: 3-way fact join +
+    * broadcast nation dim, exact basis-point revenue, top-20 via
+    * TakeOrderedAndProject (per-partition heaps — no global sort at 100 TB).
+    */
+  def sqlTpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "nation").foreach(n =>
+      t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT c_custkey, c_name, n_name,
+        |       sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0D AS revenue,
+        |       count(*) AS cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** TPC-H-Q13-style order-count distribution: outer join with an ON-clause
+    * filter (priority excluded pre-join, not post-join — the semantic Q13
+    * exercises), double aggregation.
+    */
+  def sqlTpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
+  /** TPC-H-Q15-style top supplier: CTE revenue view + scalar max subquery,
+    * equality on exact integer revenue (safe cross-engine — no float compare).
+    */
+  def sqlTpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |         sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS total_bp
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_bp/10000.0D AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_bp = (SELECT max(total_bp) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** TPC-H-Q18-style large-volume orders: IN-subquery with HAVING (Catalyst
+    * decorrelates to a semi join), then re-aggregation over the joined fact.
+    */
+  def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem").foreach(n =>
+      t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT c_custkey, o_orderkey, unix_micros(o_orderdate) AS o_orderdate_us,
+        |       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0D AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 25000)
+        |GROUP BY c_custkey, o_orderkey, o_orderdate
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin)
+  }
+
+  /** TPC-H-Q19-style disjunctive filter over a fact-dim join: three OR'd
+    * brand/size/quantity arms — the optimizer keeps the join equi (p_partkey)
+    * and evaluates the disjunction as a post-join filter.
+    */
+  def sqlTpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "lineitem").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0D AS revenue,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0D AND 30.0D)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0D AND 40.0D)
+        |   OR (p_type LIKE 'PROMO%' AND l_quantity >= 20.0D)""".stripMargin)
+  }
+
+  /** TPC-H-Q22-style: scalar avg subquery (exact rational compare — cents ×
+    * count vs summed cents, no float threshold) + anti-join via NOT EXISTS.
+    * The fixture has no order-less customers, so the anti condition is
+    * "never placed an URGENT order".
+    */
+  def sqlTpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """WITH pos AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_acctbal > 0.0D),
+        |tot AS (SELECT sum(bal_c) AS s, count(*) AS n FROM pos)
+        |SELECT c_mktsegment AS seg, count(*) AS numcust, sum(bal_c)/100.0D AS totacctbal
+        |FROM pos CROSS JOIN tot
+        |WHERE bal_c * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY seg""".stripMargin)
+  }
+
+  /** percent_rank + cume_dist: rank-derived exact fractions ((rank-1)/(n-1),
+    * count≤/n) — bit-identical doubles across engines, no rounding needed.
+    */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+      .orderBy("event_id")
+  }
+
+  /** nth_value over an unbounded frame + lead with an explicit default —
+    * the remaining offset-function surface beyond lag/first/last.
+    */
+  def windowNthLead(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("ts"), col("event_id"))
+    val wFull = Window.partitionBy("user_id").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLead = Window.partitionBy("user_id").orderBy(order: _*)
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        nth_value(col("value"), 3).over(wFull).as("third"),
+        lead(col("value"), 2, -1.0d).over(wLead).as("lead2"))
+      .orderBy("event_id")
+  }
+
+  /** Boolean aggregates (every / any / count_if): per-group universally- and
+    * existentially-quantified predicates as partial+final aggregates.
+    */
+  def aggEveryAny(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+        bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+        count_if(col("o_totalprice") > 200000).as("n_over_200k"))
+      .orderBy("o_orderstatus")
+
+  /** Bitwise aggregates over group members (bit_and / bit_or / bit_xor). */
+  def aggBitwise(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(bit_and(col("user_id")).as("uand"),
+        bit_or(col("user_id")).as("uor"),
+        bit_xor(col("user_id")).as("uxor"))
+      .orderBy("event_type")
+
+  /** stddev_samp (rounded — one-pass moment math differs in the last ulp
+    * across engines) + median (percentile_cont(0.5): same two middle values,
+    * same interpolation op → bit-identical).
+    */
+  def aggStddevMedian(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(Exact.r2(stddev_samp(col("o_totalprice"))).as("sd"),
+        median(col("o_totalprice")).as("med"))
+      .orderBy("o_orderstatus")
+
+  /** Ordered string aggregation: collect_list is unordered by contract, so
+    * determinism comes from sort_array before the join — the same
+    * order-injection DuckDB's `string_agg(... ORDER BY)` does natively.
+    */
+  def aggStringConcat(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"),
+        concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
+      .orderBy("c_mktsegment")
+
+  /** stack() generator: relational unpivot of N measure columns into
+    * (metric, value) rows — one pass, no join, output is N× input rows.
+    */
+  def generatorStack(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .selectExpr("o_orderkey",
+        "stack(2, 'price', o_totalprice, 'cust', CAST(o_custkey AS DOUBLE)) AS (metric, val)")
+      .orderBy("o_orderkey", "metric")
+
+  /** explode_outer: generator that preserves rows whose array is empty (null
+    * output) — the outer-generate semantics explode drops.
+    */
+  def generatorExplodeOuter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        explode_outer(
+          when(col("event_type") === "error", array().cast("array<bigint>"))
+            .otherwise(array(col("user_id"), col("user_id") + 1))).as("e"))
+      .orderBy(col("event_id"), col("e").asc_nulls_first)
+
+  /** Explicit null-ordering sort: ASC NULLS LAST (Spark's default is NULLS
+    * FIRST, DuckDB's is NULLS LAST — the query pins it explicitly on both).
+    */
+  def sortNullsOrder(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderstatus") === "O", lit(null)).otherwise(col("o_orderstatus")).as("st"))
+      .orderBy(col("st").asc_nulls_last, col("o_orderkey"))
+
   /** Typed row for the Dataset[T] demo (object-level: encoder derivation
     * needs a stable, non-local class).
     */

@@ -85,15 +85,44 @@ object Scalars {
       .orderBy("event_id")
 
   /** Higher-order array functions over embeddings: size, element access, and
-    * an `aggregate`-built L2 norm — all codegen-friendly, no UDFs. Verified in
-    * scalatest (float HOFs have no stable DuckDB oracle).
+    * an `aggregate`-built L2 norm — all codegen-friendly, no UDFs. DuckDB
+    * oracle: list_sum(list_transform(...)) folds sequentially in double like
+    * Spark's `aggregate` (verified bit-identical over the fixture), so this
+    * IS oracle-checkable despite the float math.
     */
   def scalarArray(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"),
-        size(col("embedding")).as("dim"),
+        size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).as("first"),
         sqrt(aggregate(col("embedding"), lit(0.0d),
           (acc, x) => acc + x.cast("double") * x.cast("double"))).as("l2_norm"))
       .orderBy("vec_id")
+
+  /** Bitwise scalar surface: and/or/xor, shifts, popcount — all codegen'd
+    * integer ops that run at scan speed.
+    */
+  def scalarBitwise(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(255).as("band"),
+        col("event_id").bitwiseOR(4096).as("bor"),
+        col("event_id").bitwiseXOR(col("user_id")).as("bxor"),
+        shiftleft(col("event_id"), 2).as("shl"),
+        shiftright(col("event_id"), 3).as("shr"),
+        bit_count(col("event_id")).cast("long").as("bits"))
+      .orderBy("event_id")
+
+  /** Calendar arithmetic beyond scalar_date: month addition with end-of-month
+    * clamping, last_day, quarter/day-of-year/ISO-week extraction.
+    */
+  def scalarDatetimeExtras(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).cast("string").as("plus3m"),
+        last_day(col("o_orderdate")).cast("string").as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        weekofyear(col("o_orderdate")).cast("long").as("woy"))
+      .orderBy("o_orderkey")
 }

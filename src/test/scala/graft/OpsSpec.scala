@@ -28,7 +28,7 @@ class OpsSpec extends SparkSpec {
     val raw = Tables.t(spark, sf, "embeddings").orderBy("vec_id").limit(10).collect()
     rows.zip(raw).foreach { case (got, src) =>
       val emb = src.getSeq[Float](src.fieldIndex("embedding"))
-      assert(got.getInt(got.fieldIndex("dim")) == 64)
+      assert(got.getLong(got.fieldIndex("dim")) == 64L)
       assert(math.abs(got.getFloat(got.fieldIndex("first")) - emb.head) < 1e-6)
       val norm = math.sqrt(emb.map(x => x.toDouble * x.toDouble).sum)
       assert(math.abs(got.getDouble(got.fieldIndex("l2_norm")) - norm) < 1e-9)
