@@ -68,6 +68,66 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleLen: Int)
     copy(child = newChild)
 }
 
+/** Distinct word-shingle 64-bit hashes as `array<long>`, one JIT-compiled
+  * pass per row — the exact-Jaccard companion to [[MinHashSignature]] (same
+  * tokenization, same FNV-1a base hash, so a shingle collides across
+  * documents iff the text matches, modulo 64-bit hash collisions —
+  * negligible at any realistic shingle count, and cross-engine-stable).
+  *
+  * Motivation: the HOF shingle-set builder (transform ∘ slice ∘ concat_ws)
+  * evaluates interpreted per shingle, and shuffling long arrays beats
+  * shuffling the shingle strings themselves by ~an order of magnitude in
+  * bytes — at 100 TB the verify-stage join moves hash sets, never text.
+  */
+case class ShingleHashes(child: Expression, shingleLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(' ')
+    val nShingles = math.max(tokens.length - shingleLen + 1, 1)
+    val seen = new mutable.LinkedHashSet[Long]
+    var i = 0
+    while (i < nShingles) {
+      var h = 0xcbf29ce484222325L
+      var j = i
+      val end = math.min(i + shingleLen, tokens.length)
+      while (j < end) {
+        val t = tokens(j)
+        var k = 0
+        while (k < t.length) {
+          h = (h ^ t.charAt(k)) * 0x100000001b3L
+          k += 1
+        }
+        h = (h ^ ' ') * 0x100000001b3L
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def register(spark: org.apache.spark.sql.SparkSession, shingleLen: Int): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_shingle_hashes",
+        exprs => ShingleHashes(exprs.head, shingleLen),
+        "built-in")
+
+  def shingleHashes(spark: org.apache.spark.sql.SparkSession, text: Column,
+      shingleLen: Int): Column = {
+    register(spark, shingleLen)
+    org.apache.spark.sql.functions.call_function("graft_shingle_hashes", text)
+  }
+}
+
 object MinHashSignature {
   /** Deterministic affine-permutation parameters: odd multipliers (bijective
     * mod 2^64) and arbitrary offsets, from a fixed-seed generator.

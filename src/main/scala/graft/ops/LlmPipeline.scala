@@ -115,24 +115,19 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Distinct word-shingle set as a column (the HOF counterpart of the
-    * shingling inside [[graft.functions.MinHashSignature]]).
-    */
-  private def shingleSet(text: Column): Column = {
-    val tokens = split(text, " ")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(tokens) - ShingleLen, lit(0))),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(ShingleLen)))))
-  }
-
   /** Exact n-gram (word-shingle) Jaccard over the LSH candidate pairs: the
     * verify-stage of a production dedup — MinHash banding proposes, exact
-    * Jaccard disposes. Only candidate pairs ever join back to the texts, so
-    * document bodies are shuffled for ~candidates rows, not n².
+    * Jaccard disposes. Shingle sets travel as distinct 64-bit hashes
+    * ([[graft.functions.ShingleHashes]] — one codegen'd pass per doc, long
+    * arrays through the shuffle instead of shingle strings; Jaccard over
+    * the hash sets equals string-set Jaccard modulo 64-bit collisions).
+    * Only candidate pairs ever join back to the shingle sets, so document
+    * content is shuffled for ~candidates rows, not n².
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val (_, cands) = minhashCandidates(spark, dir)
-    val docs = t(spark, dir, "documents").select(col("doc_id"), shingleSet(col("text")).as("sh"))
+    val docs = t(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.ShingleHashes.shingleHashes(spark, col("text"), ShingleLen).as("sh"))
     val da = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val db = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     cands.join(da, "doc_a").join(db, "doc_b")
@@ -396,10 +391,13 @@ object LlmPipeline {
       .filter(col("rk") <= 20)
       .groupBy(col("lang").as("cand_lang"))
       .agg(collect_set(col("term")).as("cand_terms"))
-    val scored = docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("tokens"))
+    // Distinct token set computed ONCE per doc, before the ×|langs| cross
+    // join — inside the join it would be recomputed per candidate language.
+    val scored = docs.select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tokens"))
       .crossJoin(broadcast(topTerms))
       .select(col("doc_id"), col("lang"), col("cand_lang"),
-        size(array_intersect(array_distinct(col("tokens")), col("cand_terms"))).as("overlap"))
+        size(array_intersect(col("tokens"), col("cand_terms"))).as("overlap"))
     val best = Window.partitionBy("doc_id")
       .orderBy(col("overlap").desc, col("cand_lang"))
     scored.withColumn("rk", row_number().over(best))

@@ -82,20 +82,27 @@ object Relational {
         |ORDER BY s_suppkey""".stripMargin)
   }
 
-  /** TPC-H-Q18-style large-volume orders: IN-subquery with HAVING (Catalyst
-    * decorrelates to a semi join), then re-aggregation over the joined fact.
+  /** TPC-H-Q18-style large-volume orders. The textbook IN-subquery form makes
+    * Catalyst infer the semi join onto BOTH orders and lineitem (good
+    * filtering) but plan the identical HAVING-aggregate subtree twice — two
+    * full fact aggregations. The CTE-join form below is row-equivalent (the
+    * grouped key is unique, so the inner join can't duplicate) and computes
+    * the qualifying-order set once; its tiny result then broadcasts to both
+    * fact scans — one 600k-row aggregation instead of two, no fact shuffle.
     */
   def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame = {
     Seq("customer", "orders", "lineitem").foreach(n =>
       t(spark, dir, n).createOrReplaceTempView(n))
     spark.sql(
-      """SELECT c_custkey, o_orderkey, unix_micros(o_orderdate) AS o_orderdate_us,
-        |       sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0D AS total_qty
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE o_orderkey IN (
+      """WITH bigorders AS (
         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
         |  HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 25000)
+        |SELECT c_custkey, o_orderkey, unix_micros(o_orderdate) AS o_orderdate_us,
+        |       sum(CAST(floor(li.l_quantity*100 + 0.5) AS BIGINT))/100.0D AS total_qty
+        |FROM bigorders
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN lineitem li ON li.l_orderkey = o_orderkey
         |GROUP BY c_custkey, o_orderkey, o_orderdate
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin)
   }
