@@ -207,6 +207,10 @@ object SparkEntry {
     // multimodal plumbing
     "multimodal_fingerprint" -> (Multimodal.multimodalFingerprint _),
     "multimodal_decode" -> (Multimodal.decodeFeatures _),
+    "multimodal_kind_stats" -> (Multimodal.multimodalKindStats _),
+    "multimodal_decode_mixed" -> (Multimodal.decodeFeaturesMixed _),
+    "scalar_map" -> (Scalars.scalarMap _),
+    "agg_hll_sketch" -> (Relational.aggHllSketch _),
     // streaming (batch-equivalent event-time windows)
     "stream_tumbling" -> (StreamingOps.streamTumbling _),
     "stream_sliding" -> (StreamingOps.streamSliding _),
@@ -326,6 +330,10 @@ object SparkEntry {
       """SELECT event_id, u.e FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN CAST([] AS BIGINT[]) ELSE [user_id, user_id+1] END AS arr FROM events) t LEFT JOIN LATERAL (SELECT unnest(arr) AS e) u ON true ORDER BY event_id, e NULLS FIRST""",
     "sort_nulls_order" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders ORDER BY st ASC NULLS LAST, o_orderkey""",
+    "scalar_map" ->
+      """SELECT event_id, CAST(len(json_keys(props)) AS BIGINT) AS n_keys, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, json_extract(props, '$.k') IS NOT NULL AS has_k FROM events ORDER BY event_id""",
+    "multimodal_kind_stats" ->
+      """SELECT CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, CAST(max(strlen(text)) AS BIGINT) AS max_bytes, min(doc_id) AS first_asset FROM documents GROUP BY 1 ORDER BY 1""",
     "text_langid" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), tt AS (SELECT lang AS cand_lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2), top AS (SELECT cand_lang, term FROM (SELECT cand_lang, term, row_number() OVER (PARTITION BY cand_lang ORDER BY cnt DESC, term) AS rk FROM tt) WHERE rk <= 20), dtok AS (SELECT DISTINCT doc_id, term FROM tok), ov AS (SELECT dt.doc_id, tp.cand_lang, count(*) AS ovl FROM dtok dt JOIN top tp ON dt.term = tp.term GROUP BY 1, 2), fullgrid AS (SELECT d.doc_id, d.lang, c.cand_lang, coalesce(ov.ovl, 0) AS ovl FROM documents d CROSS JOIN (SELECT DISTINCT cand_lang FROM top) c LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.cand_lang = c.cand_lang) SELECT doc_id, lang, cand_lang AS pred_lang, CAST(ovl AS BIGINT) AS overlap FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ovl DESC, cand_lang) AS rk FROM fullgrid) WHERE rk = 1 ORDER BY doc_id""",
     "agg_pricing_summary" ->

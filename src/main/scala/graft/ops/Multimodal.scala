@@ -75,6 +75,84 @@ object Multimodal {
     }
   }
 
+  /** Mixed-kind media table: documents assigned a deterministic media kind
+    * (text/image/audio/video by doc_id mod 4) — the shape of a real media
+    * lake where one binary column carries heterogeneous payloads and `meta.
+    * kind` routes decoding.
+    */
+  def mediaTableMixed(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        element_at(typedlit(Seq("text", "image", "audio", "video")),
+          (col("doc_id") % 4).cast("int") + 1).as("kind"),
+        col("n_chars").as("declared_len")).as("meta"))
+
+  /** Per-kind corpus stats over the mixed media table — the "what's in the
+    * lake" rollup every media pipeline starts with. Byte length is a
+    * codegen'd expression on the binary column; the rollup is a partial+final
+    * hash aggregate (payload bytes never shuffle).
+    */
+  def multimodalKindStats(spark: SparkSession, dir: String): DataFrame =
+    mediaTableMixed(spark, dir)
+      .select(col("asset_id"), col("meta.kind").as("kind"),
+        length(col("media")).cast("long").as("byte_len"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("byte_len")).as("max_bytes"),
+        min(col("asset_id")).as("first_asset"))
+      .orderBy("kind")
+
+  /** STUB kind-dispatched decoders — each returns the feature tuple a real
+    * codec would (image: dims; audio: sample rate + duration; video: dims +
+    * frame count). Deterministic fakes; swap per kind at deployment.
+    */
+  def stubDecodeKind(kind: String, payload: Array[Byte]): (Int, Int, Double, Int) = {
+    // ??? real per-codec decoders go here; deterministic fakes keep tests stable.
+    val h = java.util.Arrays.hashCode(payload)
+    kind match {
+      case "image" => (math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1, 0.0, 1)
+      case "audio" => (0, 0, payload.length / 16000.0, 0)
+      case "video" => (math.floorMod(h, 1280) + 1, math.floorMod(h / 1280, 720) + 1,
+        payload.length / 1000.0, math.max(1, payload.length / 256))
+      case _ => (0, 0, 0.0, 0)
+    }
+  }
+
+  /** Kind-dispatched partition-local decode over the mixed table: one
+    * mapPartitions pass routes each asset to its stub codec by `meta.kind`.
+    * Nullable feature columns express "not applicable for this modality".
+    */
+  def decodeFeaturesMixed(spark: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("kind", StringType),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_s", DoubleType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    mediaTableMixed(spark, dir)
+      .select(col("asset_id"), col("meta.kind").as("kind"), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val payload = r.getAs[Array[Byte]](2)
+          val (w, h, d, f) = stubDecodeKind(kind, payload)
+          kind match {
+            case "image" => Row(id, kind, w, h, null, null)
+            case "audio" => Row(id, kind, null, null, d, null)
+            case "video" => Row(id, kind, w, h, d, f)
+            case _       => Row(id, kind, null, null, null, null)
+          }
+        }
+      }(enc)
+      .orderBy("asset_id")
+  }
+
   /** Partition-local batch "decode" via mapPartitions — the Scala analogue of
     * `mapInPandas`: one iterator per partition, media bytes never shuffled,
     * output is the small feature row. The pipeline per asset:

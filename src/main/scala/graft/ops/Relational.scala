@@ -212,6 +212,21 @@ object Relational {
         concat_ws(",", sort_array(collect_list(col("c_name")))).as("names"))
       .orderBy("c_mktsegment")
 
+  /** Datasketches HLL: the mergeable-sketch distinct-count path for 100 TB —
+    * per-partition sketches merge associatively (partial+final agg, constant
+    * memory per group), and persisted per-group sketches re-merge into
+    * coarser rollups without rescanning (hll_union_agg — proven in
+    * scalatest). Estimates are deterministic for fixed input; verified
+    * against exact counts with rsd tolerance in scalatest (no DuckDB oracle:
+    * different sketch implementation).
+    */
+  def aggHllSketch(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** stack() generator: relational unpivot of N measure columns into
     * (metric, value) rows — one pass, no join, output is N× input rows.
     */

@@ -113,6 +113,23 @@ object Scalars {
         bit_count(col("event_id")).cast("long").as("bits"))
       .orderBy("event_id")
 
+  /** Map-typed column surface: parse the JSON props into map<string,long>,
+    * then key inspection / lookup / concat — the dynamic-schema counterpart
+    * of scalar_json's fixed-path extraction.
+    */
+  def scalarMap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        element_at(col("m"), "k").as("k_val"),
+        map_contains_key(col("m"), "k").as("has_k"))
+      .orderBy("event_id")
+
   /** Calendar arithmetic beyond scalar_date: month addition with end-of-month
     * clamping, last_day, quarter/day-of-year/ISO-week extraction.
     */

@@ -255,6 +255,40 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_dot(embedding, embedding) FROM embeddings_v LIMIT 1").count() == 1)
   }
 
+  test("hll sketch: estimate within tolerance; per-group sketches merge to the global estimate") {
+    val events = Tables.t(spark, sf, "events")
+    val approx = Relational.aggHllSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = events.groupBy("event_type").agg(countDistinct(col("user_id")).as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact)
+      assert(math.abs(approx(k) - e) <= math.max(1.0, e * 0.05), s"$k: ${approx(k)} vs $e")
+    // Mergeability — the 100 TB property: persisted per-group sketches union
+    // into the global sketch without rescanning the fact.
+    val perGroup = events.groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = perGroup.agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head().getLong(0)
+    val global = events.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id")))).head().getLong(0)
+    assert(merged == global, s"merged $merged != direct global $global")
+  }
+
+  test("mixed-kind media: kind dispatch routes decoders; features match per-kind stubs") {
+    val feats = Multimodal.decodeFeaturesMixed(spark, sf).collect()
+    assert(feats.length == Tables.t(spark, sf, "documents").count())
+    for (r <- feats.take(40)) {
+      val kind = r.getString(1)
+      kind match {
+        case "text"  => assert(r.isNullAt(2) && r.isNullAt(4) && r.isNullAt(5))
+        case "image" => assert(!r.isNullAt(2) && !r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+        case "audio" => assert(r.isNullAt(2) && !r.isNullAt(4) && r.isNullAt(5))
+        case "video" => assert(!r.isNullAt(2) && !r.isNullAt(4) && !r.isNullAt(5))
+      }
+      assert(r.getLong(0) % 4 == Seq("text", "image", "audio", "video").indexOf(kind))
+    }
+    // Kind stats reconcile with the mixed table itself.
+    val stats = Multimodal.multimodalKindStats(spark, sf).collect()
+    assert(stats.map(_.getLong(1)).sum == feats.length)
+  }
+
   test("approx_percentile within tolerance of exact percentiles") {
     val approx = Relational.aggApproxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
