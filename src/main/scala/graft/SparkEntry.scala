@@ -207,6 +207,8 @@ object SparkEntry {
     // multimodal plumbing
     "multimodal_fingerprint" -> (Multimodal.multimodalFingerprint _),
     "multimodal_decode" -> (Multimodal.decodeFeatures _),
+    "scan_csv_roundtrip" -> (graft.sources.FileFormats.scanCsvRoundtrip _),
+    "scan_json_roundtrip" -> (graft.sources.FileFormats.scanJsonRoundtrip _),
     "multimodal_kind_stats" -> (Multimodal.multimodalKindStats _),
     "multimodal_decode_mixed" -> (Multimodal.decodeFeaturesMixed _),
     "scalar_map" -> (Scalars.scalarMap _),
@@ -332,6 +334,10 @@ object SparkEntry {
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders ORDER BY st ASC NULLS LAST, o_orderkey""",
     "scalar_map" ->
       """SELECT event_id, CAST(len(json_keys(props)) AS BIGINT) AS n_keys, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, json_extract(props, '$.k') IS NOT NULL AS has_k FROM events ORDER BY event_id""",
+    "scan_csv_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "scan_json_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "multimodal_kind_stats" ->
       """SELECT CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, CAST(max(strlen(text)) AS BIGINT) AS max_bytes, min(doc_id) AS first_asset FROM documents GROUP BY 1 ORDER BY 1""",
     "text_langid" ->

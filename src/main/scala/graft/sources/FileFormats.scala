@@ -1,0 +1,45 @@
+package graft.sources
+
+import graft.Tables.t
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source-format surface beyond Parquet: CSV and JSON lines, exercised as
+  * lossless round-trips of the events projection (write → schema-explicit
+  * read back). The reference reads exactly one source (the ClickHouse
+  * connector, mkpipe_extractor_clickhouse/__init__.py:35-43); a Spark engine
+  * gets every DataSource format through the same `spark.read`/`write` API —
+  * these queries prove the two text formats preserve values exactly.
+  *
+  * Determinism notes: Spark renders doubles with the shortest round-tripping
+  * decimal repr, so double → text → double is bit-exact; timestamps travel
+  * as epoch-micros longs (text timestamp parsing is the classic lossy step —
+  * sidestepped by design, same convention as the oracle compares). Schema is
+  * passed explicitly on read-back: schema inference over text at 100 TB is
+  * an extra full scan AND can widen types — never infer in production paths.
+  */
+object FileFormats {
+
+  private def eventsProjection(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+
+  private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
+    val base = eventsProjection(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
+    val writer = base.write.mode("overwrite")
+    (if (format == "csv") writer.option("header", "true") else writer).format(format).save(out)
+    val reader = spark.read.schema(base.schema)
+    (if (format == "csv") reader.option("header", "true") else reader).format(format).load(out)
+      .orderBy("event_id")
+  }
+
+  /** events → CSV (header) → read back with explicit schema. */
+  def scanCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "csv")
+
+  /** events → JSON lines → read back with explicit schema. */
+  def scanJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "json")
+}

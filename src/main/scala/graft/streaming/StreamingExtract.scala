@@ -81,6 +81,21 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming dedup within the watermark horizon: the stateful, streaming
+    * counterpart of [[dedupAppendSink]]'s anti-join — re-delivered rows (the
+    * reference's inclusive-watermark boundary re-read, __init__.py:89) are
+    * dropped by keyed state instead of a sink rescan. State is bounded: keys
+    * older than the watermark are evicted, so memory is O(keys per horizon),
+    * not O(sink) — the property that makes it viable at 100 TB.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      lateness: String): DataFrame =
+    events.withWatermark(eventTimeCol, lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Session record emitted by the stateful sessionizer. */
   final case class SessionOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
 

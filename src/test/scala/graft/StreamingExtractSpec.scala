@@ -41,6 +41,30 @@ class StreamingExtractSpec extends SparkSpec {
     assert(ids.toSeq == (0L until 15L).toSeq, s"got ${ids.toSeq}")
   }
 
+  test("dropDuplicatesWithinWatermark collapses re-delivered rows via bounded keyed state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = mem.toDF().toDF("event_id", "ts")
+    val q = StreamingExtract.dedupWithinWatermark(df, Seq("event_id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("ddw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1 already contains an in-batch duplicate (the reference's
+      // boundary row arrives twice, __init__.py:89).
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 01:01:00")))
+      q.processAllAvailable()
+      // Batch 2 re-delivers key 1 within the watermark horizon → dropped.
+      mem.addData((1L, Timestamp.valueOf("2024-01-01 01:02:00")),
+        (3L, Timestamp.valueOf("2024-01-01 01:03:00")))
+      q.processAllAvailable()
+      val got = spark.table("ddw_out").collect()
+        .map(_.getLong(0)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupAppendSink drops re-delivered boundary rows (at-least-once → effectively-once)") {
     val src = java.nio.file.Files.createTempDirectory("graft-dsrc").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-dsink").toString + "/out"
