@@ -146,6 +146,9 @@ object SparkEntry {
     "sql_tpch_q4" -> (Relational.sqlTpchQ4 _),
     "sql_tpch_q12" -> (Relational.sqlTpchQ12 _),
     "sql_tpch_q14" -> (Relational.sqlTpchQ14 _),
+    "sql_tpch_q1" -> (Relational.sqlTpchQ1 _),
+    "sql_tpch_q5" -> (Relational.sqlTpchQ5 _),
+    "sql_tpch_q7" -> (Relational.sqlTpchQ7 _),
     "sql_tpch_q10" -> (Relational.sqlTpchQ10 _),
     "sql_tpch_q13" -> (Relational.sqlTpchQ13 _),
     "sql_tpch_q15" -> (Relational.sqlTpchQ15 _),
@@ -288,6 +291,12 @@ object SparkEntry {
       """SELECT l_returnflag, CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt, CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_tpch_q14" ->
       """SELECT CAST(100.0 AS DOUBLE) * sum(CASE WHEN p_type = 'PROMO' THEN CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) ELSE 0 END) / sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)) AS promo_revenue_pct, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty, sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS sum_disc_price, sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*10000 + 0.5) AS BIGINT))/10000.0 AS sum_charge, floor(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/count(*)/100.0*100 + 0.5)/100.0 AS avg_qty, floor(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/count(*)/100.0*100 + 0.5)/100.0 AS avg_price, floor(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT))/count(*)/10000.0*10000 + 0.5)/10000.0 AS avg_disc, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "sql_tpch_q5" ->
+      """SELECT n_name, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year, sum(v)/10000.0 AS revenue, count(*) AS cnt FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) AS v FROM supplier JOIN lineitem ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year""",
     "sql_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "sql_tpch_q13" ->

@@ -25,6 +25,75 @@ object Relational {
 
   import Exact.{cents, bp}
 
+  /** TPC-H Q1 at full fidelity (all eight aggregates incl. the two-factor
+    * charge): one scan → partial+final hash aggregate over 6 groups; every
+    * sum is exact integer cents/bp, averages derive from the exact sums with
+    * an identical op sequence on the oracle side.
+    */
+  def sqlTpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0D AS sum_qty,
+        | sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0D AS sum_base_price,
+        | sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0D AS sum_disc_price,
+        | sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*10000 + 0.5) AS BIGINT))/10000.0D AS sum_charge,
+        | floor(sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/count(*)/100.0D*100 + 0.5)/100.0D AS avg_qty,
+        | floor(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/count(*)/100.0D*100 + 0.5)/100.0D AS avg_price,
+        | floor(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT))/count(*)/10000.0D*10000 + 0.5)/10000.0D AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H-Q5-style local-supplier revenue per nation: the 6-table star with
+    * the co-nationality residual (c_nationkey = s_nationkey) riding the
+    * supplier equi join; region/nation dims broadcast.
+    */
+  def sqlTpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT n_name,
+        |       sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0D AS revenue,
+        |       count(*) AS cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** TPC-H-Q7-style two-nation shipping volume: the same dimension table
+    * (nation) joined twice under different aliases with a symmetric
+    * disjunctive pair filter, per-year rollup.
+    */
+  def sqlTpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year, sum(v)/10000.0D AS revenue, count(*) AS cnt
+        |FROM (
+        | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |        CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) AS v
+        | FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        | JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        | WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   /** TPC-H-Q10-style returned-item revenue per customer: 3-way fact join +
     * broadcast nation dim, exact basis-point revenue, top-20 via
     * TakeOrderedAndProject (per-partition heaps — no global sort at 100 TB).
