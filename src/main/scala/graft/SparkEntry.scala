@@ -341,6 +341,8 @@ object SparkEntry {
       """SELECT event_id, u.e FROM (SELECT event_id, CASE WHEN event_type = 'error' THEN CAST([] AS BIGINT[]) ELSE [user_id, user_id+1] END AS arr FROM events) t LEFT JOIN LATERAL (SELECT unnest(arr) AS e) u ON true ORDER BY event_id, e NULLS FIRST""",
     "sort_nulls_order" ->
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders ORDER BY st ASC NULLS LAST, o_orderkey""",
+    "udaf_stable_mean" ->
+      """SELECT event_type, floor(avg(value)*10000 + 0.5)/10000.0 AS mean_value FROM events GROUP BY event_type ORDER BY event_type""",
     "scalar_map" ->
       """SELECT event_id, CAST(len(json_keys(props)) AS BIGINT) AS n_keys, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, json_extract(props, '$.k') IS NOT NULL AS has_k FROM events ORDER BY event_id""",
     "scan_csv_roundtrip" ->

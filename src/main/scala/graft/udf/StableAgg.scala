@@ -39,12 +39,16 @@ object StableMean extends Aggregator[Double, KahanBuf, Double] {
 }
 
 object StableAgg {
-  /** Per-event-type stable mean of `value`, via functions.udaf registration. */
+  /** Per-event-type stable mean of `value`, via functions.udaf registration.
+    * Rounded with the cross-engine floor trick (graft.ops.Exact — never
+    * Spark/DuckDB round()): the Kahan result sits within ~1e-13 of DuckDB's
+    * avg, so at 4 decimals the two agree and the query is oracle-checkable.
+    */
   def udafStableMean(spark: SparkSession, dir: String): DataFrame = {
     val stableMean = udaf(StableMean)
     t(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(round(stableMean(col("value")), 2).as("mean_value"))
+      .agg(graft.ops.Exact.r4(stableMean(col("value"))).as("mean_value"))
       .orderBy("event_type")
   }
 
