@@ -164,6 +164,8 @@ object SparkEntry {
     "agg_stddev_median" -> (Relational.aggStddevMedian _),
     "agg_string_concat" -> (Relational.aggStringConcat _),
     "generator_stack" -> (Relational.generatorStack _),
+    "agg_histogram" -> (Relational.aggHistogram _),
+    "join_lateral_topn" -> (Relational.joinLateralTopn _),
     "generator_explode_outer" -> (Relational.generatorExplodeOuter _),
     "sort_nulls_order" -> (Relational.sortNullsOrder _),
     "scalar_bitwise" -> (Scalars.scalarBitwise _),
@@ -343,6 +345,10 @@ object SparkEntry {
       """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders ORDER BY st ASC NULLS LAST, o_orderkey""",
     "udaf_stable_mean" ->
       """SELECT event_type, floor(avg(value)*10000 + 0.5)/10000.0 AS mean_value FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice/50000.0) AS BIGINT) AS bucket, count(*) AS cnt, sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS total FROM orders GROUP BY bucket ORDER BY bucket""",
+    "join_lateral_topn" ->
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ORDER BY c_custkey, t.o_orderkey""",
     "scalar_map" ->
       """SELECT event_id, CAST(len(json_keys(props)) AS BIGINT) AS n_keys, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, json_extract(props, '$.k') IS NOT NULL AS has_k FROM events ORDER BY event_id""",
     "scan_csv_roundtrip" ->

@@ -296,6 +296,34 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Fixed-width histogram: bucket key = floor(x/width) — portable arithmetic
+    * instead of width_bucket (not in every engine), one hash aggregate.
+    */
+  def aggHistogram(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT CAST(floor(o_totalprice/50000.0D) AS BIGINT) AS bucket,
+        |       count(*) AS cnt,
+        |       sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0D AS total
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  /** Correlated LATERAL subquery with per-row ORDER BY + LIMIT — top-N-per-
+    * group expressed as a lateral join (the planner decorrelates it; the
+    * window row_number form is `window_rank_topn`, this is the SQL-standard
+    * alternative).
+    */
+  def joinLateralTopn(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c_custkey, t.o_orderkey""".stripMargin)
+  }
+
   /** stack() generator: relational unpivot of N measure columns into
     * (metric, value) rows — one pass, no join, output is N× input rows.
     */
