@@ -213,6 +213,7 @@ object SparkEntry {
     "multimodal_fingerprint" -> (Multimodal.multimodalFingerprint _),
     "multimodal_decode" -> (Multimodal.decodeFeatures _),
     "scan_csv_roundtrip" -> (graft.sources.FileFormats.scanCsvRoundtrip _),
+    "sink_partitioned_prune" -> (graft.sources.FileFormats.sinkPartitionedPrune _),
     "scan_json_roundtrip" -> (graft.sources.FileFormats.scanJsonRoundtrip _),
     "multimodal_kind_stats" -> (Multimodal.multimodalKindStats _),
     "multimodal_decode_mixed" -> (Multimodal.decodeFeaturesMixed _),
@@ -353,6 +354,8 @@ object SparkEntry {
       """SELECT event_id, CAST(len(json_keys(props)) AS BIGINT) AS n_keys, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val, json_extract(props, '$.k') IS NOT NULL AS has_k FROM events ORDER BY event_id""",
     "scan_csv_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "sink_partitioned_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
     "scan_json_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "multimodal_kind_stats" ->

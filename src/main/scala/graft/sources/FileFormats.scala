@@ -42,4 +42,31 @@ object FileFormats {
   /** events → JSON lines → read back with explicit schema. */
   def scanJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, "json")
+
+  /** Hive-style partitioned parquet sink + pruned read-back: orders written
+    * `partitionBy(o_orderstatus)`, then a status filter on the read side
+    * prunes to one directory — the scan's PartitionFilters carry the
+    * predicate and untouched partitions are never listed or read. At 100 TB
+    * partition layout is the first knob: a pruned scan is O(selected
+    * partitions) regardless of table size. (`PlanShapeSpec` pins the
+    * PartitionFilters plan shape; a second assertion there shows dynamic
+    * partition pruning when the filter arrives via a joined dim.)
+    */
+  def sinkPartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = partitionedOrders(spark, dir)
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Write (once per session+dir) orders partitioned by status; returns path. */
+  private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[graft] def partitionedOrders(spark: SparkSession, dir: String): String =
+    partCache.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+      t(spark, dir, "orders")
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      out
+    })
 }

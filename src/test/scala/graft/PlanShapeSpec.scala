@@ -39,6 +39,31 @@ class PlanShapeSpec extends SparkSpec {
       s"bounds not pushed:\n$p")
   }
 
+  test("partitioned sink read-back prunes partitions statically") {
+    val p = plan("sink_partitioned_prune")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      s"no partition filter in scan:\n$p")
+    // The data filter must ride PartitionFilters, not PushedFilters — it
+    // eliminates whole directories before any footer is read.
+    val scanLine = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(scanLine.contains("o_orderstatus"), scanLine)
+  }
+
+  test("dynamic partition pruning fires when the filter arrives via a joined dim") {
+    import spark.implicits._
+    val out = graft.sources.FileFormats.partitionedOrders(spark, sf)
+    val fact = spark.read.parquet(out)
+    // The dim must be a real scan with a Filter node — a LocalRelation dim is
+    // constant-folded, leaving no selective predicate for the DPP rule to see.
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("F", "final"), ("X", "never")).toDF("st", "label")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter($"label" === "final")
+    val q = fact.join(dim, fact("o_orderstatus") === dim("st")).groupBy("label").count()
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"), s"DPP missing:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
