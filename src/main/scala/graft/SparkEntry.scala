@@ -165,6 +165,8 @@ object SparkEntry {
     "agg_string_concat" -> (Relational.aggStringConcat _),
     "generator_stack" -> (Relational.generatorStack _),
     "agg_histogram" -> (Relational.aggHistogram _),
+    "join_asof_union" -> (Relational.joinAsofUnion _),
+    "text_heavy_hitters" -> (LlmPipeline.textHeavyHitters _),
     "join_lateral_topn" -> (Relational.joinLateralTopn _),
     "generator_explode_outer" -> (Relational.generatorExplodeOuter _),
     "sort_nulls_order" -> (Relational.sortNullsOrder _),
@@ -348,6 +350,8 @@ object SparkEntry {
       """SELECT event_type, floor(avg(value)*10000 + 0.5)/10000.0 AS mean_value FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice/50000.0) AS BIGINT) AS bucket, count(*) AS cnt, sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS total FROM orders GROUP BY bucket ORDER BY bucket""",
+    "join_asof_union" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, last_click_us FROM (SELECT event_id, user_id, ts, event_type, last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us FROM events WHERE event_type IN ('click', 'purchase')) WHERE event_type = 'purchase' ORDER BY event_id""",
     "join_lateral_topn" ->
       """SELECT c_custkey, t.o_orderkey, t.o_totalprice FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ORDER BY c_custkey, t.o_orderkey""",
     "scalar_map" ->

@@ -376,6 +376,27 @@ object LlmPipeline {
         graft.functions.TokenCount.tokenCount(spark, col("text")).as("ws_tokens"))
       .orderBy("doc_id")
 
+  /** Count-min-sketch heavy hitters: estimated frequencies of the corpus's
+    * top terms from a fixed-seed CMS built distributedly (treeAggregate merge
+    * of per-partition sketches — the constant-memory frequency path at
+    * 100 TB, where an exact term count shuffles the full vocabulary).
+    * Estimates are upper bounds within eps·N w.h.p.; scalatest pins the
+    * tolerance against exact counts.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val terms = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cms = terms.stat.countMinSketch("term", eps = 0.0001, confidence = 0.99, seed = 42)
+    // Report the sketch estimate for the exact top-10 terms (the candidate
+    // set would come from a cheap sample or prior vocabulary in production).
+    val top = terms.groupBy("term").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("term")).limit(10).collect()
+    import spark.implicits._
+    top.map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+      .toSeq.toDF("term", "exact", "cms_estimate")
+      .orderBy("term")
+  }
+
   /** N-gram-frequency language ID heuristic: score each candidate language by
     * overlap between the doc's tokens and that language's top terms (learned
     * from the corpus itself — per-lang top-20 terms), pick argmax. Entirely

@@ -296,6 +296,27 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** As-of join via the union + last_value(IGNORE NULLS) pattern: each
+    * 'purchase' matched to the latest prior 'click' of the same user. THE
+    * scalable as-of formulation — both sides union into one stream, one
+    * shuffle on the key, a running last over the merged order; no range
+    * join, no per-row probe, state is one value per key. (The windowed
+    * self-join form is `join_asof_latest`; a naive as-of as a theta join is
+    * O(n·m) per key and dies at 100 TB.)
+    */
+  def joinAsofUnion(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", unix_micros(col("ts"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("last_click_us"))
+      .orderBy("event_id")
+  }
+
   /** Fixed-width histogram: bucket key = floor(x/width) — portable arithmetic
     * instead of width_bucket (not in every engine), one hash aggregate.
     */

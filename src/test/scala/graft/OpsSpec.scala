@@ -289,6 +289,19 @@ class OpsSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum == feats.length)
   }
 
+  test("count-min sketch estimates bound exact counts within eps·N") {
+    val rows = LlmPipeline.textHeavyHitters(spark, sf).collect()
+    assert(rows.length == 10)
+    val n = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " "))).count()
+    for (r <- rows) {
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never underestimate: ${r.getString(0)} $est < $exact")
+      assert(est - exact <= math.max(1L, (n * 0.0001).toLong * 10),
+        s"${r.getString(0)}: est $est too far above exact $exact")
+    }
+  }
+
   test("approx_percentile within tolerance of exact percentiles") {
     val approx = Relational.aggApproxPercentiles(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

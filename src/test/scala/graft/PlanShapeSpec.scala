@@ -64,6 +64,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toLowerCase.contains("dynamicpruning"), s"DPP missing:\n$p")
   }
 
+  test("rank-top-N triggers WindowGroupLimit (per-group heap before the full window sort)") {
+    // Spark ≥3.5 rewrites Filter(rank<=k, Window(row_number)) into a group
+    // limit that keeps k rows per key on the map side — the property that
+    // makes window top-N viable on a 100 TB fact. Pin it so a regression
+    // (e.g. a filter shape the rule stops recognizing) surfaces here.
+    val p = plan("window_rank_topn")
+    assert(p.contains("WindowGroupLimit"), s"WindowGroupLimit missing:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
