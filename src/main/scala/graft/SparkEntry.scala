@@ -149,6 +149,8 @@ object SparkEntry {
     "sql_tpch_q1" -> (Relational.sqlTpchQ1 _),
     "sql_tpch_q5" -> (Relational.sqlTpchQ5 _),
     "sql_tpch_q7" -> (Relational.sqlTpchQ7 _),
+    "sql_tpch_q8" -> (Relational.sqlTpchQ8 _),
+    "sql_tpch_q17" -> (Relational.sqlTpchQ17 _),
     "sql_tpch_q10" -> (Relational.sqlTpchQ10 _),
     "sql_tpch_q13" -> (Relational.sqlTpchQ13 _),
     "sql_tpch_q15" -> (Relational.sqlTpchQ15 _),
@@ -302,6 +304,10 @@ object SparkEntry {
       """SELECT n_name, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "sql_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year, sum(v)/10000.0 AS revenue, count(*) AS cnt FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) AS v FROM supplier JOIN lineitem ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) GROUP BY supp_nation, cust_nation, l_year ORDER BY supp_nation, cust_nation, l_year""",
+    "sql_tpch_q8" ->
+      """WITH vol AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) AS v, n2.n_name AS supp_nation FROM lineitem JOIN part ON p_partkey = l_partkey JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN supplier ON s_suppkey = l_suppkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE r_name = 'ASIA' AND p_type = 'PROMO') SELECT o_year, CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN v ELSE 0 END) AS DOUBLE) / sum(v) AS mkt_share, count(*) AS cnt FROM vol GROUP BY o_year ORDER BY o_year""",
+    "sql_tpch_q17" ->
+      """WITH pagg AS (SELECT l_partkey AS pk, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qc, count(*) AS cnt FROM lineitem GROUP BY l_partkey) SELECT sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0/7.0 AS avg_yearly, count(*) AS cnt FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pagg ON pk = l_partkey WHERE p_brand = 'Brand#11' AND CAST(floor(l_quantity*100 + 0.5) AS BIGINT) * 5 * cnt < sum_qc""",
     "sql_tpch_q10" ->
       """SELECT c_custkey, c_name, n_name, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R' GROUP BY c_custkey, c_name, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "sql_tpch_q13" ->

@@ -94,6 +94,54 @@ object Relational {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
+  /** TPC-H-Q8-style market share: two-level star (customer nation filters
+    * the region, supplier nation is the measured share), per-year ratio of
+    * conditional exact sums — the one double division is bit-identical.
+    */
+  def sqlTpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region", "part")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """WITH vol AS (
+        | SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |        CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) AS v,
+        |        n2.n_name AS supp_nation
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN customer ON c_custkey = o_custkey
+        | JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        | JOIN region ON n1.n_regionkey = r_regionkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        | WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+        |SELECT o_year,
+        |       CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN v ELSE 0L END) AS DOUBLE) / sum(v) AS mkt_share,
+        |       count(*) AS cnt
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  /** TPC-H-Q17-style small-quantity revenue: the correlated
+    * `l_quantity < 0.2·avg(l_quantity per part)` rewritten as an exact
+    * integer-rational comparison (qty_c·5·cnt < sum_c — no float threshold)
+    * against a pre-aggregated per-part CTE joined back (the computed-once
+    * form, same lesson as Q18).
+    */
+  def sqlTpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part").foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """WITH pagg AS (
+        |  SELECT l_partkey AS pk,
+        |         sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS sum_qc,
+        |         count(*) AS cnt
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0D/7.0D AS avg_yearly,
+        |       count(*) AS cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN pagg ON pk = l_partkey
+        |WHERE p_brand = 'Brand#11'
+        |  AND CAST(floor(l_quantity*100 + 0.5) AS BIGINT) * 5 * cnt < sum_qc""".stripMargin)
+  }
+
   /** TPC-H-Q10-style returned-item revenue per customer: 3-way fact join +
     * broadcast nation dim, exact basis-point revenue, top-20 via
     * TakeOrderedAndProject (per-partition heaps — no global sort at 100 TB).
