@@ -73,6 +73,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"WindowGroupLimit missing:\n$p")
   }
 
+  test("runtime bloom-filter pruning injects on a selective shuffle join") {
+    // When the dim side of a shuffle join is selective, Spark 4 can inject a
+    // bloom filter built from the dim keys into the fact scan — rows that
+    // can't join are dropped before the shuffle. At 100 TB this is the
+    // difference between shuffling the full fact and shuffling the matching
+    // slice. Thresholds are sized for real tables; pin the behavior with
+    // fixture-scale overrides.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.t(spark, sf, "lineitem")
+      val ord = Tables.t(spark, sf, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.toLowerCase.contains("bloomfilter"),
+        s"bloom runtime filter missing:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
