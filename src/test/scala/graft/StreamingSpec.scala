@@ -72,6 +72,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("update output mode emits only the aggregate rows changed by each batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val q = mem.toDF().toDF("ts", "event_type")
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .writeStream.format("memory").queryName("upd_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 01:01:00"), "view"))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 01:02:00"), "click"))
+      q.processAllAvailable()
+      // The memory sink accumulates each batch's UPDATED rows: batch 1 emits
+      // click:1 + view:1, batch 2 re-emits only click:2 — view is unchanged
+      // and must not reappear (the delta contract downstream upsert sinks
+      // rely on; Complete mode would rewrite everything, Append would wait
+      // for finalization).
+      val rows = spark.table("upd_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows.sorted == Seq(("click", 1L), ("click", 2L), ("view", 1L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("session_window gap is inclusive: merge at exactly +gap, split strictly after") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
