@@ -162,6 +162,7 @@ object SparkEntry {
     "window_percent_rank" -> (Relational.windowPercentRank _),
     "window_nth_lead" -> (Relational.windowNthLead _),
     "agg_every_any" -> (Relational.aggEveryAny _),
+    "agg_grouping_id" -> (Relational.aggGroupingId _),
     "agg_bitwise" -> (Relational.aggBitwise _),
     "agg_stddev_median" -> (Relational.aggStddevMedian _),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -340,6 +341,8 @@ object SparkEntry {
       """SELECT event_id, nth_value(value, 3) OVER w AS third, lead(value, 2, -1.0) OVER w2 AS lead2 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), w2 AS (PARTITION BY user_id ORDER BY ts, event_id) ORDER BY event_id""",
     "agg_every_any" ->
       """SELECT o_orderstatus, bool_and(o_totalprice > 1000.0) AS all_over_1k, bool_or(o_totalprice > 400000.0) AS any_over_400k, CAST(count(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT) AS n_over_200k FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "agg_grouping_id" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
     "agg_bitwise" ->
       """SELECT event_type, bit_and(user_id) AS uand, bit_or(user_id) AS uor, bit_xor(user_id) AS uxor FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_stddev_median" ->

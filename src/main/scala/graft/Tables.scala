@@ -24,8 +24,12 @@ object Tables {
   // repeated reads skip file listing + footer schema inference (a fixed
   // ~100ms planning tax per read otherwise). The outer map holds the session
   // itself with reference-identity semantics (SparkSession doesn't override
-  // equals) and weak keys — a stopped, GC'd session drops its plans instead
-  // of a recycled identity hash serving DataFrames bound to a dead session.
+  // equals), so a lookup can never serve plans bound to a different session —
+  // the failure mode of the previous identityHashCode key, where a recycled
+  // hash could collide. Note the cached DataFrames strongly reference their
+  // session, so WeakHashMap entries in practice live until JVM exit; the
+  // retention is bounded by sessions-ever-created (typically 1) and a stale
+  // entry is unreachable by construction, never wrong.
   private val cache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())

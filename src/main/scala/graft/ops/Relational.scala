@@ -287,6 +287,21 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** grouping() indicators on a rollup: the disambiguator between "NULL
+    * because subtotal row" and "NULL data" that every rollup consumer needs.
+    */
+  def aggGroupingId(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |       count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)
+  }
+
   /** Boolean aggregates (every / any / count_if): per-group universally- and
     * existentially-quantified predicates as partial+final aggregates.
     */
