@@ -163,6 +163,10 @@ object SparkEntry {
     "window_nth_lead" -> (Relational.windowNthLead _),
     "agg_every_any" -> (Relational.aggEveryAny _),
     "agg_grouping_id" -> (Relational.aggGroupingId _),
+    "agg_multi_distinct" -> (Relational.aggMultiDistinct _),
+    "setop_except_all" -> (Relational.setopExceptAll _),
+    "setop_intersect_all" -> (Relational.setopIntersectAll _),
+    "window_range_interval" -> (Relational.windowRangeInterval _),
     "agg_bitwise" -> (Relational.aggBitwise _),
     "agg_stddev_median" -> (Relational.aggStddevMedian _),
     "agg_string_concat" -> (Relational.aggStringConcat _),
@@ -343,6 +347,14 @@ object SparkEntry {
       """SELECT o_orderstatus, bool_and(o_totalprice > 1000.0) AS all_over_1k, bool_or(o_totalprice > 400000.0) AS any_over_400k, CAST(count(*) FILTER (WHERE o_totalprice > 200000.0) AS BIGINT) AS n_over_200k FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "agg_grouping_id" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
+    "agg_multi_distinct" ->
+      """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types, count(*) AS cnt FROM events""",
+    "setop_except_all" ->
+      """SELECT * FROM (SELECT user_id FROM events WHERE event_type = 'click' EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'purchase') ORDER BY user_id""",
+    "setop_intersect_all" ->
+      """SELECT * FROM (SELECT user_id FROM events WHERE event_type = 'click' INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'purchase') ORDER BY user_id""",
+    "window_range_interval" ->
+      """SELECT event_id, sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)/100.0 AS hr_sum FROM events ORDER BY event_id""",
     "agg_bitwise" ->
       """SELECT event_type, bit_and(user_id) AS uand, bit_or(user_id) AS uor, bit_xor(user_id) AS uxor FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_stddev_median" ->

@@ -302,6 +302,51 @@ object Relational {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** Multiple DISTINCT aggregates in one pass: Catalyst plans this via an
+    * Expand node (one duplicated row per distinct-set) — a shape worth
+    * exercising because at 100 TB it multiplies the shuffle by the number of
+    * distinct sets, and knowing that is why sketch alternatives
+    * (`agg_hll_sketch`) exist.
+    */
+  def aggMultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .agg(countDistinct(col("user_id")).as("users"),
+        countDistinct(col("event_type")).as("types"),
+        count(lit(1)).as("cnt"))
+
+  /** EXCEPT ALL — bag difference (per-key multiplicity max(l-r, 0)), the
+    * multiset counterpart of `setop_except`.
+    */
+  def setopExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.filter(col("event_type") === "click").select("user_id")
+      .exceptAll(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** INTERSECT ALL — bag intersection (per-key multiplicity min(l, r)). */
+  def setopIntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersectAll(ev.filter(col("event_type") === "purchase").select("user_id"))
+      .orderBy("user_id")
+  }
+
+  /** Value-range frame declared in event-time units (RANGE … INTERVAL 1 HOUR
+    * PRECEDING): the SQL-standard spelling of `window_range_frame`'s
+    * epoch-micros arithmetic — the frame bound tracks the ORDER BY timestamp
+    * directly.
+    */
+  def windowRangeInterval(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """SELECT event_id,
+        |       sum(CAST(floor(value*100 + 0.5) AS BIGINT))
+        |         OVER (PARTITION BY user_id ORDER BY ts
+        |               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)/100.0D AS hr_sum
+        |FROM events ORDER BY event_id""".stripMargin)
+  }
+
   /** Boolean aggregates (every / any / count_if): per-group universally- and
     * existentially-quantified predicates as partial+final aggregates.
     */
