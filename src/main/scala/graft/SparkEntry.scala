@@ -164,6 +164,8 @@ object SparkEntry {
     "agg_every_any" -> (Relational.aggEveryAny _),
     "agg_grouping_id" -> (Relational.aggGroupingId _),
     "agg_multi_distinct" -> (Relational.aggMultiDistinct _),
+    "agg_percentile_disc" -> (Relational.aggPercentileDisc _),
+    "scalar_hash_encode" -> (Scalars.scalarHashEncode _),
     "setop_except_all" -> (Relational.setopExceptAll _),
     "setop_intersect_all" -> (Relational.setopIntersectAll _),
     "window_range_interval" -> (Relational.windowRangeInterval _),
@@ -349,6 +351,10 @@ object SparkEntry {
       """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority, CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status, CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority, count(*) AS cnt FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority) ORDER BY status, priority""",
     "agg_multi_distinct" ->
       """SELECT count(DISTINCT user_id) AS users, count(DISTINCT event_type) AS types, count(*) AS cnt FROM events""",
+    "agg_percentile_disc" ->
+      """SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5) AS p50_disc, quantile_disc(o_totalprice, 0.9) AS p90_disc FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "scalar_hash_encode" ->
+      """SELECT c_custkey, md5(c_name) AS name_md5, base64(encode(c_name)) AS name_b64, hex(encode(c_name)) AS name_hex, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, rtrim(ltrim(concat('  ', c_mktsegment, '  '))) AS trimmed FROM customer ORDER BY c_custkey""",
     "setop_except_all" ->
       """SELECT * FROM (SELECT user_id FROM events WHERE event_type = 'click' EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'purchase') ORDER BY user_id""",
     "setop_intersect_all" ->

@@ -302,6 +302,19 @@ object Relational {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** Discrete percentiles (percentile_disc ≡ quantile_disc): returns actual
+    * data values, so the compare is exact — no interpolation arithmetic at
+    * all. Complements `agg_percentiles` (continuous/interpolated).
+    */
+  def aggPercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |       percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+        |       percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** Multiple DISTINCT aggregates in one pass: Catalyst plans this via an
     * Expand node (one duplicated row per distinct-set) — a shape worth
     * exercising because at 100 TB it multiplies the shuffle by the number of

@@ -130,6 +130,19 @@ object Scalars {
         map_contains_key(col("m"), "k").as("has_k"))
       .orderBy("event_id")
 
+  /** Hash / encoding scalar family: md5 content hashes (lowercase hex both
+    * engines), RFC-4648 base64, uppercase hex of UTF-8 bytes, zero-padding.
+    */
+  def scalarHashEncode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_name").cast("binary")).as("name_md5"),
+        base64(col("c_name").cast("binary")).as("name_b64"),
+        hex(col("c_name").cast("binary")).as("name_hex"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        rtrim(ltrim(concat(lit("  "), col("c_mktsegment"), lit("  ")))).as("trimmed"))
+      .orderBy("c_custkey")
+
   /** Calendar arithmetic beyond scalar_date: month addition with end-of-month
     * clamping, last_day, quarter/day-of-year/ISO-week extraction.
     */
