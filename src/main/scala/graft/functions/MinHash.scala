@@ -128,6 +128,61 @@ object ShingleHashes {
   }
 }
 
+/** 64-bit SimHash in one pass per row: per-token FNV-1a hash, ±1 votes per
+  * bit position, sign of the vote sets the bit. Replaces the 64-way unrolled
+  * HOF formulation (64 interpreted `aggregate` lambdas per row — each token
+  * hashed 64 times); here every token is hashed once and votes via shifts.
+  * Near-duplicate texts differ in few bits; at scale, group by fingerprint
+  * prefix for candidate generation.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.split(' ')
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i)
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < t.length) {
+        h = (h ^ t.charAt(k)) * 0x100000001b3L
+        k += 1
+      }
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+
+  def simhash(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("graft_simhash", text)
+  }
+}
+
 object MinHashSignature {
   /** Deterministic affine-permutation parameters: odd multipliers (bijective
     * mod 2^64) and arbitrary offsets, from a fixed-seed generator.

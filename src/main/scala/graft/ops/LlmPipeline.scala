@@ -178,26 +178,17 @@ object LlmPipeline {
   }
 
   /** SimHash (64-bit) fingerprint per document: per-token 64-bit hash votes
-    * bitwise; near-dups differ in few bits. Output fingerprint per doc —
-    * at scale, group by fingerprint prefix buckets for candidate generation.
+    * bitwise; near-dups differ in few bits. Computed by the native
+    * [[graft.functions.SimHash64]] expression — one FNV hash per token and
+    * 64 shift-votes, vs the previous 64-way unrolled HOF formulation that
+    * re-hashed every token per bit position. At scale, group by fingerprint
+    * prefix buckets for candidate generation.
     */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val tokens = split(col("text"), " ")
-    // For each bit position b: sum over tokens of +1/-1 by bit b of xxhash64(token);
-    // bit is set if the vote is positive. Unrolled over the 64 static bit
-    // positions (shift functions take literal ints); still one codegen'd
-    // projection — at production scale this would be a custom Expression
-    // hashing each token once.
-    val simhash = (0 until 64).map { bit =>
-      when(
-        aggregate(tokens, lit(0L),
-          (vote, tok) => vote + when(shiftright(xxhash64(tok), bit).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << bit)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64.simhash(spark, col("text")).as("simhash"))
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------------------------- similarity
 
