@@ -53,9 +53,17 @@ object Main {
     for (run <- 1 to runs) {
       val results = pipeline.run(spark, tables, outDir)
       val summary = results.map { case (name, r) =>
-        val rows = r.toOption.flatMap(_.df).map(_.count()).getOrElse(0L)
+        // Count the WRITTEN sink, not r.df — the pipeline has already
+        // unpersisted the batch, so df.count() would re-execute the whole
+        // extract (on a live JDBC source: a second full source read per
+        // table, purely for a log line).
+        val target = tables.find(_.name == name).map(_.effectiveTargetName).getOrElse(name)
+        val rows =
+          if (r.toOption.exists(_.df.isDefined))
+            scala.util.Try(spark.read.parquet(s"$outDir/$target").count()).getOrElse(0L)
+          else 0L
         val wm = r.toOption.flatMap(_.lastPoint).getOrElse("-")
-        s"$name rows=$rows watermark=$wm"
+        s"$name sink_rows=$rows watermark=$wm"
       }.mkString("; ")
       println(s"[graft.Main] run $run: $summary")
     }

@@ -132,13 +132,33 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
     * nanosecond precision, on every host.
     */
   private def stringify(v: Any): String = v match {
-    case ts: java.sql.Timestamp =>
-      val utc = ts.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDateTime
-      java.sql.Timestamp.valueOf(utc).toString
-    case i: java.time.Instant => // spark.sql.datetime.java8API.enabled sessions
-      java.sql.Timestamp.valueOf(i.atZone(java.time.ZoneOffset.UTC).toLocalDateTime).toString
+    case ts: java.sql.Timestamp => renderUtc(ts.toInstant)
+    case i: java.time.Instant   => renderUtc(i) // java8API-enabled sessions
     case other => other.toString
   }
+
+  /** Render the instant's UTC wall clock directly via java.time — never
+    * through java.sql.Timestamp.valueOf, whose field-based constructor
+    * resolves the fields in the JVM default zone: a UTC wall clock landing in
+    * the default zone's DST spring-forward gap would be leniently shifted by
+    * an hour, silently skipping that hour of rows on the next incremental
+    * run. Shape: `yyyy-MM-dd HH:mm:ss[.fraction]` (seconds always printed,
+    * fraction trimmed of trailing zeros and omitted when zero) — the same
+    * shape as Timestamp.toString / Python's str(datetime), parseable by the
+    * splice/typedLit re-parse.
+    */
+  private def renderUtc(i: java.time.Instant): String = {
+    val ldt = i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+    val base = ldt.format(Extractor.WatermarkBaseFmt)
+    if (ldt.getNano == 0) base
+    else {
+      var f = f"${ldt.getNano}%09d"
+      while (f.endsWith("0")) f = f.dropRight(1)
+      s"$base.$f"
+    }
+  }
+
+  // (companion holds the shared formatter — see Extractor.WatermarkBaseFmt)
 
   /** Loader-side write, completing the reference's ExtractResult contract:
     * sink-mode selection (A14) + write-partition coalesce (A16, README.md:114).
@@ -148,4 +168,12 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
       val out = table.writePartitions.fold(df)(n => df.coalesce(n))
       out.write.mode(result.writeMode).parquet(s"$outPath/${table.effectiveTargetName}")
     }
+}
+
+object Extractor {
+  /** Always-seconds base of the watermark rendering (fraction appended
+    * separately, trimmed); DateTimeFormatter is immutable and thread-safe.
+    */
+  private[extract] val WatermarkBaseFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
 }

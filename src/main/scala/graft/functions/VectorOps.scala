@@ -32,10 +32,21 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  /** Element types both eval paths actually implement — deliberately NOT all
+    * of NumericType: DecimalType would pass a NumericType check and then
+    * crash at runtime in the accessor.
+    */
+  private def supported(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | IntegerType | LongType | ShortType | ByteType => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(l: NumericType, _), ArrayType(r: NumericType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(l, _), ArrayType(r, _)) if supported(l) && supported(r) =>
+      TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires two numeric arrays, got ${left.dataType.sql} and ${right.dataType.sql}")
+      s"graft_dot requires two arrays of primitive numeric type (float/double/int/long/short/byte), " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
   private def getDouble(a: ArrayData, t: DataType, i: Int): Double = t match {

@@ -64,14 +64,18 @@ object StreamingExtract {
         // Existence must be checked through the Hadoop FileSystem resolved
         // from the path (java.io.File is always false on hdfs://, s3a://, …,
         // which would silently skip the anti-join and re-append duplicates).
-        // An existing-but-empty dir (no parquet footers yet) is treated as
-        // "no existing keys" — spark.read.parquet would throw on it.
+        // An absent dir or one with no data files yet (only _SUCCESS/hidden
+        // markers) means "no existing keys"; any OTHER read failure —
+        // corrupt footer, transient store error, permissions — must FAIL the
+        // batch rather than silently disable dedup and append duplicates.
         val existingKeys: Option[DataFrame] = {
           val p = new org.apache.hadoop.fs.Path(sinkDir)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p))
-            scala.util.Try(spark.read.parquet(sinkDir).select(keyCol)).toOption
-          else None
+          val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }
+          if (hasData) Some(spark.read.parquet(sinkDir).select(keyCol)) else None
         }
         val fresh = existingKeys.fold(batch.toDF())(k => batch.join(k, Seq(keyCol), "left_anti"))
         fresh.write.mode("append").parquet(sinkDir)

@@ -44,6 +44,26 @@ class ExtractorSpec extends SparkSpec {
     } finally java.util.TimeZone.setDefault(prev)
   }
 
+  test("watermark render survives the default zone's DST spring-forward gap") {
+    // 2026-03-08 02:30 UTC is a nonexistent LOCAL time in America/New_York
+    // (spring-forward gap). A field-based render via Timestamp.valueOf would
+    // leniently shift it to 03:30, silently skipping an hour of rows on
+    // re-splice; the java.time render must emit the UTC wall clock verbatim.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dst").toString
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.from(java.time.Instant.parse("2026-03-08T02:30:00Z"))))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val prev = java.util.TimeZone.getDefault
+    try {
+      java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone("America/New_York"))
+      val r = new Extractor(dir).extract(spark,
+        TableConfig("events", replicationMethod = ReplicationMethod.Incremental,
+          iterateColumn = Some("ts"), iterateColumnType = IterateType.DatetimeCol))
+      assert(r.lastPoint.contains("2026-03-08 02:30:00"), s"got ${r.lastPoint}")
+    } finally java.util.TimeZone.setDefault(prev)
+  }
+
   test("full replication: overwrite, no watermark, all rows") {
     val r = ex.extract(spark, TableConfig("orders"))
     assert(r.writeMode == SaveMode.Overwrite)
