@@ -166,6 +166,8 @@ object SparkEntry {
     "agg_multi_distinct" -> (Relational.aggMultiDistinct _),
     "agg_percentile_disc" -> (Relational.aggPercentileDisc _),
     "scalar_hash_encode" -> (Scalars.scalarHashEncode _),
+    "scalar_try_safe" -> (Scalars.scalarTrySafe _),
+    "scan_file_provenance" -> (Scalars.scanFileProvenance _),
     "setop_except_all" -> (Relational.setopExceptAll _),
     "setop_intersect_all" -> (Relational.setopIntersectAll _),
     "window_range_interval" -> (Relational.windowRangeInterval _),
@@ -355,6 +357,10 @@ object SparkEntry {
       """SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5) AS p50_disc, quantile_disc(o_totalprice, 0.9) AS p90_disc FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "scalar_hash_encode" ->
       """SELECT c_custkey, md5(c_name) AS name_md5, base64(encode(c_name)) AS name_b64, hex(encode(c_name)) AS name_hex, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, rtrim(ltrim(concat('  ', c_mktsegment, '  '))) AS trimmed FROM customer ORDER BY c_custkey""",
+    "scalar_try_safe" ->
+      """SELECT event_id, value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div, TRY_CAST(event_type AS BIGINT) AS bad_cast, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast FROM events ORDER BY event_id""",
+    "scan_file_provenance" ->
+      """SELECT 'events.parquet' AS file, count(*) AS cnt FROM events GROUP BY 1 ORDER BY file""",
     "setop_except_all" ->
       """SELECT * FROM (SELECT user_id FROM events WHERE event_type = 'click' EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'purchase') ORDER BY user_id""",
     "setop_intersect_all" ->

@@ -143,6 +143,28 @@ object Scalars {
         rtrim(ltrim(concat(lit("  "), col("c_mktsegment"), lit("  ")))).as("trimmed"))
       .orderBy("c_custkey")
 
+  /** ANSI-safe error handling: try_divide / try_cast return NULL instead of
+    * failing the job — the difference between one malformed row poisoning a
+    * 100 TB batch and a quarantine-able null.
+    */
+  def scalarTrySafe(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        try_divide(col("value"), (col("user_id") % 3).cast("double")).as("safe_div"),
+        col("event_type").try_cast("bigint").as("bad_cast"),
+        col("event_id").cast("string").try_cast("bigint").as("good_cast"))
+      .orderBy("event_id")
+
+  /** Data-lineage provenance: which file each row came from
+    * (input_file_name), rolled up per file — the scan-level audit a lake
+    * pipeline runs after every ingest.
+    */
+  def scanFileProvenance(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"))
+      .groupBy("file").agg(count(lit(1)).as("cnt"))
+      .orderBy("file")
+
   /** Calendar arithmetic beyond scalar_date: month addition with end-of-month
     * clamping, last_day, quarter/day-of-year/ISO-week extraction.
     */
