@@ -147,16 +147,7 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
     * shape as Timestamp.toString / Python's str(datetime), parseable by the
     * splice/typedLit re-parse.
     */
-  private def renderUtc(i: java.time.Instant): String = {
-    val ldt = i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
-    val base = ldt.format(Extractor.WatermarkBaseFmt)
-    if (ldt.getNano == 0) base
-    else {
-      var f = f"${ldt.getNano}%09d"
-      while (f.endsWith("0")) f = f.dropRight(1)
-      s"$base.$f"
-    }
-  }
+  private def renderUtc(i: java.time.Instant): String = Extractor.renderUtc(i)
 
   // (companion holds the shared formatter — see Extractor.WatermarkBaseFmt)
 
@@ -174,6 +165,20 @@ object Extractor {
   /** Always-seconds base of the watermark rendering (fraction appended
     * separately, trimmed); DateTimeFormatter is immutable and thread-safe.
     */
-  private[extract] val WatermarkBaseFmt =
+  private val WatermarkBaseFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+
+  /** UTC wall-clock rendering shared by the instance path and the
+    * timezone-round-trip property test (scaladoc on the instance method).
+    */
+  private[graft] def renderUtc(i: java.time.Instant): String = {
+    val ldt = i.atOffset(java.time.ZoneOffset.UTC).toLocalDateTime
+    val base = ldt.format(WatermarkBaseFmt)
+    if (ldt.getNano == 0) base
+    else {
+      var f = f"${ldt.getNano}%09d"
+      while (f.endsWith("0")) f = f.dropRight(1)
+      s"$base.$f"
+    }
+  }
 }

@@ -51,4 +51,27 @@ object PredicatesPropSpec extends Properties("Predicates") {
       val once = QueryTemplate.splice("SELECT {query_filter}", s"WHERE c >= $v")
       QueryTemplate.splice(once, "WHERE 1=1") == once
     }
+
+  // Watermark UTC render: for any µs-precision instant (1970–2100, the
+  // fixture/real-data range), parsing the rendered string back as a UTC
+  // wall clock recovers the exact instant — on any JVM default timezone,
+  // including ones whose DST gaps contain the wall clock.
+  private val genMicros: Gen[Long] =
+    Gen.choose(0L, 4102444800000000L) // 2100-01-01 in epoch µs
+  private val zones = Seq("UTC", "America/New_York", "Asia/Kolkata", "Pacific/Chatham")
+
+  property("renderUtc round-trips any instant under any default timezone") =
+    forAll(genMicros, Gen.oneOf(zones)) { (us, zone) =>
+      val prev = java.util.TimeZone.getDefault
+      try {
+        java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(zone))
+        val i = java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(us, 1000000L),
+          java.lang.Math.floorMod(us, 1000000L) * 1000L)
+        val s = graft.extract.Extractor.renderUtc(i)
+        val back = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC)
+        back == i && s.matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?""")
+      } finally java.util.TimeZone.setDefault(prev)
+    }
 }
