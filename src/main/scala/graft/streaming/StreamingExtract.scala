@@ -100,6 +100,28 @@ object StreamingExtract {
     events.withWatermark(eventTimeCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream inner join within an event-time interval — the canonical
+    * attribution join (each click matched to its impression within the
+    * window). Both sides carry watermarks and the join condition bounds the
+    * time skew, so each side's state is evicted once the other side's
+    * watermark passes — state is O(rows per horizon), never unbounded. At
+    * 100 TB this is the only viable stream correlation shape: an unbounded
+    * condition would accumulate state forever.
+    */
+  def streamStreamIntervalJoin(
+      left: DataFrame, // cols: key, ts (watermark applied by caller naming)
+      right: DataFrame, // cols: key, ts2
+      lateness: String,
+      maxSkew: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    left.withWatermark("ts", lateness)
+      .join(
+        right.withWatermark("ts2", lateness),
+        expr(s"key = key2 AND ts2 >= ts AND ts2 <= ts + INTERVAL $maxSkew"),
+        "inner")
+      .select(col("key"), col("ts"), col("ts2"))
+  }
+
   /** Session record emitted by the stateful sessionizer. */
   final case class SessionOut(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
 

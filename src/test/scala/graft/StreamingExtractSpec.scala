@@ -65,6 +65,29 @@ class StreamingExtractSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within skew and drops outside it") {
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingExtract.streamStreamIntervalJoin(
+      impressions.toDF().toDF("key", "ts"),
+      clicks.toDF().toDF("key2", "ts2"),
+      lateness = "1 hour", maxSkew = "10 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      impressions.addData((1L, Timestamp.valueOf("2024-01-01 01:00:00")),
+        (2L, Timestamp.valueOf("2024-01-01 01:00:00")))
+      clicks.addData(
+        (1L, Timestamp.valueOf("2024-01-01 01:05:00")), // within 10 min → match
+        (2L, Timestamp.valueOf("2024-01-01 01:30:00")), // outside skew → dropped
+        (3L, Timestamp.valueOf("2024-01-01 01:02:00"))) // no impression → dropped
+      q.processAllAvailable()
+      val got = spark.table("ssj_out").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupAppendSink drops re-delivered boundary rows (at-least-once → effectively-once)") {
     val src = java.nio.file.Files.createTempDirectory("graft-dsrc").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-dsink").toString + "/out"
