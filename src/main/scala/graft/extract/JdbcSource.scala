@@ -8,10 +8,11 @@ import graft.model.{ConnectionConfig, TableConfig}
   * engine's config surface onto Spark's built-in JDBC source options —
   * exactly what the reference's connector options become on a real cluster
   * (__init__.py:26-43 option plumbing; README.md:72-96 stride partitioning;
-  * fetchsize README.md:95,111). Zero-egress here, so option construction is
-  * unit-tested and `reader` is exercised only when a URL is reachable; the
-  * Parquet `Extractor` is behaviorally equivalent (same predicates, same
-  * decision tree) by construction.
+  * fetchsize README.md:95,111). Exercised END TO END against embedded Derby
+  * (in /opt/spark/jars, zero egress) in JdbcSourceSpec: table mode, pushed
+  * query, and 4-way stride-partitioned reads all run through this plumbing
+  * against a live SQL engine; the Parquet `Extractor` is behaviorally
+  * equivalent (same predicates, same decision tree) by construction.
   */
 object JdbcSource {
 
@@ -19,7 +20,7 @@ object JdbcSource {
     * __init__.py:20); any JDBC-capable engine can be substituted via `urlFor`.
     */
   def urlFor(c: ConnectionConfig): String =
-    s"jdbc:clickhouse://${c.host}:${c.port}/${c.database}"
+    c.jdbcUrl.getOrElse(s"jdbc:clickhouse://${c.host}:${c.port}/${c.database}")
 
   /** Base connection options (reference `_base_options`, __init__.py:26-33). */
   def baseOptions(c: ConnectionConfig): Map[String, String] = Map(

@@ -12,6 +12,11 @@ final case class ConnectionConfig(
     user: String = "default",
     password: String = "",
     database: String = "default",
+    /** Full JDBC URL override — when set, wins over the host/port/database
+      * ClickHouse form (lets any JDBC engine, e.g. embedded Derby in tests,
+      * ride the same reader plumbing).
+      */
+    jdbcUrl: Option[String] = None,
 )
 
 /** Replication strategy (reference: __init__.py:71,116; README.md:105). */
