@@ -25,7 +25,19 @@ import org.apache.spark.storage.StorageLevel
   * partitioning on a JDBC source and to `repartitionByRange` here
   * (README.md:85-93); caching is bounded by executor storage with disk spill.
   */
-final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
+final class Extractor(
+    sfDir: String,
+    cacheBatches: Boolean = true,
+    /** Source strategy: how a table name becomes a DataFrame. Defaults to
+      * the Parquet fixtures; a JDBC-backed variant passes
+      * `(s, n) => JdbcSource.load(s, conn, TableConfig(n))` and the whole
+      * decision tree — watermark, bounds, tri-state, template splice — runs
+      * against the live source, with Catalyst pushing the incremental
+      * predicates INTO the source query (the reference builds that WHERE
+      * clause by hand, __init__.py:73-99; here it falls out of filter
+      * pushdown). Proven end-to-end over embedded Derby in JdbcSourceSpec.
+      */
+    source: Option[(SparkSession, String) => DataFrame] = None) {
 
   /** Structured start/end logging (reference A18, __init__.py:59-65,125-131):
     * key=value pairs with table, replication method, mode, status.
@@ -37,7 +49,7 @@ final class Extractor(sfDir: String, cacheBatches: Boolean = true) {
       table.name, table.replicationMethod.toString.toLowerCase, mode, status)
 
   def readTable(spark: SparkSession, name: String): DataFrame =
-    graft.Tables.t(spark, sfDir, name)
+    source.fold(graft.Tables.t(spark, sfDir, name))(f => f(spark, name))
 
   /** Range-partitioned parallel read (reference A15, README.md:85-93): on a
     * JDBC source this is stride partitioning (`partitionColumn`/`lowerBound`/

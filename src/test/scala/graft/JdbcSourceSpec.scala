@@ -43,6 +43,29 @@ class JdbcSourceSpec extends SparkSpec {
       assert(strided.rdd.getNumPartitions == 4, s"got ${strided.rdd.getNumPartitions}")
       assert(strided.count() == 100)
       assert(strided.agg(org.apache.spark.sql.functions.sum("event_id")).head().getLong(0) == 4950L)
+
+      // The FULL extract decision tree against the live source: the engine's
+      // Column predicates reach the source as pushed filters (the reference
+      // hand-builds this WHERE clause, __init__.py:73-99).
+      val ex = new graft.extract.Extractor("-", cacheBatches = false,
+        source = Some((s, n) => JdbcSource.load(s, conn, TableConfig(n))))
+      val incr = TableConfig("events_j",
+        replicationMethod = ReplicationMethod.Incremental,
+        iterateColumn = Some("event_id"), iterateColumnType = IterateType.IntCol)
+      val first = ex.extract(spark, incr, lastPoint = None)
+      assert(first.writeMode == org.apache.spark.sql.SaveMode.Overwrite)
+      assert(first.df.get.count() == 100 && first.lastPoint.contains("99"))
+      val second = ex.extract(spark, incr, lastPoint = first.lastPoint)
+      assert(second.writeMode == org.apache.spark.sql.SaveMode.Append)
+      assert(second.df.get.collect().map(_.getLong(0)).toSeq == Seq(99L),
+        "inclusive watermark re-extracts exactly the boundary row from the live source")
+      val bounded = ex.extract(spark,
+        incr.copy(filterLowerBound = Some("20"), filterUpperBound = Some("40")))
+      assert(bounded.df.get.count() == 20)
+      // And the predicate is genuinely pushed into the JDBC scan.
+      val plan = second.df.get.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(EVENT_ID,99"),
+        s"watermark predicate not pushed to the source:\n$plan")
     } finally jconn.close()
   }
 
