@@ -167,6 +167,7 @@ object SparkEntry {
     "agg_percentile_disc" -> (Relational.aggPercentileDisc _),
     "scalar_hash_encode" -> (Scalars.scalarHashEncode _),
     "scalar_try_safe" -> (Scalars.scalarTrySafe _),
+    "scalar_levenshtein" -> (Scalars.scalarLevenshtein _),
     "scan_file_provenance" -> (Scalars.scanFileProvenance _),
     "setop_except_all" -> (Relational.setopExceptAll _),
     "setop_intersect_all" -> (Relational.setopIntersectAll _),
@@ -359,6 +360,8 @@ object SparkEntry {
       """SELECT c_custkey, md5(c_name) AS name_md5, base64(encode(c_name)) AS name_b64, hex(encode(c_name)) AS name_hex, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, rtrim(ltrim(concat('  ', c_mktsegment, '  '))) AS trimmed FROM customer ORDER BY c_custkey""",
     "scalar_try_safe" ->
       """SELECT event_id, value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div, TRY_CAST(event_type AS BIGINT) AS bad_cast, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast FROM events ORDER BY event_id""",
+    "scalar_levenshtein" ->
+      """SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS dist_probe, CAST(levenshtein(c_name, upper(c_name)) AS BIGINT) AS dist_case FROM customer ORDER BY c_custkey""",
     "scan_file_provenance" ->
       """SELECT 'events.parquet' AS file, count(*) AS cnt FROM events GROUP BY 1 ORDER BY file""",
     "setop_except_all" ->

@@ -143,6 +143,17 @@ object Scalars {
         rtrim(ltrim(concat(lit("  "), col("c_mktsegment"), lit("  ")))).as("trimmed"))
       .orderBy("c_custkey")
 
+  /** Edit-distance scalar (levenshtein) — the exact verify-stage of fuzzy
+    * entity matching (blocking/LSH proposes candidate pairs, edit distance
+    * disposes — same propose/dispose shape as the dedup operators).
+    */
+  def scalarLevenshtein(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).cast("long").as("dist_probe"),
+        levenshtein(col("c_name"), upper(col("c_name"))).cast("long").as("dist_case"))
+      .orderBy("c_custkey")
+
   /** ANSI-safe error handling: try_divide / try_cast return NULL instead of
     * failing the job — the difference between one malformed row poisoning a
     * 100 TB batch and a quarantine-able null.

@@ -66,6 +66,17 @@ class JdbcSourceSpec extends SparkSpec {
       val plan = second.df.get.queryExecution.executedPlan.toString
       assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(EVENT_ID,99"),
         s"watermark predicate not pushed to the source:\n$plan")
+
+      // A17 variant dispatch with a second LIVE variant: the registry
+      // resolves "derby" exactly the way the reference's entry-point
+      // machinery resolves variant='clickhouse' (setup.py:10-14).
+      graft.extract.ExtractorRegistry.register("derby",
+        _ => new graft.extract.Extractor("-", cacheBatches = false,
+          source = Some((s, n) => JdbcSource.load(s, conn, TableConfig(n)))))
+      val viaRegistry = graft.extract.ExtractorRegistry("derby")("-")
+        .extract(spark, TableConfig("events_j"))
+      assert(viaRegistry.df.get.count() == 100)
+      assert(graft.extract.ExtractorRegistry.variants.contains("derby"))
     } finally jconn.close()
   }
 
