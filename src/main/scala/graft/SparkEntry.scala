@@ -168,6 +168,8 @@ object SparkEntry {
     "scalar_hash_encode" -> (Scalars.scalarHashEncode _),
     "scalar_try_safe" -> (Scalars.scalarTrySafe _),
     "scalar_levenshtein" -> (Scalars.scalarLevenshtein _),
+    "scalar_array_extras" -> (Scalars.scalarArrayExtras _),
+    "generator_explode_map" -> (Scalars.generatorExplodeMap _),
     "scan_file_provenance" -> (Scalars.scanFileProvenance _),
     "setop_except_all" -> (Relational.setopExceptAll _),
     "setop_intersect_all" -> (Relational.setopIntersectAll _),
@@ -362,6 +364,10 @@ object SparkEntry {
       """SELECT event_id, value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div, TRY_CAST(event_type AS BIGINT) AS bad_cast, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast FROM events ORDER BY event_id""",
     "scalar_levenshtein" ->
       """SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS dist_probe, CAST(levenshtein(c_name, upper(c_name)) AS BIGINT) AS dist_case FROM customer ORDER BY c_custkey""",
+    "scalar_array_extras" ->
+      """SELECT vec_id, CAST(len(flatten([embedding, embedding])) AS BIGINT) AS flat_len, list_reverse(embedding)[1] AS rev_first, embedding[64] AS last_elem FROM embeddings ORDER BY vec_id""",
+    "generator_explode_map" ->
+      """SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS val FROM events ORDER BY event_id, key""",
     "scan_file_provenance" ->
       """SELECT 'events.parquet' AS file, count(*) AS cnt FROM events GROUP BY 1 ORDER BY file""",
     "setop_except_all" ->

@@ -143,6 +143,30 @@ object Scalars {
         rtrim(ltrim(concat(lit("  "), col("c_mktsegment"), lit("  ")))).as("trimmed"))
       .orderBy("c_custkey")
 
+  /** Nested-array structure ops (flatten / reverse) projected to scalars —
+    * the remaining array-manipulation surface beyond scalar_array's HOFs.
+    */
+  def scalarArrayExtras(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        size(flatten(array(col("embedding"), col("embedding")))).cast("long").as("flat_len"),
+        element_at(reverse(col("embedding")), 1).as("rev_first"),
+        element_at(col("embedding"), 64).as("last_elem"))
+      .orderBy("vec_id")
+
+  /** Generator over a map column: each (key, value) entry becomes a row —
+    * the map-typed counterpart of explode-over-arrays (dynamic-schema
+    * flattening of JSON properties into relational rows).
+    */
+  def generatorExplodeMap(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))).as(Seq("key", "val")))
+      .orderBy("event_id", "key")
+
   /** Edit-distance scalar (levenshtein) — the exact verify-stage of fuzzy
     * entity matching (blocking/LSH proposes candidate pairs, edit distance
     * disposes — same propose/dispose shape as the dedup operators).
