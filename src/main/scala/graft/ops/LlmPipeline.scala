@@ -61,12 +61,24 @@ object LlmPipeline {
         (acc, s) => least(acc, xxhash64(s, h))))
   }
 
-  /** Near-duplicate candidate pairs via LSH banding. Pipeline:
-    * signature → explode 16 bands → bucket = hash(band slice) → self-join on
-    * (band, bucket) → estimate Jaccard as the fraction of agreeing signature
-    * positions → keep est >= 0.5. The (band, bucket) equi-join is the only
-    * shuffle; bucket sizes are the skew knob (salt or cap at scale).
+  /** Hot-bucket guard for LSH banding: buckets up to this size generate
+    * all pairs (the exact LSH contract); larger buckets — the boilerplate
+    * cluster / empty-document pile that every real corpus has — switch to
+    * star-linking, pairing each member with the bucket's min doc_id. A
+    * degenerate bucket of b docs then emits b-1 pairs instead of b(b-1)/2,
+    * so one hot bucket can never go quadratic and kill the stage at scale.
+    *
+    * Recall trade, stated precisely: within an oversized bucket, pairs not
+    * involving the representative are no longer emitted directly. For
+    * DEDUP that costs nothing — members confirm against the representative
+    * and transitively collapse to it (exactly how an oversized bucket is,
+    * in fact, a near-identical cluster). For general similarity-pair
+    * enumeration the trade is documented recall loss on non-representative
+    * pairs of hot buckets only; sub-bucket salting (re-hash with a second
+    * band inside the bucket) is the recall-preserving alternative.
     */
+  val MaxAllPairsBucket = 32
+
   /** Persisted (doc_id, sig) signatures + the LSH-banded candidate pairs.
     * Signatures are tiny (64×8B) and reused by several downstream operators
     * — memoized per (session, dir) the way Tables.t caches plans, so
@@ -88,17 +100,40 @@ object LlmPipeline {
       .select(col("doc_id"),
         graft.functions.MinHashSignature.minhash(spark, col("text"), NumHashes, ShingleLen).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Band buckets carry only (doc_id, band, bucket) — signatures don't
-    // travel through the candidate-generation shuffle.
+    (sigs, lshCandidatePairs(sigs))
+  }
+
+  /** LSH-banded near-dup candidate pairs from (doc_id, sig) signatures:
+    * explode 16 bands → bucket = hash(band slice) → per-bucket pair
+    * generation → distinct. Band buckets carry only (doc_id, band, bucket) —
+    * signatures don't travel through the candidate-generation shuffle, and
+    * the (band, bucket) equi-join is the only shuffle.
+    *
+    * Pair generation is guarded by [[MaxAllPairsBucket]]: small buckets
+    * self-join into all pairs; oversized (hot) buckets star-link members to
+    * the bucket's min doc_id, bounding a b-doc bucket at b-1 pairs. Bucket
+    * size and representative come from one window over the same
+    * (band, bucket) key the join shuffles on — no extra shuffle stage.
+    * Exposed private[graft] so the adversarial spec can drive it with a
+    * synthetic all-identical corpus.
+    */
+  private[graft] def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val banded = sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bucket"))
-    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bucket"))
+    val wB = Window.partitionBy("band", "bucket")
+    val stats = banded
+      .withColumn("bsz", count(lit(1)).over(wB))
+      .withColumn("rep", min(col("doc_id")).over(wB))
+    val small = stats.filter(col("bsz") <= MaxAllPairsBucket)
+      .select(col("band"), col("bucket"), col("doc_id"))
+    val smallPairs = small.as("x").join(small.as("y"), Seq("band", "bucket"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-    (sigs, cands)
+    val hotPairs = stats.filter(col("bsz") > MaxAllPairsBucket && col("doc_id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    smallPairs.union(hotPairs).distinct()
   }
 
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
@@ -229,12 +264,14 @@ object LlmPipeline {
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val p = typedlit(probe)
-    // Coarse centroids: mean per dimension within each label cell.
-    val centroids = emb
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v")).as("m"))
-      .groupBy("label").agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label"), transform(col("pm"), x => x.getField("m")).as("centroid"))
+    // Coarse centroids: element-wise mean vector per label cell, via the
+    // typed VectorMean Aggregator — ONE aggregate over the vectors (buffer =
+    // one 64-double array per cell, map-side combined). The posexplode
+    // formulation (explode to 64 rows/vector → groupBy(label, pos) → avg →
+    // re-assemble) would multiply the shuffle by the dimensionality; plan-
+    // asserted Generate-free in OpsSpec.
+    val vecMean = udaf(graft.udf.VectorMean)
+    val centroids = emb.groupBy("label").agg(vecMean(col("embedding")).as("centroid"))
     val nearCells = centroids
       .select(col("label"), (dot(spark, col("centroid"), p) / (l2(spark, col("centroid")) * l2(spark, p))).as("ccos"))
       .orderBy(col("ccos").desc, col("label"))
@@ -378,14 +415,22 @@ object LlmPipeline {
     val terms = t(spark, dir, "documents")
       .select(explode(split(col("text"), " ")).as("term"))
     val cms = terms.stat.countMinSketch("term", eps = 0.0001, confidence = 0.99, seed = 42)
-    // Report the sketch estimate for the exact top-10 terms (the candidate
-    // set would come from a cheap sample or prior vocabulary in production).
-    val top = terms.groupBy("term").agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("term")).limit(10).collect()
+    // Candidate terms from a cheap fixed-seed sample — NEVER from an exact
+    // full-vocabulary count, which is the shuffle the sketch exists to
+    // replace. A true heavy hitter (frequency ≥ φ·N) appears in a p-sample
+    // ~φ·p·N times, so it tops the sample's (bounded, tiny) vocabulary
+    // w.h.p.; the oversampled candidate list (3× the reported k) absorbs
+    // sample-rank noise, and the CMS — built over ALL terms — does the
+    // ranking. The collect ships ≤30 candidate strings: a parameter fetch.
+    val candidates = terms.sample(withReplacement = false, fraction = 0.05, seed = 42)
+      .groupBy("term").agg(count(lit(1)).as("sample_cnt"))
+      .orderBy(col("sample_cnt").desc, col("term")).limit(30)
+      .collect().map(_.getString(0))
     import spark.implicits._
-    top.map(r => (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
-      .toSeq.toDF("term", "exact", "cms_estimate")
-      .orderBy("term")
+    candidates.map(t => (t, cms.estimateCount(t)))
+      .sortBy { case (t, est) => (-est, t) }.take(10).toSeq
+      .toDF("term", "cms_estimate")
+      .orderBy(col("cms_estimate").desc, col("term"))
   }
 
   /** N-gram-frequency language ID heuristic: score each candidate language by

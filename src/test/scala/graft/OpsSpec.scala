@@ -59,6 +59,77 @@ class OpsSpec extends SparkSpec {
     // this fixture's label cells are weak clusters).
     val pruned = LlmPipeline.simTopkIvf(spark, sf, nProbe = 3).collect().map(_.getLong(0))
     assert(pruned.length == 5 && pruned.distinct.length == 5 && !pruned.contains(0L))
+    // Centroid build is the typed VectorMean Aggregator — ONE aggregate over
+    // the vectors. The posexplode formulation would put a Generate node (64×
+    // row blow-up) in the plan; assert the whole query is Generate-free.
+    val plan = LlmPipeline.simTopkIvf(spark, sf).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Generate"), s"IVF plan contains a Generate:\n$plan")
+  }
+
+  test("VectorMean aggregator: element-wise mean matches driver-side computation; merge ≡ global") {
+    import spark.implicits._
+    val vecMean = udaf(graft.udf.VectorMean)
+    val emb = Tables.t(spark, sf, "embeddings")
+    val got = emb.groupBy("label").agg(vecMean(col("embedding")).as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val expected = emb.collect()
+      .map(r => r.getInt(2) -> r.getSeq[Float](1).map(_.toDouble))
+      .groupBy(_._1)
+      .map { case (label, rows) =>
+        val vs = rows.map(_._2).toSeq
+        label -> vs.transpose.map(col => col.sum / col.length)
+      }
+    assert(got.keySet == expected.keySet)
+    for ((label, exp) <- expected; (g, e) <- got(label).zip(exp))
+      assert(math.abs(g - e) < 1e-9, s"label $label centroid drift: $g vs $e")
+    // Partition-count invariance: partials merge to the same mean.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = emb.repartition(7).groupBy("label").agg(vecMean(col("embedding")).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      for ((label, exp) <- expected; (g, e) <- again(label).zip(exp))
+        assert(math.abs(g - e) < 1e-9, s"label $label merge drift: $g vs $e")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  test("hot LSH bucket guard: 1k identical docs yield O(b) star-linked pairs, not O(b²)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hot").toString
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 1000).map(i => (i.toLong, base, "en", s"s$i", base.length.toLong)) ++
+      Seq((2000L, (100 until 140).map(i => s"other$i").mkString(" "), "en", "sx", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = LlmPipeline.dedupNearMinhash(spark, dir).collect()
+    // All-pairs would be C(1000,2) = 499500 candidates; the star-linked hot
+    // bucket emits exactly b-1 = 999, every one anchored at the bucket min.
+    assert(pairs.length == 999, s"expected 999 star pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "hot-bucket pairs must anchor at the representative")
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+    assert(pairs.map(_.getLong(1)).toSet == (1L until 1000L).toSet,
+      "every duplicate must link to the representative (dedup completeness)")
+    assert(!pairs.exists(r => r.getLong(1) == 2000L), "unrelated doc matched")
+  }
+
+  test("LSH bucket guard boundary: buckets at the threshold keep exact all-pairs semantics") {
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    def corpus(nDup: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-b$nDup").toString
+      (0 until nDup).map(i => (i.toLong, base, "en", s"s$i", base.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val k = LlmPipeline.MaxAllPairsBucket
+    // Exactly at the threshold: full all-pairs, C(k,2).
+    val atCap = LlmPipeline.dedupNearMinhash(spark, corpus(k)).collect()
+    assert(atCap.length == k * (k - 1) / 2, s"at-cap bucket must stay all-pairs: ${atCap.length}")
+    // One past the threshold: star-linked, b-1 pairs.
+    val overCap = LlmPipeline.dedupNearMinhash(spark, corpus(k + 1)).collect()
+    assert(overCap.length == k, s"over-cap bucket must star-link: ${overCap.length}")
+    assert(overCap.forall(_.getLong(0) == 0L))
   }
 
   test("minhash LSH: exact duplicate texts get est_jaccard 1.0; pairs are canonical") {
@@ -291,17 +362,42 @@ class OpsSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum == feats.length)
   }
 
-  test("count-min sketch estimates bound exact counts within eps·N") {
+  test("count-min sketch heavy hitters: sketch-first estimates bound exact counts within eps·N") {
+    // Exact counts live HERE, in the bound check — the query path itself is
+    // sample → CMS estimate and never runs a full-vocabulary exact count.
     val rows = LlmPipeline.textHeavyHitters(spark, sf).collect()
     assert(rows.length == 10)
-    val n = Tables.t(spark, sf, "documents")
-      .select(explode(split(col("text"), " "))).count()
+    val terms = Tables.t(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val n = terms.count()
+    val exact = terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     for (r <- rows) {
-      val (exact, est) = (r.getLong(1), r.getLong(2))
-      assert(est >= exact, s"CMS must never underestimate: ${r.getString(0)} $est < $exact")
-      assert(est - exact <= math.max(1L, (n * 0.0001).toLong * 10),
-        s"${r.getString(0)}: est $est too far above exact $exact")
+      val (term, est) = (r.getString(0), r.getLong(1))
+      val ex = exact(term)
+      assert(est >= ex, s"CMS must never underestimate: $term $est < $ex")
+      assert(est - ex <= math.max(1L, (n * 0.0001).toLong * 10),
+        s"$term: est $est too far above exact $ex")
     }
+  }
+
+  test("heavy hitters: a genuinely hot term tops the sketch ranking on a skewed corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    import spark.implicits._
+    // 200 docs × 5 "heavy" tokens (count 1000) vs singleton rare tokens —
+    // an unambiguous heavy hitter the sample+CMS path must surface first.
+    val docs = (0 until 200).map { i =>
+      val text = Seq.fill(5)("heavy").mkString(" ") +
+        " " + (0 until 5).map(j => s"rare_${i}_$j").mkString(" ")
+      (i.toLong, text, "en", s"s$i", text.length.toLong)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = LlmPipeline.textHeavyHitters(spark, dir).collect()
+    assert(rows.head.getString(0) == "heavy", rows.map(_.getString(0)).mkString(","))
+    val est = rows.head.getLong(1)
+    assert(est >= 1000L && est <= 1000L + math.max(1L, 2000L / 10000 * 10),
+      s"heavy estimate $est out of bound")
   }
 
   test("approx_percentile within tolerance of exact percentiles") {
