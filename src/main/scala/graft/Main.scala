@@ -58,9 +58,12 @@ object Main {
         // extract (on a live JDBC source: a second full source read per
         // table, purely for a log line).
         val target = tables.find(_.name == name).map(_.effectiveTargetName).getOrElse(name)
+        // No Try-swallow here: if the extract claims it wrote a batch, an
+        // unreadable sink (corrupt footer, permissions) is a real failure
+        // and must crash the run, not report sink_rows=0.
         val rows =
           if (r.toOption.exists(_.df.isDefined))
-            scala.util.Try(spark.read.parquet(s"$outDir/$target").count()).getOrElse(0L)
+            spark.read.parquet(s"$outDir/$target").count()
           else 0L
         val wm = r.toOption.flatMap(_.lastPoint).getOrElse("-")
         s"$name sink_rows=$rows watermark=$wm"

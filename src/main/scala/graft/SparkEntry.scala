@@ -168,6 +168,7 @@ object SparkEntry {
     "scalar_hash_encode" -> (Scalars.scalarHashEncode _),
     "scalar_try_safe" -> (Scalars.scalarTrySafe _),
     "scalar_levenshtein" -> (Scalars.scalarLevenshtein _),
+    "scalar_url" -> (Scalars.scalarUrl _),
     "scalar_array_extras" -> (Scalars.scalarArrayExtras _),
     "generator_explode_map" -> (Scalars.generatorExplodeMap _),
     "scan_file_provenance" -> (Scalars.scanFileProvenance _),
@@ -364,10 +365,24 @@ object SparkEntry {
       """SELECT event_id, value / nullif(CAST(user_id % 3 AS DOUBLE), 0.0) AS safe_div, TRY_CAST(event_type AS BIGINT) AS bad_cast, TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS good_cast FROM events ORDER BY event_id""",
     "scalar_levenshtein" ->
       """SELECT c_custkey, CAST(levenshtein(c_name, 'Customer#000000000') AS BIGINT) AS dist_probe, CAST(levenshtein(c_name, upper(c_name)) AS BIGINT) AS dist_case FROM customer ORDER BY c_custkey""",
+    // FIXTURE CONTRACT: c_name = 'Customer#NNNNNNNNN' — '#'→'%23' is the only
+    // encoding java.net.URLEncoder applies, so replace() reproduces Spark's
+    // url_encode and regexp_extract stands in for parse_url (absent in
+    // DuckDB 1.0).
+    "scalar_url" ->
+      """WITH u AS (SELECT c_custkey, c_name, 'https://shop.example.com/seg/' || lower(c_mktsegment) || '/profile?id=' || CAST(c_custkey AS VARCHAR) || '&name=' || replace(c_name, '#', '%23') AS url FROM customer) SELECT c_custkey, url, regexp_extract(url, '^https://([^/]+)', 1) AS host, regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path, regexp_extract(url, '\?(.*)$', 1) AS query, regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param, c_name AS name_decoded FROM u ORDER BY c_custkey""",
     "scalar_array_extras" ->
       """SELECT vec_id, CAST(len(flatten([embedding, embedding])) AS BIGINT) AS flat_len, list_reverse(embedding)[1] AS rev_first, embedding[64] AS last_elem FROM embeddings ORDER BY vec_id""",
+    // FIXTURE CONTRACT: events.props is a single-key JSON object {"k": n}
+    // (TESTDATA.md); the oracle hardcodes that key because DuckDB can't
+    // lazily iterate JSON keys the way Spark's explode(from_json MAP) does.
+    // If the fixture ever grows multi-key props, rewrite with a DuckDB
+    // json_each lateral — the Spark query is already key-generic.
     "generator_explode_map" ->
       """SELECT event_id, 'k' AS key, CAST(json_extract_string(props, '$.k') AS BIGINT) AS val FROM events ORDER BY event_id, key""",
+    // FIXTURE CONTRACT: each sf dir stores events as exactly one file named
+    // events.parquet, so input_file_name() yields one basename. A multi-file
+    // events table would need the oracle to list the glob instead.
     "scan_file_provenance" ->
       """SELECT 'events.parquet' AS file, count(*) AS cnt FROM events GROUP BY 1 ORDER BY file""",
     "setop_except_all" ->

@@ -114,18 +114,26 @@ case class ShingleHashes(child: Expression, shingleLen: Int)
 }
 
 object ShingleHashes {
-  def register(spark: org.apache.spark.sql.SparkSession, shingleLen: Int): Unit =
+  /** Registration is name-per-parameter (`graft_shingle_hashes_<len>`):
+    * `call_function` resolves at analysis time, not Column construction, so
+    * a single shared name would silently rebind earlier Columns to whatever
+    * shingleLen the most recent caller passed (and could shadow the
+    * GraftExtensions-injected len=3 SQL binding, which keeps the plain
+    * `graft_shingle_hashes` name).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession, shingleLen: Int): String = {
+    val name = s"graft_shingle_hashes_$shingleLen"
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_shingle_hashes",
+        name,
         exprs => ShingleHashes(exprs.head, shingleLen),
         "built-in")
+    name
+  }
 
   def shingleHashes(spark: org.apache.spark.sql.SparkSession, text: Column,
-      shingleLen: Int): Column = {
-    register(spark, shingleLen)
-    org.apache.spark.sql.functions.call_function("graft_shingle_hashes", text)
-  }
+      shingleLen: Int): Column =
+    org.apache.spark.sql.functions.call_function(register(spark, shingleLen), text)
 }
 
 /** 64-bit SimHash in one pass per row: per-token FNV-1a hash, ±1 votes per
@@ -191,22 +199,27 @@ object MinHashSignature {
   private[functions] val A: Array[Long] = Array.fill(256)(rng.nextLong() | 1L)
   private[functions] val B: Array[Long] = Array.fill(256)(rng.nextLong())
 
-  /** Register `graft_minhash(text)` in the session's function registry (the
-    * Column companion is private[sql] in Spark 4, so a registered builder +
-    * `call_function` is the public bridge from Expression to Column — and it
-    * makes the function available to SQL too).
+  /** Register `graft_minhash_<n>_<len>(text)` in the session's function
+    * registry (the Column companion is private[sql] in Spark 4, so a
+    * registered builder + `call_function` is the public bridge from
+    * Expression to Column — and it makes the function available to SQL too).
+    * Name-per-parameter for the same rebinding reason as
+    * [[ShingleHashes.register]]; the plain `graft_minhash` SQL name belongs
+    * to GraftExtensions (64 hashes, 3-shingles).
     */
   def register(spark: org.apache.spark.sql.SparkSession,
-      numHashes: Int, shingleLen: Int): Unit =
+      numHashes: Int, shingleLen: Int): String = {
+    val name = s"graft_minhash_${numHashes}_$shingleLen"
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_minhash",
+        name,
         exprs => MinHashSignature(exprs.head, numHashes, shingleLen),
         "built-in")
+    name
+  }
 
   def minhash(spark: org.apache.spark.sql.SparkSession, text: Column,
-      numHashes: Int, shingleLen: Int): Column = {
-    register(spark, numHashes, shingleLen)
-    org.apache.spark.sql.functions.call_function("graft_minhash", text)
-  }
+      numHashes: Int, shingleLen: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      register(spark, numHashes, shingleLen), text)
 }

@@ -200,6 +200,32 @@ object Scalars {
       .groupBy("file").agg(count(lit(1)).as("cnt"))
       .orderBy("file")
 
+  /** URL parsing/encoding scalars (parse_url / url_encode / url_decode) —
+    * the clickstream-normalization family (canonicalize landing URLs, split
+    * host/path, pull campaign params). URLs are synthesized deterministically
+    * from customer columns; the name travels url-encoded and is decoded back
+    * out of the parsed query param, closing the encode→embed→parse→decode
+    * loop in one plan. All codegen'd built-ins — no UDF.
+    *
+    * ORACLE CONTRACT: c_name is 'Customer#NNNNNNNNN' — '#' is the only
+    * character java.net.URLEncoder rewrites, so the DuckDB oracle (no
+    * url_encode in DuckDB 1.0) reproduces the encoding with
+    * replace(c_name,'#','%23') and parses with regexp_extract.
+    */
+  def scalarUrl(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        concat(lit("https://shop.example.com/seg/"), lower(col("c_mktsegment")),
+          lit("/profile?id="), col("c_custkey").cast("string"),
+          lit("&name="), url_encode(col("c_name"))).as("url"))
+      .select(col("c_custkey"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("id")).as("id_param"),
+        url_decode(parse_url(col("url"), lit("QUERY"), lit("name"))).as("name_decoded"))
+      .orderBy("c_custkey")
+
   /** Calendar arithmetic beyond scalar_date: month addition with end-of-month
     * clamping, last_day, quarter/day-of-year/ISO-week extraction.
     */

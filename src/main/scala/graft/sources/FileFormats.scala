@@ -30,10 +30,25 @@ object FileFormats {
   // re-writing a fresh temp dir each time.
   private val rtCache = new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
+  /** Temp dir whose tree is deleted at JVM exit — the memoized materialized
+    * copies outlive any one SparkSession by design (the caches are per-JVM),
+    * so cleanup belongs to the JVM, not the session.
+    */
+  private def exitCleanedTempDir(prefix: String): String = {
+    val path = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try {
+        import java.nio.file._
+        Files.walk(path).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }))
+    path.toString
+  }
+
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
     val base = eventsProjection(spark, dir)
     val out = rtCache.computeIfAbsent((dir, format), _ => {
-      val path = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
+      val path = exitCleanedTempDir(s"graft-$format")
       val writer = base.write.mode("overwrite")
       (if (format == "csv") writer.option("header", "true") else writer).format(format).save(path)
       path
@@ -68,11 +83,14 @@ object FileFormats {
       .orderBy("o_orderkey")
   }
 
-  /** Write (once per session+dir) orders partitioned by status; returns path. */
+  /** Write (once per JVM+dir — the cache key is the source dir, and the
+    * written files outlive any single session) orders partitioned by status;
+    * returns path. Cleaned at JVM exit like the round-trip dirs.
+    */
   private val partCache = new java.util.concurrent.ConcurrentHashMap[String, String]
   private[graft] def partitionedOrders(spark: SparkSession, dir: String): String =
     partCache.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val out = exitCleanedTempDir("graft-part")
       t(spark, dir, "orders")
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
       out

@@ -85,6 +85,68 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** MERGE-style upsert sink via foreachBatch: each micro-batch UPDATES rows
+    * whose key already exists in the sink and INSERTS the rest — the loader
+    * contract one step past [[dedupAppendSink]]'s insert-only dedup, for
+    * sources whose re-delivered boundary rows may carry *changed* payloads
+    * (the reference re-extracts the inclusive watermark row every run,
+    * __init__.py:89; if that row was updated in place upstream, append-dedup
+    * would keep the stale version).
+    *
+    * Merge semantics: within a batch the newest row per key wins (greatest
+    * `versionCol`, deterministic); against the sink, matched keys are
+    * replaced, unmatched sink rows survive. The rewritten sink is staged to
+    * a sibling directory and swapped in with a filesystem rename, so readers
+    * never observe a half-written sink; a replayed batch (foreachBatch
+    * re-runs after failure with the same batchId) merges to the identical
+    * result — upsert is idempotent by construction.
+    *
+    * Scale note: this plain-parquet form rewrites the whole sink per batch —
+    * correct, but O(sink) writes. At 100 TB the same foreachBatch shape
+    * targets a transactional table format's MERGE INTO (Delta/Iceberg/Hudi),
+    * or a sink partitioned on a key prefix with dynamic partition overwrite
+    * so only partitions containing matched keys rewrite. The batch-side
+    * logic — latest-per-key then key-matched replacement — is unchanged.
+    */
+  def upsertSink(
+      stream: DataFrame,
+      keyCol: String,
+      versionCol: String,
+      sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCol).orderBy(col(versionCol).desc)
+        val latest = batch.toDF()
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+        val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        val merged =
+          if (hasData)
+            spark.read.parquet(sinkDir)
+              .join(latest.select(keyCol), Seq(keyCol), "left_anti")
+              .unionByName(latest)
+          else latest
+        // Stage-then-rename: the staging write reads the live sink, so the
+        // swap happens only after the merged copy is fully durable.
+        val staging = new org.apache.hadoop.fs.Path(s"$sinkDir.staging-$batchId")
+        merged.write.mode("overwrite").parquet(staging.toString)
+        fs.delete(sinkPath, true)
+        if (!fs.rename(staging, sinkPath))
+          throw new java.io.IOException(s"rename $staging -> $sinkPath failed")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming dedup within the watermark horizon: the stateful, streaming
     * counterpart of [[dedupAppendSink]]'s anti-join — re-delivered rows (the
     * reference's inclusive-watermark boundary re-read, __init__.py:89) are

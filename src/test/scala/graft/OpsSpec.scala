@@ -194,6 +194,35 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)), "unrelated vector matched")
   }
 
+  test("scalar_url: encode→embed→parse→decode closes for charsets beyond the fixture") {
+    import spark.implicits._
+    // The driver oracle covers the fixture ('#' only); pin the loop for the
+    // characters a real URL pipeline hits: spaces ('+' in form encoding),
+    // '&', '=', '%', unicode.
+    val names = Seq("a b c", "x&y=z", "100%", "émile", "plain")
+    val got = names.toDF("name")
+      .select(col("name"),
+        url_decode(parse_url(
+          concat(lit("https://h.example/p?n="), url_encode(col("name"))),
+          lit("QUERY"), lit("n"))).as("roundtrip"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (orig, rt) => assert(rt == orig, s"'$orig' -> '$rt'") }
+    // Parse pieces on a fully-loaded URL.
+    val parts = Seq("https://user.host.example:8443/a/b/c?x=1&y=2#frag").toDF("url")
+      .select(
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("REF")).as("ref"),
+        parse_url(col("url"), lit("QUERY"), lit("y")).as("y"))
+      .head()
+    assert(parts.getString(0) == "user.host.example")
+    assert(parts.getString(1) == "/a/b/c")
+    assert(parts.getString(2) == "x=1&y=2")
+    assert(parts.getString(3) == "frag")
+    assert(parts.getString(4) == "2")
+  }
+
   test("udf_slugify matches built-in equivalent") {
     val viaUdf = graft.udf.StableAgg.udfSlugify(spark, sf).collect().toSeq
     val viaBuiltins = Tables.t(spark, sf, "customer")
