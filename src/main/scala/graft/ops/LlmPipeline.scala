@@ -104,16 +104,21 @@ object LlmPipeline {
   }
 
   /** LSH-banded near-dup candidate pairs from (doc_id, sig) signatures:
-    * explode 16 bands → bucket = hash(band slice) → per-bucket pair
-    * generation → distinct. Band buckets carry only (doc_id, band, bucket) —
-    * signatures don't travel through the candidate-generation shuffle, and
-    * the (band, bucket) equi-join is the only shuffle.
+    * explode 16 bands → bucket = hash(band slice) → ONE
+    * `groupBy(band, bucket)` collecting the sorted member list → per-bucket
+    * pair generation with array HOFs → distinct. Band buckets carry only
+    * (doc_id, band, bucket) — signatures don't travel, and candidate
+    * generation is a single shuffle (the earlier window + self-join form
+    * re-shuffled the same key three times and cost 2× on the bench).
     *
-    * Pair generation is guarded by [[MaxAllPairsBucket]]: small buckets
-    * self-join into all pairs; oversized (hot) buckets star-link members to
-    * the bucket's min doc_id, bounding a b-doc bucket at b-1 pairs. Bucket
-    * size and representative come from one window over the same
-    * (band, bucket) key the join shuffles on — no extra shuffle stage.
+    * Pair generation is guarded by [[MaxAllPairsBucket]]: small buckets emit
+    * all pairs (sorted list ⇒ doc_a < doc_b by construction); oversized
+    * (hot) buckets star-link members to the bucket's min doc_id, bounding a
+    * b-doc bucket at b−1 pairs. The collect_list state per bucket is the
+    * member-id array — O(bucket size) longs, the quantity banding already
+    * bounds, and the worst degenerate bucket costs b ids in one row rather
+    * than b² join output.
+    *
     * Exposed private[graft] so the adversarial spec can drive it with a
     * synthetic all-identical corpus.
     */
@@ -122,18 +127,22 @@ object LlmPipeline {
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bucket"))
-    val wB = Window.partitionBy("band", "bucket")
-    val stats = banded
-      .withColumn("bsz", count(lit(1)).over(wB))
-      .withColumn("rep", min(col("doc_id")).over(wB))
-    val small = stats.filter(col("bsz") <= MaxAllPairsBucket)
-      .select(col("band"), col("bucket"), col("doc_id"))
-    val smallPairs = small.as("x").join(small.as("y"), Seq("band", "bucket"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-    val hotPairs = stats.filter(col("bsz") > MaxAllPairsBucket && col("doc_id") =!= col("rep"))
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    smallPairs.union(hotPairs).distinct()
+    val ms = col("ms")
+    val n = size(ms)
+    // All (i < j) pairs of the sorted member list; per-bucket work is
+    // ≤ C(MaxAllPairsBucket, 2) interpreted-lambda struct builds — bounded
+    // and tiny next to a shuffle.
+    val allPairs = flatten(transform(ms, (x, i) =>
+      transform(slice(ms, i + lit(2), greatest(n - i - 1, lit(0))),
+        y => struct(x.as("a"), y.as("b")))))
+    val starPairs = transform(slice(ms, lit(2), n - 1),
+      y => struct(element_at(ms, 1).as("a"), y.as("b")))
+    banded.groupBy("band", "bucket")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ms"))
+      .filter(n >= 2)
+      .select(explode(when(n <= MaxAllPairsBucket, allPairs).otherwise(starPairs)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .distinct()
   }
 
   def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
