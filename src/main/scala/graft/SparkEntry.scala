@@ -212,6 +212,8 @@ object SparkEntry {
     // LLM-data-pipeline extensions
     "dedup_exact" -> (LlmPipeline.dedupExact _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
+    "dedup_clusters" -> (LlmPipeline.dedupClusters _),
+    "sim_knn_join" -> ((s: SparkSession, d: String) => LlmPipeline.simKnnJoin(s, d)),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "curation_pipeline" -> (LlmPipeline.curationPipeline _),
     "dedup_near_embedding" -> ((s, d) => LlmPipeline.dedupNearEmbedding(s, d, threshold = -1.0)),

@@ -4,6 +4,7 @@ import graft.Tables.t
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Large-scale training-data pipeline operators (north star:
   * BASELINE.json "north_star"): deduplication, similarity search, and text
@@ -159,6 +160,55 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the verified near-dup graph: turns pairwise
+    * matches into dedup DECISIONS — every document labeled with its
+    * component's min doc_id, so "keep one per cluster" is `label == doc_id`
+    * and transitive duplicates (a~b, b~c, a≁c) collapse to one
+    * representative, which pairwise anti-joins alone cannot guarantee.
+    *
+    * Algorithm: iterative min-label propagation. Each round every node
+    * adopts the minimum label in its closed neighborhood (undirected edges +
+    * self-loop); converges in O(eccentricity of the component min) rounds —
+    * near-dup graphs are dense clique/star blobs, 2–3 rounds in practice —
+    * and each round is ONE shuffle (edge join + min-aggregate). The driver
+    * loop is control flow only: a per-round emptiness probe of the changed
+    * set, the same shape Pregel/GraphX runs. Labels persist per round and
+    * the previous round unpersists; at production scale add periodic
+    * `localCheckpoint` to truncate lineage, and the large-star/small-star
+    * variant if a component's diameter ever outgrows the round cap.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNearMinhash(spark, dir).select("doc_a", "doc_b")
+    val nodes = t(spark, dir, "documents").select(col("doc_id"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val MaxRounds = 20
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      val next = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $MaxRounds rounds")
+    edges.unpersist()
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram (word-shingle) Jaccard over the LSH candidate pairs: the
     * verify-stage of a production dedup — MinHash banding proposes, exact
     * Jaccard disposes. Shingle sets travel as distinct 64-bit hashes
@@ -240,6 +290,34 @@ object LlmPipeline {
   // form (aggregate ∘ zip_with) evaluates interpreted per element and was the
   // hotspot of every similarity operator. Same semantics, same left-fold
   // accumulation order — bit-identical doubles.
+  /** k-NN JOIN: every probe vector gets its k nearest corpus neighbors by
+    * cosine — the batch form of similarity search (link a query set to a
+    * corpus), vs [[simTopkCosine]]'s single probe. The probe side is small
+    * by nature (a query/eval set), so it broadcasts: the corpus scans ONCE,
+    * scoring each row against all probes partition-locally with the
+    * codegen'd `graft_dot`, and never shuffles its vectors. Per-probe top-k
+    * is `row_number` over (probe) ordered by cosine — Spark's
+    * WindowGroupLimit pushes the `rk <= k` bound below the exchange, so each
+    * partition ships only its local top-k candidates per probe
+    * (plan-asserted in PlanShapeSpec for this window+filter shape): the
+    * shuffle is O(partitions · probes · k), independent of corpus size. For
+    * a probe side too big to broadcast, compose with the IVF cell prune
+    * ([[simTopkIvf]]) instead of the broadcast.
+    */
+  def simKnnJoin(spark: SparkSession, dir: String, k: Int = 3, nProbes: Int = 20): DataFrame = {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val cos = dot(spark, col("embedding"), col("pvec")) /
+      (l2(spark, col("embedding")) * l2(spark, col("pvec")))
+    val scored = emb.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("probe_id", "rk")
+  }
+
   private def dot(spark: SparkSession, a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(spark, a, b)
 

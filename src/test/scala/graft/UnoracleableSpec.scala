@@ -61,7 +61,16 @@ class UnoracleableSpec extends SparkSpec {
     "curation_pipeline" -> Pin(
       "composes the seed-dependent near-dup stage",
       "UnoracleableSpec", Seq(
-        "curation_pipeline invariants: unique survivors, losers dropped, quality gate honored")))
+        "curation_pipeline invariants: unique survivors, losers dropped, quality gate honored")),
+    "dedup_clusters" -> Pin(
+      "connected components over the seed-dependent near-dup graph",
+      "UnoracleableSpec", Seq(
+        "dedup_clusters equals driver-side union-find over the verified pairs",
+        "dedup_clusters: star-linked hot bucket still collapses to ONE component")),
+    "sim_knn_join" -> Pin(
+      "float cosine folds diverge across engines (same kernel as sim_topk_cosine)",
+      "UnoracleableSpec", Seq(
+        "sim_knn_join matches driver-side brute force for every probe")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -72,6 +81,75 @@ class UnoracleableSpec extends SparkSpec {
       "UnoracleableSpec" -> this.testNames)
     for ((q, pin) <- pins; t <- pin.tests)
       assert(suites(pin.suite).contains(t), s"$q pins missing test '$t' in ${pin.suite}")
+  }
+
+  test("dedup_clusters equals driver-side union-find over the verified pairs") {
+    val pairs = LlmPipeline.dedupNearMinhash(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ids = Tables.t(spark, sf, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+
+    // Reference union-find on the driver.
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    for ((a, b) <- pairs) parent(find(a)) = find(b)
+    val expected = ids.map(i =>
+      i -> ids.filter(j => find(j) == find(i)).min).toMap
+    val expSizes = expected.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+
+    val got = LlmPipeline.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == ids.length, "every document must be labeled")
+    for ((id, cluster, size) <- got) {
+      assert(cluster == expected(id), s"doc $id: cluster $cluster != ${expected(id)}")
+      assert(size == expSizes(cluster), s"doc $id: size $size != ${expSizes(cluster)}")
+    }
+  }
+
+  test("dedup_clusters: star-linked hot bucket still collapses to ONE component") {
+    // The hot-bucket guard emits only representative-anchored pairs for an
+    // oversized bucket; clustering must still unite ALL members — the
+    // precise claim behind the guard's "dedup costs nothing" recall trade.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, base, "en", s"s$i", base.length.toLong)) ++
+      Seq((900L, (100 until 140).map(i => s"other$i").mkString(" "), "en", "sx", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dupCluster = got.filter(_._1 < 200L)
+    assert(dupCluster.forall(_._2 == 0L), "all 200 identical docs must share cluster 0")
+    assert(dupCluster.forall(_._3 == 200L))
+    val loner = got.find(_._1 == 900L).get
+    assert(loner._2 == 900L && loner._3 == 1L, s"unrelated doc must be a singleton: $loner")
+  }
+
+  test("sim_knn_join matches driver-side brute force for every probe") {
+    val k = 3
+    val vecs = Tables.t(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = LlmPipeline.simKnnJoin(spark, sf, k = k, nProbes = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.map(_._1).distinct.length == 20, "every probe must emit neighbors")
+    for ((probe, rows) <- got.groupBy(_._1)) {
+      assert(rows.length == k)
+      val expect = vecs.toSeq.filter(_._1 != probe)
+        .map { case (id, v) => (id, cos(vecs(probe), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(k)
+      for (((_, gid, gcos, grk), (eid, ecos)) <- rows.sortBy(_._4).zip(expect)) {
+        assert(gid == eid, s"probe $probe rank $grk: $gid != $eid")
+        assert(math.abs(gcos - ecos) < 1e-9)
+      }
+    }
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
