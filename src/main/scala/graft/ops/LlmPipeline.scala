@@ -180,11 +180,23 @@ object LlmPipeline {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNearMinhash(spark, dir).select("doc_a", "doc_b")
     val nodes = t(spark, dir, "documents").select(col("doc_id"))
+    // Propagation runs ONLY over nodes that appear in some pair: a dedup
+    // corpus is overwhelmingly singletons, which are their own (size-1)
+    // clusters by definition — excluding them shrinks every round's shuffle
+    // from O(corpus) to O(paired docs) and they rejoin as self-labels at the
+    // end. Self-loops on paired nodes keep each node's own id in its
+    // closed-neighborhood min.
+    // Persisted: paired sits in the lineage of edges, round-0 labels AND the
+    // final singleton anti-join — unpersisted, each of those re-runs the
+    // whole MinHash candidate pipeline (measured 3× the query time).
+    val paired = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .union(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .union(paired.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    var labels = paired.select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val MaxRounds = 20
     var round = 0
@@ -203,8 +215,11 @@ object LlmPipeline {
     }
     require(converged, s"label propagation did not converge in $MaxRounds rounds")
     edges.unpersist()
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    val singletons = nodes.join(paired, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    val all = labels.union(singletons)
+    val sizes = all.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster"), col("cluster_size"))
       .orderBy("doc_id")
   }
