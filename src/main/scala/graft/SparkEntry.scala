@@ -169,6 +169,8 @@ object SparkEntry {
     "scalar_try_safe" -> (Scalars.scalarTrySafe _),
     "scalar_levenshtein" -> (Scalars.scalarLevenshtein _),
     "scalar_url" -> (Scalars.scalarUrl _),
+    "scalar_interval" -> (Scalars.scalarInterval _),
+    "agg_mode" -> (Relational.aggMode _),
     "scalar_array_extras" -> (Scalars.scalarArrayExtras _),
     "generator_explode_map" -> (Scalars.generatorExplodeMap _),
     "scan_file_provenance" -> (Scalars.scanFileProvenance _),
@@ -373,6 +375,10 @@ object SparkEntry {
     // DuckDB 1.0).
     "scalar_url" ->
       """WITH u AS (SELECT c_custkey, c_name, 'https://shop.example.com/seg/' || lower(c_mktsegment) || '/profile?id=' || CAST(c_custkey AS VARCHAR) || '&name=' || replace(c_name, '#', '%23') AS url FROM customer) SELECT c_custkey, url, regexp_extract(url, '^https://([^/]+)', 1) AS host, regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path, regexp_extract(url, '\?(.*)$', 1) AS query, regexp_extract(url, '[?&]id=([^&]*)', 1) AS id_param, c_name AS name_decoded FROM u ORDER BY c_custkey""",
+    "scalar_interval" ->
+      """SELECT o_orderkey, CAST(date_diff('day', o_orderdate, DATE '1998-12-01') AS BIGINT) AS age_days, CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) AS due30, CAST(CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS VARCHAR) AS minus7, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start FROM orders ORDER BY o_orderkey""",
+    "agg_mode" ->
+      """SELECT bucket, event_type AS mode_event, mode_cnt FROM (SELECT user_id % 10 AS bucket, event_type, count(*) AS mode_cnt, row_number() OVER (PARTITION BY user_id % 10 ORDER BY count(*) DESC, event_type) AS rk FROM events GROUP BY 1, 2) WHERE rk = 1 ORDER BY bucket""",
     "scalar_array_extras" ->
       """SELECT vec_id, CAST(len(flatten([embedding, embedding])) AS BIGINT) AS flat_len, list_reverse(embedding)[1] AS rev_first, embedding[64] AS last_elem FROM embeddings ORDER BY vec_id""",
     // FIXTURE CONTRACT: events.props is a single-key JSON object {"k": n}

@@ -658,6 +658,23 @@ object Relational {
       .withColumn("avg_qty", floor((col("sum_qty") / col("cnt")) * 100 + 0.5) / 100.0)
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Deterministic MODE (most frequent value per group): two-phase count then
+    * per-group argmax with an explicit tiebreak (highest count, then smallest
+    * value) — built-in `mode()` is tie-nondeterministic in both engines, so
+    * the portable form is count + WindowGroupLimit'd row_number, which also
+    * map-side-combines the count where `mode()`'s value buffer cannot.
+    */
+  def aggMode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("bucket").orderBy(col("cnt").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("bucket"), col("event_type").as("mode_event"), col("cnt").as("mode_cnt"))
+      .orderBy("bucket")
+  }
+
   /** Exact distinct count — expands to a two-phase aggregate (partial distinct
     * per partition, then merge) under Catalyst.
     */

@@ -226,6 +226,20 @@ object Scalars {
         url_decode(parse_url(col("url"), lit("QUERY"), lit("name"))).as("name_decoded"))
       .orderBy("c_custkey")
 
+  /** Day-granular interval arithmetic: datediff against an anchor date,
+    * date_add/date_sub offsets, month truncation — the retention/cohort
+    * scalar family. Month-fraction arithmetic (months_between) is excluded
+    * on purpose: it returns engine-specific fractional conventions.
+    */
+  def scalarInterval(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"),
+        datediff(lit("1998-12-01").cast("date"), col("o_orderdate")).cast("long").as("age_days"),
+        date_add(col("o_orderdate"), 30).cast("string").as("due30"),
+        date_sub(col("o_orderdate"), 7).cast("string").as("minus7"),
+        trunc(col("o_orderdate"), "month").cast("string").as("month_start"))
+      .orderBy("o_orderkey")
+
   /** Calendar arithmetic beyond scalar_date: month addition with end-of-month
     * clamping, last_day, quarter/day-of-year/ISO-week extraction.
     */

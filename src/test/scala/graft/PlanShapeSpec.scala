@@ -102,6 +102,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("sim_knn_join plans broadcast probes + partial top-k below the exchange") {
+    val p = graft.ops.LlmPipeline.simKnnJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Probe side broadcasts (the corpus never shuffles its vectors)...
+    assert(p.contains("BroadcastNestedLoopJoin"), s"probe side must broadcast:\n$p")
+    // ...and the rank<=k filter is pushed to a per-partition Partial
+    // WindowGroupLimit, so the exchange carries O(partitions·probes·k) rows.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"partial window group limit missing:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
