@@ -146,19 +146,34 @@ object LlmPipeline {
       .distinct()
   }
 
-  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** Confirmed near-dup pairs (est_jaccard ≥ 0.5), persisted + memoized per
+    * (session, dir) like the signatures: the pair table is tiny (dup rate ×
+    * corpus) but three operators consume it (`dedup_near_minhash`,
+    * `curation_pipeline`, `dedup_clusters`) — unshared, each re-ran band
+    * explode + bucket shuffle + verify join.
+    */
+  private def confirmedPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Resolve the candidates BEFORE entering computeIfAbsent: both memoize on
+    // the same ConcurrentHashMap, and a nested computeIfAbsent on one map is
+    // an IllegalStateException ("recursive update").
     val (sigs, cands) = minhashCandidates(spark, dir)
-    // Re-attach signatures only for the (few) surviving candidates, then
-    // estimate Jaccard as the fraction of agreeing signature positions.
-    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    cands.join(sa, "doc_a").join(sb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
-          / lit(NumHashes.toDouble)).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+    graft.Tables.sessionCache(minhashCache, spark).computeIfAbsent((dir, "confirmed"), _ => {
+      // Re-attach signatures only for the (few) surviving candidates, then
+      // estimate Jaccard as the fraction of agreeing signature positions.
+      val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      val confirmed = cands.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+            / lit(NumHashes.toDouble)).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (confirmed, confirmed)
+    })._1
   }
+
+  def dedupNearMinhash(spark: SparkSession, dir: String): DataFrame =
+    confirmedPairs(spark, dir).orderBy("doc_a", "doc_b")
 
   /** Connected components over the verified near-dup graph: turns pairwise
     * matches into dedup DECISIONS — every document labeled with its
@@ -178,7 +193,7 @@ object LlmPipeline {
     * variant if a component's diameter ever outgrows the round cap.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNearMinhash(spark, dir).select("doc_a", "doc_b")
+    val pairs = confirmedPairs(spark, dir).select("doc_a", "doc_b")
     val nodes = t(spark, dir, "documents").select(col("doc_id"))
     // Propagation runs ONLY over nodes that appear in some pair: a dedup
     // corpus is overwhelmingly singletons, which are their own (size-1)
@@ -397,7 +412,7 @@ object LlmPipeline {
     */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
     val survivorsExact = dedupExact(spark, dir).select("doc_id")
-    val nearLosers = dedupNearMinhash(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+    val nearLosers = confirmedPairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()
     val quality = textQuality(spark, dir)
     quality
       .join(survivorsExact, Seq("doc_id"), "left_semi")
