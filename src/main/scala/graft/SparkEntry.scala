@@ -215,6 +215,7 @@ object SparkEntry {
     "dedup_exact" -> (LlmPipeline.dedupExact _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
     "dedup_clusters" -> (LlmPipeline.dedupClusters _),
+    "dedup_simhash" -> ((s: SparkSession, d: String) => LlmPipeline.dedupSimhash(s, d)),
     "sim_knn_join" -> ((s: SparkSession, d: String) => LlmPipeline.simKnnJoin(s, d)),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "curation_pipeline" -> (LlmPipeline.curationPipeline _),

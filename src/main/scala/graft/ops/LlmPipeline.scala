@@ -128,11 +128,24 @@ object LlmPipeline {
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bucket"))
+    bucketedPairs(banded)
+  }
+
+  /** Candidate pairs from a (doc_id, band, bucket) banding — the shared
+    * guts of every banded-LSH family (MinHash bands here, SimHash chunks in
+    * [[dedupSimhash]]): ONE `groupBy(band, bucket)` collecting the sorted
+    * member list, then per-bucket pair generation with array HOFs. All (i<j)
+    * pairs of the sorted list for small buckets (so doc_a < doc_b by
+    * construction; ≤ C(MaxAllPairsBucket, 2) interpreted-lambda struct
+    * builds per bucket — bounded and tiny next to a shuffle); hot buckets
+    * star-link to the bucket min, bounding a b-doc bucket at b−1 pairs. The
+    * collect_list state per bucket is the member-id array — O(bucket size)
+    * longs, the quantity banding already bounds, and the worst degenerate
+    * bucket costs b ids in one row rather than b² join output.
+    */
+  private def bucketedPairs(banded: DataFrame): DataFrame = {
     val ms = col("ms")
     val n = size(ms)
-    // All (i < j) pairs of the sorted member list; per-bucket work is
-    // ≤ C(MaxAllPairsBucket, 2) interpreted-lambda struct builds — bounded
-    // and tiny next to a shuffle.
     val allPairs = flatten(transform(ms, (x, i) =>
       transform(slice(ms, i + lit(2), greatest(n - i - 1, lit(0))),
         y => struct(x.as("a"), y.as("b")))))
@@ -144,6 +157,34 @@ object LlmPipeline {
       .select(explode(when(n <= MaxAllPairsBucket, allPairs).otherwise(starPairs)).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs: the third dedup family (exact hash / shingle
+    * Jaccard / bit-fingerprint hamming). Candidates by PIGEONHOLE banding of
+    * the 64-bit [[graft.functions.SimHash64]] fingerprint into 4 disjoint
+    * 16-bit chunks: two fingerprints within hamming distance 3 differ in at
+    * most 3 chunks, so they MUST agree on at least one — sharing any
+    * (chunk-index, chunk-value) bucket is a complete candidate generator for
+    * maxHamming ≤ 3 (no recall loss below the hot-bucket cap, unlike
+    * MinHash's probabilistic S-curve). Verification is
+    * `bit_count(fp_a XOR fp_b) <= maxHamming` — pure codegen'd bit ops; only
+    * (doc_id, chunk) rows shuffle, fingerprints re-attach for candidates.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fp = t(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.SimHash64.simhash(spark, col("text")).as("fp"))
+    val chunks = array((0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftrightunsigned(col("fp"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bucket"))): _*)
+    val banded = fp.select(col("doc_id"), explode(chunks).as("bc"))
+      .select(col("doc_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val fa = fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val fb = fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    bucketedPairs(banded).join(fa, "doc_a").join(fb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Confirmed near-dup pairs (est_jaccard ≥ 0.5), persisted + memoized per

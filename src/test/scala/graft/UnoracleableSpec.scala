@@ -70,7 +70,11 @@ class UnoracleableSpec extends SparkSpec {
     "sim_knn_join" -> Pin(
       "float cosine folds diverge across engines (same kernel as sim_topk_cosine)",
       "UnoracleableSpec", Seq(
-        "sim_knn_join matches driver-side brute force for every probe")))
+        "sim_knn_join matches driver-side brute force for every probe")),
+    "dedup_simhash" -> Pin(
+      "SimHash64 fingerprints are this engine's own hash kernel",
+      "UnoracleableSpec", Seq(
+        "dedup_simhash: pigeonhole banding is complete for hamming <= 3 (vs brute force)")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -150,6 +154,38 @@ class UnoracleableSpec extends SparkSpec {
         assert(math.abs(gcos - ecos) < 1e-9)
       }
     }
+  }
+
+  test("dedup_simhash: pigeonhole banding is complete for hamming <= 3 (vs brute force)") {
+    // Synthetic corpus with real near-duplicates: a base doc, single-token
+    // edits of it (small hamming), and unrelated docs. Groups stay below the
+    // hot-bucket cap, so the pigeonhole guarantee (hamming<=3 ⇒ one shared
+    // 16-bit chunk) must make the bucketed candidates EXACTLY the brute-force
+    // pair set — completeness, not just precision.
+    val dir = java.nio.file.Files.createTempDirectory("graft-simdedup").toString
+    import spark.implicits._
+    val base = (0 until 60).map(i => s"tok$i")
+    val docs =
+      (0 until 6).map(i => (i.toLong, base.mkString(" "))) ++                 // identical
+      (6 until 12).map(i => (i.toLong, base.updated(7, s"edit$i").mkString(" "))) ++ // 1-token edits
+      (12 until 20).map(i => (i.toLong, (0 until 60).map(j => s"u${i}_$j").mkString(" ")))
+    docs.map { case (id, text) => (id, text, "en", s"s$id", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val fps = LlmPipeline.textFingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = fps.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(brute.nonEmpty, "fixture must contain close fingerprints")
+
+    val got = LlmPipeline.dedupSimhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute,
+      s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
