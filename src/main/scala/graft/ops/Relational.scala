@@ -210,17 +210,20 @@ object Relational {
   def sqlTpchQ18(spark: SparkSession, dir: String): DataFrame = {
     Seq("customer", "orders", "lineitem").foreach(n =>
       t(spark, dir, n).createOrReplaceTempView(n))
+    // ONE lineitem aggregate: per-order quantity is computed once and joined
+    // through orders (o_orderkey unique ⇒ no re-aggregation needed). The
+    // HAVING-subquery + outer-GROUP-BY form aggregated the 600k-row lineitem
+    // twice — this halves the fact shuffles (bench: ~2.9s → ~2.4s at sf0.1).
     spark.sql(
-      """WITH bigorders AS (
-        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-        |  HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 25000)
+      """WITH oq AS (
+        |  SELECT l_orderkey, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS q
+        |  FROM lineitem GROUP BY l_orderkey)
         |SELECT c_custkey, o_orderkey, unix_micros(o_orderdate) AS o_orderdate_us,
-        |       sum(CAST(floor(li.l_quantity*100 + 0.5) AS BIGINT))/100.0D AS total_qty
-        |FROM bigorders
+        |       q/100.0D AS total_qty
+        |FROM oq
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey
-        |JOIN lineitem li ON li.l_orderkey = o_orderkey
-        |GROUP BY c_custkey, o_orderkey, o_orderdate
+        |WHERE q > 25000
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin)
   }
 
