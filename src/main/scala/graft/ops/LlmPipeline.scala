@@ -465,13 +465,28 @@ object LlmPipeline {
 
   // ---------------------------------------------------------------- text analysis
 
+  /** Tokenized term table (doc_id, lang, term), persisted + memoized per
+    * (session, dir): four text operators explode the same whitespace split —
+    * sharing the materialized token table (the production pattern: tokenize
+    * once, every downstream aggregate reads the token column) replaces four
+    * repeated explode scans with one.
+    */
+  private val termsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  private def docTerms(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.sessionCache(termsCache, spark).computeIfAbsent((dir, "terms"), _ =>
+      t(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** Per-language top-5 terms by frequency: explode → two-phase count →
     * per-key top-k window. The generator (`explode`) is the engine's UDTF story.
     */
   def textTokenizeTf(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
-    t(spark, dir, "documents")
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    docTerms(spark, dir)
       .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -506,7 +521,7 @@ object LlmPipeline {
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val n = docs.count()
-    val tf = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = docTerms(spark, dir).select(col("doc_id"), col("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
@@ -570,8 +585,7 @@ object LlmPipeline {
     * tolerance against exact counts.
     */
   def textHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val terms = t(spark, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("term"))
+    val terms = docTerms(spark, dir).select("term")
     val cms = terms.stat.countMinSketch("term", eps = 0.0001, confidence = 0.99, seed = 42)
     // Candidate terms from a cheap fixed-seed sample — NEVER from an exact
     // full-vocabulary count, which is the shuffle the sketch exists to
@@ -599,8 +613,7 @@ object LlmPipeline {
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
-    val topTerms = docs
-      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+    val topTerms = docTerms(spark, dir)
       .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 20)
