@@ -216,6 +216,7 @@ object SparkEntry {
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
     "dedup_clusters" -> (LlmPipeline.dedupClusters _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => LlmPipeline.dedupSimhash(s, d)),
+    "text_rolling_fingerprint" -> (LlmPipeline.textRollingFingerprint _),
     "sim_knn_join" -> ((s: SparkSession, d: String) => LlmPipeline.simKnnJoin(s, d)),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "curation_pipeline" -> (LlmPipeline.curationPipeline _),

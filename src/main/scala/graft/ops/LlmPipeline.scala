@@ -355,6 +355,22 @@ object LlmPipeline {
         graft.functions.SimHash64.simhash(spark, col("text")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Content-defined rolling-hash fingerprint per document (the
+    * substring-level dedup primitive — see [[graft.functions.RollingFingerprint]]):
+    * anchor count plus an order-independent XOR digest of the anchor set.
+    * Emitting (count, digest) keeps the query output scalar while the full
+    * anchor array remains available to bucket-join exactly like shingle
+    * hashes for containment detection.
+    */
+  def textRollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingFingerprint.rollingFingerprint(spark, col("text")).as("anchors"))
+      .select(col("doc_id"),
+        size(col("anchors")).cast("long").as("n_anchors"),
+        aggregate(col("anchors"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("digest"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- similarity
 
   // Native codegen'd dot product ([[graft.functions.DotProduct]]): the HOF

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Proves the library's one-line install path in-suite: a FRESH session built
   * with `spark.sql.extensions=graft.GraftExtensions` (extensions bind at
   * session construction, so the shared [[SparkSpec]] session cannot carry
-  * them) gets the optimizer rule and all five SQL functions with zero Scala
+  * them) gets the optimizer rule and all six SQL functions with zero Scala
   * imports — the contract a spark-submit user relies on. Complements
   * [[graft.ExtensionsDemo]], which proves the same from a standalone main.
   *
@@ -18,7 +18,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("spark.sql.extensions=graft.GraftExtensions injects the rule + all 5 SQL functions") {
+  test("spark.sql.extensions=graft.GraftExtensions injects the rule + all 6 SQL functions") {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -39,11 +39,13 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT size(graft_minhash(text))       AS mh_len,
           |       size(graft_shingle_hashes(text)) AS sh_len,
           |       graft_token_count(text)          AS toks,
-          |       graft_simhash(text)              AS sim
+          |       graft_simhash(text)              AS sim,
+          |       size(graft_rolling_fp(text))     AS rfp_len
           |FROM documents WHERE doc_id = 0""".stripMargin).head()
       assert(row.getAs[Int]("mh_len") == 64)
       assert(row.getAs[Int]("sh_len") > 0)
       assert(row.getAs[Long]("toks") > 0L)
+      assert(row.getAs[Int]("rfp_len") >= 0)
       val dot = s.sql(
         "SELECT graft_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
         .head().getDouble(0)

@@ -74,7 +74,11 @@ class UnoracleableSpec extends SparkSpec {
     "dedup_simhash" -> Pin(
       "SimHash64 fingerprints are this engine's own hash kernel",
       "UnoracleableSpec", Seq(
-        "dedup_simhash: pigeonhole banding is complete for hamming <= 3 (vs brute force)")))
+        "dedup_simhash: pigeonhole banding is complete for hamming <= 3 (vs brute force)")),
+    "text_rolling_fingerprint" -> Pin(
+      "rolling-hash anchors are this engine's own hash kernel",
+      "UnoracleableSpec", Seq(
+        "rolling fingerprint: content-defined anchors survive a prefix edit; fixed chunks would not")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -186,6 +190,35 @@ class UnoracleableSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute,
       s"missing: ${(brute -- got).take(5)}; extra: ${(got -- brute).take(5)}")
+  }
+
+  test("rolling fingerprint: content-defined anchors survive a prefix edit; fixed chunks would not") {
+    import spark.implicits._
+    import graft.functions.RollingFingerprint.rollingFingerprint
+    val body = (0 until 400).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, body),                       // original
+      (1L, body),                       // exact duplicate
+      (2L, "PREFIX INSERTED HERE " + body), // shifted copy (containment case)
+      (3L, (1000 until 1400).map(i => s"z$i").mkString(" "))) // unrelated
+    val fps = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), rollingFingerprint(spark, col("text")).as("a"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+
+    assert(fps(0L).nonEmpty, "anchor rate 1/64 must fire on a ~2.5k-char doc")
+    assert(fps(0L) == fps(1L), "identical text must fingerprint identically")
+    // The shifted copy shares nearly all anchors — only windows overlapping
+    // the inserted prefix change. Fixed-offset chunking would share none.
+    val shared = (fps(0L) & fps(2L)).size.toDouble / fps(0L).size
+    assert(shared >= 0.9, s"content-defined anchors must survive the shift: $shared")
+    // Unrelated content shares (essentially) nothing.
+    assert((fps(0L) & fps(3L)).isEmpty, "unrelated docs must not collide")
+
+    // The registered query emits a deterministic scalar digest of the set.
+    val q = LlmPipeline.textRollingFingerprint(spark, sf).collect()
+    assert(q.length == Tables.t(spark, sf, "documents").count())
+    val again = LlmPipeline.textRollingFingerprint(spark, sf).collect()
+    assert(q.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "digest must be deterministic")
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
