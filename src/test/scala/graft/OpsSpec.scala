@@ -301,7 +301,8 @@ class OpsSpec extends SparkSpec {
     for (name <- Seq("dedup_near_minhash", "sim_topk_cosine", "agg_approx_distinct",
         "stream_sliding", "scalar_array", "text_langid", "udaf_stable_mean",
         "agg_hll_sketch", "text_heavy_hitters", "multimodal_decode_mixed",
-        "agg_approx_percentiles", "text_fingerprint", "curation_pipeline")) {
+        "agg_approx_percentiles", "text_fingerprint", "curation_pipeline",
+        "dedup_clusters", "sim_knn_join", "dedup_simhash", "text_rolling_fingerprint")) {
       val q = SparkEntry.queries(name)
       val a = q(spark, sf).collect()
       val b = q(spark, sf).collect()
