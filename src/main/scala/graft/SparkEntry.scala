@@ -217,6 +217,8 @@ object SparkEntry {
     "dedup_clusters" -> (LlmPipeline.dedupClusters _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => LlmPipeline.dedupSimhash(s, d)),
     "text_rolling_fingerprint" -> (LlmPipeline.textRollingFingerprint _),
+    "text_containment" -> ((s: SparkSession, d: String) => LlmPipeline.textContainment(s, d)),
+    "multimodal_dedup" -> (Multimodal.multimodalDedup _),
     "sim_knn_join" -> ((s: SparkSession, d: String) => LlmPipeline.simKnnJoin(s, d)),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "curation_pipeline" -> (LlmPipeline.curationPipeline _),
@@ -501,6 +503,8 @@ object SparkEntry {
       """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars_text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, CAST(ceil(length(text)/4.0) AS BIGINT) AS est_bpe_tokens, floor((length(text)/(len(string_split(text, ' '))*1.0))*100 + 0.5)/100.0 AS mean_word_len, floor((len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','on','for','by')))/(len(string_split(text, ' '))*1.0))*10000 + 0.5)/10000.0 AS stopword_ratio FROM documents ORDER BY doc_id""",
     "multimodal_fingerprint" ->
       """SELECT doc_id AS asset_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, sha256(text) AS fingerprint, 'text' AS kind FROM documents ORDER BY asset_id""",
+    "multimodal_dedup" ->
+      """SELECT min(doc_id) AS asset_id, count(*) AS copies, CAST(max(octet_length(encode(text))) AS BIGINT) AS byte_len FROM documents GROUP BY sha256(text) ORDER BY asset_id""",
     "stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
     "stream_sliding" ->

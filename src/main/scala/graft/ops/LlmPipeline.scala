@@ -371,6 +371,44 @@ object LlmPipeline {
         aggregate(col("anchors"), lit(0L), (acc, x) => acc.bitwiseXOR(x)).as("digest"))
       .orderBy("doc_id")
 
+  /** Containment detection over rolling-hash anchors: finds (a, b) pairs
+    * where one document's content substantially appears INSIDE the other
+    * (quotes, mirrors, boilerplate-wrapped copies) — the asymmetric relation
+    * resemblance-based dedup (MinHash) misses by construction. The anchor is
+    * the shuffle key: explode each doc's anchor set, drop STOP-ANCHORS
+    * (shared by > maxDocsPerAnchor docs — ubiquitous boilerplate would
+    * otherwise make one anchor's bucket quadratic, same hazard as hot LSH
+    * buckets), self-join per anchor, count shared anchors per pair, and
+    * score containment = shared / min(|A|, |B|). Only candidate pairs that
+    * share at least one anchor are ever materialized.
+    */
+  def textContainment(spark: SparkSession, dir: String,
+      threshold: Double = 0.8, maxDocsPerAnchor: Int = 100): DataFrame = {
+    val anchors = t(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.RollingFingerprint.rollingFingerprint(spark, col("text")).as("as"))
+      .filter(size(col("as")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = anchors.select(col("doc_id"), size(col("as")).as("n"))
+    val exploded = anchors.select(col("doc_id"), explode(col("as")).as("anchor"))
+    val keep = exploded.groupBy("anchor")
+      .agg(count(lit(1)).as("docs"))
+      .filter(col("docs") <= maxDocsPerAnchor)
+      .select("anchor")
+    val pruned = exploded.join(keep, "anchor")
+    val shared = pruned.as("x").join(pruned.as("y"), Seq("anchor"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared") / least(col("n_a"), col("n_b"))).as("containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- similarity
 
   // Native codegen'd dot product ([[graft.functions.DotProduct]]): the HOF

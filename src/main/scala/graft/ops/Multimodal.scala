@@ -49,6 +49,21 @@ object Multimodal {
         col("meta.kind").as("kind"))
       .orderBy("asset_id")
 
+  /** Exact media dedup: one representative asset per distinct payload,
+    * grouping on the 256-bit content hash so the shuffle carries 32-byte
+    * keys — never the payloads (the binary-column counterpart of
+    * `dedup_exact`; at 100 TB of media this is the difference between
+    * shuffling hashes and shuffling the lake).
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(sha2(col("media"), 256).as("fingerprint"))
+      .agg(min(col("asset_id")).as("asset_id"),
+        count(lit(1)).as("copies"),
+        max(length(col("media"))).cast("long").as("byte_len"))
+      .select("asset_id", "copies", "byte_len")
+      .orderBy("asset_id")
+
   /** STUB "decode": a stand-in for an image/audio decoder. Derives
     * deterministic fake features from the payload bytes (as a real decoder
     * would derive width/height/duration). Marked clearly; swap for a real

@@ -78,7 +78,11 @@ class UnoracleableSpec extends SparkSpec {
     "text_rolling_fingerprint" -> Pin(
       "rolling-hash anchors are this engine's own hash kernel",
       "UnoracleableSpec", Seq(
-        "rolling fingerprint: content-defined anchors survive a prefix edit; fixed chunks would not")))
+        "rolling fingerprint: content-defined anchors survive a prefix edit; fixed chunks would not")),
+    "text_containment" -> Pin(
+      "containment scoring consumes the engine-specific anchor sets",
+      "UnoracleableSpec", Seq(
+        "text_containment finds a boilerplate-wrapped copy that resemblance dedup misses")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -219,6 +223,35 @@ class UnoracleableSpec extends SparkSpec {
     assert(q.length == Tables.t(spark, sf, "documents").count())
     val again = LlmPipeline.textRollingFingerprint(spark, sf).collect()
     assert(q.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "digest must be deterministic")
+  }
+
+  test("text_containment finds a boilerplate-wrapped copy that resemblance dedup misses") {
+    // doc1 embeds doc0's full body inside 3x as much wrapper text: Jaccard
+    // resemblance ≈ 0.25 (below the MinHash 0.5 gate — resemblance dedup
+    // structurally misses it) but containment of doc0 in doc1 ≈ 1.
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    import spark.implicits._
+    val body = (0 until 400).map(i => s"core$i").mkString(" ")
+    val wrapPre = (0 until 600).map(i => s"pre$i").mkString(" ")
+    val wrapPost = (0 until 600).map(i => s"post$i").mkString(" ")
+    val docs = Seq(
+      (0L, body),
+      (1L, s"$wrapPre $body $wrapPost"),
+      (2L, (5000 until 5400).map(i => s"noise$i").mkString(" ")))
+    docs.map { case (id, text) => (id, text, "en", s"s$id", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val contained = LlmPipeline.textContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(contained.exists { case (a, b, c) => a == 0L && b == 1L && c >= 0.8 },
+      s"containment must detect the wrapped copy: ${contained.toSeq}")
+    assert(!contained.exists { case (a, b, _) => b == 2L || a == 2L },
+      "unrelated doc must not pair")
+
+    val resemblance = LlmPipeline.dedupNearMinhash(spark, dir).collect()
+    assert(!resemblance.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "premise check: resemblance dedup should miss the wrapped copy (Jaccard ~0.25)")
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
