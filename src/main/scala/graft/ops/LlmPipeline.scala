@@ -222,29 +222,31 @@ object LlmPipeline {
     * and transitive duplicates (a~b, b~c, a≁c) collapse to one
     * representative, which pairwise anti-joins alone cannot guarantee.
     *
-    * Algorithm: iterative min-label propagation. Each round every node
-    * adopts the minimum label in its closed neighborhood (undirected edges +
-    * self-loop); converges in O(eccentricity of the component min) rounds —
-    * near-dup graphs are dense clique/star blobs, 2–3 rounds in practice —
-    * and each round is ONE shuffle (edge join + min-aggregate). The driver
-    * loop is control flow only: a per-round emptiness probe of the changed
-    * set, the same shape Pregel/GraphX runs. Labels persist per round and
-    * the previous round unpersists; at production scale add periodic
-    * `localCheckpoint` to truncate lineage, and the large-star/small-star
-    * variant if a component's diameter ever outgrows the round cap.
+    * Algorithm: min-label propagation WITH pointer doubling. Each round every
+    * node adopts min(labels of its closed neighborhood, label(label(node))) —
+    * the neighborhood term walks the min label one hop, the label-of-label
+    * term (a self-join of the label table: every label value is itself a
+    * paired doc_id, so the inner join drops nothing) halves the remaining
+    * pointer distance. Convergence is O(log diameter) rounds instead of
+    * O(diameter): a chain-shaped component — boilerplate drift, doc A ~ B ~
+    * C ~ ... — of diameter 10⁹ still converges in ~30 rounds, so the round
+    * cap is a true backstop, not a reachable failure mode (plain propagation
+    * crashed on any component deeper than the cap). Each round is two
+    * shuffle-joins + one min-aggregate; every 4th round `localCheckpoint`s
+    * the labels so lineage stays bounded no matter how many rounds run. The
+    * driver loop is control flow only: a per-round emptiness probe of the
+    * changed set, the same shape Pregel/GraphX runs.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = confirmedPairs(spark, dir).select("doc_a", "doc_b")
-    val nodes = t(spark, dir, "documents").select(col("doc_id"))
+  private[graft] def componentLabels(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
     // Propagation runs ONLY over nodes that appear in some pair: a dedup
     // corpus is overwhelmingly singletons, which are their own (size-1)
     // clusters by definition — excluding them shrinks every round's shuffle
-    // from O(corpus) to O(paired docs) and they rejoin as self-labels at the
-    // end. Self-loops on paired nodes keep each node's own id in its
-    // closed-neighborhood min.
-    // Persisted: paired sits in the lineage of edges, round-0 labels AND the
-    // final singleton anti-join — unpersisted, each of those re-runs the
-    // whole MinHash candidate pipeline (measured 3× the query time).
+    // from O(corpus) to O(paired docs) and they rejoin as self-labels in
+    // [[dedupClusters]]. Self-loops on paired nodes keep each node's own id
+    // in its closed-neighborhood min.
+    // Persisted: paired sits in the lineage of edges AND round-0 labels —
+    // unpersisted, each re-runs whatever pipeline produced the pairs
+    // (measured 3× the query time when fed MinHash candidates).
     val paired = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -254,14 +256,24 @@ object LlmPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = paired.select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val MaxRounds = 20
     var round = 0
     var converged = false
-    while (!converged && round < MaxRounds) {
-      val next = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    while (!converged && round < maxRounds) {
+      val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("label"))
+      // Pointer doubling: label(label(x)). Inner join is total — every label
+      // value is a paired doc_id (init: identity; step: min over existing
+      // label values), so it always has a row in the label table.
+      val viaDoubling = labels.select(col("doc_id"), col("label").as("mid"))
+        .join(labels.select(col("doc_id").as("mid"), col("label").as("dlabel")), "mid")
+        .select(col("doc_id"), col("dlabel").as("label"))
+      var next = viaEdges.union(viaDoubling)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      // Truncate lineage periodically: each round's plan references the
+      // previous round's; past a few rounds Catalyst planning time and
+      // recovery cost grow without bound unless the chain is cut.
+      next = if (round % 4 == 3) next.localCheckpoint(true)
+             else next.persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
         .filter(col("label") =!= col("prev"))
         .isEmpty
@@ -269,9 +281,22 @@ object LlmPipeline {
       labels = next
       round += 1
     }
-    require(converged, s"label propagation did not converge in $MaxRounds rounds")
+    require(converged, s"label propagation did not converge in $maxRounds rounds")
+    // The convergence probe (isEmpty) may short-circuit before every
+    // partition of `labels` is cached — materialize fully before dropping
+    // the parents it would otherwise recompute through.
+    labels.count()
     edges.unpersist()
-    val singletons = nodes.join(paired, Seq("doc_id"), "left_anti")
+    paired.unpersist()
+    labels
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = confirmedPairs(spark, dir).select("doc_a", "doc_b")
+    val nodes = t(spark, dir, "documents").select(col("doc_id"))
+    val labels = componentLabels(pairs)
+    val singletons = nodes.join(
+        labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     val all = labels.union(singletons)
     val sizes = all.groupBy("label").agg(count(lit(1)).as("cluster_size"))

@@ -66,7 +66,8 @@ class UnoracleableSpec extends SparkSpec {
       "connected components over the seed-dependent near-dup graph",
       "UnoracleableSpec", Seq(
         "dedup_clusters equals driver-side union-find over the verified pairs",
-        "dedup_clusters: star-linked hot bucket still collapses to ONE component")),
+        "dedup_clusters: star-linked hot bucket still collapses to ONE component",
+        "dedup_clusters: 64-deep chain converges in O(log diameter) rounds")),
     "sim_knn_join" -> Pin(
       "float cosine folds diverge across engines (same kernel as sim_topk_cosine)",
       "UnoracleableSpec", Seq(
@@ -137,6 +138,25 @@ class UnoracleableSpec extends SparkSpec {
     assert(dupCluster.forall(_._3 == 200L))
     val loner = got.find(_._1 == 900L).get
     assert(loner._2 == 900L && loner._3 == 1L, s"unrelated doc must be a singleton: $loner")
+  }
+
+  test("dedup_clusters: 64-deep chain converges in O(log diameter) rounds") {
+    // A path graph 0-1-2-...-64 has diameter 64: plain min-label propagation
+    // needs 64 rounds to walk the min label end-to-end (the round-3
+    // implementation crashed its MaxRounds=20 require on exactly this shape
+    // — chain components arise from boilerplate drift, A ~ B ~ C ~ ...).
+    // Pointer doubling halves the pointer distance per round, so 12 rounds
+    // bounds any diameter up to ~2¹² — the cap here is deliberately BELOW
+    // the chain's diameter to prove the speedup, not just convergence.
+    import spark.implicits._
+    val chainA = (0L until 64L).map(i => (i, i + 1))
+    val chainB = (100L until 132L).map(i => (i, i + 1))
+    val pairs = (chainA ++ chainB).toDF("doc_a", "doc_b")
+    val labels = LlmPipeline.componentLabels(pairs, maxRounds = 12).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == ((0L to 64L) ++ (100L to 132L)).toSet)
+    assert((0L to 64L).forall(labels(_) == 0L), "chain A must collapse to 0")
+    assert((100L to 132L).forall(labels(_) == 100L), "chain B must collapse to 100")
   }
 
   test("sim_knn_join matches driver-side brute force for every probe") {
