@@ -220,6 +220,7 @@ object SparkEntry {
     "text_containment" -> ((s: SparkSession, d: String) => LlmPipeline.textContainment(s, d)),
     "multimodal_dedup" -> (Multimodal.multimodalDedup _),
     "sim_knn_join" -> ((s: SparkSession, d: String) => LlmPipeline.simKnnJoin(s, d)),
+    "sim_knn_join_cells" -> ((s: SparkSession, d: String) => LlmPipeline.simKnnJoinCells(s, d)),
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "curation_pipeline" -> (LlmPipeline.curationPipeline _),
     "dedup_near_embedding" -> ((s, d) => LlmPipeline.dedupNearEmbedding(s, d, threshold = -1.0)),

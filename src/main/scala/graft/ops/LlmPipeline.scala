@@ -123,13 +123,25 @@ object LlmPipeline {
     * Exposed private[graft] so the adversarial spec can drive it with a
     * synthetic all-identical corpus.
     */
-  private[graft] def lshCandidatePairs(sigs: DataFrame): DataFrame = {
-    val banded = sigs
+  private[graft] def lshCandidatePairs(sigs: DataFrame): DataFrame =
+    bucketedPairs(bandedSig(sigs))
+
+  /** (doc_id, band, bucket) banding of a (doc_id, sig) signature table —
+    * the LSH key stream both the self-pair kernel ([[bucketedPairs]]) and
+    * the cross-table incremental dedup ([[incrementalDedupSurvivors]])
+    * consume.
+    */
+  private[graft] def bandedSig(sigs: DataFrame): DataFrame =
+    sigs
       .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(Bands - 1))).as("band"))
       .select(col("doc_id"), col("band"),
         hash(col("band"), slice(col("sig"), col("band") * RowsPerBand + 1, lit(RowsPerBand))).as("bucket"))
-    bucketedPairs(banded)
-  }
+
+  /** Estimated Jaccard from two aligned MinHash signatures: the fraction of
+    * agreeing positions.
+    */
+  private[graft] def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p)) / lit(NumHashes.toDouble)
 
   /** Candidate pairs from a (doc_id, band, bucket) banding — the shared
     * guts of every banded-LSH family (MinHash bands here, SimHash chunks in
@@ -205,8 +217,7 @@ object LlmPipeline {
       val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
       val confirmed = cands.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
-            / lit(NumHashes.toDouble)).as("est_jaccard"))
+          estJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
         .persist(StorageLevel.MEMORY_AND_DISK)
       (confirmed, confirmed)
@@ -328,12 +339,29 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup via signed-random-projection (SRP) LSH: a
-    * 16-bit sign code from fixed random hyperplanes buckets the vectors; only
-    * same-code pairs get an exact cosine check. Collision probability for
-    * angle θ is (1-θ/π)^16 — near-identical vectors collide w.h.p., unrelated
-    * ones almost never. At 100 TB: the code is the shuffle key (multi-probe /
-    * banded codes raise recall); bodies never cross-join.
+  /** Fixed SRP hyperplanes (seed 7): plane k is the k-th 64-dim gaussian
+    * drawn, so configurations with different plane counts share a prefix —
+    * the recall spec exploits this to compare 1×16 (single-code) against
+    * 4×8 (banded) over the SAME first sixteen planes.
+    */
+  private[graft] def srpPlanes(n: Int): IndexedSeq[IndexedSeq[Double]] = {
+    val rng = new scala.util.Random(7)
+    IndexedSeq.fill(n)(IndexedSeq.fill(64)(rng.nextGaussian()))
+  }
+
+  /** Embedding-cosine near-dup via BANDED signed-random-projection LSH,
+    * mirroring the MinHash band structure: `numBands` bands of
+    * `planesPerBand` hyperplane sign bits each; vectors sharing ANY band's
+    * full code become a candidate pair, and only candidates get an exact
+    * cosine check. Collision probability for angle θ is
+    * 1-(1-(1-θ/π)^r)^b — the same S-curve as MinHash banding. A single
+    * monolithic code (b=1) loses any near-dup pair that straddles even ONE
+    * hyperplane; with b=4 bands the pair still collides in every band the
+    * flipped plane doesn't touch (recall-spec-proven in OpsSpec). At
+    * 100 TB: (band, code) is the shuffle key, candidate generation rides
+    * the same capped [[bucketedPairs]] kernel as MinHash/SimHash — hot
+    * buckets (e.g. a pile of zero vectors) star-link instead of going
+    * quadratic, and bodies never cross-join.
     *
     * Pass `threshold = -1` to emit every bucket collision with its exact
     * cosine (candidate generation + scoring; the cut is downstream policy) —
@@ -341,27 +369,31 @@ object LlmPipeline {
     * near-dups (max pairwise cosine ≈ 0.51), so any real threshold would
     * return an empty, undemonstrative result.
     */
-  def dedupNearEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame = {
-    val NumPlanes = 16
-    val rng = new scala.util.Random(7)
-    val planes: IndexedSeq[Seq[Double]] =
-      IndexedSeq.fill(NumPlanes)(Seq.fill(64)(rng.nextGaussian()))
-    val code = (0 until NumPlanes).map { h =>
-      when(dot(spark, col("embedding"), typedlit(planes(h))) > 0, lit(1 << h)).otherwise(lit(0))
+  def dedupNearEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.9,
+      numBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    val planes = srpPlanes(numBands * planesPerBand)
+    def bandCode(band: Int): Column = (0 until planesPerBand).map { h =>
+      when(dot(spark, col("embedding"), typedlit(planes(band * planesPerBand + h))) > 0,
+        lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
     // Precompute each vector's norm once BEFORE the pair join: the per-pair
     // stage then runs a single dot-product loop instead of three (norms would
     // otherwise be recomputed for every pair a vector appears in).
+    // Not persisted: three consumers, but each is a cheap parquet scan (+ one
+    // dot for the norm) and a per-invocation persist would leak cache entries
+    // across repeated bench runs.
     val coded = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), code.as("code"),
-        l2(spark, col("embedding")).as("norm"))
-    val a = coded.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-      col("norm").as("norm_a"), col("code"))
-    val b = coded.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-      col("norm").as("norm_b"), col("code"))
-    a.join(b, "code")
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
+      .select(col("vec_id"), col("embedding"), l2(spark, col("embedding")).as("norm"))
+    val banded = coded.select(col("vec_id").as("doc_id"),
+        explode(array((0 until numBands).map(b =>
+          struct(lit(b).as("band"), bandCode(b).as("bucket"))): _*)).as("bc"))
+      .select(col("doc_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val a = coded.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = coded.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"))
+    bucketedPairs(banded).join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
         (dot(spark, col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
@@ -468,6 +500,47 @@ object LlmPipeline {
       .orderBy("probe_id", "rk")
   }
 
+  /** k-NN join for probe sets TOO LARGE to broadcast: both sides shuffle on
+    * the k-means cell key instead. Each corpus vector goes to its single
+    * nearest cell ([[nearestCell]] — a per-row expression); each probe
+    * explodes to its `nProbeCells` nearest cells (the only Generate, on the
+    * small side, ≤ nProbeCells rows per probe). The cell-keyed inner join
+    * then scores cosine only within cells — the shuffle moves each side
+    * once, keyed by cell, and no O(probes × corpus) product ever forms.
+    * Per-probe top-k is the same WindowGroupLimit shape as the broadcast
+    * path. At `nProbeCells` = all cells the result EQUALS the broadcast
+    * path's (every corpus vector is in some probed cell — spec-pinned);
+    * smaller values trade recall for a ~cells/nProbeCells smaller join, the
+    * standard IVF knob.
+    */
+  def simKnnJoinCells(spark: SparkSession, dir: String, k: Int = 3, nProbes: Int = 20,
+      kCells: Int = 10, iters: Int = 2, nProbeCells: Int = 3): DataFrame = {
+    val cents = kMeansCentroids(spark, dir, kCells, iters)
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = emb.withColumn("cell", nearestCell(spark, cents))
+    // Per-probe nearest cells: sort (negated score, cell) structs ascending —
+    // i.e. score descending, ties to the lower cell — and keep the first
+    // nProbeCells.
+    val scoredCells = cents.zipWithIndex.map { case (c, i) =>
+      val norm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+      struct((-dot(spark, col("pvec"), typedlit(c)) / norm).as("negs"), lit(i).as("cell"))
+    }
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+      .select(col("probe_id"), col("pvec"),
+        explode(slice(array_sort(array(scoredCells: _*)), 1, nProbeCells)).as("pc"))
+      .select(col("probe_id"), col("pvec"), col("pc.cell").as("cell"))
+    val cos = dot(spark, col("embedding"), col("pvec")) /
+      (l2(spark, col("embedding")) * l2(spark, col("pvec")))
+    val scored = corpus.join(probes, "cell")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cosine"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("probe_id", "rk")
+  }
+
   private def dot(spark: SparkSession, a: Column, b: Column): Column =
     graft.functions.VectorOps.dot(spark, a, b)
 
@@ -491,31 +564,81 @@ object LlmPipeline {
       .limit(5)
   }
 
-  /** IVF-style pruned search: coarse centroids = per-label mean vectors
-    * (stand-in for k-means cells), probe searches only the nProbe nearest
-    * cells. The candidate set shrinks by ~cells/nProbe — the standard ANN
-    * recall/latency trade. Exact re-rank inside cells.
+  /** Nearest k-means cell for the current row's `embedding`: argmax over
+    * cells of dot(e, c_j)/‖c_j‖ (the row norm ‖e‖ is a common factor, so
+    * this IS the cosine argmax — spherical k-means assignment). Built as an
+    * `array_max` over (score, cell) structs: struct ordering compares score
+    * first, ties break to the higher cell index — deterministic, and pure
+    * codegen-able expressions, no Generate, no UDF.
     */
-  def simTopkIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame = {
+  private def nearestCell(spark: SparkSession, cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val norm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+      struct((dot(spark, col("embedding"), typedlit(c)) / norm).as("s"),
+        lit(i).as("cell"))
+    }
+    array_max(array(scored: _*)).getField("cell")
+  }
+
+  private val kmeansCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Seq[Double]]]]())
+
+  /** Coarse IVF centroids by Lloyd's k-means (spherical assignment, mean
+    * update): seeds are the k lowest-vec_id vectors (deterministic), each
+    * iteration is ONE distributed aggregate — nearest-cell assignment is a
+    * per-row expression, the mean update is the typed [[graft.udf.VectorMean]]
+    * Aggregator (map-side combined; the posexplode formulation would
+    * multiply the shuffle by the dimensionality). Only the k×64 centroid
+    * matrix ever reaches the driver — a parameter fetch per iteration, the
+    * same contract as the probe-vector fetch. A cell that goes empty keeps
+    * its previous centroid. Memoized per (session, dir, k, iters): the index
+    * builds once and every query reuses it — the IVF production shape.
+    */
+  private[graft] def kMeansCentroids(spark: SparkSession, dir: String,
+      k: Int, iters: Int): Seq[Seq[Double]] =
+    graft.Tables.sessionCache(kmeansCache, spark).computeIfAbsent((dir, s"kmeans_${k}_$iters"), _ => {
+      val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      var cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(k)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      val vecMean = udaf(graft.udf.VectorMean)
+      for (_ <- 0 until iters) {
+        val updated = emb
+          .groupBy(nearestCell(spark, cents).as("cell"))
+          .agg(vecMean(col("embedding")).as("centroid"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      }
+      cents
+    })
+
+  /** IVF-style pruned search over real k-means cells: the probe searches
+    * only the nProbe nearest centroids' cells. The candidate set shrinks by
+    * ~cells/nProbe — the standard ANN recall/latency trade. Exact re-rank
+    * inside cells; plan is one scan + per-row cell expression + isin filter
+    * + TakeOrderedAndProject — no join, no Generate (plan-asserted).
+    */
+  def simTopkIvf(spark: SparkSession, dir: String, nProbe: Int = 3,
+      k: Int = 10, iters: Int = 2): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val probe = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0)
     val p = typedlit(probe)
-    // Coarse centroids: element-wise mean vector per label cell, via the
-    // typed VectorMean Aggregator — ONE aggregate over the vectors (buffer =
-    // one 64-double array per cell, map-side combined). The posexplode
-    // formulation (explode to 64 rows/vector → groupBy(label, pos) → avg →
-    // re-assemble) would multiply the shuffle by the dimensionality; plan-
-    // asserted Generate-free in OpsSpec.
-    val vecMean = udaf(graft.udf.VectorMean)
-    val centroids = emb.groupBy("label").agg(vecMean(col("embedding")).as("centroid"))
-    val nearCells = centroids
-      .select(col("label"), (dot(spark, col("centroid"), p) / (l2(spark, col("centroid")) * l2(spark, p))).as("ccos"))
-      .orderBy(col("ccos").desc, col("label"))
-      .limit(nProbe)
-      .select("label")
-    emb.join(broadcast(nearCells), Seq("label"))
-      .filter(col("vec_id") =!= 0)
+    val cents = kMeansCentroids(spark, dir, k, iters)
+    // Probe-to-centroid ranking is k tiny dot products — driver-side over
+    // the already-fetched centroid matrix, not a Spark job.
+    val pv = probe.map(_.toDouble)
+    def cosTo(c: Seq[Double]): Double = {
+      val d = c.zip(pv).map { case (x, y) => x * y }.sum
+      d / (math.max(math.sqrt(c.map(x => x * x).sum), 1e-12) *
+        math.sqrt(pv.map(x => x * x).sum))
+    }
+    val nearCells = cents.zipWithIndex
+      .map { case (c, i) => (i, cosTo(c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+    emb.withColumn("cell", nearestCell(spark, cents))
+      .filter(col("cell").isin(nearCells: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
         (dot(spark, col("embedding"), p) / (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -540,6 +663,77 @@ object LlmPipeline {
       .filter(col("n_words") >= 10 && col("mean_word_len") < 20)
       .select("doc_id", "lang", "n_words", "est_bpe_tokens")
       .orderBy("doc_id")
+  }
+
+  /** INCREMENTAL dedup against an already-loaded sink — the production
+    * composition of the extractor's at-least-once delivery with the dedup
+    * families: each new batch drops (1) exact re-deliveries and copies
+    * (anti-join on sha2(text) vs the sink's stored hashes), (2) near-dup
+    * variants of docs already in the sink (LSH banding of the batch
+    * signatures joined against the sink's STORED signatures — the sink
+    * carries `content_hash` and `sig` columns precisely so no re-loaded
+    * document is ever re-shingled), and (3) exact/near dups WITHIN the
+    * batch itself. Survivors come back enriched, ready to append.
+    *
+    * Scale shape: the batch side is small (one extract round); the sink
+    * side is scanned once for hashes and once for band keys — at 100 TB the
+    * band table would itself be a stored index, and the hash anti-join
+    * prunes to the affected partitions, but the joins are the same. A hot
+    * band bucket on the sink side (ubiquitous boilerplate) is capped at its
+    * min-doc_id representative — [[MaxAllPairsBucket]]'s star-link trade in
+    * cross-table form — so one bucket can never go |batch|×|bucket|
+    * quadratic.
+    */
+  def incrementalDedupSurvivors(spark: SparkSession, batch: DataFrame,
+      sink: Option[DataFrame], threshold: Double = 0.5): DataFrame = {
+    val enriched = batch
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhash(spark, col("text"), NumHashes, ShingleLen))
+    // (3a) within-batch exact: keep the min doc_id per content hash.
+    val wExact = Window.partitionBy("content_hash").orderBy("doc_id")
+    val batchExact = enriched
+      .withColumn("__rn", row_number().over(wExact))
+      .filter(col("__rn") === 1).drop("__rn")
+    // (1) exact vs sink.
+    val afterExact = sink.fold(batchExact)(s =>
+      batchExact.join(s.select("content_hash"), Seq("content_hash"), "left_anti"))
+    // (3b) within-batch near-dup: LSH + signature confirm; the higher doc_id
+    // of each confirmed pair loses (transitively collapses via star-links).
+    // Not persisted: three consumers, but the batch side is one extract
+    // round (small by construction) and a per-batch persist would leak cache
+    // entries over a long-running stream.
+    val bSigs = afterExact.select(col("doc_id"), col("sig"))
+    val selfLosers = lshCandidatePairs(bSigs)
+      .join(bSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(bSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val afterSelf = afterExact.join(selfLosers, Seq("doc_id"), "left_anti")
+    // (2) near-dup vs sink: batch bands × sink bands on (band, bucket), then
+    // signature confirm. Hot sink buckets collapse to their representative.
+    val result = sink match {
+      case Some(s) =>
+        val newBands = bandedSig(afterSelf.select("doc_id", "sig"))
+          .withColumnRenamed("doc_id", "new_id")
+        val oldBandsAll = bandedSig(s.select("doc_id", "sig"))
+          .withColumnRenamed("doc_id", "old_id")
+        val bucketStats = oldBandsAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("__n"), min(col("old_id")).as("__rep"))
+        val oldBands = oldBandsAll.join(bucketStats, Seq("band", "bucket"))
+          .filter(col("__n") <= MaxAllPairsBucket || col("old_id") === col("__rep"))
+          .select("band", "bucket", "old_id")
+        val cands = newBands.join(oldBands, Seq("band", "bucket"))
+          .select("new_id", "old_id").distinct()
+        val sinkLosers = cands
+          .join(afterSelf.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), "new_id")
+          .join(s.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
+          .filter(estJaccard(col("sig_n"), col("sig_o")) >= threshold)
+          .select(col("new_id").as("doc_id")).distinct()
+        afterSelf.join(sinkLosers, Seq("doc_id"), "left_anti")
+      case None => afterSelf
+    }
+    result
   }
 
   // ---------------------------------------------------------------- text analysis
@@ -596,17 +790,21 @@ object LlmPipeline {
     * bit-identical across engines (no log(), which can differ by 1 ulp
     * between libm implementations). Top-3 terms per doc. Plan: explode →
     * two hash aggregates → broadcast-joined df table → per-doc top-k window.
+    * The corpus size N rides the SAME plan as a broadcast 1-row aggregate
+    * (cross join with a count over the documents scan) — not a separate
+    * driver-side `docs.count()` job, which at scale would re-read the whole
+    * corpus once per invocation before the real query even starts.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val n = docs.count()
+    val nDocs = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val tf = docTerms(spark, dir).select(col("doc_id"), col("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy((col("tf") * n * 1.0 / col("df")).desc, col("term"))
+    val score = col("tf") * col("n_docs") * 1.0 / col("df")
+    val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))
     tf.join(broadcast(df), "term")
-      .withColumn("score", col("tf") * n * 1.0 / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", score)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select("doc_id", "term", "tf", "df", "score", "rk")

@@ -85,6 +85,42 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Incremental-dedup append sink: [[dedupAppendSink]]'s key anti-join
+    * upgraded to full content dedup — each micro-batch of documents drops
+    * exact re-deliveries/copies (sha2 anti-join vs the sink's stored hashes)
+    * AND near-dup variants of already-loaded docs (LSH banding vs the
+    * sink's STORED MinHash signatures), via
+    * [[graft.ops.LlmPipeline.incrementalDedupSurvivors]]. The sink schema
+    * carries `content_hash` and `sig` alongside the document columns, so no
+    * loaded document is ever re-shingled: each round reads signatures, never
+    * recomputes them. Survivors append; a replayed batch (same batchId after
+    * failure) finds its rows already in the sink and appends nothing —
+    * idempotent by the same argument as [[dedupAppendSink]].
+    */
+  def incrementalDedupSink(
+      stream: DataFrame,
+      sinkDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.5): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(sinkDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+        val sink = if (hasData) Some(spark.read.parquet(sinkDir)) else None
+        graft.ops.LlmPipeline
+          .incrementalDedupSurvivors(spark, batch.toDF(), sink, threshold)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** MERGE-style upsert sink via foreachBatch: each micro-batch UPDATES rows
     * whose key already exists in the sink and INSERTS the rest — the loader
     * contract one step past [[dedupAppendSink]]'s insert-only dedup, for

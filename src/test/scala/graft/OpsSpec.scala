@@ -66,6 +66,20 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"IVF plan contains a Generate:\n$plan")
   }
 
+  test("k-means IVF: Lloyd cells give full pruned recall on the fixture; index is deterministic") {
+    // The Lloyd build (k=10 cells, 2 iterations, lowest-vec_id seeds) is
+    // fully deterministic, so recall is a fixed number, not a distribution:
+    // measured 5/5 at nProbe=3 on this fixture (the pre-k-means label cells
+    // were weak clusters; the trained index must not do worse than 4/5).
+    val brute = LlmPipeline.simTopkCosine(spark, sf).collect().map(_.getLong(0)).toSet
+    val pruned = LlmPipeline.simTopkIvf(spark, sf, nProbe = 3).collect().map(_.getLong(0)).toSet
+    assert((pruned & brute).size >= 4, s"recall@5 collapsed: $pruned vs $brute")
+    // Same (session, dir, k, iters) → the memoized index, identical matrix.
+    val c1 = LlmPipeline.kMeansCentroids(spark, sf, 10, 2)
+    val c2 = LlmPipeline.kMeansCentroids(spark, sf, 10, 2)
+    assert(c1 == c2 && c1.size == 10 && c1.forall(_.size == 64))
+  }
+
   test("VectorMean aggregator: element-wise mean matches driver-side computation; merge ≡ global") {
     import spark.implicits._
     val vecMean = udaf(graft.udf.VectorMean)
@@ -192,6 +206,53 @@ class OpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) > 0.999)
     assert(!pairs.keys.exists { case (a, b) => a >= b })
     assert(!pairs.contains((0L, 3L)), "unrelated vector matched")
+  }
+
+  test("banded SRP recall: one flipped hyperplane loses the pair for a monolithic code, banding finds it") {
+    // Construct a genuinely near-dup pair (cosine > 0.999) that straddles
+    // EXACTLY one of the first 16 hyperplanes: v± = u ± ε·n_j where u ⊥ n_j
+    // and u clears every other plane by a margin the ε-perturbation cannot
+    // cross. A 1-band × 16-plane monolithic code then differs in bit j and
+    // the pair is unfindable; 4 bands × 8 planes still collide in every band
+    // plane j doesn't touch.
+    val planes = LlmPipeline.srpPlanes(32).map(_.toArray)
+    def dotd(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val j = 3 // flipped plane — inside band 0 of the 4×8 config
+    val eps = 1e-3
+    // Deterministic seed scan: accept a u whose margin to every OTHER plane
+    // exceeds what ±ε·n_j can perturb (float32 storage adds ~1e-5 noise).
+    val u = Iterator.from(1).map { seed =>
+      val rng = new scala.util.Random(seed)
+      val w = Array.fill(64)(rng.nextGaussian())
+      val nj = planes(j)
+      val proj = dotd(w, nj) / dotd(nj, nj)
+      val cand = w.indices.map(i => w(i) - proj * nj(i)).toArray
+      val norm = math.sqrt(dotd(cand, cand))
+      cand.map(_ / norm)
+    }.find { cand =>
+      planes.indices.forall { k =>
+        k == j || math.abs(dotd(cand, planes(k))) >
+          eps * math.abs(dotd(planes(j), planes(k))) + 0.05
+      }
+    }.get
+    val vPlus = u.indices.map(i => (u(i) + eps * planes(j)(i)).toFloat).toSeq
+    val vMinus = u.indices.map(i => (u(i) - eps * planes(j)(i)).toFloat).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-srp-band").toString
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val noise = (2L until 6L).map(i => (i, Seq.fill(64)(rng.nextGaussian().toFloat), 1))
+    (Seq((0L, vPlus, 0), (1L, vMinus, 0)) ++ noise)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val mono = LlmPipeline.dedupNearEmbedding(spark, dir, threshold = 0.99,
+      numBands = 1, planesPerBand = 16).collect()
+    assert(!mono.map(r => (r.getLong(0), r.getLong(1))).contains((0L, 1L)),
+      "monolithic 16-bit code must MISS the pair straddling plane j (else the test is vacuous)")
+    val banded = LlmPipeline.dedupNearEmbedding(spark, dir, threshold = 0.99).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(banded.contains((0L, 1L)), s"banded SRP must recover the pair: ${banded.keySet}")
+    assert(banded((0L, 1L)) > 0.999, s"cosine ${banded((0L, 1L))}")
   }
 
   test("scalar_url: encode→embed→parse→decode closes for charsets beyond the fixture") {

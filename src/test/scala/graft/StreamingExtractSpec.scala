@@ -114,6 +114,49 @@ class StreamingExtractSpec extends SparkSpec {
     assert(ids.sorted.toSeq == (0L until 15L).toSeq)
   }
 
+  test("incrementalDedupSink drops re-delivered, copied, AND near-dup docs across two extract rounds") {
+    val src = java.nio.file.Files.createTempDirectory("graft-idsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-idsink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-idckpt").toString
+
+    def toks(p: String): IndexedSeq[String] = (0 until 40).map(i => s"$p$i")
+    val textA = toks("a").mkString(" ")
+    val textB = toks("b").mkString(" ")
+    val textC = toks("c").mkString(" ")
+    val nearA = (toks("a").dropRight(2) ++ Seq("xx", "yy")).mkString(" ")
+    val nearC = (toks("c").dropRight(2) ++ Seq("zz", "ww")).mkString(" ")
+
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+
+    // Round 1: two distinct docs.
+    writeBatch(Seq((0L, textA), (1L, textB)))
+    val schema = spark.read.parquet(src).schema
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // Round 2: the at-least-once worst case — a re-delivered boundary row
+    // (same id+text), an exact copy under a new id, a near-dup variant of a
+    // loaded doc, plus a new doc with its own in-batch copy and near-dup.
+    writeBatch(Seq(
+      (1L, textB), // re-delivered boundary row → exact vs sink
+      (2L, textA), // exact copy of loaded doc  → exact vs sink
+      (3L, nearA), // near-dup of loaded doc    → LSH vs sink signatures
+      (4L, textC), // genuinely new             → survives
+      (5L, textC), // in-batch exact copy       → within-batch exact
+      (6L, nearC)  // in-batch near-dup         → within-batch LSH
+    ))
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+
+    val out = spark.read.parquet(sink)
+    assert(out.columns.toSet == Set("doc_id", "text", "content_hash", "sig"),
+      s"sink must store the dedup index columns: ${out.columns.toSeq}")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 4L), s"survivors: $ids")
+  }
+
   test("upsertSink MERGEs re-delivered keys: changed payloads replace, new keys insert") {
     val src = java.nio.file.Files.createTempDirectory("graft-usrc").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-usink").toString + "/out"

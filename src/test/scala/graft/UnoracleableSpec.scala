@@ -37,7 +37,9 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq("ngram jaccard verify-stage: exact dups 1.0, near dups high, est ≈ true")),
     "dedup_near_embedding" -> Pin(
       "SRP sign-code buckets depend on fixed random hyperplanes",
-      "OpsSpec", Seq("embedding near-dup SRP LSH: identical vectors collide at cosine 1.0; no self pairs")),
+      "OpsSpec", Seq(
+        "embedding near-dup SRP LSH: identical vectors collide at cosine 1.0; no self pairs",
+        "banded SRP recall: one flipped hyperplane loses the pair for a monolithic code, banding finds it")),
     "text_fingerprint" -> Pin(
       "SimHash64 is this engine's own fingerprint function",
       "OpsSpec", Seq("simhash fingerprints: identical text → identical hash; determinism")),
@@ -51,7 +53,9 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq("sim_topk_cosine matches driver-side brute force")),
     "sim_topk_ivf" -> Pin(
       "ANN cell pruning + float cosine; pinned against its own brute force",
-      "OpsSpec", Seq("sim_topk_ivf with all cells probed equals brute force; pruned is a valid subsearch")),
+      "OpsSpec", Seq(
+        "sim_topk_ivf with all cells probed equals brute force; pruned is a valid subsearch",
+        "k-means IVF: Lloyd cells give full pruned recall on the fixture; index is deterministic")),
     "multimodal_decode" -> Pin(
       "decoder stubs are engine-defined (no codec libs in sandbox)",
       "OpsSpec", Seq("multimodal: fingerprint matches payload bytes; decode features deterministic")),
@@ -72,6 +76,10 @@ class UnoracleableSpec extends SparkSpec {
       "float cosine folds diverge across engines (same kernel as sim_topk_cosine)",
       "UnoracleableSpec", Seq(
         "sim_knn_join matches driver-side brute force for every probe")),
+    "sim_knn_join_cells" -> Pin(
+      "cell-pruned ANN recall depends on the k-means index (float cosine, as sim_knn_join)",
+      "UnoracleableSpec", Seq(
+        "sim_knn_join_cells with all cells probed equals the broadcast path; pruned is a valid subsearch")),
     "dedup_simhash" -> Pin(
       "SimHash64 fingerprints are this engine's own hash kernel",
       "UnoracleableSpec", Seq(
@@ -182,6 +190,26 @@ class UnoracleableSpec extends SparkSpec {
         assert(math.abs(gcos - ecos) < 1e-9)
       }
     }
+  }
+
+  test("sim_knn_join_cells with all cells probed equals the broadcast path; pruned is a valid subsearch") {
+    // At nProbeCells = all cells, every corpus vector lies in some probed
+    // cell, so the cell-keyed join scores exactly the pairs the broadcast
+    // path scores — identical neighbors, identical order.
+    val broadcast = LlmPipeline.simKnnJoin(spark, sf, k = 3, nProbes = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val full = LlmPipeline.simKnnJoinCells(spark, sf, k = 3, nProbes = 20,
+      kCells = 10, iters = 2, nProbeCells = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(full.sorted.sameElements(broadcast.sorted),
+      s"cell path diverges from broadcast path at nProbeCells=all")
+    // Pruned: still k rows per probe, no self matches, neighbors come only
+    // from probed cells (recall < 1 is legitimate ANN behavior).
+    val pruned = LlmPipeline.simKnnJoinCells(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pruned.map(_._1).distinct.length == 20)
+    assert(pruned.groupBy(_._1).values.forall(_.length == 3))
+    assert(!pruned.exists { case (p, n) => p == n })
   }
 
   test("dedup_simhash: pigeonhole banding is complete for hamming <= 3 (vs brute force)") {
