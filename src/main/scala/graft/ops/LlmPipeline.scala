@@ -155,7 +155,7 @@ object LlmPipeline {
     * longs, the quantity banding already bounds, and the worst degenerate
     * bucket costs b ids in one row rather than b² join output.
     */
-  private def bucketedPairs(banded: DataFrame): DataFrame = {
+  private[graft] def bucketedPairs(banded: DataFrame): DataFrame = {
     val ms = col("ms")
     val n = size(ms)
     val allPairs = flatten(transform(ms, (x, i) =>

@@ -208,6 +208,44 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)), "unrelated vector matched")
   }
 
+  test("pair kernel cap boundary: every bucket size 1..64 emits exactly C(n,2) or n-1 min-anchored pairs") {
+    // Exhaustive sweep of the shared bucketedPairs kernel (MinHash bands,
+    // SimHash chunks, SRP bands all ride it): one DataFrame holds a bucket
+    // of every size 1..64 with disjoint, shuffled member ids, so a single
+    // run checks the full contract — all C(n,2) sorted pairs at or below
+    // MaxAllPairsBucket, exactly n-1 pairs all anchored at the bucket min
+    // above it, and nothing anywhere else.
+    import spark.implicits._
+    val cap = LlmPipeline.MaxAllPairsBucket
+    val rng = new scala.util.Random(42)
+    val members: Map[Int, Seq[Long]] = (1 to 64).map { n =>
+      n -> rng.shuffle((0 until n).map(i => n * 1000L + i * 7L)).toSeq
+    }.toMap
+    val banded = members.toSeq.flatMap { case (n, ids) => ids.map(id => (id, 0, n)) }
+      .toDF("doc_id", "band", "bucket")
+    val got = LlmPipeline.bucketedPairs(banded).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy { case (a, _) => (a / 1000L).toInt } // disjoint ranges → bucket of origin
+    for (n <- 1 to 64) {
+      val ids = members(n).sorted
+      val pairs = got.getOrElse(n, Array.empty[(Long, Long)]).toSet
+      if (n < 2) assert(pairs.isEmpty, s"bucket $n emitted $pairs")
+      else if (n <= cap) {
+        val expected = (for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))).toSet
+        assert(pairs == expected, s"bucket $n: ${pairs.size} pairs != C($n,2)=${expected.size}")
+      } else {
+        assert(pairs.size == n - 1, s"hot bucket $n: ${pairs.size} pairs != ${n - 1}")
+        assert(pairs.forall { case (a, b) => a == ids.head && b > a },
+          s"hot bucket $n: star links must anchor at the min ${ids.head}")
+        assert(pairs.map(_._2) == ids.tail.toSet, s"hot bucket $n: every member must link")
+      }
+    }
+    val total = got.values.map(_.length).sum
+    val expectedTotal = (2 to cap).map(n => n * (n - 1) / 2).sum + (cap + 1 to 64).map(_ - 1).sum
+    assert(total == expectedTotal, s"stray cross-bucket pairs: $total != $expectedTotal")
+  }
+
   test("banded SRP recall: one flipped hyperplane loses the pair for a monolithic code, banding finds it") {
     // Construct a genuinely near-dup pair (cosine > 0.999) that straddles
     // EXACTLY one of the first 16 hyperplanes: v± = u ± ε·n_j where u ⊥ n_j

@@ -31,7 +31,8 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq(
         "minhash LSH: exact duplicate texts get est_jaccard 1.0; pairs are canonical",
         "hot LSH bucket guard: 1k identical docs yield O(b) star-linked pairs, not O(b²)",
-        "LSH bucket guard boundary: buckets at the threshold keep exact all-pairs semantics")),
+        "LSH bucket guard boundary: buckets at the threshold keep exact all-pairs semantics",
+        "pair kernel cap boundary: every bucket size 1..64 emits exactly C(n,2) or n-1 min-anchored pairs")),
     "dedup_ngram_jaccard" -> Pin(
       "verify stage consumes the seed-dependent LSH candidate set",
       "OpsSpec", Seq("ngram jaccard verify-stage: exact dups 1.0, near dups high, est ≈ true")),
