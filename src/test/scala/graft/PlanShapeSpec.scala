@@ -113,6 +113,18 @@ class PlanShapeSpec extends SparkSpec {
       s"partial window group limit missing:\n$p")
   }
 
+  test("sim_knn_join_cells plans a cell-keyed shuffle join + partial top-k (no broadcast of the probe side)") {
+    val p = graft.ops.LlmPipeline.simKnnJoinCells(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The whole point of the cells variant: NO nested-loop broadcast of the
+    // probe side — both sides meet on the cell equi-key.
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cells path must not BNLJ the probes:\n$p")
+    // Per-probe top-k still bounds the exchange via a Partial group limit.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"partial window group limit missing:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
