@@ -452,11 +452,17 @@ object LlmPipeline {
     */
   def textContainment(spark: SparkSession, dir: String,
       threshold: Double = 0.8, maxDocsPerAnchor: Int = 100): DataFrame = {
-    val anchors = t(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.functions.RollingFingerprint.rollingFingerprint(spark, col("text")).as("as"))
-      .filter(size(col("as")) > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Memoized per (session, dir) like docTerms/minhashCandidates: the anchor
+    // table is parameter-independent, and an un-memoized per-invocation
+    // persist leaked one MEMORY_AND_DISK entry per call (Bench invokes every
+    // query twice per sweep).
+    val anchors = graft.Tables.sessionCache(termsCache, spark)
+      .computeIfAbsent((dir, "anchors"), _ =>
+        t(spark, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.RollingFingerprint.rollingFingerprint(spark, col("text")).as("as"))
+          .filter(size(col("as")) > 0)
+          .persist(StorageLevel.MEMORY_AND_DISK))
     val counts = anchors.select(col("doc_id"), size(col("as")).as("n"))
     val exploded = anchors.select(col("doc_id"), explode(col("as")).as("anchor"))
     val keep = exploded.groupBy("anchor")

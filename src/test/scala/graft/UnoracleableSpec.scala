@@ -303,6 +303,20 @@ class UnoracleableSpec extends SparkSpec {
       "premise check: resemblance dedup should miss the wrapped copy (Jaccard ~0.25)")
   }
 
+  test("text_containment memoizes its anchor table: repeated invocations leak no cache entries") {
+    // Round-4 defect: anchors were persisted per invocation and never
+    // unpersisted — Bench runs each query twice per sweep, so every sweep
+    // accumulated MEMORY_AND_DISK entries. Memoization per (session, dir)
+    // means the first call materializes the cached table and later calls
+    // (any parameters) reuse it.
+    LlmPipeline.textContainment(spark, sf).count()
+    val n0 = spark.sparkContext.getPersistentRDDs.size
+    LlmPipeline.textContainment(spark, sf).count()
+    LlmPipeline.textContainment(spark, sf, threshold = 0.9, maxDocsPerAnchor = 50).count()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    assert(n1 == n0, s"repeated textContainment leaked ${n1 - n0} persisted entries")
+  }
+
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
     val out = LlmPipeline.curationPipeline(spark, sf).collect()
     val ids = out.map(_.getLong(0))
