@@ -682,44 +682,126 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
-  /** INCREMENTAL dedup against an already-loaded sink — the production
-    * composition of the extractor's at-least-once delivery with the dedup
-    * families: each new batch drops (1) exact re-deliveries and copies
-    * (anti-join on sha2(text) vs the sink's stored hashes), (2) near-dup
-    * variants of docs already in the sink (LSH banding of the batch
-    * signatures joined against the sink's STORED signatures — the sink
-    * carries `content_hash` and `sig` columns precisely so no re-loaded
-    * document is ever re-shingled), and (3) exact/near dups WITHIN the
-    * batch itself. Survivors come back enriched, ready to append.
+  /** The stored dedup-index tables an incremental sink maintains ALONGSIDE
+    * its data — the state that lets each micro-batch dedup against the
+    * whole loaded history without ever re-reading or re-hashing it:
     *
-    * Scale shape: the batch side is small (one extract round); the sink
-    * side is scanned once for hashes and once for band keys — at 100 TB the
-    * band table would itself be a stored index, and the hash anti-join
-    * prunes to the affected partitions, but the joins are the same. A hot
-    * band bucket on the sink side (ubiquitous boilerplate) is capped at its
-    * min-doc_id representative — [[MaxAllPairsBucket]]'s star-link trade in
-    * cross-table form — so one bucket can never go |batch|×|bucket|
-    * quadratic.
+    *   - `hashes`  (content_hash): one 32-byte row per loaded doc — the
+    *     exact-dup anti-join side;
+    *   - `sigs`    (doc_id, sig): the stored MinHash signatures — the
+    *     near-dup CONFIRM side (joined only for candidate ids);
+    *   - `bands`   (band, bucket, doc_id): the LSH band index — the
+    *     near-dup candidate-generation side, with per-bucket membership
+    *     CAPPED at [[MaxAllPairsBucket]] rows (see [[newBandRows]] for the
+    *     precise guarantee).
+    *
+    * All three are narrow and append-only; the documents themselves never
+    * participate in a dedup plan after they are first admitted. At 100 TB
+    * the index tables would additionally be bucketed/partitioned on their
+    * join keys so a batch prunes to the affected partitions — the table
+    * SHAPE is already that one.
     */
-  def incrementalDedupSurvivors(spark: SparkSession, batch: DataFrame,
-      sink: Option[DataFrame], threshold: Double = 0.5): DataFrame = {
+  final case class DedupIndexTables(hashes: DataFrame, sigs: DataFrame, bands: DataFrame)
+
+  /** Derive [[DedupIndexTables]] by re-hashing a raw enriched sink (columns
+    * `doc_id`, `content_hash`, `sig`) — the BOOTSTRAP path, run ONCE when an
+    * indexed sink adopts a pre-existing unindexed sink. Every steady-state
+    * batch must read the stored tables instead (the whole point of the
+    * index: the r4 design re-ran this derivation per micro-batch, O(|sink|)
+    * band rows shuffled per batch — the one scale-killer the round-4 audit
+    * flagged).
+    */
+  def indexFromSink(sink: DataFrame): DedupIndexTables = DedupIndexTables(
+    hashes = sink.select("content_hash"),
+    sigs = sink.select("doc_id", "sig"),
+    bands = newBandRows(sink.select("doc_id", "sig"), None))
+
+  /** Band rows to ADD to a stored band table for newly admitted docs,
+    * enforcing the per-bucket cap: a bucket retains at most
+    * [[MaxAllPairsBucket]] member rows (lowest doc_ids at bootstrap,
+    * arrival order across batches), so a batch doc joining any bucket
+    * touches a BOUNDED member set and one degenerate bucket can never go
+    * |batch|×|bucket| quadratic.
+    *
+    * Weaker guarantee than the self-pair star-link, stated precisely: a
+    * batch doc that is a near-dup ONLY of evicted (post-cap) members of a
+    * full bucket — and shares no other band with them — is admitted even
+    * though it is a duplicate, and unlike the in-batch star-link there is
+    * no transitive collapse to recover it. The loss is bounded to buckets
+    * that overflow with mutually NON-duplicate members: every stored doc
+    * was itself checked against the index before admission, so bucket
+    * members are pairwise sub-threshold and an overflowing bucket is a
+    * band-collision pile-up, not a duplicate cluster (a true duplicate
+    * pile never reaches the cap — its members are dropped, not stored).
+    * The recall-preserving alternative — sub-bucket salting, re-banding an
+    * oversized bucket's members under a second hash — multiplies the
+    * batch-side probe fan-out by the salt count; the capped form is the
+    * right default at real dup rates.
+    *
+    * Existing bucket occupancy is counted only for the buckets this batch
+    * touches: the stored table is semi-joined to the (broadcast, tiny)
+    * batch bucket-key set before the count, so the aggregate shuffles
+    * matched rows, not the whole index.
+    */
+  def newBandRows(newSigs: DataFrame, storedBands: Option[DataFrame]): DataFrame = {
+    val nb = bandedSig(newSigs)
+    val ranked = nb.withColumn("__rk",
+      row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")))
+    val occupied = storedBands match {
+      case None => ranked.withColumn("__n_old", lit(0L))
+      case Some(sb) =>
+        val touched = nb.select("band", "bucket").distinct()
+        val oldCounts = sb.join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+          .groupBy("band", "bucket").agg(count(lit(1)).as("__n_old"))
+        ranked.join(oldCounts, Seq("band", "bucket"), "left")
+          .withColumn("__n_old", coalesce(col("__n_old"), lit(0L)))
+    }
+    occupied.filter(col("__rk") + col("__n_old") <= MaxAllPairsBucket)
+      .select("band", "bucket", "doc_id")
+  }
+
+  /** INCREMENTAL dedup of one extract round against an already-loaded sink,
+    * represented by its stored [[DedupIndexTables]] — the production
+    * composition of the extractor's at-least-once delivery with the dedup
+    * families. Each batch drops (1) exact re-deliveries and copies
+    * (anti-join on sha2(text) vs the stored hash table), (2) near-dup
+    * variants of loaded docs (LSH banding of the batch signatures joined
+    * against the stored band index, then signature confirm against the
+    * stored sigs — candidates only), and (3) exact/near dups WITHIN the
+    * batch itself. Survivors come back enriched (`content_hash`, `sig`),
+    * ready to append to both the sink and the index.
+    *
+    * Scale shape: the batch side is one extract round (small by
+    * construction); the stored side contributes (a) a narrow hash column
+    * for one anti-join, (b) a pre-capped band table whose join fan-out is
+    * bounded at [[MaxAllPairsBucket]] per bucket, and (c) signatures
+    * fetched for candidate ids only. NOTHING is re-derived from the loaded
+    * documents — no re-banding, no re-hashing, no sink scan.
+    *
+    * The enriched batch (sha2 + MinHash per doc) feeds every downstream
+    * consumer — in-batch banding, two confirm joins, the final anti-joins,
+    * and the caller's sink/index appends — so it is eagerly
+    * `localCheckpoint`ed: the most expensive per-doc kernel runs ONCE per
+    * batch, with none of the cross-batch cache-leak a persist would create
+    * over a long-running stream.
+    */
+  def incrementalDedupSurvivorsIndexed(spark: SparkSession, batch: DataFrame,
+      index: Option[DedupIndexTables], threshold: Double = 0.5): DataFrame = {
     val enriched = batch
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("sig",
         graft.functions.MinHashSignature.minhash(spark, col("text"), NumHashes, ShingleLen))
+      .localCheckpoint(true)
     // (3a) within-batch exact: keep the min doc_id per content hash.
     val wExact = Window.partitionBy("content_hash").orderBy("doc_id")
     val batchExact = enriched
       .withColumn("__rn", row_number().over(wExact))
       .filter(col("__rn") === 1).drop("__rn")
-    // (1) exact vs sink.
-    val afterExact = sink.fold(batchExact)(s =>
-      batchExact.join(s.select("content_hash"), Seq("content_hash"), "left_anti"))
+    // (1) exact vs stored hashes.
+    val afterExact = index.fold(batchExact)(i =>
+      batchExact.join(i.hashes, Seq("content_hash"), "left_anti"))
     // (3b) within-batch near-dup: LSH + signature confirm; the higher doc_id
     // of each confirmed pair loses (transitively collapses via star-links).
-    // Not persisted: three consumers, but the batch side is one extract
-    // round (small by construction) and a per-batch persist would leak cache
-    // entries over a long-running stream.
     val bSigs = afterExact.select(col("doc_id"), col("sig"))
     val selfLosers = lshCandidatePairs(bSigs)
       .join(bSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
@@ -727,30 +809,55 @@ object LlmPipeline {
       .filter(estJaccard(col("sig_a"), col("sig_b")) >= threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val afterSelf = afterExact.join(selfLosers, Seq("doc_id"), "left_anti")
-    // (2) near-dup vs sink: batch bands × sink bands on (band, bucket), then
-    // signature confirm. Hot sink buckets collapse to their representative.
-    val result = sink match {
-      case Some(s) =>
+    // (2) near-dup vs the stored band index: candidates from the pre-capped
+    // band table, signatures re-attached for candidate ids only.
+    index match {
+      case Some(i) =>
         val newBands = bandedSig(afterSelf.select("doc_id", "sig"))
           .withColumnRenamed("doc_id", "new_id")
-        val oldBandsAll = bandedSig(s.select("doc_id", "sig"))
-          .withColumnRenamed("doc_id", "old_id")
-        val bucketStats = oldBandsAll.groupBy("band", "bucket")
-          .agg(count(lit(1)).as("__n"), min(col("old_id")).as("__rep"))
-        val oldBands = oldBandsAll.join(bucketStats, Seq("band", "bucket"))
-          .filter(col("__n") <= MaxAllPairsBucket || col("old_id") === col("__rep"))
-          .select("band", "bucket", "old_id")
-        val cands = newBands.join(oldBands, Seq("band", "bucket"))
+        val cands = newBands
+          .join(i.bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
           .select("new_id", "old_id").distinct()
         val sinkLosers = cands
           .join(afterSelf.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), "new_id")
-          .join(s.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
+          .join(i.sigs.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
           .filter(estJaccard(col("sig_n"), col("sig_o")) >= threshold)
           .select(col("new_id").as("doc_id")).distinct()
         afterSelf.join(sinkLosers, Seq("doc_id"), "left_anti")
       case None => afterSelf
     }
-    result
+  }
+
+  /** [[incrementalDedupSurvivorsIndexed]] against a raw enriched sink
+    * DataFrame: derives the index tables in-plan via [[indexFromSink]].
+    * This is the bootstrap/ad-hoc form — a standing sink must store the
+    * index and pass it directly (see
+    * [[graft.streaming.StreamingExtract.incrementalDedupSink]]).
+    */
+  def incrementalDedupSurvivors(spark: SparkSession, batch: DataFrame,
+      sink: Option[DataFrame], threshold: Double = 0.5): DataFrame =
+    incrementalDedupSurvivorsIndexed(spark, batch, sink.map(indexFromSink), threshold)
+
+  /** The incremental-dedup composition as a driver-runnable BATCH query:
+    * the even-doc_id half of the corpus plays an already-loaded enriched
+    * sink, the odd half plays one at-least-once extract round, and the
+    * output is the round's surviving doc_ids — each odd doc admitted only
+    * if it is no exact/near dup of a stored doc nor of a lower-id batch
+    * doc. One query exercises both halves of the production shape:
+    * [[indexFromSink]] (bootstrap derivation) feeding
+    * [[incrementalDedupSurvivorsIndexed]] (the steady-state kernel the
+    * indexed streaming sink runs per micro-batch).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val prior = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhash(spark, col("text"), NumHashes, ShingleLen))
+    val batch = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
+    incrementalDedupSurvivors(spark, batch, Some(prior))
+      .select("doc_id").orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- text analysis

@@ -61,22 +61,12 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        // Existence must be checked through the Hadoop FileSystem resolved
-        // from the path (java.io.File is always false on hdfs://, s3a://, …,
-        // which would silently skip the anti-join and re-append duplicates).
         // An absent dir or one with no data files yet (only _SUCCESS/hidden
         // markers) means "no existing keys"; any OTHER read failure —
         // corrupt footer, transient store error, permissions — must FAIL the
         // batch rather than silently disable dedup and append duplicates.
-        val existingKeys: Option[DataFrame] = {
-          val p = new org.apache.hadoop.fs.Path(sinkDir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
-            val n = s.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          }
-          if (hasData) Some(spark.read.parquet(sinkDir).select(keyCol)) else None
-        }
+        val existingKeys: Option[DataFrame] =
+          if (hasData(spark, sinkDir)) Some(spark.read.parquet(sinkDir).select(keyCol)) else None
         val fresh = existingKeys.fold(batch.toDF())(k => batch.join(k, Seq(keyCol), "left_anti"))
         fresh.write.mode("append").parquet(sinkDir)
         ()
@@ -85,17 +75,72 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** True when `dir` exists and holds at least one non-hidden entry.
+    * Existence is checked through the Hadoop FileSystem resolved from the
+    * path (java.io.File is always false on hdfs://, s3a://, …); any read
+    * failure other than absence must FAIL the batch rather than silently
+    * disable dedup.
+    */
+  private def hasData(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  /** Index sidecar layout for an indexed dedup sink at `sinkDir`. */
+  private[graft] def indexDirs(sinkDir: String): (String, String, String) =
+    (s"$sinkDir.idx/hashes", s"$sinkDir.idx/sigs", s"$sinkDir.idx/bands")
+
+  /** Read an indexed sink's stored [[graft.ops.LlmPipeline.DedupIndexTables]],
+    * or None if the index has not been written yet.
+    */
+  private[graft] def readIndex(spark: SparkSession, sinkDir: String)
+      : Option[graft.ops.LlmPipeline.DedupIndexTables] = {
+    val (hashesDir, sigsDir, bandsDir) = indexDirs(sinkDir)
+    if (hasData(spark, hashesDir))
+      Some(graft.ops.LlmPipeline.DedupIndexTables(
+        hashes = spark.read.parquet(hashesDir),
+        sigs = spark.read.parquet(sigsDir),
+        bands = spark.read.parquet(bandsDir)))
+    else None
+  }
+
   /** Incremental-dedup append sink: [[dedupAppendSink]]'s key anti-join
     * upgraded to full content dedup — each micro-batch of documents drops
-    * exact re-deliveries/copies (sha2 anti-join vs the sink's stored hashes)
-    * AND near-dup variants of already-loaded docs (LSH banding vs the
-    * sink's STORED MinHash signatures), via
-    * [[graft.ops.LlmPipeline.incrementalDedupSurvivors]]. The sink schema
-    * carries `content_hash` and `sig` alongside the document columns, so no
-    * loaded document is ever re-shingled: each round reads signatures, never
-    * recomputes them. Survivors append; a replayed batch (same batchId after
-    * failure) finds its rows already in the sink and appends nothing —
-    * idempotent by the same argument as [[dedupAppendSink]].
+    * exact re-deliveries/copies AND near-dup variants of already-loaded
+    * docs via [[graft.ops.LlmPipeline.incrementalDedupSurvivorsIndexed]],
+    * against a STORED index maintained in sidecar dirs next to the sink
+    * (`<sink>.idx/{hashes,sigs,bands}`). Steady state per batch: read the
+    * three narrow index tables, dedup, append survivors to the sink, append
+    * the survivors' hashes/sigs/band rows to the index. The loaded
+    * documents are NEVER re-read and never re-hashed — the r4 design
+    * re-read the sink and re-banded every stored signature per micro-batch,
+    * O(|sink|·bands) shuffled per batch, which defeats incrementality at
+    * 100 TB. The sink parquet itself is now write-only from this job;
+    * readers own it.
+    *
+    * Bootstrap: adopting a pre-existing UNINDEXED sink (with `content_hash`
+    * + `sig` columns) derives and stores the index once; thereafter the
+    * sink is not consulted. A brand-new sink starts with an empty index.
+    *
+    * Survivors and the new band rows are eagerly localCheckpoint'ed before
+    * any write: the dedup kernel runs once per batch even though four
+    * directories are appended, and no append's write plan reads a
+    * directory the same job appends to.
+    *
+    * Failure atomicity, stated honestly: plain parquet cannot commit four
+    * directories atomically. Appends run sink-first, index-last, so a crash
+    * inside the window leaves the index stale by one batch and the REPLAYED
+    * batch re-appends rows the sink already has — duplicate leakage that a
+    * downstream exact-dedup pass heals — rather than the reverse ordering's
+    * silent future data loss (hashes indexed for rows the sink never
+    * received would drop every later copy). A fully replayed batch (all
+    * appends committed) is a no-op: every row anti-joins away against the
+    * index. At 100 TB the four appends become one transaction in a table
+    * format (Delta/Iceberg/Hudi MERGE), same batch logic.
     */
   def incrementalDedupSink(
       stream: DataFrame,
@@ -105,16 +150,27 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val p = new org.apache.hadoop.fs.Path(sinkDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
+        val (hashesDir, sigsDir, bandsDir) = indexDirs(sinkDir)
+        if (hasData(spark, sinkDir) && !hasData(spark, hashesDir)) {
+          // One-time adoption of an unindexed sink: derive the stored index
+          // from the sink's enriched columns (the ONLY time the sink is read
+          // here) and persist it.
+          val idx = graft.ops.LlmPipeline.indexFromSink(spark.read.parquet(sinkDir))
+          idx.hashes.write.mode("overwrite").parquet(hashesDir)
+          idx.sigs.write.mode("overwrite").parquet(sigsDir)
+          idx.bands.write.mode("overwrite").parquet(bandsDir)
         }
-        val sink = if (hasData) Some(spark.read.parquet(sinkDir)) else None
-        graft.ops.LlmPipeline
-          .incrementalDedupSurvivors(spark, batch.toDF(), sink, threshold)
-          .write.mode("append").parquet(sinkDir)
+        val index = readIndex(spark, sinkDir)
+        val survivors = graft.ops.LlmPipeline
+          .incrementalDedupSurvivorsIndexed(spark, batch.toDF(), index, threshold)
+          .localCheckpoint(true)
+        val bandRows = graft.ops.LlmPipeline
+          .newBandRows(survivors.select("doc_id", "sig"), index.map(_.bands))
+          .localCheckpoint(true)
+        survivors.write.mode("append").parquet(sinkDir)
+        survivors.select("content_hash").write.mode("append").parquet(hashesDir)
+        survivors.select("doc_id", "sig").write.mode("append").parquet(sigsDir)
+        bandRows.write.mode("append").parquet(bandsDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -160,12 +216,8 @@ object StreamingExtract {
           .filter(col("__rn") === 1).drop("__rn")
         val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
         val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(sinkPath) && fs.listStatus(sinkPath).exists { s =>
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }
         val merged =
-          if (hasData)
+          if (hasData(spark, sinkDir))
             spark.read.parquet(sinkDir)
               .join(latest.select(keyCol), Seq(keyCol), "left_anti")
               .unionByName(latest)

@@ -155,6 +155,55 @@ class StreamingExtractSpec extends SparkSpec {
       s"sink must store the dedup index columns: ${out.columns.toSeq}")
     val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(0L, 1L, 4L), s"survivors: $ids")
+
+    // The stored index tracks exactly the survivors: one hash and one sig
+    // per admitted doc, 16 band rows each (nothing near the bucket cap).
+    val (hashesDir, sigsDir, bandsDir) = StreamingExtract.indexDirs(sink)
+    assert(spark.read.parquet(hashesDir).count() == 3)
+    assert(spark.read.parquet(sigsDir).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 4L))
+    assert(spark.read.parquet(bandsDir).count() == 3 * 16)
+
+    // Round 3 against the PRE-INDEXED sink drops the same dup classes:
+    // a re-delivered survivor, an exact copy, a near-dup variant of a
+    // round-2 survivor, and admits only the genuinely new doc.
+    val textD = toks("d").mkString(" ")
+    writeBatch(Seq(
+      (4L, textC), // re-delivered boundary row   → exact vs stored hashes
+      (7L, textB), // exact copy of loaded doc    → exact vs stored hashes
+      (8L, nearC), // near-dup of round-2 survivor → LSH vs stored bands+sigs
+      (9L, textD)  // genuinely new               → survives
+    ))
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    val ids3 = spark.read.parquet(sink).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids3 == Seq(0L, 1L, 4L, 9L), s"round-3 survivors: $ids3")
+    assert(spark.read.parquet(hashesDir).count() == 4, "index must grow with the survivor")
+    assert(spark.read.parquet(bandsDir).count() == 4 * 16)
+
+    // THE index contract: a steady-state batch's dedup plan reads ONLY the
+    // stored index tables — the sink parquet itself is never scanned (the
+    // r4 design re-read and re-banded the whole sink per micro-batch).
+    val idx = StreamingExtract.readIndex(spark, sink)
+    assert(idx.nonEmpty, "index must exist after a batch")
+    val probe = Seq((10L, textD), (11L, toks("e").mkString(" ")))
+      .toDF("doc_id", "text")
+    val surv = graft.ops.LlmPipeline
+      .incrementalDedupSurvivorsIndexed(spark, probe, idx, 0.5)
+    val scanned = surv.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.map(_.toUri.getPath)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scanned.nonEmpty, "the indexed plan must scan the index tables")
+    assert(!scanned.exists(p => p == sink || p.startsWith(s"$sink/")),
+      s"steady-state dedup must never scan the sink itself: $scanned")
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
+      "the indexed probe batch must drop the copy of an indexed doc")
   }
 
   test("upsertSink MERGEs re-delivered keys: changed payloads replace, new keys insert") {

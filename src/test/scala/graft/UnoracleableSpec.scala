@@ -92,7 +92,11 @@ class UnoracleableSpec extends SparkSpec {
     "text_containment" -> Pin(
       "containment scoring consumes the engine-specific anchor sets",
       "UnoracleableSpec", Seq(
-        "text_containment finds a boilerplate-wrapped copy that resemblance dedup misses")))
+        "text_containment finds a boilerplate-wrapped copy that resemblance dedup misses")),
+    "dedup_incremental" -> Pin(
+      "survivors depend on the seed-dependent MinHash/LSH kernel (no SQL equivalent)",
+      "UnoracleableSpec", Seq(
+        "dedup_incremental: the batch half drops every stored-dup class and keeps the rest")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -301,6 +305,43 @@ class UnoracleableSpec extends SparkSpec {
     val resemblance = LlmPipeline.dedupNearMinhash(spark, dir).collect()
     assert(!resemblance.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
       "premise check: resemblance dedup should miss the wrapped copy (Jaccard ~0.25)")
+  }
+
+  test("dedup_incremental: the batch half drops every stored-dup class and keeps the rest") {
+    // Synthetic corpus with one doc per dup class: even ids form the prior
+    // sink, odd ids the extract round. Expected survivors are exactly the
+    // two genuinely new odd docs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    import spark.implicits._
+    def toks(p: String): IndexedSeq[String] = (0 until 40).map(i => s"$p$i")
+    val textA = toks("a").mkString(" ")
+    val textB = toks("b").mkString(" ")
+    val textC = toks("c").mkString(" ")
+    val textD = toks("d").mkString(" ")
+    val textE = toks("e").mkString(" ")
+    val nearB = (toks("b").dropRight(2) ++ Seq("xx", "yy")).mkString(" ")
+    val nearD = (toks("d").dropRight(2) ++ Seq("zz", "ww")).mkString(" ")
+    val docs = Seq(
+      0L -> textA, 2L -> textB, 4L -> textC, // prior sink (even)
+      1L -> textA, // exact copy of stored      → dropped
+      3L -> nearB, // near-dup of stored        → dropped
+      5L -> textD, // genuinely new             → survives
+      7L -> textD, // in-batch exact copy of 5  → dropped
+      9L -> nearD, // in-batch near-dup of 5    → dropped
+      11L -> textE // genuinely new             → survives
+    )
+    docs.map { case (id, text) => (id, text, "en", s"s$id", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.dedupIncremental(spark, dir).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 11L), s"survivors: $got")
+
+    // Fixture invariants: survivors come only from the odd (batch) half,
+    // and the query is deterministic across invocations.
+    val fx = LlmPipeline.dedupIncremental(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(fx.nonEmpty && fx.forall(_ % 2 == 1), "survivors must be batch-half docs")
+    val fx2 = LlmPipeline.dedupIncremental(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(fx == fx2, "dedup_incremental must be deterministic")
   }
 
   test("text_containment memoizes its anchor table: repeated invocations leak no cache entries") {
