@@ -380,13 +380,26 @@ object LlmPipeline {
     * near-dups (max pairwise cosine ≈ 0.51), so any real threshold would
     * return an empty, undemonstrative result.
     */
-  def dedupNearEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.9,
-      numBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+  /** Banded SRP sign codes for an embedding column: `numBands` structs of
+    * (band, bucket) where bucket packs `planesPerBand` hyperplane sign bits.
+    * Shared by [[dedupNearEmbedding]] (self-pair LSH) and
+    * [[incrementalDedupEmbeddings]] (cross-table LSH, where the codes are
+    * STORED with each admitted vector so loaded vectors are never
+    * re-projected).
+    */
+  private[graft] def srpBandCodes(spark: SparkSession, emb: Column,
+      numBands: Int = 4, planesPerBand: Int = 8): Column = {
     val planes = srpPlanes(numBands * planesPerBand)
     def bandCode(band: Int): Column = (0 until planesPerBand).map { h =>
-      when(dot(spark, col("embedding"), typedlit(planes(band * planesPerBand + h))) > 0,
+      when(dot(spark, emb, typedlit(planes(band * planesPerBand + h))) > 0,
         lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
+    array((0 until numBands).map(b =>
+      struct(lit(b).as("band"), bandCode(b).as("bucket"))): _*)
+  }
+
+  def dedupNearEmbedding(spark: SparkSession, dir: String, threshold: Double = 0.9,
+      numBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
     // Precompute each vector's norm once BEFORE the pair join: the per-pair
     // stage then runs a single dot-product loop instead of three (norms would
     // otherwise be recomputed for every pair a vector appears in).
@@ -396,8 +409,7 @@ object LlmPipeline {
     val coded = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2(spark, col("embedding")).as("norm"))
     val banded = coded.select(col("vec_id").as("doc_id"),
-        explode(array((0 until numBands).map(b =>
-          struct(lit(b).as("band"), bandCode(b).as("bucket"))): _*)).as("bc"))
+        explode(srpBandCodes(spark, col("embedding"), numBands, planesPerBand)).as("bc"))
       .select(col("doc_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
     val a = coded.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"))
@@ -858,6 +870,81 @@ object LlmPipeline {
     val batch = docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text"))
     incrementalDedupSurvivors(spark, batch, Some(prior))
       .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Incremental dedup for the EMBEDDING modality — the text sink's shape
+    * with banded SRP codes in place of MinHash signatures: each batch of
+    * (vec_id, embedding) drops vectors whose cosine to an already-loaded
+    * vector (or a lower-id batch vector) reaches `threshold`; exact
+    * re-deliveries and copies are the cosine-1.0 special case, so one
+    * mechanism covers both. Candidates come from banded SRP collisions
+    * ([[srpBandCodes]] — the sink stores each admitted vector's `codes` and
+    * `norm`, so loaded vectors are never re-projected against the
+    * hyperplanes), confirmed by exact cosine with precomputed norms.
+    * Survivors come back enriched (`norm`, `codes`), ready to append.
+    *
+    * Scale shape: candidate generation is (band, bucket)-keyed equi-joins;
+    * the in-batch side rides the capped [[bucketedPairs]] kernel. The
+    * cross-table side reads stored codes in-row; at 100 TB those codes
+    * graduate to a capped sidecar band index exactly like the text path's
+    * [[DedupIndexTables]] — same keys, same appends.
+    */
+  def incrementalDedupEmbeddings(spark: SparkSession, batch: DataFrame,
+      sink: Option[DataFrame], threshold: Double = 0.99): DataFrame = {
+    val enriched = batch
+      .withColumn("norm", l2(spark, col("embedding")))
+      .withColumn("codes", srpBandCodes(spark, col("embedding")))
+      .localCheckpoint(true)
+    val cos = dot(spark, col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))
+    // Within-batch: banded self-pairs, exact-cosine confirm, higher id loses.
+    val banded = enriched.select(col("vec_id").as("doc_id"), explode(col("codes")).as("bc"))
+      .select(col("doc_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val ea = enriched.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"))
+    val eb = enriched.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"))
+    val selfLosers = bucketedPairs(banded).join(ea, "doc_a").join(eb, "doc_b")
+      .filter(cos >= threshold)
+      .select(col("doc_b").as("vec_id")).distinct()
+    val afterSelf = enriched.join(selfLosers, Seq("vec_id"), "left_anti")
+    sink match {
+      case Some(s) =>
+        val newB = afterSelf.select(col("vec_id").as("new_id"), explode(col("codes")).as("bc"))
+          .select(col("new_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+        val oldB = s.select(col("vec_id").as("old_id"), explode(col("codes")).as("bc"))
+          .select(col("old_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+        val cands = newB.join(oldB, Seq("band", "bucket")).select("new_id", "old_id").distinct()
+        val losers = cands
+          .join(afterSelf.select(col("vec_id").as("new_id"),
+            col("embedding").as("emb_a"), col("norm").as("norm_a")), "new_id")
+          .join(s.select(col("vec_id").as("old_id"),
+            col("embedding").as("emb_b"), col("norm").as("norm_b")), "old_id")
+          .filter(cos >= threshold)
+          .select(col("new_id").as("vec_id")).distinct()
+        afterSelf.join(losers, Seq("vec_id"), "left_anti")
+      case None => afterSelf
+    }
+  }
+
+  /** Incremental dedup for the MEDIA modality: exact payload-content dedup
+    * (the [[graft.ops.Multimodal]] `sha2(payload)` key) against a sink that
+    * stores each admitted asset's `payload_hash` — a re-delivered boundary
+    * asset, a byte-identical copy under a new id, and in-batch copies all
+    * drop on one 32-byte hash anti-join. The stored side contributes ONLY
+    * hashes; batch payloads shuffle once within the (small) extract round
+    * for the in-batch min-id pick, and never join against stored bytes.
+    * Near-dup media (re-encodes, crops) is the embedding path's job —
+    * decode features to vectors, then [[incrementalDedupEmbeddings]].
+    */
+  def incrementalDedupMedia(spark: SparkSession, batch: DataFrame,
+      sink: Option[DataFrame]): DataFrame = {
+    val enriched = batch.withColumn("payload_hash", sha2(col("payload"), 256))
+    val w = Window.partitionBy("payload_hash").orderBy("asset_id")
+    val batchExact = enriched
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    sink.fold(batchExact)(s =>
+      batchExact.join(s.select("payload_hash"), Seq("payload_hash"), "left_anti"))
   }
 
   // ---------------------------------------------------------------- text analysis

@@ -177,6 +177,59 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** [[incrementalDedupSink]]'s EMBEDDING-modality sibling: each micro-batch
+    * of (vec_id, embedding) drops vectors at cosine ≥ `threshold` to an
+    * already-loaded or lower-id batch vector, via
+    * [[graft.ops.LlmPipeline.incrementalDedupEmbeddings]]. The sink stores
+    * each admitted vector's SRP band `codes` and `norm`, so loaded vectors
+    * are never re-projected; the sink scan per batch reads those stored
+    * columns (at 100 TB they graduate to a capped sidecar band index — the
+    * text path's layout; this sibling demonstrates the modality config).
+    * Survivors are materialized before the append, so the write never reads
+    * the directory it appends to.
+    */
+  def incrementalDedupEmbeddingSink(
+      stream: DataFrame,
+      sinkDir: String,
+      checkpointDir: String,
+      threshold: Double = 0.99): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sink = if (hasData(spark, sinkDir)) Some(spark.read.parquet(sinkDir)) else None
+        graft.ops.LlmPipeline
+          .incrementalDedupEmbeddings(spark, batch.toDF(), sink, threshold)
+          .localCheckpoint(true)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** [[incrementalDedupSink]]'s MEDIA-modality sibling: exact payload
+    * dedup via [[graft.ops.LlmPipeline.incrementalDedupMedia]] — the sink
+    * stores `payload_hash` per admitted asset and each batch anti-joins it,
+    * so stored payload bytes never participate in a dedup plan.
+    */
+  def incrementalDedupMediaSink(
+      stream: DataFrame,
+      sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val sink = if (hasData(spark, sinkDir)) Some(spark.read.parquet(sinkDir)) else None
+        graft.ops.LlmPipeline
+          .incrementalDedupMedia(spark, batch.toDF(), sink)
+          .localCheckpoint(true)
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** MERGE-style upsert sink via foreachBatch: each micro-batch UPDATES rows
     * whose key already exists in the sink and INSERTS the rest — the loader
     * contract one step past [[dedupAppendSink]]'s insert-only dedup, for

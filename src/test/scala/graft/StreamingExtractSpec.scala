@@ -206,6 +206,75 @@ class StreamingExtractSpec extends SparkSpec {
       "the indexed probe batch must drop the copy of an indexed doc")
   }
 
+  test("incrementalDedupEmbeddingSink drops re-delivered and near-identical vectors across rounds") {
+    val src = java.nio.file.Files.createTempDirectory("graft-iesrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-iesink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ieckpt").toString
+
+    def e(i: Int, scale: Float = 1.0f, eps: (Int, Float) = (0, 0.0f)): Seq[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(i) = scale
+      if (eps._2 != 0.0f) v(eps._1) += eps._2
+      v.toSeq
+    }
+    def writeBatch(rows: Seq[(Long, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").write.mode("append").parquet(src)
+
+    // Round 1: two orthogonal vectors — both admitted.
+    writeBatch(Seq(0L -> e(0), 1L -> e(1)))
+    val schema = spark.read.parquet(src).schema
+    StreamingExtract.incrementalDedupEmbeddingSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    val r1 = spark.read.parquet(sink)
+    assert(r1.count() == 2)
+    assert(r1.columns.toSet == Set("vec_id", "embedding", "norm", "codes"),
+      s"sink must store the SRP codes and norm: ${r1.columns.toSeq}")
+
+    // Round 2: a re-delivered vector (cosine 1), a near-identical variant of
+    // a loaded vector (cosine ≈ 0.999995), a genuinely new direction, and an
+    // in-batch scaled copy of it.
+    writeBatch(Seq(
+      1L -> e(1),                        // re-delivered          → dropped
+      2L -> e(0, eps = (1, 1e-4f)),      // near-identical of 0   → dropped
+      3L -> e(2),                        // new direction         → survives
+      4L -> e(2, scale = 2.0f),          // in-batch scaled copy  → dropped
+      5L -> e(3)                         // new direction         → survives
+    ))
+    StreamingExtract.incrementalDedupEmbeddingSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    val ids = spark.read.parquet(sink).select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 3L, 5L), s"survivors: $ids")
+  }
+
+  test("incrementalDedupMediaSink drops byte-identical payloads across rounds") {
+    val src = java.nio.file.Files.createTempDirectory("graft-imsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-imsink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-imckpt").toString
+
+    def payload(tag: String): Array[Byte] = s"media-payload-$tag".getBytes("UTF-8")
+    def writeBatch(rows: Seq[(Long, Array[Byte])]): Unit =
+      rows.toDF("asset_id", "payload").write.mode("append").parquet(src)
+
+    writeBatch(Seq(0L -> payload("A"), 1L -> payload("B")))
+    val schema = spark.read.parquet(src).schema
+    StreamingExtract.incrementalDedupMediaSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    assert(spark.read.parquet(sink).count() == 2)
+
+    writeBatch(Seq(
+      1L -> payload("B"), // re-delivered boundary asset → dropped
+      2L -> payload("A"), // byte-identical copy          → dropped
+      3L -> payload("C"), // new                          → survives
+      4L -> payload("C")  // in-batch copy                → dropped
+    ))
+    StreamingExtract.incrementalDedupMediaSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    val out = spark.read.parquet(sink)
+    assert(out.columns.contains("payload_hash"), "sink must store the payload hash")
+    val ids = out.select("asset_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 3L), s"survivors: $ids")
+  }
+
   test("upsertSink MERGEs re-delivered keys: changed payloads replace, new keys insert") {
     val src = java.nio.file.Files.createTempDirectory("graft-usrc").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-usink").toString + "/out"
