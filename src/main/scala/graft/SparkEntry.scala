@@ -215,6 +215,7 @@ object SparkEntry {
     "dedup_exact" -> (LlmPipeline.dedupExact _),
     "dedup_near_minhash" -> (LlmPipeline.dedupNearMinhash _),
     "dedup_clusters" -> (LlmPipeline.dedupClusters _),
+    "dedup_cluster_stats" -> (LlmPipeline.dedupClusterStats _),
     "dedup_simhash" -> ((s: SparkSession, d: String) => LlmPipeline.dedupSimhash(s, d)),
     "text_rolling_fingerprint" -> (LlmPipeline.textRollingFingerprint _),
     "text_containment" -> ((s: SparkSession, d: String) => LlmPipeline.textContainment(s, d)),

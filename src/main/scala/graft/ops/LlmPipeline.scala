@@ -327,6 +327,27 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Per-cluster report over [[dedupClusters]] — the artifact a curation
+    * run actually consumes: one row per component with its size (the size
+    * column IS the dedup histogram) and the representative document's
+    * content hash (the cluster id is the component's min doc_id, so the
+    * representative's sha2 re-attaches with one join — no text travels for
+    * non-representatives). Ordered largest-cluster-first: the head of this
+    * report is the boilerplate/template pile a curation pass inspects.
+    * Cluster ids and sizes are deterministic (min-label components over the
+    * seed-fixed MinHash graph), but no SQL oracle can reproduce the
+    * underlying near-dup pairs — pinned by scalatest instead.
+    */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val reps = t(spark, dir, "documents")
+      .select(col("doc_id").as("cluster"), sha2(col("text"), 256).as("rep_hash"))
+    dedupClusters(spark, dir)
+      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .join(reps, "cluster")
+      .select(col("cluster"), col("cluster_size"), col("rep_hash"))
+      .orderBy(col("cluster_size").desc, col("cluster"))
+  }
+
   /** Exact n-gram (word-shingle) Jaccard over the LSH candidate pairs: the
     * verify-stage of a production dedup — MinHash banding proposes, exact
     * Jaccard disposes. Shingle sets travel as distinct 64-bit hashes
@@ -541,29 +562,51 @@ object LlmPipeline {
     * path's (every corpus vector is in some probed cell — spec-pinned);
     * smaller values trade recall for a ~cells/nProbeCells smaller join, the
     * standard IVF knob.
+    *
+    * `corpusRepl` is the complementary IVF assignment knob for BOUNDARY
+    * effects: with single assignment a true neighbor sitting just across a
+    * cell boundary is invisible to a probe that doesn't reach its cell. At
+    * r > 1 each corpus vector is stored in its r nearest cells (an explode
+    * on the corpus side, multiplying the index by ~r — the standard
+    * replication trade), so a boundary neighbor also appears in the probe's
+    * own cell; duplicate (probe, neighbor) matches from shared cells are
+    * collapsed before top-k.
     */
   def simKnnJoinCells(spark: SparkSession, dir: String, k: Int = 3, nProbes: Int = 20,
-      kCells: Int = 10, iters: Int = 2, nProbeCells: Int = 3): DataFrame = {
+      kCells: Int = 10, iters: Int = 2, nProbeCells: Int = 3,
+      corpusRepl: Int = 1): DataFrame = {
     val cents = kMeansCentroids(spark, dir, kCells, iters)
     val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val corpus = emb.withColumn("cell", nearestCell(spark, cents))
-    // Per-probe nearest cells: sort (negated score, cell) structs ascending —
-    // i.e. score descending, ties to the lower cell — and keep the first
-    // nProbeCells.
-    val scoredCells = cents.zipWithIndex.map { case (c, i) =>
-      val norm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
-      struct((-dot(spark, col("pvec"), typedlit(c)) / norm).as("negs"), lit(i).as("cell"))
+    // Nearest-cell ranking for an arbitrary vector column: sort (negated
+    // score, cell) structs ascending — i.e. score descending, ties to the
+    // lower cell — and keep the first n.
+    def nearestCells(v: Column, n: Int): Column = {
+      val scoredCells = cents.zipWithIndex.map { case (c, i) =>
+        val norm = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+        struct((-dot(spark, v, typedlit(c)) / norm).as("negs"), lit(i).as("cell"))
+      }
+      slice(array_sort(array(scoredCells: _*)), 1, n)
     }
+    val corpus =
+      if (corpusRepl <= 1) emb.withColumn("cell", nearestCell(spark, cents))
+      else emb
+        .select(col("vec_id"), col("embedding"),
+          explode(nearestCells(col("embedding"), corpusRepl)).as("cc"))
+        .select(col("vec_id"), col("embedding"), col("cc.cell").as("cell"))
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
       .select(col("probe_id"), col("pvec"),
-        explode(slice(array_sort(array(scoredCells: _*)), 1, nProbeCells)).as("pc"))
+        explode(nearestCells(col("pvec"), nProbeCells)).as("pc"))
       .select(col("probe_id"), col("pvec"), col("pc.cell").as("cell"))
     val cos = dot(spark, col("embedding"), col("pvec")) /
       (l2(spark, col("embedding")) * l2(spark, col("pvec")))
-    val scored = corpus.join(probes, "cell")
+    val scored0 = corpus.join(probes, "cell")
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), cos.as("cosine"))
+    // A replicated corpus vector can meet the same probe through every
+    // shared cell — collapse to one match per pair before ranking (the
+    // cosine is pair-determined, so distinct is exact).
+    val scored = if (corpusRepl <= 1) scored0 else scored0.distinct()
     val w = Window.partitionBy("probe_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -609,28 +652,70 @@ object LlmPipeline {
     array_max(array(scored: _*)).getField("cell")
   }
 
+  /** Minimum spherical distance (1 − cosine) between two accepted k-means
+    * seeds: near-identical candidates (re-delivered or copied vectors
+    * adjacent in id order) are skipped so no two cells start on the same
+    * point. Well below any genuine cluster separation, far above
+    * float-precision noise.
+    */
+  val MinSeedSeparation = 1e-4
+
   private val kmeansCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Seq[Double]]]]())
 
   /** Coarse IVF centroids by Lloyd's k-means (spherical assignment, mean
-    * update): seeds are the k lowest-vec_id vectors (deterministic), each
-    * iteration is ONE distributed aggregate — nearest-cell assignment is a
-    * per-row expression, the mean update is the typed [[graft.udf.VectorMean]]
-    * Aggregator (map-side combined; the posexplode formulation would
-    * multiply the shuffle by the dimensionality). Only the k×64 centroid
-    * matrix ever reaches the driver — a parameter fetch per iteration, the
-    * same contract as the probe-vector fetch. A cell that goes empty keeps
-    * its previous centroid. Memoized per (session, dir, k, iters): the index
-    * builds once and every query reuses it — the IVF production shape.
+    * update). Seeding is deterministic ε-SEPARATED greedy over the 4k
+    * lowest-vec_id vectors (one TakeOrdered, stable under any
+    * partitioning): walk the candidate prefix in id order and accept a
+    * vector only if its spherical distance to every accepted seed exceeds
+    * [[MinSeedSeparation]], back-filling from the skipped prefix if the
+    * corpus is too degenerate to yield k separated seeds. This fixes the
+    * round-4 defect — plain lowest-id seeding collapses cells when
+    * adjacent ids carry near-identical vectors (a real ingest order:
+    * boilerplate arrives in runs), leaving duplicated centroids that Lloyd
+    * cannot separate — while leaving a well-mixed corpus's seeds (and the
+    * pinned fixture recall) unchanged. Two spread-seeking alternatives
+    * were built and MEASURED at the pinned operating point (k=10, 2
+    * iterations, nProbe=3) before settling here: pure farthest-point
+    * refinement captures outliers as singleton seeds (recall@5 fell 5/5 →
+    * 1/5), and hash-derandomized k-means++ D²-weighting did no better
+    * (1/5) — at 2 Lloyd iterations seeds ARE the index, and data-point
+    * seeds in dense regions beat well-spread ones. Driver traffic stays a
+    * bounded parameter fetch (4k×64, same order as the k×64 matrix it
+    * already ships).
+    *
+    * Each Lloyd iteration is ONE distributed aggregate — nearest-cell
+    * assignment is a per-row expression, the mean update is the typed
+    * [[graft.udf.VectorMean]] Aggregator (map-side combined; the posexplode
+    * formulation would multiply the shuffle by the dimensionality). Only
+    * the k×64 centroid matrix ever reaches the driver — a parameter fetch
+    * per iteration, the same contract as the probe-vector fetch. A cell
+    * that goes empty keeps its previous centroid. Memoized per (session,
+    * dir, k, iters): the index builds once and every query reuses it — the
+    * IVF production shape.
     */
   private[graft] def kMeansCentroids(spark: SparkSession, dir: String,
       k: Int, iters: Int): Seq[Seq[Double]] =
     graft.Tables.sessionCache(kmeansCache, spark).computeIfAbsent((dir, s"kmeans_${k}_$iters"), _ => {
       val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      var cents: Seq[Seq[Double]] = emb.orderBy("vec_id").limit(k)
+      val sample: Seq[Seq[Double]] = emb
+        .orderBy("vec_id").limit(4 * k)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+      def sphericalDist(a: Seq[Double], b: Seq[Double]): Double = {
+        val d = a.lazyZip(b).map(_ * _).sum
+        val na = math.max(math.sqrt(a.map(x => x * x).sum), 1e-12)
+        val nb = math.max(math.sqrt(b.map(x => x * x).sum), 1e-12)
+        1.0 - d / (na * nb)
+      }
+      val accepted = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+      for (v <- sample if accepted.size < k)
+        if (accepted.forall(c => sphericalDist(v, c) > MinSeedSeparation)) accepted += v
+        else skipped += v
+      var cents: Seq[Seq[Double]] =
+        (accepted ++ skipped.take(k - accepted.size)).toSeq
       val vecMean = udaf(graft.udf.VectorMean)
       for (_ <- 0 until iters) {
         val updated = emb

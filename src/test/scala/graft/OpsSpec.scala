@@ -80,6 +80,32 @@ class OpsSpec extends SparkSpec {
     assert(c1 == c2 && c1.size == 10 && c1.forall(_.size == 64))
   }
 
+  test("k-means seeding survives an adversarial near-identical low-id prefix") {
+    // Ingest order is adversarial-but-real: the first ten vectors are the
+    // SAME vector (re-delivered/copied boilerplate arrives in runs). Plain
+    // lowest-id seeding would start all ten cells on one point and Lloyd
+    // could never separate the duplicated centroids; ε-separated greedy
+    // seeding skips the clones and seeds from the following distinct
+    // directions instead.
+    val dir = java.nio.file.Files.createTempDirectory("graft-seed").toString
+    import spark.implicits._
+    def e(i: Int): Seq[Float] =
+      (0 until 64).map(j => if (j == i) 1.0f else 0.0f)
+    val rows = (0L until 10L).map(id => (id, e(0))) ++          // identical clones
+      (1 to 9).map(i => (9L + i, e(i)))                          // distinct directions
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cents = LlmPipeline.kMeansCentroids(spark, dir, k = 10, iters = 1)
+    assert(cents.size == 10)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / math.max(math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum), 1e-12)
+    }
+    for (i <- cents.indices; j <- cents.indices if i < j)
+      assert(1.0 - cos(cents(i), cents(j)) > 1e-5,
+        s"cells $i and $j collapsed onto one centroid")
+  }
+
   test("VectorMean aggregator: element-wise mean matches driver-side computation; merge ≡ global") {
     import spark.implicits._
     val vecMean = udaf(graft.udf.VectorMean)

@@ -56,7 +56,8 @@ class UnoracleableSpec extends SparkSpec {
       "ANN cell pruning + float cosine; pinned against its own brute force",
       "OpsSpec", Seq(
         "sim_topk_ivf with all cells probed equals brute force; pruned is a valid subsearch",
-        "k-means IVF: Lloyd cells give full pruned recall on the fixture; index is deterministic")),
+        "k-means IVF: Lloyd cells give full pruned recall on the fixture; index is deterministic",
+        "k-means seeding survives an adversarial near-identical low-id prefix")),
     "multimodal_decode" -> Pin(
       "decoder stubs are engine-defined (no codec libs in sandbox)",
       "OpsSpec", Seq("multimodal: fingerprint matches payload bytes; decode features deterministic")),
@@ -80,7 +81,8 @@ class UnoracleableSpec extends SparkSpec {
     "sim_knn_join_cells" -> Pin(
       "cell-pruned ANN recall depends on the k-means index (float cosine, as sim_knn_join)",
       "UnoracleableSpec", Seq(
-        "sim_knn_join_cells with all cells probed equals the broadcast path; pruned is a valid subsearch")),
+        "sim_knn_join_cells with all cells probed equals the broadcast path; pruned is a valid subsearch",
+        "sim_knn_join_cells corpus replication recovers a cross-boundary neighbor single assignment misses")),
     "dedup_simhash" -> Pin(
       "SimHash64 fingerprints are this engine's own hash kernel",
       "UnoracleableSpec", Seq(
@@ -96,7 +98,11 @@ class UnoracleableSpec extends SparkSpec {
     "dedup_incremental" -> Pin(
       "survivors depend on the seed-dependent MinHash/LSH kernel (no SQL equivalent)",
       "UnoracleableSpec", Seq(
-        "dedup_incremental: the batch half drops every stored-dup class and keeps the rest")))
+        "dedup_incremental: the batch half drops every stored-dup class and keeps the rest")),
+    "dedup_cluster_stats" -> Pin(
+      "aggregates the seed-dependent near-dup clustering (same graph as dedup_clusters)",
+      "UnoracleableSpec", Seq(
+        "dedup_cluster_stats reports every cluster's size and its representative's content hash")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -172,6 +178,38 @@ class UnoracleableSpec extends SparkSpec {
     assert((100L to 132L).forall(labels(_) == 100L), "chain B must collapse to 100")
   }
 
+  test("dedup_cluster_stats reports every cluster's size and its representative's content hash") {
+    // Synthetic: the 200-identical-doc pile plus a loner (the hot-bucket
+    // corpus) must report exactly two clusters — the pile first (size 200,
+    // hash of the shared text) then the singleton.
+    val dir = java.nio.file.Files.createTempDirectory("graft-clstats").toString
+    import spark.implicits._
+    val base = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val other = (100 until 140).map(i => s"other$i").mkString(" ")
+    val docs = (0 until 200).map(i => (i.toLong, base, "en", s"s$i", base.length.toLong)) ++
+      Seq((900L, other, "en", "sx", other.length.toLong))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.dedupClusterStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.toSeq == Seq((0L, 200L, sha(base)), (900L, 1L, sha(other))),
+      s"got: ${got.toSeq}")
+
+    // Fixture invariants: sizes partition the corpus, every cluster id is a
+    // real doc, and the report agrees with dedup_clusters' own sizes.
+    val fx = LlmPipeline.dedupClusterStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nDocs = Tables.t(spark, sf, "documents").count()
+    assert(fx.map(_._2).sum == nDocs, "cluster sizes must partition the corpus")
+    val fromClusters = LlmPipeline.dedupClusters(spark, sf)
+      .select("cluster", "cluster_size").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fx.toSet == fromClusters, "stats must agree with dedup_clusters")
+  }
+
   test("sim_knn_join matches driver-side brute force for every probe") {
     val k = 3
     val vecs = Tables.t(spark, sf, "embeddings")
@@ -215,6 +253,45 @@ class UnoracleableSpec extends SparkSpec {
     assert(pruned.map(_._1).distinct.length == 20)
     assert(pruned.groupBy(_._1).values.forall(_.length == 3))
     assert(!pruned.exists { case (p, n) => p == n })
+    // Corpus replication must not distort the exhaustive case: with every
+    // cell probed AND every corpus vector in 2 cells, the pair-distinct
+    // collapse keeps the result identical to the broadcast path.
+    val replFull = LlmPipeline.simKnnJoinCells(spark, sf, k = 3, nProbes = 20,
+      kCells = 10, iters = 2, nProbeCells = 10, corpusRepl = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(replFull.sorted.sameElements(broadcast.sorted),
+      "replicated corpus at all-cells must still equal the broadcast path")
+  }
+
+  test("sim_knn_join_cells corpus replication recovers a cross-boundary neighbor single assignment misses") {
+    // Planar construction in the first two of 64 dims: seeds e1 (vec 0) and
+    // e2 (vec 1) put the k-means boundary near 45°; probe P sits at 40°
+    // (cell 0) and its TRUE nearest neighbor Q at 50° (cell 1, cosine
+    // cos 10° ≈ 0.985 to P). With nProbeCells = 1 the probe searches only
+    // cell 0: under single assignment (r = 1) Q is invisible and P's best
+    // neighbor is the seed e1 (cosine cos 40° ≈ 0.766); with r = 2 Q is
+    // ALSO stored in its second-nearest cell — cell 0 — and wins.
+    val dir = java.nio.file.Files.createTempDirectory("graft-knnrepl").toString
+    import spark.implicits._
+    def v(thetaDeg: Double): Seq[Float] = {
+      val t = math.toRadians(thetaDeg)
+      (Seq(math.cos(t).toFloat, math.sin(t).toFloat) ++ Seq.fill(62)(0.0f))
+    }
+    Seq(0L -> v(0), 1L -> v(90), 2L -> v(40), 3L -> v(50))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def top1(corpusRepl: Int): Map[Long, Long] =
+      LlmPipeline.simKnnJoinCells(spark, dir, k = 1, nProbes = 3,
+        kCells = 2, iters = 2, nProbeCells = 1, corpusRepl = corpusRepl)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val single = top1(corpusRepl = 1)
+    assert(single(2L) == 0L,
+      s"premise: single assignment must miss the cross-boundary neighbor, got ${single(2L)}")
+    val repl = top1(corpusRepl = 2)
+    assert(repl(2L) == 3L,
+      s"corpus replication r=2 must surface the true neighbor, got ${repl(2L)}")
   }
 
   test("dedup_simhash: pigeonhole banding is complete for hamming <= 3 (vs brute force)") {
@@ -355,7 +432,10 @@ class UnoracleableSpec extends SparkSpec {
     LlmPipeline.textContainment(spark, sf).count()
     LlmPipeline.textContainment(spark, sf, threshold = 0.9, maxDocsPerAnchor = 50).count()
     val n1 = spark.sparkContext.getPersistentRDDs.size
-    assert(n1 == n0, s"repeated textContainment leaked ${n1 - n0} persisted entries")
+    // <= not ==: the ContextCleaner may asynchronously drop OTHER tests'
+    // GC'd localCheckpoint blocks between the two samples; only GROWTH
+    // indicates a leak here.
+    assert(n1 <= n0, s"repeated textContainment leaked ${n1 - n0} persisted entries")
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
