@@ -204,6 +204,21 @@ class StreamingExtractSpec extends SparkSpec {
       s"steady-state dedup must never scan the sink itself: $scanned")
     assert(surv.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
       "the indexed probe batch must drop the copy of an indexed doc")
+
+    // Replay idempotence: a FRESH checkpoint re-delivers every batch; with
+    // all prior appends committed, every replayed row anti-joins away
+    // against the stored index — sink and index must not change.
+    val preSink = spark.read.parquet(sink).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val preHashes = spark.read.parquet(hashesDir).count()
+    val preBands = spark.read.parquet(bandsDir).count()
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-idckpt2").toString
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt2).awaitTermination()
+    assert(spark.read.parquet(sink).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == preSink, "replay must not change the sink")
+    assert(spark.read.parquet(hashesDir).count() == preHashes, "replay must not grow the hash index")
+    assert(spark.read.parquet(bandsDir).count() == preBands, "replay must not grow the band index")
   }
 
   test("incrementalDedupEmbeddingSink drops re-delivered and near-identical vectors across rounds") {
