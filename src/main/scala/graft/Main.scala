@@ -16,6 +16,14 @@ import graft.model.{IterateType, ReplicationMethod, TableConfig}
   * extract only past the persisted watermark (second run of `events` is the
   * boundary row alone — the reference's inclusive at-least-once re-read,
   * mkpipe_extractor_clickhouse/__init__.py:89).
+  *
+  * A second phase loads the `documents` table through the INDEXED
+  * incremental-dedup sink ([[graft.streaming.StreamingExtract.incrementalDedupSink]]):
+  * each run uses a FRESH checkpoint, so the whole table is re-delivered
+  * every time — the at-least-once worst case. Run 1 admits every document
+  * and writes the sidecar index; later runs drop every re-delivery against
+  * the STORED index (the sink itself is never re-read or re-banded) and
+  * append nothing.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -69,6 +77,24 @@ object Main {
         s"$name sink_rows=$rows watermark=$wm"
       }.mkString("; ")
       println(s"[graft.Main] run $run: $summary")
+    }
+
+    // Phase 2: curated document load, every run a full re-delivery. The
+    // fixture is a single parquet FILE and the file stream source requires
+    // a directory, so stage it as the extract-landing dir first.
+    val docsSrc = s"$outDir/documents_src"
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.mode("overwrite").parquet(docsSrc)
+    val docsSchema = spark.read.parquet(docsSrc).schema
+    val dedupSink = s"$outDir/documents_deduped"
+    for (run <- 1 to runs) {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-dedup-ckpt$run").toString
+      graft.streaming.StreamingExtract.incrementalDedupSink(
+        spark.readStream.schema(docsSchema).parquet(docsSrc), dedupSink, ckpt)
+        .awaitTermination()
+      val sinkDocs = spark.read.parquet(dedupSink).count()
+      println(s"[graft.Main] curated load run $run: sink_docs=$sinkDocs" +
+        (if (run > 1) " (full re-delivery deduped against the stored index)" else ""))
     }
     spark.stop()
   }
