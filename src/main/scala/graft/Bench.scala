@@ -24,6 +24,9 @@ import java.nio.file.{Files, Paths}
   *     driver's bounded stdout tail; `n_failed` (and the failing names) ride
   *     along so a sweep with failures can never masquerade as a speedup —
   *     failed queries record -1 per query but contribute 0 to the total.
+  *     `value_cold` (sum of FIRST runs) rides next to `value` (sum of mins):
+  *     queries sharing memoized derived tables are steady-state-cheap, and
+  *     without the cold total the min sum could be misread as cold cost.
   *   - a full machine-readable artifact at `SPARK_GRAFT_BENCH_OUT` (default
   *     `/root/repo/BENCH_FULL.json`) with per-query min, all raw runs, the
   *     retried-query list, and the loadavg samples.
@@ -117,6 +120,14 @@ object Bench {
     }
     val failed = mins.collect { case (n, v) if v < 0.0 => n }
     val total = mins.map { case (_, v) => math.max(v, 0.0) }.sum
+    // Cold total = sum of each query's FIRST run. Several queries share
+    // memoized derived tables (cluster labels, token table, IVF index), so
+    // their min-of-N measures the steady-state consume-many path; the first
+    // run carries the build cost. Reporting both keeps the headline honest:
+    // `value` is steady-state, `value_cold` is what a cold session pays.
+    val totalCold = results.map { case (_, ts) =>
+      ts.headOption.filter(_ >= 0.0).getOrElse(0.0)
+    }.sum
     val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val retriedJson = retried.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -127,6 +138,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
+        s""""value_cold":${fmt(totalCold)},""" +
         s""""runs_per_query":$nRuns,"n_queries":${mins.size},""" +
         s""""n_failed":${failed.size},"failed":$failedJson,"retried":$retriedJson,""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
@@ -134,7 +146,7 @@ object Bench {
     try Files.writeString(Paths.get(outPath), artifact)
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_cold":${fmt(totalCold)},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,8 +20,9 @@ import graft.model.{IterateType, ReplicationMethod, TableConfig}
   * A second phase loads the `documents` table through the INDEXED
   * incremental-dedup sink ([[graft.streaming.StreamingExtract.incrementalDedupSink]]):
   * each run uses a FRESH checkpoint, so the whole table is re-delivered
-  * every time — the at-least-once worst case. Run 1 admits every document
-  * and writes the sidecar index; later runs drop every re-delivery against
+  * every time — the at-least-once worst case. Run 1 admits every
+  * non-duplicate document (in-batch exact/near dedup applies on the first
+  * load too) and writes the sidecar index; later runs drop every re-delivery against
   * the STORED index (the sink itself is never re-read or re-banded) and
   * append nothing.
   */

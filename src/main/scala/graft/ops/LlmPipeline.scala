@@ -372,8 +372,12 @@ object LlmPipeline {
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
     val reps = t(spark, dir, "documents")
       .select(col("doc_id").as("cluster"), sha2(col("text"), 256).as("rep_hash"))
+    // clusterLabels already carries cluster_size per member, and the cluster
+    // id is the component's min doc_id — a member — so the representative's
+    // row (doc_id == cluster) IS the one-row-per-cluster report: no re-count,
+    // no extra shuffle, just a filter on the checkpointed label table.
     clusterLabels(spark, dir)
-      .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      .filter(col("doc_id") === col("cluster"))
       .join(reps, "cluster")
       .select(col("cluster"), col("cluster_size"), col("rep_hash"))
       .orderBy(col("cluster_size").desc, col("cluster"))
@@ -871,15 +875,63 @@ object LlmPipeline {
     * batch bucket-key set before the count, so the aggregate shuffles
     * matched rows, not the whole index.
     */
-  def newBandRows(newSigs: DataFrame, storedBands: Option[DataFrame]): DataFrame = {
-    val nb = bandedSig(newSigs)
+  def newBandRows(newSigs: DataFrame, storedBands: Option[DataFrame]): DataFrame =
+    capBandRows(bandedSig(newSigs), storedBands)
+
+  /** Number of `bpfx` sub-partitions a STORED band table is written with
+    * (`bpfx = pmod(bucket, BandPartitions)`): partitioning by `band` alone
+    * prunes nothing — every signature lands one row in EVERY band — but a
+    * (band, bpfx) grid of NumBands×BandPartitions cells lets a small batch
+    * prune the stored scan to the cells its own band rows touch.
+    */
+  private[graft] val BandPartitions = 16
+
+  /** The (band, bpfx) grid cell of a band row, flattened to one long —
+    * `band * BandPartitions + pmod(bucket, BandPartitions)`.
+    */
+  private[graft] def bandCell(band: Column, bucket: Column): Column =
+    band.cast("long") * BandPartitions + pmod(bucket.cast("long"), lit(BandPartitions.toLong))
+
+  /** Prune a stored band table to the (band, bpfx) grid cells a probe's
+    * band rows touch. The stored table carries `bpfx` only when it was
+    * written partitioned (see
+    * [[graft.streaming.StreamingExtract]]'s band writes); an unpartitioned
+    * table passes through untouched. The touched-cell set is collected on
+    * the driver — a bounded parameter fetch (≤ NumBands×BandPartitions
+    * = 256 longs, independent of data size) — and applied as a STATIC
+    * predicate on partition columns only, so the scan prunes
+    * deterministically (visible as PartitionFilters in the physical plan)
+    * instead of betting on dynamic partition pruning. Callers must pass a
+    * probe whose plan is already materialized (checkpointed), so the
+    * collect is a cheap scan, not a recomputation.
+    */
+  private[graft] def pruneBandsToTouched(stored: DataFrame, probeBands: DataFrame): DataFrame =
+    if (!stored.columns.contains("bpfx")) stored
+    else {
+      val cells = probeBands
+        .select(bandCell(col("band"), col("bucket")).as("cell"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      stored
+        .filter(bandCell(col("band"), col("bpfx")).isin(cells: _*))
+        .select("band", "bucket", "doc_id")
+    }
+
+  /** Shared cap-enforcing core of [[newBandRows]] (MinHash sigs) and
+    * [[newEmbBandRows]] (SRP codes): `nb` is the batch's (band, bucket,
+    * doc_id) band rows; the stored table, when present, contributes only
+    * the occupancy of touched buckets (partition-pruned via
+    * [[pruneBandsToTouched]], then semi-joined to the broadcast touched
+    * key set).
+    */
+  private[graft] def capBandRows(nb: DataFrame, storedBands: Option[DataFrame]): DataFrame = {
     val ranked = nb.withColumn("__rk",
       row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")))
     val occupied = storedBands match {
       case None => ranked.withColumn("__n_old", lit(0L))
       case Some(sb) =>
         val touched = nb.select("band", "bucket").distinct()
-        val oldCounts = sb.join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+        val oldCounts = pruneBandsToTouched(sb, nb)
+          .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
           .groupBy("band", "bucket").agg(count(lit(1)).as("__n_old"))
         ranked.join(oldCounts, Seq("band", "bucket"), "left")
           .withColumn("__n_old", coalesce(col("__n_old"), lit(0L)))
@@ -938,13 +990,18 @@ object LlmPipeline {
       .select(col("doc_b").as("doc_id")).distinct()
     val afterSelf = afterExact.join(selfLosers, Seq("doc_id"), "left_anti")
     // (2) near-dup vs the stored band index: candidates from the pre-capped
-    // band table, signatures re-attached for candidate ids only.
+    // band table — partition-pruned to the grid cells the batch touches
+    // when the stored table is partitioned (the enriched batch is
+    // checkpointed, so the touched-cell fetch is a cheap bounded scan) —
+    // with signatures re-attached for candidate ids only.
     index match {
       case Some(i) =>
         val newBands = bandedSig(afterSelf.select("doc_id", "sig"))
           .withColumnRenamed("doc_id", "new_id")
+        val storedBands =
+          pruneBandsToTouched(i.bands, bandedSig(enriched.select("doc_id", "sig")))
         val cands = newBands
-          .join(i.bands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
+          .join(storedBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
           .select("new_id", "old_id").distinct()
         val sinkLosers = cands
           .join(afterSelf.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), "new_id")
@@ -1005,42 +1062,121 @@ object LlmPipeline {
     * graduate to a capped sidecar band index exactly like the text path's
     * [[DedupIndexTables]] — same keys, same appends.
     */
-  def incrementalDedupEmbeddings(spark: SparkSession, batch: DataFrame,
-      sink: Option[DataFrame], threshold: Double = 0.99): DataFrame = {
+  /** Stored index tables for an EMBEDDING incremental-dedup sink — the
+    * [[DedupIndexTables]] layout for the vector modality:
+    *
+    *   - `vecs`  (vec_id, embedding, norm): the exact-cosine CONFIRM side,
+    *     joined only for candidate ids (never scanned whole for candidate
+    *     generation);
+    *   - `bands` (band, bucket, doc_id): the banded-SRP candidate index,
+    *     per-bucket membership CAPPED at [[MaxAllPairsBucket]] exactly like
+    *     the MinHash band table ([[newEmbBandRows]]).
+    *
+    * Both append-only; the sink parquet (which also carries the wide
+    * `codes` column) is never consulted after a vector is admitted.
+    */
+  final case class EmbIndexTables(vecs: DataFrame, bands: DataFrame)
+
+  /** Derive [[EmbIndexTables]] from a raw enriched embedding sink (columns
+    * `vec_id`, `embedding`, `norm`, `codes`) — the one-time BOOTSTRAP when
+    * an indexed sink adopts a pre-existing unindexed sink. Steady-state
+    * batches must read the stored tables instead.
+    */
+  def embIndexFromSink(sink: DataFrame): EmbIndexTables = EmbIndexTables(
+    vecs = sink.select("vec_id", "embedding", "norm"),
+    bands = newEmbBandRows(sink.select("vec_id", "codes"), None))
+
+  /** (band, bucket, doc_id) band rows of a (vec_id, codes) table — the SRP
+    * counterpart of [[bandedSig]].
+    */
+  private[graft] def embBands(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id").as("doc_id"), explode(col("codes")).as("bc"))
+      .select(col("doc_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+
+  /** Band rows to ADD to a stored SRP band table for newly admitted
+    * vectors, enforcing the same per-bucket cap (and the same
+    * weaker-guarantee analysis) as the MinHash [[newBandRows]]: an
+    * overflowing SRP bucket is a pile of pairwise-NON-duplicate vectors
+    * (true duplicates are dropped before they are stored), so capping it
+    * bounds the probe fan-out without losing duplicate recall in practice.
+    */
+  def newEmbBandRows(newCodes: DataFrame, storedBands: Option[DataFrame]): DataFrame =
+    capBandRows(embBands(newCodes), storedBands)
+
+  /** Exact-cosine duplicate confirm with the ZERO-NORM case made explicit:
+    * `dot/(norm_a*norm_b)` is NaN for a zero vector (0/0), which would
+    * make every comparison false and re-admit byte-identical zero-vector
+    * re-deliveries forever. A pair with either norm zero is a duplicate
+    * iff the embeddings are equal (cosine 1 by convention), else distinct.
+    */
+  private def cosineDup(spark: SparkSession, threshold: Double): Column =
+    when(col("norm_a") === 0.0 || col("norm_b") === 0.0,
+      col("emb_a") === col("emb_b"))
+      .otherwise(
+        dot(spark, col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")) >= threshold)
+
+  /** Incremental dedup for the EMBEDDING modality against its stored
+    * [[EmbIndexTables]] — the text path's
+    * [[incrementalDedupSurvivorsIndexed]] with banded SRP codes in place of
+    * MinHash signatures: each batch of (vec_id, embedding) drops vectors
+    * whose cosine to an already-loaded vector (or a lower-id batch vector)
+    * reaches `threshold`; exact re-deliveries and copies are the cosine-1.0
+    * special case (zero vectors via [[cosineDup]]'s equality branch), so
+    * one mechanism covers both. Survivors come back enriched
+    * (`norm`, `codes`), ready to append to the sink and the index.
+    *
+    * Scale shape: candidate generation is (band, bucket)-keyed equi-joins —
+    * the in-batch side rides the capped [[bucketedPairs]] kernel, the
+    * cross-table side joins the PRE-CAPPED stored band table
+    * (partition-pruned to touched grid cells when partitioned) — and the
+    * stored embeddings are fetched for candidate ids only. Nothing is
+    * re-derived from loaded vectors: no re-projection, no sink scan.
+    */
+  def incrementalDedupEmbeddingsIndexed(spark: SparkSession, batch: DataFrame,
+      index: Option[EmbIndexTables], threshold: Double = 0.99): DataFrame = {
     val enriched = batch
       .withColumn("norm", l2(spark, col("embedding")))
       .withColumn("codes", srpBandCodes(spark, col("embedding")))
       .localCheckpoint(true)
-    val cos = dot(spark, col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))
+    val isDup = cosineDup(spark, threshold)
     // Within-batch: banded self-pairs, exact-cosine confirm, higher id loses.
-    val banded = enriched.select(col("vec_id").as("doc_id"), explode(col("codes")).as("bc"))
-      .select(col("doc_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
+    val banded = embBands(enriched.select(col("vec_id"), col("codes")))
     val ea = enriched.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"))
     val eb = enriched.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"),
       col("norm").as("norm_b"))
     val selfLosers = bucketedPairs(banded).join(ea, "doc_a").join(eb, "doc_b")
-      .filter(cos >= threshold)
+      .filter(isDup)
       .select(col("doc_b").as("vec_id")).distinct()
     val afterSelf = enriched.join(selfLosers, Seq("vec_id"), "left_anti")
-    sink match {
-      case Some(s) =>
-        val newB = afterSelf.select(col("vec_id").as("new_id"), explode(col("codes")).as("bc"))
-          .select(col("new_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
-        val oldB = s.select(col("vec_id").as("old_id"), explode(col("codes")).as("bc"))
-          .select(col("old_id"), col("bc.band").as("band"), col("bc.bucket").as("bucket"))
-        val cands = newB.join(oldB, Seq("band", "bucket")).select("new_id", "old_id").distinct()
+    index match {
+      case Some(i) =>
+        val newB = embBands(afterSelf.select(col("vec_id"), col("codes")))
+          .withColumnRenamed("doc_id", "new_id")
+        val storedB = pruneBandsToTouched(i.bands, banded)
+        val cands = newB.join(storedB.withColumnRenamed("doc_id", "old_id"),
+          Seq("band", "bucket")).select("new_id", "old_id").distinct()
         val losers = cands
           .join(afterSelf.select(col("vec_id").as("new_id"),
             col("embedding").as("emb_a"), col("norm").as("norm_a")), "new_id")
-          .join(s.select(col("vec_id").as("old_id"),
+          .join(i.vecs.select(col("vec_id").as("old_id"),
             col("embedding").as("emb_b"), col("norm").as("norm_b")), "old_id")
-          .filter(cos >= threshold)
+          .filter(isDup)
           .select(col("new_id").as("vec_id")).distinct()
         afterSelf.join(losers, Seq("vec_id"), "left_anti")
       case None => afterSelf
     }
   }
+
+  /** [[incrementalDedupEmbeddingsIndexed]] against a raw enriched sink
+    * DataFrame: derives the index tables in-plan via [[embIndexFromSink]].
+    * Bootstrap/ad-hoc form — a standing sink must store the index and pass
+    * it directly (see
+    * [[graft.streaming.StreamingExtract.incrementalDedupEmbeddingSink]]).
+    */
+  def incrementalDedupEmbeddings(spark: SparkSession, batch: DataFrame,
+      sink: Option[DataFrame], threshold: Double = 0.99): DataFrame =
+    incrementalDedupEmbeddingsIndexed(spark, batch, sink.map(embIndexFromSink), threshold)
 
   /** Incremental dedup for the MEDIA modality: exact payload-content dedup
     * (the [[graft.ops.Multimodal]] `sha2(payload)` key) against a sink that
@@ -1053,14 +1189,26 @@ object LlmPipeline {
     * decode features to vectors, then [[incrementalDedupEmbeddings]].
     */
   def incrementalDedupMedia(spark: SparkSession, batch: DataFrame,
-      sink: Option[DataFrame]): DataFrame = {
+      sink: Option[DataFrame]): DataFrame =
+    incrementalDedupMediaIndexed(spark, batch, sink.map(_.select("payload_hash")))
+
+  /** [[incrementalDedupMedia]] against a stored HASH table instead of the
+    * sink itself: the stored side is the sidecar `<sink>.idx/hashes` the
+    * streaming sink maintains, so the asset sink — whose dominant column is
+    * the payload bytes — is never opened by a dedup plan at all (a
+    * column-pruned scan of the sink would still read its footers and
+    * row-group metadata per batch; the narrow sidecar doesn't grow files
+    * with the payloads).
+    */
+  def incrementalDedupMediaIndexed(spark: SparkSession, batch: DataFrame,
+      storedHashes: Option[DataFrame]): DataFrame = {
     val enriched = batch.withColumn("payload_hash", sha2(col("payload"), 256))
     val w = Window.partitionBy("payload_hash").orderBy("asset_id")
     val batchExact = enriched
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-    sink.fold(batchExact)(s =>
-      batchExact.join(s.select("payload_hash"), Seq("payload_hash"), "left_anti"))
+    storedHashes.fold(batchExact)(h =>
+      batchExact.join(h.select("payload_hash"), Seq("payload_hash"), "left_anti"))
   }
 
   // ---------------------------------------------------------------- text analysis

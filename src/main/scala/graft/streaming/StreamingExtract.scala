@@ -94,6 +94,22 @@ object StreamingExtract {
   private[graft] def indexDirs(sinkDir: String): (String, String, String) =
     (s"$sinkDir.idx/hashes", s"$sinkDir.idx/sigs", s"$sinkDir.idx/bands")
 
+  /** Write band rows to a stored band table PARTITIONED by the
+    * (band, bpfx) grid — `bpfx = pmod(bucket, BandPartitions)` — so a
+    * steady-state batch's candidate join and occupancy count prune the
+    * stored scan to the grid cells the batch touches
+    * ([[graft.ops.LlmPipeline.pruneBandsToTouched]]) instead of reading
+    * the whole table: the index grows with the corpus, the touched-cell
+    * set stays bounded at NumBands×BandPartitions.
+    */
+  private def writeBands(bands: DataFrame, dir: String, overwrite: Boolean): Unit =
+    bands
+      .withColumn("bpfx",
+        pmod(col("bucket").cast("long"), lit(graft.ops.LlmPipeline.BandPartitions.toLong)))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("band", "bpfx")
+      .parquet(dir)
+
   /** Read an indexed sink's stored [[graft.ops.LlmPipeline.DedupIndexTables]],
     * or None if the index has not been written yet.
     */
@@ -132,15 +148,23 @@ object StreamingExtract {
     * directory the same job appends to.
     *
     * Failure atomicity, stated honestly: plain parquet cannot commit four
-    * directories atomically. Appends run sink-first, index-last, so a crash
-    * inside the window leaves the index stale by one batch and the REPLAYED
-    * batch re-appends rows the sink already has — duplicate leakage that a
-    * downstream exact-dedup pass heals — rather than the reverse ordering's
-    * silent future data loss (hashes indexed for rows the sink never
-    * received would drop every later copy). A fully replayed batch (all
-    * appends committed) is a no-op: every row anti-joins away against the
-    * index. At 100 TB the four appends become one transaction in a table
-    * format (Delta/Iceberg/Hudi MERGE), same batch logic.
+    * directories atomically. Appends run sink → sigs → bands → HASHES
+    * LAST. Hashes-first would be the one corrupting order: a replayed row
+    * already in the hash table is dropped by the exact anti-join BEFORE the
+    * sig/band appends re-run, so those docs' sigs and band rows would stay
+    * permanently missing and future near-dups of them silently admitted.
+    * With hashes last, every crash window is benign: (a) crash before the
+    * sig/band appends — the replayed row has no hash and no band rows, so
+    * it is re-admitted whole (duplicate sink/index rows, healed by any
+    * downstream exact-dedup pass; duplicate index rows only add redundant
+    * candidates); (b) crash after bands but before hashes — the replayed
+    * row IS dropped, by the band+sig confirm (identical signatures give
+    * estJaccard 1.0), so nothing duplicates, and although its hash row is
+    * never written, any future exact copy still dies on that same band+sig
+    * path. Nothing is ever silently admitted; a fully replayed batch (all
+    * appends committed) is a no-op. At 100 TB the four appends become one
+    * transaction in a table format (Delta/Iceberg/Hudi MERGE), same batch
+    * logic.
     */
   def incrementalDedupSink(
       stream: DataFrame,
@@ -155,10 +179,16 @@ object StreamingExtract {
           // One-time adoption of an unindexed sink: derive the stored index
           // from the sink's enriched columns (the ONLY time the sink is read
           // here) and persist it.
+          // Adoption commits sigs and bands FIRST and hashes LAST: readIndex
+          // gates on hashesDir, so a crash mid-adoption leaves the gate
+          // closed and the next batch simply re-runs the (overwrite-mode)
+          // adoption — hashes-present always implies a complete index. The
+          // reverse order could wedge the sink: hashes present, sigs/bands
+          // missing, every subsequent batch failing on the absent dirs.
           val idx = graft.ops.LlmPipeline.indexFromSink(spark.read.parquet(sinkDir))
-          idx.hashes.write.mode("overwrite").parquet(hashesDir)
           idx.sigs.write.mode("overwrite").parquet(sigsDir)
-          idx.bands.write.mode("overwrite").parquet(bandsDir)
+          writeBands(idx.bands, bandsDir, overwrite = true)
+          idx.hashes.write.mode("overwrite").parquet(hashesDir)
         }
         val index = readIndex(spark, sinkDir)
         val survivors = graft.ops.LlmPipeline
@@ -167,26 +197,58 @@ object StreamingExtract {
         val bandRows = graft.ops.LlmPipeline
           .newBandRows(survivors.select("doc_id", "sig"), index.map(_.bands))
           .localCheckpoint(true)
+        // Append order sink → sigs → bands → hashes (hashes LAST): see the
+        // failure-atomicity scaladoc above.
         survivors.write.mode("append").parquet(sinkDir)
-        survivors.select("content_hash").write.mode("append").parquet(hashesDir)
         survivors.select("doc_id", "sig").write.mode("append").parquet(sigsDir)
-        bandRows.write.mode("append").parquet(bandsDir)
+        writeBands(bandRows, bandsDir, overwrite = false)
+        survivors.select("content_hash").write.mode("append").parquet(hashesDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** [[incrementalDedupSink]]'s EMBEDDING-modality sibling: each micro-batch
-    * of (vec_id, embedding) drops vectors at cosine ≥ `threshold` to an
-    * already-loaded or lower-id batch vector, via
-    * [[graft.ops.LlmPipeline.incrementalDedupEmbeddings]]. The sink stores
-    * each admitted vector's SRP band `codes` and `norm`, so loaded vectors
-    * are never re-projected; the sink scan per batch reads those stored
-    * columns (at 100 TB they graduate to a capped sidecar band index — the
-    * text path's layout; this sibling demonstrates the modality config).
-    * Survivors are materialized before the append, so the write never reads
-    * the directory it appends to.
+  /** Index sidecar layout for an indexed EMBEDDING dedup sink. */
+  private[graft] def embIndexDirs(sinkDir: String): (String, String) =
+    (s"$sinkDir.idx/vecs", s"$sinkDir.idx/bands")
+
+  /** Read an embedding sink's stored
+    * [[graft.ops.LlmPipeline.EmbIndexTables]], or None if the index has not
+    * been written yet. Gates on the vecs dir — the table adoption and the
+    * per-batch appends both commit LAST, so its presence implies a complete
+    * index.
+    */
+  private[graft] def readEmbIndex(spark: SparkSession, sinkDir: String)
+      : Option[graft.ops.LlmPipeline.EmbIndexTables] = {
+    val (vecsDir, bandsDir) = embIndexDirs(sinkDir)
+    if (hasData(spark, vecsDir))
+      Some(graft.ops.LlmPipeline.EmbIndexTables(
+        vecs = spark.read.parquet(vecsDir),
+        bands = spark.read.parquet(bandsDir)))
+    else None
+  }
+
+  /** [[incrementalDedupSink]]'s EMBEDDING-modality sibling, on the SAME
+    * capped sidecar-index layout: each micro-batch of (vec_id, embedding)
+    * drops vectors at cosine ≥ `threshold` to an already-loaded or lower-id
+    * batch vector, via
+    * [[graft.ops.LlmPipeline.incrementalDedupEmbeddingsIndexed]] against
+    * `<sink>.idx/{vecs,bands}` — a narrow (vec_id, embedding, norm) confirm
+    * table joined for candidate ids only, and a per-bucket-CAPPED,
+    * (band, bpfx)-partitioned SRP band table for candidate generation. The
+    * sink parquet itself is write-only from this job: loaded vectors are
+    * never re-read, never re-projected, and a degenerate stored bucket can
+    * never join unboundedly (the cap is enforced at append time by
+    * [[graft.ops.LlmPipeline.newEmbBandRows]]).
+    *
+    * Bootstrap adopts a pre-existing unindexed sink (columns `vec_id`,
+    * `embedding`, `norm`, `codes`) by deriving and storing the index once —
+    * bands first, vecs (the [[readEmbIndex]] gate) last, so a crash
+    * mid-adoption just re-runs it. Per-batch appends run sink → bands →
+    * vecs: any crash window re-admits the replayed rows (duplicate leakage,
+    * healed downstream) — never a silent future miss, since a fully
+    * indexed vector confirms every later copy at cosine 1.0.
     */
   def incrementalDedupEmbeddingSink(
       stream: DataFrame,
@@ -196,21 +258,42 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val sink = if (hasData(spark, sinkDir)) Some(spark.read.parquet(sinkDir)) else None
-        graft.ops.LlmPipeline
-          .incrementalDedupEmbeddings(spark, batch.toDF(), sink, threshold)
+        val (vecsDir, bandsDir) = embIndexDirs(sinkDir)
+        if (hasData(spark, sinkDir) && !hasData(spark, vecsDir)) {
+          val idx = graft.ops.LlmPipeline.embIndexFromSink(spark.read.parquet(sinkDir))
+          writeBands(idx.bands, bandsDir, overwrite = true)
+          idx.vecs.write.mode("overwrite").parquet(vecsDir)
+        }
+        val index = readEmbIndex(spark, sinkDir)
+        val survivors = graft.ops.LlmPipeline
+          .incrementalDedupEmbeddingsIndexed(spark, batch.toDF(), index, threshold)
           .localCheckpoint(true)
-          .write.mode("append").parquet(sinkDir)
+        val bandRows = graft.ops.LlmPipeline
+          .newEmbBandRows(survivors.select("vec_id", "codes"), index.map(_.bands))
+          .localCheckpoint(true)
+        survivors.write.mode("append").parquet(sinkDir)
+        writeBands(bandRows, bandsDir, overwrite = false)
+        survivors.select("vec_id", "embedding", "norm").write.mode("append").parquet(vecsDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Index sidecar layout for an indexed MEDIA dedup sink. */
+  private[graft] def mediaIndexDir(sinkDir: String): String = s"$sinkDir.idx/hashes"
+
   /** [[incrementalDedupSink]]'s MEDIA-modality sibling: exact payload
-    * dedup via [[graft.ops.LlmPipeline.incrementalDedupMedia]] — the sink
-    * stores `payload_hash` per admitted asset and each batch anti-joins it,
-    * so stored payload bytes never participate in a dedup plan.
+    * dedup via [[graft.ops.LlmPipeline.incrementalDedupMediaIndexed]]
+    * against a `<sink>.idx/hashes` sidecar — the asset sink (whose files
+    * are dominated by the payload bytes) is never opened by a dedup plan,
+    * not even column-pruned: each batch anti-joins the narrow stored hash
+    * table and appends its survivors' hashes back. Bootstrap adopts a
+    * pre-existing unindexed sink (with a `payload_hash` column) by copying
+    * the hash column out once. Appends run sink first, hashes last: a
+    * crash between them re-admits the replayed assets (byte-identical
+    * duplicates, healed downstream) rather than indexing hashes for assets
+    * the sink never received.
     */
   def incrementalDedupMediaSink(
       stream: DataFrame,
@@ -219,11 +302,17 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val sink = if (hasData(spark, sinkDir)) Some(spark.read.parquet(sinkDir)) else None
-        graft.ops.LlmPipeline
-          .incrementalDedupMedia(spark, batch.toDF(), sink)
+        val hashesDir = mediaIndexDir(sinkDir)
+        if (hasData(spark, sinkDir) && !hasData(spark, hashesDir))
+          spark.read.parquet(sinkDir).select("payload_hash")
+            .write.mode("overwrite").parquet(hashesDir)
+        val stored =
+          if (hasData(spark, hashesDir)) Some(spark.read.parquet(hashesDir)) else None
+        val survivors = graft.ops.LlmPipeline
+          .incrementalDedupMediaIndexed(spark, batch.toDF(), stored)
           .localCheckpoint(true)
-          .write.mode("append").parquet(sinkDir)
+        survivors.write.mode("append").parquet(sinkDir)
+        survivors.select("payload_hash").write.mode("append").parquet(hashesDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -241,9 +330,23 @@ object StreamingExtract {
     * Merge semantics: within a batch the newest row per key wins (greatest
     * `versionCol`, deterministic); against the sink, matched keys are
     * replaced, unmatched sink rows survive. The rewritten sink is staged to
-    * a sibling directory and swapped in with a filesystem rename, so readers
-    * never observe a half-written sink; a replayed batch (foreachBatch
-    * re-runs after failure with the same batchId) merges to the identical
+    * a per-batch sibling directory and swapped in with RENAME-FIRST
+    * filesystem moves — `sink → sink.old-<id>`, `staging-<id> → sink`,
+    * delete `.old-<id>` — so a complete copy of the data exists on disk at
+    * every instant: renames are atomic per path, and the live-sink name is
+    * vacant only between the two renames, while both the staged merged copy
+    * and the old copy still exist whole. (The naive delete-then-rename swap
+    * has a real loss window: a crash between the delete and the rename
+    * leaves no live sink, and the REPLAYED batch — seeing an empty sink —
+    * would recompute from batch rows alone and overwrite the staged merged
+    * copy, silently dropping all pre-batch history.)
+    *
+    * Replay recovery: at batch start, a job-committed `staging-<batchId>`
+    * (its _SUCCESS marker present) alongside a missing/empty sink means the
+    * previous attempt crashed mid-swap; the batch completes the rename and
+    * skips recompute — the staged copy already merged this batchId. In
+    * every other state the batch recomputes from the live sink and
+    * overwrites its staging dir, so replay converges to the identical
     * result — upsert is idempotent by construction.
     *
     * Scale note: this plain-parquet form rewrites the whole sink per batch —
@@ -262,26 +365,49 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCol).orderBy(col(versionCol).desc)
-        val latest = batch.toDF()
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
         val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
         val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (hasData(spark, sinkDir))
-            spark.read.parquet(sinkDir)
-              .join(latest.select(keyCol), Seq(keyCol), "left_anti")
-              .unionByName(latest)
-          else latest
-        // Stage-then-rename: the staging write reads the live sink, so the
-        // swap happens only after the merged copy is fully durable.
         val staging = new org.apache.hadoop.fs.Path(s"$sinkDir.staging-$batchId")
-        merged.write.mode("overwrite").parquet(staging.toString)
-        fs.delete(sinkPath, true)
-        if (!fs.rename(staging, sinkPath))
-          throw new java.io.IOException(s"rename $staging -> $sinkPath failed")
+        val old = new org.apache.hadoop.fs.Path(s"$sinkDir.old-$batchId")
+        def renameOrThrow(src: org.apache.hadoop.fs.Path,
+            dst: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(s"rename $src -> $dst failed")
+        // CRASH RECOVERY: a job-committed staging dir for THIS batchId with
+        // no live sink data means the previous attempt died between the two
+        // swap renames. The staged copy IS this batch's complete merged
+        // result (it was committed before any rename started) — finish the
+        // swap instead of recomputing, which would see an empty sink and
+        // rebuild from batch rows alone, losing all pre-batch history.
+        val stagedCommitted =
+          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+        if (stagedCommitted && !hasData(spark, sinkDir)) {
+          fs.delete(sinkPath, true) // marker-only remnant would break the rename
+          renameOrThrow(staging, sinkPath)
+          fs.delete(old, true)
+        } else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keyCol).orderBy(col(versionCol).desc)
+          val latest = batch.toDF()
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          val merged =
+            if (hasData(spark, sinkDir))
+              spark.read.parquet(sinkDir)
+                .join(latest.select(keyCol), Seq(keyCol), "left_anti")
+                .unionByName(latest)
+            else latest
+          // Stage first: the staging write reads the live sink, so the swap
+          // starts only after the merged copy is fully durable. Then swap
+          // RENAME-FIRST — never delete the only live copy.
+          merged.write.mode("overwrite").parquet(staging.toString)
+          if (fs.exists(sinkPath)) {
+            fs.delete(old, true) // leftover from an earlier crash of this batch
+            renameOrThrow(sinkPath, old)
+          }
+          renameOrThrow(staging, sinkPath)
+          fs.delete(old, true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -202,6 +202,17 @@ class StreamingExtractSpec extends SparkSpec {
     assert(scanned.nonEmpty, "the indexed plan must scan the index tables")
     assert(!scanned.exists(p => p == sink || p.startsWith(s"$sink/")),
       s"steady-state dedup must never scan the sink itself: $scanned")
+    // The stored band table is (band, bpfx)-partitioned and the probe
+    // prunes it to its touched grid cells: the bands scan must carry a
+    // STATIC PartitionFilters entry over the partition columns — the scan
+    // stays bounded by the batch's band rows as the index grows, instead
+    // of re-reading the whole band table per micro-batch.
+    val planStr = surv.queryExecution.executedPlan.toString
+    val bandScanLines = planStr.linesIterator
+      .filter(l => l.contains(".idx/bands") && l.contains("PartitionFilters")).toSeq
+    assert(bandScanLines.nonEmpty, s"no partitioned bands scan in plan:\n$planStr")
+    assert(bandScanLines.forall(l => l.contains("bpfx") && !l.contains("PartitionFilters: []")),
+      s"bands scan not partition-pruned: $bandScanLines")
     assert(surv.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L),
       "the indexed probe batch must drop the copy of an indexed doc")
 
