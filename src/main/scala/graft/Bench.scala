@@ -11,9 +11,19 @@ import java.nio.file.{Files, Paths}
   * both runs (round 4's recorded tail was 4–8× inflated exactly this way —
   * the slow block was the late-alphabet region of the sorted sweep, a
   * contention signature, not a plan one), so a RETRY pass follows the sweep:
-  * any query whose runs disagree by more than 2× or whose min exceeds 3× the
-  * median of its name-family (`agg_*`, `sql_*`, …) re-runs once more, and
-  * the overall min wins. `/proc/loadavg` is sampled before and after the
+  * any query whose runs disagree by more than 2×, whose min exceeds 3× the
+  * median of its name-family (`agg_*`, `sql_*`, …), or whose min exceeds 3×
+  * the SAME query's min in the PREVIOUS round's artifact re-runs once more,
+  * and the overall min wins. The cross-round trigger (r7+) closes the blind
+  * spot the round-6 artifact shipped through: when an entire name-family
+  * inflates together under one contention window, runs agree within 2× AND
+  * the family median is itself inflated — neither in-round trigger fires —
+  * but the previous round's min for an untouched query is an independent
+  * reference the contention cannot move. The previous artifact is read from
+  * `SPARK_GRAFT_BENCH_OUT` before this run overwrites it; a missing or
+  * unparseable prior, a query new this round, a prior that itself failed,
+  * or a sub-0.2s min all skip the trigger (nothing to compare / codegen
+  * noise). `/proc/loadavg` is sampled before and after the
   * sweep into the artifact so a contended run is self-identifying.
   *
   * Output goes to TWO places:
@@ -24,9 +34,17 @@ import java.nio.file.{Files, Paths}
   *     driver's bounded stdout tail; `n_failed` (and the failing names) ride
   *     along so a sweep with failures can never masquerade as a speedup —
   *     failed queries record -1 per query but contribute 0 to the total.
-  *     `value_cold` (sum of FIRST runs) rides next to `value` (sum of mins):
-  *     queries sharing memoized derived tables are steady-state-cheap, and
-  *     without the cold total the min sum could be misread as cold cost.
+  *     `value_cold` (sum of first SUCCESSFUL runs — a failed first run falls
+  *     through to the first run that succeeded, never to 0, so cold can
+  *     never understate below steady-state) rides next to `value` (sum of
+  *     mins): queries sharing memoized derived tables are steady-state-cheap,
+  *     and without the cold total the min sum could be misread as cold cost.
+  *     `value_cold_clean` substitutes the final min for any RETRIED query
+  *     whose first run exceeded 3× its final min — a first run the retry
+  *     pass itself adjudicated as contention — and `cold_contaminated` names
+  *     those queries, so the cold number never silently includes measurement
+  *     artifacts (the round-6 artifact's cold total carried +30s of pure
+  *     contention exactly this way).
   *   - a full machine-readable artifact at `SPARK_GRAFT_BENCH_OUT` (default
   *     `/root/repo/BENCH_FULL.json`) with per-query min, all raw runs, the
   *     retried-query list, and the loadavg samples.
@@ -54,11 +72,69 @@ object Bench {
     s((s.size - 1) / 2)
   }
 
+  /** Per-query mins from a PREVIOUS round's `BENCH_FULL.json` artifact —
+    * the cross-round contention reference. Parses only this file's own
+    * output format (the flat `"queries":{"name":sec,...}` object; names
+    * never contain braces, so the first `}` closes it); anything
+    * unreadable or malformed degrades to an empty map, which simply
+    * disables the cross-round retry trigger. Failed prior entries (-1)
+    * are dropped — a failure is not a timing reference.
+    */
+  private[graft] def priorMins(text: String): Map[String, Double] = {
+    val key = "\"queries\":{"
+    val start = text.indexOf(key)
+    if (start < 0) Map.empty
+    else {
+      val end = text.indexOf('}', start + key.length)
+      if (end < 0) Map.empty
+      else text.substring(start + key.length, end).split(",").iterator.flatMap { kv =>
+        kv.split(":") match {
+          case Array(k, v) =>
+            val name = k.trim.stripPrefix("\"").stripSuffix("\"")
+            try {
+              val t = v.trim.toDouble
+              if (name.nonEmpty && t >= 0.0) Some(name -> t) else None
+            } catch { case _: NumberFormatException => None }
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  /** The retry decision for one query, given its successful first-pass runs,
+    * its name-family median, and its min from the previous round's artifact
+    * (if any). Three independent contention signatures:
+    *   (1) in-query:    runs disagree >2× (one run hit a spike);
+    *   (2) in-family:   min >3× the family median (both runs inside a spike,
+    *                    family still clean);
+    *   (3) cross-round: min >3× the same query's prior-round min (the whole
+    *                    FAMILY inflated together — the r6 blind spot; the
+    *                    prior round is the only reference contention in this
+    *                    run cannot have touched).
+    * Sub-0.2s (trigger 1, 3) / sub-0.5s (trigger 2) mins are codegen/GC
+    * noise on trivial queries — never worth a retry.
+    */
+  private[graft] def needsRetry(
+      ok: Seq[Double], famMedian: Double, prior: Option[Double]): Boolean =
+    ok.nonEmpty && (
+      (ok.max / math.max(ok.min, 1e-9) > 2.0 && ok.max > 0.2) ||
+      (ok.min > 3.0 * famMedian && ok.min > 0.5) ||
+      prior.exists(p => ok.min > 3.0 * p && ok.min > 0.2))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt, 1)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Previous round's artifact — read BEFORE this run overwrites it; the
+    // per-query mins inside are the cross-round retry reference. A prior
+    // recorded at a DIFFERENT scale factor is no reference at all (every
+    // query legitimately shifts), so it is ignored wholesale.
+    val prior: Map[String, Double] =
+      try {
+        val text = Files.readString(Paths.get(outPath))
+        if (text.contains(s""""sf":"$sfDir"""")) priorMins(text) else Map.empty
+      } catch { case _: Throwable => Map.empty }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -86,11 +162,10 @@ object Bench {
     val firstPass: Seq[(String, Seq[Double])] =
       swept.map { case (name, fn) => name -> (1 to nRuns).map(_ => run1(fn)) }
 
-    // Retry pass: a query whose successful runs disagree >2× was measured
-    // through at least one contention spike; one whose min is >3× its
-    // name-family median (and not trivially fast) is suspect even if both
-    // runs landed inside the same spike. Sub-0.2s disagreements are codegen/
-    // GC noise on trivial queries — not worth a retry.
+    // Retry pass — three contention signatures, adjudicated in needsRetry:
+    // in-query run disagreement, in-family median inflation, and (r7+)
+    // cross-round inflation against the previous artifact's min for the
+    // same query.
     def familyOf(name: String): String = name.takeWhile(_ != '_')
     val famMedian: Map[String, Double] = firstPass
       .flatMap { case (n, ts) =>
@@ -99,12 +174,12 @@ object Bench {
       }
       .groupBy(_._1).map { case (f, xs) => f -> median(xs.map(_._2)) }
     val retried: Seq[String] = firstPass.collect {
-      case (n, ts) if {
-        val ok = ts.filter(_ >= 0.0)
-        ok.nonEmpty && (
-          (ok.max / math.max(ok.min, 1e-9) > 2.0 && ok.max > 0.2) ||
-          (ok.min > 3.0 * famMedian(familyOf(n)) && ok.min > 0.5))
-      } => n
+      case (n, ts) if needsRetry(
+        ts.filter(_ >= 0.0),
+        // MaxValue when the whole family failed: trigger 2 never fires, and
+        // the eager argument can't throw on an absent family key.
+        famMedian.getOrElse(familyOf(n), Double.MaxValue),
+        prior.get(n)) => n
     }
     val retries: Map[String, Double] = retried.map { n =>
       n -> run1(swept.find(_._1 == n).get._2)
@@ -120,13 +195,25 @@ object Bench {
     }
     val failed = mins.collect { case (n, v) if v < 0.0 => n }
     val total = mins.map { case (_, v) => math.max(v, 0.0) }.sum
-    // Cold total = sum of each query's FIRST run. Several queries share
-    // memoized derived tables (cluster labels, token table, IVF index), so
-    // their min-of-N measures the steady-state consume-many path; the first
-    // run carries the build cost. Reporting both keeps the headline honest:
-    // `value` is steady-state, `value_cold` is what a cold session pays.
-    val totalCold = results.map { case (_, ts) =>
-      ts.headOption.filter(_ >= 0.0).getOrElse(0.0)
+    // Cold total = sum of each query's first SUCCESSFUL run. Several queries
+    // share memoized derived tables (cluster labels, token table, IVF index),
+    // so their min-of-N measures the steady-state consume-many path; the
+    // first run carries the build cost. Reporting both keeps the headline
+    // honest: `value` is steady-state, `value_cold` is what a cold session
+    // pays. Falling through a FAILED first run to the first success (instead
+    // of 0) keeps cold >= steady-state by construction. The CLEAN variant
+    // substitutes the final min for retried queries whose first run the
+    // retry pass adjudicated as contention (>3× the final min): their first
+    // run measures the machine, not the plan.
+    def firstOk(ts: Seq[Double]): Double = ts.find(_ >= 0.0).getOrElse(0.0)
+    val totalCold = results.map { case (_, ts) => firstOk(ts) }.sum
+    val minOf = mins.toMap
+    val coldContaminated: Seq[String] = results.collect {
+      case (n, ts) if retried.contains(n) &&
+        minOf(n) >= 0.0 && firstOk(ts) > 3.0 * minOf(n) => n
+    }
+    val totalColdClean = results.map { case (n, ts) =>
+      if (coldContaminated.contains(n)) math.max(minOf(n), 0.0) else firstOk(ts)
     }.sum
     val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -136,9 +223,11 @@ object Bench {
     val runsJson = results.map { case (k, ts) =>
       s""""$k":${ts.map(fmt).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
+    val coldContamJson = coldContaminated.map(n => s""""$n"""").mkString("[", ",", "]")
     val artifact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""value_cold":${fmt(totalCold)},""" +
+        s""""value_cold":${fmt(totalCold)},"value_cold_clean":${fmt(totalColdClean)},""" +
+        s""""cold_contaminated":$coldContamJson,"prior_loaded":${prior.nonEmpty},""" +
         s""""runs_per_query":$nRuns,"n_queries":${mins.size},""" +
         s""""n_failed":${failed.size},"failed":$failedJson,"retried":$retriedJson,""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
@@ -146,7 +235,7 @@ object Bench {
     try Files.writeString(Paths.get(outPath), artifact)
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_cold":${fmt(totalCold)},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_cold":${fmt(totalCold)},"value_cold_clean":${fmt(totalColdClean)},"n_failed":${failed.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench harness's contention-adjudication logic — pure JVM, no
+  * Spark. The retry triggers and the prior-artifact parser ARE the
+  * measurement story: round 6 shipped a contaminated artifact (4 queries
+  * inflated 3-7× by machine contention, +3.2s phantom) through the exact
+  * blind spot trigger 3 closes, so the triggers get the same pinned-spec
+  * treatment as any operator.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  // --- priorMins: the previous BENCH_FULL.json's per-query mins ---
+
+  test("priorMins parses this harness's own artifact format") {
+    val artifact =
+      """{"metric":"total","value":32.015,"unit":"sec","sf":"/root/testdata/sf0.1",""" +
+        """"value_cold":78.8,"runs_per_query":2,"n_queries":3,""" +
+        """"n_failed":1,"failed":["q_bad"],"retried":[],""" +
+        """"loadavg_before":"1.75 1.5 1.2","loadavg_after":"2.07 1.8 1.4",""" +
+        """"queries":{"agg_cube":0.155,"q_bad":-1.000,"sort_limit_topk":1.626},""" +
+        """"all_runs":{"agg_cube":[0.155,0.160],"q_bad":[-1.000,-1.000],"sort_limit_topk":[1.626,1.900]}}"""
+    val m = Bench.priorMins(artifact)
+    assert(m === Map("agg_cube" -> 0.155, "sort_limit_topk" -> 1.626))
+    // failed prior entries (-1) are NOT timing references
+    assert(!m.contains("q_bad"))
+  }
+
+  test("priorMins degrades to empty on garbage, empty, and truncated input") {
+    assert(Bench.priorMins("") === Map.empty)
+    assert(Bench.priorMins("not json at all") === Map.empty)
+    assert(Bench.priorMins("""{"queries":{"a":0.1""") === Map.empty) // no closing brace
+    assert(Bench.priorMins("""{"queries":{}}""") === Map.empty)
+    assert(Bench.priorMins("""{"queries":{"a":notanumber}}""") === Map.empty)
+  }
+
+  test("priorMins reads the FIRST queries object (all_runs lists come later)") {
+    val m = Bench.priorMins("""{"queries":{"a":1.5},"all_runs":{"a":[1.5,2.0]}}""")
+    assert(m === Map("a" -> 1.5))
+  }
+
+  // --- needsRetry: the three contention signatures ---
+
+  test("trigger 1: in-query disagreement >2x fires above the noise floor") {
+    assert(Bench.needsRetry(Seq(0.3, 1.0), famMedian = 0.5, prior = None))
+    // sub-0.2s disagreement is codegen/GC noise
+    assert(!Bench.needsRetry(Seq(0.05, 0.15), famMedian = 0.5, prior = None))
+    // agreement within 2x does not fire
+    assert(!Bench.needsRetry(Seq(0.6, 1.0), famMedian = 0.5, prior = None))
+  }
+
+  test("trigger 2: min >3x family median fires above 0.5s") {
+    assert(Bench.needsRetry(Seq(1.9, 2.0), famMedian = 0.5, prior = None))
+    assert(!Bench.needsRetry(Seq(0.4, 0.45), famMedian = 0.1, prior = None)) // <0.5s floor
+    assert(!Bench.needsRetry(Seq(1.2, 1.3), famMedian = 0.5, prior = None)) // within 3x
+  }
+
+  test("trigger 3: cross-round inflation fires when triggers 1 and 2 are blind") {
+    // The r6 shape: sort_limit_topk ran 1.626/1.9 (agree within 2x), and the
+    // whole sort family inflated so the family median was itself ~1.3 — the
+    // prior round's 0.220 is the only reference that still sees the spike.
+    assert(Bench.needsRetry(Seq(1.626, 1.9), famMedian = 1.3, prior = Some(0.220)))
+    // genuine regression-free round: prior ~= current, no fire
+    assert(!Bench.needsRetry(Seq(0.23, 0.25), famMedian = 0.2, prior = Some(0.220)))
+    // new query this round: no prior, no fire
+    assert(!Bench.needsRetry(Seq(1.626, 1.9), famMedian = 1.3, prior = None))
+    // trivially fast stays exempt even vs a tiny prior
+    assert(!Bench.needsRetry(Seq(0.15, 0.18), famMedian = 0.1, prior = Some(0.01)))
+  }
+
+  test("all-failed query never retries") {
+    assert(!Bench.needsRetry(Seq.empty, famMedian = Double.MaxValue, prior = Some(0.2)))
+  }
+}
