@@ -110,18 +110,85 @@ object StreamingExtract {
       .partitionBy("band", "bpfx")
       .parquet(dir)
 
+  /** One-time, crash-safe migration of a LEGACY FLAT stored band table to
+    * the (band, bpfx)-partitioned layout [[writeBands]] appends.
+    *
+    * Why it must exist: a sink indexed by pre-partitioning code wrote its
+    * bands sidecar as plain unpartitioned parquet. The hashes/vecs gate
+    * means adoption never re-runs for such a sink, so the first new-code
+    * batch would read the flat table fine (no `bpfx` column → pruning
+    * passes through) and then APPEND `band=X/bpfx=Y` partition subdirs next
+    * to the flat part-files — and the NEXT batch's read of that mixed
+    * layout fails partition discovery, permanently wedging the sink. So any
+    * reader that might be followed by an append must first bring the layout
+    * forward.
+    *
+    * Mechanism: detect flat layout from the parquet schema (a partitioned
+    * table surfaces `bpfx` as a partition column; names never collide — the
+    * band tables carry exactly (band, bucket, doc_id)). If flat, stage a
+    * partitioned rewrite to `<dir>.migrated` and swap RENAME-FIRST exactly
+    * like [[upsertSink]]: `dir → dir.flat-old`, `dir.migrated → dir`,
+    * delete the old copy — a complete band table exists on disk at every
+    * instant. Every crash window replays safely: died during staging → the
+    * flat dir is intact and the (overwrite-mode) staging re-runs; died
+    * between the two renames → the recovery branch at the top sees a
+    * committed `.migrated` with no live dir and completes the swap; died
+    * before the final delete → the stray `.flat-old`/`.migrated` dirs are
+    * cleaned on the next call. Band rows are append-only content, so the
+    * rewrite changes layout, never data.
+    */
+  private[graft] def ensurePartitionedBands(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(s"$dir.migrated")
+    val old = new org.apache.hadoop.fs.Path(s"$dir.flat-old")
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    val stagedCommitted =
+      fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+    if (!hasData(spark, dir)) {
+      // No live band data: either nothing to migrate, or a crash landed
+      // between the swap renames — in which case the committed staged copy
+      // IS the migrated table; finish the swap.
+      if (stagedCommitted) {
+        fs.delete(p, true) // marker-only remnant would break the rename
+        renameOrThrow(staged, p)
+        fs.delete(old, true)
+      }
+    } else if (spark.read.parquet(dir).columns.contains("bpfx")) {
+      // Already partitioned — clean any stray dirs from a crash after the
+      // second rename but before the deletes.
+      fs.delete(staged, true)
+      fs.delete(old, true)
+    } else {
+      writeBands(
+        spark.read.parquet(dir).select("band", "bucket", "doc_id"),
+        staged.toString, overwrite = true)
+      fs.delete(old, true) // leftover from an earlier crashed attempt
+      renameOrThrow(p, old)
+      renameOrThrow(staged, p)
+      fs.delete(old, true)
+    }
+  }
+
   /** Read an indexed sink's stored [[graft.ops.LlmPipeline.DedupIndexTables]],
-    * or None if the index has not been written yet.
+    * or None if the index has not been written yet. Brings a legacy flat
+    * band table forward to the partitioned layout first
+    * ([[ensurePartitionedBands]]) so a following append can never create a
+    * mixed flat/partitioned directory.
     */
   private[graft] def readIndex(spark: SparkSession, sinkDir: String)
       : Option[graft.ops.LlmPipeline.DedupIndexTables] = {
     val (hashesDir, sigsDir, bandsDir) = indexDirs(sinkDir)
-    if (hasData(spark, hashesDir))
+    if (hasData(spark, hashesDir)) {
+      ensurePartitionedBands(spark, bandsDir)
       Some(graft.ops.LlmPipeline.DedupIndexTables(
         hashes = spark.read.parquet(hashesDir),
         sigs = spark.read.parquet(sigsDir),
         bands = spark.read.parquet(bandsDir)))
-    else None
+    } else None
   }
 
   /** Incremental-dedup append sink: [[dedupAppendSink]]'s key anti-join
@@ -222,11 +289,14 @@ object StreamingExtract {
   private[graft] def readEmbIndex(spark: SparkSession, sinkDir: String)
       : Option[graft.ops.LlmPipeline.EmbIndexTables] = {
     val (vecsDir, bandsDir) = embIndexDirs(sinkDir)
-    if (hasData(spark, vecsDir))
+    if (hasData(spark, vecsDir)) {
+      // Same legacy-layout guard as the text index: an emb bands table
+      // written flat by older code must come forward before any append.
+      ensurePartitionedBands(spark, bandsDir)
       Some(graft.ops.LlmPipeline.EmbIndexTables(
         vecs = spark.read.parquet(vecsDir),
         bands = spark.read.parquet(bandsDir)))
-    else None
+    } else None
   }
 
   /** [[incrementalDedupSink]]'s EMBEDDING-modality sibling, on the SAME

@@ -232,6 +232,91 @@ class StreamingExtractSpec extends SparkSpec {
     assert(spark.read.parquet(bandsDir).count() == preBands, "replay must not grow the band index")
   }
 
+  test("a legacy FLAT bands sidecar migrates to the partitioned layout and the sink keeps working") {
+    val src = java.nio.file.Files.createTempDirectory("graft-lgsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-lgsink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lgckpt").toString
+
+    def toks(p: String): IndexedSeq[String] = (0 until 40).map(i => s"$p$i")
+    val textA = toks("a").mkString(" ")
+    val textB = toks("b").mkString(" ")
+    val nearA = (toks("a").dropRight(2) ++ Seq("xx", "yy")).mkString(" ")
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+
+    writeBatch(Seq((0L, textA), (1L, textB)))
+    val schema = spark.read.parquet(src).schema
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+
+    // Devolve the bands sidecar to the LEGACY layout: flat parquet, no bpfx
+    // partition dirs — what a pre-partitioning sink left on disk. Without
+    // migration, the next batch would append band=X/bpfx=Y subdirs next to
+    // these flat part-files and the following read would fail partition
+    // discovery, wedging the sink permanently.
+    val (_, _, bandsDir) = StreamingExtract.indexDirs(sink)
+    val flatRows = spark.read.parquet(bandsDir)
+      .select("band", "bucket", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val fs = new org.apache.hadoop.fs.Path(bandsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(bandsDir), true)
+    flatRows.toDF("band", "bucket", "doc_id").write.parquet(bandsDir)
+    assert(!spark.read.parquet(bandsDir).columns.contains("bpfx"), "precondition: flat layout")
+
+    // Round 2 through the legacy index: a near-dup of a STORED doc (needs
+    // the migrated band content to be dropped) plus a new doc.
+    val textC = toks("c").mkString(" ")
+    writeBatch(Seq((2L, nearA), (3L, textC)))
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+
+    val migrated = spark.read.parquet(bandsDir)
+    assert(migrated.columns.contains("bpfx"), "bands table must be partitioned after migration")
+    // No mixed layout: the dir root holds only partition subdirs and markers.
+    val rootFiles = fs.listStatus(new org.apache.hadoop.fs.Path(bandsDir))
+      .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(rootFiles.forall(_.startsWith("band=")), s"mixed flat/partitioned layout: ${rootFiles.toSeq}")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsDir.migrated")) === false,
+      "staging dir must be cleaned up")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsDir.flat-old")) === false,
+      "old flat copy must be cleaned up")
+    // Migration preserved content: the near-dup died on the stored bands.
+    val ids = spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(0L, 1L, 3L), s"survivors: $ids")
+
+    // Round 3 proves the post-migration append did not wedge the layout.
+    writeBatch(Seq((4L, toks("d").mkString(" "))))
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    val ids3 = spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids3 == Seq(0L, 1L, 3L, 4L), s"round-3 survivors: $ids3")
+    assert(migrated.count() == spark.read.parquet(bandsDir).count() - 16,
+      "round 3 must append exactly the new doc's band rows")
+  }
+
+  test("bands migration recovers from a crash between the two swap renames") {
+    val base = java.nio.file.Files.createTempDirectory("graft-mig").toString
+    val dir = s"$base/bands"
+    val rows = Seq((0, 1, 10L), (1, 2, 11L)).toDF("band", "bucket", "doc_id")
+    // The crash state: the flat dir was renamed away, the committed staged
+    // partitioned copy has not been renamed in — no live table on disk.
+    rows.withColumn("bpfx", pmod(col("bucket").cast("long"), lit(16L)))
+      .write.partitionBy("band", "bpfx").parquet(s"$dir.migrated")
+    rows.write.parquet(s"$dir.flat-old")
+    StreamingExtract.ensurePartitionedBands(spark, dir)
+    val healed = spark.read.parquet(dir)
+    assert(healed.columns.contains("bpfx"))
+    assert(healed.count() == 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.migrated")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.flat-old")))
+    // Idempotent on an already-partitioned table.
+    StreamingExtract.ensurePartitionedBands(spark, dir)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("incrementalDedupEmbeddingSink drops re-delivered and near-identical vectors across rounds") {
     val src = java.nio.file.Files.createTempDirectory("graft-iesrc").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-iesink").toString + "/out"
