@@ -94,6 +94,129 @@ object StreamingExtract {
   private[graft] def indexDirs(sinkDir: String): (String, String, String) =
     (s"$sinkDir.idx/hashes", s"$sinkDir.idx/sigs", s"$sinkDir.idx/bands")
 
+  private def renameOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
+
+  /** Staging/backup sibling paths for an in-place sidecar rewrite (layout
+    * migration, compaction) of `dir`.
+    */
+  private def swapPaths(dir: String)
+      : (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) =
+    (new org.apache.hadoop.fs.Path(s"$dir.staged"),
+      new org.apache.hadoop.fs.Path(s"$dir.swap-old"))
+
+  /** Complete or clean up an in-place rewrite of `dir` that crashed.
+    *
+    * The rewrite protocol (shared by [[ensurePartitionedBands]] and
+    * [[compactSidecar]]) is: job-commit a full replacement to `dir.staged`,
+    * then swap RENAME-FIRST (`dir → dir.swap-old`, `dir.staged → dir`,
+    * delete the old copy) — a complete copy of the table exists on disk at
+    * every instant. The crash windows and their healing:
+    *
+    *   - died during staging (staged uncommitted, live intact): delete the
+    *     partial staged dir; the rewrite simply re-runs when next triggered;
+    *   - died between the two renames (staged committed, live gone): the
+    *     staged copy IS the table — finish the swap;
+    *   - died before the final deletes (live intact, stray staged/old):
+    *     delete the remnants.
+    *
+    * Every reader/writer of a swappable sidecar dir must heal before
+    * touching it, or a mid-swap crash would leave the next batch reading a
+    * missing directory — failing forever, the exact wedge the swap protocol
+    * exists to prevent.
+    */
+  private def healStagedSwap(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (staged, old) = swapPaths(dir)
+    val stagedCommitted =
+      fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
+    if (stagedCommitted && !hasData(spark, dir)) {
+      fs.delete(p, true) // marker-only remnant would break the rename
+      renameOrThrow(fs, staged, p)
+      fs.delete(old, true)
+    } else {
+      fs.delete(staged, true)
+      fs.delete(old, true)
+    }
+  }
+
+  /** Swap a job-committed staged rewrite in as the live `dir` — the
+    * rename-first half of the protocol [[healStagedSwap]] heals.
+    */
+  private def swapInStaged(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (staged, old) = swapPaths(dir)
+    fs.delete(old, true) // leftover from an earlier crashed attempt
+    renameOrThrow(fs, p, old)
+    renameOrThrow(fs, staged, p)
+    fs.delete(old, true)
+  }
+
+  /** Data files of a (possibly partitioned) parquet dir, recursively,
+    * excluding commit markers and hidden files.
+    */
+  private def dataFiles(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val s = it.next()
+        val n = s.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += s
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Compact a sidecar index dir once its accumulated per-batch appends
+    * exceed `maxFiles` data files — the standard streaming-sink decay
+    * (thousands of micro-batches × a few files per append = a small-file
+    * swamp whose LISTING eventually costs more than its scan). The rewrite
+    * preserves semantics exactly: band tables are re-written through the
+    * same (band, bpfx) partitioning the appends use (keyed repartition →
+    * one file per populated grid cell), flat tables coalesce to
+    * ~128 MB-target files; content is untouched, so the append-only replay
+    * reasoning (anti-joins against stored rows) is unaffected. Runs inside
+    * the same staged + rename-first swap as the layout migration — crash
+    * windows heal via [[healStagedSwap]], and a complete copy of the index
+    * exists on disk at every instant.
+    *
+    * At 100 TB the same trigger graduates to a table format's OPTIMIZE /
+    * rewrite-data-files action (which also splits giant partitions by file
+    * size — here a grid cell compacts to one file, which is the right
+    * shape while cells stay cap-bounded).
+    *
+    * Returns true when a rewrite happened (spec hook).
+    */
+  private[graft] def compactSidecar(spark: SparkSession, dir: String,
+      maxFiles: Int, partitioned: Boolean): Boolean = {
+    healStagedSwap(spark, dir)
+    val files = dataFiles(spark, dir)
+    if (files.size <= maxFiles) false
+    else {
+      val (staged, _) = swapPaths(dir)
+      val df = spark.read.parquet(dir)
+      if (partitioned)
+        df.repartition(col("band"), col("bpfx"))
+          .write.mode("overwrite").partitionBy("band", "bpfx").parquet(staged.toString)
+      else {
+        val targetFiles = math.max(1,
+          math.ceil(files.map(_.getLen).sum.toDouble / (128L << 20).toDouble).toInt)
+        df.repartition(targetFiles).write.mode("overwrite").parquet(staged.toString)
+      }
+      swapInStaged(spark, dir)
+      true
+    }
+  }
+
   /** Write band rows to a stored band table PARTITIONED by the
     * (band, bpfx) grid — `bpfx = pmod(bucket, BandPartitions)` — so a
     * steady-state batch's candidate join and occupancy count prune the
@@ -123,53 +246,23 @@ object StreamingExtract {
     * reader that might be followed by an append must first bring the layout
     * forward.
     *
-    * Mechanism: detect flat layout from the parquet schema (a partitioned
-    * table surfaces `bpfx` as a partition column; names never collide — the
-    * band tables carry exactly (band, bucket, doc_id)). If flat, stage a
-    * partitioned rewrite to `<dir>.migrated` and swap RENAME-FIRST exactly
-    * like [[upsertSink]]: `dir → dir.flat-old`, `dir.migrated → dir`,
-    * delete the old copy — a complete band table exists on disk at every
-    * instant. Every crash window replays safely: died during staging → the
-    * flat dir is intact and the (overwrite-mode) staging re-runs; died
-    * between the two renames → the recovery branch at the top sees a
-    * committed `.migrated` with no live dir and completes the swap; died
-    * before the final delete → the stray `.flat-old`/`.migrated` dirs are
-    * cleaned on the next call. Band rows are append-only content, so the
-    * rewrite changes layout, never data.
+    * Mechanism: heal any crashed rewrite ([[healStagedSwap]]), then detect
+    * flat layout from the parquet schema (a partitioned table surfaces
+    * `bpfx` as a partition column; names never collide — the band tables
+    * carry exactly (band, bucket, doc_id)). If flat, stage a partitioned
+    * rewrite to `<dir>.staged` and swap rename-first ([[swapInStaged]]) —
+    * a complete band table exists on disk at every instant, and every
+    * crash window replays safely. Band rows are append-only content, so
+    * the rewrite changes layout, never data.
     */
   private[graft] def ensurePartitionedBands(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staged = new org.apache.hadoop.fs.Path(s"$dir.migrated")
-    val old = new org.apache.hadoop.fs.Path(s"$dir.flat-old")
-    def renameOrThrow(src: org.apache.hadoop.fs.Path,
-        dst: org.apache.hadoop.fs.Path): Unit =
-      if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"rename $src -> $dst failed")
-    val stagedCommitted =
-      fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))
-    if (!hasData(spark, dir)) {
-      // No live band data: either nothing to migrate, or a crash landed
-      // between the swap renames — in which case the committed staged copy
-      // IS the migrated table; finish the swap.
-      if (stagedCommitted) {
-        fs.delete(p, true) // marker-only remnant would break the rename
-        renameOrThrow(staged, p)
-        fs.delete(old, true)
-      }
-    } else if (spark.read.parquet(dir).columns.contains("bpfx")) {
-      // Already partitioned — clean any stray dirs from a crash after the
-      // second rename but before the deletes.
-      fs.delete(staged, true)
-      fs.delete(old, true)
-    } else {
+    healStagedSwap(spark, dir)
+    if (hasData(spark, dir) && !spark.read.parquet(dir).columns.contains("bpfx")) {
+      val (staged, _) = swapPaths(dir)
       writeBands(
         spark.read.parquet(dir).select("band", "bucket", "doc_id"),
         staged.toString, overwrite = true)
-      fs.delete(old, true) // leftover from an earlier crashed attempt
-      renameOrThrow(p, old)
-      renameOrThrow(staged, p)
-      fs.delete(old, true)
+      swapInStaged(spark, dir)
     }
   }
 
@@ -232,16 +325,30 @@ object StreamingExtract {
     * appends committed) is a no-op. At 100 TB the four appends become one
     * transaction in a table format (Delta/Iceberg/Hudi MERGE), same batch
     * logic.
+    *
+    * Long-run health: each batch's appends leave a commit's worth of small
+    * files per sidecar dir; once a dir exceeds `compactAfterFiles` data
+    * files it is compacted in place ([[compactSidecar]] — crash-safe
+    * staged swap, content unchanged), so index file counts stay bounded
+    * over thousands of micro-batches instead of decaying into a
+    * listing-dominated small-file swamp. Pass `compactAfterFiles = 0` to
+    * disable.
     */
   def incrementalDedupSink(
       stream: DataFrame,
       sinkDir: String,
       checkpointDir: String,
-      threshold: Double = 0.5): StreamingQuery =
+      threshold: Double = 0.5,
+      compactAfterFiles: Int = 64): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val (hashesDir, sigsDir, bandsDir) = indexDirs(sinkDir)
+        // Heal any compaction swap that crashed mid-rename BEFORE the
+        // adoption gate or any read touches the dirs (the bands dir heals
+        // inside readIndex).
+        healStagedSwap(spark, hashesDir)
+        healStagedSwap(spark, sigsDir)
         if (hasData(spark, sinkDir) && !hasData(spark, hashesDir)) {
           // One-time adoption of an unindexed sink: derive the stored index
           // from the sink's enriched columns (the ONLY time the sink is read
@@ -270,6 +377,16 @@ object StreamingExtract {
         survivors.select("doc_id", "sig").write.mode("append").parquet(sigsDir)
         writeBands(bandRows, bandsDir, overwrite = false)
         survivors.select("content_hash").write.mode("append").parquet(hashesDir)
+        // Bound sidecar small-file growth: each append leaves a commit's
+        // worth of files per dir; once a dir exceeds the threshold it is
+        // rewritten in place (crash-safe staged swap, content unchanged —
+        // replay semantics unaffected). Runs AFTER the hashes append, so a
+        // crash during compaction leaves a fully committed batch.
+        if (compactAfterFiles > 0) {
+          compactSidecar(spark, hashesDir, compactAfterFiles, partitioned = false)
+          compactSidecar(spark, sigsDir, compactAfterFiles, partitioned = false)
+          compactSidecar(spark, bandsDir, compactAfterFiles, partitioned = true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -324,11 +441,13 @@ object StreamingExtract {
       stream: DataFrame,
       sinkDir: String,
       checkpointDir: String,
-      threshold: Double = 0.99): StreamingQuery =
+      threshold: Double = 0.99,
+      compactAfterFiles: Int = 64): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val (vecsDir, bandsDir) = embIndexDirs(sinkDir)
+        healStagedSwap(spark, vecsDir) // before the adoption gate reads it
         if (hasData(spark, sinkDir) && !hasData(spark, vecsDir)) {
           val idx = graft.ops.LlmPipeline.embIndexFromSink(spark.read.parquet(sinkDir))
           writeBands(idx.bands, bandsDir, overwrite = true)
@@ -344,6 +463,10 @@ object StreamingExtract {
         survivors.write.mode("append").parquet(sinkDir)
         writeBands(bandRows, bandsDir, overwrite = false)
         survivors.select("vec_id", "embedding", "norm").write.mode("append").parquet(vecsDir)
+        if (compactAfterFiles > 0) {
+          compactSidecar(spark, vecsDir, compactAfterFiles, partitioned = false)
+          compactSidecar(spark, bandsDir, compactAfterFiles, partitioned = true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -368,11 +491,13 @@ object StreamingExtract {
   def incrementalDedupMediaSink(
       stream: DataFrame,
       sinkDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      compactAfterFiles: Int = 64): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
         val hashesDir = mediaIndexDir(sinkDir)
+        healStagedSwap(spark, hashesDir) // before the adoption gate reads it
         if (hasData(spark, sinkDir) && !hasData(spark, hashesDir))
           spark.read.parquet(sinkDir).select("payload_hash")
             .write.mode("overwrite").parquet(hashesDir)
@@ -383,6 +508,8 @@ object StreamingExtract {
           .localCheckpoint(true)
         survivors.write.mode("append").parquet(sinkDir)
         survivors.select("payload_hash").write.mode("append").parquet(hashesDir)
+        if (compactAfterFiles > 0)
+          compactSidecar(spark, hashesDir, compactAfterFiles, partitioned = false)
         ()
       }
       .option("checkpointLocation", checkpointDir)

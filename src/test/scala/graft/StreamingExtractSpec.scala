@@ -277,9 +277,9 @@ class StreamingExtractSpec extends SparkSpec {
     val rootFiles = fs.listStatus(new org.apache.hadoop.fs.Path(bandsDir))
       .map(_.getPath.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
     assert(rootFiles.forall(_.startsWith("band=")), s"mixed flat/partitioned layout: ${rootFiles.toSeq}")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsDir.migrated")) === false,
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsDir.staged")) === false,
       "staging dir must be cleaned up")
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsDir.flat-old")) === false,
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$bandsDir.swap-old")) === false,
       "old flat copy must be cleaned up")
     // Migration preserved content: the near-dup died on the stored bands.
     val ids = spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
@@ -302,19 +302,106 @@ class StreamingExtractSpec extends SparkSpec {
     // The crash state: the flat dir was renamed away, the committed staged
     // partitioned copy has not been renamed in — no live table on disk.
     rows.withColumn("bpfx", pmod(col("bucket").cast("long"), lit(16L)))
-      .write.partitionBy("band", "bpfx").parquet(s"$dir.migrated")
-    rows.write.parquet(s"$dir.flat-old")
+      .write.partitionBy("band", "bpfx").parquet(s"$dir.staged")
+    rows.write.parquet(s"$dir.swap-old")
     StreamingExtract.ensurePartitionedBands(spark, dir)
     val healed = spark.read.parquet(dir)
     assert(healed.columns.contains("bpfx"))
     assert(healed.count() == 2)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.migrated")))
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.flat-old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.staged")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.swap-old")))
     // Idempotent on an already-partitioned table.
     StreamingExtract.ensurePartitionedBands(spark, dir)
     assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  /** Non-hidden data files under `dir`, recursively. */
+  private def nDataFiles(dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        val name = it.next().getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  test("sidecar compaction bounds index file counts over many micro-batches") {
+    val src = java.nio.file.Files.createTempDirectory("graft-cpsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-cpsink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cpckpt").toString
+    val maxFiles = 4
+
+    def toks(p: String): IndexedSeq[String] = (0 until 40).map(i => s"${p}tok$i")
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+
+    writeBatch(Seq((0L, toks("w0_").mkString(" "))))
+    val schema = spark.read.parquet(src).schema
+    val (hashesDir, sigsDir, bandsDir) = StreamingExtract.indexDirs(sink)
+    val nBatches = 10
+    (0 until nBatches).foreach { i =>
+      if (i > 0) writeBatch(Seq((i.toLong, toks(s"w${i}_").mkString(" "))))
+      StreamingExtract.incrementalDedupSink(
+        spark.readStream.schema(schema).parquet(src), sink, ckpt,
+        compactAfterFiles = maxFiles).awaitTermination()
+      // The per-dir bound holds after EVERY batch, not just at the end:
+      // compaction runs post-append, so a flat dir never carries more than
+      // the threshold into the next batch.
+      assert(nDataFiles(hashesDir) <= maxFiles,
+        s"batch $i: hashes dir has ${nDataFiles(hashesDir)} files")
+      assert(nDataFiles(sigsDir) <= maxFiles,
+        s"batch $i: sigs dir has ${nDataFiles(sigsDir)} files")
+    }
+    // The partitioned band table compacts to one file per populated grid
+    // cell — the count tracks CONTENT (bounded by the 256-cell grid), not
+    // batch count: 10 batches x 16 band-row appends each would otherwise
+    // leave ~160 files and keep growing.
+    val nCells = spark.read.parquet(bandsDir)
+      .select("band", "bpfx").distinct().count().toInt
+    assert(nDataFiles(bandsDir) == nCells,
+      s"bands dir: ${nDataFiles(bandsDir)} files for $nCells populated cells")
+
+    // Compaction changed layout, never content: every distinct doc is still
+    // admitted exactly once, and a near-dup of the FIRST batch's doc still
+    // dies on the (since-compacted) stored index.
+    val nearW0 = (toks("w0_").dropRight(2) ++ Seq("xx", "yy")).mkString(" ")
+    writeBatch(Seq((100L, nearW0), (101L, toks("fresh").mkString(" "))))
+    StreamingExtract.incrementalDedupSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt,
+      compactAfterFiles = maxFiles).awaitTermination()
+    val ids = spark.read.parquet(sink).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until nBatches.toLong) :+ 101L).sorted,
+      s"survivors after compactions: $ids")
+    assert(spark.read.parquet(hashesDir).count() == nBatches + 1)
+  }
+
+  test("compactSidecar heals a compaction swap that crashed between renames") {
+    val base = java.nio.file.Files.createTempDirectory("graft-chl").toString
+    val dir = s"$base/hashes"
+    // Crash state: live dir renamed away, committed compacted copy staged.
+    Seq("h1", "h2", "h3").toDF("content_hash").write.parquet(s"$dir.staged")
+    Seq("h1", "h2", "h3").toDF("content_hash").write.parquet(s"$dir.swap-old")
+    val rewrote = StreamingExtract.compactSidecar(spark, dir, maxFiles = 64, partitioned = false)
+    assert(!rewrote, "healing alone is not a rewrite")
+    assert(spark.read.parquet(dir).count() == 3, "staged copy must become the live table")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.staged")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.swap-old")))
+    // And a genuine over-threshold dir rewrites below the bound.
+    (0 until 6).foreach(i => Seq(s"x$i").toDF("content_hash").write.mode("append").parquet(dir))
+    assert(nDataFiles(dir) > 4)
+    assert(StreamingExtract.compactSidecar(spark, dir, maxFiles = 4, partitioned = false))
+    assert(nDataFiles(dir) <= 4)
+    assert(spark.read.parquet(dir).count() == 9, "compaction must preserve every row")
   }
 
   test("incrementalDedupEmbeddingSink drops re-delivered and near-identical vectors across rounds") {
