@@ -875,8 +875,9 @@ object LlmPipeline {
     * batch bucket-key set before the count, so the aggregate shuffles
     * matched rows, not the whole index.
     */
-  def newBandRows(newSigs: DataFrame, storedBands: Option[DataFrame]): DataFrame =
-    capBandRows(bandedSig(newSigs), storedBands)
+  def newBandRows(newSigs: DataFrame, storedBands: Option[DataFrame],
+      touched: Option[Seq[Long]] = None): DataFrame =
+    capBandRows(bandedSig(newSigs), storedBands, touched)
 
   /** Number of `bpfx` sub-partitions a STORED band table is written with
     * (`bpfx = pmod(bucket, BandPartitions)`): partitioning by `band` alone
@@ -892,45 +893,83 @@ object LlmPipeline {
   private[graft] def bandCell(band: Column, bucket: Column): Column =
     band.cast("long") * BandPartitions + pmod(bucket.cast("long"), lit(BandPartitions.toLong))
 
+  /** The distinct (band, bpfx) grid cells a probe's band rows touch,
+    * collected on the driver — a bounded parameter fetch (≤ #bands ×
+    * [[BandPartitions]] longs — 256 for the MinHash grid — independent of
+    * data size). Callers must pass a probe whose plan is already
+    * materialized (checkpointed), so the collect is a cheap scan, not a
+    * recomputation; and a batch that both prunes candidates AND caps
+    * appends must collect ONCE and pass the cells to both steps
+    * ([[incrementalDedupSurvivorsIndexedCells]] → [[newBandRows]]) rather
+    * than launching two near-identical driver jobs per micro-batch.
+    */
+  private[graft] def touchedCells(probeBands: DataFrame): Seq[Long] =
+    probeBands
+      .select(bandCell(col("band"), col("bucket")).as("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+
+  /** Prune a stored band table to a pre-collected touched-cell set,
+    * applied as a STATIC predicate on partition columns only, so the scan
+    * prunes deterministically (visible as PartitionFilters in the physical
+    * plan) instead of betting on dynamic partition pruning.
+    *
+    * Degenerate-batch short-circuit: a big enough batch touches EVERY
+    * bpfx cell of every band it bands into — and since every signature
+    * emits one row per band, a nonempty probe touches every band of its
+    * scheme, so `|cells| = nBandsTouched × BandPartitions` means the grid
+    * is saturated and the isin filter would enumerate the entire grid
+    * while pruning nothing. Skip it: the full stored scan is exactly what
+    * the filter would deliver, minus the predicate evaluation. Pruning
+    * pays in the complementary regime — batches whose band rows are small
+    * relative to the grid (≲ a few hundred docs per micro-batch for the
+    * 16×16 MinHash grid), which is the steady-state incremental shape.
+    */
+  private[graft] def pruneBandsToCells(stored: DataFrame, cells: Seq[Long]): DataFrame =
+    if (!stored.columns.contains("bpfx")) stored
+    else {
+      val nBandsTouched = cells.map(_ / BandPartitions).distinct.size
+      if (cells.nonEmpty && cells.size >= nBandsTouched * BandPartitions)
+        stored.select("band", "bucket", "doc_id")
+      else
+        stored
+          .filter(bandCell(col("band"), col("bpfx")).isin(cells: _*))
+          .select("band", "bucket", "doc_id")
+    }
+
   /** Prune a stored band table to the (band, bpfx) grid cells a probe's
     * band rows touch. The stored table carries `bpfx` only when it was
     * written partitioned (see
     * [[graft.streaming.StreamingExtract]]'s band writes); an unpartitioned
-    * table passes through untouched. The touched-cell set is collected on
-    * the driver — a bounded parameter fetch (≤ NumBands×BandPartitions
-    * = 256 longs, independent of data size) — and applied as a STATIC
-    * predicate on partition columns only, so the scan prunes
-    * deterministically (visible as PartitionFilters in the physical plan)
-    * instead of betting on dynamic partition pruning. Callers must pass a
-    * probe whose plan is already materialized (checkpointed), so the
-    * collect is a cheap scan, not a recomputation.
+    * table passes through untouched (and the probe is then never scanned
+    * for cells at all).
     */
   private[graft] def pruneBandsToTouched(stored: DataFrame, probeBands: DataFrame): DataFrame =
     if (!stored.columns.contains("bpfx")) stored
-    else {
-      val cells = probeBands
-        .select(bandCell(col("band"), col("bucket")).as("cell"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      stored
-        .filter(bandCell(col("band"), col("bpfx")).isin(cells: _*))
-        .select("band", "bucket", "doc_id")
-    }
+    else pruneBandsToCells(stored, touchedCells(probeBands))
 
   /** Shared cap-enforcing core of [[newBandRows]] (MinHash sigs) and
     * [[newEmbBandRows]] (SRP codes): `nb` is the batch's (band, bucket,
     * doc_id) band rows; the stored table, when present, contributes only
     * the occupancy of touched buckets (partition-pruned via
-    * [[pruneBandsToTouched]], then semi-joined to the broadcast touched
-    * key set).
+    * [[pruneBandsToCells]], then semi-joined to the broadcast touched
+    * key set). `touchedGrid`, when provided, is a pre-collected cell set
+    * covering `nb`'s band rows (a superset is fine — the semi-join on
+    * exact (band, bucket) keys makes over-pruning impossible): the sink
+    * passes the cells its dedup step already collected, so one driver
+    * fetch serves both steps.
     */
-  private[graft] def capBandRows(nb: DataFrame, storedBands: Option[DataFrame]): DataFrame = {
+  private[graft] def capBandRows(nb: DataFrame, storedBands: Option[DataFrame],
+      touchedGrid: Option[Seq[Long]] = None): DataFrame = {
     val ranked = nb.withColumn("__rk",
       row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")))
     val occupied = storedBands match {
       case None => ranked.withColumn("__n_old", lit(0L))
       case Some(sb) =>
         val touched = nb.select("band", "bucket").distinct()
-        val oldCounts = pruneBandsToTouched(sb, nb)
+        val pruned =
+          if (!sb.columns.contains("bpfx")) sb
+          else pruneBandsToCells(sb, touchedGrid.getOrElse(touchedCells(nb)))
+        val oldCounts = pruned
           .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
           .groupBy("band", "bucket").agg(count(lit(1)).as("__n_old"))
         ranked.join(oldCounts, Seq("band", "bucket"), "left")
@@ -966,7 +1005,21 @@ object LlmPipeline {
     * over a long-running stream.
     */
   def incrementalDedupSurvivorsIndexed(spark: SparkSession, batch: DataFrame,
-      index: Option[DedupIndexTables], threshold: Double = 0.5): DataFrame = {
+      index: Option[DedupIndexTables], threshold: Double = 0.5): DataFrame =
+    incrementalDedupSurvivorsIndexedCells(spark, batch, index, threshold)._1
+
+  /** [[incrementalDedupSurvivorsIndexed]] that ALSO returns the touched
+    * (band, bpfx) grid-cell set its stored-band pruning collected (None
+    * when the index is absent or its band table unpartitioned — no collect
+    * happens at all). The cells cover the ENRICHED batch's band rows — a
+    * superset of the survivors' — so a sink can feed them straight into
+    * [[newBandRows]] and pay ONE driver-side cell fetch per micro-batch
+    * instead of two near-identical jobs (candidate pruning + append-cap
+    * occupancy pruning).
+    */
+  def incrementalDedupSurvivorsIndexedCells(spark: SparkSession, batch: DataFrame,
+      index: Option[DedupIndexTables], threshold: Double = 0.5)
+      : (DataFrame, Option[Seq[Long]]) = {
     val enriched = batch
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("sig",
@@ -996,10 +1049,13 @@ object LlmPipeline {
     // with signatures re-attached for candidate ids only.
     index match {
       case Some(i) =>
+        val cells =
+          if (i.bands.columns.contains("bpfx"))
+            Some(touchedCells(bandedSig(enriched.select("doc_id", "sig"))))
+          else None
         val newBands = bandedSig(afterSelf.select("doc_id", "sig"))
           .withColumnRenamed("doc_id", "new_id")
-        val storedBands =
-          pruneBandsToTouched(i.bands, bandedSig(enriched.select("doc_id", "sig")))
+        val storedBands = cells.fold(i.bands)(cs => pruneBandsToCells(i.bands, cs))
         val cands = newBands
           .join(storedBands.withColumnRenamed("doc_id", "old_id"), Seq("band", "bucket"))
           .select("new_id", "old_id").distinct()
@@ -1008,8 +1064,8 @@ object LlmPipeline {
           .join(i.sigs.select(col("doc_id").as("old_id"), col("sig").as("sig_o")), "old_id")
           .filter(estJaccard(col("sig_n"), col("sig_o")) >= threshold)
           .select(col("new_id").as("doc_id")).distinct()
-        afterSelf.join(sinkLosers, Seq("doc_id"), "left_anti")
-      case None => afterSelf
+        (afterSelf.join(sinkLosers, Seq("doc_id"), "left_anti"), cells)
+      case None => (afterSelf, None)
     }
   }
 
@@ -1100,8 +1156,9 @@ object LlmPipeline {
     * (true duplicates are dropped before they are stored), so capping it
     * bounds the probe fan-out without losing duplicate recall in practice.
     */
-  def newEmbBandRows(newCodes: DataFrame, storedBands: Option[DataFrame]): DataFrame =
-    capBandRows(embBands(newCodes), storedBands)
+  def newEmbBandRows(newCodes: DataFrame, storedBands: Option[DataFrame],
+      touched: Option[Seq[Long]] = None): DataFrame =
+    capBandRows(embBands(newCodes), storedBands, touched)
 
   /** Exact-cosine duplicate confirm with the ZERO-NORM case made explicit:
     * `dot/(norm_a*norm_b)` is NaN for a zero vector (0/0), which would
@@ -1133,7 +1190,17 @@ object LlmPipeline {
     * re-derived from loaded vectors: no re-projection, no sink scan.
     */
   def incrementalDedupEmbeddingsIndexed(spark: SparkSession, batch: DataFrame,
-      index: Option[EmbIndexTables], threshold: Double = 0.99): DataFrame = {
+      index: Option[EmbIndexTables], threshold: Double = 0.99): DataFrame =
+    incrementalDedupEmbeddingsIndexedCells(spark, batch, index, threshold)._1
+
+  /** [[incrementalDedupEmbeddingsIndexed]] that also returns the touched
+    * grid-cell set of the enriched batch's SRP band rows — the embedding
+    * sibling of [[incrementalDedupSurvivorsIndexedCells]], feeding
+    * [[newEmbBandRows]] so each micro-batch pays one cell fetch, not two.
+    */
+  def incrementalDedupEmbeddingsIndexedCells(spark: SparkSession, batch: DataFrame,
+      index: Option[EmbIndexTables], threshold: Double = 0.99)
+      : (DataFrame, Option[Seq[Long]]) = {
     val enriched = batch
       .withColumn("norm", l2(spark, col("embedding")))
       .withColumn("codes", srpBandCodes(spark, col("embedding")))
@@ -1151,9 +1218,12 @@ object LlmPipeline {
     val afterSelf = enriched.join(selfLosers, Seq("vec_id"), "left_anti")
     index match {
       case Some(i) =>
+        val cells =
+          if (i.bands.columns.contains("bpfx")) Some(touchedCells(banded))
+          else None
         val newB = embBands(afterSelf.select(col("vec_id"), col("codes")))
           .withColumnRenamed("doc_id", "new_id")
-        val storedB = pruneBandsToTouched(i.bands, banded)
+        val storedB = cells.fold(i.bands)(cs => pruneBandsToCells(i.bands, cs))
         val cands = newB.join(storedB.withColumnRenamed("doc_id", "old_id"),
           Seq("band", "bucket")).select("new_id", "old_id").distinct()
         val losers = cands
@@ -1163,8 +1233,8 @@ object LlmPipeline {
             col("embedding").as("emb_b"), col("norm").as("norm_b")), "old_id")
           .filter(isDup)
           .select(col("new_id").as("vec_id")).distinct()
-        afterSelf.join(losers, Seq("vec_id"), "left_anti")
-      case None => afterSelf
+        (afterSelf.join(losers, Seq("vec_id"), "left_anti"), cells)
+      case None => (afterSelf, None)
     }
   }
 

@@ -365,11 +365,13 @@ object StreamingExtract {
           idx.hashes.write.mode("overwrite").parquet(hashesDir)
         }
         val index = readIndex(spark, sinkDir)
-        val survivors = graft.ops.LlmPipeline
-          .incrementalDedupSurvivorsIndexed(spark, batch.toDF(), index, threshold)
-          .localCheckpoint(true)
+        // The dedup kernel's touched-cell fetch is reused for the append
+        // cap's occupancy pruning: one bounded driver job per batch.
+        val (survivors0, cells) = graft.ops.LlmPipeline
+          .incrementalDedupSurvivorsIndexedCells(spark, batch.toDF(), index, threshold)
+        val survivors = survivors0.localCheckpoint(true)
         val bandRows = graft.ops.LlmPipeline
-          .newBandRows(survivors.select("doc_id", "sig"), index.map(_.bands))
+          .newBandRows(survivors.select("doc_id", "sig"), index.map(_.bands), cells)
           .localCheckpoint(true)
         // Append order sink → sigs → bands → hashes (hashes LAST): see the
         // failure-atomicity scaladoc above.
@@ -454,11 +456,11 @@ object StreamingExtract {
           idx.vecs.write.mode("overwrite").parquet(vecsDir)
         }
         val index = readEmbIndex(spark, sinkDir)
-        val survivors = graft.ops.LlmPipeline
-          .incrementalDedupEmbeddingsIndexed(spark, batch.toDF(), index, threshold)
-          .localCheckpoint(true)
+        val (survivors0, cells) = graft.ops.LlmPipeline
+          .incrementalDedupEmbeddingsIndexedCells(spark, batch.toDF(), index, threshold)
+        val survivors = survivors0.localCheckpoint(true)
         val bandRows = graft.ops.LlmPipeline
-          .newEmbBandRows(survivors.select("vec_id", "codes"), index.map(_.bands))
+          .newEmbBandRows(survivors.select("vec_id", "codes"), index.map(_.bands), cells)
           .localCheckpoint(true)
         survivors.write.mode("append").parquet(sinkDir)
         writeBands(bandRows, bandsDir, overwrite = false)

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
 /** Physical-plan shape assertions: at 100 TB the difference between the right
   * and wrong plan is the whole game, so the shapes are pinned by test —
   * broadcast dims (no fact-side shuffle), top-k as TakeOrderedAndProject
@@ -123,6 +125,46 @@ class PlanShapeSpec extends SparkSpec {
     // Per-probe top-k still bounds the exchange via a Partial group limit.
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"partial window group limit missing:\n$p")
+  }
+
+  test("stored-band pruning: small batch carries PartitionFilters, full-grid batch skips the filter") {
+    import spark.implicits._
+    import graft.ops.LlmPipeline
+    // A stored band table in the partitioned layout (16 bands x 16 bpfx).
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandgrid").toString + "/bands"
+    val stored = (0L until 200L).flatMap(id => (0 until LlmPipeline.Bands).map(b => (b, id.toInt * 31 + b, id)))
+      .toDF("band", "bucket", "doc_id")
+    stored.withColumn("bpfx", pmod(col("bucket").cast("long"), lit(16L)))
+      .write.partitionBy("band", "bpfx").parquet(dir)
+    val table = spark.read.parquet(dir)
+
+    // SMALL batch: a handful of cells → the scan must prune via a static
+    // PartitionFilters predicate (deterministic, not a DPP bet).
+    val smallCells = Seq(0L, 17L, 35L) // (band 0, bpfx 0), (1, 1), (2, 3)
+    val small = LlmPipeline.pruneBandsToCells(table, smallCells)
+    val smallScan = small.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).mkString
+    assert(smallScan.contains("bpfx") && !smallScan.contains("PartitionFilters: []"),
+      s"small batch must partition-prune: $smallScan")
+
+    // FULL-GRID batch: every cell of every band touched — the filter would
+    // enumerate all 256 cells and prune nothing; the plan must carry NO
+    // partition predicate at all (pure scan).
+    val fullCells = (for (b <- 0 until LlmPipeline.Bands; p <- 0 until 16)
+      yield b.toLong * 16 + p).toSeq
+    val full = LlmPipeline.pruneBandsToCells(table, fullCells)
+    val fullPlan = full.queryExecution.executedPlan.toString
+    val fullScan = fullPlan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(fullScan.isEmpty || fullScan.contains("PartitionFilters: []"),
+      s"full-grid batch must skip the no-op filter: $fullScan")
+    // Same rows either way: the short-circuit changes the plan, not the data.
+    assert(full.count() == table.count())
+
+    // An UNPARTITIONED stored table passes through untouched.
+    val flatDir = java.nio.file.Files.createTempDirectory("graft-bandflat").toString
+    stored.write.mode("overwrite").parquet(flatDir)
+    val flat = spark.read.parquet(flatDir)
+    assert(LlmPipeline.pruneBandsToCells(flat, smallCells).count() == flat.count())
   }
 
   test("no query in the inventory plans an unbounded cartesian product") {
