@@ -70,10 +70,20 @@ object ExtractorRegistry {
   * table on error instead of failing", enforced by the framework, here by the
   * pipeline). Mirrors the reference lifecycle §3: the framework resolves the
   * variant, constructs the extractor, and threads last_point in and out.
+  *
+  * The LOAD step is pluggable: by default each extracted batch is written
+  * through [[Extractor.load]] (sink-mode parquet write, A14/A16); passing
+  * `loader` substitutes any batch consumer — e.g.
+  * [[graft.streaming.StreamingExtract.curatedLoader]] routes batches through
+  * the indexed incremental-dedup sink, composing the reference's
+  * at-least-once extraction with content dedup in one run phase. The
+  * watermark still persists only after a successful load, so a failed
+  * curated load re-extracts the same rows next run (at-least-once preserved).
   */
 final class Pipeline(
     extractor: Extractor,
-    watermarks: WatermarkStore = new InMemoryWatermarkStore) {
+    watermarks: WatermarkStore = new InMemoryWatermarkStore,
+    loader: Option[(ExtractResult, TableConfig, String) => Unit] = None) {
 
   /** Run all tables; returns per-table results (Failure only recorded — not
     * thrown — when passOnError is set).
@@ -85,7 +95,10 @@ final class Pipeline(
     tables.map { table =>
       val attempt = Try {
         val r = extractor.extract(spark, table, watermarks.get(table.name))
-        extractor.load(r, table, outPath)
+        loader match {
+          case Some(f) => f(r, table, outPath)
+          case None    => extractor.load(r, table, outPath)
+        }
         r.lastPoint.foreach(watermarks.put(table.name, _))
         r.df.filter(_.storageLevel.useMemory).foreach(_.unpersist())
         r

@@ -342,58 +342,90 @@ object StreamingExtract {
       compactAfterFiles: Int = 64): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        val (hashesDir, sigsDir, bandsDir) = indexDirs(sinkDir)
-        // Heal any compaction swap that crashed mid-rename BEFORE the
-        // adoption gate or any read touches the dirs (the bands dir heals
-        // inside readIndex).
-        healStagedSwap(spark, hashesDir)
-        healStagedSwap(spark, sigsDir)
-        if (hasData(spark, sinkDir) && !hasData(spark, hashesDir)) {
-          // One-time adoption of an unindexed sink: derive the stored index
-          // from the sink's enriched columns (the ONLY time the sink is read
-          // here) and persist it.
-          // Adoption commits sigs and bands FIRST and hashes LAST: readIndex
-          // gates on hashesDir, so a crash mid-adoption leaves the gate
-          // closed and the next batch simply re-runs the (overwrite-mode)
-          // adoption — hashes-present always implies a complete index. The
-          // reverse order could wedge the sink: hashes present, sigs/bands
-          // missing, every subsequent batch failing on the absent dirs.
-          val idx = graft.ops.LlmPipeline.indexFromSink(spark.read.parquet(sinkDir))
-          idx.sigs.write.mode("overwrite").parquet(sigsDir)
-          writeBands(idx.bands, bandsDir, overwrite = true)
-          idx.hashes.write.mode("overwrite").parquet(hashesDir)
-        }
-        val index = readIndex(spark, sinkDir)
-        // The dedup kernel's touched-cell fetch is reused for the append
-        // cap's occupancy pruning: one bounded driver job per batch.
-        val (survivors0, cells) = graft.ops.LlmPipeline
-          .incrementalDedupSurvivorsIndexedCells(spark, batch.toDF(), index, threshold)
-        val survivors = survivors0.localCheckpoint(true)
-        val bandRows = graft.ops.LlmPipeline
-          .newBandRows(survivors.select("doc_id", "sig"), index.map(_.bands), cells)
-          .localCheckpoint(true)
-        // Append order sink → sigs → bands → hashes (hashes LAST): see the
-        // failure-atomicity scaladoc above.
-        survivors.write.mode("append").parquet(sinkDir)
-        survivors.select("doc_id", "sig").write.mode("append").parquet(sigsDir)
-        writeBands(bandRows, bandsDir, overwrite = false)
-        survivors.select("content_hash").write.mode("append").parquet(hashesDir)
-        // Bound sidecar small-file growth: each append leaves a commit's
-        // worth of files per dir; once a dir exceeds the threshold it is
-        // rewritten in place (crash-safe staged swap, content unchanged —
-        // replay semantics unaffected). Runs AFTER the hashes append, so a
-        // crash during compaction leaves a fully committed batch.
-        if (compactAfterFiles > 0) {
-          compactSidecar(spark, hashesDir, compactAfterFiles, partitioned = false)
-          compactSidecar(spark, sigsDir, compactAfterFiles, partitioned = false)
-          compactSidecar(spark, bandsDir, compactAfterFiles, partitioned = true)
-        }
-        ()
+        dedupLoadBatch(batch.sparkSession, batch.toDF(), sinkDir, threshold, compactAfterFiles)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One curated-load round against the indexed sink at `sinkDir`: heal,
+    * adopt-if-unindexed, dedup the batch, append survivors + index rows,
+    * compact — the foreachBatch body of [[incrementalDedupSink]], exposed
+    * directly so BATCH pipelines (a [[graft.extract.Pipeline]] loader
+    * driving scheduled extract rounds) and standing streams share ONE load
+    * path with identical dedup, crash-ordering, and compaction semantics.
+    */
+  def dedupLoadBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      sinkDir: String,
+      threshold: Double = 0.5,
+      compactAfterFiles: Int = 64): Unit = {
+    val (hashesDir, sigsDir, bandsDir) = indexDirs(sinkDir)
+    // Heal any compaction swap that crashed mid-rename BEFORE the
+    // adoption gate or any read touches the dirs (the bands dir heals
+    // inside readIndex).
+    healStagedSwap(spark, hashesDir)
+    healStagedSwap(spark, sigsDir)
+    if (hasData(spark, sinkDir) && !hasData(spark, hashesDir)) {
+      // One-time adoption of an unindexed sink: derive the stored index
+      // from the sink's enriched columns (the ONLY time the sink is read
+      // here) and persist it.
+      // Adoption commits sigs and bands FIRST and hashes LAST: readIndex
+      // gates on hashesDir, so a crash mid-adoption leaves the gate
+      // closed and the next batch simply re-runs the (overwrite-mode)
+      // adoption — hashes-present always implies a complete index. The
+      // reverse order could wedge the sink: hashes present, sigs/bands
+      // missing, every subsequent batch failing on the absent dirs.
+      val idx = graft.ops.LlmPipeline.indexFromSink(spark.read.parquet(sinkDir))
+      idx.sigs.write.mode("overwrite").parquet(sigsDir)
+      writeBands(idx.bands, bandsDir, overwrite = true)
+      idx.hashes.write.mode("overwrite").parquet(hashesDir)
+    }
+    val index = readIndex(spark, sinkDir)
+    // The dedup kernel's touched-cell fetch is reused for the append
+    // cap's occupancy pruning: one bounded driver job per batch.
+    val (survivors0, cells) = graft.ops.LlmPipeline
+      .incrementalDedupSurvivorsIndexedCells(spark, batch, index, threshold)
+    val survivors = survivors0.localCheckpoint(true)
+    val bandRows = graft.ops.LlmPipeline
+      .newBandRows(survivors.select("doc_id", "sig"), index.map(_.bands), cells)
+      .localCheckpoint(true)
+    // Append order sink → sigs → bands → hashes (hashes LAST): see the
+    // failure-atomicity scaladoc above.
+    survivors.write.mode("append").parquet(sinkDir)
+    survivors.select("doc_id", "sig").write.mode("append").parquet(sigsDir)
+    writeBands(bandRows, bandsDir, overwrite = false)
+    survivors.select("content_hash").write.mode("append").parquet(hashesDir)
+    // Bound sidecar small-file growth: each append leaves a commit's
+    // worth of files per dir; once a dir exceeds the threshold it is
+    // rewritten in place (crash-safe staged swap, content unchanged —
+    // replay semantics unaffected). Runs AFTER the hashes append, so a
+    // crash during compaction leaves a fully committed batch.
+    if (compactAfterFiles > 0) {
+      compactSidecar(spark, hashesDir, compactAfterFiles, partitioned = false)
+      compactSidecar(spark, sigsDir, compactAfterFiles, partitioned = false)
+      compactSidecar(spark, bandsDir, compactAfterFiles, partitioned = true)
+    }
+  }
+
+  /** A [[graft.extract.Pipeline]] loader that routes every extracted batch
+    * through [[dedupLoadBatch]] instead of a plain parquet write — the
+    * composition of the reference's extraction semantics (incremental
+    * watermark, inclusive boundary re-read, A1–A15) with the indexed
+    * incremental-dedup sink, in one `Pipeline.run` phase: the re-delivered
+    * boundary row, exact copies, and near-dup variants all die at the sink
+    * while the watermark store advances as usual. The extract-side write
+    * mode is irrelevant here by design: dedup-append subsumes it (a full
+    * re-extraction is just a batch whose every row anti-joins away).
+    */
+  def curatedLoader(threshold: Double = 0.5, compactAfterFiles: Int = 64)
+      : (graft.model.ExtractResult, graft.model.TableConfig, String) => Unit =
+    (r, table, outPath) =>
+      r.df.foreach { df =>
+        dedupLoadBatch(df.sparkSession, df,
+          s"$outPath/${table.effectiveTargetName}", threshold, compactAfterFiles)
+      }
 
   /** Index sidecar layout for an indexed EMBEDDING dedup sink. */
   private[graft] def embIndexDirs(sinkDir: String): (String, String) =
