@@ -34,10 +34,49 @@ object Tables {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
 
-  /** Per-session inner cache, shared with other per-session memoizers. */
+  // Every per-session memo map that keys on (dir, tag) registers here (by
+  // reference identity) so `invalidate` can evict all derived tables of a
+  // changed dir without each module exposing its own eviction hook.
+  private val registry = new java.util.concurrent.CopyOnWriteArrayList[
+    java.util.Map[SparkSession, _ <: java.util.Map[(String, String), _]]]()
+
+  /** Per-session inner cache, shared with other per-session memoizers
+    * (minhash/cluster/anchor/k-means tables in [[graft.ops.LlmPipeline]]).
+    *
+    * IMMUTABILITY CONTRACT: entries are keyed by (session, dir, tag) and
+    * NEVER invalidated by an underlying-data change. What an entry holds
+    * differs by layer, and that is exactly the hazard on a mutable dir:
+    *
+    *   - a memoized RAW READ is a plan, not data — whether execution
+    *     re-lists the dir (appends show through) or serves Spark's own
+    *     file-status cache (appends invisible) is NONDETERMINISTIC under
+    *     mutation (measured both ways across runs);
+    *   - DRIVER-SIDE results (k-means centroid matrices) and
+    *     localCheckpoint'ed tables (cluster labels) are frozen at first
+    *     use, permanently stale against a mutated dir;
+    *   - `persist`ed derived tables (token/anchor tables) sit in between:
+    *     the block cache may serve frozen partitions or silently
+    *     recompute through a re-listing scan — also nondeterministic.
+    *
+    * A dir mutated in place therefore serves an INCOHERENT composite
+    * view. That never happens in this engine's inputs-as-fixtures model
+    * (extract rounds and the fixture dirs are immutable within a session;
+    * the indexed streaming sinks read their sidecar state through
+    * un-memoized per-batch plans) — but the day a mutable dir IS the
+    * input, the caller must call [[invalidate]](spark, dir) after each
+    * change (or use a fresh session). Mtime-based keying was rejected: it
+    * adds a filesystem listing per access and still cannot refresh an
+    * already-checkpointed derived table.
+    */
   private[graft] def sessionCache[V](
       outer: java.util.Map[SparkSession, java.util.concurrent.ConcurrentHashMap[(String, String), V]],
       spark: SparkSession): java.util.concurrent.ConcurrentHashMap[(String, String), V] = {
+    registry.synchronized {
+      var seen = false
+      val it = registry.iterator()
+      while (it.hasNext && !seen) seen = it.next() eq outer
+      if (!seen) registry.add(outer)
+    }
     outer.synchronized {
       var m = outer.get(spark)
       if (m == null) {
@@ -46,6 +85,30 @@ object Tables {
       }
       m
     }
+  }
+
+  /** Evict every memoized plan and derived table bound to `dir` for this
+    * session, across ALL modules' memo caches — the escape hatch the
+    * immutability contract on [[sessionCache]] names: call after changing
+    * a dir's contents in place, and the next access re-reads and
+    * re-derives. Eviction is by dir, not by (dir, tag): derived tables
+    * compose (cluster labels read signatures read the raw table), so a
+    * partial eviction could rebuild one layer on a stale lower layer.
+    */
+  def invalidate(spark: SparkSession, dir: String): Unit = {
+    registry.synchronized {
+      registry.forEach { outer =>
+        val m = outer.get(spark)
+        if (m != null) {
+          val it = m.keySet().iterator()
+          while (it.hasNext) if (it.next()._1 == dir) it.remove()
+        }
+      }
+    }
+    // Also drop Spark's own file-status/plan caches under the path —
+    // without this the freshly built plan can still serve the stale
+    // listing, and WITH it the post-invalidate view is deterministic.
+    spark.catalog.refreshByPath(dir)
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -728,7 +728,9 @@ object LlmPipeline {
     * per iteration, the same contract as the probe-vector fetch. A cell
     * that goes empty keeps its previous centroid. Memoized per (session,
     * dir, k, iters): the index builds once and every query reuses it — the
-    * IVF production shape.
+    * IVF production shape. The memo obeys [[graft.Tables.sessionCache]]'s
+    * immutability contract: a mutated embeddings dir serves the OLD index
+    * until [[graft.Tables.invalidate]](spark, dir) (or a fresh session).
     */
   private[graft] def kMeansCentroids(spark: SparkSession, dir: String,
       k: Int, iters: Int): Seq[Seq[Double]] =
