@@ -120,15 +120,44 @@ object Multimodal {
         min(col("asset_id")).as("first_asset"))
       .orderBy("kind")
 
-  /** STUB kind-dispatched decoders — each returns the feature tuple a real
-    * codec would (image: dims; audio: sample rate + duration; video: dims +
-    * frame count). Deterministic fakes; swap per kind at deployment.
+  /** PNG signature per the PNG spec (RFC 2083 §3.1): the 8-byte magic every
+    * PNG stream starts with. Gate for the real decoder below.
+    */
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  /** REAL image decode for PNG payloads via `javax.imageio` (ships in the
+    * JDK — no new dependency). Only attempted when the payload carries the
+    * PNG magic, so non-image bytes (the synthetic fixtures are UTF-8 text)
+    * never reach the codec and the stub path stays deterministic. Runs
+    * partition-local inside mapPartitions like every decoder here — the
+    * payload never shuffles. Returns None on a torn/corrupt stream and the
+    * caller falls back to the stub.
+    */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload == null || payload.length < PngMagic.length ||
+        !java.util.Arrays.equals(payload, 0, PngMagic.length, PngMagic, 0, PngMagic.length)) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case _: java.io.IOException => None }
+
+  /** Kind-dispatched decoders. The image branch is REAL for PNG payloads
+    * (javax.imageio, gated on the PNG magic); everything else is a
+    * deterministic STUB a deployment would swap for its codec. Audio/video
+    * fakes derive features from payload bytes the way a real codec derives
+    * duration/frame count.
     */
   def stubDecodeKind(kind: String, payload: Array[Byte]): (Int, Int, Double, Int) = {
-    // ??? real per-codec decoders go here; deterministic fakes keep tests stable.
+    // ??? real audio/video codecs go here; deterministic fakes keep tests stable.
     val h = java.util.Arrays.hashCode(payload)
     kind match {
-      case "image" => (math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1, 0.0, 1)
+      case "image" =>
+        decodePng(payload) match {
+          case Some((w, ht)) => (w, ht, 0.0, 1)
+          case None => (math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1, 0.0, 1)
+        }
       case "audio" => (0, 0, payload.length / 16000.0, 0)
       case "video" => (math.floorMod(h, 1280) + 1, math.floorMod(h / 1280, 720) + 1,
         payload.length / 1000.0, math.max(1, payload.length / 256))
@@ -136,11 +165,14 @@ object Multimodal {
     }
   }
 
-  /** Kind-dispatched partition-local decode over the mixed table: one
-    * mapPartitions pass routes each asset to its stub codec by `meta.kind`.
-    * Nullable feature columns express "not applicable for this modality".
+  /** Kind-dispatched partition-local decode over any (asset_id, kind, media)
+    * frame: one mapPartitions pass routes each asset to its codec by kind
+    * (real PNG decode for image payloads with the PNG magic, stubs
+    * otherwise). Nullable feature columns express "not applicable for this
+    * modality". Factored off [[decodeFeaturesMixed]] so callers (and specs)
+    * can feed real media rows.
     */
-  def decodeFeaturesMixed(spark: SparkSession, dir: String): DataFrame = {
+  def decodeFeaturesOn(assets: DataFrame): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType),
       StructField("kind", StringType),
@@ -149,8 +181,8 @@ object Multimodal {
       StructField("duration_s", DoubleType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    mediaTableMixed(spark, dir)
-      .select(col("asset_id"), col("meta.kind").as("kind"), col("media"))
+    assets
+      .select(col("asset_id"), col("kind"), col("media"))
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getLong(0)
@@ -167,6 +199,12 @@ object Multimodal {
       }(enc)
       .orderBy("asset_id")
   }
+
+  /** Kind-dispatched decode over the mixed fixture table. */
+  def decodeFeaturesMixed(spark: SparkSession, dir: String): DataFrame =
+    decodeFeaturesOn(
+      mediaTableMixed(spark, dir)
+        .select(col("asset_id"), col("meta.kind").as("kind"), col("media")))
 
   /** Partition-local batch "decode" via mapPartitions — the Scala analogue of
     * `mapInPandas`: one iterator per partition, media bytes never shuffled,

@@ -517,6 +517,44 @@ class OpsSpec extends SparkSpec {
     assert(stats.map(_.getLong(1)).sum == feats.length)
   }
 
+  test("image decode: real PNG payloads yield true dimensions; non-PNG bytes fall back to the stub") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // A genuine 37x21 PNG rendered by the JDK itself — no fixture file needed.
+    val img = new java.awt.image.BufferedImage(37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 37; y <- 0 until 21) img.setRGB(x, y, (x * 7919 + y * 104729) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val png = baos.toByteArray
+
+    assert(Multimodal.decodePng(png).contains((37, 21)))
+    assert(Multimodal.decodePng("not a png".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodePng(null).isEmpty)
+    // Torn stream: magic intact, body truncated — decoder must not throw.
+    assert(Multimodal.decodePng(png.take(16)).isEmpty)
+
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("media", BinaryType, nullable = true)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", png),
+        Row(2L, "image", "plain text bytes".getBytes("UTF-8")),
+        Row(3L, "audio", "aaaa".getBytes("UTF-8"))),
+      schema)
+    val out = Multimodal.decodeFeaturesOn(assets).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // Real codec path: true PNG dimensions, not the hash-derived fake.
+    assert(byId(1L).getInt(2) == 37 && byId(1L).getInt(3) == 21)
+    // Non-PNG image payload: deterministic stub fallback, still in range.
+    val (fw, fh) = (byId(2L).getInt(2), byId(2L).getInt(3))
+    assert(fw >= 1 && fw <= 1920 && fh >= 1 && fh <= 1080)
+    val stub = Multimodal.stubDecodeKind("image", "plain text bytes".getBytes("UTF-8"))
+    assert((fw, fh) == ((stub._1, stub._2)))
+    assert(byId(3L).isNullAt(2) && !byId(3L).isNullAt(4))
+  }
+
   test("count-min sketch heavy hitters: sketch-first estimates bound exact counts within eps·N") {
     // Exact counts live HERE, in the bound check — the query path itself is
     // sample → CMS estimate and never runs a full-vocabulary exact count.
