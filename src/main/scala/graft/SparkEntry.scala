@@ -257,6 +257,11 @@ object SparkEntry {
     // UDF / UDAF extension points
     "udaf_stable_mean" -> (StableAgg.udafStableMean _),
     "udf_slugify" -> (StableAgg.udfSlugify _),
+    // behavioral / curation analytics
+    "sample_stratified" -> (Analytics.sampleStratified _),
+    "events_sessionize" -> (Analytics.eventsSessionize _),
+    "events_funnel" -> (Analytics.eventsFunnel _),
+    "curation_dup_rate" -> (Analytics.curationDupRate _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -514,5 +519,13 @@ object SparkEntry {
       """SELECT epoch_us(g.ws) AS ws, count(*) AS cnt, sum(CAST(floor(e.value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events e JOIN (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00', TIMESTAMP '2024-06-01 00:00:00', INTERVAL 15 MINUTE)) AS ws) g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 60 MINUTE GROUP BY g.ws ORDER BY ws""",
     "stream_session" ->
       """SELECT user_id, epoch_us(min(ts)) AS session_start, count(*) AS n_events FROM (SELECT user_id, ts, sum(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM (SELECT user_id, event_id, ts, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM events)) GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "sample_stratified" ->
+      """WITH k AS (SELECT lang, doc_id, (doc_id * 1103515245 + 12345) % 2147483647 AS skey FROM documents), r AS (SELECT lang, doc_id, skey, row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn FROM k) SELECT lang, doc_id, skey FROM r WHERE rn <= 20 ORDER BY lang, doc_id""",
+    "events_sessionize" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, event_id, tus, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM s), q AS (SELECT user_id, tus, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM m) SELECT user_id, sess_seq, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us, max(tus) - min(tus) AS duration_us FROM q GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""",
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), v AS (SELECT user_id, min(tus) AS first_view_us FROM ev WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, min(tus) AS first_click_us FROM ev e JOIN v USING (user_id) WHERE event_type = 'click' AND tus > first_view_us GROUP BY e.user_id), p AS (SELECT e.user_id, min(tus) AS first_purchase_us FROM ev e JOIN c USING (user_id) WHERE event_type = 'purchase' AND tus > first_click_us GROUP BY e.user_id) SELECT v.user_id, first_view_us, first_click_us, first_purchase_us, CAST(1 + CASE WHEN first_click_us IS NULL THEN 0 ELSE 1 END + CASE WHEN first_purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id""",
+    "curation_dup_rate" ->
+      """WITH h AS (SELECT source, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), c AS (SELECT source, k, count(*) OVER (PARTITION BY k) AS copies FROM h) SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, count(DISTINCT k) AS n_distinct_keys, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate FROM c GROUP BY source ORDER BY source""",
   )
 }

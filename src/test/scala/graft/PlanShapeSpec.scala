@@ -167,6 +167,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(LlmPipeline.pruneBandsToCells(flat, smallCells).count() == flat.count())
   }
 
+  test("stratified sample pushes top-k through the shuffle as WindowGroupLimit") {
+    val p = plan("sample_stratified")
+    // Partial (pre-shuffle, per-partition heaps) AND Final — each executor
+    // forwards at most k rows per stratum; the shuffle carries O(strata × k).
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial") && p.contains("Final"), p)
+  }
+
+  test("sessionize shares one user_id shuffle across lag, running sum, and rollup") {
+    val p = plan("events_sessionize")
+    // Both Window operators and the session rollup ride a single hash
+    // exchange on user_id; the only other exchange is the output ordering.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+    assert("Window ".r.findAllIn(p).length == 2, p)
+  }
+
+  test("funnel filters each step at the scan and joins per-user aggregates broadcast") {
+    val p = plan("events_funnel")
+    assert(p.contains("EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,click)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    // Steps join AFTER aggregation to one row per user — broadcast, never a
+    // raw-event shuffle join.
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dup-rate scan is pruned to (text, source) and windows on one key shuffle") {
+    val p = plan("curation_dup_rate")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("text") && readSchema.contains("source")
+      && !readSchema.contains("doc_id"), s"scan not pruned: $readSchema")
+    // One exchange for the per-key window, one for the per-source rollup.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
