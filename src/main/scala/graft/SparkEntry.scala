@@ -261,6 +261,8 @@ object SparkEntry {
     "sample_stratified" -> (Analytics.sampleStratified _),
     "events_sessionize" -> (Analytics.eventsSessionize _),
     "events_funnel" -> (Analytics.eventsFunnel _),
+    "events_retention" -> (Analytics.eventsRetention _),
+    "events_outliers" -> (Analytics.eventsOutliers _),
     "curation_dup_rate" -> (Analytics.curationDupRate _),
   )
 
@@ -525,6 +527,10 @@ object SparkEntry {
       """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus, lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), m AS (SELECT user_id, event_id, tus, CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS ns FROM s), q AS (SELECT user_id, tus, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq FROM m) SELECT user_id, sess_seq, count(*) AS n_events, min(tus) AS start_us, max(tus) AS end_us, max(tus) - min(tus) AS duration_us FROM q GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""",
     "events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), v AS (SELECT user_id, min(tus) AS first_view_us FROM ev WHERE event_type = 'view' GROUP BY user_id), c AS (SELECT e.user_id, min(tus) AS first_click_us FROM ev e JOIN v USING (user_id) WHERE event_type = 'click' AND tus > first_view_us GROUP BY e.user_id), p AS (SELECT e.user_id, min(tus) AS first_purchase_us FROM ev e JOIN c USING (user_id) WHERE event_type = 'purchase' AND tus > first_click_us GROUP BY e.user_id) SELECT v.user_id, first_view_us, first_click_us, first_purchase_us, CAST(1 + CASE WHEN first_click_us IS NULL THEN 0 ELSE 1 END + CASE WHEN first_purchase_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id ORDER BY v.user_id""",
+    "events_retention" ->
+      """WITH pairs AS (SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS wk_us FROM events), coh AS (SELECT user_id, min(wk_us) AS cohort_us FROM pairs GROUP BY user_id), act AS (SELECT cohort_us, (wk_us - cohort_us) // 604800000000 AS week_offset, p.user_id FROM pairs p JOIN coh USING (user_id)), r AS (SELECT cohort_us, week_offset, count(DISTINCT user_id) AS n_active FROM act GROUP BY cohort_us, week_offset), w AS (SELECT cohort_us, week_offset, n_active, first_value(n_active) OVER (PARTITION BY cohort_us ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cohort_size FROM r) SELECT cohort_us, week_offset, n_active, cohort_size, floor(CAST(n_active AS DOUBLE) / cohort_size * 10000 + 0.5) / 10000.0 AS retained_pct FROM w ORDER BY cohort_us, week_offset""",
+    "events_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type, value, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events), m AS (SELECT event_type, CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc*vc) AS BIGINT) AS s2, count(*) AS n FROM ev GROUP BY event_type), z AS (SELECT event_id, event_type, value, floor((CAST(vc AS DOUBLE) - CAST(s1 AS DOUBLE)/n) / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * 10000 + 0.5) / 10000.0 AS z FROM ev JOIN m USING (event_type)) SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.5 ORDER BY event_id""",
     "curation_dup_rate" ->
       """WITH h AS (SELECT source, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), c AS (SELECT source, k, count(*) OVER (PARTITION BY k) AS copies FROM h) SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, count(DISTINCT k) AS n_distinct_keys, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate FROM c GROUP BY source ORDER BY source""",
   )

@@ -107,6 +107,72 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Microseconds in one week — the cohort bucket width. */
+  private val WeekUs: Long = 7L * 86400 * 1000000
+
+  /** Weekly cohort retention: users bucket into the week of their FIRST
+    * event (the cohort); each later active week counts them once at that
+    * week offset, and `retained_pct` divides by the cohort's week-0 size.
+    * The canonical growth-analytics triangle view.
+    *
+    * Scale: events reduce to DISTINCT (user, week) pairs FIRST (one hash
+    * aggregate — at 100 TB this is the 1000× row cut), and the per-user
+    * cohort week is a window-min over that reduced pair table — a single
+    * user-keyed pass, no self-join and no second scan of the pairs. The
+    * week-0 denominator arrives via a window over the tiny (cohort, offset)
+    * rollup, not a second pass. All time math is exact int64 micros;
+    * retained_pct is one double division of two exact counts.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(date_trunc("week", col("ts"))).as("wk_us"))
+      .distinct()
+    val wCohort = Window.partitionBy("cohort_us")
+      .orderBy("week_offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("cohort_us", min(col("wk_us")).over(Window.partitionBy("user_id")))
+      .select(col("cohort_us"),
+        ((col("wk_us") - col("cohort_us")) / lit(WeekUs)).cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_us", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size", first(col("n_active")).over(wCohort))
+      .withColumn("retained_pct",
+        floor(col("n_active").cast("double") / col("cohort_size") * 10000 + 0.5) / 10000.0)
+      .select("cohort_us", "week_offset", "n_active", "cohort_size", "retained_pct")
+      .orderBy("cohort_us", "week_offset")
+  }
+
+  /** Per-type z-score outliers: events whose value sits more than 2.5
+    * population standard deviations from their type's mean. Mean and
+    * variance are derived from EXACT integer-cent sums (sum, sum-of-squares,
+    * count) with a hand-written op sequence, NOT the built-in stddev — the
+    * built-ins are Welford-style and accumulate rounding in an engine-
+    * specific order, so their last bits differ between engines; identical
+    * double expressions over exact ints are bit-identical anywhere. The
+    * reported z is floor-scaled to 1e-4 per the repo's float convention.
+    *
+    * Scale: the per-type moment table is a partial+final aggregate to ~5
+    * rows, broadcast back over the fact scan — one pass to aggregate, one
+    * to filter; nothing but the moments ever shuffles.
+    */
+  def eventsOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"))
+    val moments = ev.groupBy("event_type")
+      .agg(sum(col("vc")).as("s1"), sum(col("vc") * col("vc")).as("s2"),
+        count(lit(1)).as("n"))
+    val mean = col("s1").cast("double") / col("n")
+    val variance = col("s2").cast("double") / col("n") - mean * mean
+    val z = (col("vc").cast("double") - mean) / sqrt(variance)
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("z", floor(z * 10000 + 0.5) / 10000.0)
+      .filter(abs(col("z")) > lit(2.5))
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   /** Per-source duplication report over a NORMALIZED content key: the
     * sorted set of distinct words — shuffled or repeated-word copies
     * collapse to one key (the cheap normalized-fingerprint tier between

@@ -193,6 +193,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("retention derives cohorts by window-min — no self-join of the pair table") {
+    val p = plan("events_retention")
+    assert(!p.contains("Join"), s"cohort derivation must not join:\n$p")
+    assert("Window ".r.findAllIn(p).length == 2, p) // cohort min + week-0 denominator
+  }
+
+  test("outlier moments broadcast back over the fact — no fact-side shuffle join") {
+    val p = plan("events_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dup-rate scan is pruned to (text, source) and windows on one key shuffle") {
     val p = plan("curation_dup_rate")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
