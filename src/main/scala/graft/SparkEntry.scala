@@ -264,6 +264,9 @@ object SparkEntry {
     "events_retention" -> (Analytics.eventsRetention _),
     "events_outliers" -> (Analytics.eventsOutliers _),
     "curation_dup_rate" -> (Analytics.curationDupRate _),
+    "sample_split" -> (Analytics.sampleSplit _),
+    "text_chunk" -> (Analytics.textChunk _),
+    "curation_contamination" -> (Analytics.curationContamination _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -531,6 +534,12 @@ object SparkEntry {
       """WITH pairs AS (SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS wk_us FROM events), coh AS (SELECT user_id, min(wk_us) AS cohort_us FROM pairs GROUP BY user_id), act AS (SELECT cohort_us, (wk_us - cohort_us) // 604800000000 AS week_offset, p.user_id FROM pairs p JOIN coh USING (user_id)), r AS (SELECT cohort_us, week_offset, count(DISTINCT user_id) AS n_active FROM act GROUP BY cohort_us, week_offset), w AS (SELECT cohort_us, week_offset, n_active, first_value(n_active) OVER (PARTITION BY cohort_us ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cohort_size FROM r) SELECT cohort_us, week_offset, n_active, cohort_size, floor(CAST(n_active AS DOUBLE) / cohort_size * 10000 + 0.5) / 10000.0 AS retained_pct FROM w ORDER BY cohort_us, week_offset""",
     "events_outliers" ->
       """WITH ev AS (SELECT event_id, event_type, value, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events), m AS (SELECT event_type, CAST(sum(vc) AS BIGINT) AS s1, CAST(sum(vc*vc) AS BIGINT) AS s2, count(*) AS n FROM ev GROUP BY event_type), z AS (SELECT event_id, event_type, value, floor((CAST(vc AS DOUBLE) - CAST(s1 AS DOUBLE)/n) / sqrt(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) * 10000 + 0.5) / 10000.0 AS z FROM ev JOIN m USING (event_type)) SELECT event_id, event_type, value, z FROM z WHERE abs(z) > 2.5 ORDER BY event_id""",
+    "sample_split" ->
+      """SELECT doc_id, CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, ((doc_id * 1103515245 + 12345) % 2147483647) % 10 AS b FROM documents) ORDER BY doc_id""",
+    "text_chunk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents), n AS (SELECT doc_id, ss, GREATEST(1, CAST(ceil((len(ss) - 40)/30.0) AS BIGINT) + 1) AS nc FROM d) SELECT doc_id, i AS chunk_id, array_to_string(ss[(i*30+1):(i*30+40)], ' ') AS chunk FROM n, (SELECT unnest(generate_series(0, 600)) AS i) g WHERE i < nc ORDER BY doc_id, chunk_id""",
+    "curation_contamination" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ss FROM documents), sh AS (SELECT doc_id, source, array_to_string(ss[i:i+7], ' ') AS s FROM d, (SELECT unnest(generate_series(1, 600)) AS i) g WHERE i <= len(ss) - 7), ev AS (SELECT DISTINCT doc_id AS eval_doc, s FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE source != 'src0') SELECT doc_id, count(DISTINCT s) AS n_shared_shingles, count(DISTINCT eval_doc) AS n_eval_docs FROM tr JOIN ev USING (s) GROUP BY doc_id ORDER BY doc_id""",
     "curation_dup_rate" ->
       """WITH h AS (SELECT source, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), c AS (SELECT source, k, count(*) OVER (PARTITION BY k) AS copies FROM h) SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, count(DISTINCT k) AS n_distinct_keys, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate FROM c GROUP BY source ORDER BY source""",
   )

@@ -107,6 +107,77 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Deterministic train/val/test assignment (80/10/10): the LCG key's last
+    * decimal digit routes each doc — stable under reruns, re-partitioning,
+    * and corpus growth (a doc's split never depends on other rows, the
+    * property that keeps eval sets uncontaminated as the corpus evolves).
+    *
+    * Scale: a pure per-row map over a two-column scan — no shuffle at all
+    * except the oracle's output ordering.
+    */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)) % 10
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Sliding-window document chunking: 40-token windows at stride 30
+    * (10-token overlap) — the pretraining/RAG chunker. Every doc yields at
+    * least one chunk; the tail window truncates rather than pads.
+    *
+    * Scale: `sequence` + `posexplode` generates chunk indices per row and
+    * `slice` materializes each window partition-locally — no shuffle, and
+    * the explode multiplies rows by ~len/stride, never by len.
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = greatest(lit(1L),
+      ceil((size(col("ss")) - lit(40)).cast("double") / 30.0).cast("long") + 1)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ss"))
+      .withColumn("nc", nChunks)
+      .select(col("doc_id"), col("ss"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("ss"), (col("chunk_id") * 30 + 1).cast("int"), lit(40)), " ")
+          .as("chunk"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Benchmark-contamination scan: training docs (source ≠ 'src0') that
+    * share at least one 8-token shingle with the eval set (source = 'src0')
+    * — the decontamination pass every pretraining corpus runs against its
+    * eval benchmarks. Reports per contaminated doc how many distinct
+    * shingles and eval docs it collides with.
+    *
+    * Scale: both sides reduce to DISTINCT (doc, shingle) pairs before the
+    * join, and the eval side is BROADCAST — benchmark suites are fixed-size
+    * and small by construction, so the 100 TB training side never shuffles;
+    * each partition probes the in-memory eval shingle set. (At petabyte
+    * vocabulary, hash the shingle to 8 bytes first; the string join keeps
+    * this oracle-checkable.)
+    */
+  def curationContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ss"))
+      .withColumn("n", size(col("ss")) - 7)
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("source"), col("ss"),
+        explode(sequence(lit(1), col("n"))).as("i"))
+      .select(col("doc_id"), col("source"),
+        array_join(slice(col("ss"), col("i"), lit(8)), " ").as("s"))
+    val eval_ = sh.filter(col("source") === "src0")
+      .select(col("doc_id").as("eval_doc"), col("s")).distinct()
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("s")).distinct()
+    train.join(broadcast(eval_), "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared_shingles"),
+        countDistinct(col("eval_doc")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Microseconds in one week — the cohort bucket width. */
   private val WeekUs: Long = 7L * 86400 * 1000000
 

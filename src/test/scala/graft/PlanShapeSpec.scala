@@ -205,6 +205,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("split assignment and chunking are shuffle-free maps (only the output ordering exchanges)") {
+    for (name <- Seq("sample_split", "text_chunk")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"), s"$name shuffles:\n$p")
+    }
+    assert(plan("text_chunk").contains("Generate"), "chunker must explode partition-locally")
+  }
+
+  test("contamination scan broadcasts the eval shingle set — training side never shuffle-joins") {
+    val p = plan("curation_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("dup-rate scan is pruned to (text, source) and windows on one key shuffle") {
     val p = plan("curation_dup_rate")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
