@@ -264,6 +264,7 @@ object SparkEntry {
     "events_retention" -> (Analytics.eventsRetention _),
     "events_outliers" -> (Analytics.eventsOutliers _),
     "curation_dup_rate" -> (Analytics.curationDupRate _),
+    "sim_topk_pq" -> ((s, d) => LlmPipeline.simTopkPq(s, d)),
     "sample_split" -> (Analytics.sampleSplit _),
     "text_chunk" -> (Analytics.textChunk _),
     "curation_contamination" -> (Analytics.curationContamination _),

@@ -796,6 +796,141 @@ object LlmPipeline {
       .limit(5)
   }
 
+  // ---------------------------------------------------------------- product quantization
+
+  /** PQ geometry: M subspaces × ksub centroids over the 64-dim embeddings.
+    * 8×16 codes pack a vector into 8 nibbles — a 64-byte float32 payload
+    * compresses 64× (256 B → 4 B), the storage arithmetic that makes
+    * billion-vector ANN fit a cluster's SSDs.
+    */
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+
+  private val pqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String),
+        (Seq[Seq[Seq[Double]]], DataFrame)]]())
+
+  /** Nearest sub-centroid (L2, on unit-normalized inputs) for subspace `j`
+    * of the row's normalized embedding slice, as a pure codegen expression:
+    * argmin ‖s−c‖² ≡ argmax (dot(s,c) − ‖c‖²/2), built like [[nearestCell]]
+    * as an `array_max` over (score, idx) structs — ties to the higher index,
+    * deterministic, no UDF.
+    */
+  private def nearestSubCentroid(spark: SparkSession, sub: Column,
+      cents: Seq[Seq[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((dot(spark, sub, typedlit(c)) - lit(half)).as("s"), lit(i).as("idx"))
+    }
+    array_max(array(scored: _*)).getField("idx")
+  }
+
+  /** Per-subspace PQ codebooks + the encoded CODES table, memoized per
+    * (session, dir). Training follows the Faiss production recipe: fit the
+    * codebooks on a BOUNDED sample driver-side (512 lowest-vec_id vectors —
+    * a parameter fetch of the same order as [[kMeansCentroids]]' 4k-seed
+    * prefix; PQ codebooks are always sample-trained, exhaustive training
+    * buys nothing), then ENCODE distributed — one scan, M pure-expression
+    * argmins per row, persisted as the narrow (vec_id, codes) table every
+    * later probe reuses. Vectors are unit-normalized before the subspace
+    * split so subspace dot products sum to the full cosine. Lloyd runs L2
+    * with ε-separated deterministic seeding (the [[MinSeedSeparation]]
+    * discipline); an empty cell keeps its previous centroid. The memo obeys
+    * [[graft.Tables.sessionCache]]'s immutability contract.
+    */
+  private[graft] def pqIndex(spark: SparkSession, dir: String,
+      iters: Int = 5): (Seq[Seq[Seq[Double]]], DataFrame) =
+    graft.Tables.sessionCache(pqCache, spark).computeIfAbsent((dir, s"pq_$iters"), _ => {
+      val dsub = 64 / PqSubspaces
+      val sample: Seq[Seq[Double]] = t(spark, dir, "embeddings")
+        .orderBy("vec_id").limit(512)
+        .select(col("embedding")).collect()
+        .map { r =>
+          val v = r.getSeq[Float](0).map(_.toDouble)
+          val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+          v.map(_ / n).toSeq
+        }.toSeq
+      def lloydSub(j: Int): Seq[Seq[Double]] = {
+        val subs = sample.map(_.slice(j * dsub, (j + 1) * dsub))
+        def d2(a: Seq[Double], b: Seq[Double]): Double =
+          a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+        val skipped = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
+        for (v <- subs if accepted.size < PqCodebookSize)
+          if (accepted.forall(c => d2(v, c) > MinSeedSeparation)) accepted += v
+          else skipped += v
+        var cents = (accepted ++ skipped.take(PqCodebookSize - accepted.size)).toSeq
+        for (_ <- 0 until iters) {
+          // argmin d² with ties to the HIGHER index — the exact mirror of
+          // nearestSubCentroid's array_max struct ordering, so driver
+          // training and distributed encoding agree on every boundary.
+          val assign = subs.map(s =>
+            cents.indices.map(i => (-d2(s, cents(i)), i)).max._2)
+          cents = cents.indices.map { i =>
+            val mine = subs.lazyZip(assign).collect { case (s, a) if a == i => s }
+            if (mine.isEmpty) cents(i)
+            else mine.transpose.map(_.sum / mine.size).toSeq
+          }
+        }
+        cents
+      }
+      val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(lloydSub)
+      val nrm = greatest(l2(spark, col("embedding")), lit(1e-12))
+      val codeCols = (0 until PqSubspaces).map { j =>
+        val sub = transform(slice(col("embedding"), j * dsub + 1, dsub), x => x / col("nrm"))
+        nearestSubCentroid(spark, sub, codebooks(j))
+      }
+      val codes = t(spark, dir, "embeddings")
+        .withColumn("nrm", nrm)
+        .select(col("vec_id"), array(codeCols: _*).as("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (codebooks, codes)
+    })
+
+  /** PQ asymmetric-distance top-k: score candidates from their 8-nibble
+    * CODES against a per-probe lookup table (LUT[j][c] = dot(probe_j,
+    * centroid_jc), built driver-side from the already-fetched codebooks —
+    * M×ksub tiny dots), shortlist the best `shortlist` by approximate
+    * cosine, and exactly re-rank ONLY the shortlist against the full
+    * vectors. This is the billion-scale ANN storage architecture: the hot
+    * scan touches a 4-byte-per-vector table — never the embeddings — and
+    * full vectors are fetched for `shortlist` rows, not the corpus.
+    *
+    * Scale: codes scan + per-row LUT sum (pure expressions) +
+    * TakeOrderedAndProject shortlist (per-partition heaps); the re-rank
+    * joins the ≤`shortlist`-row id set BROADCAST against the embeddings —
+    * a pruned point-lookup join, no embedding shuffle anywhere.
+    */
+  def simTopkPq(spark: SparkSession, dir: String, shortlist: Int = 50): DataFrame = {
+    val dsub = 64 / PqSubspaces
+    val emb = t(spark, dir, "embeddings")
+    val probeF = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probe = probeF.map(_.toDouble)
+    val pn = math.max(math.sqrt(probe.map(x => x * x).sum), 1e-12)
+    val pv = probe.map(_ / pn)
+    val (codebooks, codes) = pqIndex(spark, dir)
+    val lut: Seq[Seq[Double]] = (0 until PqSubspaces).map { j =>
+      val pj = pv.slice(j * dsub, (j + 1) * dsub)
+      codebooks(j).map(c => c.lazyZip(pj).map(_ * _).sum)
+    }
+    val approx = (0 until PqSubspaces).map { j =>
+      element_at(typedlit(lut(j)), col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val short = codes.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), approx.as("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col("vec_id"))
+      .limit(shortlist)
+    val p = typedlit(probeF)
+    emb.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), col("label"),
+        (dot(spark, col("embedding"), p) /
+          (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
   /** End-to-end training-data curation capstone: exact dedup (keep min
     * doc_id per content hash) → drop near-duplicate losers (higher doc_id of
     * each LSH-confirmed pair) → quality gate (length + stopword-bearing).

