@@ -268,6 +268,7 @@ object SparkEntry {
     "sample_split" -> (Analytics.sampleSplit _),
     "text_chunk" -> (Analytics.textChunk _),
     "curation_contamination" -> (Analytics.curationContamination _),
+    "agg_regression" -> (Analytics.aggRegression _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -541,6 +542,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents), n AS (SELECT doc_id, ss, GREATEST(1, CAST(ceil((len(ss) - 40)/30.0) AS BIGINT) + 1) AS nc FROM d) SELECT doc_id, i AS chunk_id, array_to_string(ss[(i*30+1):(i*30+40)], ' ') AS chunk FROM n, (SELECT unnest(generate_series(0, 600)) AS i) g WHERE i < nc ORDER BY doc_id, chunk_id""",
     "curation_contamination" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ss FROM documents), sh AS (SELECT doc_id, source, array_to_string(ss[i:i+7], ' ') AS s FROM d, (SELECT unnest(generate_series(1, 600)) AS i) g WHERE i <= len(ss) - 7), ev AS (SELECT DISTINCT doc_id AS eval_doc, s FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE source != 'src0') SELECT doc_id, count(DISTINCT s) AS n_shared_shingles, count(DISTINCT eval_doc) AS n_eval_docs FROM tr JOIN ev USING (s) GROUP BY doc_id ORDER BY doc_id""",
+    "agg_regression" ->
+      """WITH xy AS (SELECT l_returnflag AS flag, CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y FROM lineitem), m AS (SELECT flag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(y*y) AS BIGINT) AS syy FROM xy GROUP BY flag) SELECT flag, n, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 1000000 + 0.5)/1000000.0 AS slope_cents, floor((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx) / n * 1000000 + 0.5)/1000000.0 AS intercept_cents, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) * 1000000 + 0.5)/1000000.0 AS corr_xy FROM m ORDER BY flag""",
     "curation_dup_rate" ->
       """WITH h AS (SELECT source, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), c AS (SELECT source, k, count(*) OVER (PARTITION BY k) AS copies FROM h) SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, count(DISTINCT k) AS n_distinct_keys, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate FROM c GROUP BY source ORDER BY source""",
   )

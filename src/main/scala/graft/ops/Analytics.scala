@@ -244,6 +244,46 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Least-squares regression + Pearson correlation of price on quantity
+    * per return flag, from EXACT integer-cent co-moments: sum(x), sum(y),
+    * sum(x²), sum(xy), sum(y²) accumulate as exact BIGINTs (the per-row
+    * products stay far under 2^63 at any realistic fact width), and slope /
+    * intercept / corr derive from one hand-written double sequence over
+    * those exact sums. The built-in `corr`/`regr_slope` fold co-moments in
+    * an engine-specific (Welford) order — their last bits differ between
+    * engines; exact-sum-then-derive is bit-identical anywhere and is also
+    * the distributable formulation (the sums are trivially map-side
+    * combinable). Outputs floor-scale to 1e-6 per the repo convention.
+    *
+    * Scale: one scan, partial+final hash aggregate to a handful of groups;
+    * nothing else moves.
+    */
+  def aggRegression(spark: SparkSession, dir: String): DataFrame = {
+    val xy = t(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("flag"),
+        floor(col("l_quantity") * 100 + 0.5).cast("long").as("x"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    val nD = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val syy = col("syy").cast("double")
+    val slope = (nD * sxy - sx * sy) / (nD * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / nD
+    val corr = (nD * sxy - sx * sy) /
+      sqrt((nD * sxx - sx * sx) * (nD * syy - sy * sy))
+    xy.groupBy("flag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("flag"), col("n"),
+        (floor(slope * 1000000 + 0.5) / 1000000.0).as("slope_cents"),
+        (floor(intercept * 1000000 + 0.5) / 1000000.0).as("intercept_cents"),
+        (floor(corr * 1000000 + 0.5) / 1000000.0).as("corr_xy"))
+      .orderBy("flag")
+  }
+
   /** Per-source duplication report over a NORMALIZED content key: the
     * sorted set of distinct words — shuffled or repeated-word copies
     * collapse to one key (the cheap normalized-fingerprint tier between

@@ -143,14 +143,38 @@ object Multimodal {
         if (img == null) None else Some((img.getWidth, img.getHeight))
       } catch { case _: java.io.IOException => None }
 
+  /** REAL audio decode for WAV payloads via `javax.sound.sampled` (ships in
+    * the JDK). Gated on the RIFF/WAVE container magic so non-audio bytes
+    * never reach the parser; returns (sampleRate, durationSeconds) from the
+    * header's frame count/rate, or None on a torn/unsupported stream (caller
+    * falls back to the stub). Partition-local like every decoder here.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Float, Double)] =
+    if (payload == null || payload.length < 12 ||
+        payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+        payload(8) != 'W' || payload(9) != 'A' || payload(10) != 'V' || payload(11) != 'E') None
+    else
+      try {
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (frames < 0 || fmt.getFrameRate <= 0) None
+        else Some((fmt.getSampleRate, frames / fmt.getFrameRate.toDouble))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
   /** Kind-dispatched decoders. The image branch is REAL for PNG payloads
-    * (javax.imageio, gated on the PNG magic); everything else is a
-    * deterministic STUB a deployment would swap for its codec. Audio/video
-    * fakes derive features from payload bytes the way a real codec derives
+    * (javax.imageio, gated on the PNG magic) and the audio branch is REAL
+    * for WAV payloads (javax.sound, gated on RIFF/WAVE); everything else is
+    * a deterministic STUB a deployment would swap for its codec. Video fakes
+    * derive features from payload bytes the way a real codec derives
     * duration/frame count.
     */
   def stubDecodeKind(kind: String, payload: Array[Byte]): (Int, Int, Double, Int) = {
-    // ??? real audio/video codecs go here; deterministic fakes keep tests stable.
+    // ??? real video codecs go here; deterministic fakes keep tests stable.
     val h = java.util.Arrays.hashCode(payload)
     kind match {
       case "image" =>
@@ -158,7 +182,11 @@ object Multimodal {
           case Some((w, ht)) => (w, ht, 0.0, 1)
           case None => (math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1, 0.0, 1)
         }
-      case "audio" => (0, 0, payload.length / 16000.0, 0)
+      case "audio" =>
+        decodeWav(payload) match {
+          case Some((_, dur)) => (0, 0, dur, 0)
+          case None => (0, 0, payload.length / 16000.0, 0)
+        }
       case "video" => (math.floorMod(h, 1280) + 1, math.floorMod(h / 1280, 720) + 1,
         payload.length / 1000.0, math.max(1, payload.length / 256))
       case _ => (0, 0, 0.0, 0)

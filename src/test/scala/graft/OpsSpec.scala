@@ -600,6 +600,30 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L).isNullAt(2) && !byId(3L).isNullAt(4))
   }
 
+  test("audio decode: real WAV payloads yield true duration; non-WAV bytes fall back to the stub") {
+    import javax.sound.sampled._
+    // A genuine 0.2 s mono 16-bit 8 kHz WAV rendered by the JDK itself.
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1600 * 2) // 1600 frames of silence
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 1600)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val decoded = Multimodal.decodeWav(wav)
+    assert(decoded.isDefined)
+    val (rate, dur) = decoded.get
+    assert(rate == 8000f && math.abs(dur - 0.2) < 1e-9, s"$rate Hz, $dur s")
+    // The kind dispatcher routes WAV through the real codec...
+    assert(Multimodal.stubDecodeKind("audio", wav)._3 == dur)
+    // ...and everything else through the deterministic stub.
+    assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(16)).isEmpty) // torn: magic intact, body gone
+    val stubDur = Multimodal.stubDecodeKind("audio", "aaaa".getBytes("UTF-8"))._3
+    assert(stubDur == 4 / 16000.0)
+  }
+
   test("count-min sketch heavy hitters: sketch-first estimates bound exact counts within eps·N") {
     // Exact counts live HERE, in the bound check — the query path itself is
     // sample → CMS estimate and never runs a full-vocabulary exact count.
