@@ -26,7 +26,10 @@ import graft.plans.PushdownNanosTimestamp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    // The full 11-arg constructor is the only non-deprecated one that keeps
+    // the usage string (shown by `DESCRIBE FUNCTION`).
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushdownNanosTimestamp)

@@ -269,6 +269,8 @@ object SparkEntry {
     "text_chunk" -> (Analytics.textChunk _),
     "curation_contamination" -> (Analytics.curationContamination _),
     "agg_regression" -> (Analytics.aggRegression _),
+    "dq_checks" -> (Analytics.dqChecks _),
+    "events_gapfill" -> (Analytics.eventsGapfill _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -542,6 +544,10 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents), n AS (SELECT doc_id, ss, GREATEST(1, CAST(ceil((len(ss) - 40)/30.0) AS BIGINT) + 1) AS nc FROM d) SELECT doc_id, i AS chunk_id, array_to_string(ss[(i*30+1):(i*30+40)], ' ') AS chunk FROM n, (SELECT unnest(generate_series(0, 600)) AS i) g WHERE i < nc ORDER BY doc_id, chunk_id""",
     "curation_contamination" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ss FROM documents), sh AS (SELECT doc_id, source, array_to_string(ss[i:i+7], ' ') AS s FROM d, (SELECT unnest(generate_series(1, 600)) AS i) g WHERE i <= len(ss) - 7), ev AS (SELECT DISTINCT doc_id AS eval_doc, s FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE source != 'src0') SELECT doc_id, count(DISTINCT s) AS n_shared_shingles, count(DISTINCT eval_doc) AS n_eval_docs FROM tr JOIN ev USING (s) GROUP BY doc_id ORDER BY doc_id""",
+    "dq_checks" ->
+      """SELECT 'orders_null_priority' AS check, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, count(*) AS n_checked FROM orders UNION ALL SELECT 'orders_negative_total', CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders UNION ALL SELECT 'orders_orphan_custkey', count(*), NULL FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) UNION ALL SELECT 'orders_dup_orderkey', CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey) UNION ALL SELECT 'events_value_range', CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM events ORDER BY 1""",
+    "events_gapfill" ->
+      """WITH ev AS (SELECT date_trunc('day', ts) AS day, event_type FROM events), b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev), spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM b), types AS (SELECT DISTINCT event_type FROM ev), daily AS (SELECT day, event_type AS etype, count(*) AS cnt FROM ev GROUP BY day, event_type) SELECT epoch_us(s.day) AS day_us, t.event_type, coalesce(d.cnt, 0) AS cnt FROM spine s CROSS JOIN types t LEFT JOIN daily d ON d.day = s.day AND d.etype = t.event_type ORDER BY day_us, t.event_type""",
     "agg_regression" ->
       """WITH xy AS (SELECT l_returnflag AS flag, CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y FROM lineitem), m AS (SELECT flag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(y*y) AS BIGINT) AS syy FROM xy GROUP BY flag) SELECT flag, n, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 1000000 + 0.5)/1000000.0 AS slope_cents, floor((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx) / n * 1000000 + 0.5)/1000000.0 AS intercept_cents, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) * 1000000 + 0.5)/1000000.0 AS corr_xy FROM m ORDER BY flag""",
     "curation_dup_rate" ->

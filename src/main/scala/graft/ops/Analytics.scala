@@ -244,6 +244,73 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Single-report data-quality audit — the dbt-test / Deequ-style check
+    * suite as one DataFrame: per-row predicate violations fold into ONE
+    * conditional aggregate per table scan, referential integrity is an
+    * anti-join count, and primary-key uniqueness is a group-count — each
+    * check one row of (check, n_violations, n_checked).
+    *
+    * Scale: the two per-row checks on `orders` share one scan (conditional
+    * sums in a single partial+final aggregate); the orphan check anti-joins
+    * against the broadcast customer key set; the duplicate-PK check is a
+    * key-shuffled count. Every branch aggregates to one row before the
+    * union — the report never materializes violating rows (point the same
+    * predicates at a sink for that).
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val events = t(spark, dir, "events")
+    val custKeys = t(spark, dir, "customer").select(col("c_custkey"))
+    val ordersRowChecks = orders.agg(
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("null_prio"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("neg_total"),
+      count(lit(1)).as("n"))
+    val nullPrio = ordersRowChecks.select(lit("orders_null_priority").as("check"),
+      col("null_prio").as("n_violations"), col("n").as("n_checked"))
+    val negTotal = ordersRowChecks.select(lit("orders_negative_total").as("check"),
+      col("neg_total").as("n_violations"), col("n").as("n_checked"))
+    val orphans = orders
+      .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orders_orphan_custkey").as("check"), col("n_violations"),
+        lit(null).cast("long").as("n_checked"))
+    val dupPk = orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+      .agg(sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("orders_dup_orderkey").as("check"), col("n_violations"), col("n_checked"))
+    val valueRange = events.agg(
+      sum(when(col("value") < 0 || col("value") > 1000, 1L).otherwise(0L)).as("n_violations"),
+      count(lit(1)).as("n_checked"))
+      .select(lit("events_value_range").as("check"), col("n_violations"), col("n_checked"))
+    nullPrio.unionAll(negTotal).unionAll(orphans).unionAll(dupPk).unionAll(valueRange)
+      .orderBy("check")
+  }
+
+  /** Calendar densification: daily event counts per type with MISSING DAYS
+    * filled as explicit zeros — the gap-fill every time-series consumer
+    * (charting, anomaly baselines, forecasting features) needs before it
+    * can difference or window. The day spine spans min→max event day.
+    *
+    * Scale: the spine is generated from a 1-row min/max aggregate
+    * (`sequence` + explode — thousands of rows for years of data) and
+    * cross-joins the tiny distinct-type dim via BROADCAST nested-loop (two
+    * small sides; never the fact). The fact aggregates to (day, type)
+    * BEFORE joining the spine, so the left join touches pre-reduced rows.
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+    val spine = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val daily = ev.groupBy("day", "event_type").agg(count(lit(1)).as("cnt"))
+    spine.crossJoin(broadcast(types))
+      .join(daily, Seq("day", "event_type"), "left")
+      .select(unix_micros(col("day")).as("day_us"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("day_us", "event_type")
+  }
+
   /** Least-squares regression + Pearson correlation of price on quantity
     * per return flag, from EXACT integer-cent co-moments: sum(x), sum(y),
     * sum(x²), sum(xy), sum(y²) accumulate as exact BIGINTs (the per-row
