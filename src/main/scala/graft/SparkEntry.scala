@@ -270,6 +270,7 @@ object SparkEntry {
     "curation_contamination" -> (Analytics.curationContamination _),
     "agg_regression" -> (Analytics.aggRegression _),
     "dq_checks" -> (Analytics.dqChecks _),
+    "layout_zorder" -> (graft.sources.FileFormats.layoutZorderStats _),
     "events_gapfill" -> (Analytics.eventsGapfill _),
   )
 

@@ -95,4 +95,87 @@ object FileFormats {
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
       out
     })
+
+  // ---------------------------------------------------------------- z-order layout
+
+  import org.apache.spark.sql.Column
+
+  /** 32-bit Morton code interleaving two 16-bit dimensions (a's bit i lands
+    * at 2i+1, b's at 2i) — pure shift/mask expressions, fully codegen'd.
+    * Sorting by this value clusters BOTH dimensions simultaneously, which is
+    * what per-file min/max skipping needs for multi-column predicates: a
+    * single-column sort gives perfect bounds on one dim and useless bounds
+    * on the other; the z-curve gives good bounds on both.
+    */
+  private[graft] def zValue16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
+    }.reduce(_ + _)
+
+  /** Materialize the SAME events projection under two physical layouts
+    * (once per JVM+dir): `linear` — range-partitioned and sorted by
+    * event_id, the "insert-order" lake layout — and `zorder` — range-
+    * partitioned and sorted by the Morton code of (user_id, value), the
+    * OPTIMIZE ZORDER layout. 8 files each; returns (linearPath, zorderPath).
+    * Dimension bounds for 16-bit normalization come from one 1-row
+    * aggregate (a bounded parameter fetch, same contract as the probe
+    * fetches).
+    */
+  private val zCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+  private[graft] def zorderLayouts(spark: SparkSession, dir: String): (String, String) =
+    zCache.computeIfAbsent(dir, _ => {
+      val ev = t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+      val b = ev.agg(min("user_id"), max("user_id"), min("value_c"), max("value_c")).head()
+      val (loU, hiU, loV, hiV) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      def to16(c: Column, lo: Long, hi: Long): Column =
+        if (hi <= lo) lit(0L)
+        else floor((c - lit(lo)).cast("double") * 65535.0 / (hi - lo).toDouble).cast("long")
+      val z = zValue16(to16(col("user_id"), loU, hiU), to16(col("value_c"), loV, hiV))
+      val linear = exitCleanedTempDir("graft-linear")
+      ev.repartitionByRange(8, col("event_id"))
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(linear)
+      val zorder = exitCleanedTempDir("graft-zorder")
+      ev.withColumn("__z", z)
+        .repartitionByRange(8, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(zorder)
+      (linear, zorder)
+    })
+
+  /** File-skipping report for the two layouts under a 2-D predicate box —
+    * the middle 20% of each dimension's range (derived from the same 1-row
+    * bounds fetch, so the box is meaningful at any scale factor): per
+    * layout, how many of the 8 files a min/max-pruning reader must open.
+    * Per-file bounds are computed in ONE scan per layout
+    * (`input_file_name` group-by) — exactly the numbers a parquet footer
+    * reader consults, reproduced over the same files. The z-ordered layout
+    * must scan strictly fewer files — that factor IS the point of OPTIMIZE
+    * ZORDER at 100 TB: min/max pruning works on every clustered dimension
+    * at once, before any data is read.
+    */
+  def layoutZorderStats(spark: SparkSession, dir: String): DataFrame = {
+    val (linear, zorder) = zorderLayouts(spark, dir)
+    val b = spark.read.parquet(linear)
+      .agg(min("user_id"), max("user_id"), min("value_c"), max("value_c")).head()
+    def mid(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
+    val (loU, hiU) = (mid(b.getLong(0), b.getLong(1), 0.4), mid(b.getLong(0), b.getLong(1), 0.6))
+    val (loV, hiV) = (mid(b.getLong(2), b.getLong(3), 0.4), mid(b.getLong(2), b.getLong(3), 0.6))
+    def stats(name: String, path: String): DataFrame =
+      spark.read.parquet(path)
+        .select(col("user_id"), col("value_c"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(min("user_id").as("lo_u"), max("user_id").as("hi_u"),
+          min("value_c").as("lo_v"), max("value_c").as("hi_v"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(!(col("hi_u") < loU || col("lo_u") > hiU ||
+            col("hi_v") < loV || col("lo_v") > hiV), 1L).otherwise(0L))
+            .as("n_files_scanned"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_files_scanned"))
+    stats("linear", linear).unionAll(stats("zorder", zorder)).orderBy("layout")
+  }
 }

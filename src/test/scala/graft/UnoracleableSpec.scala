@@ -63,6 +63,10 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq(
         "pq ADC: shortlist + exact re-rank recovers the brute-force top-5",
         "pq index: codes are deterministic nibbles; codebooks reconstruct the sample within quantization error")),
+    "layout_zorder" -> Pin(
+      "physical file-layout statistics (per-file min/max skipping) are not SQL",
+      "FileFormatsSpec", Seq(
+        "z-order layout: min/max pruning scans strictly fewer files than the linear layout under a 2-D predicate")),
     "multimodal_decode" -> Pin(
       "decoder stubs are engine-defined (no codec libs in sandbox)",
       "OpsSpec", Seq("multimodal: fingerprint matches payload bytes; decode features deterministic")),
@@ -115,6 +119,7 @@ class UnoracleableSpec extends SparkSpec {
       s"unpinned: ${(noOracle -- pins.keySet).toSeq.sorted}; stale pins: ${(pins.keySet -- noOracle).toSeq.sorted}")
     val suites: Map[String, Set[String]] = Map(
       "OpsSpec" -> new OpsSpec().testNames,
+      "FileFormatsSpec" -> new FileFormatsSpec().testNames,
       "UnoracleableSpec" -> this.testNames)
     for ((q, pin) <- pins; t <- pin.tests)
       assert(suites(pin.suite).contains(t), s"$q pins missing test '$t' in ${pin.suite}")
