@@ -151,6 +151,12 @@ object SparkEntry {
     "sql_tpch_q7" -> (Relational.sqlTpchQ7 _),
     "sql_tpch_q8" -> (Relational.sqlTpchQ8 _),
     "sql_tpch_q17" -> (Relational.sqlTpchQ17 _),
+    "sql_tpch_q2" -> (Relational.sqlTpchQ2 _),
+    "sql_tpch_q9" -> (Relational.sqlTpchQ9 _),
+    "sql_tpch_q11" -> (Relational.sqlTpchQ11 _),
+    "sql_tpch_q16" -> (Relational.sqlTpchQ16 _),
+    "sql_tpch_q20" -> (Relational.sqlTpchQ20 _),
+    "sql_tpch_q21" -> (Relational.sqlTpchQ21 _),
     "sql_tpch_q10" -> (Relational.sqlTpchQ10 _),
     "sql_tpch_q13" -> (Relational.sqlTpchQ13 _),
     "sql_tpch_q15" -> (Relational.sqlTpchQ15 _),
@@ -272,6 +278,9 @@ object SparkEntry {
     "dq_checks" -> (Analytics.dqChecks _),
     "layout_zorder" -> (graft.sources.FileFormats.layoutZorderStats _),
     "events_gapfill" -> (Analytics.eventsGapfill _),
+    "text_repetition" -> (Analytics.textRepetition _),
+    "text_pii_scrub" -> (Analytics.textPiiScrub _),
+    "dedup_passages" -> (Analytics.dedupPassages _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -359,6 +368,18 @@ object SparkEntry {
       """SELECT sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS revenue, count(*) AS cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 30.0) OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10.0 AND 40.0) OR (p_type LIKE 'PROMO%' AND l_quantity >= 20.0)""",
     "sql_tpch_q22" ->
       """WITH pos AS (SELECT c_custkey, c_mktsegment, CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS bal_c FROM customer WHERE c_acctbal > 0.0), tot AS (SELECT sum(bal_c) AS s, count(*) AS n FROM pos) SELECT c_mktsegment AS seg, count(*) AS numcust, sum(bal_c)/100.0 AS totacctbal FROM pos CROSS JOIN tot WHERE bal_c * n > s AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') GROUP BY c_mktsegment ORDER BY seg""",
+    "sql_tpch_q2" ->
+      """WITH asia AS (SELECT l_partkey AS pk, s_acctbal, s_name, n_name FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'), mins AS (SELECT pk, min(s_acctbal) AS min_bal FROM asia GROUP BY pk) SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name FROM part JOIN asia ON pk = p_partkey JOIN mins ON mins.pk = p_partkey AND s_acctbal = min_bal WHERE p_size = 10 AND p_type = 'SMALL' ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    "sql_tpch_q9" ->
+      """SELECT nation, o_year, sum(amount_bp)/10000.0 AS sum_profit, count(*) AS cnt FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT) - CAST(floor(0.4*p_retailprice*l_quantity*10000 + 0.5) AS BIGINT) AS amount_bp FROM lineitem JOIN part ON p_partkey = l_partkey JOIN supplier ON s_suppkey = l_suppkey JOIN orders ON o_orderkey = l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE p_name LIKE '%widget%') profit GROUP BY nation, o_year ORDER BY nation, o_year DESC""",
+    "sql_tpch_q11" ->
+      """WITH sv AS (SELECT l_partkey AS pk, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS val_c FROM lineitem JOIN supplier ON s_suppkey = l_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1' GROUP BY l_partkey) SELECT pk AS p_partkey, val_c/100.0 AS part_value FROM sv CROSS JOIN (SELECT sum(val_c) AS total_c FROM sv) t WHERE val_c * 600 > total_c ORDER BY part_value DESC, p_partkey""",
+    "sql_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO' AND p_size IN (5,10,15,20,25) AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0) GROUP BY p_brand, p_type, p_size ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    "sql_tpch_q20" ->
+      """SELECT s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_1' AND s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY l_suppkey HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 10000) ORDER BY s_name""",
+    "sql_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey JOIN orders ON o_orderkey = l1.l_orderkey JOIN nation ON s_nationkey = n_nationkey WHERE o_orderstatus = 'F' AND n_name = 'NATION_1' AND l1.l_returnflag = 'R' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "typed_event_stats" ->
       """SELECT event_type, count(*) AS cnt, sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events WHERE value > 50.0 GROUP BY event_type ORDER BY event_type""",
     "scalar_regex" ->
@@ -553,5 +574,11 @@ object SparkEntry {
       """WITH xy AS (SELECT l_returnflag AS flag, CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y FROM lineitem), m AS (SELECT flag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(y*y) AS BIGINT) AS syy FROM xy GROUP BY flag) SELECT flag, n, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 1000000 + 0.5)/1000000.0 AS slope_cents, floor((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx) / n * 1000000 + 0.5)/1000000.0 AS intercept_cents, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) * 1000000 + 0.5)/1000000.0 AS corr_xy FROM m ORDER BY flag""",
     "curation_dup_rate" ->
       """WITH h AS (SELECT source, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), c AS (SELECT source, k, count(*) OVER (PARTITION BY k) AS copies FROM h) SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, count(DISTINCT k) AS n_distinct_keys, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate FROM c GROUP BY source ORDER BY source""",
+    "text_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), tok AS (SELECT doc_id, unnest(ss) AS tk FROM s), tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1,2), td AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS topc FROM tc GROUP BY 1), bg AS (SELECT doc_id, unnest(list_transform(range(1, array_length(ss)), i -> ss[i] || ' ' || ss[i+1])) AS b FROM s), bc AS (SELECT doc_id AS bdoc, CAST(count(*) AS BIGINT) AS total_bi, CAST(count(DISTINCT b) AS BIGINT) AS dist_bi FROM bg GROUP BY 1) SELECT td.doc_id, total AS n_tokens, floor(CAST(n_distinct AS DOUBLE)/total*10000 + 0.5)/10000 AS uniq_token_frac, floor(CAST(topc AS DOUBLE)/total*10000 + 0.5)/10000 AS top_token_frac, floor(CAST(total_bi - dist_bi AS DOUBLE)/total_bi*10000 + 0.5)/10000 AS dup_bigram_frac FROM td JOIN bc ON td.doc_id = bdoc ORDER BY doc_id""",
+    "text_pii_scrub" ->
+      """WITH prof AS (SELECT c_custkey, c_name || ' <' || lower(replace(c_name, '#', '')) || '@example.com> phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS profile FROM customer) SELECT c_custkey, profile, regexp_replace(regexp_replace(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed, CAST(length(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(length(regexp_extract_all(profile, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones FROM prof ORDER BY c_custkey""",
+    "dedup_passages" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), sh AS (SELECT doc_id, unnest(list_transform(range(1, array_length(ss)-6), i -> array_to_string(ss[i:i+7], ' '))) AS passage FROM s) SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc FROM sh GROUP BY passage HAVING count(DISTINCT doc_id) > 1 ORDER BY n_docs DESC, n_occ DESC, passage LIMIT 100""",
   )
 }

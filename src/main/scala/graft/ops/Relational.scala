@@ -264,6 +264,141 @@ object Relational {
         |ORDER BY seg""".stripMargin)
   }
 
+  /** TPC-H-Q2-style minimum-cost supplier: the fixture has no partsupp, so
+    * the part↔supplier relation is derived from lineitem and the "cost" is
+    * the supplier's account balance — preserving Q2's defining shape, a
+    * correlated scalar subquery (min over the same filtered join, correlated
+    * on the outer part key). Catalyst decorrelates it into an aggregate +
+    * join; no per-row re-execution. DISTINCT collapses the lineitem fan-out
+    * (a part-supplier pair ships many lines). s_acctbal equality compares
+    * raw parquet doubles — no arithmetic, so it is engine-exact.
+    */
+  def sqlTpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "nation", "region")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 10 AND p_type = 'SMALL' AND r_name = 'ASIA'
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |    FROM supplier s2 JOIN lineitem l2 ON s2.s_suppkey = l2.l_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'ASIA')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
+  }
+
+  /** TPC-H-Q9-style product-type profit by nation and year: profit =
+    * revenue − cost, with cost standing in as 0.4·p_retailprice·l_quantity
+    * (no partsupp/ps_supplycost in the fixture). Both terms are rounded to
+    * integer basis points per row BEFORE the subtraction, so the grouped sum
+    * is exact integer arithmetic. Part/supplier/nation dims broadcast; the
+    * only shuffle is orders⋈lineitem plus the final partial+final aggregate.
+    */
+  def sqlTpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "orders", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT nation, o_year, sum(amount_bp)/10000.0D AS sum_profit, count(*) AS cnt
+        |FROM (SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT)
+        |    - CAST(floor(0.4*p_retailprice*l_quantity*10000 + 0.5) AS BIGINT) AS amount_bp
+        | FROM lineitem JOIN part ON p_partkey = l_partkey
+        | JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN orders ON o_orderkey = l_orderkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE p_name LIKE '%widget%') profit
+        |GROUP BY nation, o_year ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
+  /** TPC-H-Q11-style important-inventory scan: per-part "value" (exact qty
+    * cents) held by NATION_1's suppliers, kept only when above a fixed
+    * fraction of the grand total — Q11's global-threshold HAVING, expressed
+    * as an exact integer cross-multiply (val·600 > total) against a 1-row
+    * broadcast total. Two aggregations over one shuffled base; the total
+    * side is a single row so the "cross join" moves nothing.
+    */
+  def sqlTpchQ11(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """WITH sv AS (
+        | SELECT l_partkey AS pk, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) AS val_c
+        | FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | WHERE n_name = 'NATION_1' GROUP BY l_partkey)
+        |SELECT pk AS p_partkey, val_c/100.0D AS part_value
+        |FROM sv CROSS JOIN (SELECT sum(val_c) AS total_c FROM sv) t
+        |WHERE val_c * 600 > total_c
+        |ORDER BY part_value DESC, p_partkey""".stripMargin)
+  }
+
+  /** TPC-H-Q16-style supplier count per part attribute: count(DISTINCT
+    * supplier) over the lineitem-derived part↔supplier relation, minus
+    * "complaint" suppliers via NOT IN (null-aware anti join on a tiny
+    * broadcast side; s_suppkey is non-null so no null-check scan). The
+    * distinct count is a two-phase aggregate (dedup shuffle then count).
+    */
+  def sqlTpchQ16(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO' AND p_size IN (5,10,15,20,25)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100.0D)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)
+  }
+
+  /** TPC-H-Q20-style excess-shippers: Q20's nested IN chain — suppliers IN
+    * (grouped-HAVING over lineitems whose part is IN a name-filtered part
+    * set) — with the availability threshold re-based on shipped quantity
+    * (exact cents). Each IN becomes a semi join; the part set and the
+    * qualifying-supplier set are both tiny → broadcast semi joins, and the
+    * HAVING is a partial+final aggregate over one year of lines.
+    */
+  def sqlTpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    Seq("part", "supplier", "lineitem", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT s_name, s_acctbal FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey HAVING sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT)) > 10000)
+        |ORDER BY s_name""".stripMargin)
+  }
+
+  /** TPC-H-Q21-style sole-fault supplier: Q21's signature double-correlated
+    * quantifier — EXISTS(another supplier on the same order) AND NOT
+    * EXISTS(another supplier also at fault) — with "fault" re-based on
+    * l_returnflag = 'R' (the fixture has no commit/receipt dates). Both
+    * quantifiers decorrelate to one semi and one anti join on l_orderkey;
+    * supplier/nation dims broadcast.
+    */
+  def sqlTpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Seq("supplier", "lineitem", "orders", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+  }
+
   /** percent_rank + cume_dist: rank-derived exact fractions ((rank-1)/(n-1),
     * count≤/n) — bit-identical doubles across engines, no rounding needed.
     */
