@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables.t
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -377,5 +377,115 @@ object Analytics {
         countDistinct(col("k")).as("n_distinct_keys"))
       .withColumn("dup_rate", col("n_dup_docs").cast("double") / col("n_docs"))
       .orderBy("source")
+  }
+
+  /** Repetition-based quality signals (the "Gopher rules" family,
+    * Rae et al. 2021 §A1.1): per document, the unique-token fraction, the
+    * most-frequent-token coverage, and the duplicate-bigram fraction — the
+    * three cheapest detectors of boilerplate / degenerate machine text.
+    *
+    * Scale: deliberately NOT explode+groupBy — per-doc stats need no
+    * cross-row context, so every metric is computed partition-locally from
+    * the token array (zero shuffle; the corpus-wide token shuffle an
+    * explode-based formulation would pay is the difference between a map
+    * job and the biggest shuffle in the pipeline at 100 TB). Distinct
+    * counts are `array_distinct` (hash-set, O(n)); the max token frequency
+    * is a longest-equal-run `aggregate` over the SORTED array (O(n log n)
+    * per doc, no quadratic transform-filter scan). Fractions are single
+    * divisions of exact integer counts, floor-rounded to 4 places on both
+    * engines ([[Exact.r4]] semantics).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val ss     = split(col("text"), " ")
+    val sorted = array_sort(ss)
+    // longest equal run over the sorted tokens = max token frequency
+    val topCnt = expr(
+      """aggregate(
+        |  array_sort(split(text, ' ')),
+        |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+        |  (a, x) -> named_struct(
+        |     'prev', x,
+        |     'run',  IF(x = a.prev, a.run + 1L, 1L),
+        |     'best', greatest(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+        |  a -> a.best)""".stripMargin)
+    val bigrams = expr(
+      """transform(sequence(1, size(split(text, ' ')) - 1),
+        |  i -> concat(element_at(split(text, ' '), i), ' ',
+        |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+    def r4frac(num: Column, den: Column): Column =
+      floor(num.cast("double") / den.cast("double") * 10000 + 0.5) / 10000.0
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(ss).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(ss)).cast("long"))
+      .withColumn("topc", topCnt)
+      .withColumn("total_bi", (size(ss) - 1).cast("long"))
+      .withColumn("dist_bi", size(array_distinct(bigrams)).cast("long"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4frac(col("n_distinct"), col("n_tokens")).as("uniq_token_frac"),
+        r4frac(col("topc"), col("n_tokens")).as("top_token_frac"),
+        r4frac(col("total_bi") - col("dist_bi"), col("total_bi")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: regex redaction of emails and phone-like numbers, with
+    * per-row redaction counts — the compliance pass every corpus takes
+    * before training. The fixture corpus is PII-free by construction, so
+    * the demonstrated input is a profile string FORMATTED from customer
+    * fixture columns (name + a derived e-mail + a derived phone); the
+    * scrubber itself is input-agnostic (`regexp_replace` with the same
+    * patterns over any string column).
+    *
+    * Scale: pure per-row regex — map-only, no shuffle, whole-stage codegen
+    * (Spark's regexp_* compile the pattern once per task). At 100 TB this
+    * is scan-bound; the patterns are anchored (\b) so no catastrophic
+    * backtracking class.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+    val profile = concat(
+      col("c_name"), lit(" <"), lower(regexp_replace(col("c_name"), "#", "")),
+      lit("@example.com> phone 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), profile.as("profile"))
+      .select(col("c_custkey"), col("profile"),
+        regexp_replace(regexp_replace(col("profile"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("scrubbed"),
+        size(regexp_extract_all(col("profile"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("profile"), lit(phoneRe), lit(0))).cast("long").as("n_phones"))
+      .orderBy("c_custkey")
+  }
+
+  /** Cross-document repeated-passage report: exact 8-token spans (stride 1)
+    * that appear in more than one document — the exact-substring layer of
+    * training-data dedup (Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better" finds these with a suffix array; at
+    * Spark scale the equivalent is a shingle shuffle). Top-100 by document
+    * reach.
+    *
+    * Scale: shingles are generated partition-locally (sequence+explode —
+    * rows multiply by ~len, bounded per doc) and the ONLY shuffle keys on
+    * the passage, where partial aggregation collapses same-partition
+    * repeats before the exchange. At petabyte vocabulary the passage string
+    * would be xxhash64-ed to 8 bytes before the shuffle (same plan shape,
+    * 10× narrower exchange); the string key keeps this oracle-checkable.
+    * The top-100 is TakeOrderedAndProject — no global sort.
+    */
+  def dedupPassages(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ss"))
+      .withColumn("n", size(col("ss")) - 7)
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("ss"), explode(sequence(lit(1), col("n"))).as("i"))
+      .select(col("doc_id"), array_join(slice(col("ss"), col("i"), lit(8)), " ").as("passage"))
+      .groupBy("passage")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
+      .limit(100)
   }
 }
