@@ -255,6 +255,7 @@ object SparkEntry {
     "agg_hll_sketch" -> (Relational.aggHllSketch _),
     // streaming (batch-equivalent event-time windows)
     "stream_tumbling" -> (StreamingOps.streamTumbling _),
+    "stream_join" -> (StreamingOps.streamJoin _),
     "stream_sliding" -> (StreamingOps.streamSliding _),
     "stream_session" -> (StreamingOps.streamSession _),
     // skew mitigation (salted two-phase agg / salted join)
@@ -546,6 +547,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS asset_id, count(*) AS copies, CAST(max(octet_length(encode(text))) AS BIGINT) AS byte_len FROM documents GROUP BY sha256(text) ORDER BY asset_id""",
     "stream_tumbling" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS ws, event_type, count(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY ws, event_type""",
+    "stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id, epoch_us(p.ts) - epoch_us(c.ts) AS delta_us FROM events c JOIN events p ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase' AND epoch_us(p.ts) >= epoch_us(c.ts) AND epoch_us(p.ts) <= epoch_us(c.ts) + 1800000000 ORDER BY click_id, purchase_id""",
     "stream_sliding" ->
       """SELECT epoch_us(g.ws) AS ws, count(*) AS cnt, sum(CAST(floor(e.value*100 + 0.5) AS BIGINT))/100.0 AS sum_value FROM events e JOIN (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00', TIMESTAMP '2024-06-01 00:00:00', INTERVAL 15 MINUTE)) AS ws) g ON e.ts >= g.ws AND e.ts < g.ws + INTERVAL 60 MINUTE GROUP BY g.ws ORDER BY ws""",
     "stream_session" ->

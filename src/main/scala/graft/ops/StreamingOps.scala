@@ -54,4 +54,40 @@ object StreamingOps {
       .select(col("user_id"), unix_micros(col("session_window.start")).as("session_start"),
         col("n_events"))
       .orderBy("user_id", "session_start")
+
+  /** Attribution window for the stream-stream interval join: a purchase
+    * attributes to a click at most this long before it. */
+  val AttributionUs: Long = 30L * 60 * 1000000
+
+  /** Click→purchase attribution: each purchase joins every click by the
+    * same user in the preceding 30 minutes — the batch-equivalent of a
+    * watermarked stream-stream interval join (`StreamingSpec` drives the
+    * same join through two MemoryStreams with `withWatermark` on both
+    * sides to pin the state-retention and late-drop semantics that only
+    * exist in streaming).
+    *
+    * Scale: an equi join on user_id with the interval as a residual
+    * range predicate — ONE hash shuffle of each side keyed on user, no
+    * broadcast needed (both sides are streams/facts), no cartesian: the
+    * range rides the hash join as a filter. In streaming, the watermark
+    * bounds join state to 30 minutes of clicks per user — exactly the
+    * interval bound, so state size is O(rate × window), not unbounded.
+    * Time math is exact int64 micros on both engines.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + AttributionUs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("delta_us"))
+      .orderBy("click_id", "purchase_id")
+  }
 }

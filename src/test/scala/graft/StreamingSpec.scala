@@ -97,6 +97,74 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches the batch join and drops late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, Timestamp)]    // (user, click_id, ts)
+    val purchases = MemoryStream[(Long, Long, Timestamp)] // (user, purchase_id, ts)
+    val c = clicks.toDF().toDF("user_id", "click_id", "cts").withWatermark("cts", "10 minutes")
+    val p = purchases.toDF().toDF("p_user", "purchase_id", "pts").withWatermark("pts", "10 minutes")
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+      col("pts") >= col("cts") &&
+      col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: user 1 clicks at 10:00; purchase at 10:20 → inside the
+      // 30-min attribution window. User 2's purchase at 11:00 has no click.
+      clicks.addData(Seq((1L, 100L, ts("2024-01-01 10:00:00"))))
+      purchases.addData(Seq((1L, 200L, ts("2024-01-01 10:20:00")),
+        (2L, 201L, ts("2024-01-01 11:00:00"))))
+      q.processAllAvailable()
+      // Batch 2: advance both watermarks far past the click (12:00 − 10 min
+      // = 11:50 ≫ 10:30 upper bound), evicting user 1's click state.
+      clicks.addData(Seq((9L, 101L, ts("2024-01-01 12:00:00"))))
+      purchases.addData(Seq((9L, 202L, ts("2024-01-01 12:00:01"))))
+      q.processAllAvailable()
+      // Batch 3: a purchase that WOULD match user 1's click arrives late —
+      // its event time 10:25 is far behind the 11:50 watermark; the click's
+      // state is gone, so no new (100, ...) pair may appear.
+      purchases.addData(Seq((1L, 203L, ts("2024-01-01 10:25:00"))))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 100L, 200L), (9L, 101L, 202L)),
+        s"state not bounded by watermark or match missed: $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups inside the delay, re-admits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp)] // (id, ts)
+    val q = mem.toDF().toDF("id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("ddw_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // Batch 1: id=1 twice in one batch plus a fresh id=2 → one row each.
+      mem.addData(Seq((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")),
+        (2L, ts("2024-01-01 10:02:00"))))
+      q.processAllAvailable()
+      // Batch 2: id=1 again within the delay → still a duplicate, dropped.
+      mem.addData(Seq((1L, ts("2024-01-01 10:05:00"))))
+      q.processAllAvailable()
+      // Batch 3: advance event time to 11:00 (watermark 10:50 > 10:11 ⇒
+      // id=1's dedup state expires), then id=1 once more → re-emitted.
+      mem.addData(Seq((3L, ts("2024-01-01 11:00:00"))))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, ts("2024-01-01 11:01:00"))))
+      q.processAllAvailable()
+      val ids = spark.table("ddw_out").collect().map(_.getLong(0)).toSeq
+      assert(ids.count(_ == 1L) == 2,
+        s"expected id=1 emitted exactly twice (once per state generation): $ids")
+      assert(ids.count(_ == 2L) == 1 && ids.count(_ == 3L) == 1, s"got $ids")
+    } finally q.stop()
+  }
+
   test("session_window gap is inclusive: merge at exactly +gap, split strictly after") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
