@@ -272,6 +272,7 @@ object SparkEntry {
     "events_outliers" -> (Analytics.eventsOutliers _),
     "curation_dup_rate" -> (Analytics.curationDupRate _),
     "sim_topk_pq" -> ((s, d) => LlmPipeline.simTopkPq(s, d)),
+    "sim_topk_ivfpq" -> ((s, d) => LlmPipeline.simTopkIvfPq(s, d)),
     "sample_split" -> (Analytics.sampleSplit _),
     "text_chunk" -> (Analytics.textChunk _),
     "curation_contamination" -> (Analytics.curationContamination _),

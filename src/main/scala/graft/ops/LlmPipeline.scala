@@ -876,17 +876,27 @@ object LlmPipeline {
         cents
       }
       val codebooks: Seq[Seq[Seq[Double]]] = (0 until PqSubspaces).map(lloydSub)
-      val nrm = greatest(l2(spark, col("embedding")), lit(1e-12))
-      val codeCols = (0 until PqSubspaces).map { j =>
-        val sub = transform(slice(col("embedding"), j * dsub + 1, dsub), x => x / col("nrm"))
-        nearestSubCentroid(spark, sub, codebooks(j))
-      }
       val codes = t(spark, dir, "embeddings")
-        .withColumn("nrm", nrm)
-        .select(col("vec_id"), array(codeCols: _*).as("codes"))
+        .withColumn("nrm", greatest(l2(spark, col("embedding")), lit(1e-12)))
+        .select(col("vec_id"), codesColumn(spark, codebooks).as("codes"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       (codebooks, codes)
     })
+
+  /** The 8-nibble PQ code array for the current row's `embedding` (requires
+    * a sibling `nrm` column) — one [[nearestSubCentroid]] argmin per
+    * subspace, all pure codegen expressions. Shared by the flat PQ index
+    * and the IVF-PQ cell-partitioned index so driver training and every
+    * encoder agree bit-for-bit.
+    */
+  private def codesColumn(spark: SparkSession, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = 64 / PqSubspaces
+    val codeCols = (0 until PqSubspaces).map { j =>
+      val sub = transform(slice(col("embedding"), j * dsub + 1, dsub), x => x / col("nrm"))
+      nearestSubCentroid(spark, sub, codebooks(j))
+    }
+    array(codeCols: _*)
+  }
 
   /** PQ asymmetric-distance top-k: score candidates from their 8-nibble
     * CODES against a per-probe lookup table (LUT[j][c] = dot(probe_j,
@@ -919,6 +929,91 @@ object LlmPipeline {
       element_at(typedlit(lut(j)), col("codes").getItem(j) + 1)
     }.reduce(_ + _)
     val short = codes.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), approx.as("approx_cosine"))
+      .orderBy(col("approx_cosine").desc, col("vec_id"))
+      .limit(shortlist)
+    val p = typedlit(probeF)
+    emb.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), col("label"),
+        (dot(spark, col("embedding"), p) /
+          (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val ivfpqCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  /** The IVF-PQ combined index table (vec_id, cell, codes): coarse k-means
+    * cell + 8-nibble PQ code per vector, built in ONE scan of the
+    * embeddings and memoized per (session, dir, k, iters). This is the
+    * Faiss `IVFPQ` storage layout — at 100 TB the table is WRITTEN
+    * partitioned by `cell`, so a probe's `cell IN (...)` prune becomes
+    * static partition pruning and the shortlist scan reads nProbe/k of the
+    * files, each row 4 B of codes instead of 256 B of floats (a combined
+    * ~64×(k/nProbe) reduction in scanned bytes vs brute force). Codes
+    * encode the raw normalized vector (inner-product PQ); encoding the
+    * per-cell RESIDUAL instead would tighten quantization error at the
+    * cost of k codebook trainings — noted as the upgrade path, not needed
+    * at the pinned recall. Memo obeys [[graft.Tables.sessionCache]]'s
+    * immutability contract.
+    */
+  private[graft] def ivfPqIndex(spark: SparkSession, dir: String,
+      k: Int = 10, iters: Int = 2): DataFrame =
+    graft.Tables.sessionCache(ivfpqCache, spark).computeIfAbsent((dir, s"ivfpq_${k}_$iters"), _ => {
+      val cents = kMeansCentroids(spark, dir, k, iters)
+      val (codebooks, _) = pqIndex(spark, dir)
+      t(spark, dir, "embeddings")
+        .withColumn("nrm", greatest(l2(spark, col("embedding")), lit(1e-12)))
+        .select(col("vec_id"), nearestCell(spark, cents).as("cell"),
+          codesColumn(spark, codebooks).as("codes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** IVF-PQ top-k: the two ANN reductions COMPOSED, the way a
+    * billion-vector index actually serves — IVF prunes WHICH vectors are
+    * scored (nProbe of k cells), PQ prunes WHAT is read per vector (4 B of
+    * codes, ADC-scored against a driver-built LUT), and only the
+    * `shortlist` survivors fetch their full vectors for the exact re-rank.
+    *
+    * Scale: one narrow scan of the cell-pruned codes partition + per-row
+    * LUT sum + TakeOrderedAndProject (per-partition heaps); the re-rank is
+    * a broadcast point-lookup join on ≤`shortlist` ids — the embeddings
+    * table is never shuffled and never scanned beyond the re-rank lookups.
+    * Driver traffic stays bounded parameter fetches: probe vector, k×64
+    * centroids, M×ksub LUT.
+    */
+  def simTopkIvfPq(spark: SparkSession, dir: String, nProbe: Int = 3,
+      shortlist: Int = 50, k: Int = 10, iters: Int = 2): DataFrame = {
+    val dsub = 64 / PqSubspaces
+    val emb = t(spark, dir, "embeddings")
+    val probeF = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val probe = probeF.map(_.toDouble)
+    // Probe-to-centroid ranking: k tiny dots over the already-fetched
+    // centroid matrix — driver-side arithmetic, not a Spark job.
+    val cents = kMeansCentroids(spark, dir, k, iters)
+    def cosTo(c: Seq[Double]): Double = {
+      val d = c.zip(probe).map { case (x, y) => x * y }.sum
+      d / (math.max(math.sqrt(c.map(x => x * x).sum), 1e-12) *
+        math.max(math.sqrt(probe.map(x => x * x).sum), 1e-12))
+    }
+    val nearCells = cents.zipWithIndex
+      .map { case (c, i) => (i, cosTo(c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+    val (codebooks, _) = pqIndex(spark, dir)
+    val pn = math.max(math.sqrt(probe.map(x => x * x).sum), 1e-12)
+    val pv = probe.map(_ / pn)
+    val lut: Seq[Seq[Double]] = (0 until PqSubspaces).map { j =>
+      val pj = pv.slice(j * dsub, (j + 1) * dsub)
+      codebooks(j).map(c => c.lazyZip(pj).map(_ * _).sum)
+    }
+    val approx = (0 until PqSubspaces).map { j =>
+      element_at(typedlit(lut(j)), col("codes").getItem(j) + 1)
+    }.reduce(_ + _)
+    val short = ivfPqIndex(spark, dir, k, iters)
+      .filter(col("cell").isin(nearCells: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), approx.as("approx_cosine"))
       .orderBy(col("approx_cosine").desc, col("vec_id"))
       .limit(shortlist)

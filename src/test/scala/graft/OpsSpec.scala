@@ -81,6 +81,42 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("ivfpq: all cells + generous shortlist equals brute force; pruned default keeps recall") {
+    val brute = LlmPipeline.simTopkCosine(spark, sf).collect().map(_.getLong(0)).toSeq
+    // nProbe = all 10 cells + a corpus-sized shortlist → neither reduction
+    // prunes → the exact re-rank must recover brute force exactly.
+    val full = LlmPipeline.simTopkIvfPq(spark, sf, nProbe = 10, shortlist = 100000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, s"unpruned IVF-PQ diverges: $full vs $brute")
+    // The production operating point (3 cells, 50-row shortlist) must hold
+    // the same recall floor the flat-PQ pin enforces.
+    val pruned = LlmPipeline.simTopkIvfPq(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(pruned.length == 5 && pruned.distinct.length == 5 && !pruned.contains(0L))
+    assert((pruned.toSet & brute.toSet).size >= 4,
+      s"IVF-PQ recall collapsed: $pruned vs $brute")
+    // Shortlist scan reads the narrow (cell, codes) table only: no Generate,
+    // one broadcast point-lookup join for the re-rank, no shuffle join.
+    val plan = LlmPipeline.simTopkIvfPq(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Generate"), plan)
+  }
+
+  test("ivfpq index: one row per vector, cell within range, codes match the flat PQ encoding") {
+    val idx = LlmPipeline.ivfPqIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    val n = Tables.t(spark, sf, "embeddings").count()
+    assert(idx.length == n && idx.map(_._1).distinct.length == n)
+    assert(idx.forall { case (_, cell, _) => cell >= 0 && cell < 10 })
+    // The combined index's codes must agree bit-for-bit with the flat PQ
+    // table — one shared encoder, two storage layouts.
+    val flat = LlmPipeline.pqIndex(spark, sf)._2.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(idx.forall { case (id, _, codes) => flat(id) == codes })
+    // Memo: second call returns the identical cached frame.
+    assert(LlmPipeline.ivfPqIndex(spark, sf) eq LlmPipeline.ivfPqIndex(spark, sf))
+  }
+
   test("pq index: codes are deterministic nibbles; codebooks reconstruct the sample within quantization error") {
     val (codebooks, codes) = LlmPipeline.pqIndex(spark, sf)
     assert(codebooks.length == LlmPipeline.PqSubspaces)

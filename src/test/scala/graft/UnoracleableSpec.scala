@@ -63,6 +63,11 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq(
         "pq ADC: shortlist + exact re-rank recovers the brute-force top-5",
         "pq index: codes are deterministic nibbles; codebooks reconstruct the sample within quantization error")),
+    "sim_topk_ivfpq" -> Pin(
+      "IVF cell pruning composed with PQ ADC — both engine-defined quantizations",
+      "OpsSpec", Seq(
+        "ivfpq: all cells + generous shortlist equals brute force; pruned default keeps recall",
+        "ivfpq index: one row per vector, cell within range, codes match the flat PQ encoding")),
     "layout_zorder" -> Pin(
       "physical file-layout statistics (per-file min/max skipping) are not SQL",
       "FileFormatsSpec", Seq(
