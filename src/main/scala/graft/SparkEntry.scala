@@ -283,6 +283,8 @@ object SparkEntry {
     "text_repetition" -> (Analytics.textRepetition _),
     "text_pii_scrub" -> (Analytics.textPiiScrub _),
     "dedup_passages" -> (Analytics.dedupPassages _),
+    "scd2_history" -> (Analytics.scd2History _),
+    "text_vocab_coverage" -> (Analytics.textVocabCoverage _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -584,5 +586,9 @@ object SparkEntry {
       """WITH prof AS (SELECT c_custkey, c_name || ' <' || lower(replace(c_name, '#', '')) || '@example.com> phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS profile FROM customer) SELECT c_custkey, profile, regexp_replace(regexp_replace(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), '\b\d{3}-\d{4}\b', '[PHONE]', 'g') AS scrubbed, CAST(length(regexp_extract_all(profile, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, CAST(length(regexp_extract_all(profile, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones FROM prof ORDER BY c_custkey""",
     "dedup_passages" ->
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), sh AS (SELECT doc_id, unnest(list_transform(range(1, array_length(ss)-6), i -> array_to_string(ss[i:i+7], ' '))) AS passage FROM s) SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc FROM sh GROUP BY passage HAVING count(DISTINCT doc_id) > 1 ORDER BY n_docs DESC, n_occ DESC, passage LIMIT 100""",
+    "scd2_history" ->
+      """WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events), chg AS (SELECT user_id, event_id, tus, event_type, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), runs AS (SELECT user_id, event_type, tus, event_id, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM chg), hist AS (SELECT user_id, run_id, min(event_type) AS attr_value, min(tus) AS valid_from_us, count(*) AS n_events FROM runs GROUP BY user_id, run_id) SELECT user_id, run_id, attr_value, valid_from_us, lead(valid_from_us) OVER wr AS valid_to_us, CASE WHEN lead(valid_from_us) OVER wr IS NULL THEN true ELSE false END AS is_current, n_events FROM hist WINDOW wr AS (PARTITION BY user_id ORDER BY valid_from_us, run_id) ORDER BY user_id, run_id""",
+    "text_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text,' ')) AS tk FROM documents), tc AS (SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tk), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc), top AS (SELECT tk, cnt, row_number() OVER (ORDER BY cnt DESC, tk) AS rnk FROM tc ORDER BY cnt DESC, tk LIMIT 50) SELECT rnk, tk AS token, cnt, floor(CAST(sum(cnt) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/total*10000 + 0.5)/10000 AS cum_frac FROM top CROSS JOIN tot ORDER BY rnk""",
   )
 }

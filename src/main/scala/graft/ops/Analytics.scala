@@ -458,6 +458,73 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** SCD Type-2 history derivation: the event stream's per-user attribute
+    * (event_type) collapses into validity intervals — one row per
+    * consecutive-value run with [valid_from, valid_to) bounds and an
+    * is_current flag on the open tail. The standard dimension-history shape
+    * a warehouse MERGE maintains, derived here declaratively from the raw
+    * change stream (gaps-and-islands: lag detects the change, a running sum
+    * numbers the runs, the run aggregate takes the interval bounds, lead
+    * closes each interval with its successor's start).
+    *
+    * Scale: every window and the aggregate key on user_id — Catalyst plans
+    * ONE hash shuffle + per-user sort shared by the lag, the running sum,
+    * and the lead; no self-join. Time is exact int64 micros.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val order = Seq(col("tus"), col("event_id"))
+    val wSeq = Window.partitionBy("user_id").orderBy(order: _*)
+    val wRun = Window.partitionBy("user_id").orderBy("valid_from_us", "run_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+      .withColumn("is_new",
+        when(lag(col("event_type"), 1).over(wSeq).isNull ||
+          lag(col("event_type"), 1).over(wSeq) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("is_new")).over(wSeq))
+      .groupBy(col("user_id"), col("run_id"))
+      .agg(min(col("event_type")).as("attr_value"),
+        min(col("tus")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+      .select(col("user_id"), col("run_id"), col("attr_value"), col("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "run_id")
+  }
+
+  /** Vocabulary coverage curve: the top-50 corpus tokens by frequency with
+    * their cumulative coverage fraction — the report tokenizer training
+    * reads to size a vocabulary (how many types cover 90% of tokens).
+    *
+    * Scale: ONE (token)-keyed shuffle with map-side partial counts; the
+    * global ranking is TakeOrderedAndProject (per-partition heaps, only 50
+    * rows survive), so the single-partition cumulative window — unavoidable
+    * for a global cumsum — runs over 50 rows, not the vocabulary. The
+    * corpus total is NOT a second pass over the counts lineage (Spark
+    * would re-run the explode+shuffle — exchange reuse does not fire
+    * across the differing aggregates): it re-derives as Σ size(split) — a
+    * map-only scan of the text column folding to one broadcast row, no
+    * token ever shuffled twice.
+    */
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = t(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum(col("n")).as("total"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+    val wCum = Window.orderBy("rnk").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("cum_frac",
+        floor(sum(col("cnt")).over(wCum).cast("double") / col("total") * 10000 + 0.5) / 10000.0)
+      .select(col("rnk"), col("token"), col("cnt"), col("cum_frac"))
+      .orderBy("rnk")
+  }
+
   /** Cross-document repeated-passage report: exact 8-token spans (stride 1)
     * that appear in more than one document — the exact-substring layer of
     * training-data dedup (Lee et al. 2022 "Deduplicating Training Data
