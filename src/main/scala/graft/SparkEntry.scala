@@ -253,6 +253,7 @@ object SparkEntry {
     "multimodal_decode_mixed" -> (Multimodal.decodeFeaturesMixed _),
     "scalar_map" -> (Scalars.scalarMap _),
     "agg_hll_sketch" -> (Relational.aggHllSketch _),
+    "agg_theta_sketch" -> (Relational.aggThetaSketch _),
     // streaming (batch-equivalent event-time windows)
     "stream_tumbling" -> (StreamingOps.streamTumbling _),
     "stream_join" -> (StreamingOps.streamJoin _),
@@ -590,5 +591,7 @@ object SparkEntry {
       """WITH base AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type FROM events), chg AS (SELECT user_id, event_id, tus, event_type, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_new FROM base WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), runs AS (SELECT user_id, event_type, tus, event_id, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY tus, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id FROM chg), hist AS (SELECT user_id, run_id, min(event_type) AS attr_value, min(tus) AS valid_from_us, count(*) AS n_events FROM runs GROUP BY user_id, run_id) SELECT user_id, run_id, attr_value, valid_from_us, lead(valid_from_us) OVER wr AS valid_to_us, CASE WHEN lead(valid_from_us) OVER wr IS NULL THEN true ELSE false END AS is_current, n_events FROM hist WINDOW wr AS (PARTITION BY user_id ORDER BY valid_from_us, run_id) ORDER BY user_id, run_id""",
     "text_vocab_coverage" ->
       """WITH tok AS (SELECT unnest(string_split(text,' ')) AS tk FROM documents), tc AS (SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tk), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc), top AS (SELECT tk, cnt, row_number() OVER (ORDER BY cnt DESC, tk) AS rnk FROM tc ORDER BY cnt DESC, tk LIMIT 50) SELECT rnk, tk AS token, cnt, floor(CAST(sum(cnt) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/total*10000 + 0.5)/10000 AS cum_frac FROM top CROSS JOIN tot ORDER BY rnk""",
+    "agg_theta_sketch" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') SELECT (SELECT count(*) FROM c) AS n_click, (SELECT count(*) FROM p) AS n_purchase, (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_union, (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS n_intersect, (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)) AS n_click_only""",
   )
 }

@@ -555,6 +555,38 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Theta-sketch set algebra: per-audience distinct-user sketches UNIONED,
+    * INTERSECTED, and DIFFERENCED — the set-operation capability HLL lacks
+    * (HLL unions; only theta intersects/subtracts), and the reason a 100 TB
+    * audience-overlap pipeline stores theta sketches per segment: overlap
+    * questions between any two segments become sketch algebra over
+    * kilobyte summaries instead of a re-scan. Sketches build in one
+    * map-side-combinable aggregate; the set ops run on two 1-row scalar
+    * subqueries. The fixture's per-type audiences (≤1500 users) sit far
+    * below theta's exact-mode threshold (k=4096 retained hashes), so every
+    * estimate is EXACT here and the query oracle-checks against plain
+    * COUNT(DISTINCT) set algebra; above k the same plan degrades to ~1.6%
+    * relative error, still mergeable.
+    */
+  def aggThetaSketch(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """WITH sk AS (
+        |  SELECT event_type, theta_sketch_agg(user_id) AS s
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY event_type),
+        |pair AS (SELECT
+        |  (SELECT s FROM sk WHERE event_type = 'click') AS cs,
+        |  (SELECT s FROM sk WHERE event_type = 'purchase') AS ps)
+        |SELECT
+        |  CAST(theta_sketch_estimate(cs) AS BIGINT) AS n_click,
+        |  CAST(theta_sketch_estimate(ps) AS BIGINT) AS n_purchase,
+        |  CAST(theta_sketch_estimate(theta_union(cs, ps)) AS BIGINT) AS n_union,
+        |  CAST(theta_sketch_estimate(theta_intersection(cs, ps)) AS BIGINT) AS n_intersect,
+        |  CAST(theta_sketch_estimate(theta_difference(cs, ps)) AS BIGINT) AS n_click_only
+        |FROM pair""".stripMargin)
+  }
+
   /** As-of join via the union + last_value(IGNORE NULLS) pattern: each
     * 'purchase' matched to the latest prior 'click' of the same user. THE
     * scalable as-of formulation — both sides union into one stream, one

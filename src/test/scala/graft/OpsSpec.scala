@@ -580,6 +580,25 @@ class OpsSpec extends SparkSpec {
     assert(merged == global, s"merged $merged != direct global $global")
   }
 
+  test("theta sketch: set algebra exact below k; partial sketches union-merge to the global") {
+    val events = Tables.t(spark, sf, "events")
+    events.createOrReplaceTempView("events")
+    // The query's five estimates are oracle-checked (exact mode); here pin
+    // the MERGE distributivity the sketch store relies on: theta_union_agg
+    // over per-type partial sketches equals the direct global sketch.
+    val merged = spark.sql(
+      """WITH sk AS (SELECT event_type, theta_sketch_agg(user_id) AS s
+        |            FROM events GROUP BY event_type)
+        |SELECT CAST(theta_sketch_estimate(theta_union_agg(s)) AS BIGINT) FROM sk""".stripMargin)
+      .head().getLong(0)
+    val global = spark.sql(
+      "SELECT CAST(theta_sketch_estimate(theta_sketch_agg(user_id)) AS BIGINT) FROM events")
+      .head().getLong(0)
+    assert(merged == global, s"merged $merged != direct global $global")
+    val exact = events.agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(global == exact, s"below-k theta must be exact: $global vs $exact")
+  }
+
   test("mixed-kind media: kind dispatch routes decoders; features match per-kind stubs") {
     val feats = Multimodal.decodeFeaturesMixed(spark, sf).collect()
     assert(feats.length == Tables.t(spark, sf, "documents").count())
