@@ -587,6 +587,46 @@ object StreamingExtract {
     * so only partitions containing matched keys rewrite. The batch-side
     * logic — latest-per-key then key-matched replacement — is unchanged.
     */
+  /** Stage-then-double-rename replacement of `sinkDir` with the frame
+    * `merged` produces (which may READ the live sink — the staging write
+    * completes before any rename starts). Crash recovery: a job-committed
+    * staging dir for this batchId with no live sink data means a previous
+    * attempt died between the two swap renames; the staged copy IS the
+    * batch's complete merged result, so the swap is finished instead of
+    * recomputed — recomputing would see an empty sink and rebuild from
+    * batch rows alone, losing all pre-batch history. Shared by
+    * [[upsertSink]] and [[sketchDistinctSink]].
+    */
+  private def stagedReplace(spark: SparkSession, sinkDir: String, batchId: Long)
+      (merged: => DataFrame): Unit = {
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
+    val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$sinkDir.staging-$batchId")
+    val old = new org.apache.hadoop.fs.Path(s"$sinkDir.old-$batchId")
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"rename $src -> $dst failed")
+    val stagedCommitted =
+      fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
+    if (stagedCommitted && !hasData(spark, sinkDir)) {
+      fs.delete(sinkPath, true) // marker-only remnant would break the rename
+      renameOrThrow(staging, sinkPath)
+      fs.delete(old, true)
+    } else {
+      // Stage first: the staging write reads the live sink, so the swap
+      // starts only after the merged copy is fully durable. Then swap
+      // RENAME-FIRST — never delete the only live copy.
+      merged.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(sinkPath)) {
+        fs.delete(old, true) // leftover from an earlier crash of this batch
+        renameOrThrow(sinkPath, old)
+      }
+      renameOrThrow(staging, sinkPath)
+      fs.delete(old, true)
+    }
+  }
+
   def upsertSink(
       stream: DataFrame,
       keyCol: String,
@@ -596,54 +636,69 @@ object StreamingExtract {
     stream.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val sinkPath = new org.apache.hadoop.fs.Path(sinkDir)
-        val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val staging = new org.apache.hadoop.fs.Path(s"$sinkDir.staging-$batchId")
-        val old = new org.apache.hadoop.fs.Path(s"$sinkDir.old-$batchId")
-        def renameOrThrow(src: org.apache.hadoop.fs.Path,
-            dst: org.apache.hadoop.fs.Path): Unit =
-          if (!fs.rename(src, dst))
-            throw new java.io.IOException(s"rename $src -> $dst failed")
-        // CRASH RECOVERY: a job-committed staging dir for THIS batchId with
-        // no live sink data means the previous attempt died between the two
-        // swap renames. The staged copy IS this batch's complete merged
-        // result (it was committed before any rename started) — finish the
-        // swap instead of recomputing, which would see an empty sink and
-        // rebuild from batch rows alone, losing all pre-batch history.
-        val stagedCommitted =
-          fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))
-        if (stagedCommitted && !hasData(spark, sinkDir)) {
-          fs.delete(sinkPath, true) // marker-only remnant would break the rename
-          renameOrThrow(staging, sinkPath)
-          fs.delete(old, true)
-        } else {
+        stagedReplace(spark, sinkDir, batchId) {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(keyCol).orderBy(col(versionCol).desc)
           val latest = batch.toDF()
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
-          val merged =
-            if (hasData(spark, sinkDir))
-              spark.read.parquet(sinkDir)
-                .join(latest.select(keyCol), Seq(keyCol), "left_anti")
-                .unionByName(latest)
-            else latest
-          // Stage first: the staging write reads the live sink, so the swap
-          // starts only after the merged copy is fully durable. Then swap
-          // RENAME-FIRST — never delete the only live copy.
-          merged.write.mode("overwrite").parquet(staging.toString)
-          if (fs.exists(sinkPath)) {
-            fs.delete(old, true) // leftover from an earlier crash of this batch
-            renameOrThrow(sinkPath, old)
-          }
-          renameOrThrow(staging, sinkPath)
-          fs.delete(old, true)
+          if (hasData(spark, sinkDir))
+            spark.read.parquet(sinkDir)
+              .join(latest.select(keyCol), Seq(keyCol), "left_anti")
+              .unionByName(latest)
+          else latest
         }
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Incremental distinct-count sink: the ONLY stored state is a
+    * per-segment THETA SKETCH row (kilobytes per segment), not member
+    * lists. Each micro-batch folds to per-segment partial sketches
+    * (map-side combinable aggregate), merges them with the stored sketches
+    * via theta_union_agg, and replaces the sketch table through
+    * [[stagedReplace]]'s crash-safe swap. Serving a distinct estimate —
+    * or any segment-pair union/intersection/difference — reads kilobytes,
+    * never the history.
+    *
+    * At-least-once is FREE here: theta union is idempotent (set
+    * semantics), so a re-delivered batch merges to the identical sketch —
+    * no anti-join, no key state, no watermark needed for correctness
+    * (spec-pinned by replaying a batch's rows verbatim). At 100 TB this is
+    * the only distinct-count shape whose state does not grow with history.
+    */
+  def sketchDistinctSink(
+      stream: DataFrame, // cols: segment (string), member (long)
+      sinkDir: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        stagedReplace(spark, sinkDir, batchId) {
+          val partial = batch.toDF()
+            .groupBy("segment")
+            .agg(expr("theta_sketch_agg(member)").as("sk"))
+          if (hasData(spark, sinkDir))
+            spark.read.parquet(sinkDir).unionByName(partial)
+              .groupBy("segment")
+              .agg(expr("theta_union_agg(sk)").as("sk"))
+          else partial
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Estimates served from the stored sketch table — kilobytes read,
+    * regardless of how much history built it. */
+  def sketchEstimates(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+      .select(col("segment"),
+        expr("CAST(theta_sketch_estimate(sk) AS BIGINT)").as("n_distinct"))
+      .orderBy("segment")
 
   /** Streaming dedup within the watermark horizon: the stateful, streaming
     * counterpart of [[dedupAppendSink]]'s anti-join — re-delivered rows (the

@@ -518,6 +518,46 @@ class StreamingExtractSpec extends SparkSpec {
     assert(replayed == byKey, "replay must converge to the identical sink")
   }
 
+  test("sketchDistinctSink: kilobyte sketch rows serve exact estimates; replay merges idempotently") {
+    val src = java.nio.file.Files.createTempDirectory("graft-sksrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-sksink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-skckpt").toString
+
+    def writeBatch(rows: Seq[(String, Long)]): Unit =
+      rows.toDF("segment", "member").write.mode("append").parquet(src)
+    def estimates(): Map[String, Long] =
+      StreamingExtract.sketchEstimates(spark, sink).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = spark.read.parquet({
+      writeBatch(Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 1L))); src
+    }).schema
+    def runOnce(checkpoint: String): Unit =
+      StreamingExtract.sketchDistinctSink(
+        spark.readStream.schema(schema).parquet(src), sink, checkpoint)
+        .awaitTermination()
+
+    // Batch 1 (with an in-batch duplicate member): below-k sketches are exact.
+    runOnce(ckpt)
+    assert(estimates() == Map("a" -> 2L, "b" -> 1L), estimates().toString)
+
+    // Batch 2 overlaps batch 1 (member 2 of 'a' re-delivered, the
+    // reference's boundary re-read) and adds new members + a new segment.
+    writeBatch(Seq(("a", 2L), ("a", 3L), ("b", 9L), ("c", 7L)))
+    runOnce(ckpt)
+    assert(estimates() == Map("a" -> 3L, "b" -> 2L, "c" -> 1L), estimates().toString)
+
+    // The stored state is ONE sketch row per segment — never member lists.
+    assert(spark.read.parquet(sink).count() == 3)
+
+    // Replay the ENTIRE source against a fresh checkpoint (at-least-once
+    // re-delivery of every batch): theta union is idempotent, so the
+    // estimates converge unchanged.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-skckpt2").toString
+    runOnce(ckpt2)
+    assert(estimates() == Map("a" -> 3L, "b" -> 2L, "c" -> 1L),
+      s"replay must be a no-op on sketch state: ${estimates()}")
+  }
+
   test("update-mode streaming aggregation re-emits a group's row as late data revises it") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
