@@ -286,6 +286,9 @@ object SparkEntry {
     "dedup_passages" -> (Analytics.dedupPassages _),
     "scd2_history" -> (Analytics.scd2History _),
     "text_vocab_coverage" -> (Analytics.textVocabCoverage _),
+    "events_anomaly_mad" -> (Analytics.eventsAnomalyMad _),
+    "events_user_growth" -> (Analytics.eventsUserGrowth _),
+    "scalar_higher_order" -> (Scalars.scalarHigherOrder _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -593,5 +596,11 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(string_split(text,' ')) AS tk FROM documents), tc AS (SELECT tk, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY tk), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tc), top AS (SELECT tk, cnt, row_number() OVER (ORDER BY cnt DESC, tk) AS rnk FROM tc ORDER BY cnt DESC, tk LIMIT 50) SELECT rnk, tk AS token, cnt, floor(CAST(sum(cnt) OVER (ORDER BY rnk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/total*10000 + 0.5)/10000 AS cum_frac FROM top CROSS JOIN tot ORDER BY rnk""",
     "agg_theta_sketch" ->
       """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') SELECT (SELECT count(*) FROM c) AS n_click, (SELECT count(*) FROM p) AS n_purchase, (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_union, (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS n_intersect, (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)) AS n_click_only""",
+    "events_anomaly_mad" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events), med AS (SELECT event_type, CAST(quantile_disc(vc, 0.5) AS BIGINT) AS med_c FROM ev GROUP BY event_type), dev AS (SELECT event_id, ev.event_type, vc, med_c, abs(vc - med_c) AS ad FROM ev JOIN med USING (event_type)), madt AS (SELECT event_type, CAST(quantile_disc(ad, 0.5) AS BIGINT) AS mad_c FROM dev GROUP BY event_type) SELECT event_id, dev.event_type, vc/100.0 AS value, floor(CAST(vc - med_c AS DOUBLE)/(1.4826*mad_c)*10000 + 0.5)/10000 AS robust_z FROM dev JOIN madt ON dev.event_type = madt.event_type WHERE abs(CAST(vc - med_c AS DOUBLE)/(1.4826*mad_c)) > 2.5 ORDER BY event_id""",
+    "events_user_growth" ->
+      """WITH pairs AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id FROM events), daily AS (SELECT day_us, CAST(count(*) AS BIGINT) AS active_users FROM pairs GROUP BY day_us), fd AS (SELECT user_id, min(day_us) AS day_us FROM pairs GROUP BY user_id), newu AS (SELECT day_us, CAST(count(*) AS BIGINT) AS n_new_users FROM fd GROUP BY day_us) SELECT d.day_us, active_users, coalesce(n_new_users, 0) AS n_new_users, CAST(sum(coalesce(n_new_users, 0)) OVER (ORDER BY d.day_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users FROM daily d LEFT JOIN newu USING (day_us) ORDER BY day_us""",
+    "scalar_higher_order" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents) SELECT doc_id, CAST(len(list_filter(ss, x -> length(x) > 4)) AS BIGINT) AS n_long_tokens, CAST(list_reduce(list_prepend(0, list_transform(ss, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS BIGINT) AS total_chars, array_to_string(list_transform(ss[1:3], x -> upper(x)), '|') AS head_upper FROM s ORDER BY doc_id""",
   )
 }

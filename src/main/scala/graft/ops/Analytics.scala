@@ -458,6 +458,63 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Robust outliers by median absolute deviation: |x − median| / (1.4826 ·
+    * MAD) > 2.5 — the detector that, unlike the z-score ([[eventsOutliers]]),
+    * does not let the outliers inflate their own threshold (a single 100×
+    * spike moves a mean+stddev gate far more than a median+MAD gate).
+    * Medians are percentile_disc — ACTUAL data values, so with integer-cent
+    * inputs every intermediate is exact and the one double division is
+    * engine-identical.
+    *
+    * Scale: two grouped discrete-percentile aggregates over the typed cents
+    * column (5-row results, broadcast back over the fact scan) — the fact
+    * shuffles once per percentile pass, never self-joins row-to-row.
+    */
+  def eventsAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+      """WITH ev AS (SELECT event_id, event_type,
+        |              CAST(floor(value*100 + 0.5) AS BIGINT) AS vc FROM events),
+        |med AS (SELECT event_type,
+        |          percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS med_c
+        |        FROM ev GROUP BY event_type),
+        |dev AS (SELECT event_id, ev.event_type, vc, med_c, abs(vc - med_c) AS ad
+        |        FROM ev JOIN med USING (event_type)),
+        |madt AS (SELECT event_type,
+        |           percentile_disc(0.5) WITHIN GROUP (ORDER BY ad) AS mad_c
+        |         FROM dev GROUP BY event_type)
+        |SELECT event_id, dev.event_type, vc/100.0D AS value,
+        |       floor(CAST(vc - med_c AS DOUBLE)/(1.4826D*mad_c)*10000 + 0.5)/10000.0D AS robust_z
+        |FROM dev JOIN madt ON dev.event_type = madt.event_type
+        |WHERE abs(CAST(vc - med_c AS DOUBLE)/(1.4826D*mad_c)) > 2.5D
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** Daily active + cumulative distinct users — the growth dashboard's two
+    * core series. The cumulative distinct is NOT a running collect_set
+    * window (that shape funnels every (day, user) pair through ONE
+    * partition and dies at scale): a user contributes to the cumulative
+    * count exactly once, on their FIRST day — so it reduces to a per-user
+    * min-day aggregate, a per-day first-appearance count, and a running
+    * sum over the tiny day-level rollup. Two keyed shuffles (user, then
+    * day); the only windowed pass runs over O(days) rows.
+    */
+  def eventsUserGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = t(spark, dir, "events")
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"), col("user_id"))
+      .distinct()
+    val daily = pairs.groupBy("day_us").agg(count(lit(1)).as("active_users"))
+    val firstDay = pairs.groupBy("user_id").agg(min(col("day_us")).as("day_us"))
+      .groupBy("day_us").agg(count(lit(1)).as("n_new_users"))
+    val wCum = Window.orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstDay, Seq("day_us"), "left")
+      .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+      .withColumn("cum_distinct_users", sum(col("n_new_users")).over(wCum))
+      .select("day_us", "active_users", "n_new_users", "cum_distinct_users")
+      .orderBy("day_us")
+  }
+
   /** SCD Type-2 history derivation: the event stream's per-user attribute
     * (event_type) collapses into validity intervals — one row per
     * consecutive-value run with [valid_from, valid_to) bounds and an

@@ -154,6 +154,24 @@ object Scalars {
         element_at(col("embedding"), 64).as("last_elem"))
       .orderBy("vec_id")
 
+  /** Higher-order array functions as first-class scalars: lambda filter
+    * (count of long tokens), lambda transform feeding a left-fold aggregate
+    * (total characters — exact integer fold, sequential on both engines),
+    * and transform-over-slice (uppercased 3-token head). The functional
+    * surface that replaces per-row UDFs with codegen-friendly Catalyst
+    * lambda expressions — all partition-local, zero shuffle.
+    */
+  def scalarHigherOrder(spark: SparkSession, dir: String): DataFrame = {
+    val ss = split(col("text"), " ")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(filter(ss, x => length(x) > 4)).cast("long").as("n_long_tokens"),
+        aggregate(transform(ss, x => length(x).cast("long")), lit(0L),
+          (a, b) => a + b).as("total_chars"),
+        array_join(transform(slice(ss, 1, 3), x => upper(x)), "|").as("head_upper"))
+      .orderBy("doc_id")
+  }
+
   /** Generator over a map column: each (key, value) entry becomes a row —
     * the map-typed counterpart of explode-over-arrays (dynamic-schema
     * flattening of JSON properties into relational rows).
