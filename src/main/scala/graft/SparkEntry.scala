@@ -289,6 +289,8 @@ object SparkEntry {
     "events_anomaly_mad" -> (Analytics.eventsAnomalyMad _),
     "events_user_growth" -> (Analytics.eventsUserGrowth _),
     "scalar_higher_order" -> (Scalars.scalarHigherOrder _),
+    "basket_pairs" -> (Analytics.basketPairs _),
+    "dedup_passage_scrub" -> (Analytics.dedupPassageScrub _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -602,5 +604,9 @@ object SparkEntry {
       """WITH pairs AS (SELECT DISTINCT epoch_us(date_trunc('day', ts)) AS day_us, user_id FROM events), daily AS (SELECT day_us, CAST(count(*) AS BIGINT) AS active_users FROM pairs GROUP BY day_us), fd AS (SELECT user_id, min(day_us) AS day_us FROM pairs GROUP BY user_id), newu AS (SELECT day_us, CAST(count(*) AS BIGINT) AS n_new_users FROM fd GROUP BY day_us) SELECT d.day_us, active_users, coalesce(n_new_users, 0) AS n_new_users, CAST(sum(coalesce(n_new_users, 0)) OVER (ORDER BY d.day_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users FROM daily d LEFT JOIN newu USING (day_us) ORDER BY day_us""",
     "scalar_higher_order" ->
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents) SELECT doc_id, CAST(len(list_filter(ss, x -> length(x) > 4)) AS BIGINT) AS n_long_tokens, CAST(list_reduce(list_prepend(0, list_transform(ss, x -> CAST(length(x) AS BIGINT))), (a,b) -> a + b) AS BIGINT) AS total_chars, array_to_string(list_transform(ss[1:3], x -> upper(x)), '|') AS head_upper FROM s ORDER BY doc_id""",
+    "basket_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY support DESC, part_a, part_b LIMIT 100""",
+    "dedup_passage_scrub" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), tok AS (SELECT doc_id, i AS pos, ss[i] AS tk FROM s, LATERAL unnest(range(1, array_length(ss)+1)) AS r(i)), psg AS (SELECT doc_id, i, array_to_string(ss[i:i+7], ' ') AS passage FROM s, LATERAL unnest(range(1, array_length(ss)-6)) AS r(i)), firstdoc AS (SELECT passage, min(doc_id) AS fd FROM psg GROUP BY passage), dupspan AS (SELECT p.doc_id, p.i FROM psg p JOIN firstdoc f ON p.passage = f.passage AND p.doc_id > f.fd), covered AS (SELECT DISTINCT doc_id, i + o AS pos FROM dupspan, LATERAL unnest(range(0, 8)) AS g(o)), kept AS (SELECT t.doc_id, t.pos, t.tk FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL) SELECT s.doc_id, CAST(array_length(s.ss) AS BIGINT) AS n_tokens, CAST(array_length(s.ss) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed, coalesce(k.cleaned, '') AS cleaned_text FROM s LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) k ON s.doc_id = k.doc_id ORDER BY s.doc_id""",
   )
 }

@@ -458,6 +458,79 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Market-basket co-occurrence: part pairs appearing in the same order,
+    * with support ≥ 2, strongest first — the support-counting core of
+    * association mining. Pairs are generated PARTITION-LOCALLY from each
+    * order's collected part set (indexed-lambda transform over the sorted
+    * list — x < y by construction, no duplicate orientation) instead of the
+    * textbook self-join: one order-keyed shuffle builds the baskets, the
+    * pair expansion is O(k²) per order bounded by basket size (~7 lines),
+    * and the only other shuffle keys on the pair for the count. A self-join
+    * formulation would shuffle the order-part table twice and re-join it
+    * against itself — strictly worse at 100 TB.
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairs = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    baskets
+      .select(explode(pairs).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  /** Exact-substring dedup REWRITE (the scrub Lee et al. 2022 apply after
+    * finding duplicated spans): every 8-token span that also occurs in an
+    * EARLIER document (min doc_id owns the passage) is removed from the
+    * later document's text; survivors keep their original token order.
+    * Returns per doc the removed-token count and the cleaned text — the
+    * step that turns [[dedupPassages]]' report into a transformed corpus.
+    *
+    * Scale: three keyed shuffles, nothing quadratic — (passage) for the
+    * first-occurrence aggregate and the span join (candidate spans only,
+    * never full texts), then (doc, pos) for the covered-position anti-join,
+    * then (doc) for the ordered reassembly (sort_array∘collect_list of
+    * (pos, token) structs — the established ordered-agg idiom). Span
+    * explosion is a constant ×8 on DUP spans only. At petabyte vocabulary
+    * the passage key would be xxhash64-ed (same shape, narrower exchange).
+    */
+  def dedupPassageScrub(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ss"))
+    val tok = s.select(col("doc_id"), posexplode(col("ss")).as(Seq("p0", "tk")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tk"))
+    val psg = s.withColumn("n", size(col("ss")) - 7)
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("ss"), explode(sequence(lit(1), col("n"))).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("ss"), col("i"), lit(8)), " ").as("passage"))
+    val firstDoc = psg.groupBy("passage").agg(min(col("doc_id")).as("fd"))
+    val dupSpan = psg.join(firstDoc, "passage").filter(col("doc_id") > col("fd"))
+    val covered = dupSpan
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 7)).as("pos"))
+      .distinct()
+    val kept = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tk")))),
+            x => x.getField("tk")), " ").as("cleaned"))
+    s.select(col("doc_id"), size(col("ss")).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** Robust outliers by median absolute deviation: |x − median| / (1.4826 ·
     * MAD) > 2.5 — the detector that, unlike the z-score ([[eventsOutliers]]),
     * does not let the outliers inflate their own threshold (a single 100×
