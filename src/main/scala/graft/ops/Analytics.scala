@@ -458,6 +458,65 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** RFM customer segmentation (recency / frequency / monetary quartile
+    * scores 1–4). The textbook ntile(4) over each measure is a
+    * SINGLE-PARTITION window over every customer — a wall at scale. The
+    * scalable form used here: per-customer measures (one keyed aggregate),
+    * the three quartile BOUNDARY triples via percentile_disc in one global
+    * aggregate (9 scalars), broadcast back, and a map-only per-row score
+    * (count of boundaries strictly below the value). Boundary semantics
+    * `value > cut` match quantile_disc on both engines; monetary is exact
+    * integer cents.
+    */
+  def customersRfm(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "customer").createOrReplaceTempView("customer")
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+      """WITH base AS (
+        | SELECT c_custkey,
+        |  max(unix_micros(o_orderdate)) AS last_us,
+        |  count(*) AS freq,
+        |  sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS mon_c
+        | FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey),
+        |cuts AS (SELECT
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY last_us) AS r1,
+        |  percentile_disc(0.50) WITHIN GROUP (ORDER BY last_us) AS r2,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY last_us) AS r3,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY freq) AS f1,
+        |  percentile_disc(0.50) WITHIN GROUP (ORDER BY freq) AS f2,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY freq) AS f3,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY mon_c) AS m1,
+        |  percentile_disc(0.50) WITHIN GROUP (ORDER BY mon_c) AS m2,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY mon_c) AS m3
+        | FROM base)
+        |SELECT c_custkey,
+        | 1L + IF(last_us > r1, 1L, 0L) + IF(last_us > r2, 1L, 0L) + IF(last_us > r3, 1L, 0L) AS r_score,
+        | 1L + IF(freq > f1, 1L, 0L) + IF(freq > f2, 1L, 0L) + IF(freq > f3, 1L, 0L) AS f_score,
+        | 1L + IF(mon_c > m1, 1L, 0L) + IF(mon_c > m2, 1L, 0L) + IF(mon_c > m3, 1L, 0L) AS m_score
+        |FROM base CROSS JOIN cuts ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Exact skewness and excess kurtosis per group from integer power sums
+    * (Σv, Σv², Σv³, Σv⁴ as BIGINTs over whole-unit quantities — max 50⁴ ×
+    * rows stays far under int64), with one hand-sequenced double derivation
+    * at the end. Spark's built-in skewness/kurtosis use streaming central
+    * moments whose float accumulation order is engine- and
+    * partition-dependent; power sums are map-side combinable AND
+    * bit-reproducible — same discipline as [[aggRegression]].
+    */
+  def aggSkewKurt(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("lineitem")
+    spark.sql(
+      """WITH x AS (SELECT l_returnflag AS flag,
+        |             CAST(floor(l_quantity + 0.5) AS BIGINT) AS v FROM lineitem),
+        |m AS (SELECT flag, count(*) AS n, sum(v) AS s1, sum(v*v) AS s2,
+        |        sum(v*v*v) AS s3, sum(v*v*v*v) AS s4 FROM x GROUP BY flag)
+        |SELECT flag, n,
+        | floor((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5D) * 1000000 + 0.5)/1000000.0D AS skewness,
+        | floor(((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) - 3*pow(CAST(s1 AS DOUBLE)/n, 4)) / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 2) - 3) * 1000000 + 0.5)/1000000.0D AS excess_kurtosis
+        |FROM m ORDER BY flag""".stripMargin)
+  }
+
   /** Market-basket co-occurrence: part pairs appearing in the same order,
     * with support ≥ 2, strongest first — the support-counting core of
     * association mining. Pairs are generated PARTITION-LOCALLY from each
