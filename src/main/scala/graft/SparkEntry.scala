@@ -293,6 +293,7 @@ object SparkEntry {
     "dedup_passage_scrub" -> (Analytics.dedupPassageScrub _),
     "customers_rfm" -> (Analytics.customersRfm _),
     "agg_skew_kurt" -> (Analytics.aggSkewKurt _),
+    "text_lm_score" -> (Analytics.textLmScore _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -612,6 +613,8 @@ object SparkEntry {
       """WITH base AS (SELECT c_custkey, max(epoch_us(o_orderdate)) AS last_us, CAST(count(*) AS BIGINT) AS freq, CAST(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS mon_c FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey), cuts AS (SELECT quantile_disc(last_us, 0.25) AS r1, quantile_disc(last_us, 0.50) AS r2, quantile_disc(last_us, 0.75) AS r3, quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.50) AS f2, quantile_disc(freq, 0.75) AS f3, quantile_disc(mon_c, 0.25) AS m1, quantile_disc(mon_c, 0.50) AS m2, quantile_disc(mon_c, 0.75) AS m3 FROM base) SELECT c_custkey, CAST(1 + (CASE WHEN last_us > r1 THEN 1 ELSE 0 END) + (CASE WHEN last_us > r2 THEN 1 ELSE 0 END) + (CASE WHEN last_us > r3 THEN 1 ELSE 0 END) AS BIGINT) AS r_score, CAST(1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END) + (CASE WHEN freq > f2 THEN 1 ELSE 0 END) + (CASE WHEN freq > f3 THEN 1 ELSE 0 END) AS BIGINT) AS f_score, CAST(1 + (CASE WHEN mon_c > m1 THEN 1 ELSE 0 END) + (CASE WHEN mon_c > m2 THEN 1 ELSE 0 END) + (CASE WHEN mon_c > m3 THEN 1 ELSE 0 END) AS BIGINT) AS m_score FROM base CROSS JOIN cuts ORDER BY c_custkey""",
     "agg_skew_kurt" ->
       """WITH x AS (SELECT l_returnflag AS flag, CAST(floor(l_quantity + 0.5) AS BIGINT) AS v FROM lineitem), m AS (SELECT flag, count(*) AS n, CAST(sum(v) AS BIGINT) AS s1, CAST(sum(v*v) AS BIGINT) AS s2, CAST(sum(v*v*v) AS BIGINT) AS s3, CAST(sum(v*v*v*v) AS BIGINT) AS s4 FROM x GROUP BY flag) SELECT flag, n, floor((CAST(s3 AS DOUBLE)/n - 3*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) + 2*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)) / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 1.5) * 1000000 + 0.5)/1000000.0 AS skewness, floor(((CAST(s4 AS DOUBLE)/n - 4*(CAST(s1 AS DOUBLE)/n)*(CAST(s3 AS DOUBLE)/n) + 6*(CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n)*(CAST(s2 AS DOUBLE)/n) - 3*pow(CAST(s1 AS DOUBLE)/n, 4)) / pow(CAST(s2 AS DOUBLE)/n - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n), 2) - 3) * 1000000 + 0.5)/1000000.0 AS excess_kurtosis FROM m ORDER BY flag""",
+    "text_lm_score" ->
+      """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), bg AS (SELECT doc_id, unnest(list_transform(range(1, array_length(ss)), i -> ss[i] || ' ' || ss[i+1])) AS b, unnest(list_transform(range(1, array_length(ss)), i -> ss[i])) AS a FROM s), cab AS (SELECT b, CAST(count(*) AS BIGINT) AS nab FROM bg GROUP BY b), ca AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM bg GROUP BY a), scored AS (SELECT doc_id, CAST(floor(log2(CAST(nab AS DOUBLE)/na) * 1000000 + 0.5) AS BIGINT) AS lp_micro FROM bg JOIN cab USING (b) JOIN ca USING (a)) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, floor(CAST(sum(lp_micro) AS DOUBLE)/count(*)/1000000*10000 + 0.5)/10000 AS avg_log2p FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "dedup_passage_scrub" ->
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), tok AS (SELECT doc_id, i AS pos, ss[i] AS tk FROM s, LATERAL unnest(range(1, array_length(ss)+1)) AS r(i)), psg AS (SELECT doc_id, i, array_to_string(ss[i:i+7], ' ') AS passage FROM s, LATERAL unnest(range(1, array_length(ss)-6)) AS r(i)), firstdoc AS (SELECT passage, min(doc_id) AS fd FROM psg GROUP BY passage), dupspan AS (SELECT p.doc_id, p.i FROM psg p JOIN firstdoc f ON p.passage = f.passage AND p.doc_id > f.fd), covered AS (SELECT DISTINCT doc_id, i + o AS pos FROM dupspan, LATERAL unnest(range(0, 8)) AS g(o)), kept AS (SELECT t.doc_id, t.pos, t.tk FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL) SELECT s.doc_id, CAST(array_length(s.ss) AS BIGINT) AS n_tokens, CAST(array_length(s.ss) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed, coalesce(k.cleaned, '') AS cleaned_text FROM s LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) k ON s.doc_id = k.doc_id ORDER BY s.doc_id""",
   )

@@ -458,6 +458,46 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Corpus bigram language-model score (the CCNet-style perplexity proxy):
+    * per document, the mean log2 conditional probability of its bigrams
+    * under the corpus's own bigram model (P(b|a) = C(a,b)/C(a·)) — low
+    * scores flag text whose transitions the corpus finds surprising, the
+    * cheap statistical stand-in for a KenLM perplexity filter. Per-bigram
+    * log-probs round to integer MICRO-units before summing, so the per-doc
+    * mean is exact integer arithmetic — the sum is order-independent and
+    * engine-identical (a raw float sum would vary with partitioning; the
+    * one log2 per DISTINCT ratio is a single IEEE op whose rounding both
+    * engines agree on away from .5-micro boundaries, which the oracle gate
+    * itself verifies).
+    *
+    * Scale: two vocabulary-keyed count aggregates + two joins of the
+    * bigram stream against them (broadcast when the vocabulary is small,
+    * shuffle-join otherwise) + one doc-keyed rollup. Nothing quadratic;
+    * payload text never moves — only (doc, a, b) triples.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val s = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ss"))
+    val bg = s
+      .select(col("doc_id"), col("ss"),
+        explode(sequence(lit(1), size(col("ss")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("ss"), col("i")).as("a"),
+        concat_ws(" ", element_at(col("ss"), col("i")),
+          element_at(col("ss"), col("i") + 1)).as("b"))
+    val cab = bg.groupBy("b").agg(count(lit(1)).as("nab"))
+    val ca = bg.groupBy("a").agg(count(lit(1)).as("na"))
+    bg.join(cab, "b").join(ca, "a")
+      .select(col("doc_id"),
+        floor(log2(col("nab").cast("double") / col("na")) * 1000000 + 0.5)
+          .cast("long").as("lp_micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("lp_micro")).cast("double") / count(lit(1)) / 1000000 * 10000 + 0.5) / 10000.0)
+          .as("avg_log2p"))
+      .orderBy("doc_id")
+  }
+
   /** RFM customer segmentation (recency / frequency / monetary quartile
     * scores 1–4). The textbook ntile(4) over each measure is a
     * SINGLE-PARTITION window over every customer — a wall at scale. The
