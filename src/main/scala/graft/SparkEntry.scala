@@ -249,6 +249,8 @@ object SparkEntry {
     "scan_csv_roundtrip" -> (graft.sources.FileFormats.scanCsvRoundtrip _),
     "sink_partitioned_prune" -> (graft.sources.FileFormats.sinkPartitionedPrune _),
     "scan_json_roundtrip" -> (graft.sources.FileFormats.scanJsonRoundtrip _),
+    "scan_orc_roundtrip" -> (graft.sources.FileFormats.scanOrcRoundtrip _),
+    "scan_schema_evolution" -> (graft.sources.FileFormats.scanSchemaEvolution _),
     "multimodal_kind_stats" -> (Multimodal.multimodalKindStats _),
     "multimodal_decode_mixed" -> (Multimodal.decodeFeaturesMixed _),
     "scalar_map" -> (Scalars.scalarMap _),
@@ -483,6 +485,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
     "scan_json_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "scan_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "scan_schema_evolution" ->
+      """SELECT event_id, user_id, event_type, CASE WHEN event_id % 2 = 1 THEN value ELSE NULL END AS value FROM events ORDER BY event_id""",
     "multimodal_kind_stats" ->
       """SELECT CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, CAST(max(strlen(text)) AS BIGINT) AS max_bytes, min(doc_id) AS first_asset FROM documents GROUP BY 1 ORDER BY 1""",
     "text_langid" ->

@@ -66,6 +66,42 @@ object FileFormats {
   def scanJsonRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, "json")
 
+  /** events → ORC → read back. The third columnar-format leg (Spark ships
+    * the ORC DataSource natively): binary columnar round-trips are
+    * value-exact by construction — no text rendering in the path — and ORC
+    * carries the same predicate-pushdown/column-pruning contract as
+    * parquet, so a lake standardized on ORC loses nothing of the engine's
+    * scan behavior.
+    */
+  def scanOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "orc")
+
+  /** Schema evolution on read: two parquet batches written with DIFFERENT
+    * schemas (the second adds a `value` column — the canonical "a producer
+    * upgraded mid-stream" shape), unioned by `mergeSchema` on the read
+    * side; early rows surface the added column as NULL. At 100 TB schema
+    * drift is a certainty, and mergeSchema's footer-only reconciliation
+    * (no data rewrite, no backfill job) is the property that makes a
+    * multi-year lake readable — the WRITE side never pays anything.
+    * Memoized per (JVM, dir) like the other materialized copies.
+    */
+  def scanSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtCache.computeIfAbsent((dir, "evolve"), _ => {
+      val path = exitCleanedTempDir("graft-evolve")
+      val ev = t(spark, dir, "events")
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .write.mode("append").parquet(path)
+      ev.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .write.mode("append").parquet(path)
+      path
+    })
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
   /** Hive-style partitioned parquet sink + pruned read-back: orders written
     * `partitionBy(o_orderstatus)`, then a status filter on the read side
     * prunes to one directory — the scan's PartitionFilters carry the
