@@ -97,6 +97,28 @@ object Main {
       println(s"[graft.Main] curated load run $run: sink_docs=$sinkDocs" +
         (if (run > 1) " (full re-delivery deduped against the stored index)" else ""))
     }
+
+    // Phase 3: streaming distinct-user counts into the theta-sketch sink —
+    // per-event_type audience sketches maintained incrementally (kilobytes
+    // of state), queried without touching the event history. Fresh
+    // checkpoint per run → every run re-delivers everything; sketch union
+    // is idempotent, so the estimates are identical after each run.
+    val evSrc = s"$outDir/events_sketch_src"
+    graft.Tables.t(spark, sfDir, "events") // ns-timestamp-safe events read
+      .selectExpr("event_type AS segment", "user_id AS member")
+      .write.mode("overwrite").parquet(evSrc)
+    val sketchSink = s"$outDir/audience_sketches"
+    for (run <- 1 to runs) {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sk-ckpt$run").toString
+      graft.streaming.StreamingExtract.sketchDistinctSink(
+        spark.readStream.schema(spark.read.parquet(evSrc).schema).parquet(evSrc),
+        sketchSink, ckpt)
+        .awaitTermination()
+      val est = graft.streaming.StreamingExtract.sketchEstimates(spark, sketchSink)
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+      println(s"[graft.Main] audience sketches run $run: $est" +
+        (if (run > 1) " (re-delivery merged idempotently)" else ""))
+    }
     spark.stop()
   }
 }
