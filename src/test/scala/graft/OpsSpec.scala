@@ -23,6 +23,48 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("text_repetition matches an independent driver-side reimplementation") {
+    // The partition-local kernels (array_distinct counts, longest-equal-run
+    // top-token frequency over the sorted array, bigram dedup) re-derived
+    // in plain Scala over the raw fixture text — a full differential check
+    // on every document, independent of the Catalyst expression tree.
+    def r4(num: Long, den: Long): Double =
+      math.floor(num.toDouble / den * 10000 + 0.5) / 10000.0
+    val expected = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ", -1)
+        val counts = toks.groupBy(identity).view.mapValues(_.length)
+        val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+        r.getLong(0) -> ((toks.length.toLong,
+          r4(counts.size, toks.length),
+          r4(counts.values.max, toks.length),
+          r4(bigrams.length - bigrams.distinct.length, bigrams.length)))
+      }.toMap
+    val got = Analytics.textRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("basket_pairs matches driver-side pair counting over collected baskets") {
+    val support = Tables.t(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values
+      .flatMap { basket =>
+        val ps = basket.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val expectedTop = support.toSeq
+      .sortBy { case ((a, b), s) => (-s, a, b) }.take(100)
+    val got = Analytics.basketPairs(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toSeq
+    assert(got == expectedTop, s"first diff: ${got.zip(expectedTop).find(p => p._1 != p._2)}")
+  }
+
   test("scalar_array: dim, first element, L2 norm match hand computation") {
     val rows = Scalars.scalarArray(spark, sf).limit(10).collect()
     val raw = Tables.t(spark, sf, "embeddings").orderBy("vec_id").limit(10).collect()
