@@ -251,6 +251,9 @@ object SparkEntry {
     "scan_json_roundtrip" -> (graft.sources.FileFormats.scanJsonRoundtrip _),
     "scan_orc_roundtrip" -> (graft.sources.FileFormats.scanOrcRoundtrip _),
     "scan_schema_evolution" -> (graft.sources.FileFormats.scanSchemaEvolution _),
+    "scan_text_roundtrip" -> (graft.sources.FileFormats.scanTextRoundtrip _),
+    "events_markov" -> (Analytics.eventsMarkov _),
+    "text_entropy" -> (Analytics.textEntropy _),
     "multimodal_kind_stats" -> (Multimodal.multimodalKindStats _),
     "multimodal_decode_mixed" -> (Multimodal.decodeFeaturesMixed _),
     "scalar_map" -> (Scalars.scalarMap _),
@@ -489,6 +492,12 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "scan_schema_evolution" ->
       """SELECT event_id, user_id, event_type, CASE WHEN event_id % 2 = 1 THEN value ELSE NULL END AS value FROM events ORDER BY event_id""",
+    "scan_text_roundtrip" ->
+      """SELECT text FROM documents ORDER BY text""",
+    "events_markov" ->
+      """WITH seq AS (SELECT user_id, event_type AS to_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type FROM events), tc AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM seq WHERE from_type IS NOT NULL GROUP BY 1,2), tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM tc GROUP BY from_type) SELECT tc.from_type, to_type, n, floor(CAST(n AS DOUBLE)/n_from*10000 + 0.5)/10000 AS p FROM tc JOIN tot USING (from_type) ORDER BY tc.from_type, to_type""",
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents), tc AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1,2), tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY doc_id), terms AS (SELECT tc.doc_id, CAST(floor(-(CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n) * 1000000 + 0.5) AS BIGINT) AS t_micro FROM tc JOIN tot USING (doc_id)) SELECT doc_id, floor(CAST(sum(t_micro) AS DOUBLE)/1000000*10000 + 0.5)/10000 AS token_entropy FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "multimodal_kind_stats" ->
       """SELECT CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, CAST(max(strlen(text)) AS BIGINT) AS max_bytes, min(doc_id) AS first_asset FROM documents GROUP BY 1 ORDER BY 1""",
     "text_langid" ->

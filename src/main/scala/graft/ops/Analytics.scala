@@ -458,6 +458,55 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  /** Event-type Markov transition matrix: P(next | current) per user
+    * sequence — the behavioral model behind next-action prediction and
+    * anomalous-session detection. One user-keyed window (lag) gives the
+    * transitions; two tiny aggregates (5×5 matrix) derive counts and exact
+    * row-normalized probabilities.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type").as("to_type"),
+        col("ts"), col("event_id"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val tc = seq.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = tc.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    tc.join(tot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (floor(col("n").cast("double") / col("n_from") * 10000 + 0.5) / 10000.0).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Per-document token entropy (−Σ p·log2 p over the doc's token
+    * distribution) — the diversity signal that separates natural text from
+    * degenerate repetition (complements [[textRepetition]]'s ratio rules
+    * with an information-theoretic one). Each distinct token's term is
+    * rounded to integer micro-units BEFORE the per-doc sum — the same
+    * order-independence discipline as [[textLmScore]], so the float fold
+    * order never leaks into the result.
+    *
+    * Scale: one (doc, token)-keyed count aggregate, a doc-keyed total, a
+    * broadcast-sized join back, and the doc rollup — all hash aggregates,
+    * no windows, no text shuffle beyond the tokens themselves.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tc = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+    val tot = tc.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    tc.join(tot, "doc_id")
+      .select(col("doc_id"),
+        floor(-(col("c").cast("double") / col("n")) *
+          log2(col("c").cast("double") / col("n")) * 1000000 + 0.5)
+          .cast("long").as("t_micro"))
+      .groupBy("doc_id")
+      .agg((floor(sum(col("t_micro")).cast("double") / 1000000 * 10000 + 0.5) / 10000.0)
+        .as("token_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus bigram language-model score (the CCNet-style perplexity proxy):
     * per document, the mean log2 conditional probability of its bigrams
     * under the corpus's own bigram model (P(b|a) = C(a,b)/C(a·)) — low

@@ -76,6 +76,23 @@ object FileFormats {
   def scanOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, "orc")
 
+  /** documents.text → raw text files (one line per doc) → read back via the
+    * `text` DataSource, ordered. The line-oriented leg: raw-text lakes
+    * (logs, crawl dumps) enter Spark exactly this way, one `value` column
+    * per line, no schema machinery. The fixture's texts contain no
+    * newlines, so line framing is lossless here; a production corpus would
+    * escape or length-prefix — noted, not needed for the fixture contract.
+    */
+  def scanTextRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = rtCache.computeIfAbsent((dir, "text"), _ => {
+      val path = exitCleanedTempDir("graft-text")
+      t(spark, dir, "documents").select(col("text"))
+        .write.mode("overwrite").text(path)
+      path
+    })
+    spark.read.text(out).select(col("value").as("text")).orderBy("text")
+  }
+
   /** Schema evolution on read: two parquet batches written with DIFFERENT
     * schemas (the second adds a `value` column — the canonical "a producer
     * upgraded mid-stream" shape), unioned by `mergeSchema` on the read
