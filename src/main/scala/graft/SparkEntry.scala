@@ -299,6 +299,13 @@ object SparkEntry {
     "customers_rfm" -> (Analytics.customersRfm _),
     "agg_skew_kurt" -> (Analytics.aggSkewKurt _),
     "text_lm_score" -> (Analytics.textLmScore _),
+    "join_bloom_anti" -> (Analytics.joinBloomAnti _),
+    "stream_dedup" -> (Analytics.streamDedup _),
+    "sample_weighted_mix" -> (Analytics.sampleWeightedMix _),
+    "events_sequence_match" -> (Analytics.eventsSequenceMatch _),
+    "window_cume_dist" -> (Analytics.windowCumeDist _),
+    "text_compress_ratio" -> (Analytics.textCompressRatio _),
+    "pack_sequences" -> (Analytics.packSequences _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -632,5 +639,15 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), bg AS (SELECT doc_id, unnest(list_transform(range(1, array_length(ss)), i -> ss[i] || ' ' || ss[i+1])) AS b, unnest(list_transform(range(1, array_length(ss)), i -> ss[i])) AS a FROM s), cab AS (SELECT b, CAST(count(*) AS BIGINT) AS nab FROM bg GROUP BY b), ca AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM bg GROUP BY a), scored AS (SELECT doc_id, CAST(floor(log2(CAST(nab AS DOUBLE)/na) * 1000000 + 0.5) AS BIGINT) AS lp_micro FROM bg JOIN cab USING (b) JOIN ca USING (a)) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, floor(CAST(sum(lp_micro) AS DOUBLE)/count(*)/1000000*10000 + 0.5)/10000 AS avg_log2p FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "dedup_passage_scrub" ->
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), tok AS (SELECT doc_id, i AS pos, ss[i] AS tk FROM s, LATERAL unnest(range(1, array_length(ss)+1)) AS r(i)), psg AS (SELECT doc_id, i, array_to_string(ss[i:i+7], ' ') AS passage FROM s, LATERAL unnest(range(1, array_length(ss)-6)) AS r(i)), firstdoc AS (SELECT passage, min(doc_id) AS fd FROM psg GROUP BY passage), dupspan AS (SELECT p.doc_id, p.i FROM psg p JOIN firstdoc f ON p.passage = f.passage AND p.doc_id > f.fd), covered AS (SELECT DISTINCT doc_id, i + o AS pos FROM dupspan, LATERAL unnest(range(0, 8)) AS g(o)), kept AS (SELECT t.doc_id, t.pos, t.tk FROM tok t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos WHERE c.doc_id IS NULL) SELECT s.doc_id, CAST(array_length(s.ss) AS BIGINT) AS n_tokens, CAST(array_length(s.ss) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed, coalesce(k.cleaned, '') AS cleaned_text FROM s LEFT JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, string_agg(tk, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY doc_id) k ON s.doc_id = k.doc_id ORDER BY s.doc_id""",
+    "join_bloom_anti" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0) ORDER BY o_orderkey""",
+    "stream_dedup" ->
+      """SELECT user_id, event_type, event_id, tus FROM (SELECT user_id, event_type, event_id, epoch_us(ts) AS tus, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+    "sample_weighted_mix" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n, CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.2 ELSE 0.1 END AS w FROM documents GROUP BY lang), cap AS (SELECT min(n / w) AS t FROM c), r AS (SELECT lang, doc_id, (doc_id * 1103515245 + 12345) % 2147483647 AS skey, row_number() OVER (PARTITION BY lang ORDER BY (doc_id * 1103515245 + 12345) % 2147483647, doc_id) AS rn FROM documents) SELECT r.lang, r.doc_id, r.skey FROM r JOIN c ON r.lang = c.lang CROSS JOIN cap WHERE r.rn <= floor(c.w * cap.t) ORDER BY r.lang, r.doc_id""",
+    "events_sequence_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS tok FROM events), s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, string_agg(tok, '' ORDER BY tus, event_id) AS seq FROM e GROUP BY user_id) SELECT user_id, n_events, seq, regexp_matches(seq, 'v.*c.*p') AS m_funnel, regexp_matches(seq, 'cp') AS m_quick_buy FROM s ORDER BY user_id""",
+    "window_cume_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd FROM orders ORDER BY o_orderkey""",
   )
 }

@@ -835,4 +835,212 @@ object Analytics {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("passage"))
       .limit(100)
   }
+
+  /** Bloom-accelerated blocklist suppression: drop every order whose
+    * customer sits on a ban list (here: negative account balance — a
+    * takedown/suppression list in production). Exact anti-join semantics,
+    * but the big side never shuffles: a distributed `stat.bloomFilter`
+    * aggregate condenses the ban list into a fixed-size sketch (1% fpp,
+    * ~KB — the one driver fetch, bounded by the sketch size, not the data),
+    * and a codegen `BloomFilterMightContain` splits orders into
+    * definite-keeps (no false negatives ⇒ provably clean, kept without any
+    * join) and maybe-hits (ban-list size + ~1% fp) that alone pay the exact
+    * anti-join confirm.
+    *
+    * Scale: at 100 TB the anti-join's shuffle shrinks from |orders| to
+    * |maybe| ≈ |banned| + 0.01·|orders|; the bloom side stays a broadcast
+    * literal. This is the explicit, user-directed form of the runtime
+    * bloom-filter injection Catalyst already applies to plain joins
+    * (pinned in PlanShapeSpec) — here the residual join itself is also
+    * collapsed to the maybe slice.
+    */
+  def joinBloomAnti(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    val banned = t(spark, dir, "customer")
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val bf = banned.stat.bloomFilter("c_custkey", 2000L, 0.01)
+    val bytes = {
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_bloom_might_contain",
+        exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+    val mightHit = call_function("graft_bloom_might_contain",
+      lit(bytes), col("o_custkey"))
+    val orders = t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val definiteKeep = orders.filter(!mightHit)
+    val confirmed = orders.filter(mightHit)
+      .join(banned, col("o_custkey") === col("c_custkey"), "left_anti")
+    definiteKeep.unionAll(confirmed).orderBy("o_orderkey")
+  }
+
+  /** First-delivery dedup of the event stream: for every (user, event_type)
+    * keep the earliest event (ts, then event_id — deterministic under
+    * duplicate timestamps). The batch counterpart of Structured Streaming's
+    * `dropDuplicatesWithinWatermark` (the true-streaming leg is pinned in
+    * StreamingSpec); replayable over the lake with exact semantics.
+    *
+    * Scale: `row_number() <= 1` over (user_id, event_type) compiles to
+    * WindowGroupLimit — per-partition first-row heaps push through the
+    * shuffle, so each executor forwards one row per key, not the key's
+    * whole history.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "tus")
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Target-mixture weighted sampling: downsample the corpus so the output
+    * language mix hits prescribed weights (en .5 / zh .2 / de,es,fr .1 —
+    * a curriculum mixture spec). The achievable total is capped by the
+    * scarcest stratum, T = min_l n_l / w_l; each language then keeps its
+    * first floor(w_l · T) docs under the same LCG permutation
+    * [[sampleStratified]] uses — deterministic, engine-reproducible, and
+    * integer-exact until the final double multiply (identical IEEE754 in
+    * both engines).
+    *
+    * Scale: one count-agg (tiny result, broadcast back), one rank window
+    * per language partition, no data-size driver fetch. A heavily skewed
+    * stratum concentrates its rank window on one partition — at 100 TB,
+    * pre-aggregate the LCG key into range buckets per language (or salt
+    * and take per-salt quotas) before the global rank; the fixture's five
+    * strata don't need it.
+    */
+  def sampleWeightedMix(spark: SparkSession, dir: String): DataFrame = {
+    val wgt = when(col("lang") === "en", 0.5)
+      .when(col("lang") === "zh", 0.2).otherwise(0.1)
+    val docs = t(spark, dir, "documents")
+    val counts = docs.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("n"))
+      .withColumn("w", wgt)
+    val cap = counts.select(min(col("n") / col("w")).as("t"))
+    val skey = (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+    val ranked = docs
+      .select(col("lang"), col("doc_id"), skey.as("skey"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("lang").orderBy("skey", "doc_id")))
+    ranked
+      .join(broadcast(counts), "lang")
+      .crossJoin(broadcast(cap))
+      .filter(col("rn") <= floor(col("w") * col("t")))
+      .select("lang", "doc_id", "skey")
+      .orderBy("lang", "doc_id")
+  }
+
+  /** Ordered-pattern matching over per-user event sequences — the
+    * sequence-match analytic (did this user's stream ever contain
+    * view → … → click → … → purchase? a click IMMEDIATELY followed by a
+    * purchase?). Each user's events collapse to a compact token string in
+    * stream order (ties broken by event_id), and patterns are ordinary
+    * regexes over that string — arbitrary ordered patterns for free, not a
+    * per-pattern join chain like [[eventsFunnel]].
+    *
+    * Scale: one shuffle on user_id; each user's sequence materializes as a
+    * single string (bounded by events-per-user, not corpus size), and the
+    * regex scan is partition-local. For power-law users at 100 TB, cap the
+    * collected sequence with a windowed head (the regex verdict on a
+    * truncated head is exact for bounded-length patterns).
+    */
+  def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
+    val tok = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "purchase", "p")
+      .when(col("event_type") === "signup", "s")
+      .otherwise("e")
+    t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), tok.as("tok"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tus"), col("event_id"), col("tok")))),
+          x => x.getField("tok")), "").as("seq"))
+      .select(col("user_id"), col("n_events"), col("seq"),
+        col("seq").rlike("v.*c.*p").as("m_funnel"),
+        col("seq").rlike("cp").as("m_quick_buy"))
+      .orderBy("user_id")
+  }
+
+  /** Cumulative distribution of order value within each priority class —
+    * `cume_dist` is the one ranking-family window the inventory lacked
+    * (rank, dense_rank, percent_rank, ntile, row_number are all pinned
+    * elsewhere). Ties share a value (count of rows ≤ current / total), so
+    * the result is a ratio of exact integers — engine-identical.
+    *
+    * Scale: one hash shuffle on the 5-value priority key, per-partition
+    * sort; skewed partitions would range-split under AQE. No driver action.
+    */
+  def windowCumeDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("cd", cume_dist().over(w))
+      .orderBy("o_orderkey")
+  }
+
+  /** Compression-ratio quality signal: DEFLATE length / raw length per doc
+    * (micro-rounded integer ratio — exact integer arithmetic end-to-end).
+    * Templated, boilerplate, or repetition-heavy documents compress far
+    * below natural prose, making a ratio threshold one of the cheapest junk
+    * filters a pretraining curation pass runs. Backed by the codegen
+    * [[graft.functions.DeflateLen]] expression — no UDF, no array
+    * materialization, one static call per row inside whole-stage codegen.
+    *
+    * Scale: pure per-row map over a two-column pruned scan — no shuffle but
+    * the oracle ordering; CPU-bound and embarrassingly parallel.
+    */
+  def textCompressRatio(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.DeflateLen.deflateLen(spark, col("text")).as("deflate_bytes"))
+      .withColumn("ratio_micro", col("deflate_bytes") * lit(1000000L) / col("n_bytes"))
+      .withColumn("ratio_micro", floor(col("ratio_micro")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Sequence packing for LLM pretraining: concatenate documents into
+    * training sequences of ≤ 256 tokens, wasting as little budget as
+    * possible, deterministically. Docs are packed NEXT-FIT in doc_id order
+    * within fixed 2000-doc chunks of each language: a running fill is kept
+    * and a doc that would overflow the budget opens a new sequence. seq_id
+    * = chunk · 10^6 + local bin, so ids are globally unique and stable.
+    *
+    * Chunking is the scale story: packing is inherently sequential, so the
+    * stream is cut into fixed doc_id ranges and each (lang, chunk) packs
+    * independently — parallelism = corpus/2000, determinism survives any
+    * partitioning, and the cost is at most one under-filled sequence per
+    * chunk boundary. `flatMapSortedGroups` hands each group a sorted
+    * iterator without a separate sort pass.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .select(col("lang"), (col("doc_id") / 2000L).cast("long").as("chunk"),
+        col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long, Long)]
+    docs.groupByKey(r => (r._1, r._2))
+      .flatMapSortedGroups(col("doc_id")) { case ((lang, chunk), it) =>
+        var bin = -1L
+        var fill = budget + 1
+        it.map { case (_, _, docId, n) =>
+          if (fill + n > budget) { bin += 1; fill = 0L }
+          fill += n
+          (lang, chunk * 1000000L + bin, docId, n, fill)
+        }
+      }
+      .toDF("lang", "seq_id", "doc_id", "n_tokens", "fill")
+      .orderBy("lang", "seq_id", "doc_id")
+  }
 }

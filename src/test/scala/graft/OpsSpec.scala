@@ -783,6 +783,75 @@ class OpsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("deflate ratio: expression matches java.util.zip, separates repetition from prose, stays in codegen") {
+    import spark.implicits._
+    // Independent reimplementation: raw java.util.zip at the same pinned
+    // level, driver-side, per row — the Expression must agree byte-for-byte.
+    val rows = Analytics.textCompressRatio(spark, sf).limit(50)
+      .join(Tables.t(spark, sf, "documents").select("doc_id", "text"), "doc_id")
+      .collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val text = r.getAs[String]("text")
+      val want = {
+        val d = new java.util.zip.Deflater(6, false)
+        try {
+          d.setInput(text.getBytes("UTF-8")); d.finish()
+          val buf = new Array[Byte](8192)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          n
+        } finally d.end()
+      }
+      assert(r.getAs[Long]("deflate_bytes") == want, s"doc ${r.get(0)}: deflate len drifts")
+      assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+      assert(r.getAs[Long]("ratio_micro") == want * 1000000L / text.getBytes("UTF-8").length)
+    }
+    // The signal: pure repetition compresses far below natural-ish prose.
+    val probe = Seq("lorem " * 200,
+      new scala.util.Random(42).alphanumeric.take(1200).mkString).toDF("text")
+      .select(graft.functions.DeflateLen.deflateLen(spark, col("text")).as("n"))
+      .collect().map(_.getLong(0))
+    assert(probe(0) * 10 < probe(1), s"repetition ${probe(0)} should deflate far below noise ${probe(1)}")
+    // Whole-stage codegen: the Project keeps its "*(n)" star.
+    val plan = Tables.t(spark, sf, "documents")
+      .select(graft.functions.DeflateLen.deflateLen(spark, col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("pack_sequences: next-fit invariants fully determine the packing") {
+    val packed = Analytics.packSequences(spark, sf).collect()
+    val docs = Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Every doc packed exactly once, with its true token count.
+    assert(packed.map(_.getAs[Long]("doc_id")).toSeq.sorted == docs.keys.toSeq.sorted)
+    for (r <- packed) assert(docs(r.getAs[Long]("doc_id")) == r.getAs[Long]("n_tokens"))
+    // Per-sequence budget holds, and fill is the running sum in doc_id order.
+    val byBin = packed.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("seq_id")))
+    for (((_, _), rs) <- byBin) {
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      assert(sorted.map(_.getAs[Long]("n_tokens")).sum <= 256L)
+      assert(sorted.last.getAs[Long]("fill") == sorted.map(_.getAs[Long]("n_tokens")).sum)
+    }
+    // Next-fit is uniquely determined by: bins contiguous per (lang, chunk),
+    // and the first doc of bin k+1 would NOT have fit in bin k.
+    val byChunk = packed.groupBy(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("seq_id") / 1000000L))
+    for (((_, chunk), rs) <- byChunk) {
+      val bins = rs.groupBy(_.getAs[Long]("seq_id")).toSeq.sortBy(_._1)
+      assert(bins.map(_._1) == (0L until bins.size).map(chunk * 1000000L + _),
+        "bin ids must be contiguous from chunk*10^6")
+      for (Seq((_, cur), (_, nxt)) <- bins.sliding(2).filter(_.size == 2).toSeq) {
+        val fillK = cur.map(_.getAs[Long]("n_tokens")).sum
+        val firstNext = nxt.minBy(_.getAs[Long]("doc_id")).getAs[Long]("n_tokens")
+        assert(fillK + firstNext > 256L,
+          s"doc of size $firstNext fit in the previous bin (fill $fillK) — not next-fit")
+      }
+    }
+  }
+
   test("entry flagship returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -229,6 +229,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
   }
 
+  test("bloom blocklist: sketch probe stays codegen, residual anti-join broadcasts") {
+    val p = plan("join_bloom_anti")
+    assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
+    // The confirm leg joins only the maybe-slice against the tiny ban list —
+    // broadcast, never a sort-merge shuffle of the orders side.
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stream dedup plans WindowGroupLimit — one row per key crosses the shuffle") {
+    val p = plan("stream_dedup")
+    assert(p.contains("WindowGroupLimit"), s"rn=1 filter not pushed into window:\n$p")
+  }
+
+  test("weighted mix joins the per-stratum quota by broadcast") {
+    val p = plan("sample_weighted_mix")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.

@@ -116,7 +116,15 @@ class UnoracleableSpec extends SparkSpec {
     "dedup_cluster_stats" -> Pin(
       "aggregates the seed-dependent near-dup clustering (same graph as dedup_clusters)",
       "UnoracleableSpec", Seq(
-        "dedup_cluster_stats reports every cluster's size and its representative's content hash")))
+        "dedup_cluster_stats reports every cluster's size and its representative's content hash")),
+    "text_compress_ratio" -> Pin(
+      "DEFLATE output bytes are zlib-implementation-specific (DuckDB has no deflate-length)",
+      "OpsSpec", Seq(
+        "deflate ratio: expression matches java.util.zip, separates repetition from prose, stays in codegen")),
+    "pack_sequences" -> Pin(
+      "next-fit packing is a sequential recurrence no window/agg SQL expresses",
+      "OpsSpec", Seq(
+        "pack_sequences: next-fit invariants fully determine the packing")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
