@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's incremental mode, as true Structured Streaming.
@@ -786,5 +786,49 @@ object StreamingExtract {
             closed.reverseIterator
           }
       }
+  }
+
+  final case class SpendOut(userId: Long, nEvents: Long, totalCents: Long)
+
+  /** Running per-user spend profile via `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor to [[sessionize]]'s
+    * flatMapGroupsWithState): typed named state handles, per-state TTL, and
+    * timers, backed by the RocksDB state store (the provider
+    * transformWithState requires, and the one a 100 TB deployment runs
+    * anyway — state spills to local SST files instead of executor heap).
+    *
+    * State is one `ValueState[(Long, Long)]` per user: (event count, total
+    * spend in integer cents — exact across any batch arrival order). Each
+    * micro-batch folds its rows into the running pair and emits the updated
+    * profile (OutputMode.Update), so the sink always holds the latest
+    * lifetime value per user — the streaming feature-store pattern.
+    */
+  class SpendProcessor extends StatefulProcessor[Long, (Long, Long), SpendOut] {
+    @transient private var state: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)]("spend",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      for ((_, c) <- rows) { n += 1; cents += c }
+      state.update((n, cents))
+      Iterator(SpendOut(userId, n, cents))
+    }
+  }
+
+  /** `transformWithState` wiring for [[SpendProcessor]]: input is
+    * (userId, cents) rows, output the running per-user profile. */
+  def spendTracker(events: Dataset[(Long, Long)]): Dataset[SpendOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -165,6 +165,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState accumulates per-user spend across micro-batches on RocksDB state") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider — also the provider a
+    // large deployment runs (state in local SST files, not executor heap).
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long)] // (user_id, cents)
+    val q = graft.streaming.StreamingExtract.spendTracker(mem.toDS())
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, 1000L), (1L, 250L), (2L, 99L))
+      q.processAllAvailable()
+      mem.addData((1L, 50L), (3L, 7L)) // state must survive into batch 2
+      q.processAllAvailable()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      // Batch 1 emissions:
+      assert(rows.contains((1L, 2L, 1250L)) && rows.contains((2L, 1L, 99L)), rows.toString)
+      // Batch 2: user 1 continues from stored state; user 3 starts fresh.
+      assert(rows.contains((1L, 3L, 1300L)) && rows.contains((3L, 1L, 7L)), rows.toString)
+      // Update mode: untouched user 2 is NOT re-emitted in batch 2.
+      assert(rows.count(_._1 == 2L) == 1, rows.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window gap is inclusive: merge at exactly +gap, split strictly after") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
