@@ -119,6 +119,45 @@ object Main {
       println(s"[graft.Main] audience sketches run $run: $est" +
         (if (run > 1) " (re-delivery merged idempotently)" else ""))
     }
+    // Phase 4: transformWithState running spend profiles (RocksDB state) —
+    // the streaming feature store. Purchases stream in multiple micro-batches
+    // (maxFilesPerTrigger=1), the StatefulProcessor folds each user's
+    // lifetime (count, cents) in typed ValueState, and the final emission per
+    // user must equal the batch aggregate over the same rows — state
+    // carrying across micro-batches is exactly what makes them agree.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import org.apache.spark.sql.functions.{col, count, floor, lit, max, sum}
+    val spendSrc = s"$outDir/events_spend_src"
+    val evCents = graft.Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    evCents.filter(col("user_id") % 2 === 0).write.mode("overwrite").parquet(spendSrc)
+    evCents.filter(col("user_id") % 2 === 1).write.mode("append").parquet(spendSrc)
+    import spark.implicits._
+    val spendCkpt = java.nio.file.Files.createTempDirectory("graft-spend-ckpt").toString
+    val q = graft.streaming.StreamingExtract.spendTracker(
+        spark.readStream.schema(spark.read.parquet(spendSrc).schema)
+          .option("maxFilesPerTrigger", 1).parquet(spendSrc)
+          .as[(Long, Long)])
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream.format("memory").queryName("spend_profiles")
+      .outputMode("update")
+      .option("checkpointLocation", spendCkpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // Totals are monotone per user, so max over emissions = final state.
+    val live = spark.table("spend_profiles").groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_cents").as("cents"))
+    val batch = evCents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val agree = live.join(batch, Seq("user_id", "n", "cents")).count()
+    val users = batch.count()
+    println(s"[graft.Main] spend profiles: $users users tracked, " +
+      s"$agree match the batch aggregate" +
+      (if (agree == users) " (streaming state ≡ batch)" else " MISMATCH"))
     spark.stop()
   }
 }

@@ -306,6 +306,8 @@ object SparkEntry {
     "window_cume_dist" -> (Analytics.windowCumeDist _),
     "text_compress_ratio" -> (Analytics.textCompressRatio _),
     "pack_sequences" -> (Analytics.packSequences _),
+    "events_ab_lift" -> (Analytics.eventsAbLift _),
+    "window_rolling_median" -> (Analytics.windowRollingMedian _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -649,5 +651,9 @@ object SparkEntry {
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's' ELSE 'e' END AS tok FROM events), s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, string_agg(tok, '' ORDER BY tus, event_id) AS seq FROM e GROUP BY user_id) SELECT user_id, n_events, seq, regexp_matches(seq, 'v.*c.*p') AS m_funnel, regexp_matches(seq, 'cp') AS m_quick_buy FROM s ORDER BY user_id""",
     "window_cume_dist" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd FROM orders ORDER BY o_orderkey""",
+    "events_ab_lift" ->
+      """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a AS DOUBLE)/n_a AS p_a, CAST(conv_b AS DOUBLE)/n_b AS p_b, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p_pool FROM a CROSS JOIN b), k AS (SELECT *, p_b - p_a AS lift, sqrt(p_pool * (1 - p_pool) * (1.0/n_a + 1.0/n_b)) AS se FROM j) SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, lift, p_pool, se, CASE WHEN se > 0 THEN lift / se ELSE 0.0 END AS z FROM k""",
+    "window_rolling_median" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice, median(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7 FROM orders ORDER BY o_orderkey""",
   )
 }

@@ -1009,6 +1009,80 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** Two-proportion A/B lift report: users are split into arms by LCG
+    * parity (the deterministic assignment [[sampleSplit]] uses), conversion
+    * = "user has a purchase event", and the comparison emits absolute lift
+    * plus the pooled two-proportion z-score. Every number is derived from
+    * exact integer counts through +,−,×,÷,√ only — all IEEE754
+    * correctly-rounded, so the doubles are bit-identical in any engine (no
+    * libm transcendentals, which are NOT portable).
+    *
+    * Scale: two tiny aggregates (per-user conversion flag, then per-arm
+    * counts) — the z-arithmetic runs on a 2-row frame. The per-user
+    * aggregate is the only real shuffle.
+    */
+  def eventsAbLift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    // Conversion = "this user purchases more often than the average user" —
+    // splits near the mean at ANY scale factor, so neither arm degenerates
+    // to p∈{0,1} (which would zero the z denominator). The mean is a ratio
+    // of exact integer counts (one broadcast 1-row agg, no driver fetch).
+    val counts = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    val avg = counts.agg(
+      (sum(col("n_purch")).cast("double") / count(lit(1))).as("avg_purch"))
+    val perUser = counts.crossJoin(broadcast(avg))
+      .withColumn("converted",
+        when(col("n_purch").cast("double") > col("avg_purch"), 1L).otherwise(0L))
+      .withColumn("arm",
+        when(((col("user_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)) % 2 === 0, "A")
+          .otherwise("B"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_a", col("conv_a").cast("double") / col("n_a"))
+      .withColumn("p_b", col("conv_b").cast("double") / col("n_b"))
+      .withColumn("lift", col("p_b") - col("p_a"))
+      .withColumn("p_pool",
+        (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("se",
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("z", when(col("se") > 0, col("lift") / col("se")).otherwise(lit(0.0)))
+  }
+
+  /** Rolling exact median of order value over the trailing 7 orders per
+    * priority class — the robust moving-location statistic (a moving mean
+    * is skew-fragile; ops dashboards want the median). Spark has no median
+    * window function, so the frame's values are collected and sorted
+    * per-row (`collect_list` over a 7-row frame + `array_sort`) and the
+    * median is picked positionally — even-sized leading frames average the
+    * two middles ((a+b)/2: one add, one divide, bit-identical to the
+    * oracle's `median() OVER`).
+    *
+    * Scale: the frame is CONSTANT-size (7), so per-row work is O(7 log 7)
+    * and state never grows with data — the same one-shuffle window shape as
+    * every other window query here. For wide frames (1000s), switch to a
+    * two-heap/treap running median in a custom window Aggregator.
+    */
+  def windowRollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      .rowsBetween(-6, Window.currentRow)
+    val fr = array_sort(collect_list(col("o_totalprice")).over(w))
+    val n = size(fr)
+    val mid = element_at(fr, floor(n / 2).cast("int") + 1)
+    val midLo = element_at(fr, floor((n + 1) / 2).cast("int"))
+    val med = when(n % 2 === 1, mid).otherwise((mid + midLo) / 2.0)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("med7", med)
+      .orderBy("o_orderkey")
+  }
+
   /** Sequence packing for LLM pretraining: concatenate documents into
     * training sequences of ≤ 256 tokens, wasting as little budget as
     * possible, deterministically. Docs are packed NEXT-FIT in doc_id order
