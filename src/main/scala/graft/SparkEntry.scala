@@ -308,6 +308,8 @@ object SparkEntry {
     "pack_sequences" -> (Analytics.packSequences _),
     "events_ab_lift" -> (Analytics.eventsAbLift _),
     "window_rolling_median" -> (Analytics.windowRollingMedian _),
+    "window_count_distinct" -> (Analytics.windowCountDistinct _),
+    "orders_pareto" -> (Analytics.ordersPareto _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -655,5 +657,9 @@ object SparkEntry {
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a AS DOUBLE)/n_a AS p_a, CAST(conv_b AS DOUBLE)/n_b AS p_b, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p_pool FROM a CROSS JOIN b), k AS (SELECT *, p_b - p_a AS lift, sqrt(p_pool * (1 - p_pool) * (1.0/n_a + 1.0/n_b)) AS se FROM j) SELECT n_a, conv_a, n_b, conv_b, p_a, p_b, lift, p_pool, se, CASE WHEN se > 0 THEN lift / se ELSE 0.0 END AS z FROM k""",
     "window_rolling_median" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice, median(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7 FROM orders ORDER BY o_orderkey""",
+    "window_count_distinct" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS tus, CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS breadth FROM events ORDER BY user_id, tus, event_id""",
+    "orders_pareto" ->
+      """WITH c AS (SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_orderpriority, cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share, CASE WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.7 THEN 'A' WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.9 THEN 'B' ELSE 'C' END AS abc FROM c ORDER BY o_orderkey""",
   )
 }

@@ -1083,6 +1083,57 @@ object Analytics {
       .orderBy("o_orderkey")
   }
 
+  /** Running distinct-count window: how many distinct event types has each
+    * user touched so far (engagement breadth over time)? Spark has no
+    * `count(DISTINCT) OVER`, so the running set is materialized with
+    * `collect_set` over the frame and measured with `size` — semantically
+    * identical (both drop nulls).
+    *
+    * Scale: per-row state is the DISTINCT set, bounded by category
+    * cardinality (5 event types), NOT by frame length — the pattern is safe
+    * exactly when the counted column is low-cardinality; for high-card
+    * columns switch to approx_count_distinct over the frame or an HLL
+    * accumulator.
+    */
+  def windowCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"))
+      .withColumn("breadth", size(collect_set(col("event_type")).over(w)).cast("long"))
+      .select("user_id", "event_id", "tus", "breadth")
+      .orderBy("user_id", "tus", "event_id")
+  }
+
+  /** Pareto / ABC revenue classification within each order priority: orders
+    * ranked by value, running revenue share against the class total, and
+    * the classic A (top 70% of revenue) / B (to 90%) / C tail buckets.
+    * Revenue is folded as exact integer cents — the running sum and the
+    * class total are integer-exact, the share is one long/long→double
+    * division, and the ABC cutoffs compare identical doubles in both
+    * engines.
+    *
+    * Scale: one shuffle on the 5-value priority key; the running sum is a
+    * sequential prefix scan per sorted partition and the class total an
+    * unbounded-frame window sharing the SAME exchange (two Window nodes,
+    * one hash exchange — plan-pinned), no driver action.
+    */
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    val sortW = Window.partitionBy("o_orderpriority")
+      .orderBy(col("cents").desc, col("o_orderkey"))
+    val runW = sortW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy("o_orderpriority")
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("cum_cents", sum(col("cents")).over(runW))
+      .withColumn("share", col("cum_cents").cast("double") / sum(col("cents")).over(allW))
+      .withColumn("abc",
+        when(col("share") <= 0.7, "A").when(col("share") <= 0.9, "B").otherwise("C"))
+      .orderBy("o_orderkey")
+  }
+
   /** Sequence packing for LLM pretraining: concatenate documents into
     * training sequences of ≤ 256 tokens, wasting as little budget as
     * possible, deterministically. Docs are packed NEXT-FIT in doc_id order
