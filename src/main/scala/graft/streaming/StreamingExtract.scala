@@ -831,4 +831,68 @@ object StreamingExtract {
     events.groupByKey(_._1)
       .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Update())
   }
+
+  final case class AbandonOut(userId: Long, clickUs: Long)
+
+  /** Abandoned-cart detection with EVENT-TIME TIMERS — the part of the
+    * arbitrary-state API neither `session_window` nor the spend tracker
+    * touches: a user who clicks but does not purchase within `gapUs` of the
+    * click (event time) produces one abandonment record when the watermark
+    * passes the deadline; a purchase in time cancels the pending timer.
+    *
+    * State per user: the earliest unanswered click's event-time (µs) plus
+    * its registered timer. Rows in one batch are handled in event order
+    * (click opens, purchase closes), and `handleExpiredTimer` — fired by
+    * the engine once the watermark crosses the deadline — emits and clears.
+    * State size is one long per user with an open click; timers expire it,
+    * so idle keys cost nothing forever after.
+    */
+  class AbandonProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, String, java.sql.Timestamp), AbandonOut] {
+    @transient private var pending: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      pending = getHandle.getValueState[Long]("pending_click",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, String, java.sql.Timestamp)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AbandonOut] = {
+      val ordered = rows.map { case (u, k, t) => (u, k, t.getTime * 1000) }.toSeq
+      for ((_, kind, us) <- ordered.sortBy(_._3)) kind match {
+        case "click" if !pending.exists() =>
+          pending.update(us)
+          getHandle.registerTimer((us + gapUs) / 1000) // timer API is ms
+        case "purchase" if pending.exists() =>
+          getHandle.deleteTimer((pending.get() + gapUs) / 1000)
+          pending.clear()
+        case _ => ()
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[AbandonOut] =
+      if (pending.exists()) {
+        val clickUs = pending.get()
+        pending.clear()
+        Iterator(AbandonOut(userId, clickUs))
+      } else Iterator.empty
+  }
+
+  /** `transformWithState` wiring for [[AbandonProcessor]]: input is
+    * (userId, kind, eventTime) with `withWatermark` already applied to the
+    * Timestamp column (projecting it away would drop the watermark tag the
+    * event-time timers need — same constraint as [[sessionize]]); output one
+    * record per abandoned click. */
+  def abandonDetector(
+      events: Dataset[(Long, String, java.sql.Timestamp)],
+      gapUs: Long): Dataset[AbandonOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new AbandonProcessor(gapUs), TimeMode.EventTime(), OutputMode.Append())
+  }
 }

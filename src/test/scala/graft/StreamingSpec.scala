@@ -199,6 +199,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState event-time timers: unanswered click emits abandonment, purchase cancels it") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, String, Timestamp)] // (user, kind, event time)
+    val input = mem.toDF().toDF("user_id", "kind", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, String, Timestamp)]
+    // 10-minute purchase window after a click.
+    val q = graft.streaming.StreamingExtract.abandonDetector(input, 10L * 60 * 1000 * 1000)
+      .toDF("user_id", "click_us")
+      .writeStream.format("memory").queryName("abandon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // User 1 clicks and purchases in time; user 2 clicks and goes silent.
+      mem.addData((1L, "click", ts("2024-01-01 00:00:00")),
+        (2L, "click", ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      mem.addData((1L, "purchase", ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("abandon_out").isEmpty,
+        "no timer may fire before the watermark passes the deadline")
+      // Watermark jumps past both deadlines: only user 2's timer survives.
+      mem.addData((3L, "click", ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      val out = spark.table("abandon_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out == Seq((2L, ts("2024-01-01 00:01:00").getTime * 1000)),
+        s"exactly user 2's click abandons: $out")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window gap is inclusive: merge at exactly +gap, split strictly after") {
     implicit val sqlCtx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
