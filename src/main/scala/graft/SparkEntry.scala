@@ -216,6 +216,7 @@ object SparkEntry {
     "scalar_date" -> (Scalars.scalarDate _),
     "scalar_math" -> (Scalars.scalarMath _),
     "scalar_json" -> (Scalars.scalarJson _),
+    "scalar_variant" -> (Scalars.scalarVariant _),
     "scalar_array" -> (Scalars.scalarArray _),
     // LLM-data-pipeline extensions
     "dedup_exact" -> (LlmPipeline.dedupExact _),
@@ -555,6 +556,8 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, floor((l_extendedprice*(1-l_discount)*(1+l_tax))*100 + 0.5)/100.0 AS net, abs(l_discount-0.05) AS adisc, CAST(ceil(l_extendedprice) AS BIGINT) AS cprice FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
     "scalar_json" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id""",
+    "scalar_variant" ->
+      """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, 'OBJECT<k: BIGINT>' AS vschema, false AS v_is_null, CAST(NULL AS BIGINT) AS bad FROM events ORDER BY event_id""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
     "udf_slugify" ->

@@ -51,6 +51,24 @@ object Scalars {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .orderBy("event_id")
 
+  /** VARIANT semi-structured access (Spark 4's open JSON type): parse the
+    * props JSON once into a variant, extract a typed path, report the
+    * inferred schema, and show `try_parse_json` absorbing malformed input
+    * as null instead of failing the query. Against a 100 TB semi-structured
+    * lake, VARIANT's binary encoding replaces per-query string re-parsing
+    * (`get_json_object` re-tokenizes the text every call) with one decode
+    * at ingest and typed field reads after — the shredded-columnar path.
+    */
+  def scalarVariant(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        schema_of_variant(col("v")).as("vschema"),
+        is_variant_null(col("v")).as("v_is_null"),
+        variant_get(try_parse_json(lit("{not json")), "$.k", "long").as("bad"))
+      .orderBy("event_id")
+
   /** Regex functions: extract the numeric suffix of c_name, split-part-style
     * token access, and a match flag.
     */

@@ -199,6 +199,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("state store reader exposes checkpointed transformWithState state as a DataFrame") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-read-ckpt").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingExtract.spendTracker(mem.toDS())
+      .toDF("user_id", "n_events", "total_cents")
+      .writeStream.format("memory").queryName("tws_read_out")
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData((1L, 100L), (2L, 70L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    // The ops/debugging surface: the named state variable read back OFFLINE
+    // from the checkpoint — queryable state without replaying the stream.
+    val st = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", "spend").load()
+      .select("key.value", "value._1", "value._2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(st == Set((1L, 2L, 130L), (2L, 1L, 70L)), st.toString)
+  }
+
   test("transformWithState event-time timers: unanswered click emits abandonment, purchase cancels it") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
