@@ -858,7 +858,11 @@ object Analytics {
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     val banned = t(spark, dir, "customer")
       .filter(col("c_acctbal") < 0).select(col("c_custkey"))
-    val bf = banned.stat.bloomFilter("c_custkey", 2000L, 0.01)
+    // Size the sketch from the actual ban-list cardinality (one count agg —
+    // the list is small by construction; an undersized filter silently
+    // raises the fp rate and re-grows the confirm join).
+    val nBanned = math.max(64L, banned.count())
+    val bf = banned.stat.bloomFilter("c_custkey", nBanned, 0.01)
     val bytes = {
       val out = new java.io.ByteArrayOutputStream()
       bf.writeTo(out)
