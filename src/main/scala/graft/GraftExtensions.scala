@@ -17,8 +17,8 @@ import graft.plans.PushdownNanosTimestamp
   *   - optimizer rule: [[graft.plans.PushdownNanosTimestamp]] (parquet
   *     pushdown through the ns→µs normalization)
   *   - SQL functions: graft_minhash, graft_shingle_hashes, graft_token_count,
-  *     graft_dot, graft_simhash, graft_rolling_fp — all native Expressions,
-  *     available to pure SQL users with no Scala imports.
+  *     graft_dot, graft_simhash, graft_rolling_fp, graft_deflate_len — all
+  *     native Expressions, available to pure SQL users with no Scala imports.
   *
   * Proven end-to-end by [[ExtensionsDemo]] (extensions bind at session
   * construction, so the proof needs a session built WITH the conf).
@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_rolling_fp"),
       info("graft_rolling_fp", "graft_rolling_fp(text) - content-defined rolling-hash anchor set (16-char window, 1/64 rate)"),
       (exprs: Seq[Expression]) => RollingFingerprint(exprs.head, 16, 0x3f)))
+    ext.injectFunction((FunctionIdentifier("graft_deflate_len"),
+      info("graft_deflate_len", "graft_deflate_len(text) - DEFLATE-compressed byte length (level 6)"),
+      (exprs: Seq[Expression]) => DeflateLen(exprs.head)))
   }
 }
 
@@ -76,7 +79,7 @@ object ExtensionsDemo {
       """SELECT count(*) FROM (
         |  SELECT graft_minhash(text), graft_shingle_hashes(text),
         |         graft_token_count(text), graft_simhash(text),
-        |         graft_rolling_fp(text)
+        |         graft_rolling_fp(text), graft_deflate_len(text)
         |  FROM documents LIMIT 5)""".stripMargin).head().getLong(0)
     val dot = spark.sql(
       "SELECT graft_dot(embedding, embedding) FROM embeddings LIMIT 1").head().getDouble(0)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's incremental mode, as true Structured Streaming.
@@ -830,6 +830,44 @@ object StreamingExtract {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new SpendProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class RecentOut(userId: Long, recentCents: Seq[Long])
+
+  /** Last-K purchases per user as `ListState` — the collection-state leg of
+    * the arbitrary-state API ([[SpendProcessor]] demos ValueState,
+    * [[AbandonProcessor]] timers). The online feature "a user's K most
+    * recent purchase amounts" backs recency-weighted models; ListState
+    * appends without deserializing the whole list (RocksDB merge), and the
+    * cap is re-imposed on write so state stays O(K) per user forever.
+    * Rows within a batch append in (timestamp-less) arrival order of the
+    * sorted micro-batch fold — callers sort upstream if order matters
+    * beyond batch boundaries.
+    */
+  class RecentPurchasesProcessor(k: Int)
+      extends StatefulProcessor[Long, (Long, Long), RecentOut] {
+    @transient private var recent: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[RecentOut] = {
+      for ((_, cents) <- rows) recent.appendValue(cents)
+      val kept = recent.get().toSeq.takeRight(k)
+      recent.put(kept.toArray) // re-impose the cap: state is O(k), not O(history)
+      Iterator(RecentOut(userId, kept))
+    }
+  }
+
+  /** `transformWithState` wiring for [[RecentPurchasesProcessor]]. */
+  def recentPurchases(events: Dataset[(Long, Long)], k: Int = 3): Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RecentPurchasesProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
   final case class AbandonOut(userId: Long, clickUs: Long)

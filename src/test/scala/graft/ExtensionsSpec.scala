@@ -3,12 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Proves the library's one-line install path in-suite: a FRESH session built
-  * with `spark.sql.extensions=graft.GraftExtensions` (extensions bind at
-  * session construction, so the shared [[SparkSpec]] session cannot carry
-  * them) gets the optimizer rule and all six SQL functions with zero Scala
-  * imports — the contract a spark-submit user relies on. Complements
-  * [[graft.ExtensionsDemo]], which proves the same from a standalone main.
+/** Proves the library's install paths in-suite: a FRESH session carrying
+  * [[GraftExtensions]] gets the optimizer rule and every SQL function with
+  * zero Scala imports. `spark.sql.extensions` is a STATIC conf — Spark reads
+  * it from the SparkContext's conf at session construction — so the
+  * conf-string route only binds when this spec creates the JVM's first
+  * context; when a shared [[SparkSpec]] context already exists (suite
+  * ordering is not ours to pick), the documented programmatic install
+  * `builder().withExtensions(new GraftExtensions)` exercises the identical
+  * injection points. The spark-submit-shaped conf route stays proven by
+  * [[graft.ExtensionsDemo]], a standalone main with a fresh JVM + context.
   *
   * Safe to run in the shared-JVM suite: sbt runs forked suites sequentially
   * (`testForkedParallel` defaults to false), the isolated session shares the
@@ -22,30 +26,35 @@ class ExtensionsSpec extends AnyFunSuite {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    val s = SparkSession.builder()
+    val contextExists = org.apache.spark.SparkEnv.get != null
+    val builder = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    val s =
+      if (contextExists) builder.withExtensions(new GraftExtensions).getOrCreate()
+      else builder.config("spark.sql.extensions", "graft.GraftExtensions").getOrCreate()
     try {
-      assert(s.sessionState.conf.getConfString("spark.sql.extensions")
-        == "graft.GraftExtensions")
+      if (!contextExists)
+        assert(s.sessionState.conf.getConfString("spark.sql.extensions")
+          == "graft.GraftExtensions")
       Tables.registerViews(s, sf, Seq("documents", "embeddings", "events"))
 
-      // All five injected functions resolve from PURE SQL.
+      // All injected functions resolve from PURE SQL.
       val row = s.sql(
         """SELECT size(graft_minhash(text))       AS mh_len,
           |       size(graft_shingle_hashes(text)) AS sh_len,
           |       graft_token_count(text)          AS toks,
           |       graft_simhash(text)              AS sim,
-          |       size(graft_rolling_fp(text))     AS rfp_len
+          |       size(graft_rolling_fp(text))     AS rfp_len,
+          |       graft_deflate_len(text)          AS dfl
           |FROM documents WHERE doc_id = 0""".stripMargin).head()
       assert(row.getAs[Int]("mh_len") == 64)
       assert(row.getAs[Int]("sh_len") > 0)
       assert(row.getAs[Long]("toks") > 0L)
       assert(row.getAs[Int]("rfp_len") >= 0)
+      assert(row.getAs[Long]("dfl") > 0L)
       val dot = s.sql(
         "SELECT graft_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
         .head().getDouble(0)

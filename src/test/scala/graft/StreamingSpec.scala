@@ -232,6 +232,37 @@ class StreamingSpec extends SparkSpec {
     assert(st == Set((1L, 2L, 130L), (2L, 1L, 70L)), st.toString)
   }
 
+  test("transformWithState ListState keeps the last-3 purchases per user, capped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long)]
+    val q = graft.streaming.StreamingExtract.recentPurchases(mem.toDS(), 3)
+      .toDF("user_id", "recent_cents")
+      .writeStream.format("memory").queryName("recent_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, 10L), (1L, 20L))
+      q.processAllAvailable()
+      mem.addData((1L, 30L), (1L, 40L), (2L, 5L))
+      q.processAllAvailable()
+      val byUser = spark.table("recent_out").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1)))
+      // Final emission per user wins: user 1's list slid to the last 3
+      // across the batch boundary; user 2 holds its single purchase.
+      assert(byUser.contains((1L, Seq(10L, 20L))), byUser.mkString(", "))
+      assert(byUser.contains((1L, Seq(20L, 30L, 40L))), byUser.mkString(", "))
+      assert(byUser.contains((2L, Seq(5L))), byUser.mkString(", "))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers: unanswered click emits abandonment, purchase cancels it") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
