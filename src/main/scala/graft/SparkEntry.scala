@@ -217,6 +217,7 @@ object SparkEntry {
     "scalar_math" -> (Scalars.scalarMath _),
     "scalar_json" -> (Scalars.scalarJson _),
     "scalar_variant" -> (Scalars.scalarVariant _),
+    "scalar_collation" -> (Scalars.scalarCollation _),
     "scalar_array" -> (Scalars.scalarArray _),
     // LLM-data-pipeline extensions
     "dedup_exact" -> (LlmPipeline.dedupExact _),
@@ -558,6 +559,8 @@ object SparkEntry {
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id""",
     "scalar_variant" ->
       """SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k, 'OBJECT<k: BIGINT>' AS vschema, false AS v_is_null, CAST(NULL AS BIGINT) AS bad FROM events ORDER BY event_id""",
+    "scalar_collation" ->
+      """WITH m AS (SELECT c_custkey, CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment) ELSE c_mktsegment END AS seg_mixed FROM customer) SELECT c_custkey, seg_mixed, lower(seg_mixed) = 'building' AS eq_lcase, seg_mixed = 'BUILDING' AS eq_binary, starts_with(lower(seg_mixed), 'build') AS pfx_lcase FROM m ORDER BY c_custkey""",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt FROM documents GROUP BY text ORDER BY doc_id""",
     "udf_slugify" ->

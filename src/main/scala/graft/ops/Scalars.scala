@@ -69,6 +69,26 @@ object Scalars {
         variant_get(try_parse_json(lit("{not json")), "$.k", "long").as("bad"))
       .orderBy("event_id")
 
+  /** Collated string semantics (Spark 4 collation support): the same
+    * comparison under binary vs UTF8_LCASE collation. Mixed-case input is
+    * synthesized deterministically (even keys lowercase their segment), and
+    * the collated equality/prefix tests diverge from binary exactly on the
+    * case-mangled rows. At scale, collation beats `lower()`-wrapping because
+    * the comparison keeps its data type (sort keys, join keys, and GROUP BY
+    * stay collated strings — no derived column to maintain).
+    */
+  def scalarCollation(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = when(col("c_custkey") % 2 === 0, lower(col("c_mktsegment")))
+      .otherwise(col("c_mktsegment"))
+    t(spark, dir, "customer")
+      .select(col("c_custkey"), mixed.as("seg_mixed"))
+      .select(col("c_custkey"), col("seg_mixed"),
+        (collate(col("seg_mixed"), "UTF8_LCASE") === lit("bUiLdInG")).as("eq_lcase"),
+        (col("seg_mixed") === "BUILDING").as("eq_binary"),
+        startswith(collate(col("seg_mixed"), "UTF8_LCASE"), lit("BUILD")).as("pfx_lcase"))
+      .orderBy("c_custkey")
+  }
+
   /** Regex functions: extract the numeric suffix of c_name, split-part-style
     * token access, and a match flag.
     */

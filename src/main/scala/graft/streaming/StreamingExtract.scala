@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, Trigger, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, Trigger, TTLConfig, ValueState}
 import org.apache.spark.sql.types.StructType
 
 /** The reference's incremental mode, as true Structured Streaming.
@@ -868,6 +868,48 @@ object StreamingExtract {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
       .transformWithState(new RecentPurchasesProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
+  final case class CategorySpendOut(userId: Long, category: String, cents: Long)
+
+  /** Per-category spend map as `MapState` — the keyed-state leg completing
+    * the triad (ValueState: [[SpendProcessor]], ListState:
+    * [[RecentPurchasesProcessor]]). One map entry per (user, category);
+    * `getValue`/`updateValue` touch ONLY the addressed key in RocksDB, so a
+    * user with thousands of categories pays per-key point reads on update,
+    * not a full-map deserialize — the property that separates MapState from
+    * a ValueState[Map[...]] at scale. Emits one row per category updated in
+    * the batch (Update mode: unchanged categories are not re-emitted).
+    */
+  class CategorySpendProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), CategorySpendOut] {
+    @transient private var byCat: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      byCat = getHandle.getMapState[String, Long]("by_category",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CategorySpendOut] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      for ((_, cat, cents) <- rows) {
+        val cur = if (byCat.containsKey(cat)) byCat.getValue(cat) else 0L
+        byCat.updateValue(cat, cur + cents)
+        touched += cat
+      }
+      touched.iterator.map(c => CategorySpendOut(userId, c, byCat.getValue(c)))
+    }
+  }
+
+  /** `transformWithState` wiring for [[CategorySpendProcessor]]: input is
+    * (userId, category, cents). */
+  def categorySpend(events: Dataset[(Long, String, Long)]): Dataset[CategorySpendOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new CategorySpendProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   final case class AbandonOut(userId: Long, clickUs: Long)

@@ -263,6 +263,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState MapState accumulates per-category spend; untouched keys stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.StreamingExtract.categorySpend(mem.toDS())
+      .toDF("user_id", "category", "cents")
+      .writeStream.format("memory").queryName("cat_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData((1L, "books", 100L), (1L, "games", 50L))
+      q.processAllAvailable()
+      mem.addData((1L, "books", 25L)) // only this key may re-emit
+      q.processAllAvailable()
+      val rows = spark.table("cat_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows.contains((1L, "books", 100L)) && rows.contains((1L, "games", 50L)))
+      assert(rows.contains((1L, "books", 125L)), s"map value must accumulate: $rows")
+      assert(rows.count(_._2 == "games") == 1,
+        s"untouched category re-emitted: $rows")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState event-time timers: unanswered click emits abandonment, purchase cancels it") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
