@@ -80,6 +80,60 @@ class JdbcSourceSpec extends SparkSpec {
     } finally jconn.close()
   }
 
+  test("DSv2 JDBC catalog pushes aggregates and top-N INTO the source database") {
+    // The scale-side extension of the reference's query-pushdown mode (A2):
+    // instead of splicing SQL strings by hand, the JDBCTableCatalog lets
+    // Catalyst compile GROUP BY / ORDER BY+LIMIT into the source's SQL — at
+    // 100 TB the wire carries group rows, not raw rows.
+    val url = "jdbc:derby:memory:graftaggspec;create=true"
+    val jconn = java.sql.DriverManager.getConnection(url)
+    val catalogKeys = Seq("spark.sql.catalog.graftdb",
+      "spark.sql.catalog.graftdb.url", "spark.sql.catalog.graftdb.driver",
+      "spark.sql.catalog.graftdb.pushDownAggregate", "spark.sql.catalog.graftdb.pushDownLimit")
+    try {
+      val st = jconn.createStatement()
+      st.executeUpdate(
+        "CREATE TABLE events_a (event_id BIGINT NOT NULL, user_id BIGINT, value DOUBLE)")
+      val ps = jconn.prepareStatement("INSERT INTO events_a VALUES (?, ?, ?)")
+      for (i <- 0 until 100) {
+        ps.setLong(1, i.toLong); ps.setLong(2, (i % 7).toLong); ps.setDouble(3, i * 1.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+      spark.conf.set("spark.sql.catalog.graftdb",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+      spark.conf.set("spark.sql.catalog.graftdb.url", url)
+      spark.conf.set("spark.sql.catalog.graftdb.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      spark.conf.set("spark.sql.catalog.graftdb.pushDownAggregate", "true")
+      // pushDownLimit stays OFF for Derby: with it on, Spark plans the
+      // pushed top-N as COMPLETE (no residual TakeOrderedAndProject) but the
+      // Derby-bound SQL carries no effective fetch clause, so LIMIT queries
+      // silently return every row (verified on derby-10.16 + this Spark).
+      // Wrong-results risk beats the pushdown win; the engine leaves it off.
+      spark.conf.set("spark.sql.catalog.graftdb.pushDownLimit", "false")
+
+      val agg = spark.sql(
+        "SELECT user_id, count(*) AS n, sum(event_id) AS s FROM graftdb.APP.EVENTS_A GROUP BY user_id")
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(aggPlan.contains("PushedAggregates: [COUNT(*), SUM(EVENT_ID)]"), aggPlan)
+      assert(aggPlan.contains("PushedGroupByExpressions: [USER_ID]"), aggPlan)
+      val rows = agg.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = (0 until 100).groupBy(_ % 7)
+        .map { case (u, is) => u.toLong -> (is.size.toLong, is.map(_.toLong).sum) }
+      assert(rows == want, s"pushed aggregate values drifted: $rows")
+
+      val topn = spark.sql(
+        "SELECT event_id FROM graftdb.APP.EVENTS_A ORDER BY event_id DESC LIMIT 5")
+      val topnPlan = topn.queryExecution.executedPlan.toString
+      assert(!topnPlan.contains("PushedTopN"),
+        s"top-N must NOT push to Derby (silent wrong results): $topnPlan")
+      assert(topn.collect().map(_.getLong(0)).toSeq == Seq(99L, 98L, 97L, 96L, 95L))
+    } finally {
+      catalogKeys.foreach(spark.conf.unset)
+      jconn.close()
+    }
+  }
+
   private val conn = ConnectionConfig(host = "ch.example", database = "analytics")
 
   test("base options carry url/user/password with reference defaults") {
