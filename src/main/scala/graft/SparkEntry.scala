@@ -312,6 +312,9 @@ object SparkEntry {
     "window_rolling_median" -> (Analytics.windowRollingMedian _),
     "window_count_distinct" -> (Analytics.windowCountDistinct _),
     "orders_pareto" -> (Analytics.ordersPareto _),
+    "events_islands" -> (Analytics.eventsIslands _),
+    "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
+    "cdc_apply" -> (Analytics.cdcApply _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -667,5 +670,11 @@ object SparkEntry {
       """SELECT user_id, event_id, epoch_us(ts) AS tus, CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS breadth FROM events ORDER BY user_id, tus, event_id""",
     "orders_pareto" ->
       """WITH c AS (SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_orderpriority, cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share, CASE WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.7 THEN 'A' WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.9 THEN 'B' ELSE 'C' END AS abc FROM c ORDER BY o_orderkey""",
+    "events_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dnum FROM events), g AS (SELECT user_id, dnum, dnum - row_number() OVER (PARTITION BY user_id ORDER BY dnum) AS grp FROM days) SELECT user_id, min(dnum) AS start_day, max(dnum) AS end_day, CAST(count(*) AS BIGINT) AS len_days FROM g GROUP BY user_id, grp ORDER BY user_id, start_day""",
+    "reshape_unpivot" ->
+      """WITH wide AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents, CAST(min(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS min_cents, CAST(max(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS max_cents FROM orders GROUP BY o_orderstatus) SELECT o_orderstatus, metric, value FROM wide UNPIVOT (value FOR metric IN (n_orders, sum_cents, min_cents, max_cents)) ORDER BY o_orderstatus, metric""",
+    "cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents FROM orders), chg AS (SELECT k, CAST(0 AS BIGINT) AS seq, 'S' AS op, cents FROM base WHERE k % 4 != 3 UNION ALL SELECT k, 1, 'I', cents FROM base WHERE k % 4 = 3 UNION ALL SELECT k, 2, 'U', cents + 11111 FROM base WHERE k % 3 = 0 UNION ALL SELECT k, 3, 'U', cents + 22222 FROM base WHERE k % 6 = 0 UNION ALL SELECT k, 4, 'D', 0 FROM base WHERE k % 7 = 0), r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn, CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_versions FROM chg) SELECT k AS o_orderkey, cents, op AS last_op, n_versions FROM r WHERE rn = 1 AND op != 'D' ORDER BY o_orderkey""",
   )
 }

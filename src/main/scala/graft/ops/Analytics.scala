@@ -1172,4 +1172,90 @@ object Analytics {
       .toDF("lang", "seq_id", "doc_id", "n_tokens", "fill")
       .orderBy("lang", "seq_id", "doc_id")
   }
+
+  /** Gaps-and-islands: per user, maximal runs of CONSECUTIVE active days
+    * (an island ends at the first skipped day). The classic trick — day
+    * number minus the day's per-user rank is constant within an island —
+    * turns run detection into one group-by, no self-join, no iteration.
+    * Day arithmetic is exact int64 (`div` on epoch micros; timestamps are
+    * post-1970 so truncation ≡ floor ≡ DuckDB `//`).
+    *
+    * Scale: distinct + window + group-by all key on user_id, so Catalyst
+    * plans ONE hash exchange end-to-end; per-user state is the sorted day
+    * list, bounded by the calendar, not event volume.
+    */
+  def eventsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("dnum")
+    t(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("dnum"))
+      .distinct()
+      .withColumn("grp", col("dnum") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(min(col("dnum")).as("start_day"), max(col("dnum")).as("end_day"),
+        count(lit(1)).as("len_days"))
+      .select("user_id", "start_day", "end_day", "len_days")
+      .orderBy("user_id", "start_day")
+  }
+
+  /** Wide→long reshape: per-status order metrics pivoted to (status, metric,
+    * value) rows with the built-in `unpivot` (Spark's melt). All measures are
+    * exact integer cents/counts so the single `value` column is one LongType
+    * — the type-unification rule unpivot imposes anyway.
+    *
+    * Scale: unpivot is a per-row generator (each input row emits k rows, no
+    * shuffle of its own); the only exchange is the upstream 3-group
+    * aggregate.
+    */
+  def reshapeUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    t(spark, dir, "orders")
+      .select(col("o_orderstatus"), cents.as("cents"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .unpivot(
+        Array(col("o_orderstatus")),
+        Array(col("n_orders"), col("sum_cents"), col("min_cents"), col("max_cents")),
+        "metric", "value")
+      .orderBy("o_orderstatus", "metric")
+  }
+
+  /** CDC changelog apply — the latest-wins MERGE kernel every replication
+    * sink needs (the batch core of upsert mode; cf. the reference's
+    * incremental replication, mkpipe_extractor_clickhouse/__init__.py:96).
+    * A deterministic changelog is derived from `orders`: the snapshot holds
+    * keys `%4 != 3`; inserts re-deliver the `%4 == 3` keys; two update
+    * waves (`%3`, `%6`, monotone seq) revise prices; a delete wave (`%7`)
+    * tombstones. Apply = union(snapshot, changelog) → per-key latest by
+    * version → drop tombstones. Prices are exact integer cents end-to-end.
+    *
+    * Scale: ONE hash shuffle on the key; both window functions (latest-wins
+    * rank + version count) share that exchange. This is exactly the
+    * foreachBatch MERGE shape of [[graft.streaming.StreamingExtract]]'s
+    * upsert sink — at 100 TB the union side is a micro-batch, the snapshot
+    * a bucketed table, and the same plan applies per batch.
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    def wave(pred: Column, seq: Int, op: String, newCents: Column): DataFrame =
+      base.filter(pred).select(col("k"), lit(seq.toLong).as("seq"),
+        lit(op).as("op"), newCents.as("cents"))
+    val snapshot = wave(col("k") % 4 =!= 3, 0, "S", col("cents"))
+    val inserts = wave(col("k") % 4 === 3, 1, "I", col("cents"))
+    val upd1 = wave(col("k") % 3 === 0, 2, "U", col("cents") + 11111L)
+    val upd2 = wave(col("k") % 6 === 0, 3, "U", col("cents") + 22222L)
+    val dels = wave(col("k") % 7 === 0, 4, "D", lit(0L))
+    val all = snapshot.unionAll(inserts).unionAll(upd1).unionAll(upd2).unionAll(dels)
+    val wLatest = Window.partitionBy("k").orderBy(col("seq").desc)
+    val wKey = Window.partitionBy("k")
+    all
+      .withColumn("rn", row_number().over(wLatest))
+      .withColumn("n_versions", count(lit(1)).over(wKey))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("cents"), col("op").as("last_op"),
+        col("n_versions"))
+      .orderBy("o_orderkey")
+  }
 }
