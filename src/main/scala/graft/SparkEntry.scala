@@ -315,6 +315,8 @@ object SparkEntry {
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
     "cdc_apply" -> (Analytics.cdcApply _),
+    "er_blocked_match" -> (Analytics.erBlockedMatch _),
+    "text_inverted_index" -> (Analytics.textInvertedIndex _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -676,5 +678,9 @@ object SparkEntry {
       """WITH wide AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS sum_cents, CAST(min(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS min_cents, CAST(max(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS max_cents FROM orders GROUP BY o_orderstatus) SELECT o_orderstatus, metric, value FROM wide UNPIVOT (value FOR metric IN (n_orders, sum_cents, min_cents, max_cents)) ORDER BY o_orderstatus, metric""",
     "cdc_apply" ->
       """WITH base AS (SELECT o_orderkey AS k, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents FROM orders), chg AS (SELECT k, CAST(0 AS BIGINT) AS seq, 'S' AS op, cents FROM base WHERE k % 4 != 3 UNION ALL SELECT k, 1, 'I', cents FROM base WHERE k % 4 = 3 UNION ALL SELECT k, 2, 'U', cents + 11111 FROM base WHERE k % 3 = 0 UNION ALL SELECT k, 3, 'U', cents + 22222 FROM base WHERE k % 6 = 0 UNION ALL SELECT k, 4, 'D', 0 FROM base WHERE k % 7 = 0), r AS (SELECT k, seq, op, cents, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn, CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n_versions FROM chg) SELECT k AS o_orderkey, cents, op AS last_op, n_versions FROM r WHERE rn = 1 AND op != 'D' ORDER BY o_orderkey""",
+    "er_blocked_match" ->
+      """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, substring(c_name, 10, 9) AS c_suf FROM customer), s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nation, substring(s_name, 10, 9) AS s_suf FROM supplier) SELECT c.nation, c_custkey, s_suppkey, CAST(levenshtein(c_suf, s_suf) AS BIGINT) AS dist FROM c JOIN s ON c.nation = s.nation WHERE levenshtein(c_suf, s_suf) <= 1 ORDER BY c.nation, c_custkey, s_suppkey""",
+    "text_inverted_index" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok FROM documents) WHERE length(tok) >= 3) SELECT tok, CAST(count(*) AS BIGINT) AS df, array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings FROM toks GROUP BY tok HAVING count(*) >= 25 ORDER BY tok""",
   )
 }

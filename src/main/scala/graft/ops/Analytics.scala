@@ -1258,4 +1258,63 @@ object Analytics {
         col("n_versions"))
       .orderBy("o_orderkey")
   }
+
+  /** Entity resolution with blocking: candidate customer↔supplier identity
+    * matches — same nation, numeric name suffixes within edit distance 1 (a
+    * one-digit typo model over the fixture's templated names). Blocking is
+    * the whole game: the nation key cuts the O(|C|·|S|) cross product to a
+    * sum of per-block products BEFORE any distance is computed, and the
+    * Levenshtein threshold only ever runs inside a block.
+    *
+    * Scale: the blocked join is a plain equi-join on the block key — hash
+    * shuffle both sides, skew bounded by the largest block (add a second
+    * blocking digit to split hot blocks, same pattern as
+    * [[graft.ops.Skew]]'s salting). Never all-pairs.
+    */
+  def erBlockedMatch(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        substring(col("c_name"), 10, 9).as("c_suf"))
+    val s = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation"),
+        substring(col("s_name"), 10, 9).as("s_suf"))
+    c.join(s, Seq("nation"))
+      .withColumn("dist", levenshtein(col("c_suf"), col("s_suf")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("nation", "c_custkey", "s_suppkey", "dist")
+      .orderBy("nation", "c_custkey", "s_suppkey")
+  }
+
+  /** Inverted index construction — token → (document frequency, capped
+    * postings list), the retrieval backbone of corpus search and of
+    * contamination lookups. Tokens are lowercased maximal alpha runs of
+    * length ≥ 3; postings keep the 20 smallest doc_ids per token (caps the
+    * payload; df still counts ALL postings).
+    *
+    * Scale: tokenize/explode is map-side; the (token, doc) pairs then hash
+    * ONCE on token and both window functions (per-token count and the
+    * postings rank that enforces the cap) plus the final collect share that
+    * single exchange. The cap runs BEFORE collect_list, so no unbounded
+    * array ever materializes — hot tokens ("the") cost 20 postings like any
+    * other. At 100 TB, add a df-band split (head tokens to a dedicated
+    * shuffle) if one token's postings rank skews a task.
+    */
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wRank = Window.partitionBy("tok").orderBy("doc_id")
+    val wTok = Window.partitionBy("tok")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(length(col("tok")) >= 3)
+      .distinct()
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("df", count(lit(1)).over(wTok))
+      .filter(col("rn") <= 20 && col("df") >= 25)
+      .groupBy("tok")
+      .agg(max(col("df")).as("df"), sort_array(collect_list(col("doc_id"))).as("p"))
+      // CSV-rendered postings: the compare harness hashes scalar cells, so
+      // the list ships as one deterministic string (ids are sorted above).
+      .select(col("tok"), col("df"),
+        array_join(transform(col("p"), x => x.cast("string")), ",").as("postings"))
+      .orderBy("tok")
+  }
 }
