@@ -317,6 +317,7 @@ object SparkEntry {
     "cdc_apply" -> (Analytics.cdcApply _),
     "er_blocked_match" -> (Analytics.erBlockedMatch _),
     "text_inverted_index" -> (Analytics.textInvertedIndex _),
+    "join_bucketed_colocated" -> (graft.sources.FileFormats.joinBucketedColocated _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -682,5 +683,7 @@ object SparkEntry {
       """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, substring(c_name, 10, 9) AS c_suf FROM customer), s AS (SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nation, substring(s_name, 10, 9) AS s_suf FROM supplier) SELECT c.nation, c_custkey, s_suppkey, CAST(levenshtein(c_suf, s_suf) AS BIGINT) AS dist FROM c JOIN s ON c.nation = s.nation WHERE levenshtein(c_suf, s_suf) <= 1 ORDER BY c.nation, c_custkey, s_suppkey""",
     "text_inverted_index" ->
       """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok FROM documents) WHERE length(tok) >= 3) SELECT tok, CAST(count(*) AS BIGINT) AS df, array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings FROM toks GROUP BY tok HAVING count(*) >= 25 ORDER BY tok""",
+    "join_bucketed_colocated" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

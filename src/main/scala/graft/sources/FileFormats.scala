@@ -231,4 +231,59 @@ object FileFormats {
         .select(lit(name).as("layout"), col("n_files"), col("n_files_scanned"))
     stats("linear", linear).unionAll(stats("zorder", zorder)).orderBy("layout")
   }
+
+  // Bucketed table names are catalog entries, so the memo is per-SESSION
+  // (a table saved into one session's in-memory catalog is invisible to
+  // another session) — same discipline as the LlmPipeline derived-table
+  // memos, including the Tables.invalidate registration.
+  private val bucketedCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]]())
+
+  private[graft] def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    graft.Tables.sessionCache(bucketedCache, spark).computeIfAbsent((dir, "bucketed"), _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
+      // repartition(8, key) uses the SAME HashPartitioning expression
+      // bucketing does (pmod of murmur3), so each write task holds exactly
+      // one bucket → one file per bucket, the layout bucketed reads like.
+      t(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(to)
+      t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(tc)
+      (to, tc)
+    })
+
+  /** Co-located join over bucketed tables — the shuffle-free big-join
+    * answer at 100 TB. Both sides are written ONCE bucketed by the join key
+    * (8 buckets, same count both sides), so the sort-merge join reads
+    * bucket i of orders against bucket i of customer directly: NO exchange
+    * on either side of the join (plan-pinned in PlanShapeSpec; the MERGE
+    * hint keeps the small fixture side from broadcasting so the bucketed
+    * path is what executes). The only shuffle in the whole query is the
+    * 5-group rollup AFTER the join.
+    *
+    * This is the pattern that amortizes: the bucketing write costs one
+    * shuffle, then every subsequent join on that key — daily loads, N
+    * different queries — pays zero. The streaming MERGE sink and the CDC
+    * apply kernel join against exactly such a bucketed snapshot.
+    */
+  def joinBucketedColocated(spark: SparkSession, dir: String): DataFrame = {
+    val (to, tc) = bucketedTables(spark, dir)
+    spark.table(to).hint("MERGE")
+      .join(spark.table(tc).hint("MERGE"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("revenue_cents"))
+      .orderBy("c_mktsegment")
+  }
 }

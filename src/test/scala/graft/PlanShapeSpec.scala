@@ -255,6 +255,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
   }
 
+  test("bucketed co-located join: no exchange on either side of the SMJ") {
+    val p = plan("join_bucketed_colocated")
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+    // The join itself must consume the bucketed scans directly — the ONLY
+    // exchanges allowed in the whole plan are the post-join 5-group rollup
+    // and the final ordering; an exchange feeding the SMJ means bucketing
+    // was not used and 100 TB pays a full shuffle per join.
+    val smjIdx = p.indexOf("SortMergeJoin")
+    val belowJoin = p.substring(smjIdx)
+    assert(!belowJoin.contains("Exchange"),
+      s"exchange below the sort-merge join — bucketed scan not used:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
