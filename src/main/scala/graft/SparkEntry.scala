@@ -318,6 +318,7 @@ object SparkEntry {
     "er_blocked_match" -> (Analytics.erBlockedMatch _),
     "text_inverted_index" -> (Analytics.textInvertedIndex _),
     "join_bucketed_colocated" -> (graft.sources.FileFormats.joinBucketedColocated _),
+    "graph_pagerank" -> (Graph.graphPagerank _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -685,5 +686,6 @@ object SparkEntry {
       """WITH toks AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok FROM documents) WHERE length(tok) >= 3) SELECT tok, CAST(count(*) AS BIGINT) AS df, array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings FROM toks GROUP BY tok HAVING count(*) >= 25 ORDER BY tok""",
     "join_bucketed_colocated" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "graph_pagerank" -> Graph.pagerankOracleSql,
   )
 }

@@ -240,9 +240,18 @@ object FileFormats {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), (String, String)]]())
 
+  // JVM-unique suffix: table NAMES live in the shared external catalog and
+  // managed LOCATIONS would outlive the JVM (a leftover
+  // spark-warehouse/graft_bkt_* dir from a previous run wedges a fresh
+  // saveAsTable with LOCATION_ALREADY_EXISTS — same decay class as the
+  // legacy flat-sidecar migration). External tables in exit-cleaned temp
+  // dirs + a per-JVM nonce make every run self-contained.
+  private val jvmTag: String =
+    java.lang.Long.toHexString(java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+
   private[graft] def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     graft.Tables.sessionCache(bucketedCache, spark).computeIfAbsent((dir, "bucketed"), _ => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" + jvmTag
       val (to, tc) = (s"graft_bkt_orders_$tag", s"graft_bkt_customer_$tag")
       // repartition(8, key) uses the SAME HashPartitioning expression
       // bucketing does (pmod of murmur3), so each write task holds exactly
@@ -252,12 +261,14 @@ object FileFormats {
           floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
         .repartition(8, col("o_custkey"))
         .write.mode("overwrite").format("parquet")
+        .option("path", exitCleanedTempDir("graft-bkt-orders"))
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
         .saveAsTable(to)
       t(spark, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
         .repartition(8, col("c_custkey"))
         .write.mode("overwrite").format("parquet")
+        .option("path", exitCleanedTempDir("graft-bkt-customer"))
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
         .saveAsTable(tc)
       (to, tc)
