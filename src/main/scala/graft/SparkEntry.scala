@@ -319,6 +319,8 @@ object SparkEntry {
     "text_inverted_index" -> (Analytics.textInvertedIndex _),
     "join_bucketed_colocated" -> (graft.sources.FileFormats.joinBucketedColocated _),
     "graph_pagerank" -> (Graph.graphPagerank _),
+    "events_ewma" -> (Analytics.eventsEwma _),
+    "events_cusum" -> (Analytics.eventsCusum _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -687,5 +689,9 @@ object SparkEntry {
     "join_bucketed_colocated" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "graph_pagerank" -> Graph.pagerankOracleSql,
+    "events_ewma" ->
+      """WITH ev AS (SELECT user_id, CAST(floor(value*100+0.5) AS BIGINT) AS cents, ts, event_id FROM events) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list_reduce(list(CAST(cents AS DOUBLE) ORDER BY ts, event_id), (s, x) -> (s + x) / 2) AS ewma_cents FROM ev GROUP BY user_id ORDER BY user_id""",
+    "events_cusum" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dnum, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS dc FROM events GROUP BY 1, 2), typed AS (SELECT event_type, list(dnum ORDER BY dnum) AS days, list(dc ORDER BY dnum) AS dcs, CAST(count(*) AS BIGINT) AS n, CAST(sum(dc) AS BIGINT) AS total FROM daily GROUP BY event_type) SELECT event_type, days[i] AS day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(dcs[1:i], x -> x*n - total)), (s, x) -> greatest(s + x, 0)) AS cusum FROM typed, LATERAL unnest(range(1, n+1)) AS g(i) ORDER BY event_type, day""",
   )
 }

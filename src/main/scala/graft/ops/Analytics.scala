@@ -1317,4 +1317,69 @@ object Analytics {
         array_join(transform(col("p"), x => x.cast("string")), ",").as("postings"))
       .orderBy("tok")
   }
+
+  /** Per-user EWMA of spend (α = 1/2): s ← (s + x)/2 folded over the
+    * user's events in time order, seeded with the first value. α = 1/2 is
+    * the determinism trick: halving a double only decrements the exponent
+    * (no mantissa rounding), and the one addition per step is IEEE
+    * correctly-rounded — so a SEQUENTIAL fold is bit-identical across
+    * engines, which no distributed float SUM can promise. The fold runs via
+    * the `aggregate` higher-order function over the sorted per-user value
+    * list (order pinned by (tus, event_id) struct sort).
+    *
+    * Scale: one shuffle on user_id; per-user state is that user's event
+    * list — fine for user-sized groups (thousands), the wrong tool for a
+    * single billion-event key (switch to a windowed chunked fold — EWMA
+    * telescopes: s_n = x_n/2 + x_{n-1}/4 + …, so chunk folds compose by
+    * scaling with 2^-len, still exact).
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val l = array_sort(collect_list(struct(col("tus"), col("event_id"), col("cents"))))
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), l.as("l"))
+      .withColumn("vals", transform(col("l"), x => x.getField("cents").cast("double")))
+      .withColumn("ewma_cents",
+        aggregate(
+          slice(col("vals"), lit(2), greatest(size(col("vals")) - 1, lit(0))),
+          element_at(col("vals"), 1),
+          (s, x) => (s + x) / 2.0))
+      .select("user_id", "n_events", "ewma_cents")
+      .orderBy("user_id")
+  }
+
+  /** One-sided CUSUM changepoint trace per event type: daily revenue is
+    * compared against the type's OWN mean via the integer cross-multiply
+    * (dc·n − total — no division, no floats), and the CUSUM recursion
+    * s_i = max(0, s_{i-1} + dev_i) is folded over the day series, emitting
+    * the statistic at EVERY day (an upward drift accumulates; a level
+    * series hugs zero). All arithmetic is int64 → bit-exact anywhere.
+    *
+    * The per-day prefix re-fold is O(days²) per type — days are
+    * CALENDAR-bounded (≤ a few thousand forever), so this is a constant
+    * ~10⁶ lambda steps per type regardless of corpus size; the data-sized
+    * work (daily rollup) is one shuffle. CUSUM is inherently sequential
+    * (max(0,·) kills prefix-sum decomposition), so the bounded-series fold
+    * IS the scale-right plan.
+    */
+  def eventsCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("dnum"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "dnum")
+      .agg(sum(col("cents")).as("dc"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("dnum"), col("dc")))).as("l"),
+        count(lit(1)).as("n"), sum(col("dc")).as("total"))
+      .withColumn("devs",
+        transform(col("l"), x => x.getField("dc") * col("n") - col("total")))
+      .select(col("event_type"), col("devs"),
+        posexplode(col("l")).as(Seq("pos", "d")))
+      .select(col("event_type"), col("d").getField("dnum").as("day"),
+        aggregate(slice(col("devs"), lit(1), col("pos") + 1), lit(0L),
+          (s, x) => greatest(s + x, lit(0L))).as("cusum"))
+      .orderBy("event_type", "day")
+  }
 }
