@@ -321,6 +321,7 @@ object SparkEntry {
     "graph_pagerank" -> (Graph.graphPagerank _),
     "events_ewma" -> (Analytics.eventsEwma _),
     "events_cusum" -> (Analytics.eventsCusum _),
+    "text_bpe_merges" -> (Analytics.textBpeMerges _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx

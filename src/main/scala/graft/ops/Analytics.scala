@@ -1382,4 +1382,65 @@ object Analytics {
           (s, x) => greatest(s + x, lit(0L))).as("cusum"))
       .orderBy("event_type", "day")
   }
+
+  /** BPE merge learning over the corpus — the tokenizer-training kernel:
+    * K = 8 rounds of (count adjacent symbol pairs, weighted by word
+    * frequency) → (argmax, ties broken count-desc then pair-asc) → (merge
+    * that pair left-to-right in every word). Learning runs on the WORD
+    * DICTIONARY (vocab-trimmed: alpha words, len ≥ 2, count ≥ 5), the
+    * standard trick that makes each round's work O(|vocab|·|word|), not
+    * O(corpus): the corpus is touched exactly once to build the dict.
+    *
+    * Distribution shape: pair counting is explode + hash-agg (codegen,
+    * map-side combined); the winning pair is ONE driver-fetched row per
+    * round (a bounded parameter fetch, same contract as the probe/centroid
+    * fetches); merge application is a typed per-row map; each round
+    * localCheckpoints, so round r's lineage never replays round r−1. The
+    * argmax and the left-to-right non-overlapping merge are both exactly
+    * deterministic — but the ROUND RECURRENCE (argmax feeds the next
+    * count) is a driver loop no SQL engine expresses, hence
+    * scalatest-pinned against a plain-Scala reference learner rather than
+    * DuckDB.
+    */
+  def textBpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = t(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+    var seqs = words.as[(String, Long)]
+      .map { case (w, c) => (w, c, w.map(_.toString): Seq[String]) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var exhausted = false
+    for (rank <- 1L to 8L if !exhausted) {
+      val top = seqs.toDF("w", "cnt", "syms")
+        .withColumn("l", slice(col("syms"), lit(1), size(col("syms")) - 1))
+        .withColumn("r", slice(col("syms"), lit(2), size(col("syms")) - 1))
+        .select(col("cnt"), explode(arrays_zip(col("l"), col("r"))).as("p"))
+        .groupBy(col("p.l").as("a"), col("p.r").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(desc("total"), asc("a"), asc("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, tot) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, tot))
+        seqs = seqs.map { case (w, c, syms) =>
+          val out = Seq.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (w, c, out.result())
+        }.localCheckpoint()
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("rank", "left", "right", "merged", "pair_count")
+      .orderBy("rank")
+  }
 }

@@ -124,7 +124,11 @@ class UnoracleableSpec extends SparkSpec {
     "pack_sequences" -> Pin(
       "next-fit packing is a sequential recurrence no window/agg SQL expresses",
       "OpsSpec", Seq(
-        "pack_sequences: next-fit invariants fully determine the packing")))
+        "pack_sequences: next-fit invariants fully determine the packing")),
+    "text_bpe_merges" -> Pin(
+      "the round recurrence (argmax merge feeds the next pair count) is a driver loop SQL cannot express",
+      "UnoracleableSpec", Seq(
+        "text_bpe_merges matches a plain-Scala reference learner on the fixture corpus")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -459,6 +463,46 @@ class UnoracleableSpec extends SparkSpec {
     // GC'd localCheckpoint blocks between the two samples; only GROWTH
     // indicates a leak here.
     assert(n1 <= n0, s"repeated textContainment leaked ${n1 - n0} persisted entries")
+  }
+
+  test("text_bpe_merges matches a plain-Scala reference learner on the fixture corpus") {
+    // Reference BPE on the driver: same vocab trim, same argmax tie-break
+    // (count desc, then pair asc), same left-to-right non-overlapping merge.
+    val dict0: Map[String, Long] = Tables.t(spark, sf, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).toLowerCase.split("[^a-z]+"))
+      .filter(_.length >= 2)
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    var dict: Map[Vector[String], Long] =
+      dict0.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (rank <- 1L to 8L) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((syms, c) <- dict; p <- syms.sliding(2) if p.length == 2)
+        counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + c
+      if (counts.nonEmpty) {
+        val ((a, b), tot) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+        ref += ((rank, a, b, tot))
+        dict = dict.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+    }
+    val got = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(ref.nonEmpty && got == ref.toSeq,
+      s"spark merges $got != reference ${ref.toSeq}")
+    // Every learned merge token must concatenate its parts.
+    for (r <- SparkEntry.queries("text_bpe_merges")(spark, sf).collect())
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
