@@ -322,6 +322,9 @@ object SparkEntry {
     "events_ewma" -> (Analytics.eventsEwma _),
     "events_cusum" -> (Analytics.eventsCusum _),
     "text_bpe_merges" -> (Analytics.textBpeMerges _),
+    "graph_degree_stats" -> (Graph.graphDegreeStats _),
+    "graph_triangles" -> (Graph.graphTriangles _),
+    "scan_binaryfile" -> (graft.sources.FileFormats.scanBinaryfile _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -692,6 +695,12 @@ object SparkEntry {
     "graph_pagerank" -> Graph.pagerankOracleSql,
     "events_ewma" ->
       """WITH ev AS (SELECT user_id, CAST(floor(value*100+0.5) AS BIGINT) AS cents, ts, event_id FROM events) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list_reduce(list(CAST(cents AS DOUBLE) ORDER BY ts, event_id), (s, x) -> (s + x) / 2) AS ewma_cents FROM ev GROUP BY user_id ORDER BY user_id""",
+    "graph_degree_stats" ->
+      """WITH base AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), edges AS (SELECT cust AS src, supp + 1000000 AS dst FROM base UNION ALL SELECT supp + 1000000, cust FROM base), deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src) SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS side, CAST(length(bin(d)) AS BIGINT) AS degree_bits, CAST(count(*) AS BIGINT) AS n_nodes, min(d) AS min_degree, max(d) AS max_degree FROM deg GROUP BY 1, 2 ORDER BY side, degree_bits""",
+    "graph_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS x, b.l_partkey AS y FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2) SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM e e1 JOIN e e2 ON e1.y = e2.x JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y ORDER BY a, b, c""",
+    "scan_binaryfile" ->
+      """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS fingerprint FROM documents ORDER BY asset_id""",
     "events_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dnum, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS dc FROM events GROUP BY 1, 2), typed AS (SELECT event_type, list(dnum ORDER BY dnum) AS days, list(dc ORDER BY dnum) AS dcs, CAST(count(*) AS BIGINT) AS n, CAST(sum(dc) AS BIGINT) AS total FROM daily GROUP BY event_type) SELECT event_type, days[i] AS day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(dcs[1:i], x -> x*n - total)), (s, x) -> greatest(s + x, 0)) AS cusum FROM typed, LATERAL unnest(range(1, n+1)) AS g(i) ORDER BY event_type, day""",
   )

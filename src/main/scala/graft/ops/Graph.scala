@@ -90,6 +90,73 @@ object Graph {
     ranks.orderBy(col("pr").desc, col("node")).limit(30)
   }
 
+  /** Degree distribution of the trade graph in exact log2 buckets: per side
+    * (customer / supplier), how many nodes have degree in [2^k, 2^{k+1}).
+    * The bucket is `length(conv(d, 10, 2))` — the BIT LENGTH of the degree,
+    * an integer-exact log2 (float `log2` misrounds at powers of two; string
+    * length cannot). Reads the memoized [[tradeGraph]]: (src, outdeg) pairs
+    * dedupe to one row per node before the tiny histogram aggregate.
+    *
+    * Scale: the distinct is the only data-sized shuffle; the histogram is
+    * O(sides × 64) rows forever. This is the first query a graph pipeline
+    * runs — skew in THIS histogram is what decides whether the pagerank
+    * broadcast plan or a hub-split plan applies.
+    */
+  def graphDegreeStats(spark: SparkSession, dir: String): DataFrame =
+    tradeGraph(spark, dir)
+      .select(col("src").as("node"), col("outdeg").as("d"))
+      .distinct()
+      .select(
+        when(col("node") >= 1000000L, "supplier").otherwise("customer").as("side"),
+        expr("length(conv(d, 10, 2))").cast("long").as("degree_bits"),
+        col("d"))
+      .groupBy("side", "degree_bits")
+      .agg(count(lit(1)).as("n_nodes"), min(col("d")).as("min_degree"),
+        max(col("d")).as("max_degree"))
+      .orderBy("side", "degree_bits")
+
+  /** Triangle enumeration over the part co-purchase graph (edge = two parts
+    * in ≥ 2 common orders) with DEGREE-ORDERED orientation: every edge
+    * points from its lower-degree endpoint (ties by id), wedges are built
+    * only from each node's OUT-neighbors, and a wedge closes by probing the
+    * canonical undirected edge set. Orientation is the whole scale story —
+    * out-degree under it is O(√E) even for hub nodes, so wedge counts stay
+    * Σ C(outdeg,2) ≈ E^1.5 instead of a hub's C(degree,2) blowup; the
+    * found triangle SET is orientation-invariant, which is why the naive
+    * a<b oracle agrees.
+    *
+    * Scale: three equi-joins (wedge build self-join on src, closing-edge
+    * probe on the canonical pair) — all hash-partitioned, no cartesian;
+    * the support filter (≥ 2 co-orders) prunes the edge set before any
+    * wedge is formed.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_partkey")).distinct()
+    val edges = op.toDF("k", "x").join(op.toDF("k", "y"), "k")
+      .filter(col("x") < col("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select("x", "y")
+    val deg = edges.select(col("x").as("n")).unionAll(edges.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.toDF("x", "dx"), "x")
+      .join(deg.toDF("y", "dy"), "y")
+    val dirE = withDeg.select(
+      when(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")),
+        struct(col("x").as("s"), col("y").as("t")))
+        .otherwise(struct(col("y").as("s"), col("x").as("t"))).as("e"))
+      .select(col("e.s").as("src"), col("e.t").as("dst"))
+    val wedges = dirE.toDF("src", "v").join(dirE.toDF("src", "w"), "src")
+      .filter(col("v") < col("w"))
+    wedges.join(edges, wedges("v") === edges("x") && wedges("w") === edges("y"))
+      .select(array_sort(array(col("src"), col("v"), col("w"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"), element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+      .orderBy("a", "b", "c")
+  }
+
   /** The DuckDB oracle for [[graphPagerank]]: the same 8 supersteps
     * unrolled as chained CTEs (recursive CTEs can't aggregate in the
     * recursive leg, so unrolling is the honest SQL rendering). `//` floors
