@@ -325,6 +325,8 @@ object SparkEntry {
     "graph_degree_stats" -> (Graph.graphDegreeStats _),
     "graph_triangles" -> (Graph.graphTriangles _),
     "scan_binaryfile" -> (graft.sources.FileFormats.scanBinaryfile _),
+    "scan_avro_roundtrip" -> (graft.sources.FileFormats.scanAvroRoundtrip _),
+    "scan_xml_roundtrip" -> (graft.sources.FileFormats.scanXmlRoundtrip _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -515,6 +517,10 @@ object SparkEntry {
     "scan_json_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "scan_orc_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "scan_avro_roundtrip" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "scan_xml_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "scan_schema_evolution" ->
       """SELECT event_id, user_id, event_type, CASE WHEN event_id % 2 = 1 THEN value ELSE NULL END AS value FROM events ORDER BY event_id""",

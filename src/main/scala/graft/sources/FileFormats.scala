@@ -45,16 +45,29 @@ object FileFormats {
     path.toString
   }
 
+  /** Per-format reader/writer options: CSV needs its header; XML needs the
+    * row tag on BOTH sides (the writer wraps rows, the reader unwraps the
+    * same tag).
+    */
+  private def fmtOptions(format: String): Map[String, String] = format match {
+    case "csv" => Map("header" -> "true")
+    case "xml" => Map("rowTag" -> "event")
+    case _ => Map.empty
+  }
+
   private def roundtrip(spark: SparkSession, dir: String, format: String): DataFrame = {
     val base = eventsProjection(spark, dir)
+    // The avro classes ship inside spark-sql here but are NOT
+    // service-registered (no spark-avro module jar), so the short name
+    // fails lookup; the fully-qualified FileFormat class resolves.
+    val fmt =
+      if (format == "avro") "org.apache.spark.sql.avro.AvroFileFormat" else format
     val out = rtCache.computeIfAbsent((dir, format), _ => {
       val path = exitCleanedTempDir(s"graft-$format")
-      val writer = base.write.mode("overwrite")
-      (if (format == "csv") writer.option("header", "true") else writer).format(format).save(path)
+      base.write.mode("overwrite").options(fmtOptions(format)).format(fmt).save(path)
       path
     })
-    val reader = spark.read.schema(base.schema)
-    (if (format == "csv") reader.option("header", "true") else reader).format(format).load(out)
+    spark.read.schema(base.schema).options(fmtOptions(format)).format(fmt).load(out)
       .orderBy("event_id")
   }
 
@@ -75,6 +88,27 @@ object FileFormats {
     */
   def scanOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
     roundtrip(spark, dir, "orc")
+
+  /** events → Avro → read back. The ROW-oriented binary leg (Kafka's lingua
+    * franca): value-exact like the columnar legs (no text rendering), but
+    * record-at-a-time — the format a streaming bus hands the lake, read
+    * here through the same explicit-schema discipline. Scan behavior
+    * differs from columnar by design: no column pruning below the row
+    * decode, which is exactly why ingestion converts to parquet/ORC after
+    * landing.
+    */
+  def scanAvroRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "avro")
+
+  /** events → XML (one `<event>` element per row) → read back, schema
+    * explicit. Spark 4 ships the XML DataSource natively; the write side
+    * renders with the same shortest-round-trip double/long text forms as
+    * CSV/JSON, so values survive exactly. The feeds-and-exports leg:
+    * B2B/legacy pipelines still move XML, and this proves the engine reads
+    * them with full schema control (row tag on both sides).
+    */
+  def scanXmlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, dir, "xml")
 
   /** documents.text → raw text files (one line per doc) → read back via the
     * `text` DataSource, ordered. The line-oriented leg: raw-text lakes
