@@ -327,6 +327,7 @@ object SparkEntry {
     "scan_binaryfile" -> (graft.sources.FileFormats.scanBinaryfile _),
     "scan_avro_roundtrip" -> (graft.sources.FileFormats.scanAvroRoundtrip _),
     "scan_xml_roundtrip" -> (graft.sources.FileFormats.scanXmlRoundtrip _),
+    "text_char_ngrams" -> (Analytics.textCharNgrams _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -522,6 +523,8 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "scan_xml_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "text_char_ngrams" ->
+      """WITH g AS (SELECT lang, substring(lower(text), i, 3) AS gram FROM documents, LATERAL unnest(range(1, length(text) - 1)) AS r(i)), c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2), rr AS (SELECT lang, gram, cnt, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS BIGINT) AS rn FROM c) SELECT lang, gram, cnt, rn FROM rr WHERE rn <= 10 ORDER BY lang, rn""",
     "scan_schema_evolution" ->
       """SELECT event_id, user_id, event_type, CASE WHEN event_id % 2 = 1 THEN value ELSE NULL END AS value FROM events ORDER BY event_id""",
     "scan_text_roundtrip" ->

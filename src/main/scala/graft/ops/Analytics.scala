@@ -1443,4 +1443,28 @@ object Analytics {
       .select("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
   }
+
+  /** Top character trigrams per language via the native
+    * [[graft.functions.CharNgrams]] GENERATOR — one Catalyst `Generate`
+    * node emitting (pos, gram) rows in a single pass, where the built-in
+    * route (explode∘transform∘sequence) materializes a per-row array first.
+    * Character n-gram profiles ARE the language-ID feature family
+    * (`text_langid`'s signals, here exposed as a queryable table).
+    *
+    * Scale: generation is map-side; the count shuffles once on
+    * (lang, gram) with map-side combine, and the per-language top-10 rides
+    * a WindowGroupLimit — per-partition heaps forward ≤ 10 rows per
+    * language through the final shuffle.
+    */
+  def textCharNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.functions.CharNgrams.charNgrams(spark, lower(col("text")), lit(3))
+    val w = Window.partitionBy("lang").orderBy(desc("cnt"), asc("gram"))
+    t(spark, dir, "documents")
+      .select(col("lang"), g.as(Seq("pos", "gram")))
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("lang", "gram", "cnt", "rn")
+      .orderBy("lang", "rn")
+  }
 }
