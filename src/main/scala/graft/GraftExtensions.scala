@@ -88,11 +88,17 @@ object ExtensionsDemo {
         |  FROM documents LIMIT 5)""".stripMargin).head().getLong(0)
     val dot = spark.sql(
       "SELECT graft_dot(embedding, embedding) FROM embeddings LIMIT 1").head().getDouble(0)
+    // The generator runs in a LATERAL VIEW position — pure-SQL table function.
+    val grams = spark.sql(
+      """SELECT count(*) FROM (
+        |  SELECT g.pos, g.gram FROM documents
+        |  LATERAL VIEW graft_char_ngrams(text, 5) g AS pos, gram
+        |  LIMIT 20)""".stripMargin).head().getLong(0)
     val pushed = Tables.t(spark, sfDir, "events")
       .filter(org.apache.spark.sql.functions.col("ts") >=
         org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))
       .queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(ts,")
-    println(s"[graft.ExtensionsDemo] sql_functions_ok=${fns == 5} dot_ok=${dot > 0} nanos_pushdown_ok=$pushed")
+    println(s"[graft.ExtensionsDemo] sql_functions_ok=${fns == 5} dot_ok=${dot > 0} generator_ok=${grams == 20} nanos_pushdown_ok=$pushed")
     spark.stop()
   }
 }

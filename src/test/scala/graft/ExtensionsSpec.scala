@@ -22,7 +22,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("spark.sql.extensions=graft.GraftExtensions injects the rule + all 6 SQL functions") {
+  test("spark.sql.extensions=graft.GraftExtensions injects the rule, 7 scalar SQL functions, and the generator") {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -59,6 +59,17 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT graft_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
         .head().getDouble(0)
       assert(dot > 0.0)
+
+      // The injected GENERATOR expands rows from a LATERAL VIEW: doc 0's
+      // 5-gram count must be length - 4, and positions must start at 0.
+      val g = s.sql(
+        """SELECT count(*) AS n, min(g.pos) AS p0, max(length(g.gram)) AS gl
+          |FROM documents LATERAL VIEW graft_char_ngrams(text, 5) g AS pos, gram
+          |WHERE doc_id = 0""".stripMargin).head()
+      val len0 = s.sql("SELECT length(text) FROM documents WHERE doc_id = 0")
+        .head().getInt(0)
+      assert(g.getAs[Long]("n") == (len0 - 4).toLong)
+      assert(g.getAs[Int]("p0") == 0 && g.getAs[Int]("gl") == 5)
 
       // SQL bindings agree with the Scala-helper registrations (same
       // Expressions, fixed 64-hash / 3-shingle defaults).
