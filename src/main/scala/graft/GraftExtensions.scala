@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushdownNanosTimestamp)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(text) - 64-hash MinHash signature (3-word shingles)"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64, 3)))

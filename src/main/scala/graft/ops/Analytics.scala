@@ -1272,6 +1272,10 @@ object Analytics {
     * [[graft.ops.Skew]]'s salting). Never all-pairs.
     */
   def erBlockedMatch(spark: SparkSession, dir: String): DataFrame = {
+    // Installs the length-guard rule: the levenshtein threshold filter gets
+    // an implied abs(len-diff) pre-check so the DP runs only on
+    // length-compatible pairs (plan-pinned in PlanShapeSpec).
+    graft.plans.LevenshteinLengthGuard.install(spark)
     val c = t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
         substring(col("c_name"), 10, 9).as("c_suf"))

@@ -269,6 +269,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
   }
 
+  test("levenshtein threshold filter gains the implied length-difference guard") {
+    val p = plan("er_blocked_match")
+    // The rule injects abs(length(a) - length(b)) <= k AHEAD of the DP —
+    // conjunct order is evaluation order in the generated code, so the
+    // cheap guard short-circuits the expensive levenshtein.
+    val joinLine = p.linesIterator
+      .find(l => l.contains("levenshtein") && l.contains("<=")).getOrElse("")
+    assert(joinLine.contains("abs((length("),
+      s"length guard missing from the levenshtein predicate line:\n$p")
+    assert(joinLine.indexOf("abs((length(") < joinLine.indexOf("levenshtein"),
+      s"guard must precede the DP in the conjunction:\n$joinLine")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
