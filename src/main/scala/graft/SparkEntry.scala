@@ -328,6 +328,8 @@ object SparkEntry {
     "scan_avro_roundtrip" -> (graft.sources.FileFormats.scanAvroRoundtrip _),
     "scan_xml_roundtrip" -> (graft.sources.FileFormats.scanXmlRoundtrip _),
     "text_char_ngrams" -> (Analytics.textCharNgrams _),
+    "setop_union_by_name" -> (Relational.setopUnionByName _),
+    "sql_recursive_cte" -> (Relational.sqlRecursiveCte _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -523,6 +525,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "scan_xml_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
+    "setop_union_by_name" ->
+      """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc AS (SELECT s_suppkey AS node, s_suppkey AS ancestor, 0 AS depth FROM supplier UNION ALL SELECT node, ancestor // 2, depth + 1 FROM anc WHERE ancestor > 0) SELECT node, CAST(max(depth) AS BIGINT) AS chain_len, CAST(count(*) AS BIGINT) AS n_ancestors FROM anc GROUP BY node ORDER BY node""",
     "text_char_ngrams" ->
       """WITH g AS (SELECT lang, substring(lower(text), i, 3) AS gram FROM documents, LATERAL unnest(range(1, length(text) - 1)) AS r(i)), c AS (SELECT lang, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2), rr AS (SELECT lang, gram, cnt, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, gram) AS BIGINT) AS rn FROM c) SELECT lang, gram, cnt, rn FROM rr WHERE rn <= 10 ORDER BY lang, rn""",
     "scan_schema_evolution" ->

@@ -1187,4 +1187,45 @@ object Relational {
       .except(e.filter(col("event_type") === "purchase").select("user_id"))
       .orderBy("user_id")
   }
+
+  /** Name-resolved union across DRIFTED schemas: side A carries cents, side
+    * B carries priority; `unionByName(allowMissingColumns = true)` aligns
+    * columns by NAME and nulls what a side lacks — the union a lake
+    * actually needs when producers evolve independently (positional
+    * `union` would mis-zip or reject). Still a zero-shuffle concat.
+    */
+  def setopUnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val a = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val b = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    a.unionByName(b, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): each supplier's ancestry
+    * chain under the halving hierarchy parent(k) = k div 2 — the
+    * transitive-closure/org-chart shape SQL recursion exists for. The
+    * recursion depth is log2(maxkey) (~10 here, capped by Spark's
+    * recursion level limit of 100), each level one self-referencing step
+    * the engine executes as an iterative union.
+    *
+    * Scale: recursive CTEs iterate like the PageRank loop — per level one
+    * scan of the previous level's frontier; the frontier here never
+    * exceeds |supplier|. Depth, not data, bounds the iteration count.
+    */
+  def sqlRecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "supplier").createOrReplaceTempView("supplier_v")
+    spark.sql(
+      """WITH RECURSIVE anc AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS ancestor, 0 AS depth FROM supplier_v
+        |  UNION ALL
+        |  SELECT node, ancestor div 2, depth + 1 FROM anc WHERE ancestor > 0
+        |)
+        |SELECT node, CAST(max(depth) AS BIGINT) AS chain_len,
+        |       CAST(count(*) AS BIGINT) AS n_ancestors
+        |FROM anc GROUP BY node ORDER BY node""".stripMargin)
+  }
 }
