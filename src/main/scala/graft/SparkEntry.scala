@@ -330,6 +330,7 @@ object SparkEntry {
     "text_char_ngrams" -> (Analytics.textCharNgrams _),
     "setop_union_by_name" -> (Relational.setopUnionByName _),
     "sql_recursive_cte" -> (Relational.sqlRecursiveCte _),
+    "sim_topk_ivf_stored" -> ((s, d) => LlmPipeline.simTopkIvfStored(s, d)),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx

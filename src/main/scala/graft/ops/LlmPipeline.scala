@@ -796,6 +796,74 @@ object LlmPipeline {
       .limit(5)
   }
 
+  // ---------------------------------------------------------------- stored IVF index
+
+  // One persisted index per source dir per JVM (the store is a directory on
+  // disk — session-independent by design; the memo only avoids rebuilding).
+  private val ivfStoreCache = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Persist the IVF index to `outDir`: `centroids/` (cell → centroid
+    * vector, the k×64 parameter matrix) and `vectors/` — the corpus
+    * CELL-PARTITIONED on disk (`partitionBy("cell")`), one directory per
+    * Voronoi cell. The layout IS the index: a probe reads centroids (a
+    * bounded parameter fetch), ranks cells driver-side, and scans ONLY the
+    * nProbe matching partition directories via static partition pruning —
+    * at 100 TB the search touches nProbe/k of the corpus before any row is
+    * decoded, the on-disk analogue of the in-memory cell filter. This is
+    * the production ANN shape: the index builds once (one job), persists,
+    * and EVERY later session searches it without re-clustering — the same
+    * sidecar discipline as the incremental-dedup index tables.
+    */
+  def saveIvfIndex(spark: SparkSession, dir: String, outDir: String,
+      k: Int = 10, iters: Int = 2): Unit = {
+    val cents = kMeansCentroids(spark, dir, k, iters)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    t(spark, dir, "embeddings")
+      .withColumn("cell", nearestCell(spark, cents))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$outDir/vectors")
+  }
+
+  private[graft] def ivfStoreDir(spark: SparkSession, dir: String): String =
+    ivfStoreCache.computeIfAbsent(dir, _ => {
+      val out = graft.sources.FileFormats.exitCleanedTempDir("graft-ivfstore")
+      saveIvfIndex(spark, dir, out)
+      out
+    })
+
+  /** IVF search over the PERSISTED index: centroids load as a k×64
+    * parameter fetch, the probe ranks cells driver-side exactly as
+    * [[simTopkIvf]] does, and the vector scan carries `cell IN (...)` as a
+    * static PartitionFilter — only the probed cell directories are listed
+    * or read (spec-pinned, and pinned equal to the in-memory search row
+    * for row: same centroids → same candidates → same exact re-rank).
+    */
+  def simTopkIvfStored(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame = {
+    val store = ivfStoreDir(spark, dir)
+    val cents: Seq[Seq[Double]] = spark.read.parquet(s"$store/centroids")
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val probe = t(spark, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val p = typedlit(probe)
+    val pv = probe.map(_.toDouble)
+    def cosTo(c: Seq[Double]): Double = {
+      val d = c.zip(pv).map { case (x, y) => x * y }.sum
+      d / (math.max(math.sqrt(c.map(x => x * x).sum), 1e-12) *
+        math.sqrt(pv.map(x => x * x).sum))
+    }
+    val nearCells = cents.zipWithIndex
+      .map { case (c, i) => (i, cosTo(c)) }
+      .sortBy { case (i, s) => (-s, i) }.take(nProbe).map(_._1)
+    spark.read.parquet(s"$store/vectors")
+      .filter(col("cell").isin(nearCells: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        (dot(spark, col("embedding"), p) / (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(5)
+  }
+
   // ---------------------------------------------------------------- product quantization
 
   /** PQ geometry: M subspaces × ksub centroids over the 64-dim embeddings.

@@ -34,7 +34,7 @@ object FileFormats {
     * copies outlive any one SparkSession by design (the caches are per-JVM),
     * so cleanup belongs to the JVM, not the session.
     */
-  private def exitCleanedTempDir(prefix: String): String = {
+  private[graft] def exitCleanedTempDir(prefix: String): String = {
     val path = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       scala.util.Try {

@@ -128,7 +128,11 @@ class UnoracleableSpec extends SparkSpec {
     "text_bpe_merges" -> Pin(
       "the round recurrence (argmax merge feeds the next pair count) is a driver loop SQL cannot express",
       "UnoracleableSpec", Seq(
-        "text_bpe_merges matches a plain-Scala reference learner on the fixture corpus")))
+        "text_bpe_merges matches a plain-Scala reference learner on the fixture corpus")),
+    "sim_topk_ivf_stored" -> Pin(
+      "persisted form of the engine-defined IVF index (float cosine, as sim_topk_ivf)",
+      "UnoracleableSpec", Seq(
+        "stored IVF index equals the in-memory search and prunes cell partitions")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
@@ -463,6 +467,22 @@ class UnoracleableSpec extends SparkSpec {
     // GC'd localCheckpoint blocks between the two samples; only GROWTH
     // indicates a leak here.
     assert(n1 <= n0, s"repeated textContainment leaked ${n1 - n0} persisted entries")
+  }
+
+  test("stored IVF index equals the in-memory search and prunes cell partitions") {
+    val mem = LlmPipeline.simTopkIvf(spark, sf).collect().toSeq
+    val stored = LlmPipeline.simTopkIvfStored(spark, sf)
+    // Same centroids → same probed cells → same candidates → same exact
+    // re-rank: row-for-row identical, doubles included.
+    assert(stored.collect().toSeq == mem,
+      "persisted-index search must reproduce the in-memory IVF result exactly")
+    // The scan must prune to the probed cell DIRECTORIES — the whole point
+    // of partitioning the stored vectors by cell.
+    val plan = stored.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .filter(l => l.contains("PartitionFilters") && l.contains("vectors")).mkString
+    assert(scanLine.contains("cell#") && scanLine.contains("IN ("),
+      s"cell partition pruning missing from the stored-vector scan:\n$plan")
   }
 
   test("text_bpe_merges matches a plain-Scala reference learner on the fixture corpus") {
