@@ -777,6 +777,35 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Pure interval join with NO equi key — every purchase event matched to
+    * every order dated within ±12 h — via TIME-GRID BUCKETING: each event
+    * registers in the 24 h buckets its window touches
+    * (`sequence((t−H) div B, (t+H) div B)`, ≤ 2 buckets), orders register
+    * their one bucket, and the join runs on the bucket EQUI key; the exact
+    * |Δt| ≤ 12 h predicate then filters candidates and `distinct` collapses
+    * double-registered pairs. Without the grid this is a broadcast-
+    * nested-loop (dies when neither side broadcasts); with it, candidates
+    * per row are bounded by window/bucket + 1 — the interval-join analogue
+    * of [[graft.ops.LlmPipeline.simKnnJoinCells]]' cell-keyed ANN.
+    * Plan-pinned: hash-partitioned equi join, no BNLJ. Exact int64 micros.
+    */
+  def joinIntervalBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val B = 86400000000L
+    val H = 43200000000L
+    val ev = t(spark, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"(tus - $H) div $B"), expr(s"(tus + $H) div $B"))))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("ous"))
+      .withColumn("bucket", expr(s"ous div $B"))
+    ev.join(ord, "bucket")
+      .filter(abs(col("tus") - col("ous")) <= H)
+      .select("event_id", "o_orderkey").distinct()
+      .groupBy("event_id").agg(count(lit(1)).as("n_orders_nearby"))
+      .orderBy("event_id")
+  }
+
   /** Full outer join: every customer and every order key bucket represented,
     * null-preserved on both sides (sentinel-coalesced for deterministic
     * output). Uses aggregated sides so the output stays small.

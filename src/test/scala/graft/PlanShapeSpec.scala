@@ -282,6 +282,13 @@ class PlanShapeSpec extends SparkSpec {
       s"guard must precede the DP in the conjunction:\n$joinLine")
   }
 
+  test("interval join rides the time-grid equi key — no nested-loop join") {
+    val p = plan("join_interval_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a nested loop:\n$p")
+    assert(p.contains("bucket"), s"grid key missing from the join:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
