@@ -528,7 +528,7 @@ object SparkEntry {
     "scan_xml_roundtrip" ->
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "join_interval_bucketed" ->
-      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS ous FROM orders) SELECT event_id, CAST(count(*) AS BIGINT) AS n_orders_nearby FROM ev JOIN o ON abs(tus - ous) <= 43200000000 GROUP BY event_id ORDER BY event_id""",
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), o AS (SELECT event_id AS oid, epoch_us(ts) AS ous FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM ev JOIN o ON abs(tus - ous) <= 900000000 GROUP BY event_id ORDER BY event_id""",
     "setop_union_by_name" ->
       """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
     "sql_recursive_cte" ->

@@ -777,32 +777,45 @@ object Relational {
       .orderBy("user_id")
   }
 
-  /** Pure interval join with NO equi key — every purchase event matched to
-    * every order dated within ±12 h — via TIME-GRID BUCKETING: each event
-    * registers in the 24 h buckets its window touches
-    * (`sequence((t−H) div B, (t+H) div B)`, ≤ 2 buckets), orders register
-    * their one bucket, and the join runs on the bucket EQUI key; the exact
-    * |Δt| ≤ 12 h predicate then filters candidates and `distinct` collapses
-    * double-registered pairs. Without the grid this is a broadcast-
-    * nested-loop (dies when neither side broadcasts); with it, candidates
-    * per row are bounded by window/bucket + 1 — the interval-join analogue
-    * of [[graft.ops.LlmPipeline.simKnnJoinCells]]' cell-keyed ANN.
+  /** Time-grid interval-join KERNEL: all (event_id, oid) pairs with
+    * |tus − ous| ≤ H, computed WITHOUT an equi key via grid bucketing. The
+    * left side registers in every bucket of width B = 2H its window touches
+    * (`sequence((t−H) div B, (t+H) div B)`, ≤ 2 buckets since B = 2H); the
+    * right side registers its one bucket; the join runs on the bucket EQUI
+    * key; the exact |Δt| ≤ H predicate filters candidates and `distinct`
+    * collapses double-registered pairs. Without the grid this is a
+    * broadcast-nested-loop (dies when neither side broadcasts); with it,
+    * candidates per row are bounded by rows-per-bucket — the interval-join
+    * analogue of [[graft.ops.LlmPipeline]]'s cell-keyed ANN join.
     * Plan-pinned: hash-partitioned equi join, no BNLJ. Exact int64 micros.
+    * Inputs: `left(event_id, tus)`, `right(oid, ous)` — micros since epoch.
+    */
+  def intervalPairs(left: DataFrame, right: DataFrame, H: Long): DataFrame = {
+    val B = 2L * H
+    val ev = left.withColumn("bucket",
+      explode(sequence(expr(s"(tus - $H) div $B"), expr(s"(tus + $H) div $B"))))
+    val other = right.withColumn("bucket", expr(s"ous div $B"))
+    ev.join(other, "bucket")
+      .filter(abs(col("tus") - col("ous")) <= H)
+      .select("event_id", "oid").distinct()
+  }
+
+  /** Pure interval join with NO equi key — every purchase event matched to
+    * every click event (any user) within ±15 min — through the
+    * [[intervalPairs]] time grid. ~1.5k of ~2k purchases have a click
+    * nearby at sf0.01, so the window predicate is doing real selection
+    * (not vacuous, not all-pairs). Exact per-pair semantics, including a
+    * window straddling a bucket boundary, are pinned in `OpsSpec` against
+    * a constructed fixture.
     */
   def joinIntervalBucketed(spark: SparkSession, dir: String): DataFrame = {
-    val B = 86400000000L
-    val H = 43200000000L
+    val H = 900000000L // ±15 min in micros
     val ev = t(spark, dir, "events").filter(col("event_type") === "purchase")
       .select(col("event_id"), unix_micros(col("ts")).as("tus"))
-      .withColumn("bucket",
-        explode(sequence(expr(s"(tus - $H) div $B"), expr(s"(tus + $H) div $B"))))
-    val ord = t(spark, dir, "orders")
-      .select(col("o_orderkey"), unix_micros(col("o_orderdate")).as("ous"))
-      .withColumn("bucket", expr(s"ous div $B"))
-    ev.join(ord, "bucket")
-      .filter(abs(col("tus") - col("ous")) <= H)
-      .select("event_id", "o_orderkey").distinct()
-      .groupBy("event_id").agg(count(lit(1)).as("n_orders_nearby"))
+    val clicks = t(spark, dir, "events").filter(col("event_type") === "click")
+      .select(col("event_id").as("oid"), unix_micros(col("ts")).as("ous"))
+    intervalPairs(ev, clicks, H)
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks_nearby"))
       .orderBy("event_id")
   }
 

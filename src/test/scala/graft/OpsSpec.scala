@@ -852,6 +852,43 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("intervalPairs grid matches brute force on a constructed overlap fixture") {
+    import spark.implicits._
+    val H = 900000000L // ±15 min, same window as join_interval_bucketed
+    val B = 2L * H
+    val base = 1700000000000000L // realistic epoch micros, offset 0.8e9 into its bucket
+    val evs = Seq(("e1", base), ("e2", base + 3 * B), ("e3", base - 7 * B + 123456789L))
+    val cls = Seq(
+      ("c_same", base + 100000000L), // same grid bucket as e1 — match
+      ("c_edge", base + H), // |dt| = H exactly — inclusive boundary match
+      ("c_out", base + H + 1L), // 1 us beyond — candidate generated, filtered out
+      ("c_prev", base - 850000000L), // previous grid bucket — straddler match
+      ("c_far", base + 40 * B), // unrelated bucket — never a candidate
+      ("c_e2", base + 3 * B - 899999999L)) // straddler match for e2
+    val got = Relational
+      .intervalPairs(evs.toDF("event_id", "tus"), cls.toDF("oid", "ous"), H)
+      .as[(String, String)].collect().toSet
+    val expected =
+      (for { (e, t) <- evs; (c, u) <- cls if math.abs(t - u) <= H } yield (e, c)).toSet
+    assert(got == expected)
+    // The straddler cases are genuinely exercised: both matches live in a
+    // different grid bucket than their event's own, so they are only found
+    // because the event registered in BOTH buckets its window touches.
+    assert(expected.contains(("e1", "c_prev")) && base / B != (base - 850000000L) / B)
+    assert(expected.contains(("e2", "c_e2")))
+    // ...and the exact-window filter does real work on a same-bucket candidate.
+    assert(!expected.contains(("e1", "c_out")) && expected.contains(("e1", "c_edge")))
+  }
+
+  test("join_interval_bucketed is non-vacuous and selective at fixture scale") {
+    val rows = Relational.joinIntervalBucketed(spark, sf).collect()
+    assert(rows.nonEmpty, "interval join produced no rows — vacuous window")
+    val purchases = Tables.t(spark, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.length < purchases,
+      "every purchase matched — window predicate is not selecting")
+  }
+
   test("entry flagship returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
