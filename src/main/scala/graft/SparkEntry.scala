@@ -332,6 +332,7 @@ object SparkEntry {
     "sql_recursive_cte" -> (Relational.sqlRecursiveCte _),
     "sim_topk_ivf_stored" -> ((s, d) => LlmPipeline.simTopkIvfStored(s, d)),
     "join_interval_bucketed" -> (Relational.joinIntervalBucketed _),
+    "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -712,6 +713,7 @@ object SparkEntry {
     "join_bucketed_colocated" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "graph_pagerank" -> Graph.pagerankOracleSql,
+    "graph_pagerank_bucketed" -> Graph.pagerankOracleSql,
     "events_ewma" ->
       """WITH ev AS (SELECT user_id, CAST(floor(value*100+0.5) AS BIGINT) AS cents, ts, event_id FROM events) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list_reduce(list(CAST(cents AS DOUBLE) ORDER BY ts, event_id), (s, x) -> (s + x) / 2) AS ewma_cents FROM ev GROUP BY user_id ORDER BY user_id""",
     "graph_degree_stats" ->

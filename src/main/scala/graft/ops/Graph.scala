@@ -66,6 +66,19 @@ object Graph {
       edges.join(deg, "src").localCheckpoint()
     })
 
+  /** One synchronous superstep: contributions r/deg flow along edges
+    * (map-side, partial-aggregated), then r' = 0.15·Scale + 0.85·Σ. The
+    * CALLER decides how the rank vector meets the edges — `broadcast(ranks)`
+    * for the N ≪ broadcast-limit regime, a MERGE-hinted co-partitioned join
+    * for the billion-node regime — the superstep algebra is identical, which
+    * is what makes the two variants bit-identical.
+    */
+  private[graft] def superstep(e: DataFrame, ranks: DataFrame): DataFrame =
+    e.join(ranks, e("src") === ranks("node"))
+      .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
+      .groupBy("node")
+      .agg((lit(150000000L) + expr("(85 * sum(c)) div 100")).as("pr"))
+
   def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
     val e = tradeGraph(spark, dir)
     // The rank vector is O(N) ≪ O(E) and broadcasts each superstep, so the
@@ -75,17 +88,60 @@ object Graph {
     // the partial-aggregated rank vector. Checkpointing ranks EVERY round is
     // deliberate: it is tiny, and an un-checkpointed round re-executes every
     // round since the last checkpoint through the broadcast child. For
-    // billion-node graphs where the rank vector outgrows broadcast, flip to
-    // co-partitioned bucketed edges + a shuffle of ranks on src — the
-    // GraphX/Pregel cost model; the superstep algebra is unchanged.
+    // billion-node graphs where the rank vector outgrows broadcast,
+    // [[graphPagerankBucketed]] is the flip: co-partitioned bucketed edges +
+    // a shuffle of ranks on src — the GraphX/Pregel cost model.
     var ranks = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Scale).as("pr")).localCheckpoint()
     for (_ <- 1 to 8) {
-      ranks = e.join(broadcast(ranks), e("src") === ranks("node"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("c"))
-        .groupBy("node")
-        .agg((lit(150000000L) + expr("(85 * sum(c)) div 100")).as("pr"))
-        .localCheckpoint()
+      ranks = superstep(e, broadcast(ranks)).localCheckpoint()
+    }
+    ranks.orderBy(col("pr").desc, col("node")).limit(30)
+  }
+
+  // The bucketed edge table is written ONCE per (session, dir): 8 buckets
+  // hashed on src (repartition(8, src) first so each write task holds
+  // exactly one bucket → one file per bucket, the layout bucketed reads
+  // like). External table in an exit-cleaned temp dir + per-JVM tag, same
+  // decay discipline as FileFormats.bucketedTables.
+  private val bucketedEdgeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), String]]())
+
+  private[graft] def bucketedTradeGraph(spark: SparkSession, dir: String): String =
+    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "trade-graph-bkt"), _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.Long.toHexString(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+      val name = s"graft_edges_$tag"
+      tradeGraph(spark, dir)
+        .repartition(8, col("src"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", graft.sources.FileFormats.exitCleanedTempDir("graft-edges-bkt"))
+        .bucketBy(8, "src").sortBy("src")
+        .saveAsTable(name)
+      name
+    })
+
+  /** PageRank for the regime where the rank vector has outgrown broadcast
+    * (billion-node graphs): the O(E) edge table is persisted ONCE bucketed
+    * by `src`, so every superstep's sort-merge join reads edge bucket i
+    * directly — NO exchange ever re-shuffles the edges (plan-pinned in
+    * `PlanShapeSpec`: zero `hashpartitioning(src …)` anywhere). The only
+    * per-superstep movement is the O(N) rank vector, shuffled to the edge
+    * table's fixed bucketing, plus the partial-aggregated rank output — the
+    * GraphX/Pregel cost model on plain DataFrames. The MERGE hint keeps the
+    * fixture-sized rank vector off the broadcast path so the plan under
+    * test IS the at-scale plan. Bit-identical to [[graphPagerank]] (same
+    * integer superstep algebra, pinned in `OpsSpec`), so the flip between
+    * regimes is a pure cost decision, never a semantic one.
+    */
+  def graphPagerankBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val eb = spark.table(bucketedTradeGraph(spark, dir)).hint("MERGE")
+    var ranks = eb.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("pr")).localCheckpoint()
+    for (_ <- 1 to 8) {
+      ranks = superstep(eb, ranks).localCheckpoint()
     }
     ranks.orderBy(col("pr").desc, col("node")).limit(30)
   }

@@ -889,6 +889,12 @@ class OpsSpec extends SparkSpec {
       "every purchase matched — window predicate is not selecting")
   }
 
+  test("bucketed pagerank is bit-identical to the broadcast variant") {
+    val a = Graph.graphPagerank(spark, sf).collect().toSeq
+    val b = Graph.graphPagerankBucketed(spark, sf).collect().toSeq
+    assert(a == b, "the two join regimes must agree bit-for-bit (integer algebra)")
+  }
+
   test("entry flagship returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

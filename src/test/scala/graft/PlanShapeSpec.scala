@@ -289,6 +289,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bucket"), s"grid key missing from the join:\n$p")
   }
 
+  test("bucketed pagerank superstep never re-shuffles the edge table") {
+    val eb = spark.table(graft.ops.Graph.bucketedTradeGraph(spark, sf)).hint("MERGE")
+    val ranks = eb.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(graft.ops.Graph.Scale).as("pr")).localCheckpoint()
+    val step = graft.ops.Graph.superstep(eb, ranks)
+    step.count() // materialize through AQE so the final plan is inspectable
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"superstep must take the co-partitioned merge path, not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge table re-shuffled on src — bucketing not used by the join:\n$p")
+    assert(p.contains("hashpartitioning(node"),
+      s"expected the O(N) rank-vector shuffle to the edge bucketing:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
