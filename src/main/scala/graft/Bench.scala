@@ -20,11 +20,15 @@ import java.nio.file.{Files, Paths}
   * the family median is itself inflated — neither in-round trigger fires —
   * but the previous round's min for an untouched query is an independent
   * reference the contention cannot move. The previous artifact is read from
-  * `SPARK_GRAFT_BENCH_OUT` before this run overwrites it; a missing or
-  * unparseable prior, a query new this round, a prior that itself failed,
+  * `SPARK_GRAFT_BENCH_OUT` before this run overwrites it, and (r8+) is only
+  * ACCEPTED when it covers ≥95% of the current inventory — a mid-round
+  * partial sweep is not a reference, it is how r7's one phantom slipped
+  * through ([[priorAcceptable]]). A missing, unparseable, partial, or
+  * wrong-sf prior, a query new this round, a prior that itself failed,
   * or a sub-0.2s min all skip the trigger (nothing to compare / codegen
   * noise). `/proc/loadavg` is sampled before and after the
-  * sweep into the artifact so a contended run is self-identifying.
+  * sweep into the artifact so a contended run is self-identifying, and the
+  * artifact records the prior's source/size/coverage/acceptance verdict.
   *
   * Output goes to TWO places:
   *
@@ -101,6 +105,22 @@ object Bench {
     }
   }
 
+  /** A prior artifact is an acceptable cross-round reference only when it
+    * was a COMPLETE sweep: it must cover ≥95% of the CURRENT inventory by
+    * name. Round 7's `generator_explode_outer` phantom slipped through
+    * exactly here — the on-disk prior at graded-run time was a mid-round
+    * 193-query artifact whose own mins were contention-inflated, so trigger
+    * (3) compared against a corrupted reference. Partial artifacts
+    * (`SPARK_GRAFT_BENCH_ONLY` subsets, sweeps of an older inventory) are
+    * rejected wholesale; the 5% slack absorbs normal round-over-round
+    * inventory growth, so the last GRADED complete sweep stays acceptable
+    * after a handful of new queries land. Integer arithmetic (×20 vs ×19)
+    * keeps the threshold exact.
+    */
+  private[graft] def priorAcceptable(mins: Map[String, Double], inventory: Seq[String]): Boolean =
+    inventory.nonEmpty &&
+      inventory.count(mins.contains) * 20 >= inventory.size * 19
+
   /** The retry decision for one query, given its successful first-pass runs,
     * its name-family median, and its min from the previous round's artifact
     * (if any). Three independent contention signatures:
@@ -129,12 +149,18 @@ object Bench {
     // Previous round's artifact — read BEFORE this run overwrites it; the
     // per-query mins inside are the cross-round retry reference. A prior
     // recorded at a DIFFERENT scale factor is no reference at all (every
-    // query legitimately shifts), so it is ignored wholesale.
-    val prior: Map[String, Double] =
+    // query legitimately shifts), and a PARTIAL prior (mid-round subset
+    // sweep) is a corrupted one — both are ignored wholesale; the artifact
+    // records what was found and whether it was accepted, so a graded run
+    // is auditable on which reference trigger (3) actually used.
+    val inventory: Seq[String] = SparkEntry.queries.keys.toSeq
+    val priorAll: Map[String, Double] =
       try {
         val text = Files.readString(Paths.get(outPath))
         if (text.contains(s""""sf":"$sfDir"""")) priorMins(text) else Map.empty
       } catch { case _: Throwable => Map.empty }
+    val priorAccepted = priorAcceptable(priorAll, inventory)
+    val prior: Map[String, Double] = if (priorAccepted) priorAll else Map.empty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -228,6 +254,8 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
         s""""value_cold":${fmt(totalCold)},"value_cold_clean":${fmt(totalColdClean)},""" +
         s""""cold_contaminated":$coldContamJson,"prior_loaded":${prior.nonEmpty},""" +
+        s""""prior_source":"$outPath","prior_n":${priorAll.size},""" +
+        s""""prior_covered":${inventory.count(priorAll.contains)},"prior_accepted":$priorAccepted,""" +
         s""""runs_per_query":$nRuns,"n_queries":${mins.size},""" +
         s""""n_failed":${failed.size},"failed":$failedJson,"retried":$retriedJson,""" +
         s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +

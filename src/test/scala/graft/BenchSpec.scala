@@ -40,6 +40,33 @@ class BenchSpec extends AnyFunSuite {
     assert(m === Map("a" -> 1.5))
   }
 
+  // --- priorAcceptable: the completeness gate on the cross-round prior ---
+
+  test("a mid-round partial prior is rejected; a complete sweep is accepted") {
+    val inventory = (1 to 214).map(i => s"q$i")
+    val complete = inventory.map(_ -> 0.1).toMap
+    assert(Bench.priorAcceptable(complete, inventory))
+    // The r7 shape: a 193-query mid-round artifact against a 214-query
+    // inventory — coverage 90%, below the 95% completeness bar.
+    val partial = inventory.take(193).map(_ -> 0.1).toMap
+    assert(!Bench.priorAcceptable(partial, inventory))
+    // A BENCH_ONLY iteration subset never qualifies.
+    assert(!Bench.priorAcceptable(Map("q1" -> 0.1, "q2" -> 0.2), inventory))
+    assert(!Bench.priorAcceptable(Map.empty, inventory))
+  }
+
+  test("prior acceptance survives normal inventory growth") {
+    // Last round's complete 214-query sweep vs this round's 218-query
+    // inventory: 98% coverage — still an acceptable reference, so trigger 3
+    // is not silently disabled every round the inventory grows.
+    val prior = (1 to 214).map(i => s"q$i" -> 0.1).toMap
+    val grown = (1 to 218).map(i => s"q$i")
+    assert(Bench.priorAcceptable(prior, grown))
+    // ...but a prior from a much older, much smaller inventory is not.
+    val ancient = (1 to 140).map(i => s"q$i" -> 0.1).toMap
+    assert(!Bench.priorAcceptable(ancient, grown))
+  }
+
   // --- needsRetry: the three contention signatures ---
 
   test("trigger 1: in-query disagreement >2x fires above the noise floor") {
