@@ -36,21 +36,34 @@ object LevenshteinLengthGuard extends Rule[LogicalPlan] with PredicateHelper {
     case other => other
   }
 
-  private def mkGuard(a: Expression, b: Expression, k: Literal): Expression =
-    LessThanOrEqual(
-      Cast(Abs(Subtract(Length(a), Length(b))), k.dataType), k)
+  private def mkGuard(a: Expression, b: Expression, k: Literal, strict: Boolean): Expression = {
+    val diff = Cast(Abs(Subtract(Length(a), Length(b))), k.dataType)
+    if (strict) LessThan(diff, k) else LessThanOrEqual(diff, k)
+  }
 
-  /** Guards to prepend to `cond`'s conjunction, if any are missing. */
+  /** Guards to prepend to `cond`'s conjunction, if any are missing. All four
+    * equivalent threshold spellings are matched — `lev <= k`, `k >= lev`,
+    * and the strict `lev < k` / `k > lev` (whose implied guard is itself
+    * strict: lev ≥ |Δlen|, so lev < k ⟹ |Δlen| < k). The guard DUPLICATES
+    * the levenshtein's argument expressions, so injection is skipped when
+    * either argument is non-deterministic (e.g. rand-derived): evaluating
+    * such an argument a second time would change filter semantics, not just
+    * cost.
+    */
   private def guards(cond: Expression): Seq[Expression] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    def guardFor(levSide: Expression, k: Literal, strict: Boolean): Option[Expression] =
+      stripCast(levSide) match {
+        case lev: Levenshtein if lev.left.deterministic && lev.right.deterministic =>
+          val g = mkGuard(lev.left, lev.right, k, strict)
+          if (conjuncts.exists(_.semanticEquals(g))) None else Some(g)
+        case _ => None
+      }
     conjuncts.flatMap {
-      case LessThanOrEqual(l, k: Literal) =>
-        stripCast(l) match {
-          case lev: Levenshtein =>
-            val g = mkGuard(lev.left, lev.right, k)
-            if (conjuncts.exists(_.semanticEquals(g))) None else Some(g)
-          case _ => None
-        }
+      case LessThanOrEqual(l, k: Literal) => guardFor(l, k, strict = false)
+      case GreaterThanOrEqual(k: Literal, r) => guardFor(r, k, strict = false)
+      case LessThan(l, k: Literal) => guardFor(l, k, strict = true)
+      case GreaterThan(k: Literal, r) => guardFor(r, k, strict = true)
       case _ => None
     }
   }

@@ -329,13 +329,23 @@ object FileFormats {
   private[graft] def binaryAssetDir(spark: SparkSession, dir: String): String =
     binCache.computeIfAbsent(dir, _ => {
       val out = exitCleanedTempDir("graft-binassets")
+      // Each task writes through the Hadoop FileSystem its path RESOLVES to
+      // (executor-side getFileSystem), not java.nio: on a cluster the
+      // unqualified path resolves to the default shared FS (HDFS/S3) for
+      // writer tasks and the binaryFile reader alike, where a java.nio write
+      // would scatter files across executor-local disks the reader never
+      // sees. In local mode both resolve to file:// and behavior is
+      // unchanged (the exit-cleaned temp dir remains the local cleanup
+      // story; on a shared FS, lifecycle belongs to the lake's retention).
       graft.ops.Multimodal.mediaTable(spark, dir)
         .select(col("asset_id"), col("media"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val base = new org.apache.hadoop.fs.Path(out)
+          val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
           it.foreach { r =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(out, f"${r.getLong(0)}%08d.bin"),
-              r.getAs[Array[Byte]](1))
+            val os = fs.create(
+              new org.apache.hadoop.fs.Path(base, f"${r.getLong(0)}%08d.bin"), true)
+            try os.write(r.getAs[Array[Byte]](1)) finally os.close()
           }
         }
       out

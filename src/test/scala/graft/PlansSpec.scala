@@ -59,4 +59,39 @@ class PlansSpec extends SparkSpec {
     val oneUs = new Timestamp(0L); oneUs.setNanos(1000)
     assert(df.filter(col("ts") >= lit(oneUs)).count() == 1)
   }
+
+  test("levenshtein guard covers reversed and strict spellings, skips non-deterministic args") {
+    graft.plans.LevenshteinLengthGuard.install(spark)
+    val c = Tables.t(spark, sf, "customer")
+    def opt(cond: String): String =
+      c.filter(expr(cond)).queryExecution.optimizedPlan.toString
+    // All four equivalent threshold spellings gain the length guard.
+    assert(opt("levenshtein(c_name, c_mktsegment) <= 4").contains("abs((length("))
+    assert(opt("4 >= levenshtein(c_name, c_mktsegment)").contains("abs((length("))
+    assert(opt("levenshtein(c_name, c_mktsegment) < 4").contains("abs((length("))
+    assert(opt("4 > levenshtein(c_name, c_mktsegment)").contains("abs((length("))
+    // The strict spelling's guard is itself strict (lev ≥ |Δlen|, so
+    // lev < k ⟹ |Δlen| < k): the guarded filter keeps exactly the rows a
+    // driver-side DP reimplementation keeps — the guard never drops a match.
+    def levDp(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length)
+    }
+    val expected = c.select("c_name", "c_mktsegment").collect()
+      .count(r => levDp(r.getString(0), r.getString(1)) < 13)
+    assert(c.filter(expr("levenshtein(c_name, c_mktsegment) < 13")).count() == expected)
+    // A non-deterministic levenshtein argument must NOT be duplicated into
+    // a guard — evaluating it twice would change filter semantics.
+    val nd = opt(
+      "levenshtein(c_name, concat(c_mktsegment, cast(cast(rand()*10 as int) as string))) <= 4")
+    assert(!nd.contains("abs((length("), s"guard duplicated a rand-derived arg:\n$nd")
+  }
 }
