@@ -166,24 +166,58 @@ object Multimodal {
         case _: java.io.IOException => None
       }
 
-  /** Kind-dispatched decoders. The image branch is REAL for PNG payloads
-    * (javax.imageio, gated on the PNG magic) and the audio branch is REAL
-    * for WAV payloads (javax.sound, gated on RIFF/WAVE); everything else is
-    * a deterministic STUB a deployment would swap for its codec. Video fakes
-    * derive features from payload bytes the way a real codec derives
-    * duration/frame count.
+  /** REAL image decode for JPEG payloads via `javax.imageio` (the JDK ships
+    * a JPEG reader). Gated on the JPEG SOI+marker prefix `FF D8 FF` so only
+    * genuine JPEG streams reach the codec; None on torn/corrupt streams
+    * (caller falls back to the stub). Partition-local like every decoder.
+    */
+  def decodeJpeg(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload == null || payload.length < 3 ||
+        payload(0) != 0xff.toByte || payload(1) != 0xd8.toByte || payload(2) != 0xff.toByte) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case _: java.io.IOException => None }
+
+  /** REAL audio header decode for FLAC payloads. The JDK has no FLAC codec,
+    * but the container mandates a STREAMINFO metadata block first ("fLaC"
+    * marker, 4-byte block header, then 34 bytes whose bits 80–99 are the
+    * sample rate and 140–175 the total inter-channel sample count — FLAC
+    * format spec §streaminfo), so sample rate and duration are an honest
+    * header parse, no codec needed. Gated on the "fLaC" magic; None on a
+    * torn header or zero sample rate (caller falls back to the stub).
+    */
+  def decodeFlac(payload: Array[Byte]): Option[(Float, Double)] =
+    if (payload == null || payload.length < 8 + 18 ||
+        payload(0) != 'f' || payload(1) != 'L' || payload(2) != 'a' || payload(3) != 'C') None
+    else {
+      def u(i: Int): Long = payload(8 + i) & 0xffL // STREAMINFO byte i, unsigned
+      val sampleRate = (u(10) << 12) | (u(11) << 4) | (u(12) >> 4)
+      val totalSamples = ((u(13) & 0x0f) << 32) | (u(14) << 24) | (u(15) << 16) |
+        (u(16) << 8) | u(17)
+      if (sampleRate <= 0) None
+      else Some((sampleRate.toFloat, totalSamples.toDouble / sampleRate))
+    }
+
+  /** Kind-dispatched decoders. The image branch is REAL for PNG and JPEG
+    * payloads (javax.imageio, gated on each format's magic) and the audio
+    * branch is REAL for WAV (javax.sound) and FLAC (STREAMINFO header
+    * parse); everything else is a deterministic STUB a deployment would
+    * swap for its codec. Video fakes derive features from payload bytes the
+    * way a real codec derives duration/frame count.
     */
   def stubDecodeKind(kind: String, payload: Array[Byte]): (Int, Int, Double, Int) = {
     // ??? real video codecs go here; deterministic fakes keep tests stable.
     val h = java.util.Arrays.hashCode(payload)
     kind match {
       case "image" =>
-        decodePng(payload) match {
+        decodePng(payload).orElse(decodeJpeg(payload)) match {
           case Some((w, ht)) => (w, ht, 0.0, 1)
           case None => (math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1, 0.0, 1)
         }
       case "audio" =>
-        decodeWav(payload) match {
+        decodeWav(payload).orElse(decodeFlac(payload)) match {
           case Some((_, dur)) => (0, 0, dur, 0)
           case None => (0, 0, payload.length / 16000.0, 0)
         }

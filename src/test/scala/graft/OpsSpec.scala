@@ -721,6 +721,44 @@ class OpsSpec extends SparkSpec {
     assert(stubDur == 4 / 16000.0)
   }
 
+  test("image decode: real JPEG payloads yield true dimensions via the magic-gated second leg") {
+    val img = new java.awt.image.BufferedImage(53, 29, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 53; y <- 0 until 29) img.setRGB(x, y, (x * 7919 + y * 104729) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos))
+    val jpeg = baos.toByteArray
+
+    assert(Multimodal.decodeJpeg(jpeg).contains((53, 29)))
+    assert(Multimodal.decodeJpeg("not a jpeg".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeJpeg(null).isEmpty)
+    assert(Multimodal.decodeJpeg(jpeg.take(8)).isEmpty) // torn: magic intact, body gone
+    // The kind dispatcher tries PNG first, then JPEG, then the stub.
+    assert(Multimodal.stubDecodeKind("image", jpeg)._1 == 53)
+    assert(Multimodal.stubDecodeKind("image", jpeg)._2 == 29)
+  }
+
+  test("audio decode: FLAC STREAMINFO headers yield true sample rate and duration") {
+    // Hand-built per the FLAC spec: "fLaC", last-block STREAMINFO header
+    // (0x80, 24-bit length 34), then the 34-byte body with sample rate
+    // 44100 Hz (20 bits at body bytes 10-12) and 88200 total samples
+    // (36 bits at bytes 13-17) -> exactly 2.0 s.
+    val body = new Array[Byte](34)
+    body(10) = 0x0a; body(11) = 0xc4.toByte; body(12) = 0x40 // 44100 << channels/bps
+    body(13) = 0xf0.toByte // bps low nibble | totalSamples bits 35-32 = 0
+    body(14) = 0; body(15) = 1; body(16) = 0x58; body(17) = 0x88.toByte // 88200
+    val flac = "fLaC".getBytes("US-ASCII") ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ body
+
+    assert(Multimodal.decodeFlac(flac).contains((44100f, 2.0)))
+    assert(Multimodal.decodeFlac("not flac at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeFlac(null).isEmpty)
+    assert(Multimodal.decodeFlac(flac.take(12)).isEmpty) // torn: magic intact, header gone
+    // Zero sample rate is a corrupt header, not a 0 Hz stream.
+    val zeroed = flac.clone(); zeroed(8 + 10) = 0; zeroed(8 + 11) = 0; zeroed(8 + 12) = 0
+    assert(Multimodal.decodeFlac(zeroed).isEmpty)
+    // The kind dispatcher routes FLAC through the header parse.
+    assert(Multimodal.stubDecodeKind("audio", flac)._3 == 2.0)
+  }
+
   test("count-min sketch heavy hitters: sketch-first estimates bound exact counts within eps·N") {
     // Exact counts live HERE, in the bound check — the query path itself is
     // sample → CMS estimate and never runs a full-vocabulary exact count.
