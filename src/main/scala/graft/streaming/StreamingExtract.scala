@@ -189,6 +189,16 @@ object StreamingExtract {
     * windows heal via [[healStagedSwap]], and a complete copy of the index
     * exists on disk at every instant.
     *
+    * Reader contract (spec-pinned): consumers RE-OPEN the index per batch —
+    * exactly what the indexed sinks do — and a re-opened reader sees
+    * bit-identical content across a compaction. A DataFrame HELD from
+    * before the swap refers to replaced part-files and fails FAST with
+    * Spark's `FAILED_READ_FILE.FILE_NOT_EXIST` advisory ("underlying files
+    * have been updated") — a loud invalidation, never silently short rows;
+    * surviving a held handle across rewrites is what a table format's
+    * snapshot layer buys at 100 TB, not something a bare parquet dir can
+    * promise.
+    *
     * At 100 TB the same trigger graduates to a table format's OPTIMIZE /
     * rewrite-data-files action (which also splits giant partitions by file
     * size — here a grid cell compacts to one file, which is the right

@@ -1,0 +1,153 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{LlmPipeline, Skew}
+
+/** Scale-stress evidence ABOVE fixture scale: the invariants that decide
+  * 100 TB viability are asserted at ≥10× the sf0.001 fixture, inflated at
+  * RUNTIME by exploding a literal rep range over the real tables —
+  * deterministic, no new fixtures. What is pinned is not wall-clock (noise
+  * at this scale) but the quantities that grow with data if a plan is
+  * wrong: per-reducer shuffle share under a hot key, candidate-pair counts
+  * under a degenerate LSH bucket, and rows crossing the shuffle for a
+  * top-k-per-key query.
+  */
+class ScaleStressSpec extends SparkSpec {
+
+  /** ~10× runtime inflation of the events fixture (1,000 → 10,000 rows):
+    * each source row replicated with a distinct rep so inflated keys stay
+    * unique where the test needs them to.
+    */
+  private def events10x: DataFrame =
+    Tables.t(spark, sf, "events")
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+
+  /** Per-task shuffle-read record counts for every task the action runs
+    * (same drain discipline as SkewSpec: the listener bus is async, so wait
+    * for 3 consecutive quiet polls).
+    */
+  private def shuffleRecordsPerTask(action: => Unit): Seq[Long] = {
+    val buf = mutable.Buffer[Long]()
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) {
+          val r = e.taskMetrics.shuffleReadMetrics.recordsRead
+          if (r > 0) buf.synchronized { buf += r }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      action
+      var last = -1
+      var quiet = 0
+      while (quiet < 3) {
+        Thread.sleep(200)
+        val n = buf.synchronized(buf.size)
+        if (n == last) quiet += 1 else { quiet = 0; last = n }
+      }
+      buf.synchronized(buf.toSeq)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withConfs(confs: (String, String)*)(body: => Unit): Unit = {
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("salted join holds its max-reducer-share bound on 10x-inflated events") {
+    // Half the inflated rows share one hot key (5,000 of 10,000); the rest
+    // stay unique. Plan fixed for measurement exactly as in SkewSpec: no
+    // broadcast, no AQE skew-split (salting is what's under test), 16
+    // reducers.
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "16") {
+      val probe = events10x.select(
+        when(col("event_id") % 2 === 0, lit(0L))
+          .otherwise(col("event_id") * 10 + col("rep")).as("k"),
+        (col("event_id") * 10 + col("rep")).as("rid"))
+      val nRows = probe.count()
+      val nHot = probe.filter(col("k") === 0L).count()
+      assert(nRows == 10000L && nHot == 5000L, s"inflation drifted: $nRows/$nHot")
+      val build = spark.range(100).select(col("id").as("bk"),
+        concat(lit("d"), col("id")).as("attr"))
+
+      val salted = shuffleRecordsPerTask {
+        Skew.saltedJoin(probe, probe("k"), probe("rid"), build, col("bk"), salts = 16)
+          .agg(count(lit(1))).collect()
+      }
+      // The hot key spans 16 salt cells over 16 reducers; birthday collisions
+      // allow a reducer 2-3 cells, so the bound is nHot/3 — at ANY scale the
+      // max share stays ~salts-fold below the unsalted single-owner plan.
+      assert(salted.max <= nHot / 3,
+        s"salted max ${salted.max} of $nHot hot rows still concentrated: " +
+          s"${salted.sorted.reverse.take(5)}")
+    }
+  }
+
+  test("LSH hot bucket at 5,000 members emits star-links, not quadratic pairs") {
+    // All 5,000 inflated doc ids land in ONE (band, bucket): a correct
+    // kernel emits b−1 star pairs; a quadratic one emits C(5000,2) ≈ 12.5M.
+    val ids = Tables.t(spark, sf, "documents")
+      .withColumn("rep", explode(sequence(lit(0L), lit(9L))))
+      .select((col("doc_id") * 10 + col("rep")).as("doc_id")) // 0..4999, unique
+    val hot = ids.select(col("doc_id"), lit(0).as("band"), lit(42L).as("bucket"))
+    val hotPairs = LlmPipeline.bucketedPairs(hot)
+    assert(hotPairs.count() == 4999L,
+      "hot bucket must star-link to its min member: b-1 pairs exactly")
+    val centers = hotPairs.select(countDistinct(col("doc_a"))).head().getLong(0)
+    assert(centers == 1L, s"star pairs must share one center, got $centers")
+    assert(hotPairs.filter(col("doc_b") <= col("doc_a")).count() == 0L)
+
+    // Under the same kernel, 1,000 small buckets of 5 members each stay on
+    // the exact all-pairs path: 1,000 × C(5,2) = 10,000 pairs, i<j ordered.
+    val small = ids.select(col("doc_id"), lit(1).as("band"),
+      (col("doc_id") % 1000).as("bucket"))
+    val smallPairs = LlmPipeline.bucketedPairs(small)
+    assert(smallPairs.count() == 10000L,
+      "small buckets must emit exact i<j pairs: 1000 buckets x C(5,2)")
+    assert(smallPairs.filter(col("doc_b") <= col("doc_a")).count() == 0L)
+  }
+
+  test("top-k per key at 10x scale: WindowGroupLimit bounds rows crossing the shuffle") {
+    withConfs("spark.sql.shuffle.partitions" -> "16") {
+      val df = events10x.select(col("user_id"),
+        (col("value") + col("rep")).as("v"),
+        (col("event_id") * 10 + col("rep")).as("rid"))
+      val total = df.count() // 10,000
+      val w = Window.partitionBy("user_id").orderBy(col("v").desc, col("rid"))
+      def topk = df.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+
+      val plan = topk.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"top-k per key must plan a WindowGroupLimit pre-filter:\n$plan")
+      val withLimit = shuffleRecordsPerTask { topk.collect() }
+
+      // Differential control: the same query with the rewrite disabled ships
+      // EVERY row through the partition-by shuffle.
+      var withoutRecs: Seq[Long] = Nil
+      withConfs("spark.sql.optimizer.windowGroupLimitThreshold" -> "-1") {
+        withoutRecs = shuffleRecordsPerTask { topk.collect() }
+      }
+      assert(withoutRecs.sum >= total,
+        s"control run should shuffle all $total rows, saw ${withoutRecs.sum}")
+      // With the rewrite: each map task pre-trims to ≤3 rows per key it
+      // holds, so crossing rows scale with keys × maps, never with data.
+      assert(withLimit.sum <= total / 4,
+        s"WindowGroupLimit failed to bound the shuffle: ${withLimit.sum} of $total")
+    }
+  }
+}

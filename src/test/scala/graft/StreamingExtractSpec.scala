@@ -404,6 +404,32 @@ class StreamingExtractSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 9, "compaction must preserve every row")
   }
 
+  test("compaction under a concurrent reader: re-open sees identical content, held handles fail loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-crdr").toString
+    val dir = s"$base/hashes"
+    (0 until 6).foreach(i =>
+      Seq(s"x$i").toDF("content_hash").write.mode("append").parquet(dir))
+    val before = spark.read.parquet(dir).as[String].collect().sorted.toSeq
+
+    // The reader a batch would hold: opened (and even materialized) before
+    // the swap, then used again after it.
+    val held = spark.read.parquet(dir)
+    assert(held.count() == 6)
+
+    assert(StreamingExtract.compactSidecar(spark, dir, maxFiles = 4, partitioned = false))
+
+    // Re-opened reader (the sinks' per-batch pattern): bit-identical content.
+    val after = spark.read.parquet(dir).as[String].collect().sorted.toSeq
+    assert(after == before, "compaction must be invisible to a re-opening reader")
+
+    // The held handle's file listing predates the swap: it must fail FAST
+    // with Spark's re-resolve advisory — never return silently short rows.
+    val err = intercept[org.apache.spark.SparkException] { held.collect() }
+    assert(err.getMessage.contains("FILE_NOT_EXIST"),
+      s"expected the loud invalidation advisory, got: ${err.getMessage}")
+  }
+
   test("incrementalDedupEmbeddingSink drops re-delivered and near-identical vectors across rounds") {
     val src = java.nio.file.Files.createTempDirectory("graft-iesrc").toString
     val sink = java.nio.file.Files.createTempDirectory("graft-iesink").toString + "/out"
