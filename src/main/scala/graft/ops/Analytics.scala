@@ -954,6 +954,14 @@ object Analytics {
     * regex scan is partition-local. For power-law users at 100 TB, cap the
     * collected sequence with a windowed head (the regex verdict on a
     * truncated head is exact for bounded-length patterns).
+    *
+    * Pattern-cache contract: the patterns here are LITERALS, so Catalyst's
+    * RLike compiles each java.util.regex.Pattern once per task — already
+    * the right cost model. If patterns ever become user-supplied PER ROW
+    * (a patterns column joined in), `rlike(seq, pat)` recompiles per row;
+    * at that point route the scan through a mapPartitions keeping an LRU of
+    * compiled patterns per partition (the per-partition analogue of the
+    * broadcast codebooks the ANN family uses).
     */
   def eventsSequenceMatch(spark: SparkSession, dir: String): DataFrame = {
     val tok = when(col("event_type") === "view", "v")
