@@ -312,6 +312,8 @@ object SparkEntry {
     "window_rolling_median" -> (Analytics.windowRollingMedian _),
     "window_count_distinct" -> (Analytics.windowCountDistinct _),
     "orders_pareto" -> (Analytics.ordersPareto _),
+    "events_attribution" -> (Analytics.eventsAttribution _),
+    "orders_cohort" -> (Analytics.ordersCohort _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
     "cdc_apply" -> (Analytics.cdcApply _),
@@ -700,6 +702,10 @@ object SparkEntry {
       """SELECT user_id, event_id, epoch_us(ts) AS tus, CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS breadth FROM events ORDER BY user_id, tus, event_id""",
     "orders_pareto" ->
       """WITH c AS (SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_orderpriority, cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share, CASE WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.7 THEN 'A' WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.9 THEN 'B' ELSE 'C' END AS abc FROM c ORDER BY o_orderkey""",
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events), tch AS (SELECT * FROM ev WHERE event_type IN ('view','click')), pur AS (SELECT user_id, event_id AS p_id, tus AS p_tus FROM ev WHERE event_type = 'purchase'), pairs AS (SELECT t.event_type, t.tus, t.event_id, p.p_id FROM tch t JOIN pur p USING (user_id) WHERE t.tus < p.p_tus AND p.p_tus - t.tus <= 604800000000), cr AS (SELECT event_type, count(*) OVER (PARTITION BY p_id) AS n_touch, CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY tus, event_id) = 1 THEN 1 ELSE 0 END AS is_first, CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY tus DESC, event_id DESC) = 1 THEN 1 ELSE 0 END AS is_last FROM pairs) SELECT event_type AS channel, count(*) AS n_touches, CAST(sum(is_first) AS BIGINT) AS n_first, CAST(sum(is_last) AS BIGINT) AS n_last, CAST(sum(CAST(floor(1000000.0 / n_touch) AS BIGINT)) AS DOUBLE) / 1000000.0 AS linear_credit FROM cr GROUP BY event_type ORDER BY channel""",
+    "orders_cohort" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate)*12 + month(o_orderdate) - 1 AS ym, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), coh AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey) SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym, CAST(o.ym - cohort_ym AS BIGINT) AS month_offset, count(DISTINCT o.o_custkey) AS n_customers, count(*) AS n_orders, CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2 ORDER BY cohort_ym, month_offset""",
     "events_islands" ->
       """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dnum FROM events), g AS (SELECT user_id, dnum, dnum - row_number() OVER (PARTITION BY user_id ORDER BY dnum) AS grp FROM days) SELECT user_id, min(dnum) AS start_day, max(dnum) AS end_day, CAST(count(*) AS BIGINT) AS len_days FROM g GROUP BY user_id, grp ORDER BY user_id, start_day""",
     "reshape_unpivot" ->

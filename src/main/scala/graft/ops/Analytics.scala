@@ -1479,4 +1479,74 @@ object Analytics {
       .select("lang", "gram", "cnt", "rn")
       .orderBy("lang", "rn")
   }
+
+  /** Multi-touch attribution: every purchase credits the view/click touches
+    * of the SAME user inside a 7-day lookback — first-touch, last-touch, and
+    * linear models reported per channel (= touch event type) in one pass.
+    * Linear credit is integer micro-shares (floor(1e6/n) per touch), so the
+    * per-channel sums are order-independent exact integers; the /1e6 at the
+    * end is one correctly-rounded double division.
+    *
+    * Scale: touches and conversions equi-join on user_id (one user-keyed
+    * shuffle; the lookback bound caps pairs per purchase at the user's 7-day
+    * touch count), the first/last/n window re-keys on purchase id — pair
+    * cardinality, never O(touches × purchases) globally. Power-law users
+    * inflate the pair count linearly, not quadratically, because the
+    * join is user-local and time-bounded; salt user_id (ops/Skew pattern)
+    * if one user dominates a reducer.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("tus").as("p_tus"))
+    val pairs = touches.join(purchases, Seq("user_id"))
+      .filter(col("tus") < col("p_tus") && col("p_tus") - col("tus") <= lookbackUs)
+    val byPurchase = Window.partitionBy("p_id")
+    val firstW = Window.partitionBy("p_id").orderBy(col("tus"), col("event_id"))
+    val lastW = Window.partitionBy("p_id").orderBy(col("tus").desc, col("event_id").desc)
+    pairs
+      .withColumn("n_touch", count(lit(1)).over(byPurchase))
+      .withColumn("is_first", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("is_last", when(row_number().over(lastW) === 1, 1L).otherwise(0L))
+      .withColumn("linear_micro", floor(lit(1000000.0) / col("n_touch")).cast("long"))
+      .groupBy(col("event_type").as("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("is_first")).as("n_first"),
+        sum(col("is_last")).as("n_last"),
+        (sum(col("linear_micro")).cast("double") / lit(1000000.0)).as("linear_credit"))
+      .orderBy("channel")
+  }
+
+  /** Cohort revenue matrix over orders: customers cohort by the month of
+    * their FIRST order (ym = year*12 + month-1, a plain int), and each later
+    * order lands in the (cohort, months-since) cell — the classic LTV
+    * triangle. Revenue folds in exact integer cents.
+    *
+    * Scale: the first-order aggregate and the per-order join both key on
+    * o_custkey, so Catalyst reuses ONE customer-keyed Exchange for both
+    * (the groupBy's partitioning feeds the join — plan shows a single
+    * shuffle on the fact table, AQE-coalesced); the final (cohort, offset)
+    * agg is map-side-combined into a cells×offsets-sized result that never
+    * grows with row count.
+    */
+  def ordersCohort(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val cohorts = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort_ym"))
+    o.join(cohorts, "o_custkey")
+      .withColumn("month_offset", (col("ym") - col("cohort_ym")).cast("long"))
+      .groupBy(col("cohort_ym").cast("long").as("cohort_ym"), col("month_offset"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("cents")).cast("double") / 100.0).as("revenue"))
+      .orderBy("cohort_ym", "month_offset")
+  }
 }
