@@ -233,6 +233,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (LlmPipeline.dedupNgramJaccard _),
     "curation_pipeline" -> (LlmPipeline.curationPipeline _),
     "dedup_near_embedding" -> ((s, d) => LlmPipeline.dedupNearEmbedding(s, d, threshold = -1.0)),
+    "dedup_semantic" -> ((s, d) => LlmPipeline.dedupSemantic(s, d)),
     "dedup_incremental" -> (LlmPipeline.dedupIncremental _),
     "text_fingerprint" -> (LlmPipeline.textFingerprint _),
     "sim_topk_cosine" -> (LlmPipeline.simTopkCosine _),

@@ -478,6 +478,59 @@ object LlmPipeline {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster embeddings with the spherical k-means the IVF family already
+    * builds, form near-dup pairs ONLY within a cluster, connect pairs into
+    * components, and keep ONE representative per component — the member with
+    * the LOWEST cosine to its cluster centroid (the paper's keep-the-outlier
+    * rule: the most atypical member carries the most information), ties by
+    * vec_id. Differs from [[dedupNearEmbedding]] in the candidate generator:
+    * k-means cells capture semantic neighborhoods deterministically (a tight
+    * pile lands in ONE cell), where SRP banding is a probabilistic S-curve
+    * over random hyperplanes — this is the dedup mode that removes
+    * semantically redundant (not just byte-near) training data.
+    *
+    * Scale: (0, cell) is the shuffle key riding the same capped
+    * [[bucketedPairs]] kernel (a hot cell star-links instead of going
+    * quadratic), exact cosine runs for candidate pairs only, components form
+    * by the O(log d) pointer-doubling propagation, and the centroids are a
+    * k×64 broadcast parameter — no stage touches O(N²) and payload vectors
+    * shuffle only for candidate ids.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.45,
+      k: Int = 10, iters: Int = 2): DataFrame = {
+    val cents = kMeansCentroids(spark, dir, k, iters)
+    val centNorm = cents.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
+    val cosArr = array(cents.zipWithIndex.map { case (c, i) =>
+      dot(spark, col("embedding"), typedlit(c)) / (lit(centNorm(i)) * col("norm"))
+    }: _*)
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), l2(spark, col("embedding")).as("norm"))
+      .withColumn("cell", nearestCell(spark, cents))
+      .withColumn("cos_center", element_at(cosArr, col("cell") + 1))
+    val banded = emb.select(col("vec_id").as("doc_id"),
+      lit(0).as("band"), col("cell").as("bucket"))
+    val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"),
+      col("norm").as("norm_b"))
+    val pairs = bucketedPairs(banded).join(a, "doc_a").join(b, "doc_b")
+      .filter(dot(spark, col("emb_a"), col("emb_b")) /
+        (col("norm_a") * col("norm_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    val labels = componentLabels(pairs).withColumnRenamed("doc_id", "vec_id")
+    val scored = emb.join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster", coalesce(col("label"), col("vec_id")))
+    val reps = scored.groupBy("cluster")
+      .agg(min(struct(col("cos_center"), col("vec_id"))).as("m"))
+      .select(col("cluster"), col("m.vec_id").as("rep_id"))
+    scored.join(reps, "cluster")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("cluster"),
+        (floor(col("cos_center") * 10000 + 0.5) / 10000).as("cos_center"),
+        (col("vec_id") === col("rep_id")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** SimHash (64-bit) fingerprint per document: per-token 64-bit hash votes
     * bitwise; near-dups differ in few bits. Computed by the native
     * [[graft.functions.SimHash64]] expression — one FNV hash per token and

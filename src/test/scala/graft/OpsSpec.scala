@@ -357,6 +357,62 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)), "unrelated vector matched")
   }
 
+  test("semantic dedup: identical piles collapse to one representative each; uniques survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    val rng = new scala.util.Random(11)
+    val pileA = Array.fill(64)(rng.nextGaussian().toFloat)
+    val pileB = Array.fill(64)(rng.nextGaussian().toFloat)
+    val lone = Array.fill(64)(rng.nextGaussian().toFloat)
+    import spark.implicits._
+    Seq((0L, pileA.toSeq, 0), (1L, pileA.toSeq, 0), (2L, pileA.toSeq, 0),
+      (3L, pileB.toSeq, 1), (4L, pileB.toSeq, 1), (5L, lone.toSeq, 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = LlmPipeline.dedupSemantic(spark, dir, threshold = 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(out.size == 6)
+    assert(out.filter(_._2._2).keySet == Set(0L, 3L, 5L),
+      s"survivors must be pile minima + the unique: $out")
+    assert(Seq(0L, 1L, 2L).map(out(_)._1).distinct.size == 1, "pile A is one cluster")
+    assert(Seq(3L, 4L).map(out(_)._1).distinct.size == 1, "pile B is one cluster")
+    assert(out(5L)._1 != out(0L)._1 && out(5L)._1 != out(3L)._1, "unique stays its own cluster")
+  }
+
+  test("semantic dedup fixture: clusters agree with driver-side within-cell union-find; one keeper per cluster") {
+    val thr = 0.45
+    val rows = LlmPipeline.dedupSemantic(spark, sf, threshold = thr).collect()
+    val emb = graft.Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.map(_.getLong(0)).toSet == emb.keySet, "every vector must be classified")
+    // exactly one keeper per cluster
+    val byCluster = rows.groupBy(_.getLong(2))
+    assert(byCluster.forall(_._2.count(_.getBoolean(4)) == 1), "one is_kept per cluster")
+    // driver-side brute force: same-cell pairs at >= thr, union-find components
+    val cellOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val parent = scala.collection.mutable.Map(emb.keySet.toSeq.map(k => k -> k): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val ids = emb.keySet.toSeq.sorted
+    // candidate generation mirrors the operator contract: all pairs at or
+    // below the bucket cap, min-anchored star links above it
+    for ((_, ms0) <- ids.groupBy(cellOf)) {
+      val ms = ms0.sorted
+      val cand =
+        if (ms.size <= LlmPipeline.MaxAllPairsBucket) for (i <- ms; j <- ms if i < j) yield (i, j)
+        else ms.tail.map(j => (ms.head, j))
+      for ((i, j) <- cand if cos(emb(i), emb(j)) >= thr) {
+        val (ri, rj) = (find(i), find(j))
+        if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+      }
+    }
+    val expected = ids.groupBy(find).map { case (_, ms) => ms.toSet }.toSet
+    val got = byCluster.values.map(_.map(_.getLong(0)).toSet).toSet
+    assert(got == expected, s"components diverge: got ${got.size} vs expected ${expected.size}")
+  }
+
   test("pair kernel cap boundary: every bucket size 1..64 emits exactly C(n,2) or n-1 min-anchored pairs") {
     // Exhaustive sweep of the shared bucketedPairs kernel (MinHash bands,
     // SimHash chunks, SRP bands all ride it): one DataFrame holds a bucket

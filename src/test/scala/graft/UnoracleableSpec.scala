@@ -41,6 +41,11 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq(
         "embedding near-dup SRP LSH: identical vectors collide at cosine 1.0; no self pairs",
         "banded SRP recall: one flipped hyperplane loses the pair for a monolithic code, banding finds it")),
+    "dedup_semantic" -> Pin(
+      "k-means cell candidates + float cosine folds are engine-specific (same kernels as sim_topk_ivf)",
+      "OpsSpec", Seq(
+        "semantic dedup: identical piles collapse to one representative each; uniques survive",
+        "semantic dedup fixture: clusters agree with driver-side within-cell union-find; one keeper per cluster")),
     "text_fingerprint" -> Pin(
       "SimHash64 is this engine's own fingerprint function",
       "OpsSpec", Seq("simhash fingerprints: identical text → identical hash; determinism")),
