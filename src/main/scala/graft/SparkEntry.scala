@@ -334,6 +334,7 @@ object SparkEntry {
     "setop_union_by_name" -> (Relational.setopUnionByName _),
     "sql_recursive_cte" -> (Relational.sqlRecursiveCte _),
     "sim_topk_ivf_stored" -> ((s, d) => LlmPipeline.simTopkIvfStored(s, d)),
+    "sim_range_search" -> ((s, d) => LlmPipeline.simRangeSearch(s, d)),
     "join_interval_bucketed" -> (Relational.joinIntervalBucketed _),
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
   )

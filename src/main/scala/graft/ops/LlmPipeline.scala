@@ -500,14 +500,10 @@ object LlmPipeline {
   def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.45,
       k: Int = 10, iters: Int = 2): DataFrame = {
     val cents = kMeansCentroids(spark, dir, k, iters)
-    val centNorm = cents.map(c => math.max(math.sqrt(c.map(x => x * x).sum), 1e-12))
-    val cosArr = array(cents.zipWithIndex.map { case (c, i) =>
-      dot(spark, col("embedding"), typedlit(c)) / (lit(centNorm(i)) * col("norm"))
-    }: _*)
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2(spark, col("embedding")).as("norm"))
       .withColumn("cell", nearestCell(spark, cents))
-      .withColumn("cos_center", element_at(cosArr, col("cell") + 1))
+      .withColumn("cos_center", element_at(centroidCosArr(spark, cents), col("cell") + 1))
     val banded = emb.select(col("vec_id").as("doc_id"),
       lit(0).as("band"), col("cell").as("bucket"))
     val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
@@ -747,6 +743,92 @@ object LlmPipeline {
     * float-precision noise.
     */
   val MinSeedSeparation = 1e-4
+
+  /** cos(row, centroid_i) for every centroid, as an array column — callers
+    * `element_at(..., cell + 1)` to get the row's cosine to its OWN
+    * centroid. Expects `embedding` and a precomputed `norm` column.
+    */
+  private def centroidCosArr(spark: SparkSession, cents: Seq[Seq[Double]]): Column =
+    array(cents.map { c =>
+      val cn = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+      dot(spark, col("embedding"), typedlit(c)) / (lit(cn) * col("norm"))
+    }: _*)
+
+  private val cellStatsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), Map[Int, Double]]]())
+
+  /** Per-cell maximum member angle to its own centroid — IVF index METADATA
+    * (at scale it is computed once at index build, exactly like the
+    * centroid matrix; here it memoizes per (session, dir, k, iters) under
+    * the same [[graft.Tables.sessionCache]] immutability contract). One
+    * k-row driver fetch; the aggregate itself is a single map-side-combined
+    * pass over the corpus.
+    */
+  private[graft] def cellThetaMax(spark: SparkSession, dir: String,
+      k: Int, iters: Int): Map[Int, Double] =
+    graft.Tables.sessionCache(cellStatsCache, spark).computeIfAbsent((dir, s"thmax_${k}_$iters"), _ => {
+      val cents = kMeansCentroids(spark, dir, k, iters)
+      t(spark, dir, "embeddings")
+        .select(col("embedding"), l2(spark, col("embedding")).as("norm"))
+        .withColumn("cell", nearestCell(spark, cents))
+        .withColumn("cos_center", element_at(centroidCosArr(spark, cents), col("cell") + 1))
+        .groupBy("cell")
+        .agg(max(acos(least(lit(1.0), greatest(lit(-1.0), col("cos_center"))))).as("th"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    })
+
+  /** Cells that can possibly hold a vector within `radius` of the probe:
+    * spherical triangle inequality gives angle(q, x) ≥ angle(q, c) −
+    * θ_max(c) for any member x of cell c, so a cell fails only if even its
+    * best-possible member misses the radius. The 1e-9 slack keeps the bound
+    * sound under float rounding; an empty cell (no θ_max row) always
+    * prunes. Exposed private[graft] so the spec can assert real pruning.
+    */
+  private[graft] def rangeKeptCells(spark: SparkSession, dir: String, tau: Double,
+      k: Int, iters: Int, probe: Seq[Double]): Seq[Int] = {
+    val cents = kMeansCentroids(spark, dir, k, iters)
+    val thMax = cellThetaMax(spark, dir, k, iters)
+    def clamp(x: Double) = math.min(1.0, math.max(-1.0, x))
+    val qn = math.max(math.sqrt(probe.map(x => x * x).sum), 1e-12)
+    val radius = math.acos(clamp(tau))
+    cents.indices.filter { i =>
+      val c = cents(i)
+      val cn = math.max(math.sqrt(c.map(x => x * x).sum), 1e-12)
+      val qAngle = math.acos(clamp(c.lazyZip(probe).map(_ * _).sum / (cn * qn)))
+      qAngle - thMax.getOrElse(i, Double.NegativeInfinity) <= radius + 1e-9
+    }
+  }
+
+  /** Exact RADIUS (range) similarity search with sound IVF cell pruning:
+    * every corpus vector with cosine ≥ tau to the probe — the "find all
+    * near-duplicates / all contaminated shards of this document" shape,
+    * where top-k truncates. Unlike the top-k family's probabilistic nProbe
+    * cut, the prune is LOSSLESS ([[rangeKeptCells]]'s triangle-inequality
+    * bound), so the result is bit-identical to brute force while scanning
+    * only cells that can qualify — spec-pinned both ways (equality on the
+    * fixture; real pruning on tight synthetic piles). Plan is the
+    * simTopkIvf shape minus TakeOrdered: scan + cell expression + isin +
+    * exact cosine filter; no join, no Generate. Driver traffic: the probe
+    * fetch + two k-sized parameter fetches (centroids, θ_max), both
+    * index-build artifacts at scale.
+    */
+  def simRangeSearch(spark: SparkSession, dir: String, tau: Double = 0.3,
+      k: Int = 10, iters: Int = 2): DataFrame = {
+    val cents = kMeansCentroids(spark, dir, k, iters)
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val keep = rangeKeptCells(spark, dir, tau, k, iters, probe.map(_.toDouble))
+    val p = typedlit(probe)
+    emb.filter(col("vec_id") =!= 0)
+      .withColumn("cell", nearestCell(spark, cents))
+      .filter(col("cell").isin(keep: _*))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        (dot(spark, col("embedding"), p) / (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
 
   private val kmeansCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,

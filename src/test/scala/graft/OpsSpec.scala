@@ -357,6 +357,41 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)), "unrelated vector matched")
   }
 
+  test("range search: pruned result equals brute force over the whole fixture at three radii") {
+    val emb = graft.Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = emb(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for (tau <- Seq(0.2, 0.3, 0.45)) {
+      val got = LlmPipeline.simRangeSearch(spark, sf, tau = tau).collect()
+        .map(r => r.getLong(0)).toSet
+      val want = emb.collect { case (id, v) if id != 0L && cos(q, v) >= tau => id }.toSet
+      assert(got == want, s"tau=$tau: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("range search pruning: tight synthetic piles prune the off-probe cells losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-range").toString
+    // three exact piles on near-orthogonal axes: theta_max = 0 per cell, so
+    // the triangle bound prunes every cell but the probe's at tau = 0.8
+    val rng = new scala.util.Random(23)
+    val axes = Seq.fill(3)(Array.fill(64)(rng.nextGaussian().toFloat))
+    import spark.implicits._
+    val rows = for ((ax, p) <- axes.zipWithIndex; i <- 0 until 5)
+      yield ((p * 5 + i).toLong, ax.toSeq, p)
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val probe = axes.head.map(_.toDouble).toSeq
+    val kept = LlmPipeline.rangeKeptCells(spark, dir, tau = 0.8, k = 3, iters = 2, probe)
+    assert(kept.size < 3, s"off-probe cells must prune: kept $kept")
+    val got = LlmPipeline.simRangeSearch(spark, dir, tau = 0.8, k = 3).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L), s"probe's pile (minus self) must all qualify: $got")
+  }
+
   test("semantic dedup: identical piles collapse to one representative each; uniques survive") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
     val rng = new scala.util.Random(11)

@@ -46,6 +46,11 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq(
         "semantic dedup: identical piles collapse to one representative each; uniques survive",
         "semantic dedup fixture: clusters agree with driver-side within-cell union-find; one keeper per cluster")),
+    "sim_range_search" -> Pin(
+      "float cosine folds diverge across engines; prune set depends on the k-means index",
+      "OpsSpec", Seq(
+        "range search: pruned result equals brute force over the whole fixture at three radii",
+        "range search pruning: tight synthetic piles prune the off-probe cells losslessly")),
     "text_fingerprint" -> Pin(
       "SimHash64 is this engine's own fingerprint function",
       "OpsSpec", Seq("simhash fingerprints: identical text → identical hash; determinism")),
