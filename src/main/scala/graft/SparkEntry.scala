@@ -325,6 +325,7 @@ object SparkEntry {
     "events_ewma" -> (Analytics.eventsEwma _),
     "events_cusum" -> (Analytics.eventsCusum _),
     "text_bpe_merges" -> (Analytics.textBpeMerges _),
+    "text_bpe_encode" -> (Analytics.textBpeEncode _),
     "graph_degree_stats" -> (Graph.graphDegreeStats _),
     "graph_triangles" -> (Graph.graphTriangles _),
     "scan_binaryfile" -> (graft.sources.FileFormats.scanBinaryfile _),

@@ -1416,44 +1416,106 @@ object Analytics {
     */
   def textBpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val words = t(spark, dir, "documents")
-      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-      .filter(length(col("w")) >= 2)
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= 5)
-    var seqs = words.as[(String, Long)]
-      .map { case (w, c) => (w, c, w.map(_.toString): Seq[String]) }
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    var exhausted = false
-    for (rank <- 1L to 8L if !exhausted) {
-      val top = seqs.toDF("w", "cnt", "syms")
-        .withColumn("l", slice(col("syms"), lit(1), size(col("syms")) - 1))
-        .withColumn("r", slice(col("syms"), lit(2), size(col("syms")) - 1))
-        .select(col("cnt"), explode(arrays_zip(col("l"), col("r"))).as("p"))
-        .groupBy(col("p.l").as("a"), col("p.r").as("b"))
-        .agg(sum(col("cnt")).as("total"))
-        .orderBy(desc("total"), asc("a"), asc("b")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (a, b, tot) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((rank, a, b, tot))
-        seqs = seqs.map { case (w, c, syms) =>
-          val out = Seq.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (w, c, out.result())
-        }.localCheckpoint()
-      }
-    }
-    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    bpeLearn(spark, dir).toDF("rank", "left", "right", "pair_count")
       .withColumn("merged", concat(col("left"), col("right")))
       .select("rank", "left", "right", "merged", "pair_count")
       .orderBy("rank")
+  }
+
+  private val bpeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), Seq[(Long, String, String, Long)]]]())
+
+  /** The 8-round learning recurrence behind [[textBpeMerges]], memoized per
+    * (session, dir) so [[textBpeEncode]] reuses the merge table instead of
+    * re-running the loop (same [[graft.Tables.sessionCache]] immutability
+    * contract as the centroid/θ_max memos). The returned value is the tiny
+    * (rank, left, right, pair_count) list — a driver parameter, not data.
+    */
+  private def bpeLearn(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    graft.Tables.sessionCache(bpeCache, spark).computeIfAbsent((dir, "bpe_merges"), _ => {
+      import spark.implicits._
+      val words = t(spark, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+      var seqs = words.as[(String, Long)]
+        .map { case (w, c) => (w, c, w.map(_.toString): Seq[String]) }
+        .localCheckpoint()
+      val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+      var exhausted = false
+      for (rank <- 1L to 8L if !exhausted) {
+        val top = seqs.toDF("w", "cnt", "syms")
+          .withColumn("l", slice(col("syms"), lit(1), size(col("syms")) - 1))
+          .withColumn("r", slice(col("syms"), lit(2), size(col("syms")) - 1))
+          .select(col("cnt"), explode(arrays_zip(col("l"), col("r"))).as("p"))
+          .groupBy(col("p.l").as("a"), col("p.r").as("b"))
+          .agg(sum(col("cnt")).as("total"))
+          .orderBy(desc("total"), asc("a"), asc("b")).limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, tot) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((rank, a, b, tot))
+          seqs = seqs.map { case (w, c, syms) =>
+            (w, c, applyMerge(syms, a, b))
+          }.localCheckpoint()
+        }
+      }
+      merges.toSeq
+    })
+
+  /** One left-to-right non-overlapping merge pass — the kernel both the
+    * learner and the encoder apply, so encoding a dictionary word with the
+    * learned merge list reproduces the learner's final segmentation exactly
+    * (the invariant `UnoracleableSpec` pins).
+    */
+  private def applyMerge(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** BPE ENCODING with the learned merges — the tokenizer-apply half of the
+    * BPE story ([[textBpeMerges]] is the training half): every document's
+    * alpha words start as character sequences and replay the merge rules in
+    * rank order (identical left-to-right kernel), yielding per-doc exact
+    * token counts with the corpus's own 8-merge tokenizer. `chars_alpha −
+    * bpe_tokens` is the merge saving; `ws_tokens` (whitespace words) is the
+    * budgeting denominator.
+    *
+    * Scale: the merge table is 8 driver-held rows closed over by a typed
+    * per-row map — no shuffle anywhere but the output ORDER BY; the learning
+    * recurrence runs once per (session, dir) via the memo. Pinned (not
+    * DuckDB-oracled) because the merge list feeding the map comes from the
+    * driver-loop recurrence.
+    */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = bpeLearn(spark, dir).map { case (_, a, b, _) => (a, b) }
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (docId, text) =>
+        val ws = text.split(" ").count(_.nonEmpty).toLong
+        val words = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        var chars = 0L
+        var toks = 0L
+        for (w <- words) {
+          chars += w.length
+          var syms: Seq[String] = w.map(_.toString)
+          for ((a, b) <- rules) syms = applyMerge(syms, a, b)
+          toks += syms.length
+        }
+        (docId, ws, words.length.toLong, chars, toks, chars - toks)
+      }
+      .toDF("doc_id", "ws_tokens", "alpha_words", "chars_alpha", "bpe_tokens", "merged_away")
+      .orderBy("doc_id")
   }
 
   /** Top character trigrams per language via the native

@@ -139,6 +139,10 @@ class UnoracleableSpec extends SparkSpec {
       "the round recurrence (argmax merge feeds the next pair count) is a driver loop SQL cannot express",
       "UnoracleableSpec", Seq(
         "text_bpe_merges matches a plain-Scala reference learner on the fixture corpus")),
+    "text_bpe_encode" -> Pin(
+      "consumes the driver-loop merge list, so its token counts inherit the recurrence",
+      "UnoracleableSpec", Seq(
+        "text_bpe_encode matches a plain-Scala reference encoder and the learner's own segmentation")),
     "sim_topk_ivf_stored" -> Pin(
       "persisted form of the engine-defined IVF index (float cosine, as sim_topk_ivf)",
       "UnoracleableSpec", Seq(
@@ -533,6 +537,69 @@ class UnoracleableSpec extends SparkSpec {
     // Every learned merge token must concatenate its parts.
     for (r <- SparkEntry.queries("text_bpe_merges")(spark, sf).collect())
       assert(r.getString(3) == r.getString(1) + r.getString(2))
+  }
+
+  test("text_bpe_encode matches a plain-Scala reference encoder and the learner's own segmentation") {
+    // Reference encode on the driver: the learner's merge list (via the
+    // query output — rank order) replayed over every document with the same
+    // left-to-right non-overlapping kernel.
+    val rules = SparkEntry.queries("text_bpe_merges")(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(rules.nonEmpty)
+    def encode(w: String): Seq[String] = {
+      var syms: Seq[String] = w.map(_.toString)
+      for ((a, b) <- rules) {
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+    val ref = Tables.t(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val text = r.getString(1)
+        val words = text.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        (r.getLong(0), text.split(" ").count(_.nonEmpty).toLong,
+          words.length.toLong, words.map(_.length.toLong).sum,
+          words.map(encode(_).length.toLong).sum)
+      }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("text_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == ref, s"first mismatch: ${got.zip(ref).find { case (g, e) => g != e }}")
+    // merged_away is exactly chars_alpha - bpe_tokens, and merging saved
+    // something on the fixture (non-vacuous).
+    val rows = SparkEntry.queries("text_bpe_encode")(spark, sf).collect()
+    for (r <- rows) assert(r.getLong(5) == r.getLong(3) - r.getLong(4))
+    assert(rows.map(_.getLong(5)).sum > 0)
+    // Encoding a DICTIONARY word with the merge list reproduces the
+    // learner's final segmentation: replay the reference learner to its
+    // final dict and compare token-for-token.
+    val dict0: Map[String, Long] = Tables.t(spark, sf, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).toLowerCase.split("[^a-z]+"))
+      .filter(_.length >= 2)
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 5)
+    var dict: Map[String, Vector[String]] =
+      dict0.map { case (w, _) => w -> w.map(_.toString).toVector }
+    for ((a, b) <- rules) dict = dict.map { case (w, syms) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      (w, out.result())
+    }
+    for ((w, learned) <- dict) assert(encode(w) == learned,
+      s"encode($w) = ${encode(w)} != learner's $learned")
   }
 
   test("curation_pipeline invariants: unique survivors, losers dropped, quality gate honored") {
