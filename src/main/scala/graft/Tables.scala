@@ -9,9 +9,14 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   * `reader.load()` infers from the source).
   *
   * Timestamp normalization (session TZ is pinned UTC):
-  *   - `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4 refuses to read
-  *     natively; we read it as a nanos long (`legacy.parquet.nanosAsLong`) and
-  *     truncate to a µs TimestampType — the same µs value DuckDB sees.
+  *   - `events.ts` is TIMESTAMP(NANOS) parquet. Spark 4.1.2 reads it natively
+  *     as a µs-truncated TIMESTAMP_NTZ (the same µs value DuckDB sees) and the
+  *     NTZ branch below casts it to TimestampType; on readers where only the
+  *     legacy nanos-as-long path exists (`legacy.parquet.nanosAsLong`, a no-op
+  *     on 4.1.2) the LongType branch truncates ns→µs explicitly and
+  *     [[graft.plans.PushdownNanosTimestamp]] restores scan pushdown. Both
+  *     branches stay: which one is live depends on the reader's nanos
+  *     handling, and the result is identical either way.
   *   - ms-precision columns load as TIMESTAMP_NTZ (isAdjustedToUTC=false);
   *     cast to TimestampType so instant functions (unix_micros, window) work.
   *     Under a UTC session both renderings are identical.

@@ -14,11 +14,19 @@ class PlansSpec extends SparkSpec {
 
   private def events = Tables.t(spark, sf, "events")
 
-  test("watermark predicate is pushed to the parquet scan as raw nanos") {
+  test("watermark predicate is pushed to the parquet scan") {
     val df = events.filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
     val scan = df.queryExecution.executedPlan.toString
-    assert(scan.contains("GreaterThanOrEqual(ts,1705276800000000000"),
-      s"pushdown missing from plan:\n$scan")
+    // Two reader regimes, one invariant — the filter must reach the scan:
+    //   - Spark ≥4.1.2 reads parquet TIMESTAMP(NANOS) natively as µs-truncated
+    //     TIMESTAMP_NTZ and pushes the predicate through the normalizing cast
+    //     as an NTZ scan filter (row-group stats apply);
+    //   - older readers surface the column as a raw-nanos long
+    //     (legacy.parquet.nanosAsLong), where [[PushdownNanosTimestamp]]
+    //     rewrites the µs comparison into the equivalent raw-nanos filter.
+    val ntzPush = scan.contains("GreaterThanOrEqual(ts,2024-01-15T00:00")
+    val nanosPush = scan.contains("GreaterThanOrEqual(ts,1705276800000000000")
+    assert(ntzPush || nanosPush, s"pushdown missing from plan:\n$scan")
   }
 
   test("rewritten comparisons preserve semantics at exact µs boundaries") {
