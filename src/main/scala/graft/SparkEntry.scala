@@ -315,6 +315,11 @@ object SparkEntry {
     "orders_pareto" -> (Analytics.ordersPareto _),
     "events_attribution" -> (Analytics.eventsAttribution _),
     "orders_cohort" -> (Analytics.ordersCohort _),
+    "dq_profile" -> (Analytics.dqProfile _),
+    "text_dsir_weights" -> (Analytics.textDsirWeights _),
+    "text_nb_classify" -> (Analytics.textNbClassify _),
+    "graph_components" -> (Graph.graphComponents _),
+    "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
     "cdc_apply" -> (Analytics.cdcApply _),
@@ -723,6 +728,11 @@ object SparkEntry {
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CAST(floor(o_totalprice*100+0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "graph_pagerank" -> Graph.pagerankOracleSql,
     "graph_pagerank_bucketed" -> Graph.pagerankOracleSql,
+    "graph_components" -> Graph.componentsOracleSql,
+    "text_nb_classify" ->
+      """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0), tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM train) GROUP BY 1, 2), vocab AS (SELECT DISTINCT w FROM tc), clsdocs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY lang), clstok AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok FROM tc GROUP BY lang), consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS v, (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_all), model AS (SELECT cd.lang AS cls, vocab.w, CAST(floor(log2(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (ct.n_tok + consts.v)) * 1000000 + 0.5) AS BIGINT) AS lw_micro FROM clsdocs cd CROSS JOIN vocab CROSS JOIN consts JOIN clstok ct ON ct.lang = cd.lang LEFT JOIN tc ON tc.lang = cd.lang AND tc.w = vocab.w), priors AS (SELECT lang AS cls, CAST(floor(log2(CAST(n_docs AS DOUBLE) / consts.n_all) * 1000000 + 0.5) AS BIGINT) AS prior_micro FROM clsdocs CROSS JOIN consts), tftest AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2, 3), sc AS (SELECT t.doc_id, t.lang, m.cls, CAST(sum(t.tf * m.lw_micro) AS BIGINT) AS like_micro FROM tftest t JOIN model m ON t.w = m.w GROUP BY 1, 2, 3), scored AS (SELECT sc.doc_id, sc.lang, sc.cls, like_micro + prior_micro AS score_micro FROM sc JOIN priors ON sc.cls = priors.cls), r AS (SELECT doc_id, lang, cls, score_micro, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, cls) AS rn FROM scored) SELECT doc_id, lang AS actual, cls AS predicted, score_micro, CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS BIGINT) AS correct FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "stream_watermark_late" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus, (tus + ((event_id * 1103515245 + 12345) % 2147483647) % 1800000000) // 60000000 AS batch FROM events), bm AS (SELECT batch, max(tus) AS bmax FROM ev GROUP BY batch), wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000000 AS wm FROM bm), fl AS (SELECT tus, CASE WHEN wm IS NOT NULL AND tus < wm THEN 1 ELSE 0 END AS late FROM ev JOIN wm USING (batch)) SELECT tus // 3600000000 AS hour_num, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late, CAST(sum(1 - late) AS BIGINT) AS n_kept FROM fl GROUP BY 1 ORDER BY hour_num""",
     "events_ewma" ->
       """WITH ev AS (SELECT user_id, CAST(floor(value*100+0.5) AS BIGINT) AS cents, ts, event_id FROM events) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list_reduce(list(CAST(cents AS DOUBLE) ORDER BY ts, event_id), (s, x) -> (s + x) / 2) AS ewma_cents FROM ev GROUP BY user_id ORDER BY user_id""",
     "graph_degree_stats" ->
@@ -731,6 +741,10 @@ object SparkEntry {
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), e AS (SELECT a.l_partkey AS x, b.l_partkey AS y FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2) SELECT e1.x AS a, e1.y AS b, e2.y AS c FROM e e1 JOIN e e2 ON e1.y = e2.x JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y ORDER BY a, b, c""",
     "scan_binaryfile" ->
       """SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS byte_len, sha256(text) AS fingerprint FROM documents ORDER BY asset_id""",
+    "dq_profile" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows, CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, count(DISTINCT o_custkey) AS n_distinct, CAST(min(o_custkey) AS VARCHAR) AS min_canon, CAST(max(o_custkey) AS VARCHAR) AS max_canon FROM orders UNION ALL SELECT 'o_orderdate', count(*), CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT o_orderdate), CAST(epoch_us(min(o_orderdate)) AS VARCHAR), CAST(epoch_us(max(o_orderdate)) AS VARCHAR) FROM orders UNION ALL SELECT 'o_orderkey', count(*), CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT o_orderkey), CAST(min(o_orderkey) AS VARCHAR), CAST(max(o_orderkey) AS VARCHAR) FROM orders UNION ALL SELECT 'o_orderpriority', count(*), CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority) FROM orders UNION ALL SELECT 'o_orderstatus', count(*), CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders UNION ALL SELECT 'o_totalprice', count(*), CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT o_totalprice), CAST(CAST(floor(min(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR), CAST(CAST(floor(max(o_totalprice)*100 + 0.5) AS BIGINT) AS VARCHAR) FROM orders ORDER BY col_name""",
+    "text_dsir_weights" ->
+      """WITH tf AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2, 3), raw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_r FROM tf GROUP BY w), tgt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_t FROM tf WHERE lang = 'en' GROUP BY w), model AS (SELECT raw.w, c_r, coalesce(c_t, CAST(0 AS BIGINT)) AS c_t FROM raw LEFT JOIN tgt ON raw.w = tgt.w), tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t FROM model), lr AS (SELECT w, CAST(floor(log2((CAST(c_t + 1 AS DOUBLE) / (n_t + v)) / (CAST(c_r + 1 AS DOUBLE) / (n_r + v))) * 1000000 + 0.5) AS BIGINT) AS lr_micro FROM model CROSS JOIN tot), wt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(sum(tf * lr_micro) AS BIGINT) AS w_micro FROM tf JOIN lr USING (w) GROUP BY doc_id), rk AS (SELECT doc_id, n_tokens, w_micro, row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rn FROM wt), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wt) SELECT doc_id, n_tokens, w_micro, CAST(CASE WHEN rn <= CAST(floor(CAST(n AS DOUBLE) / 5) AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS selected FROM rk CROSS JOIN n ORDER BY doc_id""",
     "events_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dnum, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS dc FROM events GROUP BY 1, 2), typed AS (SELECT event_type, list(dnum ORDER BY dnum) AS days, list(dc ORDER BY dnum) AS dcs, CAST(count(*) AS BIGINT) AS n, CAST(sum(dc) AS BIGINT) AS total FROM daily GROUP BY event_type) SELECT event_type, days[i] AS day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(dcs[1:i], x -> x*n - total)), (s, x) -> greatest(s + x, 0)) AS cusum FROM typed, LATERAL unnest(range(1, n+1)) AS g(i) ORDER BY event_type, day""",
   )

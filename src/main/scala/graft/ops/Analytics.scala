@@ -1611,4 +1611,151 @@ object Analytics {
         (sum(col("cents")).cast("double") / 100.0).as("revenue"))
       .orderBy("cohort_ym", "month_offset")
   }
+
+  /** Per-column data profile of `orders` in long format — the metadata pass
+    * every ingestion pipeline runs before committing a snapshot: row count,
+    * null count, exact distinct count, and min/max per column. Min/max
+    * render in a canonical string encoding so one schema covers
+    * heterogeneous column types deterministically: integers verbatim,
+    * doubles as integer cents, timestamps as epoch micros — every transform
+    * is monotone, so canon(min(x)) = min over canon.
+    *
+    * Scale: ONE pass over the fact — Catalyst compiles the multi-column
+    * exact distincts to a single Expand (|cols|+1 streams) with partial
+    * aggregation below the shuffle, so the plan is one shuffle regardless
+    * of column count. At 100 TB swap the exact distincts for per-column HLL
+    * sketches ([[Relational.aggHllSketch]] shape — no Expand blow-up,
+    * mergeable across snapshots); the exact variant here is the one a
+    * DuckDB oracle can check.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+      "o_orderstatus", "o_totalprice")
+    def canon(c: String, agg: Column): Column = c match {
+      case "o_totalprice" => floor(agg * 100 + 0.5).cast("long").cast("string")
+      case "o_orderdate"  => unix_micros(agg).cast("string")
+      case _              => agg.cast("string")
+    }
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        canon(c, min(col(c))).as(s"mn_$c"),
+        canon(c, max(col(c))).as(s"mx_$c"))
+    }
+    val allAggs = count(lit(1)).as("n_rows") +: aggs
+    val wide = o.agg(allAggs.head, allAggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
+    wide
+      .selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_canon, max_canon)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_canon"), col("max_canon"))
+      .orderBy("col_name")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each document by how much more likely its bag of words is under a
+    * TARGET unigram model (the English subcorpus — the domain to upsample)
+    * than under the RAW model (the whole corpus), then flag the top 20% —
+    * importance resampling reduced to its deterministic core.
+    *
+    * log w(d) = Σ_w tf_d(w) · log2(p_t(w) / p_r(w)), add-one smoothed over
+    * the shared vocabulary. Per-WORD log-ratios round to integer micros
+    * BEFORE the per-doc sum (the repo's float-fold trick: sums of
+    * pre-rounded int64 are order-independent, so any partitioning and the
+    * oracle agree bit-for-bit).
+    *
+    * Scale: one tokenize pass feeds both token-count aggregates; the
+    * per-word model is O(vocab) and BROADCASTs into the per-doc scoring
+    * join (drop the hint if vocab outgrows executors — it becomes an
+    * ordinary word-keyed shuffle join). The final top-20% flag ranks the
+    * O(docs) weight table — at 100 TB replace the exact global row_number
+    * with an approx_percentile threshold; the exact rank here is what the
+    * oracle checks.
+    */
+  def textDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val raw = tf.groupBy("w").agg(sum(col("tf")).as("c_r"))
+    val tgt = tf.filter(col("lang") === "en").groupBy("w").agg(sum(col("tf")).as("c_t"))
+    val model = raw.join(tgt, Seq("w"), "left")
+      .select(col("w"), col("c_r"), coalesce(col("c_t"), lit(0L)).as("c_t"))
+    val tot = model.agg(count(lit(1)).as("v"), sum(col("c_r")).as("n_r"),
+      sum(col("c_t")).as("n_t"))
+    val lr = model.crossJoin(broadcast(tot))
+      .select(col("w"),
+        floor(log2(((col("c_t") + 1).cast("double") / (col("n_t") + col("v"))) /
+          ((col("c_r") + 1).cast("double") / (col("n_r") + col("v")))) * 1000000 + 0.5)
+          .cast("long").as("lr_micro"))
+    val wt = tf.join(broadcast(lr), "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("lr_micro")).as("w_micro"))
+    val n = wt.agg(count(lit(1)).as("n"))
+    wt.withColumn("rn",
+        row_number().over(Window.orderBy(col("w_micro").desc, col("doc_id"))))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("n_tokens"), col("w_micro"),
+        when(col("rn") <= floor(col("n") / 5).cast("long"), 1L).otherwise(0L)
+          .as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Multinomial Naive Bayes language classifier — the fasttext-shaped
+    * quality/label model every curation pipeline trains on a labeled slice
+    * and applies to the firehose, reduced to its deterministic closed form
+    * (count ratios need no gradient loop). Train on even doc_ids (labels =
+    * `lang`), score the odd half: score(d,c) = log2 P(c) + Σ_w tf_d(w) ·
+    * log2 P(w|c), add-one smoothed over the training vocabulary, OOV words
+    * dropped (both engines drop them identically via the inner model join).
+    * Per-(word,class) log-likelihoods round to integer micros BEFORE any
+    * sum — the repo's float-fold determinism trick — so the argmax, its
+    * tie-break (lexicographic class), and every score are bit-identical to
+    * the oracle.
+    *
+    * Scale: the model is O(classes × vocab) and BROADCASTs into the scoring
+    * join (drop the hint past executor memory and it degrades to a word-
+    * keyed shuffle join); scoring is one (doc, class) partial-aggregated
+    * shuffle; the argmax is row_number ≤ 1 per doc — WindowGroupLimit
+    * forwards one row per (doc, 5 classes) through the final shuffle.
+    */
+  def textNbClassify(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val tc = train.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val vocab = tc.select("w").distinct()
+    val clsDocs = train.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val clsTok = tc.groupBy("lang").agg(sum(col("c")).as("n_tok"))
+    val consts = vocab.agg(count(lit(1)).as("v"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_all"))))
+    val model = broadcast(clsDocs.select("lang")).crossJoin(vocab)
+      .join(tc, Seq("lang", "w"), "left")
+      .join(clsTok, "lang")
+      .crossJoin(broadcast(consts))
+      .select(col("lang").as("cls"), col("w"),
+        floor(log2((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("n_tok") + col("v"))) * 1000000 + 0.5).cast("long").as("lw_micro"))
+    val priors = clsDocs.crossJoin(broadcast(consts))
+      .select(col("lang").as("cls"),
+        floor(log2(col("n_docs").cast("double") / col("n_all")) * 1000000 + 0.5)
+          .cast("long").as("prior_micro"))
+    val tfTest = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val scored = tfTest.join(broadcast(model), "w")
+      .groupBy("doc_id", "lang", "cls")
+      .agg(sum(col("tf") * col("lw_micro")).as("like_micro"))
+      .join(broadcast(priors), "cls")
+      .withColumn("score_micro", col("like_micro") + col("prior_micro"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("cls"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("actual"), col("cls").as("predicted"),
+        col("score_micro"),
+        when(col("cls") === col("lang"), 1L).otherwise(0L).as("correct"))
+      .orderBy("doc_id")
+  }
 }

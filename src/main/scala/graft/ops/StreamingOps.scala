@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables.t
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing. The reference's "streaming" story is its incremental
@@ -89,5 +90,60 @@ object StreamingOps {
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         (col("purchase_us") - col("click_us")).as("delta_us"))
       .orderBy("click_id", "purchase_id")
+  }
+
+  /** Constants for [[streamWatermarkLate]]: watermark delay (10 min),
+    * simulated ingest jitter bound (30 min), and the processing-time
+    * trigger interval (1 min). Jitter > delay is what makes late data
+    * exist at all — a perfectly ordered replay (the fixture's event_id
+    * order IS sorted by event time) never drops anything. */
+  val LateDelayUs: Long = 10L * 60 * 1000000
+  val LateJitterUs: Long = 30L * 60 * 1000000
+  val LateTriggerUs: Long = 60L * 1000000
+
+  /** Watermark late-drop accounting — the batch-equivalent reconstruction
+    * of Structured Streaming's event-time watermark under out-of-order
+    * ingest. Each event ARRIVES at event time + a deterministic LCG jitter
+    * (0–30 min; the repo's standard reproducible-randomness trick, same
+    * constants as [[Analytics.sampleStratified]]) — a network-delayed
+    * source replay. Micro-batches are 1-minute processing-time triggers
+    * over arrival time, and the watermark USED in batch b is max(event
+    * time seen through batch b−1) − 10 min — exactly Spark's semantics,
+    * where the watermark only advances between micro-batches. An event is
+    * LATE (a streaming agg would drop it) when its event time is below
+    * that watermark. Output: per event-hour, arrivals vs late drops vs
+    * kept — the lag/loss dashboard every streaming ingest runs.
+    * `StreamingSpec` replays the same jittered arrival order through a
+    * real MemoryStream + `withWatermark` to pin that "late" here means
+    * dropped there.
+    *
+    * Scale: the sequential dependency lives ONLY on the O(n_batches)
+    * per-batch max table (a groupBy away from the events), where the
+    * running max is a window over batch id — thousands of rows for days
+    * of stream, one light task; events join that tiny table BROADCAST and
+    * aggregate map-side. Nothing row-scale is sequential, matching the
+    * real engine (per-partition maxes → global min at the batch boundary).
+    */
+  def streamWatermarkLate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("jit",
+        (col("event_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)
+          % lit(LateJitterUs))
+      .withColumn("batch",
+        floor((col("tus") + col("jit")) / lit(LateTriggerUs)).cast("long"))
+    val batchMax = ev.groupBy("batch").agg(max(col("tus")).as("bmax"))
+    val wmw = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    val wm = batchMax
+      .withColumn("wm", max(col("bmax")).over(wmw) - lit(LateDelayUs))
+      .select(col("batch"), col("wm"))
+    ev.join(broadcast(wm), "batch")
+      .withColumn("late",
+        when(col("wm").isNotNull && col("tus") < col("wm"), 1L).otherwise(0L))
+      .groupBy(floor(col("tus") / lit(3600L * 1000000)).cast("long").as("hour_num"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("late")).as("n_late"),
+        sum(lit(1L) - col("late")).as("n_kept"))
+      .orderBy("hour_num")
   }
 }

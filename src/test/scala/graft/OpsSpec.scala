@@ -1024,6 +1024,89 @@ class OpsSpec extends SparkSpec {
     assert(a == b, "the two join regimes must agree bit-for-bit (integer algebra)")
   }
 
+  test("graphComponents splits a constructed two-nation fixture exactly") {
+    // Nation 0: customers 1,2 ↔ supplier 11 (one component). Nation 1:
+    // customer 3 ↔ supplier 12 (a second component). Order o4 is c1 buying
+    // from s12 ACROSS nations — it must NOT merge the components (the
+    // domestic filter is the semantics under test).
+    val dir = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    import spark.implicits._
+    Seq((101L, 11L), (102L, 11L), (103L, 12L), (104L, 12L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((101L, 1L), (102L, 2L), (103L, 3L), (104L, 1L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0), (2L, 0), (3L, 1)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((11L, 0), (12L, 1)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Graph.graphComponents(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 1L, 1L, 1000011L),
+      (3L, 2L, 1L, 1L, 3L, 1000012L)), s"got $got")
+  }
+
+  test("graphComponents labels are converged at fixture scale (extra round is a fixed point)") {
+    val a = Graph.componentLabels(spark, sf, Graph.ComponentRounds)
+      .orderBy("node").collect().toSeq
+    val b = Graph.componentLabels(spark, sf, Graph.ComponentRounds + 1)
+      .orderBy("node").collect().toSeq
+    assert(a == b, "a 9th min-propagation round changed labels — not converged")
+    assert(Graph.graphComponents(spark, sf).count() > 1,
+      "fixture collapsed to one component — domestic restriction not fragmenting")
+  }
+
+  test("dqProfile rows agree with direct per-column aggregates") {
+    val o = Tables.t(spark, sf, "orders")
+    val rows = Analytics.dqProfile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    val n = o.count()
+    val (nd, mn, mx) = (o.select(countDistinct(col("o_orderkey"))).head.getLong(0),
+      o.agg(min("o_orderkey")).head.getLong(0), o.agg(max("o_orderkey")).head.getLong(0))
+    assert(rows("o_orderkey") == ((n, 0L, nd, mn.toString, mx.toString)))
+    val cents = o.agg(min("o_totalprice"), max("o_totalprice")).head
+    assert(rows("o_totalprice")._4 == math.floor(cents.getDouble(0) * 100 + 0.5).toLong.toString)
+    assert(rows("o_totalprice")._5 == math.floor(cents.getDouble(1) * 100 + 0.5).toLong.toString)
+    assert(rows("o_orderstatus")._3 == 3L) // {O, F, P}
+  }
+
+  test("textDsirWeights upweights the target domain and selects exactly the top fifth") {
+    val docs = Tables.t(spark, sf, "documents").select("doc_id", "lang")
+    val w = Analytics.textDsirWeights(spark, sf).join(docs, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getString(4)))
+    val (en, rest) = w.partition(_._4 == "en")
+    def mean(xs: Array[(Long, Long, Long, String)]) =
+      xs.map(_._2.toDouble).sum / xs.length
+    assert(mean(en) > mean(rest),
+      "target-domain (en) docs must average a higher importance weight")
+    val sel = w.filter(_._3 == 1L)
+    assert(sel.length == w.length / 5, "selected must be exactly floor(n/5)")
+    assert(sel.map(_._2).min >= w.filter(_._3 == 0L).map(_._2).max,
+      "a selected doc outweighs (or ties) every unselected doc")
+  }
+
+  test("textNbClassify learns a constructed two-language corpus") {
+    // Train (even ids): two langs with disjoint vocabularies. Test (odd
+    // ids): doc 1 speaks aa-vocab, doc 3 speaks bb-vocab, doc 5 is fully
+    // out-of-vocabulary and must be absent from the output (both engines
+    // drop OOV-only docs via the inner model join).
+    val dir = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    import spark.implicits._
+    Seq((0L, "aa", "x x y"), (2L, "bb", "p q q"), (4L, "aa", "y x"),
+      (6L, "bb", "q p"), (1L, "aa", "x y x"), (3L, "bb", "q p q"),
+      (5L, "aa", "zz zz"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.textNbClassify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, "aa", "aa", 1L), (3L, "bb", "bb", 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("entry flagship returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -350,4 +350,47 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(sessions == Seq((1L, 3L), (1L, 1L), (2L, 1L)), sessions.toString)
   }
+
+  test("stream_watermark_late reconstruction matches a real watermarked replay") {
+    // Constructed ingest: 30 events 5 min apart; the op's own LCG jitter
+    // decides each event's arrival minute. The batch reconstruction (via a
+    // temp fixture dir) must agree with a REAL watermarked streaming replay
+    // of the same arrival schedule: rows surviving a
+    // withWatermark+dropDuplicates stream are exactly the batch side's
+    // "kept", per event-hour.
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+    val rows = (0L until 30L).map { id =>
+      val tus = baseUs + id * 300000000L
+      (id, new Timestamp(tus / 1000))
+    }
+    rows.toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batchSide = StreamingOps.streamWatermarkLate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batchSide.map(_._3).sum > 0, "constructed fixture produced no late rows")
+
+    // Replay in arrival order: batch = (event time + jitter) // 1 min.
+    val byBatch = rows.groupBy { case (id, ts) =>
+      val jit = ((id * 1103515245L + 12345L) % 2147483647L) % StreamingOps.LateJitterUs
+      (ts.getTime * 1000 + jit) / StreamingOps.LateTriggerUs
+    }.toSeq.sortBy(_._1).map(_._2)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = stream.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("event_id", "ts")
+      .writeStream.format("memory").queryName("late_replay")
+      .outputMode(OutputMode.Append).start()
+    try {
+      byBatch.foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+      val kept = spark.table("late_replay")
+        .groupBy(floor(unix_micros($"ts") / lit(3600L * 1000000)).cast("long").as("h"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = batchSide.map(r => (r._1, r._4)).toMap
+      assert(kept == expected.filter(_._2 > 0),
+        s"streaming kept $kept vs batch reconstruction $expected")
+    } finally q.stop()
+  }
 }
