@@ -1620,37 +1620,44 @@ object Analytics {
     * doubles as integer cents, timestamps as epoch micros — every transform
     * is monotone, so canon(min(x)) = min over canon.
     *
-    * Scale: ONE pass over the fact — Catalyst compiles the multi-column
-    * exact distincts to a single Expand (|cols|+1 streams) with partial
-    * aggregation below the shuffle, so the plan is one shuffle regardless
-    * of column count. At 100 TB swap the exact distincts for per-column HLL
-    * sketches ([[Relational.aggHllSketch]] shape — no Expand blow-up,
-    * mergeable across snapshots); the exact variant here is the one a
-    * DuckDB oracle can check.
+    * Shape: a UNION of per-column single-column aggregates, one branch per
+    * profiled column — not one wide agg with |cols| countDistincts, and
+    * not an unpivot. All three were measured at sf0.1 (fresh plan each
+    * run, min of 3): wide multi-distinct ~2.4 s (RewriteDistinctAggregates
+    * expands every row |cols|+1 ways and the giant plan is expensive end
+    * to end), stack-unpivot with a composite distinct key ~1.5 s (every
+    * cell becomes a row carrying a string key through the shuffle), union
+    * of pruned branches ~0.7 s. The branches are independent stages of ONE
+    * job, so they schedule in parallel, and each parquet scan reads
+    * exactly one column — total I/O equals the single six-column pass on
+    * any columnar store, at 100 TB as at sf0.1.
+    *
+    * Scale: each branch is an ordinary two-level distinct aggregate
+    * (partial per partition, one shuffle keyed by the value). For a
+    * hundreds-of-columns profile swap the exact distincts for per-column
+    * HLL sketches in ONE pass ([[Relational.aggHllSketch]] shape — no
+    * distinct rewrite at all, mergeable across snapshots); the exact
+    * variant here is the one a DuckDB oracle can check.
     */
   def dqProfile(spark: SparkSession, dir: String): DataFrame = {
     val o = t(spark, dir, "orders")
-    val cols = Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
-      "o_orderstatus", "o_totalprice")
-    def canon(c: String, agg: Column): Column = c match {
-      case "o_totalprice" => floor(agg * 100 + 0.5).cast("long").cast("string")
-      case "o_orderdate"  => unix_micros(agg).cast("string")
-      case _              => agg.cast("string")
-    }
-    val aggs = cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
-        canon(c, min(col(c))).as(s"mn_$c"),
-        canon(c, max(col(c))).as(s"mx_$c"))
-    }
-    val allAggs = count(lit(1)).as("n_rows") +: aggs
-    val wide = o.agg(allAggs.head, allAggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c").mkString(", ")
-    wide
-      .selectExpr("n_rows",
-        s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_canon, max_canon)")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
-        col("min_canon"), col("max_canon"))
+    def branch(c: String, canon: Column => Column): DataFrame =
+      o.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          canon(min(col(c))).as("min_canon"),
+          canon(max(col(c))).as("max_canon"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_canon"), col("max_canon"))
+    val verbatim = (x: Column) => x.cast("string")
+    branch("o_custkey", verbatim)
+      .unionAll(branch("o_orderdate", x => unix_micros(x).cast("string")))
+      .unionAll(branch("o_orderkey", verbatim))
+      .unionAll(branch("o_orderpriority", verbatim))
+      .unionAll(branch("o_orderstatus", verbatim))
+      .unionAll(branch("o_totalprice",
+        x => floor(x * 100 + 0.5).cast("long").cast("string")))
       .orderBy("col_name")
   }
 
