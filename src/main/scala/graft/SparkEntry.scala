@@ -319,6 +319,8 @@ object SparkEntry {
     "text_dsir_weights" -> (Analytics.textDsirWeights _),
     "text_nb_classify" -> (Analytics.textNbClassify _),
     "graph_components" -> (Graph.graphComponents _),
+    "graph_bfs" -> (Graph.graphBfs _),
+    "basket_rules" -> (Analytics.basketRules _),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
@@ -729,6 +731,9 @@ object SparkEntry {
     "graph_pagerank" -> Graph.pagerankOracleSql,
     "graph_pagerank_bucketed" -> Graph.pagerankOracleSql,
     "graph_components" -> Graph.componentsOracleSql,
+    "graph_bfs" -> Graph.bfsOracleSql,
+    "basket_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ps AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS supp_ab FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM op GROUP BY 1), nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op), rules AS (SELECT part_a AS antecedent, part_b AS consequent, supp_ab FROM ps UNION ALL SELECT part_b, part_a, supp_ab FROM ps) SELECT antecedent, consequent, supp_ab, (supp_ab * 1000000) // ia.supp AS conf_micro, (supp_ab * n_baskets * 1000000) // (ia.supp * ic.supp) AS lift_micro FROM rules JOIN it ia ON ia.l_partkey = antecedent JOIN it ic ON ic.l_partkey = consequent CROSS JOIN nb ORDER BY lift_micro DESC, antecedent, consequent LIMIT 100""",
     "text_nb_classify" ->
       """WITH train AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0), tc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM train) GROUP BY 1, 2), vocab AS (SELECT DISTINCT w FROM tc), clsdocs AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM train GROUP BY lang), clstok AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tok FROM tc GROUP BY lang), consts AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM vocab) AS v, (SELECT CAST(count(*) AS BIGINT) FROM train) AS n_all), model AS (SELECT cd.lang AS cls, vocab.w, CAST(floor(log2(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / (ct.n_tok + consts.v)) * 1000000 + 0.5) AS BIGINT) AS lw_micro FROM clsdocs cd CROSS JOIN vocab CROSS JOIN consts JOIN clstok ct ON ct.lang = cd.lang LEFT JOIN tc ON tc.lang = cd.lang AND tc.w = vocab.w), priors AS (SELECT lang AS cls, CAST(floor(log2(CAST(n_docs AS DOUBLE) / consts.n_all) * 1000000 + 0.5) AS BIGINT) AS prior_micro FROM clsdocs CROSS JOIN consts), tftest AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents WHERE doc_id % 2 = 1) GROUP BY 1, 2, 3), sc AS (SELECT t.doc_id, t.lang, m.cls, CAST(sum(t.tf * m.lw_micro) AS BIGINT) AS like_micro FROM tftest t JOIN model m ON t.w = m.w GROUP BY 1, 2, 3), scored AS (SELECT sc.doc_id, sc.lang, sc.cls, like_micro + prior_micro AS score_micro FROM sc JOIN priors ON sc.cls = priors.cls), r AS (SELECT doc_id, lang, cls, score_micro, row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, cls) AS rn FROM scored) SELECT doc_id, lang AS actual, cls AS predicted, score_micro, CAST(CASE WHEN cls = lang THEN 1 ELSE 0 END AS BIGINT) AS correct FROM r WHERE rn = 1 ORDER BY doc_id""",
     "stream_watermark_late" ->

@@ -1765,4 +1765,47 @@ object Analytics {
         when(col("cls") === col("lang"), 1L).otherwise(0L).as("correct"))
       .orderBy("doc_id")
   }
+
+  /** Association rules over order baskets — the market-basket layer above
+    * [[basketPairs]]: every co-occurring part pair (support ≥ 2) emits both
+    * directed rules A→B and B→A with support, confidence = supp(A,B)/supp(A)
+    * and lift = N·supp(A,B)/(supp(A)·supp(B)), both as integer micros
+    * (floor(x·1e6) in pure int64 — max term supp·N·1e6 ≈ 1.5e12 at sf0.1,
+    * far inside the long range — so Spark and DuckDB agree bit-for-bit
+    * with no float in sight). Top 100 by lift: the classic "parts bought
+    * together" merchandising query.
+    *
+    * Scale: pair supports come from the partition-local sorted-array pair
+    * kernel of [[basketPairs]] (one basket shuffle + one pair shuffle,
+    * never a self-join); per-item supports are one map-side-combined
+    * aggregate whose result is O(|parts|) and BROADCASTs into the rule
+    * join twice; N is a broadcast scalar. Nothing here is quadratic in
+    * baskets or parts.
+    */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val op = t(spark, dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val baskets = op.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val pairExpr = flatten(transform(col("ps"), (x, i) =>
+      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+        y => struct(x.as("part_a"), y.as("part_b")))))
+    val pairSupp = baskets.select(explode(pairExpr).as("pr"))
+      .select(col("pr.part_a"), col("pr.part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= 2)
+    val itemSupp = op.groupBy("l_partkey").agg(count(lit(1)).as("supp"))
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val rules = pairSupp
+      .select(col("part_a").as("antecedent"), col("part_b").as("consequent"), col("supp_ab"))
+      .unionAll(pairSupp.select(col("part_b"), col("part_a"), col("supp_ab")))
+    rules
+      .join(broadcast(itemSupp.select(col("l_partkey").as("antecedent"), col("supp").as("supp_a"))), "antecedent")
+      .join(broadcast(itemSupp.select(col("l_partkey").as("consequent"), col("supp").as("supp_c"))), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("supp_ab"),
+        expr("(supp_ab * 1000000) div supp_a").as("conf_micro"),
+        expr("(supp_ab * n_baskets * 1000000) div (supp_a * supp_c)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("antecedent"), col("consequent"))
+      .limit(100)
+  }
 }

@@ -1049,6 +1049,65 @@ class OpsSpec extends SparkSpec {
       (3L, 2L, 1L, 1L, 3L, 1000012L)), s"got $got")
   }
 
+  test("graphBfs rings a constructed chain and ignores other islands") {
+    // Nation 0: seed = customer 1 (min custkey) — ring 0; its supplier 11
+    // — ring 1; customer 2 (shares s11) — ring 2; supplier 13 (only via
+    // c2) — ring 3. Nation 1 (c3 ↔ s12) is a separate island: unreached,
+    // absent. The cross-nation order (c1 from s12) must not leak in.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    import spark.implicits._
+    Seq((101L, 11L), (102L, 11L), (103L, 12L), (104L, 12L), (105L, 13L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((101L, 1L), (102L, 2L), (103L, 3L), (104L, 1L), (105L, 2L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0), (2L, 0), (3L, 1)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((11L, 0), (12L, 1), (13L, 0)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Graph.graphBfs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 0L, 1L, 1L),
+      (1L, 1L, 0L, 1L, 1000011L, 1000011L),
+      (2L, 1L, 1L, 0L, 2L, 2L),
+      (3L, 1L, 0L, 1L, 1000013L, 1000013L)), s"got $got")
+  }
+
+  test("graphBfs distances are converged, deep, and bipartite at fixture scale") {
+    val a = Graph.bfsDistances(spark, sf, Graph.BfsRounds)
+      .orderBy("node").collect().toSeq
+    val b = Graph.bfsDistances(spark, sf, Graph.BfsRounds + 1)
+      .orderBy("node").collect().toSeq
+    assert(a == b, "an extra relaxation round changed distances — not converged")
+    val rings = Graph.graphBfs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rings.length > 2, "BFS never left hop 1 — seed set too broad to exercise relaxation")
+    rings.foreach { case (d, nCust, nSupp) =>
+      if (d % 2 == 0) assert(nSupp == 0L, s"supplier in even ring $d")
+      else assert(nCust == 0L, s"customer in odd ring $d")
+    }
+  }
+
+  test("basketRules scores a constructed four-basket corpus exactly") {
+    // Baskets: {A,B}, {A,B}, {A,C}, {B}. supp A=3, B=3, C=1, N=4; only
+    // the (A,B) pair clears support>=2: conf(A->B) = 2/3 -> 666666 micro,
+    // lift = 2*4/(3*3) -> 888888 micro, symmetric for B->A.
+    val dir = java.nio.file.Files.createTempDirectory("graft-rules").toString
+    import spark.implicits._
+    Seq((1L, 100L), (1L, 200L), (2L, 100L), (2L, 200L), (3L, 100L),
+      (3L, 300L), (4L, 200L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.basketRules(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (100L, 200L, 2L, 666666L, 888888L),
+      (200L, 100L, 2L, 666666L, 888888L)), s"got $got")
+  }
+
   test("graphComponents labels are converged at fixture scale (extra round is a fixed point)") {
     val a = Graph.componentLabels(spark, sf, Graph.ComponentRounds)
       .orderBy("node").collect().toSeq
