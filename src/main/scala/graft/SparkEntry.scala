@@ -321,6 +321,7 @@ object SparkEntry {
     "graph_components" -> (Graph.graphComponents _),
     "graph_bfs" -> (Graph.graphBfs _),
     "basket_rules" -> (Analytics.basketRules _),
+    "sim_mmr_select" -> ((s, d) => LlmPipeline.simMmrSelect(s, d)),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),

@@ -830,6 +830,78 @@ object LlmPipeline {
       .orderBy(col("cosine").desc, col("vec_id"))
   }
 
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998): the
+    * diversified top-k every retrieval-augmented data-selection pipeline
+    * runs — pure cosine top-k returns k copies of the same neighborhood,
+    * MMR greedily picks argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s), trading
+    * relevance against redundancy with what is already selected.
+    *
+    * Two-stage shape, and the split IS the scale story: the SHORTLIST (top
+    * [[MmrShortlist]] by cosine to the probe) is the distributed pass —
+    * TakeOrderedAndProject over all N vectors, each partition shipping only
+    * its local top-M — while the greedy diversification runs driver-local
+    * on the M×M micro-cosine matrix. Greedy MMR is inherently sequential
+    * (pick i depends on picks 1..i−1), but its working set is the CONSTANT
+    * M×(dim+1) shortlist — a parameter fetch by the repo's own rule (same
+    * order as the 4k-vector k-means seed sample), identical at sf0.001 and
+    * 100 TB. Distributing those k·M score updates would buy nothing but
+    * per-round job latency ([[graft.ops.Analytics.textBpeMerges]] is the
+    * same verdict for its 1-row argmax rounds).
+    *
+    * Determinism: relevance and pairwise cosines round to integer micros
+    * BEFORE the λ-combination, which is pure int64
+    * ((λ%·rel − (100−λ%)·maxsim) div 100), ties by vec_id — bit-stable
+    * under any partitioning. No SQL oracle: float cosine folds are
+    * engine-specific (same reasoning as the rest of the sim family);
+    * pinned instead against a plain-Scala whole-corpus greedy reference
+    * and a constructed redundancy fixture in OpsSpec.
+    */
+  val MmrShortlist = 64
+
+  def simMmrSelect(spark: SparkSession, dir: String, k: Int = 5,
+      m: Int = MmrShortlist, lambdaPct: Int = 70): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val probe = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val p = typedlit(probe.map(_.toFloat).toSeq)
+    // Distributed shortlist: cosine to the probe, top-M overall. This is
+    // the only stage that touches all N rows.
+    val short = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (dot(spark, col("embedding"), p) / (l2(spark, col("embedding")) * l2(spark, p))).as("cosine"),
+        col("embedding"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(m)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1000000 + 0.5).toLong
+    }
+    val relMicro = short.map { case (_, c, _) => math.floor(c * 1000000 + 0.5).toLong }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)] // (idx, score)
+    val chosen = scala.collection.mutable.Set.empty[Int]
+    for (_ <- 1 to math.min(k, short.length)) {
+      var bestIdx = -1; var bestScore = Long.MinValue
+      for (i <- short.indices if !chosen(i)) {
+        val maxSim = if (selected.isEmpty) 0L
+          else selected.map(s => cosMicro(short(i)._3, short(s._1)._3)).max
+        val score = Math.floorDiv(lambdaPct * relMicro(i) - (100 - lambdaPct) * maxSim, 100L)
+        if (score > bestScore ||
+            (score == bestScore && bestIdx >= 0 && short(i)._1 < short(bestIdx)._1)) {
+          bestIdx = i; bestScore = score
+        }
+      }
+      chosen += bestIdx
+      selected += ((bestIdx, bestScore))
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((i, score), rank) => (rank.toLong, short(i)._1, relMicro(i), score) }
+      .toDF("rank", "vec_id", "rel_micro", "mmr_micro")
+  }
+
   private val kmeansCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), Seq[Seq[Double]]]]())

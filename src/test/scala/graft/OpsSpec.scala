@@ -92,6 +92,56 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("MMR equals a whole-corpus plain-Scala greedy when the shortlist covers the corpus") {
+    val all = Tables.t(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val probe = all.find(_._1 == 0L).get._2
+    def cosMicro(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(d / (math.sqrt(na) * math.sqrt(nb)) * 1000000 + 0.5).toLong
+    }
+    // Independent greedy over the ENTIRE corpus (no shortlist).
+    val cands = all.filter(_._1 != 0L).map { case (id, v) => (id, cosMicro(probe, v), v) }
+    var sel = Vector.empty[Long]
+    for (_ <- 1 to 5) {
+      val best = cands.filter(c => !sel.contains(c._1)).map { case (id, rel, v) =>
+        val maxSim = if (sel.isEmpty) 0L
+          else sel.map(s => cosMicro(v, cands.find(_._1 == s).get._3)).max
+        (id, Math.floorDiv(70L * rel - 30L * maxSim, 100L))
+      }.minBy { case (id, score) => (-score, id) }
+      sel :+= best._1
+    }
+    val got = LlmPipeline.simMmrSelect(spark, sf, k = 5, m = all.length)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == sel, s"got $got expected $sel")
+  }
+
+  test("MMR diversification: a redundant twin is displaced by a diverse candidate") {
+    // Probe = (1,1): BETWEEN the clusters — with a probe collinear to the
+    // top pick, rel ≈ sim(·, pick) for every candidate and no λ can ever
+    // displace a twin. Here vec 1 (1, .25) is most relevant, vec 2 (1, .22)
+    // its near-twin (rel .843, sim-to-1 ≈ .999), vec 3 (.2, 1) the other
+    // cluster (rel .832, sim-to-1 ≈ .43). Pure top-2 relevance = {1, 2};
+    // MMR at λ=0.7 scores 3 at .70·.832−.30·.43 ≈ .454 over the twin's
+    // .70·.843−.30·.999 ≈ .290 and must pick 1 then 3.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    import spark.implicits._
+    val dim = 8
+    def v(xs: Double*): Seq[Float] = (xs ++ Seq.fill(dim - xs.length)(0.0)).map(_.toFloat)
+    Seq(
+      (0L, v(1.0, 1.0), 0), (1L, v(1.0, 0.25), 0), (2L, v(1.0, 0.22), 0),
+      (3L, v(0.2, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmPipeline.simMmrSelect(spark, dir, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (1L, 3L)), s"got $got")
+    // Sanity: pure relevance WOULD have picked the twin.
+    val topRel = LlmPipeline.simTopkCosine(spark, dir).collect().map(_.getLong(0)).take(2).toSeq
+    assert(topRel == Seq(1L, 2L), s"relevance order changed: $topRel")
+  }
+
   test("sim_topk_ivf with all cells probed equals brute force; pruned is a valid subsearch") {
     val brute = LlmPipeline.simTopkCosine(spark, sf).collect().map(_.getLong(0)).toSeq
     // nProbe = all 10 label cells → no pruning → must match brute force exactly.

@@ -62,6 +62,11 @@ class UnoracleableSpec extends SparkSpec {
     "sim_topk_cosine" -> Pin(
       "DuckDB list_dot_product folds in a different order → float drift (memory: graft-harness-gotchas)",
       "OpsSpec", Seq("sim_topk_cosine matches driver-side brute force")),
+    "sim_mmr_select" -> Pin(
+      "float cosine folds are engine-specific; greedy MMR has no SQL rendering",
+      "OpsSpec", Seq(
+        "MMR equals a whole-corpus plain-Scala greedy when the shortlist covers the corpus",
+        "MMR diversification: a redundant twin is displaced by a diverse candidate")),
     "sim_topk_ivf" -> Pin(
       "ANN cell pruning + float cosine; pinned against its own brute force",
       "OpsSpec", Seq(
