@@ -322,6 +322,7 @@ object SparkEntry {
     "graph_bfs" -> (Graph.graphBfs _),
     "basket_rules" -> (Analytics.basketRules _),
     "sim_mmr_select" -> ((s, d) => LlmPipeline.simMmrSelect(s, d)),
+    "multimodal_phash" -> (Multimodal.multimodalPhash _),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),

@@ -838,6 +838,50 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L).isNullAt(2) && !byId(3L).isNullAt(4))
   }
 
+  test("perceptual dHash: a one-pixel edit survives pairing, a reshot image does not, stubs collide exactly") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    def grayPng(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 64; y <- 0 until 64) {
+        val g = f(x, y) & 0xff; img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      baos.toByteArray
+    }
+    val original = grayPng((x, _) => x * 4)            // left→right gradient
+    val edited = grayPng((x, y) => if (x == 3 && y == 4) 255 else x * 4) // one sampled pixel brightened
+    val reshot = grayPng((x, _) => 255 - x * 4)        // reversed gradient: every dHash bit flips
+    val ha = Multimodal.dhash64(original)
+    assert(ha == Multimodal.dhash64(grayPng((x, _) => x * 4)), "same image, same hash")
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.dhash64(edited)) <= 3,
+      "a one-pixel edit must stay within the near-dup radius")
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.dhash64(reshot)) > 3,
+      "a structurally different image must leave the radius")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = true)))
+    val assets = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, original), Row(2L, edited), Row(3L, reshot),
+        Row(10L, "identical stub payload".getBytes("UTF-8")),
+        Row(11L, "identical stub payload".getBytes("UTF-8"))),
+      schema)
+    val pairs = Multimodal.phashPairsOn(assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 1L), (10L, 11L, 0L)), s"got $pairs")
+  }
+
+  test("multimodal_phash: one deterministic fingerprint per asset, kind-routed") {
+    val a = Multimodal.multimodalPhash(spark, sf).collect()
+    val b = Multimodal.multimodalPhash(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "phash must be deterministic")
+    val n = Tables.t(spark, sf, "documents").count()
+    assert(a.length == n && a.map(_.getLong(0)).distinct.length == n.toInt)
+    assert(a.map(_.getString(1)).toSet == Set("text", "image", "audio", "video"))
+  }
+
   test("audio decode: real WAV payloads yield true duration; non-WAV bytes fall back to the stub") {
     import javax.sound.sampled._
     // A genuine 0.2 s mono 16-bit 8 kHz WAV rendered by the JDK itself.

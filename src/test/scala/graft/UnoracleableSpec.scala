@@ -62,6 +62,11 @@ class UnoracleableSpec extends SparkSpec {
     "sim_topk_cosine" -> Pin(
       "DuckDB list_dot_product folds in a different order → float drift (memory: graft-harness-gotchas)",
       "OpsSpec", Seq("sim_topk_cosine matches driver-side brute force")),
+    "multimodal_phash" -> Pin(
+      "dHash is this engine's own perceptual kernel (JDK ImageIO luma + byte-grid stub leg)",
+      "OpsSpec", Seq(
+        "perceptual dHash: a one-pixel edit survives pairing, a reshot image does not, stubs collide exactly",
+        "multimodal_phash: one deterministic fingerprint per asset, kind-routed")),
     "sim_mmr_select" -> Pin(
       "float cosine folds are engine-specific; greedy MMR has no SQL rendering",
       "OpsSpec", Seq(
