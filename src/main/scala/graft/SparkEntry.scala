@@ -323,6 +323,7 @@ object SparkEntry {
     "basket_rules" -> (Analytics.basketRules _),
     "sim_mmr_select" -> ((s, d) => LlmPipeline.simMmrSelect(s, d)),
     "multimodal_phash" -> (Multimodal.multimodalPhash _),
+    "events_holt_forecast" -> (Analytics.eventsHoltForecast _),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
@@ -742,6 +743,11 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus, (tus + ((event_id * 1103515245 + 12345) % 2147483647) % 1800000000) // 60000000 AS batch FROM events), bm AS (SELECT batch, max(tus) AS bmax FROM ev GROUP BY batch), wm AS (SELECT batch, max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000000 AS wm FROM bm), fl AS (SELECT tus, CASE WHEN wm IS NOT NULL AND tus < wm THEN 1 ELSE 0 END AS late FROM ev JOIN wm USING (batch)) SELECT tus // 3600000000 AS hour_num, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late, CAST(sum(1 - late) AS BIGINT) AS n_kept FROM fl GROUP BY 1 ORDER BY hour_num""",
     "events_ewma" ->
       """WITH ev AS (SELECT user_id, CAST(floor(value*100+0.5) AS BIGINT) AS cents, ts, event_id FROM events) SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list_reduce(list(CAST(cents AS DOUBLE) ORDER BY ts, event_id), (s, x) -> (s + x) / 2) AS ewma_cents FROM ev GROUP BY user_id ORDER BY user_id""",
+    // NOTE: rendered as a recursive-CTE fold, NOT list_reduce — DuckDB
+    // 1.0's list_reduce miscomputes multi-field struct accumulators (a
+    // 3-element fold returns t=3 where the hand fold gives 5).
+    "events_holt_forecast" ->
+      """WITH RECURSIVE daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dnum, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS dc FROM events GROUP BY 1, 2), typed AS (SELECT event_type, list(dc ORDER BY dnum) AS dcs, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY event_type), rec AS (SELECT event_type, CAST(1 AS BIGINT) AS i, dcs[1] AS l, CAST(0 AS BIGINT) AS t FROM typed UNION ALL SELECT r.event_type, r.i + 1, CAST(floor((ty.dcs[CAST(r.i + 1 AS INT)] + r.l + r.t)/2) AS BIGINT), CAST(floor((CAST(floor((ty.dcs[CAST(r.i + 1 AS INT)] + r.l + r.t)/2) AS BIGINT) - r.l + r.t)/2) AS BIGINT) FROM rec r JOIN typed ty USING (event_type) WHERE r.i < ty.n_days) SELECT r.event_type, ty.n_days, r.l AS level_cents, r.t AS trend_cents, r.l + r.t AS forecast_cents FROM rec r JOIN typed ty USING (event_type) WHERE r.i = ty.n_days ORDER BY event_type""",
     "graph_degree_stats" ->
       """WITH base AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), edges AS (SELECT cust AS src, supp + 1000000 AS dst FROM base UNION ALL SELECT supp + 1000000, cust FROM base), deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src) SELECT CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS side, CAST(length(bin(d)) AS BIGINT) AS degree_bits, CAST(count(*) AS BIGINT) AS n_nodes, min(d) AS min_degree, max(d) AS max_degree FROM deg GROUP BY 1, 2 ORDER BY side, degree_bits""",
     "graph_triangles" ->

@@ -1766,6 +1766,48 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  /** Holt double-exponential smoothing (level + linear trend) per event
+    * type over the daily cents series, with one-step-ahead forecast — the
+    * capacity-planning query every metrics pipeline runs. α = β = ½ is the
+    * load-bearing choice: the recurrence l' = ⌊(x + l + t)/2⌋,
+    * t' = ⌊(l' − l + t)/2⌋ stays in pure int64 because division by 2 is
+    * exact in IEEE doubles (so floor(x/2.0) IS floor division, identically
+    * in Spark and DuckDB, including negative trends — Spark's integer `div`
+    * truncates toward zero and would disagree below zero). The sequential
+    * fold is `aggregate` over the day-ordered list with a struct(l, t)
+    * accumulator; the DuckDB oracle folds via a recursive CTE over the day
+    * index — NOT `list_reduce`, whose struct-accumulator path miscomputes
+    * multi-field states in DuckDB 1.0 (a 3-element fold returns t=3 where
+    * the hand fold gives 5).
+    *
+    * Scale: same shape as [[eventsEwma]] — the inherently sequential state
+    * lives per SERIES, so one shuffle groups days into O(n_days) arrays and
+    * every series folds independently, in parallel, in one codegen'd pass.
+    * A series too long for one array (years of seconds) chunks by month and
+    * folds chunk-level states — the recurrence is resumable from (l, t).
+    */
+  def eventsHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    val st = "named_struct('l', CAST(floor((x.l + s.l + s.t)/2) AS BIGINT), " +
+      "'t', CAST(floor((CAST(floor((x.l + s.l + s.t)/2) AS BIGINT) - s.l + s.t)/2) AS BIGINT))"
+    t(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("dnum"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "dnum").agg(sum(col("cents")).as("dc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("dnum"), col("dc")))).as("days"))
+      .withColumn("vals", transform(col("days"), x => x.getField("dc")))
+      .withColumn("st", expr(
+        "aggregate(" +
+          "transform(slice(vals, 2, greatest(size(vals) - 1, 0)), v -> named_struct('l', v, 't', CAST(0 AS BIGINT)))," +
+          "named_struct('l', vals[0], 't', CAST(0 AS BIGINT))," +
+          s"(s, x) -> $st)"))
+      .select(col("event_type"), col("n_days"),
+        col("st.l").as("level_cents"), col("st.t").as("trend_cents"),
+        (col("st.l") + col("st.t")).as("forecast_cents"))
+      .orderBy("event_type")
+  }
+
   /** Association rules over order baskets — the market-basket layer above
     * [[basketPairs]]: every co-occurring part pair (support ≥ 2) emits both
     * directed rules A→B and B→A with support, confidence = supp(A,B)/supp(A)

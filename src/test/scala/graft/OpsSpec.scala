@@ -1185,6 +1185,27 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("eventsHoltForecast runs the exact integer recurrence, trends both ways") {
+    // up: days [0.10, 0.20, 0.30] → l=(20+10+0)/2=15,t=(15-10)/2=2;
+    //     l=(30+15+2)/2=23, t=(23-15+2)/2=5 → forecast 28.
+    // down: [0.30, 0.10] → l=(10+30)/2=20, t=floor((20-30)/2)=-5 → 15
+    //     (floor, not truncate: -10/2 is exact but -11/2 must round DOWN —
+    //      covered at fixture scale by the negative-trend event types).
+    val dir = java.nio.file.Files.createTempDirectory("graft-holt").toString
+    import spark.implicits._
+    val day = 86400000000L
+    Seq(("up", 0L, 0.10), ("up", day, 0.20), ("up", 2 * day, 0.30),
+      ("down", 0L, 0.30), ("down", day, 0.10))
+      .map { case (ty, us, v) => (ty, new java.sql.Timestamp(us / 1000), v) }
+      .toDF("event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsHoltForecast(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      ("down", 2L, 20L, -5L, 15L),
+      ("up", 3L, 23L, 5L, 28L)), s"got $got")
+  }
+
   test("basketRules scores a constructed four-basket corpus exactly") {
     // Baskets: {A,B}, {A,B}, {A,C}, {B}. supp A=3, B=3, C=1, N=4; only
     // the (A,B) pair clears support>=2: conf(A->B) = 2/3 -> 666666 micro,
