@@ -426,4 +426,60 @@ object Graph {
       s"min(node) AS min_node, max(node) AS max_node FROM d$BfsRounds " +
       s"WHERE d < 1000000 GROUP BY d ORDER BY dist"
   }
+
+  /** Neighbor-set Jaccard similarity between suppliers — "suppliers serving
+    * the same customers", the graph-structural node-similarity query behind
+    * every who-competes-with-whom / substitute-recommendation report.
+    * J(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)| over customer neighborhoods in the
+    * trade graph, reported in integer micros (∩·1e6 div ∪ — pure int64, so
+    * both engines agree bit-for-bit). Top 100 by similarity.
+    *
+    * Scale: candidates come from co-occurrence, never enumeration — only
+    * supplier pairs SHARING at least one customer are generated (explode
+    * each customer's sorted supplier set through the same partition-local
+    * pair kernel as [[graft.ops.Analytics.basketPairs]]: one customer-keyed
+    * shuffle + one pair-keyed shuffle), the pair count per customer rides
+    * the sorted-array expansion, and the intersection size IS the pair
+    * multiplicity (count per pair) — no arrays ever join. Neighborhood
+    * sizes are an O(|suppliers|) aggregate BROADCAST into the final
+    * scoring join. A celebrity customer (one trading with every supplier)
+    * is this query's hot bucket; at 100 TB cap or sample its supplier set
+    * exactly as [[graft.ops.LlmPipeline.bucketedPairs]] star-links hot LSH
+    * buckets.
+    */
+  def graphNeighborJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      .distinct()
+    val nbrSize = base.groupBy("supp").agg(count(lit(1)).as("deg"))
+    val perCust = base.groupBy("cust")
+      .agg(sort_array(collect_set(col("supp"))).as("ss"))
+    val pairExpr = flatten(transform(col("ss"), (x, i) =>
+      transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+        y => struct(x.as("sa"), y.as("sb")))))
+    perCust.select(explode(pairExpr).as("p"))
+      .select(col("p.sa"), col("p.sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("inter"))
+      .join(broadcast(nbrSize.select(col("supp").as("sa"), col("deg").as("deg_a"))), "sa")
+      .join(broadcast(nbrSize.select(col("supp").as("sb"), col("deg").as("deg_b"))), "sb")
+      .select(col("sa").as("supp_a"), col("sb").as("supp_b"), col("inter"),
+        expr("(inter * 1000000) div (deg_a + deg_b - inter)").as("jaccard_micro"))
+      .orderBy(col("jaccard_micro").desc, col("supp_a"), col("supp_b"))
+      .limit(100)
+  }
+
+  /** DuckDB oracle for [[graphNeighborJaccard]] — pair multiplicity over a
+    * shared-customer self-join (the quadratic textbook form the Spark side
+    * deliberately avoids; fine at oracle scale). */
+  def neighborJaccardOracleSql: String =
+    "WITH base AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey), " +
+      "deg AS (SELECT supp, CAST(count(*) AS BIGINT) AS deg FROM base GROUP BY supp), " +
+      "inter AS (SELECT a.supp AS supp_a, b.supp AS supp_b, CAST(count(*) AS BIGINT) AS inter " +
+      "FROM base a JOIN base b ON a.cust = b.cust AND a.supp < b.supp GROUP BY 1, 2) " +
+      "SELECT supp_a, supp_b, inter, (inter * 1000000) // (da.deg + db.deg - inter) AS jaccard_micro " +
+      "FROM inter JOIN deg da ON da.supp = supp_a JOIN deg db ON db.supp = supp_b " +
+      "ORDER BY jaccard_micro DESC, supp_a, supp_b LIMIT 100"
 }

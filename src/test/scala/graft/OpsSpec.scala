@@ -1185,6 +1185,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("graphNeighborJaccard scores a constructed shared-customer fixture exactly") {
+    // Customers c1,c2 both buy from suppliers {1,2}; c3 from {1,3}.
+    // deg: s1=3, s2=2, s3=1. Pairs: (1,2) inter=2 → 2/(3+2−2) = 2/3;
+    // (1,3) inter=1 → 1/(3+1−1) = 1/3; (2,3) share no customer → absent.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nj").toString
+    import spark.implicits._
+    Seq((101L, 1L), (101L, 2L), (102L, 1L), (102L, 2L), (103L, 1L), (103L, 3L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((101L, 1L), (102L, 2L), (103L, 3L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Graph.graphNeighborJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 2L, 666666L), (1L, 3L, 1L, 333333L)), s"got $got")
+  }
+
   test("eventsHoltForecast runs the exact integer recurrence, trends both ways") {
     // up: days [0.10, 0.20, 0.30] → l=(20+10+0)/2=15,t=(15-10)/2=2;
     //     l=(30+15+2)/2=23, t=(23-15+2)/2=5 → forecast 28.
