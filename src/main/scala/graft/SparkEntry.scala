@@ -325,6 +325,7 @@ object SparkEntry {
     "multimodal_phash" -> (Multimodal.multimodalPhash _),
     "events_holt_forecast" -> (Analytics.eventsHoltForecast _),
     "graph_neighbor_jaccard" -> (Graph.graphNeighborJaccard _),
+    "orders_open_backlog" -> (Analytics.ordersOpenBacklog _),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
@@ -737,6 +738,8 @@ object SparkEntry {
     "graph_components" -> Graph.componentsOracleSql,
     "graph_bfs" -> Graph.bfsOracleSql,
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
+    "orders_open_backlog" ->
+      """WITH closes AS (SELECT l_orderkey, max(l_shipdate) AS close_date FROM lineitem GROUP BY 1), spans AS (SELECT epoch_us(o_orderdate) // 86400000000 AS open_day, greatest(epoch_us(o_orderdate) // 86400000000, epoch_us(close_date) // 86400000000) AS close_day FROM orders JOIN closes ON o_orderkey = l_orderkey), deltas AS (SELECT day_num, CAST(sum(opened) AS BIGINT) AS n_opened, CAST(sum(closed) AS BIGINT) AS n_closed FROM (SELECT open_day AS day_num, 1 AS opened, 0 AS closed FROM spans UNION ALL SELECT close_day + 1, 0, 1 FROM spans) GROUP BY day_num) SELECT day_num, n_opened, n_closed, CAST(sum(n_opened - n_closed) OVER (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog FROM deltas ORDER BY day_num""",
     "basket_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ps AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS supp_ab FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), it AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp FROM op GROUP BY 1), nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM op), rules AS (SELECT part_a AS antecedent, part_b AS consequent, supp_ab FROM ps UNION ALL SELECT part_b, part_a, supp_ab FROM ps) SELECT antecedent, consequent, supp_ab, (supp_ab * 1000000) // ia.supp AS conf_micro, (supp_ab * n_baskets * 1000000) // (ia.supp * ic.supp) AS lift_micro FROM rules JOIN it ia ON ia.l_partkey = antecedent JOIN it ic ON ic.l_partkey = consequent CROSS JOIN nb ORDER BY lift_micro DESC, antecedent, consequent LIMIT 100""",
     "text_nb_classify" ->

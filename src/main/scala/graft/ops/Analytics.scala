@@ -1808,6 +1808,45 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** Daily order backlog — how many orders were OPEN (placed but not yet
+    * fully shipped) on each day the backlog level changed: the warehouse
+    * fulfillment curve. An order is open on [o_orderdate, max l_shipdate of
+    * its lines]; the curve is computed by DIFFERENCE ARRAYS (+1 at open,
+    * −1 the day after close), never by exploding each order into its span
+    * days — the naive per-day explosion is O(orders × span) and owns the
+    * shuffle at scale, the delta form is exactly 2 rows per order.
+    *
+    * Scale: close dates are one map-side-combined max per order sharing
+    * the orderkey shuffle; deltas aggregate per DAY before any window, so
+    * the running sum's input is CALENDAR-BOUNDED (~2.5k rows for 7 years —
+    * at 100 TB of orders it is still ~2.5k rows). That bound is what makes
+    * the partition-less `Window.orderBy` here correct-by-construction: the
+    * single-partition window everyone warns about runs over a table whose
+    * size cannot scale with the data.
+    */
+  def ordersOpenBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val closes = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("close_date"))
+    // The synthetic fixture draws ship dates independently of order dates
+    // (291 orders at sf0.001 "ship" before they are placed); clamp the
+    // close to the open day — an interval is open for at least its own
+    // order day — so the difference array stays well-formed.
+    val spans = t(spark, dir, "orders")
+      .select(col("o_orderkey"), expr("unix_micros(o_orderdate) div 86400000000").as("open_day"))
+      .join(closes, col("o_orderkey") === col("l_orderkey"))
+      .select(col("open_day"),
+        greatest(col("open_day"), expr("unix_micros(close_date) div 86400000000")).as("close_day"))
+    val deltas = spans.select(col("open_day").as("day_num"), lit(1L).as("opened"), lit(0L).as("closed"))
+      .unionAll(spans.select((col("close_day") + 1).as("day_num"), lit(0L), lit(1L)))
+      .groupBy("day_num")
+      .agg(sum(col("opened")).as("n_opened"), sum(col("closed")).as("n_closed"))
+    deltas
+      .withColumn("backlog",
+        sum(col("n_opened") - col("n_closed")).over(
+          Window.orderBy("day_num").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day_num")
+  }
+
   /** Association rules over order baskets — the market-basket layer above
     * [[basketPairs]]: every co-occurring part pair (support ≥ 2) emits both
     * directed rules A→B and B→A with support, confidence = supp(A,B)/supp(A)

@@ -1185,6 +1185,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ordersOpenBacklog difference-array curve equals a per-day scan, ends at zero") {
+    // The delta form must agree with the naive per-day count, and once the
+    // last order closes the running sum must return exactly to 0 (every +1
+    // matched by a −1): the invariant that catches off-by-one close dates.
+    val rows = Analytics.ordersOpenBacklog(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.last._4 == 0L, s"backlog must drain to 0, got ${rows.last}")
+    assert(rows.map(_._2).sum == rows.map(_._3).sum, "every open needs a close")
+    assert(rows.forall(_._4 >= 0L), "backlog can never go negative")
+    val spans = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), expr("unix_micros(o_orderdate) div 86400000000").as("od"))
+      .join(Tables.t(spark, sf, "lineitem")
+        .groupBy("l_orderkey").agg(expr("unix_micros(max(l_shipdate)) div 86400000000").as("cd")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("od", "cd").collect()
+      .map(r => (r.getLong(0), math.max(r.getLong(0), r.getLong(1)))) // same clamp as the op
+    val byDay = rows.map(r => r._1 -> r._4).toMap
+    // Spot-check 5 change days against a direct interval count.
+    rows.sortBy(_._1).take(5).foreach { case (d, _, _, got) =>
+      val direct = spans.count { case (od, cd) => od <= d && d <= cd }
+      assert(got == direct, s"day $d: delta curve $got vs direct $direct")
+    }
+  }
+
   test("graphNeighborJaccard scores a constructed shared-customer fixture exactly") {
     // Customers c1,c2 both buy from suppliers {1,2}; c3 from {1,3}.
     // deg: s1=3, s2=2, s3=1. Pairs: (1,2) inter=2 → 2/(3+2−2) = 2/3;
