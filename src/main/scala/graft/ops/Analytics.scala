@@ -1836,8 +1836,15 @@ object Analytics {
       .join(closes, col("o_orderkey") === col("l_orderkey"))
       .select(col("open_day"),
         greatest(col("open_day"), expr("unix_micros(close_date) div 86400000000")).as("close_day"))
-    val deltas = spans.select(col("open_day").as("day_num"), lit(1L).as("opened"), lit(0L).as("closed"))
-      .unionAll(spans.select((col("close_day") + 1).as("day_num"), lit(0L), lit(1L)))
+    // explode, not unionAll: a union of two selects over `spans` would
+    // duplicate the whole orders⋈lineitem subtree — two fact scans where
+    // one suffices (plan-audited; the generator emits both delta rows in
+    // the same pass).
+    val deltas = spans.select(explode(array(
+        struct(col("open_day").as("day_num"), lit(1L).as("opened"), lit(0L).as("closed")),
+        struct((col("close_day") + 1).as("day_num"), lit(0L).as("opened"), lit(1L).as("closed"))))
+        .as("d"))
+      .select(col("d.day_num"), col("d.opened"), col("d.closed"))
       .groupBy("day_num")
       .agg(sum(col("opened")).as("n_opened"), sum(col("closed")).as("n_closed"))
     deltas
