@@ -199,6 +199,48 @@ object ScaleBench {
       docs.unpersist()
     }
 
+    // ---------------------------------------------- 5. co-occurrence jaccard
+    // Neighbor-set similarity at ×1 / ×4 DISJOINT customer copies (key
+    // spaces offset, so degrees — and Σ C(deg,2) per customer — stay
+    // constant while customers grow ×scale): the typed-flatMap packed-pair
+    // kernel of graph_neighbor_jaccard must scale LINEARLY in customers.
+    // Multiplicity inflation (same customers, repeated rows) would instead
+    // test the distinct(), and degree inflation would grow work ×scale² by
+    // construction — neither is the claim.
+    for (scale <- Seq(1L, 4L)) {
+      val baseCs = Tables.t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.t(spark, sfDir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select((col("cust") + col("rep") * 1000000L).as("cust"), col("supp"))
+        .repartition(nPart)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      baseCs.count()
+      var pairRows = 0L
+      results(s"jaccard_pairs_x$scale") = timeMin(2) {
+        val perCust = baseCs.groupBy("cust").agg(sort_array(collect_set(col("supp"))).as("ss"))
+        pairRows = perCust.select("ss").as[Array[Long]]
+          .flatMap { ss =>
+            val out = new scala.collection.mutable.ArrayBuffer[Long](
+              ss.length * (ss.length - 1) / 2)
+            var i = 0
+            while (i < ss.length) {
+              var j = i + 1
+              while (j < ss.length) { out += (ss(i) << 32) | ss(j); j += 1 }
+              i += 1
+            }
+            out
+          }
+          .groupBy(col("value")).agg(count(lit(1)))
+          .groupBy().count().head().getLong(0)
+        assert(pairRows > 0)
+      }
+      results(s"jaccard_distinct_pairs_x$scale") = pairRows.toDouble
+      baseCs.unpersist()
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
