@@ -304,6 +304,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the O(N) rank-vector shuffle to the edge bucketing:\n$p")
   }
 
+  test("backlog plans ONE scan per source table (explode, not a union of subtrees)") {
+    // The unionAll formulation duplicated the orders⋈lineitem subtree; the
+    // generator form must read each fact exactly once.
+    val p = plan("orders_open_backlog")
+    val scans = p.linesIterator.count(_.contains("ReadSchema"))
+    assert(scans == 2, s"expected exactly 2 parquet scans (orders, lineitem), got $scans:\n$p")
+  }
+
+  test("dq_profile branches each scan exactly one pruned column") {
+    val p = plan("dq_profile")
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size == 6, s"expected 6 per-column branch scans, got ${schemas.size}")
+    schemas.foreach { s =>
+      val cols = "o_[a-z]+".r.findAllIn(s).toSet
+      assert(cols.size == 1, s"branch scan reads more than one column: $s")
+    }
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
