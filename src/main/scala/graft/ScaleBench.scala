@@ -22,7 +22,10 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *   3. interval-grid join linearity: t(×16)/t(×4) for the time-grid
   *      bucketed no-equi-key join (quadratic plans diverge here);
   *   4. MinHash band+pair linearity: the capped bucketedPairs kernel under
-  *      ×4 / ×16 exact-dup piles.
+  *      ×4 / ×16 exact-dup piles;
+  *   5. co-occurrence jaccard linearity: the typed-flatMap packed-pair
+  *      kernel under ×1 / ×4 disjoint customer copies (degrees constant, so
+  *      work grows ×scale while the distinct pair space stays fixed).
   *
   * Emits one JSON line on stdout and the same document at
   * `SPARK_GRAFT_SCALEBENCH_OUT` (default `SCALEBENCH.json`). Runs each
