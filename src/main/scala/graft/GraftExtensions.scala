@@ -17,10 +17,10 @@ import graft.plans.PushdownNanosTimestamp
   *   - optimizer rule: [[graft.plans.PushdownNanosTimestamp]] (parquet
   *     pushdown through the ns→µs normalization)
   *   - SQL functions: graft_minhash, graft_shingle_hashes, graft_token_count,
-  *     graft_dot, graft_simhash, graft_rolling_fp, graft_deflate_len, and the
-  *     graft_char_ngrams GENERATOR — all native Expressions (scalar,
-  *     aggregate-adjacent, and table-generating), available to pure SQL
-  *     users with no Scala imports.
+  *     graft_dot, graft_simhash, graft_rolling_fp, graft_deflate_len,
+  *     graft_dhash, and the graft_char_ngrams GENERATOR — all native
+  *     Expressions (scalar, aggregate-adjacent, and table-generating),
+  *     available to pure SQL users with no Scala imports.
   *
   * Proven end-to-end by [[ExtensionsDemo]] (extensions bind at session
   * construction, so the proof needs a session built WITH the conf).
@@ -57,6 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_deflate_len"),
       info("graft_deflate_len", "graft_deflate_len(text) - DEFLATE-compressed byte length (level 6)"),
       (exprs: Seq[Expression]) => DeflateLen(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("graft_dhash"),
+      info("graft_dhash", "graft_dhash(binary) - 64-bit byte-grid perceptual difference hash"),
+      (exprs: Seq[Expression]) => DHash64(exprs.head)))
     ext.injectFunction((FunctionIdentifier("graft_char_ngrams"),
       info("graft_char_ngrams", "graft_char_ngrams(text, n) - generator: one (pos, gram) row per n-char window"),
       (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1))))

@@ -300,14 +300,19 @@ object Multimodal {
       .orderBy("asset_id")
   }
 
-  /** 9×8 luminance grid feeding [[dhash64]]: REAL for payloads the JDK can
-    * decode (PNG/JPEG magic → ImageIO → BT.601 luma sampled at the centers
-    * of a 9×8 coarse grid — the standard dHash preprocessing), byte-grid
-    * fallback otherwise (stride-sampled payload bytes as fake pixels, the
-    * same stub-decode contract as [[stubDecodeKind]]; cycled if the payload
-    * is shorter than the grid). Deterministic either way.
+  /** 64-bit difference hash (dHash): bit (r,c) set iff grid luminance
+    * brightens left→right at that cell — the classic perceptual fingerprint
+    * that survives re-encoding, mild resizing, and small edits, where the
+    * exact sha2 of [[multimodalDedup]] flips on a single byte.
+    *
+    * The grid is REAL for payloads the JDK can decode (PNG/JPEG magic →
+    * ImageIO → BT.601 luma sampled at the centers of a 9×8 coarse grid —
+    * the standard dHash preprocessing, a codec pass run in mapPartitions);
+    * every other payload takes the byte-grid stub leg, which is the
+    * codegen'd [[graft.functions.DHash64]] kernel also exposed to SQL as
+    * `graft_dhash(binary)`.
     */
-  private[graft] def dhashGrid(payload: Array[Byte]): Array[Double] = {
+  def dhash64(payload: Array[Byte]): Long = {
     val decoded =
       if (payload == null || payload.length == 0) None
       else if (decodePng(payload).isDefined || decodeJpeg(payload).isDefined)
@@ -316,37 +321,25 @@ object Multimodal {
       else None
     decoded match {
       case Some(im) =>
-        Array.tabulate(72) { i =>
+        val g = Array.tabulate(72) { i =>
           val r = i / 9; val c = i % 9
           val x = math.min(((c + 0.5) * im.getWidth / 9).toInt, im.getWidth - 1)
           val y = math.min(((r + 0.5) * im.getHeight / 8).toInt, im.getHeight - 1)
           val rgb = im.getRGB(x, y)
           0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
         }
-      case None =>
-        val src = if (payload == null || payload.length == 0) Array[Byte](0) else payload
-        val s = stubResize(src, 72)
-        Array.tabulate(72)(i => (s(i % s.length) & 0xff).toDouble)
+        var h = 0L; var bit = 0; var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (g(r * 9 + c) < g(r * 9 + c + 1)) h |= (1L << bit)
+            bit += 1; c += 1
+          }
+          r += 1
+        }
+        h
+      case None => graft.functions.DHash64.byteGridDhash(payload)
     }
-  }
-
-  /** 64-bit difference hash (dHash): bit (r,c) set iff grid luminance
-    * brightens left→right at that cell — the classic perceptual fingerprint
-    * that survives re-encoding, mild resizing, and small edits, where the
-    * exact sha2 of [[multimodalDedup]] flips on a single byte.
-    */
-  def dhash64(payload: Array[Byte]): Long = {
-    val g = dhashGrid(payload)
-    var h = 0L; var bit = 0; var r = 0
-    while (r < 8) {
-      var c = 0
-      while (c < 8) {
-        if (g(r * 9 + c) < g(r * 9 + c + 1)) h |= (1L << bit)
-        bit += 1; c += 1
-      }
-      r += 1
-    }
-    h
   }
 
   /** Perceptual near-dup pairs over any (asset_id, media) frame: dHash per

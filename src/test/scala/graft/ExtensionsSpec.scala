@@ -22,7 +22,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("spark.sql.extensions=graft.GraftExtensions injects the rule, 7 scalar SQL functions, and the generator") {
+  test("spark.sql.extensions=graft.GraftExtensions injects the rule, 8 scalar SQL functions, and the generator") {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -48,13 +48,20 @@ class ExtensionsSpec extends AnyFunSuite {
           |       graft_token_count(text)          AS toks,
           |       graft_simhash(text)              AS sim,
           |       size(graft_rolling_fp(text))     AS rfp_len,
-          |       graft_deflate_len(text)          AS dfl
+          |       graft_deflate_len(text)          AS dfl,
+          |       graft_dhash(encode(text, 'UTF-8')) AS dh
           |FROM documents WHERE doc_id = 0""".stripMargin).head()
       assert(row.getAs[Int]("mh_len") == 64)
       assert(row.getAs[Int]("sh_len") > 0)
       assert(row.getAs[Long]("toks") > 0L)
       assert(row.getAs[Int]("rfp_len") >= 0)
       assert(row.getAs[Long]("dfl") > 0L)
+      // The SQL kernel IS the media pipeline's stub leg: same hash as
+      // Multimodal.dhash64 on an undecodable payload.
+      val textBytes = s.sql(
+        "SELECT encode(text, 'UTF-8') FROM documents WHERE doc_id = 0")
+        .head().getAs[Array[Byte]](0)
+      assert(row.getAs[Long]("dh") == graft.ops.Multimodal.dhash64(textBytes))
       val dot = s.sql(
         "SELECT graft_dot(embedding, embedding) AS d FROM embeddings WHERE vec_id = 0")
         .head().getDouble(0)
