@@ -326,6 +326,7 @@ object SparkEntry {
     "events_holt_forecast" -> (Analytics.eventsHoltForecast _),
     "graph_neighbor_jaccard" -> (Graph.graphNeighborJaccard _),
     "orders_open_backlog" -> (Analytics.ordersOpenBacklog _),
+    "dq_drift" -> (Analytics.dqDrift _),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
@@ -738,6 +739,8 @@ object SparkEntry {
     "graph_components" -> Graph.componentsOracleSql,
     "graph_bfs" -> Graph.bfsOracleSql,
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
+    "dq_drift" ->
+      """WITH cents AS (SELECT o_orderkey % 2 AS half, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS v FROM orders), nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM cents WHERE half = 0), cum AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM cents WHERE half = 0 GROUP BY v), edges AS (SELECT i, min(v) AS edge FROM cum CROSS JOIN nref CROSS JOIN range(1, 10) r(i) WHERE cum >= 1 + ((n_ref - 1) * i) // 10 GROUP BY i), bucketed AS (SELECT half, (SELECT count(*) FROM edges WHERE v >= edge) AS bucket FROM cents), bb AS (SELECT bucket, CAST(sum(CASE WHEN half=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN half=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM bucketed GROUP BY bucket), tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM bb) SELECT bucket, n_ref, n_cur, CAST(floor(((CAST(n_ref+1 AS DOUBLE)/(tr+10)) - (CAST(n_cur+1 AS DOUBLE)/(tc+10))) * ln(CAST((n_ref+1)*(tc+10) AS DOUBLE)/CAST((n_cur+1)*(tr+10) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS psi_micro FROM bb CROSS JOIN tot ORDER BY bucket""",
     "orders_open_backlog" ->
       """WITH closes AS (SELECT l_orderkey, max(l_shipdate) AS close_date FROM lineitem GROUP BY 1), spans AS (SELECT epoch_us(o_orderdate) // 86400000000 AS open_day, greatest(epoch_us(o_orderdate) // 86400000000, epoch_us(close_date) // 86400000000) AS close_day FROM orders JOIN closes ON o_orderkey = l_orderkey), deltas AS (SELECT day_num, CAST(sum(opened) AS BIGINT) AS n_opened, CAST(sum(closed) AS BIGINT) AS n_closed FROM (SELECT open_day AS day_num, 1 AS opened, 0 AS closed FROM spans UNION ALL SELECT close_day + 1, 0, 1 FROM spans) GROUP BY day_num) SELECT day_num, n_opened, n_closed, CAST(sum(n_opened - n_closed) OVER (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog FROM deltas ORDER BY day_num""",
     "basket_rules" ->

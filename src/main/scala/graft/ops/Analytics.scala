@@ -1854,6 +1854,58 @@ object Analytics {
       .orderBy("day_num")
   }
 
+  /** Distribution drift between two order snapshots — the PSI (population
+    * stability index) report every ingestion pipeline runs before promoting
+    * a new snapshot: even-orderkey orders play the reference population,
+    * odd the candidate, the metric column is o_totalprice in cents. Decile
+    * edges come from the REFERENCE distribution by pure integer selection —
+    * edge_i = min value whose cumulative count reaches 1 + (n−1)·i div 10
+    * (type-1 quantile; no interpolation, so no float edge can flip a
+    * boundary value's bucket between engines) — and both halves bucket by
+    * counting edges ≤ value. Per bucket: counts, add-one-smoothed shares,
+    * and the PSI term (p−q)·ln(p/q) in micros (the only float op is the
+    * final ln of a ratio of exact small-integer quotients; micro rounding
+    * absorbs any last-ulp libm difference, the same budget text_dsir gives
+    * log2).
+    *
+    * Scale: the edge selection's running sum orders DISTINCT cents values,
+    * not rows — a VALUE-DOMAIN-bounded table (price range × 100, fixed by
+    * the business domain, exactly like [[ordersOpenBacklog]]'s calendar
+    * bound), so the partition-less window cannot grow with the data. The
+    * 9-edge table broadcasts into bucketing; everything else is two
+    * map-side-combined aggregates.
+    */
+  def dqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cents = t(spark, dir, "orders")
+      .select((col("o_orderkey") % 2).as("half"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+    val ref = cents.filter(col("half") === 0)
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val cum = ref.groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val edges = cum.crossJoin(broadcast(nRef))
+      .crossJoin(broadcast(spark.range(1, 10).select(col("id").as("i"))))
+      .filter(col("cum") >= lit(1) + expr("((n_ref - 1) * i) div 10"))
+      .groupBy("i").agg(min(col("v")).as("edge"))
+      .agg(sort_array(collect_list(col("edge"))).as("earr"))
+    val byBucket = cents.crossJoin(broadcast(edges))
+      .select(col("half"),
+        size(filter(col("earr"), e => col("v") >= e)).cast("long").as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_cur"))
+    val tot = byBucket.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    byBucket.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((((col("n_ref") + 1).cast("double") / (col("tr") + 10)) -
+               ((col("n_cur") + 1).cast("double") / (col("tc") + 10))) *
+          log(((col("n_ref") + 1) * (col("tc") + 10)).cast("double") /
+              ((col("n_cur") + 1) * (col("tr") + 10)).cast("double")) * 1000000 + 0.5)
+          .cast("long").as("psi_micro"))
+      .orderBy("bucket")
+  }
+
   /** Association rules over order baskets — the market-basket layer above
     * [[basketPairs]]: every co-occurring part pair (support ≥ 2) emits both
     * directed rules A→B and B→A with support, confidence = supp(A,B)/supp(A)

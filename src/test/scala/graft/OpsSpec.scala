@@ -1185,6 +1185,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dqDrift deciles balance the reference half and PSI is near zero for a same-source split") {
+    val rows = Analytics.dqDrift(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L), s"expected 10 decile buckets, got ${rows.map(_._1).toSeq}")
+    // Integer type-1 decile edges must split the REFERENCE half into
+    // near-equal buckets (exact equality up to value ties).
+    val refCounts = rows.map(_._2)
+    assert(refCounts.max - refCounts.min <= refCounts.sum / 10 / 5,
+      s"reference deciles unbalanced: ${refCounts.toSeq}")
+    // Even/odd orderkey halves draw from the SAME distribution: total PSI
+    // must sit far below the 0.1 "investigate" threshold (100000 micros).
+    val psi = rows.map(r => math.abs(r._4)).sum
+    assert(psi < 20000L, s"same-source halves should not drift: total |psi| = $psi")
+  }
+
   test("ordersOpenBacklog difference-array curve equals a per-day scan, ends at zero") {
     // The delta form must agree with the naive per-day count, and once the
     // last order closes the running sum must return exactly to 0 (every +1
