@@ -327,6 +327,11 @@ object SparkEntry {
     "graph_neighbor_jaccard" -> (Graph.graphNeighborJaccard _),
     "orders_open_backlog" -> (Analytics.ordersOpenBacklog _),
     "dq_drift" -> (Analytics.dqDrift _),
+    "dq_fd_violations" -> (Analytics.dqFdViolations _),
+    "events_acf" -> (Analytics.eventsAcf _),
+    "orders_seasonal_dow" -> (Analytics.ordersSeasonalDow _),
+    "dedup_jaccard_prefix" -> ((s, d) => LlmPipeline.dedupJaccardPrefix(s, d)),
+    "embed_pca" -> ((s, d) => LlmPipeline.embedPca(s, d)),
     "stream_watermark_late" -> (StreamingOps.streamWatermarkLate _),
     "events_islands" -> (Analytics.eventsIslands _),
     "reshape_unpivot" -> (Analytics.reshapeUnpivot _),
@@ -768,5 +773,13 @@ object SparkEntry {
       """WITH tf AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2, 3), raw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_r FROM tf GROUP BY w), tgt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_t FROM tf WHERE lang = 'en' GROUP BY w), model AS (SELECT raw.w, c_r, coalesce(c_t, CAST(0 AS BIGINT)) AS c_t FROM raw LEFT JOIN tgt ON raw.w = tgt.w), tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t FROM model), lr AS (SELECT w, CAST(floor(log2((CAST(c_t + 1 AS DOUBLE) / (n_t + v)) / (CAST(c_r + 1 AS DOUBLE) / (n_r + v))) * 1000000 + 0.5) AS BIGINT) AS lr_micro FROM model CROSS JOIN tot), wt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(sum(tf * lr_micro) AS BIGINT) AS w_micro FROM tf JOIN lr USING (w) GROUP BY doc_id), rk AS (SELECT doc_id, n_tokens, w_micro, row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rn FROM wt), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wt) SELECT doc_id, n_tokens, w_micro, CAST(CASE WHEN rn <= CAST(floor(CAST(n AS DOUBLE) / 5) AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS selected FROM rk CROSS JOIN n ORDER BY doc_id""",
     "events_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dnum, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS dc FROM events GROUP BY 1, 2), typed AS (SELECT event_type, list(dnum ORDER BY dnum) AS days, list(dc ORDER BY dnum) AS dcs, CAST(count(*) AS BIGINT) AS n, CAST(sum(dc) AS BIGINT) AS total FROM daily GROUP BY event_type) SELECT event_type, days[i] AS day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(dcs[1:i], x -> x*n - total)), (s, x) -> greatest(s + x, 0)) AS cusum FROM typed, LATERAL unnest(range(1, n+1)) AS g(i) ORDER BY event_type, day""",
+    "dq_fd_violations" ->
+      """WITH f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT l_orderkey, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d FROM lineitem GROUP BY 1)), f2 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d FROM lineitem GROUP BY 1)), f3 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT o_orderkey, CAST(count(DISTINCT o_custkey) AS BIGINT) AS d FROM orders GROUP BY 1)) SELECT 'l_orderkey->l_returnflag' AS fd, n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups AS viol_micro FROM f1 UNION ALL SELECT 'l_partkey->l_suppkey', n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups FROM f2 UNION ALL SELECT 'o_orderkey->o_custkey', n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups FROM f3 ORDER BY fd""",
+    "events_acf" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s FROM daily), dev AS (SELECT day, n * x - s AS dev FROM daily CROSS JOIN st), dn AS (SELECT CAST(sum(dev * dev) AS BIGINT) AS den FROM dev), nm AS (SELECT lag_k, CAST(sum(a.dev * b.dev) AS BIGINT) AS num FROM dev a CROSS JOIN range(1, 8) r(lag_k) JOIN dev b ON b.day = a.day + lag_k GROUP BY lag_k) SELECT CAST(lag_k AS BIGINT) AS lag_k, num, den, CAST(floor(CAST(num AS DOUBLE) * 1000000.0 / CAST(den AS DOUBLE)) AS BIGINT) AS acf_micro FROM nm CROSS JOIN dn ORDER BY lag_k""",
+    "orders_seasonal_dow" ->
+      """WITH per AS (SELECT CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn, CAST(sum(rev_cents) AS BIGINT) AS tr FROM per) SELECT dow, n_orders, rev_cents, CAST(floor(CAST(rev_cents AS DOUBLE) * CAST(tn AS DOUBLE) * 1000000.0 / (CAST(n_orders AS DOUBLE) * CAST(tr AS DOUBLE)) + 0.5) AS BIGINT) AS index_micro FROM per CROSS JOIN tot ORDER BY dow""",
+    "dedup_jaccard_prefix" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)), sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY 1), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, inter, sa.m + sb.m - inter AS uni, (inter * 1000000) // (sa.m + sb.m - inter) AS jaccard_micro FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE (inter * 1000000) // (sa.m + sb.m - inter) >= 800000 ORDER BY doc_a, doc_b""",
   )
 }

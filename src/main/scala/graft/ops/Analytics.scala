@@ -1948,4 +1948,93 @@ object Analytics {
       .orderBy(col("lift_micro").desc, col("antecedent"), col("consequent"))
       .limit(100)
   }
+
+  /** Functional-dependency validation — the schema-constraint leg of the
+    * dq_* family: for each declared FD X→Y report the group count, how many
+    * X groups violate (more than one distinct Y), the worst group's distinct
+    * count, and the violation rate in integer micros. The three FDs cover
+    * the interesting outcomes: o_orderkey→o_custkey holds by key-ness,
+    * l_partkey→l_suppkey is violated by design (multi-sourced parts), and
+    * l_orderkey→l_returnflag is violated wherever one order's lines
+    * disagree.
+    *
+    * Scale: each FD is ONE two-phase aggregate — partial distinct per X key
+    * map-side, a bounded 1-row summary after — and the three summaries
+    * union; nothing joins, nothing is quadratic, and the output is O(#FDs).
+    */
+  def dqFdViolations(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, src: DataFrame, lhs: String, rhs: String): DataFrame =
+      src.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("d"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("d") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("d")).as("max_distinct"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          col("max_distinct"),
+          expr("(n_violating * 1000000) div n_groups").as("viol_micro"))
+    check("l_orderkey->l_returnflag", t(spark, dir, "lineitem"), "l_orderkey", "l_returnflag")
+      .unionAll(check("l_partkey->l_suppkey", t(spark, dir, "lineitem"), "l_partkey", "l_suppkey"))
+      .unionAll(check("o_orderkey->o_custkey", t(spark, dir, "orders"), "o_orderkey", "o_custkey"))
+      .orderBy("fd")
+  }
+
+  /** Autocorrelation of the daily event-count series at lags 1–7 — the
+    * seasonality probe every metrics pipeline runs before fitting a
+    * forecast (a weekly cycle shows as a lag-7 peak). Exact arithmetic: with
+    * x_t the integer daily counts, n days and S = Σx, the centered products
+    * use n-scaled deviations dev_t = n·x_t − S (pure int64 — no rational
+    * mean ever materializes), so num_k = Σ dev_t·dev_{t+k} and
+    * den = Σ dev_t² are exact in both engines and acf_micro =
+    * ⌊num·1e6/den⌋ differs only by one deterministic IEEE division.
+    *
+    * Scale: the daily series is CALENDAR-BOUNDED (the [[ordersOpenBacklog]]
+    * argument — ~365 rows/year regardless of data volume), so the lag join
+    * and the broadcast scalar stats ride a table that cannot grow with the
+    * data; the only data-sized stage is the one map-side-combined daily
+    * count.
+    */
+  def eventsAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("n") * col("x") - col("s")).as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    val lags = spark.range(1, 8).select(col("id").as("lag_k"))
+    val num = dev.select(col("day"), col("dev").as("dev_a"))
+      .crossJoin(broadcast(lags))
+      .join(dev.select(col("day").as("day_b"), col("dev").as("dev_b")),
+        col("day_b") === col("day") + col("lag_k"))
+      .groupBy("lag_k").agg(sum(col("dev_a") * col("dev_b")).as("num"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag_k"), col("num"), col("den"),
+        floor(col("num").cast("double") * 1000000.0 / col("den").cast("double"))
+          .cast("long").as("acf_micro"))
+      .orderBy("lag_k")
+  }
+
+  /** Day-of-week seasonal index over order revenue — avg revenue per order
+    * placed on each weekday vs the overall per-order avg, in integer-cent
+    * inputs with the index as a single deterministic IEEE expression
+    * (⌊rev·n_total·1e6 / (n_dow·rev_total) + ½⌋ — int64 inputs convert
+    * exactly, and identical left-associated double ops land on the same bits
+    * in both engines). 1e6 = a flat weekday.
+    *
+    * Scale: one map-side-combined aggregate to 7 rows plus a broadcast
+    * 1-row total; nothing else touches the data.
+    */
+  def ordersSeasonalDow(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .select(dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val tot = per.agg(sum(col("n_orders")).as("tn"), sum(col("rev_cents")).as("tr"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_orders"), col("rev_cents"),
+        floor(col("rev_cents").cast("double") * col("tn").cast("double") * 1000000.0 /
+          (col("n_orders").cast("double") * col("tr").cast("double")) + 0.5)
+          .cast("long").as("index_micro"))
+      .orderBy("dow")
+  }
 }

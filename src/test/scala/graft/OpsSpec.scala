@@ -1344,4 +1344,88 @@ class OpsSpec extends SparkSpec {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("prefix-filter jaccard join equals plain-Scala brute force, including the exact-threshold boundary") {
+    // Constructed corpus covering the filter's decision edges IN SHINGLE
+    // SPACE: A≡D exact dup (J=1), E~F differ in their last word only —
+    // 11 words → 9 shingles each, 8 shared → J = 8/10 = τ EXACTLY (the ≥
+    // boundary must keep it), A~C share half their words (J far below τ,
+    // cut), and a short doc (< 3 words) must drop without error.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppj").toString
+    val t12 = (0 until 12).map(i => s"t$i")
+    val e10 = (0 until 10).map(i => s"e$i")
+    val docs = Seq(
+      0L -> t12.mkString(" "),                                        // A
+      1L -> (t12.take(11) :+ "x1").mkString(" "),                     // B: near dup of A
+      2L -> (t12.take(6) ++ Seq("y1", "y2", "y3", "y4", "y5", "y6")).mkString(" "), // C
+      3L -> t12.mkString(" "),                                        // D = A
+      4L -> (e10 :+ "z1").mkString(" "),                              // E
+      5L -> (e10 :+ "z2").mkString(" "),                              // F: J(E,F)=8/10
+      6L -> "a b")                                                    // short: no shingles
+    import spark.implicits._
+    docs.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def shingles(tx: String): Set[String] = {
+      val w = tx.split(" ")
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val tau = 800000L
+    val expected = (for {
+      (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+      sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size.toLong; uni = (sa | sb).size.toLong
+      jm = inter * 1000000L / uni if jm >= tau
+    } yield (ia, ib, inter, uni, jm)).toSet
+    val got = LlmPipeline.dedupJaccardPrefix(spark, dir, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.contains((4L, 5L, 8L, 10L, 800000L)), "boundary pair must be in the truth set")
+    assert(expected.contains((0L, 3L, 10L, 10L, 1000000L)), "exact dup pair must be in the truth set")
+    assert(!expected.exists(p => p._1 == 0L && p._2 == 2L), "A~C must fall below τ")
+  }
+
+  test("embed_pca: distributed sufficient statistics equal a driver-side loop; spectrum invariants hold") {
+    val rows = Tables.t(spark, sf, "embeddings")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = 64
+    val n = rows.length
+    // Independent accumulation: same micro quantization, plain nested loops.
+    val q = rows.map(_.map(v => math.floor(v * 1e6).toLong))
+    val s = Array.tabulate(d)(i => q.map(_(i)).sum)
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val g = q.map(r => r(i) * r(j)).sum.toDouble
+      (g - s(i).toDouble * s(j).toDouble / n) / (n - 1.0)
+    }
+    val eig = LlmPipeline.jacobiEigenvalues(cov)
+    val trace = eig.sum
+    val got = LlmPipeline.embedPca(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to 5L), "components 1..5 in order")
+    got.zip(eig.take(5)).foreach { case ((_, ev, evr), expEv) =>
+      assert(math.abs(ev - math.floor(expEv * 1e-12 * 1e6 + 0.5) / 1e6) < 1e-12,
+        s"eigenvalue $ev vs driver-loop $expEv")
+      assert(evr == math.floor(expEv * 1e6 / trace + 0.5).toLong)
+    }
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted.reverse, "descending spectrum")
+    assert(got.forall(_._2 > 0), "positive top eigenvalues")
+  }
+
+  test("embed_pca: a rank-1 anisotropic corpus concentrates all variance in the first component") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    val rng = new scala.util.Random(11)
+    val axis = Array.fill(64)(rng.nextGaussian().toFloat)
+    import spark.implicits._
+    (0 until 200).map { i =>
+      val a = (rng.nextGaussian() * 2).toFloat
+      (i.toLong, axis.map(x => x * a).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmPipeline.embedPca(spark, dir).collect()
+      .map(r => (r.getDouble(1), r.getLong(2)))
+    assert(got.head._2 > 990000L, s"rank-1 data must put ~all variance on PC1: ${got.toSeq}")
+    assert(got.tail.forall(_._2 < 5000L), s"residual components must be ~0: ${got.toSeq}")
+  }
 }

@@ -156,7 +156,12 @@ class UnoracleableSpec extends SparkSpec {
     "sim_topk_ivf_stored" -> Pin(
       "persisted form of the engine-defined IVF index (float cosine, as sim_topk_ivf)",
       "UnoracleableSpec", Seq(
-        "stored IVF index equals the in-memory search and prunes cell partitions")))
+        "stored IVF index equals the in-memory search and prunes cell partitions")),
+    "embed_pca" -> Pin(
+      "the Jacobi eigensolve is a driver-side numeric iteration no SQL expresses",
+      "OpsSpec", Seq(
+        "embed_pca: distributed sufficient statistics equal a driver-side loop; spectrum invariants hold",
+        "embed_pca: a rank-1 anisotropic corpus concentrates all variance in the first component")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
