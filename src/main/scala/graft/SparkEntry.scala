@@ -328,6 +328,8 @@ object SparkEntry {
     "orders_open_backlog" -> (Analytics.ordersOpenBacklog _),
     "dq_drift" -> (Analytics.dqDrift _),
     "dq_fd_violations" -> (Analytics.dqFdViolations _),
+    "basket_triples" -> (Analytics.basketTriples _),
+    "graph_kcore" -> ((s, d) => Graph.graphKcore(s, d)),
     "events_acf" -> (Analytics.eventsAcf _),
     "orders_seasonal_dow" -> (Analytics.ordersSeasonalDow _),
     "dedup_jaccard_prefix" -> ((s, d) => LlmPipeline.dedupJaccardPrefix(s, d)),
@@ -773,6 +775,9 @@ object SparkEntry {
       """WITH tf AS (SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2, 3), raw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_r FROM tf GROUP BY w), tgt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS c_t FROM tf WHERE lang = 'en' GROUP BY w), model AS (SELECT raw.w, c_r, coalesce(c_t, CAST(0 AS BIGINT)) AS c_t FROM raw LEFT JOIN tgt ON raw.w = tgt.w), tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c_r) AS BIGINT) AS n_r, CAST(sum(c_t) AS BIGINT) AS n_t FROM model), lr AS (SELECT w, CAST(floor(log2((CAST(c_t + 1 AS DOUBLE) / (n_t + v)) / (CAST(c_r + 1 AS DOUBLE) / (n_r + v))) * 1000000 + 0.5) AS BIGINT) AS lr_micro FROM model CROSS JOIN tot), wt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, CAST(sum(tf * lr_micro) AS BIGINT) AS w_micro FROM tf JOIN lr USING (w) GROUP BY doc_id), rk AS (SELECT doc_id, n_tokens, w_micro, row_number() OVER (ORDER BY w_micro DESC, doc_id) AS rn FROM wt), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wt) SELECT doc_id, n_tokens, w_micro, CAST(CASE WHEN rn <= CAST(floor(CAST(n AS DOUBLE) / 5) AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS selected FROM rk CROSS JOIN n ORDER BY doc_id""",
     "events_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS dnum, CAST(sum(CAST(floor(value*100+0.5) AS BIGINT)) AS BIGINT) AS dc FROM events GROUP BY 1, 2), typed AS (SELECT event_type, list(dnum ORDER BY dnum) AS days, list(dc ORDER BY dnum) AS dcs, CAST(count(*) AS BIGINT) AS n, CAST(sum(dc) AS BIGINT) AS total FROM daily GROUP BY event_type) SELECT event_type, days[i] AS day, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(dcs[1:i], x -> x*n - total)), (s, x) -> greatest(s + x, 0)) AS cusum FROM typed, LATERAL unnest(range(1, n+1)) AS g(i) ORDER BY event_type, day""",
+    "basket_triples" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), tr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey GROUP BY 1, 2, 3) SELECT part_a, part_b, part_c, support FROM tr ORDER BY support DESC, part_a, part_b, part_c LIMIT 100""",
+    "graph_kcore" -> Graph.kcoreOracleSql,
     "dq_fd_violations" ->
       """WITH f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT l_orderkey, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d FROM lineitem GROUP BY 1)), f2 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d FROM lineitem GROUP BY 1)), f3 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT o_orderkey, CAST(count(DISTINCT o_custkey) AS BIGINT) AS d FROM orders GROUP BY 1)) SELECT 'l_orderkey->l_returnflag' AS fd, n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups AS viol_micro FROM f1 UNION ALL SELECT 'l_partkey->l_suppkey', n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups FROM f2 UNION ALL SELECT 'o_orderkey->o_custkey', n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups FROM f3 ORDER BY fd""",
     "events_acf" ->

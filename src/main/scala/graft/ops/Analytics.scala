@@ -637,6 +637,49 @@ object Analytics {
       .limit(100)
   }
 
+  /** Frequent part TRIPLES — the Apriori lattice step above
+    * [[basketPairs]]: top-100 co-occurring 3-itemsets by support. The
+    * fixture's part space is sparse enough that support ≥ 2 triples are a
+    * handful, so the query reports the full top-100 (support-desc, then
+    * keys) rather than thresholding into near-emptiness.
+    *
+    * Scale: triples expand PARTITION-LOCALLY from each order's sorted part
+    * set via a typed flatMap (the [[graft.ops.Graph.graphNeighborJaccard]]
+    * kernel one level up the lattice) — one basket shuffle + one
+    * triple-keyed shuffle, never a 3-way self-join; the expansion is
+    * Σ C(|basket|, 3), bounded by the basket-size cap (max 17 parts in
+    * an order here; a pathological mega-basket would be capped or
+    * Apriori-pruned through frequent pairs first, exactly as bucketedPairs
+    * caps hot LSH buckets). TakeOrderedAndProject keeps the top-k on the
+    * map side.
+    */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select("ps").as[Array[Long]]
+      .flatMap { ps =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < ps.length - 2) {
+          var j = i + 1
+          while (j < ps.length - 1) {
+            var k = j + 1
+            while (k < ps.length) { out += ((ps(i), ps(j), ps(k))); k += 1 }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("part_a", "part_b", "part_c")
+      .groupBy("part_a", "part_b", "part_c")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"), col("part_c"))
+      .limit(100)
+  }
+
   /** Exact-substring dedup REWRITE (the scrub Lee et al. 2022 apply after
     * finding duplicated spans): every 8-token span that also occurs in an
     * EARLIER document (min doc_id owns the passage) is removed from the

@@ -1413,6 +1413,41 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._2 > 0), "positive top eigenvalues")
   }
 
+  test("graph_kcore: a chain dissolves end-inward while a cycle survives every round") {
+    // Co-occurrence edges need support >= 2, so each desired edge appears
+    // in TWO orders. Chain 1-2-3-4-5 (2-core: empty, peeled end-inward
+    // over three rounds) + triangle 10-11-12 (2-core: itself, forever).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    import spark.implicits._
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((2L * i, a), (2L * i, b), (2L * i + 1, a), (2L * i + 1, b))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = ops.Graph.graphKcore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // round -> (surviving parts, directed edges)
+    assert(rows(0) == ((1L, 6L, 10L)), s"round 1: drop pendant ends 1,5: ${rows.toSeq}")
+    assert(rows(1) == ((2L, 3L, 6L)), s"round 2: drop 2,4; only the triangle keeps edges: ${rows.toSeq}")
+    assert(rows(2) == ((3L, 3L, 6L)), s"round 3: fixed point: ${rows.toSeq}")
+    assert(rows.drop(2).forall(r => r._2 == 3L && r._3 == 6L), "cycle survives all rounds")
+  }
+
+  test("basket_triples: constructed baskets yield exact C(n,3) expansions with cross-order support") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trip").toString
+    import spark.implicits._
+    // Order 0 and 1 share basket {1,2,3,4}; order 2 adds {1,2,3} once more.
+    val rows = Seq(0L -> Seq(1L, 2L, 3L, 4L), 1L -> Seq(1L, 2L, 3L, 4L), 2L -> Seq(1L, 2L, 3L))
+      .flatMap { case (o, ps) => ps.map(p => (o, p)) }
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = ops.Analytics.basketTriples(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    assert(got == Map((1L, 2L, 3L) -> 3L, (1L, 2L, 4L) -> 2L,
+      (1L, 3L, 4L) -> 2L, (2L, 3L, 4L) -> 2L), got.toString)
+  }
+
   test("embed_pca: a rank-1 anisotropic corpus concentrates all variance in the first component") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
     val rng = new scala.util.Random(11)
