@@ -244,6 +244,36 @@ object ScaleBench {
       baseCs.unpersist()
     }
 
+    // ------------------------------------------- 6. prefix-filter jaccard
+    // The exact PPJoin self-join at ×1 / ×4 DISJOINT corpus copies: every
+    // word carries a per-rep suffix, so rep r's shingle vocabulary is
+    // disjoint from rep r' — document count grows ×scale while each rep's
+    // internal similarity structure is unchanged. Candidates and true pairs
+    // must then grow LINEARLY (×scale), never cross-rep quadratic — the
+    // prefix filter's frequency ordering is computed over the inflated
+    // corpus itself, so this also shows the df ordering adapts to the
+    // bigger vocabulary. Measured through the REAL query path (temp dir +
+    // dedupJaccardPrefix), not a re-implementation.
+    for (scale <- Seq(1L, 4L)) {
+      val tmp = graft.sources.FileFormats.exitCleanedTempDir(s"graft-ppj-x$scale")
+      Tables.t(spark, sfDir, "documents")
+        .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select((col("doc_id") * scale + col("rep")).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("_"), col("rep"))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(nPart)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      var pairRows = 0L
+      results(s"ppjoin_x$scale") = timeMin(2) {
+        pairRows = LlmPipeline.dedupJaccardPrefix(spark, tmp)
+          .groupBy().count().head().getLong(0)
+        assert(pairRows > 0)
+      }
+      results(s"ppjoin_true_pairs_x$scale") = pairRows.toDouble
+      Tables.invalidate(spark, tmp)
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
