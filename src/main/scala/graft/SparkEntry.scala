@@ -330,6 +330,8 @@ object SparkEntry {
     "dq_fd_violations" -> (Analytics.dqFdViolations _),
     "basket_triples" -> (Analytics.basketTriples _),
     "graph_kcore" -> ((s, d) => Graph.graphKcore(s, d)),
+    "dq_benford" -> (Analytics.dqBenford _),
+    "join_asof_nearest" -> (Relational.joinAsofNearest _),
     "events_acf" -> (Analytics.eventsAcf _),
     "orders_seasonal_dow" -> (Analytics.ordersSeasonalDow _),
     "dedup_jaccard_prefix" -> ((s, d) => LlmPipeline.dedupJaccardPrefix(s, d)),
@@ -778,6 +780,10 @@ object SparkEntry {
     "basket_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), tr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey GROUP BY 1, 2, 3) SELECT part_a, part_b, part_c, support FROM tr ORDER BY support DESC, part_a, part_b, part_c LIMIT 100""",
     "graph_kcore" -> Graph.kcoreOracleSql,
+    "dq_benford" ->
+      """WITH per AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS observed FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM per) SELECT digit, observed, (observed * 1000000) // n AS obs_micro, CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT) AS exp_micro, abs((observed * 1000000) // n - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)) AS dev_micro FROM per CROSS JOIN tot ORDER BY digit""",
+    "join_asof_nearest" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), cand AS (SELECT purchase_id, p.user_id, purchase_us, click_id, click_us FROM p JOIN c ON p.user_id = c.user_id AND abs(purchase_us - click_us) <= 900000000), r AS (SELECT *, row_number() OVER (PARTITION BY purchase_id ORDER BY abs(purchase_us - click_us), click_us, click_id) AS rn FROM cand) SELECT purchase_id, user_id, purchase_us, click_id, click_us, abs(purchase_us - click_us) AS delta_us FROM r WHERE rn = 1 ORDER BY purchase_id""",
     "dq_fd_violations" ->
       """WITH f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT l_orderkey, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS d FROM lineitem GROUP BY 1)), f2 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT l_partkey, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS d FROM lineitem GROUP BY 1)), f3 AS (SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, max(d) AS max_distinct FROM (SELECT o_orderkey, CAST(count(DISTINCT o_custkey) AS BIGINT) AS d FROM orders GROUP BY 1)) SELECT 'l_orderkey->l_returnflag' AS fd, n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups AS viol_micro FROM f1 UNION ALL SELECT 'l_partkey->l_suppkey', n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups FROM f2 UNION ALL SELECT 'o_orderkey->o_custkey', n_groups, n_violating, max_distinct, (n_violating * 1000000) // n_groups FROM f3 ORDER BY fd""",
     "events_acf" ->

@@ -2020,6 +2020,35 @@ object Analytics {
       .orderBy("fd")
   }
 
+  /** Benford first-digit distribution gate — the classic anomaly screen on
+    * monetary columns (fabricated or unit-mangled amounts flunk it): the
+    * leading digit of o_totalprice in cents vs Benford's log10(1 + 1/d)
+    * expectation, per digit, with the absolute deviation in micros. The
+    * fixture's synthetic uniform-ish prices deviate from Benford by
+    * construction — the report showing HOW is the point (a dq gate that
+    * can only pass is not a gate). First digit via the decimal string of
+    * the exact integer cents (no float log extraction, so no boundary
+    * value can flip digits between engines); the only float is
+    * log10(1+1/d) of nine constants, micro-rounded — the [[dqDrift]] libm
+    * budget.
+    *
+    * Scale: one map-side-combined 9-row aggregate plus a broadcast total.
+    */
+  def dqBenford(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "orders")
+      .select(substring(floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val tot = per.agg(sum(col("observed")).as("n"))
+    per.crossJoin(broadcast(tot))
+      .select(col("digit"), col("observed"),
+        expr("(observed * 1000000) div n").as("obs_micro"),
+        floor(log10(lit(1.0) + lit(1.0) / col("digit")) * 1000000 + 0.5)
+          .cast("long").as("exp_micro"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+      .orderBy("digit")
+  }
+
   /** Autocorrelation of the daily event-count series at lags 1–7 — the
     * seasonality probe every metrics pipeline runs before fitting a
     * forecast (a weekly cycle shows as a lag-7 peak). Exact arithmetic: with

@@ -819,6 +819,48 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST-in-time as-of join with tolerance — for every purchase, the
+    * single closest click by the SAME user within ±15 min, either
+    * direction (the symmetric sibling of [[joinAsofLatest]]'s
+    * backward-only semantics, and the per-key refinement of
+    * [[joinIntervalBucketed]]'s all-pairs window). Tie-break is total:
+    * (|Δt| asc, click time asc, click id asc), so the winner is unique and
+    * both engines agree row-for-row.
+    *
+    * Scale: candidates come from the same time-grid bucketing as
+    * [[intervalPairs]] but keyed (user, cell) — the equi key rides the
+    * shuffle, so only same-user same-window pairs ever materialize; the
+    * per-purchase argmin is a row_number()=1 over candidates, which
+    * compiles to WindowGroupLimit (per-partition top-1 heaps push through
+    * the shuffle). No BNLJ, nothing quadratic, grid cell count scales with
+    * the horizon, never the data.
+    */
+  def joinAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val H = 900000000L // ±15 min in micros
+    val B = 2L * H
+    val p = t(spark, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+      .withColumn("bucket",
+        explode(sequence(expr(s"(purchase_us - $H) div $B"), expr(s"(purchase_us + $H) div $B"))))
+    val c = t(spark, dir, "events").filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"))
+      .withColumn("bucket", expr(s"click_us div $B"))
+    val cand = p.join(c, Seq("user_id", "bucket"))
+      .filter(abs(col("purchase_us") - col("click_us")) <= H)
+      .select("purchase_id", "user_id", "purchase_us", "click_id", "click_us")
+      .distinct()
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(abs(col("purchase_us") - col("click_us")), col("click_us"), col("click_id"))
+    cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id"), col("click_us"),
+        abs(col("purchase_us") - col("click_us")).as("delta_us"))
+      .orderBy("purchase_id")
+  }
+
   /** Full outer join: every customer and every order key bucket represented,
     * null-preserved on both sides (sentinel-coalesced for deterministic
     * output). Uses aggregated sides so the output stays small.

@@ -1413,6 +1413,37 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._2 > 0), "positive top eigenvalues")
   }
 
+  test("join_asof_nearest: bucket straddlers, exact-tolerance boundary, and |Δt| ties all resolve deterministically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    import spark.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val H = 900000000L // the query's ±15 min
+    // user 1: purchase at t0; clicks at -14 min (straddles into the
+    //   previous 30-min grid cell) and +10 min → nearest is +10 min? No:
+    //   |−14| < |+10| is false (14 < 10 false) — nearest is +10 min.
+    // user 2: purchase with clicks EXACTLY ±H (both at tolerance, tie on
+    //   |Δt|) → earlier click wins by the (|Δt|, click_us, click_id) order.
+    // user 3: click one minute past H — outside tolerance, no row.
+    // user 4's click at t0 must NOT match user 1's purchase (equi key).
+    val t0 = 3600000000L * 100
+    val rows = Seq(
+      (1000L, ts(t0), 1L, "purchase", 0.0, "{}"),
+      (1001L, ts(t0 - 14 * 60000000L), 1L, "click", 0.0, "{}"),
+      (1002L, ts(t0 + 10 * 60000000L), 1L, "click", 0.0, "{}"),
+      (2000L, ts(t0), 2L, "purchase", 0.0, "{}"),
+      (2001L, ts(t0 - H), 2L, "click", 0.0, "{}"),
+      (2002L, ts(t0 + H), 2L, "click", 0.0, "{}"),
+      (3000L, ts(t0), 3L, "purchase", 0.0, "{}"),
+      (3001L, ts(t0 + H + 60000000L), 3L, "click", 0.0, "{}"),
+      (4001L, ts(t0), 4L, "click", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = ops.Relational.joinAsofNearest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toList
+    assert(got == List((1000L, 1002L, 10 * 60000000L), (2000L, 2001L, H)),
+      s"got $got")
+  }
+
   test("graph_kcore: a chain dissolves end-inward while a cycle survives every round") {
     // Co-occurrence edges need support >= 2, so each desired edge appears
     // in TWO orders. Chain 1-2-3-4-5 (2-core: empty, peeled end-inward
