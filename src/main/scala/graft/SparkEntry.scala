@@ -332,6 +332,8 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => Graph.graphKcore(s, d)),
     "dq_benford" -> (Analytics.dqBenford _),
     "join_asof_nearest" -> (Relational.joinAsofNearest _),
+    "sample_temperature" -> ((s, d) => Analytics.sampleTemperature(s, d)),
+    "embed_pca_project" -> (LlmPipeline.embedPcaProject _),
     "events_acf" -> (Analytics.eventsAcf _),
     "orders_seasonal_dow" -> (Analytics.ordersSeasonalDow _),
     "dedup_jaccard_prefix" -> ((s, d) => LlmPipeline.dedupJaccardPrefix(s, d)),
@@ -780,6 +782,8 @@ object SparkEntry {
     "basket_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), tr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey GROUP BY 1, 2, 3) SELECT part_a, part_b, part_c, support FROM tr ORDER BY support DESC, part_a, part_b, part_c LIMIT 100""",
     "graph_kcore" -> Graph.kcoreOracleSql,
+    "sample_temperature" ->
+      """WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM per), w AS (SELECT lang, n_docs, (n_docs * 1000000) // n AS q_micro, CAST(floor(pow(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 0.7) * 1000000000 + 0.5) AS BIGINT) AS w_nano FROM per CROSS JOIN tot), wt AS (SELECT CAST(sum(w_nano) AS BIGINT) AS wt FROM w) SELECT lang, n_docs, q_micro, (w_nano * 1000000) // wt AS p_micro, (w_nano * 10000) // wt AS draws_per_10k FROM w CROSS JOIN wt ORDER BY lang""",
     "dq_benford" ->
       """WITH per AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit, CAST(count(*) AS BIGINT) AS observed FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM per) SELECT digit, observed, (observed * 1000000) // n AS obs_micro, CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT) AS exp_micro, abs((observed * 1000000) // n - CAST(floor(log10(1.0 + 1.0 / digit) * 1000000 + 0.5) AS BIGINT)) AS dev_micro FROM per CROSS JOIN tot ORDER BY digit""",
     "join_asof_nearest" ->

@@ -2020,6 +2020,37 @@ object Analytics {
       .orderBy("fd")
   }
 
+  /** Temperature-scaled multilingual sampling weights (the mBERT/XLM-R
+    * exponential-smoothing recipe, α = 0.7): p_i ∝ q_i^α over the per-lang
+    * corpus shares q_i — the standard fix for low-resource languages
+    * drowning under proportional sampling. The ONLY float op is the single
+    * pow(q, 0.7) per language, nano-rounded immediately (the
+    * [[dqDrift]]/text_dsir libm budget); normalization then runs in PURE
+    * int64 (w·1e6 div Σw), so both engines agree bit-for-bit. Output per
+    * language: doc count, proportional share, tempered share, and the
+    * per-10k-draws budget — tempered > proportional for small languages is
+    * the property the gate exists to show.
+    *
+    * Scale: one map-side-combined |langs|-row aggregate + a broadcast
+    * total; the weights table is a parameter, not data.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String, alpha: Double = 0.7): DataFrame = {
+    val per = t(spark, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("n"))
+    val w = per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("(n_docs * 1000000) div n").as("q_micro"),
+        floor(pow(col("n_docs").cast("double") / col("n").cast("double"), lit(alpha)) *
+          1000000000 + 0.5).cast("long").as("w_nano"))
+    val wTot = w.agg(sum(col("w_nano")).as("wt"))
+    w.crossJoin(broadcast(wTot))
+      .select(col("lang"), col("n_docs"), col("q_micro"),
+        expr("(w_nano * 1000000) div wt").as("p_micro"),
+        expr("(w_nano * 10000) div wt").as("draws_per_10k"))
+      .orderBy("lang")
+  }
+
   /** Benford first-digit distribution gate — the classic anomaly screen on
     * monetary columns (fabricated or unit-mangled amounts flunk it): the
     * leading digit of o_totalprice in cents vs Benford's log10(1 + 1/d)

@@ -2060,9 +2060,19 @@ object LlmPipeline {
     * count). Returns eigenvalues sorted descending. Deterministic: same
     * matrix in → same rotations → same values out.
     */
-  private[graft] def jacobiEigenvalues(m0: Array[Array[Double]]): Array[Double] = {
+  private[graft] def jacobiEigenvalues(m0: Array[Array[Double]]): Array[Double] =
+    jacobiEigen(m0)._1
+
+  /** Full eigendecomposition: (eigenvalues desc, matching eigenvectors as
+    * rows), rotation matrix accumulated alongside the sweeps. Sign is fixed
+    * deterministically: each vector's largest-|component| entry is positive
+    * (Jacobi itself leaves the sign arbitrary).
+    */
+  private[graft] def jacobiEigen(
+      m0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = m0.length
     val m = m0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = Double.MaxValue
     while (sweep < 64 && off > 1e-14) {
@@ -2089,6 +2099,9 @@ object LlmPipeline {
               val mpi = m(p)(i); val mqi = m(q)(i)
               m(p)(i) = c * mpi - s * mqi
               m(q)(i) = s * mpi + c * mqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
               i += 1
             }
           }
@@ -2100,7 +2113,14 @@ object LlmPipeline {
       while (p < d - 1) { var q = p + 1; while (q < d) { off += m(p)(q) * m(p)(q); q += 1 }; p += 1 }
       sweep += 1
     }
-    (0 until d).map(i => m(i)(i)).toArray.sorted.reverse
+    val order = (0 until d).sortBy(i => -m(i)(i))
+    val vals = order.map(i => m(i)(i)).toArray
+    val vecs = order.map { k =>
+      val col = Array.tabulate(d)(i => v(i)(k))
+      val piv = col.indices.maxBy(i => (math.abs(col(i)), -i))
+      if (col(piv) < 0) col.map(-_) else col
+    }.toArray
+    (vals, vecs)
   }
 
   /** Distributed PCA over the embedding corpus: ONE pass accumulates the
@@ -2120,9 +2140,15 @@ object LlmPipeline {
     * 64×64 matrix. Overflow headroom: |v|≲8 ⇒ products ≲6.4e13; int64
     * saturates only past ~140 G rows per partition.
     */
-  def embedPca(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+  /** One distributed pass of PCA sufficient statistics over micro-quantized
+    * components: (n, per-dimension sums, covariance matrix). Exact int64
+    * accumulation — bit-deterministic under any partitioning/reduction
+    * order. Shared by [[embedPca]] (spectrum) and [[embedPcaProject]]
+    * (transform).
+    */
+  private def pcaStats(spark: SparkSession, dir: String,
+      d: Int): (Double, Array[Long], Array[Array[Double]]) = {
     import spark.implicits._
-    val d = 64
     val tri = d * (d + 1) / 2
     val stats = t(spark, dir, "embeddings")
       .select(col("embedding")).as[Array[Float]]
@@ -2154,6 +2180,12 @@ object LlmPipeline {
       cov(i)(j) = c; cov(j)(i) = c
       k += 1
     }
+    (n, stats.slice(tri, tri + d), cov)
+  }
+
+  def embedPca(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (_, _, cov) = pcaStats(spark, dir, 64)
     val eig = jacobiEigenvalues(cov)
     val trace = eig.sum
     val rows = eig.take(topK).zipWithIndex.map { case (ev, i) =>
@@ -2162,5 +2194,31 @@ object LlmPipeline {
         math.floor(ev * 1e6 / trace + 0.5).toLong)
     }
     rows.toSeq.toDF("component", "eigenvalue", "evr_micro").orderBy("component")
+  }
+
+  /** The PCA TRANSFORM: every vector projected onto the top-2 principal
+    * components (mean-centered), in input units × 1e−6-rounded micros —
+    * the whitening/visualization step a curation pipeline runs after
+    * [[embedPca]] fits the basis. The d×2 eigenvector matrix is a
+    * driver-side parameter (deterministic Jacobi with a fixed sign
+    * convention) BROADCAST into a per-row codegen'd dot product — the
+    * classic fit-small / transform-big split: the transform stage is one
+    * narrow map over the corpus, no shuffle at all. Centering folds into a
+    * scalar: p = v·e − μ·e.
+    */
+  def embedPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val (n, sums, cov) = pcaStats(spark, dir, d)
+    val (_, vecs) = jacobiEigen(cov)
+    def proj(k: Int): Column = {
+      val e = vecs(k).toIndexedSeq
+      // μ·e in input units: sums are micro-scale, so ×1e−6/n.
+      val muDot = (0 until d).map(i => sums(i).toDouble * e(i)).sum * 1e-6 / n
+      floor((dot(spark, col("embedding"), typedlit(e)) - muDot) * 1e6 + 0.5)
+        .cast("long")
+    }
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), proj(0).as("pc1_micro"), proj(1).as("pc2_micro"))
+      .orderBy("vec_id")
   }
 }

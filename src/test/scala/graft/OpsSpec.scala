@@ -1479,6 +1479,38 @@ class OpsSpec extends SparkSpec {
       (1L, 3L, 4L) -> 2L, (2L, 3L, 4L) -> 2L), got.toString)
   }
 
+  test("embed_pca_project: component variances recover the spectrum; components are uncorrelated") {
+    val pcs = LlmPipeline.embedPcaProject(spark, sf).collect()
+      .map(r => (r.getLong(1).toDouble / 1e6, r.getLong(2).toDouble / 1e6))
+    val n = pcs.length
+    val (m1, m2) = (pcs.map(_._1).sum / n, pcs.map(_._2).sum / n)
+    assert(math.abs(m1) < 1e-3 && math.abs(m2) < 1e-3, s"projections must be centered: $m1 $m2")
+    val v1 = pcs.map(p => (p._1 - m1) * (p._1 - m1)).sum / (n - 1)
+    val v2 = pcs.map(p => (p._2 - m2) * (p._2 - m2)).sum / (n - 1)
+    val cross = pcs.map(p => (p._1 - m1) * (p._2 - m2)).sum / (n - 1)
+    val eig = LlmPipeline.embedPca(spark, sf).collect().map(r => r.getDouble(1))
+    assert(math.abs(v1 - eig(0)) < 1e-3, s"var(pc1)=$v1 vs λ1=${eig(0)}")
+    assert(math.abs(v2 - eig(1)) < 1e-3, s"var(pc2)=$v2 vs λ2=${eig(1)}")
+    assert(math.abs(cross) < 1e-3, s"pc1 ⊥ pc2 violated: cov=$cross")
+  }
+
+  test("embed_pca_project: a rank-1 corpus lands on PC1 with PC2 pinned at zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcap").toString
+    val rng = new scala.util.Random(13)
+    val axis = Array.fill(64)(rng.nextGaussian().toFloat)
+    import spark.implicits._
+    (0 until 100).map { i =>
+      val a = (rng.nextGaussian() * 2).toFloat
+      (i.toLong, axis.map(x => x * a).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pcs = LlmPipeline.embedPcaProject(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(pcs.exists(p => math.abs(p._1) > 1000000L), "pc1 must carry the spread")
+    assert(pcs.forall(p => math.abs(p._2) < 2000L),
+      s"pc2 of rank-1 data must be ~0: ${pcs.filter(p => math.abs(p._2) >= 2000L).toSeq}")
+  }
+
   test("embed_pca: a rank-1 anisotropic corpus concentrates all variance in the first component") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
     val rng = new scala.util.Random(11)

@@ -322,6 +322,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard: candidate and verify joins all ride equi keys") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix filter degenerated to a product:\n$p")
+    // The self-join key is the prefix shingle; the verify joins key on ids.
+    assert(p.contains("term"), s"prefix-token join key missing:\n$p")
+  }
+
+  test("asof-nearest rides the (user, grid-cell) equi key and takes top-1 per purchase") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"asof-nearest degenerated to a nested loop:\n$p")
+    assert(p.contains("bucket"), s"grid key missing:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-purchase argmin must push top-1 through the shuffle:\n$p")
+  }
+
+  test("kcore round joins broadcast the survivor set — the edge table never re-shuffles") {
+    val e = graft.ops.Graph.partsCoGraph(spark, sf)
+    val keep = e.groupBy("src").agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2).select("src")
+    val round = e.join(org.apache.spark.sql.functions.broadcast(keep), "src")
+      .join(org.apache.spark.sql.functions.broadcast(keep.withColumnRenamed("src", "dst")), "dst")
+      .select("src", "dst")
+    round.count()
+    val p = round.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"both survivor joins must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"edge table re-shuffled in a peel round:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.

@@ -161,7 +161,12 @@ class UnoracleableSpec extends SparkSpec {
       "the Jacobi eigensolve is a driver-side numeric iteration no SQL expresses",
       "OpsSpec", Seq(
         "embed_pca: distributed sufficient statistics equal a driver-side loop; spectrum invariants hold",
-        "embed_pca: a rank-1 anisotropic corpus concentrates all variance in the first component")))
+        "embed_pca: a rank-1 anisotropic corpus concentrates all variance in the first component")),
+    "embed_pca_project" -> Pin(
+      "projects onto the Jacobi eigenbasis (driver-side numeric iteration, as embed_pca)",
+      "OpsSpec", Seq(
+        "embed_pca_project: component variances recover the spectrum; components are uncorrelated",
+        "embed_pca_project: a rank-1 corpus lands on PC1 with PC2 pinned at zero")))
 
   test("no-oracle queries ↔ pinned tests is exactly 1:1, and every pinned test exists") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
