@@ -192,18 +192,12 @@ object Graph {
     // handful of parts, so per-row fanout is tiny and bounded) — vs the
     // self-join formulation, which shuffles the (order, part) table twice
     // and joins. Same edges, one exchange fewer; measured ~2× faster.
-    val parts = t(spark, dir, "lineitem")
-      .groupBy(col("l_orderkey"))
-      .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
-    val pairs = parts.select(explode(flatten(transform(col("ps"), (x, i) =>
-      transform(
-        slice(col("ps"), i + 2, greatest(size(col("ps")) - i - 1, lit(0))),
-        y => struct(x.as("x"), y.as("y")))))).as("p"))
-    val edges = pairs
-      .groupBy(col("p.x").as("x"), col("p.y").as("y"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
-      .select("x", "y")
+    // The build itself is the memoized [[partsCoGraph]] graph LOAD (shared
+    // with [[graphKcore]]); the undirected x<y edge list is its src<dst
+    // half.
+    val edges = partsCoGraph(spark, dir)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("x"), col("dst").as("y"))
     val deg = edges.select(col("x").as("n")).unionAll(edges.select(col("y").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val withDeg = edges
