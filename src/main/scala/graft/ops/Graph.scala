@@ -457,9 +457,9 @@ object Graph {
     */
   private[graft] def partsCoGraph(spark: SparkSession, dir: String): DataFrame =
     graft.Tables.sessionCache(edgeCache, spark).computeIfAbsent((dir, "parts-cograph"), _ => {
-      val parts = t(spark, dir, "lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_partkey"))).as("ps"))
+      // Built over the shared basket load — the order-keyed fact shuffle
+      // is paid once across the whole basket/graph family.
+      val parts = Analytics.orderBaskets(spark, dir)
       val pairs = parts.select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(
           slice(col("ps"), i + 2, greatest(size(col("ps")) - i - 1, lit(0))),
