@@ -172,6 +172,21 @@ object Main {
     println(s"[graft.Main] graph: degree buckets $degStr; " +
       s"top pagerank node=${topRank.getLong(0)} pr=${topRank.getLong(1)}; " +
       s"co-purchase triangles=$nTriangles")
+
+    // Phase 6: training-mix planning over the curated corpus — the r9
+    // composition: temperature-scaled language weights (p ∝ q^0.7) set the
+    // per-language budget, the EXACT prefix-filter jaccard join reports
+    // residual near-dup pairs the curation would drop, and the PCA spectrum
+    // summarizes the embedding space the mix will train on. Three consumers
+    // of two memoized loads (shingle table, PCA statistics) — plan-once /
+    // query-many, end to end.
+    val mix = graft.ops.Analytics.sampleTemperature(spark, sfDir).collect()
+      .map(r => s"${r.getString(0)}:${r.getLong(4)}").mkString(" ")
+    val nearDups = graft.ops.LlmPipeline.dedupJaccardPrefix(spark, sfDir).count()
+    val spectrum = graft.ops.LlmPipeline.embedPca(spark, sfDir).collect()
+      .map(r => s"${r.getLong(2)}ppm").mkString(" ")
+    println(s"[graft.Main] mix plan: draws/10k $mix; " +
+      s"residual near-dup pairs (J≥0.8)=$nearDups; top-5 EVR $spectrum")
     spark.stop()
   }
 }
