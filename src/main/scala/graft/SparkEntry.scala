@@ -334,6 +334,9 @@ object SparkEntry {
     "join_asof_nearest" -> (Relational.joinAsofNearest _),
     "sample_temperature" -> ((s, d) => Analytics.sampleTemperature(s, d)),
     "embed_pca_project" -> (LlmPipeline.embedPcaProject _),
+    "events_dau_wau_mau" -> (Analytics.eventsDauWauMau _),
+    "orders_lead_time" -> (Analytics.ordersLeadTime _),
+    "orders_xyz_class" -> (Analytics.ordersXyzClass _),
     "events_acf" -> (Analytics.eventsAcf _),
     "orders_seasonal_dow" -> (Analytics.ordersSeasonalDow _),
     "dedup_jaccard_prefix" -> ((s, d) => LlmPipeline.dedupJaccardPrefix(s, d)),
@@ -782,6 +785,12 @@ object SparkEntry {
     "basket_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), tr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey GROUP BY 1, 2, 3) SELECT part_a, part_b, part_c, support FROM tr ORDER BY support DESC, part_a, part_b, part_c LIMIT 100""",
     "graph_kcore" -> Graph.kcoreOracleSql,
+    "orders_xyz_class" ->
+      """WITH weekly AS (SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS week, CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS wq FROM lineitem GROUP BY 1, 2), per AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(sum(wq) AS BIGINT) AS s, CAST(sum(wq * wq) AS BIGINT) AS qq FROM weekly GROUP BY 1), cls AS (SELECT l_partkey, CASE WHEN 4 * (n * qq - s * s) < s * s THEN 'X' WHEN n * qq - s * s < s * s THEN 'Y' ELSE 'Z' END AS xyz_class FROM per) SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts FROM cls GROUP BY 1 ORDER BY xyz_class""",
+    "events_dau_wau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events), dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY 1), wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM (SELECT user_id, ud.day + i AS day FROM ud, LATERAL unnest(generate_series(0, 6)) AS g(i)) GROUP BY day), mau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM (SELECT user_id, ud.day + i AS day FROM ud, LATERAL unnest(generate_series(0, 29)) AS g(i)) GROUP BY day) SELECT dau.day, dau, wau, mau, (dau * 1000000) // wau AS dau_wau_micro, (dau * 1000000) // mau AS dau_mau_micro FROM dau JOIN wau USING (day) JOIN mau USING (day) ORDER BY day""",
+    "orders_lead_time" ->
+      """WITH closes AS (SELECT l_orderkey, max(l_shipdate) AS close FROM lineitem GROUP BY 1), lead AS (SELECT o_orderpriority AS priority, greatest(epoch_us(close) // 86400000000 - epoch_us(o_orderdate) // 86400000000, 0) AS days FROM closes JOIN orders ON l_orderkey = o_orderkey) SELECT priority, CAST(count(*) AS BIGINT) AS n_orders, quantile_disc(days, 0.5) AS p50_days, quantile_disc(days, 0.9) AS p90_days, quantile_disc(days, 0.99) AS p99_days, (CAST(sum(days) AS BIGINT) * 100) // count(*) AS mean_centidays FROM lead GROUP BY priority ORDER BY priority""",
     "sample_temperature" ->
       """WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM per), w AS (SELECT lang, n_docs, (n_docs * 1000000) // n AS q_micro, CAST(floor(pow(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE), 0.7) * 1000000000 + 0.5) AS BIGINT) AS w_nano FROM per CROSS JOIN tot), wt AS (SELECT CAST(sum(w_nano) AS BIGINT) AS wt FROM w) SELECT lang, n_docs, q_micro, (w_nano * 1000000) // wt AS p_micro, (w_nano * 10000) // wt AS draws_per_10k FROM w CROSS JOIN wt ORDER BY lang""",
     "dq_benford" ->

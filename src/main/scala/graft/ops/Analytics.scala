@@ -2037,6 +2037,97 @@ object Analytics {
       .orderBy("fd")
   }
 
+  /** DAU / WAU / MAU active-user rollup with the stickiness ratio — the
+    * product-analytics daily heartbeat. Exact distinct-user counting over
+    * sliding horizons WITHOUT a per-day window scan: the (user, day)
+    * distinct pairs each CONTRIBUTE forward to the 7-day and 30-day
+    * horizons they fall inside (explode of a bounded literal range), then
+    * one count-distinct per (day, horizon). Stickiness = dau·1e6 div wau /
+    * mau in pure int64. Only days with activity in the base table appear
+    * (both engines agree on that universe by construction).
+    *
+    * Scale: (user, day) pairs are bounded by users × calendar, the ×7/×30
+    * contribution explode is a CONSTANT fan-out on that bounded table (the
+    * [[ordersOpenBacklog]] difference-array trick, applied to distinct
+    * counting), and each horizon count is one map-side-combined aggregate.
+    * The naive per-day RANGE window over raw events would rescan 30 days
+    * of events per day instead.
+    */
+  def eventsDauWauMau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = t(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val dau = ud.groupBy("day").agg(countDistinct(col("user_id")).as("dau"))
+    def horizon(n: Int, name: String): DataFrame = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + (n - 1))).as("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as(name))
+    // Inner-joining on the DAU day set drops the horizon tables' phantom
+    // post-calendar days (a contribution day past the last active day).
+    dau.join(horizon(7, "wau"), "day")
+      .join(horizon(30, "mau"), "day")
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        expr("(dau * 1000000) div wau").as("dau_wau_micro"),
+        expr("(dau * 1000000) div mau").as("dau_mau_micro"))
+      .orderBy("day")
+  }
+
+  /** XYZ demand-variability classification (the inventory-planning
+    * companion of [[ordersPareto]]'s ABC): each part's weekly demand series
+    * → coefficient of variation → class X (CV < 0.5, steady), Y (< 1.0,
+    * fluctuating), Z (≥ 1.0, erratic). The CV never materializes as a
+    * float: with S = Σq and Q = Σq² over n observed weeks,
+    * CV² = (n·Q − S²)/S², so X ⟺ 4(nQ − S²) < S² and Y ⟺ nQ − S² < S² —
+    * class boundaries decided in PURE int64, immune to sqrt/division
+    * rounding on both engines.
+    *
+    * Scale: one (part, week) aggregate off the fact table, one per-part
+    * rollup, one 3-row class count — all map-side combined, nothing joins.
+    */
+  def ordersXyzClass(spark: SparkSession, dir: String): DataFrame = {
+    val weekly = t(spark, dir, "lineitem")
+      .select(col("l_partkey"), expr("unix_micros(l_shipdate) div 604800000000").as("week"),
+        floor(col("l_quantity") + 0.5).cast("long").as("q"))
+      .groupBy("l_partkey", "week").agg(sum(col("q")).as("wq"))
+    val per = weekly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("wq")).as("s"),
+        sum(col("wq") * col("wq")).as("qq"))
+      .select(col("l_partkey"),
+        when(lit(4) * (col("n") * col("qq") - col("s") * col("s")) <
+            col("s") * col("s"), "X")
+          .when(col("n") * col("qq") - col("s") * col("s") <
+            col("s") * col("s"), "Y")
+          .otherwise("Z").as("xyz_class"))
+    per.groupBy("xyz_class").agg(count(lit(1)).as("n_parts"))
+      .orderBy("xyz_class")
+  }
+
+  /** Order-to-ship lead-time distribution per order priority: p50/p90/p99
+    * of days-to-last-shipment plus the mean, all exact (type-1
+    * `percentile_disc` over integer day counts ≡ DuckDB `quantile_disc`;
+    * the mean is an integer-scaled ratio). Negative synthetic lead times
+    * clamp to 0 exactly as [[ordersOpenBacklog]] clamps its spans.
+    *
+    * Scale: one orderkey-shuffle aggregate to per-order lead times, then a
+    * 5-row priority aggregate; percentile_disc per group is sort-based
+    * within partitions of a GROUPED key, never a global sort.
+    */
+  def ordersLeadTime(spark: SparkSession, dir: String): DataFrame = {
+    val lead = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(max(col("l_shipdate")).as("close"))
+      .join(t(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        greatest(expr("unix_micros(close) div 86400000000") -
+          expr("unix_micros(o_orderdate) div 86400000000"), lit(0L)).as("days"))
+    lead.groupBy("priority")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)").as("p50_days"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)").as("p90_days"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY days)").as("p99_days"),
+        expr("(sum(days) * 100) div count(1)").as("mean_centidays"))
+      .orderBy("priority")
+  }
+
   /** Temperature-scaled multilingual sampling weights (the mBERT/XLM-R
     * exponential-smoothing recipe, α = 0.7): p_i ∝ q_i^α over the per-lang
     * corpus shares q_i — the standard fix for low-resource languages
