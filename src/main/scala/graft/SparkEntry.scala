@@ -337,6 +337,9 @@ object SparkEntry {
     "events_dau_wau_mau" -> (Analytics.eventsDauWauMau _),
     "orders_lead_time" -> (Analytics.ordersLeadTime _),
     "orders_xyz_class" -> (Analytics.ordersXyzClass _),
+    "graph_assortativity" -> (Graph.graphAssortativity _),
+    "text_zipf_fit" -> (Analytics.textZipfFit _),
+    "events_funnel_time" -> (Analytics.eventsFunnelTime _),
     "events_acf" -> (Analytics.eventsAcf _),
     "orders_seasonal_dow" -> (Analytics.ordersSeasonalDow _),
     "dedup_jaccard_prefix" -> ((s, d) => LlmPipeline.dedupJaccardPrefix(s, d)),
@@ -785,6 +788,11 @@ object SparkEntry {
     "basket_triples" ->
       """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), tr AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c, CAST(count(*) AS BIGINT) AS support FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey JOIN op c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey GROUP BY 1, 2, 3) SELECT part_a, part_b, part_c, support FROM tr ORDER BY support DESC, part_a, part_b, part_c LIMIT 100""",
     "graph_kcore" -> Graph.kcoreOracleSql,
+    "graph_assortativity" -> Graph.assortativityOracleSql,
+    "text_zipf_fit" ->
+      """WITH freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) GROUP BY 1), ranked AS (SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY f DESC, term) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS lx, CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS ly FROM freq), s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy, CAST(sum(lx*lx) AS BIGINT) AS sxx, CAST(sum(lx*ly) AS BIGINT) AS sxy FROM ranked) SELECT n AS n_terms, CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS slope_micro FROM s""",
+    "events_funnel_time" ->
+      """WITH per AS (SELECT user_id, min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s FROM events GROUP BY 1), conv AS (SELECT p.user_id, min(epoch_us(ts) - s) // 60000000 AS delay_min FROM events e JOIN per p ON e.user_id = p.user_id AND e.event_type = 'purchase' AND s IS NOT NULL AND epoch_us(ts) >= s GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_converted, quantile_disc(delay_min, 0.5) AS p50_min, quantile_disc(delay_min, 0.9) AS p90_min, (CAST(sum(delay_min) AS BIGINT) * 100) // count(*) AS mean_centimin FROM conv""",
     "orders_xyz_class" ->
       """WITH weekly AS (SELECT l_partkey, epoch_us(l_shipdate) // 604800000000 AS week, CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS wq FROM lineitem GROUP BY 1, 2), per AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(sum(wq) AS BIGINT) AS s, CAST(sum(wq * wq) AS BIGINT) AS qq FROM weekly GROUP BY 1), cls AS (SELECT l_partkey, CASE WHEN 4 * (n * qq - s * s) < s * s THEN 'X' WHEN n * qq - s * s < s * s THEN 'Y' ELSE 'Z' END AS xyz_class FROM per) SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts FROM cls GROUP BY 1 ORDER BY xyz_class""",
     "events_dau_wau_mau" ->

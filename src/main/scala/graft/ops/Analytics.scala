@@ -2071,6 +2071,65 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    * ln(freq) on ln(rank) — the distribution diagnostic behind every
+    * "is this corpus natural text or generated junk" gate (natural language
+    * slopes ≈ −1; this fixture's near-uniform word soup fits far shallower,
+    * which is exactly what the gate detects). Each point's logs are
+    * micro-rounded at the transcendental (the [[dqDrift]] libm budget);
+    * the regression sums then run exact in int64, and slope/intercept are
+    * single IEEE ratios of exact integers (floor(x·1e6 + ½) handles the
+    * negative slope identically in both engines — integer `div` would
+    * not: Spark truncates, DuckDB floors).
+    *
+    * Scale: the rank window orders the VOCABULARY (Heaps-bounded, the
+    * [[dqDrift]] value-domain argument), never the corpus; everything else
+    * is one term-keyed count and one 1-row sum.
+    */
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val freq = t(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("f").desc, col("term"))).cast("long"))
+      .select(floor(log(col("rank").cast("double")) * 1000000 + 0.5).cast("long").as("lx"),
+        floor(log(col("f").cast("double")) * 1000000 + 0.5).cast("long").as("ly"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("lx")).as("sxx"), sum(col("lx") * col("ly")).as("sxy"))
+      .select(col("n").as("n_terms"),
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          1000000 + 0.5).cast("long").as("slope_micro"))
+  }
+
+  /** Funnel time-to-convert: for each user, the delay from their FIRST
+    * signup to their first purchase at-or-after it, distributed as exact
+    * type-1 percentiles in whole minutes — the latency companion of
+    * [[eventsFunnel]]'s count view. Conversion windows are one
+    * min-aggregate each side plus a conditional min (min of purchase times
+    * filtered ≥ signup) — no per-event join ever happens.
+    *
+    * Scale: two user-keyed map-side-combined aggregates and a 1-row
+    * percentile rollup; the conditional min folds into the same aggregate
+    * pass as a filtered `min`.
+    */
+  def eventsFunnelTime(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("tus"))).as("s"))
+    val conv = t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pu"))
+      .join(per.filter(col("s").isNotNull), "user_id")
+      .filter(col("pu") >= col("s"))
+      .groupBy("user_id").agg(expr("min(pu - s) div 60000000").as("delay_min"))
+    conv.agg(count(lit(1)).as("n_converted"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_min)").as("p50_min"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_min)").as("p90_min"),
+        expr("(sum(delay_min) * 100) div count(1)").as("mean_centimin"))
+  }
+
   /** XYZ demand-variability classification (the inventory-planning
     * companion of [[ordersPareto]]'s ABC): each part's weekly demand series
     * → coefficient of variation → class X (CV < 0.5, steady), Y (< 1.0,

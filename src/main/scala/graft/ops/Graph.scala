@@ -523,6 +523,51 @@ object Graph {
       rounds + " " + summaries + " ORDER BY round"
   }
 
+  /** Degree assortativity of the trade graph — Newman's r: the Pearson
+    * correlation of endpoint degrees over directed edges. A bipartite
+    * hub-and-spoke market is strongly DISassortative (high-degree suppliers
+    * trade with low-degree customers), so r ≪ 0 is the expected, meaningful
+    * signal. All six correlation sums (n, Σdx, Σdy, Σdx², Σdy², Σdxdy) are
+    * exact int64 over integer degrees; the only float is the final
+    * covariance/sqrt ratio — one deterministic IEEE expression from exact
+    * integer inputs, micro-rounded identically in both engines.
+    *
+    * Scale: degrees ride along the memoized [[tradeGraph]] (outdeg is
+    * already attached per src); the dst-side degree joins as an O(N)
+    * BROADCAST dim, and the six sums are one map-side-combined aggregate.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = tradeGraph(spark, dir)
+    val deg = e.select(col("src"), col("outdeg")).distinct()
+    val ed = e.select(col("dst"), col("outdeg").as("dx"))
+      .join(broadcast(deg.select(col("src").as("dst"), col("outdeg").as("dy"))), "dst")
+    ed.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n").as("n_edges"),
+        floor((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))) *
+          1000000 + 0.5).cast("long").as("r_micro"))
+  }
+
+  /** DuckDB oracle for [[graphAssortativity]] — same edge construction,
+    * same exact-integer sums, same single IEEE ratio. */
+  def assortativityOracleSql: String =
+    "WITH base AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT cust AS src, supp + 1000000 AS dst FROM base " +
+      "UNION ALL SELECT supp + 1000000, cust FROM base), " +
+      "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1), " +
+      "ed AS (SELECT da.d AS dx, db.d AS dy FROM e " +
+      "JOIN deg da ON e.src = da.src JOIN deg db ON e.dst = db.src), " +
+      "s AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dx) AS BIGINT) AS sx, " +
+      "CAST(sum(dy) AS BIGINT) AS sy, CAST(sum(dx*dx) AS BIGINT) AS sxx, " +
+      "CAST(sum(dy*dy) AS BIGINT) AS syy, CAST(sum(dx*dy) AS BIGINT) AS sxy FROM ed) " +
+      "SELECT n AS n_edges, CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE) / " +
+      "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) " +
+      "* 1000000 + 0.5) AS BIGINT) AS r_micro FROM s"
+
   /** Neighbor-set Jaccard similarity between suppliers — "suppliers serving
     * the same customers", the graph-structural node-similarity query behind
     * every who-competes-with-whom / substitute-recommendation report.

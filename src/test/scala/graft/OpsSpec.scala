@@ -1413,6 +1413,43 @@ class OpsSpec extends SparkSpec {
     assert(got.forall(_._2 > 0), "positive top eigenvalues")
   }
 
+  test("prefix-filter jaccard: randomized dense corpora equal brute force at two thresholds") {
+    // Seeded random corpora drawn from a 12-word alphabet — documents this
+    // short and this collision-dense are the adversarial regime for the
+    // filter (prefixes overlap constantly, length filter fires often, many
+    // pairs sit right at the threshold). Exact equality against plain-Scala
+    // brute force for every corpus × τ proves losslessness where it is
+    // hardest, not where it is easy.
+    import spark.implicits._
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val docs = (0 until 8).map { id =>
+        val len = 6 + rng.nextInt(15)
+        id.toLong -> Seq.fill(len)(s"w${rng.nextInt(12)}").mkString(" ")
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ppjr$seed").toString
+      docs.map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      def shingles(tx: String): Set[String] = {
+        val w = tx.split(" ")
+        if (w.length < 3) Set.empty else w.sliding(3).map(_.mkString(" ")).toSet
+      }
+      for (tau <- Seq(600000L, 800000L)) {
+        val expected = (for {
+          (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+          sa = shingles(ta); sb = shingles(tb) if sa.nonEmpty && sb.nonEmpty
+          inter = (sa & sb).size.toLong; uni = (sa | sb).size.toLong
+          jm = inter * 1000000L / uni if jm >= tau
+        } yield (ia, ib, inter, uni, jm)).toSet
+        val got = LlmPipeline.dedupJaccardPrefix(spark, dir, tau).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        assert(got == expected,
+          s"seed=$seed τ=$tau\nmissing=${expected -- got}\nextra=${got -- expected}")
+      }
+    }
+  }
+
   test("join_asof_nearest: bucket straddlers, exact-tolerance boundary, and |Δt| ties all resolve deterministically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
     import spark.implicits._
