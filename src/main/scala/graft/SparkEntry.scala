@@ -410,7 +410,7 @@ object SparkEntry {
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey""",
     "join_anti" ->
-      """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) ORDER BY c_custkey""",
+      """SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT') ORDER BY c_custkey""",
     "join_range_theta" ->
       """SELECT e.user_id, count(*) AS pair_cnt FROM events e JOIN orders o ON (o.o_custkey % 16) = e.user_id AND o.o_orderdate <= e.ts GROUP BY e.user_id ORDER BY e.user_id""",
     "join_asof_latest" ->
@@ -616,7 +616,7 @@ object SparkEntry {
     "setop_intersect" ->
       """SELECT user_id FROM events WHERE event_type = 'click' INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id""",
     "setop_except" ->
-      """SELECT user_id FROM events WHERE event_type = 'view' EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase' ORDER BY user_id""",
+      """SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events WHERE event_type = 'view' EXCEPT SELECT user_id, epoch_us(ts) // 86400000000 FROM events WHERE event_type = 'purchase' ORDER BY user_id, day""",
     "scalar_string" ->
       """SELECT c_custkey, upper(c_name) AS uname, substring(c_name, 1, 8) AS pre, concat(c_mktsegment, '#', c_name) AS tagged, (c_name LIKE '%5') AS ends5 FROM customer ORDER BY c_custkey""",
     "scalar_date" ->

@@ -755,9 +755,14 @@ object Relational {
   }
 
   /** Left anti join — NOT EXISTS. */
+  /** Left-anti join with actual survivors: customers who never placed an
+    * URGENT order (~11% of the fixture at every sf — every customer HAS
+    * orders, so anti-joining the bare orders table would pass its oracle
+    * on an empty 0=0 agreement, pinning nothing).
+    */
   def joinAnti(spark: SparkSession, dir: String): DataFrame = {
     val c = t(spark, dir, "customer")
-    val o = t(spark, dir, "orders")
+    val o = t(spark, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
@@ -1265,11 +1270,18 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** EXCEPT with actual survivors — (user, day) granularity: active view
+    * days that saw no purchase from that user. At plain user granularity
+    * every user in the fixture eventually purchases, so the set difference
+    * would be empty at every sf and the oracle pass a vacuous 0=0.
+    */
   def setopExcept(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events")
-    e.filter(col("event_type") === "view").select("user_id")
-      .except(e.filter(col("event_type") === "purchase").select("user_id"))
-      .orderBy("user_id")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    e.filter(col("event_type") === "view").select("user_id", "day")
+      .except(e.filter(col("event_type") === "purchase").select("user_id", "day"))
+      .orderBy("user_id", "day")
   }
 
   /** Name-resolved union across DRIFTED schemas: side A carries cents, side

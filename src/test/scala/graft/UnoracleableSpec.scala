@@ -180,6 +180,29 @@ class UnoracleableSpec extends SparkSpec {
       assert(suites(pin.suite).contains(t), s"$q pins missing test '$t' in ${pin.suite}")
   }
 
+  /** Queries legitimately EMPTY at the sf0.001 smoke fixture — each a tight
+    * public-TPC-H-spec filter the 6k-row slice cannot satisfy (all five are
+    * non-empty at the sf0.01 oracle gate, where a 0=0 pass would actually
+    * be vacuous). The list is EXACT: a query that drains adds itself here
+    * consciously or fails; one that fills must leave.
+    */
+  val emptyAtSmoke: Set[String] = Set(
+    "sql_tpch_q2", "sql_tpch_q7", "sql_tpch_q11", "sql_tpch_q20", "sql_tpch_q21")
+
+  test("no oracle-checked query is vacuously empty: the smoke-scale empty set is exactly the declared five") {
+    // The r7 verdict's sharpest finding was an oracle 'pass' on a 0=0
+    // empty-set agreement. This sweep EXECUTES every oracle-checked query
+    // against the smoke fixture and pins the empty set exactly, so a new
+    // query whose predicate never fires (or an edit that drains an existing
+    // one) fails here instead of slipping through as a vacuous green row.
+    val empty = (for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+                     if SparkEntry.oracleSql.contains(name))
+      yield name -> fn(spark, sf).isEmpty).collect { case (n, true) => n }.toSet
+    assert(empty == emptyAtSmoke,
+      s"newly empty (vacuous-oracle hazard): ${(empty -- emptyAtSmoke).toSeq.sorted}; " +
+        s"stale allowlist entries: ${(emptyAtSmoke -- empty).toSeq.sorted}")
+  }
+
   test("dedup_clusters equals driver-side union-find over the verified pairs") {
     val pairs = LlmPipeline.dedupNearMinhash(spark, sf)
       .select("doc_a", "doc_b").collect()
