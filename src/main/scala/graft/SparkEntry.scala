@@ -368,6 +368,11 @@ object SparkEntry {
     "sim_range_search" -> ((s, d) => LlmPipeline.simRangeSearch(s, d)),
     "join_interval_bucketed" -> (Relational.joinIntervalBucketed _),
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
+    "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
+    "events_top_paths" -> (Analytics.eventsTopPaths _),
+    "events_ab_cuped" -> (Analytics.eventsAbCuped _),
+    "embed_dim_stats" -> (LlmPipeline.embedDimStats _),
+    "embed_quantize" -> (LlmPipeline.embedQuantize _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -813,5 +818,15 @@ object SparkEntry {
       """WITH per AS (SELECT CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tn, CAST(sum(rev_cents) AS BIGINT) AS tr FROM per) SELECT dow, n_orders, rev_cents, CAST(floor(CAST(rev_cents AS DOUBLE) * CAST(tn AS DOUBLE) * 1000000.0 / (CAST(n_orders AS DOUBLE) * CAST(tr AS DOUBLE)) + 0.5) AS BIGINT) AS index_micro FROM per CROSS JOIN tot ORDER BY dow""",
     "dedup_jaccard_prefix" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)), sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS m FROM tok GROUP BY 1), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter FROM tok a JOIN tok b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY 1, 2) SELECT doc_a, doc_b, inter, sa.m + sb.m - inter AS uni, (inter * 1000000) // (sa.m + sb.m - inter) AS jaccard_micro FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b WHERE (inter * 1000000) // (sa.m + sb.m - inter) >= 800000 ORDER BY doc_a, doc_b""",
+    "sample_reservoir" ->
+      """SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS priority FROM documents ORDER BY priority, doc_id LIMIT 64""",
+    "events_top_paths" ->
+      """WITH seq AS (SELECT user_id, event_type AS e1, lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM seq WHERE e3 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""",
+    "events_ab_cuped" ->
+      """WITH per AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y, CAST(sum(CASE WHEN event_type <> 'purchase' THEN CAST(floor(value + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x, CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM events GROUP BY 1), pooled AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(y*y) AS BIGINT) AS syy FROM per), a AS (SELECT CAST(count(*) AS BIGINT) AS n_a, CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a FROM per WHERE arm = 'A'), b AS (SELECT CAST(count(*) AS BIGINT) AS n_b, CAST(sum(x) AS BIGINT) AS sx_b, CAST(sum(y) AS BIGINT) AS sy_b FROM per WHERE arm = 'B') SELECT n_a, n_b, CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS theta_micro, CAST(floor((CAST(sy_b AS DOUBLE)/n_b - CAST(sy_a AS DOUBLE)/n_a) * 1000000 + 0.5) AS BIGINT) AS lift_raw_micro, CAST(floor((CAST(sy_b AS DOUBLE)/n_b - CAST(sy_a AS DOUBLE)/n_a - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * (CAST(sx_b AS DOUBLE)/n_b - CAST(sx_a AS DOUBLE)/n_a)) * 1000000 + 0.5) AS BIGINT) AS lift_cuped_micro, CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE) / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rho2_micro FROM a CROSS JOIN b CROSS JOIN pooled""",
+    "embed_dim_stats" ->
+      """WITH m AS (SELECT i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)), per AS (SELECT dim, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(m) AS BIGINT) AS s, CAST(sum(m*m) AS BIGINT) AS q FROM m GROUP BY 1) SELECT CAST(dim AS BIGINT) AS dim, n_vecs, CAST(floor(CAST(s AS DOUBLE) / n_vecs + 0.5) AS BIGINT) AS mean_micro, CAST(floor(CAST(n_vecs*q - s*s AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) AS var_micro FROM per ORDER BY dim""",
+    "embed_quantize" ->
+      """SELECT vec_id, CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_micro, CASE WHEN s = 0 THEN 0 ELSE CAST(floor(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE) - GREATEST(-127.0, LEAST(127.0, floor(CAST(y AS DOUBLE) / s * 127.0 + 0.5))) * s / 127.0))) * 1000000 + 0.5) AS BIGINT) END AS max_err_micro FROM (SELECT vec_id, embedding, list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s FROM embeddings) ORDER BY vec_id""",
   )
 }

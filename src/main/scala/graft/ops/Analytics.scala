@@ -2307,4 +2307,103 @@ object Analytics {
           .cast("long").as("index_micro"))
       .orderBy("dow")
   }
+
+  /** Deterministic bottom-k-by-hash reservoir sample (k = 64): each doc's
+    * priority is a fixed Fibonacci-multiplicative permutation of `doc_id`
+    * (Knuth's 2654435761 mod 2^32 — public-domain folklore, pure int64 in
+    * both engines), and the sample is the k lowest priorities. This is the
+    * KMV / bottom-k sketch construction: the sample is stable under reruns
+    * and re-partitioning, MERGEABLE (union the bottom-k of two corpus
+    * halves, keep the bottom-k of the union), and append-monotone — a new
+    * doc displaces at most one member, so downstream eval sets drift
+    * minimally as the corpus grows. The rerunnable alternative to
+    * `TABLESAMPLE`, whose row sample changes with physical layout.
+    *
+    * Scale: `ORDER BY priority LIMIT k` compiles to TakeOrderedAndProject —
+    * per-partition k-heaps, and only O(partitions × k) rows ever cross to
+    * the driver-side final heap; no global sort, no full shuffle.
+    */
+  def sampleReservoir(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        ((col("doc_id") * lit(2654435761L)) % lit(4294967296L)).as("priority"))
+      .orderBy("priority", "doc_id")
+      .limit(k)
+
+  /** Top event-type trigram paths (the clickstream path / Sankey feed):
+    * each user's time-ordered event stream yields every 3-step window via
+    * two `lead`s over one (user, time) window, and the 20 most frequent
+    * paths are reported. Ordering ties break on `event_id`, so the
+    * sequence — and the counts — are total-order deterministic.
+    *
+    * Scale: ONE user-keyed shuffle feeds both leads (same window frame);
+    * the path aggregate's key domain is |event_type|³ (value-domain
+    * bounded, like [[dqDrift]]'s deciles), so the final count map-side
+    * combines to a tiny table and top-20 is a TakeOrderedAndProject.
+    */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  /** CUPED variance-reduced A/B read-out (Deng et al. 2013, WSDM — the
+    * industry-standard experiment-sensitivity trick): per user, the metric
+    * Y = purchase value and the pre-exposure covariate X = non-purchase
+    * engagement value; θ = cov(X,Y)/var(X) is fit on the pooled population
+    * and the adjusted lift is (Ȳ_B−Ȳ_A) − θ·(X̄_B−X̄_A), with ρ² = the
+    * fraction of metric variance the covariate absorbs. Arms are the same
+    * LCG parity split as [[eventsAbLift]]. Values quantize to whole units
+    * (floor(v+½)) so every moment — Σx, Σy, Σx², Σxy, Σy², per arm and
+    * pooled — is EXACT int64; θ, the lifts, and ρ² are then single IEEE
+    * ratios of exact integers, micro-rounded at output (the
+    * [[eventsAbLift]] determinism recipe — no libm anywhere).
+    *
+    * Scale: one user-keyed map-side-combined aggregate, then a 2-row arm
+    * rollup and a 1-row pooled rollup crossed back by broadcast; the
+    * covariance never sees per-user rows twice.
+    */
+  def eventsAbCuped(spark: SparkSession, dir: String): DataFrame = {
+    val v = floor(col("value") + 0.5).cast("long")
+    val per = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), v.as("v"))
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("v")).otherwise(0L)).as("y"),
+        sum(when(col("event_type") =!= "purchase", col("v")).otherwise(0L)).as("x"))
+      .withColumn("arm",
+        when(((col("user_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)) % 2 === 0,
+          "A").otherwise("B"))
+    val pooled = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+    val arms = per.groupBy("arm")
+      .agg(count(lit(1)).as("an"), sum(col("x")).as("asx"), sum(col("y")).as("asy"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("an").as("n_a"), col("asx").as("sx_a"), col("asy").as("sy_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("an").as("n_b"), col("asx").as("sx_b"), col("asy").as("sy_b"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val theta = num / den
+    val liftRaw = col("sy_b").cast("double") / col("n_b") -
+      col("sy_a").cast("double") / col("n_a")
+    val dx = col("sx_b").cast("double") / col("n_b") -
+      col("sx_a").cast("double") / col("n_a")
+    val rho2 = num * num /
+      (den * (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(pooled))
+      .select(col("n_a"), col("n_b"),
+        floor(theta * 1000000 + 0.5).cast("long").as("theta_micro"),
+        floor(liftRaw * 1000000 + 0.5).cast("long").as("lift_raw_micro"),
+        floor((liftRaw - theta * dx) * 1000000 + 0.5).cast("long").as("lift_cuped_micro"),
+        floor(rho2 * 1000000 + 0.5).cast("long").as("rho2_micro"))
+  }
 }

@@ -2221,4 +2221,72 @@ object LlmPipeline {
       .select(col("vec_id"), proj(0).as("pc1_micro"), proj(1).as("pc2_micro"))
       .orderBy("vec_id")
   }
+
+  /** Per-dimension corpus statistics (mean/variance per embedding
+    * coordinate) — the normalization/whitening diagnostic every embedding
+    * pipeline runs before indexing: a dimension with outsized variance
+    * dominates cosine, a near-constant one is dead weight. Components
+    * micro-quantize FIRST (float→double widening is exact, one multiply +
+    * floor — bit-identical in both engines), so Σm and Σm² are exact int64
+    * and the variance comes from the [[graft.ops.Analytics.ordersXyzClass]]
+    * identity (n·Q − S²)/n² as one IEEE division, micro-rounded.
+    *
+    * Scale: posexplode fans each row into d (64) rows but the aggregate is
+    * keyed on the d-valued dimension — map-side combine collapses each
+    * partition to ≤ d partials, so the shuffle carries O(partitions × d)
+    * regardless of corpus size. Σm² bounds: |m| ≤ 1e6·|x| — at billions of
+    * vectors with |x| ≈ 1, switch the quantum to centi (the
+    * [[graft.ops.Analytics.eventsAbCuped]] trade) or per-partition
+    * pre-aggregation in DECIMAL.
+    */
+  def embedDimStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = floor(col("comp").cast("double") * 1000000 + 0.5).cast("long")
+    t(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .select((col("pos") + 1).cast("long").as("dim"), m.as("m"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("m")).as("s"),
+        sum(col("m") * col("m")).as("q"))
+      .select(col("dim"), col("n_vecs"),
+        floor(col("s").cast("double") / col("n_vecs") + 0.5).cast("long")
+          .as("mean_micro"),
+        floor((col("n_vecs") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n_vecs").cast("double") * col("n_vecs").cast("double") * 1000000.0)
+          + 0.5).cast("long").as("var_micro"))
+      .orderBy("dim")
+  }
+
+  /** Symmetric int8 quantization audit (the embedding-compression step of a
+    * vector-index build — 4× smaller than float32, the standard serving
+    * trade): per vector, scale s = max|x_i|, codes q_i = clamp(round(x_i/s ·
+    * 127)), and the reported max reconstruction error max|x_i − q_i·s/127|
+    * (bounded by s/254 for in-range components — the audit asserts the
+    * quantizer is lossless-enough per vector, catching outlier-dominated
+    * vectors where one huge coordinate crushes the rest to zero). Every
+    * step is IEEE +,−,×,÷ plus floor — no libm — and written in the SAME
+    * operation order as the oracle, so the doubles agree bit-for-bit;
+    * outputs micro-round.
+    *
+    * Scale: pure per-row map, no shuffle. The per-element work runs as HOF
+    * lambdas (interpreted) — fine for a once-per-build audit over 64 dims;
+    * a hot serving path would lift it into a [[graft.functions.VectorOps]]
+    * codegen expression exactly as the dot product was.
+    */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val xd = transform(col("embedding"), y => abs(y.cast("double")))
+    val scale = array_max(xd)
+    val err = array_max(transform(col("embedding"), { y =>
+      val x = y.cast("double")
+      val q = greatest(lit(-127.0), least(lit(127.0),
+        floor(x / col("s") * 127.0 + 0.5)))
+      abs(x - q * col("s") / 127.0)
+    }))
+    t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), scale.as("s"))
+      .select(col("vec_id"),
+        floor(col("s") * 1000000 + 0.5).cast("long").as("scale_micro"),
+        when(col("s") === 0.0, 0L).otherwise(
+          floor(err * 1000000 + 0.5).cast("long")).as("max_err_micro"))
+      .orderBy("vec_id")
+  }
 }

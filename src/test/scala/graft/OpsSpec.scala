@@ -1563,4 +1563,104 @@ class OpsSpec extends SparkSpec {
     assert(got.head._2 > 990000L, s"rank-1 data must put ~all variance on PC1: ${got.toSeq}")
     assert(got.tail.forall(_._2 < 5000L), s"residual components must be ~0: ${got.toSeq}")
   }
+
+  test("sample_reservoir is the exact bottom-k of the priority permutation and merges") {
+    // Differential: the distributed TakeOrderedAndProject result equals the
+    // driver-side bottom-64, AND equals the bottom-64 of the union of the two
+    // halves' bottom-64s — the KMV mergeability the scaladoc claims.
+    val ids = Tables.t(spark, sf, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    def prio(id: Long): Long = (id * 2654435761L) % 4294967296L
+    val expected = ids.map(id => (prio(id), id)).sorted.take(64).map(_._2).toSeq
+    val got = Analytics.sampleReservoir(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+    val (h1, h2) = ids.partition(_ % 2 == 0)
+    def bottomK(xs: Array[Long]) = xs.map(id => (prio(id), id)).sorted.take(64)
+    val merged = (bottomK(h1) ++ bottomK(h2)).sorted.take(64).map(_._2).toSeq
+    assert(merged == expected, "bottom-k must merge across corpus halves")
+  }
+
+  test("events_top_paths counts constructed trigram windows exactly") {
+    // User 1 emits a,b,c,d → windows (a,b,c),(b,c,d); user 2 emits a,b,c →
+    // (a,b,c) again. Cross-user windows must not exist, and ordering ties
+    // (same ts) must resolve on event_id.
+    val dir = java.nio.file.Files.createTempDirectory("graft-paths").toString
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    Seq(
+      (1L, ts(0), 1L, "a"), (2L, ts(1), 1L, "b"),
+      (3L, ts(2), 1L, "c"), (4L, ts(2), 1L, "d"), // tie on ts: event_id orders c before d
+      (5L, ts(0), 2L, "a"), (6L, ts(1), 2L, "b"), (7L, ts(2), 2L, "c"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsTopPaths(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)), s"got $got")
+  }
+
+  test("events_ab_cuped matches a driver-side reimplementation and reduces variance") {
+    val per = Tables.t(spark, sf, "events")
+      .select("user_id", "event_type", "value").collect()
+      .groupBy(_.getLong(0)).map { case (uid, rows) =>
+        val v = rows.map(r => (r.getString(1), math.floor(r.getDouble(2) + 0.5).toLong))
+        val y = v.collect { case ("purchase", q) => q }.sum
+        val x = v.collect { case (t, q) if t != "purchase" => q }.sum
+        val arm = if (((uid * 1103515245L + 12345L) % 2147483647L) % 2 == 0) "A" else "B"
+        (uid, x, y, arm)
+      }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val syy = per.map(p => p._3 * p._3).sum
+    val a = per.filter(_._4 == "A"); val b = per.filter(_._4 == "B")
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val liftRaw = b.map(_._3).sum.toDouble / b.size - a.map(_._3).sum.toDouble / a.size
+    val dx = b.map(_._2).sum.toDouble / b.size - a.map(_._2).sum.toDouble / a.size
+    val rho2 = (n * sxy - sx * sy).toDouble * (n * sxy - sx * sy).toDouble /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    def mic(x: Double) = math.floor(x * 1000000 + 0.5).toLong
+    val row = Analytics.eventsAbCuped(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1)) == (a.size.toLong, b.size.toLong))
+    assert(row.getLong(2) == mic(theta), "theta")
+    assert(row.getLong(3) == mic(liftRaw), "raw lift")
+    assert(row.getLong(4) == mic(liftRaw - theta * dx), "cuped lift")
+    assert(row.getLong(5) == mic(rho2), "rho2")
+    assert(row.getLong(5) >= 0 && row.getLong(5) <= 1000000L,
+      "rho2 is a variance fraction")
+  }
+
+  test("embed_dim_stats computes exact per-dimension moments on a constructed corpus") {
+    // dim 1 components {1.0, 3.0} → mean 2, population var 1; dim 2 {2.0, 2.0}
+    // → mean 2, var 0 (a dead dimension — the diagnostic the query exists for).
+    val dir = java.nio.file.Files.createTempDirectory("graft-dimstats").toString
+    import spark.implicits._
+    Seq((1L, Seq(1.0f, 2.0f), 0), (2L, Seq(3.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmPipeline.embedDimStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 2L, 2000000L, 1000000L), (2L, 2L, 2000000L, 0L)), s"got $got")
+  }
+
+  test("embed_quantize: exact codes on a constructed vector and the s/254 bound corpus-wide") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quant").toString
+    import spark.implicits._
+    // [1.0, 0.5, -0.25]: s=1; codes [127, 64, -32] (0.5·127=63.5 rounds half-up
+    // to 64); max err = |64/127 − 0.5| ≈ 0.0039370 → 3937 micro. The zero
+    // vector must short-circuit to (0, 0), not NaN.
+    Seq((1L, Seq(1.0f, 0.5f, -0.25f), 0), (2L, Seq(0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmPipeline.embedQuantize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1000000L, 3937L), (2L, 0L, 0L)), s"got $got")
+    // In-range reconstruction bound on the real fixture: err ≤ s/254 (+1 for
+    // the micro rounding) for every vector — the losslessness audit itself.
+    val fix = LlmPipeline.embedQuantize(spark, sf).collect()
+    assert(fix.nonEmpty)
+    assert(fix.forall(r => r.getLong(2) <= r.getLong(1) / 254 + 1),
+      "int8 reconstruction error must stay within half a quantization step")
+  }
 }
