@@ -2406,4 +2406,47 @@ object Analytics {
         floor((liftRaw - theta * dx) * 1000000 + 0.5).cast("long").as("lift_cuped_micro"),
         floor(rho2 * 1000000 + 0.5).cast("long").as("rho2_micro"))
   }
+
+  /** A/B power planning read-out: with the [[eventsAbLift]] arms and
+    * conversion definition, the minimum detectable effect at α = 0.05 /
+    * power = 0.80 given the arms as they stand, and the per-arm sample size
+    * a 2-point lift would need — the "how long must this experiment run"
+    * numbers every experimentation platform serves next to the lift itself.
+    * MDE = (z_{α/2} + z_β)·√(2p̂(1−p̂)/n̄) with the z's as LITERALS
+    * (1.959964, 0.841621 — fixed quantiles, not libm calls); everything
+    * else is exact integer counts through IEEE +,−,×,÷,√, micro-rounded.
+    *
+    * Scale: identical to [[eventsAbLift]] — one user-keyed aggregate, then
+    * 2-row arithmetic.
+    */
+  def eventsMdePower(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val counts = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+    val avg = counts.agg(
+      (sum(col("n_purch")).cast("double") / count(lit(1))).as("avg_purch"))
+    val perUser = counts.crossJoin(broadcast(avg))
+      .withColumn("converted",
+        when(col("n_purch").cast("double") > col("avg_purch"), 1L).otherwise(0L))
+      .withColumn("arm",
+        when(((col("user_id") * lit(1103515245L) + lit(12345L)) % lit(2147483647L)) % 2 === 0, "A")
+          .otherwise("B"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("conv").as("conv_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("conv").as("conv_b"))
+    val zSum = lit(1.959964 + 0.841621)
+    val p = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    val mde = zSum * sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val nFor2pp = ceil(zSum * zSum * lit(2.0) * p * (lit(1.0) - p) / lit(0.0004))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        floor(p * 1000000 + 0.5).cast("long").as("p_pool_micro"),
+        floor(mde * 1000000 + 0.5).cast("long").as("mde_abs_micro"),
+        floor(mde / p * 1000000 + 0.5).cast("long").as("mde_rel_micro"),
+        nFor2pp.cast("long").as("n_per_arm_2pp"))
+  }
 }

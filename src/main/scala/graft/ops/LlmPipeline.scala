@@ -2289,4 +2289,84 @@ object LlmPipeline {
           floor(err * 1000000 + 0.5).cast("long")).as("max_err_micro"))
       .orderBy("vec_id")
   }
+
+  /** Per-label corpus diversity: the MEAN PAIRWISE COSINE among each label's
+    * vectors, computed in ONE PASS with zero pair materialization via the
+    * Gram identity Σ_{i≠j} vᵢ·vⱼ = ‖Σᵢvᵢ‖² − Σᵢ‖vᵢ‖² — the curation metric
+    * behind "is this source redundant" (SemDeDup's motivation measured
+    * cheaply: a pile of near-copies → mean cosine → 1, a diverse source
+    * → ≈ 0). Vectors L2-normalize first (norm = the codegen'd left-fold
+    * [[graft.functions.VectorOps]] dot; DuckDB's `list_reduce` folds the
+    * same order, so the doubles agree), normalized components
+    * micro-quantize, per-dim sums S_d and per-vector Σm² are exact int64,
+    * S_d² accumulates in DECIMAL(38) (HUGEINT on the oracle side), and the
+    * final mean is one IEEE division of exact integers, micro-rounded.
+    *
+    * Scale: the whole query is two aggregates whose keys are (label, dim)
+    * and (label) — shuffle O(labels × d) regardless of corpus size; the
+    * O(N²) pairwise sum never exists anywhere. THE showcase for
+    * sufficient-statistics thinking at 100 TB.
+    */
+  def embedDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"), l2(spark, col("embedding")).as("norm"))
+    val nm = emb
+      .select(col("label"), col("norm"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .select(col("label"), col("pos"),
+        floor(col("comp").cast("double") / col("norm") * 1000000 + 0.5)
+          .cast("long").as("m"))
+    val tPer = nm.groupBy("label", "pos").agg(sum(col("m")).as("s"))
+      .groupBy("label")
+      .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)")).as("t"))
+    val uPer = nm.groupBy("label").agg(sum(col("m") * col("m")).as("u"))
+    val nPer = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    tPer.join(uPer, "label").join(nPer, "label")
+      .select(col("label"), col("n_vecs"),
+        floor((col("t") - col("u")).cast("double") /
+          (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double") * 1000000.0)
+          + 0.5).cast("long").as("mean_cos_micro"))
+      .orderBy("label")
+  }
+
+  /** Embedding-space drift between corpus snapshots (the [[embedDimStats]]
+    * companion of `dq_drift`'s PSI): even-`vec_id` half = reference, odd =
+    * candidate; per dimension, both halves' means and the STANDARDIZED mean
+    * difference SMD = |μ_c − μ_r| / √((σ²_r + σ²_c)/2) — the scale-free
+    * effect size a feature-monitoring gate thresholds (SMD > 0.1 = drifted,
+    * the epidemiology convention). Micro-quantized components make all
+    * moments exact int64; means, variances (the (nQ−S²)/n² identity), and
+    * the SMD are then IEEE ratios of exact integers — no libm but √, which
+    * is correctly-rounded everywhere.
+    *
+    * Scale: one (half, dim)-keyed aggregate — shuffle O(2d) partials per
+    * partition; drift over true snapshots would read two partition-pruned
+    * date slices instead of the id-parity split.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val m = floor(col("comp").cast("double") * 1000000 + 0.5).cast("long")
+    val per = t(spark, dir, "embeddings")
+      .select((col("vec_id") % 2 === 0).as("ref"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .select(col("ref"), (col("pos") + 1).cast("long").as("dim"), m.as("m"))
+      .groupBy("ref", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("s"), sum(col("m") * col("m")).as("q"))
+      .withColumn("mean_d", col("s").cast("double") / col("n"))
+      .withColumn("var_d",
+        (col("n") * col("q") - col("s") * col("s")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+    val r = per.filter(col("ref")).select(col("dim"),
+      col("mean_d").as("mr"), col("var_d").as("vr"))
+    val c = per.filter(!col("ref")).select(col("dim"),
+      col("mean_d").as("mc"), col("var_d").as("vc"))
+    r.join(c, "dim")
+      .select(col("dim"),
+        floor(col("mr") + 0.5).cast("long").as("mean_ref_micro"),
+        floor(col("mc") + 0.5).cast("long").as("mean_cand_micro"),
+        when(col("vr") + col("vc") === 0.0,
+          when(col("mc") === col("mr"), 0L).otherwise(lit(1000000000L)))
+          .otherwise(floor(abs(col("mc") - col("mr")) /
+            sqrt((col("vr") + col("vc")) / 2.0) * 1000000 + 0.5).cast("long"))
+          .as("smd_micro"))
+      .orderBy("dim")
+  }
 }

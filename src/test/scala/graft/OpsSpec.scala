@@ -1663,4 +1663,76 @@ class OpsSpec extends SparkSpec {
     assert(fix.forall(r => r.getLong(2) <= r.getLong(1) / 254 + 1),
       "int8 reconstruction error must stay within half a quantization step")
   }
+
+  test("embed_diversity: Gram identity yields exact mean cosine for identical/orthogonal/opposite pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-div").toString
+    import spark.implicits._
+    Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0),   // identical → +1
+      (3L, Seq(1.0f, 0.0f), 1), (4L, Seq(0.0f, 1.0f), 1),   // orthogonal → 0
+      (5L, Seq(1.0f, 0.0f), 2), (6L, Seq(-1.0f, 0.0f), 2))  // opposite → −1
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmPipeline.embedDiversity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 2L, 1000000L), (1L, 2L, 0L), (2L, 2L, -1000000L)), s"got $got")
+  }
+
+  test("embed_diversity matches a brute-force pairwise mean on one fixture label") {
+    // The one-pass sufficient-statistics result must equal the O(n²) sum it
+    // replaces — computed here over the same micro-normalized integers.
+    val rows = Tables.t(spark, sf, "embeddings")
+      .filter(col("label") === 0).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val nm = rows.map { v =>
+      val norm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      v.map(x => math.floor(x.toDouble / norm * 1000000 + 0.5).toLong)
+    }
+    var tot = BigInt(0)
+    for (i <- nm.indices; j <- nm.indices if i != j)
+      tot += (0 until nm(i).length).map(d => BigInt(nm(i)(d)) * nm(j)(d)).sum
+    val n = nm.length.toLong
+    val expected = math.floor(
+      tot.toDouble / (n.toDouble * (n - 1).toDouble * 1000000.0) + 0.5).toLong
+    val got = LlmPipeline.embedDiversity(spark, sf).collect()
+      .find(_.getLong(0) == 0L).get.getLong(2)
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("embed_drift: constructed halves hit the SMD value and both zero-variance branches") {
+    // Even vec_ids = reference {0,2}, odd = candidate {1,3}. dim1: constant
+    // but different → sentinel 1e9. dim2: constant and equal → 0. dim3: both
+    // halves var 1 (micro² 1e12), means 1 apart → SMD exactly 1 → 1e6 micro.
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f), 0), (2L, Seq(1.0f, 1.0f, 2.0f), 0),
+      (1L, Seq(2.0f, 1.0f, 1.0f), 0), (3L, Seq(2.0f, 1.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = LlmPipeline.embedDrift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1000000L, 2000000L, 1000000000L),
+      (2L, 1000000L, 1000000L, 0L),
+      (3L, 1000000L, 2000000L, 1000000L)), s"got $got")
+  }
+
+  test("events_mde_power matches a driver-side recomputation from exact counts") {
+    val row = Analytics.eventsMdePower(spark, sf).collect().head
+    val lift = Analytics.eventsAbLift(spark, sf).collect().head
+    val (nA, convA, nB, convB) =
+      (lift.getLong(0), lift.getLong(1), lift.getLong(2), lift.getLong(3))
+    val p = (convA + convB).toDouble / (nA + nB)
+    val zs = 1.959964 + 0.841621
+    val mde = zs * math.sqrt(p * (1.0 - p) * (1.0 / nA + 1.0 / nB))
+    def mic(x: Double) = math.floor(x * 1000000 + 0.5).toLong
+    assert((row.getLong(0), row.getLong(1)) == (nA, nB))
+    assert(row.getLong(2) == mic(p))
+    assert(row.getLong(3) == mic(mde))
+    assert(row.getLong(4) == mic(mde / p))
+    assert(row.getLong(5) == math.ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004).toLong)
+    // Sanity: detecting a 2pp lift needs more users per arm than we have.
+    assert(row.getLong(5) > row.getLong(0))
+  }
 }
