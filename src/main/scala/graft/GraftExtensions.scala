@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PushdownNanosTimestamp)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(text) - 64-hash MinHash signature (3-word shingles)"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64, 3)))

@@ -376,6 +376,7 @@ object SparkEntry {
     "embed_diversity" -> (LlmPipeline.embedDiversity _),
     "embed_drift" -> (LlmPipeline.embedDrift _),
     "events_mde_power" -> (Analytics.eventsMdePower _),
+    "join_asof_native" -> (Relational.joinAsofNative _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -835,6 +836,8 @@ object SparkEntry {
       """WITH nm AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) / sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)), (a,b) -> a+b)) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), perdim AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS s FROM nm GROUP BY 1,2), tt AS (SELECT label, sum(s::HUGEINT * s::HUGEINT) AS t FROM perdim GROUP BY 1), uu AS (SELECT label, CAST(sum(m*m) AS BIGINT) AS u FROM nm GROUP BY 1), nn AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1) SELECT label, n_vecs, CAST(floor(CAST(t - u AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) AS mean_cos_micro FROM tt JOIN uu USING (label) JOIN nn USING (label) ORDER BY label""",
     "embed_drift" ->
       """WITH per AS (SELECT vec_id % 2 = 0 AS ref, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), ag AS (SELECT ref, dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s, CAST(sum(m*m) AS BIGINT) AS q FROM per GROUP BY 1,2), st AS (SELECT ref, dim, CAST(s AS DOUBLE) / n AS mean_d, CAST(n*q - s*s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_d FROM ag), r AS (SELECT dim, mean_d AS mr, var_d AS vr FROM st WHERE ref), c AS (SELECT dim, mean_d AS mc, var_d AS vc FROM st WHERE NOT ref) SELECT CAST(dim AS BIGINT) AS dim, CAST(floor(mr + 0.5) AS BIGINT) AS mean_ref_micro, CAST(floor(mc + 0.5) AS BIGINT) AS mean_cand_micro, CASE WHEN vr + vc = 0 THEN CASE WHEN mc = mr THEN 0 ELSE 1000000000 END ELSE CAST(floor(abs(mc - mr) / sqrt((vr + vc) / 2.0) * 1000000 + 0.5) AS BIGINT) END AS smd_micro FROM r JOIN c USING (dim) ORDER BY dim""",
+    "join_asof_native" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), m AS (SELECT purchase_id, click_id, click_us, row_number() OVER (PARTITION BY purchase_id ORDER BY click_us DESC, click_id DESC) AS rn FROM p JOIN c ON p.user_id = c.user_id AND c.click_us <= p.purchase_us) SELECT p.purchase_id, p.user_id, p.purchase_us, m.click_id, m.click_us FROM p LEFT JOIN m ON m.purchase_id = p.purchase_id AND m.rn = 1 ORDER BY p.purchase_id""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
   )

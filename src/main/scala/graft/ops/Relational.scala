@@ -901,6 +901,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Two-table as-of join on the NATIVE whole-operator extension
+    * ([[graft.plans.AsOfJoin]] → [[graft.plans.AsOfJoinExec]], planned via
+    * the injected [[graft.plans.AsOfJoinStrategy]]): each purchase picks
+    * the latest at-or-before click of the same user with UNBOUNDED
+    * lookback — the regime the composed forms cannot cover scalably
+    * ([[joinAsofLatest]] is same-stream only; `join_asof_nearest`'s grid
+    * needs a bounded tolerance or its candidate set explodes). Left-outer:
+    * purchases with no prior click keep null click columns.
+    *
+    * Scale: exactly a sort-merge join's movement — one hash exchange +
+    * in-partition sort per side, then an O(|L|+|R|) forward merge with one
+    * buffered row; no candidate join, no window over a blown-up pair set.
+    */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        unix_micros(col("ts")).as("click_us"))
+    org.apache.spark.sql.graft.AsOf.asofJoin(p, c,
+        Seq("user_id"), Seq("click_user"), "purchase_us", "click_us",
+        rightTiebreaks = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id"), col("click_us"))
+      .orderBy("purchase_id")
+  }
+
   // ---------------------------------------------------------------- aggregations
 
   /** TPC-H-Q1-like pricing summary: partial+final hash aggregate; all float

@@ -22,7 +22,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("spark.sql.extensions=graft.GraftExtensions injects the rule, 8 scalar SQL functions, and the generator") {
+  test("spark.sql.extensions=graft.GraftExtensions injects the rule, the as-of planner strategy, 8 scalar SQL functions, and the generator") {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -94,6 +94,24 @@ class ExtensionsSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
       assert(pushed.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
         s"nanos pushdown rule did not fire:\n$pushed")
+
+      // The injected PLANNER STRATEGY plans the native as-of join while the
+      // session's experimental list stays EMPTY — proving the extensions
+      // wiring carries it, not AsOf.asofJoin's runtime fallback.
+      val ev = Tables.t(s, sf, "events")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("pus"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("cus"))
+      val asof = org.apache.spark.sql.graft.AsOf.asofJoin(
+        purch, clicks, Seq("user_id"), Seq("cu"), "pus", "cus", Seq("cid"))
+      assert(asof.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+        "extensions session must plan the native as-of operator")
+      assert(s.experimental.extraStrategies.isEmpty,
+        "the injected strategy must cover it — no experimental fallback")
+      assert(asof.count() > 0)
 
       // Negative control: the plain SQL names exist ONLY via the extensions —
       // helper registrations use parameter-suffixed names, so a vanilla

@@ -102,4 +102,77 @@ class PlansSpec extends SparkSpec {
       "levenshtein(c_name, concat(c_mktsegment, cast(cast(rand()*10 as int) as string))) <= 4")
     assert(!nd.contains("abs((length("), s"guard duplicated a rand-derived arg:\n$nd")
   }
+
+  test("native as-of join: constructed boundary/tie/unmatched/null-time semantics") {
+    import spark.implicits._
+    val p = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 10L, 10L),
+      (4L, 20L, 100L), (5L, 30L, 100L))
+      .toDF("purchase_id", "user_id", "purchase_us")
+    val c = Seq((101L, 10L, Some(50L)), (102L, 10L, Some(50L)),
+      (103L, 10L, Some(99L)), (104L, 20L, Some(101L)), (105L, 10L, None))
+      .toDF("click_id", "click_user", "click_us")
+    val got = org.apache.spark.sql.graft.AsOf.asofJoin(p, c,
+        Seq("user_id"), Seq("click_user"), "purchase_us", "click_us",
+        rightTiebreaks = Seq("click_id"))
+      .select("purchase_id", "click_id", "click_us")
+      .orderBy("purchase_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 103L, 99L),  // latest ≤ 100
+      (2L, 102L, 50L),  // boundary: at-or-before includes equality; tie → max click_id
+      (3L, -1L, -1L),   // nothing at-or-before
+      (4L, -1L, -1L),   // only click is AFTER the purchase
+      (5L, -1L, -1L)),  // user has no clicks at all
+      s"got $got")
+  }
+
+  test("native as-of join matches the composed row_number form on the fixture") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ops.Relational.joinAsofNative(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    val ev = Tables.t(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"),
+        unix_micros(col("ts")).as("click_us"))
+    val w = Window.partitionBy("purchase_id")
+      .orderBy(col("click_us").desc, col("click_id").desc)
+    val m = p.join(c, col("user_id") === col("cu") && col("click_us") <= col("purchase_us"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("purchase_id", "click_id", "click_us")
+    val expected = p.join(m, Seq("purchase_id"), "left")
+      .select("purchase_id", "user_id", "purchase_us", "click_id", "click_us")
+      .orderBy("purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+    assert(got.nonEmpty && got.exists(_._4 >= 0) && got.exists(_._4 == -1L),
+      "fixture must exercise both matched and unmatched purchases")
+    assert(got == expected)
+  }
+
+  test("native as-of join plans as one merge with exactly one exchange per side") {
+    import spark.implicits._
+    val p = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
+      .toDF("purchase_id", "user_id", "purchase_us")
+    val c = (1 to 100).map(i => (i.toLong + 1000, (i % 7).toLong, i.toLong * 9))
+      .toDF("click_id", "click_user", "click_us")
+    val df = org.apache.spark.sql.graft.AsOf.asofJoin(p, c,
+      Seq("user_id"), Seq("click_user"), "purchase_us", "click_us")
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the custom node prints as
+    // "AsOfJoin [keys]...".
+    assert(plan.contains("AsOfJoin ["), s"custom exec missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), s"BNLJ leaked in:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 hash exchanges, got $exchanges:\n$plan")
+    assert("\\bSort \\[".r.findAllIn(plan).length >= 2,
+      s"both sides must sort on (key, time):\n$plan")
+  }
 }
