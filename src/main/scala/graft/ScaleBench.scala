@@ -25,7 +25,12 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *      ×4 / ×16 exact-dup piles;
   *   5. co-occurrence jaccard linearity: the typed-flatMap packed-pair
   *      kernel under ×1 / ×4 disjoint customer copies (degrees constant, so
-  *      work grows ×scale while the distinct pair space stays fixed).
+  *      work grows ×scale while the distinct pair space stays fixed);
+  *   6. prefix-filter jaccard linearity: the PPJoin self-join at ×1 / ×4
+  *      disjoint-vocabulary corpus copies through the real query path;
+  *   7. as-of join: the native sorted-merge operator vs the composed
+  *      candidate+window form under ×4 / ×16 per-user density inflation
+  *      (composed candidates grow ×scale², the merge stays linear).
   *
   * Emits one JSON line on stdout and the same document at
   * `SPARK_GRAFT_SCALEBENCH_OUT` (default `SCALEBENCH.json`). Runs each
@@ -272,6 +277,50 @@ object ScaleBench {
       }
       results(s"ppjoin_true_pairs_x$scale") = pairRows.toDouble
       Tables.invalidate(spark, tmp)
+    }
+
+    // --------------------------------------------------------------- 7. as-of
+    // Native sorted-merge as-of ([[graft.plans.AsOfJoinExec]]) vs the
+    // composed candidate-join + row_number form under per-user DENSITY
+    // inflation: reps shift by only `rep` µs, so each user's purchase AND
+    // click counts grow ×scale inside the same time span. The composed
+    // form's candidate set (every click at-or-before each purchase of the
+    // same user) then grows ×scale², while the native merge's work after
+    // the sort is linear in rows — the measurement that justifies the
+    // whole-operator extension. `asof_rows` counts the native (left-outer)
+    // output = |P|; the composed variant counts matched purchases only —
+    // both wall-clocks cover one full count() action of the same join
+    // semantics.
+    for (scale <- Seq(4L, 16L)) {
+      val ev = Tables.t(spark, sfDir, "events")
+        .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select(col("event_id") * scale + col("rep") as "event_id",
+          col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) + col("rep")).as("tus"))
+        .repartition(nPart)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ev.count()
+      val pSide = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"), col("tus").as("pus"))
+      val cSide = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("cid"), col("user_id").as("cu"), col("tus").as("cus"))
+      var nOut = 0L
+      results(s"asof_native_x$scale") = timeMin(2) {
+        nOut = org.apache.spark.sql.graft.AsOf.asofJoin(pSide, cSide,
+            Seq("user_id"), Seq("cu"), "pus", "cus", Seq("cid"))
+          .groupBy().count().head().getLong(0)
+        assert(nOut > 0)
+      }
+      results(s"asof_rows_x$scale") = nOut.toDouble
+      results(s"asof_composed_x$scale") = timeMin(2) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("pid")
+          .orderBy(col("cus").desc, col("cid").desc)
+        val m = pSide
+          .join(cSide, col("user_id") === col("cu") && col("cus") <= col("pus"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        assert(m.groupBy().count().head().getLong(0) > 0)
+      }
+      ev.unpersist()
     }
 
     hot.unpersist(); dim.unpersist()

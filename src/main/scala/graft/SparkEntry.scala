@@ -377,6 +377,9 @@ object SparkEntry {
     "embed_drift" -> (LlmPipeline.embedDrift _),
     "events_mde_power" -> (Analytics.eventsMdePower _),
     "join_asof_native" -> (Relational.joinAsofNative _),
+    "scalar_inet" -> (Scalars.scalarInet _),
+    "orders_interarrival" -> (Analytics.ordersInterarrival _),
+    "text_burstiness" -> (Analytics.textBurstiness _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -836,6 +839,12 @@ object SparkEntry {
       """WITH nm AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) / sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)), (a,b) -> a+b)) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), perdim AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS s FROM nm GROUP BY 1,2), tt AS (SELECT label, sum(s::HUGEINT * s::HUGEINT) AS t FROM perdim GROUP BY 1), uu AS (SELECT label, CAST(sum(m*m) AS BIGINT) AS u FROM nm GROUP BY 1), nn AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1) SELECT label, n_vecs, CAST(floor(CAST(t - u AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) AS mean_cos_micro FROM tt JOIN uu USING (label) JOIN nn USING (label) ORDER BY label""",
     "embed_drift" ->
       """WITH per AS (SELECT vec_id % 2 = 0 AS ref, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), ag AS (SELECT ref, dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s, CAST(sum(m*m) AS BIGINT) AS q FROM per GROUP BY 1,2), st AS (SELECT ref, dim, CAST(s AS DOUBLE) / n AS mean_d, CAST(n*q - s*s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_d FROM ag), r AS (SELECT dim, mean_d AS mr, var_d AS vr FROM st WHERE ref), c AS (SELECT dim, mean_d AS mc, var_d AS vc FROM st WHERE NOT ref) SELECT CAST(dim AS BIGINT) AS dim, CAST(floor(mr + 0.5) AS BIGINT) AS mean_ref_micro, CAST(floor(mc + 0.5) AS BIGINT) AS mean_cand_micro, CASE WHEN vr + vc = 0 THEN CASE WHEN mc = mr THEN 0 ELSE 1000000000 END ELSE CAST(floor(abs(mc - mr) / sqrt((vr + vc) / 2.0) * 1000000 + 0.5) AS BIGINT) END AS smd_micro FROM r JOIN c USING (dim) ORDER BY dim""",
+    "scalar_inet" ->
+      """WITH ips AS (SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ipn FROM customer), s AS (SELECT c_custkey, ipn, CAST(ipn // 16777216 AS VARCHAR) || '.' || CAST((ipn // 65536) % 256 AS VARCHAR) || '.' || CAST((ipn // 256) % 256 AS VARCHAR) || '.' || CAST(ipn % 256 AS VARCHAR) AS ip FROM ips), p AS (SELECT c_custkey, ip, ipn, CAST(string_split(ip, '.')[1] AS BIGINT) AS o1, CAST(string_split(ip, '.')[2] AS BIGINT) AS o2, CAST(string_split(ip, '.')[3] AS BIGINT) AS o3, CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM s) SELECT c_custkey, ip, o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num, (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168)) AS is_private, ipn // 16777216 = 10 AS in_10_8 FROM p ORDER BY c_custkey""",
+    "orders_interarrival" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) // 86400000000 AS d FROM orders), g AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap FROM o) SELECT CAST(count(*) AS BIGINT) AS n_gaps, min(gap) AS min_days, quantile_disc(gap, 0.5) AS p50_days, quantile_disc(gap, 0.9) AS p90_days, max(gap) AS max_days, (CAST(sum(gap) AS BIGINT) * 100) // count(*) AS mean_centidays FROM g WHERE gap IS NOT NULL""",
+    "text_burstiness" ->
+      """WITH tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), per AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS s, CAST(sum(tf*tf) AS BIGINT) AS q FROM tf GROUP BY 1) SELECT term, df, s AS tf_total, (n * q - s * s) * 1000000 // (n * s) AS vmr_micro FROM per CROSS JOIN nn ORDER BY df DESC, term LIMIT 20""",
     "join_asof_native" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), m AS (SELECT purchase_id, click_id, click_us, row_number() OVER (PARTITION BY purchase_id ORDER BY click_us DESC, click_id DESC) AS rn FROM p JOIN c ON p.user_id = c.user_id AND c.click_us <= p.purchase_us) SELECT p.purchase_id, p.user_id, p.purchase_us, m.click_id, m.click_us FROM p LEFT JOIN m ON m.purchase_id = p.purchase_id AND m.rn = 1 ORDER BY p.purchase_id""",
     "events_mde_power" ->

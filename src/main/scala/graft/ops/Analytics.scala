@@ -2449,4 +2449,57 @@ object Analytics {
         floor(mde / p * 1000000 + 0.5).cast("long").as("mde_rel_micro"),
         nFor2pp.cast("long").as("n_per_arm_2pp"))
   }
+
+  /** Order inter-arrival distribution: the day gaps between a customer's
+    * consecutive orders, rolled up to exact type-1 percentiles + an
+    * integer-scaled mean — the purchase-frequency model input (and the
+    * replenishment-cadence sanity check) behind CLV and churn scoring.
+    * Gap days are exact int64; ties in order date break on `o_orderkey`
+    * so the lag is total-order deterministic.
+    *
+    * Scale: one customer-keyed window shuffle (lag rides a single
+    * hash-partition + sort), then a 1-row percentile rollup.
+    */
+  def ordersInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+      .withColumn("gap", col("d") - lag(col("d"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_days"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)").as("p50_days"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)").as("p90_days"),
+        max(col("gap")).as("max_days"),
+        expr("(sum(gap) * 100) div count(1)").as("mean_centidays"))
+  }
+
+  /** Term burstiness (Fano factor / variance-to-mean ratio of per-document
+    * term frequency, zeros included) for the 20 highest-df terms — the
+    * corpus-linguistics diagnostic separating topical terms (bursty:
+    * VMR ≫ 1, they pile into few documents) from function words (VMR ≈ 1,
+    * Poisson-scattered). Church & Gale's burstiness, computed exactly:
+    * with n = corpus size, S = Σtf, Q = Σtf², VMR = (nQ − S²)/(nS) —
+    * Cauchy–Schwarz keeps the numerator non-negative, so integer `div`
+    * (trunc) ≡ DuckDB `//` (floor) and the output is pure int64.
+    *
+    * Scale: one (doc, term) tf aggregate + one term rollup (both map-side
+    * combined, vocabulary-bounded like [[textZipfFit]]); top-20 is a
+    * TakeOrderedAndProject.
+    */
+  def textBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = t(spark, dir, "documents").agg(count(lit(1)).as("n"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("s"),
+        sum(col("tf") * col("tf")).as("q"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("s").as("tf_total"),
+        expr("(n * q - s * s) * 1000000 div (n * s)").as("vmr_micro"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(20)
+  }
 }

@@ -268,6 +268,38 @@ object Scalars {
     * url_encode in DuckDB 1.0) reproduces the encoding with
     * replace(c_name,'#','%23') and parses with regexp_extract.
     */
+  /** IPv4 inet arithmetic (the ClickHouse `IPv4NumToString` /
+    * `IPv4StringToNum` / range-membership family, which Spark has no
+    * built-ins for — expressed in pure integer/string ops that any engine
+    * reproduces bit-for-bit): a deterministic test address per customer
+    * (Fibonacci-hash of the key), rendered dotted-quad, parsed BACK to its
+    * number (the round trip is the correctness claim), RFC-1918
+    * private-range classification, and /8 membership — the
+    * subnet-aggregation building block of every clickstream geo/abuse
+    * report. Octet math is `div`/`%` on int64 only.
+    *
+    * Scale: pure per-row map; no shuffle but the output ordering.
+    */
+  def scalarInet(spark: SparkSession, dir: String): DataFrame = {
+    val oct = split(col("ip"), "\\.")
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") * lit(2654435761L)) % lit(4294967296L)).as("ipn"))
+      .select(col("c_custkey"), col("ipn"),
+        concat_ws(".", expr("ipn div 16777216"), expr("(ipn div 65536) % 256"),
+          expr("(ipn div 256) % 256"), expr("ipn % 256")).as("ip"))
+      .select(col("c_custkey"), col("ip"),
+        (oct.getItem(0).cast("long") * 16777216 + oct.getItem(1).cast("long") * 65536 +
+          oct.getItem(2).cast("long") * 256 + oct.getItem(3).cast("long")).as("ip_num"),
+        (oct.getItem(0).cast("long") === 10 ||
+          (oct.getItem(0).cast("long") === 172 &&
+            oct.getItem(1).cast("long").between(16, 31)) ||
+          (oct.getItem(0).cast("long") === 192 &&
+            oct.getItem(1).cast("long") === 168)).as("is_private"),
+        (expr("ipn div 16777216") === 10).as("in_10_8"))
+      .orderBy("c_custkey")
+  }
+
   def scalarUrl(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "customer")
       .select(col("c_custkey"), col("c_name"),

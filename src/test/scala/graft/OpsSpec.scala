@@ -1735,4 +1735,47 @@ class OpsSpec extends SparkSpec {
     // Sanity: detecting a 2pp lift needs more users per arm than we have.
     assert(row.getLong(5) > row.getLong(0))
   }
+
+  test("scalar_inet round-trips every address and classifies RFC-1918 exactly") {
+    val rows = Scalars.scalarInet(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (key, ip, num) = (r.getLong(0), r.getString(1), r.getLong(2))
+      assert(num == (key * 2654435761L) % 4294967296L, s"round trip broke for $ip")
+      val o = ip.split("\\.").map(_.toLong)
+      assert(o.length == 4 && o.forall(x => x >= 0 && x <= 255))
+      val priv = o(0) == 10 || (o(0) == 172 && o(1) >= 16 && o(1) <= 31) ||
+        (o(0) == 192 && o(1) == 168)
+      assert(r.getBoolean(3) == priv && r.getBoolean(4) == (o(0) == 10))
+    }
+  }
+
+  test("orders_interarrival counts constructed gaps exactly; single-order customers contribute none") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gaps").toString
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    Seq((1L, 1L, d("2024-01-01")), (2L, 1L, d("2024-01-11")), (3L, 1L, d("2024-02-10")),
+      (4L, 2L, d("2024-03-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Analytics.ordersInterarrival(spark, dir).collect().head
+    // customer 1: gaps 10 and 30 days; customer 2: no gap. percentile_disc
+    // returns double (the oracle's quantile_disc stays integer — the
+    // driver's compare is value-based, same as orders_lead_time).
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+      r.getLong(5)) == (2L, 10L, 10.0, 30.0, 30L, 2000L), s"got $r")
+  }
+
+  test("text_burstiness separates a Poisson-scattered term from a bursty one exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
+    import spark.implicits._
+    // "x" once in each of 4 docs → VMR 0 (perfectly scattered). "y" 4 times
+    // in one doc → S=4, Q=16, n=4 → (64−16)/16 = 3 → 3e6 micro.
+    Seq((1L, "x y y y y"), (2L, "x"), (3L, "x"), (4L, "x"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.textBurstiness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(("x", 4L, 4L, 0L), ("y", 1L, 4L, 3000000L)), s"got $got")
+  }
 }
