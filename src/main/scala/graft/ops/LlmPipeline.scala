@@ -2316,12 +2316,17 @@ object LlmPipeline {
       .select(col("label"), col("pos"),
         floor(col("comp").cast("double") / col("norm") * 1000000 + 0.5)
           .cast("long").as("m"))
-    val tPer = nm.groupBy("label", "pos").agg(sum(col("m")).as("s"))
+    // ONE exploded pass carries both sufficient statistics: per (label, dim)
+    // S_d = Σm and q_d = Σm²; then T = Σ_d S_d² and U = Σ_i‖mᵢ‖² = Σ_d q_d
+    // — the second corpus explode the naive two-aggregate form would run
+    // folds into the same shuffle.
+    val tuPer = nm.groupBy("label", "pos")
+      .agg(sum(col("m")).as("s"), sum(col("m") * col("m")).as("q"))
       .groupBy("label")
-      .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)")).as("t"))
-    val uPer = nm.groupBy("label").agg(sum(col("m") * col("m")).as("u"))
+      .agg(sum(col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)")).as("t"),
+        sum(col("q")).as("u"))
     val nPer = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"))
-    tPer.join(uPer, "label").join(nPer, "label")
+    tuPer.join(nPer, "label")
       .select(col("label"), col("n_vecs"),
         floor((col("t") - col("u")).cast("double") /
           (col("n_vecs").cast("double") * (col("n_vecs") - 1).cast("double") * 1000000.0)
