@@ -380,6 +380,7 @@ object SparkEntry {
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
     "text_burstiness" -> (Analytics.textBurstiness _),
+    "agg_median_twopass" -> (Relational.aggMedianTwopass _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -839,6 +840,8 @@ object SparkEntry {
       """WITH nm AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) / sqrt(list_reduce(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)), (a,b) -> a+b)) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), perdim AS (SELECT label, dim, CAST(sum(m) AS BIGINT) AS s FROM nm GROUP BY 1,2), tt AS (SELECT label, sum(s::HUGEINT * s::HUGEINT) AS t FROM perdim GROUP BY 1), uu AS (SELECT label, CAST(sum(m*m) AS BIGINT) AS u FROM nm GROUP BY 1), nn AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1) SELECT label, n_vecs, CAST(floor(CAST(t - u AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs - 1 AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) AS mean_cos_micro FROM tt JOIN uu USING (label) JOIN nn USING (label) ORDER BY label""",
     "embed_drift" ->
       """WITH per AS (SELECT vec_id % 2 = 0 AS ref, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), ag AS (SELECT ref, dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s, CAST(sum(m*m) AS BIGINT) AS q FROM per GROUP BY 1,2), st AS (SELECT ref, dim, CAST(s AS DOUBLE) / n AS mean_d, CAST(n*q - s*s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_d FROM ag), r AS (SELECT dim, mean_d AS mr, var_d AS vr FROM st WHERE ref), c AS (SELECT dim, mean_d AS mc, var_d AS vc FROM st WHERE NOT ref) SELECT CAST(dim AS BIGINT) AS dim, CAST(floor(mr + 0.5) AS BIGINT) AS mean_ref_micro, CAST(floor(mc + 0.5) AS BIGINT) AS mean_cand_micro, CASE WHEN vr + vc = 0 THEN CASE WHEN mc = mr THEN 0 ELSE 1000000000 END ELSE CAST(floor(abs(mc - mr) / sqrt((vr + vc) / 2.0) * 1000000 + 0.5) AS BIGINT) END AS smd_micro FROM r JOIN c USING (dim) ORDER BY dim""",
+    "agg_median_twopass" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5) AS median_cents FROM orders""",
     "scalar_inet" ->
       """WITH ips AS (SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ipn FROM customer), s AS (SELECT c_custkey, ipn, CAST(ipn // 16777216 AS VARCHAR) || '.' || CAST((ipn // 65536) % 256 AS VARCHAR) || '.' || CAST((ipn // 256) % 256 AS VARCHAR) || '.' || CAST(ipn % 256 AS VARCHAR) AS ip FROM ips), p AS (SELECT c_custkey, ip, ipn, CAST(string_split(ip, '.')[1] AS BIGINT) AS o1, CAST(string_split(ip, '.')[2] AS BIGINT) AS o2, CAST(string_split(ip, '.')[3] AS BIGINT) AS o3, CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM s) SELECT c_custkey, ip, o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num, (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168)) AS is_private, ipn // 16777216 = 10 AS in_10_8 FROM p ORDER BY c_custkey""",
     "orders_interarrival" ->

@@ -963,6 +963,52 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** EXACT global median by histogram narrowing — the distributed
+    * exact-selection pattern for groups too big to sort-or-buffer on one
+    * node (Spark's own `percentile_disc` buffers every value of a group;
+    * at 100 TB one global group is a single-task OOM). Pass 0: extrema +
+    * count (1 row). Pass 1: a 1024-bucket histogram — the ONLY driver
+    * fetch, ≤ 1024 rows regardless of data size — locates the bucket
+    * holding the k-th value (k = ⌈n/2⌉, the type-1 lower median both
+    * engines' disc quantiles pick). Pass 2: within that one narrow bucket,
+    * per-value counts + a running sum pick the exact k′-th value — the
+    * partition-less window rides the bucket's VALUE DOMAIN (≤ width
+    * distinct cents), the [[graft.ops.Analytics.dqDrift]] decile-edge
+    * legitimacy argument, never the row count. At extreme skew (one value
+    * owning the bucket) recurse the histogram; one level suffices here and
+    * the driver never sees more than the histogram either way.
+    *
+    * Scale: three map-side-combined aggregate passes over a single pruned
+    * column, no sort, no global shuffle beyond 1024-key and
+    * bucket-value-domain aggregates.
+    */
+  def aggMedianTwopass(spark: SparkSession, dir: String): DataFrame = {
+    val vals = t(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+    val ext = vals.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (ext.getLong(0), ext.getLong(1), ext.getLong(2))
+    val k = (n + 1) / 2
+    val width = math.max(1L, (hi - lo) / 1024L + 1L)
+    val hist = vals.groupBy(expr(s"(v - $lo) div $width").as("b"))
+      .agg(count(lit(1)).as("c")).orderBy("b").collect()
+    var cum = 0L; var bSel = 0L; var kIn = k
+    val it = hist.iterator
+    var found = false
+    while (it.hasNext && !found) {
+      val r = it.next()
+      if (cum + r.getLong(1) >= k) { bSel = r.getLong(0); kIn = k - cum; found = true }
+      else cum += r.getLong(1)
+    }
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vals.filter(col("v") >= lo + bSel * width && col("v") < lo + (bSel + 1) * width)
+      .groupBy("v").agg(count(lit(1)).as("c"))
+      .withColumn("cumv", sum(col("c")).over(w))
+      .filter(col("cumv") >= kIn)
+      .orderBy("v").limit(1)
+      .select(lit(n).as("n_rows"), col("v").as("median_cents"))
+  }
+
   /** Exact distinct count — expands to a two-phase aggregate (partial distinct
     * per partition, then merge) under Catalyst.
     */

@@ -1778,4 +1778,27 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == Seq(("x", 4L, 4L, 0L), ("y", 1L, 4L, 3000000L)), s"got $got")
   }
+
+  test("agg_median_twopass picks the exact type-1 lower median on even and odd sets") {
+    import spark.implicits._
+    def run(prices: Seq[Double]): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-med").toString
+      prices.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      Relational.aggMedianTwopass(spark, dir).collect().head.getLong(1)
+    }
+    // odd n: true middle; even n: the LOWER middle (both engines' disc pick)
+    assert(run(Seq(5.0, 1.0, 3.0)) == 300L)
+    assert(run(Seq(4.0, 1.0, 2.0, 3.0)) == 200L)
+    // all-equal degenerate bucket
+    assert(run(Seq(7.0, 7.0, 7.0, 7.0)) == 700L)
+    // fixture differential vs the buffered built-in
+    val viaBuiltin = Tables.t(spark, sf, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("v"))
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS LONG)"))
+      .head().getLong(0)
+    val viaTwopass = Relational.aggMedianTwopass(spark, sf).collect().head.getLong(1)
+    assert(viaTwopass == viaBuiltin)
+  }
 }
