@@ -381,6 +381,8 @@ object SparkEntry {
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
     "text_burstiness" -> (Analytics.textBurstiness _),
     "agg_median_twopass" -> (Relational.aggMedianTwopass _),
+    "orders_abc_migration" -> (Analytics.ordersAbcMigration _),
+    "events_heatmap" -> (Analytics.eventsHeatmap _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -842,6 +844,10 @@ object SparkEntry {
       """WITH per AS (SELECT vec_id % 2 = 0 AS ref, i AS dim, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS m FROM embeddings CROSS JOIN (SELECT unnest(range(1,65)) AS i)), ag AS (SELECT ref, dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(m) AS BIGINT) AS s, CAST(sum(m*m) AS BIGINT) AS q FROM per GROUP BY 1,2), st AS (SELECT ref, dim, CAST(s AS DOUBLE) / n AS mean_d, CAST(n*q - s*s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var_d FROM ag), r AS (SELECT dim, mean_d AS mr, var_d AS vr FROM st WHERE ref), c AS (SELECT dim, mean_d AS mc, var_d AS vc FROM st WHERE NOT ref) SELECT CAST(dim AS BIGINT) AS dim, CAST(floor(mr + 0.5) AS BIGINT) AS mean_ref_micro, CAST(floor(mc + 0.5) AS BIGINT) AS mean_cand_micro, CASE WHEN vr + vc = 0 THEN CASE WHEN mc = mr THEN 0 ELSE 1000000000 END ELSE CAST(floor(abs(mc - mr) / sqrt((vr + vc) / 2.0) * 1000000 + 0.5) AS BIGINT) END AS smd_micro FROM r JOIN c USING (dim) ORDER BY dim""",
     "agg_median_twopass" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, quantile_disc(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5) AS median_cents FROM orders""",
+    "orders_abc_migration" ->
+      """WITH days AS (SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS d, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders), m AS (SELECT (min(d) + max(d) + 1) // 2 AS mid FROM days), per AS (SELECT CASE WHEN d < mid THEN 1 ELSE 2 END AS period, o_custkey, CAST(sum(cents) AS BIGINT) AS rev FROM days CROSS JOIN m GROUP BY 1, 2), cl AS (SELECT period, o_custkey, CASE WHEN CAST(sum(rev) OVER (PARTITION BY period ORDER BY rev DESC, o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / sum(rev) OVER (PARTITION BY period) <= 0.7 THEN 'A' WHEN CAST(sum(rev) OVER (PARTITION BY period ORDER BY rev DESC, o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / sum(rev) OVER (PARTITION BY period) <= 0.9 THEN 'B' ELSE 'C' END AS abc FROM per), p1 AS (SELECT o_custkey, abc AS c1 FROM cl WHERE period = 1), p2 AS (SELECT o_custkey, abc AS c2 FROM cl WHERE period = 2) SELECT coalesce(c1, '-') AS class_p1, coalesce(c2, '-') AS class_p2, CAST(count(*) AS BIGINT) AS n_customers FROM p1 FULL OUTER JOIN p2 USING (o_custkey) GROUP BY 1, 2 ORDER BY class_p1, class_p2""",
+    "events_heatmap" ->
+      """WITH per AS (SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, (epoch_us(ts) // 3600000000) % 24 AS hour, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM per) SELECT dow, hour, n, (n * 1000000) // t AS share_micro FROM per CROSS JOIN tot ORDER BY dow, hour""",
     "scalar_inet" ->
       """WITH ips AS (SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ipn FROM customer), s AS (SELECT c_custkey, ipn, CAST(ipn // 16777216 AS VARCHAR) || '.' || CAST((ipn // 65536) % 256 AS VARCHAR) || '.' || CAST((ipn // 256) % 256 AS VARCHAR) || '.' || CAST(ipn % 256 AS VARCHAR) AS ip FROM ips), p AS (SELECT c_custkey, ip, ipn, CAST(string_split(ip, '.')[1] AS BIGINT) AS o1, CAST(string_split(ip, '.')[2] AS BIGINT) AS o2, CAST(string_split(ip, '.')[3] AS BIGINT) AS o3, CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM s) SELECT c_custkey, ip, o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num, (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168)) AS is_private, ipn // 16777216 = 10 AS in_10_8 FROM p ORDER BY c_custkey""",
     "orders_interarrival" ->

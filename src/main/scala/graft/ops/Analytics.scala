@@ -2475,6 +2475,68 @@ object Analytics {
         expr("(sum(gap) * 100) div count(1)").as("mean_centidays"))
   }
 
+  /** ABC-class migration (the period-over-period companion of
+    * [[ordersPareto]] and the classification analog of [[dqDrift]]): split
+    * the order history at its midpoint day, classify customers A/B/C by
+    * cumulative revenue share WITHIN each period (same 70/90 boundaries and
+    * (desc cents, key) total order as ordersPareto), and report the
+    * transition matrix — who rose, who churned, who appeared. Customers
+    * absent from a period class as "-", so the matrix accounts for entry
+    * and exit, not just movement.
+    *
+    * Scale: two (period, customer) aggregates + two per-period rank
+    * windows over CUSTOMERS (not orders), one full-outer self-join on
+    * customer, and a ≤16-cell count rollup.
+    */
+  def ordersAbcMigration(spark: SparkSession, dir: String): DataFrame = {
+    val days = t(spark, dir, "orders")
+      .select(col("o_custkey"), expr("unix_micros(o_orderdate) div 86400000000").as("d"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val mid = days.agg(expr("(min(d) + max(d) + 1) div 2").as("mid"))
+    val per = days.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("d") < col("mid"), 1L).otherwise(2L))
+      .groupBy("period", "o_custkey").agg(sum(col("cents")).as("rev"))
+    val sortW = Window.partitionBy("period").orderBy(col("rev").desc, col("o_custkey"))
+    val runW = sortW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy("period")
+    val classed = per
+      .withColumn("share", sum(col("rev")).over(runW).cast("double") /
+        sum(col("rev")).over(allW))
+      .withColumn("abc",
+        when(col("share") <= 0.7, "A").when(col("share") <= 0.9, "B").otherwise("C"))
+      .select(col("period"), col("o_custkey"), col("abc"))
+    val p1 = classed.filter(col("period") === 1)
+      .select(col("o_custkey"), col("abc").as("c1"))
+    val p2 = classed.filter(col("period") === 2)
+      .select(col("o_custkey"), col("abc").as("c2"))
+    p1.join(p2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("c1"), lit("-")).as("class_p1"),
+        coalesce(col("c2"), lit("-")).as("class_p2"))
+      .groupBy("class_p1", "class_p2").agg(count(lit(1)).as("n_customers"))
+      .orderBy("class_p1", "class_p2")
+  }
+
+  /** Activity heatmap: event counts on the (day-of-week × hour-of-day)
+    * grid with integer-micro shares — the load-pattern staple behind
+    * capacity planning and anomaly baselines. Hour comes from pure epoch
+    * arithmetic ((µs div 3600e6) mod 24), never a timezone-dependent
+    * extractor; dow matches the [[ordersSeasonalDow]] convention.
+    *
+    * Scale: one map-side-combined aggregate onto a ≤168-cell grid plus a
+    * broadcast 1-row total.
+    */
+  def eventsHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val per = t(spark, dir, "events")
+      .select(dayofweek(col("ts")).cast("long").as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hour"), col("n"),
+        expr("(n * 1000000) div t").as("share_micro"))
+      .orderBy("dow", "hour")
+  }
+
   /** Term burstiness (Fano factor / variance-to-mean ratio of per-document
     * term frequency, zeros included) for the 20 highest-df terms — the
     * corpus-linguistics diagnostic separating topical terms (bursty:

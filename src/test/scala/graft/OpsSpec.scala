@@ -1801,4 +1801,42 @@ class OpsSpec extends SparkSpec {
     val viaTwopass = Relational.aggMedianTwopass(spark, sf).collect().head.getLong(1)
     assert(viaTwopass == viaBuiltin)
   }
+
+  test("orders_abc_migration classifies constructed periods and accounts entry/exit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-abc").toString
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // days 0 and 10 → midpoint 5. Period 1: X=70 (cum 0.70 → A), Y=20
+    // (0.90 → B), Z=10 (1.0 → C). Period 2: Y=80 (0.80 → B), Z=15 (0.95 →
+    // C), W=5 (1.0 → C); X exits, W enters.
+    Seq((1L, 100L, 70.0, "2024-01-01"), (2L, 200L, 20.0, "2024-01-01"),
+      (3L, 300L, 10.0, "2024-01-01"), (4L, 200L, 80.0, "2024-01-11"),
+      (5L, 300L, 15.0, "2024-01-11"), (6L, 400L, 5.0, "2024-01-11"))
+      .map { case (ok, ck, p, dt) => (ok, ck, p, d(dt)) }
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.ordersAbcMigration(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("-", "C", 1L), ("A", "-", 1L), ("B", "B", 1L), ("C", "C", 1L)),
+      s"got $got")
+  }
+
+  test("events_heatmap maps a constructed timestamp to its exact cell and shares sum to one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-heat").toString
+    import spark.implicits._
+    // 2024-01-01 is a Monday → Spark dayofweek = 2; 05:xx UTC → hour 5.
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 05:30:00"), 7L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val one = Analytics.eventsHeatmap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(one == Seq((2L, 5L, 1L, 1000000L)), s"got $one")
+    val fix = Analytics.eventsHeatmap(spark, sf).collect()
+    assert(fix.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 7 &&
+      r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    val total = fix.map(_.getLong(2)).sum
+    assert(math.abs(fix.map(_.getLong(3)).sum - 1000000L) <= fix.length,
+      "integer-floored shares must sum to ~1e6")
+    assert(total == Tables.t(spark, sf, "events").count())
+  }
 }
