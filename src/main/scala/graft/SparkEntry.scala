@@ -383,6 +383,7 @@ object SparkEntry {
     "agg_median_twopass" -> (Relational.aggMedianTwopass _),
     "orders_abc_migration" -> (Analytics.ordersAbcMigration _),
     "events_heatmap" -> (Analytics.eventsHeatmap _),
+    "sim_recall_curve" -> ((s, d) => LlmPipeline.simRecallCurve(s, d)),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx

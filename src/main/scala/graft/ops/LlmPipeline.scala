@@ -1095,6 +1095,30 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** The ANN tuning curve: recall@5 of [[simTopkIvf]] against the
+    * brute-force truth ([[simTopkCosine]]) as nProbe sweeps 1 → all cells —
+    * the recall/latency trade every IVF deployment tunes before choosing
+    * its operating point, emitted as data instead of folklore. At
+    * nProbe = cells the pruned search scans everything, so the curve's top
+    * point must hit recall 1.0 EXACTLY — a built-in correctness anchor the
+    * pinning spec asserts along with monotonicity.
+    *
+    * Scale: four pruned top-5 jobs plus one brute-force pass; driver state
+    * is four 5-id sets — bounded parameter traffic like every sim-family
+    * probe fetch.
+    */
+  def simRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val brute = simTopkCosine(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    Seq(1, 2, 4, 10).map { np =>
+      val got = simTopkIvf(spark, dir, nProbe = np)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val hits = got.intersect(brute).size.toLong
+      (np.toLong, hits, hits * 1000000L / brute.size)
+    }.toDF("nprobe", "hits", "recall_micro").orderBy("nprobe")
+  }
+
   // ---------------------------------------------------------------- stored IVF index
 
   // One persisted index per source dir per JVM (the store is a directory on

@@ -1802,6 +1802,17 @@ class OpsSpec extends SparkSpec {
     assert(viaTwopass == viaBuiltin)
   }
 
+  test("sim_recall_curve is monotone in nprobe and exact 1.0 at full probe") {
+    val rows = LlmPipeline.simRecallCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 10L))
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall must be monotone in nprobe: ${rows.toSeq}")
+    // nprobe = all 10 cells scans everything: the pruned search IS brute
+    // force, so the top of the curve anchors at exactly 1.0.
+    assert(rows.last._2 == 1000000L, s"full probe must recover truth: ${rows.toSeq}")
+  }
+
   test("orders_abc_migration classifies constructed periods and accounts entry/exit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-abc").toString
     import spark.implicits._

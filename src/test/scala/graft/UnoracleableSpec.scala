@@ -72,6 +72,10 @@ class UnoracleableSpec extends SparkSpec {
       "OpsSpec", Seq(
         "MMR equals a whole-corpus plain-Scala greedy when the shortlist covers the corpus",
         "MMR diversification: a redundant twin is displaced by a diverse candidate")),
+    "sim_recall_curve" -> Pin(
+      "recall depends on the engine-specific k-means candidate set (same kernels as sim_topk_ivf)",
+      "OpsSpec", Seq(
+        "sim_recall_curve is monotone in nprobe and exact 1.0 at full probe")),
     "sim_topk_ivf" -> Pin(
       "ANN cell pruning + float cosine; pinned against its own brute force",
       "OpsSpec", Seq(
