@@ -2475,6 +2475,37 @@ object Analytics {
         expr("(sum(gap) * 100) div count(1)").as("mean_centidays"))
   }
 
+  /** Referential-integrity validation (the foreign-key companion of
+    * [[dqFdViolations]]): for each declared child→parent relationship,
+    * the child row count, the orphan count (child keys with no parent),
+    * and the orphan rate in micros. Each check is ONE left-anti join
+    * aggregated immediately — at scale the anti join broadcasts the
+    * parent's key column when it fits (dimension tables) or shuffles both
+    * sides on the key; either way nothing survives past the count.
+    */
+  def dqOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val n = child.count()
+      val orphans = child.join(
+        parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti").count()
+      import spark.implicits._
+      Seq((name, n, orphans, orphans * 1000000L / math.max(n, 1L)))
+        .toDF("fk", "n_child", "n_orphans", "orphan_micro")
+    }
+    check("lineitem.l_orderkey->orders",
+        t(spark, dir, "lineitem").select("l_orderkey"), "l_orderkey",
+        t(spark, dir, "orders"), "o_orderkey")
+      .unionAll(check("lineitem.l_suppkey->supplier",
+        t(spark, dir, "lineitem").select("l_suppkey"), "l_suppkey",
+        t(spark, dir, "supplier"), "s_suppkey"))
+      .unionAll(check("orders.o_custkey->customer",
+        t(spark, dir, "orders").select("o_custkey"), "o_custkey",
+        t(spark, dir, "customer"), "c_custkey"))
+      .orderBy("fk")
+  }
+
   /** ABC-class migration (the period-over-period companion of
     * [[ordersPareto]] and the classification analog of [[dqDrift]]): split
     * the order history at its midpoint day, classify customers A/B/C by

@@ -146,4 +146,38 @@ object StreamingOps {
         sum(lit(1L) - col("late")).as("n_kept"))
       .orderBy("hour_num")
   }
+
+  /** As-of enrichment in its STREAMING-STATE-MACHINE formulation, replayed
+    * as SQL: union clicks and purchases into one per-user timeline and
+    * carry the latest click forward with `last(..., ignoreNulls) OVER
+    * (rows unbounded preceding)` — literally the
+    * [[graft.streaming.StreamingExtract.AsofEnrichProcessor]] ValueState
+    * update written as a window function. Ties order (time, kind, id) with
+    * clicks first, so an at-the-same-instant click is visible (at-or-
+    * before) and same-time clicks resolve to the max id — IDENTICAL
+    * semantics (and oracle) to [[Relational.joinAsofNative]]'s sorted
+    * merge; only the plan differs: one window over the unioned stream vs
+    * two exchanges + merge. The window form wins when the timeline is
+    * already materialized as one table; the merge operator wins when the
+    * sides are separate and lookback is deep (no need to co-sort the
+    * whole union).
+    *
+    * Scale: one user-keyed window shuffle over clicks+purchases.
+    */
+  def streamAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        when(col("event_type") === "click", 0L).otherwise(1L).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("tus", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("click_id",
+        last(when(col("kind") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("click_us",
+        last(when(col("kind") === 0, col("tus")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("tus").as("purchase_us"), col("click_id"), col("click_us"))
+      .orderBy("purchase_id")
+  }
 }

@@ -798,6 +798,66 @@ object StreamingExtract {
       }
   }
 
+  /** Enriched purchase emitted by [[asofEnrich]] — click fields are -1 when
+    * no prior click exists (the streaming sibling of the null right side of
+    * [[graft.plans.AsOfJoinExec]]'s left-outer output). */
+  final case class AsofOut(purchaseId: Long, userId: Long, purchaseUs: Long,
+      clickId: Long, clickUs: Long)
+
+  /** STREAMING point-in-time enrichment — the online leg of the as-of
+    * family: per user, a `ValueState` holds the latest click (id, time) and
+    * every purchase emits enriched with it, exactly the feature-store
+    * "latest upstream state at serve time" pattern. Together with the
+    * batch forms this closes all three as-of regimes: the
+    * [[graft.plans.AsOfJoinExec]] sorted merge (backfill over the lake),
+    * the [[graft.ops.StreamingOps.streamAsof]] carry-forward window (the
+    * state machine replayed as SQL), and this stateful stream (serving).
+    * Rows within a micro-batch fold in (time, kind, id) order — the SAME
+    * total order the batch forms use — so an ordered replay is
+    * bit-identical to the batch result (`StreamingSpec` pins this across a
+    * batch boundary); out-of-order arrivals ACROSS batches enrich with the
+    * state as-of arrival, the honest streaming semantics.
+    *
+    * Scale: state is O(1) per user (one click pair), RocksDB-backed; input
+    * shuffles once on user like any keyed stateful op.
+    */
+  class AsofEnrichProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long), AsofOut] {
+    @transient private var lastClick: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastClick = getHandle.getValueState[(Long, Long)]("last_click",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, Long, Long, Long)], // (user, eventId, kind 0=click/1=purchase, tus)
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[AsofOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      var cur = if (lastClick.exists()) Some(lastClick.get()) else None
+      // Same (time, kind, id) total order as the batch forms: a click at
+      // the same instant as a purchase is visible to it (at-or-before).
+      for ((_, id, kind, tus) <- rows.toSeq.sortBy { case (_, i, k, t) => (t, k, i) }) {
+        if (kind == 0L) cur = Some((id, tus))
+        else out += AsofOut(id, userId, tus,
+          cur.map(_._1).getOrElse(-1L), cur.map(_._2).getOrElse(-1L))
+      }
+      cur.foreach(lastClick.update)
+      out.iterator
+    }
+  }
+
+  /** `transformWithState` wiring for [[AsofEnrichProcessor]]: input rows are
+    * (userId, eventId, kind, timeUs); output the enriched purchases. */
+  def asofEnrich(events: Dataset[(Long, Long, Long, Long)]): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new AsofEnrichProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
   final case class SpendOut(userId: Long, nEvents: Long, totalCents: Long)
 
   /** Running per-user spend profile via `transformWithState` — Spark 4's

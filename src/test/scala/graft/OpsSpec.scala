@@ -1813,6 +1813,31 @@ class OpsSpec extends SparkSpec {
     assert(rows.last._2 == 1000000L, s"full probe must recover truth: ${rows.toSeq}")
   }
 
+  test("dq_orphans counts planted referential breaks exactly and is clean on the fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orph").toString
+    import spark.implicits._
+    // orders 1,2 exist; lineitems reference 1,1,2,99,99,100 → 3 orphans of 6.
+    // suppliers 5 exists; l_suppkey 5,5,5,6,5,5 → 1 orphan. custkeys clean.
+    Seq((1L, 5L), (1L, 5L), (2L, 5L), (99L, 6L), (99L, 5L), (100L, 5L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 7L), (2L, 7L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(Tuple1(5L)).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    Seq(Tuple1(7L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Analytics.dqOrphans(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("lineitem.l_orderkey->orders", 6L, 3L, 500000L),
+      ("lineitem.l_suppkey->supplier", 6L, 1L, 166666L),
+      ("orders.o_custkey->customer", 2L, 0L, 0L)), s"got $got")
+    // The synthetic fixture is referentially clean — the zero rows are the
+    // report's healthy baseline, not vacuousness (semantics pinned above).
+    assert(Analytics.dqOrphans(spark, sf).collect().forall(_.getLong(2) == 0L))
+  }
+
   test("orders_abc_migration classifies constructed periods and accounts entry/exit") {
     val dir = java.nio.file.Files.createTempDirectory("graft-abc").toString
     import spark.implicits._

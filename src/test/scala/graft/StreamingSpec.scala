@@ -165,6 +165,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals the batch sorted-merge result across a batch boundary") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The fixture's click/purchase timeline in event order, split mid-stream:
+    // the ValueState must carry the latest click over the batch boundary.
+    val timeline = Tables.t(spark, sf, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .select($"user_id", $"event_id",
+        when($"event_type" === "click", 0L).otherwise(1L).as("kind"),
+        unix_micros($"ts").as("tus"))
+      .orderBy("tus", "kind", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val (b1, b2) = timeline.splitAt(timeline.length / 2)
+    val mem = MemoryStream[(Long, Long, Long, Long)]
+    val q = graft.streaming.StreamingExtract.asofEnrich(mem.toDS())
+      .toDF("purchase_id", "user_id", "purchase_us", "click_id", "click_us")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("asof_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+      val batch = ops.Relational.joinAsofNative(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        s"ordered streaming replay must equal the batch as-of (${streamed.length} vs ${batch.length})")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState accumulates per-user spend across micro-batches on RocksDB state") {
     implicit val sqlCtx = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
