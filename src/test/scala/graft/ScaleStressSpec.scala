@@ -150,4 +150,36 @@ class ScaleStressSpec extends SparkSpec {
         s"WindowGroupLimit failed to bound the shuffle: ${withLimit.sum} of $total")
     }
   }
+
+  test("native as-of join equals the composed window form at 10x per-user density") {
+    // ScaleBench measures the ×scale² wall-clock divergence; this pins the
+    // SEMANTICS at inflated scale: every (purchase, matched click) pair
+    // identical between the one-buffered-row merge and the candidate+argmax
+    // form, including rep-shifted ties and unmatched purchases.
+    val ev = events10x
+      .select((col("event_id") * 10 + col("rep")).as("event_id"),
+        col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) + col("rep")).as("tus"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("tus").as("pus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("tus").as("cus"))
+    val native = org.apache.spark.sql.graft.AsOf.asofJoin(p, c,
+        Seq("user_id"), Seq("cu"), "pus", "cus", Seq("cid"))
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    val w = Window.partitionBy("pid").orderBy(col("cus").desc, col("cid").desc)
+    val m = p.join(c, col("user_id") === col("cu") && col("cus") <= col("pus"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("pid", "cid")
+    val composed = p.join(m, Seq("pid"), "left")
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(native.length == composed.length && native.nonEmpty)
+    assert(native == composed, "as-of regimes diverged at 10x density")
+    assert(native.exists(_._2 == -1L) && native.exists(_._2 >= 0),
+      "inflated fixture must exercise both matched and unmatched purchases")
+  }
 }
