@@ -386,6 +386,7 @@ object SparkEntry {
     "sim_recall_curve" -> ((s, d) => LlmPipeline.simRecallCurve(s, d)),
     "stream_asof" -> (StreamingOps.streamAsof _),
     "dq_orphans" -> (Analytics.dqOrphans _),
+    "events_seasonal_anomaly" -> (Analytics.eventsSeasonalAnomaly _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -857,6 +858,8 @@ object SparkEntry {
       """WITH o AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) // 86400000000 AS d FROM orders), g AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap FROM o) SELECT CAST(count(*) AS BIGINT) AS n_gaps, min(gap) AS min_days, quantile_disc(gap, 0.5) AS p50_days, quantile_disc(gap, 0.9) AS p90_days, max(gap) AS max_days, (CAST(sum(gap) AS BIGINT) * 100) // count(*) AS mean_centidays FROM g WHERE gap IS NOT NULL""",
     "text_burstiness" ->
       """WITH tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), per AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS s, CAST(sum(tf*tf) AS BIGINT) AS q FROM tf GROUP BY 1) SELECT term, df, s AS tf_total, (n * q - s * s) * 1000000 // (n * s) AS vmr_micro FROM per CROSS JOIN nn ORDER BY df DESC, term LIMIT 20""",
+    "events_seasonal_anomaly" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), base AS (SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s, CAST(sum(x*x) AS BIGINT) AS q FROM daily GROUP BY 1) SELECT day, x, CAST(dow AS BIGINT) AS dow, CASE WHEN n*q - s*s = 0 THEN 0 ELSE CAST(floor(CAST(n*x - s AS DOUBLE) / sqrt(CAST(n*q - s*s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) END AS z_micro, CASE WHEN n*q - s*s = 0 THEN FALSE ELSE abs(CAST(floor(CAST(n*x - s AS DOUBLE) / sqrt(CAST(n*q - s*s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) > 2000000 END AS is_anomaly FROM daily JOIN base ON day % 7 = dow ORDER BY day""",
     "dq_orphans" ->
       """WITH f1 AS (SELECT CAST(count(*) AS BIGINT) AS n_child, CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l_orderkey = o_orderkey), f2 AS (SELECT CAST(count(*) AS BIGINT) AS n_child, CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s ON l_suppkey = s_suppkey), f3 AS (SELECT CAST(count(*) AS BIGINT) AS n_child, CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o_custkey = c_custkey) SELECT 'lineitem.l_orderkey->orders' AS fk, n_child, n_orphans, n_orphans * 1000000 // greatest(n_child, 1) AS orphan_micro FROM f1 UNION ALL SELECT 'lineitem.l_suppkey->supplier', n_child, n_orphans, n_orphans * 1000000 // greatest(n_child, 1) FROM f2 UNION ALL SELECT 'orders.o_custkey->customer', n_child, n_orphans, n_orphans * 1000000 // greatest(n_child, 1) FROM f3 ORDER BY fk""",
     "stream_asof" ->

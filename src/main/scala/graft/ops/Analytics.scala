@@ -2475,6 +2475,36 @@ object Analytics {
         expr("(sum(gap) * 100) div count(1)").as("mean_centidays"))
   }
 
+  /** Deseasonalized daily anomaly detection: each day's event count scored
+    * against ITS OWN day-of-week baseline — the [[eventsHeatmap]] insight
+    * applied as a gate (a quiet Sunday is normal; a Sunday-sized Tuesday is
+    * the incident). dow = epoch-day mod 7 (pure int arithmetic, no calendar
+    * function), per-dow moments exact int64, and
+    * z = (n·x − S)/√(nQ − S²) — the [[eventsAcf]] n-scaled-deviation trick,
+    * one IEEE quotient, micro-rounded; |z| > 2 flags. Constant baselines
+    * (nQ = S²) guard to z = 0.
+    *
+    * Scale: the daily rollup is the only data-sized aggregate; the
+    * baseline is a 7-row broadcast join onto the calendar-bounded daily
+    * table.
+    */
+  def eventsSeasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val base = daily.select((col("day") % 7).as("dow"), col("x"))
+      .groupBy("dow").agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("q"))
+    val z = when(col("n") * col("q") - col("s") * col("s") === 0, 0L)
+      .otherwise(floor((col("n") * col("x") - col("s")).cast("double") /
+        sqrt((col("n") * col("q") - col("s") * col("s")).cast("double")) * 1000000 + 0.5)
+        .cast("long"))
+    daily.join(broadcast(base), (col("day") % 7) === col("dow"))
+      .select(col("day"), col("x"), col("dow"), z.as("z_micro"),
+        (abs(z) > 2000000L).as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** Referential-integrity validation (the foreign-key companion of
     * [[dqFdViolations]]): for each declared child→parent relationship,
     * the child row count, the orphan count (child keys with no parent),

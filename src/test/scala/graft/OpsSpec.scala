@@ -1813,6 +1813,34 @@ class OpsSpec extends SparkSpec {
     assert(rows.last._2 == 1000000L, s"full probe must recover truth: ${rows.toSeq}")
   }
 
+  test("events_seasonal_anomaly flags only the planted spike against its dow baseline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anom").toString
+    import spark.implicits._
+    // 6 weeks of 10 events/day, except day 14 (third Monday-equivalent)
+    // carries a 61× spike. A same-dow outlier self-inflates its σ, so the
+    // z > 2 flag needs ≥6 baseline samples (max z = √(n−1)) — the spec
+    // pins the threshold does fire there and ONLY there.
+    val rows = for {
+      day <- 0 until 42
+      i <- 0 until (if (day == 14) 610 else 10)
+    } yield (day.toLong * 1000 + i,
+      new java.sql.Timestamp(day.toLong * 86400000L + i), 1L, "view")
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsSeasonalAnomaly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 42)
+    val flagged = got.filter(_._4).toSeq
+    assert(flagged.map(_._1) == Seq(14L), s"only the spike day flags: $flagged")
+    assert(flagged.head._3 > 2000000L && flagged.head._2 == 610L)
+    // Non-spike dows have constant counts → guarded z = 0.
+    assert(got.filter(d => d._1 % 7 != 0).forall(_._3 == 0L))
+    // Fixture run: flag ⟺ |z| > 2e6, never vacuous.
+    val fix = Analytics.eventsSeasonalAnomaly(spark, sf).collect()
+    assert(fix.nonEmpty && fix.forall(r =>
+      r.getBoolean(4) == (math.abs(r.getLong(3)) > 2000000L)))
+  }
+
   test("dq_orphans counts planted referential breaks exactly and is clean on the fixture") {
     val dir = java.nio.file.Files.createTempDirectory("graft-orph").toString
     import spark.implicits._
