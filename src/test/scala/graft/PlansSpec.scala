@@ -157,6 +157,38 @@ class PlansSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("native as-of join matches a driver reference on a seeded adversarial corpus") {
+    // 300 random rows per side from a seeded RNG, dense in exactly the nasty
+    // territory: 6 keys (collisions everywhere), times 0..19 (heavy ties),
+    // ~10% null keys and times on both sides, keys present on only one side.
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    def kOpt() = if (rng.nextInt(10) == 0) None else Some(rng.nextInt(6).toLong)
+    def tOpt() = if (rng.nextInt(10) == 0) None else Some(rng.nextInt(20).toLong)
+    val lRows = (1 to 300).map(i => (i.toLong, kOpt(), tOpt()))
+    val rRows = (1 to 300).map(i => (1000L + i, kOpt(), tOpt()))
+    val l = lRows.toDF("pid", "user_id", "pus")
+    val r = rRows.toDF("cid", "cu", "cus")
+    val got = org.apache.spark.sql.graft.AsOf.asofJoin(l, r,
+        Seq("user_id"), Seq("cu"), "pus", "cus", Seq("cid"))
+      .select("pid", "cid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val expected = lRows.map { case (pid, k, t) =>
+      val m = (k, t) match {
+        case (Some(kk), Some(tt)) =>
+          val cands = rRows.filter(c => c._2.contains(kk) && c._3.exists(_ <= tt))
+          if (cands.isEmpty) -1L
+          else cands.maxBy(c => (c._3.get, c._1))._1
+        case _ => -1L
+      }
+      pid -> m
+    }.toMap
+    assert(got == expected)
+    // The corpus must actually exercise every branch.
+    assert(expected.values.exists(_ == -1L) && expected.values.exists(_ >= 0))
+    assert(lRows.exists(_._2.isEmpty) && rRows.exists(_._3.isEmpty))
+  }
+
   test("native as-of join plans as one merge with exactly one exchange per side") {
     import spark.implicits._
     val p = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
