@@ -387,6 +387,7 @@ object SparkEntry {
     "stream_asof" -> (StreamingOps.streamAsof _),
     "dq_orphans" -> (Analytics.dqOrphans _),
     "events_seasonal_anomaly" -> (Analytics.eventsSeasonalAnomaly _),
+    "dedup_eval" -> ((s, d) => LlmPipeline.dedupEval(s, d)),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx

@@ -1095,6 +1095,34 @@ object LlmPipeline {
       .limit(5)
   }
 
+  /** Dedup-estimator evaluation: precision/recall of the MinHash layer
+    * (banded LSH candidates + signature-estimated Jaccard ≥ τ) against the
+    * EXACT threshold-join truth ([[dedupJaccardPrefix]], whose prefix
+    * filter is lossless) — both measure the SAME word-3-shingle Jaccard,
+    * so this is the estimator-calibration readout (the dedup analog of
+    * [[simRecallCurve]]): how much the probabilistic layer misses (LSH
+    * band misses + signature noise) and how much junk it admits, as data.
+    *
+    * Scale: one equi-join of two pair tables keyed on the pair itself +
+    * three counts; both inputs are the memoized kernels.
+    */
+  def dedupEval(spark: SparkSession, dir: String,
+      thresholdMicro: Long = 800000L): DataFrame = {
+    import spark.implicits._
+    val truth = dedupJaccardPrefix(spark, dir, thresholdMicro)
+      .select("doc_a", "doc_b")
+    val pred = dedupNearMinhash(spark, dir)
+      .filter(col("est_jaccard") >= thresholdMicro.toDouble / 1000000.0)
+      .select("doc_a", "doc_b")
+    val nHit = truth.join(pred, Seq("doc_a", "doc_b")).count()
+    val nTruth = truth.count()
+    val nPred = pred.count()
+    Seq((nTruth, nPred, nHit,
+        nHit * 1000000L / math.max(nTruth, 1L),
+        nHit * 1000000L / math.max(nPred, 1L)))
+      .toDF("n_truth", "n_pred", "n_hit", "recall_micro", "precision_micro")
+  }
+
   /** The ANN tuning curve: recall@5 of [[simTopkIvf]] against the
     * brute-force truth ([[simTopkCosine]]) as nProbe sweeps 1 → all cells —
     * the recall/latency trade every IVF deployment tunes before choosing

@@ -1802,6 +1802,25 @@ class OpsSpec extends SparkSpec {
     assert(viaTwopass == viaBuiltin)
   }
 
+  test("dedup_eval equals a driver recomputation from its own input kernels") {
+    val truth = LlmPipeline.dedupJaccardPrefix(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pred = LlmPipeline.dedupNearMinhash(spark, sf)
+      .filter(col("est_jaccard") >= 0.8).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hit = truth.intersect(pred).size.toLong
+    val r = LlmPipeline.dedupEval(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (truth.size.toLong, pred.size.toLong, hit))
+    assert(r.getLong(3) == hit * 1000000L / math.max(truth.size, 1))
+    assert(r.getLong(4) == hit * 1000000L / math.max(pred.size, 1))
+    // The smoke corpus's near-dups are exact copies, so the estimator is
+    // perfectly calibrated here — the 1.0/1.0 anchor is the readout, and
+    // non-empty truth keeps it non-vacuous.
+    assert(truth.nonEmpty && hit > 0)
+  }
+
   test("sim_recall_curve is monotone in nprobe and exact 1.0 at full probe") {
     val rows = LlmPipeline.simRecallCurve(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)))

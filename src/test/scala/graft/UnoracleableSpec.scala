@@ -76,6 +76,10 @@ class UnoracleableSpec extends SparkSpec {
       "recall depends on the engine-specific k-means candidate set (same kernels as sim_topk_ivf)",
       "OpsSpec", Seq(
         "sim_recall_curve is monotone in nprobe and exact 1.0 at full probe")),
+    "dedup_eval" -> Pin(
+      "the predicted side is the seed-dependent MinHash estimate (same kernels as dedup_near_minhash)",
+      "OpsSpec", Seq(
+        "dedup_eval equals a driver recomputation from its own input kernels")),
     "sim_topk_ivf" -> Pin(
       "ANN cell pruning + float cosine; pinned against its own brute force",
       "OpsSpec", Seq(
