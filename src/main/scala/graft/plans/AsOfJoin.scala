@@ -104,6 +104,12 @@ case class AsOfJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics: Map[String, org.apache.spark.sql.execution.metric.SQLMetric] = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyExprs = leftKeys
     val rKeyExprs = rightKeys
@@ -112,6 +118,8 @@ case class AsOfJoinExec(
     val lOutput = left.output
     val rOutput = right.output
     val keyTypes = leftKeys.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOutput)
       val rKeyProj = UnsafeProjection.create(rKeyExprs, rOutput)
@@ -149,6 +157,8 @@ case class AsOfJoinExec(
         }
         val m = if (lTimeV != null && bufRow != null && bufKey != null &&
           ord.compare(bufKey, lKey) == 0) bufRow else nullRight
+        numOutputRows += 1
+        if (m ne nullRight) numMatched += 1
         joined(lRow, m)
       }
     }
