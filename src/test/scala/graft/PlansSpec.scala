@@ -189,6 +189,25 @@ class PlansSpec extends SparkSpec {
     assert(lRows.exists(_._2.isEmpty) && rRows.exists(_._3.isEmpty))
   }
 
+  test("native as-of join realigns mismatched pre-partitioned sides (3 vs 11) under and without AQE") {
+    // The exec's zipPartitions needs equal child partition counts;
+    // EnsureRequirements must re-exchange a side whose existing hash
+    // partitioning doesn't match the other's — pinned here so a Spark
+    // upgrade that changes compatibility rules fails loudly.
+    import spark.implicits._
+    val l = (0 until 500).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
+      .toDF("pid", "user_id", "pus").repartition(3, col("user_id"))
+    val r = (0 until 500).map(i => (i.toLong + 5000, (i % 7).toLong, i.toLong * 9))
+      .toDF("cid", "cu", "cus").repartition(11, col("cu"))
+    def run(): Long = org.apache.spark.sql.graft.AsOf.asofJoin(l, r,
+      Seq("user_id"), Seq("cu"), "pus", "cus", Seq("cid")).count()
+    assert(run() == 500L)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try assert(run() == 500L)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("native as-of join plans as one merge with exactly one exchange per side") {
     import spark.implicits._
     val p = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
