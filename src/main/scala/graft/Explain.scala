@@ -11,7 +11,8 @@ object Explain {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "extract_incr_watermark", "agg_pricing_summary", "join_multiway",
-      "sort_limit_topk", "dedup_exact", "window_rank_topn", "join_range_theta")
+      "sort_limit_topk", "dedup_exact", "window_rank_topn", "join_range_theta",
+      "join_asof_native")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
