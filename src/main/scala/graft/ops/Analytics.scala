@@ -2321,7 +2321,10 @@ object Analytics {
     *
     * Scale: `ORDER BY priority LIMIT k` compiles to TakeOrderedAndProject —
     * per-partition k-heaps, and only O(partitions × k) rows ever cross to
-    * the driver-side final heap; no global sort, no full shuffle.
+    * the driver-side final heap; no global sort, no full shuffle. Bound:
+    * doc_id · 2654435761 must fit int64, i.e. ids < ~3.47e9 — beyond that
+    * Spark wraps while an oracle errors, so a >3B-doc corpus first folds
+    * ids with `% 2^32` (same permutation per fold) on BOTH sides.
     */
   def sampleReservoir(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
     t(spark, dir, "documents")
