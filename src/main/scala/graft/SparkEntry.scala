@@ -388,6 +388,10 @@ object SparkEntry {
     "dq_orphans" -> (Analytics.dqOrphans _),
     "events_seasonal_anomaly" -> (Analytics.eventsSeasonalAnomaly _),
     "dedup_eval" -> ((s, d) => LlmPipeline.dedupEval(s, d)),
+    "events_bot_detect" -> (Analytics.eventsBotDetect _),
+    "events_changepoint" -> (Analytics.eventsChangepoint _),
+    "events_survival" -> ((s, d) => Analytics.eventsSurvival(s, d)),
+    "window_regr_slope" -> (Analytics.windowRegrSlope _),
   )
 
   /** DuckDB oracles for the driver's t2 compare. Keys absent here (approx
@@ -869,5 +873,13 @@ object SparkEntry {
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), m AS (SELECT purchase_id, click_id, click_us, row_number() OVER (PARTITION BY purchase_id ORDER BY click_us DESC, click_id DESC) AS rn FROM p JOIN c ON p.user_id = c.user_id AND c.click_us <= p.purchase_us) SELECT p.purchase_id, p.user_id, p.purchase_us, m.click_id, m.click_us FROM p LEFT JOIN m ON m.purchase_id = p.purchase_id AND m.rn = 1 ORDER BY p.purchase_id""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
+    "events_bot_detect" ->
+      """WITH g AS (SELECT user_id, event_id, (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 60000000 AS gap FROM events), per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap*gap) AS BIGINT) AS q FROM g WHERE gap IS NOT NULL GROUP BY 1) SELECT user_id, n AS n_gaps, s // n AS mean_gap_min, CAST(floor(CAST(n*q - s*s AS DOUBLE) * 1000000 / CAST(s*s AS DOUBLE)) AS BIGINT) AS cv2_micro, CASE WHEN 5*(n*q - s*s) < 4*s*s THEN 'regular' WHEN 5*(n*q - s*s) > 6*s*s THEN 'bursty' ELSE 'typical' END AS cadence_class FROM per WHERE n >= 11 AND s > 0 ORDER BY user_id""",
+    "events_changepoint" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS ss FROM daily), cum AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl, CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS sl, nn, ss FROM daily CROSS JOIN tot), sc AS (SELECT day, nl, nn - nl AS nr, sl, ss - sl AS sr, ss, (nn - nl)*sl - nl*(ss - sl) AS diff FROM cum WHERE nl < nn) SELECT day, nl AS n_left, nr AS n_right, (sl * 100) // nl AS mean_left_centi, (sr * 100) // nr AS mean_right_centi, CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) * 1000000 / CAST(nl*nr*ss*ss AS DOUBLE)) AS BIGINT) AS score_micro FROM sc ORDER BY score_micro DESC, day LIMIT 5""",
+    "events_survival" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), su AS (SELECT user_id, min(tus) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1), pu AS (SELECT e.user_id, min(tus) AS t1 FROM ev e JOIN su USING (user_id) WHERE event_type = 'purchase' AND tus >= t0 GROUP BY 1), obs AS (SELECT CASE WHEN t1 IS NOT NULL AND (t1 - t0) // 3600000000 <= 48 THEN (t1 - t0) // 3600000000 ELSE 48 END AS obs_hr, (t1 IS NOT NULL AND (t1 - t0) // 3600000000 <= 48) AS is_event FROM su LEFT JOIN pu USING (user_id)), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs), per AS (SELECT obs_hr, CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS n_events, CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored FROM obs GROUP BY 1), cum AS (SELECT obs_hr, n_events, n_censored, n_total, COALESCE(CAST(sum(n_events + n_censored) OVER (ORDER BY obs_hr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ended_before FROM per CROSS JOIN tot), hz AS (SELECT obs_hr, n_events, n_censored, n_total - ended_before AS n_at_risk, (n_events * 1000000) // (n_total - ended_before) AS hazard_micro FROM cum) SELECT obs_hr, n_events, n_censored, n_at_risk, hazard_micro, CAST(sum(hazard_micro) OVER (ORDER BY obs_hr) AS BIGINT) AS cumhaz_micro FROM hz ORDER BY obs_hr""",
+    "window_regr_slope" ->
+      """WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents FROM orders GROUP BY 1), base AS (SELECT min(day) AS d0 FROM daily), wi AS (SELECT day, rev_cents, day - d0 AS ti FROM daily CROSS JOIN base), ws AS (SELECT day, rev_cents, CAST(count(*) OVER w AS BIGINT) AS k, CAST(sum(ti) OVER w AS BIGINT) AS st, CAST(sum(rev_cents) OVER w AS BIGINT) AS sy, CAST(sum(ti*ti) OVER w AS BIGINT) AS stt, CAST(sum(ti*rev_cents) OVER w AS BIGINT) AS sty, row_number() OVER (ORDER BY day) AS rn FROM wi WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) SELECT day, rev_cents, CAST(floor(CAST(k*sty - st*sy AS DOUBLE) * 100 / CAST(k*stt - st*st AS DOUBLE) + 0.5) AS BIGINT) AS slope_centi_per_day FROM ws WHERE rn >= 7 ORDER BY day""",
   )
 }

@@ -2628,4 +2628,176 @@ object Analytics {
       .orderBy(col("df").desc, col("term"))
       .limit(20)
   }
+
+  /** Cadence-regularity bot screen: per-user coefficient of variation of
+    * inter-event gaps — the classic behavioral bot detector (scripted
+    * traffic fires on a near-constant timer, CV² ≪ 1; human/Poisson traffic
+    * sits near CV² ≈ 1; campaign-driven humans are burstier still). Gaps in
+    * integer MINUTES so every sufficient statistic stays exact int64
+    * (Σgap ≤ the observation span, so s² and n·q are span²-bounded); class
+    * boundaries decide in pure cross-multiplied int64 (5·dev vs 4·s² / 6·s²
+    * ⇔ CV² vs 0.8 / 1.2 — the [[ordersXyzClass]] threshold algebra, placed
+    * so the fixture's [0.60, 1.63] CV² range populates all three classes);
+    * the reported CV² is the one IEEE ratio of exact ints ([[eventsAcf]]
+    * convention). An all-equal-gaps user (s > 0, dev = 0) lands "regular"
+    * with cv2 = 0 — the limiting bot.
+    *
+    * Scale: one user-keyed window for lag + one user-keyed aggregate (the
+    * window's shuffle is reused by the agg — same key), output O(users).
+    * Nothing global, no skew hazard (a user's events are one partition's
+    * work, bounded by the per-user event count).
+    */
+  def eventsBotDetect(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val gaps = t(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"))
+      .withColumn("gap", (col("tus") - lag(col("tus"), 1).over(w)) / lit(60000000L))
+      .filter(col("gap").isNotNull)
+      .select(col("user_id"), col("gap").cast("long").as("gap"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
+        sum(col("gap") * col("gap")).as("q"))
+      .filter(col("n") >= 11 && col("s") > 0)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        expr("s div n").as("mean_gap_min"),
+        floor((col("n") * col("q") - col("s") * col("s")).cast("double") * 1000000.0 /
+          (col("s") * col("s")).cast("double")).cast("long").as("cv2_micro"),
+        when(lit(5) * (col("n") * col("q") - col("s") * col("s")) <
+            lit(4) * col("s") * col("s"), "regular")
+          .when(lit(5) * (col("n") * col("q") - col("s") * col("s")) >
+            lit(6) * col("s") * col("s"), "bursty")
+          .otherwise("typical").as("cadence_class"))
+      .orderBy("user_id")
+  }
+
+  /** Single change-point detection on the daily event-count series — the
+    * at-most-one-change (AMOC) mean-shift scan behind every "when did the
+    * metric break" question: every split t scores
+    * D(t) = (n_l·n_r/N²)·((μ_l − μ_r)/μ)² = diff²/(n_l·n_r·S²) with
+    * diff = n_r·S_l − n_l·S_r, maximized at the true shift for a
+    * mean-change (the CUSUM square; Hinkley 1970). All inputs to the one
+    * IEEE division are exact int64 (diff² ≤ (N·S)² and n_l·n_r·S² both
+    * < 2⁵³ at any plausible day count), so both engines agree bit-for-bit;
+    * ties rank by earliest day. Top 5 splits reported — the profile around
+    * the argmax is the evidence a human reviews.
+    *
+    * Scale: the scan runs over the DAILY aggregate (calendar-bounded, the
+    * [[ordersOpenBacklog]] argument for its partition-less cumulative
+    * window), never the raw events; one map-side-combined day aggregate
+    * feeds it.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("x"))
+    val tot = daily.agg(count(lit(1)).as("nn"), sum(col("x")).as("ss"))
+    val w = Window.orderBy("day")
+    daily.crossJoin(broadcast(tot))
+      .withColumn("nl", row_number().over(w).cast("long"))
+      .withColumn("sl", sum(col("x")).over(w))
+      .filter(col("nl") < col("nn"))
+      .withColumn("diff",
+        (col("nn") - col("nl")) * col("sl") - col("nl") * (col("ss") - col("sl")))
+      .select(col("day"), col("nl").as("n_left"), (col("nn") - col("nl")).as("n_right"),
+        expr("(sl * 100) div nl").as("mean_left_centi"),
+        expr("((ss - sl) * 100) div (nn - nl)").as("mean_right_centi"),
+        floor(col("diff").cast("double") * col("diff").cast("double") * 1000000.0 /
+          (col("nl") * (col("nn") - col("nl")) * col("ss") * col("ss")).cast("double"))
+          .cast("long").as("score_micro"))
+      .orderBy(col("score_micro").desc, col("day"))
+      .limit(5)
+  }
+
+  /** Signup→purchase conversion-lag survival curve by the Nelson–Aalen
+    * cumulative-hazard estimator with administrative censoring at a 48-hour
+    * window — the right-censored time-to-event analysis [[eventsFunnelTime]]'s
+    * unconditional percentiles cannot express (percentiles over converters
+    * only silently drop the non-converting mass; survival analysis is the
+    * fix). Per user: first signup t₀, first purchase ≥ t₀; duration in
+    * whole hours, an EVENT if ≤ 48 h else CENSORED at 48 h. At each
+    * distinct observed hour h: d = events, c = censorings,
+    * r = at-risk = N − (users observed < h); hazard = d·1e6 div r and the
+    * cumulative hazard is the running int64 sum of the rounded terms —
+    * Nelson–Aalen's Σd/r kept in pure integers (a Kaplan–Meier product
+    * would force transcendental log/exp round-trips; the N-A sum is the
+    * estimator that stays exact). The 48 h window is what keeps BOTH legs
+    * populated on the fixture (99 events / 51 censored at sf0.01) — a gate
+    * whose censored leg can't occur tests nothing.
+    *
+    * Scale: two user-keyed aggregates (signup min, purchase min — the join
+    * between them rides the same user key), then everything collapses to
+    * ≤ 49 rows (the hour domain is WINDOW-bounded, not data-bounded — the
+    * [[ordersOpenBacklog]] justification for the partition-less running
+    * sum).
+    */
+  def eventsSurvival(spark: SparkSession, dir: String, windowHours: Long = 48L): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("tus"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("tus")).as("t0"))
+    val pu = ev.filter(col("event_type") === "purchase")
+      .join(su, "user_id").filter(col("tus") >= col("t0"))
+      .groupBy("user_id").agg(min(col("tus")).as("t1"))
+    val obs = su.join(pu, Seq("user_id"), "left")
+      .select(col("user_id"),
+        expr("(t1 - t0) div 3600000000").as("dur_hr"))
+      .select(
+        when(col("dur_hr").isNotNull && col("dur_hr") <= windowHours, col("dur_hr"))
+          .otherwise(lit(windowHours)).as("obs_hr"),
+        (col("dur_hr").isNotNull && col("dur_hr") <= windowHours).as("is_event"))
+    val tot = obs.agg(count(lit(1)).as("n_total"))
+    val w = Window.orderBy("obs_hr")
+    obs.groupBy("obs_hr")
+      .agg(sum(when(col("is_event"), 1L).otherwise(0L)).as("n_events"),
+        sum(when(col("is_event"), 0L).otherwise(1L)).as("n_censored"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ended_before",
+        coalesce(sum(col("n_events") + col("n_censored"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("obs_hr"), col("n_events"), col("n_censored"),
+        (col("n_total") - col("ended_before")).as("n_at_risk"),
+        expr("(n_events * 1000000) div (n_total - ended_before)").as("hazard_micro"))
+      .withColumn("cumhaz_micro", sum(col("hazard_micro")).over(w))
+      .orderBy("obs_hr")
+  }
+
+  /** Rolling 7-day OLS revenue-trend slope — the windowed-regression member
+    * of the window family: over each trailing 7-day window of the daily
+    * revenue series, the least-squares slope in cents/day,
+    * slope = (k·Σty − Σt·Σy)/(k·Σt² − (Σt)²) with day indices REBASED to
+    * the series start (t − min(day)) so every sufficient statistic stays
+    * exact int64 AND < 2⁵³ (raw epoch-days would push k·Σty past double
+    * exactness); the slope is one IEEE ratio, ⌊x·100 + ½⌋-rounded
+    * ([[textZipfFit]]'s negative-safe rounding — integer div would
+    * truncate toward zero and disagree with DuckDB's floor on down-trend
+    * days). Full windows only (rn ≥ 7): a 3-day "7-day trend" is a
+    * different, noisier statistic.
+    *
+    * Scale: the window runs over the calendar-bounded DAILY aggregate
+    * ([[ordersOpenBacklog]]'s partition-less-window argument); the raw
+    * scan is one map-side-combined day aggregate; the rebase min is a
+    * broadcast 1-row parameter.
+    */
+  def windowRegrSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "orders")
+      .select(expr("unix_micros(o_orderdate) div 86400000000").as("day"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("rev_cents"))
+    val base = daily.agg(min(col("day")).as("d0"))
+    val w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    daily.crossJoin(broadcast(base))
+      .select(col("day"), col("rev_cents"), (col("day") - col("d0")).as("ti"))
+      .withColumn("k", count(lit(1)).over(w7))
+      .withColumn("st", sum(col("ti")).over(w7))
+      .withColumn("sy", sum(col("rev_cents")).over(w7))
+      .withColumn("stt", sum(col("ti") * col("ti")).over(w7))
+      .withColumn("sty", sum(col("ti") * col("rev_cents")).over(w7))
+      .withColumn("rn", row_number().over(Window.orderBy("day")))
+      .filter(col("rn") >= 7)
+      .select(col("day"), col("rev_cents"),
+        floor((col("k") * col("sty") - col("st") * col("sy")).cast("double") * 100.0 /
+          (col("k") * col("stt") - col("st") * col("st")).cast("double") + 0.5)
+          .cast("long").as("slope_centi_per_day"))
+      .orderBy("day")
+  }
 }

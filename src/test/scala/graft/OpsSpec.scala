@@ -1922,4 +1922,113 @@ class OpsSpec extends SparkSpec {
       "integer-floored shares must sum to ~1e6")
     assert(total == Tables.t(spark, sf, "events").count())
   }
+
+  test("events_bot_detect separates a metronome, a typical user, and a bursty user") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bot").toString
+    import spark.implicits._
+    // Gap sequences in minutes; each user's events are the running sum.
+    // Metronome: 12 equal gaps → dev = 0, CV² = 0. Typical: CV² ≈ 0.90.
+    // Bursty: eleven zero gaps + one huge one → CV² ≫ 4. A 5-event user
+    // must fall under the n ≥ 11 significance cutoff.
+    val gaps = Map(
+      1L -> Seq.fill(12)(1L),
+      2L -> Seq(1L, 8L, 1L, 10L, 1L, 1L, 8L, 1L, 2L, 1L, 6L, 1L),
+      3L -> (Seq.fill(11)(0L) :+ 1200L),
+      4L -> Seq(1L, 1L, 1L, 1L))
+    val rows = for {
+      (u, gs) <- gaps.toSeq
+      (t, i) <- gs.scanLeft(0L)(_ + _).zipWithIndex
+    } yield (u * 1000 + i, t * 60000000L, u)
+    rows.toDF("event_id", "tus", "user_id")
+      .select(col("event_id"), expr("timestamp_micros(tus)").as("ts"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsBotDetect(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getString(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), s"cutoff must drop user 4: $got")
+    assert(got(1L) == ((0L, "regular")), s"metronome: ${got(1L)}")
+    assert(got(2L)._2 == "typical" && got(2L)._1 > 800000L && got(2L)._1 < 1200000L,
+      s"typical: ${got(2L)}")
+    assert(got(3L)._2 == "bursty" && got(3L)._1 > 4000000L, s"bursty: ${got(3L)}")
+    // Fixture scale: the thresholds sit inside the observed CV² range, so
+    // all three classes are populated — a one-class classifier gates nothing.
+    val classes = Analytics.eventsBotDetect(spark, sf).collect()
+      .map(_.getString(4)).toSet
+    assert(classes == Set("regular", "typical", "bursty"), s"fixture classes: $classes")
+  }
+
+  test("events_survival computes exact Nelson-Aalen rows on a constructed cohort") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-surv").toString
+    import spark.implicits._
+    val H = 3600000000L // one hour in micros
+    // A converts at 1 h, B at 3 h, C never purchases, D converts past the
+    // 48 h window — C and D are both administratively censored at 48.
+    val rows = Seq(
+      (1L, 0L, "signup", 10L), (2L, H + 1L, "purchase", 10L),
+      (3L, 0L, "signup", 20L), (4L, 3 * H + 5L, "purchase", 20L),
+      (5L, 0L, "signup", 30L),
+      (6L, 0L, "signup", 40L), (7L, 100 * H, "purchase", 40L),
+      // pre-signup purchase must not count as conversion for user 50
+      (8L, 5 * H, "signup", 50L), (9L, H, "purchase", 50L))
+    rows.toDF("event_id", "tus", "event_type", "user_id")
+      .select(col("event_id"), expr("timestamp_micros(tus)").as("ts"),
+        col("event_type"), col("user_id"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.eventsSurvival(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // 5 at risk at h=1 (d=1 → 200000), 4 at h=3 (d=1 → 250000), then the
+    // three remaining (C, D, and the never-converting 50) censor at 48.
+    assert(got == Seq(
+      (1L, 1L, 0L, 5L, 200000L, 200000L),
+      (3L, 1L, 0L, 4L, 250000L, 450000L),
+      (48L, 0L, 3L, 3L, 0L, 450000L)), s"got $got")
+    // Fixture-scale structural identities: r strictly accounts for prior
+    // exits, the cumulative hazard is the running sum, both legs populated.
+    val fix = Analytics.eventsSurvival(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(fix.map(_._2).sum > 0 && fix.map(_._3).sum > 0,
+      "both event and censored legs must be populated")
+    fix.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._4 == a._4 - a._2 - a._3, s"at-risk must account for exits: $a -> $b")
+      assert(b._6 == a._6 + b._5, "cumhaz must be the running hazard sum")
+    case _ => ()
+    }
+  }
+
+  test("events_changepoint ranks a constructed level shift first with the exact score") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chg").toString
+    import spark.implicits._
+    // 10 days at 10 events/day then 10 days at 30/day: the argmax split is
+    // after day index 9, score = diff²·1e6/(nl·nr·S²) with diff = 10·100 −
+    // 10·300 = −2000, S = 400 → exactly 250000 micro.
+    val rows = for {
+      d <- 0L until 20L
+      k <- 0L until (if (d < 10) 10L else 30L)
+    } yield (d * 1000 + k, d * 86400000000L + k * 1000000L)
+    rows.toDF("event_id", "tus")
+      .select(col("event_id"), expr("timestamp_micros(tus)").as("ts"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val top = Analytics.eventsChangepoint(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).head
+    assert(top == ((9L, 10L, 10L, 1000L, 3000L, 250000L)), s"got $top")
+  }
+
+  test("window_regr_slope recovers an exact linear trend and rejects partial windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-slope").toString
+    import spark.implicits._
+    // Daily revenue 1000 + 100·t cents over 10 days: every full 7-day
+    // window's OLS slope is exactly 100 cents/day → 10000 centi-cents/day.
+    val rows = (0L until 10L).map(d =>
+      (d, d * 86400000000L, (1000.0 + 100.0 * d) / 100.0))
+    rows.toDF("o_orderkey", "tus", "o_totalprice")
+      .select(col("o_orderkey"), expr("timestamp_micros(tus)").as("o_orderdate"),
+        col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = Analytics.windowRegrSlope(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got.length == 4, s"10 days → 4 full windows, got ${got.length}")
+    assert(got.forall(_._2 == 10000L), s"constant trend must be exact: $got")
+  }
 }
