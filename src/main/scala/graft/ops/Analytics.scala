@@ -2629,6 +2629,60 @@ object Analytics {
       .limit(20)
   }
 
+  /** Sequential quality-gate FUNNEL over the corpus — the per-rule drop
+    * accounting every curation pipeline publishes next to its filter stack
+    * (Gopher's Table A1 shape): rules applied in order, each row reporting
+    * how many documents entered the gate, how many it dropped, and the
+    * cumulative retention. [[graft.ops.LlmPipeline.textQuality]] emits
+    * per-document scores; this is the corpus-level decision record — the
+    * artifact that answers "which gate is eating my data". Four gates, all
+    * in pure integer algebra over the same whitespace tokenization (and
+    * the same stopword list) as text_quality: minimum word count (≥ 30),
+    * mean word length in [3.0, 5.0] via cross-multiplied sums (the exact
+    * per-word character total is n_chars − (n_words − 1) — separators
+    * subtracted, no float division), at least 2 distinct stopwords
+    * present, and a ≤ 20% single-token dominance cap (5·max_tf ≤ n_words
+    * — the repetition screen). Thresholds sit inside the fixture's
+    * observed ranges so every gate does real work.
+    *
+    * Scale: one (doc, term) tf aggregate, one per-doc rollup, then ONE
+    * 1-row conjunction aggregate `stack`ed into the 5-row report —
+    * map-side combined everywhere, nothing global but the final counts.
+    */
+  def textFilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "by")
+    val tf = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val per = tf.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"), max(col("c")).as("max_tf"),
+        sum(when(col("term").isin(stop.map(s => s: Any): _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .join(t(spark, dir, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars")), "doc_id")
+      .withColumn("sumlen", col("n_chars") - (col("n_words") - 1))
+      .select(
+        (col("n_words") >= 30).as("f1"),
+        (lit(10) * col("sumlen") >= lit(30) * col("n_words") &&
+          lit(10) * col("sumlen") <= lit(50) * col("n_words")).as("f2"),
+        (col("n_stop") >= 2).as("f3"),
+        (lit(5) * col("max_tf") <= col("n_words")).as("f4"))
+    per.agg(count(lit(1)).as("n0"),
+        sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
+        sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L)).as("s3"),
+        sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L).otherwise(0L))
+          .as("s4"))
+      .select(col("n0"), expr(
+        "stack(5, '0_input', n0, n0, '1_min_words', n0, s1, " +
+          "'2_word_len', s1, s2, '3_stopwords', s2, s3, '4_dominance', s3, s4) " +
+          "AS (rule, n_in, n_out)"))
+      .select(col("rule"), col("n_in"), col("n_out"),
+        (col("n_in") - col("n_out")).as("n_dropped"),
+        expr("(n_out * 1000000) div n0").as("retention_micro"))
+      .orderBy("rule")
+  }
+
   /** Cadence-regularity bot screen: per-user coefficient of variation of
     * inter-event gaps — the classic behavioral bot detector (scripted
     * traffic fires on a near-constant timer, CV² ≪ 1; human/Poisson traffic

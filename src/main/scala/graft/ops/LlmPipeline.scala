@@ -443,14 +443,16 @@ object LlmPipeline {
     * hashes ([[graft.functions.ShingleHashes]]) to shuffle longs instead of
     * strings; strings here keep the oracle exact.
     */
-  def dedupJaccardPrefix(spark: SparkSession, dir: String,
-      thresholdMicro: Long = 800000L): DataFrame = {
-    // Memoized per (session, dir) like docTerms: the df-ordered shingle
-    // table is threshold-independent and this query's own DAG reads it
-    // THREE times (prefix generation + both verify sides) — un-persisted,
-    // the shingle/df/sort pipeline would run three times per invocation
-    // (measured 3.4s → 1.9s at sf0.1).
-    val docs = graft.Tables.sessionCache(termsCache, spark)
+  /** Memoized per (session, dir) like docTerms: each document's DISTINCT
+    * word 3-shingles, df-ordered (rarest first) with the distinct count m.
+    * Threshold-independent, so [[dedupJaccardPrefix]] (which reads it THREE
+    * times per invocation — prefix generation + both verify sides;
+    * un-persisted the shingle/df/sort pipeline would run three times,
+    * measured 3.4s → 1.9s at sf0.1) and [[textNgramNovelty]] share one
+    * build.
+    */
+  private[graft] def ppjDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.sessionCache(termsCache, spark)
       .computeIfAbsent((dir, "ppj_docs"), _ =>
         t(spark, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -469,6 +471,10 @@ object LlmPipeline {
                 size(col("ord")).cast("long").as("m"))
           }
           .persist(StorageLevel.MEMORY_AND_DISK))
+
+  def dedupJaccardPrefix(spark: SparkSession, dir: String,
+      thresholdMicro: Long = 800000L): DataFrame = {
+    val docs = ppjDocs(spark, dir)
     // Prefix length m − ⌈τ·m⌉ + 1 with the ceil in exact integers:
     // ⌈τμ·m / 1e6⌉ = (τμ·m + 999999) div 1e6.
     val prefixes = docs.select(col("doc_id"), col("m"),
@@ -496,6 +502,34 @@ object LlmPipeline {
       .withColumn("jaccard_micro", expr("(inter * 1000000) div uni"))
       .filter(col("jaccard_micro") >= thresholdMicro)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Per-document n-gram NOVELTY against everything ingested before it —
+    * the curation score behind "is this document new content or a remix of
+    * the corpus so far" (the streaming-dedup complement: resemblance
+    * scores pairs, novelty scores each doc against the whole prefix). A
+    * doc's score is the fraction of its distinct word 3-shingles whose
+    * FIRST occurrence (minimum doc_id, ingestion order) is the doc itself,
+    * in integer micros. Boilerplate-heavy late documents score near 0;
+    * the corpus opener scores exactly 1e6.
+    *
+    * Scale: reuses the memoized [[ppjDocs]] shingle table, then one
+    * shingle-keyed min aggregate and one shingle-keyed join back — a hot
+    * shingle costs a min + a fan-out count, never a pair expansion (this
+    * is the same no-quadratic-bucket property the prefix join gets from df
+    * ordering). The first-seer table is exactly the sidecar index the
+    * incremental dedup sink would persist between batches.
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = ppjDocs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    val first = sh.groupBy("term").agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_micro"))
+      .orderBy("doc_id")
   }
 
   /** Fixed SRP hyperplanes (seed 7): plane k is the k-th 64-dim gaussian

@@ -2015,6 +2015,59 @@ class OpsSpec extends SparkSpec {
     assert(top == ((9L, 10L, 10L, 1000L, 3000L, 250000L)), s"got $top")
   }
 
+  test("text_filter_funnel drops each constructed offender at exactly its own gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    import spark.implicits._
+    val fill = (n: Int, tag: String) => (1 to n).map(i => f"$tag$i%03d").mkString(" ")
+    val docs = Seq(
+      // 1: passes everything (40 words, mean len ~3.9, 2 stopwords, max_tf 1)
+      (1L, "the of " + fill(38, "w")),
+      // 2: too short — dies at 1_min_words
+      (2L, "the of one two three"),
+      // 3: 8-char words, mean length > 5 — dies at 2_word_len
+      (3L, (1 to 40).map(i => f"verylong$i%03d".take(8) + f"$i%03d").mkString(" ")),
+      // 4: only ONE distinct stopword — dies at 3_stopwords
+      (4L, "the " + fill(39, "x")),
+      // 5: 'zzzz' half the mass — dies at 4_dominance
+      (5L, "the of " + Seq.fill(20)("zzzz").mkString(" ") + " " + fill(18, "y")))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.textFilterFunnel(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("0_input", 5L, 5L, 0L),
+      ("1_min_words", 5L, 4L, 1L),
+      ("2_word_len", 4L, 3L, 1L),
+      ("3_stopwords", 3L, 2L, 1L),
+      ("4_dominance", 2L, 1L, 1L)), s"got $got")
+    // Fixture scale: the funnel is sequential (n_in chains from the prior
+    // n_out) and retention never increases.
+    val fix = Analytics.textFilterFunnel(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    fix.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._2 == a._3, s"funnel must chain: $a -> $b")
+      assert(b._4 <= a._4, "retention must be monotone non-increasing")
+    case _ => ()
+    }
+    assert(fix.last._3 > 0, "the full gate stack must retain some fixture documents")
+  }
+
+  test("text_ngram_novelty scores opener 1e6, verbatim copy 0, half-remix 2/3") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-novel").toString
+    import spark.implicits._
+    Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "c d e f g"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.textNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1: 3 shingles, all first-seen. doc 2: the same 3, none novel.
+    // doc 3: shares only "c d e" with the prefix → 2 of 3 novel.
+    assert(got == Seq(
+      (1L, 3L, 3L, 1000000L),
+      (2L, 3L, 0L, 0L),
+      (3L, 3L, 2L, 666666L)), s"got $got")
+  }
+
   test("window_regr_slope recovers an exact linear trend and rejects partial windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slope").toString
     import spark.implicits._
