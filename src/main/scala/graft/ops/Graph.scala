@@ -334,6 +334,90 @@ object Graph {
       "GROUP BY lbl ORDER BY component"
   }
 
+  /** Rounds of the synchronous label-propagation community pass — small and
+    * FIXED for the same reason as [[ComponentRounds]]: a fixed schedule is
+    * renderable as unrolled SQL, so the oracle is exact whether or not the
+    * propagation has stabilized (bipartite graphs famously never stabilize
+    * under synchronous LPA — they oscillate between side-colorings — which
+    * is precisely why only a fixed-round contract is oracle-able at all).
+    */
+  val LabelPropRounds = 4
+
+  /** The label table after `rounds` of synchronous label propagation
+    * (Raghavan et al. 2007): each node adopts its neighbors' PLURALITY
+    * label — ties broken by smallest label, isolated inputs keep their own
+    * — starting from self-labels. Split out so the spec can pin the
+    * mode-beats-min round on a constructed fixture (the step where LPA
+    * genuinely differs from [[componentLabels]]'s min-propagation).
+    *
+    * Scale: per round ONE src-keyed join (broadcast labels, the
+    * [[graphPagerank]] O(N)-parameter regime), a (dst, lbl) count, a dst
+    * argmax via min(struct) — never a window over the edge set — and a
+    * left join back; localCheckpoint caps lineage exactly as components.
+    */
+  private[graft] def labelPropLabels(spark: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val e = domesticEdges(spark, dir).localCheckpoint()
+    var labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = e.join(broadcast(labels), e("src") === labels("node"))
+        .groupBy(col("dst").as("inode"), col("lbl").as("nlbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = counts.groupBy("inode")
+        .agg(min(struct((-col("c")).as("negc"), col("nlbl").as("l"))).as("m"))
+        .select(col("inode"), col("m.l").as("new_lbl"))
+      labels = labels.join(best, labels("node") === col("inode"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Community detection on the domestic trade graph by [[LabelPropRounds]]
+    * synchronous label-propagation rounds, rolled up per community — the
+    * near-linear community pass that splits structure [[graphComponents]]
+    * cannot: min-propagation can only answer reachability, while plurality
+    * adoption lets densely-knit neighborhoods keep their own label against
+    * a smaller id leaking in from a thin bridge. Deterministic by
+    * construction (plurality, ties to the smallest label, fixed rounds).
+    */
+  def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
+    labelPropLabels(spark, dir, LabelPropRounds)
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(when(col("node") < 1000000L, 1L).otherwise(0L)).as("n_customers"),
+        sum(when(col("node") >= 1000000L, 1L).otherwise(0L)).as("n_suppliers"),
+        min(col("node")).as("min_node"),
+        max(col("node")).as("max_node"))
+      .orderBy("community")
+
+  /** DuckDB oracle for [[graphLabelProp]] — the plurality argmax per round
+    * rendered as a windowed rank over the (dst, label) counts, unrolled
+    * [[LabelPropRounds]] times (the [[componentsOracleSql]] convention).
+    */
+  def labelPropOracleSql: String = {
+    val rounds = (1 to LabelPropRounds).map { i =>
+      s"p$i AS MATERIALIZED (SELECT l.node, coalesce(m.new_lbl, l.lbl) AS lbl " +
+        s"FROM p${i - 1} l LEFT JOIN (SELECT node, nlbl AS new_lbl FROM " +
+        s"(SELECT e.dst AS node, p.lbl AS nlbl, row_number() OVER " +
+        s"(PARTITION BY e.dst ORDER BY count(*) DESC, p.lbl) AS rn " +
+        s"FROM edges e JOIN p${i - 1} p ON e.src = p.node GROUP BY e.dst, p.lbl) q " +
+        s"WHERE rn = 1) m ON l.node = m.node)"
+    }.mkString(", ")
+    "WITH base AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem " +
+      "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
+      "JOIN supplier ON l_suppkey = s_suppkey WHERE c_nationkey = s_nationkey), " +
+      "edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM base UNION ALL SELECT supp + 1000000, cust FROM base), " +
+      "p0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges), " +
+      rounds +
+      s" SELECT lbl AS community, count(*) AS n_nodes, " +
+      "CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
+      "CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
+      s"min(node) AS min_node, max(node) AS max_node FROM p$LabelPropRounds " +
+      "GROUP BY lbl ORDER BY community"
+  }
+
   /** Rounds of the [[graphBfs]] Bellman-Ford unroll: hop eccentricity from
     * the nation-0 seed set is ≤ 4 at every fixture sf (the domestic graph's
     * nation-islands are shallow), so 6 fixed rounds converge with slack —

@@ -555,6 +555,32 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
 
+  /** Sketch MERGE rollup — the property that makes sketches the 100 TB
+    * distinct-count architecture: per-(event_type, day) HLL user sketches
+    * built once, then UNIONED up to 30-day periods without touching raw
+    * data again. At scale the daily sketch table is the stored artifact
+    * (kilobytes per cell); every coarser rollup — weekly, monthly, per-type,
+    * global — is sketch algebra over it, while a COUNT(DISTINCT) re-scan
+    * would shuffle the raw corpus per question asked. The registers of the
+    * merged sketch equal the directly-built period sketch's (union = max
+    * per register ≡ build-over-all-items), so the two plans are
+    * estimate-identical — spec-pinned, alongside the exact-count accuracy
+    * tolerance and daily-max lower bound.
+    */
+  def aggSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("day_users"))
+    daily.groupBy(col("event_type"), expr("day div 30").as("period"))
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+        max(col("day_users")).as("max_day_users"))
+      .orderBy("event_type", "period")
+  }
+
   /** Theta-sketch set algebra: per-audience distinct-user sketches UNIONED,
     * INTERSECTED, and DIFFERENCED — the set-operation capability HLL lacks
     * (HLL unions; only theta intersects/subtracts), and the reason a 100 TB

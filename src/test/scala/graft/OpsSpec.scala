@@ -2068,6 +2068,68 @@ class OpsSpec extends SparkSpec {
       (3L, 3L, 2L, 666666L)), s"got $got")
   }
 
+  test("label propagation adopts the PLURALITY neighbor label where min-propagation would not") {
+    // Suppliers (offset +1e6): A=..11 ↔ c1; B=..12 ↔ c2,c3; S=..19 ↔ all
+    // three. After round 1 the customers hold {1000011, 1000012, 1000012}
+    // — so in round 2, S must adopt 1000012 (plurality 2-vs-1) even though
+    // 1000011 is SMALLER. Min-propagation provably picks 1000011 on the
+    // same state: that one label is the whole semantic difference between
+    // graph_label_prop and graph_components.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    import spark.implicits._
+    Seq((101L, 11L), (102L, 12L), (103L, 12L), (104L, 19L), (105L, 19L), (106L, 19L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((101L, 1L), (102L, 2L), (103L, 3L), (104L, 1L), (105L, 2L), (106L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0), (2L, 0), (3L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((11L, 0), (12L, 0), (19L, 0)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val lpa = Graph.labelPropLabels(spark, dir, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa(1000019L) == 1000012L, s"plurality must beat the smaller minority label: $lpa")
+    val minProp = Graph.componentLabels(spark, dir, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minProp(1000019L) == 1L,
+      s"min-propagation reaches label 1 via c1 in two rounds: $minProp")
+    // Fixture scale: communities partition the node set (sizes sum to the
+    // component node total) and every community is non-empty by definition.
+    val comm = Graph.graphLabelProp(spark, sf).collect()
+    val nodes = Graph.graphComponents(spark, sf).collect().map(_.getLong(1)).sum
+    assert(comm.map(_.getLong(1)).sum == nodes,
+      "label-prop communities must partition exactly the component node set")
+    assert(comm.length >= Graph.graphComponents(spark, sf).collect().length,
+      "plurality labels can only refine (or equal) the component partition")
+  }
+
+  test("sketch rollup: merged daily sketches equal the direct period sketch and track exact counts") {
+    val got = Relational.aggSketchRollup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // Direct period sketch: one build over the raw rows, no daily stage.
+    val direct = Tables.t(spark, sf, "events")
+      .selectExpr("event_type", "(unix_micros(ts) div 86400000000) div 30 as period",
+        "user_id")
+      .groupBy("event_type", "period")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"),
+        countDistinct(col("user_id")).as("exact"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == direct.keySet)
+    for ((k, (nDays, approx, maxDay)) <- got) {
+      val (directEst, exact) = direct(k)
+      // Union = per-register max ≡ building over all items: same registers,
+      // same estimate — the mergeability contract, exactly.
+      assert(approx == directEst, s"$k: merged $approx != direct $directEst")
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"$k: estimate $approx vs exact $exact")
+      assert(approx >= maxDay, s"$k: period estimate below a daily estimate")
+      assert(nDays >= 1)
+    }
+  }
+
   test("window_regr_slope recovers an exact linear trend and rejects partial windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slope").toString
     import spark.implicits._

@@ -26,6 +26,9 @@ class UnoracleableSpec extends SparkSpec {
     "agg_hll_sketch" -> Pin(
       "Datasketches HLL binary sketches have no DuckDB counterpart",
       "OpsSpec", Seq("hll sketch: estimate within tolerance; per-group sketches merge to the global estimate")),
+    "agg_sketch_rollup" -> Pin(
+      "Datasketches HLL binary sketches have no DuckDB counterpart",
+      "OpsSpec", Seq("sketch rollup: merged daily sketches equal the direct period sketch and track exact counts")),
     "dedup_near_minhash" -> Pin(
       "candidate set depends on MinHash permutation seeds (no SQL equivalent)",
       "OpsSpec", Seq(
