@@ -520,8 +520,9 @@ object LlmPipeline {
     * ordering). The first-seer table is exactly the sidecar index the
     * incremental dedup sink would persist between batches.
     */
-  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = ppjDocs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+  /** The novelty kernel over a (doc_id, term) shingle table — split out so
+    * the scale-stress suite can feed it a runtime-inflated corpus. */
+  private[graft] def noveltyOf(sh: DataFrame): DataFrame = {
     val first = sh.groupBy("term").agg(min(col("doc_id")).as("first_doc"))
     sh.join(first, "term")
       .groupBy("doc_id")
@@ -529,8 +530,12 @@ object LlmPipeline {
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         expr("(n_novel * 1000000) div n_shingles").as("novelty_micro"))
-      .orderBy("doc_id")
   }
+
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    noveltyOf(ppjDocs(spark, dir)
+      .select(col("doc_id"), explode(col("toks")).as("term")))
+      .orderBy("doc_id")
 
   /** Fixed SRP hyperplanes (seed 7): plane k is the k-th 64-dim gaussian
     * drawn, so configurations with different plane counts share a prefix —

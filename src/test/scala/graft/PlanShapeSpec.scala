@@ -353,6 +353,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"edge table re-shuffled in a peel round:\n$p")
   }
 
+  test("bot-detect's lag window and gap aggregate share one user_id shuffle") {
+    val p = plan("events_bot_detect")
+    // The Window's hashpartitioning(user_id) satisfies the groupBy's
+    // distribution — one exchange for both, plus only the output ordering.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("label-prop round joins broadcast the label vector — edges never re-shuffle") {
+    val e = graft.ops.Graph.domesticEdges(spark, sf)
+    val labels = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val counts = e.join(org.apache.spark.sql.functions.broadcast(labels),
+        e("src") === labels("node"))
+      .groupBy(col("dst").as("inode"), col("lbl").as("nlbl"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+    counts.count()
+    val p = counts.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"labels must broadcast to the edges:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"edge table re-shuffled in a propagation round:\n$p")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.

@@ -182,4 +182,28 @@ class ScaleStressSpec extends SparkSpec {
     assert(native.exists(_._2 == -1L) && native.exists(_._2 >= 0),
       "inflated fixture must exercise both matched and unmatched purchases")
   }
+
+  test("novelty kernel at 4x disjoint corpus copies: per-copy scores identical to the base run") {
+    // Linearity-by-structure for the first-seer min kernel: 4 corpus copies
+    // with disjoint vocabularies (terms tagged per rep, doc_ids offset) must
+    // reproduce the base corpus's novelty profile EXACTLY inside every copy
+    // — any cross-copy candidate leak or min contamination breaks equality,
+    // and true-work growth is exactly ×scale (no quadratic candidate term).
+    val base = LlmPipeline.ppjDocs(spark, sf)
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+    val expected = LlmPipeline.noveltyOf(base).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val inflated = base
+      .withColumn("rep", explode(sequence(lit(0L), lit(3L))))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        concat(col("rep").cast("string"), lit("#"), col("term")).as("term"))
+    val got = LlmPipeline.noveltyOf(inflated).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 4 * expected.size, s"rows must grow exactly x4: ${got.length}")
+    for (rep <- 0L to 3L) {
+      val slice = got.filter(t => t._1 / 1000000L == rep)
+        .map(t => (t._1 - rep * 1000000L, t._2, t._3, t._4)).toSet
+      assert(slice == expected, s"copy $rep diverged from the base novelty profile")
+    }
+  }
 }
