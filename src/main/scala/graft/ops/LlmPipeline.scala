@@ -537,6 +537,61 @@ object LlmPipeline {
       .select(col("doc_id"), explode(col("toks")).as("term")))
       .orderBy("doc_id")
 
+  /** Distinct word-3-shingles of a (doc_id, text) table as 64-bit hashes —
+    * the stored-index form of the novelty/prefix-join shingle space (longs
+    * shuffle and store ~10× narrower than shingle strings; xxhash64
+    * collisions at corpus scale cost one mis-attributed first-seer, not
+    * correctness of any exact-dedup path).
+    */
+  private[graft] def shingleTerms64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(1, size(ws) - 2), " +
+          "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])) ELSE CAST(array() AS array<string>) END")))
+        .as("term"))
+      .select(col("doc_id"), xxhash64(col("term")).as("term64"))
+
+  /** Incremental novelty scoring for one batch against a STORED first-seer
+    * table (term64 → first_doc): each batch doc's novelty counts the
+    * shingles whose first occurrence across stored ∪ batch is the doc
+    * itself. Returns (scored batch rows, first-seer rows to append — batch
+    * terms absent from the store, attributed to their earliest batch doc).
+    * Replay-idempotent BY the first-doc attribution: a re-delivered doc
+    * finds its own id as each of its terms' first seer, so it re-scores
+    * identically (and the sink-membership gate drops the duplicate row).
+    */
+  private[graft] def noveltyScoreBatch(batch: DataFrame,
+      stored: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val sh = shingleTerms64(batch)
+    val batchFirst = sh.groupBy("term64").agg(min(col("doc_id")).as("batch_first"))
+    val combined = stored match {
+      case Some(s) => batchFirst
+        .join(s.select(col("term64"), col("first_doc").as("stored_first")),
+          Seq("term64"), "left")
+        .select(col("term64"),
+          least(col("batch_first"), coalesce(col("stored_first"), col("batch_first")))
+            .as("first_doc"),
+          col("stored_first").isNull.as("is_new_term"))
+      case None => batchFirst
+        .select(col("term64"), col("batch_first").as("first_doc"),
+          lit(true).as("is_new_term"))
+    }
+    val perDoc = sh.join(combined, "term64")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000) div n_shingles").as("novelty_micro"))
+    val scored = batch.join(perDoc, Seq("doc_id"), "left")
+      .select(batch.columns.map(col) ++ Seq(
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(col("novelty_micro"), lit(0L)).as("novelty_micro")): _*)
+    val newSeers = combined.filter(col("is_new_term"))
+      .select(col("term64"), col("first_doc"))
+    (scored, newSeers)
+  }
+
   /** Fixed SRP hyperplanes (seed 7): plane k is the k-th 64-dim gaussian
     * drawn, so configurations with different plane counts share a prefix —
     * the recall spec exploits this to compare 1×16 (single-code) against

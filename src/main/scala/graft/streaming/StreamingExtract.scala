@@ -560,6 +560,86 @@ object StreamingExtract {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** First-seer sidecar layout for a novelty-scoring sink. */
+  private[graft] def noveltyIndexDir(sinkDir: String): String = s"$sinkDir.idx/shingles"
+
+  /** Novelty-SCORING sink — the streaming leg of
+    * [[graft.ops.LlmPipeline.textNgramNovelty]], persisting the first-seer
+    * table that query's scaladoc promises as the incremental state: each
+    * micro-batch of (doc_id, text) rows is scored for n-gram novelty
+    * against `<sink>.idx/shingles` (term64 → first_doc, the 64-bit-hashed
+    * shingle space) PLUS the batch's own earlier docs, the enriched rows
+    * append to the sink, and only terms the store has never seen append to
+    * the sidecar (attributed to their earliest batch doc). The sink parquet
+    * is read only for the doc_id replay gate (column-pruned anti-join, the
+    * [[dedupAppendSink]] contract); scoring never touches stored text.
+    *
+    * Crash ordering: sidecar FIRST, sink LAST. A crash between them leaves
+    * terms indexed for a doc the sink never received — the replayed batch
+    * re-scores it IDENTICALLY (each of its terms' first seer is the doc
+    * itself, so novelty is unchanged — the attribution trick that makes
+    * replay idempotent) and lands the missing sink row; later docs
+    * meanwhile score conservatively LOW, the same safe bias as the dedup
+    * sinks' re-admit-vs-silent-miss choice. The reverse order could
+    * permanently inflate novelty: sink rows present, their terms never
+    * indexed, every later remix scoring as fresh.
+    *
+    * Scale: per batch one term-keyed aggregate + one left join against the
+    * sidecar (term-keyed equi join, hot terms cost a min not a pair
+    * expansion) + the narrow anti-join gate; sidecar growth is
+    * vocabulary-bounded (Heaps' law) and compacted by the standard staged
+    * swap.
+    */
+  def noveltyScoringSink(
+      stream: DataFrame,
+      sinkDir: String,
+      checkpointDir: String,
+      compactAfterFiles: Int = 64): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        noveltyLoadBatch(batch.sparkSession, batch.toDF(), sinkDir, compactAfterFiles)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One novelty-scoring round — the foreachBatch body of
+    * [[noveltyScoringSink]], exposed for batch pipelines exactly like
+    * [[dedupLoadBatch]]. Adoption: a pre-existing sink with no sidecar
+    * rebuilds the first-seer table from stored text once (the only time
+    * stored text is read), committed before any append.
+    */
+  def noveltyLoadBatch(
+      spark: SparkSession,
+      batch: DataFrame,
+      sinkDir: String,
+      compactAfterFiles: Int = 64): Unit = {
+    val shinglesDir = noveltyIndexDir(sinkDir)
+    healStagedSwap(spark, shinglesDir)
+    if (hasData(spark, sinkDir) && !hasData(spark, shinglesDir))
+      graft.ops.LlmPipeline
+        .shingleTerms64(spark.read.parquet(sinkDir).select("doc_id", "text"))
+        .groupBy("term64")
+        .agg(org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col("doc_id")).as("first_doc"))
+        .write.mode("overwrite").parquet(shinglesDir)
+    val stored =
+      if (hasData(spark, shinglesDir)) Some(spark.read.parquet(shinglesDir)) else None
+    // Replay gate BEFORE scoring: a re-delivered doc must not re-append,
+    // and fresh-row attribution keeps its score stable regardless.
+    val fresh =
+      if (hasData(spark, sinkDir))
+        batch.join(spark.read.parquet(sinkDir).select("doc_id"), Seq("doc_id"), "left_anti")
+      else batch
+    val (scored0, newSeers0) = graft.ops.LlmPipeline.noveltyScoreBatch(fresh, stored)
+    val scored = scored0.localCheckpoint(true)
+    val newSeers = newSeers0.localCheckpoint(true)
+    newSeers.write.mode("append").parquet(shinglesDir)
+    scored.write.mode("append").parquet(sinkDir)
+    if (compactAfterFiles > 0)
+      compactSidecar(spark, shinglesDir, compactAfterFiles, partitioned = false)
+  }
+
   /** MERGE-style upsert sink via foreachBatch: each micro-batch UPDATES rows
     * whose key already exists in the sink and INSERTS the rest — the loader
     * contract one step past [[dedupAppendSink]]'s insert-only dedup, for

@@ -633,4 +633,73 @@ class StreamingExtractSpec extends SparkSpec {
       assert(out.contains((2L, us("2024-01-01 00:05:00"), us("2024-01-01 00:05:00"), 1L)), out.toString)
     } finally q.stop()
   }
+
+  test("noveltyScoringSink scores against the growing first-seer sidecar; replay and adoption converge") {
+    val src = java.nio.file.Files.createTempDirectory("graft-nvsrc").toString
+    val sink = java.nio.file.Files.createTempDirectory("graft-nvsink").toString + "/out"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-nvckpt").toString
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").write.mode("append").parquet(src)
+    def sinkScores() = spark.read.parquet(sink)
+      .select("doc_id", "n_shingles", "n_novel", "novelty_micro").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // Poll 1: two disjoint docs — both fully novel.
+    writeBatch(Seq((1L, "a b c d e"), (2L, "f g h i j")))
+    val schema = spark.read.parquet(src).schema
+    StreamingExtract.noveltyScoringSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    assert(sinkScores() == Map(1L -> ((3L, 3L, 1000000L)), 2L -> ((3L, 3L, 1000000L))))
+
+    // Poll 2: a verbatim copy (0), a half-remix sharing "c d e" (2/3), and
+    // a shingle-less doc (scored 0 with 0 shingles, still landed).
+    writeBatch(Seq((3L, "a b c d e"), (4L, "c d e k l"), (5L, "x")))
+    StreamingExtract.noveltyScoringSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt).awaitTermination()
+    val after2 = sinkScores()
+    assert(after2(3L) == ((3L, 0L, 0L)), s"verbatim copy must score 0: $after2")
+    assert(after2(4L) == ((3L, 2L, 666666L)), s"half-remix: $after2")
+    assert(after2(5L) == ((0L, 0L, 0L)), s"shingle-less doc: $after2")
+
+    // The sidecar holds exactly the corpus's 8 distinct shingles, each
+    // attributed to its true first seer ("c d e" → doc 1, not 3 or 4).
+    val shinglesDir = StreamingExtract.noveltyIndexDir(sink)
+    val seers = spark.read.parquet(shinglesDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seers.size == 8, s"expected 8 distinct first-seer terms: ${seers.size}")
+    val cdeHash = spark.range(1).select(xxhash64(lit("c d e"))).head().getLong(0)
+    assert(seers(cdeHash) == 1L, "'c d e' must stay attributed to doc 1")
+
+    // The incremental scores equal the one-shot batch kernel over the full
+    // corpus (ids monotone with arrival — the extract contract).
+    val full = graft.ops.LlmPipeline.noveltyOf(
+      graft.ops.LlmPipeline.shingleTerms64(
+        spark.read.parquet(sink).select("doc_id", "text"))
+        .withColumnRenamed("term64", "term"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(full == after2.filter(_._2._1 > 0), "incremental must equal the batch kernel")
+
+    // Replay from a fresh checkpoint: every doc hits the sink gate, the
+    // sidecar sees no new terms — both must be byte-for-byte stable.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-nvckpt2").toString
+    StreamingExtract.noveltyScoringSink(
+      spark.readStream.schema(schema).parquet(src), sink, ckpt2).awaitTermination()
+    assert(sinkScores() == after2, "replay must not change scores")
+    assert(spark.read.parquet(shinglesDir).count() == 8, "replay must not grow the sidecar")
+
+    // Adoption: wipe the sidecar; the next round rebuilds it from stored
+    // text and a fresh copy of doc 2's text still scores 0.
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(java.nio.file.Paths.get(shinglesDir))
+    StreamingExtract.noveltyLoadBatch(spark,
+      Seq((6L, "f g h i j")).toDF("doc_id", "text"), sink)
+    val after3 = sinkScores()
+    assert(after3(6L) == ((3L, 0L, 0L)), s"post-adoption copy must score 0: $after3")
+    assert(spark.read.parquet(shinglesDir).count() == 8,
+      "adoption must rebuild exactly the corpus shingle set")
+  }
 }
