@@ -200,6 +200,31 @@ object Main {
     require(viaWindow == nPurch, "as-of regimes disagree on row count")
     println(s"[graft.Main] as-of serving: $nEnriched/$nPurch purchases carry " +
       "a prior-click feature (merge operator ≡ carry-forward window)")
+
+    // Phase 8: corpus quality gating — the funnel reports which gate eats
+    // the data, the novelty SINK scores two ingest rounds against its
+    // growing first-seer sidecar (the incremental face of the batch
+    // novelty query), and the cadence screen flags non-human traffic the
+    // events pipeline should quarantine.
+    val funnel = graft.ops.Analytics.textFilterFunnel(spark, sfDir).collect()
+      .map(r => s"${r.getString(0)}→${r.getLong(2)}").mkString(" ")
+    val nvSink = s"$outDir/novelty_scored"
+    val docs = graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+    val half = docs.count() / 2
+    graft.streaming.StreamingExtract.noveltyLoadBatch(
+      spark, docs.filter(col("doc_id") < half), nvSink)
+    graft.streaming.StreamingExtract.noveltyLoadBatch(
+      spark, docs.filter(col("doc_id") >= half), nvSink)
+    val scored = spark.read.parquet(nvSink)
+    val meanNovelty = scored.agg(
+      org.apache.spark.sql.functions.expr("sum(novelty_micro) div count(1)"))
+      .head().getLong(0)
+    val bots = graft.ops.Analytics.eventsBotDetect(spark, sfDir)
+      .groupBy("cadence_class").count().collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[graft.Main] quality gates: funnel $funnel; " +
+      s"novelty sink scored ${scored.count()} docs over 2 rounds " +
+      s"(mean ${meanNovelty}ppm); cadence $bots")
     spark.stop()
   }
 }
