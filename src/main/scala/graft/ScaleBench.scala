@@ -323,6 +323,35 @@ object ScaleBench {
       ev.unpersist()
     }
 
+    // ------------------------------------------------------------- 8. novelty
+    // First-seer novelty kernel at ×1/×8 DISJOINT-vocabulary corpus copies
+    // (terms tagged per rep, doc ids offset — ScaleStressSpec pins per-copy
+    // exactness at ×4; this records the wall-clock): the term-keyed min +
+    // join back has no pair term, so true work grows exactly ×scale and
+    // runtime should track ~linearly. `novelty_docs` records the scored-doc
+    // count next to the time.
+    val shBase = LlmPipeline.shingleTerms64(
+        Tables.t(spark, sfDir, "documents").select(col("doc_id"), col("text")))
+      .withColumnRenamed("term64", "term")
+    for (scale <- Seq(1L, 8L)) {
+      val sh = shBase
+        .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          // Re-hash (term, rep) — a fresh 64-bit space per rep, no overflow
+          // under ANSI arithmetic, collisions negligible for a timing leg.
+          xxhash64(col("term"), col("rep")).as("term"))
+        .repartition(nPart)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      var nDocs = 0L
+      results(s"novelty_x$scale") = timeMin(2) {
+        nDocs = LlmPipeline.noveltyOf(sh).groupBy().count().head().getLong(0)
+        assert(nDocs > 0)
+      }
+      results(s"novelty_docs_x$scale") = nDocs.toDouble
+      sh.unpersist()
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
