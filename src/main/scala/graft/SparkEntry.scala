@@ -886,7 +886,7 @@ object SparkEntry {
     "window_regr_slope" ->
       """WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents FROM orders GROUP BY 1), base AS (SELECT min(day) AS d0 FROM daily), wi AS (SELECT day, rev_cents, day - d0 AS ti FROM daily CROSS JOIN base), ws AS (SELECT day, rev_cents, CAST(count(*) OVER w AS BIGINT) AS k, CAST(sum(ti) OVER w AS BIGINT) AS st, CAST(sum(rev_cents) OVER w AS BIGINT) AS sy, CAST(sum(ti*ti) OVER w AS BIGINT) AS stt, CAST(sum(ti*rev_cents) OVER w AS BIGINT) AS sty, row_number() OVER (ORDER BY day) AS rn FROM wi WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) SELECT day, rev_cents, CAST(floor(CAST(k*sty - st*sy AS DOUBLE) * 100 / CAST(k*stt - st*st AS DOUBLE) + 0.5) AS BIGINT) AS slope_centi_per_day FROM ws WHERE rn >= 7 ORDER BY day""",
     "text_filter_funnel" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), per AS (SELECT p.doc_id, p.n_words, p.max_tf, p.n_stop, length(d.text) - (p.n_words - 1) AS sumlen FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS BIGINT) AS max_tf, CAST(sum(CASE WHEN term IN ('the','a','of','and','to','in','is','on','for','by') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop FROM tf GROUP BY 1) p JOIN documents d USING (doc_id)), fl AS (SELECT n_words >= 30 AS f1, 10*sumlen >= 30*n_words AND 10*sumlen <= 50*n_words AS f2, n_stop >= 2 AS f3, 5*max_tf <= n_words AS f4 FROM per), ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1, CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2, CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3, CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4 FROM fl), st AS (SELECT '0_input' AS rule, n0 AS n_in, n0 AS n_out, n0 FROM ag UNION ALL SELECT '1_min_words', n0, s1, n0 FROM ag UNION ALL SELECT '2_word_len', s1, s2, n0 FROM ag UNION ALL SELECT '3_stopwords', s2, s3, n0 FROM ag UNION ALL SELECT '4_dominance', s3, s4, n0 FROM ag) SELECT rule, n_in, n_out, n_in - n_out AS n_dropped, (n_out * 1000000) // n0 AS retention_micro FROM st ORDER BY rule""",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2), per AS (SELECT p.doc_id, p.n_words, p.max_tf, p.n_stop, length(d.text) - (p.n_words - 1) AS sumlen FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, CAST(max(c) AS BIGINT) AS max_tf, CAST(sum(CASE WHEN term IN ('the','a','of','and','to','in','is','on','for','by') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop FROM tf GROUP BY 1) p JOIN documents d USING (doc_id)), fl AS (SELECT n_words >= 30 AS f1, 10*sumlen >= 30*n_words AND 10*sumlen <= 50*n_words AS f2, n_stop >= 2 AS f3, 10*max_tf <= n_words AS f4 FROM per), ag AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1, CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2, CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3, CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4 FROM fl), st AS (SELECT '0_input' AS rule, n0 AS n_in, n0 AS n_out, n0 FROM ag UNION ALL SELECT '1_min_words', n0, s1, n0 FROM ag UNION ALL SELECT '2_word_len', s1, s2, n0 FROM ag UNION ALL SELECT '3_stopwords', s2, s3, n0 FROM ag UNION ALL SELECT '4_dominance', s3, s4, n0 FROM ag) SELECT rule, n_in, n_out, n_in - n_out AS n_dropped, (n_out * 1000000) // n0 AS retention_micro FROM st ORDER BY rule""",
     "text_ngram_novelty" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)), fs AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, (CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS novelty_micro FROM tok JOIN fs USING (term) GROUP BY doc_id ORDER BY doc_id""",
     "graph_label_prop" -> Graph.labelPropOracleSql,

@@ -2641,9 +2641,10 @@ object Analytics {
     * mean word length in [3.0, 5.0] via cross-multiplied sums (the exact
     * per-word character total is n_chars − (n_words − 1) — separators
     * subtracted, no float division), at least 2 distinct stopwords
-    * present, and a ≤ 20% single-token dominance cap (5·max_tf ≤ n_words
-    * — the repetition screen). Thresholds sit inside the fixture's
-    * observed ranges so every gate does real work.
+    * present, and a ≤ 10% single-token dominance cap (10·max_tf ≤ n_words
+    * — the classic no-token-above-10% repetition screen). Thresholds sit
+    * inside the fixture's observed ranges so every gate does real work
+    * (at sf0.01: gates drop 106 / 1 / 100 / 59 of 500 in sequence).
     *
     * Scale: one (doc, term) tf aggregate, one per-doc rollup, then ONE
     * 1-row conjunction aggregate `stack`ed into the 5-row report —
@@ -2666,7 +2667,7 @@ object Analytics {
         (lit(10) * col("sumlen") >= lit(30) * col("n_words") &&
           lit(10) * col("sumlen") <= lit(50) * col("n_words")).as("f2"),
         (col("n_stop") >= 2).as("f3"),
-        (lit(5) * col("max_tf") <= col("n_words")).as("f4"))
+        (lit(10) * col("max_tf") <= col("n_words")).as("f4"))
     per.agg(count(lit(1)).as("n0"),
         sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
         sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),

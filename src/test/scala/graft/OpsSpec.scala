@@ -2047,6 +2047,7 @@ class OpsSpec extends SparkSpec {
     fix.sliding(2).foreach { case Seq(a, b) =>
       assert(b._2 == a._3, s"funnel must chain: $a -> $b")
       assert(b._4 <= a._4, "retention must be monotone non-increasing")
+      assert(b._3 < b._2, s"every gate must drop at least one fixture doc: $b")
     case _ => ()
     }
     assert(fix.last._3 > 0, "the full gate stack must retain some fixture documents")
