@@ -592,6 +592,83 @@ object LlmPipeline {
     (scored, newSeers)
   }
 
+  /** Edit-distance near-dup self-join — EXACT Levenshtein ≤ k over the
+    * corpus via the q-gram COUNT filter (Gravano et al. 2001): one edit
+    * destroys at most q of a string's overlapping character q-grams, so
+    * lev(a,b) ≤ k forces multiset-shared grams
+    * Σ_g min(c_a, c_b) ≥ max(|a|,|b|)_grams − k·q. Candidates come from a
+    * gram-keyed equi join over per-doc gram COUNTS; exact `levenshtein`
+    * verifies candidates only — and the [[graft.plans.LevenshteinLengthGuard]]
+    * rule injects its implied length-difference guard into that verify
+    * filter, the optimizer extension's production consumer. The resemblance
+    * family (MinHash/PPJoin) scores SET overlap of word shingles; this is
+    * the character-level metric — transposed words are FAR here and NEAR
+    * there, by design.
+    *
+    * Hot grams (df > dfCap) are dropped from the join — the same
+    * quadratic-bucket hazard as LSH/anchor STOP terms — but SOUNDLY: each
+    * doc carries its dropped multiset mass dm, Σmin over dropped grams is
+    * ≤ min(dm_a, dm_b), so the kept-gram threshold relaxes by exactly that
+    * deduction. Pairs that could meet the bound on dropped mass ALONE
+    * (both docs mostly-hot: dm ≥ grams − k·q) can share zero kept grams
+    * and never reach the join — they get an explicit all-pairs fallback
+    * within that set (spec-pinned; boilerplate-clique docs, bounded small
+    * once exact dedup has run upstream — at 100 TB cap-or-quarantine the
+    * clique exactly like [[bucketedPairs]] star-links hot buckets).
+    *
+    * The DuckDB oracle is the TEXTBOOK all-pairs join, so its pass proves
+    * the whole filter stack lossless on the fixture (25 pairs at sf0.01,
+    * from 202 candidates out of a 125k pair space), the same
+    * oracle-as-losslessness-proof contract as [[dedupJaccardPrefix]].
+    */
+  def dedupEditDistance(spark: SparkSession, dir: String, k: Int = 12,
+      q: Int = 8, dfCap: Long = 64L): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val grams = docs
+      .select(col("doc_id"), explode(expr(
+        s"CASE WHEN length(text) >= $q THEN transform(sequence(1, length(text) - $q + 1), " +
+          s"i -> substring(text, i, $q)) ELSE CAST(array() AS array<string>) END"))
+        .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("ddf"))
+    val withDf = grams.join(docFreq, "gram")
+    // Per-doc dropped multiset mass + total gram count (Σc = |text| − q + 1).
+    val stats = withDf.groupBy("doc_id")
+      .agg(sum(when(col("ddf") > dfCap, col("c")).otherwise(0L)).as("dm"),
+        sum(col("c")).as("lg"))
+    val kept = withDf.filter(col("ddf") <= dfCap).select("doc_id", "gram", "c")
+    val shared = kept.select(col("gram"), col("doc_id").as("doc_a"), col("c").as("ca"))
+      .join(kept.select(col("gram"), col("doc_id").as("doc_b"), col("c").as("cb")), "gram")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("sm"))
+    val sa = stats.select(col("doc_id").as("doc_a"), col("dm").as("dm_a"), col("lg").as("lg_a"))
+    val sb = stats.select(col("doc_id").as("doc_b"), col("dm").as("dm_b"), col("lg").as("lg_b"))
+    val cand = shared.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(col("sm") >=
+        greatest(col("lg_a"), col("lg_b")) - lit(k * q) - least(col("dm_a"), col("dm_b")) &&
+        abs(col("lg_a") - col("lg_b")) <= k)
+      .select("doc_a", "doc_b")
+    // Mostly-hot fallback: docs whose kept mass cannot reach the bound by
+    // itself — their true pairs may share ONLY dropped grams.
+    // Constant equi key: the clique is tiny by contract, and the hash join
+    // keeps the inventory's no-cartesian invariant (a < b as residual).
+    val hot = stats.filter(col("dm") >= col("lg") - lit(k * q))
+      .select(col("doc_id"), lit(1).as("one"))
+    val hotPairs = hot.select(col("one"), col("doc_id").as("doc_a"))
+      .join(hot.select(col("one"), col("doc_id").as("doc_b")), "one")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cand.unionAll(hotPairs).distinct()
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .filter(levenshtein(col("text_a"), col("text_b")) <= k)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Fixed SRP hyperplanes (seed 7): plane k is the k-th 64-dim gaussian
     * drawn, so configurations with different plane counts share a prefix —
     * the recall spec exploits this to compare 1×16 (single-code) against

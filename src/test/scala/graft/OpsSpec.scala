@@ -2131,6 +2131,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("edit-distance join: stop-gram deduction and the mostly-hot fallback keep the filter lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-edj").toString
+    import spark.implicits._
+    // Hot block H appears in 7 docs — over dfCap=3, so ALL its grams drop
+    // from the join. Docs 10/11 are H alone (every gram dropped: only the
+    // fallback can find their lev=0 pair); docs 1/2 share a long unique
+    // tail with 2 edits (found via kept grams, threshold relaxed by the
+    // dropped mass); doc 3's tail is unrelated (lev > k, must not pair).
+    val H = "hothothot"
+    val docs = Seq(
+      (1L, H + " abcdefghijklmnopqrstuvwxyz0123456789"),
+      (2L, H + " abcdefghijklmnopqrstuvwxyz01234567XY"),
+      (3L, H + " zyxZYXwvuWVUtsrTSRqpoQPOnmlNMLkjiKJI"),
+      (4L, H + " 4tail4tail4tail4tail4tail4tail4tail4"),
+      (5L, H + " 5term5term5term5term5term5term5term5"),
+      (10L, H), (11L, H))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // k·q = 12 keeps the hot set at exactly {10, 11} (docs 1–5 have
+    // lg ≈ 44, dm ≈ 7 < lg − 12, so they must travel the kept-gram path).
+    val got = LlmPipeline.dedupEditDistance(spark, dir, k = 4, q = 3, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Driver-side ground truth: textbook DP levenshtein over all pairs.
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val truth = for {
+      (ia, ta) <- docs; (ib, tb) <- docs
+      if ia < ib && lev(ta, tb) <= 4
+    } yield (ia, ib, lev(ta, tb).toLong)
+    assert(got == truth.sorted, s"got $got\nwant ${truth.sorted}")
+    assert(truth.contains((10L, 11L, 0L)),
+      "the all-hot identical pair must be present — only the fallback can reach it")
+    assert(truth.exists { case (a, b, d) => a == 1L && b == 2L && d > 0 },
+      "the kept-gram deduction pair must be present")
+    assert(!truth.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) },
+      "the far pair must be excluded (verify does real work)")
+  }
+
   test("window_regr_slope recovers an exact linear trend and rejects partial windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slope").toString
     import spark.implicits._
