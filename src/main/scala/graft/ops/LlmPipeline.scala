@@ -763,10 +763,18 @@ object LlmPipeline {
   def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.45,
       k: Int = 10, iters: Int = 2): DataFrame = {
     val cents = kMeansCentroids(spark, dir, k, iters)
+    // Materialized ONCE (localCheckpoint, not persist: blocks free with the
+    // plan, no cache-manager entry to leak across bench runs): FOUR
+    // consumers below (banding, both pair sides, the rollup join) would
+    // otherwise each re-run the k×64-dot nearest-cell projection per row
+    // (measured ~10% off the query: 4.57 → 4.14 s min-of-3 at sf0.1 under
+    // load ≈ 2 — the remaining cost is the convergence-probed component
+    // rounds, which are per-round job latency, not recomputation).
     val emb = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2(spark, col("embedding")).as("norm"))
       .withColumn("cell", nearestCell(spark, cents))
       .withColumn("cos_center", element_at(centroidCosArr(spark, cents), col("cell") + 1))
+      .localCheckpoint()
     val banded = emb.select(col("vec_id").as("doc_id"),
       lit(0).as("band"), col("cell").as("bucket"))
     val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
