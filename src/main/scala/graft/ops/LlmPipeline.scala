@@ -593,75 +593,110 @@ object LlmPipeline {
   }
 
   /** Edit-distance near-dup self-join — EXACT Levenshtein ≤ k over the
-    * corpus via the q-gram COUNT filter (Gravano et al. 2001): one edit
-    * destroys at most q of a string's overlapping character q-grams, so
-    * lev(a,b) ≤ k forces multiset-shared grams
-    * Σ_g min(c_a, c_b) ≥ max(|a|,|b|)_grams − k·q. Candidates come from a
-    * gram-keyed equi join over per-doc gram COUNTS; exact `levenshtein`
-    * verifies candidates only — and the [[graft.plans.LevenshteinLengthGuard]]
-    * rule injects its implied length-difference guard into that verify
-    * filter, the optimizer extension's production consumer. The resemblance
-    * family (MinHash/PPJoin) scores SET overlap of word shingles; this is
-    * the character-level metric — transposed words are FAR here and NEAR
-    * there, by design.
+    * corpus via Ed-Join PREFIX filtering (Xiao, Wang & Lin 2008, on the
+    * q-gram bound of Gravano et al. 2001): one edit changes at most q gram
+    * offsets, and every distinct q-gram missing from the other side must
+    * occupy only changed offsets, so lev(a,b) ≤ k forces
+    * |Ga ∩ Gb| ≥ max(|Ga|,|Gb|) − k·q over DISTINCT gram sets. With grams
+    * globally ordered by (df asc, gram) — rarest first — the prefix-filter
+    * theorem then says a qualifying pair must share a gram within each
+    * doc's first k·q + 1 grams of that order, so candidates come from a
+    * PREFIX×PREFIX equi join only (the [[dedupJaccardPrefix]] machinery on
+    * character grams), with the |len_a − len_b| ≤ k length condition as a
+    * join-time residual; the count bound itself then re-applies as a CHEAP
+    * per-candidate filter (sorted-array intersect ≥ max(m_a, m_b) − k·q),
+    * and only its survivors pay the one expensive per-pair op — exact
+    * `levenshtein` at ~0.4 ms/call (profiled: at sf0.1 the three stages go
+    * 12.5M pair space → 175k prefix candidates → 7.5k count survivors →
+    * 25× less verify time than prefix-only). The
+    * [[graft.plans.LevenshteinLengthGuard]] rule injects its implied
+    * length guard into that verify filter — the optimizer extension's
+    * production consumer. The resemblance family (MinHash/PPJoin) scores
+    * SET overlap of word shingles; this is the character-level metric —
+    * transposed words are FAR here, NEAR there.
     *
-    * Hot grams (df > dfCap) are dropped from the join — the same
-    * quadratic-bucket hazard as LSH/anchor STOP terms — but SOUNDLY: each
-    * doc carries its dropped multiset mass dm, Σmin over dropped grams is
-    * ≤ min(dm_a, dm_b), so the kept-gram threshold relaxes by exactly that
-    * deduction. Pairs that could meet the bound on dropped mass ALONE
-    * (both docs mostly-hot: dm ≥ grams − k·q) can share zero kept grams
-    * and never reach the join — they get an explicit all-pairs fallback
-    * within that set (spec-pinned; boilerplate-clique docs, bounded small
-    * once exact dedup has run upstream — at 100 TB cap-or-quarantine the
-    * clique exactly like [[bucketedPairs]] star-links hot buckets).
+    * The bound is vacuous only when BOTH docs have ≤ k·q grams (text
+    * shorter than (k+1)·q − 1 chars): such micro-docs can sit within k
+    * edits while sharing zero grams, so they get an explicit
+    * constant-equi-key fallback join among themselves (a bounded-size
+    * class by construction — and the no-cartesian invariant holds because
+    * the key is a real equi key); docs under q chars have no grams at all
+    * and ride the same fallback through the LEFT count-filter joins. A
+    * first cut used an absolute df-cap + dropped-mass deduction instead of
+    * prefixes: SOUND, but df scales with the corpus — at sf0.1 every doc
+    * of this deliberately dense fixture fell into the mostly-hot fallback
+    * and the query went all-pairs (measured 357 s). Rarest-first prefixes
+    * adapt to the corpus (the same reason [[dedupJaccardPrefix]] df-orders
+    * its shingles).
     *
     * The DuckDB oracle is the TEXTBOOK all-pairs join, so its pass proves
-    * the whole filter stack lossless on the fixture (25 pairs at sf0.01,
-    * from 202 candidates out of a 125k pair space), the same
-    * oracle-as-losslessness-proof contract as [[dedupJaccardPrefix]].
+    * the whole filter stack lossless on the fixture (25 pairs at sf0.01),
+    * the same oracle-as-losslessness-proof contract as
+    * [[dedupJaccardPrefix]].
     */
-  def dedupEditDistance(spark: SparkSession, dir: String, k: Int = 12,
-      q: Int = 8, dfCap: Long = 64L): DataFrame = {
-    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val grams = docs
-      .select(col("doc_id"), explode(expr(
-        s"CASE WHEN length(text) >= $q THEN transform(sequence(1, length(text) - $q + 1), " +
-          s"i -> substring(text, i, $q)) ELSE CAST(array() AS array<string>) END"))
-        .as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-    val docFreq = grams.groupBy("gram").agg(count(lit(1)).as("ddf"))
-    val withDf = grams.join(docFreq, "gram")
-    // Per-doc dropped multiset mass + total gram count (Σc = |text| − q + 1).
-    val stats = withDf.groupBy("doc_id")
-      .agg(sum(when(col("ddf") > dfCap, col("c")).otherwise(0L)).as("dm"),
-        sum(col("c")).as("lg"))
-    val kept = withDf.filter(col("ddf") <= dfCap).select("doc_id", "gram", "c")
-    val shared = kept.select(col("gram"), col("doc_id").as("doc_a"), col("c").as("ca"))
-      .join(kept.select(col("gram"), col("doc_id").as("doc_b"), col("c").as("cb")), "gram")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(sum(least(col("ca"), col("cb"))).as("sm"))
-    val sa = stats.select(col("doc_id").as("doc_a"), col("dm").as("dm_a"), col("lg").as("lg_a"))
-    val sb = stats.select(col("doc_id").as("doc_b"), col("dm").as("dm_b"), col("lg").as("lg_b"))
-    val cand = shared.join(sa, "doc_a").join(sb, "doc_b")
-      .filter(col("sm") >=
-        greatest(col("lg_a"), col("lg_b")) - lit(k * q) - least(col("dm_a"), col("dm_b")) &&
-        abs(col("lg_a") - col("lg_b")) <= k)
+  def dedupEditDistance(spark: SparkSession, dir: String, k: Int = 8,
+      q: Int = 8): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("ln"))
+    // Materialized once: THREE consumers (gram arrays, df counts, the
+    // prefix build) would each re-run the explode+distinct gram pipeline
+    // (profiled 4.4 s per pass at sf0.1). Grams travel as xxhash64 LONGS
+    // from here on — every join key and the count filter's array intersect
+    // get ~8× cheaper than 8-char strings (profiled 12 s → 2 s on the
+    // intersect stage), and a collision can only ADD a candidate (the
+    // filter stays sound; the exact verify decides membership).
+    val gd = docs.select(col("doc_id"), col("ln"), explode(expr(
+        s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
+          s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
+          s"ELSE CAST(array() AS array<bigint>) END")).as("gram"))
+      .localCheckpoint()
+    // Per-doc SORTED gram arrays + set size, materialized once (both sides
+    // of the count filter read it; sorted arrays make array_intersect a
+    // cheap per-pair op).
+    val gs = gd.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("gs"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    val docFreq = gd.groupBy("gram").agg(count(lit(1)).as("ddf"))
+    // Per-doc grams sorted rarest-first; the prefix is the first k·q + 1.
+    // Materialized once — it feeds BOTH sides of the candidate self-join.
+    val pre = gd.join(docFreq, "gram")
+      .groupBy("doc_id", "ln")
+      .agg(sort_array(collect_list(struct(col("ddf"), col("gram")))).as("ord"))
+      .select(col("doc_id"), col("ln"),
+        explode(slice(transform(col("ord"), o => o.getField("gram")),
+          lit(1), lit(k * q + 1))).as("gram"))
+      .localCheckpoint()
+    val cand = pre.select(col("gram"), col("doc_id").as("doc_a"), col("ln").as("ln_a"))
+      .join(pre.select(col("gram"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "gram")
+      .filter(col("doc_a") < col("doc_b") && abs(col("ln_a") - col("ln_b")) <= k)
       .select("doc_a", "doc_b")
-    // Mostly-hot fallback: docs whose kept mass cannot reach the bound by
-    // itself — their true pairs may share ONLY dropped grams.
-    // Constant equi key: the clique is tiny by contract, and the hash join
-    // keeps the inventory's no-cartesian invariant (a < b as residual).
-    val hot = stats.filter(col("dm") >= col("lg") - lit(k * q))
-      .select(col("doc_id"), lit(1).as("one"))
-    val hotPairs = hot.select(col("one"), col("doc_id").as("doc_a"))
-      .join(hot.select(col("one"), col("doc_id").as("doc_b")), "one")
-      .filter(col("doc_a") < col("doc_b"))
+    // Micro-doc fallback (both sides ≤ k·q grams): constant equi key over a
+    // bounded-size class; a < b and the length condition as residuals.
+    val short = docs.filter(col("ln") < lit((k + 1).toLong * q - 1))
+      .select(col("doc_id"), col("ln"), lit(1).as("one"))
+    val shortPairs = short.select(col("one"), col("doc_id").as("doc_a"), col("ln").as("ln_a"))
+      .join(short.select(col("one"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "one")
+      .filter(col("doc_a") < col("doc_b") && abs(col("ln_a") - col("ln_b")) <= k)
+      .select("doc_a", "doc_b")
+    // Stage 2, the COUNT filter on candidates only (Gravano's bound applied
+    // where it is cheap): lev ≤ k ⇒ |Ga ∩ Gb| ≥ max(m_a, m_b) − k·q. At
+    // sf0.1 this is the stage that makes the exact verify affordable —
+    // 175k prefix candidates → 7.5k survivors → exact levenshtein (the lone
+    // expensive per-pair op at ~0.4 ms/call) runs 23× less often.
+    // Left joins: a doc shorter than q has NO grams (absent from gs) — its
+    // micro-pairs must still reach the verify (m = 0 makes the bound
+    // vacuous for them, which is exactly right).
+    val counted = cand.unionAll(shortPairs).distinct()
+      .join(gs.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"), col("m").as("m_a")),
+        Seq("doc_a"), "left")
+      .join(gs.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"), col("m").as("m_b")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"), lit(0L)) >=
+        greatest(coalesce(col("m_a"), lit(0L)), coalesce(col("m_b"), lit(0L))) - lit(k.toLong * q))
       .select("doc_a", "doc_b")
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    cand.unionAll(hotPairs).distinct()
+    counted
       .join(ta, "doc_a").join(tb, "doc_b")
       .filter(levenshtein(col("text_a"), col("text_b")) <= k)
       .select(col("doc_a"), col("doc_b"),

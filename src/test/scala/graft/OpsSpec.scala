@@ -2131,14 +2131,15 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("edit-distance join: stop-gram deduction and the mostly-hot fallback keep the filter lossless") {
+  test("edit-distance join: prefix filter and the micro-doc fallback keep the filter lossless") {
     val dir = java.nio.file.Files.createTempDirectory("graft-edj").toString
     import spark.implicits._
-    // Hot block H appears in 7 docs — over dfCap=3, so ALL its grams drop
-    // from the join. Docs 10/11 are H alone (every gram dropped: only the
-    // fallback can find their lev=0 pair); docs 1/2 share a long unique
-    // tail with 2 edits (found via kept grams, threshold relaxed by the
-    // dropped mass); doc 3's tail is unrelated (lev > k, must not pair).
+    // Docs 1/2: a long pair two substitutions apart — must arrive through
+    // the rarest-first prefix join. Docs 3/4/5: long, far (> k) — the
+    // verify must reject whatever the prefix admits. Docs 10 "abc" /
+    // 11 "xyz": lev 3 ≤ k while sharing ZERO grams — the case the prefix
+    // theorem cannot reach (both under k·q grams), found only by the
+    // micro-doc fallback. Micro↔long pairs die on the length residual.
     val H = "hothothot"
     val docs = Seq(
       (1L, H + " abcdefghijklmnopqrstuvwxyz0123456789"),
@@ -2146,12 +2147,13 @@ class OpsSpec extends SparkSpec {
       (3L, H + " zyxZYXwvuWVUtsrTSRqpoQPOnmlNMLkjiKJI"),
       (4L, H + " 4tail4tail4tail4tail4tail4tail4tail4"),
       (5L, H + " 5term5term5term5term5term5term5term5"),
-      (10L, H), (11L, H))
+      (10L, "abc"), (11L, "xyz"),
+      // shorter than q — zero grams, reachable ONLY via the fallback's
+      // left count-filter joins
+      (12L, "ab"), (13L, "aZ"))
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    // k·q = 12 keeps the hot set at exactly {10, 11} (docs 1–5 have
-    // lg ≈ 44, dm ≈ 7 < lg − 12, so they must travel the kept-gram path).
-    val got = LlmPipeline.dedupEditDistance(spark, dir, k = 4, q = 3, dfCap = 3)
+    val got = LlmPipeline.dedupEditDistance(spark, dir, k = 4, q = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // Driver-side ground truth: textbook DP levenshtein over all pairs.
     def lev(a: String, b: String): Int = {
@@ -2172,10 +2174,12 @@ class OpsSpec extends SparkSpec {
       if ia < ib && lev(ta, tb) <= 4
     } yield (ia, ib, lev(ta, tb).toLong)
     assert(got == truth.sorted, s"got $got\nwant ${truth.sorted}")
-    assert(truth.contains((10L, 11L, 0L)),
-      "the all-hot identical pair must be present — only the fallback can reach it")
+    assert(truth.contains((10L, 11L, 3L)),
+      "the zero-shared-gram micro pair must be present — only the fallback can reach it")
+    assert(truth.contains((12L, 13L, 1L)),
+      "the gramless (< q chars) pair must survive the left count-filter joins")
     assert(truth.exists { case (a, b, d) => a == 1L && b == 2L && d > 0 },
-      "the kept-gram deduction pair must be present")
+      "the prefix-path pair must be present")
     assert(!truth.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) },
       "the far pair must be excluded (verify does real work)")
   }
