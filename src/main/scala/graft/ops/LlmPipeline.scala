@@ -636,6 +636,9 @@ object LlmPipeline {
     */
   def dedupEditDistance(spark: SparkSession, dir: String, k: Int = 8,
       q: Int = 8): DataFrame = {
+    // The verify predicate is this rule's production shape (same
+    // install-at-the-consumer pattern as [[graft.ops.Analytics.erBlockedMatch]]).
+    graft.plans.LevenshteinLengthGuard.install(spark)
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("ln"))
     // Materialized once: THREE consumers (gram arrays, df counts, the

@@ -280,6 +280,14 @@ class PlanShapeSpec extends SparkSpec {
       s"length guard missing from the levenshtein predicate line:\n$p")
     assert(joinLine.indexOf("abs((length(") < joinLine.indexOf("levenshtein"),
       s"guard must precede the DP in the conjunction:\n$joinLine")
+    // The edit-distance join's verify condition is the rule's second
+    // production consumer — same guard, join-condition shape.
+    val p2 = plan("dedup_edit_distance")
+    val line2 = p2.linesIterator
+      .find(l => l.contains("levenshtein") && l.contains("<=")).getOrElse("")
+    assert(line2.contains("abs((length(") &&
+      line2.indexOf("abs((length(") < line2.indexOf("levenshtein"),
+      s"guard missing from the edit-distance verify:\n$line2")
   }
 
   test("interval join rides the time-grid equi key — no nested-loop join") {
