@@ -630,7 +630,8 @@ object LlmPipeline {
     * its shingles).
     *
     * The DuckDB oracle is the TEXTBOOK all-pairs join, so its pass proves
-    * the whole filter stack lossless on the fixture (25 pairs at sf0.01),
+    * the whole filter stack lossless on the fixture (25 pairs at sf0.01;
+    * also hash-verified at sf0.1 against the 12.5M-pair truth, 255 pairs),
     * the same oracle-as-losslessness-proof contract as
     * [[dedupJaccardPrefix]].
     */

@@ -640,6 +640,20 @@ object StreamingExtract {
       compactSidecar(spark, shinglesDir, compactAfterFiles, partitioned = false)
   }
 
+  /** A [[graft.extract.Pipeline]] loader routing every extracted batch
+    * through [[noveltyLoadBatch]] — the [[curatedLoader]] sibling:
+    * extraction's at-least-once boundary re-read dies at the sink's doc_id
+    * gate, and each admitted doc lands scored against everything extracted
+    * before it.
+    */
+  def noveltyLoader(compactAfterFiles: Int = 64)
+      : (graft.model.ExtractResult, graft.model.TableConfig, String) => Unit =
+    (r, table, outPath) =>
+      r.df.foreach { df =>
+        noveltyLoadBatch(df.sparkSession, df,
+          s"$outPath/${table.effectiveTargetName}", compactAfterFiles)
+      }
+
   /** MERGE-style upsert sink via foreachBatch: each micro-batch UPDATES rows
     * whose key already exists in the sink and INSERTS the rest — the loader
     * contract one step past [[dedupAppendSink]]'s insert-only dedup, for

@@ -112,6 +112,57 @@ class PipelineSpec extends SparkSpec {
     } finally jconn.close()
   }
 
+  test("live JDBC extraction composes with the novelty-scoring sink in one Pipeline.run phase") {
+    // The curatedLoader composition's scoring sibling: incremental Derby
+    // extraction routed through noveltyLoadBatch — the boundary re-read
+    // dies at the sink's doc_id gate, and round-2 docs score against the
+    // round-1 first-seer state.
+    val url = "jdbc:derby:memory:graftnovelty;create=true"
+    val jconn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jconn.createStatement()
+      st.executeUpdate("CREATE TABLE docs_n (doc_id BIGINT NOT NULL, text VARCHAR(1000))")
+      val ps = jconn.prepareStatement("INSERT INTO docs_n VALUES (?, ?)")
+      def insert(id: Long, text: String): Unit = {
+        ps.setLong(1, id); ps.setString(2, text); ps.executeUpdate(); ()
+      }
+      insert(0L, "a b c d e")
+      insert(1L, "f g h i j")
+
+      val conn = ConnectionConfig(jdbcUrl = Some(url), user = "", password = "")
+      def extractor = new Extractor("-", cacheBatches = false,
+        source = Some((s, n) => JdbcSource.load(s, conn, TableConfig(n))))
+      val wmPath = java.nio.file.Files.createTempFile("graft-wm-nov", ".properties")
+      val store = new FileWatermarkStore(wmPath)
+      val out = java.nio.file.Files.createTempDirectory("graft-novload").toString
+      val docsTable = TableConfig("docs_n",
+        replicationMethod = ReplicationMethod.Incremental,
+        iterateColumn = Some("doc_id"), iterateColumnType = IterateType.IntCol)
+      val loader = Some(graft.streaming.StreamingExtract.noveltyLoader())
+
+      val run1 = new Pipeline(extractor, store, loader).run(spark, Seq(docsTable), out)
+      assert(run1.head._2.isSuccess)
+      val sink = s"$out/docs_n"
+      def scores() = spark.read.parquet(sink)
+        .select("doc_id", "novelty_micro").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scores() == Map(0L -> 1000000L, 1L -> 1000000L))
+
+      // Source grows: a verbatim remix of doc 0 and a half-remix. Round 2
+      // re-extracts boundary row 1 (inclusive watermark) — the sink gate
+      // must drop it, and the new docs score against round 1's seers.
+      insert(2L, "a b c d e")
+      insert(3L, "c d e f g")
+      val run2 = new Pipeline(extractor, store, loader).run(spark, Seq(docsTable), out)
+      assert(run2.head._2.isSuccess)
+      assert(scores() == Map(0L -> 1000000L, 1L -> 1000000L,
+        2L -> 0L, 3L -> 666666L),
+        s"round-2 scoring must see round-1 first-seers exactly once: ${scores()}")
+      assert(spark.read.parquet(sink).count() == 4,
+        "the re-delivered boundary row must not re-append")
+    } finally jconn.close()
+  }
+
   test("passOnError=true records the failure and continues; false propagates") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipe2").toString
     val pipe = new Pipeline(new Extractor(sf))
