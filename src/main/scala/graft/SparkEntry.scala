@@ -881,7 +881,7 @@ object SparkEntry {
     "events_bot_detect" ->
       """WITH g AS (SELECT user_id, event_id, (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 60000000 AS gap FROM events), per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap*gap) AS BIGINT) AS q FROM g WHERE gap IS NOT NULL GROUP BY 1) SELECT user_id, n AS n_gaps, s // n AS mean_gap_min, CAST(floor(CAST(n*q - s*s AS DOUBLE) * 1000000 / CAST(s*s AS DOUBLE)) AS BIGINT) AS cv2_micro, CASE WHEN 5*(n*q - s*s) < 4*s*s THEN 'regular' WHEN 5*(n*q - s*s) > 6*s*s THEN 'bursty' ELSE 'typical' END AS cadence_class FROM per WHERE n >= 11 AND s > 0 ORDER BY user_id""",
     "events_changepoint" ->
-      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS ss FROM daily), cum AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl, CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS sl, nn, ss FROM daily CROSS JOIN tot), sc AS (SELECT day, nl, nn - nl AS nr, sl, ss - sl AS sr, ss, (nn - nl)*sl - nl*(ss - sl) AS diff FROM cum WHERE nl < nn) SELECT day, nl AS n_left, nr AS n_right, (sl * 100) // nl AS mean_left_centi, (sr * 100) // nr AS mean_right_centi, CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) * 1000000 / CAST(nl*nr*ss*ss AS DOUBLE)) AS BIGINT) AS score_micro FROM sc ORDER BY score_micro DESC, day LIMIT 5""",
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1), tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(x) AS BIGINT) AS ss FROM daily), cum AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS nl, CAST(sum(x) OVER (ORDER BY day) AS BIGINT) AS sl, nn, ss FROM daily CROSS JOIN tot), sc AS (SELECT day, nl, nn - nl AS nr, sl, ss - sl AS sr, ss, (nn - nl)*sl - nl*(ss - sl) AS diff FROM cum WHERE nl < nn) SELECT day, nl AS n_left, nr AS n_right, (sl * 100) // nl AS mean_left_centi, (sr * 100) // nr AS mean_right_centi, CAST(floor(CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE) * 1000000 / (CAST(nl AS DOUBLE) * CAST(nr AS DOUBLE) * CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE))) AS BIGINT) AS score_micro FROM sc ORDER BY score_micro DESC, day LIMIT 5""",
     "events_survival" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events), su AS (SELECT user_id, min(tus) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1), pu AS (SELECT e.user_id, min(tus) AS t1 FROM ev e JOIN su USING (user_id) WHERE event_type = 'purchase' AND tus >= t0 GROUP BY 1), obs AS (SELECT CASE WHEN t1 IS NOT NULL AND (t1 - t0) // 3600000000 <= 48 THEN (t1 - t0) // 3600000000 ELSE 48 END AS obs_hr, (t1 IS NOT NULL AND (t1 - t0) // 3600000000 <= 48) AS is_event FROM su LEFT JOIN pu USING (user_id)), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM obs), per AS (SELECT obs_hr, CAST(sum(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS n_events, CAST(sum(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored FROM obs GROUP BY 1), cum AS (SELECT obs_hr, n_events, n_censored, n_total, COALESCE(CAST(sum(n_events + n_censored) OVER (ORDER BY obs_hr ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS ended_before FROM per CROSS JOIN tot), hz AS (SELECT obs_hr, n_events, n_censored, n_total - ended_before AS n_at_risk, (n_events * 1000000) // (n_total - ended_before) AS hazard_micro FROM cum) SELECT obs_hr, n_events, n_censored, n_at_risk, hazard_micro, CAST(sum(hazard_micro) OVER (ORDER BY obs_hr) AS BIGINT) AS cumhaz_micro FROM hz ORDER BY obs_hr""",
     "window_regr_slope" ->

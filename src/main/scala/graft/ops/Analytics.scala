@@ -2730,11 +2730,14 @@ object Analytics {
     * metric break" question: every split t scores
     * D(t) = (n_l·n_r/N²)·((μ_l − μ_r)/μ)² = diff²/(n_l·n_r·S²) with
     * diff = n_r·S_l − n_l·S_r, maximized at the true shift for a
-    * mean-change (the CUSUM square; Hinkley 1970). All inputs to the one
-    * IEEE division are exact int64 (diff² ≤ (N·S)² and n_l·n_r·S² both
-    * < 2⁵³ at any plausible day count), so both engines agree bit-for-bit;
-    * ties rank by earliest day. Top 5 splits reported — the profile around
-    * the argmax is the evidence a human reviews.
+    * mean-change (the CUSUM square; Hinkley 1970). diff stays exact int64
+    * (≤ N·S, day count times event count); the denominator's factors cast
+    * to double INDIVIDUALLY and multiply in IEEE (n_l·n_r·S² scales with
+    * events², so an int64 product would overflow near 10⁹ events even
+    * though each factor is exact) — identical left-associated ops in both
+    * engines, so they agree bit-for-bit; ties rank by earliest day. Top 5
+    * splits reported — the profile around the argmax is the evidence a
+    * human reviews.
     *
     * Scale: the scan runs over the DAILY aggregate (calendar-bounded, the
     * [[ordersOpenBacklog]] argument for its partition-less cumulative
@@ -2757,7 +2760,8 @@ object Analytics {
         expr("(sl * 100) div nl").as("mean_left_centi"),
         expr("((ss - sl) * 100) div (nn - nl)").as("mean_right_centi"),
         floor(col("diff").cast("double") * col("diff").cast("double") * 1000000.0 /
-          (col("nl") * (col("nn") - col("nl")) * col("ss") * col("ss")).cast("double"))
+          (col("nl").cast("double") * (col("nn") - col("nl")).cast("double") *
+            col("ss").cast("double") * col("ss").cast("double")))
           .cast("long").as("score_micro"))
       .orderBy(col("score_micro").desc, col("day"))
       .limit(5)

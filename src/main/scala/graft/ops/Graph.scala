@@ -361,18 +361,25 @@ object Graph {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val counts = e.join(broadcast(labels), e("src") === labels("node"))
-        .groupBy(col("dst").as("inode"), col("lbl").as("nlbl"))
-        .agg(count(lit(1)).as("c"))
-      val best = counts.groupBy("inode")
-        .agg(min(struct((-col("c")).as("negc"), col("nlbl").as("l"))).as("m"))
-        .select(col("inode"), col("m.l").as("new_lbl"))
+      val best = labelPropIncoming(e, labels)
       labels = labels.join(best, labels("node") === col("inode"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
     }
     labels
   }
+
+  /** The edge-touching stage of one plurality round — split out (and used
+    * verbatim by the plan-shape spec) so the pinned broadcast-labels /
+    * no-edge-reshuffle plan IS the production stage, not a test-side copy.
+    */
+  private[graft] def labelPropIncoming(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(broadcast(labels), e("src") === labels("node"))
+      .groupBy(col("dst").as("inode"), col("lbl").as("nlbl"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("inode")
+      .agg(min(struct((-col("c")).as("negc"), col("nlbl").as("l"))).as("m"))
+      .select(col("inode"), col("m.l").as("new_lbl"))
 
   /** Community detection on the domestic trade graph by [[LabelPropRounds]]
     * synchronous label-propagation rounds, rolled up per community — the

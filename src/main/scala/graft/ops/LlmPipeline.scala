@@ -674,9 +674,11 @@ object LlmPipeline {
       .join(pre.select(col("gram"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "gram")
       .filter(col("doc_a") < col("doc_b") && abs(col("ln_a") - col("ln_b")) <= k)
       .select("doc_a", "doc_b")
-    // Micro-doc fallback (both sides ≤ k·q grams): constant equi key over a
-    // bounded-size class; a < b and the length condition as residuals.
-    val short = docs.filter(col("ln") < lit((k + 1).toLong * q - 1))
+    // Micro-doc fallback (both sides ≤ k·q grams ⇔ ln ≤ (k+1)·q − 1):
+    // constant equi key over a bounded-size class; a < b and the length
+    // condition as residuals. The boundary length (k+1)·q − 1 has EXACTLY
+    // k·q grams — still vacuous-bound, still in the class.
+    val short = docs.filter(col("ln") < lit((k + 1).toLong * q))
       .select(col("doc_id"), col("ln"), lit(1).as("one"))
     val shortPairs = short.select(col("one"), col("doc_id").as("doc_a"), col("ln").as("ln_a"))
       .join(short.select(col("one"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "one")

@@ -572,8 +572,11 @@ object Relational {
       .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"),
         col("user_id"))
       .groupBy("event_type", "day")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"),
-        hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("day_users"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      // Estimate OVER the built sketch — a second hll_sketch_agg here would
+      // build every sketch twice on the raw-scan hot path (no CSE across
+      // aggregate expressions).
+      .withColumn("day_users", hll_sketch_estimate(col("sk")))
     daily.groupBy(col("event_type"), expr("day div 30").as("period"))
       .agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),

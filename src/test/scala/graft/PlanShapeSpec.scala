@@ -370,15 +370,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("label-prop round joins broadcast the label vector — edges never re-shuffle") {
+    // The PRODUCTION round stage (labelPropIncoming — the exact code the
+    // superstep loop runs), not a test-side reimplementation.
     val e = graft.ops.Graph.domesticEdges(spark, sf)
     val labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    val counts = e.join(org.apache.spark.sql.functions.broadcast(labels),
-        e("src") === labels("node"))
-      .groupBy(col("dst").as("inode"), col("lbl").as("nlbl"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-    counts.count()
-    val p = counts.queryExecution.executedPlan.toString
+    val best = graft.ops.Graph.labelPropIncoming(e, labels)
+    best.count()
+    val p = best.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"labels must broadcast to the edges:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"edge table re-shuffled in a propagation round:\n$p")
