@@ -183,6 +183,34 @@ class ScaleStressSpec extends SparkSpec {
       "inflated fixture must exercise both matched and unmatched purchases")
   }
 
+  test("edit-distance join at 4x disjoint-vocabulary copies: per-copy pairs identical, zero cross-copy") {
+    // Every word gains a per-rep tag, so (a) within a copy all pair
+    // distances transform identically — the four copies must emit the SAME
+    // pair set (modulo the id offset) — and (b) cross-copy texts differ in
+    // every word, so any candidate leak across copies would surface as an
+    // impossible pair. Pins linearity-by-structure for the rarest-first
+    // prefix filter: true work is exactly 4x one copy.
+    val dir = java.nio.file.Files.createTempDirectory("graft-edj4x").toString
+    val base = Tables.t(spark, sf, "documents").select(col("doc_id"), col("text"))
+    base.withColumn("rep", explode(sequence(lit(0L), lit(3L))))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        expr("concat_ws(' ', transform(split(text, ' '), " +
+          "w -> concat('r', cast(rep as string), w)))").as("text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.LlmPipeline.dedupEditDistance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty, "the inflated corpus must keep its near pairs")
+    assert(got.forall(t => t._1 / 1000000L == t._2 / 1000000L),
+      s"cross-copy pair leaked: ${got.filter(t => t._1 / 1000000L != t._2 / 1000000L).take(3).toSeq}")
+    val byRep = got.groupBy(_._1 / 1000000L).map { case (rep, ts) =>
+      rep -> ts.map(t => (t._1 - rep * 1000000L, t._2 - rep * 1000000L, t._3)).toSet
+    }
+    assert(byRep.keySet == Set(0L, 1L, 2L, 3L), s"copies missing: ${byRep.keySet}")
+    assert(byRep.values.toSet.size == 1,
+      "all four copies must emit the identical rebased pair set")
+    assert(got.length == 4 * byRep(0L).size, "pairs must grow exactly x4")
+  }
+
   test("novelty kernel at 4x disjoint corpus copies: per-copy scores identical to the base run") {
     // Linearity-by-structure for the first-seer min kernel: 4 corpus copies
     // with disjoint vocabularies (terms tagged per rep, doc_ids offset) must
