@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * direction='backward', made total-order deterministic): match = max over
   * right rows with equal key and rightTime ≤ leftTime, ordered by
   * (rightTime, tiebreaks...). Null keys and null times never match (SQL
-  * equality semantics). Times must be LongType or TimestampType (micros).
+  * equality semantics). Times must be LongType, TimestampType, or
+  * TimestampNTZType (all micros-long-backed).
   *
   * Scale: one hash exchange per side on the key columns (Catalyst's
   * EnsureRequirements inserts them from `requiredChildDistribution`, and
@@ -117,6 +118,7 @@ case class AsOfJoinExec(
     val rTimeExpr = rightTime
     val lOutput = left.output
     val rOutput = right.output
+    val outAttrs = output // right side nullability-widened — null-safe projection
     val keyTypes = leftKeys.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
@@ -128,6 +130,13 @@ case class AsOfJoinExec(
       val rTime = BindReferences.bindReference(rTimeExpr, rOutput)
       val nullRight = new GenericInternalRow(rOutput.length)
       val joined = new JoinedRow
+      // Project to UnsafeRow — the SparkPlan output contract (collect /
+      // shuffle / sort above this node cast to UnsafeRow; a raw JoinedRow
+      // over a GenericInternalRow would ClassCastException there). Bind
+      // against the node's OUTPUT attributes: the right side is
+      // nullability-widened there, so unmatched rows project real nulls
+      // instead of primitive zeros.
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIter.buffered
       // The one-row as-of state: the last right row consumed for bufKey.
       var bufKey: InternalRow = null
@@ -149,7 +158,10 @@ case class AsOfJoinExec(
                 if (rTimeV == null) { rBuf.next() } // null times never match
                 else if (rTimeV.asInstanceOf[Long] <= lt) {
                   bufRow = rBuf.next().copy()
-                  bufKey = rKey.copy()
+                  // The key cannot change while cmp == 0 — copy it only on a
+                  // real change (O(distinct keys) allocations, not O(|R|)).
+                  if (bufKey == null || ord.compare(bufKey, rKey) != 0)
+                    bufKey = rKey.copy()
                 } else advance = false
               } else advance = false
             }
@@ -159,7 +171,7 @@ case class AsOfJoinExec(
           ord.compare(bufKey, lKey) == 0) bufRow else nullRight
         numOutputRows += 1
         if (m ne nullRight) numMatched += 1
-        joined(lRow, m)
+        resultProj(joined(lRow, m))
       }
     }
   }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.plans.{AsOfJoin, AsOfJoinStrategy}
 
@@ -36,7 +36,8 @@ object AsOf {
   /** Left as-of join: for each `left` row, the last `right` row with equal
     * keys and `rightTimeCol` ≤ `leftTimeCol`, ties in right time broken by
     * `rightTiebreaks` (take the max) — unmatched left rows keep null right
-    * columns. Time columns must be LongType or TimestampType.
+    * columns. Time columns must be LongType, TimestampType, or
+    * TimestampNTZType.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
@@ -48,20 +49,43 @@ object AsOf {
     ensureStrategy(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    // An unaliased self join would duplicate exprIds across the node's
+    // output, and re-analysis would rewrite the right subtree's ids out
+    // from under rightKeys/rightTime — fail fast with an actionable
+    // message instead of an internal resolution error.
+    require(lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "as-of join sides share attributes (self join?) — alias the right side's columns first")
+    // Name resolution honors the session's case-sensitivity and rejects
+    // ambiguity, like Spark's own column resolution.
+    val resolver = spark.asInstanceOf[ClassicSparkSession]
+      .sessionState.analyzer.resolver
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
         name: String) =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.map(_.name).mkString(", ")}")
+      }
     val lt = attr(lPlan, leftTimeCol)
     val rt = attr(rPlan, rightTimeCol)
     Seq(lt, rt).foreach { a =>
-      require(a.dataType == LongType || a.dataType == TimestampType,
-        s"as-of time column ${a.name} must be LongType/TimestampType, got ${a.dataType}")
+      require(a.dataType == LongType || a.dataType == TimestampType ||
+        a.dataType == TimestampNTZType,
+        s"as-of time column ${a.name} must be LongType/TimestampType/TimestampNTZType, " +
+          s"got ${a.dataType}")
     }
-    val node = AsOfJoin(lPlan, rPlan,
-      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
-      lt, rt, rightTiebreaks.map(attr(rPlan, _)))
+    val lk = leftKeys.map(attr(lPlan, _))
+    val rk = rightKeys.map(attr(rPlan, _))
+    // The exec hashes and orders BOTH sides with the left key types; a type
+    // mismatch would silently mis-partition (different hash) and misread
+    // rows — require exact per-position equality instead.
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
+    }
+    val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, rightTiebreaks.map(attr(rPlan, _)))
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], node)
   }
 }

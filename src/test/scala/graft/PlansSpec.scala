@@ -226,4 +226,44 @@ class PlansSpec extends SparkSpec {
     assert("\\bSort \\[".r.findAllIn(plan).length >= 2,
       s"both sides must sort on (key, time):\n$plan")
   }
+
+  test("native as-of join: raw collect, NTZ times, and entry validation") {
+    import spark.implicits._
+    val p = Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("pid", "user_id", "pus")
+    val c = Seq((9L, 10L, 40L)).toDF("cid", "cu", "cus")
+    // Raw collect with NO projection above the exec: the emitted rows must
+    // satisfy the UnsafeRow output contract (a bare JoinedRow would
+    // ClassCastException inside getByteArrayRdd).
+    val raw = org.apache.spark.sql.graft.AsOf
+      .asofJoin(p, c, Seq("user_id"), Seq("cu"), "pus", "cus").collect()
+    assert(raw.length == 2)
+    assert(raw.map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sortBy(_._1).toSeq == Seq((1L, 9L), (2L, -1L)))
+    // Key name resolution follows the session resolver (case-insensitive by
+    // default), and TIMESTAMP_NTZ time columns are accepted (micros-backed).
+    val pn = p.select(col("pid"), col("user_id"),
+      expr("timestamp_micros(pus)").cast("timestamp_ntz").as("pts"))
+    val cn = c.select(col("cid"), col("cu"),
+      expr("timestamp_micros(cus)").cast("timestamp_ntz").as("cts"))
+    val ntz = org.apache.spark.sql.graft.AsOf
+      .asofJoin(pn, cn, Seq("USER_ID"), Seq("CU"), "pts", "cts")
+      .select("pid", "cid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(ntz == Map(1L -> 9L, 2L -> -1L))
+    // Mismatched key types fail fast (silent mis-partitioning otherwise).
+    val cInt = Seq((9, 10, 40L)).toDF("cid", "cu", "cus")
+    val eTyp = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.AsOf.asofJoin(
+        p, cInt.select(col("cid"), col("cu").cast("int").as("cu"), col("cus")),
+        Seq("user_id"), Seq("cu"), "pus", "cus")
+    }
+    assert(eTyp.getMessage.contains("key type mismatch"), eTyp.getMessage)
+    // An unaliased self join fails with an actionable message, not an
+    // internal resolution error.
+    val eSelf = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.AsOf.asofJoin(
+        p, p, Seq("user_id"), Seq("user_id"), "pus", "pus")
+    }
+    assert(eSelf.getMessage.contains("alias the right side"), eSelf.getMessage)
+  }
 }
