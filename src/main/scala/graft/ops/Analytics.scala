@@ -2125,8 +2125,8 @@ object Analytics {
       .filter(col("pu") >= col("s"))
       .groupBy("user_id").agg(expr("min(pu - s) div 60000000").as("delay_min"))
     conv.agg(count(lit(1)).as("n_converted"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_min)").as("p50_min"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_min)").as("p90_min"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_min)").cast("long").as("p50_min"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_min)").cast("long").as("p90_min"),
         expr("(sum(delay_min) * 100) div count(1)").as("mean_centimin"))
   }
 
@@ -2162,7 +2162,10 @@ object Analytics {
 
   /** Order-to-ship lead-time distribution per order priority: p50/p90/p99
     * of days-to-last-shipment plus the mean, all exact (type-1
-    * `percentile_disc` over integer day counts ≡ DuckDB `quantile_disc`;
+    * `percentile_disc` over integer day counts ≡ DuckDB `quantile_disc` in
+    * VALUE but not TYPE — Spark renders DOUBLE where DuckDB keeps BIGINT,
+    * so the explicit `.cast("long")` is load-bearing for the hash gate
+    * (convention pinned in PercentileConventionSpec);
     * the mean is an integer-scaled ratio). Negative synthetic lead times
     * clamp to 0 exactly as [[ordersOpenBacklog]] clamps its spans.
     *
@@ -2180,9 +2183,9 @@ object Analytics {
           expr("unix_micros(o_orderdate) div 86400000000"), lit(0L)).as("days"))
     lead.groupBy("priority")
       .agg(count(lit(1)).as("n_orders"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)").as("p50_days"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)").as("p90_days"),
-        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY days)").as("p99_days"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY days)").cast("long").as("p50_days"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY days)").cast("long").as("p90_days"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY days)").cast("long").as("p99_days"),
         expr("(sum(days) * 100) div count(1)").as("mean_centidays"))
       .orderBy("priority")
   }
@@ -2472,8 +2475,8 @@ object Analytics {
       .filter(col("gap").isNotNull)
       .agg(count(lit(1)).as("n_gaps"),
         min(col("gap")).as("min_days"),
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)").as("p50_days"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)").as("p90_days"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)").cast("long").as("p50_days"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)").cast("long").as("p90_days"),
         max(col("gap")).as("max_days"),
         expr("(sum(gap) * 100) div count(1)").as("mean_centidays"))
   }
