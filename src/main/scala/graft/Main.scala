@@ -210,11 +210,15 @@ object Main {
       .map(r => s"${r.getString(0)}→${r.getLong(2)}").mkString(" ")
     val nvSink = s"$outDir/novelty_scored"
     val docs = graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text")
-    val half = docs.count() / 2
+    // Split on the MEDIAN doc_id, not count()/2: offset or sparse id
+    // spaces would make a count-based split lopsided or empty.
+    val midId = docs.agg(org.apache.spark.sql.functions
+      .expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id)").cast("long"))
+      .head().getLong(0)
     graft.streaming.StreamingExtract.noveltyLoadBatch(
-      spark, docs.filter(col("doc_id") < half), nvSink)
+      spark, docs.filter(col("doc_id") <= midId), nvSink)
     graft.streaming.StreamingExtract.noveltyLoadBatch(
-      spark, docs.filter(col("doc_id") >= half), nvSink)
+      spark, docs.filter(col("doc_id") > midId), nvSink)
     val scored = spark.read.parquet(nvSink)
     val meanNovelty = scored.agg(
       org.apache.spark.sql.functions.expr("sum(novelty_micro) div count(1)"))

@@ -2709,9 +2709,9 @@ object Analytics {
     val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     val gaps = t(spark, dir, "events")
       .select(col("user_id"), expr("unix_micros(ts)").as("tus"), col("event_id"))
-      .withColumn("gap", (col("tus") - lag(col("tus"), 1).over(w)) / lit(60000000L))
-      .filter(col("gap").isNotNull)
-      .select(col("user_id"), col("gap").cast("long").as("gap"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .select(col("user_id"), expr("gap_us div 60000000").as("gap"))
     gaps.groupBy("user_id")
       .agg(count(lit(1)).as("n"), sum(col("gap")).as("s"),
         sum(col("gap") * col("gap")).as("q"))

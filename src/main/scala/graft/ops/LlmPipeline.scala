@@ -674,16 +674,28 @@ object LlmPipeline {
       .join(pre.select(col("gram"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "gram")
       .filter(col("doc_a") < col("doc_b") && abs(col("ln_a") - col("ln_b")) <= k)
       .select("doc_a", "doc_b")
-    // Micro-doc fallback (both sides ≤ k·q grams ⇔ ln ≤ (k+1)·q − 1):
-    // constant equi key over a bounded-size class; a < b and the length
-    // condition as residuals. The boundary length (k+1)·q − 1 has EXACTLY
-    // k·q grams — still vacuous-bound, still in the class.
+    // Micro-doc fallback (both sides ≤ k·q grams ⇔ ln ≤ (k+1)·q − 1),
+    // banded by LENGTH BUCKET rather than a constant key: bucket width
+    // k + 1 guarantees any pair with |ln_a − ln_b| ≤ k sits in the same or
+    // adjacent buckets, so the A-leg emits {bkt, bkt + 1} and the join is a
+    // real equi join — pair expansion is bounded by the per-length-window
+    // short-doc mass, not quadratic in the WHOLE short-doc count (a corpus
+    // dominated by short texts no longer degenerates to all-pairs; only
+    // same-length-window mass does, and those pairs are genuine
+    // candidates). Roles canonicalize via least/greatest because the
+    // lower-BUCKET doc must be the emitting leg regardless of id order;
+    // the downstream distinct() absorbs the same/adjacent double match.
+    // The boundary length (k+1)·q − 1 has EXACTLY k·q grams — still
+    // vacuous-bound, still in the class.
     val short = docs.filter(col("ln") < lit((k + 1).toLong * q))
-      .select(col("doc_id"), col("ln"), lit(1).as("one"))
-    val shortPairs = short.select(col("one"), col("doc_id").as("doc_a"), col("ln").as("ln_a"))
-      .join(short.select(col("one"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "one")
-      .filter(col("doc_a") < col("doc_b") && abs(col("ln_a") - col("ln_b")) <= k)
-      .select("doc_a", "doc_b")
+      .select(col("doc_id"), col("ln"), expr(s"ln div ${k + 1}").as("bkt"))
+    val shortPairs = short
+      .select(explode(array(col("bkt"), col("bkt") + 1)).as("bkt"),
+        col("doc_id").as("ida"), col("ln").as("ln_a"))
+      .join(short.select(col("bkt"), col("doc_id").as("idb"), col("ln").as("ln_b")), "bkt")
+      .filter(col("ida") =!= col("idb") && abs(col("ln_a") - col("ln_b")) <= k)
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
     // Stage 2, the COUNT filter on candidates only (Gravano's bound applied
     // where it is cheap): lev ≤ k ⇒ |Ga ∩ Gb| ≥ max(m_a, m_b) − k·q. At
     // sf0.1 this is the stage that makes the exact verify affordable —

@@ -625,12 +625,16 @@ object StreamingExtract {
         .write.mode("overwrite").parquet(shinglesDir)
     val stored =
       if (hasData(spark, shinglesDir)) Some(spark.read.parquet(shinglesDir)) else None
-    // Replay gate BEFORE scoring: a re-delivered doc must not re-append,
-    // and fresh-row attribution keeps its score stable regardless.
+    // Replay gate BEFORE scoring: a re-delivered doc must not re-append —
+    // neither from a prior batch (anti-join against the stored sink) nor
+    // from within THIS batch (dropDuplicates, else same-batch duplicates
+    // all pass the stored-sink gate and double-append). Fresh-row
+    // attribution keeps the survivor's score stable regardless.
+    val once = batch.dropDuplicates("doc_id")
     val fresh =
       if (hasData(spark, sinkDir))
-        batch.join(spark.read.parquet(sinkDir).select("doc_id"), Seq("doc_id"), "left_anti")
-      else batch
+        once.join(spark.read.parquet(sinkDir).select("doc_id"), Seq("doc_id"), "left_anti")
+      else once
     val (scored0, newSeers0) = graft.ops.LlmPipeline.noveltyScoreBatch(fresh, stored)
     val scored = scored0.localCheckpoint(true)
     val newSeers = newSeers0.localCheckpoint(true)

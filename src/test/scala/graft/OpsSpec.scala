@@ -2150,7 +2150,13 @@ class OpsSpec extends SparkSpec {
       (10L, "abc"), (11L, "xyz"),
       // shorter than q — zero grams, reachable ONLY via the fallback's
       // left count-filter joins
-      (12L, "ab"), (13L, "aZ"))
+      (12L, "ab"), (13L, "aZ"),
+      // Cross-BUCKET fallback pair (bucket width k+1 = 5): lengths 7 and 3
+      // land in adjacent length buckets, share zero 3-grams (lev 4 is all
+      // insertions between disjoint gram sets), and the LOWER id carries
+      // the HIGHER bucket — the adjacency emit + least/greatest
+      // canonicalization must still find it.
+      (22L, "mAnBoCD"), (23L, "mno"))
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = LlmPipeline.dedupEditDistance(spark, dir, k = 4, q = 3)
@@ -2182,6 +2188,8 @@ class OpsSpec extends SparkSpec {
       "the prefix-path pair must be present")
     assert(!truth.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) },
       "the far pair must be excluded (verify does real work)")
+    assert(truth.contains((22L, 23L, 4L)),
+      "the cross-bucket zero-shared-gram pair must survive the banded fallback")
   }
 
   test("window_regr_slope recovers an exact linear trend and rejects partial windows") {

@@ -702,4 +702,23 @@ class StreamingExtractSpec extends SparkSpec {
     assert(spark.read.parquet(shinglesDir).count() == 8,
       "adoption must rebuild exactly the corpus shingle set")
   }
+
+  test("noveltyLoadBatch: duplicate doc_ids WITHIN one batch append once, like cross-batch replay") {
+    import spark.implicits._
+    val sink = java.nio.file.Files.createTempDirectory("graft-nvdup").toString + "/out"
+    // doc 1 arrives twice in the SAME micro-batch (at-least-once sources
+    // can re-deliver inside a poll, not only across polls); doc 2 once.
+    StreamingExtract.noveltyLoadBatch(spark,
+      Seq((1L, "a b c d e"), (1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text"),
+      sink)
+    val rows = spark.read.parquet(sink).groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 1L),
+      s"intra-batch duplicates must collapse to one sink row: $rows")
+    // And the gate composes with the cross-batch one: replaying the same
+    // mixed batch appends nothing.
+    StreamingExtract.noveltyLoadBatch(spark,
+      Seq((1L, "a b c d e"), (1L, "a b c d e")).toDF("doc_id", "text"), sink)
+    assert(spark.read.parquet(sink).count() == 2, "replay after dedup must be a no-op")
+  }
 }
