@@ -37,6 +37,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushdownNanosTimestamp)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL surface for the as-of operator: parser rewrite (ASOF JOIN …
+    // MATCH_CONDITION → marked LEFT JOIN), marker functions, and the
+    // resolution rule converting the marked Join into the AsOfJoin node.
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => graft.plans.ResolveAsOfSql)
+    ext.injectFunction((FunctionIdentifier("graft_asof_match"),
+      info("graft_asof_match",
+        "graft_asof_match(l_time, r_time[, tiebreaks...]) - as-of marker in a LEFT JOIN condition: match the last right row with r_time <= l_time"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfMatch(exprs, inner = false)))
+    ext.injectFunction((FunctionIdentifier("graft_asof_match_inner"),
+      info("graft_asof_match_inner",
+        "graft_asof_match_inner(l_time, r_time[, tiebreaks...]) - as-of marker dropping unmatched left rows (DuckDB ASOF JOIN default)"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfMatch(exprs, inner = true)))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(text) - 64-hash MinHash signature (3-word shingles)"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64, 3)))

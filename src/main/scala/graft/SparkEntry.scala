@@ -377,6 +377,7 @@ object SparkEntry {
     "embed_drift" -> (LlmPipeline.embedDrift _),
     "events_mde_power" -> (Analytics.eventsMdePower _),
     "join_asof_native" -> (Relational.joinAsofNative _),
+    "sql_asof_join" -> (Relational.sqlAsofJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
     "text_burstiness" -> (Analytics.textBurstiness _),
@@ -876,6 +877,10 @@ object SparkEntry {
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), m AS (SELECT purchase_id, click_id, click_us, row_number() OVER (PARTITION BY purchase_id ORDER BY click_us DESC, click_id DESC) AS rn FROM p JOIN c ON p.user_id = c.user_id AND c.click_us <= p.purchase_us) SELECT p.purchase_id, p.user_id, p.purchase_us, m.click_id, m.click_us FROM p LEFT JOIN m ON m.purchase_id = p.purchase_id AND m.rn = 1 ORDER BY p.purchase_id""",
     "join_asof_native" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'), m AS (SELECT purchase_id, click_id, click_us, row_number() OVER (PARTITION BY purchase_id ORDER BY click_us DESC, click_id DESC) AS rn FROM p JOIN c ON p.user_id = c.user_id AND c.click_us <= p.purchase_us) SELECT p.purchase_id, p.user_id, p.purchase_us, m.click_id, m.click_us FROM p LEFT JOIN m ON m.purchase_id = p.purchase_id AND m.rn = 1 ORDER BY p.purchase_id""",
+    // DuckDB's NATIVE ASOF JOIN is the oracle: both engines run the same
+    // SQL feature, independently implemented (see Relational.sqlAsofJoin).
+    "sql_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click') SELECT purchase_id, user_id, purchase_us, click_us FROM p ASOF JOIN c ON user_id = click_user AND purchase_us >= click_us ORDER BY purchase_id""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
     "events_bot_detect" ->

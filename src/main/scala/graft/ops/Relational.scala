@@ -959,6 +959,36 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** The SQL face of the native as-of operator — the same purchases×clicks
+    * point-in-time join as [[joinAsofNative]] but expressed in the
+    * `ASOF JOIN … MATCH_CONDITION` dialect
+    * ([[graft.plans.AsOfSqlRewrite]] → marked LEFT JOIN →
+    * [[graft.plans.ResolveAsOfSql]] → [[graft.plans.AsOfJoinExec]]), and
+    * INNER like DuckDB's bare `ASOF JOIN`: purchases with no prior click
+    * drop instead of carrying nulls. The oracle is DuckDB's own native
+    * `ASOF JOIN`, so the pass checks the whole surface — grammar,
+    * conversion, and the operator's backward-match semantics — against an
+    * independent engine's implementation of the same SQL feature.
+    * `click_us` (not `click_id`) is the output because DuckDB's ASOF
+    * leaves equal-time ties unspecified while ours takes the TIEBREAK max;
+    * the matched TIME is tie-invariant on both.
+    *
+    * Scale: identical movement to [[joinAsofNative]] — one hash exchange +
+    * sort per side, O(|L|+|R|) merge, no candidate set.
+    */
+  def sqlAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    org.apache.spark.sql.graft.AsOf.sql(spark,
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, unix_micros(ts) AS purchase_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id AS click_user, unix_micros(ts) AS click_us
+        |           FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, purchase_us, click_us
+        |FROM p ASOF JOIN c ON user_id = click_user
+        |MATCH_CONDITION (purchase_us >= click_us) TIEBREAK (click_id)
+        |ORDER BY purchase_id""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- aggregations
 
   /** TPC-H-Q1-like pricing summary: partial+final hash aggregate; all float

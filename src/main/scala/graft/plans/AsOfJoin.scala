@@ -29,7 +29,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * right rows with equal key and rightTime ≤ leftTime, ordered by
   * (rightTime, tiebreaks...). Null keys and null times never match (SQL
   * equality semantics). Times must be LongType, TimestampType, or
-  * TimestampNTZType (all micros-long-backed).
+  * TimestampNTZType (all micros-long-backed). `isInner = false` keeps
+  * unmatched left rows with null right columns (pandas / `ASOF LEFT JOIN`);
+  * `isInner = true` drops them (DuckDB's bare `ASOF JOIN` default) and the
+  * right output keeps its original nullability.
   *
   * Scale: one hash exchange per side on the key columns (Catalyst's
   * EnsureRequirements inserts them from `requiredChildDistribution`, and
@@ -46,10 +49,12 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreaks: Seq[Expression]) extends BinaryNode {
+    rightTiebreaks: Seq[Expression],
+    isInner: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (isInner) right.output
+                    else right.output.map(_.withNullability(true)))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -63,8 +68,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, inner) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, inner) :: Nil
     case _ => Nil
   }
 }
@@ -84,10 +89,12 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    rightTiebreaks: Seq[Expression]) extends BinaryExecNode {
+    rightTiebreaks: Seq[Expression],
+    isInner: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
-    left.output ++ right.output.map(_.withNullability(true))
+    left.output ++ (if (isInner) right.output
+                    else right.output.map(_.withNullability(true)))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -120,6 +127,7 @@ case class AsOfJoinExec(
     val rOutput = right.output
     val outAttrs = output // right side nullability-widened — null-safe projection
     val keyTypes = leftKeys.map(_.dataType)
+    val innerFlag = isInner
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -141,7 +149,7 @@ case class AsOfJoinExec(
       // The one-row as-of state: the last right row consumed for bufKey.
       var bufKey: InternalRow = null
       var bufRow: InternalRow = null
-      lIter.map { lRow =>
+      val emit = lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTimeV = if (lKey.anyNull) null else lTime.eval(lRow)
         if (lTimeV != null) {
@@ -169,10 +177,14 @@ case class AsOfJoinExec(
         }
         val m = if (lTimeV != null && bufRow != null && bufKey != null &&
           ord.compare(bufKey, lKey) == 0) bufRow else nullRight
-        numOutputRows += 1
-        if (m ne nullRight) numMatched += 1
-        resultProj(joined(lRow, m))
+        if (innerFlag && (m eq nullRight)) null // inner: unmatched left rows drop
+        else {
+          numOutputRows += 1
+          if (m ne nullRight) numMatched += 1
+          resultProj(joined(lRow, m))
+        }
       }
+      emit.filter(_ ne null)
     }
   }
 }

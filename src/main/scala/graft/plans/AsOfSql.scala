@@ -1,0 +1,331 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, PredicateHelper, Unevaluable}
+import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructType, TimestampNTZType, TimestampType}
+
+/** SQL surface for the native as-of join ([[AsOfJoin]]): the `injectParser`
+  * seam. Grammar (DuckDB-compatible):
+  *
+  * {{{
+  * SELECT ... FROM l ASOF JOIN r        ON l.k = r.k [AND ...] MATCH_CONDITION (l.t >= r.t) [TIEBREAK (r.c, ...)]
+  * SELECT ... FROM l ASOF LEFT JOIN r   ON ...                 MATCH_CONDITION (...)
+  * }}}
+  *
+  * `ASOF JOIN` is INNER like DuckDB's (unmatched left rows drop);
+  * `ASOF LEFT JOIN` keeps them with null right columns (pandas
+  * `merge_asof`). `MATCH_CONDITION` accepts one `>=` or `<=` comparison
+  * whose ≥-side must be the LEFT time — backward as-of only, a forward
+  * request errors rather than silently flipping direction. `TIEBREAK`
+  * names right-side columns that break equal-time ties (max wins),
+  * making the match total-order deterministic like the DataFrame API.
+  *
+  * Mechanism — three pieces, each on a public extension seam:
+  *
+  *  1. [[GraftSqlParser]] (`injectParser`): rewrites the `ASOF JOIN`
+  *     clause TEXTUALLY into a standard `LEFT JOIN` whose condition
+  *     carries the [[AsOfMatch]] marker function, then delegates to
+  *     Spark's own parser. The full SQL language keeps working —
+  *     projections, WHERE, CTEs, nesting — because Spark parses the
+  *     rewritten statement; only the one clause is transformed. String
+  *     literals, quoted identifiers, and comments are masked before
+  *     keyword scanning, and spans are balanced-paren scans (not greedy
+  *     regexes), so `'ASOF JOIN'` in a literal or a subquery relation
+  *     with its own ON never confuses the rewrite.
+  *  2. [[AsOfMatch]] (`injectFunction` as `graft_asof_match` /
+  *     `graft_asof_match_inner`): an Unevaluable boolean that anchors the
+  *     as-of spec inside the join condition through analysis. It
+  *     references both sides, so no optimizer rule can push it out of the
+  *     condition; if it ever reached execution the failure is loud.
+  *  3. [[ResolveAsOfSql]] (`injectResolutionRule`): converts the marked
+  *     `Join` into the [[AsOfJoin]] logical node once both sides resolve,
+  *     splitting the remaining conjuncts into per-position equi-keys with
+  *     the same validation as the Scala API (`AsOf.asofJoin`). Output
+  *     attribute ids are preserved, so references above the join are
+  *     untouched.
+  *
+  * Hand-written SQL can also skip the custom syntax entirely:
+  * `... LEFT JOIN r ON l.k = r.k AND graft_asof_match(l.t, r.t)` is the
+  * post-rewrite form and works verbatim.
+  */
+case class AsOfMatch(children: Seq[Expression], inner: Boolean)
+    extends Expression with Unevaluable {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length < 2)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_asof_match needs (left_time, right_time[, tiebreaks...])")
+    else {
+      val ok: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+      val bad = children.take(2).filterNot(c => ok.contains(c.dataType))
+      if (bad.nonEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          "as-of time columns must be BIGINT/TIMESTAMP/TIMESTAMP_NTZ, got " +
+            bad.map(_.dataType.simpleString).mkString(", "))
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): AsOfMatch = copy(children = newChildren)
+}
+
+/** Textual `ASOF JOIN` → marked `LEFT JOIN` rewrite. Pure string→string, no
+  * session state — unit-testable without Spark.
+  */
+object AsOfSqlRewrite {
+
+  def apply(sql: String): String = {
+    var cur = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 64) {
+      val next = rewriteOne(cur)
+      changed = next ne cur
+      cur = next
+      guard += 1
+    }
+    cur
+  }
+
+  /** Blank out string literals ('…' and "…" with doubled-quote and
+    * backslash escapes), backtick identifiers, `--` line comments, and
+    * block comments, PRESERVING offsets, so keyword/paren scanning never
+    * fires inside them. Capture-group slices always come from the ORIGINAL
+    * text at the masked offsets.
+    */
+  private[plans] def mask(s: String): String = {
+    val out = s.toCharArray
+    def blank(from: Int, until: Int): Unit = {
+      var j = from
+      while (j < until && j < out.length) { out(j) = ' '; j += 1 }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        var j = i + 1
+        var end = -1
+        while (j < s.length && end < 0) {
+          if (s.charAt(j) == '\\' && c != '`') j += 2
+          else if (s.charAt(j) == c) {
+            if (j + 1 < s.length && s.charAt(j + 1) == c) j += 2 else end = j + 1
+          } else j += 1
+        }
+        val stop = if (end < 0) s.length else end
+        blank(i, stop); i = stop
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        var j = i + 2
+        while (j < s.length && s.charAt(j) != '\n') j += 1
+        blank(i, j); i = j
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2)
+        val stop = if (e < 0) s.length else e + 2
+        blank(i, stop); i = stop
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  private def isWordChar(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  /** First depth-0 occurrence of keyword `kw` in `masked` at or after
+    * `from`; −1 if none before the enclosing scope closes (depth < 0).
+    */
+  private def findKeyword(masked: String, from: Int, kw: String): Int = {
+    var i = from
+    var depth = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth < 0) return -1 }
+      else if (depth == 0 && masked.regionMatches(true, i, kw, 0, kw.length) &&
+          (i == 0 || !isWordChar(masked.charAt(i - 1))) &&
+          (i + kw.length >= masked.length || !isWordChar(masked.charAt(i + kw.length))))
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Span of the balanced-paren group whose '(' is the next non-space char
+    * at or after `from`: (contentStart, contentEnd, afterCloseParen).
+    */
+  private def parenSpan(masked: String, from: Int): (Int, Int, Int) = {
+    var i = from
+    while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    if (i >= masked.length || masked.charAt(i) != '(')
+      throw new IllegalArgumentException(
+        s"as-of SQL: expected '(' at offset $i")
+    var depth = 1
+    var j = i + 1
+    while (j < masked.length && depth > 0) {
+      val c = masked.charAt(j)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      j += 1
+    }
+    if (depth != 0) throw new IllegalArgumentException(
+      "as-of SQL: unbalanced parentheses in MATCH_CONDITION/TIEBREAK")
+    (i + 1, j - 1, j)
+  }
+
+  private val AsofRe = java.util.regex.Pattern.compile(
+    "(?i)\\bASOF\\s+(?:(LEFT|INNER)\\s+)?JOIN\\b")
+
+  private def rewriteOne(sql: String): String = {
+    val masked = mask(sql)
+    val m = AsofRe.matcher(masked)
+    if (!m.find()) return sql
+    val isLeft = m.group(1) != null && m.group(1).equalsIgnoreCase("LEFT")
+    val onIdx = findKeyword(masked, m.end(), "ON")
+    if (onIdx < 0) throw new IllegalArgumentException(
+      "as-of SQL: ASOF JOIN requires an ON clause")
+    val mcIdx = findKeyword(masked, onIdx + 2, "MATCH_CONDITION")
+    if (mcIdx < 0) throw new IllegalArgumentException(
+      "as-of SQL: ASOF JOIN requires MATCH_CONDITION (l_time >= r_time)")
+    val (mcStart, mcEnd, afterMc) = parenSpan(masked, mcIdx + "MATCH_CONDITION".length)
+    // One >= or <= at depth 0 inside MATCH_CONDITION; the ≥-side is the
+    // left (probe) time either way.
+    var cmpIdx = -1
+    var cmpGe = true
+    var depth = 0
+    var i = mcStart
+    while (i < mcEnd - 1 && cmpIdx < 0) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (c == '>' || c == '<') && masked.charAt(i + 1) == '=') {
+        cmpIdx = i; cmpGe = c == '>'
+      }
+      i += 1
+    }
+    if (cmpIdx < 0) throw new IllegalArgumentException(
+      "as-of SQL: MATCH_CONDITION must be one 'l_time >= r_time' (or <=) comparison")
+    val (aTxt, bTxt) = (sql.substring(mcStart, cmpIdx).trim,
+      sql.substring(cmpIdx + 2, mcEnd).trim)
+    val (ltTxt, rtTxt) = if (cmpGe) (aTxt, bTxt) else (bTxt, aTxt)
+    // Optional TIEBREAK (cols...) directly after MATCH_CONDITION's parens.
+    val tbKw = "TIEBREAK"
+    var afterClause = afterMc
+    var tbTxt: Option[String] = None
+    var k = afterMc
+    while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+    if (masked.regionMatches(true, k, tbKw, 0, tbKw.length) &&
+        (k + tbKw.length >= masked.length || !isWordChar(masked.charAt(k + tbKw.length)))) {
+      val (tbStart, tbEnd, afterTb) = parenSpan(masked, k + tbKw.length)
+      tbTxt = Some(sql.substring(tbStart, tbEnd).trim)
+      afterClause = afterTb
+    }
+    val marker = (if (isLeft) "graft_asof_match" else "graft_asof_match_inner") +
+      s"($ltTxt, $rtTxt${tbTxt.map(t => s", $t").getOrElse("")})"
+    // NB: explicit substrings — scala.StringBuilder has no 3-arg
+    // CharSequence append; (s, a, b) would silently hit append(x: Any).
+    val sb = new StringBuilder
+    sb.append(sql.substring(0, m.start()))
+    sb.append("LEFT JOIN")
+    sb.append(sql.substring(m.end(), onIdx))
+    sb.append("ON (")
+    sb.append(sql.substring(onIdx + 2, mcIdx).trim)
+    sb.append(") AND ")
+    sb.append(marker)
+    sb.append(sql.substring(afterClause))
+    sb.toString
+  }
+}
+
+/** Delegating parser: rewrites `ASOF JOIN` clauses, hands everything to
+  * Spark's parser. Installed by [[graft.GraftExtensions]] via
+  * `injectParser`; vanilla sessions reach the same kernel through
+  * `AsOf.sql`.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(AsOfSqlRewrite(sqlText))
+  override def parsePlanWithParameters(
+      sqlText: String, ctx: ParameterContext): LogicalPlan =
+    delegate.parsePlanWithParameters(AsOfSqlRewrite(sqlText), ctx)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(AsOfSqlRewrite(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+/** Converts a `Join` whose condition carries [[AsOfMatch]] into the
+  * [[AsOfJoin]] node, with the same key/time validation as the Scala API.
+  * `transformUp` (not `resolveOperatorsUp`) so one code path serves both
+  * the injected-analyzer-rule install AND post-analysis application on an
+  * already-`analyzed`-flagged plan (`AsOf.sql` on vanilla sessions); the
+  * marker-presence guard keeps it idempotent either way.
+  */
+object ResolveAsOfSql extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("as-of SQL: " + msg)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, jt, Some(cond), _)
+        if j.childrenResolved && cond.resolved &&
+          l.outputSet.intersect(r.outputSet).isEmpty &&
+          cond.exists(_.isInstanceOf[AsOfMatch]) =>
+      val (markers, keyConds) =
+        splitConjunctivePredicates(cond).partition(_.isInstanceOf[AsOfMatch])
+      if (markers.length != 1)
+        fail("exactly one graft_asof_match per join condition")
+      val mk = markers.head.asInstanceOf[AsOfMatch]
+      if (jt != Inner && jt != LeftOuter)
+        fail(s"as-of join supports INNER and LEFT joins, not $jt")
+      // A null-rejecting filter above may have let the optimizer turn the
+      // parser's LEFT JOIN into Inner — honor it; semantics stay aligned
+      // because the filter that justified the conversion remains in place.
+      val isInner = mk.inner || jt == Inner
+      val lt = mk.children(0)
+      val rt = mk.children(1)
+      val tbs = mk.children.drop(2)
+      if (!lt.references.subsetOf(l.outputSet))
+        fail("MATCH_CONDITION's >= side must be the LEFT (probe) time — " +
+          "forward as-of is not supported; swap the comparison if the right " +
+          "time should be at-or-before the left time")
+      if (!rt.references.subsetOf(r.outputSet))
+        fail("MATCH_CONDITION's <= side must be the RIGHT (quote) time")
+      val badTb = tbs.filterNot(_.references.subsetOf(r.outputSet))
+      if (badTb.nonEmpty)
+        fail(s"TIEBREAK columns must come from the right side: ${badTb.map(_.sql).mkString(", ")}")
+      val (lks, rks) = keyConds.map {
+        case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
+            b.references.subsetOf(r.outputSet) => (a, b)
+        case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&
+            a.references.subsetOf(r.outputSet) => (b, a)
+        case other => fail("the ON clause must be AND-ed equality keys plus one " +
+          s"MATCH_CONDITION; cannot use: ${other.sql}")
+      }.unzip
+      if (lks.isEmpty) fail("as-of join needs at least one equi-key in ON")
+      lks.zip(rks).foreach { case (a, b) =>
+        // The exec hashes/orders both sides with left key types; mismatched
+        // types would silently mis-partition — same check as AsOf.asofJoin.
+        if (a.dataType != b.dataType)
+          fail(s"key type mismatch: ${a.sql}: ${a.dataType.simpleString} vs " +
+            s"${b.sql}: ${b.dataType.simpleString}")
+      }
+      AsOfJoin(l, r, lks, rks, lt, rt, tbs, isInner)
+  }
+}

@@ -88,4 +88,29 @@ object AsOf {
     val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, rightTiebreaks.map(attr(rPlan, _)))
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], node)
   }
+
+  /** Run an `ASOF JOIN … MATCH_CONDITION` SQL statement on ANY session —
+    * the vanilla-session twin of the `GraftExtensions` wiring (which makes
+    * plain `spark.sql` understand the syntax). Same kernel both ways:
+    * [[graft.plans.AsOfSqlRewrite]] turns the clause into a marked LEFT
+    * JOIN the stock parser accepts, the session analyzes it, and
+    * [[graft.plans.ResolveAsOfSql]] converts the marked Join into the
+    * native [[graft.plans.AsOfJoin]] node (planned by the idempotently
+    * registered strategy). An extensions-built session converts during
+    * analysis, leaving nothing for the post-pass — idempotent by the
+    * marker guard.
+    */
+  def sql(spark: SparkSession, asofSql: String): DataFrame = {
+    ensureStrategy(spark)
+    val cs = spark.asInstanceOf[ClassicSparkSession]
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof_match",
+      exprs => graft.plans.AsOfMatch(exprs, inner = false), "built-in")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof_match_inner",
+      exprs => graft.plans.AsOfMatch(exprs, inner = true), "built-in")
+    val analyzed = spark.sql(graft.plans.AsOfSqlRewrite(asofSql))
+      .queryExecution.analyzed
+    ClassicDataset.ofRows(cs, graft.plans.ResolveAsOfSql(analyzed))
+  }
 }

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.AsOfSqlRewrite
+
+/** The SQL surface of the native as-of operator: the `AsOfSqlRewrite`
+  * text kernel, the vanilla-session `AsOf.sql` entry, error paths, and
+  * (in [[ExtensionsSpec]]'s style) the injected-parser path where plain
+  * `spark.sql` understands `ASOF JOIN … MATCH_CONDITION`.
+  */
+class AsOfSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- text-rewrite kernel (no Spark involved) ----
+
+  test("rewrite: bare ASOF JOIN becomes a LEFT JOIN with the inner marker") {
+    val out = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym MATCH_CONDITION (t.ts >= q.ts)")
+    assert(out == "SELECT * FROM t LEFT JOIN q ON (t.sym = q.sym) AND " +
+      "graft_asof_match_inner(t.ts, q.ts)", out)
+  }
+
+  test("rewrite: ASOF LEFT JOIN keeps left-outer marker; <= swaps sides; TIEBREAK appends") {
+    val out = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF LEFT JOIN q ON t.sym = q.sym " +
+        "MATCH_CONDITION (q.ts <= t.ts) TIEBREAK (q.seq)")
+    assert(out == "SELECT * FROM t LEFT JOIN q ON (t.sym = q.sym) AND " +
+      "graft_asof_match(t.ts, q.ts, q.seq)", out)
+  }
+
+  test("rewrite: string literals and comments are inert; subquery relations survive") {
+    val lit = "SELECT 'an ASOF JOIN x ON y MATCH_CONDITION (a >= b)' AS s FROM t"
+    assert(AsOfSqlRewrite(lit) eq lit, "literal must not be rewritten")
+    val cmt = "SELECT * FROM t -- ASOF JOIN q ON x MATCH_CONDITION (a >= b)\nWHERE 1=1"
+    assert(AsOfSqlRewrite(cmt) eq cmt, "comment must not be rewritten")
+    val sub = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN (SELECT sym, ts FROM raw WHERE k = 'ON x') q " +
+        "ON t.sym = q.sym MATCH_CONDITION (t.ts >= q.ts)")
+    assert(sub.contains("LEFT JOIN (SELECT sym, ts FROM raw WHERE k = 'ON x') q"), sub)
+    assert(sub.contains("graft_asof_match_inner(t.ts, q.ts)"), sub)
+  }
+
+  test("rewrite: missing MATCH_CONDITION or ON errors with an actionable message") {
+    val e1 = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym"))
+    assert(e1.getMessage.contains("MATCH_CONDITION"))
+    val e2 = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q"))
+    assert(e2.getMessage.contains("ON clause"))
+  }
+
+  // ---- fixture for the execution paths ----
+
+  private def fixture(s: SparkSession): Unit = {
+    import s.implicits._
+    Seq((0L, "A", 0L), (1L, "A", 1L), (2L, "A", 6L), (3L, "B", 3L), (4L, "C", 9L))
+      .toDF("trade_id", "sym", "tts").createOrReplaceTempView("trades")
+    // Two quotes at (A, 5): TIEBREAK(seq) must pick seq 21 (px 13).
+    Seq(("A", 1L, 10L, 20L), ("A", 5L, 11L, 21L), ("A", 5L, 13L, 21L - 1L + 2L),
+      ("B", 2L, 7L, 30L))
+      .toDF("qsym", "qts", "px", "seq").createOrReplaceTempView("quotes")
+  }
+
+  // Expected backward matches (ties by max seq): trade 0 → none,
+  // 1 → (A,1,10), 2 → (A,5,13,seq22), 3 → (B,2,7), 4 → none.
+
+  test("AsOf.sql on a vanilla session plans AsOfJoinExec; inner drops unmatched; tiebreak picks max") {
+    fixture(spark)
+    val q =
+      """SELECT trade_id, px FROM trades ASOF JOIN quotes
+        |ON sym = qsym MATCH_CONDITION (tts >= qts) TIEBREAK (seq)
+        |""".stripMargin
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark, q)
+    // Physical tree strings strip the "Exec" suffix: "AsOfJoin [keys]…".
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+      df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 13L, 3L -> 7L), got.toString)
+  }
+
+  test("AsOf.sql: ASOF LEFT JOIN keeps unmatched trades with null quotes") {
+    fixture(spark)
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark,
+      """SELECT trade_id, px FROM trades ASOF LEFT JOIN quotes
+        |ON sym = qsym MATCH_CONDITION (tts >= qts) TIEBREAK (seq)""".stripMargin)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(0L -> -1L, 1L -> 10L, 2L -> 13L, 3L -> 7L, 4L -> -1L), got.toString)
+    // Left ≡ the DataFrame API on the same inputs.
+    val api = org.apache.spark.sql.graft.AsOf.asofJoin(
+      spark.table("trades"), spark.table("quotes"),
+      Seq("sym"), Seq("qsym"), "tts", "qts", Seq("seq"))
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(api == got, s"SQL $got vs API $api")
+  }
+
+  test("AsOf.sql composes with the full SQL language around the clause") {
+    fixture(spark)
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark,
+      """WITH big AS (SELECT * FROM trades WHERE tts >= 1)
+        |SELECT sym, count(*) AS n, sum(px) AS total
+        |FROM big ASOF JOIN quotes ON sym = qsym
+        |MATCH_CONDITION (tts >= qts) TIEBREAK (seq)
+        |GROUP BY sym ORDER BY sym""".stripMargin)
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("A", 2L, 23L), ("B", 1L, 7L)), got.toString)
+  }
+
+  test("AsOf.sql error paths: forward as-of, missing equi-key, non-equality conjunct") {
+    fixture(spark)
+    val fwd = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT * FROM trades ASOF JOIN quotes ON sym = qsym " +
+        "MATCH_CONDITION (qts >= tts)").collect())
+    assert(fwd.getMessage.contains("forward as-of"), fwd.getMessage)
+    val nokey = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT * FROM trades ASOF JOIN quotes ON trade_id > seq " +
+        "MATCH_CONDITION (tts >= qts)").collect())
+    assert(nokey.getMessage.contains("cannot use"), nokey.getMessage)
+  }
+
+  test("hand-written marker form works without the custom syntax") {
+    fixture(spark)
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT trade_id, px FROM trades LEFT JOIN quotes ON sym = qsym " +
+        "AND graft_asof_match(tts, qts, seq)")
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin ["))
+    assert(df.count() == 5)
+  }
+
+  test("injected parser: plain spark.sql understands ASOF JOIN in an extensions session") {
+    val prior = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      fixture(s)
+      val df = s.sql(
+        """SELECT trade_id, px FROM trades ASOF JOIN quotes
+          |ON sym = qsym MATCH_CONDITION (tts >= qts) TIEBREAK (seq)""".stripMargin)
+      assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+        df.queryExecution.executedPlan.toString)
+      assert(df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 10L, 2L -> 13L, 3L -> 7L))
+      // extraStrategies stays empty: the strategy arrived via the
+      // extensions, not the per-call fallback (ExtensionsSpec contract).
+      assert(s.experimental.extraStrategies.isEmpty)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setActiveSession)
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

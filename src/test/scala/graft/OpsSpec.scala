@@ -1760,10 +1760,11 @@ class OpsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     val r = Analytics.ordersInterarrival(spark, dir).collect().head
     // customer 1: gaps 10 and 30 days; customer 2: no gap. percentile_disc
-    // returns double (the oracle's quantile_disc stays integer — the
-    // driver's compare is value-based, same as orders_lead_time).
-    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
-      r.getLong(5)) == (2L, 10L, 10.0, 30.0, 30L, 2000L), s"got $r")
+    // returns DOUBLE, so the query casts to long — the hash gate needs the
+    // TYPE to match DuckDB's BIGINT quantile_disc, not just the value
+    // (SchemaDisciplineSpec pins the class).
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == (2L, 10L, 10L, 30L, 30L, 2000L), s"got $r")
   }
 
   test("text_burstiness separates a Poisson-scattered term from a bursty one exactly") {
