@@ -26,8 +26,10 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *   5. co-occurrence jaccard linearity: the typed-flatMap packed-pair
   *      kernel under ×1 / ×4 disjoint customer copies (degrees constant, so
   *      work grows ×scale while the distinct pair space stays fixed);
-  *   6. prefix-filter jaccard linearity: the PPJoin self-join at ×1 / ×4
-  *      disjoint-vocabulary corpus copies through the real query path;
+  *   6. prefix-filter jaccard linearity: the PPJoin self-join at ×1/×4/×8
+  *      disjoint-vocabulary corpus copies through the real query path (the
+  *      ×8 point separates fixed-overhead amortization from a genuine
+  *      quadratic term — see the leg's comment);
   *   7. as-of join: the native sorted-merge operator vs the composed
   *      candidate+window form under ×4 / ×16 per-user density inflation
   *      (composed candidates grow ×scale², the merge stays linear).
@@ -250,16 +252,21 @@ object ScaleBench {
     }
 
     // ------------------------------------------- 6. prefix-filter jaccard
-    // The exact PPJoin self-join at ×1 / ×4 DISJOINT corpus copies: every
-    // word carries a per-rep suffix, so rep r's shingle vocabulary is
+    // The exact PPJoin self-join at ×1 / ×4 / ×8 DISJOINT corpus copies:
+    // every word carries a per-rep suffix, so rep r's shingle vocabulary is
     // disjoint from rep r' — document count grows ×scale while each rep's
     // internal similarity structure is unchanged. Candidates and true pairs
     // must then grow LINEARLY (×scale), never cross-rep quadratic — the
     // prefix filter's frequency ordering is computed over the inflated
     // corpus itself, so this also shows the df ordering adapts to the
     // bigger vocabulary. Measured through the REAL query path (temp dir +
-    // dedupJaccardPrefix), not a re-implementation.
-    for (scale <- Seq(1L, 4L)) {
+    // dedupJaccardPrefix), not a re-implementation. The ×1→×4 wall-clock
+    // ratio RUNS AHEAD of the pair ratio (r8 measured 5.5× for exactly ×4
+    // pairs) because the ×1 point is fixed-overhead-dominated (job
+    // scheduling + the df aggregate's floor cost on a 17 MB corpus); the
+    // ×8 point exists to adjudicate that reading — t(×8)/t(×4) near 2 is
+    // the linear asymptote, near 4 would be a real quadratic term.
+    for (scale <- Seq(1L, 4L, 8L)) {
       val tmp = graft.sources.FileFormats.exitCleanedTempDir(s"graft-ppj-x$scale")
       Tables.t(spark, sfDir, "documents")
         .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))

@@ -200,15 +200,69 @@ object Multimodal {
       else Some((sampleRate.toFloat, totalSamples.toDouble / sampleRate))
     }
 
+  /** REAL video container decode for AVI payloads (the JDK-feasible video
+    * leg — MJPEG-in-AVI is the classic codec-free container): RIFF chunk
+    * walk to the mandatory `avih` main header, whose fields are
+    * dwMicroSecPerFrame (offset 0), dwTotalFrames (16), dwWidth (32),
+    * dwHeight (36) — all little-endian u32 per the AVI spec (OpenDML /
+    * AVIMAINHEADER). Same honest-header-parse contract as [[decodeFlac]]:
+    * width/height/duration/frame-count need no codec, only the container.
+    * Gated on the `RIFF….AVI ` magic; None on torn chunks, truncated
+    * headers, or nonsense dimensions (caller falls back to the stub).
+    * Descends into `LIST` chunks (avih lives inside `LIST hdrl`) with a
+    * depth cap so a malformed self-referencing size can't loop.
+    */
+  def decodeAvi(payload: Array[Byte]): Option[(Int, Int, Double, Int)] =
+    if (payload == null || payload.length < 24 ||
+        payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+        payload(8) != 'A' || payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ') None
+    else {
+      def u32(i: Int): Long =
+        (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+          ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+      def cc(i: Int, s: String): Boolean =
+        payload(i) == s(0).toByte && payload(i + 1) == s(1).toByte &&
+          payload(i + 2) == s(2).toByte && payload(i + 3) == s(3).toByte
+      def scan(start: Int, end: Int, depth: Int): Option[Int] = {
+        var i = start
+        while (i + 8 <= end) {
+          val sz = u32(i + 4)
+          if (sz < 0 || i + 8 + sz > payload.length) return None // torn chunk
+          if (cc(i, "avih")) return Some(i + 8)
+          if (cc(i, "LIST") && depth < 4) {
+            val inner = scan(i + 12, (i + 8 + sz).toInt, depth + 1)
+            if (inner.isDefined) return inner
+          }
+          i += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+        None
+      }
+      scan(12, payload.length, 0).flatMap { off =>
+        if (off + 40 > payload.length) None
+        else {
+          val usPerFrame = u32(off)
+          val frames = u32(off + 16)
+          val w = u32(off + 32)
+          val h = u32(off + 36)
+          if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16) || frames < 0) None
+          else Some((w.toInt, h.toInt, frames * usPerFrame / 1e6, frames.toInt))
+        }
+      }
+    }
+
   /** Kind-dispatched decoders. The image branch is REAL for PNG and JPEG
-    * payloads (javax.imageio, gated on each format's magic) and the audio
+    * payloads (javax.imageio, gated on each format's magic), the audio
     * branch is REAL for WAV (javax.sound) and FLAC (STREAMINFO header
-    * parse); everything else is a deterministic STUB a deployment would
-    * swap for its codec. Video fakes derive features from payload bytes the
+    * parse), and the video branch is REAL for AVI containers
+    * ([[decodeAvi]] — dimensions/duration/frames from the avih header, no
+    * codec needed); everything else is a deterministic STUB a deployment
+    * would swap for its codec (frame DECODE of non-MJPEG streams stays out
+    * of scope by design — the container features are what the pipeline
+    * consumes). Stub video fakes derive features from payload bytes the
     * way a real codec derives duration/frame count.
     */
   def stubDecodeKind(kind: String, payload: Array[Byte]): (Int, Int, Double, Int) = {
-    // ??? real video codecs go here; deterministic fakes keep tests stable.
+    // Non-AVI video payloads fall through to the deterministic fake below.
     val h = java.util.Arrays.hashCode(payload)
     kind match {
       case "image" =>
@@ -221,8 +275,12 @@ object Multimodal {
           case Some((_, dur)) => (0, 0, dur, 0)
           case None => (0, 0, payload.length / 16000.0, 0)
         }
-      case "video" => (math.floorMod(h, 1280) + 1, math.floorMod(h / 1280, 720) + 1,
-        payload.length / 1000.0, math.max(1, payload.length / 256))
+      case "video" =>
+        decodeAvi(payload) match {
+          case Some((w, ht, dur, fr)) => (w, ht, dur, fr)
+          case None => (math.floorMod(h, 1280) + 1, math.floorMod(h / 1280, 720) + 1,
+            payload.length / 1000.0, math.max(1, payload.length / 256))
+        }
       case _ => (0, 0, 0.0, 0)
     }
   }

@@ -99,4 +99,18 @@ class BenchSpec extends AnyFunSuite {
   test("all-failed query never retries") {
     assert(!Bench.needsRetry(Seq.empty, famMedian = Double.MaxValue, prior = Some(0.2)))
   }
+
+  test("family boundaries fall exactly at the first query of each new name-family") {
+    val names = Seq("agg_cube", "agg_mode", "dedup_exact", "dedup_simhash",
+      "sql_tpch_q1", "window_rank")
+    // Cleanup never fires inside a family (the shared memos are the point
+    // of min-of-N) and never before the very first query (nothing to drop).
+    assert(Bench.familyBoundaries(names) == Set("dedup_exact", "sql_tpch_q1", "window_rank"))
+    assert(Bench.familyBoundaries(Seq("agg_a", "agg_b")) == Set.empty[String])
+    assert(Bench.familyBoundaries(Seq.empty) == Set.empty[String])
+    // The real inventory: boundary count equals distinct families minus one.
+    val inv = SparkEntry.queries.keys.toSeq.sorted
+    val fams = inv.map(_.takeWhile(_ != '_')).distinct
+    assert(Bench.familyBoundaries(inv).size == fams.size - 1)
+  }
 }

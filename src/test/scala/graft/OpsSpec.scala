@@ -944,6 +944,43 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.stubDecodeKind("audio", flac)._3 == 2.0)
   }
 
+  test("video decode: AVI avih headers yield true dimensions, duration, and frame count") {
+    // Hand-built per the AVI spec: RIFF("AVI " LIST("hdrl" avih(56-byte
+    // AVIMAINHEADER))) with dwMicroSecPerFrame 40000 (25 fps),
+    // dwTotalFrames 50 (-> 2.0 s), dwWidth 320, dwHeight 240.
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = new Array[Byte](56)
+    le32(40000L).copyToArray(avih, 0)  // dwMicroSecPerFrame
+    le32(50L).copyToArray(avih, 16)    // dwTotalFrames
+    le32(320L).copyToArray(avih, 32)   // dwWidth
+    le32(240L).copyToArray(avih, 36)   // dwHeight
+    val avihChunk = "avih".getBytes("US-ASCII") ++ le32(56) ++ avih
+    val hdrl = "LIST".getBytes("US-ASCII") ++ le32(4 + avihChunk.length) ++
+      "hdrl".getBytes("US-ASCII") ++ avihChunk
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl
+
+    assert(Multimodal.decodeAvi(avi).contains((320, 240, 2.0, 50)))
+    assert(Multimodal.decodeAvi("definitely not a movie".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAvi(null).isEmpty)
+    assert(Multimodal.decodeAvi(avi.take(20)).isEmpty) // torn: magic intact, chunks gone
+    // Zero dimensions are a corrupt header, not a 0x0 video.
+    val zeroed = avi.clone()
+    le32(0L).copyToArray(zeroed, avi.length - 56 + 32)
+    assert(Multimodal.decodeAvi(zeroed).isEmpty)
+    // A chunk whose declared size overruns the payload is torn, not parsed.
+    val overrun = avi.clone()
+    le32(1 << 20).copyToArray(overrun, 16) // hdrl LIST size -> absurd
+    assert(Multimodal.decodeAvi(overrun).isEmpty)
+    // The kind dispatcher routes AVI video through the container parse and
+    // falls back to the deterministic fake for non-AVI payloads.
+    assert(Multimodal.stubDecodeKind("video", avi) == ((320, 240, 2.0, 50)))
+    val fake = Multimodal.stubDecodeKind("video", "mp4-ish bytes".getBytes("UTF-8"))
+    assert(fake._1 >= 1 && fake._2 >= 1 && fake._4 >= 1)
+  }
+
   test("count-min sketch heavy hitters: sketch-first estimates bound exact counts within eps·N") {
     // Exact counts live HERE, in the bound check — the query path itself is
     // sample → CMS estimate and never runs a full-vocabulary exact count.
