@@ -48,10 +48,20 @@ import java.nio.file.{Files, Paths}
   * the artifact (`gc_ms`, `storage_mb_after`), so any future drift of this
   * kind is visible IN the numbers instead of requiring an isolation
   * re-bench to discover. Protocol check: a fresh-process
-  * `SPARK_GRAFT_BENCH_ONLY` spot re-run of any 5 queries (write it to a
-  * scratch `SPARK_GRAFT_BENCH_OUT` so the graded artifact's prior stays
-  * intact) should agree within ~1.5× per query with the full-sweep
-  * artifact.
+  * `SPARK_GRAFT_BENCH_ONLY` spot re-run (write it to a scratch
+  * `SPARK_GRAFT_BENCH_OUT` so the graded artifact's prior stays intact)
+  * must satisfy a ONE-SIDED bound: the ARTIFACT number must not exceed
+  * 1.5× the isolated number (the r8 pathology was artifact ≫ isolated).
+  * The reverse gap is expected and healthy for sub-0.5s queries: a fresh
+  * two-minute session never reaches the full sweep's C2-compiled steady
+  * state, so it carries ~0.05–0.2s of JVM-maturity ambient the 280-query
+  * JVM has amortized away (measured in `SPOTCHECK_r09.json`: min-of-5 in
+  * a fresh session plateaus 1.6–2.5× ABOVE the artifact for the two
+  * fastest queries while every artifact number sits at or below its
+  * isolated value). Side effect of the boundary cleanup: each family's
+  * first query now sees a cold run 1 and a warm run 2, so trigger (1)
+  * retries fire on the systematic cold/warm gap — harmless (one extra
+  * warm run, min unchanged) and visibly recorded in `retried`.
   *
   * Output goes to TWO places:
   *

@@ -380,6 +380,9 @@ object SparkEntry {
     "sql_asof_join" -> (Relational.sqlAsofJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
+    "orders_repeat_rate" -> (Analytics.ordersRepeatRate _),
+    "events_error_budget" -> (Analytics.eventsErrorBudget _),
+    "text_contamination" -> (LlmPipeline.textContamination _),
     "text_burstiness" -> (Analytics.textBurstiness _),
     "agg_median_twopass" -> (Relational.aggMedianTwopass _),
     "orders_abc_migration" -> (Analytics.ordersAbcMigration _),
@@ -867,6 +870,12 @@ object SparkEntry {
       """WITH ips AS (SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS ipn FROM customer), s AS (SELECT c_custkey, ipn, CAST(ipn // 16777216 AS VARCHAR) || '.' || CAST((ipn // 65536) % 256 AS VARCHAR) || '.' || CAST((ipn // 256) % 256 AS VARCHAR) || '.' || CAST(ipn % 256 AS VARCHAR) AS ip FROM ips), p AS (SELECT c_custkey, ip, ipn, CAST(string_split(ip, '.')[1] AS BIGINT) AS o1, CAST(string_split(ip, '.')[2] AS BIGINT) AS o2, CAST(string_split(ip, '.')[3] AS BIGINT) AS o3, CAST(string_split(ip, '.')[4] AS BIGINT) AS o4 FROM s) SELECT c_custkey, ip, o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num, (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168)) AS is_private, ipn // 16777216 = 10 AS in_10_8 FROM p ORDER BY c_custkey""",
     "orders_interarrival" ->
       """WITH o AS (SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) // 86400000000 AS d FROM orders), g AS (SELECT d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap FROM o) SELECT CAST(count(*) AS BIGINT) AS n_gaps, min(gap) AS min_days, quantile_disc(gap, 0.5) AS p50_days, quantile_disc(gap, 0.9) AS p90_days, max(gap) AS max_days, (CAST(sum(gap) AS BIGINT) * 100) // count(*) AS mean_centidays FROM g WHERE gap IS NOT NULL""",
+    "orders_repeat_rate" ->
+      """WITH ranked AS (SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS d, row_number() OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey) AS rn FROM orders), per AS (SELECT o_custkey, min(CASE WHEN rn = 1 THEN d END) AS d1, min(CASE WHEN rn = 2 THEN d END) AS d2 FROM ranked WHERE rn <= 2 GROUP BY 1) SELECT CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat, (CAST(sum(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS repeat_micro, CAST(quantile_disc(d2 - d1, 0.5) AS BIGINT) AS p50_days, CAST(quantile_disc(d2 - d1, 0.9) AS BIGINT) AS p90_days, (CAST(sum(d2 - d1) AS BIGINT) * 100) // greatest(CAST(count(d2) AS BIGINT), 1) AS mean_centidays FROM per""",
+    "events_error_budget" ->
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors FROM events GROUP BY 1) SELECT day, n_events, n_errors, (n_errors * 1000000) // n_events AS err_micro, CAST(sum(n_events) OVER (ORDER BY day) AS BIGINT) AS cum_events, CAST(sum(n_errors) OVER (ORDER BY day) AS BIGINT) AS cum_errors, CAST(sum(n_events) OVER (ORDER BY day) AS BIGINT) // 5 AS budget_events, CAST(sum(n_errors) OVER (ORDER BY day) AS BIGINT) > CAST(sum(n_events) OVER (ORDER BY day) AS BIGINT) // 5 AS over_budget FROM daily ORDER BY day""",
+    "text_contamination" ->
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)), bench AS (SELECT DISTINCT term FROM tok WHERE doc_id % 10 = 0), tr AS (SELECT t.doc_id, CASE WHEN b.term IS NOT NULL THEN 1 ELSE 0 END AS hit FROM tok t LEFT JOIN bench b USING (term) WHERE t.doc_id % 10 <> 0) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(hit) AS BIGINT) AS n_contaminated, (CAST(sum(hit) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS contamination_micro, CAST(sum(hit) AS BIGINT) > 0 AS flagged FROM tr GROUP BY doc_id ORDER BY doc_id""",
     "text_burstiness" ->
       """WITH tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), per AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS s, CAST(sum(tf*tf) AS BIGINT) AS q FROM tf GROUP BY 1) SELECT term, df, s AS tf_total, (n * q - s * s) * 1000000 // (n * s) AS vmr_micro FROM per CROSS JOIN nn ORDER BY df DESC, term LIMIT 20""",
     "events_seasonal_anomaly" ->

@@ -2456,6 +2456,71 @@ object Analytics {
         nFor2pp.cast("long").as("n_per_arm_2pp"))
   }
 
+  /** Repeat-purchase rate and time-to-second-order — the retention metric
+    * every subscription/commerce dashboard leads with: share of customers
+    * who ever ordered twice, and the exact type-1 p50/p90 of the
+    * first→second order gap in days (cast to BIGINT — the
+    * [[ordersInterarrival]] percentile type discipline) plus an
+    * integer-scaled mean. Order ties on a date break on `o_orderkey`, so
+    * first/second are total-order deterministic. Both engines skip NULL
+    * gaps (single-order customers) inside the percentile — the shared
+    * aggregate-null convention, so one pass serves counts AND gap stats.
+    *
+    * Scale: the `rn <= 2` filter is a WindowGroupLimit — per-customer
+    * top-2 rows ride the window's single hash-partition + sort, then a
+    * customer aggregate and a 1-row rollup; nothing beyond the one
+    * customer-keyed shuffle.
+    */
+  def ordersRepeatRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    val per = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("o_custkey")
+      .agg(min(when(col("rn") === 1, col("d"))).as("d1"),
+        min(when(col("rn") === 2, col("d"))).as("d2"))
+    per.agg(
+      count(lit(1)).as("n_customers"),
+      sum(when(col("d2").isNotNull, 1L).otherwise(0L)).as("n_repeat"),
+      expr("(sum(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) * 1000000) div count(1)")
+        .as("repeat_micro"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY d2 - d1)").cast("long").as("p50_days"),
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY d2 - d1)").cast("long").as("p90_days"),
+      expr("(sum(d2 - d1) * 100) div greatest(count(d2), 1)").as("mean_centidays"))
+  }
+
+  /** Daily error-budget burn — the SRE read-out over the events stream:
+    * per-day event and error counts, the day's error share in micros, and
+    * the running (cumulative) error count against the running budget at a
+    * 20% SLO (`cum_events div 5` — set AT the fixture's ~20% operating
+    * point deliberately, so the `over_budget` flag flips with real daily
+    * fluctuation instead of sitting constant; a production SLO is a
+    * config knob on the same plan). All counts and the budget are pure
+    * int64; the flag is an exact integer comparison.
+    *
+    * Scale: the daily rollup is the only data-sized aggregate; the
+    * running sums ride a partition-less window over the CALENDAR-BOUNDED
+    * day table (the [[ordersOpenBacklog]] legitimization — ~hundreds of
+    * rows at any data scale).
+    */
+  def eventsErrorBudget(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_events"), sum(col("is_err")).as("n_errors"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("err_micro", expr("(n_errors * 1000000) div n_events"))
+      .withColumn("cum_events", sum(col("n_events")).over(w))
+      .withColumn("cum_errors", sum(col("n_errors")).over(w))
+      .withColumn("budget_events", expr("cum_events div 5"))
+      .withColumn("over_budget", col("cum_errors") > col("budget_events"))
+      .orderBy("day")
+  }
+
   /** Order inter-arrival distribution: the day gaps between a customer's
     * consecutive orders, rolled up to exact type-1 percentiles + an
     * integer-scaled mean — the purchase-frequency model input (and the

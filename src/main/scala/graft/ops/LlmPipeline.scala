@@ -537,6 +537,39 @@ object LlmPipeline {
       .select(col("doc_id"), explode(col("toks")).as("term")))
       .orderBy("doc_id")
 
+  /** Benchmark DECONTAMINATION report — the GPT-3/PaLM training-hygiene
+    * step: flag every training document sharing an n-gram with the held-out
+    * evaluation set, so benchmark text never leaks into the training mix
+    * (Brown et al. 2020 §4 used 13-grams at web scale; the fixture's short
+    * word-soup docs use the corpus-standard word 3-shingles — the SAME
+    * shingle space as [[textNgramNovelty]]/[[dedupJaccardPrefix]], so the
+    * memoized [[ppjDocs]] build is shared). The "benchmark" is the
+    * deterministic doc_id % 10 == 0 slice standing in for an eval suite;
+    * each remaining doc reports its distinct-shingle count, how many of
+    * them occur ANYWHERE in the benchmark slice, the contaminated share in
+    * integer micros, and the binary flag a filter stage would act on.
+    *
+    * Scale: the benchmark side is DISTINCT shingles of the (small) eval
+    * set — broadcast-sized by construction (eval suites are fixed-size
+    * while training corpora grow), so the contamination check is a
+    * broadcast semi-probe per training shingle: no shuffle of the training
+    * side beyond its own doc_id aggregate, and a hot shingle costs fan-out
+    * 1 (the bench side is distinct), never a pair expansion.
+    */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = ppjDocs(spark, dir).select(col("doc_id"), explode(col("toks")).as("term"))
+    val bench = sh.filter(col("doc_id") % 10 === 0).select("term").distinct()
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(bench.withColumn("hit", lit(1L)), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        expr("(n_contaminated * 1000000) div n_shingles").as("contamination_micro"),
+        (col("n_contaminated") > 0).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   /** Distinct word-3-shingles of a (doc_id, text) table as 64-bit hashes —
     * the stored-index form of the novelty/prefix-join shingle space (longs
     * shuffle and store ~10× narrower than shingle strings; xxhash64

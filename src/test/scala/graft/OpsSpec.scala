@@ -1804,6 +1804,62 @@ class OpsSpec extends SparkSpec {
       r.getLong(5)) == (2L, 10L, 10L, 30L, 30L, 2000L), s"got $r")
   }
 
+  test("orders_repeat_rate: exact repeat share and first-to-second gaps incl. same-day tie") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-repeat").toString
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    // cust 1: orders on days 0/10/40 — second order gap 10 (the third never
+    // counts); cust 2: single order — no gap, still in the denominator;
+    // cust 3: two orders the SAME day — rn breaks on o_orderkey, gap 0.
+    Seq((1L, 1L, d("2024-01-01")), (2L, 1L, d("2024-01-11")), (3L, 1L, d("2024-02-10")),
+      (4L, 2L, d("2024-03-01")),
+      (5L, 3L, d("2024-01-05")), (6L, 3L, d("2024-01-05")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = Analytics.ordersRepeatRate(spark, dir).collect().head
+    // gaps {10, 0}: p50 = type-1 over [0,10] = 0, p90 = 10; mean 500 centidays.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == (3L, 2L, 666666L, 0L, 10L, 500L), s"got $r")
+  }
+
+  test("events_error_budget: running burn flips over_budget at the constructed boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-errbudget").toString
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Day 1: 5 events, 1 error — budget 5 div 5 = 1, 1 > 1 false.
+    // Day 2: +5 events, +3 errors — cum 10/4, budget 2, 4 > 2 true.
+    val day1 = (1 to 4).map(i => (i.toLong, 1L, "click", ts(s"2024-01-01 0$i:00:00"))) :+
+      ((5L, 1L, "error", ts("2024-01-01 05:00:00")))
+    val day2 = Seq((6L, 1L, "view", ts("2024-01-02 01:00:00")),
+      (7L, 1L, "click", ts("2024-01-02 02:00:00"))) ++
+      (8 to 10).map(i => (i.toLong, 1L, "error", ts(s"2024-01-02 0${i - 7}:30:00")))
+    (day1 ++ day2).toDF("event_id", "user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Analytics.eventsErrorBudget(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getBoolean(7)))
+    assert(rows.toSeq == Seq(
+      (5L, 1L, 200000L, 5L, 1L, 1L, false),
+      (5L, 3L, 600000L, 10L, 4L, 2L, true)), rows.mkString(", "))
+  }
+
+  test("text_contamination: benchmark-shingle overlap flags exactly the leaking training docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-contam").toString
+    import spark.implicits._
+    // doc 0 and 10 are the %10==0 "benchmark"; doc 1 shares the shingle
+    // "a b c" with doc 0 (1 of its 3 shingles); doc 11 is clean; doc 2 has
+    // fewer than 3 words — zero shingles, absent from the report.
+    Seq((0L, "a b c d"), (10L, "m n o"),
+      (1L, "a b c x y"), (11L, "p q r s"), (2L, "zz short"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.ops.LlmPipeline.textContamination(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 3L, 1L, 333333L, true),
+      (11L, 2L, 0L, 0L, false)), rows.mkString(", "))
+  }
+
   test("text_burstiness separates a Poisson-scattered term from a bursty one exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft-burst").toString
     import spark.implicits._

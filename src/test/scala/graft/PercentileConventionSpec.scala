@@ -49,6 +49,18 @@ class PercentileConventionSpec extends SparkSpec {
     }
   }
 
+  test("percentile_disc skips NULL order values — the convention orders_repeat_rate leans on") {
+    import spark.implicits._
+    // DuckDB's quantile_disc ignores NULLs too, so a single aggregate can
+    // mix full-population counts with gap-only percentiles (single-order
+    // customers contribute a NULL gap and must not shift the quantile).
+    val got = Seq(Some(10L), None, Some(0L), None)
+      .toDF("v")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").cast("long"))
+      .head().getLong(0)
+    assert(got == type1(Seq(0L, 10L), 0.5), s"nulls must be invisible to the percentile: $got")
+  }
+
   test("percentile_disc over BIGINT returns DOUBLE — the cast is load-bearing") {
     import spark.implicits._
     val schema = Seq(1L, 2L).toDF("v")
