@@ -1612,7 +1612,15 @@ object Analytics {
     * cardinality, never O(touches × purchases) globally. Power-law users
     * inflate the pair count linearly, not quadratically, because the
     * join is user-local and time-bounded; salt user_id (ops/Skew pattern)
-    * if one user dominates a reducer.
+    * if one user dominates a reducer. The lookback join is GRID-FREE —
+    * candidates are all (touch, purchase) pairs of a user, filtered by the
+    * 7-day bound AFTER the equi-join — which is right while per-user touch
+    * counts stay moderate; for skewed users whose history dwarfs the
+    * window, the time-GRID variant is the upgrade path: key both sides by
+    * (user, 7-day grid cell) exactly as `join_interval_bucketed` does, so
+    * a pair is only generated when the two events share (or neighbor) a
+    * cell and the candidate count scales with the WINDOW's density, not
+    * the user's lifetime history.
     */
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
     val lookbackUs = 7L * 24 * 3600 * 1000000L
