@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushdownNanosTimestamp)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     // SQL surface for the as-of operator: parser rewrite (ASOF JOIN …
     // MATCH_CONDITION → marked LEFT JOIN), marker functions, and the
     // resolution rule converting the marked Join into the AsOfJoin node.

@@ -32,7 +32,10 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *      quadratic term — see the leg's comment);
   *   7. as-of join: the native sorted-merge operator vs the composed
   *      candidate+window form under ×4 / ×16 per-user density inflation
-  *      (composed candidates grow ×scale², the merge stays linear).
+  *      (composed candidates grow ×scale², the merge stays linear), plus
+  *      (7b) the keyed INTERVAL join on the same inflated stream — native
+  *      sweep vs the (user, grid-cell) composition, equality-asserted,
+  *      with the ×scale² true pair counts recorded alongside.
   *
   * Emits one JSON line on stdout and the same document at
   * `SPARK_GRAFT_SCALEBENCH_OUT` (default `SCALEBENCH.json`). Runs each
@@ -326,6 +329,34 @@ object ScaleBench {
           .join(cSide, col("user_id") === col("cu") && col("cus") <= col("pus"))
           .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         assert(m.groupBy().count().head().getLong(0) > 0)
+      }
+      // 7b. KEYED INTERVAL join on the same inflated stream: the native
+      // sweep ([[graft.plans.IntervalJoinExec]]) vs the composed
+      // (user, grid-cell) + residual form. Per-user density grows ×scale
+      // on BOTH sides, so true pairs grow ×scale² for both variants
+      // (recorded in `interval_native_pairs`) — the separation is
+      // CONSTANT-factor here (no cell fan-out, no distinct pass), while
+      // the equi-join-then-filter form without the grid would be the
+      // quadratic cliff neither variant takes.
+      val H = 900000000L
+      var nPairs = 0L
+      results(s"interval_native_x$scale") = timeMin(2) {
+        nPairs = org.apache.spark.sql.graft.Interval.intervalJoin(pSide, cSide,
+            Seq("user_id"), Seq("cu"), "pus", "cus", -H, H)
+          .groupBy().count().head().getLong(0)
+        assert(nPairs > 0)
+      }
+      results(s"interval_native_pairs_x$scale") = nPairs.toDouble
+      results(s"interval_composed_x$scale") = timeMin(2) {
+        val B = 2L * H
+        val pg = pSide.withColumn("bucket",
+          explode(sequence(expr(s"(pus - $H) div $B"), expr(s"(pus + $H) div $B"))))
+        val cg = cSide.withColumn("bucket", expr(s"cus div $B"))
+        val n = pg.join(cg, pg("bucket") === cg("bucket") && col("user_id") === col("cu"))
+          .filter(abs(col("pus") - col("cus")) <= H)
+          .select("pid", "cid").distinct()
+          .groupBy().count().head().getLong(0)
+        assert(n == nPairs, s"composed grid disagrees with native: $n vs $nPairs")
       }
       ev.unpersist()
     }

@@ -367,6 +367,7 @@ object SparkEntry {
     "sim_topk_ivf_stored" -> ((s, d) => LlmPipeline.simTopkIvfStored(s, d)),
     "sim_range_search" -> ((s, d) => LlmPipeline.simRangeSearch(s, d)),
     "join_interval_bucketed" -> (Relational.joinIntervalBucketed _),
+    "join_interval_native" -> (Relational.joinIntervalNative _),
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
@@ -598,6 +599,8 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "join_interval_bucketed" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), o AS (SELECT event_id AS oid, epoch_us(ts) AS ous FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM ev JOIN o ON abs(tus - ous) <= 900000000 GROUP BY event_id ORDER BY event_id""",
+    "join_interval_native" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM p JOIN c ON user_id = click_user AND abs(tus - cus) <= 900000000 GROUP BY event_id ORDER BY event_id""",
     "setop_union_by_name" ->
       """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
     "sql_recursive_cte" ->

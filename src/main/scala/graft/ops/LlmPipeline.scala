@@ -537,17 +537,21 @@ object LlmPipeline {
       .select(col("doc_id"), explode(col("toks")).as("term")))
       .orderBy("doc_id")
 
-  /** Benchmark DECONTAMINATION report — the GPT-3/PaLM training-hygiene
-    * step: flag every training document sharing an n-gram with the held-out
-    * evaluation set, so benchmark text never leaks into the training mix
-    * (Brown et al. 2020 §4 used 13-grams at web scale; the fixture's short
-    * word-soup docs use the corpus-standard word 3-shingles — the SAME
-    * shingle space as [[textNgramNovelty]]/[[dedupJaccardPrefix]], so the
-    * memoized [[ppjDocs]] build is shared). The "benchmark" is the
-    * deterministic doc_id % 10 == 0 slice standing in for an eval suite;
-    * each remaining doc reports its distinct-shingle count, how many of
-    * them occur ANYWHERE in the benchmark slice, the contaminated share in
-    * integer micros, and the binary flag a filter stage would act on.
+  /** Per-document benchmark-contamination SCORE — the filter-feature
+    * complement of [[graft.ops.Analytics.curationContamination]]: that
+    * query is the incident REPORT (only the colliding training docs, with
+    * how many 8-token shingles and eval docs each hits); this one scores
+    * EVERY training doc — distinct-shingle count, contaminated count, the
+    * contaminated share in integer micros, and the binary flag — the
+    * column a curation pipeline thresholds on alongside quality and
+    * novelty (Brown et al. 2020 §4 ran the same two-sided analysis at
+    * 13 grams; the fixture's short word-soup docs use the corpus-standard
+    * word 3-shingles — the SAME shingle space as
+    * [[textNgramNovelty]]/[[dedupJaccardPrefix]], so the memoized
+    * [[ppjDocs]] build is shared where the report builds its own 8-gram
+    * space). The "benchmark" here is the deterministic doc_id % 10 == 0
+    * slice standing in for an eval suite (the report uses the source
+    * column; two split conventions, deliberately).
     *
     * Scale: the benchmark side is DISTINCT shingles of the (small) eval
     * set — broadcast-sized by construction (eval suites are fixed-size

@@ -853,6 +853,35 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** KEYED interval join on the NATIVE whole-operator extension
+    * ([[graft.plans.IntervalJoin]] → [[graft.plans.IntervalJoinExec]]):
+    * per purchase, how many SAME-USER clicks fall within ±15 min — the
+    * keyed sibling of [[joinIntervalBucketed]]'s keyless grid join, and
+    * the candidate stage `join_asof_nearest` builds from (user, grid-cell)
+    * keys, now done with zero cell fan-out and zero dedup: one exchange +
+    * sort per side, then a forward sweep holding only the ACTIVE window of
+    * clicks (ingested once at `t ≤ lt + 15min`, evicted once at
+    * `t < lt − 15min`). Memory = the per-user interval-overlap depth; the
+    * same operator with window `[−7d, 0]` is the scalable form of
+    * [[graft.ops.Analytics.eventsAttribution]]'s lookback join.
+    *
+    * Purchases with no nearby click drop (inner) — the oracle counts over
+    * the join, so the per-purchase groupBy keeps exactly the matched set.
+    */
+  def joinIntervalNative(spark: SparkSession, dir: String): DataFrame = {
+    val H = 900000000L // ±15 min in micros
+    val ev = t(spark, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tus"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        unix_micros(col("ts")).as("cus"))
+    org.apache.spark.sql.graft.Interval.intervalJoin(p, c,
+        Seq("user_id"), Seq("click_user"), "tus", "cus", -H, H)
+      .groupBy("event_id").agg(count(lit(1)).as("n_clicks_nearby"))
+      .orderBy("event_id")
+  }
+
   /** NEAREST-in-time as-of join with tolerance — for every purchase, the
     * single closest click by the SAME user within ±15 min, either
     * direction (the symmetric sibling of [[joinAsofLatest]]'s
