@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_asof_match_inner",
         "graft_asof_match_inner(l_time, r_time[, tiebreaks...]) - as-of marker dropping unmatched left rows (DuckDB ASOF JOIN default)"),
       (exprs: Seq[Expression]) => graft.plans.AsOfMatch(exprs, inner = true)))
+    ext.injectFunction((FunctionIdentifier("graft_interval_match"),
+      info("graft_interval_match",
+        "graft_interval_match(l_time, r_time, lo_us, hi_us) - interval marker in an INNER JOIN condition: match pairs with r_time in [l_time+lo_us, l_time+hi_us]; planned as the native sorted-sweep IntervalJoinExec"),
+      (exprs: Seq[Expression]) => graft.plans.IntervalMatch(exprs)))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(text) - 64-hash MinHash signature (3-word shingles)"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64, 3)))

@@ -77,6 +77,55 @@ case class AsOfMatch(children: Seq[Expression], inner: Boolean)
       newChildren: IndexedSeq[Expression]): AsOfMatch = copy(children = newChildren)
 }
 
+/** Marker for the native KEYED INTERVAL JOIN ([[IntervalJoin]]) — the
+  * hand-written-SQL form only (no custom grammar; the clause is already
+  * plain SQL): `FROM l JOIN r ON l.k = r.k AND
+  * graft_interval_match(l.t, r.t, lo_us, hi_us)` matches every same-key
+  * pair with `r.t ∈ [l.t + lo_us, l.t + hi_us]` and plans as the
+  * sorted-sweep [[IntervalJoinExec]] via [[ResolveAsOfSql]]. Bounds must
+  * be integer literals (they parameterize the physical sweep).
+  */
+case class IntervalMatch(children: Seq[Expression])
+    extends Expression with Unevaluable {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.length != 4)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_interval_match needs (left_time, right_time, lo_us, hi_us)")
+    else {
+      val ok: Set[DataType] = Set(LongType, TimestampType, TimestampNTZType)
+      val badTime = children.take(2).filterNot(c => ok.contains(c.dataType))
+      val badBound = children.drop(2).filterNot(c =>
+        c.foldable && (c.dataType == LongType || c.dataType == org.apache.spark.sql.types.IntegerType))
+      if (badTime.nonEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          "interval time columns must be BIGINT/TIMESTAMP/TIMESTAMP_NTZ, got " +
+            badTime.map(_.dataType.simpleString).mkString(", "))
+      else if (badBound.nonEmpty)
+        TypeCheckResult.TypeCheckFailure(
+          "interval bounds must be INT/BIGINT literals, got " +
+            badBound.map(_.sql).mkString(", "))
+      else TypeCheckResult.TypeCheckSuccess
+    }
+
+  /** The folded [lo, hi] micros window. Only valid once resolved. */
+  private[plans] def bounds: (Long, Long) = {
+    def longOf(e: Expression): Long = e.eval() match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case other => throw new IllegalArgumentException(
+        s"interval bound ${e.sql} folded to $other, expected an integer")
+    }
+    (longOf(children(2)), longOf(children(3)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): IntervalMatch = copy(children = newChildren)
+}
+
 /** Textual `ASOF JOIN` → marked `LEFT JOIN` rewrite. Pure string→string, no
   * session state — unit-testable without Spark.
   */
@@ -282,7 +331,51 @@ object ResolveAsOfSql extends Rule[LogicalPlan] with PredicateHelper {
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException("as-of SQL: " + msg)
 
+  /** Split the non-marker conjuncts into per-position (left, right) equi
+    * keys with the Scala APIs' validation — shared by both marker rules.
+    */
+  private def equiKeys(l: LogicalPlan, r: LogicalPlan,
+      keyConds: Seq[Expression]): (Seq[Expression], Seq[Expression]) = {
+    val (lks, rks) = keyConds.map {
+      case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
+          b.references.subsetOf(r.outputSet) => (a, b)
+      case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&
+          a.references.subsetOf(r.outputSet) => (b, a)
+      case other => fail("the ON clause must be AND-ed equality keys plus one " +
+        s"match marker; cannot use: ${other.sql}")
+    }.unzip
+    if (lks.isEmpty) fail("the native join needs at least one equi-key in ON")
+    lks.zip(rks).foreach { case (a, b) =>
+      if (a.dataType != b.dataType)
+        fail(s"key type mismatch: ${a.sql}: ${a.dataType.simpleString} vs " +
+          s"${b.sql}: ${b.dataType.simpleString}")
+    }
+    (lks, rks)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(l, r, jt, Some(cond), _)
+        if j.childrenResolved && cond.resolved &&
+          l.outputSet.intersect(r.outputSet).isEmpty &&
+          cond.exists(_.isInstanceOf[IntervalMatch]) =>
+      val (markers, keyConds) =
+        splitConjunctivePredicates(cond).partition(_.isInstanceOf[IntervalMatch])
+      if (markers.length != 1)
+        fail("exactly one graft_interval_match per join condition")
+      if (jt != Inner)
+        fail(s"the interval join is INNER-only, not $jt")
+      val mk = markers.head.asInstanceOf[IntervalMatch]
+      val lt = mk.children(0)
+      val rt = mk.children(1)
+      if (!lt.references.subsetOf(l.outputSet))
+        fail("graft_interval_match's first argument must be the LEFT time")
+      if (!rt.references.subsetOf(r.outputSet))
+        fail("graft_interval_match's second argument must be the RIGHT time")
+      val (lo, hi) = mk.bounds
+      if (lo > hi) fail(s"interval window is empty: [$lo, $hi]")
+      val (lks, rks) = equiKeys(l, r, keyConds)
+      IntervalJoin(l, r, lks, rks, lt, rt, lo, hi)
+
     case j @ Join(l, r, jt, Some(cond), _)
         if j.childrenResolved && cond.resolved &&
           l.outputSet.intersect(r.outputSet).isEmpty &&
@@ -310,22 +403,7 @@ object ResolveAsOfSql extends Rule[LogicalPlan] with PredicateHelper {
       val badTb = tbs.filterNot(_.references.subsetOf(r.outputSet))
       if (badTb.nonEmpty)
         fail(s"TIEBREAK columns must come from the right side: ${badTb.map(_.sql).mkString(", ")}")
-      val (lks, rks) = keyConds.map {
-        case EqualTo(a, b) if a.references.subsetOf(l.outputSet) &&
-            b.references.subsetOf(r.outputSet) => (a, b)
-        case EqualTo(a, b) if b.references.subsetOf(l.outputSet) &&
-            a.references.subsetOf(r.outputSet) => (b, a)
-        case other => fail("the ON clause must be AND-ed equality keys plus one " +
-          s"MATCH_CONDITION; cannot use: ${other.sql}")
-      }.unzip
-      if (lks.isEmpty) fail("as-of join needs at least one equi-key in ON")
-      lks.zip(rks).foreach { case (a, b) =>
-        // The exec hashes/orders both sides with left key types; mismatched
-        // types would silently mis-partition — same check as AsOf.asofJoin.
-        if (a.dataType != b.dataType)
-          fail(s"key type mismatch: ${a.sql}: ${a.dataType.simpleString} vs " +
-            s"${b.sql}: ${b.dataType.simpleString}")
-      }
+      val (lks, rks) = equiKeys(l, r, keyConds)
       AsOfJoin(l, r, lks, rks, lt, rt, tbs, isInner)
   }
 }

@@ -102,6 +102,16 @@ object AsOf {
     */
   def sql(spark: SparkSession, asofSql: String): DataFrame = {
     ensureStrategy(spark)
+    // The same entry also serves the interval marker
+    // (`graft_interval_match` in a plain INNER JOIN condition), so its
+    // strategy registers alongside.
+    val plannedI = spark.asInstanceOf[ClassicSparkSession]
+      .sessionState.planner.strategies
+    if (!plannedI.contains(graft.plans.IntervalJoinStrategy)) {
+      val cur = spark.experimental.extraStrategies
+      if (!cur.contains(graft.plans.IntervalJoinStrategy))
+        spark.experimental.extraStrategies = cur :+ graft.plans.IntervalJoinStrategy
+    }
     val cs = spark.asInstanceOf[ClassicSparkSession]
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_asof_match",
@@ -109,6 +119,9 @@ object AsOf {
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_asof_match_inner",
       exprs => graft.plans.AsOfMatch(exprs, inner = true), "built-in")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_interval_match",
+      exprs => graft.plans.IntervalMatch(exprs), "built-in")
     val analyzed = spark.sql(graft.plans.AsOfSqlRewrite(asofSql))
       .queryExecution.analyzed
     ClassicDataset.ofRows(cs, graft.plans.ResolveAsOfSql(analyzed))

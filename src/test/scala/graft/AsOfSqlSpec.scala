@@ -129,6 +129,29 @@ class AsOfSqlSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("interval marker: plain INNER JOIN SQL plans the native sweep and matches brute force") {
+    fixture(spark)
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT trade_id, px FROM trades JOIN quotes ON sym = qsym " +
+        "AND graft_interval_match(tts, qts, -2, 2)")
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalJoin ["),
+      df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Window [t-2, t+2]: trade 0 (A,0) and 1 (A,1) reach quote (A,1,10);
+    // trade 2 (A,6) reaches BOTH (A,5) quotes; trade 3 (B,3) reaches
+    // (B,2,7); trade 4 (C,9) reaches nothing (inner: absent).
+    assert(got == Set((0L, 10L), (1L, 10L), (2L, 11L), (2L, 13L), (3L, 7L)), got.toString)
+    // Validation: empty window, non-literal bound, outer join type.
+    val e1 = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT * FROM trades JOIN quotes ON sym = qsym " +
+        "AND graft_interval_match(tts, qts, 2, -2)").collect())
+    assert(e1.getMessage.contains("empty"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT * FROM trades LEFT JOIN quotes ON sym = qsym " +
+        "AND graft_interval_match(tts, qts, -2, 2)").collect())
+    assert(e2.getMessage.contains("INNER-only"), e2.getMessage)
+  }
+
   test("injected parser: plain spark.sql understands ASOF JOIN in an extensions session") {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
