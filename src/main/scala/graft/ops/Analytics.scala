@@ -1606,41 +1606,41 @@ object Analytics {
     * per-channel sums are order-independent exact integers; the /1e6 at the
     * end is one correctly-rounded double division.
     *
-    * Scale: touches and conversions equi-join on user_id (one user-keyed
-    * shuffle; the lookback bound caps pairs per purchase at the user's 7-day
-    * touch count), the first/last/n window re-keys on purchase id — pair
-    * cardinality, never O(touches × purchases) globally. Power-law users
-    * inflate the pair count linearly, not quadratically, because the
-    * join is user-local and time-bounded; salt user_id (ops/Skew pattern)
-    * if one user dominates a reducer. The lookback join is GRID-FREE —
-    * candidates are all (touch, purchase) pairs of a user, filtered by the
-    * 7-day bound AFTER the equi-join — which is right while per-user touch
-    * counts stay moderate; for skewed users whose history dwarfs the
-    * window, the time-GRID variant is the upgrade path: key both sides by
-    * (user, 7-day grid cell) exactly as `join_interval_bucketed` does, so
-    * a pair is only generated when the two events share (or neighbor) a
-    * cell and the candidate count scales with the WINDOW's density, not
-    * the user's lifetime history.
+    * Scale: the lookback join IS the native keyed interval operator
+    * ([[graft.plans.IntervalJoinExec]], window `[−7d, −1 µs]` — strictly
+    * prior, exact in integer micros): one user-keyed exchange + sort per
+    * side, then a forward sweep holding only each user's ACTIVE 7-day
+    * touch window — a pair materializes only when it is IN the window, so
+    * a power-law user's lifetime history costs sort time, never candidate
+    * pairs (the r8 form equi-joined on user and filtered the bound AFTER,
+    * materializing all per-user combos first). The first/last/n window
+    * re-keys on purchase id — output-pair cardinality from there on.
     */
   def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
     val lookbackUs = 7L * 24 * 3600 * 1000000L
     val ev = t(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("tus"))
+    // All-alias projection: both sides derive from `ev`, and the operator
+    // entry (correctly) refuses sides sharing attribute ids.
     val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_event"),
+        col("event_type").as("t_type"), col("tus").as("t_tus"))
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("tus").as("p_tus"))
-    val pairs = touches.join(purchases, Seq("user_id"))
-      .filter(col("tus") < col("p_tus") && col("p_tus") - col("tus") <= lookbackUs)
+    // tus < p_tus && p_tus - tus <= lookback  ⇔  t_tus ∈ [p_tus − 7d, p_tus − 1]
+    val pairs = org.apache.spark.sql.graft.Interval.intervalJoin(
+      purchases, touches, Seq("user_id"), Seq("t_user"), "p_tus", "t_tus",
+      -lookbackUs, -1L)
     val byPurchase = Window.partitionBy("p_id")
-    val firstW = Window.partitionBy("p_id").orderBy(col("tus"), col("event_id"))
-    val lastW = Window.partitionBy("p_id").orderBy(col("tus").desc, col("event_id").desc)
+    val firstW = Window.partitionBy("p_id").orderBy(col("t_tus"), col("t_event"))
+    val lastW = Window.partitionBy("p_id").orderBy(col("t_tus").desc, col("t_event").desc)
     pairs
       .withColumn("n_touch", count(lit(1)).over(byPurchase))
       .withColumn("is_first", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
       .withColumn("is_last", when(row_number().over(lastW) === 1, 1L).otherwise(0L))
       .withColumn("linear_micro", floor(lit(1000000.0) / col("n_touch")).cast("long"))
-      .groupBy(col("event_type").as("channel"))
+      .groupBy(col("t_type").as("channel"))
       .agg(
         count(lit(1)).as("n_touches"),
         sum(col("is_first")).as("n_first"),

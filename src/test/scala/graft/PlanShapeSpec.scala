@@ -297,6 +297,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bucket"), s"grid key missing from the join:\n$p")
   }
 
+  test("native interval operator serves its production consumers: the registered query and attribution") {
+    // join_interval_native IS the operator; events_attribution's 7-day
+    // lookback is its in-library adoption (window [-7d, -1µs]) — both must
+    // plan the custom sweep, neither a per-user all-pairs equi join with a
+    // time residual (the r8 attribution shape).
+    for (q <- Seq("join_interval_native", "events_attribution")) {
+      val p = plan(q)
+      assert(p.contains("IntervalJoin ["), s"$q lost the native sweep:\n$p")
+      assert(!p.contains("SortMergeJoin") || q != "join_interval_native",
+        s"$q pairs via a generic join:\n$p")
+    }
+  }
+
   test("bucketed pagerank superstep never re-shuffles the edge table") {
     val eb = spark.table(graft.ops.Graph.bucketedTradeGraph(spark, sf)).hint("MERGE")
     val ranks = eb.select(col("src").as("node")).distinct()
