@@ -153,7 +153,7 @@ object Bench {
   private def familyCleanup(spark: SparkSession, dir: String): Unit = {
     try {
       Tables.invalidate(spark, dir)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
     } catch { case _: Throwable => }
   }

@@ -212,9 +212,11 @@ object Main {
     val docs = graft.Tables.t(spark, sfDir, "documents").select("doc_id", "text")
     // Split on the MEDIAN doc_id, not count()/2: offset or sparse id
     // spaces would make a count-based split lopsided or empty.
-    val midId = docs.agg(org.apache.spark.sql.functions
+    val midRow = docs.agg(org.apache.spark.sql.functions
       .expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY doc_id)").cast("long"))
-      .head().getLong(0)
+      .head()
+    // NULL median (zero docs): both rounds run empty instead of NPEing.
+    val midId = if (midRow.isNullAt(0)) Long.MinValue else midRow.getLong(0)
     graft.streaming.StreamingExtract.noveltyLoadBatch(
       spark, docs.filter(col("doc_id") <= midId), nvSink)
     graft.streaming.StreamingExtract.noveltyLoadBatch(

@@ -227,7 +227,7 @@ object Multimodal {
         var i = start
         while (i + 8 <= end) {
           val sz = u32(i + 4)
-          if (sz < 0 || i + 8 + sz > payload.length) return None // torn chunk
+          if (i + 8 + sz > end) return None // torn chunk (bounded by the ENCLOSING scope)
           if (cc(i, "avih")) return Some(i + 8)
           if (cc(i, "LIST") && depth < 4) {
             val inner = scan(i + 12, (i + 8 + sz).toInt, depth + 1)
@@ -244,7 +244,11 @@ object Multimodal {
           val frames = u32(off + 16)
           val w = u32(off + 32)
           val h = u32(off + 36)
-          if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16) || frames < 0) None
+          // u32 reads are always >= 0; the REAL sanity bound is the Int
+          // range (frames.toInt would wrap) and the duration product
+          // (Int.MaxValue frames x u32 us/frame stays under 2^63).
+          if (w <= 0 || h <= 0 || w > (1 << 16) || h > (1 << 16) ||
+              frames > Int.MaxValue) None
           else Some((w.toInt, h.toInt, frames * usPerFrame / 1e6, frames.toInt))
         }
       }

@@ -137,12 +137,22 @@ case class IntervalJoinExec(
       final class Entry(val row: InternalRow, val t: Long)
       val active = new java.util.ArrayDeque[Entry]()
       var bufKey: InternalRow = null
+      // Saturating add: extreme `lo`/`hi` literals (e.g. Long.MaxValue for
+      // an unbounded-forward window) must clamp, not wrap — a wrapped edge
+      // silently empties the join.
+      def satAdd(a: Long, b: Long): Long = {
+        val s = a + b
+        if (((a ^ s) & (b ^ s)) < 0) { if (a > 0) Long.MaxValue else Long.MinValue }
+        else s
+      }
       lIter.flatMap { lRow =>
         val lKey = lKeyProj(lRow)
         val lTimeV = if (lKey.anyNull) null else lTime.eval(lRow)
         if (lTimeV == null) Iterator.empty // null key/time: no matches
         else {
           val lt = lTimeV.asInstanceOf[Long]
+          val hiEdge = satAdd(lt, hi)
+          val loEdge = satAdd(lt, lo)
           if (bufKey == null || ord.compare(bufKey, lKey) != 0) {
             active.clear() // sorted inputs: a finished key never returns
             bufKey = lKey.copy() // O(distinct keys) copies
@@ -158,7 +168,7 @@ case class IntervalJoinExec(
               else if (cmp == 0) {
                 val rTimeV = rTime.eval(rBuf.head)
                 if (rTimeV == null) { rBuf.next() } // null times never match
-                else if (rTimeV.asInstanceOf[Long] <= lt + hi) {
+                else if (rTimeV.asInstanceOf[Long] <= hiEdge) {
                   active.addLast(new Entry(rBuf.next().copy(), rTimeV.asInstanceOf[Long]))
                   numBuffered += 1
                 } else advance = false
@@ -166,7 +176,7 @@ case class IntervalJoinExec(
             }
           }
           // Evict below the window's low edge.
-          while (!active.isEmpty && active.peekFirst().t < lt + lo) active.removeFirst()
+          while (!active.isEmpty && active.peekFirst().t < loEdge) active.removeFirst()
           if (active.isEmpty) Iterator.empty
           else {
             import scala.jdk.CollectionConverters._

@@ -104,14 +104,8 @@ object AsOf {
     ensureStrategy(spark)
     // The same entry also serves the interval marker
     // (`graft_interval_match` in a plain INNER JOIN condition), so its
-    // strategy registers alongside.
-    val plannedI = spark.asInstanceOf[ClassicSparkSession]
-      .sessionState.planner.strategies
-    if (!plannedI.contains(graft.plans.IntervalJoinStrategy)) {
-      val cur = spark.experimental.extraStrategies
-      if (!cur.contains(graft.plans.IntervalJoinStrategy))
-        spark.experimental.extraStrategies = cur :+ graft.plans.IntervalJoinStrategy
-    }
+    // strategy registers alongside (one shared idempotent registrar).
+    Interval.ensureStrategy(spark)
     val cs = spark.asInstanceOf[ClassicSparkSession]
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_asof_match",

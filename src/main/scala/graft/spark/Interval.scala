@@ -15,7 +15,7 @@ import graft.plans.{IntervalJoin, IntervalJoinStrategy}
   */
 object Interval {
 
-  private def ensureStrategy(spark: SparkSession): Unit = {
+  private[graft] def ensureStrategy(spark: SparkSession): Unit = {
     val planned = spark.asInstanceOf[ClassicSparkSession]
       .sessionState.planner.strategies
     if (!planned.contains(IntervalJoinStrategy)) {

@@ -38,6 +38,18 @@ class IntervalJoinSpec extends SparkSpec {
       (5L, 205L)), got.toString)
   }
 
+  test("interval join: Long.MaxValue edges saturate instead of wrapping") {
+    // hi = Long.MaxValue means "unbounded forward": lt + hi must clamp,
+    // not wrap negative (a wrapped edge silently empties the join).
+    val p = Seq((1L, 1L, 10L)).toDF("pid", "user_id", "pus")
+    val c = Seq((100L, 1L, 5L), (110L, 1L, 10L), (120L, 1L, 1000000L))
+      .toDF("cid", "cu", "cus")
+    val fwd = join(p, c, 0L, Long.MaxValue).select("cid").collect().map(_.getLong(0)).toSet
+    assert(fwd == Set(110L, 120L), s"unbounded-forward window: $fwd")
+    val back = join(p, c, Long.MinValue, 0L).select("cid").collect().map(_.getLong(0)).toSet
+    assert(back == Set(100L, 110L), s"unbounded-backward window: $back")
+  }
+
   test("interval join: asymmetric lookback window [-20, -5] takes strictly-prior rows only") {
     val p = Seq((1L, 1L, 30L)).toDF("pid", "user_id", "pus")
     val c = Seq((110L, 1L, 10L), (120L, 1L, 20L), (126L, 1L, 26L), (130L, 1L, 30L))

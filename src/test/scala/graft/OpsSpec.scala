@@ -974,6 +974,16 @@ class OpsSpec extends SparkSpec {
     val overrun = avi.clone()
     le32(1 << 20).copyToArray(overrun, 16) // hdrl LIST size -> absurd
     assert(Multimodal.decodeAvi(overrun).isEmpty)
+    // u32-max frame count: toInt would wrap negative and the duration
+    // product would overflow — corrupt header, rejected.
+    val maxFrames = avi.clone()
+    le32(0xffffffffL).copyToArray(maxFrames, avi.length - 56 + 16)
+    assert(Multimodal.decodeAvi(maxFrames).isEmpty)
+    // A chunk overrunning its PARENT LIST (but not the file) must reject,
+    // not let the walk escape the list and misparse sibling bytes.
+    val escape = avi.clone() ++ new Array[Byte](64) // room beyond the LIST
+    le32(200L).copyToArray(escape, 28) // avih size: past hdrl, within file
+    assert(Multimodal.decodeAvi(escape).isEmpty)
     // The kind dispatcher routes AVI video through the container parse and
     // falls back to the deterministic fake for non-AVI payloads.
     assert(Multimodal.stubDecodeKind("video", avi) == ((320, 240, 2.0, 50)))
