@@ -287,6 +287,7 @@ object SparkEntry {
     "curation_contamination" -> (Analytics.curationContamination _),
     "agg_regression" -> (Analytics.aggRegression _),
     "dq_checks" -> (Analytics.dqChecks _),
+    "dq_k_anonymity" -> (Analytics.dqKAnonymity _),
     "layout_zorder" -> (graft.sources.FileFormats.layoutZorderStats _),
     "events_gapfill" -> (Analytics.eventsGapfill _),
     "text_repetition" -> (Analytics.textRepetition _),
@@ -368,6 +369,7 @@ object SparkEntry {
     "sim_range_search" -> ((s, d) => LlmPipeline.simRangeSearch(s, d)),
     "join_interval_bucketed" -> (Relational.joinIntervalBucketed _),
     "join_interval_native" -> (Relational.joinIntervalNative _),
+    "sql_interval_join" -> (Relational.sqlIntervalJoin _),
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
@@ -400,6 +402,7 @@ object SparkEntry {
     "text_filter_funnel" -> (Analytics.textFilterFunnel _),
     "text_ngram_novelty" -> (LlmPipeline.textNgramNovelty _),
     "graph_label_prop" -> (Graph.graphLabelProp _),
+    "graph_modularity" -> (Graph.graphModularity _),
     "agg_sketch_rollup" -> (Relational.aggSketchRollup _),
     "dedup_edit_distance" -> ((s, d) => LlmPipeline.dedupEditDistance(s, d)),
   )
@@ -601,6 +604,10 @@ object SparkEntry {
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), o AS (SELECT event_id AS oid, epoch_us(ts) AS ous FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM ev JOIN o ON abs(tus - ous) <= 900000000 GROUP BY event_id ORDER BY event_id""",
     "join_interval_native" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM p JOIN c ON user_id = click_user AND abs(tus - cus) <= 900000000 GROUP BY event_id ORDER BY event_id""",
+    // Same brute-force oracle as join_interval_native: the pass proves the
+    // SQL marker path ≡ the DataFrame path ≡ the all-pairs reference.
+    "sql_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM p JOIN c ON user_id = click_user AND abs(tus - cus) <= 900000000 GROUP BY event_id ORDER BY event_id""",
     "setop_union_by_name" ->
       """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
     "sql_recursive_cte" ->
@@ -717,6 +724,8 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ss FROM documents), n AS (SELECT doc_id, ss, GREATEST(1, CAST(ceil((len(ss) - 40)/30.0) AS BIGINT) + 1) AS nc FROM d) SELECT doc_id, i AS chunk_id, array_to_string(ss[(i*30+1):(i*30+40)], ' ') AS chunk FROM n, (SELECT unnest(generate_series(0, 600)) AS i) g WHERE i < nc ORDER BY doc_id, chunk_id""",
     "curation_contamination" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ss FROM documents), sh AS (SELECT doc_id, source, array_to_string(ss[i:i+7], ' ') AS s FROM d, (SELECT unnest(generate_series(1, 600)) AS i) g WHERE i <= len(ss) - 7), ev AS (SELECT DISTINCT doc_id AS eval_doc, s FROM sh WHERE source = 'src0'), tr AS (SELECT DISTINCT doc_id, s FROM sh WHERE source != 'src0') SELECT doc_id, count(DISTINCT s) AS n_shared_shingles, count(DISTINCT eval_doc) AS n_eval_docs FROM tr JOIN ev USING (s) GROUP BY doc_id ORDER BY doc_id""",
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100000 AS bal_band, count(*) AS class_size, count(*) < 4 AS at_risk FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "dq_checks" ->
       """SELECT 'orders_null_priority' AS check, CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, count(*) AS n_checked FROM orders UNION ALL SELECT 'orders_negative_total', CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders UNION ALL SELECT 'orders_orphan_custkey', count(*), NULL FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) UNION ALL SELECT 'orders_dup_orderkey', CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY o_orderkey) UNION ALL SELECT 'events_value_range', CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM events ORDER BY 1""",
     "events_gapfill" ->
@@ -908,6 +917,7 @@ object SparkEntry {
     "text_ngram_novelty" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)), fs AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, (CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS novelty_micro FROM tok JOIN fs USING (term) GROUP BY doc_id ORDER BY doc_id""",
     "graph_label_prop" -> Graph.labelPropOracleSql,
+    "graph_modularity" -> Graph.modularityOracleSql,
     "dedup_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 8 ORDER BY doc_a, doc_b""",
   )

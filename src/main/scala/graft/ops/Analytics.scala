@@ -286,6 +286,34 @@ object Analytics {
       .orderBy("check")
   }
 
+  /** k-anonymity audit of the customer table under the quasi-identifier
+    * (nation, market segment, account-balance kilo-band) — the privacy
+    * gate a training-data pipeline runs before tabular records may ship:
+    * every equivalence class (identical QI tuple), its size, and whether
+    * it falls below k = [[KAnonymityK]] (re-identifiable — suppress or
+    * generalize before release). The kilo-band is `floor(bal_cents /
+    * 100000)`: integer floor division on cents, so both engines band
+    * identically with no float in the key (acctbal spans about -1k..10k,
+    * giving an 11-band generalization a release reviewer would actually
+    * propose).
+    *
+    * Scale: one hash-shuffle on the QI tuple (map-side combine does the
+    * heavy counting); the flag is a projection. Class cardinality is
+    * bounded by the QI domain (nations x segments x bands), not the row
+    * count, so the output stays dimension-sized at any data scale.
+    */
+  def dqKAnonymity(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(c_acctbal * 100 + 0.5) as bigint) div 100000").as("bal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("at_risk", (col("class_size") < KAnonymityK).cast("boolean"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+
+  /** The k of [[dqKAnonymity]]: classes smaller than this are flagged. */
+  val KAnonymityK = 4L
+
   /** Calendar densification: daily event counts per type with MISSING DAYS
     * filled as explicit zeros — the gap-fill every time-series consumer
     * (charting, anomaly baselines, forecasting features) needs before it

@@ -315,18 +315,23 @@ object Graph {
     * [[pagerankOracleSql]] — the recursive leg of WITH RECURSIVE cannot
     * aggregate).
     */
-  def componentsOracleSql: String = {
-    val rounds = (1 to ComponentRounds).map { i =>
+  /** The unrolled l1..lN min-propagation rounds — shared by
+    * [[componentsOracleSql]] and [[modularityOracleSql]].
+    */
+  private def componentRoundsCte: String =
+    (1 to ComponentRounds).map { i =>
       s"l$i AS MATERIALIZED (SELECT l.node, least(l.lbl, coalesce(m.in_lbl, l.lbl)) AS lbl " +
         s"FROM l${i - 1} l LEFT JOIN (SELECT e.dst AS node, min(p.lbl) AS in_lbl " +
         s"FROM edges e JOIN l${i - 1} p ON e.src = p.node GROUP BY e.dst) m ON l.node = m.node)"
     }.mkString(", ")
+
+  def componentsOracleSql: String = {
     "WITH base AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp FROM lineitem " +
       "JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey " +
       "JOIN supplier ON l_suppkey = s_suppkey WHERE c_nationkey = s_nationkey), " +
       "edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM base UNION ALL SELECT supp + 1000000, cust FROM base), " +
       "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges), " +
-      rounds +
+      componentRoundsCte +
       s" SELECT lbl AS component, count(*) AS n_nodes, " +
       "CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
       "CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
@@ -403,7 +408,19 @@ object Graph {
     * rendered as a windowed rank over the (dst, label) counts, unrolled
     * [[LabelPropRounds]] times (the [[componentsOracleSql]] convention).
     */
-  def labelPropOracleSql: String = {
+  def labelPropOracleSql: String =
+    labelPropCte +
+      s" SELECT lbl AS community, count(*) AS n_nodes, " +
+      "CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
+      "CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
+      s"min(node) AS min_node, max(node) AS max_node FROM p$LabelPropRounds " +
+      "GROUP BY lbl ORDER BY community"
+
+  /** Shared unrolled-CTE prefix (base → edges → p0..pN plurality rounds)
+    * for every label-prop-derived oracle — [[labelPropOracleSql]] and
+    * [[modularityOracleSql]] read the same fixed-round labels.
+    */
+  private def labelPropCte: String = {
     val rounds = (1 to LabelPropRounds).map { i =>
       s"p$i AS MATERIALIZED (SELECT l.node, coalesce(m.new_lbl, l.lbl) AS lbl " +
         s"FROM p${i - 1} l LEFT JOIN (SELECT node, nlbl AS new_lbl FROM " +
@@ -417,12 +434,79 @@ object Graph {
       "JOIN supplier ON l_suppkey = s_suppkey WHERE c_nationkey = s_nationkey), " +
       "edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM base UNION ALL SELECT supp + 1000000, cust FROM base), " +
       "p0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges), " +
-      rounds +
-      s" SELECT lbl AS community, count(*) AS n_nodes, " +
-      "CAST(sum(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
-      "CAST(sum(CASE WHEN node >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
-      s"min(node) AS min_node, max(node) AS max_node FROM p$LabelPropRounds " +
-      "GROUP BY lbl ORDER BY community"
+      rounds
+  }
+
+  /** Newman modularity of BOTH graph partitions — [[graphComponents]] and
+    * [[graphLabelProp]] — decomposed per community in EXACT integer
+    * arithmetic: for community c with e_c internal directed edges and
+    * degree mass D_c, the contribution to Q = Σ_c (e_c·2m − D_c²) / (2m)²
+    * is emitted as the BIGINT numerator `contrib_num` alongside the shared
+    * `two_m` (the denominator is (2m)²) — no float ever forms, so both
+    * engines agree bit-for-bit and the caller divides once at the end.
+    *
+    * Scoring both partitions in one relation is the point: it ADJUDICATES
+    * the two detectors. Components capture every edge internally (e_c sums
+    * to 2m, Q = 1 − Σ(D_c/2m)² > 0), while the fixed-round synchronous
+    * label-prop cut on this BIPARTITE trade graph lands on a side-coloring
+    * (the oscillation [[LabelPropRounds]]' scaladoc documents), so every
+    * one of its communities is single-sided, e_c = 0, and Q < 0 — the
+    * metric exposes quantitatively what the oscillation note claims.
+    *
+    * Scale: degrees and labels are node-cardinality tables — both sides of
+    * every join here broadcast (the [[labelPropIncoming]] discipline), so
+    * the edge table is streamed twice per partition (once per endpoint
+    * label tag) and never re-shuffles; the rollup shuffles
+    * community-cardinality rows. Magnitudes: e_c·2m and D_c² are ≤ (2m)² ≈
+    * 10¹² at sf0.1 and ≈ 10¹⁸ at 100× — inside int64 either way.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = domesticEdges(spark, dir).localCheckpoint()
+    val totals = e.agg(count(lit(1)).as("two_m"))
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    def score(method: String, labels: DataFrame): DataFrame = {
+      val dc = labels.join(broadcast(deg), Seq("node"))
+        .groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_c"))
+      val ec = e
+        .join(broadcast(labels.select(col("node").as("src"), col("lbl").as("slbl"))), Seq("src"))
+        .join(broadcast(labels.select(col("node").as("dst"), col("lbl").as("dlbl"))), Seq("dst"))
+        .filter(col("slbl") === col("dlbl"))
+        .groupBy(col("slbl").as("lbl"))
+        .agg(count(lit(1)).as("e_c"))
+      dc.join(ec, Seq("lbl"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(broadcast(totals))
+        .select(lit(method).as("method"), col("lbl").as("community"),
+          col("n_nodes"), col("e_c"), col("d_c"), col("two_m"),
+          (col("e_c") * col("two_m") - col("d_c") * col("d_c")).as("contrib_num"))
+    }
+    score("components", componentLabels(spark, dir, ComponentRounds))
+      .unionAll(score("label_prop", labelPropLabels(spark, dir, LabelPropRounds)))
+      .orderBy("method", "community")
+  }
+
+  /** DuckDB oracle for [[graphModularity]] — both unrolled label chains
+    * (the [[componentsOracleSql]] min-propagation and the [[labelPropCte]]
+    * plurality rounds) over ONE shared base/edges, joined to edge-derived
+    * degrees and internal-edge counts, all BIGINT.
+    */
+  def modularityOracleSql: String = {
+    def legs(tag: String, rel: String) =
+      s"dc_$tag AS (SELECT p.lbl, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(d.deg) AS BIGINT) AS d_c FROM $rel p JOIN deg d ON p.node = d.node GROUP BY p.lbl), " +
+        s"ec_$tag AS (SELECT ps.lbl, CAST(count(*) AS BIGINT) AS e_c FROM edges e JOIN $rel ps ON e.src = ps.node JOIN $rel pd ON e.dst = pd.node WHERE ps.lbl = pd.lbl GROUP BY ps.lbl)"
+    def sel(method: String, tag: String) =
+      s"SELECT '$method' AS method, dc_$tag.lbl AS community, n_nodes, coalesce(e_c, 0) AS e_c, d_c, two_m, " +
+        s"coalesce(e_c, 0) * two_m - d_c * d_c AS contrib_num " +
+        s"FROM dc_$tag LEFT JOIN ec_$tag ON dc_$tag.lbl = ec_$tag.lbl CROSS JOIN tm"
+    labelPropCte +
+      ", l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS lbl FROM edges), " +
+      componentRoundsCte +
+      ", deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src)" +
+      ", tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM edges), " +
+      legs("c", s"l$ComponentRounds") + ", " + legs("p", s"p$LabelPropRounds") + " " +
+      sel("components", "c") + " UNION ALL " + sel("label_prop", "p") +
+      " ORDER BY method, community"
   }
 
   /** Rounds of the [[graphBfs]] Bellman-Ford unroll: hop eccentricity from

@@ -1018,6 +1018,35 @@ object Relational {
         |ORDER BY purchase_id""".stripMargin)
   }
 
+  /** The SQL face of the native interval join — [[joinIntervalNative]]'s
+    * exact computation (clicks within ±15 min of each same-user purchase,
+    * counted per purchase) phrased as plain INNER-JOIN SQL with the
+    * `graft_interval_match(lt, rt, lo, hi)` marker in the join condition,
+    * which [[graft.plans.ResolveAsOfSql]] converts to the
+    * [[graft.plans.IntervalJoin]] node during analysis. The aggregation
+    * sits ABOVE the converted join in the same statement — the operator
+    * composes with ordinary SQL, it is not a leaf-only escape hatch. The
+    * DuckDB oracle is the textbook `JOIN ... ON key AND abs(Δt) <= H`,
+    * so the pass proves SQL path ≡ DataFrame path ≡ brute force.
+    *
+    * Scale: identical movement to [[joinIntervalNative]] — one exchange +
+    * sort per side, O(|L|+|R|) sweep, never the all-pairs equi join the
+    * oracle spells.
+    */
+  def sqlIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    org.apache.spark.sql.graft.AsOf.sql(spark,
+      """WITH p AS (SELECT event_id, user_id, unix_micros(ts) AS tus
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id AS click_user, unix_micros(ts) AS cus
+        |           FROM events WHERE event_type = 'click')
+        |SELECT event_id, count(*) AS n_clicks_nearby
+        |FROM p JOIN c ON user_id = click_user
+        |  AND graft_interval_match(tus, cus, -900000000, 900000000)
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- aggregations
 
   /** TPC-H-Q1-like pricing summary: partial+final hash aggregate; all float

@@ -1190,6 +1190,56 @@ class OpsSpec extends SparkSpec {
       (3L, 2L, 1L, 1L, 3L, 1000012L)), s"got $got")
   }
 
+  test("graphModularity scores both partitions exactly on the two-nation fixture") {
+    // Same shape as the components fixture: {c1, c2, s11} in nation 0,
+    // {c3, s12} in nation 1, 2m = 6 directed edges. Components capture
+    // every edge internally (contrib = e_c·2m − D_c²: 4·6−16 = 8 and
+    // 2·6−4 = 8). Synchronous label-prop lands on the bipartite
+    // side-coloring at round 4 ({1,2} vs {s11}, {3} vs {s12}) — e_c = 0
+    // everywhere, contributions pure degree penalty.
+    val dir = java.nio.file.Files.createTempDirectory("graft-mod").toString
+    import spark.implicits._
+    Seq((101L, 11L), (102L, 11L), (103L, 12L))
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((101L, 1L), (102L, 2L), (103L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 0), (2L, 0), (3L, 1)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((11L, 0), (12L, 1)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val got = Graph.graphModularity(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("components", 1L, 3L, 4L, 4L, 6L, 8L),
+      ("components", 3L, 2L, 2L, 2L, 6L, 8L),
+      ("label_prop", 1L, 2L, 0L, 2L, 6L, -4L),
+      ("label_prop", 3L, 1L, 0L, 1L, 6L, -1L),
+      ("label_prop", 1000011L, 1L, 0L, 2L, 6L, -4L),
+      ("label_prop", 1000012L, 1L, 0L, 1L, 6L, -1L)), s"got $got")
+  }
+
+  test("dqKAnonymity flags classes strictly below k at the exact boundary, with negative bands") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kanon").toString
+    import spark.implicits._
+    // Band 0 has exactly k = 4 members (NOT at risk — the boundary), band
+    // 1 has 3 (at risk), and a -1500.00 balance must band to -1 by
+    // truncating integer division on cents (not float floor).
+    Seq((0L, "AUTO", 100.00), (0L, "AUTO", 999.99), (0L, "AUTO", 0.00), (0L, "AUTO", 500.50),
+      (0L, "AUTO", 1000.00), (0L, "AUTO", 1500.25), (0L, "AUTO", 1999.99),
+      (1L, "BULK", -1500.00))
+      .toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = Analytics.dqKAnonymity(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (0L, "AUTO", 0L, 4L, false),
+      (0L, "AUTO", 1L, 3L, true),
+      (1L, "BULK", -1L, 1L, true)), s"got $got")
+  }
+
   test("graphBfs rings a constructed chain and ignores other islands") {
     // Nation 0: seed = customer 1 (min custkey) — ring 0; its supplier 11
     // — ring 1; customer 2 (shares s11) — ring 2; supplier 13 (only via

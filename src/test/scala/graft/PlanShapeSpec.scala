@@ -308,6 +308,12 @@ class PlanShapeSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin") || q != "join_interval_native",
         s"$q pairs via a generic join:\n$p")
     }
+    // The SQL face must reach the same exec: the marker in plain INNER
+    // JOIN SQL converts during analysis, never falls back to a generic
+    // join with a post-filter.
+    val sqlP = plan("sql_interval_join")
+    assert(sqlP.contains("IntervalJoin ["), s"sql_interval_join lost the native sweep:\n$sqlP")
+    assert(!sqlP.contains("SortMergeJoin"), s"sql_interval_join pairs via a generic join:\n$sqlP")
   }
 
   test("bucketed pagerank superstep never re-shuffles the edge table") {
