@@ -280,6 +280,7 @@ object SparkEntry {
     "events_retention" -> (Analytics.eventsRetention _),
     "events_outliers" -> (Analytics.eventsOutliers _),
     "curation_dup_rate" -> (Analytics.curationDupRate _),
+    "curation_token_budget" -> (Analytics.curationTokenBudget _),
     "sim_topk_pq" -> ((s, d) => LlmPipeline.simTopkPq(s, d)),
     "sim_topk_ivfpq" -> ((s, d) => LlmPipeline.simTopkIvfPq(s, d)),
     "sample_split" -> (Analytics.sampleSplit _),
@@ -734,6 +735,8 @@ object SparkEntry {
       """WITH xy AS (SELECT l_returnflag AS flag, CAST(floor(l_quantity*100 + 0.5) AS BIGINT) AS x, CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y FROM lineitem), m AS (SELECT flag, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(y*y) AS BIGINT) AS syy FROM xy GROUP BY flag) SELECT flag, n, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * 1000000 + 0.5)/1000000.0 AS slope_cents, floor((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sx) / n * 1000000 + 0.5)/1000000.0 AS intercept_cents, floor((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / sqrt((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)) * 1000000 + 0.5)/1000000.0 AS corr_xy FROM m ORDER BY flag""",
     "curation_dup_rate" ->
       """WITH h AS (SELECT source, array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS k FROM documents), c AS (SELECT source, k, count(*) OVER (PARTITION BY k) AS copies FROM h) SELECT source, count(*) AS n_docs, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, count(DISTINCT k) AS n_distinct_keys, CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_rate FROM c GROUP BY source ORDER BY source""",
+    "curation_token_budget" ->
+      """WITH d AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok FROM documents), s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(tok) AS BIGINT) AS avail_tokens, 1 + CAST(substring(source, 4) AS BIGINT) % 4 AS w FROM d GROUP BY source), tt AS (SELECT (CAST(sum(avail_tokens) AS BIGINT) * 9) // 10 AS budget FROM s), b AS (SELECT s.*, budget, (avail_tokens * 1000000) // w AS ratio FROM s CROSS JOIN tt), st AS (SELECT *, CAST(row_number() OVER ord AS BIGINT) AS rn, CAST(coalesce(sum(avail_tokens) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_prev, CAST(sum(w) OVER (ord ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS rw FROM b WINDOW ord AS (ORDER BY ratio, source)), fl AS (SELECT *, avail_tokens * rw >= (budget - p_prev) * w AS uncapped FROM st), kk AS (SELECT *, CAST(min(CASE WHEN uncapped THEN rn END) OVER () AS BIGINT) AS krn FROM fl), lm AS (SELECT *, CAST(max(CASE WHEN rn = krn THEN budget - p_prev END) OVER () AS BIGINT) AS lam_num, CAST(max(CASE WHEN rn = krn THEN rw END) OVER () AS BIGINT) AS lam_den FROM kk) SELECT source, n_docs, w, avail_tokens, CASE WHEN krn IS NULL OR rn < krn THEN avail_tokens ELSE (lam_num * w) // lam_den END AS alloc_tokens, (krn IS NULL OR rn < krn) AS capped, (CASE WHEN krn IS NULL OR rn < krn THEN avail_tokens ELSE (lam_num * w) // lam_den END * 1000000) // budget AS share_micro FROM lm ORDER BY source""",
     "text_repetition" ->
       """WITH s AS (SELECT doc_id, string_split(text,' ') AS ss FROM documents), tok AS (SELECT doc_id, unnest(ss) AS tk FROM s), tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1,2), td AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS topc FROM tc GROUP BY 1), bg AS (SELECT doc_id, unnest(list_transform(range(1, array_length(ss)), i -> ss[i] || ' ' || ss[i+1])) AS b FROM s), bc AS (SELECT doc_id AS bdoc, CAST(count(*) AS BIGINT) AS total_bi, CAST(count(DISTINCT b) AS BIGINT) AS dist_bi FROM bg GROUP BY 1) SELECT td.doc_id, total AS n_tokens, floor(CAST(n_distinct AS DOUBLE)/total*10000 + 0.5)/10000 AS uniq_token_frac, floor(CAST(topc AS DOUBLE)/total*10000 + 0.5)/10000 AS top_token_frac, floor(CAST(total_bi - dist_bi AS DOUBLE)/total_bi*10000 + 0.5)/10000 AS dup_bigram_frac FROM td JOIN bc ON td.doc_id = bdoc ORDER BY doc_id""",
     "text_pii_scrub" ->

@@ -407,6 +407,66 @@ object Analytics {
       .orderBy("source")
   }
 
+  /** Token-budget allocation across sources — the data-MIXING op a
+    * training pipeline runs after curation: given per-source available
+    * tokens, per-source mixing weights (here a deterministic tier map,
+    * `1 + src_num % 4` — the stand-in for a curation config's
+    * quality tiers), and a global token budget (90% of the corpus — the
+    * operating point where top-tier fair shares EXCEED their availability,
+    * so both the capped and redistributed branches are live on the
+    * fixture, not just in the constructed spec), compute
+    * the weighted WATERFILLING allocation in closed form: sources whose
+    * availability can't cover their weighted fair share are capped at
+    * `avail` and their unused share redistributes to the rest — the
+    * "cap-and-redistribute" equilibrium, found exactly by sorting on the
+    * avail/weight ratio and locating the first uncapped position k, after
+    * which every remaining source gets `(budget − capped_prefix) · w ÷
+    * remaining_weight` (truncating; the sub-source_count shortfall is the
+    * documented remainder). Pure int64 throughout — the ratio sort key is
+    * `avail·10⁶ div w`, every comparison cross-multiplied, so both engines
+    * agree bit-for-bit and no float ever forms.
+    *
+    * Scale: the only data-scale work is ONE map-side-combined groupBy
+    * (source → token sum); everything after is window algebra over the
+    * SOURCE-cardinality table (dozens of rows at any corpus size), so the
+    * single-partition windows are dimension-sized by construction — the
+    * closed form replaces the iterative fill loop a naive implementation
+    * would run per source.
+    */
+  def curationTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = t(spark, dir, "documents")
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("avail_tokens"))
+      .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 4L)
+    val totals = perSrc.agg((sum(col("avail_tokens")).cast("long")).as("tt"))
+    val ord = Window.orderBy(col("ratio"), col("source"))
+    val whole = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perSrc.crossJoin(broadcast(totals))
+      .withColumn("budget", expr("(tt * 9) div 10"))
+      .withColumn("ratio", expr("(avail_tokens * 1000000) div w"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("p_prev", coalesce(sum(col("avail_tokens"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rw", sum(col("w"))
+        .over(ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("uncapped",
+        col("avail_tokens") * col("rw") >= (col("budget") - col("p_prev")) * col("w"))
+      .withColumn("krn", min(when(col("uncapped"), col("rn"))).over(whole))
+      .withColumn("lam_num",
+        max(when(col("rn") === col("krn"), col("budget") - col("p_prev"))).over(whole))
+      .withColumn("lam_den", max(when(col("rn") === col("krn"), col("rw"))).over(whole))
+      .withColumn("alloc_tokens",
+        when(col("krn").isNull || col("rn") < col("krn"), col("avail_tokens"))
+          .otherwise(expr("(lam_num * w) div lam_den")))
+      .withColumn("capped", (col("krn").isNull || col("rn") < col("krn")).cast("boolean"))
+      .withColumn("share_micro", expr("(alloc_tokens * 1000000) div budget"))
+      .select("source", "n_docs", "w", "avail_tokens", "alloc_tokens", "capped",
+        "share_micro")
+      .orderBy("source")
+  }
+
   /** Repetition-based quality signals (the "Gopher rules" family,
     * Rae et al. 2021 §A1.1): per document, the unique-token fraction, the
     * most-frequent-token coverage, and the duplicate-bigram fraction — the

@@ -1240,6 +1240,29 @@ class OpsSpec extends SparkSpec {
       (1L, "BULK", -1L, 1L, true)), s"got $got")
   }
 
+  test("curationTokenBudget waterfills the constructed three-source corpus exactly") {
+    // avail: src0=12 (w=1), src1=4 (w=2), src3=40 (w=4); total 56, budget
+    // 56*9 div 10 = 50. Ratio sort: src1(2M) < src3(10M) < src0(12M).
+    // src1: 4·7 < 50·2 → CAPPED at 4. src3: 40·5 ≥ 46·4 → first uncapped,
+    // λ = 46/5 → alloc 46·4 div 5 = 36. src0: 46·1 div 5 = 9. Shortfall
+    // 50−49 = 1 < n_sources (the documented truncation remainder).
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    import spark.implicits._
+    Seq((1L, "a b c d e", "src0"), (2L, "a b c d e f g", "src0"),
+      (3L, "x y z w", "src1"),
+      (4L, Seq.fill(20)("t").mkString(" "), "src3"),
+      (5L, Seq.fill(20)("u").mkString(" "), "src3"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.curationTokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6))).toSeq
+    assert(got == Seq(
+      ("src0", 2L, 1L, 12L, 9L, false, 180000L),
+      ("src1", 1L, 2L, 4L, 4L, true, 80000L),
+      ("src3", 2L, 4L, 40L, 36L, false, 720000L)), s"got $got")
+  }
+
   test("graphBfs rings a constructed chain and ignores other islands") {
     // Nation 0: seed = customer 1 (min custkey) — ring 0; its supplier 11
     // — ring 1; customer 2 (shares s11) — ring 2; supplier 13 (only via
