@@ -412,6 +412,15 @@ object SparkEntry {
     * sketches, float HOFs, LSH, sliding windows, xxhash fingerprints) are
     * scalatest-verified instead and get the driver's rows-only check.
     */
+  /** ONE brute-force oracle for both interval-join faces
+    * (`join_interval_native` DataFrame path, `sql_interval_join` SQL
+    * marker path): sharing the string makes the "SQL ≡ DataFrame ≡ brute
+    * force" equivalence structural — an edit cannot silently decouple the
+    * two claims.
+    */
+  private val intervalBruteForceOracle =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM p JOIN c ON user_id = click_user AND abs(tus - cus) <= 900000000 GROUP BY event_id ORDER BY event_id"""
+
   def oracleSql: Map[String, String] = Map(
     "scan_full" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, epoch_us(l_shipdate) AS l_shipdate FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""",
@@ -603,12 +612,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value FROM events ORDER BY event_id""",
     "join_interval_bucketed" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), o AS (SELECT event_id AS oid, epoch_us(ts) AS ous FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM ev JOIN o ON abs(tus - ous) <= 900000000 GROUP BY event_id ORDER BY event_id""",
-    "join_interval_native" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM p JOIN c ON user_id = click_user AND abs(tus - cus) <= 900000000 GROUP BY event_id ORDER BY event_id""",
+    "join_interval_native" -> intervalBruteForceOracle,
     // Same brute-force oracle as join_interval_native: the pass proves the
     // SQL marker path ≡ the DataFrame path ≡ the all-pairs reference.
-    "sql_interval_join" ->
-      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(*) AS BIGINT) AS n_clicks_nearby FROM p JOIN c ON user_id = click_user AND abs(tus - cus) <= 900000000 GROUP BY event_id ORDER BY event_id""",
+    "sql_interval_join" -> intervalBruteForceOracle,
     "setop_union_by_name" ->
       """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
     "sql_recursive_cte" ->

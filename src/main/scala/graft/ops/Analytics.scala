@@ -439,11 +439,13 @@ object Analytics {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("avail_tokens"))
       .withColumn("w", lit(1L) + substring(col("source"), 4, 10).cast("long") % 4L)
-    val totals = perSrc.agg((sum(col("avail_tokens")).cast("long")).as("tt"))
     val ord = Window.orderBy(col("ratio"), col("source"))
     val whole = Window.partitionBy(lit(1))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perSrc.crossJoin(broadcast(totals))
+    // The corpus total is a window over the SOURCE-cardinality table, not
+    // a second aggregation of the corpus — one parquet scan, one shuffle.
+    perSrc
+      .withColumn("tt", sum(col("avail_tokens")).over(whole))
       .withColumn("budget", expr("(tt * 9) div 10"))
       .withColumn("ratio", expr("(avail_tokens * 1000000) div w"))
       .withColumn("rn", row_number().over(ord))

@@ -286,8 +286,14 @@ object Graph {
   /** The label table after `rounds` synchronous min-propagation rounds —
     * split out so the spec can pin convergence (rounds+1 is a fixed point). */
   private[graft] def componentLabels(spark: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
-    val e = domesticEdges(spark, dir).localCheckpoint()
+      rounds: Int): DataFrame =
+    componentLabelsOf(domesticEdges(spark, dir).localCheckpoint(), rounds)
+
+  /** [[componentLabels]] over an ALREADY-materialized edge table — so a
+    * caller holding a checkpointed copy ([[graphModularity]] scores two
+    * partitions of the same edges) never rebuilds the 4-table edge join.
+    */
+  private[graft] def componentLabelsOf(e: DataFrame, rounds: Int): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -361,8 +367,12 @@ object Graph {
     * left join back; localCheckpoint caps lineage exactly as components.
     */
   private[graft] def labelPropLabels(spark: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
-    val e = domesticEdges(spark, dir).localCheckpoint()
+      rounds: Int): DataFrame =
+    labelPropLabelsOf(domesticEdges(spark, dir).localCheckpoint(), rounds)
+
+  /** [[labelPropLabels]] over an already-materialized edge table — the
+    * [[componentLabelsOf]] rationale. */
+  private[graft] def labelPropLabelsOf(e: DataFrame, rounds: Int): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -481,8 +491,8 @@ object Graph {
           col("n_nodes"), col("e_c"), col("d_c"), col("two_m"),
           (col("e_c") * col("two_m") - col("d_c") * col("d_c")).as("contrib_num"))
     }
-    score("components", componentLabels(spark, dir, ComponentRounds))
-      .unionAll(score("label_prop", labelPropLabels(spark, dir, LabelPropRounds)))
+    score("components", componentLabelsOf(e, ComponentRounds))
+      .unionAll(score("label_prop", labelPropLabelsOf(e, LabelPropRounds)))
       .orderBy("method", "community")
   }
 
