@@ -12,7 +12,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "extract_incr_watermark", "agg_pricing_summary", "join_multiway",
       "sort_limit_topk", "dedup_exact", "window_rank_topn", "join_range_theta",
-      "join_asof_native", "text_ngram_novelty", "events_bot_detect")
+      "join_asof_native", "text_ngram_novelty", "events_bot_detect",
+      "sql_interval_join", "graph_modularity", "curation_token_budget")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
