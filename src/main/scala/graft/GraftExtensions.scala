@@ -55,6 +55,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_interval_match",
         "graft_interval_match(l_time, r_time, lo_us, hi_us) - interval marker in an INNER JOIN condition: match pairs with r_time in [l_time+lo_us, l_time+hi_us]; planned as the native sorted-sweep IntervalJoinExec"),
       (exprs: Seq[Expression]) => graft.plans.IntervalMatch(exprs)))
+    ext.injectFunction((FunctionIdentifier("graft_hilbert"),
+      info("graft_hilbert",
+        "graft_hilbert(x, y[, bits]) - 2-D Hilbert-curve index of grid cell (x, y) on the 2^bits grid (default 16); the continuous space-filling order behind the hilbert lake layout"),
+      (exprs: Seq[Expression]) => HilbertIndex.fromExprs(exprs)))
     ext.injectFunction((FunctionIdentifier("graft_minhash"),
       info("graft_minhash", "graft_minhash(text) - 64-hash MinHash signature (3-word shingles)"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64, 3)))
@@ -107,7 +111,8 @@ object ExtensionsDemo {
       """SELECT count(*) FROM (
         |  SELECT graft_minhash(text), graft_shingle_hashes(text),
         |         graft_token_count(text), graft_simhash(text),
-        |         graft_rolling_fp(text), graft_deflate_len(text)
+        |         graft_rolling_fp(text), graft_deflate_len(text),
+        |         graft_hilbert(doc_id, graft_token_count(text))
         |  FROM documents LIMIT 5)""".stripMargin).head().getLong(0)
     val dot = spark.sql(
       "SELECT graft_dot(embedding, embedding) FROM embeddings LIMIT 1").head().getDouble(0)

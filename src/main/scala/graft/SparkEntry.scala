@@ -290,6 +290,7 @@ object SparkEntry {
     "dq_checks" -> (Analytics.dqChecks _),
     "dq_k_anonymity" -> (Analytics.dqKAnonymity _),
     "layout_zorder" -> (graft.sources.FileFormats.layoutZorderStats _),
+    "layout_hilbert" -> (graft.sources.FileFormats.layoutHilbertStats _),
     "events_gapfill" -> (Analytics.eventsGapfill _),
     "text_repetition" -> (Analytics.textRepetition _),
     "text_pii_scrub" -> (Analytics.textPiiScrub _),

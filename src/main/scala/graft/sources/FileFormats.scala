@@ -209,8 +209,8 @@ object FileFormats {
     * aggregate (a bounded parameter fetch, same contract as the probe
     * fetches).
     */
-  private val zCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
-  private[graft] def zorderLayouts(spark: SparkSession, dir: String): (String, String) =
+  private val zCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]
+  private[graft] def zorderLayouts(spark: SparkSession, dir: String): (String, String, String) =
     zCache.computeIfAbsent(dir, _ => {
       val ev = t(spark, dir, "events")
         .select(col("event_id"), col("user_id"),
@@ -220,18 +220,28 @@ object FileFormats {
       def to16(c: Column, lo: Long, hi: Long): Column =
         if (hi <= lo) lit(0L)
         else floor((c - lit(lo)).cast("double") * 65535.0 / (hi - lo).toDouble).cast("long")
-      val z = zValue16(to16(col("user_id"), loU, hiU), to16(col("value_c"), loV, hiV))
+      val u16 = to16(col("user_id"), loU, hiU)
+      val v16 = to16(col("value_c"), loV, hiV)
+      def sortedBy(key: Column, slug: String): String = {
+        val path = exitCleanedTempDir(slug)
+        ev.withColumn("__k", key)
+          .repartitionByRange(8, col("__k"))
+          .sortWithinPartitions("__k")
+          .drop("__k")
+          .write.mode("overwrite").parquet(path)
+        path
+      }
       val linear = exitCleanedTempDir("graft-linear")
       ev.repartitionByRange(8, col("event_id"))
         .sortWithinPartitions("event_id")
         .write.mode("overwrite").parquet(linear)
-      val zorder = exitCleanedTempDir("graft-zorder")
-      ev.withColumn("__z", z)
-        .repartitionByRange(8, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite").parquet(zorder)
-      (linear, zorder)
+      val zorder = sortedBy(zValue16(u16, v16), "graft-zorder")
+      // Third layout: same cells, Hilbert-curve order (the NATIVE
+      // graft.functions.HilbertIndex expression) — continuous where the
+      // z-curve teleports, so file boxes are tighter still.
+      val hilbert = sortedBy(
+        graft.functions.HilbertIndex.hilbert(spark, u16, v16, 16), "graft-hilbert")
+      (linear, zorder, hilbert)
     })
 
   /** File-skipping report for the two layouts under a 2-D predicate box —
@@ -246,8 +256,29 @@ object FileFormats {
     * at once, before any data is read.
     */
   def layoutZorderStats(spark: SparkSession, dir: String): DataFrame = {
-    val (linear, zorder) = zorderLayouts(spark, dir)
-    val b = spark.read.parquet(linear)
+    val (linear, zorder, _) = zorderLayouts(spark, dir)
+    layoutStats(spark, Seq("linear" -> linear, "zorder" -> zorder))
+  }
+
+  /** The 3-way layout adjudication: the same file-skipping report extended
+    * with the Hilbert-sorted layout (native [[graft.functions.HilbertIndex]]
+    * codegen expression). The continuity argument (Hilbert never teleports;
+    * the z-curve jumps at every power-of-two seam) predicts
+    * hilbert ≤ zorder < linear files opened — this query is that claim as
+    * a measured number over identical data, cells, and predicate box.
+    */
+  def layoutHilbertStats(spark: SparkSession, dir: String): DataFrame = {
+    val (linear, zorder, hilbert) = zorderLayouts(spark, dir)
+    layoutStats(spark,
+      Seq("hilbert" -> hilbert, "linear" -> linear, "zorder" -> zorder))
+  }
+
+  /** Per-layout min/max file-pruning counts under the shared middle-20%
+    * 2-D box (see [[layoutZorderStats]]'s scaladoc for the contract).
+    */
+  private def layoutStats(spark: SparkSession,
+      layouts: Seq[(String, String)]): DataFrame = {
+    val b = spark.read.parquet(layouts.head._2)
       .agg(min("user_id"), max("user_id"), min("value_c"), max("value_c")).head()
     def mid(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
     val (loU, hiU) = (mid(b.getLong(0), b.getLong(1), 0.4), mid(b.getLong(0), b.getLong(1), 0.6))
@@ -263,7 +294,7 @@ object FileFormats {
             col("hi_v") < loV || col("lo_v") > hiV), 1L).otherwise(0L))
             .as("n_files_scanned"))
         .select(lit(name).as("layout"), col("n_files"), col("n_files_scanned"))
-    stats("linear", linear).unionAll(stats("zorder", zorder)).orderBy("layout")
+    layouts.map { case (n, p) => stats(n, p) }.reduce(_ unionAll _).orderBy("layout")
   }
 
   // Bucketed table names are catalog entries, so the memo is per-SESSION

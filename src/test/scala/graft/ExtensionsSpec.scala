@@ -22,7 +22,7 @@ class ExtensionsSpec extends AnyFunSuite {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("spark.sql.extensions=graft.GraftExtensions injects the rule, the as-of planner strategy, 8 scalar SQL functions, and the generator") {
+  test("spark.sql.extensions=graft.GraftExtensions injects the rule, the as-of planner strategy, 9 scalar SQL functions, and the generator") {
     val prior = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -49,8 +49,11 @@ class ExtensionsSpec extends AnyFunSuite {
           |       graft_simhash(text)              AS sim,
           |       size(graft_rolling_fp(text))     AS rfp_len,
           |       graft_deflate_len(text)          AS dfl,
-          |       graft_dhash(encode(text, 'UTF-8')) AS dh
+          |       graft_dhash(encode(text, 'UTF-8')) AS dh,
+          |       graft_hilbert(doc_id + 1, doc_id, 4) AS hil
           |FROM documents WHERE doc_id = 0""".stripMargin).head()
+      // (1,0) at bits=4 is the curve's first step from the origin — d = 1.
+      assert(row.getAs[Long]("hil") == 1L)
       assert(row.getAs[Int]("mh_len") == 64)
       assert(row.getAs[Int]("sh_len") > 0)
       assert(row.getAs[Long]("toks") > 0L)

@@ -61,7 +61,7 @@ class FileFormatsSpec extends SparkSpec {
     assert(zScanned <= linScanned / 2,
       s"z-order skipping collapsed: z=$zScanned of $zFiles (measured 3/8 on the fixture)")
     // Both layouts hold the identical relation.
-    val (linear, zorder) = FileFormats.zorderLayouts(spark, sf)
+    val (linear, zorder, _) = FileFormats.zorderLayouts(spark, sf)
     val a = spark.read.parquet(linear).orderBy("event_id").collect()
     val b = spark.read.parquet(zorder).orderBy("event_id").collect()
     assert(a.toSeq == b.toSeq, "layouts must hold the same rows")
@@ -74,5 +74,89 @@ class FileFormatsSpec extends SparkSpec {
       .head()
     assert(z.getLong(0) == 0xAAAAAAAAL && z.getLong(1) == 0x55555555L &&
       z.getLong(2) == 0xFFFFFFFFL)
+  }
+
+  test("hilbert layout: the continuous curve prunes at least as well as z-order, both beat linear") {
+    val rows = FileFormats.layoutHilbertStats(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set("hilbert", "linear", "zorder"), rows.keySet.toString)
+    val (hFiles, hScanned) = rows("hilbert")
+    val (_, linScanned) = rows("linear")
+    val (_, zScanned) = rows("zorder")
+    assert(hFiles == 8)
+    assert(hScanned < linScanned,
+      s"hilbert must skip files: h=$hScanned vs linear=$linScanned")
+    assert(hScanned <= zScanned,
+      s"the continuous curve must not prune WORSE than the teleporting one: h=$hScanned z=$zScanned")
+    // The hilbert layout holds the identical relation to linear.
+    val (linear, _, hilbert) = FileFormats.zorderLayouts(spark, sf)
+    val a = spark.read.parquet(hilbert).orderBy("event_id").collect()
+    val b = spark.read.parquet(linear).orderBy("event_id").collect()
+    assert(a.toSeq == b.toSeq, "layouts must hold the same rows")
+  }
+
+  test("hilbert curve: bijective on the grid, every step a grid neighbor, tighter than Morton") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // Reference xy2d (the classic quadrant walk) — independent of the
+    // expression's own eval and of its codegen.
+    def ref(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n >> 1
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3L * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 4
+    val n = 1 << bits
+    import spark.implicits._
+    val cells = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+    // The codegen'd expression (DataFrame path) agrees with the reference
+    // on every cell of the 16x16 grid.
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.HilbertIndex.hilbert(spark, col("x"), col("y"), bits).as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) == ref(bits, x, y), s"($x,$y)")
+    }
+    // Bijective: indices are exactly 0..n²−1.
+    assert(got.values.toSet == (0L until (n.toLong * n)).toSet)
+    // THE Hilbert property: consecutive indices are grid NEIGHBORS
+    // (Manhattan distance exactly 1) — total walk length n²−1. The Morton
+    // walk over the same grid teleports at every power-of-two seam, so its
+    // total is strictly larger; that gap is why hilbert file boxes are
+    // tighter.
+    val byD = got.toSeq.map { case (xy, d) => (d, xy) }.sortBy(_._1).map(_._2)
+    val hilbertWalk = byD.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      (x1 - x2).abs + (y1 - y2).abs
+    }.toSeq
+    assert(hilbertWalk.forall(_ == 1L), "a Hilbert step left the neighborhood")
+    def morton(x: Long, y: Long): Long =
+      (0 until bits).map(i => (((x >> i) & 1L) << (2 * i + 1)) | (((y >> i) & 1L) << (2 * i))).sum
+    val mortonWalk = cells.map { case (x, y) => (morton(x, y), (x, y)) }
+      .sortBy(_._1).map(_._2).sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+        (x1 - x2).abs + (y1 - y2).abs
+      }.toSeq
+    assert(mortonWalk.sum > hilbertWalk.sum,
+      s"morton total jump ${mortonWalk.sum} must exceed hilbert ${hilbertWalk.sum}")
+    // Null in → null out; out-of-grid coordinates mask into the grid.
+    val nullRow = Seq((Option.empty[Long], Option(1L))).toDF("x", "y")
+      .select(graft.functions.HilbertIndex.hilbert(spark, col("x"), col("y"), bits).as("d"))
+      .head()
+    assert(nullRow.isNullAt(0))
+    val masked = spark.range(1)
+      .select(graft.functions.HilbertIndex.hilbert(spark,
+        expr(s"cast(${n + 3} as bigint)"), expr("cast(2 as bigint)"), bits).as("d"))
+      .head().getLong(0)
+    assert(masked == ref(bits, 3L, 2L))
   }
 }

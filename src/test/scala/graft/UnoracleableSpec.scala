@@ -103,6 +103,11 @@ class UnoracleableSpec extends SparkSpec {
       "physical file-layout statistics (per-file min/max skipping) are not SQL",
       "FileFormatsSpec", Seq(
         "z-order layout: min/max pruning scans strictly fewer files than the linear layout under a 2-D predicate")),
+    "layout_hilbert" -> Pin(
+      "physical file-layout statistics (per-file min/max skipping) are not SQL",
+      "FileFormatsSpec", Seq(
+        "hilbert layout: the continuous curve prunes at least as well as z-order, both beat linear",
+        "hilbert curve: bijective on the grid, every step a grid neighbor, tighter than Morton")),
     "multimodal_decode" -> Pin(
       "decoder stubs are engine-defined (no codec libs in sandbox)",
       "OpsSpec", Seq("multimodal: fingerprint matches payload bytes; decode features deterministic")),
