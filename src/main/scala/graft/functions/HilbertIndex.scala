@@ -98,6 +98,11 @@ case class HilbertIndex(left: Expression, right: Expression, bits: Int)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_hilbert"
+
+  // Render `bits` in plans and SQL: graft_hilbert(x, y, 8) and
+  // graft_hilbert(x, y, 16) must be distinguishable in EXPLAIN output.
+  override def toString: String = s"$prettyName($left, $right, $bits)"
+  override def sql: String = s"$prettyName(${left.sql}, ${right.sql}, $bits)"
 }
 
 object HilbertIndex {
@@ -107,15 +112,23 @@ object HilbertIndex {
         "graft_hilbert", exprs => fromExprs(exprs), "built-in")
 
   /** SQL-surface constructor: `graft_hilbert(x, y[, bits])` — `bits` must
-    * be a foldable integer literal (default 16).
+    * be a foldable non-null integer literal (default 16). Arity and the
+    * bits literal are validated HERE (analysis time) so a bad call fails
+    * with a named error, not an index/null exception mid-analysis.
     */
   def fromExprs(exprs: Seq[Expression]): HilbertIndex = {
+    require(exprs.length == 2 || exprs.length == 3,
+      s"graft_hilbert takes (x, y[, bits]), got ${exprs.length} arguments")
     val bits =
-      if (exprs.length <= 2) 16
+      if (exprs.length == 2) 16
       else {
         val b = exprs(2)
         require(b.foldable, "graft_hilbert bits must be a literal")
-        b.eval().asInstanceOf[Number].intValue()
+        b.eval() match {
+          case n: Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_hilbert bits must be a non-null integer literal, got $other")
+        }
       }
     HilbertIndex(exprs(0), exprs(1), bits)
   }

@@ -200,17 +200,20 @@ object FileFormats {
         shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
 
-  /** Materialize the SAME events projection under two physical layouts
+  /** Materialize the SAME events projection under THREE physical layouts
     * (once per JVM+dir): `linear` — range-partitioned and sorted by
-    * event_id, the "insert-order" lake layout — and `zorder` — range-
-    * partitioned and sorted by the Morton code of (user_id, value), the
-    * OPTIMIZE ZORDER layout. 8 files each; returns (linearPath, zorderPath).
-    * Dimension bounds for 16-bit normalization come from one 1-row
-    * aggregate (a bounded parameter fetch, same contract as the probe
-    * fetches).
+    * event_id, the "insert-order" lake layout; `zorder` — sorted by the
+    * Morton code of (user_id, value), the OPTIMIZE ZORDER layout; and
+    * `hilbert` — sorted by the native Hilbert-curve index over the same
+    * cells. 8 files each. Dimension bounds for 16-bit normalization come
+    * from one 1-row aggregate (a bounded parameter fetch, same contract as
+    * the probe fetches) and are CACHED alongside the paths so the stats
+    * queries never re-scan for them.
     */
-  private val zCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]
-  private[graft] def zorderLayouts(spark: SparkSession, dir: String): (String, String, String) =
+  private[graft] final case class Layouts(linear: String, zorder: String,
+      hilbert: String, loU: Long, hiU: Long, loV: Long, hiV: Long)
+  private val zCache = new java.util.concurrent.ConcurrentHashMap[String, Layouts]
+  private[graft] def zorderLayouts(spark: SparkSession, dir: String): Layouts =
     zCache.computeIfAbsent(dir, _ => {
       val ev = t(spark, dir, "events")
         .select(col("event_id"), col("user_id"),
@@ -241,7 +244,7 @@ object FileFormats {
       // z-curve teleports, so file boxes are tighter still.
       val hilbert = sortedBy(
         graft.functions.HilbertIndex.hilbert(spark, u16, v16, 16), "graft-hilbert")
-      (linear, zorder, hilbert)
+      Layouts(linear, zorder, hilbert, loU, hiU, loV, hiV)
     })
 
   /** File-skipping report for the two layouts under a 2-D predicate box —
@@ -256,8 +259,8 @@ object FileFormats {
     * at once, before any data is read.
     */
   def layoutZorderStats(spark: SparkSession, dir: String): DataFrame = {
-    val (linear, zorder, _) = zorderLayouts(spark, dir)
-    layoutStats(spark, Seq("linear" -> linear, "zorder" -> zorder))
+    val l = zorderLayouts(spark, dir)
+    layoutStats(spark, l, Seq("linear" -> l.linear, "zorder" -> l.zorder))
   }
 
   /** The 3-way layout adjudication: the same file-skipping report extended
@@ -268,21 +271,20 @@ object FileFormats {
     * a measured number over identical data, cells, and predicate box.
     */
   def layoutHilbertStats(spark: SparkSession, dir: String): DataFrame = {
-    val (linear, zorder, hilbert) = zorderLayouts(spark, dir)
-    layoutStats(spark,
-      Seq("hilbert" -> hilbert, "linear" -> linear, "zorder" -> zorder))
+    val l = zorderLayouts(spark, dir)
+    layoutStats(spark, l,
+      Seq("hilbert" -> l.hilbert, "linear" -> l.linear, "zorder" -> l.zorder))
   }
 
   /** Per-layout min/max file-pruning counts under the shared middle-20%
-    * 2-D box (see [[layoutZorderStats]]'s scaladoc for the contract).
+    * 2-D box (see [[layoutZorderStats]]'s scaladoc for the contract). The
+    * box derives from the bounds CACHED at layout build — no re-scan.
     */
-  private def layoutStats(spark: SparkSession,
+  private def layoutStats(spark: SparkSession, l: Layouts,
       layouts: Seq[(String, String)]): DataFrame = {
-    val b = spark.read.parquet(layouts.head._2)
-      .agg(min("user_id"), max("user_id"), min("value_c"), max("value_c")).head()
     def mid(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
-    val (loU, hiU) = (mid(b.getLong(0), b.getLong(1), 0.4), mid(b.getLong(0), b.getLong(1), 0.6))
-    val (loV, hiV) = (mid(b.getLong(2), b.getLong(3), 0.4), mid(b.getLong(2), b.getLong(3), 0.6))
+    val (loU, hiU) = (mid(l.loU, l.hiU, 0.4), mid(l.loU, l.hiU, 0.6))
+    val (loV, hiV) = (mid(l.loV, l.hiV, 0.4), mid(l.loV, l.hiV, 0.6))
     def stats(name: String, path: String): DataFrame =
       spark.read.parquet(path)
         .select(col("user_id"), col("value_c"), input_file_name().as("f"))

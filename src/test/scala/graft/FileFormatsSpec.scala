@@ -61,9 +61,9 @@ class FileFormatsSpec extends SparkSpec {
     assert(zScanned <= linScanned / 2,
       s"z-order skipping collapsed: z=$zScanned of $zFiles (measured 3/8 on the fixture)")
     // Both layouts hold the identical relation.
-    val (linear, zorder, _) = FileFormats.zorderLayouts(spark, sf)
-    val a = spark.read.parquet(linear).orderBy("event_id").collect()
-    val b = spark.read.parquet(zorder).orderBy("event_id").collect()
+    val l = FileFormats.zorderLayouts(spark, sf)
+    val a = spark.read.parquet(l.linear).orderBy("event_id").collect()
+    val b = spark.read.parquet(l.zorder).orderBy("event_id").collect()
     assert(a.toSeq == b.toSeq, "layouts must hold the same rows")
     // Morton interleave sanity: bit i of a → 2i+1, bit i of b → 2i.
     import org.apache.spark.sql.functions.lit
@@ -89,16 +89,20 @@ class FileFormatsSpec extends SparkSpec {
     assert(hScanned <= zScanned,
       s"the continuous curve must not prune WORSE than the teleporting one: h=$hScanned z=$zScanned")
     // The hilbert layout holds the identical relation to linear.
-    val (linear, _, hilbert) = FileFormats.zorderLayouts(spark, sf)
-    val a = spark.read.parquet(hilbert).orderBy("event_id").collect()
-    val b = spark.read.parquet(linear).orderBy("event_id").collect()
+    val l = FileFormats.zorderLayouts(spark, sf)
+    val a = spark.read.parquet(l.hilbert).orderBy("event_id").collect()
+    val b = spark.read.parquet(l.linear).orderBy("event_id").collect()
     assert(a.toSeq == b.toSeq, "layouts must hold the same rows")
   }
 
   test("hilbert curve: bijective on the grid, every step a grid neighbor, tighter than Morton") {
     import org.apache.spark.sql.functions.{col, expr}
-    // Reference xy2d (the classic quadrant walk) — independent of the
-    // expression's own eval and of its codegen.
+    // Reference xy2d — the same quadrant-walk ALGORITHM transcribed in
+    // test code, so this agreement check pins the codegen path against an
+    // interpreted transcription (it would not catch a shared algorithmic
+    // error); the INDEPENDENT proofs of the algorithm itself are the
+    // bijectivity and every-step-is-a-neighbor property checks below,
+    // which uniquely determine a Hilbert traversal up to orientation.
     def ref(bits: Int, x0: Long, y0: Long): Long = {
       val n = 1L << bits
       var (x, y, d) = (x0, y0, 0L)
