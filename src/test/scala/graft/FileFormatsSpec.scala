@@ -95,6 +95,38 @@ class FileFormatsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "layouts must hold the same rows")
   }
 
+  test("hilbert pruning advantage holds across a 3x3 sweep of box positions, not one lucky box") {
+    // Per-file min/max boxes collected ONCE per layout (8 rows each — the
+    // parquet-footer reader's view), then a 3x3 grid of 20%-wide predicate
+    // boxes replayed against them. The aggregate ordering must hold:
+    // hilbert never opens more total files than z-order, z-order fewer
+    // than linear — the continuity advantage is positional-robust.
+    val l = FileFormats.zorderLayouts(spark, sf)
+    import org.apache.spark.sql.functions.{col, input_file_name, min => fmin, max => fmax}
+    def bounds(path: String): Array[(Long, Long, Long, Long)] =
+      spark.read.parquet(path)
+        .select(col("user_id"), col("value_c"), input_file_name().as("f"))
+        .groupBy("f")
+        .agg(fmin("user_id"), fmax("user_id"), fmin("value_c"), fmax("value_c"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val layouts = Map("linear" -> bounds(l.linear), "zorder" -> bounds(l.zorder),
+      "hilbert" -> bounds(l.hilbert))
+    def mid(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
+    val totals = layouts.map { case (name, bs) =>
+      name -> (for (fu <- Seq(0.1, 0.4, 0.7); fv <- Seq(0.1, 0.4, 0.7)) yield {
+        val (loU, hiU) = (mid(l.loU, l.hiU, fu), mid(l.loU, l.hiU, fu + 0.2))
+        val (loV, hiV) = (mid(l.loV, l.hiV, fv), mid(l.loV, l.hiV, fv + 0.2))
+        bs.count { case (flu, fhu, flv, fhv) =>
+          !(fhu < loU || flu > hiU || fhv < loV || flv > hiV)
+        }
+      }).sum
+    }
+    assert(totals("hilbert") <= totals("zorder"),
+      s"hilbert total ${totals("hilbert")} vs zorder ${totals("zorder")} over 9 boxes")
+    assert(totals("zorder") < totals("linear"),
+      s"zorder total ${totals("zorder")} vs linear ${totals("linear")} over 9 boxes")
+  }
+
   test("hilbert curve: bijective on the grid, every step a grid neighbor, tighter than Morton") {
     import org.apache.spark.sql.functions.{col, expr}
     // Reference xy2d — the same quadrant-walk ALGORITHM transcribed in

@@ -107,6 +107,7 @@ class UnoracleableSpec extends SparkSpec {
       "physical file-layout statistics (per-file min/max skipping) are not SQL",
       "FileFormatsSpec", Seq(
         "hilbert layout: the continuous curve prunes at least as well as z-order, both beat linear",
+        "hilbert pruning advantage holds across a 3x3 sweep of box positions, not one lucky box",
         "hilbert curve: bijective on the grid, every step a grid neighbor, tighter than Morton")),
     "multimodal_decode" -> Pin(
       "decoder stubs are engine-defined (no codec libs in sandbox)",
