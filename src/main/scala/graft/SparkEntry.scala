@@ -246,6 +246,7 @@ object SparkEntry {
     "text_stats" -> (LlmPipeline.textStats _),
     "text_quality" -> (LlmPipeline.textQuality _),
     "text_langid" -> (LlmPipeline.textLangId _),
+    "text_langid_kappa" -> (LlmPipeline.textLangIdKappa _),
     // multimodal plumbing
     "multimodal_fingerprint" -> (Multimodal.multimodalFingerprint _),
     "multimodal_decode" -> (Multimodal.decodeFeatures _),
@@ -413,6 +414,14 @@ object SparkEntry {
     * sketches, float HOFs, LSH, sliding windows, xxhash fingerprints) are
     * scalatest-verified instead and get the driver's rows-only check.
     */
+  /** The langid kernel's oracle — shared verbatim by `text_langid` and,
+    * as the `pred` CTE, by `text_langid_kappa` (the same structural-reuse
+    * argument as [[intervalBruteForceOracle]]: the QC score is DEFINED
+    * over the classifier's own predictions, so the two must never drift).
+    */
+  private val langidOracle =
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), tt AS (SELECT lang AS cand_lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2), top AS (SELECT cand_lang, term FROM (SELECT cand_lang, term, row_number() OVER (PARTITION BY cand_lang ORDER BY cnt DESC, term) AS rk FROM tt) WHERE rk <= 20), dtok AS (SELECT DISTINCT doc_id, term FROM tok), ov AS (SELECT dt.doc_id, tp.cand_lang, count(*) AS ovl FROM dtok dt JOIN top tp ON dt.term = tp.term GROUP BY 1, 2), fullgrid AS (SELECT d.doc_id, d.lang, c.cand_lang, coalesce(ov.ovl, 0) AS ovl FROM documents d CROSS JOIN (SELECT DISTINCT cand_lang FROM top) c LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.cand_lang = c.cand_lang) SELECT doc_id, lang, cand_lang AS pred_lang, CAST(ovl AS BIGINT) AS overlap FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ovl DESC, cand_lang) AS rk FROM fullgrid) WHERE rk = 1 ORDER BY doc_id"""
+
   /** ONE brute-force oracle for both interval-join faces
     * (`join_interval_native` DataFrame path, `sql_interval_join` SQL
     * marker path): sharing the string makes the "SQL ≡ DataFrame ≡ brute
@@ -633,8 +642,22 @@ object SparkEntry {
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tk FROM documents), tc AS (SELECT doc_id, tk, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1,2), tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY doc_id), terms AS (SELECT tc.doc_id, CAST(floor(-(CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)/n) * 1000000 + 0.5) AS BIGINT) AS t_micro FROM tc JOIN tot USING (doc_id)) SELECT doc_id, floor(CAST(sum(t_micro) AS DOUBLE)/1000000*10000 + 0.5)/10000 AS token_entropy FROM terms GROUP BY doc_id ORDER BY doc_id""",
     "multimodal_kind_stats" ->
       """SELECT CASE doc_id % 4 WHEN 0 THEN 'text' WHEN 1 THEN 'image' WHEN 2 THEN 'audio' ELSE 'video' END AS kind, count(*) AS n_assets, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes, CAST(max(strlen(text)) AS BIGINT) AS max_bytes, min(doc_id) AS first_asset FROM documents GROUP BY 1 ORDER BY 1""",
-    "text_langid" ->
-      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents), tt AS (SELECT lang AS cand_lang, term, count(*) AS cnt FROM tok GROUP BY 1, 2), top AS (SELECT cand_lang, term FROM (SELECT cand_lang, term, row_number() OVER (PARTITION BY cand_lang ORDER BY cnt DESC, term) AS rk FROM tt) WHERE rk <= 20), dtok AS (SELECT DISTINCT doc_id, term FROM tok), ov AS (SELECT dt.doc_id, tp.cand_lang, count(*) AS ovl FROM dtok dt JOIN top tp ON dt.term = tp.term GROUP BY 1, 2), fullgrid AS (SELECT d.doc_id, d.lang, c.cand_lang, coalesce(ov.ovl, 0) AS ovl FROM documents d CROSS JOIN (SELECT DISTINCT cand_lang FROM top) c LEFT JOIN ov ON ov.doc_id = d.doc_id AND ov.cand_lang = c.cand_lang) SELECT doc_id, lang, cand_lang AS pred_lang, CAST(ovl AS BIGINT) AS overlap FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ovl DESC, cand_lang) AS rk FROM fullgrid) WHERE rk = 1 ORDER BY doc_id""",
+    "text_langid" -> langidOracle,
+    "text_langid_kappa" ->
+      (s"WITH pred AS ($langidOracle), " +
+        "m AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS c FROM pred GROUP BY 1, 2), " +
+        "rowm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_true FROM m GROUP BY 1), " +
+        "colm AS (SELECT pred_lang, CAST(sum(c) AS BIGINT) AS n_pred FROM m GROUP BY 1), " +
+        "diag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_correct FROM m WHERE lang = pred_lang GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(CASE WHEN lang = pred_lang THEN c ELSE 0 END) AS BIGINT) AS a FROM m), " +
+        "pe AS (SELECT CAST(sum(rowm.n_true * coalesce(colm.n_pred, 0)) AS BIGINT) AS p FROM rowm LEFT JOIN colm ON rowm.lang = colm.pred_lang), " +
+        "g AS (SELECT (1000000 * a) // n AS accuracy_micro, (1000000 * (n * a - p)) // (n * n - p) AS kappa_micro FROM tot CROSS JOIN pe) " +
+        "SELECT rowm.lang, n_true, coalesce(n_pred, 0) AS n_pred, coalesce(n_correct, 0) AS n_correct, " +
+        "CASE WHEN coalesce(n_pred, 0) = 0 THEN NULL ELSE (1000000 * coalesce(n_correct, 0)) // n_pred END AS precision_micro, " +
+        "(1000000 * coalesce(n_correct, 0)) // n_true AS recall_micro, " +
+        "accuracy_micro, kappa_micro " +
+        "FROM rowm LEFT JOIN colm ON rowm.lang = colm.pred_lang " +
+        "LEFT JOIN diag ON rowm.lang = diag.lang CROSS JOIN g ORDER BY rowm.lang"),
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, sum_qty, sum_base, sum_disc, cnt, floor((sum_qty/cnt)*100 + 0.5)/100.0 AS avg_qty FROM (SELECT l_returnflag, l_linestatus, sum(CAST(floor(l_quantity*100 + 0.5) AS BIGINT))/100.0 AS sum_qty, sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base, sum(CAST(floor(l_extendedprice*(1-l_discount)*10000 + 0.5) AS BIGINT))/10000.0 AS sum_disc, count(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus) ORDER BY l_returnflag, l_linestatus""",
     "agg_distinct_count" ->

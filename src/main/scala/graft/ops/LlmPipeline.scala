@@ -2376,6 +2376,52 @@ object LlmPipeline {
       .orderBy("doc_id")
   }
 
+  /** Classifier QC scorecard for [[textLangId]] against the gold `lang`
+    * labels — the agreement report a labeling pipeline runs before
+    * trusting a heuristic gate: per language the confusion-matrix
+    * marginals (`n_true`/`n_pred`/`n_correct`) with precision and recall,
+    * plus the two GLOBAL columns every row carries — accuracy and Cohen's
+    * KAPPA, the chance-corrected agreement. Kappa is exact int64 end to
+    * end: with N docs, A agreements, and P = Σ_k row_k·col_k the expected-
+    * agreement mass, κ = (N·A − P)/(N² − P) emitted as
+    * `(1000000·(N·A − P)) div (N² − P)` — no float forms, and a negative
+    * numerator (worse-than-chance) truncates toward zero identically in
+    * both engines. A language never predicted reports NULL precision
+    * (0/0), not a crash.
+    *
+    * Scale: the doc-scale work is the langid kernel itself; everything
+    * here aggregates its output to the |langs|² confusion matrix first,
+    * so every join below is over dimension-sized tables.
+    */
+  def textLangIdKappa(spark: SparkSession, dir: String): DataFrame = {
+    val m = textLangId(spark, dir)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rowm = m.groupBy("lang").agg(sum(col("c")).as("n_true"))
+    val colm = m.groupBy(col("pred_lang")).agg(sum(col("c")).as("n_pred"))
+    val diag = m.filter(col("lang") === col("pred_lang"))
+      .select(col("lang"), col("c").as("n_correct"))
+    val tot = m.agg(sum(col("c")).as("n"),
+      sum(when(col("lang") === col("pred_lang"), col("c")).otherwise(0L)).as("a"))
+    val pe = rowm.join(colm, rowm("lang") === colm("pred_lang"), "left")
+      .agg(sum(col("n_true") * coalesce(col("n_pred"), lit(0L))).as("p"))
+    val g = tot.crossJoin(pe)
+      .select(expr("(1000000 * a) div n").as("accuracy_micro"),
+        expr("(1000000 * (n * a - p)) div (n * n - p)").as("kappa_micro"))
+    rowm.join(colm, rowm("lang") === colm("pred_lang"), "left")
+      .join(diag, Seq("lang"), "left")
+      .crossJoin(broadcast(g))
+      .select(col("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        when(coalesce(col("n_pred"), lit(0L)) === 0L, lit(null).cast("long"))
+          .otherwise(expr("(1000000 * coalesce(n_correct, 0)) div n_pred"))
+          .as("precision_micro"),
+        expr("(1000000 * coalesce(n_correct, 0)) div n_true").as("recall_micro"),
+        col("accuracy_micro"), col("kappa_micro"))
+      .orderBy("lang")
+  }
+
   /** Cyclic Jacobi eigendecomposition of a symmetric d×d matrix (plain
     * driver-side numerics — d is the embedding dimension, never the row
     * count). Returns eigenvalues sorted descending. Deterministic: same

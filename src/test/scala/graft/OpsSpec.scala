@@ -1240,6 +1240,29 @@ class OpsSpec extends SparkSpec {
       (1L, "BULK", -1L, 1L, true)), s"got $got")
   }
 
+  test("textLangIdKappa: hand-computed confusion matrix, kappa, and the never-predicted NULL branch") {
+    // Profiles learn from the docs themselves: aa={x}, bb={x,y}, cc={x}.
+    // Ties break to the alphabetically first language, so every {x} doc
+    // predicts aa: d1,d2 correct; d3 ("y") predicts bb correct; d4 (true
+    // bb) and d5 (true cc) mispredict aa. N=5, A=3, rows (2,2,1), cols
+    // (4,1,0) → P=10, κ = (15−10)/(25−10) = 1/3; cc is never predicted →
+    // NULL precision, not a division crash.
+    val dir = java.nio.file.Files.createTempDirectory("graft-kappa").toString
+    import spark.implicits._
+    Seq((1L, "x", "aa"), (2L, "x", "aa"), (3L, "y", "bb"), (4L, "x", "bb"),
+      (5L, "x", "cc"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = LlmPipeline.textLangIdKappa(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == Seq(
+      ("aa", 2L, 4L, 2L, 500000L, 1000000L, 600000L, 333333L),
+      ("bb", 2L, 1L, 1L, 1000000L, 500000L, 600000L, 333333L),
+      ("cc", 1L, 0L, 0L, -1L, 0L, 600000L, 333333L)), s"got $got")
+  }
+
   test("curationTokenBudget waterfills the constructed three-source corpus exactly") {
     // avail: src0=12 (w=1), src1=4 (w=2), src3=40 (w=4); total 56, budget
     // 56*9 div 10 = 50. Ratio sort: src1(2M) < src3(10M) < src0(12M).
