@@ -265,6 +265,47 @@ object Multimodal {
     * consumes). Stub video fakes derive features from payload bytes the
     * way a real codec derives duration/frame count.
     */
+  /** REAL MJPEG frame extraction for AVI containers: the first video chunk
+    * (`##dc`) inside the `LIST movi` payload, returned when it carries the
+    * JPEG SOI magic — MJPEG-in-AVI stores every frame as a standalone
+    * JPEG, so the container walk IS the codec and `ImageIO` finishes the
+    * job. None for non-AVI payloads, torn structure, or non-MJPEG streams
+    * (callers fall back to the header-only features / byte-grid hash).
+    * Same bounded-walk discipline as [[decodeAvi]]: every chunk size is
+    * validated against its ENCLOSING scope before the walk advances.
+    */
+  def decodeAviFrame(payload: Array[Byte]): Option[Array[Byte]] =
+    if (payload == null || payload.length < 24 ||
+        payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' || payload(3) != 'F' ||
+        payload(8) != 'A' || payload(9) != 'V' || payload(10) != 'I' || payload(11) != ' ') None
+    else {
+      def u32(i: Int): Long =
+        (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+          ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+      var i = 12
+      while (i + 8 <= payload.length) {
+        val sz = u32(i + 4)
+        if (i + 8 + sz > payload.length) return None // torn top-level chunk
+        if (payload(i) == 'L' && payload(i + 1) == 'I' && payload(i + 2) == 'S' &&
+            payload(i + 3) == 'T' && sz >= 4 &&
+            payload(i + 8) == 'm' && payload(i + 9) == 'o' &&
+            payload(i + 10) == 'v' && payload(i + 11) == 'i') {
+          val end = (i + 8 + sz).toInt
+          var j = i + 12
+          while (j + 8 <= end) {
+            val csz = u32(j + 4)
+            if (j + 8 + csz > end) return None // torn movi chunk
+            if (payload(j + 2) == 'd' && payload(j + 3) == 'c' && csz >= 4 &&
+                (payload(j + 8) & 0xff) == 0xff && (payload(j + 9) & 0xff) == 0xd8)
+              return Some(java.util.Arrays.copyOfRange(payload, j + 8, j + 8 + csz.toInt))
+            j += 8 + csz.toInt + (csz.toInt & 1)
+          }
+        }
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      None
+    }
+
   def stubDecodeKind(kind: String, payload: Array[Byte]): (Int, Int, Double, Int) = {
     // Non-AVI video payloads fall through to the deterministic fake below.
     val h = java.util.Arrays.hashCode(payload)
@@ -380,6 +421,14 @@ object Multimodal {
       else if (decodePng(payload).isDefined || decodeJpeg(payload).isDefined)
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         catch { case _: java.io.IOException => None }
+      // MJPEG-in-AVI: hash the REAL first frame, so a video and its
+      // extracted frame are perceptual near-dups — the cross-modality
+      // match a dedup pipeline wants.
+      else if (decodeAvi(payload).isDefined)
+        decodeAviFrame(payload).flatMap { frame =>
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame)))
+          catch { case _: java.io.IOException => None }
+        }
       else None
     decoded match {
       case Some(im) =>

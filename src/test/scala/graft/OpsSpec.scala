@@ -984,6 +984,31 @@ class OpsSpec extends SparkSpec {
     val escape = avi.clone() ++ new Array[Byte](64) // room beyond the LIST
     le32(200L).copyToArray(escape, 28) // avih size: past hdrl, within file
     assert(Multimodal.decodeAvi(escape).isEmpty)
+    // MJPEG frame extraction: wrap a REAL ImageIO-encoded JPEG as the
+    // first 00dc chunk of a LIST movi and the walk must return exactly
+    // those bytes; ImageIO then decodes the true frame, and the video's
+    // perceptual hash EQUALS its extracted frame's hash — the
+    // cross-modality near-dup a dedup pipeline wants.
+    val im = new java.awt.image.BufferedImage(32, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 32; y <- 0 until 24) im.setRGB(x, y, (x * 8) << 16 | (y * 10) << 8 | 64)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(im, "jpg", jb)
+    val jpeg = jb.toByteArray
+    val frameChunk = "00dc".getBytes("US-ASCII") ++ le32(jpeg.length) ++ jpeg ++
+      (if (jpeg.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + frameChunk.length) ++
+      "movi".getBytes("US-ASCII") ++ frameChunk
+    val mjpeg = "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length + movi.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    assert(Multimodal.decodeAviFrame(mjpeg).map(_.toSeq).contains(jpeg.toSeq))
+    assert(Multimodal.decodeAviFrame(avi).isEmpty) // header-only AVI: no movi
+    assert(Multimodal.decodeAviFrame(jpeg).isEmpty) // bare JPEG: not a container
+    val frameDims = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.decodeAviFrame(mjpeg).get))
+    assert(frameDims.getWidth == 32 && frameDims.getHeight == 24)
+    assert(Multimodal.dhash64(mjpeg) == Multimodal.dhash64(jpeg),
+      "an MJPEG video must hash to its first frame's perceptual hash")
+    assert(Multimodal.decodeAvi(mjpeg).contains((320, 240, 2.0, 50))) // header still parses
     // The kind dispatcher routes AVI video through the container parse and
     // falls back to the deterministic fake for non-AVI payloads.
     assert(Multimodal.stubDecodeKind("video", avi) == ((320, 240, 2.0, 50)))
