@@ -651,7 +651,7 @@ object SparkEntry {
         "diag AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_correct FROM m WHERE lang = pred_lang GROUP BY 1), " +
         "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(CASE WHEN lang = pred_lang THEN c ELSE 0 END) AS BIGINT) AS a FROM m), " +
         "pe AS (SELECT CAST(sum(rowm.n_true * coalesce(colm.n_pred, 0)) AS BIGINT) AS p FROM rowm LEFT JOIN colm ON rowm.lang = colm.pred_lang), " +
-        "g AS (SELECT (1000000 * a) // n AS accuracy_micro, (1000000 * (n * a - p)) // (n * n - p) AS kappa_micro FROM tot CROSS JOIN pe) " +
+        "g AS (SELECT (1000000 * a) // n AS accuracy_micro, CAST(floor(1000000.0 * (n * a - p) / (n * n - p) + 0.5) AS BIGINT) AS kappa_micro FROM tot CROSS JOIN pe) " +
         "SELECT rowm.lang, n_true, coalesce(n_pred, 0) AS n_pred, coalesce(n_correct, 0) AS n_correct, " +
         "CASE WHEN coalesce(n_pred, 0) = 0 THEN NULL ELSE (1000000 * coalesce(n_correct, 0)) // n_pred END AS precision_micro, " +
         "(1000000 * coalesce(n_correct, 0)) // n_true AS recall_micro, " +

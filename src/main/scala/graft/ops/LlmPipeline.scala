@@ -2381,13 +2381,15 @@ object LlmPipeline {
     * trusting a heuristic gate: per language the confusion-matrix
     * marginals (`n_true`/`n_pred`/`n_correct`) with precision and recall,
     * plus the two GLOBAL columns every row carries — accuracy and Cohen's
-    * KAPPA, the chance-corrected agreement. Kappa is exact int64 end to
-    * end: with N docs, A agreements, and P = Σ_k row_k·col_k the expected-
-    * agreement mass, κ = (N·A − P)/(N² − P) emitted as
-    * `(1000000·(N·A − P)) div (N² − P)` — no float forms, and a negative
-    * numerator (worse-than-chance) truncates toward zero identically in
-    * both engines. A language never predicted reports NULL precision
-    * (0/0), not a crash.
+    * KAPPA, the chance-corrected agreement. With N docs, A agreements, and
+    * P = Σ_k row_k·col_k the expected-agreement mass, κ = (N·A − P)/(N² −
+    * P): counts and both κ operands form in exact int64, and κ_micro is
+    * ONE micro-rounded IEEE division of those two integers (the
+    * [[graft.ops.Graph.graphAssortativity]] convention — a 1e6-scaled
+    * integer division would overflow at ~3M docs; the double form is
+    * deterministic in both engines and holds to the N² int64 bound at
+    * ~3·10⁹ docs, past which a scorecard shards per corpus slice). A
+    * language never predicted reports NULL precision (0/0), not a crash.
     *
     * Scale: the doc-scale work is the langid kernel itself; everything
     * here aggregates its output to the |langs|² confusion matrix first,
@@ -2403,13 +2405,16 @@ object LlmPipeline {
       .select(col("lang"), col("c").as("n_correct"))
     val tot = m.agg(sum(col("c")).as("n"),
       sum(when(col("lang") === col("pred_lang"), col("c")).otherwise(0L)).as("a"))
-    val pe = rowm.join(colm, rowm("lang") === colm("pred_lang"), "left")
-      .agg(sum(col("n_true") * coalesce(col("n_pred"), lit(0L))).as("p"))
+    // ONE rowm⋈colm join feeds both the expected-agreement sum and the
+    // output rows — the two uses can't drift.
+    val rc = rowm.join(colm, rowm("lang") === colm("pred_lang"), "left")
+      .localCheckpoint()
+    val pe = rc.agg(sum(col("n_true") * coalesce(col("n_pred"), lit(0L))).as("p"))
     val g = tot.crossJoin(pe)
       .select(expr("(1000000 * a) div n").as("accuracy_micro"),
-        expr("(1000000 * (n * a - p)) div (n * n - p)").as("kappa_micro"))
-    rowm.join(colm, rowm("lang") === colm("pred_lang"), "left")
-      .join(diag, Seq("lang"), "left")
+        expr("cast(floor(1000000.0 * (n * a - p) / (n * n - p) + 0.5) as bigint)")
+          .as("kappa_micro"))
+    rc.join(diag, Seq("lang"), "left")
       .crossJoin(broadcast(g))
       .select(col("lang"), col("n_true"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),

@@ -271,8 +271,12 @@ object Multimodal {
     * JPEG, so the container walk IS the codec and `ImageIO` finishes the
     * job. None for non-AVI payloads, torn structure, or non-MJPEG streams
     * (callers fall back to the header-only features / byte-grid hash).
+    * Frames grouped inside `LIST rec ` chunks (the interleaved layout
+    * AVIFileOut and many muxers emit) are descended into, depth-capped.
     * Same bounded-walk discipline as [[decodeAvi]]: every chunk size is
-    * validated against its ENCLOSING scope before the walk advances.
+    * validated against its ENCLOSING scope before the walk advances. (The
+    * header walk stays a separate parser on purpose: different target
+    * predicate and return type; both share the torn-chunk discipline.)
     */
   def decodeAviFrame(payload: Array[Byte]): Option[Array[Byte]] =
     if (payload == null || payload.length < 24 ||
@@ -282,24 +286,36 @@ object Multimodal {
       def u32(i: Int): Long =
         (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
           ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+      def isList(i: Int): Boolean =
+        payload(i) == 'L' && payload(i + 1) == 'I' && payload(i + 2) == 'S' &&
+          payload(i + 3) == 'T'
+      // Walk the chunks of [start, end); return the first ##dc payload
+      // with the JPEG SOI magic, descending into nested LISTs ('rec '
+      // frame groups). None on any torn chunk.
+      def frames(start: Int, end: Int, depth: Int): Option[Array[Byte]] = {
+        var j = start
+        while (j + 8 <= end) {
+          val csz = u32(j + 4)
+          if (j + 8 + csz > end) return None // torn chunk
+          if (isList(j) && csz >= 4 && depth < 4) {
+            val inner = frames(j + 12, (j + 8 + csz).toInt, depth + 1)
+            if (inner.isDefined) return inner
+          } else if (payload(j + 2) == 'd' && payload(j + 3) == 'c' && csz >= 4 &&
+              (payload(j + 8) & 0xff) == 0xff && (payload(j + 9) & 0xff) == 0xd8)
+            return Some(java.util.Arrays.copyOfRange(payload, j + 8, j + 8 + csz.toInt))
+          j += 8 + csz.toInt + (csz.toInt & 1)
+        }
+        None
+      }
       var i = 12
       while (i + 8 <= payload.length) {
         val sz = u32(i + 4)
         if (i + 8 + sz > payload.length) return None // torn top-level chunk
-        if (payload(i) == 'L' && payload(i + 1) == 'I' && payload(i + 2) == 'S' &&
-            payload(i + 3) == 'T' && sz >= 4 &&
+        if (isList(i) && sz >= 4 &&
             payload(i + 8) == 'm' && payload(i + 9) == 'o' &&
             payload(i + 10) == 'v' && payload(i + 11) == 'i') {
-          val end = (i + 8 + sz).toInt
-          var j = i + 12
-          while (j + 8 <= end) {
-            val csz = u32(j + 4)
-            if (j + 8 + csz > end) return None // torn movi chunk
-            if (payload(j + 2) == 'd' && payload(j + 3) == 'c' && csz >= 4 &&
-                (payload(j + 8) & 0xff) == 0xff && (payload(j + 9) & 0xff) == 0xd8)
-              return Some(java.util.Arrays.copyOfRange(payload, j + 8, j + 8 + csz.toInt))
-            j += 8 + csz.toInt + (csz.toInt & 1)
-          }
+          val found = frames(i + 12, (i + 8 + sz).toInt, 0)
+          if (found.isDefined) return found
         }
         i += 8 + sz.toInt + (sz.toInt & 1)
       }
@@ -418,16 +434,19 @@ object Multimodal {
   def dhash64(payload: Array[Byte]): Long = {
     val decoded =
       if (payload == null || payload.length == 0) None
+      // NonFatal, not just IOException: the JDK JPEG reader throws
+      // RuntimeExceptions (CMMException on broken ICC profiles, etc.) on
+      // adversarial bytes, and the contract is fall-back, not task death.
       else if (decodePng(payload).isDefined || decodeJpeg(payload).isDefined)
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-        catch { case _: java.io.IOException => None }
+        catch { case scala.util.control.NonFatal(_) => None }
       // MJPEG-in-AVI: hash the REAL first frame, so a video and its
       // extracted frame are perceptual near-dups — the cross-modality
       // match a dedup pipeline wants.
       else if (decodeAvi(payload).isDefined)
         decodeAviFrame(payload).flatMap { frame =>
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frame)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         }
       else None
     decoded match {

@@ -280,17 +280,24 @@ object FileFormats {
     * 2-D box (see [[layoutZorderStats]]'s scaladoc for the contract). The
     * box derives from the bounds CACHED at layout build — no re-scan.
     */
+  /** Per-file (user, value) min/max boxes of one layout — the parquet-
+    * footer reader's view, shared by [[layoutStats]] and the spec's
+    * multi-box sweep so the pruning predicate has ONE definition.
+    */
+  private[graft] def perFileBounds(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("user_id"), col("value_c"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("user_id").as("lo_u"), max("user_id").as("hi_u"),
+        min("value_c").as("lo_v"), max("value_c").as("hi_v"))
+
   private def layoutStats(spark: SparkSession, l: Layouts,
       layouts: Seq[(String, String)]): DataFrame = {
     def mid(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
     val (loU, hiU) = (mid(l.loU, l.hiU, 0.4), mid(l.loU, l.hiU, 0.6))
     val (loV, hiV) = (mid(l.loV, l.hiV, 0.4), mid(l.loV, l.hiV, 0.6))
     def stats(name: String, path: String): DataFrame =
-      spark.read.parquet(path)
-        .select(col("user_id"), col("value_c"), input_file_name().as("f"))
-        .groupBy("f")
-        .agg(min("user_id").as("lo_u"), max("user_id").as("hi_u"),
-          min("value_c").as("lo_v"), max("value_c").as("hi_v"))
+      perFileBounds(spark, path)
         .agg(count(lit(1)).as("n_files"),
           sum(when(!(col("hi_u") < loU || col("lo_u") > hiU ||
             col("hi_v") < loV || col("lo_v") > hiV), 1L).otherwise(0L))

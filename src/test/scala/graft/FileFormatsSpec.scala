@@ -102,12 +102,8 @@ class FileFormatsSpec extends SparkSpec {
     // hilbert never opens more total files than z-order, z-order fewer
     // than linear — the continuity advantage is positional-robust.
     val l = FileFormats.zorderLayouts(spark, sf)
-    import org.apache.spark.sql.functions.{col, input_file_name, min => fmin, max => fmax}
     def bounds(path: String): Array[(Long, Long, Long, Long)] =
-      spark.read.parquet(path)
-        .select(col("user_id"), col("value_c"), input_file_name().as("f"))
-        .groupBy("f")
-        .agg(fmin("user_id"), fmax("user_id"), fmin("value_c"), fmax("value_c"))
+      FileFormats.perFileBounds(spark, path)
         .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     val layouts = Map("linear" -> bounds(l.linear), "zorder" -> bounds(l.zorder),
       "hilbert" -> bounds(l.hilbert))

@@ -1003,6 +1003,15 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeAviFrame(mjpeg).map(_.toSeq).contains(jpeg.toSeq))
     assert(Multimodal.decodeAviFrame(avi).isEmpty) // header-only AVI: no movi
     assert(Multimodal.decodeAviFrame(jpeg).isEmpty) // bare JPEG: not a container
+    // Interleaved layout: frames grouped in LIST('rec ') inside movi (the
+    // AVIFileOut shape) must be descended into, not skipped.
+    val rec = "LIST".getBytes("US-ASCII") ++ le32(4 + frameChunk.length) ++
+      "rec ".getBytes("US-ASCII") ++ frameChunk
+    val moviRec = "LIST".getBytes("US-ASCII") ++ le32(4 + rec.length) ++
+      "movi".getBytes("US-ASCII") ++ rec
+    val mjpegRec = "RIFF".getBytes("US-ASCII") ++ le32(4 + hdrl.length + moviRec.length) ++
+      "AVI ".getBytes("US-ASCII") ++ hdrl ++ moviRec
+    assert(Multimodal.decodeAviFrame(mjpegRec).map(_.toSeq).contains(jpeg.toSeq))
     val frameDims = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(Multimodal.decodeAviFrame(mjpeg).get))
     assert(frameDims.getWidth == 32 && frameDims.getHeight == 24)
