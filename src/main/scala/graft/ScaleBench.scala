@@ -390,6 +390,51 @@ object ScaleBench {
       sh.unpersist()
     }
 
+    // ---------------------------------------------------- 8. lake layouts
+    // File-skipping RATIO vs file count: the same relation and the same
+    // middle-20% 2-D box at 8 and 64 files per layout. The 100 TB claim
+    // under test: the fraction of files a min/max footer reader opens is a
+    // property of the CURVE, not the file count — so the absolute number
+    // of files skipped grows with the lake while hilbert < zorder < linear
+    // holds at every granularity.
+    {
+      import org.apache.spark.sql.Column
+      val ev = Tables.t(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_c"))
+        .repartition(nPart)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val b = ev.agg(min("user_id"), max("user_id"), min("value_c"), max("value_c")).head()
+      val (loU, hiU) = (b.getLong(0), b.getLong(1))
+      val (loV, hiV) = (b.getLong(2), b.getLong(3))
+      def to16(c: Column, lo: Long, hi: Long): Column =
+        if (hi <= lo) lit(0L)
+        else floor((c - lit(lo)).cast("double") * 65535.0 / (hi - lo).toDouble).cast("long")
+      def mid(lo: Long, hi: Long, f: Double): Long = lo + ((hi - lo) * f).toLong
+      val (qloU, qhiU) = (mid(loU, hiU, 0.4), mid(loU, hiU, 0.6))
+      val (qloV, qhiV) = (mid(loV, hiV, 0.4), mid(loV, hiV, 0.6))
+      val u16 = to16(col("user_id"), loU, hiU)
+      val v16 = to16(col("value_c"), loV, hiV)
+      val keys = Seq(
+        "linear" -> col("event_id"),
+        "zorder" -> graft.sources.FileFormats.zValue16(u16, v16),
+        "hilbert" -> graft.functions.HilbertIndex.hilbert(spark, u16, v16, 16))
+      for (nf <- Seq(8, 64); (name, key) <- keys) {
+        val path = java.nio.file.Files.createTempDirectory(s"graft-sb-$name").toString
+        ev.withColumn("__k", key)
+          .repartitionByRange(nf, col("__k"))
+          .sortWithinPartitions("__k")
+          .drop("__k")
+          .write.mode("overwrite").parquet(path)
+        val scanned = graft.sources.FileFormats.perFileBounds(spark, path)
+          .filter(!(col("hi_u") < qloU || col("lo_u") > qhiU ||
+            col("hi_v") < qloV || col("lo_v") > qhiV))
+          .count()
+        results(s"layout_${name}_scanned_f$nf") = scanned.toDouble
+      }
+      ev.unpersist()
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
