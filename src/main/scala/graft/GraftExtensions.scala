@@ -51,9 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_asof_match_inner",
         "graft_asof_match_inner(l_time, r_time[, tiebreaks...]) - as-of marker dropping unmatched left rows (DuckDB ASOF JOIN default)"),
       (exprs: Seq[Expression]) => graft.plans.AsOfMatch(exprs, inner = true)))
+    ext.injectFunction((FunctionIdentifier("graft_asof_match_strict"),
+      info("graft_asof_match_strict",
+        "graft_asof_match_strict(l_time, r_time[, tiebreaks...]) - as-of marker matching the latest STRICTLY-prior right row (r_time < l_time; DuckDB's > MATCH_CONDITION)"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfMatch(exprs, inner = false, strict = true)))
+    ext.injectFunction((FunctionIdentifier("graft_asof_match_inner_strict"),
+      info("graft_asof_match_inner_strict",
+        "graft_asof_match_inner_strict(l_time, r_time[, tiebreaks...]) - strictly-prior as-of marker dropping unmatched left rows"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfMatch(exprs, inner = true, strict = true)))
     ext.injectFunction((FunctionIdentifier("graft_interval_match"),
       info("graft_interval_match",
-        "graft_interval_match(l_time, r_time, lo_us, hi_us) - interval marker in an INNER JOIN condition: match pairs with r_time in [l_time+lo_us, l_time+hi_us]; planned as the native sorted-sweep IntervalJoinExec"),
+        "graft_interval_match(l_time, r_time, lo_us, hi_us) - interval marker in an INNER or LEFT JOIN condition: match pairs with r_time in [l_time+lo_us, l_time+hi_us]; planned as the native sorted-sweep IntervalJoinExec"),
       (exprs: Seq[Expression]) => graft.plans.IntervalMatch(exprs)))
     ext.injectFunction((FunctionIdentifier("graft_hilbert"),
       info("graft_hilbert",

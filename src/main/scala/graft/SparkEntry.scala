@@ -374,6 +374,7 @@ object SparkEntry {
     "join_interval_native" -> (Relational.joinIntervalNative _),
     "sql_interval_join" -> (Relational.sqlIntervalJoin _),
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
+    "graph_components_bucketed" -> (Graph.graphComponentsBucketed _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
     "events_ab_cuped" -> (Analytics.eventsAbCuped _),
@@ -384,6 +385,8 @@ object SparkEntry {
     "events_mde_power" -> (Analytics.eventsMdePower _),
     "join_asof_native" -> (Relational.joinAsofNative _),
     "sql_asof_join" -> (Relational.sqlAsofJoin _),
+    "sql_asof_join_strict" -> (Relational.sqlAsofJoinStrict _),
+    "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
     "orders_repeat_rate" -> (Analytics.ordersRepeatRate _),
@@ -626,6 +629,10 @@ object SparkEntry {
     // Same brute-force oracle as join_interval_native: the pass proves the
     // SQL marker path ≡ the DataFrame path ≡ the all-pairs reference.
     "sql_interval_join" -> intervalBruteForceOracle,
+    // Textbook range LEFT JOIN: zero-click purchases appear with count 0 —
+    // the pass proves the native sweep's null-extension rows.
+    "sql_interval_left_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS cus FROM events WHERE event_type = 'click') SELECT event_id, CAST(count(click_id) AS BIGINT) AS n_clicks_nearby FROM p LEFT JOIN c ON user_id = click_user AND cus BETWEEN tus - 900000000 AND tus + 900000000 GROUP BY event_id ORDER BY event_id""",
     "setop_union_by_name" ->
       """SELECT o_orderkey, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS cents, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 0 UNION ALL SELECT o_orderkey, NULL, o_orderpriority FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey""",
     "sql_recursive_cte" ->
@@ -833,6 +840,9 @@ object SparkEntry {
     "graph_pagerank" -> Graph.pagerankOracleSql,
     "graph_pagerank_bucketed" -> Graph.pagerankOracleSql,
     "graph_components" -> Graph.componentsOracleSql,
+    // Same unrolled-CTE oracle as graph_components: the pass proves the
+    // bucketed-edge layout is a pure cost flip, never a semantic one.
+    "graph_components_bucketed" -> Graph.componentsOracleSql,
     "graph_bfs" -> Graph.bfsOracleSql,
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
     "dq_drift" ->
@@ -936,6 +946,11 @@ object SparkEntry {
     // SQL feature, independently implemented (see Relational.sqlAsofJoin).
     "sql_asof_join" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT event_id AS click_id, user_id AS click_user, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click') SELECT purchase_id, user_id, purchase_us, click_us FROM p ASOF JOIN c ON user_id = click_user AND purchase_us >= click_us ORDER BY purchase_id""",
+    // DuckDB's native ASOF JOIN with the STRICT comparison (>): every
+    // purchase matches itself under >= (the right side is all events), so
+    // a <=-vs-< regression flips every row, not an edge case.
+    "sql_asof_join_strict" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), e AS (SELECT event_id AS prior_id, user_id AS euser, epoch_us(ts) AS eus FROM events) SELECT purchase_id, user_id, purchase_us, eus AS prior_us FROM p ASOF JOIN e ON user_id = euser AND purchase_us > eus ORDER BY purchase_id""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
     "events_bot_detect" ->

@@ -292,12 +292,21 @@ object Graph {
   /** [[componentLabels]] over an ALREADY-materialized edge table — so a
     * caller holding a checkpointed copy ([[graphModularity]] scores two
     * partitions of the same edges) never rebuilds the 4-table edge join.
+    * The CALLER decides how the label vector meets the edges, exactly the
+    * [[superstep]] contract: `broadcastLabels = true` for the
+    * N ≪ broadcast-limit regime, `false` when the edge side arrives
+    * pre-bucketed on `src` and the labels should shuffle to it
+    * ([[graphComponentsBucketed]]). The min-propagation algebra is
+    * identical either way, which is what makes the two variants
+    * bit-identical.
     */
-  private[graft] def componentLabelsOf(e: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def componentLabelsOf(e: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val incoming = e.join(broadcast(labels), e("src") === labels("node"))
+      val lbls = if (broadcastLabels) broadcast(labels) else labels
+      val incoming = e.join(lbls, e("src") === labels("node"))
         .groupBy(col("dst").as("inode")).agg(min(col("lbl")).as("in_lbl"))
       labels = labels.join(incoming, labels("node") === col("inode"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("in_lbl"), col("lbl"))).as("lbl"))
@@ -307,7 +316,11 @@ object Graph {
   }
 
   def graphComponents(spark: SparkSession, dir: String): DataFrame =
-    componentLabels(spark, dir, ComponentRounds)
+    componentsRollup(componentLabels(spark, dir, ComponentRounds))
+
+  /** The shared per-component rollup over a label table. */
+  private def componentsRollup(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node") < 1000000L, 1L).otherwise(0L)).as("n_customers"),
@@ -315,6 +328,47 @@ object Graph {
         min(col("node")).as("min_node"),
         max(col("node")).as("max_node"))
       .orderBy("component")
+
+  /** The domestic edge table persisted ONCE bucketed by `src` — the
+    * components sibling of [[bucketedTradeGraph]] (same 8-bucket layout,
+    * same exit-cleaned external-table discipline), for the regime where
+    * the label vector has outgrown broadcast.
+    */
+  private[graft] def bucketedDomesticEdges(spark: SparkSession, dir: String): String =
+    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "domestic-bkt"), _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.Long.toHexString(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+      val name = s"graft_dedges_$tag"
+      domesticEdges(spark, dir)
+        .repartition(8, col("src"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", graft.sources.FileFormats.exitCleanedTempDir("graft-dedges-bkt"))
+        .bucketBy(8, "src").sortBy("src")
+        .saveAsTable(name)
+      name
+    })
+
+  /** Connected components for the beyond-broadcast regime (billion-node
+    * graphs): the O(E) domestic edge table is persisted ONCE bucketed by
+    * `src` ([[bucketedDomesticEdges]]), so every min-propagation round's
+    * sort-merge join reads edge bucket i directly — NO exchange ever
+    * re-shuffles the edges (plan-pinned in `PlanShapeSpec`: zero
+    * `hashpartitioning(src …)`). The only per-round movement is the O(N)
+    * label vector, shuffled to the edge table's fixed bucketing, plus the
+    * partial-aggregated incoming-min — the same GraphX/Pregel cost model
+    * flip [[graphPagerankBucketed]] made for ranks. The MERGE hint keeps
+    * the fixture-sized label vector off the broadcast path so the plan
+    * under test IS the at-scale plan. Bit-identical to
+    * [[graphComponents]] (same min-propagation algebra via
+    * [[componentLabelsOf]], same unrolled-CTE oracle), so the flip between
+    * regimes is a pure cost decision, never a semantic one — the measured
+    * broadcast↔bucketed crossover rides in `SCALEBENCH.json`.
+    */
+  def graphComponentsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val eb = spark.table(bucketedDomesticEdges(spark, dir)).hint("MERGE")
+    componentsRollup(componentLabelsOf(eb, ComponentRounds, broadcastLabels = false))
+  }
 
   /** DuckDB oracle for [[graphComponents]]: the same K min-propagation
     * rounds unrolled as chained CTEs (same reasoning as

@@ -1018,6 +1018,34 @@ object Relational {
         |ORDER BY purchase_id""".stripMargin)
   }
 
+  /** STRICT as-of in the SQL dialect — `MATCH_CONDITION (l > r)`, DuckDB's
+    * strict comparison form: each purchase picks the latest STRICTLY-prior
+    * event of the same user. The right side is ALL events (the purchase
+    * itself included), which makes strictness non-vacuous on EVERY output
+    * row: under `>=` each purchase would match itself (equal times), under
+    * `>` it must skip itself and take the genuinely-prior event — so a
+    * `<=`-vs-`<` regression flips the whole result, not an edge case. The
+    * oracle is DuckDB's own native `ASOF JOIN` with `>`, the second
+    * independent-implementation cross-check of the dialect after
+    * [[sqlAsofJoin]]. Output is the matched TIME (tie-invariant both
+    * engines), not the id (our TIEBREAK max vs DuckDB's unspecified tie).
+    *
+    * Scale: identical movement to [[joinAsofNative]] — one hash exchange +
+    * sort per side, O(|L|+|R|) merge with one buffered row.
+    */
+  def sqlAsofJoinStrict(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    org.apache.spark.sql.graft.AsOf.sql(spark,
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, unix_micros(ts) AS purchase_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id AS prior_id, user_id AS euser, unix_micros(ts) AS eus
+        |           FROM events)
+        |SELECT purchase_id, user_id, purchase_us, eus AS prior_us
+        |FROM p ASOF JOIN e ON user_id = euser
+        |MATCH_CONDITION (purchase_us > eus) TIEBREAK (prior_id)
+        |ORDER BY purchase_id""".stripMargin)
+  }
+
   /** The SQL face of the native interval join — [[joinIntervalNative]]'s
     * exact computation (clicks within ±15 min of each same-user purchase,
     * counted per purchase) phrased as plain INNER-JOIN SQL with the
@@ -1042,6 +1070,37 @@ object Relational {
         |           FROM events WHERE event_type = 'click')
         |SELECT event_id, count(*) AS n_clicks_nearby
         |FROM p JOIN c ON user_id = click_user
+        |  AND graft_interval_match(tus, cus, -900000000, 900000000)
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin)
+  }
+
+  /** LEFT OUTER form of the native interval join — the same ±15-min
+    * clicks-per-purchase count as [[sqlIntervalJoin]] but keeping
+    * ZERO-CLICK purchases (`count(click_id)` over the null-extended rows
+    * gives 0), the shape attribution consumers need to report untouched
+    * conversions without a second anti-join pass. Plain `LEFT JOIN` SQL
+    * with the same `graft_interval_match` marker; [[graft.plans.ResolveAsOfSql]]
+    * carries the LeftOuter join type into the node as `isInner = false`,
+    * and [[graft.plans.IntervalJoinExec]] emits one null-right row per
+    * windowless probe during the same single forward sweep. The DuckDB
+    * oracle is the textbook range LEFT JOIN, so the pass proves the
+    * null-extension rows (non-vacuous: purchases with no nearby click
+    * exist at every SF) as well as the matched counts.
+    *
+    * Scale: identical movement to [[joinIntervalNative]] — one exchange +
+    * sort per side, O(|L|+|R|+output) sweep; the outer rows add zero
+    * shuffle (they emit in-place from the probe side).
+    */
+  def sqlIntervalLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    org.apache.spark.sql.graft.AsOf.sql(spark,
+      """WITH p AS (SELECT event_id, user_id, unix_micros(ts) AS tus
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id AS click_user, unix_micros(ts) AS cus
+        |           FROM events WHERE event_type = 'click')
+        |SELECT event_id, count(click_id) AS n_clicks_nearby
+        |FROM p LEFT JOIN c ON user_id = click_user
         |  AND graft_interval_match(tus, cus, -900000000, 900000000)
         |GROUP BY event_id
         |ORDER BY event_id""".stripMargin)

@@ -26,13 +26,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics (mirrors DuckDB `ASOF JOIN` / pandas `merge_asof`
   * direction='backward', made total-order deterministic): match = max over
-  * right rows with equal key and rightTime ≤ leftTime, ordered by
-  * (rightTime, tiebreaks...). Null keys and null times never match (SQL
-  * equality semantics). Times must be LongType, TimestampType, or
-  * TimestampNTZType (all micros-long-backed). `isInner = false` keeps
-  * unmatched left rows with null right columns (pandas / `ASOF LEFT JOIN`);
-  * `isInner = true` drops them (DuckDB's bare `ASOF JOIN` default) and the
-  * right output keeps its original nullability.
+  * right rows with equal key and rightTime ≤ leftTime (`strict = true`
+  * tightens to rightTime < leftTime — DuckDB's `>` MATCH_CONDITION /
+  * pandas `allow_exact_matches=False`), ordered by (rightTime,
+  * tiebreaks...). Null keys and null times never match (SQL equality
+  * semantics). Times must be LongType, TimestampType, or TimestampNTZType
+  * (all micros-long-backed). `isInner = false` keeps unmatched left rows
+  * with null right columns (pandas / `ASOF LEFT JOIN`); `isInner = true`
+  * drops them (DuckDB's bare `ASOF JOIN` default) and the right output
+  * keeps its original nullability.
   *
   * Scale: one hash exchange per side on the key columns (Catalyst's
   * EnsureRequirements inserts them from `requiredChildDistribution`, and
@@ -50,7 +52,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    isInner: Boolean = false) extends BinaryNode {
+    isInner: Boolean = false,
+    strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isInner) right.output
@@ -68,8 +71,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb, inner) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, inner) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, inner, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, inner, strict) :: Nil
     case _ => Nil
   }
 }
@@ -90,7 +93,8 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTiebreaks: Seq[Expression],
-    isInner: Boolean = false) extends BinaryExecNode {
+    isInner: Boolean = false,
+    strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ (if (isInner) right.output
@@ -128,6 +132,7 @@ case class AsOfJoinExec(
     val outAttrs = output // right side nullability-widened — null-safe projection
     val keyTypes = leftKeys.map(_.dataType)
     val innerFlag = isInner
+    val strictFlag = strict
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -164,7 +169,8 @@ case class AsOfJoinExec(
               else if (cmp == 0) {
                 val rTimeV = rTime.eval(rBuf.head)
                 if (rTimeV == null) { rBuf.next() } // null times never match
-                else if (rTimeV.asInstanceOf[Long] <= lt) {
+                else if (if (strictFlag) rTimeV.asInstanceOf[Long] < lt
+                         else rTimeV.asInstanceOf[Long] <= lt) {
                   bufRow = rBuf.next().copy()
                   // The key cannot change while cmp == 0 — copy it only on a
                   // real change (O(distinct keys) allocations, not O(|R|)).

@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructType, 
   *
   * `ASOF JOIN` is INNER like DuckDB's (unmatched left rows drop);
   * `ASOF LEFT JOIN` keeps them with null right columns (pandas
-  * `merge_asof`). `MATCH_CONDITION` accepts one `>=` or `<=` comparison
-  * whose ≥-side must be the LEFT time — backward as-of only, a forward
-  * request errors rather than silently flipping direction. `TIEBREAK`
-  * names right-side columns that break equal-time ties (max wins),
-  * making the match total-order deterministic like the DataFrame API.
+  * `merge_asof`). `MATCH_CONDITION` accepts one `>=`/`<=`/`>`/`<`
+  * comparison whose greater side must be the LEFT time — backward as-of
+  * only, a forward request errors rather than silently flipping
+  * direction. The strict forms (`>`/`<`, DuckDB-compatible) match the
+  * latest STRICTLY-prior right row, excluding equal-time rows — pandas
+  * `merge_asof(allow_exact_matches=False)`. `TIEBREAK` names right-side
+  * columns that break equal-time ties (max wins), making the match
+  * total-order deterministic like the DataFrame API.
   *
   * Mechanism — three pieces, each on a public extension seam:
   *
@@ -53,7 +56,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructType, 
   * `... LEFT JOIN r ON l.k = r.k AND graft_asof_match(l.t, r.t)` is the
   * post-rewrite form and works verbatim.
   */
-case class AsOfMatch(children: Seq[Expression], inner: Boolean)
+case class AsOfMatch(children: Seq[Expression], inner: Boolean,
+    strict: Boolean = false)
     extends Expression with Unevaluable {
 
   override def dataType: DataType = BooleanType
@@ -82,8 +86,10 @@ case class AsOfMatch(children: Seq[Expression], inner: Boolean)
   * plain SQL): `FROM l JOIN r ON l.k = r.k AND
   * graft_interval_match(l.t, r.t, lo_us, hi_us)` matches every same-key
   * pair with `r.t ∈ [l.t + lo_us, l.t + hi_us]` and plans as the
-  * sorted-sweep [[IntervalJoinExec]] via [[ResolveAsOfSql]]. Bounds must
-  * be integer literals (they parameterize the physical sweep).
+  * sorted-sweep [[IntervalJoinExec]] via [[ResolveAsOfSql]]; `LEFT JOIN`
+  * with the same marker is the left-outer form (windowless left rows keep
+  * null right columns). Bounds must be integer literals (they
+  * parameterize the physical sweep).
   */
 case class IntervalMatch(children: Seq[Expression])
     extends Expression with Unevaluable {
@@ -241,25 +247,32 @@ object AsOfSqlRewrite {
     if (mcIdx < 0) throw new IllegalArgumentException(
       "as-of SQL: ASOF JOIN requires MATCH_CONDITION (l_time >= r_time)")
     val (mcStart, mcEnd, afterMc) = parenSpan(masked, mcIdx + "MATCH_CONDITION".length)
-    // One >= or <= at depth 0 inside MATCH_CONDITION; the ≥-side is the
-    // left (probe) time either way.
+    // One >=, <=, > or < at depth 0 inside MATCH_CONDITION; the greater
+    // side is the left (probe) time either way, and the one-char strict
+    // forms (DuckDB also accepts them) exclude equal-time rows. `<>` is
+    // skipped whole so it can't half-match as a strict `<`.
     var cmpIdx = -1
     var cmpGe = true
+    var cmpStrict = false
+    var cmpLen = 2
     var depth = 0
     var i = mcStart
-    while (i < mcEnd - 1 && cmpIdx < 0) {
+    while (i < mcEnd && cmpIdx < 0) {
       val c = masked.charAt(i)
       if (c == '(') depth += 1
       else if (c == ')') depth -= 1
-      else if (depth == 0 && (c == '>' || c == '<') && masked.charAt(i + 1) == '=') {
-        cmpIdx = i; cmpGe = c == '>'
+      else if (depth == 0 && (c == '>' || c == '<')) {
+        val nxt = if (i + 1 < mcEnd) masked.charAt(i + 1) else ' '
+        if (nxt == '=') { cmpIdx = i; cmpGe = c == '>'; cmpStrict = false; cmpLen = 2 }
+        else if (c == '<' && nxt == '>') i += 1 // inequality, not a direction
+        else { cmpIdx = i; cmpGe = c == '>'; cmpStrict = true; cmpLen = 1 }
       }
       i += 1
     }
     if (cmpIdx < 0) throw new IllegalArgumentException(
-      "as-of SQL: MATCH_CONDITION must be one 'l_time >= r_time' (or <=) comparison")
+      "as-of SQL: MATCH_CONDITION must be one 'l_time >= r_time' (or <=, >, <) comparison")
     val (aTxt, bTxt) = (sql.substring(mcStart, cmpIdx).trim,
-      sql.substring(cmpIdx + 2, mcEnd).trim)
+      sql.substring(cmpIdx + cmpLen, mcEnd).trim)
     val (ltTxt, rtTxt) = if (cmpGe) (aTxt, bTxt) else (bTxt, aTxt)
     // Optional TIEBREAK (cols...) directly after MATCH_CONDITION's parens.
     val tbKw = "TIEBREAK"
@@ -273,7 +286,8 @@ object AsOfSqlRewrite {
       tbTxt = Some(sql.substring(tbStart, tbEnd).trim)
       afterClause = afterTb
     }
-    val marker = (if (isLeft) "graft_asof_match" else "graft_asof_match_inner") +
+    val base = if (isLeft) "graft_asof_match" else "graft_asof_match_inner"
+    val marker = (if (cmpStrict) base + "_strict" else base) +
       s"($ltTxt, $rtTxt${tbTxt.map(t => s", $t").getOrElse("")})"
     // NB: explicit substrings — scala.StringBuilder has no 3-arg
     // CharSequence append; (s, a, b) would silently hit append(x: Any).
@@ -362,8 +376,8 @@ object ResolveAsOfSql extends Rule[LogicalPlan] with PredicateHelper {
         splitConjunctivePredicates(cond).partition(_.isInstanceOf[IntervalMatch])
       if (markers.length != 1)
         fail("exactly one graft_interval_match per join condition")
-      if (jt != Inner)
-        fail(s"the interval join is INNER-only, not $jt")
+      if (jt != Inner && jt != LeftOuter)
+        fail(s"the interval join supports INNER and LEFT joins, not $jt")
       val mk = markers.head.asInstanceOf[IntervalMatch]
       val lt = mk.children(0)
       val rt = mk.children(1)
@@ -374,7 +388,7 @@ object ResolveAsOfSql extends Rule[LogicalPlan] with PredicateHelper {
       val (lo, hi) = mk.bounds
       if (lo > hi) fail(s"interval window is empty: [$lo, $hi]")
       val (lks, rks) = equiKeys(l, r, keyConds)
-      IntervalJoin(l, r, lks, rks, lt, rt, lo, hi)
+      IntervalJoin(l, r, lks, rks, lt, rt, lo, hi, isInner = jt == Inner)
 
     case j @ Join(l, r, jt, Some(cond), _)
         if j.childrenResolved && cond.resolved &&
@@ -404,6 +418,6 @@ object ResolveAsOfSql extends Rule[LogicalPlan] with PredicateHelper {
       if (badTb.nonEmpty)
         fail(s"TIEBREAK columns must come from the right side: ${badTb.map(_.sql).mkString(", ")}")
       val (lks, rks) = equiKeys(l, r, keyConds)
-      AsOfJoin(l, r, lks, rks, lt, rt, tbs, isInner)
+      AsOfJoin(l, r, lks, rks, lt, rt, tbs, isInner, mk.strict)
   }
 }

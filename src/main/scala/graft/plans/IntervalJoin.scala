@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -11,7 +11,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * whose right time falls in the window `[leftTime + loUs, leftTime + hiUs]`
   * (inclusive both ends; lo may be negative — `[-tol, +tol]` is the
   * symmetric proximity join, `[-lookback, 0]` the attribution lookback).
-  * Inner semantics: unmatched left rows emit nothing.
+  * `isInner = true` (default): unmatched left rows emit nothing;
+  * `isInner = false` is the LEFT OUTER form — a left row with an empty
+  * window (or a null key/time) emits once with null right columns, so
+  * attribution-style consumers can report zero-touch rows without a second
+  * anti-join pass.
   *
   * This is the second whole-operator extension next to [[AsOfJoin]], and it
   * exists for the same reason: Spark plans `keys equal AND time-range` as an
@@ -41,9 +45,12 @@ case class IntervalJoin(
     leftTime: Expression,
     rightTime: Expression,
     loUs: Long,
-    hiUs: Long) extends BinaryNode {
+    hiUs: Long,
+    isInner: Boolean = true) extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isInner) right.output
+                    else right.output.map(_.withNullability(true)))
 
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoin =
@@ -53,8 +60,8 @@ case class IntervalJoin(
 /** Planner strategy: [[IntervalJoin]] → [[IntervalJoinExec]]. */
 object IntervalJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoin(l, r, lk, rk, lt, rt, lo, hi) =>
-      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi) :: Nil
+    case IntervalJoin(l, r, lk, rk, lt, rt, lo, hi, inner) =>
+      IntervalJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lo, hi, inner) :: Nil
     case _ => Nil
   }
 }
@@ -78,9 +85,12 @@ case class IntervalJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     loUs: Long,
-    hiUs: Long) extends BinaryExecNode {
+    hiUs: Long,
+    isInner: Boolean = true) extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    left.output ++ (if (isInner) right.output
+                    else right.output.map(_.withNullability(true)))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
@@ -115,6 +125,7 @@ case class IntervalJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val lo = loUs
     val hi = hiUs
+    val innerFlag = isInner
     val numOutputRows = longMetric("numOutputRows")
     val numBuffered = longMetric("numBuffered")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -125,8 +136,17 @@ case class IntervalJoinExec(
       val rTime = BindReferences.bindReference(rTimeExpr, rOutput)
       val joined = new JoinedRow
       // UnsafeRow output projection — the SparkPlan contract (see
-      // AsOfJoinExec's note); inner join, so no nullability widening.
+      // AsOfJoinExec's note). Binds against the node's OUTPUT attributes,
+      // which are nullability-widened on the right when left-outer, so
+      // null-extended rows project real nulls instead of primitive zeros.
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rOutput.length)
+      def nullExtended(lRow: InternalRow): Iterator[InternalRow] =
+        if (innerFlag) Iterator.empty
+        else {
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(lRow, nullRight)))
+        }
       val rBuf = rIter.buffered
       // The active window: right rows of bufKey whose time may still fall
       // inside a future left row's window, in ascending time order. Rows
@@ -148,7 +168,7 @@ case class IntervalJoinExec(
       lIter.flatMap { lRow =>
         val lKey = lKeyProj(lRow)
         val lTimeV = if (lKey.anyNull) null else lTime.eval(lRow)
-        if (lTimeV == null) Iterator.empty // null key/time: no matches
+        if (lTimeV == null) nullExtended(lRow) // null key/time: no matches
         else {
           val lt = lTimeV.asInstanceOf[Long]
           val hiEdge = satAdd(lt, hi)
@@ -177,7 +197,7 @@ case class IntervalJoinExec(
           }
           // Evict below the window's low edge.
           while (!active.isEmpty && active.peekFirst().t < loEdge) active.removeFirst()
-          if (active.isEmpty) Iterator.empty
+          if (active.isEmpty) nullExtended(lRow)
           else {
             import scala.jdk.CollectionConverters._
             // Safe lazy map: flatMap fully drains this iterator before the

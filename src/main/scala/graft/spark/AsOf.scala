@@ -34,7 +34,9 @@ object AsOf {
   }
 
   /** Left as-of join: for each `left` row, the last `right` row with equal
-    * keys and `rightTimeCol` ≤ `leftTimeCol`, ties in right time broken by
+    * keys and `rightTimeCol` ≤ `leftTimeCol` (`strict = true` tightens to
+    * `<` — the latest STRICTLY-prior row, pandas
+    * `allow_exact_matches=False`), ties in right time broken by
     * `rightTiebreaks` (take the max) — unmatched left rows keep null right
     * columns. Time columns must be LongType, TimestampType, or
     * TimestampNTZType.
@@ -42,7 +44,8 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      rightTiebreaks: Seq[String] = Nil): DataFrame = {
+      rightTiebreaks: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -85,7 +88,8 @@ object AsOf {
       require(a.dataType == b.dataType,
         s"as-of key type mismatch: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
     }
-    val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt, rightTiebreaks.map(attr(rPlan, _)))
+    val node = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
+      rightTiebreaks.map(attr(rPlan, _)), isInner = false, strict = strict)
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], node)
   }
 
@@ -113,6 +117,12 @@ object AsOf {
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_asof_match_inner",
       exprs => graft.plans.AsOfMatch(exprs, inner = true), "built-in")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof_match_strict",
+      exprs => graft.plans.AsOfMatch(exprs, inner = false, strict = true), "built-in")
+    cs.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_asof_match_inner_strict",
+      exprs => graft.plans.AsOfMatch(exprs, inner = true, strict = true), "built-in")
     cs.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_interval_match",
       exprs => graft.plans.IntervalMatch(exprs), "built-in")

@@ -25,16 +25,19 @@ object Interval {
     }
   }
 
-  /** Inner keyed interval join: every (left, right) pair with equal keys
+  /** Keyed interval join: every (left, right) pair with equal keys
     * and `rightTimeCol` in `[leftTimeCol + loUs, leftTimeCol + hiUs]`
     * (inclusive; loUs may be negative — `(-tol, +tol)` is the symmetric
     * proximity join, `(-lookbackUs, 0)` the attribution lookback). Time
     * columns must be LongType, TimestampType, or TimestampNTZType.
+    * `isInner = false` is the LEFT OUTER form: left rows with an empty
+    * window (or null key/time) emit once with null right columns —
+    * attribution consumers report zero-touch rows without an anti-join.
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKeys: Seq[String], rightKeys: Seq[String],
       leftTimeCol: String, rightTimeCol: String,
-      loUs: Long, hiUs: Long): DataFrame = {
+      loUs: Long, hiUs: Long, isInner: Boolean = true): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.length == rightKeys.length,
       "interval join needs matching non-empty key lists")
     require(loUs <= hiUs, s"interval window is empty: [$loUs, $hiUs]")
@@ -69,7 +72,7 @@ object Interval {
       require(a.dataType == b.dataType,
         s"interval key type mismatch: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
     }
-    val node = IntervalJoin(lPlan, rPlan, lk, rk, lt, rt, loUs, hiUs)
+    val node = IntervalJoin(lPlan, rPlan, lk, rk, lt, rt, loUs, hiUs, isInner)
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], node)
   }
 }

@@ -41,6 +41,18 @@ class AsOfSqlSpec extends SparkSpec {
     assert(sub.contains("graft_asof_match_inner(t.ts, q.ts)"), sub)
   }
 
+  test("rewrite: strict > and < map to the _strict markers; < swaps sides") {
+    val gt = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym MATCH_CONDITION (t.ts > q.ts)")
+    assert(gt == "SELECT * FROM t LEFT JOIN q ON (t.sym = q.sym) AND " +
+      "graft_asof_match_inner_strict(t.ts, q.ts)", gt)
+    val lt = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF LEFT JOIN q ON t.sym = q.sym " +
+        "MATCH_CONDITION (q.ts < t.ts) TIEBREAK (q.seq)")
+    assert(lt == "SELECT * FROM t LEFT JOIN q ON (t.sym = q.sym) AND " +
+      "graft_asof_match_strict(t.ts, q.ts, q.seq)", lt)
+  }
+
   test("rewrite: missing MATCH_CONDITION or ON errors with an actionable message") {
     val e1 = intercept[IllegalArgumentException](AsOfSqlRewrite(
       "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym"))
@@ -108,12 +120,46 @@ class AsOfSqlSpec extends SparkSpec {
     assert(got == Seq(("A", 2L, 23L), ("B", 1L, 7L)), got.toString)
   }
 
+  test("AsOf.sql strict: equal-time quotes are excluded, strictly-prior match wins") {
+    fixture(spark)
+    // Trade 1 (A, tts=1) matches quote (A,1) under >= but has NO strictly
+    // prior quote — under > it must drop (inner). Trade 2 (A,6) still
+    // takes the tiebreak-max (A,5) quote; trade 3 (B,3) takes (B,2).
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark,
+      """SELECT trade_id, px FROM trades ASOF JOIN quotes
+        |ON sym = qsym MATCH_CONDITION (tts > qts) TIEBREAK (seq)""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+      df.queryExecution.executedPlan.toString)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 13L, 3L -> 7L), got.toString)
+    // Strict LEFT form keeps the unmatched trades with nulls, and the
+    // DataFrame API's strict flag computes the same relation.
+    val sqlLeft = org.apache.spark.sql.graft.AsOf.sql(spark,
+      """SELECT trade_id, px FROM trades ASOF LEFT JOIN quotes
+        |ON sym = qsym MATCH_CONDITION (qts < tts) TIEBREAK (seq)""".stripMargin)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(sqlLeft == Map(0L -> -1L, 1L -> -1L, 2L -> 13L, 3L -> 7L, 4L -> -1L),
+      sqlLeft.toString)
+    val api = org.apache.spark.sql.graft.AsOf.asofJoin(
+      spark.table("trades"), spark.table("quotes"),
+      Seq("sym"), Seq("qsym"), "tts", "qts", Seq("seq"), strict = true)
+      .select("trade_id", "px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(api == sqlLeft, s"SQL $sqlLeft vs API $api")
+  }
+
   test("AsOf.sql error paths: forward as-of, missing equi-key, non-equality conjunct") {
     fixture(spark)
     val fwd = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
       "SELECT * FROM trades ASOF JOIN quotes ON sym = qsym " +
         "MATCH_CONDITION (qts >= tts)").collect())
     assert(fwd.getMessage.contains("forward as-of"), fwd.getMessage)
+    // The strict form rejects a forward request the same way.
+    val fwdStrict = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT * FROM trades ASOF JOIN quotes ON sym = qsym " +
+        "MATCH_CONDITION (qts > tts)").collect())
+    assert(fwdStrict.getMessage.contains("forward as-of"), fwdStrict.getMessage)
     val nokey = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
       "SELECT * FROM trades ASOF JOIN quotes ON trade_id > seq " +
         "MATCH_CONDITION (tts >= qts)").collect())
@@ -141,15 +187,41 @@ class AsOfSqlSpec extends SparkSpec {
     // trade 2 (A,6) reaches BOTH (A,5) quotes; trade 3 (B,3) reaches
     // (B,2,7); trade 4 (C,9) reaches nothing (inner: absent).
     assert(got == Set((0L, 10L), (1L, 10L), (2L, 11L), (2L, 13L), (3L, 7L)), got.toString)
-    // Validation: empty window, non-literal bound, outer join type.
+    // Validation: empty window, unsupported join type (LEFT is supported
+    // since the left-outer form landed; FULL is not).
     val e1 = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
       "SELECT * FROM trades JOIN quotes ON sym = qsym " +
         "AND graft_interval_match(tts, qts, 2, -2)").collect())
     assert(e1.getMessage.contains("empty"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](org.apache.spark.sql.graft.AsOf.sql(spark,
-      "SELECT * FROM trades LEFT JOIN quotes ON sym = qsym " +
+      "SELECT * FROM trades FULL OUTER JOIN quotes ON sym = qsym " +
         "AND graft_interval_match(tts, qts, -2, 2)").collect())
-    assert(e2.getMessage.contains("INNER-only"), e2.getMessage)
+    assert(e2.getMessage.contains("INNER and LEFT"), e2.getMessage)
+  }
+
+  test("interval marker: LEFT JOIN keeps windowless trades with null quotes") {
+    fixture(spark)
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark,
+      "SELECT trade_id, px FROM trades LEFT JOIN quotes ON sym = qsym " +
+        "AND graft_interval_match(tts, qts, -2, 2)")
+    assert(df.queryExecution.executedPlan.toString.contains("IntervalJoin ["),
+      df.queryExecution.executedPlan.toString)
+    val got = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // Trade 4 (C,9) has no C quotes: exactly one null-extended row. All
+    // matched trades carry the same pairs as the inner form.
+    assert(got == Map(0L -> Seq(10L), 1L -> Seq(10L), 2L -> Seq(11L, 13L),
+      3L -> Seq(7L), 4L -> Seq(-1L)), got.toString)
+    // ≡ the DataFrame API's left-outer flag on the same inputs.
+    val q = spark.table("quotes")
+    val api = org.apache.spark.sql.graft.Interval.intervalJoin(
+      spark.table("trades"), q, Seq("sym"), Seq("qsym"), "tts", "qts",
+      -2L, 2L, isInner = false)
+      .select("trade_id", "px").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(api == got, s"SQL $got vs API $api")
   }
 
   test("injected parser: plain spark.sql understands ASOF JOIN in an extensions session") {
@@ -175,6 +247,28 @@ class AsOfSqlSpec extends SparkSpec {
       // extraStrategies stays empty: the strategy arrived via the
       // extensions, not the per-call fallback (ExtensionsSpec contract).
       assert(s.experimental.extraStrategies.isEmpty)
+      // ASOF JOIN inside a CREATE TEMP VIEW definition: the rewrite runs
+      // on the DDL text, the view stores the marked plan, and querying the
+      // view plans the native exec.
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW last_px AS
+          |SELECT trade_id, px FROM trades ASOF JOIN quotes
+          |ON sym = qsym MATCH_CONDITION (tts >= qts) TIEBREAK (seq)""".stripMargin)
+      val viaView = s.sql("SELECT trade_id, px FROM last_px WHERE px > 7")
+      assert(viaView.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+        viaView.queryExecution.executedPlan.toString)
+      assert(viaView.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+        Map(1L -> 10L, 2L -> 13L))
+      // ASOF JOIN nested inside a subquery relation: the balanced-paren
+      // scan keeps the clause rewrite local to its own scope.
+      val nested = s.sql(
+        """SELECT sum(px) AS total FROM (
+          |  SELECT trade_id, px FROM trades ASOF JOIN quotes
+          |  ON sym = qsym MATCH_CONDITION (tts >= qts) TIEBREAK (seq)
+          |) m WHERE trade_id <> 3""".stripMargin)
+      assert(nested.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+        nested.queryExecution.executedPlan.toString)
+      assert(nested.collect().head.getLong(0) == 23L)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

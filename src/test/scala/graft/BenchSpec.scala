@@ -100,6 +100,19 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsRetry(Seq.empty, famMedian = Double.MaxValue, prior = Some(0.2)))
   }
 
+  test("load gate: ambient must clear BEFORE, after-load bounded, unreadable /proc passes") {
+    // The r9 graded-refresh shape: ambient 2.25 at start — gate fails even
+    // though the sweep would have run; the artifact diverts.
+    assert(!Bench.loadGatePassed(2.25, 5.47, gateBefore = 2.0, gateAfter = 8.0))
+    // Clean start, bench's own load after: passes.
+    assert(Bench.loadGatePassed(0.4, 4.2, gateBefore = 2.0, gateAfter = 8.0))
+    // Clean start but a concurrent build landed mid-sweep: after-gate fires.
+    assert(!Bench.loadGatePassed(0.4, 11.0, gateBefore = 2.0, gateAfter = 8.0))
+    // Unreadable /proc (−1 samples) can only pass, never block.
+    assert(Bench.loadGatePassed(-1.0, -1.0, gateBefore = 2.0, gateAfter = 8.0))
+    assert(Bench.loadGatePassed(0.4, -1.0, gateBefore = 2.0, gateAfter = 8.0))
+  }
+
   test("family boundaries fall exactly at the first query of each new name-family") {
     val names = Seq("agg_cube", "agg_mode", "dedup_exact", "dedup_simhash",
       "sql_tpch_q1", "window_rank")

@@ -314,6 +314,12 @@ class PlanShapeSpec extends SparkSpec {
     val sqlP = plan("sql_interval_join")
     assert(sqlP.contains("IntervalJoin ["), s"sql_interval_join lost the native sweep:\n$sqlP")
     assert(!sqlP.contains("SortMergeJoin"), s"sql_interval_join pairs via a generic join:\n$sqlP")
+    // The LEFT OUTER face also reaches the native sweep — the null
+    // extension happens inside the operator, never as a stock outer join
+    // with a range residual (which would materialize every same-key pair).
+    val leftP = plan("sql_interval_left_join")
+    assert(leftP.contains("IntervalJoin ["), s"sql_interval_left_join lost the native sweep:\n$leftP")
+    assert(!leftP.contains("SortMergeJoin"), s"sql_interval_left_join pairs via a generic join:\n$leftP")
   }
 
   test("bucketed pagerank superstep never re-shuffles the edge table") {
@@ -329,6 +335,24 @@ class PlanShapeSpec extends SparkSpec {
       s"edge table re-shuffled on src — bucketing not used by the join:\n$p")
     assert(p.contains("hashpartitioning(node"),
       s"expected the O(N) rank-vector shuffle to the edge bucketing:\n$p")
+  }
+
+  test("bucketed components round never re-shuffles the edge table") {
+    val eb = spark.table(graft.ops.Graph.bucketedDomesticEdges(spark, sf)).hint("MERGE")
+    val labels = eb.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    // One min-propagation round's incoming-min join — the per-round edge
+    // touch of graph_components_bucketed.
+    val incoming = eb.join(labels, eb("src") === labels("node"))
+      .groupBy(col("dst")).agg(org.apache.spark.sql.functions.min(col("lbl")).as("in_lbl"))
+    incoming.count() // materialize through AQE so the final plan is inspectable
+    val p = incoming.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"propagation must take the co-partitioned merge path, not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge table re-shuffled on src — bucketing not used by the join:\n$p")
+    assert(p.contains("hashpartitioning(node"),
+      s"expected the O(N) label-vector shuffle to the edge bucketing:\n$p")
   }
 
   test("backlog plans ONE scan per source table (explode, not a union of subtrees)") {
