@@ -18,7 +18,9 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *      half the fact table;
   *   2. PageRank superstep: broadcast-rank vs co-partitioned rank-shuffle
   *      at 1× and 8× graph scale — the crossover the Graph scaladocs
-  *      document;
+  *      document; (2b) the components min-propagation round on the same
+  *      inflated edges, broadcast-label vs co-partitioned — the crossover
+  *      `graph_components_bucketed` exists for;
   *   3. interval-grid join linearity: t(×16)/t(×4) for the time-grid
   *      bucketed no-equi-key join (quadratic plans diverge here);
   *   4. MinHash band+pair linearity: the capped bucketedPairs kernel under
@@ -35,7 +37,14 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *      (composed candidates grow ×scale², the merge stays linear), plus
   *      (7b) the keyed INTERVAL join on the same inflated stream — native
   *      sweep vs the (user, grid-cell) composition, equality-asserted,
-  *      with the ×scale² true pair counts recorded alongside.
+  *      with the ×scale² true pair counts recorded alongside; (7c) the
+  *      same interval join as Spark's OWN plan for `key = key AND t
+  *      BETWEEN lo AND hi` — a sort-merge join with the range as a
+  *      post-join residual, which must stream every same-key pair — the
+  *      interpreted-eval-cost adjudication: the native sweep's per-row
+  *      interpreted `eval` is only a win if it beats the codegen'd SMJ
+  *      probe at equal output, so both run equality-asserted at ×4/×16
+  *      density.
   *
   * Emits one JSON line on stdout and the same document at
   * `SPARK_GRAFT_SCALEBENCH_OUT` (default `SCALEBENCH.json`). Runs each
@@ -149,6 +158,26 @@ object ScaleBench {
         finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
       results(s"pagerank_edges_x$scale") = nEdges.toDouble
+      // 2b. Components min-propagation round on the same edges: the label
+      // vector is node-cardinality like ranks, so the same broadcast ↔
+      // co-partitioned crossover governs graph_components vs
+      // graph_components_bucketed — measured here on the identical
+      // persisted edge tables so the pagerank and components rows are
+      // directly comparable.
+      val labels0 = e.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")).localCheckpoint()
+      results(s"components_round_broadcast_x$scale") = timeMin(2) {
+        assert(e.join(broadcast(labels0), e("src") === labels0("node"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("in_lbl"))
+          .groupBy().count().head().getLong(0) > 0)
+      }
+      results(s"components_round_copartitioned_x$scale") = timeMin(2) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try assert(ecp.join(labels0, ecp("src") === labels0("node"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("in_lbl"))
+          .groupBy().count().head().getLong(0) > 0)
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
       e.unpersist(); ecp.unpersist()
     }
 
@@ -357,6 +386,24 @@ object ScaleBench {
           .select("pid", "cid").distinct()
           .groupBy().count().head().getLong(0)
         assert(n == nPairs, s"composed grid disagrees with native: $n vs $nPairs")
+      }
+      // 7c. Spark's own plan for the same semantics: equi join on the key
+      // with the time window as a POST-JOIN residual — a codegen'd
+      // sort-merge join that must stream EVERY same-user (purchase, click)
+      // pair through the residual. This is the interpreted-eval
+      // adjudication leg: IntervalJoinExec's merge does per-row
+      // interpreted eval, the SMJ probe is full Tungsten codegen, and the
+      // sweep only deserves its extension if it still wins at equal
+      // output. Broadcast disabled so the plan under test IS the at-scale
+      // plan; output equality-asserted against the native count.
+      results(s"interval_smj_residual_x$scale") = timeMin(2) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try {
+          val n = pSide.join(cSide, col("user_id") === col("cu") &&
+              col("cus") >= col("pus") - H && col("cus") <= col("pus") + H)
+            .groupBy().count().head().getLong(0)
+          assert(n == nPairs, s"SMJ+residual disagrees with native: $n vs $nPairs")
+        } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
       ev.unpersist()
     }

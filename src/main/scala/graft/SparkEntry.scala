@@ -318,6 +318,7 @@ object SparkEntry {
     "window_count_distinct" -> (Analytics.windowCountDistinct _),
     "orders_pareto" -> (Analytics.ordersPareto _),
     "events_attribution" -> (Analytics.eventsAttribution _),
+    "events_attribution_direct" -> (Analytics.eventsAttributionDirect _),
     "orders_cohort" -> (Analytics.ordersCohort _),
     "dq_profile" -> (Analytics.dqProfile _),
     "text_dsir_weights" -> (Analytics.textDsirWeights _),
@@ -823,6 +824,10 @@ object SparkEntry {
       """WITH c AS (SELECT o_orderkey, o_orderpriority, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) SELECT o_orderkey, o_orderpriority, cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents, CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share, CASE WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.7 THEN 'A' WHEN CAST(sum(cents) OVER (PARTITION BY o_orderpriority ORDER BY cents DESC, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(cents) OVER (PARTITION BY o_orderpriority) AS DOUBLE) <= 0.9 THEN 'B' ELSE 'C' END AS abc FROM c ORDER BY o_orderkey""",
     "events_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events), tch AS (SELECT * FROM ev WHERE event_type IN ('view','click')), pur AS (SELECT user_id, event_id AS p_id, tus AS p_tus FROM ev WHERE event_type = 'purchase'), pairs AS (SELECT t.event_type, t.tus, t.event_id, p.p_id FROM tch t JOIN pur p USING (user_id) WHERE t.tus < p.p_tus AND p.p_tus - t.tus <= 604800000000), cr AS (SELECT event_type, count(*) OVER (PARTITION BY p_id) AS n_touch, CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY tus, event_id) = 1 THEN 1 ELSE 0 END AS is_first, CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY tus DESC, event_id DESC) = 1 THEN 1 ELSE 0 END AS is_last FROM pairs) SELECT event_type AS channel, count(*) AS n_touches, CAST(sum(is_first) AS BIGINT) AS n_first, CAST(sum(is_last) AS BIGINT) AS n_last, CAST(sum(CAST(floor(1000000.0 / n_touch) AS BIGINT)) AS DOUBLE) / 1000000.0 AS linear_credit FROM cr GROUP BY event_type ORDER BY channel""",
+    // The LEFT JOIN form: zero-touch purchases land in channel 'direct'
+    // with full linear credit — the null-extension rows carry the pass.
+    "events_attribution_direct" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events), tch AS (SELECT user_id, event_id AS t_event, event_type AS t_type, tus AS t_tus FROM ev WHERE event_type IN ('view','click')), pur AS (SELECT user_id, event_id AS p_id, tus AS p_tus FROM ev WHERE event_type = 'purchase'), pairs AS (SELECT p.p_id, t.t_event, t.t_type, t.t_tus FROM pur p LEFT JOIN tch t ON p.user_id = t.user_id AND t.t_tus < p.p_tus AND p.p_tus - t.t_tus <= 604800000000), cr AS (SELECT t_type, count(t_event) OVER (PARTITION BY p_id) AS n_touch, CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY t_tus, t_event) = 1 THEN 1 ELSE 0 END AS is_first, CASE WHEN row_number() OVER (PARTITION BY p_id ORDER BY t_tus DESC, t_event DESC) = 1 THEN 1 ELSE 0 END AS is_last FROM pairs) SELECT coalesce(t_type, 'direct') AS channel, count(*) AS n_touches, CAST(sum(is_first) AS BIGINT) AS n_first, CAST(sum(is_last) AS BIGINT) AS n_last, CAST(sum(CASE WHEN n_touch = 0 THEN 1000000 ELSE CAST(floor(1000000.0 / n_touch) AS BIGINT) END) AS DOUBLE) / 1000000.0 AS linear_credit FROM cr GROUP BY coalesce(t_type, 'direct') ORDER BY channel""",
     "orders_cohort" ->
       """WITH o AS (SELECT o_custkey, year(o_orderdate)*12 + month(o_orderdate) - 1 AS ym, CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents FROM orders), coh AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey) SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym, CAST(o.ym - cohort_ym AS BIGINT) AS month_offset, count(DISTINCT o.o_custkey) AS n_customers, count(*) AS n_orders, CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue FROM o JOIN coh USING (o_custkey) GROUP BY 1, 2 ORDER BY cohort_ym, month_offset""",
     "events_islands" ->

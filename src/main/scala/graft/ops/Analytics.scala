@@ -1739,6 +1739,54 @@ object Analytics {
       .orderBy("channel")
   }
 
+  /** [[eventsAttribution]] with the DIRECT bucket — the left-outer interval
+    * join's production adoption: purchases with NO view/click touch in the
+    * 7-day lookback surface as channel `direct` with full credit
+    * (n_touch = 0 ⇒ linear share = 1.0, and the purchase is its own first
+    * and last touch), so the per-channel credit columns now sum over ALL
+    * conversions instead of silently dropping the untouched ones — the
+    * report a marketing pipeline actually reconciles against its order
+    * count. Same pipeline as the inner form; the only change is
+    * `isInner = false` on the native operator, which emits one null-right
+    * row per windowless purchase inside the same forward sweep (no second
+    * anti-join pass, zero extra shuffle — the null rows emit in-place from
+    * the probe side). Touched-channel rows are bit-identical to
+    * [[eventsAttribution]] (left-outer only ADDS rows; spec-pinned).
+    */
+  def eventsAttributionDirect(spark: SparkSession, dir: String): DataFrame = {
+    val lookbackUs = 7L * 24 * 3600 * 1000000L
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_id").as("t_event"),
+        col("event_type").as("t_type"), col("tus").as("t_tus"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("tus").as("p_tus"))
+    val pairs = org.apache.spark.sql.graft.Interval.intervalJoin(
+      purchases, touches, Seq("user_id"), Seq("t_user"), "p_tus", "t_tus",
+      -lookbackUs, -1L, isInner = false)
+    val byPurchase = Window.partitionBy("p_id")
+    val firstW = Window.partitionBy("p_id").orderBy(col("t_tus"), col("t_event"))
+    val lastW = Window.partitionBy("p_id").orderBy(col("t_tus").desc, col("t_event").desc)
+    pairs
+      // count(t_event), not count(*): the null-extended row contributes 0,
+      // so a zero-touch purchase reads n_touch = 0, never 1.
+      .withColumn("n_touch", count(col("t_event")).over(byPurchase))
+      .withColumn("is_first", when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("is_last", when(row_number().over(lastW) === 1, 1L).otherwise(0L))
+      .withColumn("linear_micro",
+        when(col("n_touch") === 0, lit(1000000L))
+          .otherwise(floor(lit(1000000.0) / col("n_touch")).cast("long")))
+      .groupBy(coalesce(col("t_type"), lit("direct")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(col("is_first")).as("n_first"),
+        sum(col("is_last")).as("n_last"),
+        (sum(col("linear_micro")).cast("double") / lit(1000000.0)).as("linear_credit"))
+      .orderBy("channel")
+  }
+
   /** Cohort revenue matrix over orders: customers cohort by the month of
     * their FIRST order (ym = year*12 + month-1, a plain int), and each later
     * order lands in the (cohort, months-since) cell — the classic LTV

@@ -282,6 +282,8 @@ object Graph {
     * regime) + one min-aggregate on dst + a left join back to labels;
     * labels are O(N) and localCheckpoint'ed every round to cap lineage.
     * The final rollup is a component-keyed map-side-combined aggregate.
+    * Past broadcastable N, [[graphComponentsBucketed]] is the implemented
+    * flip: src-bucketed edges, labels shuffled to them, bit-identical.
     */
   /** The label table after `rounds` synchronous min-propagation rounds —
     * split out so the spec can pin convergence (rounds+1 is a fixed point). */

@@ -180,6 +180,46 @@ object Multimodal {
         if (img == null) None else Some((img.getWidth, img.getHeight))
       } catch { case _: java.io.IOException => None }
 
+  /** REAL image decode for GIF payloads via `javax.imageio` (the JDK ships
+    * a GIF reader). Gated on the `GIF87a`/`GIF89a` signature (GIF89a spec
+    * §17 — the 6-byte header every GIF stream starts with); None on
+    * torn/corrupt streams (caller falls back to the stub). Partition-local
+    * like every decoder here.
+    */
+  def decodeGif(payload: Array[Byte]): Option[(Int, Int)] =
+    if (payload == null || payload.length < 6 ||
+        payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F' ||
+        payload(3) != '8' || (payload(4) != '7' && payload(4) != '9') ||
+        payload(5) != 'a') None
+    else
+      // NonFatal, not just IOException: the JDK GIF reader throws
+      // ArrayIndexOutOfBounds on corrupt LZW streams; fall back, don't die.
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL image decode for BMP payloads via `javax.imageio` (the JDK ships
+    * a BMP reader). The `BM` magic is only two bytes, so the gate also
+    * checks the BITMAPFILEHEADER's declared file size (bytes 2–5,
+    * little-endian u32) is plausible — nonzero and ≤ the payload length —
+    * before any bytes reach the codec (the synthetic text fixtures can
+    * legitimately start with "BM"). None on torn/corrupt streams.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int)] = {
+    def u32(i: Int): Long =
+      (payload(i) & 0xffL) | ((payload(i + 1) & 0xffL) << 8) |
+        ((payload(i + 2) & 0xffL) << 16) | ((payload(i + 3) & 0xffL) << 24)
+    if (payload == null || payload.length < 54 ||
+        payload(0) != 'B' || payload(1) != 'M' ||
+        u32(2) == 0 || u32(2) > payload.length) None
+    else
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None else Some((img.getWidth, img.getHeight))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** REAL audio header decode for FLAC payloads. The JDK has no FLAC codec,
     * but the container mandates a STREAMINFO metadata block first ("fLaC"
     * marker, 4-byte block header, then 34 bytes whose bits 80–99 are the
@@ -327,7 +367,8 @@ object Multimodal {
     val h = java.util.Arrays.hashCode(payload)
     kind match {
       case "image" =>
-        decodePng(payload).orElse(decodeJpeg(payload)) match {
+        decodePng(payload).orElse(decodeJpeg(payload))
+          .orElse(decodeGif(payload)).orElse(decodeBmp(payload)) match {
           case Some((w, ht)) => (w, ht, 0.0, 1)
           case None => (math.floorMod(h, 1920) + 1, math.floorMod(h / 1920, 1080) + 1, 0.0, 1)
         }
@@ -424,8 +465,8 @@ object Multimodal {
     * that survives re-encoding, mild resizing, and small edits, where the
     * exact sha2 of [[multimodalDedup]] flips on a single byte.
     *
-    * The grid is REAL for payloads the JDK can decode (PNG/JPEG magic →
-    * ImageIO → BT.601 luma sampled at the centers of a 9×8 coarse grid —
+    * The grid is REAL for payloads the JDK can decode (PNG/JPEG/GIF/BMP
+    * magic → ImageIO → BT.601 luma sampled at the centers of a 9×8 grid —
     * the standard dHash preprocessing, a codec pass run in mapPartitions);
     * every other payload takes the byte-grid stub leg, which is the
     * codegen'd [[graft.functions.DHash64]] kernel also exposed to SQL as
@@ -437,7 +478,8 @@ object Multimodal {
       // NonFatal, not just IOException: the JDK JPEG reader throws
       // RuntimeExceptions (CMMException on broken ICC profiles, etc.) on
       // adversarial bytes, and the contract is fall-back, not task death.
-      else if (decodePng(payload).isDefined || decodeJpeg(payload).isDefined)
+      else if (decodePng(payload).isDefined || decodeJpeg(payload).isDefined ||
+          decodeGif(payload).isDefined || decodeBmp(payload).isDefined)
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
         catch { case scala.util.control.NonFatal(_) => None }
       // MJPEG-in-AVI: hash the REAL first frame, so a video and its

@@ -47,6 +47,30 @@ class OpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("attribution with direct bucket: touched channels unchanged, zero-touch purchases get full credit") {
+    def byChannel(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val inner = byChannel(Analytics.eventsAttribution(spark, sf).collect())
+    val outer = byChannel(Analytics.eventsAttributionDirect(spark, sf).collect())
+    // Left-outer only ADDS the direct rows: every touched channel's
+    // n_touches/n_first/n_last/linear_credit are bit-identical.
+    inner.foreach { case (ch, v) => assert(outer(ch) == v, s"channel $ch drifted: ${outer(ch)} vs $v") }
+    // The direct bucket reconciles against the purchase count: touched
+    // purchases = Σ n_first over touched channels, and every purchase is
+    // someone's first touch in the outer form.
+    val nPurchases = graft.Tables.t(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    val touched = inner.values.map(_._2).sum
+    val direct = outer("direct")
+    assert(direct._1 == nPurchases - touched, s"direct count ${direct._1} != $nPurchases - $touched")
+    assert(direct._2 == direct._1 && direct._3 == direct._1,
+      "a zero-touch purchase is its own first and last touch")
+    assert(direct._4 == direct._1.toDouble, "direct purchases carry full linear credit")
+    assert(direct._1 > 0, "fixture must contain zero-touch purchases or the outer path is vacuous")
+    assert(outer.values.map(_._2).sum == nPurchases)
+  }
+
   test("basket_pairs matches driver-side pair counting over collected baskets") {
     val support = Tables.t(spark, sf, "lineitem")
       .select("l_orderkey", "l_partkey").collect()
@@ -836,6 +860,52 @@ class OpsSpec extends SparkSpec {
     val stub = Multimodal.stubDecodeKind("image", "plain text bytes".getBytes("UTF-8"))
     assert((fw, fh) == ((stub._1, stub._2)))
     assert(byId(3L).isNullAt(2) && !byId(3L).isNullAt(4))
+  }
+
+  test("image decode: GIF and BMP route through their magic gates and hash like the PNG of the same pixels") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    // 8 solid vertical bands — ≤256 distinct colors, so the GIF palette is
+    // LOSSLESS and all three containers carry identical pixels.
+    val bands = Array(0x000000, 0x2040a0, 0x60c020, 0xff8000,
+      0xffffff, 0x804040, 0x00c0c0, 0x400080)
+    val img = new java.awt.image.BufferedImage(40, 24, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 24) img.setRGB(x, y, bands(x / 5))
+    def enc(fmt: String): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, baos))
+      baos.toByteArray
+    }
+    val (gif, bmp, png) = (enc("gif"), enc("bmp"), enc("png"))
+
+    assert(Multimodal.decodeGif(gif).contains((40, 24)))
+    assert(Multimodal.decodeBmp(bmp).contains((40, 24)))
+    // Cross-gate and garbage rejection; torn streams must not throw.
+    assert(Multimodal.decodeGif(png).isEmpty && Multimodal.decodeBmp(png).isEmpty)
+    assert(Multimodal.decodeGif("not a gif".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeGif(null).isEmpty && Multimodal.decodeBmp(null).isEmpty)
+    assert(Multimodal.decodeGif(gif.take(8)).isEmpty)
+    assert(Multimodal.decodeBmp(bmp.take(20)).isEmpty)
+    // The BM size gate: prose that happens to start with "BM" never reaches
+    // the codec (its bytes 2-5 read as a file size ≫ the payload).
+    val fakeBm = ("BM" + "ore than a magic check is needed for two-byte magics, " * 2)
+      .getBytes("UTF-8")
+    assert(Multimodal.decodeBmp(fakeBm).isEmpty)
+
+    // Identical pixels in all three containers → identical REAL-grid dHash
+    // (the codec path, not the byte-grid stub, which would differ per format).
+    assert(Multimodal.dhash64(gif) == Multimodal.dhash64(png), "GIF must take the codec path")
+    assert(Multimodal.dhash64(bmp) == Multimodal.dhash64(png), "BMP must take the codec path")
+
+    // decodeFeaturesOn routes both through the image leg with true dims.
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("media", BinaryType, nullable = true)))
+    val out = Multimodal.decodeFeaturesOn(spark.createDataFrame(
+        java.util.Arrays.asList(Row(1L, "image", gif), Row(2L, "image", bmp)), schema))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(out == Map(1L -> ((40, 24)), 2L -> ((40, 24))), out.toString)
   }
 
   test("perceptual dHash: a one-pixel edit survives pairing, a reshot image does not, stubs collide exactly") {

@@ -302,7 +302,8 @@ class PlanShapeSpec extends SparkSpec {
     // lookback is its in-library adoption (window [-7d, -1µs]) — both must
     // plan the custom sweep, neither a per-user all-pairs equi join with a
     // time residual (the r8 attribution shape).
-    for (q <- Seq("join_interval_native", "events_attribution")) {
+    for (q <- Seq("join_interval_native", "events_attribution",
+        "events_attribution_direct")) {
       val p = plan(q)
       assert(p.contains("IntervalJoin ["), s"$q lost the native sweep:\n$p")
       assert(!p.contains("SortMergeJoin") || q != "join_interval_native",

@@ -44,6 +44,7 @@ class SchemaDisciplineSpec extends SparkSpec {
     "events_ab_lift" -> Seq("p_a", "p_b", "lift", "p_pool", "se", "z"),
     "events_anomaly_mad" -> Seq("value", "robust_z"),
     "events_attribution" -> Seq("linear_credit"),
+    "events_attribution_direct" -> Seq("linear_credit"),
     "events_ewma" -> Seq("ewma_cents"),
     "events_markov" -> Seq("p"),
     "events_outliers" -> Seq("value", "z"),
