@@ -134,7 +134,18 @@ object ExtensionsDemo {
       .filter(org.apache.spark.sql.functions.col("ts") >=
         org.apache.spark.sql.functions.lit("2024-01-15 00:00:00").cast("timestamp"))
       .queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(ts,")
-    println(s"[graft.ExtensionsDemo] sql_functions_ok=${fns == 5} dot_ok=${dot > 0} generator_ok=${grams == 20} nanos_pushdown_ok=$pushed")
+    // The injected parser + resolution rule + planner strategy end-to-end:
+    // plain spark.sql understands the ASOF dialect (strict form included)
+    // and plans the native exec.
+    val asof = spark.sql(
+      """WITH p AS (SELECT event_id, user_id, unix_micros(ts) AS pus
+        |           FROM events WHERE event_type = 'purchase'),
+        |     e AS (SELECT event_id AS eid, user_id AS eu, unix_micros(ts) AS eus FROM events)
+        |SELECT count(*) FROM p ASOF JOIN e ON user_id = eu
+        |MATCH_CONDITION (pus > eus) TIEBREAK (eid)""".stripMargin)
+    val asofOk = asof.queryExecution.executedPlan.toString.contains("AsOfJoin [") &&
+      asof.head().getLong(0) > 0
+    println(s"[graft.ExtensionsDemo] sql_functions_ok=${fns == 5} dot_ok=${dot > 0} generator_ok=${grams == 20} nanos_pushdown_ok=$pushed asof_dialect_ok=$asofOk")
     spark.stop()
   }
 }
