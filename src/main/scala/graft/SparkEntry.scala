@@ -376,6 +376,7 @@ object SparkEntry {
     "sql_interval_join" -> (Relational.sqlIntervalJoin _),
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
     "graph_components_bucketed" -> (Graph.graphComponentsBucketed _),
+    "graph_label_prop_bucketed" -> (Graph.graphLabelPropBucketed _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
     "events_ab_cuped" -> (Analytics.eventsAbCuped _),
@@ -971,6 +972,9 @@ object SparkEntry {
     "text_ngram_novelty" ->
       """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), tok AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS term FROM ws, LATERAL unnest(generate_series(1, len(ws) - 2)) AS g(i)), fs AS (SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY 1) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, (CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS novelty_micro FROM tok JOIN fs USING (term) GROUP BY doc_id ORDER BY doc_id""",
     "graph_label_prop" -> Graph.labelPropOracleSql,
+    // Same unrolled-CTE oracle as graph_label_prop: the bucketed-edge
+    // layout is a pure cost flip, never a semantic one.
+    "graph_label_prop_bucketed" -> Graph.labelPropOracleSql,
     "graph_modularity" -> Graph.modularityOracleSql,
     "dedup_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance FROM documents a JOIN documents b ON a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 8 ORDER BY doc_a, doc_b""",

@@ -320,16 +320,18 @@ object Graph {
   def graphComponents(spark: SparkSession, dir: String): DataFrame =
     componentsRollup(componentLabels(spark, dir, ComponentRounds))
 
-  /** The shared per-component rollup over a label table. */
-  private def componentsRollup(labels: DataFrame): DataFrame =
+  /** The shared per-label-group rollup (component / community — the caller
+    * names the key column).
+    */
+  private def componentsRollup(labels: DataFrame, keyName: String = "component"): DataFrame =
     labels
-      .groupBy(col("lbl").as("component"))
+      .groupBy(col("lbl").as(keyName))
       .agg(count(lit(1)).as("n_nodes"),
         sum(when(col("node") < 1000000L, 1L).otherwise(0L)).as("n_customers"),
         sum(when(col("node") >= 1000000L, 1L).otherwise(0L)).as("n_suppliers"),
         min(col("node")).as("min_node"),
         max(col("node")).as("max_node"))
-      .orderBy("component")
+      .orderBy(keyName)
 
   /** The domestic edge table persisted ONCE bucketed by `src` — the
     * components sibling of [[bucketedTradeGraph]] (same 8-bucket layout,
@@ -427,12 +429,14 @@ object Graph {
     labelPropLabelsOf(domesticEdges(spark, dir).localCheckpoint(), rounds)
 
   /** [[labelPropLabels]] over an already-materialized edge table — the
-    * [[componentLabelsOf]] rationale. */
-  private[graft] def labelPropLabelsOf(e: DataFrame, rounds: Int): DataFrame = {
+    * [[componentLabelsOf]] rationale, including its caller-chooses
+    * `broadcastLabels` contract. */
+  private[graft] def labelPropLabelsOf(e: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val best = labelPropIncoming(e, labels)
+      val best = labelPropIncoming(e, labels, broadcastLabels)
       labels = labels.join(best, labels("node") === col("inode"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
@@ -443,14 +447,20 @@ object Graph {
   /** The edge-touching stage of one plurality round — split out (and used
     * verbatim by the plan-shape spec) so the pinned broadcast-labels /
     * no-edge-reshuffle plan IS the production stage, not a test-side copy.
+    * `broadcastLabels = false` is the bucketed-edge regime: the labels
+    * shuffle to the edges' fixed src-bucketing instead
+    * ([[graphLabelPropBucketed]]).
     */
-  private[graft] def labelPropIncoming(e: DataFrame, labels: DataFrame): DataFrame =
-    e.join(broadcast(labels), e("src") === labels("node"))
+  private[graft] def labelPropIncoming(e: DataFrame, labels: DataFrame,
+      broadcastLabels: Boolean = true): DataFrame = {
+    val lbls = if (broadcastLabels) broadcast(labels) else labels
+    e.join(lbls, e("src") === labels("node"))
       .groupBy(col("dst").as("inode"), col("lbl").as("nlbl"))
       .agg(count(lit(1)).as("c"))
       .groupBy("inode")
       .agg(min(struct((-col("c")).as("negc"), col("nlbl").as("l"))).as("m"))
       .select(col("inode"), col("m.l").as("new_lbl"))
+  }
 
   /** Community detection on the domestic trade graph by [[LabelPropRounds]]
     * synchronous label-propagation rounds, rolled up per community — the
@@ -461,14 +471,24 @@ object Graph {
     * construction (plurality, ties to the smallest label, fixed rounds).
     */
   def graphLabelProp(spark: SparkSession, dir: String): DataFrame =
-    labelPropLabels(spark, dir, LabelPropRounds)
-      .groupBy(col("lbl").as("community"))
-      .agg(count(lit(1)).as("n_nodes"),
-        sum(when(col("node") < 1000000L, 1L).otherwise(0L)).as("n_customers"),
-        sum(when(col("node") >= 1000000L, 1L).otherwise(0L)).as("n_suppliers"),
-        min(col("node")).as("min_node"),
-        max(col("node")).as("max_node"))
-      .orderBy("community")
+    componentsRollup(labelPropLabels(spark, dir, LabelPropRounds), "community")
+
+  /** Label propagation for the beyond-broadcast regime — the third
+    * bucketed-graph adoption after [[graphPagerankBucketed]] and
+    * [[graphComponentsBucketed]], on the same once-written
+    * [[bucketedDomesticEdges]] table: each plurality round's edge join is
+    * a MERGE-hinted sort-merge join reading edge bucket i directly (zero
+    * edge re-shuffle — the `labelPropIncoming` stage plan-pins exactly
+    * like the components round), only the O(N) label vector moves. Same
+    * plurality algebra via the `broadcastLabels` flag, so the flip is a
+    * pure cost decision — bit-identical to [[graphLabelProp]] on the same
+    * unrolled-CTE oracle.
+    */
+  def graphLabelPropBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val eb = spark.table(bucketedDomesticEdges(spark, dir)).hint("MERGE")
+    componentsRollup(
+      labelPropLabelsOf(eb, LabelPropRounds, broadcastLabels = false), "community")
+  }
 
   /** DuckDB oracle for [[graphLabelProp]] — the plurality argmax per round
     * rendered as a windowed rank over the (dst, label) counts, unrolled

@@ -356,6 +356,21 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the O(N) label-vector shuffle to the edge bucketing:\n$p")
   }
 
+  test("bucketed label-prop round never re-shuffles the edge table") {
+    val eb = spark.table(graft.ops.Graph.bucketedDomesticEdges(spark, sf)).hint("MERGE")
+    val labels = eb.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    val best = graft.ops.Graph.labelPropIncoming(eb, labels, broadcastLabels = false)
+    best.count() // materialize through AQE so the final plan is inspectable
+    val p = best.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"plurality stage must take the co-partitioned merge path, not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge table re-shuffled on src — bucketing not used by the join:\n$p")
+    assert(p.contains("hashpartitioning(node"),
+      s"expected the O(N) label-vector shuffle to the edge bucketing:\n$p")
+  }
+
   test("backlog plans ONE scan per source table (explode, not a union of subtrees)") {
     // The unionAll formulation duplicated the orders⋈lineitem subtree; the
     // generator form must read each fact exactly once.
