@@ -74,6 +74,35 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == want, s"diff: extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
   }
 
+  test("left-outer interval join matches a brute-force reference on the same adversarial corpus") {
+    val rng = new scala.util.Random(43)
+    val ps = (1 to 400).map(i => (i.toLong, rng.nextInt(5).toLong, rng.nextInt(200).toLong))
+    val cs = (1 to 400).map(i => (i.toLong + 1000, rng.nextInt(5).toLong, rng.nextInt(200).toLong))
+    val (lo, hi) = (-7L, 3L)
+    val got = org.apache.spark.sql.graft.Interval.intervalJoin(
+        ps.toDF("pid", "user_id", "pus"), cs.toDF("cid", "cu", "cus"),
+        Seq("user_id"), Seq("cu"), "pus", "cus", lo, hi, isInner = false)
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val inner = (for {
+      (pid, pu, pt) <- ps; (cid, cu, ct) <- cs
+      if pu == cu && ct >= pt + lo && ct <= pt + hi
+    } yield (pid, cid)).toSet
+    val matchedLeft = inner.map(_._1)
+    val want = inner ++ ps.map(_._1).filterNot(matchedLeft).map(p => (p, -1L))
+    assert(want.size > inner.size, "fixture must leave some probes windowless")
+    assert(got == want, s"diff: extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    // Null key / null time probes also retain with null right columns.
+    val nullProbe = org.apache.spark.sql.graft.Interval.intervalJoin(
+        Seq((1L, Option.empty[Long], Some(5L)), (2L, Some(1L), Option.empty[Long]))
+          .toDF("pid", "user_id", "pus"),
+        Seq((9L, 1L, 5L)).toDF("cid", "cu", "cus"),
+        Seq("user_id"), Seq("cu"), "pus", "cus", lo, hi, isInner = false)
+      .select("pid", "cid").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(nullProbe == Set((1L, -1L), (2L, -1L)), nullProbe.toString)
+  }
+
   test("interval join realigns mismatched pre-partitioned sides under and without AQE") {
     val l = (0 until 500).map(i => (i.toLong, (i % 7).toLong, i.toLong * 10))
       .toDF("pid", "user_id", "pus").repartition(3, col("user_id"))

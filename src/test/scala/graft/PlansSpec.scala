@@ -187,6 +187,27 @@ class PlansSpec extends SparkSpec {
     // The corpus must actually exercise every branch.
     assert(expected.values.exists(_ == -1L) && expected.values.exists(_ >= 0))
     assert(lRows.exists(_._2.isEmpty) && rRows.exists(_._3.isEmpty))
+    // STRICT mode on the same corpus: candidates tighten to t < lt. The
+    // dense 0..19 time range guarantees many equal-time pairs, so the two
+    // references genuinely diverge (asserted) — a <=-vs-< regression
+    // cannot hide.
+    val gotStrict = org.apache.spark.sql.graft.AsOf.asofJoin(l, r,
+        Seq("user_id"), Seq("cu"), "pus", "cus", Seq("cid"), strict = true)
+      .select("pid", "cid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    val expectedStrict = lRows.map { case (pid, k, t) =>
+      val m = (k, t) match {
+        case (Some(kk), Some(tt)) =>
+          val cands = rRows.filter(c => c._2.contains(kk) && c._3.exists(_ < tt))
+          if (cands.isEmpty) -1L
+          else cands.maxBy(c => (c._3.get, c._1))._1
+        case _ => -1L
+      }
+      pid -> m
+    }.toMap
+    assert(gotStrict == expectedStrict)
+    assert(expectedStrict != expected,
+      "seeded corpus must contain equal-time matches for strictness to bite")
   }
 
   test("native as-of join realigns mismatched pre-partitioned sides (3 vs 11) under and without AQE") {
