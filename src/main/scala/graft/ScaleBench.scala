@@ -20,7 +20,12 @@ import graft.ops.{Graph, LlmPipeline, Relational, Skew}
   *      at 1× and 8× graph scale — the crossover the Graph scaladocs
   *      document; (2b) the components min-propagation round on the same
   *      inflated edges, broadcast-label vs co-partitioned — the crossover
-  *      `graph_components_bucketed` exists for;
+  *      `graph_components_bucketed` exists for (the per-round stage of
+  *      `graph_label_prop_bucketed` and `graph_bfs_bucketed` is the same
+  *      src-keyed join + dst aggregate, so these rows govern all three);
+  *      (2c) the k-core recurrence-SHAPE adjudication — the full 6-round
+  *      rewrite trajectory vs the static-edge alive-vector trajectory of
+  *      `graph_kcore_bucketed` on the same inflated co-occurrence graph;
   *   3. interval-grid join linearity: t(×16)/t(×4) for the time-grid
   *      bucketed no-equi-key join (quadratic plans diverge here);
   *   4. MinHash band+pair linearity: the capped bucketedPairs kernel under
@@ -179,6 +184,39 @@ object ScaleBench {
         finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
       e.unpersist(); ecp.unpersist()
+    }
+
+    // 2c. k-core recurrence-shape adjudication: graphKcoreBucketed is not
+    // just a join-strategy flip — the rewrite recurrence (shrinking edge
+    // set, broadcast survivors) cannot keep a fixed bucketing because it
+    // REWRITES the edges each round, so the bucketed variant switches to
+    // the static-edge alive-vector recurrence (full edge scan per round,
+    // zero edge movement). Both full 6-round trajectories run on the SAME
+    // persisted src-partitioned inflated part co-occurrence graph (disjoint
+    // part-key spaces per rep — nodes and edges grow ×scale), equality of
+    // the trajectories being already oracle-pinned at fixture scale. The
+    // honest trade-off this measures: the rewrite's late rounds scan a
+    // tiny surviving set, the static form rescans all E buckets per round
+    // but never re-shuffles or re-materializes them.
+    val pe = Graph.partsCoGraph(spark, sfDir)
+    for (scale <- Seq(1L, 8L)) {
+      val pex = pe.withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select((col("src") + col("rep") * 10000000L).as("src"),
+          (col("dst") + col("rep") * 10000000L).as("dst"))
+        .repartition(nPart, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      results(s"kcore_edges_x$scale") = pex.count().toDouble
+      def trajSum(df: DataFrame): Unit =
+        assert(df.agg(sum(col("n_parts"))).head().getLong(0) > 0)
+      results(s"kcore_rewrite_x$scale") = timeMin(2) {
+        trajSum(Graph.kcoreTrajectoryRewrite(pex, 2))
+      }
+      results(s"kcore_static_x$scale") = timeMin(2) {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try trajSum(Graph.kcoreTrajectoryStatic(pex, 2, broadcastAlive = false))
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      pex.unpersist()
     }
 
     // ------------------------------------------------------- 3. interval grid

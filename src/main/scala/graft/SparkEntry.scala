@@ -377,6 +377,8 @@ object SparkEntry {
     "graph_pagerank_bucketed" -> (Graph.graphPagerankBucketed _),
     "graph_components_bucketed" -> (Graph.graphComponentsBucketed _),
     "graph_label_prop_bucketed" -> (Graph.graphLabelPropBucketed _),
+    "graph_bfs_bucketed" -> (Graph.graphBfsBucketed _),
+    "graph_kcore_bucketed" -> ((s, d) => Graph.graphKcoreBucketed(s, d)),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
     "events_ab_cuped" -> (Analytics.eventsAbCuped _),
@@ -850,6 +852,12 @@ object SparkEntry {
     // bucketed-edge layout is a pure cost flip, never a semantic one.
     "graph_components_bucketed" -> Graph.componentsOracleSql,
     "graph_bfs" -> Graph.bfsOracleSql,
+    // Same unrolled-CTE oracle as graph_bfs / graph_kcore: each bucketed
+    // variant is a pure cost flip, never a semantic one (for kcore the
+    // oracle pass is also the equivalence proof of the static-edge
+    // alive-vector recurrence vs the rewrite recurrence).
+    "graph_bfs_bucketed" -> Graph.bfsOracleSql,
+    "graph_kcore_bucketed" -> Graph.kcoreOracleSql,
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
     "dq_drift" ->
       """WITH cents AS (SELECT o_orderkey % 2 AS half, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS v FROM orders), nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM cents WHERE half = 0), cum AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM cents WHERE half = 0 GROUP BY v), edges AS (SELECT i, min(v) AS edge FROM cum CROSS JOIN nref CROSS JOIN range(1, 10) r(i) WHERE cum >= 1 + ((n_ref - 1) * i) // 10 GROUP BY i), bucketed AS (SELECT half, (SELECT count(*) FROM edges WHERE v >= edge) AS bucket FROM cents), bb AS (SELECT bucket, CAST(sum(CASE WHEN half=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN half=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM bucketed GROUP BY bucket), tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM bb) SELECT bucket, n_ref, n_cur, CAST(floor(((CAST(n_ref+1 AS DOUBLE)/(tr+10)) - (CAST(n_cur+1 AS DOUBLE)/(tc+10))) * ln(CAST((n_ref+1)*(tc+10) AS DOUBLE)/CAST((n_cur+1)*(tr+10) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS psi_micro FROM bb CROSS JOIN tot ORDER BY bucket""",

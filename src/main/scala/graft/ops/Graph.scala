@@ -623,11 +623,21 @@ object Graph {
     * builds once (nation dims BROADCAST) and never re-shuffles; per round
     * ONE broadcast-labels join + a dst min-aggregate + a left join back,
     * all O(N) state, localCheckpoint'ed to cap lineage. Past broadcastable
-    * N, flip to the src-bucketed edge layout of [[graphPagerankBucketed]].
+    * N, [[graphBfsBucketed]] is the implemented flip: src-bucketed edges,
+    * the distance vector shuffled to them, bit-identical.
     */
   private[graft] def bfsDistances(spark: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
-    val e = domesticEdges(spark, dir).localCheckpoint()
+      rounds: Int): DataFrame =
+    bfsDistancesOf(domesticEdges(spark, dir).localCheckpoint(), rounds)
+
+  /** [[bfsDistances]] over an already-materialized edge table — the
+    * [[componentLabelsOf]] rationale, including its caller-chooses
+    * `broadcastLabels` contract (`false` = the src-bucketed edge regime
+    * of [[graphBfsBucketed]], where the O(N) distance vector shuffles to
+    * the edges' fixed bucketing instead).
+    */
+  private[graft] def bfsDistancesOf(e: DataFrame, rounds: Int,
+      broadcastLabels: Boolean = true): DataFrame = {
     // Seed = the lowest-keyed customer IN THE NODE SET — seeding on a
     // customer with no domestic trade (not a node) would leave every
     // distance at the sentinel and the output empty.
@@ -639,8 +649,7 @@ object Graph {
         when(col("seed").isNotNull, 0L).otherwise(Unreached).as("d"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val relaxed = e.join(broadcast(dist), e("src") === dist("node"))
-        .groupBy(col("dst").as("inode")).agg(min(col("d") + 1L).as("in_d"))
+      val relaxed = bfsRelax(e, dist, broadcastLabels)
       dist = dist.join(relaxed, dist("node") === col("inode"), "left")
         .select(col("node"), least(col("d"), coalesce(col("in_d"), col("d"))).as("d"))
         .localCheckpoint()
@@ -648,8 +657,20 @@ object Graph {
     dist
   }
 
-  def graphBfs(spark: SparkSession, dir: String): DataFrame =
-    bfsDistances(spark, dir, BfsRounds)
+  /** The edge-touching stage of one Bellman-Ford relaxation round — split
+    * out (and used verbatim by the plan-shape spec) so the pinned plan IS
+    * the production stage, the [[labelPropIncoming]] convention.
+    */
+  private[graft] def bfsRelax(e: DataFrame, dist: DataFrame,
+      broadcastLabels: Boolean = true): DataFrame = {
+    val d = if (broadcastLabels) broadcast(dist) else dist
+    e.join(d, e("src") === dist("node"))
+      .groupBy(col("dst").as("inode")).agg(min(col("d") + 1L).as("in_d"))
+  }
+
+  /** The shared ring-by-ring rollup of a converged distance vector. */
+  private def bfsRollup(dist: DataFrame): DataFrame =
+    dist
       .filter(col("d") < Unreached)
       .groupBy(col("d").as("dist"))
       .agg(count(lit(1)).as("n_nodes"),
@@ -658,6 +679,24 @@ object Graph {
         min(col("node")).as("min_node"),
         max(col("node")).as("max_node"))
       .orderBy("dist")
+
+  def graphBfs(spark: SparkSession, dir: String): DataFrame =
+    bfsRollup(bfsDistances(spark, dir, BfsRounds))
+
+  /** BFS for the beyond-broadcast regime — the fourth bucketed-graph
+    * adoption, on the same once-written [[bucketedDomesticEdges]] table:
+    * each Bellman-Ford round's relaxation join is a MERGE-hinted
+    * sort-merge join reading edge bucket i directly (zero edge re-shuffle,
+    * plan-pinned on the [[bfsRelax]] production stage itself), only the
+    * O(N) distance vector moves, shuffled to the edges' fixed bucketing.
+    * Same relaxation algebra via the shared `broadcastLabels` flag, so the
+    * flip is a pure cost decision — bit-identical to [[graphBfs]] on the
+    * same unrolled-CTE oracle.
+    */
+  def graphBfsBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val eb = spark.table(bucketedDomesticEdges(spark, dir)).hint("MERGE")
+    bfsRollup(bfsDistancesOf(eb, BfsRounds, broadcastLabels = false))
+  }
 
   /** DuckDB oracle for [[graphBfs]]: the same fixed Bellman-Ford rounds as
     * unrolled CTEs over the same edge construction. */
@@ -734,18 +773,124 @@ object Graph {
         .localCheckpoint()
     })
 
-  def graphKcore(spark: SparkSession, dir: String, kCore: Int = 2): DataFrame = {
-    var e = partsCoGraph(spark, dir)
-    // Per-round: the survivor set is O(N) ≪ O(E) and BROADCASTS into both
-    // endpoint semi-joins (the [[graphPagerank]] rank-vector argument — a
-    // checkpointed table has no stats, so without the hint both joins went
-    // sort-merge; measured 0.9 s → 0.3 s per round at sf0.1; beyond
-    // broadcast scale the flip is the bucketed-edge co-partitioned form,
-    // as [[graphPagerankBucketed]]). localCheckpoint per round caps plan
-    // depth and materializes each round exactly once — a lazy persist
-    // chain instead let AQE's eager broadcast-stage materialization race
-    // ahead of the unfilled caches and recompute the whole prefix per
-    // round (measured 21 s vs 3 s steady-state).
+  /** The part co-occurrence graph persisted ONCE bucketed by `src` — the
+    * k-core sibling of [[bucketedDomesticEdges]] (same 8-bucket layout,
+    * same exit-cleaned external-table discipline), for the regime where
+    * the surviving-node vector has outgrown broadcast.
+    */
+  private[graft] def bucketedPartsCoGraph(spark: SparkSession, dir: String): String =
+    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "parts-cograph-bkt"), _ => {
+      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.Long.toHexString(
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+      val name = s"graft_pedges_$tag"
+      partsCoGraph(spark, dir)
+        .repartition(8, col("src"))
+        .write.mode("overwrite").format("parquet")
+        .option("path", graft.sources.FileFormats.exitCleanedTempDir("graft-pedges-bkt"))
+        .bucketBy(8, "src").sortBy("src")
+        .saveAsTable(name)
+      name
+    })
+
+  /** The edge-touching stage of one peel round in the STATIC-edge
+    * formulation ([[graphKcoreBucketed]]): alive-in-neighbor counts for
+    * every node — deg(v) = #{s ∈ alive : (s,v) ∈ E} over the ORIGINAL
+    * edge table. Split out (and used verbatim by the plan-shape spec) so
+    * the pinned plan IS the production stage, the [[labelPropIncoming]]
+    * convention; `broadcastAlive = false` is the bucketed-edge regime
+    * where the O(N) alive vector shuffles to the edges' fixed bucketing.
+    */
+  private[graft] def kcoreAliveDeg(e: DataFrame, alive: DataFrame,
+      broadcastAlive: Boolean = true): DataFrame = {
+    val a = if (broadcastAlive) broadcast(alive) else alive
+    e.join(a, e("src") === alive("node"))
+      .groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** k-core for the beyond-broadcast regime — the fifth bucketed-graph
+    * adoption, and the one where the flip changes the recurrence SHAPE,
+    * not just the join strategy: [[graphKcore]] REWRITES the edge table
+    * every round (two endpoint semi-joins + a checkpoint), which is
+    * exactly what a fixed bucketed layout cannot absorb — rewriting
+    * destroys the bucketing. The static-edge formulation keeps the O(E)
+    * table untouched in its buckets and iterates only the O(N) ALIVE
+    * vector:
+    *
+    *   deg_i(v) = #{s ∈ alive_{i-1} : (s,v) ∈ E}   ([[kcoreAliveDeg]]:
+    *              one co-partitioned merge join reading edge bucket i
+    *              directly + a map-side-combined dst count — only O(N)
+    *              partials move)
+    *   alive_i  = {v : deg_i(v) ≥ k}
+    *
+    * Equal to the rewrite recurrence by induction on the monotone alive
+    * sets: a node peeled at round j has alive-degree < k at every later
+    * round (its alive-neighbor set only loses members) and can never
+    * re-enter, so deg_i over alive_{i-1} counts exactly the degrees of
+    * the rewrite's surviving edge table e_{i-1} = E ∩ alive_{i-1}², and
+    * each round's summary (surviving parts / directed edges) reads off
+    * the NEXT deg vector restricted to alive_i. The cost flip is honest
+    * in both directions: the rewrite scans a SHRINKING edge set per round
+    * (cheap late rounds — right for the broadcast regime), the static
+    * form scans all E buckets every round but never re-shuffles or
+    * re-writes them — at billion-node scale the only shape that works.
+    * Bit-identical to [[graphKcore]] on the same unrolled-CTE oracle;
+    * plan-pinned in `PlanShapeSpec`.
+    */
+  def graphKcoreBucketed(spark: SparkSession, dir: String, kCore: Int = 2): DataFrame =
+    kcoreTrajectoryStatic(
+      spark.table(bucketedPartsCoGraph(spark, dir)).hint("MERGE"),
+      kCore, broadcastAlive = false)
+
+  /** The static-edge alive-vector peel over a given edge table — the
+    * [[graphKcoreBucketed]] body, parameterized ([[kcoreTrajectoryRewrite]]
+    * rationale) so the scale bench can run both shapes on identical
+    * inflated edges.
+    */
+  private[graft] def kcoreTrajectoryStatic(e: DataFrame, kCore: Int,
+      broadcastAlive: Boolean = true): DataFrame = {
+    var deg = kcoreAliveDeg(e,
+      e.select(col("src").as("node")).distinct().localCheckpoint(),
+      broadcastAlive).localCheckpoint()
+    val summaries = (1 to KcoreRounds).map { round =>
+      val alive = deg.filter(col("deg") >= kCore).select("node").localCheckpoint()
+      deg = kcoreAliveDeg(e, alive, broadcastAlive).localCheckpoint()
+      // deg now counts alive in-neighbors for EVERY node; restricted to
+      // the alive set it reads off this round's surviving subgraph:
+      //   n_parts = alive nodes with ≥ 1 alive neighbor (= distinct src
+      //             of the rewrite's e_round, by both-ways symmetry)
+      //   n_edges = Σ_{v ∈ alive} deg(v) (= |e_round|, each directed
+      //             edge counted once at its dst endpoint)
+      deg.join(alive.withColumnRenamed("node", "anode"), col("node") === col("anode"))
+        .agg(count(lit(1)).as("n_parts"),
+          coalesce(sum(col("deg")), lit(0L)).as("n_edges_directed"))
+        .select(lit(round.toLong).as("round"), col("n_parts"),
+          col("n_edges_directed"))
+    }
+    summaries.reduce(_ unionAll _).orderBy("round")
+  }
+
+  def graphKcore(spark: SparkSession, dir: String, kCore: Int = 2): DataFrame =
+    kcoreTrajectoryRewrite(partsCoGraph(spark, dir), kCore)
+
+  /** The rewrite-recurrence peel over a given starting edge table — the
+    * [[graphKcore]] body, parameterized so the scale bench can adjudicate
+    * the two recurrence SHAPES on identical inflated edges.
+    *
+    * Per-round: the survivor set is O(N) ≪ O(E) and BROADCASTS into both
+    * endpoint semi-joins (the [[graphPagerank]] rank-vector argument — a
+    * checkpointed table has no stats, so without the hint both joins went
+    * sort-merge; measured 0.9 s → 0.3 s per round at sf0.1; beyond
+    * broadcast scale [[graphKcoreBucketed]] is the implemented flip —
+    * note it must also change the recurrence shape, since the per-round
+    * edge REWRITE here destroys a fixed bucketing). localCheckpoint per
+    * round caps plan depth and materializes each round exactly once — a
+    * lazy persist chain instead let AQE's eager broadcast-stage
+    * materialization race ahead of the unfilled caches and recompute the
+    * whole prefix per round (measured 21 s vs 3 s steady-state).
+    */
+  private[graft] def kcoreTrajectoryRewrite(e0: DataFrame, kCore: Int): DataFrame = {
+    var e = e0
     val summaries = (1 to KcoreRounds).map { round =>
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= kCore).select("src")

@@ -189,13 +189,13 @@ object AsOfSqlRewrite {
     new String(out)
   }
 
-  private def isWordChar(c: Char): Boolean =
+  private[plans] def isWordChar(c: Char): Boolean =
     Character.isLetterOrDigit(c) || c == '_'
 
   /** First depth-0 occurrence of keyword `kw` in `masked` at or after
     * `from`; −1 if none before the enclosing scope closes (depth < 0).
     */
-  private def findKeyword(masked: String, from: Int, kw: String): Int = {
+  private[plans] def findKeyword(masked: String, from: Int, kw: String): Int = {
     var i = from
     var depth = 0
     while (i < masked.length) {
@@ -214,7 +214,7 @@ object AsOfSqlRewrite {
   /** Span of the balanced-paren group whose '(' is the next non-space char
     * at or after `from`: (contentStart, contentEnd, afterCloseParen).
     */
-  private def parenSpan(masked: String, from: Int): (Int, Int, Int) = {
+  private[plans] def parenSpan(masked: String, from: Int): (Int, Int, Int) = {
     var i = from
     while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
     if (i >= masked.length || masked.charAt(i) != '(')

@@ -371,6 +371,35 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the O(N) label-vector shuffle to the edge bucketing:\n$p")
   }
 
+  test("bucketed BFS relaxation round never re-shuffles the edge table") {
+    val eb = spark.table(graft.ops.Graph.bucketedDomesticEdges(spark, sf)).hint("MERGE")
+    val dist = eb.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("d")).localCheckpoint()
+    val relaxed = graft.ops.Graph.bfsRelax(eb, dist, broadcastLabels = false)
+    relaxed.count() // materialize through AQE so the final plan is inspectable
+    val p = relaxed.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"relaxation must take the co-partitioned merge path, not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge table re-shuffled on src — bucketing not used by the join:\n$p")
+    assert(p.contains("hashpartitioning(node"),
+      s"expected the O(N) distance-vector shuffle to the edge bucketing:\n$p")
+  }
+
+  test("bucketed k-core alive-degree round never re-shuffles the edge table") {
+    val eb = spark.table(graft.ops.Graph.bucketedPartsCoGraph(spark, sf)).hint("MERGE")
+    val alive = eb.select(col("src").as("node")).distinct().localCheckpoint()
+    val deg = graft.ops.Graph.kcoreAliveDeg(eb, alive, broadcastAlive = false)
+    deg.count() // materialize through AQE so the final plan is inspectable
+    val p = deg.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"alive-degree must take the co-partitioned merge path, not broadcast:\n$p")
+    assert(!p.contains("hashpartitioning(src"),
+      s"edge table re-shuffled on src — bucketing not used by the join:\n$p")
+    assert(p.contains("hashpartitioning(node"),
+      s"expected the O(N) alive-vector shuffle to the edge bucketing:\n$p")
+  }
+
   test("backlog plans ONE scan per source table (explode, not a union of subtrees)") {
     // The unionAll formulation duplicated the orders⋈lineitem subtree; the
     // generator form must read each fact exactly once.
