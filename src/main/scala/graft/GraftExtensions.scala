@@ -94,6 +94,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_char_ngrams"),
       info("graft_char_ngrams", "graft_char_ngrams(text, n) - generator: one (pos, gram) row per n-char window"),
       (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1))))
+    // ClickHouse dialect compat (the reference's custom_query migration
+    // path): the combinator/conversion function names; the LIMIT BY /
+    // QUALIFY / quantile(p)(x) / uniq clauses ride the injected parser
+    // (GraftSqlParser chains ClickHouseSqlRewrite before AsOfSqlRewrite).
+    graft.plans.ClickHouseFunctions.builders.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+    }
   }
 }
 
@@ -145,7 +152,17 @@ object ExtensionsDemo {
         |MATCH_CONDITION (pus > eus) TIEBREAK (eid)""".stripMargin)
     val asofOk = asof.queryExecution.executedPlan.toString.contains("AsOfJoin [") &&
       asof.head().getLong(0) > 0
-    println(s"[graft.ExtensionsDemo] sql_functions_ok=${fns == 5} dot_ok=${dot > 0} generator_ok=${grams == 20} nanos_pushdown_ok=$pushed asof_dialect_ok=$asofOk")
+    // The ClickHouse dialect end-to-end on the SAME plain spark.sql:
+    // LIMIT BY + QUALIFY + uniqExact + countIf + quantileExact(p)(x).
+    val ch = spark.sql(
+      """SELECT event_type, uniqExact(user_id) AS u, countIf(value > 0) AS c,
+        |       CAST(floor(quantileExact(0.5)(value) * 100 + 0.5) AS BIGINT) AS p50c
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type, u LIMIT 2 BY event_type""".stripMargin).count()
+    val chQ = spark.sql(
+      """SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY unix_micros(ts)) AS rn
+        |FROM events QUALIFY rn = 1 ORDER BY user_id""".stripMargin).count()
+    println(s"[graft.ExtensionsDemo] sql_functions_ok=${fns == 5} dot_ok=${dot > 0} generator_ok=${grams == 20} nanos_pushdown_ok=$pushed asof_dialect_ok=$asofOk ch_dialect_ok=${ch > 0 && chQ > 0}")
     spark.stop()
   }
 }

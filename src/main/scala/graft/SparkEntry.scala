@@ -379,6 +379,11 @@ object SparkEntry {
     "graph_label_prop_bucketed" -> (Graph.graphLabelPropBucketed _),
     "graph_bfs_bucketed" -> (Graph.graphBfsBucketed _),
     "graph_kcore_bucketed" -> ((s, d) => Graph.graphKcoreBucketed(s, d)),
+    "sql_ch_limit_by" -> (Relational.sqlChLimitBy _),
+    "sql_ch_qualify" -> (Relational.sqlChQualify _),
+    "sql_ch_functions" -> (Relational.sqlChFunctions _),
+    "sql_ch_quantile" -> (Relational.sqlChQuantile _),
+    "sql_ch_dates" -> (Relational.sqlChDates _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
     "events_ab_cuped" -> (Analytics.eventsAbCuped _),
@@ -858,6 +863,20 @@ object SparkEntry {
     // alive-vector recurrence vs the rewrite recurrence).
     "graph_bfs_bucketed" -> Graph.bfsOracleSql,
     "graph_kcore_bucketed" -> Graph.kcoreOracleSql,
+    // ClickHouse-dialect queries (the reference's custom_query migration
+    // path): each oracle is the standard-SQL equivalent — except
+    // sql_ch_qualify, where DuckDB's OWN native QUALIFY adjudicates the
+    // same feature as an independent implementation.
+    "sql_ch_limit_by" ->
+      """SELECT user_id, event_id, event_type, tus FROM (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, row_number() OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT) DESC, event_id) AS rn FROM events WHERE event_type IN ('click', 'purchase') AND user_id < 200) WHERE rn <= 2 ORDER BY user_id, tus DESC, event_id""",
+    "sql_ch_qualify" ->
+      """SELECT o_orderpriority, o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders QUALIFY rn <= 3 ORDER BY o_orderpriority, rn""",
+    "sql_ch_functions" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS qty_disc, CAST(count(*) FILTER (WHERE list_contains([l_linestatus, l_returnflag], 'O')) AS BIGINT) AS n_open, arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part, arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part, max(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS max_ship_day, CASE WHEN l_returnflag = 'A' THEN 1 WHEN l_returnflag = 'N' THEN 2 ELSE 3 END AS flag_code FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sql_ch_quantile" ->
+      """SELECT l_returnflag, CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_micro, CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_micro FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sql_ch_dates" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS VARCHAR) AS month_start, CAST(min(year(o_orderdate)) AS INTEGER) AS y_min, CAST(max(day(o_orderdate)) AS INTEGER) AS d_max, CAST(min(epoch_us(date_trunc('day', o_orderdate)) // 1000000) AS BIGINT) AS first_day_s FROM orders WHERE (o_orderkey % 2 = 0) AND (o_custkey > 0) GROUP BY 1 ORDER BY ym""",
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
     "dq_drift" ->
       """WITH cents AS (SELECT o_orderkey % 2 AS half, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS v FROM orders), nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM cents WHERE half = 0), cum AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM cents WHERE half = 0 GROUP BY v), edges AS (SELECT i, min(v) AS edge FROM cum CROSS JOIN nref CROSS JOIN range(1, 10) r(i) WHERE cum >= 1 + ((n_ref - 1) * i) // 10 GROUP BY i), bucketed AS (SELECT half, (SELECT count(*) FROM edges WHERE v >= edge) AS bucket FROM cents), bb AS (SELECT bucket, CAST(sum(CASE WHEN half=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN half=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM bucketed GROUP BY bucket), tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM bb) SELECT bucket, n_ref, n_cur, CAST(floor(((CAST(n_ref+1 AS DOUBLE)/(tr+10)) - (CAST(n_cur+1 AS DOUBLE)/(tc+10))) * ln(CAST((n_ref+1)*(tc+10) AS DOUBLE)/CAST((n_cur+1)*(tr+10) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS psi_micro FROM bb CROSS JOIN tot ORDER BY bucket""",

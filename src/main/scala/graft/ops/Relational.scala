@@ -1575,4 +1575,117 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n_ancestors
         |FROM anc GROUP BY node ORDER BY node""".stripMargin)
   }
+
+  // ------------------------------------------------ ClickHouse SQL dialect
+  // The reference executes `custom_query` bodies verbatim in ClickHouse
+  // (mkpipe_extractor_clickhouse/__init__.py:45-50,96-101; README.md:63) —
+  // so the migration-path queries below are written in CLICKHOUSE SQL and
+  // run through graft.plans.ClickHouseSql: LIMIT n BY, QUALIFY, the
+  // quantile(p)(x) call syntax, uniqExact/uniq, and the combinator /
+  // conversion functions. Each is what a reference user's ported
+  // custom_query actually looks like.
+
+  /** ClickHouse `LIMIT n BY key` — the latest 2 click/purchase events per
+    * user, in ClickHouse's distinctive per-group-limit clause. Rewritten
+    * to a row_number window filter ([[graft.plans.ClickHouseSqlRewrite]]);
+    * the ORDER BY is required and total (ts ties break on event_id), so
+    * the per-group picks are deterministic in both engines.
+    *
+    * Scale: one window shuffle on the partition key — identical movement
+    * to the hand-written top-n-per-group ([[sortLimitTopk]] family).
+    */
+  def sqlChLimitBy(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT user_id, event_id, event_type, unix_micros(ts) AS tus
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND user_id < 200
+        |ORDER BY user_id, tus DESC, event_id
+        |LIMIT 2 BY user_id""".stripMargin)
+  }
+
+  /** ClickHouse/DuckDB `QUALIFY` — top-3 orders per priority by price,
+    * filtered on a window alias in the same select list. The rewrite moves
+    * the predicate into the select list (lateral alias resolution) and
+    * star-EXCEPTs it back out; the ORACLE is DuckDB's OWN native QUALIFY —
+    * an independent implementation of the same SQL feature agreeing
+    * row-for-row, the [[sqlAsofJoin]] cross-check pattern.
+    */
+  def sqlChQualify(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin)
+  }
+
+  /** The ClickHouse combinator/conversion function surface in one grouped
+    * report: `uniqExact` (→ exact distinct count), `countIf` / `sumIf`
+    * (condition combinators, with ClickHouse's 0-not-NULL empty-match
+    * sum), `has` (array membership), `argMax` / `argMin` (on a UNIQUE
+    * tiebreak key, so both engines agree deterministically), `toString ∘
+    * toDate` / `toInt64` conversions, and `multiIf`. Every mapping lands
+    * on a stock codegen'd Spark expression — no UDFs.
+    */
+  def sqlChFunctions(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT l_returnflag,
+        |  uniqExact(l_suppkey) AS n_supp,
+        |  countIf(l_quantity > 25) AS n_big,
+        |  sumIf(toInt64(l_quantity), l_discount > 0.05) AS qty_disc,
+        |  countIf(has(array(l_linestatus, l_returnflag), 'O')) AS n_open,
+        |  argMax(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
+        |  argMin(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
+        |  max(toString(toDate(l_shipdate))) AS max_ship_day,
+        |  multiIf(l_returnflag = 'A', 1, l_returnflag = 'N', 2, 3) AS flag_code
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** The ClickHouse date-bucketing surface + `PREWHERE` in the shape an
+    * incremental-ETL custom_query actually takes: a monthly rollup keyed
+    * on `toYYYYMM`, with `toStartOfMonth`/`toStartOfDay` bucket anchors
+    * and a PREWHERE scan filter. PREWHERE merges into WHERE (in
+    * ClickHouse it is a pure scan optimization with conjunct semantics —
+    * exactly what Catalyst's pushdown + column pruning already do), and
+    * every `to*` name maps to a stock codegen'd expression.
+    */
+  def sqlChDates(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT toYYYYMM(o_orderdate) AS ym,
+        |  count(*) AS n,
+        |  uniqExact(o_custkey) AS n_cust,
+        |  toString(toStartOfMonth(min(o_orderdate))) AS month_start,
+        |  min(toYear(o_orderdate)) AS y_min,
+        |  max(toDayOfMonth(o_orderdate)) AS d_max,
+        |  min(toUnixTimestamp(toStartOfDay(o_orderdate))) AS first_day_s
+        |FROM orders
+        |PREWHERE o_orderkey % 2 = 0
+        |WHERE o_custkey > 0
+        |GROUP BY ym
+        |ORDER BY ym""".stripMargin)
+  }
+
+  /** ClickHouse's parameterized-aggregate call syntax:
+    * `quantileExact(p)(x)` → exact `percentile(x, p)` (the convention
+    * `PercentileConventionSpec` pins against DuckDB's `quantile_cont`),
+    * reported in integer micros.
+    */
+  def sqlChQuantile(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT l_returnflag,
+        |  CAST(floor(quantileExact(0.5)(l_quantity) * 1000000 + 0.5) AS BIGINT) AS p50_micro,
+        |  CAST(floor(quantileExact(0.9)(l_quantity) * 1000000 + 0.5) AS BIGINT) AS p90_micro
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
 }

@@ -310,13 +310,15 @@ object AsOfSqlRewrite {
   * `AsOf.sql`.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private def rewrite(sqlText: String): String =
+    AsOfSqlRewrite(ClickHouseSqlRewrite(sqlText))
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(AsOfSqlRewrite(sqlText))
+    delegate.parsePlan(rewrite(sqlText))
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(AsOfSqlRewrite(sqlText), ctx)
+    delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(AsOfSqlRewrite(sqlText))
+    delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =
