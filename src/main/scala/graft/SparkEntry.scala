@@ -874,7 +874,7 @@ object SparkEntry {
     "sql_ch_functions" ->
       """SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS qty_disc, CAST(count(*) FILTER (WHERE list_contains([l_linestatus, l_returnflag], 'O')) AS BIGINT) AS n_open, arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part, arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part, max(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS max_ship_day, CASE WHEN l_returnflag = 'A' THEN 1 WHEN l_returnflag = 'N' THEN 2 ELSE 3 END AS flag_code FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_ch_quantile" ->
-      """SELECT l_returnflag, CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_micro, CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_micro FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """SELECT l_returnflag, CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_micro, CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_micro, (list_sort(list(CAST(l_quantity AS BIGINT))))[greatest(1, least(CAST(floor(0.9 * count(l_quantity)) AS INTEGER) + 1, CAST(count(l_quantity) AS INTEGER)))] AS p90_element FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_ch_dates" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS VARCHAR) AS month_start, CAST(min(year(o_orderdate)) AS INTEGER) AS y_min, CAST(max(day(o_orderdate)) AS INTEGER) AS d_max, CAST(min(epoch_us(date_trunc('day', o_orderdate)) // 1000000) AS BIGINT) AS first_day_s FROM orders WHERE (o_orderkey % 2 = 0) AND (o_custkey > 0) GROUP BY 1 ORDER BY ym""",
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,

@@ -108,20 +108,30 @@ object Graph {
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[(String, String), String]]())
 
+  /** The shared bucketed-edge write recipe: persist an edge table ONCE,
+    * bucketed AND sorted by `src` into 8 buckets at an exit-cleaned
+    * external path, named uniquely per (dir, JVM) so concurrent suites
+    * never collide. Every `*Bucketed` graph variant reads the table this
+    * produces; the layout discipline lives HERE, once.
+    */
+  private def writeBucketedEdges(edges: DataFrame, prefix: String,
+      dir: String): String = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.Long.toHexString(
+        java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
+    val name = s"graft_${prefix}_$tag"
+    edges
+      .repartition(8, col("src"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", graft.sources.FileFormats.exitCleanedTempDir(s"graft-$prefix-bkt"))
+      .bucketBy(8, "src").sortBy("src")
+      .saveAsTable(name)
+    name
+  }
+
   private[graft] def bucketedTradeGraph(spark: SparkSession, dir: String): String =
-    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "trade-graph-bkt"), _ => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        java.lang.Long.toHexString(
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
-      val name = s"graft_edges_$tag"
-      tradeGraph(spark, dir)
-        .repartition(8, col("src"))
-        .write.mode("overwrite").format("parquet")
-        .option("path", graft.sources.FileFormats.exitCleanedTempDir("graft-edges-bkt"))
-        .bucketBy(8, "src").sortBy("src")
-        .saveAsTable(name)
-      name
-    })
+    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "trade-graph-bkt"),
+      _ => writeBucketedEdges(tradeGraph(spark, dir), "edges", dir))
 
   /** PageRank for the regime where the rank vector has outgrown broadcast
     * (billion-node graphs): the O(E) edge table is persisted ONCE bucketed
@@ -339,19 +349,8 @@ object Graph {
     * the label vector has outgrown broadcast.
     */
   private[graft] def bucketedDomesticEdges(spark: SparkSession, dir: String): String =
-    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "domestic-bkt"), _ => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        java.lang.Long.toHexString(
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
-      val name = s"graft_dedges_$tag"
-      domesticEdges(spark, dir)
-        .repartition(8, col("src"))
-        .write.mode("overwrite").format("parquet")
-        .option("path", graft.sources.FileFormats.exitCleanedTempDir("graft-dedges-bkt"))
-        .bucketBy(8, "src").sortBy("src")
-        .saveAsTable(name)
-      name
-    })
+    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "domestic-bkt"),
+      _ => writeBucketedEdges(domesticEdges(spark, dir), "dedges", dir))
 
   /** Connected components for the beyond-broadcast regime (billion-node
     * graphs): the O(E) domestic edge table is persisted ONCE bucketed by
@@ -779,19 +778,8 @@ object Graph {
     * the surviving-node vector has outgrown broadcast.
     */
   private[graft] def bucketedPartsCoGraph(spark: SparkSession, dir: String): String =
-    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "parts-cograph-bkt"), _ => {
-      val tag = java.lang.Integer.toHexString(dir.hashCode) + "_" +
-        java.lang.Long.toHexString(
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime)
-      val name = s"graft_pedges_$tag"
-      partsCoGraph(spark, dir)
-        .repartition(8, col("src"))
-        .write.mode("overwrite").format("parquet")
-        .option("path", graft.sources.FileFormats.exitCleanedTempDir("graft-pedges-bkt"))
-        .bucketBy(8, "src").sortBy("src")
-        .saveAsTable(name)
-      name
-    })
+    graft.Tables.sessionCache(bucketedEdgeCache, spark).computeIfAbsent((dir, "parts-cograph-bkt"),
+      _ => writeBucketedEdges(partsCoGraph(spark, dir), "pedges", dir))
 
   /** The edge-touching stage of one peel round in the STATIC-edge
     * formulation ([[graphKcoreBucketed]]): alive-in-neighbor counts for

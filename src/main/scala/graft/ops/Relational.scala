@@ -1673,17 +1673,22 @@ object Relational {
         |ORDER BY ym""".stripMargin)
   }
 
-  /** ClickHouse's parameterized-aggregate call syntax:
-    * `quantileExact(p)(x)` → exact `percentile(x, p)` (the convention
+  /** ClickHouse's parameterized-aggregate call syntax, BOTH quantile
+    * conventions side by side: `quantileExactInclusive(p)(x)` →
+    * interpolating `percentile` (the convention
     * `PercentileConventionSpec` pins against DuckDB's `quantile_cont`),
-    * reported in integer micros.
+    * and `quantileExact(p)(x)` → ClickHouse's ELEMENT convention (the
+    * sorted value at index ⌊p·n⌋ — `graft_ch_quantile_exact`), oracled by
+    * the same index formula spelled out over DuckDB's sorted list. The
+    * two legs pin that the mapping does NOT conflate the conventions.
     */
   def sqlChQuantile(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(spark, dir, Seq("lineitem"))
     graft.plans.ClickHouseSql.sql(spark,
       """SELECT l_returnflag,
-        |  CAST(floor(quantileExact(0.5)(l_quantity) * 1000000 + 0.5) AS BIGINT) AS p50_micro,
-        |  CAST(floor(quantileExact(0.9)(l_quantity) * 1000000 + 0.5) AS BIGINT) AS p90_micro
+        |  CAST(floor(quantileExactInclusive(0.5)(l_quantity) * 1000000 + 0.5) AS BIGINT) AS p50_micro,
+        |  CAST(floor(quantileExactInclusive(0.9)(l_quantity) * 1000000 + 0.5) AS BIGINT) AS p90_micro,
+        |  quantileExact(0.9)(toInt64(l_quantity)) AS p90_element
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)

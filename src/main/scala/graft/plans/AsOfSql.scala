@@ -310,15 +310,34 @@ object AsOfSqlRewrite {
   * `AsOf.sql`.
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  private def rewrite(sqlText: String): String =
-    AsOfSqlRewrite(ClickHouseSqlRewrite(sqlText))
+  // Standard SQL must behave exactly as stock, so the ClickHouse rewrite
+  // runs ONLY when Spark's own parser rejects the statement: every
+  // structural ClickHouse-ism (QUALIFY, LIMIT n BY, PREWHERE,
+  // agg(params)(args)) is a stock PARSE error, while standard SQL that
+  // merely contains the words — a column aliased `qualify` — parses
+  // cleanly and is never touched. The ASOF rewrite stays unconditional:
+  // `FROM t ASOF JOIN q` parses cleanly as an alias-plus-join with the
+  // WRONG meaning, so it cannot ride the parse-failure gate.
+  private def parseWith[T](sqlText: String, f: String => T): T = {
+    try f(AsOfSqlRewrite(sqlText))
+    catch {
+      case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        val ch = try ClickHouseSqlRewrite(sqlText) catch {
+          // A named dialect error (a matched CH construct that is
+          // malformed) is the better message; carry the parse error along.
+          case che: IllegalArgumentException => che.addSuppressed(e); throw che
+        }
+        if (ch eq sqlText) throw e // no CH syntax — the parse error stands
+        f(AsOfSqlRewrite(ch))
+    }
+  }
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(rewrite(sqlText))
+    parseWith(sqlText, delegate.parsePlan)
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
+    parseWith(sqlText, delegate.parsePlanWithParameters(_, ctx))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(rewrite(sqlText))
+    parseWith(sqlText, delegate.parseQuery)
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

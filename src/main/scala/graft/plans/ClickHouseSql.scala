@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
@@ -15,36 +16,59 @@ import org.apache.spark.sql.types._
   * natively rather than demanding a hand-port:
   *
   *   - `LIMIT n BY k1, k2` — ClickHouse's distinctive per-group limit
-  *     clause, rewritten to the standard row_number window filter;
+  *     clause, rewritten to the standard row_number window filter; the
+  *     partition keys and sort expressions are PROJECTED into the wrap as
+  *     helper columns, so they may reference select aliases, non-selected
+  *     base columns (the canonical latest-row-per-key shape orders by a
+  *     timestamp it does not select), or arbitrary expressions;
   *   - `QUALIFY pred` — window-result filtering (ClickHouse 23.2+, also
-  *     DuckDB/Snowflake), rewritten to a wrapped subquery + WHERE;
-  *   - parameterized quantiles `quantileExact(p)(x)` / `quantile(p)(x)`
-  *     (and the plural `quantiles*` forms) — ClickHouse's
-  *     aggregate(params)(args) call syntax, rewritten to
-  *     `percentile` / `approx_percentile`;
-  *   - `uniqExact(...)` / `uniq(...)` — rewritten to `count(DISTINCT …)` /
-  *     `approx_count_distinct(…)` (the DISTINCT flag cannot ride a
-  *     function registration, so these two are textual);
-  *   - combinator and conversion FUNCTIONS (`argMax`, `argMin`, `countIf`,
-  *     `sumIf`, `avgIf`, `multiIf`, `has`, `toInt64` …) — plain
-  *     registrations in [[ClickHouseFunctions]], no parser work.
+  *     DuckDB/Snowflake), rewritten to a wrapped subquery + WHERE, with a
+  *     trailing ORDER BY absorbed through the same projected-sort-key
+  *     mechanism;
+  *   - `PREWHERE pred` — merged into WHERE (in ClickHouse a pure scan
+  *     optimization with conjunct semantics — exactly what Catalyst's
+  *     pushdown + column pruning already do to a plain WHERE);
+  *   - parameterized quantiles — ClickHouse's `agg(params)(args)` call
+  *     syntax: `quantileExactInclusive(p)(x)` → `percentile` (both are
+  *     Excel PERCENTILE.INC linear interpolation), `quantileExact(p)(x)`
+  *     → the ELEMENT convention ClickHouse documents (the sorted value at
+  *     index ⌊p·n⌋, via [[ClickHouseFunctions]]'s
+  *     `graft_ch_quantile_exact` — mapping it to an interpolating
+  *     percentile would silently change results), and `quantile(p)(x)` →
+  *     `approx_percentile` (ClickHouse's `quantile` is itself an
+  *     approximation, so approx↔approx is the faithful pairing); plural
+  *     `quantiles*` forms produce arrays.
+  *
+  * The combinator / conversion / distinct-count FUNCTIONS (`argMax`,
+  * `countIf`, `uniqExact`, `toInt64`, `toStartOfMonth` …) need no parser
+  * work at all: they are expression registrations in
+  * [[ClickHouseFunctions]].
   *
   * All rewrites are pure string→string on the [[AsOfSqlRewrite]]
   * discipline: string literals / backticks / comments are masked before
-  * any keyword scan, spans are balanced-paren walks, slices always come
-  * from the ORIGINAL text at masked offsets, and a fixpoint loop handles
-  * nesting. Unsupported corners fail LOUDLY with named errors instead of
-  * silently changing semantics: `QUALIFY` under `SELECT DISTINCT`
-  * (ClickHouse filters before the distinct — a wrapped rewrite would
-  * not), `LIMIT BY` without `ORDER BY` (non-deterministic per-group picks
-  * have no place in an engine whose gate is a bit-exact oracle diff), the
-  * `LIMIT offset, n BY` form, and ordinal ORDER BY items under `LIMIT BY`
-  * (an ordinal means a CONSTANT inside a window spec — a silent
-  * semantics change).
+  * any keyword scan (the mask is computed ONCE per fixpoint iteration),
+  * spans are balanced-paren walks, slices always come from the ORIGINAL
+  * text at masked offsets, and generated text after a spliced fragment is
+  * preceded by a NEWLINE so a trailing `--` comment inside the fragment
+  * cannot swallow it. Unsupported corners fail LOUDLY with named errors
+  * instead of silently changing semantics: `QUALIFY` / `LIMIT BY` under
+  * `SELECT DISTINCT` (ClickHouse filters before the distinct — a wrapped
+  * rewrite would not), `LIMIT BY` without `ORDER BY` (non-deterministic
+  * per-group picks have no place in an engine whose gate is a bit-exact
+  * oracle diff), the `LIMIT offset, n BY` form, ordinal ORDER BY items
+  * under the projected-sort rewrites (an ordinal would become a CONSTANT
+  * — a silent semantics change), set-operation scoping, and a fixpoint
+  * that fails to converge.
   *
-  * Installed two ways, same kernel: extension sessions get the rewrite
-  * inside [[GraftSqlParser]] plus the function registrations from
-  * `GraftExtensions`; vanilla sessions call [[ClickHouseSql.sql]].
+  * Installed two ways, same kernel — with one deliberate difference.
+  * Extension sessions get the function registrations at session build,
+  * and [[GraftSqlParser]] applies this rewrite ONLY when Spark's own
+  * parser rejects the statement: every structural ClickHouse-ism is a
+  * stock parse error, while standard SQL that merely LOOKS ClickHouse-ish
+  * (a column aliased `qualify`) parses cleanly and must behave exactly as
+  * stock. Vanilla sessions call [[ClickHouseSql.sql]], which applies the
+  * rewrite unconditionally — the caller has explicitly declared the
+  * statement to be ClickHouse dialect.
   */
 object ClickHouseSqlRewrite {
 
@@ -54,21 +78,24 @@ object ClickHouseSqlRewrite {
     var cur = sql
     var changed = true
     var guard = 0
-    while (changed && guard < 64) {
+    while (changed && guard < 1024) {
       val next = rewriteOne(cur)
       changed = next ne cur
       cur = next
       guard += 1
     }
+    if (changed) throw new IllegalArgumentException(
+      "ClickHouse SQL: rewrite did not converge after 1024 passes — " +
+        "please report the statement")
     cur
   }
 
   private def rewriteOne(sql: String): String = {
-    val a = rewriteParamAgg(sql); if (a ne sql) return a
-    val b = rewriteUniq(sql); if (b ne sql) return b
-    val c = rewriteQualify(sql); if (c ne sql) return c
-    val d = rewriteLimitBy(sql); if (d ne sql) return d
-    val e = rewritePrewhere(sql); if (e ne sql) return e
+    val masked = mask(sql)
+    val a = rewriteParamAgg(sql, masked); if (a ne sql) return a
+    val c = rewriteQualify(sql, masked); if (c ne sql) return c
+    val d = rewriteLimitBy(sql, masked); if (d ne sql) return d
+    val e = rewritePrewhere(sql, masked); if (e ne sql) return e
     sql
   }
 
@@ -152,58 +179,103 @@ object ClickHouseSqlRewrite {
           "wrap the DISTINCT in a subquery")
   }
 
-  /** True when any depth-0 comma-separated item of `masked` span starts
-    * with a bare integer (an ORDER BY / PARTITION BY ordinal).
-    */
-  private def hasOrdinalItem(masked: String, from: Int, until: Int): Boolean = {
+  /** Depth-0 comma split of a masked span: (start, end) offsets per item. */
+  private def splitItems(masked: String, from: Int, until: Int): Seq[(Int, Int)] = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var itemStart = from
     var depth = 0
     var i = from
-    def startsWithInt(s: Int, e: Int): Boolean = {
-      var j = s
-      while (j < e && masked.charAt(j).isWhitespace) j += 1
-      val d0 = j
-      while (j < e && masked.charAt(j).isDigit) j += 1
-      j > d0 && (j >= e || !isWordChar(masked.charAt(j)) && masked.charAt(j) != '.')
-    }
     while (i <= until) {
       val c = if (i < until) masked.charAt(i) else ','
       if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (c == ',' && depth == 0) {
-        if (startsWithInt(itemStart, i)) return true
+        items += ((itemStart, i))
         itemStart = i + 1
       }
       i += 1
     }
-    false
+    items.toSeq
   }
 
-  private def hasDepth0Comma(masked: String, from: Int, until: Int): Boolean = {
-    var depth = 0
-    var i = from
-    while (i < until) {
-      val c = masked.charAt(i)
-      if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
-      else if (c == ',' && depth == 0) return true
-      i += 1
+  /** Split a sort item into (expression end, modifier text): trailing
+    * `ASC`/`DESC`/`NULLS FIRST`/`NULLS LAST` words peel off the end.
+    */
+  private def stripSortMods(masked: String, from: Int, until: Int): (Int, String) = {
+    val mods = Set("ASC", "DESC", "NULLS", "FIRST", "LAST")
+    var e = until
+    var continue = true
+    while (continue) {
+      var j = e - 1
+      while (j >= from && masked.charAt(j).isWhitespace) j -= 1
+      val wEnd = j + 1
+      while (j >= from && isWordChar(masked.charAt(j))) j -= 1
+      val wStart = j + 1
+      val w = if (wEnd > wStart) masked.substring(wStart, wEnd).toUpperCase else ""
+      if (w.nonEmpty && mods.contains(w)) e = wStart else continue = false
     }
-    false
+    (e, masked.substring(e, until).trim)
+  }
+
+  /** True when any depth-0 comma-separated item of `masked` span starts
+    * with a bare integer (an ORDER BY / PARTITION BY ordinal).
+    */
+  private def hasOrdinalItem(masked: String, from: Int, until: Int): Boolean =
+    splitItems(masked, from, until).exists { case (s0, e0) =>
+      var j = s0
+      while (j < e0 && masked.charAt(j).isWhitespace) j += 1
+      val d0 = j
+      while (j < e0 && masked.charAt(j).isDigit) j += 1
+      j > d0 && (j >= e0 || !isWordChar(masked.charAt(j)) && masked.charAt(j) != '.')
+    }
+
+  private def failIfOrdinal(masked: String, from: Int, until: Int): Unit =
+    if (hasOrdinalItem(masked, from, until))
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: ordinal ORDER BY / LIMIT BY items are not " +
+          "supported here (the rewrite projects sort keys, so an ordinal " +
+          "would become a CONSTANT, silently changing semantics) — name " +
+          "the columns")
+
+  /** Projected sort keys: each item `(expr) AS __graft_ob_i` joins the
+    * select list; the ORDER BY that consumes them references the helper
+    * names with the original modifiers. Lets the sort reference select
+    * aliases, non-selected base columns, or expressions alike.
+    */
+  private case class ProjectedSort(selectItems: String, orderBy: String, names: Seq[String])
+
+  private def projectSort(sql: String, masked: String, from: Int, until: Int,
+      prefix: String): ProjectedSort = {
+    failIfOrdinal(masked, from, until)
+    val items = splitItems(masked, from, until)
+    if (items.isEmpty || items.forall { case (s, e) => sql.substring(s, e).trim.isEmpty })
+      throw new IllegalArgumentException("ClickHouse SQL: empty sort/key list")
+    val parts = items.zipWithIndex.map { case ((s0, e0), i) =>
+      val (exprEnd, mods) = stripSortMods(masked, s0, e0)
+      val expr = sql.substring(s0, exprEnd).trim
+      if (expr.isEmpty) throw new IllegalArgumentException(
+        "ClickHouse SQL: empty sort/key item")
+      val name = s"${prefix}_${i + 1}"
+      (s"\n, ($expr\n) AS $name", s"$name $mods".trim, name)
+    }
+    ProjectedSort(parts.map(_._1).mkString,
+      parts.map(_._2).mkString(", "), parts.map(_._3))
   }
 
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExact|quantileExact|quantiles|quantile)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantiles|quantile)\\s*\\(")
 
-  /** `quantileExact(0.9)(x)` → `percentile(x, 0.9)` etc. — ClickHouse's
-    * parameterized-aggregate call syntax `agg(params)(args)`. The plural
-    * forms produce arrays: `quantilesExact(a, b)(x)` →
-    * `percentile(x, array(a, b))`.
+  /** ClickHouse's parameterized-aggregate call syntax `agg(params)(args)`.
+    * `quantileExactInclusive` → `percentile` (both PERCENTILE.INC linear
+    * interpolation); `quantileExact` → `graft_ch_quantile_exact` (the
+    * element-at-⌊p·n⌋ convention ClickHouse implements — NOT interpolating,
+    * see [[ClickHouseFunctions]]); `quantile` → `approx_percentile`
+    * (approx↔approx). Plural forms yield arrays (the element form expands
+    * to one call per level).
     */
-  private def rewriteParamAgg(sql: String): String = {
-    val masked = mask(sql)
+  private def rewriteParamAgg(sql: String, masked: String): String = {
     val m = ParamAggRe.matcher(masked)
     var searchFrom = 0
     while (m.find(searchFrom)) {
@@ -215,15 +287,19 @@ object ClickHouseSqlRewrite {
         val (aStart, aEnd, afterA) = parenSpan(masked, k)
         val params = sql.substring(pStart, pEnd).trim
         val args = sql.substring(aStart, aEnd).trim
-        val (fn, plural) = name match {
-          case "quantileexact" => ("percentile", false)
-          case "quantile" => ("approx_percentile", false)
-          case "quantilesexact" => ("percentile", true)
-          case "quantiles" => ("approx_percentile", true)
+        val repl = name match {
+          case "quantileexactinclusive" => s"percentile($args\n, $params\n)"
+          case "quantilesexactinclusive" => s"percentile($args\n, array($params\n))"
+          case "quantile" => s"approx_percentile($args\n, $params\n)"
+          case "quantiles" => s"approx_percentile($args\n, array($params\n))"
+          case "quantileexact" => s"graft_ch_quantile_exact($args\n, $params\n)"
+          case "quantilesexact" =>
+            val levels = splitItems(masked, pStart, pEnd)
+              .map { case (s0, e0) => sql.substring(s0, e0).trim }
+            "array(" + levels.map(p =>
+              s"graft_ch_quantile_exact($args\n, $p)").mkString(", ") + "\n)"
         }
-        val pTxt = if (plural) s"array($params)" else params
-        return sql.substring(0, m.start()) + s"$fn($args, $pTxt)" +
-          sql.substring(afterA)
+        return sql.substring(0, m.start()) + repl + sql.substring(afterA)
       }
       // A single-paren call (no parameter group): not the ClickHouse
       // syntax — leave it for analysis to reject by name.
@@ -232,48 +308,24 @@ object ClickHouseSqlRewrite {
     sql
   }
 
-  // ------------------------------------------------- 2. uniq / uniqExact
-
-  private val UniqRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(uniqExact|uniq)\\s*\\(")
-
-  /** `uniqExact(…)` → `count(DISTINCT …)`; `uniq(…)` →
-    * `approx_count_distinct(…)` (multi-arg via a struct key). Textual
-    * because the DISTINCT flag lives on the aggregate EXPRESSION, not the
-    * function, so no registry alias can carry it.
-    */
-  private def rewriteUniq(sql: String): String = {
-    val masked = mask(sql)
-    val m = UniqRe.matcher(masked)
-    if (!m.find()) return sql
-    val exact = m.group(1).equalsIgnoreCase("uniqExact")
-    val (aStart, aEnd, afterA) = parenSpan(masked, m.end() - 1)
-    val args = sql.substring(aStart, aEnd).trim
-    val multi = hasDepth0Comma(masked, aStart, aEnd)
-    val repl =
-      if (exact) s"count(DISTINCT $args)"
-      else if (multi) s"approx_count_distinct(struct($args))"
-      else s"approx_count_distinct($args)"
-    sql.substring(0, m.start()) + repl + sql.substring(afterA)
-  }
-
-  // ------------------------------------------------------------ 3. QUALIFY
+  // ------------------------------------------------------------ 2. QUALIFY
 
   private val QualifyRe = java.util.regex.Pattern.compile("(?i)\\bQUALIFY\\b")
 
-  /** `SELECT <list> FROM … QUALIFY <pred> <tail>` →
-    * `SELECT * EXCEPT (__graft_qualify) FROM
-    *    (SELECT <list>, (<pred>) AS __graft_qualify FROM …)
-    *  WHERE __graft_qualify <tail>`.
+  /** `SELECT <list> FROM … QUALIFY <pred> [ORDER BY <sort>] <tail>` →
+    * `SELECT * EXCEPT (helpers) FROM
+    *    (SELECT <list>, (<pred>) AS __graft_qualify[, (<sort_i>) AS …]
+    *     FROM …)
+    *  WHERE __graft_qualify [ORDER BY __graft_ob_i …] <tail>`.
     *
-    * The predicate joins the select list, so it may reference both select
+    * The predicate joins the select list, so it may reference select
     * aliases (lateral column alias resolution) and fresh window
-    * expressions; the original tail (ORDER BY / LIMIT) moves outside the
-    * wrap, where the subquery still exposes every select alias, and
-    * star-EXCEPT keeps the output schema exactly the original list.
+    * expressions; a trailing ORDER BY is ABSORBED via projected sort keys
+    * so it may reference non-selected base columns (they are gone from
+    * the subquery's output otherwise); star-EXCEPT keeps the output
+    * schema exactly the original list.
     */
-  private def rewriteQualify(sql: String): String = {
-    val masked = mask(sql)
+  private def rewriteQualify(sql: String, masked: String): String = {
     val m = QualifyRe.matcher(masked)
     if (!m.find()) return sql
     val qIdx = m.start()
@@ -289,15 +341,30 @@ object ClickHouseSqlRewrite {
     val pred = sql.substring(predStart, predEnd).trim
     if (pred.isEmpty) throw new IllegalArgumentException(
       "ClickHouse SQL: empty QUALIFY predicate")
+    // Absorb a directly-following ORDER BY through projected sort keys.
+    val isOrder = masked.regionMatches(true, predEnd, "ORDER", 0, 5) &&
+      (predEnd + 5 >= masked.length || !isWordChar(masked.charAt(predEnd + 5)))
+    val (sortOpt, tailStart) =
+      if (isOrder) {
+        val byIdx = findKeyword(masked, predEnd + 5, "BY")
+        if (byIdx < 0) throw new IllegalArgumentException(
+          "ClickHouse SQL: malformed ORDER BY")
+        val sortEnd = clauseEnd(masked, byIdx + 2)
+        (Some(projectSort(sql, masked, byIdx + 2, sortEnd, "__graft_ob")), sortEnd)
+      } else (None, predEnd)
     val selectList = sql.substring(selIdx + 6, fromIdx).trim
     val mid = sql.substring(fromIdx, qIdx).trim
+    val helperNames = "__graft_qualify" +: sortOpt.map(_.names).getOrElse(Seq.empty)
     sql.substring(0, selIdx) +
-      "SELECT * EXCEPT (__graft_qualify) FROM (SELECT " + selectList +
-      ", (" + pred + ") AS __graft_qualify " + mid +
-      ") WHERE __graft_qualify " + sql.substring(predEnd)
+      "SELECT * EXCEPT (" + helperNames.mkString(", ") + ") FROM (SELECT " +
+      selectList + "\n, (" + pred + "\n) AS __graft_qualify" +
+      sortOpt.map(_.selectItems).getOrElse("") + "\n" + mid +
+      "\n) WHERE __graft_qualify" +
+      sortOpt.map(s => " ORDER BY " + s.orderBy).getOrElse("") +
+      " " + sql.substring(tailStart)
   }
 
-  // ----------------------------------------------------------- 4. PREWHERE
+  // ----------------------------------------------------------- 3. PREWHERE
 
   private val PrewhereRe = java.util.regex.Pattern.compile("(?i)\\bPREWHERE\\b")
 
@@ -307,8 +374,7 @@ object ClickHouseSqlRewrite {
     * which is exactly what Catalyst's predicate pushdown + parquet column
     * pruning already do to a plain WHERE, so the merge loses nothing.
     */
-  private def rewritePrewhere(sql: String): String = {
-    val masked = mask(sql)
+  private def rewritePrewhere(sql: String, masked: String): String = {
     val m = PrewhereRe.matcher(masked)
     if (!m.find()) return sql
     val predStart = m.end()
@@ -330,32 +396,43 @@ object ClickHouseSqlRewrite {
       val wPredStart = k + 5
       val wPredEnd = clauseEnd(masked, wPredStart, WhereEnders)
       val wPred = sql.substring(wPredStart, wPredEnd).trim
-      sql.substring(0, m.start()) + s"WHERE ($pred) AND ($wPred) " +
+      sql.substring(0, m.start()) + s"WHERE ($pred\n) AND ($wPred\n) " +
         sql.substring(wPredEnd)
     } else {
-      sql.substring(0, m.start()) + s"WHERE $pred " + sql.substring(whereEnd)
+      sql.substring(0, m.start()) + s"WHERE $pred\n " + sql.substring(whereEnd)
     }
   }
 
-  // --------------------------------------------------------- 5. LIMIT n BY
+  // --------------------------------------------------------- 4. LIMIT n BY
 
   private val LimitByRe = java.util.regex.Pattern.compile(
     "(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b")
   private val LimitOffsetByRe = java.util.regex.Pattern.compile(
     "(?i)\\bLIMIT\\s+\\d+\\s*,\\s*\\d+\\s+BY\\b")
 
-  /** `SELECT … ORDER BY <sort> LIMIT n BY <keys> [LIMIT m]` →
-    * a double wrap: the original select (minus ORDER BY/LIMIT) becomes
-    * the inner subquery, a row_number over (PARTITION BY keys ORDER BY
-    * sort) ranks its OUTPUT columns (so keys and sort may be select
-    * aliases without leaning on lateral resolution inside a window spec),
-    * and the outer level filters rn ≤ n, re-applies the sort, and carries
-    * any trailing LIMIT. ORDER BY is REQUIRED: ClickHouse's
-    * unordered LIMIT BY picks arbitrary rows per group, which an engine
-    * gated on bit-exact oracle diffs must refuse, not emulate.
+  /** `SELECT <list> FROM … ORDER BY <sort> LIMIT n BY <keys> [LIMIT m]` →
+    * a double wrap over PROJECTED keys and sort expressions:
+    *
+    * {{{
+    * SELECT * EXCEPT (helpers) FROM (
+    *   SELECT *, row_number() OVER (PARTITION BY __graft_pb_*
+    *                                ORDER BY __graft_ob_* mods) AS __graft_limit_by_rn
+    *   FROM (SELECT <list>, (<key_j>) AS __graft_pb_j…,
+    *                        (<sort_i>) AS __graft_ob_i… FROM …))
+    * WHERE __graft_limit_by_rn <= n ORDER BY __graft_ob_i mods [LIMIT m]
+    * }}}
+    *
+    * Projecting the keys/sort as helper columns (rather than repeating the
+    * expressions inside the window spec) lets them reference select
+    * aliases, non-selected base columns — the canonical
+    * latest-row-per-key query orders by a timestamp it doesn't select —
+    * or arbitrary expressions, and the outer ORDER BY on the EXCEPTed
+    * helpers re-establishes the final ordering. ORDER BY is REQUIRED:
+    * ClickHouse's unordered LIMIT BY picks arbitrary rows per group,
+    * which an engine gated on bit-exact oracle diffs must refuse, not
+    * emulate.
     */
-  private def rewriteLimitBy(sql: String): String = {
-    val masked = mask(sql)
+  private def rewriteLimitBy(sql: String, masked: String): String = {
     if (LimitOffsetByRe.matcher(masked).find())
       throw new IllegalArgumentException(
         "ClickHouse SQL: the LIMIT offset, n BY form is not supported — " +
@@ -370,13 +447,10 @@ object ClickHouseSqlRewrite {
     failIfDistinct(masked, selIdx, "LIMIT BY")
     val keysStart = m.end()
     val keysEnd = clauseEnd(masked, keysStart)
-    val keys = sql.substring(keysStart, keysEnd).trim
-    if (keys.isEmpty) throw new IllegalArgumentException(
-      "ClickHouse SQL: empty LIMIT BY key list")
-    // A set operator between the owning SELECT and the LIMIT BY means the
-    // ORDER BY is union-level and the rewrite would mis-scope the filter
-    // to one arm. (Star-EXCEPT — `* EXCEPT (…)` — is not a set operator:
-    // it is recognized by the preceding '*'.)
+    // A set operator between the scope's first SELECT and the LIMIT BY
+    // means the ORDER BY is union-level and the rewrite would mis-scope
+    // the filter to one arm. (Star-EXCEPT — `* EXCEPT (…)` — is not a set
+    // operator: it is recognized by the preceding '*'.)
     for (op <- Seq("UNION", "INTERSECT", "EXCEPT")) {
       var s = firstSelIdx + 6
       var found = -1
@@ -394,6 +468,9 @@ object ClickHouseSqlRewrite {
         "ClickHouse SQL: LIMIT BY over a set operation is ambiguous — " +
           "wrap the union in a subquery")
     }
+    val fromIdx = findKeyword(masked, selIdx + 6, "FROM")
+    if (fromIdx < 0 || fromIdx > lIdx) throw new IllegalArgumentException(
+      "ClickHouse SQL: LIMIT BY requires a FROM clause")
     val oIdx = findKeyword(masked, selIdx + 6, "ORDER")
     if (oIdx < 0 || oIdx > lIdx) throw new IllegalArgumentException(
       "ClickHouse SQL: LIMIT BY requires an ORDER BY (the unordered form " +
@@ -402,28 +479,30 @@ object ClickHouseSqlRewrite {
     val byIdx = findKeyword(masked, oIdx + 5, "BY")
     if (byIdx < 0) throw new IllegalArgumentException(
       "ClickHouse SQL: malformed ORDER BY")
-    val sort = sql.substring(byIdx + 2, lIdx).trim
-    if (hasOrdinalItem(masked, byIdx + 2, lIdx) ||
-        hasOrdinalItem(masked, keysStart, keysEnd))
-      throw new IllegalArgumentException(
-        "ClickHouse SQL: ordinal ORDER BY / LIMIT BY items are not " +
-          "supported with LIMIT BY (inside a window spec an ordinal is a " +
-          "CONSTANT, silently changing semantics) — name the columns")
-    val core = sql.substring(selIdx, oIdx).trim
+    val keys = projectSort(sql, masked, keysStart, keysEnd, "__graft_pb")
+    val sort = projectSort(sql, masked, byIdx + 2, lIdx, "__graft_ob")
+    val selectList = sql.substring(selIdx + 6, fromIdx).trim
+    val rest = sql.substring(fromIdx, oIdx).trim
+    val helperNames = keys.names ++ sort.names :+ "__graft_limit_by_rn"
     sql.substring(0, selIdx) +
-      "SELECT * EXCEPT (__graft_limit_by_rn) FROM (SELECT *, row_number()" +
-      " OVER (PARTITION BY " + keys + " ORDER BY " + sort +
-      ") AS __graft_limit_by_rn FROM (" + core +
-      ")) WHERE __graft_limit_by_rn <= " + n +
-      " ORDER BY " + sort + " " + sql.substring(keysEnd)
+      "SELECT * EXCEPT (" + helperNames.mkString(", ") + ") FROM (" +
+      "SELECT *, row_number() OVER (PARTITION BY " + keys.names.mkString(", ") +
+      " ORDER BY " + sort.orderBy + ") AS __graft_limit_by_rn FROM (SELECT " +
+      selectList + keys.selectItems + sort.selectItems + "\n" + rest +
+      "\n)) WHERE __graft_limit_by_rn <= " + n +
+      " ORDER BY " + sort.orderBy + " " + sql.substring(keysEnd)
   }
 }
 
-/** ClickHouse combinator / conversion functions as plain Spark expression
-  * registrations — shared by `GraftExtensions.injectFunction` and the
-  * vanilla-session registrar in [[ClickHouseSql]]. Every mapping is an
-  * EXACT-semantics translation onto stock codegen'd expressions (no UDFs):
+/** ClickHouse functions as plain Spark expression registrations — shared
+  * by `GraftExtensions.injectFunction` and the vanilla-session registrar
+  * in [[ClickHouseSql]]. Every mapping is an EXACT-semantics translation
+  * onto stock expressions (no UDFs):
   *
+  *   - `uniqExact(x…)` → exact distinct count (the aggregate expression
+  *     carries the DISTINCT flag); `uniq(x…)` → HyperLogLog++ (ClickHouse
+  *     `uniq` is itself approximate — approx↔approx, multi-arg via a
+  *     struct key)
   *   - `argMax(a, b)` / `argMin(a, b)` → max_by / min_by
   *   - `countIf(cond)` → count(if(cond, 1, null)) — counts rows where the
   *     condition is true (null-condition rows excluded, as ClickHouse)
@@ -434,9 +513,18 @@ object ClickHouseSqlRewrite {
   *     literal; documented divergence)
   *   - `multiIf(c1, v1, …, else)` → CASE WHEN chain
   *   - `has(arr, x)` → array_contains
+  *   - `graft_ch_quantile_exact(x, level)` — ClickHouse `quantileExact`'s
+  *     documented convention: the SORTED element at index ⌊level·n⌋
+  *     (0-based; clamped), NOT linear interpolation — over {10,20,30,50}
+  *     at 0.5 ClickHouse returns 30 where an interpolating percentile
+  *     returns 25. Composed from collect_list + sort + element_at with
+  *     the count-derived index (null on an all-null group — the avgIf
+  *     empty convention). Exact-memory like any exact quantile.
   *   - `toInt64/toInt32/toUInt32/toUInt64/toFloat64/toFloat32/toString/
   *     toDate/toDateTime` → casts (UInt32 widens to BIGINT; UInt64 to
   *     DECIMAL(20,0) — the only integral type covering its range)
+  *   - date bucketing (`toYear`…`toSecond`, `toStartOf*`, `toYYYYMM[DD]`,
+  *     `toUnixTimestamp`) → stock datetime expressions
   */
 object ClickHouseFunctions {
 
@@ -445,8 +533,19 @@ object ClickHouseFunctions {
     Cast(es.head, to)
   }
 
+  private def one(f: Expression => Expression): Seq[Expression] => Expression = { es =>
+    require(es.length == 1, s"date functions take one argument, got ${es.length}")
+    f(es.head)
+  }
+
   /** (name, usage, builder) — names are registered case-insensitively. */
   val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("uniqExact", "uniqExact(x...) - exact distinct count",
+      es => { require(es.nonEmpty, "uniqExact(x...)")
+        Count(es).toAggregateExpression(isDistinct = true) }),
+    ("uniq", "uniq(x...) - approximate distinct count (HyperLogLog++)",
+      es => { require(es.nonEmpty, "uniq(x...)")
+        HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
     ("argMax", "argMax(a, b) - value of a at the row with the maximum b",
       es => { require(es.length == 2, "argMax(a, b)"); MaxBy(es(0), es(1)) }),
     ("argMin", "argMin(a, b) - value of a at the row with the minimum b",
@@ -469,6 +568,18 @@ object ClickHouseFunctions {
           Some(es.last)) }),
     ("has", "has(arr, x) - true when array arr contains x",
       es => { require(es.length == 2, "has(arr, x)"); ArrayContains(es(0), es(1)) }),
+    ("graft_ch_quantile_exact",
+      "graft_ch_quantile_exact(x, level) - ClickHouse quantileExact: the sorted element at index floor(level*n)",
+      es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")
+        val x = es(0)
+        val n = Count(Seq(x)).toAggregateExpression()
+        val idx = Cast(Add(Floor(Multiply(Cast(es(1), DoubleType),
+          Cast(n, DoubleType))), Literal(1L)), IntegerType)
+        val clamped = Greatest(Seq(Literal(1),
+          Least(Seq(idx, Cast(n, IntegerType)))))
+        ElementAt(
+          SortArray(CollectList(x).toAggregateExpression(), Literal(true)),
+          clamped, failOnError = false) }),
     ("toInt64", "toInt64(x) - cast to BIGINT", cast(LongType)),
     ("toInt32", "toInt32(x) - cast to INT", cast(IntegerType)),
     ("toUInt32", "toUInt32(x) - cast to BIGINT (covers the UInt32 range)", cast(LongType)),
@@ -512,29 +623,33 @@ object ClickHouseFunctions {
       one(e => UnixTimestamp(Cast(e, TimestampType),
         Literal("yyyy-MM-dd HH:mm:ss")))))
 
-  private def one(f: Expression => Expression): Seq[Expression] => Expression = { es =>
-    require(es.length == 1, s"date functions take one argument, got ${es.length}")
-    f(es.head)
-  }
-
-  /** Per-session idempotent registration for vanilla sessions (the
-    * extensions path injects the same builders at session build).
+  /** Vanilla-session registration. A same-named function that ALREADY
+    * exists — a Spark built-in would have shadowed these anyway, and a
+    * user's own temp function was registered deliberately — WINS: the
+    * registrar never replaces, so calling [[ClickHouseSql.sql]] cannot
+    * silently clobber a user registration as a side effect. Rename the
+    * user function if the ClickHouse semantics are wanted. (Extension
+    * sessions inject the same builders at session build.)
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, _, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      if (!reg.functionExists(FunctionIdentifier(name.toLowerCase)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }
 
 /** Run a ClickHouse-dialect SQL statement on ANY session — the
   * vanilla-session twin of the `GraftExtensions` wiring (where plain
-  * `spark.sql` understands the dialect). Same kernel both ways:
-  * [[ClickHouseSqlRewrite]] turns the ClickHouse-isms into standard Spark
-  * SQL, [[ClickHouseFunctions.register]] supplies the function names, and
-  * the statement then also flows through [[AsOfSqlRewrite]] so ASOF
-  * clauses keep working inside ported queries.
+  * `spark.sql` understands the dialect for any statement the stock
+  * parser rejects). Same kernel both ways, but HERE the rewrite is
+  * unconditional: the caller has explicitly declared the statement to be
+  * ClickHouse dialect, so there is no standard-SQL behavior to preserve.
+  * [[ClickHouseFunctions.register]] supplies the function names (never
+  * replacing an existing registration — see its scaladoc), and the
+  * statement then also flows through [[AsOfSqlRewrite]] so ASOF clauses
+  * keep working inside ported queries.
   */
 object ClickHouseSql {
   def sql(spark: SparkSession, chSql: String): DataFrame = {

@@ -7,35 +7,51 @@ import graft.plans.{ClickHouseSql, ClickHouseSqlRewrite}
   * vanilla-session `ClickHouseSql.sql` entry, the named error paths, and
   * the exact-semantics pins for the function mappings the DuckDB oracle
   * cannot cover (approx `uniq`, the plural `quantiles*` array forms,
-  * ClickHouse's 0-not-NULL empty-match `sumIf`).
+  * ClickHouse's 0-not-NULL empty-match `sumIf`, `quantileExact`'s
+  * element-not-interpolation convention). The extension-session gate
+  * (rewrite only on stock parse failure) is pinned in `ExtensionsSpec`.
   */
 class ClickHouseSqlSpec extends SparkSpec {
   import spark.implicits._
 
   // ---- text-rewrite kernel (no Spark involved) ----
 
-  test("rewrite: LIMIT n BY becomes a row_number filter with the sort re-applied") {
+  test("rewrite: LIMIT n BY becomes a row_number filter over projected keys and sort") {
     val out = ClickHouseSqlRewrite(
       "SELECT u, v FROM t ORDER BY u, v DESC LIMIT 2 BY u")
-    assert(out == "SELECT * EXCEPT (__graft_limit_by_rn) FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY u ORDER BY u, v DESC) AS __graft_limit_by_rn " +
-      "FROM (SELECT u, v FROM t)) WHERE __graft_limit_by_rn <= 2 ORDER BY u, v DESC ", out)
+    assert(out.contains("row_number() OVER (PARTITION BY __graft_pb_1 " +
+      "ORDER BY __graft_ob_1, __graft_ob_2 DESC)"), out)
+    assert(out.contains("(u\n) AS __graft_pb_1") &&
+      out.contains("(u\n) AS __graft_ob_1") &&
+      out.contains("(v\n) AS __graft_ob_2"), out)
+    assert(out.contains("WHERE __graft_limit_by_rn <= 2 " +
+      "ORDER BY __graft_ob_1, __graft_ob_2 DESC"), out)
+    assert(out.startsWith("SELECT * EXCEPT (__graft_pb_1, __graft_ob_1, " +
+      "__graft_ob_2, __graft_limit_by_rn) FROM ("), out)
   }
 
   test("rewrite: LIMIT BY keeps a trailing plain LIMIT and composite keys") {
     val out = ClickHouseSqlRewrite(
       "SELECT a, b, c FROM t ORDER BY c LIMIT 3 BY a, b LIMIT 10")
-    assert(out.contains("PARTITION BY a, b ORDER BY c"), out)
-    assert(out.contains("__graft_limit_by_rn <= 3 ORDER BY c LIMIT 10"), out)
+    assert(out.contains("PARTITION BY __graft_pb_1, __graft_pb_2 ORDER BY __graft_ob_1"), out)
+    assert(out.contains("__graft_limit_by_rn <= 3 ORDER BY __graft_ob_1 LIMIT 10"), out)
   }
 
   test("rewrite: QUALIFY wraps the select and star-EXCEPTs the predicate back out") {
     val out = ClickHouseSqlRewrite(
       "SELECT k, row_number() OVER (PARTITION BY k ORDER BY v) AS rn FROM t " +
-        "QUALIFY rn <= 2 ORDER BY k, rn")
-    assert(out == "SELECT * EXCEPT (__graft_qualify) FROM (SELECT k, " +
-      "row_number() OVER (PARTITION BY k ORDER BY v) AS rn, (rn <= 2) AS __graft_qualify " +
-      "FROM t) WHERE __graft_qualify ORDER BY k, rn", out)
+        "QUALIFY rn <= 2")
+    assert(out.startsWith("SELECT * EXCEPT (__graft_qualify) FROM (SELECT k, " +
+      "row_number() OVER (PARTITION BY k ORDER BY v) AS rn\n, (rn <= 2\n) " +
+      "AS __graft_qualify\nFROM t\n) WHERE __graft_qualify"), out)
+  }
+
+  test("rewrite: QUALIFY absorbs a trailing ORDER BY via projected sort keys") {
+    val out = ClickHouseSqlRewrite(
+      "SELECT k, max(v) OVER (PARTITION BY k) AS m FROM t QUALIFY m > 1 ORDER BY ts DESC LIMIT 5")
+    assert(out.contains("(ts\n) AS __graft_ob_1"), out)
+    assert(out.contains("WHERE __graft_qualify ORDER BY __graft_ob_1 DESC LIMIT 5"), out)
+    assert(out.startsWith("SELECT * EXCEPT (__graft_qualify, __graft_ob_1) FROM ("), out)
   }
 
   test("rewrite: QUALIFY in a subquery rewrites only that scope") {
@@ -46,33 +62,40 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(out.endsWith(") WHERE __graft_qualify ) q WHERE k < 10"), out)
   }
 
-  test("rewrite: quantile call syntax maps exact/approx and plural/array forms") {
+  test("rewrite: quantile call syntax maps inclusive/element/approx and plural forms") {
+    assert(ClickHouseSqlRewrite("SELECT quantileExactInclusive(0.5)(x) FROM t")
+      == "SELECT percentile(x\n, 0.5\n) FROM t")
     assert(ClickHouseSqlRewrite("SELECT quantileExact(0.5)(x) FROM t")
-      == "SELECT percentile(x, 0.5) FROM t")
+      == "SELECT graft_ch_quantile_exact(x\n, 0.5\n) FROM t")
     assert(ClickHouseSqlRewrite("SELECT quantile(0.9)(x) FROM t")
-      == "SELECT approx_percentile(x, 0.9) FROM t")
+      == "SELECT approx_percentile(x\n, 0.9\n) FROM t")
     assert(ClickHouseSqlRewrite("SELECT quantilesExact(0.5, 0.9)(x) FROM t")
-      == "SELECT percentile(x, array(0.5, 0.9)) FROM t")
+      == "SELECT array(graft_ch_quantile_exact(x\n, 0.5), " +
+        "graft_ch_quantile_exact(x\n, 0.9)\n) FROM t")
     assert(ClickHouseSqlRewrite("SELECT quantiles(0.5, 0.9)(x) FROM t")
-      == "SELECT approx_percentile(x, array(0.5, 0.9)) FROM t")
-  }
-
-  test("rewrite: uniqExact/uniq map to count-distinct/approx; multi-arg uniq structs") {
-    assert(ClickHouseSqlRewrite("SELECT uniqExact(a, b) FROM t")
-      == "SELECT count(DISTINCT a, b) FROM t")
-    assert(ClickHouseSqlRewrite("SELECT uniq(a) FROM t")
-      == "SELECT approx_count_distinct(a) FROM t")
-    assert(ClickHouseSqlRewrite("SELECT uniq(a, b) FROM t")
-      == "SELECT approx_count_distinct(struct(a, b)) FROM t")
+      == "SELECT approx_percentile(x\n, array(0.5, 0.9\n)) FROM t")
   }
 
   test("rewrite: PREWHERE merges into WHERE; standalone PREWHERE becomes WHERE") {
     val merged = ClickHouseSqlRewrite(
       "SELECT a FROM t PREWHERE k = 1 WHERE v > 2 GROUP BY a ORDER BY a")
-    assert(merged == "SELECT a FROM t WHERE (k = 1) AND (v > 2) GROUP BY a ORDER BY a", merged)
+    assert(merged == "SELECT a FROM t WHERE (k = 1\n) AND (v > 2\n) GROUP BY a ORDER BY a", merged)
     val alone = ClickHouseSqlRewrite(
       "SELECT a FROM t PREWHERE k = 1 GROUP BY a")
-    assert(alone == "SELECT a FROM t WHERE k = 1 GROUP BY a", alone)
+    assert(alone == "SELECT a FROM t WHERE k = 1\n GROUP BY a", alone)
+  }
+
+  test("rewrite: a trailing line comment in a spliced fragment cannot swallow generated SQL") {
+    // The select list ends in a `--` comment; the helper column and FROM
+    // must land on a fresh line, not inside the comment.
+    val out = ClickHouseSqlRewrite(
+      "SELECT k, row_number() OVER (ORDER BY v) AS rn -- latest first\nFROM t QUALIFY rn = 1")
+    assert(out.contains("-- latest first\n,"), out)
+    // With comments dropped line-wise, the generated text must balance.
+    val noComments = out.linesIterator.map(l =>
+      if (l.contains("--")) l.substring(0, l.indexOf("--")) else l).mkString("\n")
+    assert(noComments.count(_ == '(') == noComments.count(_ == ')'),
+      s"unbalanced parens after comment splice:\n$out")
   }
 
   test("rewrite: string literals and comments are inert; non-CH SQL is untouched") {
@@ -82,6 +105,9 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(ClickHouseSqlRewrite(cmt) eq cmt, "comment must not be rewritten")
     val plain = "SELECT a, count(*) FROM t GROUP BY a ORDER BY a LIMIT 5"
     assert(ClickHouseSqlRewrite(plain) eq plain, "plain SQL must pass through untouched")
+    // uniq/uniqExact are function registrations now, not rewrites.
+    val uniq = "SELECT uniqExact(a), uniq(b) FROM t"
+    assert(ClickHouseSqlRewrite(uniq) eq uniq, "uniq must resolve by name, not rewrite")
   }
 
   test("rewrite: named errors — unordered LIMIT BY, offset form, ordinals, DISTINCT, unions") {
@@ -116,6 +142,16 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(rows == Seq((1L, "z", 30L), (1L, "y", 20L), (2L, "q", 50L), (2L, "p", 5L)), rows)
   }
 
+  test("execution: LIMIT BY orders by a NON-SELECTED column — the latest-row-per-key shape") {
+    fixture()
+    // v is the ordering timestamp stand-in and is NOT in the select list.
+    val df = ClickHouseSql.sql(spark,
+      "SELECT k, s FROM chf ORDER BY v DESC LIMIT 1 BY k")
+    assert(df.columns.toSeq == Seq("k", "s"), df.columns.toSeq)
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((2L, "q"), (1L, "z")), rows)
+  }
+
   test("execution: QUALIFY filters on a window alias; schema has no helper column") {
     fixture()
     val df = ClickHouseSql.sql(spark,
@@ -124,6 +160,15 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("k", "s", "rn"), df.columns.toSeq)
     val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, "z", 1L), (2L, "q", 1L)), rows)
+  }
+
+  test("execution: QUALIFY tail ORDER BY may reference a non-selected column") {
+    fixture()
+    val df = ClickHouseSql.sql(spark,
+      """SELECT s, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |FROM chf QUALIFY rn = 1 ORDER BY v DESC""".stripMargin)
+    assert(df.columns.toSeq == Seq("s", "rn"), df.columns.toSeq)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("q", "z"))
   }
 
   test("execution: sumIf returns ClickHouse's 0 (not NULL) when no row matches") {
@@ -170,20 +215,29 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getLong(8) == 86400L, r)
   }
 
-  test("execution: uniq tracks approx_count_distinct exactly (same sketch)") {
+  test("execution: uniqExact is an exact distinct count; uniq tracks approx_count_distinct") {
     fixture()
+    val ex = ClickHouseSql.sql(spark,
+      "SELECT uniqExact(s) AS u1, uniqExact(k, s) AS u2 FROM chf").head()
+    assert(ex.getLong(0) == 5L && ex.getLong(1) == 5L, ex)
     val a = ClickHouseSql.sql(spark, "SELECT uniq(s) FROM chf").head().getLong(0)
     val b = spark.sql("SELECT approx_count_distinct(s) FROM chf").head().getLong(0)
     assert(a == b, s"uniq=$a approx=$b")
   }
 
-  test("execution: plural quantilesExact equals the two singular percentiles") {
-    fixture()
-    val arr = ClickHouseSql.sql(spark,
-      "SELECT quantilesExact(0.5, 0.9)(v) FROM chf").head().getSeq[Double](0)
-    val p50 = spark.sql("SELECT percentile(v, 0.5) FROM chf").head().getDouble(0)
-    val p90 = spark.sql("SELECT percentile(v, 0.9) FROM chf").head().getDouble(0)
-    assert(arr == Seq(p50, p90), s"$arr vs ($p50, $p90)")
+  test("execution: quantileExact returns the ClickHouse ELEMENT, not an interpolation") {
+    Seq(10L, 20L, 30L, 50L).toDF("v").createOrReplaceTempView("chq")
+    // ClickHouse quantileExact(0.5) over {10,20,30,50} = sorted[floor(0.5*4)] = 30;
+    // an interpolating percentile would say 25 — the exact divergence the
+    // element convention exists to avoid.
+    val r = ClickHouseSql.sql(spark,
+      """SELECT quantileExact(0.5)(v) AS med,
+        |       quantileExactInclusive(0.5)(v) AS inc,
+        |       quantilesExact(0.25, 0.75)(v) AS qs
+        |FROM chq""".stripMargin).head()
+    assert(r.getLong(0) == 30L, r)
+    assert(r.getDouble(1) == 25.0, r)
+    assert(r.getSeq[Long](2) == Seq(20L, 50L), r)
   }
 
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {

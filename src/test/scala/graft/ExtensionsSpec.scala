@@ -124,6 +124,25 @@ class ExtensionsSpec extends AnyFunSuite {
         assert(err.getMessage.contains("UNRESOLVED_ROUTINE")
           || err.getMessage.toLowerCase.contains("cannot resolve"), err.getMessage)
       }
+
+      // ClickHouse dialect gating: standard SQL that merely LOOKS
+      // ClickHouse-ish (a column aliased `qualify`, one named `prewhere`)
+      // parses cleanly stock and must be UNTOUCHED by the dialect rewrite
+      // — the rewrite only runs when Spark's own parser rejects the text.
+      assert(s.sql("SELECT doc_id AS qualify FROM documents ORDER BY qualify LIMIT 1")
+        .head().getLong(0) == 0L)
+      assert(s.sql("SELECT doc_id AS prewhere FROM documents WHERE doc_id = 1")
+        .head().getLong(0) == 1L)
+      // And genuinely ClickHouse statements DO flow through the fallback:
+      // QUALIFY + LIMIT BY + a registered combinator on plain spark.sql.
+      val ch = s.sql(
+        """SELECT doc_id, countIf(length(text) > 0) AS c FROM documents
+          |GROUP BY doc_id ORDER BY doc_id LIMIT 2 BY c""".stripMargin).count()
+      assert(ch > 0, "ClickHouse LIMIT BY must run on plain spark.sql")
+      val chq = s.sql(
+        """SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+          |FROM documents QUALIFY rn = 1""".stripMargin).head().getLong(0)
+      assert(chq == 0L, "ClickHouse QUALIFY must run on plain spark.sql")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
