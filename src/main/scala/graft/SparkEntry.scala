@@ -89,6 +89,28 @@ object SparkEntry {
       clause)).orderBy("event_type")
   }
 
+  /** A9 through the full extractor decision tree with a CLICKHOUSE-dialect
+    * template — what a reference user's YAML actually contains, since
+    * custom_query ships to ClickHouse verbatim (`__init__.py:96-101`):
+    * PREWHERE alongside the `{query_filter}` splice, a `toYYYYMM` bucket,
+    * and a QUALIFY top-n-per-user filter, run through the SAME
+    * `Extractor.extract` production path as [[customQueryExtract]] (which
+    * now routes every custom_query through the dialect layer). The
+    * template keeps the iterate column, as the reference's watermark
+    * aggregate demands of any custom_query (`__init__.py:110-115`).
+    */
+  private def customQueryClickhouse(spark: SparkSession, dir: String): DataFrame =
+    new Extractor(dir, cacheBatches = false).extract(spark,
+      eventsIncrTs.copy(customQuery = Some(
+        """SELECT event_id, ts, user_id, toYYYYMM(ts) AS ym,
+          |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS BIGINT) AS rn
+          |FROM events PREWHERE user_id % 2 = 0 {query_filter}
+          |QUALIFY rn <= 3""".stripMargin)),
+      lastPoint = Some("2024-01-10 00:00:00")).df.get
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("ym"), col("rn"))
+      .orderBy("event_id")
+
   /** A9 through the full extractor decision tree: a projection template that
     * keeps the iterate column, spliced with the watermark clause; the
     * watermark max is then computed on the result as in the reference.
@@ -120,6 +142,7 @@ object SparkEntry {
     "probe_nonempty" -> (probeNonempty _),
     "custom_query_splice" -> (customQuerySplice _),
     "custom_query_extract" -> (customQueryExtract _),
+    "custom_query_clickhouse" -> (customQueryClickhouse _),
     // joins
     "join_inner_hash" -> (Relational.joinInnerHash _),
     "join_multiway" -> (Relational.joinMultiway _),
@@ -470,6 +493,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS c FROM events WHERE ts >= '2024-01-10 00:00:00' GROUP BY event_type ORDER BY event_type""",
     "custom_query_extract" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events WHERE ts >= '2024-01-10 00:00:00' ORDER BY event_id""",
+    "custom_query_clickhouse" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, CAST(year(ts) * 100 + month(ts) AS INTEGER) AS ym, rn FROM (SELECT event_id, ts, user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS BIGINT) AS rn FROM events WHERE (user_id % 2 = 0) AND (ts >= '2024-01-10 00:00:00')) WHERE rn <= 3 ORDER BY event_id""",
     "join_inner_hash" ->
       """SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey ORDER BY o.o_orderkey""",
     "join_multiway" ->

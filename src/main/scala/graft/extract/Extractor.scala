@@ -85,7 +85,13 @@ final class Extractor(
         val df = customQuery match {
           case Some(q) =>
             readTable(spark, table.name).createOrReplaceTempView(table.name)
-            spark.sql(QueryTemplate.splice(q, Predicates.Tautology))
+            // custom_query is CLICKHOUSE SQL by the reference's contract
+            // (it ships to ClickHouse verbatim, __init__.py:96-101), so it
+            // runs through the dialect layer: LIMIT BY / QUALIFY /
+            // PREWHERE / quantile(p)(x) / uniqExact and friends in a
+            // user's existing YAML work unchanged.
+            graft.plans.ClickHouseSql.sql(spark,
+              QueryTemplate.splice(q, Predicates.Tautology))
           case None => readTable(spark, table.name)
         }
         logExtract(table, "completed", "overwrite")
@@ -102,10 +108,12 @@ final class Extractor(
     val df0 = customQuery match {
       case Some(q) =>
         // Template path: SQL-clause parity with the reference (__init__.py:96-97),
-        // executed by Catalyst over a temp view instead of by ClickHouse.
+        // executed by Catalyst over a temp view instead of by ClickHouse —
+        // through the DIALECT layer, since custom_query is ClickHouse SQL
+        // by the reference's contract (see the full-refresh branch).
         val (clause, _) = Predicates.incrementalClause(table, lastPoint)
         readTable(spark, table.name).createOrReplaceTempView(table.name)
-        spark.sql(QueryTemplate.splice(q, clause))
+        graft.plans.ClickHouseSql.sql(spark, QueryTemplate.splice(q, clause))
       case None =>
         // Native path: typed Column predicate, pushed down to the Parquet scan.
         val (pred, _) = Predicates.incrementalPredicate(table, lastPoint)
