@@ -13,7 +13,8 @@ object Explain {
       "extract_incr_watermark", "agg_pricing_summary", "join_multiway",
       "sort_limit_topk", "dedup_exact", "window_rank_topn", "join_range_theta",
       "join_asof_native", "text_ngram_novelty", "events_bot_detect",
-      "sql_interval_join", "graph_modularity", "curation_token_budget")
+      "sql_interval_join", "graph_modularity", "curation_token_budget",
+      "graph_kcore_bucketed", "sql_ch_limit_by", "custom_query_clickhouse")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

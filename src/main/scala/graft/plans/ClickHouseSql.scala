@@ -96,6 +96,7 @@ object ClickHouseSqlRewrite {
     val c = rewriteQualify(sql, masked); if (c ne sql) return c
     val d = rewriteLimitBy(sql, masked); if (d ne sql) return d
     val e = rewritePrewhere(sql, masked); if (e ne sql) return e
+    val f = rewriteSettings(sql, masked); if (f ne sql) return f
     sql
   }
 
@@ -403,7 +404,26 @@ object ClickHouseSqlRewrite {
     }
   }
 
-  // --------------------------------------------------------- 4. LIMIT n BY
+  // ----------------------------------------------------------- 4. SETTINGS
+
+  private val SettingsRe = java.util.regex.Pattern.compile("(?i)\\bSETTINGS\\b")
+
+  /** A trailing `SETTINGS name = value, …` clause is STRIPPED: ClickHouse
+    * settings are per-query execution tuning (max_threads,
+    * max_memory_usage, join algorithm picks …) with no result-set
+    * semantics — the Spark-side analogues are session confs, not query
+    * text. Dropping them is the faithful translation; anything
+    * result-affecting a user might reach for (e.g. limit-by behavior)
+    * lives in clauses this layer handles explicitly.
+    */
+  private def rewriteSettings(sql: String, masked: String): String = {
+    val m = SettingsRe.matcher(masked)
+    if (!m.find()) return sql
+    val end = clauseEnd(masked, m.end())
+    sql.substring(0, m.start()) + sql.substring(end)
+  }
+
+  // --------------------------------------------------------- 5. LIMIT n BY
 
   private val LimitByRe = java.util.regex.Pattern.compile(
     "(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b")
@@ -568,6 +588,16 @@ object ClickHouseFunctions {
           Some(es.last)) }),
     ("has", "has(arr, x) - true when array arr contains x",
       es => { require(es.length == 2, "has(arr, x)"); ArrayContains(es(0), es(1)) }),
+    ("arrayJoin", "arrayJoin(arr) - expand the array to one row per element (ClickHouse's row-expansion primitive; Spark's explode)",
+      es => { require(es.length == 1, "arrayJoin(arr)"); Explode(es.head) }),
+    ("splitByChar", "splitByChar(sep, s) - split s on the literal one-character separator",
+      es => { require(es.length == 2, "splitByChar(sep, s)")
+        require(es(0).foldable && es(0).dataType == StringType,
+          "splitByChar separator must be a string literal")
+        val sep = Option(es(0).eval()).map(_.toString).getOrElse(
+          throw new IllegalArgumentException("splitByChar separator must not be null"))
+        require(sep.length == 1, s"splitByChar separator must be one character, got '$sep'")
+        StringSplit(es(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1)) }),
     ("graft_ch_quantile_exact",
       "graft_ch_quantile_exact(x, level) - ClickHouse quantileExact: the sorted element at index floor(level*n)",
       es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")

@@ -98,6 +98,15 @@ class ClickHouseSqlSpec extends SparkSpec {
       s"unbalanced parens after comment splice:\n$out")
   }
 
+  test("rewrite: a trailing SETTINGS clause is stripped (execution tuning, no result semantics)") {
+    val out = ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a SETTINGS max_threads = 4, join_algorithm = 'hash'")
+    assert(out == "SELECT a FROM t ORDER BY a ", out)
+    val sub = ClickHouseSqlRewrite(
+      "SELECT * FROM (SELECT a FROM t SETTINGS max_threads = 4) q LIMIT 5")
+    assert(sub == "SELECT * FROM (SELECT a FROM t ) q LIMIT 5", sub)
+  }
+
   test("rewrite: string literals and comments are inert; non-CH SQL is untouched") {
     val lit = "SELECT 'LIMIT 2 BY u QUALIFY uniq(x)' AS s FROM t ORDER BY s"
     assert(ClickHouseSqlRewrite(lit) eq lit, "literal must not be rewritten")
@@ -213,6 +222,21 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(5) == "2024-02-01" && r.getString(6) == "2024-01-01" &&
       r.getString(7) == "2024-02-29 00:00:00", r)
     assert(r.getLong(8) == 86400L, r)
+  }
+
+  test("execution: arrayJoin expands rows; splitByChar splits on a literal separator") {
+    fixture()
+    val r = ClickHouseSql.sql(spark,
+      "SELECT k, arrayJoin(splitByChar('|', concat(s, '|', s))) AS part FROM chf WHERE k = 1 ORDER BY k, part")
+      .collect().map(_.getString(1)).toSeq
+    assert(r == Seq("x", "x", "y", "y", "z", "z"), r)
+    // A regex metacharacter as separator must split LITERALLY.
+    val dot = ClickHouseSql.sql(spark,
+      "SELECT arrayJoin(splitByChar('.', 'a.b.c')) AS p ORDER BY p").collect().map(_.getString(0)).toSeq
+    assert(dot == Seq("a", "b", "c"), dot)
+    val err = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT splitByChar(s, s) FROM chf").collect())
+    assert(err.getMessage.contains("literal"), err.getMessage)
   }
 
   test("execution: uniqExact is an exact distinct count; uniq tracks approx_count_distinct") {

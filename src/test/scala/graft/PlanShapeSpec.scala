@@ -400,6 +400,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the O(N) alive-vector shuffle to the edge bucketing:\n$p")
   }
 
+  test("ClickHouse LIMIT BY lands on Spark's rank-limit pushdown with scan-level filters") {
+    // The textual rewrite produces a row_number-filter shape Catalyst
+    // recognizes: WindowGroupLimit caps each partition's buffered rows at
+    // n BEFORE the full window sort, and the WHERE (incl. the merged
+    // PREWHERE conjunct in custom_query_clickhouse's sibling) reaches the
+    // parquet scan as pushed filters — the rewrite costs nothing over a
+    // hand-written top-n-per-group.
+    val p = plan("sql_ch_limit_by")
+    assert(p.contains("WindowGroupLimit"),
+      s"expected the rank-limit pushdown on the rewritten LIMIT BY:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(user_id)"),
+      s"expected the WHERE to reach the scan:\n$p")
+  }
+
   test("backlog plans ONE scan per source table (explode, not a union of subtrees)") {
     // The unionAll formulation duplicated the orders⋈lineitem subtree; the
     // generator form must read each fact exactly once.
