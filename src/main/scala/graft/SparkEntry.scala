@@ -407,6 +407,8 @@ object SparkEntry {
     "sql_ch_functions" -> (Relational.sqlChFunctions _),
     "sql_ch_quantile" -> (Relational.sqlChQuantile _),
     "sql_ch_dates" -> (Relational.sqlChDates _),
+    "sql_ch_retention" -> (Relational.sqlChRetention _),
+    "sql_ch_funnel" -> (Relational.sqlChFunnel _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
     "events_ab_cuped" -> (Analytics.eventsAbCuped _),
@@ -897,11 +899,21 @@ object SparkEntry {
     "sql_ch_qualify" ->
       """SELECT o_orderpriority, o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders QUALIFY rn <= 3 ORDER BY o_orderpriority, rn""",
     "sql_ch_functions" ->
-      """SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS qty_disc, CAST(count(*) FILTER (WHERE list_contains([l_linestatus, l_returnflag], 'O')) AS BIGINT) AS n_open, arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part, arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part, max(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS max_ship_day, CASE WHEN l_returnflag = 'A' THEN 1 WHEN l_returnflag = 'N' THEN 2 ELSE 3 END AS flag_code FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """SELECT l_returnflag, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp, CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, CAST(coalesce(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05), 0) AS BIGINT) AS qty_disc, CAST(count(*) FILTER (WHERE list_contains([l_linestatus, l_returnflag], 'O')) AS BIGINT) AS n_open, arg_max(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part, arg_min(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part, max(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS max_ship_day, CASE WHEN l_returnflag = 'A' THEN 1 WHEN l_returnflag = 'N' THEN 2 ELSE 3 END AS flag_code, min(l_partkey) FILTER (WHERE l_quantity > 25) AS min_big_part, max(l_partkey) FILTER (WHERE l_quantity > 25) AS max_big_part, least(CAST(count(DISTINCT l_linestatus) AS BIGINT), 4) AS status_up_to_3, least(CAST(count(DISTINCT l_partkey) AS BIGINT), 500001) AS parts_exact, least(CAST(count(DISTINCT l_suppkey) AS BIGINT), 2) AS supp_capped, CAST(bit_or(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_bits, CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS line_bits_and, CAST(bit_xor(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS order_xor FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "sql_ch_quantile" ->
       """SELECT l_returnflag, CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_micro, CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_micro, (list_sort(list(CAST(l_quantity AS BIGINT))))[greatest(1, least(CAST(floor(0.9 * count(l_quantity)) AS INTEGER) + 1, CAST(count(l_quantity) AS INTEGER)))] AS p90_element FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "sql_ch_retention" ->
+      """SELECT user_id, array_to_string([CASE WHEN bool_or(event_type = 'signup') THEN 1 ELSE 0 END, CASE WHEN bool_or(event_type = 'signup') AND bool_or(event_type = 'click') THEN 1 ELSE 0 END, CASE WHEN bool_or(event_type = 'signup') AND bool_or(event_type = 'purchase') THEN 1 ELSE 0 END], ',') AS funnel_flags, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase, array_to_string(list_filter(list_sort(list(DISTINCT event_type)), x -> x < 'f'), ',') AS early_types, bool_or(event_type = 'error') AS has_error, min(event_type) >= 'e' AS all_late FROM events GROUP BY user_id ORDER BY user_id""",
+    // The funnel oracle replays graft_window_funnel's greedy fold as a
+    // recursive CTE over the per-user (t, step) entry stream (the same
+    // (timestamp, event_index) sort ClickHouse applies), and checks the
+    // sequenceMatch leg by its closed form: a subsequence signup→purchase
+    // exists iff some purchase lands at-or-after some signup at second
+    // granularity.
+    "sql_ch_funnel" ->
+      """WITH RECURSIVE ent0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, 1 AS idx FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 2 FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 3 FROM events WHERE event_type = 'purchase'), ent AS (SELECT user_id, t, idx, row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn FROM ent0), users AS (SELECT DISTINCT user_id FROM events), cnt AS (SELECT u.user_id, (SELECT count(*) FROM ent e WHERE e.user_id = u.user_id) AS n FROM users u), rec AS (SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, CAST(NULL AS BIGINT) AS t3 FROM users UNION ALL SELECT r.user_id, r.rn + 1, CASE WHEN e.idx = 1 THEN e.t ELSE r.t1 END, CASE WHEN e.idx = 2 AND r.t1 IS NOT NULL AND e.t - r.t1 <= 21600 THEN r.t1 ELSE r.t2 END, CASE WHEN e.idx = 3 AND r.t2 IS NOT NULL AND e.t - r.t2 <= 21600 THEN r.t2 ELSE r.t3 END FROM rec r JOIN ent e ON e.user_id = r.user_id AND e.rn = r.rn + 1), fin AS (SELECT r.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level FROM rec r JOIN cnt c ON r.user_id = c.user_id AND r.rn = c.n), seq AS (SELECT u.user_id, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000) AS signup_then_buy FROM users u) SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users, CAST(count(*) FILTER (WHERE signup_then_buy) AS BIGINT) AS n_seq FROM fin JOIN seq USING (user_id) GROUP BY funnel_level ORDER BY funnel_level""",
     "sql_ch_dates" ->
-      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS VARCHAR) AS month_start, CAST(min(year(o_orderdate)) AS INTEGER) AS y_min, CAST(max(day(o_orderdate)) AS INTEGER) AS d_max, CAST(min(epoch_us(date_trunc('day', o_orderdate)) // 1000000) AS BIGINT) AS first_day_s FROM orders WHERE (o_orderkey % 2 = 0) AND (o_custkey > 0) GROUP BY 1 ORDER BY ym""",
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS VARCHAR) AS month_start, CAST(min(year(o_orderdate)) AS INTEGER) AS y_min, CAST(max(day(o_orderdate)) AS INTEGER) AS d_max, CAST(min(epoch_us(date_trunc('day', o_orderdate)) // 1000000) AS BIGINT) AS first_day_s FROM orders WHERE (o_orderkey % 2 = 0) AND (o_custkey > 0) GROUP BY GROUPING SETS ((year(o_orderdate) * 100 + month(o_orderdate)), ()) ORDER BY ym NULLS FIRST""",
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
     "dq_drift" ->
       """WITH cents AS (SELECT o_orderkey % 2 AS half, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS v FROM orders), nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM cents WHERE half = 0), cum AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM cents WHERE half = 0 GROUP BY v), edges AS (SELECT i, min(v) AS edge FROM cum CROSS JOIN nref CROSS JOIN range(1, 10) r(i) WHERE cum >= 1 + ((n_ref - 1) * i) // 10 GROUP BY i), bucketed AS (SELECT half, (SELECT count(*) FROM edges WHERE v >= edge) AS bucket FROM cents), bb AS (SELECT bucket, CAST(sum(CASE WHEN half=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN half=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM bucketed GROUP BY bucket), tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM bb) SELECT bucket, n_ref, n_cur, CAST(floor(((CAST(n_ref+1 AS DOUBLE)/(tr+10)) - (CAST(n_cur+1 AS DOUBLE)/(tc+10))) * ln(CAST((n_ref+1)*(tc+10) AS DOUBLE)/CAST((n_cur+1)*(tr+10) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS psi_micro FROM bb CROSS JOIN tot ORDER BY bucket""",

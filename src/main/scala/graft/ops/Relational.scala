@@ -1628,8 +1628,14 @@ object Relational {
     * (condition combinators, with ClickHouse's 0-not-NULL empty-match
     * sum), `has` (array membership), `argMax` / `argMin` (on a UNIQUE
     * tiebreak key, so both engines agree deterministically), `toString ∘
-    * toDate` / `toInt64` conversions, and `multiIf`. Every mapping lands
-    * on a stock codegen'd Spark expression — no UDFs.
+    * toDate` / `toInt64` conversions, and `multiIf`. Round-10 widening:
+    * `minIf`/`maxIf` (NULL on empty match, as ClickHouse), `uniqUpTo(N)`
+    * — the exact distinct count saturating at N+1, i.e.
+    * `least(uniqExact, N+1)`, exercised BOTH unsaturated (per-flag
+    * linestatus/partkey counts stay below their caps) and saturated
+    * (`uniqUpTo(1)(l_suppkey)` always reads 2) — and the
+    * `groupBitAnd/Or/Xor` bit aggregates. Every mapping lands on a stock
+    * codegen'd Spark expression — no UDFs.
     */
   def sqlChFunctions(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(spark, dir, Seq("lineitem"))
@@ -1642,7 +1648,15 @@ object Relational {
         |  argMax(l_partkey, l_orderkey * 10 + l_linenumber) AS last_part,
         |  argMin(l_partkey, l_orderkey * 10 + l_linenumber) AS first_part,
         |  max(toString(toDate(l_shipdate))) AS max_ship_day,
-        |  multiIf(l_returnflag = 'A', 1, l_returnflag = 'N', 2, 3) AS flag_code
+        |  multiIf(l_returnflag = 'A', 1, l_returnflag = 'N', 2, 3) AS flag_code,
+        |  minIf(l_partkey, l_quantity > 25) AS min_big_part,
+        |  maxIf(l_partkey, l_quantity > 25) AS max_big_part,
+        |  uniqUpTo(3)(l_linestatus) AS status_up_to_3,
+        |  uniqUpTo(500000)(l_partkey) AS parts_exact,
+        |  uniqUpTo(1)(l_suppkey) AS supp_capped,
+        |  groupBitOr(toInt64(l_linenumber)) AS line_bits,
+        |  groupBitAnd(toInt64(l_linenumber)) AS line_bits_and,
+        |  groupBitXor(toInt64(l_orderkey)) AS order_xor
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)
@@ -1654,7 +1668,12 @@ object Relational {
     * and a PREWHERE scan filter. PREWHERE merges into WHERE (in
     * ClickHouse it is a pure scan optimization with conjunct semantics —
     * exactly what Catalyst's pushdown + column pruning already do), and
-    * every `to*` name maps to a stock codegen'd expression.
+    * every `to*` name maps to a stock codegen'd expression. Round 10
+    * adds `WITH TOTALS` → `GROUPING SETS ((ym), ())` — the standard-SQL
+    * spelling of the appended all-rows total (NULL group key in table
+    * shape, vs ClickHouse's separate default-keyed block — a transport
+    * difference; `ORDER BY ym` puts the totals row first under Spark's
+    * NULLS FIRST default, which the oracle states explicitly).
     */
   def sqlChDates(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(spark, dir, Seq("orders"))
@@ -1669,7 +1688,7 @@ object Relational {
         |FROM orders
         |PREWHERE o_orderkey % 2 = 0
         |WHERE o_custkey > 0
-        |GROUP BY ym
+        |GROUP BY ym WITH TOTALS
         |ORDER BY ym""".stripMargin)
   }
 
@@ -1692,5 +1711,67 @@ object Relational {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** The ClickHouse behavioral-analytics surface: `retention` (0/1 flags
+    * per funnel condition, every level gated on the FIRST condition —
+    * ClickHouse's documented independent-rows semantics, composed from
+    * bool_or aggregates), `groupArray`/`groupUniqArray` collection, and
+    * the array HOFs in ClickHouse's lambda-FIRST argument order
+    * (`arrayMap`/`arrayFilter`/`arrayExists`/`arrayAll`/`arrayCount`,
+    * mapped onto Spark's stock HOF expressions; `arraySort` with
+    * ClickHouse's nulls-last placement). Array outputs are serialized
+    * with `concat_ws` so the oracle diff compares strings, not nested
+    * types. One user-keyed map-side-combined shuffle end-to-end — all
+    * the array work happens inside the aggregate's finisher expressions,
+    * so at 100 TB the cost profile is the plain GROUP BY's.
+    */
+  def sqlChRetention(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT user_id,
+        |  concat_ws(',', arrayMap(x -> toString(x),
+        |    retention(event_type = 'signup', event_type = 'click', event_type = 'purchase'))) AS funnel_flags,
+        |  concat_ws(',', arraySort(groupUniqArray(event_type))) AS types_seen,
+        |  toInt64(arrayCount(x -> x = 'purchase', groupArray(event_type))) AS n_purchase,
+        |  concat_ws(',', arrayFilter(x -> x < 'f', arraySort(groupUniqArray(event_type)))) AS early_types,
+        |  arrayExists(x -> x = 'error', groupArray(event_type)) AS has_error,
+        |  arrayAll(x -> x >= 'e', groupUniqArray(event_type)) AS all_late
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin)
+  }
+
+  /** ClickHouse's signature behavioral aggregate, `windowFunnel(w)(ts,
+    * conds…)`, plus the `sequenceMatch('(?1).*(?2)')` subsequence form —
+    * the two functions a ported product-analytics custom_query leans on
+    * hardest. Per-user view→click→purchase funnel level under a 6-hour
+    * from-chain-start window (rolled up to a level distribution), with
+    * the signup-then-high-value-purchase subsequence flag counted
+    * alongside (the value > 150 threshold keeps the flag mixed — 62 of
+    * 150 users at sf0.01 — so the leg discriminates).
+    * The funnel is a composition of stock expressions (collect the
+    * matched (t, step) entries, sort — ClickHouse's (timestamp,
+    * event_index) pair sort — and fold the per-level chain-start array);
+    * the oracle replays the SAME greedy fold as a DuckDB recursive CTE,
+    * and sequenceMatch's closed form (∃ signup s, purchase p with p.t ≥
+    * s.t at second granularity) independently cross-checks the fold's
+    * subsequence decision. One user-keyed shuffle; per-group state is
+    * the user's matched events — session-scale at 100 TB.
+    */
+  def sqlChFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT funnel_level,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  countIf(signup_then_buy) AS n_seq
+        |FROM (
+        |  SELECT user_id,
+        |    toInt64(windowFunnel(21600)(ts, event_type = 'view', event_type = 'click', event_type = 'purchase')) AS funnel_level,
+        |    sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy
+        |  FROM events
+        |  GROUP BY user_id)
+        |GROUP BY funnel_level
+        |ORDER BY funnel_level""".stripMargin)
   }
 }

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.types._
@@ -37,7 +38,15 @@ import org.apache.spark.sql.types._
   *     percentile would silently change results), and `quantile(p)(x)` →
   *     `approx_percentile` (ClickHouse's `quantile` is itself an
   *     approximation, so approx↔approx is the faithful pairing); plural
-  *     `quantiles*` forms produce arrays.
+  *     `quantiles*` forms produce arrays. The same `agg(params)(args)`
+  *     scan handles `windowFunnel(w)(ts, conds…)` →
+  *     `graft_window_funnel` (the sort-and-fold composition registered
+  *     in [[ClickHouseFunctions]]; modes are named errors) and
+  *     `sequenceMatch('(?1).*(?2)…')` → the same kernel at an unbounded
+  *     window compared to the ref count (the `.*`-separated subset is
+  *     subsequence existence, which the greedy fold decides exactly;
+  *     adjacency and `(?t…)` time-constraint patterns are named
+  *     errors).
   *
   * The combinator / conversion / distinct-count FUNCTIONS (`argMax`,
   * `countIf`, `uniqExact`, `toInt64`, `toStartOfMonth` …) need no parser
@@ -92,12 +101,84 @@ object ClickHouseSqlRewrite {
 
   private def rewriteOne(sql: String): String = {
     val masked = mask(sql)
+    failOnTableModifiers(masked)
     val a = rewriteParamAgg(sql, masked); if (a ne sql) return a
+    val b = rewriteWithTotals(sql, masked); if (b ne sql) return b
     val c = rewriteQualify(sql, masked); if (c ne sql) return c
     val d = rewriteLimitBy(sql, masked); if (d ne sql) return d
     val e = rewritePrewhere(sql, masked); if (e ne sql) return e
     val f = rewriteSettings(sql, masked); if (f ne sql) return f
     sql
+  }
+
+  // ----------------------------------------- table modifiers (named errors)
+
+  private val FinalRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(?:FROM|JOIN)\\s+[A-Za-z_][\\w.]*\\s+FINAL\\b")
+  private val SampleRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(?:FROM|JOIN)\\s+[A-Za-z_][\\w.]*\\s+SAMPLE\\b")
+
+  /** `FROM t FINAL` and `FROM t SAMPLE k` cannot be translated without
+    * silently changing results, so both are NAMED errors: FINAL's
+    * collapse depends on the table engine's merge semantics
+    * (ReplacingMergeTree version rules this engine does not have), and
+    * ClickHouse SAMPLE is DETERMINISTIC over the table's declared
+    * sampling key where any mapping here would be seeded-random.
+    */
+  private def failOnTableModifiers(masked: String): Unit = {
+    if (FinalRe.matcher(masked).find())
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: FINAL is not supported — its collapse depends on " +
+          "the ReplacingMergeTree engine's merge rules; deduplicate " +
+          "explicitly, e.g. ORDER BY version DESC LIMIT 1 BY key")
+    if (SampleRe.matcher(masked).find())
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: SAMPLE is not supported — ClickHouse samples " +
+          "deterministically over the table's sampling key; filter on a " +
+          "hash instead, e.g. WHERE xxhash64(key) % 10 = 0")
+  }
+
+  // -------------------------------------------------------- 6. WITH TOTALS
+
+  private val TotalsRe = java.util.regex.Pattern.compile(
+    "(?i)\\bWITH\\s+TOTALS\\b")
+
+  /** `GROUP BY <keys> WITH TOTALS` → `GROUP BY GROUPING SETS ((<keys>),
+    * ())`: the standard-SQL spelling of an appended all-rows total. The
+    * totals row carries NULL group keys (where ClickHouse delivers a
+    * separate block with default-valued keys — a transport difference,
+    * documented, not a value difference) and sorts wherever the query's
+    * ORDER BY puts NULLs. `HAVING` alongside TOTALS is a NAMED error:
+    * ClickHouse's totals_mode setting makes the totals/HAVING
+    * interaction configuration-dependent, which a bit-exact engine
+    * refuses to guess. A `WITH totals AS (…)` CTE does not match the
+    * structural conditions (owning SELECT + preceding GROUP BY) and
+    * passes through untouched.
+    */
+  private def rewriteWithTotals(sql: String, masked: String): String = {
+    val m = TotalsRe.matcher(masked)
+    if (!m.find()) return sql
+    val tIdx = m.start()
+    val (_, selIdx) = owningSelect(masked, tIdx)
+    if (selIdx < 0) return sql
+    val gIdx = findKeyword(masked, selIdx + 6, "GROUP")
+    if (gIdx < 0 || gIdx > tIdx) return sql
+    val byIdx = findKeyword(masked, gIdx + 5, "BY")
+    if (byIdx < 0 || byIdx > tIdx) return sql
+    var k = m.end()
+    while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+    if (masked.regionMatches(true, k, "HAVING", 0, 6) &&
+        (k + 6 >= masked.length || !isWordChar(masked.charAt(k + 6))))
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: WITH TOTALS alongside HAVING is not supported — " +
+          "the interaction depends on ClickHouse's totals_mode setting; " +
+          "filter in an outer query instead")
+    failIfOrdinal(masked, byIdx + 2, tIdx)
+    val keys = sql.substring(byIdx + 2, tIdx).trim
+    if (keys.isEmpty) throw new IllegalArgumentException(
+      "ClickHouse SQL: WITH TOTALS requires grouping keys")
+    sql.substring(0, gIdx) + "GROUP BY GROUPING SETS ((" + keys +
+      "\n), ())" + sql.substring(m.end())
   }
 
   // ---------------------------------------------------------------- helpers
@@ -266,7 +347,54 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantiles|quantile)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo)\\s*\\(")
+
+  /** `sequenceMatch('(?1).*(?2)…')` subset: `(?N)` refs separated by
+    * `.*` (leading/trailing `.*` are no-ops and stripped). That form is
+    * SUBSEQUENCE existence, which the greedy windowFunnel fold decides
+    * exactly under an unbounded window — so the rewrite maps it to
+    * `graft_window_funnel(Long.Max, ts, cond_ref1, …) = nrefs`. The two
+    * pattern features whose semantics the fold does NOT have fail with
+    * named errors instead of silently changing meaning: adjacency
+    * (`(?1)(?2)` — consecutive over matched events only) and `(?t op n)`
+    * time constraints (per-STEP bounds, not windowFunnel's
+    * from-chain-start bound).
+    */
+  private def sequenceMatchRepl(pattern: String, args: String,
+      argItems: Seq[String]): String = {
+    val p = pattern.trim
+    if (p.length < 2 || p.charAt(0) != '\'' || p.charAt(p.length - 1) != '\'')
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: sequenceMatch's parameter must be a single quoted " +
+          s"pattern literal, got: $p")
+    var inner = p.substring(1, p.length - 1)
+    while (inner.startsWith(".*")) inner = inner.substring(2)
+    while (inner.endsWith(".*")) inner = inner.substring(0, inner.length - 2)
+    if (inner.contains("(?t"))
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: sequenceMatch time constraints ((?t op n)) are not " +
+          "supported — use windowFunnel for a from-chain-start bound")
+    val shape = inner.replaceAll("\\(\\?\\d+\\)", "R")
+    if (shape.contains("RR"))
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: adjacent sequenceMatch conditions ((?1)(?2) with no " +
+          ".* between) mean adjacency over matched events, which this " +
+          "mapping does not have — separate the steps with .*")
+    if (!shape.matches("R(?:\\.\\*R)*"))
+      throw new IllegalArgumentException(
+        s"ClickHouse SQL: unsupported sequenceMatch pattern $p — the " +
+          "supported form is (?N) references separated by .*")
+    val refs = "\\(\\?(\\d+)\\)".r.findAllMatchIn(inner).map(_.group(1).toInt).toSeq
+    if (argItems.length < 2) throw new IllegalArgumentException(
+      "ClickHouse SQL: sequenceMatch(pattern)(timestamp, cond1, ...)")
+    val conds = argItems.tail
+    refs.find(r => r < 1 || r > conds.length).foreach(r =>
+      throw new IllegalArgumentException(
+        s"ClickHouse SQL: sequenceMatch pattern references condition $r but " +
+          s"only ${conds.length} conditions were given"))
+    s"(graft_window_funnel(9223372036854775807\n, ${argItems.head}, " +
+      refs.map(r => conds(r - 1)).mkString(", ") + s"\n) = ${refs.length})"
+  }
 
   /** ClickHouse's parameterized-aggregate call syntax `agg(params)(args)`.
     * `quantileExactInclusive` → `percentile` (both PERCENTILE.INC linear
@@ -289,6 +417,24 @@ object ClickHouseSqlRewrite {
         val params = sql.substring(pStart, pEnd).trim
         val args = sql.substring(aStart, aEnd).trim
         val repl = name match {
+          case "windowfunnel" =>
+            if (splitItems(masked, pStart, pEnd).length != 1)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: windowFunnel modes ('strict_order', " +
+                  "'strict_dedup', 'strict_increase') are not supported — " +
+                  "only windowFunnel(window)(timestamp, cond1, ...)")
+            s"graft_window_funnel($params\n, $args\n)"
+          case "sequencematch" =>
+            sequenceMatchRepl(params, args,
+              splitItems(masked, aStart, aEnd).map { case (s0, e0) =>
+                sql.substring(s0, e0).trim })
+          // uniqUpTo(N)(x…): the exact distinct count while it is ≤ N,
+          // saturating at N+1 — which is exactly least(uniqExact, N+1).
+          case "uniqupto" =>
+            if (splitItems(masked, pStart, pEnd).length != 1)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: uniqUpTo takes exactly one parameter N")
+            s"least(count(DISTINCT $args\n), ($params\n) + 1)"
           case "quantileexactinclusive" => s"percentile($args\n, $params\n)"
           case "quantilesexactinclusive" => s"percentile($args\n, array($params\n))"
           case "quantile" => s"approx_percentile($args\n, $params\n)"
@@ -545,6 +691,18 @@ object ClickHouseSqlRewrite {
   *     DECIMAL(20,0) — the only integral type covering its range)
   *   - date bucketing (`toYear`…`toSecond`, `toStartOf*`, `toYYYYMM[DD]`,
   *     `toUnixTimestamp`) → stock datetime expressions
+  *   - behavioral aggregates: `retention(c1…cn)` → an array of 0/1 flags
+  *     composed from bool_or aggregates (r[1] = c1 ever met, r[i] = c1
+  *     AND c_i each met — ClickHouse's documented independent-rows
+  *     semantics); `groupArray`/`groupUniqArray` → collect_list /
+  *     collect_set; `anyLast` → last non-null (ClickHouse's `any` is NOT
+  *     mapped — Spark's `any` is bool_or and the no-clobber rule keeps
+  *     it; use `any_value`)
+  *   - array HOFs `arrayMap`/`arrayFilter`/`arrayExists`/`arrayAll`/
+  *     `arrayCount` → the stock HOF expressions with the lambda moved
+  *     from ClickHouse's first position to Spark's last; `arraySort` →
+  *     nulls-LAST ascending sort (ClickHouse's placement — Spark's
+  *     sort_array puts nulls first, so the mapping splits and re-concats)
   */
 object ClickHouseFunctions {
 
@@ -556,6 +714,33 @@ object ClickHouseFunctions {
   private def one(f: Expression => Expression): Seq[Expression] => Expression = { es =>
     require(es.length == 1, s"date functions take one argument, got ${es.length}")
     f(es.head)
+  }
+
+  /** A fresh single-argument lambda (`__graft_x -> body`). Built on
+    * [[UnresolvedNamedLambdaVariable]] so the stock
+    * `ResolveLambdaVariables` rule binds it exactly like a user-written
+    * lambda.
+    */
+  private def lam1(f: Expression => Expression): LambdaFunction = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+    LambdaFunction(f(x), Seq(x))
+  }
+
+  /** The ClickHouse array HOFs put the lambda FIRST (`arrayMap(x -> …,
+    * arr)`); Spark's stock HOF expressions take it last. The mapping is a
+    * pure argument swap — Spark's parser already accepts `x -> expr` in
+    * any function-argument position, so the builder receives a
+    * [[LambdaFunction]] and hands it to the stock expression.
+    */
+  private def chHof(name: String)(
+      f: (Expression, LambdaFunction) => Expression): Seq[Expression] => Expression = { es =>
+    require(es.length == 2, s"$name(func, arr)")
+    es.head match {
+      case l: LambdaFunction => f(es(1), l)
+      case _ => throw new IllegalArgumentException(
+        s"$name: the first argument must be a lambda (ClickHouse argument " +
+          s"order), e.g. $name(x -> x + 1, arr)")
+    }
   }
 
   /** (name, usage, builder) — names are registered case-insensitively. */
@@ -581,6 +766,18 @@ object ClickHouseFunctions {
     ("avgIf", "avgIf(x, cond) - average of x over rows where cond is true; NULL when none",
       es => { require(es.length == 2, "avgIf(x, cond)")
         Average(If(es(1), es(0), Literal.create(null, NullType))) }),
+    ("minIf", "minIf(x, cond) - minimum of x over rows where cond is true; NULL when none",
+      es => { require(es.length == 2, "minIf(x, cond)")
+        Min(If(es(1), es(0), Literal.create(null, NullType))) }),
+    ("maxIf", "maxIf(x, cond) - maximum of x over rows where cond is true; NULL when none",
+      es => { require(es.length == 2, "maxIf(x, cond)")
+        Max(If(es(1), es(0), Literal.create(null, NullType))) }),
+    ("groupBitAnd", "groupBitAnd(x) - bitwise AND across rows",
+      es => { require(es.length == 1, "groupBitAnd(x)"); BitAndAgg(es.head) }),
+    ("groupBitOr", "groupBitOr(x) - bitwise OR across rows",
+      es => { require(es.length == 1, "groupBitOr(x)"); BitOrAgg(es.head) }),
+    ("groupBitXor", "groupBitXor(x) - bitwise XOR across rows",
+      es => { require(es.length == 1, "groupBitXor(x)"); BitXorAgg(es.head) }),
     ("multiIf", "multiIf(c1, v1, ..., else) - first value whose condition is true",
       es => { require(es.length >= 3 && es.length % 2 == 1,
           "multiIf needs cond/value pairs plus an else")
@@ -598,6 +795,130 @@ object ClickHouseFunctions {
           throw new IllegalArgumentException("splitByChar separator must not be null"))
         require(sep.length == 1, s"splitByChar separator must be one character, got '$sep'")
         StringSplit(es(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1)) }),
+    // Behavioral-analytics aggregates. ClickHouse's `any(x)`
+    // (pick-some-value) is deliberately NOT mapped: Spark's built-in
+    // `any` is bool_or and the no-clobber rule keeps it — use `any_value`
+    // or `anyLast`. `groupArray(n)(x)` (first-n, read order) is also
+    // absent: its pick is nondeterministic, so the parameterized form
+    // stays a named parse error rather than a silent arbitrary choice.
+    ("retention", "retention(c1, ..., cn) - array of 0/1: r[1] = c1 met on some row; r[i] = c1 and c_i each met on some row",
+      es => { require(es.nonEmpty, "retention(cond1, ...)")
+        val evers = es.map(c => BoolOr(c).toAggregateExpression())
+        val entered = evers.head
+        CreateArray(
+          If(entered, Literal(1), Literal(0)) +:
+            evers.tail.map(e => If(And(entered, e), Literal(1), Literal(0)))) }),
+    ("groupArray", "groupArray(x) - all values as an array (collection order is execution order, as in ClickHouse)",
+      es => { require(es.length == 1, "groupArray(x)"); CollectList(es.head) }),
+    ("groupUniqArray", "groupUniqArray(x) - distinct values as an array (unordered, as in ClickHouse)",
+      es => { require(es.length == 1, "groupUniqArray(x)"); CollectSet(es.head) }),
+    ("anyLast", "anyLast(x) - the last non-null value seen (order-dependent, as in ClickHouse)",
+      es => { require(es.length == 1, "anyLast(x)"); Last(es.head, ignoreNulls = true) }),
+    // Array higher-order functions — ClickHouse argument order (lambda
+    // first), mapped by [[chHof]] onto the stock codegen'd/eval'd HOF
+    // expressions. `arraySum` is deliberately absent: Catalyst's
+    // `aggregate` needs a typed zero literal, so a generic mapping would
+    // force one result-type convention over int/float inputs — spell the
+    // fold with `aggregate(arr, CAST(0 AS …), (acc, x) -> acc + x)`.
+    ("arrayMap", "arrayMap(func, arr) - apply func to each element",
+      chHof("arrayMap")((arr, l) => ArrayTransform(arr, l))),
+    ("arrayFilter", "arrayFilter(func, arr) - elements where func is true",
+      chHof("arrayFilter")((arr, l) => ArrayFilter(arr, l))),
+    ("arrayExists", "arrayExists(func, arr) - true when func holds for some element",
+      chHof("arrayExists")((arr, l) => ArrayExists(arr, l))),
+    ("arrayAll", "arrayAll(func, arr) - true when func holds for every element",
+      chHof("arrayAll")((arr, l) => ArrayForAll(arr, l))),
+    // windowFunnel, as a composition of stock expressions: collect the
+    // matched (t, step) entries, sort them — SortArray over the structs
+    // IS ClickHouse's (timestamp, event_index) pair sort — and fold with
+    // ArrayAggregate carrying the per-level chain-start array (null =
+    // level unreached). Each entry updates exactly its own level from
+    // the PRIOR state: level 1 overwrites the chain start with the
+    // latest cond1 time (later start = later deadline, ClickHouse's
+    // greedy restart), level j propagates level j-1's chain start when
+    // the entry lands within `window` OF THAT START. The window compare
+    // is `t - start <= w` (difference form — no overflow under ANSI even
+    // for the sequenceMatch rewrite's Long.Max window). Buffering is the
+    // group's matched events — the same per-group cost ClickHouse's own
+    // windowFunnel pays; at 100 TB the input should be user-keyed, where
+    // group sizes are session-scale.
+    ("graft_window_funnel",
+      "graft_window_funnel(window, ts, cond1, ...) - ClickHouse windowFunnel(window)(ts, conds...): longest consecutive step chain whose events all land within window of the chain's FIRST event; window is in the timestamp column's unit (TIMESTAMP = seconds, the ClickHouse DateTime convention; pass epoch micros as BIGINT for finer windows)",
+      es => {
+        require(es.length >= 3, "graft_window_funnel(window, ts, cond1, ...)")
+        val w = es.head
+        val t = Cast(es(1), LongType)
+        val conds = es.drop(2)
+        val k = conds.length
+        val entryType = StructType(Seq(
+          StructField("t", LongType), StructField("i", IntegerType)))
+        // Per input row: the (t, step) entries its matched conditions
+        // contribute (null-timestamp rows contribute nothing, as in
+        // ClickHouse, where aggregate inputs skip nulls).
+        val perRow = ArrayFilter(
+          CreateArray((1 to k).map { j =>
+            If(And(conds(j - 1), IsNotNull(t)),
+              CreateNamedStruct(Seq(
+                Literal("t"), t, Literal("i"), Literal(j))),
+              Literal.create(null, entryType))
+          }),
+          lam1(IsNotNull))
+        val entries = new SortArray(
+          Flatten(CollectList(perRow).toAggregateExpression()))
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val en = UnresolvedNamedLambdaVariable(Seq("__graft_en"))
+        val enT = UnresolvedExtractValue(en, Literal("t"))
+        val enI = UnresolvedExtractValue(en, Literal("i"))
+        def stAt(j: Int) = GetArrayItem(st, Literal(j))
+        val merge = LambdaFunction(
+          CreateArray((1 to k).map { j =>
+            if (j == 1) If(EqualTo(enI, Literal(1)), enT, stAt(0))
+            else {
+              val prev = stAt(j - 2)
+              If(And(EqualTo(enI, Literal(j)),
+                  And(IsNotNull(prev), LessThanOrEqual(Subtract(enT, prev), w))),
+                prev, stAt(j - 1))
+            }
+          }),
+          Seq(st, en))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fst"))
+        val finish = LambdaFunction(
+          CaseWhen((k to 1 by -1).map(j =>
+            (IsNotNull(GetArrayItem(fin, Literal(j - 1))), Literal(j))),
+            Some(Literal(0))),
+          Seq(fin))
+        ArrayAggregate(entries,
+          CreateArray(Seq.fill(k)(Literal.create(null, LongType))),
+          merge, finish)
+      }),
+    // arrayCount folds with ArrayAggregate rather than size(filter(…)):
+    // the analyzer requires a call that was GIVEN a lambda argument to
+    // resolve to a top-level higher-order function, so the count must BE
+    // the HOF, not wrap one. The user lambda's body and variable are
+    // spliced directly into the merge lambda.
+    ("arrayCount", "arrayCount([func,] arr) - number of elements where func is true (without func: non-zero elements)",
+      es => {
+        def countWhere(arr: Expression, v: Seq[NamedExpression], pred: Expression) = {
+          val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+          val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+          ArrayAggregate(arr, Literal(0),
+            LambdaFunction(Add(acc, If(pred, Literal(1), Literal(0))), acc +: v),
+            LambdaFunction(fin, Seq(fin)))
+        }
+        es match {
+          case Seq(l: LambdaFunction, arr) => countWhere(arr, l.arguments, l.function)
+          case Seq(arr) =>
+            val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+            countWhere(arr, Seq(x), Not(EqualTo(x, Literal(0))))
+          case _ => throw new IllegalArgumentException("arrayCount([func,] arr)")
+        }
+      }),
+    ("arraySort", "arraySort(arr) - ascending sort, nulls LAST (the ClickHouse placement; Spark's sort_array puts them first, hence the split)",
+      es => { require(es.length == 1,
+          "arraySort(arr) - the lambda-keyed form is not supported; sort a mapped copy instead")
+        Concat(Seq(
+          new SortArray(ArrayFilter(es.head, lam1(IsNotNull))),
+          ArrayFilter(es.head, lam1(IsNull)))) }),
     ("graft_ch_quantile_exact",
       "graft_ch_quantile_exact(x, level) - ClickHouse quantileExact: the sorted element at index floor(level*n)",
       es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")

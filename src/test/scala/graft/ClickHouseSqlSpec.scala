@@ -264,6 +264,165 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getSeq[Long](2) == Seq(20L, 50L), r)
   }
 
+  test("execution: retention flags gate every level on the FIRST condition") {
+    // u=1 hits signup+click+buy; u=2 clicks and buys but never signs up
+    // (all zeros — the gate); u=3 signs up only.
+    Seq((1L, "signup"), (1L, "click"), (1L, "buy"),
+        (2L, "click"), (2L, "buy"),
+        (3L, "signup"))
+      .toDF("u", "e").createOrReplaceTempView("chr")
+    val rows = ClickHouseSql.sql(spark,
+      """SELECT u, retention(e = 'signup', e = 'click', e = 'buy') AS r
+        |FROM chr GROUP BY u ORDER BY u""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(rows == Seq(
+      (1L, Seq(1, 1, 1)), (2L, Seq(0, 0, 0)), (3L, Seq(1, 0, 0))), rows)
+  }
+
+  test("execution: groupArray/groupUniqArray collect; anyLast pulls a constant through GROUP BY") {
+    fixture()
+    val r = ClickHouseSql.sql(spark,
+      """SELECT k, arraySort(groupArray(s)) AS all_s,
+        |       arraySort(groupUniqArray(concat(s, s))) AS uniq_ss,
+        |       anyLast(k * 100) AS kc
+        |FROM chf GROUP BY k ORDER BY k""".stripMargin).collect()
+    assert(r.map(_.getSeq[String](1)).toSeq ==
+      Seq(Seq("x", "y", "z"), Seq("p", "q")), r.mkString(","))
+    assert(r.map(_.getSeq[String](2)).toSeq ==
+      Seq(Seq("xx", "yy", "zz"), Seq("pp", "qq")), r.mkString(","))
+    assert(r.map(_.getLong(3)).toSeq == Seq(100L, 200L), r.mkString(","))
+  }
+
+  test("execution: array HOFs take the lambda FIRST; arraySort puts nulls LAST") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT arrayMap(x -> x * 10, array(3, 1, 2)) AS mapped,
+        |       arrayFilter(x -> x >= 2, array(3, 1, 2)) AS kept,
+        |       arrayExists(x -> x = 9, array(3, 1, 2)) AS none_9,
+        |       arrayAll(x -> x >= 1, array(3, 1, 2)) AS all_1,
+        |       arrayCount(x -> x >= 2, array(3, 1, 2)) AS n_ge2,
+        |       arrayCount(array(5, 0, 7, 0)) AS n_nonzero,
+        |       arraySort(array(2, NULL, 1)) AS sorted""".stripMargin).head()
+    assert(r.getSeq[Int](0) == Seq(30, 10, 20), r)
+    assert(r.getSeq[Int](1) == Seq(3, 2), r)
+    assert(!r.getBoolean(2) && r.getBoolean(3), r)
+    assert(r.getInt(4) == 2 && r.getInt(5) == 2, r)
+    assert(r.getSeq[Any](6) == Seq(1, 2, null), r)
+    // A non-lambda first argument is a NAMED error, not a silent guess.
+    val err = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT arrayMap(array(1), array(2))").collect())
+    assert(err.getMessage.contains("lambda"), err.getMessage)
+  }
+
+  test("rewrite: windowFunnel and sequenceMatch map onto graft_window_funnel; modes and unsupported patterns are named errors") {
+    assert(ClickHouseSqlRewrite("SELECT windowFunnel(3600)(ts, a, b) FROM t")
+      == "SELECT graft_window_funnel(3600\n, ts, a, b\n) FROM t")
+    assert(ClickHouseSqlRewrite("SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t")
+      == "SELECT (graft_window_funnel(9223372036854775807\n, ts, a, b\n) = 2) FROM t")
+    // Pattern refs reorder the condition list; leading/trailing .* are no-ops.
+    assert(ClickHouseSqlRewrite("SELECT sequenceMatch('.*(?2).*(?1).*')(ts, a, b) FROM t")
+      == "SELECT (graft_window_funnel(9223372036854775807\n, ts, b, a\n) = 2) FROM t")
+    val mode = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT windowFunnel(3600, 'strict_order')(ts, a) FROM t"))
+    assert(mode.getMessage.contains("strict_order"), mode.getMessage)
+    val adj = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t"))
+    assert(adj.getMessage.contains("adjacen"), adj.getMessage)
+    val tc = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1).*(?t>10)(?2)')(ts, a, b) FROM t"))
+    assert(tc.getMessage.contains("time constraint"), tc.getMessage)
+    val oob = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1).*(?3)')(ts, a, b) FROM t"))
+    assert(oob.getMessage.contains("condition 3"), oob.getMessage)
+  }
+
+  test("execution: windowFunnel chains within the window of the CHAIN START and restarts greedily") {
+    // Timestamps in plain BIGINT seconds (the unit the window shares).
+    // u=1: full in-window chain 10→20→30 (w=100) → 3.
+    // u=2: step2 lands in-window of step1, step3 is within 100 of STEP2
+    //      but not of the chain START — windowFunnel measures from the
+    //      start, so the level stays 2.
+    // u=3: an early start would expire, but a LATER cond1 restarts the
+    //      chain (greedy latest-start) and the chain completes → 3.
+    // u=4: steps arrive out of order (2 before 1) → only level 1.
+    // u=5: one event matches cond1 AND cond2 — the (t, step) pair sort
+    //      processes step1 first, so the event self-chains → 2.
+    Seq(
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      (2L, 10L, "a"), (2L, 90L, "b"), (2L, 150L, "c"),
+      (3L, 10L, "a"), (3L, 500L, "a"), (3L, 550L, "b"), (3L, 590L, "c"),
+      (4L, 10L, "b"), (4L, 20L, "a"),
+      (5L, 10L, "ab"))
+      .toDF("u", "t", "e").createOrReplaceTempView("chw")
+    val rows = ClickHouseSql.sql(spark,
+      """SELECT u, windowFunnel(100)(t, e LIKE '%a%', e LIKE '%b%', e = 'c') AS lvl
+        |FROM chw GROUP BY u ORDER BY u""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 3), (2L, 2), (3L, 3), (4L, 1), (5L, 2)), rows)
+  }
+
+  test("execution: windowFunnel over TIMESTAMP uses seconds (the ClickHouse DateTime unit); sequenceMatch decides subsequence existence") {
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "s"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "p"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "p"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:30"), "s"))
+      .toDF("u", "ts", "e").createOrReplaceTempView("chs")
+    val rows = ClickHouseSql.sql(spark,
+      """SELECT u, windowFunnel(60)(ts, e = 's', e = 'p') AS lvl,
+        |       windowFunnel(10)(ts, e = 's', e = 'p') AS lvl_narrow,
+        |       sequenceMatch('(?1).*(?2)')(ts, e = 's', e = 'p') AS s_then_p
+        |FROM chs GROUP BY u ORDER BY u""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getBoolean(3))).toSeq
+    // u=1: s→p 30 s apart — level 2 at w=60, level 1 at w=10; subsequence holds.
+    // u=2: p precedes s — level 1 both ways; no s-then-p subsequence.
+    assert(rows == Seq((1L, 2, 1, true), (2L, 1, 1, false)), rows)
+  }
+
+  test("rewrite: uniqUpTo saturates via least; WITH TOTALS becomes GROUPING SETS; FINAL and SAMPLE are named errors") {
+    assert(ClickHouseSqlRewrite("SELECT uniqUpTo(5)(x) FROM t GROUP BY k")
+      == "SELECT least(count(DISTINCT x\n), (5\n) + 1) FROM t GROUP BY k")
+    assert(ClickHouseSqlRewrite("SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k")
+      == "SELECT k, count(*) FROM t GROUP BY GROUPING SETS ((k\n), ()) ORDER BY k")
+    // A CTE named `totals` is NOT the TOTALS clause — untouched.
+    val cte = "WITH totals AS (SELECT 1 AS x) SELECT x FROM totals"
+    assert(ClickHouseSqlRewrite(cte) == cte)
+    val hav = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS HAVING count(*) > 1"))
+    assert(hav.getMessage.contains("totals_mode"), hav.getMessage)
+    val fin = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT * FROM t FINAL WHERE k = 1"))
+    assert(fin.getMessage.contains("ReplacingMergeTree"), fin.getMessage)
+    val smp = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT * FROM t SAMPLE 0.1"))
+    assert(smp.getMessage.contains("sampling key"), smp.getMessage)
+  }
+
+  test("execution: minIf/maxIf are NULL on empty match; uniqUpTo saturates at N+1; bit aggregates fold") {
+    fixture()
+    val r = ClickHouseSql.sql(spark,
+      """SELECT minIf(v, s = 'nope') AS none_min,
+        |       maxIf(v, v > 15) AS big_max,
+        |       uniqUpTo(1)(s) AS capped,
+        |       uniqUpTo(9)(s) AS exact,
+        |       groupBitOr(v) AS bits_or,
+        |       groupBitAnd(v) AS bits_and,
+        |       groupBitXor(v) AS bits_xor
+        |FROM chf""".stripMargin).head()
+    assert(r.isNullAt(0), r)
+    assert(r.getLong(1) == 50L, r)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 5L, r)
+    // v ∈ {10, 20, 30, 5, 50}: OR = 63, AND = 0, XOR = 10^20^30^5^50 = 55.
+    assert(r.getLong(4) == 63L && r.getLong(5) == 0L && r.getLong(6) == 55L, r)
+  }
+
+  test("execution: WITH TOTALS appends the all-rows total as a NULL-keyed row") {
+    fixture()
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, sumIf(v, v > 0) AS tot FROM chf GROUP BY k WITH TOTALS ORDER BY k")
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((-1L, 115L), (1L, 60L), (2L, 55L)), rows)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
