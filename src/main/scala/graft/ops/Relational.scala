@@ -1774,4 +1774,33 @@ object Relational {
         |GROUP BY funnel_level
         |ORDER BY funnel_level""".stripMargin)
   }
+
+  /** ClickHouse's OWN as-of spelling — `ASOF LEFT JOIN … ON key = key AND
+    * l_time >= r_time`, the inequality riding the ON clause as a conjunct
+    * (`GLOBAL` shard-distribution prefix included: it strips, being pure
+    * execution locality) — landing on the SAME native [[graft.plans
+    * .AsOfJoin]] kernel as the MATCH_CONDITION grammar: each purchase
+    * takes the latest not-after click of its user, unmatched purchases
+    * kept with a null match (143 of 1,981 at sf0.01 — the null-extension
+    * rows are non-vacuous). The oracle is DuckDB's own native `ASOF LEFT
+    * JOIN` in ITS conjunct spelling — the third independent-implementation
+    * cross-check of the as-of dialect, and the first on the left-outer
+    * form. Output reports the matched TIME (tie-invariant in both
+    * engines; DuckDB leaves equal-time tie IDs unspecified).
+    *
+    * Scale: identical movement to [[joinAsofNative]] — one hash exchange +
+    * sort per side, single merge pass, memory = per-key right history.
+    */
+  def sqlChAsof(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, unix_micros(ts) AS purchase_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS click_user, unix_micros(ts) AS click_us
+        |           FROM events WHERE event_type = 'click')
+        |SELECT purchase_id, user_id, purchase_us, click_us
+        |FROM p GLOBAL ASOF LEFT JOIN c
+        |  ON user_id = click_user AND purchase_us >= click_us
+        |ORDER BY purchase_id""".stripMargin)
+  }
 }

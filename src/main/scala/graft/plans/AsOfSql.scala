@@ -10,23 +10,36 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StructType, TimestampNTZType, TimestampType}
 
 /** SQL surface for the native as-of join ([[AsOfJoin]]): the `injectParser`
-  * seam. Grammar (DuckDB-compatible):
+  * seam. Grammar — BOTH of the public dialect spellings:
   *
   * {{{
+  * -- Snowflake/DuckDB MATCH_CONDITION form (TIEBREAK is this grammar's
+  * -- determinism extension):
   * SELECT ... FROM l ASOF JOIN r        ON l.k = r.k [AND ...] MATCH_CONDITION (l.t >= r.t) [TIEBREAK (r.c, ...)]
   * SELECT ... FROM l ASOF LEFT JOIN r   ON ...                 MATCH_CONDITION (...)
+  * -- DuckDB/ClickHouse ON-conjunct form: the inequality rides the ON
+  * -- clause directly (both engines' native spelling):
+  * SELECT ... FROM l ASOF JOIN r        ON l.k = r.k AND l.t >= r.t
+  * SELECT ... FROM l ASOF LEFT JOIN r   ON l.t >= r.t AND l.k = r.k
   * }}}
   *
-  * `ASOF JOIN` is INNER like DuckDB's (unmatched left rows drop);
-  * `ASOF LEFT JOIN` keeps them with null right columns (pandas
-  * `merge_asof`). `MATCH_CONDITION` accepts one `>=`/`<=`/`>`/`<`
-  * comparison whose greater side must be the LEFT time — backward as-of
-  * only, a forward request errors rather than silently flipping
-  * direction. The strict forms (`>`/`<`, DuckDB-compatible) match the
-  * latest STRICTLY-prior right row, excluding equal-time rows — pandas
+  * `ASOF JOIN` is INNER like DuckDB's and ClickHouse's (unmatched left
+  * rows drop); `ASOF LEFT JOIN` keeps them with null right columns
+  * (pandas `merge_asof`). The match condition accepts one
+  * `>=`/`<=`/`>`/`<` comparison whose greater side must be the LEFT
+  * time — backward as-of only, a forward request errors rather than
+  * silently flipping direction. In the ON-conjunct form the clause is
+  * split at depth-0 `AND`s (BETWEEN-aware) and must carry EXACTLY one
+  * inequality conjunct plus at least one key equality — zero or several
+  * inequalities, or a depth-0 `OR`, are named errors, never a guess.
+  * The strict forms (`>`/`<`) match the latest STRICTLY-prior right
+  * row, excluding equal-time rows — pandas
   * `merge_asof(allow_exact_matches=False)`. `TIEBREAK` names right-side
   * columns that break equal-time ties (max wins), making the match
-  * total-order deterministic like the DataFrame API.
+  * total-order deterministic like the DataFrame API; it belongs to the
+  * MATCH_CONDITION form (neither public dialect has tiebreaks in the
+  * ON-conjunct spelling). `ASOF JOIN ... USING` is a named error — the
+  * USING form hides which column carries the inequality.
   *
   * Mechanism — three pieces, each on a public extension seam:
   *
@@ -235,72 +248,201 @@ object AsOfSqlRewrite {
   private val AsofRe = java.util.regex.Pattern.compile(
     "(?i)\\bASOF\\s+(?:(LEFT|INNER)\\s+)?JOIN\\b")
 
-  private def rewriteOne(sql: String): String = {
-    val masked = mask(sql)
-    val m = AsofRe.matcher(masked)
-    if (!m.find()) return sql
-    val isLeft = m.group(1) != null && m.group(1).equalsIgnoreCase("LEFT")
-    val onIdx = findKeyword(masked, m.end(), "ON")
-    if (onIdx < 0) throw new IllegalArgumentException(
-      "as-of SQL: ASOF JOIN requires an ON clause")
-    val mcIdx = findKeyword(masked, onIdx + 2, "MATCH_CONDITION")
-    if (mcIdx < 0) throw new IllegalArgumentException(
-      "as-of SQL: ASOF JOIN requires MATCH_CONDITION (l_time >= r_time)")
-    val (mcStart, mcEnd, afterMc) = parenSpan(masked, mcIdx + "MATCH_CONDITION".length)
-    // One >=, <=, > or < at depth 0 inside MATCH_CONDITION; the greater
-    // side is the left (probe) time either way, and the one-char strict
-    // forms (DuckDB also accepts them) exclude equal-time rows. `<>` is
-    // skipped whole so it can't half-match as a strict `<`.
+  /** One `>=`, `<=`, `>` or `<` at depth 0 inside [from, until):
+    * (index, isGreater, isStrict, opLength); index −1 when none. The
+    * greater side is the left (probe) time either way, and the one-char
+    * strict forms (DuckDB also accepts them) exclude equal-time rows.
+    * `<>` is skipped whole so it can't half-match as a strict `<`.
+    */
+  private def findTimeCmp(masked: String, from: Int,
+      until: Int): (Int, Boolean, Boolean, Int) = {
     var cmpIdx = -1
     var cmpGe = true
     var cmpStrict = false
     var cmpLen = 2
     var depth = 0
-    var i = mcStart
-    while (i < mcEnd && cmpIdx < 0) {
+    var i = from
+    while (i < until && cmpIdx < 0) {
       val c = masked.charAt(i)
       if (c == '(') depth += 1
       else if (c == ')') depth -= 1
       else if (depth == 0 && (c == '>' || c == '<')) {
-        val nxt = if (i + 1 < mcEnd) masked.charAt(i + 1) else ' '
+        val nxt = if (i + 1 < until) masked.charAt(i + 1) else ' '
         if (nxt == '=') { cmpIdx = i; cmpGe = c == '>'; cmpStrict = false; cmpLen = 2 }
         else if (c == '<' && nxt == '>') i += 1 // inequality, not a direction
         else { cmpIdx = i; cmpGe = c == '>'; cmpStrict = true; cmpLen = 1 }
       }
       i += 1
     }
-    if (cmpIdx < 0) throw new IllegalArgumentException(
-      "as-of SQL: MATCH_CONDITION must be one 'l_time >= r_time' (or <=, >, <) comparison")
-    val (aTxt, bTxt) = (sql.substring(mcStart, cmpIdx).trim,
-      sql.substring(cmpIdx + cmpLen, mcEnd).trim)
-    val (ltTxt, rtTxt) = if (cmpGe) (aTxt, bTxt) else (bTxt, aTxt)
-    // Optional TIEBREAK (cols...) directly after MATCH_CONDITION's parens.
-    val tbKw = "TIEBREAK"
-    var afterClause = afterMc
-    var tbTxt: Option[String] = None
-    var k = afterMc
-    while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
-    if (masked.regionMatches(true, k, tbKw, 0, tbKw.length) &&
-        (k + tbKw.length >= masked.length || !isWordChar(masked.charAt(k + tbKw.length)))) {
-      val (tbStart, tbEnd, afterTb) = parenSpan(masked, k + tbKw.length)
-      tbTxt = Some(sql.substring(tbStart, tbEnd).trim)
-      afterClause = afterTb
+    (cmpIdx, cmpGe, cmpStrict, cmpLen)
+  }
+
+  /** Clause keywords that end an ON expression at depth 0. Join
+    * introducers (`LEFT`, `INNER`, `CROSS`, …) are NOT listed — `left`
+    * is also a function and an identifier — they end the clause only
+    * when [[JoinIntroRe]] confirms a JOIN follows.
+    */
+  private val OnEnders = Seq(
+    "MATCH_CONDITION", "WHERE", "GROUP", "HAVING", "QUALIFY", "ORDER",
+    "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+    "SETTINGS", "FORMAT", "USING")
+
+  private val JoinIntroRe = java.util.regex.Pattern.compile(
+    "(?i)(?:(?:GLOBAL|NATURAL|ANY|ALL|ASOF|SEMI|ANTI|INNER|LEFT|RIGHT|FULL|CROSS|OUTER)\\s+)*JOIN\\b")
+
+  /** End offset of the ON expression starting at `from`: the first
+    * depth-0 ender keyword or join introducer at a word boundary (a `.`
+    * before the word means a qualified name, not a keyword), a depth-0
+    * comma, the ')' closing the enclosing scope, or end-of-string.
+    */
+  private def onClauseEnd(masked: String, from: Int): Int = {
+    var i = from
+    var depth = 0
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth < 0) return i }
+      else if (c == ',' && depth == 0) return i
+      else if (depth == 0 && (i == 0 ||
+          (!isWordChar(masked.charAt(i - 1)) && masked.charAt(i - 1) != '.'))) {
+        if (OnEnders.exists(kw => masked.regionMatches(true, i, kw, 0, kw.length) &&
+            (i + kw.length >= masked.length || !isWordChar(masked.charAt(i + kw.length)))))
+          return i
+        val jm = JoinIntroRe.matcher(masked)
+        jm.region(i, masked.length)
+        if (jm.lookingAt()) return i
+      }
+      i += 1
     }
-    val base = if (isLeft) "graft_asof_match" else "graft_asof_match_inner"
-    val marker = (if (cmpStrict) base + "_strict" else base) +
-      s"($ltTxt, $rtTxt${tbTxt.map(t => s", $t").getOrElse("")})"
-    // NB: explicit substrings — scala.StringBuilder has no 3-arg
-    // CharSequence append; (s, a, b) would silently hit append(x: Any).
-    val sb = new StringBuilder
-    sb.append(sql.substring(0, m.start()))
-    sb.append("LEFT JOIN")
-    sb.append(sql.substring(m.end(), onIdx))
-    sb.append("ON (")
-    sb.append(sql.substring(onIdx + 2, mcIdx).trim)
-    sb.append(") AND ")
-    sb.append(marker)
-    sb.append(sql.substring(afterClause))
-    sb.toString
+    masked.length
+  }
+
+  /** Depth-0 conjunct split at `AND`, BETWEEN-aware (the `AND` inside
+    * `x BETWEEN a AND b` belongs to the BETWEEN). A depth-0 `OR` is a
+    * named error: an as-of ON clause must be a conjunction.
+    */
+  private def splitTopAnd(masked: String, from: Int, until: Int): Seq[(Int, Int)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = from
+    var depth = 0
+    var pendingBetween = 0
+    var i = from
+    while (i < until) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (i == 0 || !isWordChar(masked.charAt(i - 1)))) {
+        def word(kw: String): Boolean =
+          masked.regionMatches(true, i, kw, 0, kw.length) &&
+            (i + kw.length >= until || !isWordChar(masked.charAt(i + kw.length)))
+        if (word("BETWEEN")) pendingBetween += 1
+        else if (word("OR")) throw new IllegalArgumentException(
+          "as-of SQL: ASOF JOIN's ON clause must be a conjunction (AND of " +
+            "key equalities and one time inequality) — OR is not supported")
+        else if (word("AND")) {
+          if (pendingBetween > 0) pendingBetween -= 1
+          else { parts += ((start, i)); start = i + 3 }
+        }
+      }
+      i += 1
+    }
+    parts += ((start, until))
+    parts.toSeq
+  }
+
+  private def rewriteOne(sql: String): String = {
+    val masked = mask(sql)
+    val m = AsofRe.matcher(masked)
+    if (!m.find()) return sql
+    val isLeft = m.group(1) != null && m.group(1).equalsIgnoreCase("LEFT")
+    val onIdx = findKeyword(masked, m.end(), "ON")
+    val usingIdx = findKeyword(masked, m.end(), "USING")
+    if (usingIdx >= 0 && (onIdx < 0 || usingIdx < onIdx))
+      throw new IllegalArgumentException(
+        "as-of SQL: ASOF JOIN ... USING is not supported — the USING form " +
+          "hides which column carries the inequality; spell the ON form " +
+          "(ON l.k = r.k AND l.t >= r.t)")
+    if (onIdx < 0) throw new IllegalArgumentException(
+      "as-of SQL: ASOF JOIN requires an ON clause")
+    val onEnd = onClauseEnd(masked, onIdx + 2)
+    val hasMc = masked.regionMatches(true, onEnd, "MATCH_CONDITION", 0,
+      "MATCH_CONDITION".length)
+    // NB: explicit substrings throughout — scala.StringBuilder has no
+    // 3-arg CharSequence append; (s, a, b) would silently hit
+    // append(x: Any).
+    if (hasMc) {
+      val mcIdx = onEnd
+      val (mcStart, mcEnd, afterMc) = parenSpan(masked, mcIdx + "MATCH_CONDITION".length)
+      val (cmpIdx, cmpGe, cmpStrict, cmpLen) = findTimeCmp(masked, mcStart, mcEnd)
+      if (cmpIdx < 0) throw new IllegalArgumentException(
+        "as-of SQL: MATCH_CONDITION must be one 'l_time >= r_time' (or <=, >, <) comparison")
+      val (aTxt, bTxt) = (sql.substring(mcStart, cmpIdx).trim,
+        sql.substring(cmpIdx + cmpLen, mcEnd).trim)
+      val (ltTxt, rtTxt) = if (cmpGe) (aTxt, bTxt) else (bTxt, aTxt)
+      // Optional TIEBREAK (cols...) directly after MATCH_CONDITION's parens.
+      val tbKw = "TIEBREAK"
+      var afterClause = afterMc
+      var tbTxt: Option[String] = None
+      var k = afterMc
+      while (k < masked.length && masked.charAt(k).isWhitespace) k += 1
+      if (masked.regionMatches(true, k, tbKw, 0, tbKw.length) &&
+          (k + tbKw.length >= masked.length || !isWordChar(masked.charAt(k + tbKw.length)))) {
+        val (tbStart, tbEnd, afterTb) = parenSpan(masked, k + tbKw.length)
+        tbTxt = Some(sql.substring(tbStart, tbEnd).trim)
+        afterClause = afterTb
+      }
+      val base = if (isLeft) "graft_asof_match" else "graft_asof_match_inner"
+      val marker = (if (cmpStrict) base + "_strict" else base) +
+        s"($ltTxt, $rtTxt${tbTxt.map(t => s", $t").getOrElse("")})"
+      val sb = new StringBuilder
+      sb.append(sql.substring(0, m.start()))
+      sb.append("LEFT JOIN")
+      sb.append(sql.substring(m.end(), onIdx))
+      sb.append("ON (")
+      sb.append(sql.substring(onIdx + 2, mcIdx).trim)
+      sb.append(") AND ")
+      sb.append(marker)
+      sb.append(sql.substring(afterClause))
+      sb.toString
+    } else {
+      // ON-conjunct form (DuckDB's and ClickHouse's native spelling):
+      // the inequality is one of the ON clause's depth-0 conjuncts.
+      val conj = splitTopAnd(masked, onIdx + 2, onEnd)
+      val cls = conj.map { case (s0, e0) => (s0, e0, findTimeCmp(masked, s0, e0)) }
+      val ineqs = cls.filter(_._3._1 >= 0)
+      if (ineqs.isEmpty) throw new IllegalArgumentException(
+        "as-of SQL: ASOF JOIN requires MATCH_CONDITION (l_time >= r_time) " +
+          "or the inequality as an ON conjunct (the DuckDB/ClickHouse " +
+          "form: ON l.k = r.k AND l.t >= r.t)")
+      if (ineqs.length > 1) throw new IllegalArgumentException(
+        "as-of SQL: the ASOF JOIN ON clause must carry exactly ONE time " +
+          s"inequality conjunct, found ${ineqs.length}")
+      val equis = cls.filter(_._3._1 < 0)
+      if (equis.isEmpty) throw new IllegalArgumentException(
+        "as-of SQL: ASOF JOIN needs at least one equality key conjunct " +
+          "alongside the time inequality")
+      val (s0, e0, (cmpIdx, cmpGe, cmpStrict, cmpLen)) = ineqs.head
+      val (aTxt, bTxt) = (sql.substring(s0, cmpIdx).trim,
+        sql.substring(cmpIdx + cmpLen, e0).trim)
+      val (ltTxt, rtTxt) = if (cmpGe) (aTxt, bTxt) else (bTxt, aTxt)
+      val base = if (isLeft) "graft_asof_match" else "graft_asof_match_inner"
+      // Spliced fragments end on fresh lines so a trailing `--` comment
+      // inside one cannot swallow the generated text after it.
+      val marker = (if (cmpStrict) base + "_strict" else base) +
+        s"($ltTxt\n, $rtTxt\n)"
+      val sb = new StringBuilder
+      sb.append(sql.substring(0, m.start()))
+      sb.append("LEFT JOIN")
+      sb.append(sql.substring(m.end(), onIdx))
+      sb.append("ON (")
+      sb.append(equis.map { case (s1, e1, _) => sql.substring(s1, e1).trim }
+        .mkString("\n) AND ("))
+      sb.append("\n) AND ")
+      sb.append(marker)
+      sb.append("\n")
+      sb.append(sql.substring(onEnd))
+      sb.toString
+    }
   }
 }
 

@@ -108,6 +108,55 @@ object ClickHouseSqlRewrite {
     val d = rewriteLimitBy(sql, masked); if (d ne sql) return d
     val e = rewritePrewhere(sql, masked); if (e ne sql) return e
     val f = rewriteSettings(sql, masked); if (f ne sql) return f
+    val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
+    sql
+  }
+
+  // --------------------------- 7. join locality / strictness modifiers
+
+  // GLOBAL only before a join introducer: in ClickHouse it moves the
+  // right side to every shard — pure distribution, identical results —
+  // so it strips. (GLOBAL IN is NOT handled: `global IN (...)` is also
+  // a column named global, and a guess would silently change meaning.)
+  private val GlobalJoinRe = java.util.regex.Pattern.compile(
+    "(?i)\\bGLOBAL\\s+(?=(?:ANY|ALL|ASOF|SEMI|ANTI|INNER|LEFT|RIGHT|FULL|CROSS|JOIN)\\b)")
+  // ClickHouse's ALL strictness prefix is its JOIN default — strips.
+  // `UNION ALL` / `= ALL (subquery)` never precede a join introducer.
+  private val AllJoinRe = java.util.regex.Pattern.compile(
+    "(?i)\\bALL\\s+(?=(?:INNER|LEFT|RIGHT|FULL|JOIN)\\b)")
+  // ANY strictness in either word order (ClickHouse accepts both).
+  private val AnyJoinRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(?:ANY\\s+(?:INNER|LEFT|RIGHT|FULL)(?:\\s+OUTER)?\\s+JOIN|(?:INNER|LEFT|RIGHT|FULL)\\s+ANY\\s+JOIN|ANY\\s+JOIN)\\b")
+  private val SemiAntiRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(SEMI|ANTI)\\s+(LEFT|RIGHT)\\s+JOIN\\b")
+
+  /** ClickHouse's join modifiers: `GLOBAL` (shard distribution) and the
+    * `ALL` strictness default strip — result-identical; `SEMI LEFT` /
+    * `ANTI LEFT` (ClickHouse puts strictness first) normalize to Spark's
+    * `LEFT SEMI` / `LEFT ANTI`; `ANY` (one ARBITRARY match per key) and
+    * the right-sided semi/anti are NAMED errors — the first is not
+    * reproducible bit-exactly, the second has no Spark join type.
+    */
+  private def rewriteJoinModifiers(sql: String, masked: String): String = {
+    val any = AnyJoinRe.matcher(masked)
+    if (any.find()) throw new IllegalArgumentException(
+      "ClickHouse SQL: ANY JOIN picks one arbitrary match per key, which " +
+        "is not reproducible bit-exactly — use ASOF JOIN for " +
+        "latest-by-time or LIMIT 1 BY key with an ORDER BY for a " +
+        "deterministic pick")
+    val sa = SemiAntiRe.matcher(masked)
+    if (sa.find()) {
+      val strictness = sa.group(1).toUpperCase
+      if (sa.group(2).equalsIgnoreCase("RIGHT")) throw new IllegalArgumentException(
+        s"ClickHouse SQL: $strictness RIGHT JOIN has no Spark counterpart " +
+          s"— swap the join sides and use LEFT $strictness JOIN")
+      return sql.substring(0, sa.start()) + s"LEFT $strictness JOIN" +
+        sql.substring(sa.end())
+    }
+    val g = GlobalJoinRe.matcher(masked)
+    if (g.find()) return sql.substring(0, g.start()) + sql.substring(g.end())
+    val all = AllJoinRe.matcher(masked)
+    if (all.find()) return sql.substring(0, all.start()) + sql.substring(all.end())
     sql
   }
 

@@ -53,6 +53,47 @@ class AsOfSqlSpec extends SparkSpec {
       "graft_asof_match_strict(t.ts, q.ts, q.seq)", lt)
   }
 
+  test("rewrite: the ON-conjunct form (DuckDB/ClickHouse spelling) maps without MATCH_CONDITION") {
+    // Inequality last, >= — the canonical DuckDB/ClickHouse shape.
+    val out = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym AND t.ts >= q.ts WHERE t.x = 1")
+    assert(out == "SELECT * FROM t LEFT JOIN q ON (t.sym = q.sym\n) AND " +
+      "graft_asof_match_inner(t.ts\n, q.ts\n)\nWHERE t.x = 1", out)
+    // Inequality FIRST among the conjuncts, strict <, LEFT form: sides
+    // swap (greater side is the probe time) and keys keep their order.
+    val lt = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF LEFT JOIN q ON q.ts < t.ts AND t.sym = q.sym AND t.k2 = q.k2")
+    assert(lt == "SELECT * FROM t LEFT JOIN q ON (t.sym = q.sym\n) AND " +
+      "(t.k2 = q.k2\n) AND graft_asof_match_strict(t.ts\n, q.ts\n)\n", lt)
+    // BETWEEN's AND belongs to the BETWEEN, not the conjunct split.
+    val btw = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym AND q.b BETWEEN 1 AND 5 AND t.ts >= q.ts")
+    assert(btw.contains("(q.b BETWEEN 1 AND 5\n) AND graft_asof_match_inner(t.ts\n, q.ts\n)"), btw)
+    // LEFT the function is not LEFT the join introducer: the ON clause
+    // scan must not end at `left(...)`.
+    val fn = AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON left(t.sym, 2) = left(q.sym, 2) AND t.ts >= q.ts")
+    assert(fn.contains("ON (left(t.sym, 2) = left(q.sym, 2)\n) AND graft_asof_match_inner"), fn)
+  }
+
+  test("rewrite: ON-conjunct named errors — no inequality, two inequalities, OR, no keys, USING") {
+    val e0 = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym"))
+    assert(e0.getMessage.contains("ON conjunct"), e0.getMessage)
+    val e2 = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym AND t.ts >= q.ts AND t.v > q.v"))
+    assert(e2.getMessage.contains("exactly ONE"), e2.getMessage)
+    val eOr = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym OR t.ts >= q.ts"))
+    assert(eOr.getMessage.contains("OR"), eOr.getMessage)
+    val eKeys = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q ON t.ts >= q.ts"))
+    assert(eKeys.getMessage.contains("equality key"), eKeys.getMessage)
+    val eUsing = intercept[IllegalArgumentException](AsOfSqlRewrite(
+      "SELECT * FROM t ASOF JOIN q USING (sym, ts)"))
+    assert(eUsing.getMessage.contains("USING"), eUsing.getMessage)
+  }
+
   test("rewrite: missing MATCH_CONDITION or ON errors with an actionable message") {
     val e1 = intercept[IllegalArgumentException](AsOfSqlRewrite(
       "SELECT * FROM t ASOF JOIN q ON t.sym = q.sym"))

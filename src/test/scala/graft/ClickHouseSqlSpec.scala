@@ -423,6 +423,53 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(rows == Seq((-1L, 115L), (1L, 60L), (2L, 55L)), rows)
   }
 
+  test("rewrite: GLOBAL and ALL join modifiers strip; SEMI/ANTI normalize; ANY and right-sided forms are named errors") {
+    // GLOBAL moves the right side to every shard in ClickHouse — pure
+    // execution locality, identical results — so it strips.
+    assert(ClickHouseSqlRewrite("SELECT * FROM a GLOBAL LEFT JOIN b ON a.k = b.k")
+      == "SELECT * FROM a LEFT JOIN b ON a.k = b.k")
+    // ALL is ClickHouse's strictness DEFAULT — also a no-op.
+    assert(ClickHouseSqlRewrite("SELECT * FROM a ALL INNER JOIN b ON a.k = b.k")
+      == "SELECT * FROM a INNER JOIN b ON a.k = b.k")
+    // ClickHouse puts strictness first; Spark wants LEFT SEMI / LEFT ANTI.
+    assert(ClickHouseSqlRewrite("SELECT * FROM a SEMI LEFT JOIN b ON a.k = b.k")
+      == "SELECT * FROM a LEFT SEMI JOIN b ON a.k = b.k")
+    assert(ClickHouseSqlRewrite("SELECT * FROM a GLOBAL ANTI LEFT JOIN b ON a.k = b.k")
+      == "SELECT * FROM a LEFT ANTI JOIN b ON a.k = b.k")
+    // A column aliased `global` or a quantified `ANY (subquery)` is NOT
+    // a modifier — untouched.
+    val inert = "SELECT global FROM t WHERE x = ANY (SELECT y FROM u)"
+    assert(ClickHouseSqlRewrite(inert) == inert)
+    val any = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k"))
+    assert(any.getMessage.contains("arbitrary"), any.getMessage)
+    val anyRev = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT * FROM a LEFT ANY JOIN b ON a.k = b.k"))
+    assert(anyRev.getMessage.contains("arbitrary"), anyRev.getMessage)
+    val rightSemi = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT * FROM a SEMI RIGHT JOIN b ON a.k = b.k"))
+    assert(rightSemi.getMessage.contains("swap"), rightSemi.getMessage)
+  }
+
+  test("execution: ClickHouse ASOF LEFT JOIN with the ON-conjunct inequality lands on the native kernel") {
+    Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("u", "t", "pid").createOrReplaceTempView("cha_l")
+    Seq((1L, 90L, "c1"), (1L, 150L, "c2"), (3L, 10L, "c3"))
+      .toDF("cu", "ct", "cid").createOrReplaceTempView("cha_r")
+    val rows = ClickHouseSql.sql(spark,
+      """SELECT pid, cid FROM cha_l GLOBAL ASOF LEFT JOIN cha_r
+        |ON u = cu AND t >= ct ORDER BY pid""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-"))).toSeq
+    // p1 takes c1 (90 <= 100 < 150), p2 takes c2 (latest not-after), p3
+    // has no same-user click — kept with a null match (LEFT form).
+    assert(rows == Seq(("p1", "c1"), ("p2", "c2"), ("p3", "-")), rows)
+    // The bare (inner) form drops the unmatched probe.
+    val inner = ClickHouseSql.sql(spark,
+      "SELECT pid, cid FROM cha_l ASOF JOIN cha_r ON u = cu AND t >= ct ORDER BY pid")
+      .collect().map(_.getString(0)).toSeq
+    assert(inner == Seq("p1", "p2"), inner)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
