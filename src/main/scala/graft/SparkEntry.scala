@@ -421,6 +421,7 @@ object SparkEntry {
     "sql_asof_join" -> (Relational.sqlAsofJoin _),
     "sql_asof_join_strict" -> (Relational.sqlAsofJoinStrict _),
     "sql_ch_asof" -> (Relational.sqlChAsof _),
+    "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1027,6 +1028,10 @@ object SparkEntry {
     // independent implementation of the query's exact surface form.
     "sql_ch_asof" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT user_id AS click_user, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click') SELECT purchase_id, user_id, purchase_us, click_us FROM p ASOF LEFT JOIN c ON user_id = click_user AND purchase_us >= click_us ORDER BY purchase_id""",
+    // WITH FILL replayed explicitly: generate_series over the result's
+    // min/max, anti-join away the present days, zero-fill the rest.
+    "sql_ch_with_fill" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_hi, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events WHERE event_type = 'purchase' AND value > 180 GROUP BY 1), b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b), f AS (SELECT day, CAST(0 AS BIGINT) AS n_hi, CAST(0 AS BIGINT) AS n_users FROM s WHERE day NOT IN (SELECT day FROM d)) SELECT day, n_hi, n_users FROM d UNION ALL SELECT day, n_hi, n_users FROM f ORDER BY day""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
     "events_bot_detect" ->

@@ -1803,4 +1803,28 @@ object Relational {
         |  ON user_id = click_user AND purchase_us >= click_us
         |ORDER BY purchase_id""".stripMargin)
   }
+
+  /** ClickHouse's `ORDER BY … WITH FILL` — the dashboard-query
+    * gap-filler: daily high-value purchase counts with the EMPTY days
+    * present as zero rows (6 of 29 days at sf0.01 — the generated rows
+    * are non-vacuous). The clause strips textually and the fill runs as
+    * a DataFrame post-step over the result schema
+    * ([[graft.plans.ClickHouseWithFill]]): candidates are a generated
+    * arithmetic progression over the result's min/max (FROM/TO/STEP when
+    * given), the anti join moves only the distinct key set, generated
+    * rows take ClickHouse type defaults (0 here), and payload rows are
+    * never reshuffled.
+    */
+  def sqlChWithFill(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT intDiv(toUnixTimestamp(ts), 86400) AS day,
+        |  toInt64(count(*)) AS n_hi,
+        |  uniqExact(user_id) AS n_users
+        |FROM events
+        |PREWHERE event_type = 'purchase'
+        |WHERE value > 180
+        |GROUP BY day
+        |ORDER BY day WITH FILL""".stripMargin)
+  }
 }

@@ -102,6 +102,17 @@ object ClickHouseSqlRewrite {
   private def rewriteOne(sql: String): String = {
     val masked = mask(sql)
     failOnTableModifiers(masked)
+    // WITH FILL needs the result SCHEMA (generated rows take type
+    // defaults in the other columns), which a text rewrite cannot know.
+    // ClickHouseSql.sql peels the clause off BEFORE this rewrite and
+    // applies it as a DataFrame post-step; reaching here means the
+    // purely-textual path (an extension-session statement), where the
+    // honest answer is a pointer, not a guess.
+    if (ClickHouseWithFill.detect(masked).isDefined)
+      throw new IllegalArgumentException(
+        "ClickHouse SQL: ORDER BY ... WITH FILL is only supported through " +
+          "graft.plans.ClickHouseSql.sql (the fill is a whole-result step " +
+          "needing the output schema)")
     val a = rewriteParamAgg(sql, masked); if (a ne sql) return a
     val b = rewriteWithTotals(sql, masked); if (b ne sql) return b
     val c = rewriteQualify(sql, masked); if (c ne sql) return c
@@ -980,6 +991,9 @@ object ClickHouseFunctions {
         ElementAt(
           SortArray(CollectList(x).toAggregateExpression(), Literal(true)),
           clamped, failOnError = false) }),
+    ("intDiv", "intDiv(a, b) - integer division rounding toward zero (the stock `div` operator)",
+      es => { require(es.length == 2, "intDiv(a, b)")
+        IntegralDivide(es(0), es(1)) }),
     ("toInt64", "toInt64(x) - cast to BIGINT", cast(LongType)),
     ("toInt32", "toInt32(x) - cast to INT", cast(IntegerType)),
     ("toUInt32", "toUInt32(x) - cast to BIGINT (covers the UInt32 range)", cast(LongType)),
@@ -1040,6 +1054,188 @@ object ClickHouseFunctions {
   }
 }
 
+/** ClickHouse's `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` —
+  * gap-filling over an arithmetic progression. The clause is parsed and
+  * STRIPPED textually, but the fill itself is a DataFrame post-step in
+  * [[ClickHouseSql.sql]]: generated rows need the result SCHEMA (every
+  * other column takes its ClickHouse type default — 0, '', false, epoch
+  * — which a text rewrite cannot know), so the purely-textual extension
+  * path raises a named error pointing here instead of guessing.
+  *
+  * Supported subset, every exclusion a NAMED error (never a silent
+  * semantic change): one ascending sort key that is a NAMED OUTPUT
+  * COLUMN of integral type; literal integer bounds (`FROM` inclusive,
+  * `TO` exclusive, as ClickHouse); positive literal `STEP` (default 1);
+  * the clause must end the statement (a trailing LIMIT would otherwise
+  * apply after the fill — put it in an outer query); no INTERPOLATE; no
+  * DESC; outer query only. Omitted FROM/TO derive from the result's
+  * min/max — only interior holes fill.
+  *
+  * Scale: the bounds are a 1-row aggregate, candidates are a generated
+  * sequence, and the anti join moves only the DISTINCT key set — the
+  * result's payload rows are never reshuffled (union is exchange-free);
+  * the final sort is the query's own ORDER BY.
+  */
+object ClickHouseWithFill {
+  import AsOfSqlRewrite.{isWordChar, mask}
+
+  final case class FillSpec(column: String, from: Option[Long],
+      to: Option[Long], step: Long)
+
+  private val FillRe = java.util.regex.Pattern.compile(
+    "(?i)\\bWITH\\s+FILL\\b")
+  private val IdentRe = java.util.regex.Pattern.compile(
+    "[A-Za-z_][A-Za-z0-9_]*")
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("ClickHouse SQL: " + msg)
+
+  /** True when the statement carries a WITH FILL clause (vs a CTE or
+    * column that merely spells `fill`): a depth-0 `ORDER` keyword
+    * precedes the match. Depth >0 (subquery) is a named error — the fill
+    * is a whole-result post-step.
+    */
+  def detect(masked: String): Option[Int] = {
+    val m = FillRe.matcher(masked)
+    while (m.find()) {
+      var depth = 0
+      var lastOrder = -1
+      var i = 0
+      while (i < m.start()) {
+        val c = masked.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (masked.regionMatches(true, i, "ORDER", 0, 5) &&
+            (i == 0 || !isWordChar(masked.charAt(i - 1))) &&
+            (i + 5 >= masked.length || !isWordChar(masked.charAt(i + 5)))) {
+          if (depth == 0) lastOrder = i
+        }
+        i += 1
+      }
+      if (lastOrder >= 0 && depth == 0) return Some(lastOrder)
+      if (lastOrder >= 0 || depth > 0) fail(
+        "WITH FILL inside a subquery is not supported — the fill is a " +
+          "whole-result step; apply it in the outer query")
+      // No preceding ORDER BY at any depth: `WITH fill AS (...)` — not
+      // the clause. Keep scanning (a real fill may follow).
+    }
+    None
+  }
+
+  /** Parse and strip the clause: (sql without `ORDER BY … WITH FILL …`,
+    * fill spec). The ORDER BY is removed wholesale — [[apply]] re-sorts
+    * after the union.
+    */
+  def extract(sql: String): (String, Option[FillSpec]) = {
+    val masked = mask(sql)
+    val orderIdx = detect(masked) match {
+      case None => return (sql, None)
+      case Some(i) => i
+    }
+    if (java.util.regex.Pattern.compile("(?i)\\bINTERPOLATE\\b")
+        .matcher(masked).find()) fail(
+      "WITH FILL INTERPOLATE is not supported — compute the carried " +
+        "columns with a window over the filled result")
+    // The match detect() validated: the first one AFTER its ORDER BY (an
+    // earlier `WITH fill AS (...)` CTE regex hit must not shadow it).
+    val m = FillRe.matcher(masked)
+    while (m.find() && m.start() < orderIdx) ()
+    val byIdx = AsOfSqlRewrite.findKeyword(masked, orderIdx + 5, "BY")
+    if (byIdx < 0 || byIdx > m.start()) fail("WITH FILL requires ORDER BY")
+    val itemTxt = sql.substring(byIdx + 2, m.start()).trim
+    if (itemTxt.contains(",")) fail(
+      "WITH FILL supports exactly one sort key — fill one dimension and " +
+        "join the rest")
+    val (expr, mods) = {
+      val up = itemTxt.toUpperCase
+      if (up.endsWith(" DESC")) fail(
+        "WITH FILL DESC is not supported — fill ascending and sort in an " +
+          "outer query")
+      if (up.endsWith(" ASC")) (itemTxt.dropRight(4).trim, "ASC")
+      else (itemTxt, "")
+    }
+    if (!IdentRe.matcher(expr).matches()) fail(
+      s"the WITH FILL key must be a named output column, got: $expr — " +
+        "alias the expression in the select list")
+    // Options: FROM / TO / STEP, each a literal integer, in order.
+    var i = m.end()
+    def skipWs(): Unit = { while (i < masked.length && masked.charAt(i).isWhitespace) i += 1 }
+    def word(kw: String): Boolean = {
+      skipWs()
+      masked.regionMatches(true, i, kw, 0, kw.length) &&
+        (i + kw.length >= masked.length || !isWordChar(masked.charAt(i + kw.length)))
+    }
+    def long(what: String): Long = {
+      skipWs()
+      val s = i
+      if (i < masked.length && (masked.charAt(i) == '-' || masked.charAt(i) == '+')) i += 1
+      while (i < masked.length && masked.charAt(i).isDigit) i += 1
+      if (i == s || (i == s + 1 && !masked.charAt(s).isDigit)) fail(
+        s"WITH FILL $what must be a literal integer")
+      sql.substring(s, i).toLong
+    }
+    var from: Option[Long] = None
+    var to: Option[Long] = None
+    var step = 1L
+    if (word("FROM")) { i += 4; from = Some(long("FROM")) }
+    if (word("TO")) { i += 2; to = Some(long("TO")) }
+    if (word("STEP")) { i += 4; step = long("STEP") }
+    if (step <= 0) fail("WITH FILL STEP must be a positive integer")
+    skipWs()
+    if (i < masked.length) fail(
+      "WITH FILL must end the statement (found trailing text: " +
+        sql.substring(i).trim.take(30) + " …) — a LIMIT would apply " +
+        "AFTER the fill; put it in an outer query")
+    (sql.substring(0, orderIdx), Some(FillSpec(expr, from, to, step)))
+  }
+
+  /** The fill itself: candidates = the arithmetic progression over
+    * [from|min, to-1|max] by step; missing = candidates anti-joined
+    * against the result's distinct keys; generated rows take ClickHouse
+    * type defaults in every other column (0 / '' / false / epoch;
+    * non-scalar types take NULL, documented divergence); result = union,
+    * sorted by the fill key.
+    */
+  def apply(df: DataFrame, spec: FillSpec): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val field = df.schema.fields.find(_.name == spec.column).getOrElse(fail(
+      s"the WITH FILL key ${spec.column} is not an output column of the query"))
+    field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => fail(
+        s"the WITH FILL key must be integral, got $other — fill over an " +
+          "epoch-day/epoch-second integer and convert in an outer query")
+    }
+    val key = col(spec.column).cast(LongType)
+    val bounds = df.agg(min(key).as("__dlo"), max(key).as("__dhi"))
+      .select(
+        spec.from.map(lit(_)).getOrElse(col("__dlo")).as("__lo"),
+        spec.to.map(t => lit(t - 1)).getOrElse(col("__dhi")).as("__hi"))
+    val cand = bounds
+      .where(col("__lo").isNotNull && col("__hi").isNotNull &&
+        col("__lo") <= col("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"), lit(spec.step)))
+        .as("__graft_fill_v"))
+    val missing = cand.join(
+      df.select(key.as("__graft_fill_v")).distinct(),
+      Seq("__graft_fill_v"), "left_anti")
+    def chDefault(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case _: NumericType => lit(0).cast(dt)
+      case StringType => lit("")
+      case BooleanType => lit(false)
+      case DateType => to_date(lit("1970-01-01"))
+      case TimestampType | TimestampNTZType =>
+        lit("1970-01-01 00:00:00").cast(dt)
+      case other => lit(null).cast(other)
+    }
+    val fills = missing.select(df.schema.fields.toSeq.map { f =>
+      if (f.name == spec.column) col("__graft_fill_v").cast(f.dataType).as(f.name)
+      else chDefault(f.dataType).as(f.name)
+    }: _*)
+    df.unionByName(fills).orderBy(col(spec.column))
+  }
+}
+
 /** Run a ClickHouse-dialect SQL statement on ANY session — the
   * vanilla-session twin of the `GraftExtensions` wiring (where plain
   * `spark.sql` understands the dialect for any statement the stock
@@ -1049,11 +1245,15 @@ object ClickHouseFunctions {
   * [[ClickHouseFunctions.register]] supplies the function names (never
   * replacing an existing registration — see its scaladoc), and the
   * statement then also flows through [[AsOfSqlRewrite]] so ASOF clauses
-  * keep working inside ported queries.
+  * keep working inside ported queries. `WITH FILL` peels off first —
+  * it is a DataFrame post-step ([[ClickHouseWithFill]]), the one clause
+  * whose semantics need the result schema.
   */
 object ClickHouseSql {
   def sql(spark: SparkSession, chSql: String): DataFrame = {
     ClickHouseFunctions.register(spark)
-    org.apache.spark.sql.graft.AsOf.sql(spark, ClickHouseSqlRewrite(chSql))
+    val (core, fill) = ClickHouseWithFill.extract(chSql)
+    val df = org.apache.spark.sql.graft.AsOf.sql(spark, ClickHouseSqlRewrite(core))
+    fill.fold(df)(ClickHouseWithFill.apply(df, _))
   }
 }

@@ -470,6 +470,65 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(inner == Seq("p1", "p2"), inner)
   }
 
+  test("rewrite: WITH FILL extracts its spec and strips the ORDER BY; a CTE named fill is untouched") {
+    import graft.plans.ClickHouseWithFill
+    val (core, spec) = ClickHouseWithFill.extract(
+      "SELECT k, count(*) AS n FROM t GROUP BY k ORDER BY k WITH FILL FROM -2 TO 10 STEP 2")
+    assert(core == "SELECT k, count(*) AS n FROM t GROUP BY k ", core)
+    assert(spec.contains(ClickHouseWithFill.FillSpec("k", Some(-2L), Some(10L), 2L)), spec)
+    // Defaults: no bounds, step 1; trailing ASC allowed.
+    val (_, s2) = ClickHouseWithFill.extract(
+      "SELECT k FROM t ORDER BY k ASC WITH FILL")
+    assert(s2.contains(ClickHouseWithFill.FillSpec("k", None, None, 1L)), s2)
+    // A CTE merely NAMED fill is not the clause.
+    val cte = "WITH fill AS (SELECT 1 AS x) SELECT x FROM fill"
+    val (c3, s3) = ClickHouseWithFill.extract(cte)
+    assert(c3 == cte && s3.isEmpty)
+    // ... and a CTE named fill does not shadow a REAL fill after it.
+    val (c4, s4) = ClickHouseWithFill.extract(
+      "WITH fill AS (SELECT 1 AS k) SELECT k FROM fill ORDER BY k WITH FILL")
+    assert(c4 == "WITH fill AS (SELECT 1 AS k) SELECT k FROM fill " &&
+      s4.contains(ClickHouseWithFill.FillSpec("k", None, None, 1L)), (c4, s4))
+  }
+
+  test("rewrite: WITH FILL named errors — DESC, multi-key, trailing LIMIT, expression keys, subquery, INTERPOLATE, textual path") {
+    import graft.plans.ClickHouseWithFill
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](ClickHouseWithFill.extract(sql)).getMessage
+    assert(err("SELECT k FROM t ORDER BY k DESC WITH FILL").contains("DESC"))
+    assert(err("SELECT k, v FROM t ORDER BY k, v WITH FILL").contains("one sort key"))
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL LIMIT 5").contains("outer query"))
+    assert(err("SELECT k FROM t ORDER BY k + 1 WITH FILL").contains("named output column"))
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL FROM lo").contains("literal integer"))
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL STEP 0").contains("positive"))
+    assert(err("SELECT * FROM (SELECT k FROM t ORDER BY k WITH FILL) q").contains("subquery"))
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v)").contains("INTERPOLATE"))
+    // The purely-textual path (extension sessions) points at the entry
+    // that can run the post-step instead of guessing.
+    val e = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT k FROM t ORDER BY k WITH FILL"))
+    assert(e.getMessage.contains("ClickHouseSql.sql"), e.getMessage)
+  }
+
+  test("execution: WITH FILL generates the missing steps with ClickHouse type defaults") {
+    Seq((0L, "a", 10L), (4L, "b", 20L), (9L, "c", 30L))
+      .toDF("k", "s", "v").createOrReplaceTempView("chfill")
+    // FROM/TO/STEP bounds: 0,2,4,6,8 (TO is exclusive); 0 and 4 exist,
+    // 9 is off-step and outside [0,10) progression gaps — it stays as a
+    // REAL row; generated rows take 0 / '' defaults.
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, s, v FROM chfill ORDER BY k WITH FILL FROM 0 TO 10 STEP 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (0L, "a", 10L), (2L, "", 0L), (4L, "b", 20L), (6L, "", 0L),
+      (8L, "", 0L), (9L, "c", 30L)), rows)
+    // Derived bounds: only interior holes fill.
+    val derived = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM chfill WHERE k <= 4 ORDER BY k WITH FILL")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(derived == Seq((0L, 10L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 20L)), derived)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
