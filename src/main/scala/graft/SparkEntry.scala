@@ -422,6 +422,7 @@ object SparkEntry {
     "sql_asof_join_strict" -> (Relational.sqlAsofJoinStrict _),
     "sql_ch_asof" -> (Relational.sqlChAsof _),
     "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
+    "sql_ch_topk" -> (Relational.sqlChTopk _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1028,6 +1029,10 @@ object SparkEntry {
     // independent implementation of the query's exact surface form.
     "sql_ch_asof" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us FROM events WHERE event_type = 'purchase'), c AS (SELECT user_id AS click_user, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click') SELECT purchase_id, user_id, purchase_us, click_us FROM p ASOF LEFT JOIN c ON user_id = click_user AND purchase_us >= click_us ORDER BY purchase_id""",
+    // topK replayed exactly: rank values by (count desc, value asc) per
+    // group, keep the top 3 in rank order; sumMap as key-ordered lists.
+    "sql_ch_topk" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
     // WITH FILL replayed explicitly: generate_series over the result's
     // min/max, anti-join away the present days, zero-fill the rest.
     "sql_ch_with_fill" ->

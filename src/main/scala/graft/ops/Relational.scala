@@ -1827,4 +1827,29 @@ object Relational {
         |GROUP BY day
         |ORDER BY day WITH FILL""".stripMargin)
   }
+
+  /** ClickHouse's heavy-hitter and map aggregates: `topK(3)(x)` — mapped
+    * to EXACT top-3-by-frequency with a deterministic tiebreak (count
+    * desc, value asc; ClickHouse's is approximate SpaceSaving — the same
+    * exact-beats-approx stance as `uniqExact`, documented) — and
+    * `sumMap(k, v)` — the sorted-keys / per-key-sums pair of parallel
+    * arrays. Arrays serialize to strings for the oracle diff. One
+    * group-keyed map-side-combined shuffle; the array work rides the
+    * aggregate finishers.
+    */
+  def sqlChTopk(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT l_returnflag,
+        |  concat_ws(',', arrayMap(x -> toString(x), tq)) AS top_q,
+        |  concat_ws(',', sm.keys) AS sm_keys,
+        |  concat_ws(',', arrayMap(x -> toString(x), sm.values)) AS sm_vals
+        |FROM (
+        |  SELECT l_returnflag,
+        |    topK(3)(toInt64(l_quantity)) AS tq,
+        |    sumMap(l_linestatus, toInt64(l_quantity)) AS sm
+        |  FROM lineitem
+        |  GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin)
+  }
 }

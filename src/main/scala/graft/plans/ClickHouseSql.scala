@@ -407,7 +407,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo|topK)\\s*\\(")
 
   /** `sequenceMatch('(?1).*(?2)…')` subset: `(?N)` refs separated by
     * `.*` (leading/trailing `.*` are no-ops and stripped). That form is
@@ -495,6 +495,12 @@ object ClickHouseSqlRewrite {
               throw new IllegalArgumentException(
                 "ClickHouse SQL: uniqUpTo takes exactly one parameter N")
             s"least(count(DISTINCT $args\n), ($params\n) + 1)"
+          case "topk" =>
+            if (splitItems(masked, pStart, pEnd).length != 1)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: topK takes exactly one parameter N " +
+                  "(load_factor/counts options are not supported)")
+            s"graft_ch_topk($params\n, $args\n)"
           case "quantileexactinclusive" => s"percentile($args\n, $params\n)"
           case "quantilesexactinclusive" => s"percentile($args\n, array($params\n))"
           case "quantile" => s"approx_percentile($args\n, $params\n)"
@@ -972,6 +978,61 @@ object ClickHouseFunctions {
             countWhere(arr, Seq(x), Not(EqualTo(x, Literal(0))))
           case _ => throw new IllegalArgumentException("arrayCount([func,] arr)")
         }
+      }),
+    // ClickHouse's topK is APPROXIMATE (SpaceSaving); this engine's
+    // mapping is EXACT top-N-by-frequency with a deterministic tiebreak
+    // (count desc, then value asc) — the same exact-beats-approx stance
+    // as uniqExact, documented rather than silently different. Cost: the
+    // group's values buffer once (the groupArray cost class) and the
+    // finisher is O(distinct · n) per group — fine for the
+    // low-cardinality columns topK is pointed at; for heavy-hitter
+    // mining over high-cardinality keys use a two-level GROUP BY.
+    ("graft_ch_topk",
+      "graft_ch_topk(n, x) - ClickHouse topK(n)(x): the n most frequent values, count desc then value asc (exact, deterministic)",
+      es => {
+        require(es.length == 2, "graft_ch_topk(n, x)")
+        val arr = new Flatten(CollectList(
+          ArrayFilter(CreateArray(Seq(es(1))), lam1(IsNotNull)))
+          .toAggregateExpression())
+        val e1 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+        val counted = ArrayTransform(ArrayDistinct(arr), lam1(v =>
+          CreateNamedStruct(Seq(
+            Literal("negc"), UnaryMinus(Cast(new Size(ArrayFilter(arr,
+              LambdaFunction(EqualTo(e1, v), Seq(e1)))), LongType)),
+            Literal("v"), v))))
+        ArrayTransform(
+          Slice(new SortArray(counted), Literal(1), Cast(es.head, IntegerType)),
+          lam1(s => UnresolvedExtractValue(s, Literal("v"))))
+      }),
+    // sumMap returns ClickHouse's pair of parallel arrays as a struct
+    // (keys sorted ascending, values the per-key sums); value sums are
+    // BIGINT (pass integer-scaled inputs for exactness, the repo's
+    // integer-micro discipline). Null keys drop, as in ClickHouse's
+    // Map-flavored aggregates.
+    ("sumMap",
+      "sumMap(k, v) - struct(keys, values): sorted distinct keys and the per-key BIGINT sums",
+      es => {
+        require(es.length == 2, "sumMap(k, v)")
+        val pair = CreateNamedStruct(Seq(
+          Literal("k"), es(0), Literal("v"), Cast(es(1), LongType)))
+        val pairs = new Flatten(CollectList(
+          ArrayFilter(CreateArray(Seq(pair)), lam1(p =>
+            IsNotNull(UnresolvedExtractValue(p, Literal("k"))))))
+          .toAggregateExpression())
+        val keys = new SortArray(ArrayDistinct(ArrayTransform(pairs,
+          lam1(p => UnresolvedExtractValue(p, Literal("k"))))))
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_acc"))
+        val p2 = UnresolvedNamedLambdaVariable(Seq("__graft_p"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        val vals = ArrayTransform(keys, lam1(key =>
+          ArrayAggregate(pairs, Literal(0L),
+            LambdaFunction(
+              If(EqualTo(UnresolvedExtractValue(p2, Literal("k")), key),
+                Add(acc, UnresolvedExtractValue(p2, Literal("v"))), acc),
+              Seq(acc, p2)),
+            LambdaFunction(fin, Seq(fin)))))
+        CreateNamedStruct(Seq(
+          Literal("keys"), keys, Literal("values"), vals))
       }),
     ("arraySort", "arraySort(arr) - ascending sort, nulls LAST (the ClickHouse placement; Spark's sort_array puts them first, hence the split)",
       es => { require(es.length == 1,

@@ -529,6 +529,31 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(derived == Seq((0L, 10L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 20L)), derived)
   }
 
+  test("execution: topK is exact top-N by frequency with a deterministic tiebreak; sumMap pairs sorted keys with sums") {
+    assert(ClickHouseSqlRewrite("SELECT topK(3)(x) FROM t GROUP BY k")
+      == "SELECT graft_ch_topk(3\n, x\n) FROM t GROUP BY k")
+    val opts = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT topK(3, 10)(x) FROM t"))
+    assert(opts.getMessage.contains("load_factor"), opts.getMessage)
+    // frequencies: 7×3, 5×2, 9×2, 2×1 — top 3 = 7 (most frequent), then
+    // the 5-vs-9 tie at count 2 broken by VALUE asc, then 9. One null
+    // drops. sumMap: keys sorted, per-key sums.
+    Seq(Some(7L), Some(7L), Some(7L), Some(5L), Some(5L), Some(9L),
+        Some(9L), Some(2L), None)
+      .toDF("x").createOrReplaceTempView("chtk")
+    val r = ClickHouseSql.sql(spark,
+      "SELECT topK(3)(x) AS top3, topK(100)(x) AS all_ranked FROM chtk").head()
+    assert(r.getSeq[Long](0) == Seq(7L, 5L, 9L), r)
+    assert(r.getSeq[Long](1) == Seq(7L, 5L, 9L, 2L), r)
+    Seq(("a", 10L), ("b", 5L), ("a", 1L), ("c", 2L), ("b", 5L))
+      .toDF("k", "v").createOrReplaceTempView("chsm")
+    val sm = ClickHouseSql.sql(spark,
+      "SELECT sm.keys AS ks, sm.values AS vs FROM " +
+        "(SELECT sumMap(k, v) AS sm FROM chsm)").head()
+    assert(sm.getSeq[String](0) == Seq("a", "b", "c"), sm)
+    assert(sm.getSeq[Long](1) == Seq(11L, 10L, 2L), sm)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
