@@ -423,6 +423,7 @@ object SparkEntry {
     "sql_ch_asof" -> (Relational.sqlChAsof _),
     "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
     "sql_ch_topk" -> (Relational.sqlChTopk _),
+    "sql_ch_array_join" -> (Relational.sqlChArrayJoin _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1033,6 +1034,11 @@ object SparkEntry {
     // group, keep the top 3 in rank order; sumMap as key-ordered lists.
     "sql_ch_topk" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
+    // The zip leg is self-checking: tlen is computed BEFORE the zip on
+    // the Spark side, AFTER the unnest here — equal only if the zip is
+    // index-aligned.
+    "sql_ch_array_join" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), f AS (SELECT term, CAST(length(term) AS INTEGER) AS tlen, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2) SELECT term, tlen, n FROM f WHERE tlen >= 2 AND n >= 200 ORDER BY n DESC, term""",
     // WITH FILL replayed explicitly: generate_series over the result's
     // min/max, anti-join away the present days, zero-fill the rest.
     "sql_ch_with_fill" ->

@@ -1852,4 +1852,31 @@ object Relational {
         |  GROUP BY l_returnflag)
         |ORDER BY l_returnflag""".stripMargin)
   }
+
+  /** ClickHouse's `ARRAY JOIN` CLAUSE (the row-expansion workhorse of its
+    * custom queries — the clause form, not the `arrayJoin()` function
+    * already mapped): term frequencies over the documents corpus, with
+    * the MULTI-ARRAY ZIP form exercised — `ARRAY JOIN terms AS term,
+    * lens AS tlen` zips element-wise (ClickHouse semantics, NOT a
+    * cartesian; ragged arrays raise the same runtime error ClickHouse
+    * does). The rewrite lands on `LATERAL VIEW explode` / `inline ∘
+    * arrays_zip`, so Catalyst plans a stock Generate — no UDTF, column
+    * pruning intact. The zip is verifiable: tlen must equal
+    * length(term) on every row, which the oracle computes independently
+    * AFTER its own unnest.
+    */
+  def sqlChArrayJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("documents"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT term, tlen, toInt64(count(*)) AS n
+        |FROM (
+        |  SELECT splitByChar(' ', text) AS terms,
+        |         arrayMap(x -> length(x), splitByChar(' ', text)) AS lens
+        |  FROM documents)
+        |ARRAY JOIN terms AS term, lens AS tlen
+        |WHERE tlen >= 2
+        |GROUP BY term, tlen
+        |HAVING count(*) >= 200
+        |ORDER BY n DESC, term""".stripMargin)
+  }
 }

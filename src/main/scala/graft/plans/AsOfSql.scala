@@ -290,6 +290,16 @@ object AsOfSqlRewrite {
   private val JoinIntroRe = java.util.regex.Pattern.compile(
     "(?i)(?:(?:GLOBAL|NATURAL|ANY|ALL|ASOF|SEMI|ANTI|INNER|LEFT|RIGHT|FULL|CROSS|OUTER)\\s+)*JOIN\\b")
 
+  /** True when position `i` starts a join introducer (`JOIN`, or kind
+    * words followed by `JOIN` — so `left(x, 2)` the function never
+    * qualifies). The caller checks the word boundary before `i`.
+    */
+  private[plans] def isJoinIntro(masked: String, i: Int): Boolean = {
+    val jm = JoinIntroRe.matcher(masked)
+    jm.region(i, masked.length)
+    jm.lookingAt()
+  }
+
   /** End offset of the ON expression starting at `from`: the first
     * depth-0 ender keyword or join introducer at a word boundary (a `.`
     * before the word means a qualified name, not a keyword), a depth-0
@@ -308,9 +318,7 @@ object AsOfSqlRewrite {
         if (OnEnders.exists(kw => masked.regionMatches(true, i, kw, 0, kw.length) &&
             (i + kw.length >= masked.length || !isWordChar(masked.charAt(i + kw.length)))))
           return i
-        val jm = JoinIntroRe.matcher(masked)
-        jm.region(i, masked.length)
-        if (jm.lookingAt()) return i
+        if (isJoinIntro(masked, i)) return i
       }
       i += 1
     }

@@ -120,7 +120,73 @@ object ClickHouseSqlRewrite {
     val e = rewritePrewhere(sql, masked); if (e ne sql) return e
     val f = rewriteSettings(sql, masked); if (f ne sql) return f
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
+    val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     sql
+  }
+
+  // ----------------------------------------------------- 8. ARRAY JOIN
+
+  private val ArrayJoinRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(LEFT\\s+)?ARRAY\\s+JOIN\\b")
+  private val ItemAliasRe = java.util.regex.Pattern.compile(
+    "(?is)^(.*\\S)\\s+AS\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*$")
+
+  /** ClickHouse's `ARRAY JOIN arr AS x [, arr2 AS y]` clause → `LATERAL
+    * VIEW explode`. Multiple arrays ZIP element-wise (ClickHouse
+    * semantics, NOT a cartesian): they ride one `inline(arrays_zip(…))`
+    * guarded by a size-equality check that raises the same runtime error
+    * ClickHouse does on ragged arrays. The no-alias form (ClickHouse
+    * REPLACES the source column in place, which a textual rewrite cannot
+    * express without shadowing) and `LEFT ARRAY JOIN` (keeps empty-array
+    * rows with TYPE DEFAULTS the text cannot know) are named errors with
+    * the explicit spellings in the message.
+    */
+  private def rewriteArrayJoin(sql: String, masked: String): String = {
+    val m = ArrayJoinRe.matcher(masked)
+    if (!m.find()) return sql
+    if (m.group(1) != null) throw new IllegalArgumentException(
+      "ClickHouse SQL: LEFT ARRAY JOIN fills empty-array rows with type " +
+        "defaults this rewrite cannot know — make the default explicit: " +
+        "ARRAY JOIN if(empty(arr), [<default>], arr) AS x")
+    val end = clauseEnd(masked, m.end(),
+      Seq("PREWHERE", "WHERE", "GROUP", "HAVING", "QUALIFY") ++ ClauseEnders)
+    // A following join also ends the items (clauseEnd only knows clause
+    // keywords): cut at the first depth-0 join introducer.
+    var itemsEnd = end
+    var i = m.end()
+    var depth = 0
+    while (i < itemsEnd) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') depth -= 1
+      else if (depth == 0 && (i == 0 ||
+          (!isWordChar(masked.charAt(i - 1)) && masked.charAt(i - 1) != '.')) &&
+          AsOfSqlRewrite.isJoinIntro(masked, i)) { itemsEnd = i }
+      i += 1
+    }
+    val items = splitItems(masked, m.end(), itemsEnd).map { case (s0, e0) =>
+      val im = ItemAliasRe.matcher(masked.substring(s0, e0))
+      if (!im.matches()) throw new IllegalArgumentException(
+        "ClickHouse SQL: ARRAY JOIN items need an alias (the no-alias " +
+          "form replaces the source column in place, which this rewrite " +
+          "cannot express) — write ARRAY JOIN arr AS x")
+      (sql.substring(s0, s0 + im.end(1)).trim, im.group(2))
+    }
+    if (items.isEmpty) throw new IllegalArgumentException(
+      "ClickHouse SQL: ARRAY JOIN needs at least one array")
+    val repl =
+      if (items.length == 1)
+        s"LATERAL VIEW explode(${items.head._1}\n) __graft_aj AS ${items.head._2}"
+      else {
+        val exprs = items.map(_._1)
+        val sizeGuard = exprs.tail.map(e =>
+          s"size(${exprs.head}\n) = size($e\n)").mkString(" AND ")
+        s"LATERAL VIEW inline(CASE WHEN $sizeGuard THEN arrays_zip(" +
+          exprs.mkString("\n, ") + "\n) ELSE raise_error('ClickHouse SQL: " +
+          "ARRAY JOIN arrays must have equal sizes per row') END) " +
+          s"__graft_aj AS ${items.map(_._2).mkString(", ")}"
+      }
+    sql.substring(0, m.start()) + repl + " " + sql.substring(itemsEnd)
   }
 
   // --------------------------- 7. join locality / strictness modifiers

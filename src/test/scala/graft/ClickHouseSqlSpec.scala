@@ -554,6 +554,45 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(sm.getSeq[Long](1) == Seq(11L, 10L, 2L), sm)
   }
 
+  test("rewrite: ARRAY JOIN becomes LATERAL VIEW explode; the multi-array form zips with a size guard") {
+    assert(ClickHouseSqlRewrite("SELECT x FROM t ARRAY JOIN arr AS x WHERE x > 1")
+      == "SELECT x FROM t LATERAL VIEW explode(arr\n) __graft_aj AS x WHERE x > 1")
+    val zip = ClickHouseSqlRewrite("SELECT a, b FROM t ARRAY JOIN a1 AS a, a2 AS b GROUP BY a, b")
+    assert(zip.contains("LATERAL VIEW inline(CASE WHEN size(a1\n) = size(a2\n) " +
+      "THEN arrays_zip(a1\n, a2\n) ELSE raise_error("), zip)
+    assert(zip.contains("END) __graft_aj AS a, b GROUP BY a, b"), zip)
+    // A following JOIN ends the items; `CAST(x AS INT)`'s inner AS is
+    // not the item alias.
+    val j = ClickHouseSqlRewrite(
+      "SELECT * FROM t ARRAY JOIN arr AS x JOIN u ON t.k = u.k")
+    assert(j.contains("__graft_aj AS x JOIN u ON t.k = u.k"), j)
+    val cast = ClickHouseSqlRewrite(
+      "SELECT y FROM t ARRAY JOIN arrayMap(v -> CAST(v AS INT), arr) AS y")
+    assert(cast.contains(
+      "explode(arrayMap(v -> CAST(v AS INT), arr)\n) __graft_aj AS y"), cast)
+    val noAlias = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT arr FROM t ARRAY JOIN arr"))
+    assert(noAlias.getMessage.contains("alias"), noAlias.getMessage)
+    val left = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT x FROM t LEFT ARRAY JOIN arr AS x"))
+    assert(left.getMessage.contains("default"), left.getMessage)
+  }
+
+  test("execution: ARRAY JOIN zips parallel arrays element-wise and errors on ragged rows") {
+    Seq((1L, Seq("a", "b"), Seq(10, 20)), (2L, Seq("c"), Seq(30)))
+      .toDF("id", "ws", "ns").createOrReplaceTempView("chaj")
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT id, w, n FROM chaj ARRAY JOIN ws AS w, ns AS n ORDER BY id, w")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1L, "a", 10), (1L, "b", 20), (2L, "c", 30)), rows)
+    // Ragged arrays raise (ClickHouse's runtime behavior), never zip-pad.
+    Seq((1L, Seq("a", "b"), Seq(10))).toDF("id", "ws", "ns")
+      .createOrReplaceTempView("chaj_bad")
+    val e = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT w, n FROM chaj_bad ARRAY JOIN ws AS w, ns AS n").collect())
+    assert(e.getMessage.contains("equal sizes"), e.getMessage)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies

@@ -116,6 +116,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "the injected strategy must cover it — no experimental fallback")
       assert(asof.count() > 0)
 
+      // The injected PARSER accepts BOTH as-of spellings on plain
+      // spark.sql: Snowflake/DuckDB MATCH_CONDITION and the
+      // DuckDB/ClickHouse ON-conjunct form — same native plan.
+      purch.createOrReplaceTempView("ext_p")
+      clicks.createOrReplaceTempView("ext_c")
+      val conjunct = s.sql(
+        """SELECT pid, cid FROM ext_p ASOF JOIN ext_c
+          |ON user_id = cu AND pus >= cus""".stripMargin)
+      assert(conjunct.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
+        "the ON-conjunct ASOF spelling must plan the native operator")
+      assert(conjunct.count() > 0)
+
       // Negative control: the plain SQL names exist ONLY via the extensions —
       // helper registrations use parameter-suffixed names, so a vanilla
       // session must not resolve graft_minhash.
