@@ -593,6 +593,56 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("equal sizes"), e.getMessage)
   }
 
+  test("differential: windowFunnel agrees with a brute-force chain search on 300 random groups × 3 windows") {
+    // The fold keeps ONE chain start per level (greedy latest-start); the
+    // reference below is an EXPONENTIAL subsequence search over the same
+    // (t, step)-sorted entry list — an independent decision procedure for
+    // "does a level-k chain exist within w of its own start".
+    def brute(entries: Seq[(Long, Int)], k: Int, w: Long): Int = {
+      val sorted = entries.sorted
+      def exists(level: Int): Boolean = {
+        def dfs(pos: Int, nextStep: Int, start: Long): Boolean =
+          if (nextStep > level) true
+          else if (pos >= sorted.length) false
+          else {
+            val (t, s) = sorted(pos)
+            (s == nextStep && (nextStep == 1 || t - start <= w) &&
+              dfs(pos + 1, nextStep + 1, if (nextStep == 1) t else start)) ||
+              dfs(pos + 1, nextStep, start)
+          }
+        dfs(0, 1, 0L)
+      }
+      (k to 1 by -1).find(exists).getOrElse(0)
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val groups = (0 until 300).map { g =>
+      val n = rnd.nextInt(11)
+      val evs = (0 until n).map { _ =>
+        (rnd.nextInt(41).toLong,
+          rnd.nextDouble() < 0.4, rnd.nextDouble() < 0.4, rnd.nextDouble() < 0.4)
+      }
+      g.toLong -> evs
+    }
+    groups.flatMap { case (g, evs) =>
+      evs.map(e => (g, e._1, e._2, e._3, e._4))
+    }.toDF("g", "t", "c1", "c2", "c3").createOrReplaceTempView("chwf")
+    for (w <- Seq(0L, 3L, 10L)) {
+      val got = ClickHouseSql.sql(spark,
+        s"SELECT g, windowFunnel($w)(t, c1, c2, c3) AS lvl FROM chwf GROUP BY g")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      groups.foreach { case (g, evs) =>
+        if (evs.nonEmpty) {
+          val entries = evs.flatMap { case (t, c1, c2, c3) =>
+            Seq(c1 -> 1, c2 -> 2, c3 -> 3).collect { case (true, j) => (t, j) }
+          }
+          val want = brute(entries, 3, w)
+          assert(got(g) == want,
+            s"group $g w=$w: fold=${got(g)} brute=$want events=$evs")
+        }
+      }
+    }
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
