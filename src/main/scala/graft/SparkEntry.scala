@@ -424,6 +424,7 @@ object SparkEntry {
     "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
     "sql_ch_topk" -> (Relational.sqlChTopk _),
     "sql_ch_array_join" -> (Relational.sqlChArrayJoin _),
+    "sql_ch_scalars" -> (Relational.sqlChScalars _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1034,6 +1035,10 @@ object SparkEntry {
     // group, keep the top 3 in rank order; sumMap as key-ordered lists.
     "sql_ch_topk" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
+    // DuckDB list_position returns NULL for missing where ClickHouse's
+    // indexOf returns 0 — coalesced explicitly.
+    "sql_ch_scalars" ->
+      """SELECT doc_id, CAST(length(text) AS INTEGER) AS n_cp, upper(text[1:5]) AS head5, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_terms, array_to_string(string_split(text, ' ')[1:3], '_') AS first3, CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0) AS BIGINT) AS idx_the, len(list_filter(string_split(text, ' '), x -> x = 'zebra')) = 0 AS no_zebra, len(string_split(text, ' ')) > 0 AS has_terms, lang AS lang2 FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
     // The zip leg is self-checking: tlen is computed BEFORE the zip on
     // the Spark side, AFTER the unnest here — equal only if the zip is
     // index-aligned.

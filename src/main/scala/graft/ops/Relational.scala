@@ -1879,4 +1879,28 @@ object Relational {
         |HAVING count(*) >= 200
         |ORDER BY n DESC, term""".stripMargin)
   }
+
+  /** The ClickHouse scalar / plain-array helper surface — each a 1:1
+    * stock-expression rename (`empty`/`notEmpty`, `arrayUniq`,
+    * `arraySlice`/`arrayStringConcat`, `indexOf`, `lengthUTF8`/
+    * `substringUTF8`/`upperUTF8`, `assumeNotNull`) — over the documents
+    * table. All codegen'd scalar expressions; zero shuffles beyond the
+    * final presentation sort.
+    */
+  def sqlChScalars(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("documents"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT doc_id,
+        |  lengthUTF8(text) AS n_cp,
+        |  upperUTF8(substringUTF8(text, 1, 5)) AS head5,
+        |  toInt64(arrayUniq(splitByChar(' ', text))) AS n_uniq_terms,
+        |  arrayStringConcat(arraySlice(splitByChar(' ', text), 1, 3), '_') AS first3,
+        |  toInt64(indexOf(splitByChar(' ', text), 'the')) AS idx_the,
+        |  empty(arrayFilter(x -> x = 'zebra', splitByChar(' ', text))) AS no_zebra,
+        |  notEmpty(splitByChar(' ', text)) AS has_terms,
+        |  assumeNotNull(lang) AS lang2
+        |FROM documents
+        |WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin)
+  }
 }

@@ -952,6 +952,57 @@ object ClickHouseFunctions {
     // `aggregate` needs a typed zero literal, so a generic mapping would
     // force one result-type convention over int/float inputs — spell the
     // fold with `aggregate(arr, CAST(0 AS …), (acc, x) -> acc + x)`.
+    // Scalar / null / plain-array helpers, each a 1:1 stock-expression
+    // rename. `empty`/`notEmpty` are the ARRAY/MAP forms (`size` rejects
+    // strings loudly at analysis — use length(s) = 0 for strings);
+    // `indexOf` returns ClickHouse's 0-for-missing convention, which
+    // Spark's array_position shares; the *UTF8 names land on Spark's
+    // code-point string expressions (UTF8String counts code points, the
+    // ClickHouse convention). ClickHouse's `position(haystack, needle)`
+    // is deliberately NOT mapped: Spark's own `position` takes the
+    // ARGUMENTS REVERSED and the no-clobber rule keeps the stock one —
+    // a mapping would be skipped and the query silently wrong; use
+    // `locate`/`instr`. `ifNull`/`nullIf`/`coalesce` need no mapping
+    // (stock names, same semantics).
+    ("empty", "empty(arr) - true when the array/map has no elements",
+      es => { require(es.length == 1, "empty(arr)")
+        EqualTo(new Size(es.head), Literal(0)) }),
+    ("notEmpty", "notEmpty(arr) - true when the array/map has elements",
+      es => { require(es.length == 1, "notEmpty(arr)")
+        GreaterThan(new Size(es.head), Literal(0)) }),
+    ("assumeNotNull", "assumeNotNull(x) - x with nullability dropped (the value must not be NULL)",
+      es => { require(es.length == 1, "assumeNotNull(x)")
+        KnownNotNull(es.head) }),
+    ("arrayStringConcat", "arrayStringConcat(arr[, sep]) - join string elements with sep (default '')",
+      es => es match {
+        case Seq(arr) => ArrayJoin(arr, Literal(""), None)
+        case Seq(arr, sep) => ArrayJoin(arr, sep, None)
+        case _ => throw new IllegalArgumentException("arrayStringConcat(arr[, sep])")
+      }),
+    ("indexOf", "indexOf(arr, x) - 1-based position of x in arr, 0 when absent",
+      es => { require(es.length == 2, "indexOf(arr, x)")
+        ArrayPosition(es(0), es(1)) }),
+    ("arrayConcat", "arrayConcat(arr1, arr2, ...) - concatenate arrays",
+      es => { require(es.nonEmpty, "arrayConcat(arr, ...)"); Concat(es) }),
+    ("arraySlice", "arraySlice(arr, offset[, length]) - 1-based slice; negative offset counts from the end",
+      es => es match {
+        case Seq(arr, off) => Slice(arr, off, new Size(arr))
+        case Seq(arr, off, len) => Slice(arr, off, len)
+        case _ => throw new IllegalArgumentException("arraySlice(arr, offset[, length])")
+      }),
+    ("arrayUniq", "arrayUniq(arr) - number of distinct elements",
+      es => { require(es.length == 1, "arrayUniq(arr)")
+        new Size(ArrayDistinct(es.head)) }),
+    ("lengthUTF8", "lengthUTF8(s) - string length in code points",
+      es => { require(es.length == 1, "lengthUTF8(s)"); Length(es.head) }),
+    ("lowerUTF8", "lowerUTF8(s) - lowercase", one(Lower)),
+    ("upperUTF8", "upperUTF8(s) - uppercase", one(Upper)),
+    ("substringUTF8", "substringUTF8(s, offset[, length]) - 1-based substring",
+      es => es match {
+        case Seq(s, off) => Substring(s, off, Literal(Int.MaxValue))
+        case Seq(s, off, len) => Substring(s, off, len)
+        case _ => throw new IllegalArgumentException("substringUTF8(s, offset[, length])")
+      }),
     ("arrayMap", "arrayMap(func, arr) - apply func to each element",
       chHof("arrayMap")((arr, l) => ArrayTransform(arr, l))),
     ("arrayFilter", "arrayFilter(func, arr) - elements where func is true",

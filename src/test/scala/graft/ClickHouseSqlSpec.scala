@@ -643,6 +643,41 @@ class ClickHouseSqlSpec extends SparkSpec {
     }
   }
 
+  test("execution: scalar/array helper renames map 1:1; position stays stock (reversed args would be silent)") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT empty(array()) AS e1, empty(array(1)) AS e2,
+        |  notEmpty(array(1)) AS ne,
+        |  arrayUniq(array(1, 2, 2, 3)) AS uniq,
+        |  arrayStringConcat(array('a', 'b'), '-') AS joined,
+        |  arrayStringConcat(array('a', 'b')) AS joined0,
+        |  indexOf(array(5, 6, 7), 6) AS idx,
+        |  indexOf(array(5, 6, 7), 9) AS idx0,
+        |  arrayConcat(array(1), array(2, 3)) AS cat,
+        |  arraySlice(array(1, 2, 3, 4), 2, 2) AS sl,
+        |  arraySlice(array(1, 2, 3, 4), 3) AS sl_tail,
+        |  arraySlice(array(1, 2, 3, 4), -2) AS sl_neg,
+        |  lengthUTF8('héllo') AS ncp,
+        |  upperUTF8(substringUTF8('héllo', 2, 3)) AS mid,
+        |  assumeNotNull(nullIf('x', 'y')) AS anr""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2), r)
+    assert(r.getInt(3) == 3, r)
+    assert(r.getString(4) == "a-b" && r.getString(5) == "ab", r)
+    assert(r.getLong(6) == 2L && r.getLong(7) == 0L, r)
+    assert(r.getSeq[Int](8) == Seq(1, 2, 3), r)
+    assert(r.getSeq[Int](9) == Seq(2, 3), r)
+    assert(r.getSeq[Int](10) == Seq(3, 4), r)
+    assert(r.getSeq[Int](11) == Seq(3, 4), r)
+    assert(r.getInt(12) == 5, r)
+    assert(r.getString(13) == "ÉLL", r)
+    assert(r.getString(14) == "x", r)
+    // `position` resolves to SPARK's function (needle-first): the
+    // no-clobber rule keeps it, so ClickHouse's haystack-first call is
+    // never silently accepted with flipped args.
+    val p = ClickHouseSql.sql(spark,
+      "SELECT position('b', 'abc') AS spark_pos").head()
+    assert(p.getInt(0) == 2, p)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
