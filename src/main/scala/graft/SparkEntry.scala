@@ -425,6 +425,7 @@ object SparkEntry {
     "sql_ch_topk" -> (Relational.sqlChTopk _),
     "sql_ch_array_join" -> (Relational.sqlChArrayJoin _),
     "sql_ch_scalars" -> (Relational.sqlChScalars _),
+    "sql_ch_datediff" -> (Relational.sqlChDateDiff _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1035,6 +1036,10 @@ object SparkEntry {
     // group, keep the top 3 in rank order; sumMap as key-ordered lists.
     "sql_ch_topk" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
+    // dateDiff ≡ date_diff (end minus start); month diff over dates is
+    // calendar-boundary counting in both engines at midnight anchors.
+    "sql_ch_datediff" ->
+      """SELECT o_orderpriority, CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS max_days, CAST(min(date_diff('month', DATE '1995-01-01', o_orderdate)) AS BIGINT) AS min_months, max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day, min(strftime(o_orderdate, '%Y/%m day=%d')) AS first_fmt, CAST(max(greatest(o_orderkey, o_custkey)) AS BIGINT) AS mx, CAST(min(least(o_orderkey, o_custkey)) AS BIGINT) AS mn, CAST(max(o_orderkey % 7) AS BIGINT) AS md FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // DuckDB list_position returns NULL for missing where ClickHouse's
     // indexOf returns 0 — coalesced explicitly.
     "sql_ch_scalars" ->

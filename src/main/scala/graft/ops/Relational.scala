@@ -1903,4 +1903,27 @@ object Relational {
         |WHERE doc_id < 50
         |ORDER BY doc_id""".stripMargin)
   }
+
+  /** `dateDiff('unit', a, b)` (→ `timestampdiff`, the same end-minus-start
+    * convention) and `formatDateTime` (ClickHouse %-codes translated to a
+    * Java pattern at BUILD time, literal runs quoted, unknown codes named
+    * errors) — the two remaining date workhorses of a ported
+    * custom_query — plus `arrayMin`/`arrayMax`/`modulo`. All stock
+    * codegen'd expressions; one map-side-combined shuffle.
+    */
+  def sqlChDateDiff(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderpriority,
+        |  toInt64(max(dateDiff('day', toDate('1995-01-01'), o_orderdate))) AS max_days,
+        |  toInt64(min(dateDiff('month', toDate('1995-01-01'), o_orderdate))) AS min_months,
+        |  max(formatDateTime(o_orderdate, '%F')) AS last_day,
+        |  min(formatDateTime(o_orderdate, '%Y/%m day=%d')) AS first_fmt,
+        |  toInt64(max(arrayMax(array(o_orderkey, o_custkey)))) AS mx,
+        |  toInt64(min(arrayMin(array(o_orderkey, o_custkey)))) AS mn,
+        |  toInt64(max(modulo(o_orderkey, 7))) AS md
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
 }

@@ -121,6 +121,33 @@ object ClickHouseSqlRewrite {
     val f = rewriteSettings(sql, masked); if (f ne sql) return f
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
+    val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
+    sql
+  }
+
+  // ------------------------------------------------------- 9. dateDiff
+
+  private val DateDiffRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(?:dateDiff|date_diff)\\s*\\(")
+
+  /** ClickHouse's `dateDiff('unit', a, b)` → `graft_ch_datediff` (the
+    * boundary-counting builder). Renamed TEXTUALLY because `dateDiff` is
+    * a PARSER keyword in Spark — the grammar routes it to timestampdiff
+    * and rejects a quoted unit before any registry lookup. Only calls
+    * whose first argument is a STRING LITERAL are ClickHouse's form;
+    * Spark's own 2-arg `datediff(end, start)` passes through untouched.
+    */
+  private def rewriteDateDiff(sql: String, masked: String): String = {
+    val m = DateDiffRe.matcher(masked)
+    while (m.find()) {
+      var k = m.end()
+      while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+      if (k < sql.length && sql.charAt(k) == '\'') {
+        val nameEnd = sql.indexOf('(', m.start())
+        return sql.substring(0, m.start()) + "graft_ch_datediff" +
+          sql.substring(nameEnd)
+      }
+    }
     sql
   }
 
@@ -964,6 +991,104 @@ object ClickHouseFunctions {
     // a mapping would be skipped and the query silently wrong; use
     // `locate`/`instr`. `ifNull`/`nullIf`/`coalesce` need no mapping
     // (stock names, same semantics).
+    // dateDiff / formatDateTime — the two remaining date workhorses.
+    // ClickHouse's dateDiff counts unit-BOUNDARY crossings (truncate
+    // both sides to the unit, then diff — Jan 31 → Feb 1 is 1 month),
+    // NOT Spark timestampdiff's complete-period count, so each unit
+    // builds its truncation explicitly; `week` is a named error (the
+    // engines disagree on the week start, same stance as the absent
+    // toStartOfWeek). formatDateTime translates ClickHouse's %-codes to
+    // a Java pattern at BUILD time (literal runs quoted, '' escapes),
+    // with unknown %-codes a named error — never a silently-wrong
+    // format.
+    // Registered under a graft_ name: `dateDiff` is a PARSER keyword in
+    // Spark (the grammar routes it to timestampdiff and rejects a quoted
+    // unit before any registry lookup), so [[ClickHouseSqlRewrite]]
+    // renames ClickHouse's string-literal-unit calls textually.
+    ("graft_ch_datediff", "graft_ch_datediff('unit', start, end) - ClickHouse dateDiff: end minus start in unit-boundary crossings (second/minute/hour/day/month/quarter/year, the truncate-then-diff semantics)",
+      es => {
+        require(es.length == 3,
+          "dateDiff('unit', start, end) - the timezone argument is not " +
+            "supported")
+        val unit = es.head match {
+          case Literal(u, StringType) if u != null => u.toString.toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"dateDiff: the unit must be a string literal, got $other")
+        }
+        val (a, b) = (es(1), es(2))
+        def secs(e: Expression) = Cast(Cast(e, TimestampType), LongType)
+        // floorDiv (not truncation) so pre-epoch timestamps bucket the
+        // same way ClickHouse's toRelative*Num does.
+        def floorDiv(x: Expression, d: Long) =
+          IntegralDivide(Subtract(x, Pmod(x, Literal(d))), Literal(d))
+        def ym(e: Expression) = Add(Multiply(Year(e), Literal(12)), Month(e))
+        def yq(e: Expression) = Add(Multiply(Year(e), Literal(4)), Quarter(e))
+        unit match {
+          case "second" => Subtract(secs(b), secs(a))
+          case "minute" => Subtract(floorDiv(secs(b), 60L), floorDiv(secs(a), 60L))
+          case "hour" => Subtract(floorDiv(secs(b), 3600L), floorDiv(secs(a), 3600L))
+          case "day" => DateDiff(Cast(b, DateType), Cast(a, DateType))
+          case "month" => Subtract(ym(b), ym(a))
+          case "quarter" => Subtract(yq(b), yq(a))
+          case "year" => Subtract(Year(b), Year(a))
+          case "week" => throw new IllegalArgumentException(
+            "dateDiff('week', ...) is not supported — ClickHouse weeks " +
+              "start Monday, Spark's Sunday; count days and divide by the " +
+              "convention you mean")
+          case other => throw new IllegalArgumentException(
+            s"dateDiff: unsupported unit '$other' — " +
+              "second/minute/hour/day/month/quarter/year")
+        }
+      }),
+    ("formatDateTime", "formatDateTime(ts, '%F ...') - format with ClickHouse %-codes (%Y %y %m %d %H %M %S %F %T %j %a %b %%)",
+      es => {
+        require(es.length == 2,
+          "formatDateTime(ts, format) - the timezone argument is not supported")
+        val fmt = es(1) match {
+          case Literal(f, StringType) if f != null => f.toString
+          case other => throw new IllegalArgumentException(
+            s"formatDateTime: the format must be a string literal, got $other")
+        }
+        val java = new StringBuilder
+        val lit = new StringBuilder
+        def flush(): Unit = if (lit.nonEmpty) {
+          val s = lit.toString
+          if (s.exists(c => c.isLetter || c == '\''))
+            java.append('\'').append(s.replace("'", "''")).append('\'')
+          else java.append(s)
+          lit.clear()
+        }
+        var i = 0
+        while (i < fmt.length) {
+          if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+            val c = fmt.charAt(i + 1)
+            val mapped = c match {
+              case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
+              case 'd' => "dd"; case 'H' => "HH"; case 'M' => "mm"
+              case 'S' => "ss"; case 'F' => "yyyy-MM-dd"
+              case 'T' => "HH:mm:ss"; case 'j' => "DDD"
+              case 'a' => "EEE"; case 'b' => "MMM"
+              case '%' => null // literal percent
+              case other => throw new IllegalArgumentException(
+                s"formatDateTime: unsupported code %$other — supported: " +
+                  "%Y %y %m %d %H %M %S %F %T %j %a %b %%")
+            }
+            if (mapped == null) lit.append('%') else { flush(); java.append(mapped) }
+            i += 2
+          } else { lit.append(fmt.charAt(i)); i += 1 }
+        }
+        flush()
+        DateFormatClass(es.head, Literal(java.toString))
+      }),
+    ("today", "today() - the current date",
+      es => { require(es.isEmpty, "today()"); CurrentDate() }),
+    ("yesterday", "yesterday() - the current date minus one day",
+      es => { require(es.isEmpty, "yesterday()")
+        DateSub(CurrentDate(), Literal(1)) }),
+    ("modulo", "modulo(a, b) - remainder",
+      es => { require(es.length == 2, "modulo(a, b)"); Remainder(es(0), es(1)) }),
+    ("arrayMin", "arrayMin(arr) - smallest element", one(ArrayMin)),
+    ("arrayMax", "arrayMax(arr) - largest element", one(ArrayMax)),
     ("empty", "empty(arr) - true when the array/map has no elements",
       es => { require(es.length == 1, "empty(arr)")
         EqualTo(new Size(es.head), Literal(0)) }),

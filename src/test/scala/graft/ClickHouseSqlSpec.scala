@@ -678,6 +678,41 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(p.getInt(0) == 2, p)
   }
 
+  test("execution: dateDiff counts unit-boundary crossings (not complete periods); formatDateTime translates %-codes") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT
+        |  dateDiff('month', toDate('1995-01-31'), toDate('1995-02-01')) AS m1,
+        |  dateDiff('month', toDate('1995-01-01'), toDate('1995-03-15')) AS m2,
+        |  dateDiff('year', toDate('1995-12-31'), toDate('1996-01-01')) AS y1,
+        |  dateDiff('quarter', toDate('1995-03-31'), toDate('1995-04-01')) AS q1,
+        |  dateDiff('day', toDateTime('1995-01-01 23:00:00'), toDateTime('1995-01-02 01:00:00')) AS d1,
+        |  dateDiff('hour', toDateTime('1995-01-01 00:59:00'), toDateTime('1995-01-01 01:01:00')) AS h1,
+        |  dateDiff('second', toDateTime('1995-01-01 00:00:01'), toDateTime('1995-01-01 00:00:05')) AS s1,
+        |  formatDateTime(toDate('1995-03-07'), '%F') AS f1,
+        |  formatDateTime(toDate('1995-03-07'), '%Y/%m day=%d %% %j') AS f2,
+        |  formatDateTime(toDateTime('1995-03-07 14:05:09'), '%T') AS f3""".stripMargin)
+      .head()
+    // Boundary semantics: each adjacent-boundary pair reads 1 where
+    // complete-period counting would read 0.
+    assert(r.getInt(0) == 1 && r.getInt(1) == 2, r)
+    assert(r.getInt(2) == 1 && r.getInt(3) == 1, r)
+    assert(r.getInt(4) == 1 && r.getLong(5) == 1L && r.getLong(6) == 4L, r)
+    assert(r.getString(7) == "1995-03-07", r)
+    assert(r.getString(8) == "1995/03 day=07 % 066", r)
+    assert(r.getString(9) == "14:05:09", r)
+    val week = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT dateDiff('week', toDate('1995-01-01'), toDate('1995-02-01'))").collect())
+    assert(week.getMessage.contains("Monday"), week.getMessage)
+    val badCode = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT formatDateTime(toDate('1995-01-01'), '%e')").collect())
+    assert(badCode.getMessage.contains("unsupported code"), badCode.getMessage)
+    val today = ClickHouseSql.sql(spark,
+      "SELECT dateDiff('day', yesterday(), today()) AS d, modulo(10, 3) AS m, " +
+        "arrayMin(array(3, 1, 2)) AS mn, arrayMax(array(3, 1, 2)) AS mx").head()
+    assert(today.getInt(0) == 1 && today.getInt(1) == 1, today)
+    assert(today.getInt(2) == 1 && today.getInt(3) == 3, today)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
