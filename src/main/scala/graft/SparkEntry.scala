@@ -426,6 +426,7 @@ object SparkEntry {
     "sql_ch_array_join" -> (Relational.sqlChArrayJoin _),
     "sql_ch_scalars" -> (Relational.sqlChScalars _),
     "sql_ch_datediff" -> (Relational.sqlChDateDiff _),
+    "sql_ch_json" -> (Relational.sqlChJson _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1036,6 +1037,10 @@ object SparkEntry {
     // group, keep the top 3 in rank order; sumMap as key-ordered lists.
     "sql_ch_topk" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
+    // The JSON legs are algebraic identities (extract ∘ build = id) the
+    // oracle states directly; the Spark side runs the JsonPath machinery.
+    "sql_ch_json" ->
+      """SELECT event_type, epoch_us(ts) // 21600000000 * 21600 AS bucket6h_s, CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR) AS bucket_month, CAST(count(*) AS BIGINT) AS n, max(event_type) AS t_echo, CAST(max(user_id) AS BIGINT) AS max_u FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2""",
     // dateDiff ≡ date_diff (end minus start); month diff over dates is
     // calendar-boundary counting in both engines at midnight anchors.
     "sql_ch_datediff" ->

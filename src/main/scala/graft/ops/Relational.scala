@@ -1926,4 +1926,27 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
   }
+
+  /** `toStartOfInterval` 6-hour and 1-month buckets over the events
+    * stream plus the `JSONExtract*` payload accessors — the shape of a
+    * ClickHouse events-dashboard custom_query. The JSON legs are
+    * SELF-CHECKING: the payload is assembled in-query from the group
+    * key and user_id, so the oracle states the algebraic identity
+    * (extract ∘ build = id) while the Spark side genuinely runs the
+    * JsonPath machinery. Bucket values are reported as epoch seconds /
+    * ISO date strings (the cross-engine timestamp discipline).
+    */
+  def sqlChJson(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT event_type,
+        |  toUnixTimestamp(toStartOfInterval(ts, INTERVAL 6 HOUR)) AS bucket6h_s,
+        |  toString(toStartOfInterval(ts, INTERVAL 1 MONTH)) AS bucket_month,
+        |  toInt64(count(*)) AS n,
+        |  max(JSONExtractString(concat('{"t":"', event_type, '","u":', toString(user_id), '}'), 't')) AS t_echo,
+        |  max(JSONExtractInt(concat('{"t":"', event_type, '","u":', toString(user_id), '}'), 'u')) AS max_u
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2""".stripMargin)
+  }
 }

@@ -500,7 +500,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo|topK)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo|topK)\\s*\\(")
 
   /** `sequenceMatch('(?1).*(?2)…')` subset: `(?N)` refs separated by
     * `.*` (leading/trailing `.*` are no-ops and stripped). That form is
@@ -596,8 +596,10 @@ object ClickHouseSqlRewrite {
             s"graft_ch_topk($params\n, $args\n)"
           case "quantileexactinclusive" => s"percentile($args\n, $params\n)"
           case "quantilesexactinclusive" => s"percentile($args\n, array($params\n))"
-          case "quantile" => s"approx_percentile($args\n, $params\n)"
-          case "quantiles" => s"approx_percentile($args\n, array($params\n))"
+          // quantileTDigest is ClickHouse's other approximate sketch —
+          // the same approx-for-approx pairing as bare quantile.
+          case "quantile" | "quantiletdigest" => s"approx_percentile($args\n, $params\n)"
+          case "quantiles" | "quantilestdigest" => s"approx_percentile($args\n, array($params\n))"
           case "quantileexact" => s"graft_ch_quantile_exact($args\n, $params\n)"
           case "quantilesexact" =>
             val levels = splitItems(masked, pStart, pEnd)
@@ -885,6 +887,29 @@ object ClickHouseFunctions {
     LambdaFunction(f(x), Seq(x))
   }
 
+  /** JsonPath literal for the ClickHouse JSONExtract* key/index varargs:
+    * string keys become `.key` (or `['key']` when not identifier-shaped),
+    * integer indices become 0-based `[i]` (ClickHouse's are 1-based;
+    * negative tail indexing is a named error — JsonPath has none).
+    */
+  private def jsonPathLit(fname: String, es: Seq[Expression]): Expression = {
+    require(es.length >= 2, s"$fname(json, key_or_index, ...)")
+    val ident = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*")
+    val parts = es.tail.map {
+      case Literal(s, StringType) if s != null =>
+        val k = s.toString
+        if (ident.matcher(k).matches()) "." + k else s"['$k']"
+      case Literal(i: Int, IntegerType) =>
+        if (i < 1) throw new IllegalArgumentException(
+          s"$fname: ClickHouse indices are 1-based and positive " +
+            "(negative-from-end has no JsonPath form)")
+        s"[${i - 1}]"
+      case other => throw new IllegalArgumentException(
+        s"$fname: keys/indices must be string or integer literals, got $other")
+    }
+    Literal("$" + parts.mkString)
+  }
+
   /** The ClickHouse array HOFs put the lambda FIRST (`arrayMap(x -> …,
     * arr)`); Spark's stock HOF expressions take it last. The mapping is a
     * pure argument swap — Spark's parser already accepts `x -> expr` in
@@ -909,6 +934,15 @@ object ClickHouseFunctions {
         Count(es).toAggregateExpression(isDistinct = true) }),
     ("uniq", "uniq(x...) - approximate distinct count (HyperLogLog++)",
       es => { require(es.nonEmpty, "uniq(x...)")
+        HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
+    // uniqCombined/uniqHLL12 are ClickHouse's other HLL flavors — the
+    // same approx-for-approx pairing as uniq (different sketch params,
+    // same contract: an estimate).
+    ("uniqCombined", "uniqCombined(x...) - approximate distinct count (HyperLogLog++)",
+      es => { require(es.nonEmpty, "uniqCombined(x...)")
+        HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
+    ("uniqHLL12", "uniqHLL12(x...) - approximate distinct count (HyperLogLog++)",
+      es => { require(es.nonEmpty, "uniqHLL12(x...)")
         HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
     ("argMax", "argMax(a, b) - value of a at the row with the maximum b",
       es => { require(es.length == 2, "argMax(a, b)"); MaxBy(es(0), es(1)) }),
@@ -1080,6 +1114,60 @@ object ClickHouseFunctions {
         flush()
         DateFormatClass(es.head, Literal(java.toString))
       }),
+    // toStartOfInterval — the dashboard time-bucketing workhorse. The
+    // interval must be a positive INTERVAL literal: day-time intervals
+    // floor epoch micros (floorDiv via Pmod, so pre-1970 buckets stay
+    // right) and return TIMESTAMP; year-month intervals floor the
+    // calendar month index and return DATE (ClickHouse's convention for
+    // month-and-coarser buckets).
+    ("toStartOfInterval", "toStartOfInterval(ts, INTERVAL n unit) - floor ts to the n-unit bucket",
+      es => {
+        require(es.length == 2,
+          "toStartOfInterval(ts, INTERVAL n unit) - the timezone argument is not supported")
+        def floorDiv(x: Expression, d: Expression) =
+          IntegralDivide(Subtract(x, Pmod(x, d)), d)
+        es(1) match {
+          case Literal(micros: Long, _: DayTimeIntervalType) if micros > 0 =>
+            val us = UnixMicros(Cast(es.head, TimestampType))
+            MicrosToTimestamp(Multiply(
+              floorDiv(us, Literal(micros)), Literal(micros)))
+          case Literal(months: Int, _: YearMonthIntervalType) if months > 0 =>
+            val idx = Add(Multiply(Year(es.head), Literal(12)),
+              Subtract(Month(es.head), Literal(1)))
+            val b = Cast(Subtract(idx, Pmod(idx, Literal(months))), IntegerType)
+            MakeDate(IntegralDivide(b, Literal(12)),
+              Add(Pmod(b, Literal(12)), Literal(1)), Literal(1))
+          case other => throw new IllegalArgumentException(
+            "toStartOfInterval: the interval must be a positive INTERVAL " +
+              s"literal (e.g. INTERVAL 6 HOUR), got $other")
+        }
+      }),
+    // JSONExtract* — the event-payload accessors a ported pipeline leans
+    // on. Keys/indices must be literals (they become the JsonPath at
+    // build time); ClickHouse indices are 1-based (negative-from-end is
+    // a named error — JsonPath has no tail indexing). JSONHas is
+    // deliberately absent: get_json_object cannot distinguish an
+    // explicit JSON null from a missing key, so a mapping would lie on
+    // `{"k":null}` — test the extracted value instead.
+    ("JSONExtractString", "JSONExtractString(json, key_or_index...) - string at the path",
+      es => GetJsonObject(es.head, jsonPathLit("JSONExtractString", es))),
+    ("JSONExtractInt", "JSONExtractInt(json, key_or_index...) - BIGINT at the path",
+      es => Cast(GetJsonObject(es.head, jsonPathLit("JSONExtractInt", es)), LongType)),
+    ("JSONExtractFloat", "JSONExtractFloat(json, key_or_index...) - DOUBLE at the path",
+      es => Cast(GetJsonObject(es.head, jsonPathLit("JSONExtractFloat", es)), DoubleType)),
+    ("JSONExtractBool", "JSONExtractBool(json, key_or_index...) - BOOLEAN at the path",
+      es => Cast(GetJsonObject(es.head, jsonPathLit("JSONExtractBool", es)), BooleanType)),
+    ("splitByString", "splitByString(sep, s) - split on a literal multi-character separator",
+      es => { require(es.length == 2, "splitByString(sep, s)")
+        val sep = Option(es.head.eval()).map(_.toString).getOrElse(
+          throw new IllegalArgumentException("splitByString separator must not be null"))
+        require(sep.nonEmpty, "splitByString separator must be non-empty")
+        StringSplit(es(1), Literal(java.util.regex.Pattern.quote(sep)), Literal(-1)) }),
+    ("arrayFlatten", "arrayFlatten(arr) - flatten one nesting level",
+      es => { require(es.length == 1, "arrayFlatten(arr)"); new Flatten(es.head) }),
+    ("arrayZip", "arrayZip(arr1, arr2, ...) - element-wise zip into an array of tuples",
+      es => { require(es.length >= 2, "arrayZip(arr1, arr2, ...)")
+        ArraysZip(es) }),
     ("today", "today() - the current date",
       es => { require(es.isEmpty, "today()"); CurrentDate() }),
     ("yesterday", "yesterday() - the current date minus one day",

@@ -713,6 +713,44 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(today.getInt(2) == 1 && today.getInt(3) == 3, today)
   }
 
+  test("execution: toStartOfInterval floors to n-unit buckets; JSONExtract* walks literal paths") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT
+        |  toString(toStartOfInterval(toDateTime('2024-03-07 14:47:09'), INTERVAL 15 MINUTE)) AS m15,
+        |  toString(toStartOfInterval(toDateTime('2024-03-07 14:47:09'), INTERVAL 6 HOUR)) AS h6,
+        |  toString(toStartOfInterval(toDate('2024-05-20'), INTERVAL 2 MONTH)) AS mo2,
+        |  JSONExtractString('{"a":{"b":"deep"},"l":[10,20]}', 'a', 'b') AS s_ab,
+        |  JSONExtractInt('{"a":{"b":"deep"},"l":[10,20]}', 'l', 2) AS i_l2,
+        |  JSONExtractFloat('{"x":2.5}', 'x') AS f_x,
+        |  JSONExtractBool('{"ok":true}', 'ok') AS b_ok,
+        |  JSONExtractString('{"a key":"v"}', 'a key') AS s_sp,
+        |  splitByString('::', 'a::b::c') AS parts,
+        |  arrayFlatten(array(array(1, 2), array(3))) AS flat,
+        |  size(arrayZip(array(1, 2), array('x', 'y'))) AS z_n,
+        |  uniqCombined(1) AS uc, quantileTDigest(0.5)(toFloat64(2.0)) AS qt""".stripMargin).head()
+    assert(r.getString(0) == "2024-03-07 14:45:00", r)
+    assert(r.getString(1) == "2024-03-07 12:00:00", r)
+    // 2024-05 with 2-month buckets anchored at month index 0: May (idx
+    // 16) floors to idx 16 → 2024-05-01... month index = y*12+m-1.
+    assert(r.getString(2) == "2024-05-01", r)
+    assert(r.getString(3) == "deep", r)
+    assert(r.getLong(4) == 20L, r)
+    assert(r.getDouble(5) == 2.5, r)
+    assert(r.getBoolean(6), r)
+    assert(r.getString(7) == "v", r)
+    assert(r.getSeq[String](8) == Seq("a", "b", "c"), r)
+    assert(r.getSeq[Int](9) == Seq(1, 2, 3), r)
+    assert(r.getInt(10) == 2, r)
+    assert(r.getLong(11) == 1L, r)
+    assert(math.abs(r.getDouble(12) - 2.0) < 1e-9, r)
+    val neg = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT JSONExtractInt('{\"l\":[1]}', 'l', -1)").collect())
+    assert(neg.getMessage.contains("1-based"), neg.getMessage)
+    val nonLit = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT toStartOfInterval(toDateTime('2024-01-01 00:00:00'), INTERVAL -1 HOUR)").collect())
+    assert(nonLit.getMessage.contains("positive INTERVAL"), nonLit.getMessage)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
