@@ -751,6 +751,37 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(nonLit.getMessage.contains("positive INTERVAL"), nonLit.getMessage)
   }
 
+  test("rewrite: idempotent on its own output, and inert on a standard-SQL corpus") {
+    // Inertness: statements with no ClickHouse-ism pass through `eq`-same
+    // (not merely equal) — the fixpoint loop must not churn text.
+    val standard = Seq(
+      "SELECT a, sum(b) FROM t GROUP BY a HAVING sum(b) > 1 ORDER BY a LIMIT 5",
+      "WITH x AS (SELECT 1 AS a) SELECT * FROM x JOIN y ON x.a = y.a",
+      "SELECT * FROM t WHERE c IN (SELECT c FROM u) AND d BETWEEN 1 AND 2",
+      "SELECT CAST(a AS INT), left(s, 2), count(*) FILTER (WHERE b) FROM t GROUP BY 1, 2",
+      "SELECT row_number() OVER (PARTITION BY k ORDER BY v) FROM t",
+      "SELECT 'QUALIFY LIMIT 2 BY PREWHERE SETTINGS WITH TOTALS' AS s FROM t",
+      "SELECT a -- ARRAY JOIN arr AS x\nFROM t",
+      "SELECT * FROM t LEFT SEMI JOIN u ON t.k = u.k",
+      "SELECT global, any, all FROM t ORDER BY global")
+    standard.foreach(s => assert(ClickHouseSqlRewrite(s) eq s, s))
+    // Idempotence: a second pass over any rewritten spec example is a
+    // no-op (the fixpoint converged, and converged text is standard SQL).
+    val chExamples = Seq(
+      "SELECT u, v FROM t ORDER BY u, v DESC LIMIT 2 BY u",
+      "SELECT k, max(v) OVER (PARTITION BY k) AS m FROM t QUALIFY m > 1",
+      "SELECT quantileExact(0.5)(x), topK(3)(y), uniqUpTo(9)(z) FROM t GROUP BY k",
+      "SELECT x FROM t ARRAY JOIN arr AS x PREWHERE k = 1 WHERE v > 2",
+      "SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k",
+      "SELECT * FROM a GLOBAL ALL INNER JOIN b ON a.k = b.k",
+      "SELECT windowFunnel(60)(ts, a, b) FROM t GROUP BY u SETTINGS max_threads = 4")
+    chExamples.foreach { s =>
+      val once = ClickHouseSqlRewrite(s)
+      assert(once ne s, s)
+      assert(ClickHouseSqlRewrite(once) eq once, s"not idempotent:\n$once")
+    }
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies

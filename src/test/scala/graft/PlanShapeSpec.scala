@@ -485,6 +485,28 @@ class PlanShapeSpec extends SparkSpec {
       s"edge table re-shuffled in a propagation round:\n$p")
   }
 
+  test("ARRAY JOIN plans one Generate over a text-only pruned scan") {
+    val p = plan("sql_ch_array_join")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("struct<text:string>"),
+      s"documents scan not pruned to text: $readSchema")
+    assert("Generate ".r.findAllIn(p).length == 1,
+      s"expected exactly one Generate (the zip rides inline, not a second explode):\n$p")
+    assert(p.contains("arrays_zip"), p)
+  }
+
+  test("WITH FILL: payload filters reach the scan, the anti join broadcasts, the union is exchange-free") {
+    val p = plan("sql_ch_with_fill")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase)"),
+      s"payload filter not pushed:\n$p")
+    assert(p.contains("explode(sequence("), p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"fill anti join must broadcast (the key set is range-sized):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no payload-scale join may appear in a fill plan:\n$p")
+    assert(p.contains("Union"), p)
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
