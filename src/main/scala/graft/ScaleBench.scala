@@ -520,6 +520,61 @@ object ScaleBench {
       ev.unpersist()
     }
 
+    // ---------------------------------------------------- 9. window funnel
+    // The behavioral-aggregate kernel behind sql_ch_funnel
+    // (graft_window_funnel). Disjoint user copies make EXACTNESS at scale
+    // checkable — the level histogram at ×N must be exactly N × the ×1
+    // histogram — and the naive 3-way-join spelling of level-3 existence
+    // (the SQL a user would write: ∃ view ≤ click ≤ purchase with
+    // purchase − view ≤ w) adjudicates both correctness (equal user
+    // counts — the greedy fold IS chain existence) and cost (the join
+    // evaluates every in-user candidate pair; the fold sorts each user
+    // once). Per-user density stays constant as users scale, so the fold
+    // should track ×N linearly while the join carries the pair term.
+    {
+      val w = 21600L
+      def evAt(scale: Long) = Tables.t(spark, sfDir, "events")
+        .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select((col("user_id") * lit(scale) + col("rep")).as("u"),
+          (unix_micros(col("ts")) / lit(1000000L)).cast("long").as("ts_s"),
+          col("event_type"))
+      var base: Map[Int, Long] = Map.empty
+      for (scale <- Seq(1L, 4L, 16L)) {
+        val ev = evAt(scale).repartition(nPart).persist(StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        ev.createOrReplaceTempView("sb_fun")
+        var hist: Map[Int, Long] = Map.empty
+        results(s"funnel_fold_x$scale") = timeMin(2) {
+          hist = graft.plans.ClickHouseSql.sql(spark,
+            """SELECT windowFunnel(21600)(ts_s,
+              |  event_type = 'view', event_type = 'click', event_type = 'purchase') AS lvl
+              |FROM sb_fun GROUP BY u""".stripMargin)
+            .groupBy("lvl").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
+        if (scale == 1L) base = hist
+        else assert(hist == base.map { case (k, n) => k -> n * scale },
+          s"funnel histogram must scale exactly: x$scale $hist vs base $base")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("u"), col("ts_s").as("vt"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("u").as("cu"), col("ts_s").as("ct"))
+        val pch = ev.filter(col("event_type") === "purchase")
+          .select(col("u").as("pu"), col("ts_s").as("pt"))
+        var naive3 = 0L
+        results(s"funnel_naive_join_x$scale") = timeMin(2) {
+          naive3 = v
+            .join(c, v("u") === c("cu") && c("ct") >= v("vt") && c("ct") <= v("vt") + w)
+            .join(pch, v("u") === pch("pu") && pch("pt") >= c("ct") && pch("pt") <= v("vt") + w)
+            .select(v("u")).distinct().count()
+        }
+        val fold3 = hist.getOrElse(3, 0L)
+        assert(naive3 == fold3,
+          s"naive 3-chain users $naive3 != fold level-3 $fold3 at x$scale")
+        ev.unpersist()
+      }
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
