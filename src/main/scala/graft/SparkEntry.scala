@@ -427,6 +427,7 @@ object SparkEntry {
     "sql_ch_scalars" -> (Relational.sqlChScalars _),
     "sql_ch_datediff" -> (Relational.sqlChDateDiff _),
     "sql_ch_json" -> (Relational.sqlChJson _),
+    "sql_ch_age" -> (Relational.sqlChAge _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1037,6 +1038,10 @@ object SparkEntry {
     // group, keep the top 3 in rank order; sumMap as key-ordered lists.
     "sql_ch_topk" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
+    // Complete periods from boundary date_diff: subtract one when the
+    // end's day-of-month (resp. month-day pair) precedes the anchor's.
+    "sql_ch_age" ->
+      """SELECT o_orderpriority, CAST(max(date_diff('month', DATE '1995-01-15', o_orderdate) - CASE WHEN day(o_orderdate) < 15 THEN 1 ELSE 0 END) AS BIGINT) AS max_age_m, CAST(min(date_diff('year', DATE '1995-01-15', o_orderdate) - CASE WHEN month(o_orderdate) * 100 + day(o_orderdate) < 115 THEN 1 ELSE 0 END) AS BIGINT) AS min_age_y, CAST(max(date_diff('day', DATE '1995-01-15', o_orderdate)) AS BIGINT) AS max_age_d, max(lpad(CAST(o_orderkey AS VARCHAR), 9, '0')) AS max_key_pad, min(trim(concat('  ', rpad(o_orderpriority, 12, '.'), ' '))) AS prio_padded FROM orders WHERE o_orderdate >= DATE '1995-01-15' GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // The JSON legs are algebraic identities (extract ∘ build = id) the
     // oracle states directly; the Spark side runs the JsonPath machinery.
     "sql_ch_json" ->

@@ -1949,4 +1949,27 @@ object Relational {
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2""".stripMargin)
   }
+
+  /** ClickHouse's `age('unit', a, b)` — the COMPLETE-period diff (exactly
+    * Spark `timestampdiff`; the counterpart of boundary-counting
+    * `dateDiff`, so the two ClickHouse functions each land on their
+    * correct native semantics) — against a MID-MONTH anchor so the
+    * complete/boundary distinction is live on real rows, plus the
+    * pad/trim renames. The oracle spells complete periods explicitly
+    * from DuckDB's boundary date_diff with the day-of-month adjustment.
+    */
+  def sqlChAge(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderpriority,
+        |  toInt64(max(age('month', toDate('1995-01-15'), o_orderdate))) AS max_age_m,
+        |  toInt64(min(age('year', toDate('1995-01-15'), o_orderdate))) AS min_age_y,
+        |  toInt64(max(age('day', toDate('1995-01-15'), o_orderdate))) AS max_age_d,
+        |  max(leftPad(toString(o_orderkey), 9, '0')) AS max_key_pad,
+        |  min(trimBoth(concat('  ', rightPad(o_orderpriority, 12, '.'), ' '))) AS prio_padded
+        |FROM orders
+        |WHERE o_orderdate >= toDate('1995-01-15')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
 }

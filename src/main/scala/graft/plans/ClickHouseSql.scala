@@ -1168,6 +1168,57 @@ object ClickHouseFunctions {
     ("arrayZip", "arrayZip(arr1, arr2, ...) - element-wise zip into an array of tuples",
       es => { require(es.length >= 2, "arrayZip(arr1, arr2, ...)")
         ArraysZip(es) }),
+    // age is ClickHouse's COMPLETE-PERIOD diff — exactly Spark's
+    // timestampdiff semantics, the counterpart of boundary-counting
+    // dateDiff: the two ClickHouse functions map to the two semantics,
+    // each to its correct native expression. `week` IS supported here
+    // (a complete week is a 7-day duration — no week-start convention
+    // involved, unlike dateDiff's truncation).
+    ("age", "age('unit', start, end) - COMPLETE units elapsed from start to end (ClickHouse age = Spark timestampdiff)",
+      es => {
+        require(es.length == 3,
+          "age('unit', start, end) - the timezone argument is not supported")
+        val unit = es.head match {
+          case Literal(u, StringType) if u != null => u.toString
+          case other => throw new IllegalArgumentException(
+            s"age: the unit must be a string literal, got $other")
+        }
+        val ok = Set("second", "minute", "hour", "day", "week", "month",
+          "quarter", "year")
+        if (!ok.contains(unit.toLowerCase)) throw new IllegalArgumentException(
+          s"age: unsupported unit '$unit' — ${ok.mkString("/")}")
+        TimestampDiff(unit.toUpperCase, es(1), es(2))
+      }),
+    ("leftPad", "leftPad(s, n[, pad]) - pad to n characters on the left (default space)",
+      es => es match {
+        case Seq(s, n) => StringLPad(s, n, Literal(" "))
+        case Seq(s, n, p) => StringLPad(s, n, p)
+        case _ => throw new IllegalArgumentException("leftPad(s, n[, pad])")
+      }),
+    ("rightPad", "rightPad(s, n[, pad]) - pad to n characters on the right (default space)",
+      es => es match {
+        case Seq(s, n) => StringRPad(s, n, Literal(" "))
+        case Seq(s, n, p) => StringRPad(s, n, p)
+        case _ => throw new IllegalArgumentException("rightPad(s, n[, pad])")
+      }),
+    ("leftPadUTF8", "leftPadUTF8(s, n[, pad]) - code-point-aware left pad",
+      es => es match {
+        case Seq(s, n) => StringLPad(s, n, Literal(" "))
+        case Seq(s, n, p) => StringLPad(s, n, p)
+        case _ => throw new IllegalArgumentException("leftPadUTF8(s, n[, pad])")
+      }),
+    ("rightPadUTF8", "rightPadUTF8(s, n[, pad]) - code-point-aware right pad",
+      es => es match {
+        case Seq(s, n) => StringRPad(s, n, Literal(" "))
+        case Seq(s, n, p) => StringRPad(s, n, p)
+        case _ => throw new IllegalArgumentException("rightPadUTF8(s, n[, pad])")
+      }),
+    ("trimLeft", "trimLeft(s) - strip leading whitespace",
+      es => { require(es.length == 1, "trimLeft(s)"); new StringTrimLeft(es.head) }),
+    ("trimRight", "trimRight(s) - strip trailing whitespace",
+      es => { require(es.length == 1, "trimRight(s)"); new StringTrimRight(es.head) }),
+    ("trimBoth", "trimBoth(s) - strip leading and trailing whitespace",
+      es => { require(es.length == 1, "trimBoth(s)"); new StringTrim(es.head) }),
     ("today", "today() - the current date",
       es => { require(es.isEmpty, "today()"); CurrentDate() }),
     ("yesterday", "yesterday() - the current date minus one day",

@@ -782,6 +782,29 @@ class ClickHouseSqlSpec extends SparkSpec {
     }
   }
 
+  test("execution: age counts COMPLETE periods (dateDiff's counterpart); pads/trims rename 1:1") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT
+        |  age('month', toDate('1995-01-31'), toDate('1995-02-01')) AS m0,
+        |  dateDiff('month', toDate('1995-01-31'), toDate('1995-02-01')) AS m1,
+        |  age('month', toDate('1995-01-15'), toDate('1995-03-14')) AS m_inc,
+        |  age('year', toDate('1995-06-01'), toDate('1996-05-31')) AS y0,
+        |  age('week', toDate('1995-01-01'), toDate('1995-01-15')) AS w2,
+        |  leftPad('7', 3, '0') AS lp, rightPad('7', 3, '.') AS rp,
+        |  leftPadUTF8('é', 3, 'à') AS lpu,
+        |  trimLeft('  x ') AS tl, trimRight('  x ') AS tr, trimBoth('  x ') AS tb""".stripMargin)
+      .head()
+    // The same adjacent-boundary pair reads 0 complete months but 1
+    // month boundary — the two ClickHouse functions are NOT aliases.
+    assert(r.getLong(0) == 0L && r.getInt(1) == 1, r)
+    assert(r.getLong(2) == 1L, r) // Jan 15 → Mar 14: one complete month
+    assert(r.getLong(3) == 0L, r)
+    assert(r.getLong(4) == 2L, r)
+    assert(r.getString(5) == "007" && r.getString(6) == "7..", r)
+    assert(r.getString(7) == "ààé", r)
+    assert(r.getString(8) == "x " && r.getString(9) == "  x" && r.getString(10) == "x", r)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
