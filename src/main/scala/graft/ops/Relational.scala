@@ -1972,4 +1972,21 @@ object Relational {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
   }
+
+  /** ClickHouse's `LIMIT offset, count` pagination spelling (→ standard
+    * `LIMIT count OFFSET offset`) with a trailing `FORMAT JSON` clause
+    * (client serialization — stripped, the SETTINGS rationale): the
+    * exact tail shape of a dashboard pagination custom_query. Unique
+    * sort key keeps the page deterministic.
+    */
+  def sqlChLimitOffset(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderkey, o_orderpriority,
+        |  intDiv(toInt64(o_orderkey), 100) AS key_century
+        |FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 20, 10
+        |FORMAT JSON""".stripMargin)
+  }
 }

@@ -122,6 +122,48 @@ object ClickHouseSqlRewrite {
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
+    val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
+    sql
+  }
+
+  // -------------------------------------- 10. LIMIT offset,count / FORMAT
+
+  private val LimitCommaRe = java.util.regex.Pattern.compile(
+    "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b")
+  private val WithTiesRe = java.util.regex.Pattern.compile(
+    "(?i)\\bLIMIT\\s+\\d+\\s+WITH\\s+TIES\\b")
+  private val FormatRe = java.util.regex.Pattern.compile(
+    "(?i)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$")
+
+  /** ClickHouse's remaining LIMIT spellings and the trailing FORMAT
+    * clause: `LIMIT offset, count` (the pagination form) → standard
+    * `LIMIT count OFFSET offset` — unless BY follows, in which case it
+    * is the parameterized LIMIT BY that [[rewriteLimitBy]] owns (its
+    * offset form is a named error there); `LIMIT n WITH TIES` is a NAMED
+    * error (Spark has no ties-extension — spell the rank window
+    * explicitly so the tie rule is visible); a STATEMENT-TRAILING
+    * `FORMAT <name>` strips — it selects the CLIENT serialization
+    * (JSON, Pretty, CSV…) and never changes the result rows, the same
+    * rationale as the SETTINGS strip.
+    */
+  private def rewriteLimitForms(sql: String, masked: String): String = {
+    val wt = WithTiesRe.matcher(masked)
+    if (wt.find()) throw new IllegalArgumentException(
+      "ClickHouse SQL: LIMIT ... WITH TIES is not supported — spell the " +
+        "tie rule explicitly with a rank() window filter")
+    val lc = LimitCommaRe.matcher(masked)
+    while (lc.find()) {
+      // `LIMIT n, m BY keys` belongs to rewriteLimitBy's named error.
+      var j = lc.end()
+      while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+      val isBy = masked.regionMatches(true, j, "BY", 0, 2) &&
+        (j + 2 >= masked.length || !isWordChar(masked.charAt(j + 2)))
+      if (!isBy)
+        return sql.substring(0, lc.start()) +
+          s"LIMIT ${lc.group(2)} OFFSET ${lc.group(1)}" + sql.substring(lc.end())
+    }
+    val fm = FormatRe.matcher(masked)
+    if (fm.find()) return sql.substring(0, fm.start()).stripTrailing()
     sql
   }
 

@@ -805,6 +805,25 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(8) == "x " && r.getString(9) == "  x" && r.getString(10) == "x", r)
   }
 
+  test("rewrite: LIMIT offset,count paginates; FORMAT strips; WITH TIES is a named error") {
+    assert(ClickHouseSqlRewrite("SELECT a FROM t ORDER BY a LIMIT 20, 10")
+      == "SELECT a FROM t ORDER BY a LIMIT 10 OFFSET 20")
+    assert(ClickHouseSqlRewrite("SELECT a FROM t ORDER BY a LIMIT 5 FORMAT JSON")
+      == "SELECT a FROM t ORDER BY a LIMIT 5")
+    assert(ClickHouseSqlRewrite("SELECT a FROM t FORMAT PrettyCompact;")
+      == "SELECT a FROM t")
+    // A column merely NAMED format is not the clause (nothing follows it).
+    val inert = "SELECT format FROM t ORDER BY format"
+    assert(ClickHouseSqlRewrite(inert) eq inert)
+    val ties = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 5 WITH TIES"))
+    assert(ties.getMessage.contains("rank()"), ties.getMessage)
+    // LIMIT n, m BY stays rewriteLimitBy's named offset-form error.
+    val offBy = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 2, 3 BY k"))
+    assert(offBy.getMessage.toLowerCase.contains("offset"), offBy.getMessage)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
