@@ -429,6 +429,7 @@ object SparkEntry {
     "sql_ch_json" -> (Relational.sqlChJson _),
     "sql_ch_age" -> (Relational.sqlChAge _),
     "sql_ch_limit_offset" -> (Relational.sqlChLimitOffset _),
+    "sql_ch_rollup" -> (Relational.sqlChRollup _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1041,6 +1042,8 @@ object SparkEntry {
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
     "sql_ch_limit_offset" ->
       """SELECT o_orderkey, o_orderpriority, CAST(o_orderkey // 100 AS BIGINT) AS key_century FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20""",
+    "sql_ch_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     // Complete periods from boundary date_diff: subtract one when the
     // end's day-of-month (resp. month-day pair) precedes the anchor's.
     "sql_ch_age" ->

@@ -1989,4 +1989,20 @@ object Relational {
         |LIMIT 20, 10
         |FORMAT JSON""".stripMargin)
   }
+
+  /** ClickHouse's `GROUP BY … WITH ROLLUP` — the subtotal lattice
+    * modifier, rewritten to standard `ROLLUP(keys)` (identical lattices;
+    * NULL-keyed subtotal rows are the same TOTALS transport difference,
+    * documented). Exact BIGINT sums; one grouping-sets shuffle.
+    */
+  def sqlChRollup(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT l_returnflag, l_linestatus,
+        |  toInt64(count(*)) AS n,
+        |  toInt64(sum(toInt64(l_quantity))) AS qty
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus WITH ROLLUP
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
 }

@@ -336,15 +336,17 @@ object ClickHouseSqlRewrite {
   // -------------------------------------------------------- 6. WITH TOTALS
 
   private val TotalsRe = java.util.regex.Pattern.compile(
-    "(?i)\\bWITH\\s+TOTALS\\b")
+    "(?i)\\bWITH\\s+(TOTALS|ROLLUP|CUBE)\\b")
 
-  /** `GROUP BY <keys> WITH TOTALS` → `GROUP BY GROUPING SETS ((<keys>),
-    * ())`: the standard-SQL spelling of an appended all-rows total. The
-    * totals row carries NULL group keys (where ClickHouse delivers a
-    * separate block with default-valued keys — a transport difference,
-    * documented, not a value difference) and sorts wherever the query's
-    * ORDER BY puts NULLs. `HAVING` alongside TOTALS is a NAMED error:
-    * ClickHouse's totals_mode setting makes the totals/HAVING
+  /** The ClickHouse GROUP BY modifiers: `WITH TOTALS` → `GROUPING SETS
+    * ((<keys>), ())` (the standard-SQL spelling of an appended all-rows
+    * total), `WITH ROLLUP` → `ROLLUP(<keys>)`, `WITH CUBE` →
+    * `CUBE(<keys>)` — identical subtotal lattices in both engines. The
+    * subtotal rows carry NULL group keys (where ClickHouse delivers
+    * default-valued keys — a transport difference, documented, not a
+    * value difference) and sort wherever the query's ORDER BY puts
+    * NULLs. `HAVING` alongside any modifier is a NAMED error:
+    * ClickHouse's totals_mode setting makes the subtotal/HAVING
     * interaction configuration-dependent, which a bit-exact engine
     * refuses to guess. A `WITH totals AS (…)` CTE does not match the
     * structural conditions (owning SELECT + preceding GROUP BY) and
@@ -354,6 +356,7 @@ object ClickHouseSqlRewrite {
     val m = TotalsRe.matcher(masked)
     if (!m.find()) return sql
     val tIdx = m.start()
+    val kind = m.group(1).toUpperCase
     val (_, selIdx) = owningSelect(masked, tIdx)
     if (selIdx < 0) return sql
     val gIdx = findKeyword(masked, selIdx + 6, "GROUP")
@@ -365,15 +368,19 @@ object ClickHouseSqlRewrite {
     if (masked.regionMatches(true, k, "HAVING", 0, 6) &&
         (k + 6 >= masked.length || !isWordChar(masked.charAt(k + 6))))
       throw new IllegalArgumentException(
-        "ClickHouse SQL: WITH TOTALS alongside HAVING is not supported — " +
+        s"ClickHouse SQL: WITH $kind alongside HAVING is not supported — " +
           "the interaction depends on ClickHouse's totals_mode setting; " +
           "filter in an outer query instead")
     failIfOrdinal(masked, byIdx + 2, tIdx)
     val keys = sql.substring(byIdx + 2, tIdx).trim
     if (keys.isEmpty) throw new IllegalArgumentException(
-      "ClickHouse SQL: WITH TOTALS requires grouping keys")
-    sql.substring(0, gIdx) + "GROUP BY GROUPING SETS ((" + keys +
-      "\n), ())" + sql.substring(m.end())
+      s"ClickHouse SQL: WITH $kind requires grouping keys")
+    val grouping = kind match {
+      case "TOTALS" => "GROUPING SETS ((" + keys + "\n), ())"
+      case "ROLLUP" => "ROLLUP(" + keys + "\n)"
+      case _ => "CUBE(" + keys + "\n)"
+    }
+    sql.substring(0, gIdx) + "GROUP BY " + grouping + sql.substring(m.end())
   }
 
   // ---------------------------------------------------------------- helpers

@@ -383,6 +383,10 @@ class ClickHouseSqlSpec extends SparkSpec {
       == "SELECT least(count(DISTINCT x\n), (5\n) + 1) FROM t GROUP BY k")
     assert(ClickHouseSqlRewrite("SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k")
       == "SELECT k, count(*) FROM t GROUP BY GROUPING SETS ((k\n), ()) ORDER BY k")
+    assert(ClickHouseSqlRewrite("SELECT a, b, count(*) FROM t GROUP BY a, b WITH ROLLUP")
+      == "SELECT a, b, count(*) FROM t GROUP BY ROLLUP(a, b\n)")
+    assert(ClickHouseSqlRewrite("SELECT a, b, count(*) FROM t GROUP BY a, b WITH CUBE")
+      == "SELECT a, b, count(*) FROM t GROUP BY CUBE(a, b\n)")
     // A CTE named `totals` is NOT the TOTALS clause — untouched.
     val cte = "WITH totals AS (SELECT 1 AS x) SELECT x FROM totals"
     assert(ClickHouseSqlRewrite(cte) == cte)
@@ -421,6 +425,25 @@ class ClickHouseSqlSpec extends SparkSpec {
       "SELECT k, sumIf(v, v > 0) AS tot FROM chf GROUP BY k WITH TOTALS ORDER BY k")
       .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
     assert(rows == Seq((-1L, 115L), (1L, 60L), (2L, 55L)), rows)
+  }
+
+  test("execution: WITH ROLLUP builds the prefix lattice; WITH CUBE all subsets") {
+    fixture()
+    def run(mod: String): Seq[(String, String, Long)] = ClickHouseSql.sql(spark,
+      s"""SELECT toString(k) AS ks, s, toInt64(sum(v)) AS sv FROM chf
+         |GROUP BY k, s WITH $mod
+         |ORDER BY ks NULLS FIRST, s NULLS FIRST""".stripMargin)
+      .collect().map(r => (Option(r.getString(0)).getOrElse("-"),
+        Option(r.getString(1)).getOrElse("-"), r.getLong(2))).toSeq
+    val rollup = run("ROLLUP")
+    // grand total, per-k subtotals, leaves — NO per-s slices.
+    assert(rollup.head == (("-", "-", 115L)), rollup)
+    assert(rollup.contains(("1", "-", 60L)) && rollup.contains(("2", "-", 55L)), rollup)
+    assert(rollup.count(_._1 == "-") == 1 && rollup.length == 8, rollup)
+    val cube = run("CUBE")
+    // CUBE adds the per-s slices (5 distinct s values).
+    assert(cube.length == 13, cube)
+    assert(cube.contains(("-", "p", 5L)) && cube.contains(("-", "z", 30L)), cube)
   }
 
   test("rewrite: GLOBAL and ALL join modifiers strip; SEMI/ANTI normalize; ANY and right-sided forms are named errors") {
