@@ -430,6 +430,7 @@ object SparkEntry {
     "sql_ch_age" -> (Relational.sqlChAge _),
     "sql_ch_limit_offset" -> (Relational.sqlChLimitOffset _),
     "sql_ch_rollup" -> (Relational.sqlChRollup _),
+    "sql_ch_sets" -> (Relational.sqlChSets _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1044,6 +1045,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority, CAST(o_orderkey // 100 AS BIGINT) AS key_century FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20""",
     "sql_ch_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    // DuckDB's replace() is replace-all; replaceOne is spelled as the
+    // same locate-and-splice the engine composes.
+    "sql_ch_sets" ->
+      """SELECT doc_id, list_has_all(string_split(text, ' '), ['the', 'a']) AS has_the_a, list_has_any(string_split(text, ' '), ['zebra', 'the']) AS any_hit, coalesce(array_to_string(list_sort(list_intersect(list_distinct(string_split(text, ' ')), ['the', 'of', 'and'])), ','), '') AS stops, CAST(doc_id & 255 AS BIGINT) AS low_byte, CAST((doc_id & 15) << 2 AS BIGINT) AS nib2, CASE WHEN instr(text[1:40], ' ') = 0 THEN text[1:40] ELSE concat(text[1:40][1:instr(text[1:40], ' ') - 1], '_', text[1:40][instr(text[1:40], ' ') + 1:]) END AS first_gap, replace(text[1:20], 'e', '3') AS leeted FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
     // Complete periods from boundary date_diff: subtract one when the
     // end's day-of-month (resp. month-day pair) precedes the anchor's.
     "sql_ch_age" ->

@@ -2005,4 +2005,27 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus WITH ROLLUP
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
   }
+
+  /** The set-predicate / bitwise / replace helpers over documents:
+    * `hasAll`/`hasAny` (subset / overlap tests on the term arrays),
+    * `arrayIntersect` (against a fixed stopword probe), `bitAnd`/
+    * `bitShiftLeft`, and `replaceAll`/`replaceOne` (first-occurrence
+    * replace as a locate-and-splice composition). All codegen'd
+    * scalars; zero shuffles beyond the presentation sort.
+    */
+  def sqlChSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("documents"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT doc_id,
+        |  hasAll(splitByChar(' ', text), ['the', 'a']) AS has_the_a,
+        |  hasAny(splitByChar(' ', text), ['zebra', 'the']) AS any_hit,
+        |  concat_ws(',', arraySort(arrayIntersect(splitByChar(' ', text), ['the', 'of', 'and']))) AS stops,
+        |  bitAnd(doc_id, 255) AS low_byte,
+        |  bitShiftLeft(bitAnd(doc_id, 15), 2) AS nib2,
+        |  replaceOne(substringUTF8(text, 1, 40), ' ', '_') AS first_gap,
+        |  replaceAll(substringUTF8(text, 1, 20), 'e', '3') AS leeted
+        |FROM documents
+        |WHERE doc_id < 60
+        |ORDER BY doc_id""".stripMargin)
+  }
 }

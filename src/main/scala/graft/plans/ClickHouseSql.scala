@@ -123,6 +123,65 @@ object ClickHouseSqlRewrite {
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
     val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
+    val n = rewriteArrayLiterals(sql, masked); if (n ne sql) return n
+    sql
+  }
+
+  // ------------------------------------------- 11. [..] array literals
+
+  /** Keywords a literal may directly follow — an identifier before `[`
+    * otherwise means indexing (`arr[1]`). A column NAMED like a keyword
+    * would need backticks anyway, and the failure mode is a loud
+    * analysis error, not a silent semantic change.
+    */
+  private val PreLiteralKeywords = Set(
+    "SELECT", "WHERE", "AND", "OR", "NOT", "IN", "WHEN", "THEN", "ELSE",
+    "BY", "ON", "AS", "HAVING", "UNION", "ALL", "DISTINCT", "INTERSECT",
+    "EXCEPT", "CASE", "BETWEEN", "LIKE", "ILIKE", "IS", "QUALIFY",
+    "PREWHERE", "USING", "VALUES", "RETURN", "FROM", "JOIN", "DIV", "MOD")
+
+  /** ClickHouse's bracket array literals (`['a', 'b']`, `[[1], [2]]`) →
+    * `array(...)`. A `[` is a LITERAL start when the previous non-space
+    * token is an operator/opening bracket/comma or a KEYWORD — a
+    * non-keyword identifier, `)`, or `]` before it means Spark's own
+    * indexing/field access (`arr[1]`, `m['k']`, `split(s, ' ')[0]`),
+    * which must pass through untouched. One bracket pair per pass; the
+    * fixpoint unnests inner literals.
+    */
+  private def rewriteArrayLiterals(sql: String, masked: String): String = {
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '[') {
+        var j = i - 1
+        while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
+        val prev = if (j >= 0) masked.charAt(j) else '('
+        val indexing =
+          if (prev == ')' || prev == ']') true
+          else if (isWordChar(prev)) {
+            var w = j
+            while (w >= 0 && isWordChar(masked.charAt(w))) w -= 1
+            !PreLiteralKeywords.contains(masked.substring(w + 1, j + 1).toUpperCase)
+          } else false
+        if (!indexing) {
+          var depth = 0
+          var k = i
+          while (k < masked.length) {
+            val c = masked.charAt(k)
+            if (c == '[') depth += 1
+            else if (c == ']') {
+              depth -= 1
+              if (depth == 0)
+                return sql.substring(0, i) + "array(" +
+                  sql.substring(i + 1, k) + ")" + sql.substring(k + 1)
+            }
+            k += 1
+          }
+          throw new IllegalArgumentException(
+            "ClickHouse SQL: unbalanced '[' in array literal")
+        }
+      }
+      i += 1
+    }
     sql
   }
 
@@ -1315,6 +1374,80 @@ object ClickHouseFunctions {
         case Seq(s, off) => Substring(s, off, Literal(Int.MaxValue))
         case Seq(s, off, len) => Substring(s, off, len)
         case _ => throw new IllegalArgumentException("substringUTF8(s, offset[, length])")
+      }),
+    // Set predicates / bitwise scalars / replace — 1:1 stock renames.
+    // replaceOne is a COMPOSITION (Spark has no first-occurrence-only
+    // replace): locate the needle once, splice around it; absent needle
+    // leaves the string untouched, empty needle is ClickHouse's no-op.
+    ("hasAll", "hasAll(arr, subset) - true when arr contains every element of subset",
+      es => { require(es.length == 2, "hasAll(arr, subset)")
+        EqualTo(new Size(ArrayExcept(es(1), es(0))), Literal(0)) }),
+    ("hasAny", "hasAny(arr1, arr2) - true when the arrays share an element",
+      es => { require(es.length == 2, "hasAny(arr1, arr2)")
+        ArraysOverlap(es(0), es(1)) }),
+    ("arrayIntersect", "arrayIntersect(arr1, arr2) - distinct shared elements",
+      es => { require(es.length == 2, "arrayIntersect(arr1, arr2)")
+        ArrayIntersect(es(0), es(1)) }),
+    ("bitAnd", "bitAnd(a, b)", es => { require(es.length == 2, "bitAnd(a, b)")
+      BitwiseAnd(es(0), es(1)) }),
+    ("bitOr", "bitOr(a, b)", es => { require(es.length == 2, "bitOr(a, b)")
+      BitwiseOr(es(0), es(1)) }),
+    ("bitXor", "bitXor(a, b)", es => { require(es.length == 2, "bitXor(a, b)")
+      BitwiseXor(es(0), es(1)) }),
+    ("bitNot", "bitNot(a)", one(BitwiseNot)),
+    ("bitShiftLeft", "bitShiftLeft(a, n)", es => {
+      require(es.length == 2, "bitShiftLeft(a, n)"); ShiftLeft(es(0), es(1)) }),
+    ("bitShiftRight", "bitShiftRight(a, n)", es => {
+      require(es.length == 2, "bitShiftRight(a, n)"); ShiftRight(es(0), es(1)) }),
+    ("replaceAll", "replaceAll(s, from, to) - replace every literal occurrence",
+      es => { require(es.length == 3, "replaceAll(s, from, to)")
+        StringReplace(es(0), es(1), es(2)) }),
+    ("replaceOne", "replaceOne(s, from, to) - replace the FIRST literal occurrence",
+      es => {
+        require(es.length == 3, "replaceOne(s, from, to)")
+        val (s, from, to) = (es(0), es(1), es(2))
+        val loc = new StringLocate(from, s)
+        If(Or(EqualTo(loc, Literal(0)), EqualTo(Length(from), Literal(0))), s,
+          Concat(Seq(
+            Substring(s, Literal(1), Subtract(loc, Literal(1))),
+            to,
+            Substring(s, Add(loc, Length(from)), Literal(Int.MaxValue)))))
+      }),
+    // arrayDifference / arrayCumSum — ClickHouse's adjacent-delta and
+    // running-sum array calculus, as index-aware stock lambdas (the
+    // two-argument transform form) and one ArrayAggregate scan. Results
+    // follow the INPUT element type (pass Int64 for exactness; CH
+    // widens — a documented divergence stated in the usage).
+    ("arrayDifference", "arrayDifference(arr) - [0, a[1]-a[0], ...] adjacent deltas (result keeps the input type; cast to Int64 first for headroom)",
+      es => {
+        require(es.length == 1, "arrayDifference(arr)")
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        val i = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
+        ArrayTransform(es.head, LambdaFunction(
+          If(EqualTo(i, Literal(0)), Subtract(x, x),
+            Subtract(x, GetArrayItem(es.head, Subtract(i, Literal(1))))),
+          Seq(x, i)))
+      }),
+    ("arrayCumSum", "arrayCumSum(arr) - running sums as Int64 (ClickHouse widens similarly)",
+      es => {
+        require(es.length == 1, "arrayCumSum(arr)")
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        // One ArrayAggregate scan building the prefix array — O(n) via
+        // Concat of the accumulator with the new tail element.
+        ArrayAggregate(es.head,
+          CreateNamedStruct(Seq(
+            Literal("acc"), Cast(CreateArray(Nil), ArrayType(LongType)),
+            Literal("run"), Literal(0L))),
+          LambdaFunction(
+            CreateNamedStruct(Seq(
+              Literal("acc"), Concat(Seq(
+                UnresolvedExtractValue(st, Literal("acc")),
+                CreateArray(Seq(Add(UnresolvedExtractValue(st, Literal("run")), e2))))),
+              Literal("run"), Add(UnresolvedExtractValue(st, Literal("run")), e2))),
+            Seq(st, e2)),
+          LambdaFunction(UnresolvedExtractValue(fin, Literal("acc")), Seq(fin)))
       }),
     ("arrayMap", "arrayMap(func, arr) - apply func to each element",
       chHof("arrayMap")((arr, l) => ArrayTransform(arr, l))),

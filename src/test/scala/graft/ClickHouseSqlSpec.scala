@@ -847,6 +847,35 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(offBy.getMessage.toLowerCase.contains("offset"), offBy.getMessage)
   }
 
+  test("execution: bracket array literals parse; set predicates, bitwise, replace, and array calculus map exactly") {
+    // Literal-position [ becomes array(); indexing [ is untouched.
+    assert(ClickHouseSqlRewrite("SELECT ['a', 'b'] AS l, arr[1] AS e FROM t")
+      == "SELECT array('a', 'b') AS l, arr[1] AS e FROM t")
+    assert(ClickHouseSqlRewrite("SELECT [[1], [2, 3]] AS m FROM t")
+      == "SELECT array(array(1), array(2, 3)) AS m FROM t")
+    val r = ClickHouseSql.sql(spark,
+      """SELECT hasAll([1, 2, 3], [2, 3]) AS all_in,
+        |  hasAll([1, 2], [2, 9]) AS not_all,
+        |  hasAny([1, 2], [9, 2]) AS any_in,
+        |  concat_ws(',', arrayIntersect([1, 2, 2, 3], [3, 2, 8])) AS inter,
+        |  bitAnd(12, 10) AS b_and, bitOr(12, 10) AS b_or, bitXor(12, 10) AS b_xor,
+        |  bitNot(0) AS b_not, bitShiftLeft(3, 2) AS b_shl, bitShiftRight(12, 2) AS b_shr,
+        |  replaceAll('banana', 'an', 'AN') AS rall,
+        |  replaceOne('banana', 'an', 'AN') AS rone,
+        |  replaceOne('banana', 'xx', 'AN') AS rmiss,
+        |  concat_ws(',', arrayDifference([7, 9, 6, 6])) AS adiff,
+        |  concat_ws(',', arrayCumSum([1, 2, 3])) AS acum""".stripMargin).head()
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2), r)
+    assert(Set("2,3", "3,2").contains(r.getString(3)), r)
+    assert(r.getInt(4) == 8 && r.getInt(5) == 14 && r.getInt(6) == 6, r)
+    assert(r.getInt(7) == -1 && r.getInt(8) == 12 && r.getInt(9) == 3, r)
+    assert(r.getString(10) == "bANANa", r)
+    assert(r.getString(11) == "bANana", r)
+    assert(r.getString(12) == "banana", r)
+    assert(r.getString(13) == "0,2,-3,0", r)
+    assert(r.getString(14) == "1,3,6", r)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
