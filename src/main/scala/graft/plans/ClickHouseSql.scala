@@ -1018,6 +1018,27 @@ object ClickHouseFunctions {
     Literal("$" + parts.mkString)
   }
 
+  /** The shared minMap/maxMap kernel: collect non-null-key (k, v) pairs,
+    * sort the distinct keys, reduce each key's values with `red`.
+    */
+  private def chMapAgg(k: Expression, v: Expression,
+      red: Expression => Expression): Expression = {
+    val pair = CreateNamedStruct(Seq(Literal("k"), k, Literal("v"), v))
+    val pairs = new Flatten(CollectList(
+      ArrayFilter(CreateArray(Seq(pair)), lam1(p =>
+        IsNotNull(UnresolvedExtractValue(p, Literal("k"))))))
+      .toAggregateExpression())
+    val keys = new SortArray(ArrayDistinct(ArrayTransform(pairs,
+      lam1(p => UnresolvedExtractValue(p, Literal("k"))))))
+    val p2 = UnresolvedNamedLambdaVariable(Seq("__graft_p"))
+    val vals = ArrayTransform(keys, lam1(key =>
+      red(ArrayTransform(
+        ArrayFilter(pairs, LambdaFunction(
+          EqualTo(UnresolvedExtractValue(p2, Literal("k")), key), Seq(p2))),
+        lam1(p => UnresolvedExtractValue(p, Literal("v")))))))
+    CreateNamedStruct(Seq(Literal("keys"), keys, Literal("values"), vals))
+  }
+
   /** The ClickHouse array HOFs put the lambda FIRST (`arrayMap(x -> …,
     * arr)`); Spark's stock HOF expressions take it last. The mapping is a
     * pure argument swap — Spark's parser already accepts `x -> expr` in
@@ -1597,6 +1618,24 @@ object ClickHouseFunctions {
         CreateNamedStruct(Seq(
           Literal("keys"), keys, Literal("values"), vals))
       }),
+    // minMap/maxMap ride the same collect-pairs kernel, with the per-key
+    // reduction an array_min/array_max over the key's values (input
+    // type preserved — no widening needed for min/max).
+    ("minMap",
+      "minMap(k, v) - struct(keys, values): sorted distinct keys and the per-key minimum",
+      es => { require(es.length == 2, "minMap(k, v)")
+        chMapAgg(es(0), es(1), vs => new ArrayMin(vs)) }),
+    ("maxMap",
+      "maxMap(k, v) - struct(keys, values): sorted distinct keys and the per-key maximum",
+      es => { require(es.length == 2, "maxMap(k, v)")
+        chMapAgg(es(0), es(1), vs => new ArrayMax(vs)) }),
+    ("tuple", "tuple(a, b, ...) - a struct (fields col1, col2, ... — access by name)",
+      es => { require(es.nonEmpty, "tuple(a, ...)"); CreateStruct(es) }),
+    ("countEqual", "countEqual(arr, x) - number of elements equal to x",
+      es => { require(es.length == 2, "countEqual(arr, x)")
+        val e1 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+        new Size(ArrayFilter(es(0),
+          LambdaFunction(EqualTo(e1, es(1)), Seq(e1)))) }),
     ("arraySort", "arraySort(arr) - ascending sort, nulls LAST (the ClickHouse placement; Spark's sort_array puts them first, hence the split)",
       es => { require(es.length == 1,
           "arraySort(arr) - the lambda-keyed form is not supported; sort a mapped copy instead")

@@ -575,6 +575,14 @@ class ClickHouseSqlSpec extends SparkSpec {
         "(SELECT sumMap(k, v) AS sm FROM chsm)").head()
     assert(sm.getSeq[String](0) == Seq("a", "b", "c"), sm)
     assert(sm.getSeq[Long](1) == Seq(11L, 10L, 2L), sm)
+    val mm = ClickHouseSql.sql(spark,
+      "SELECT mn.values AS mns, mx.values AS mxs FROM " +
+        "(SELECT minMap(k, v) AS mn, maxMap(k, v) AS mx FROM chsm)").head()
+    assert(mm.getSeq[Long](0) == Seq(1L, 5L, 2L), mm)
+    assert(mm.getSeq[Long](1) == Seq(10L, 5L, 2L), mm)
+    val t = ClickHouseSql.sql(spark,
+      "SELECT tuple(1, 'x').col2 AS s, countEqual([5, 7, 5], 5) AS ce").head()
+    assert(t.getString(0) == "x" && t.getInt(1) == 2, t)
   }
 
   test("rewrite: ARRAY JOIN becomes LATERAL VIEW explode; the multi-array form zips with a size guard") {
