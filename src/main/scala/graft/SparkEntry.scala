@@ -431,6 +431,7 @@ object SparkEntry {
     "sql_ch_limit_offset" -> (Relational.sqlChLimitOffset _),
     "sql_ch_rollup" -> (Relational.sqlChRollup _),
     "sql_ch_sets" -> (Relational.sqlChSets _),
+    "sql_ch_with_macro" -> (Relational.sqlChWithMacro _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1045,6 +1046,8 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderpriority, CAST(o_orderkey // 100 AS BIGINT) AS key_century FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20""",
     "sql_ch_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "sql_ch_with_macro" ->
+      """WITH big AS (SELECT l_linestatus AS ls, CAST(count(*) AS BIGINT) AS n_all FROM lineitem GROUP BY l_linestatus), av AS (SELECT avg(CAST(l_quantity AS BIGINT)) AS qty_avg FROM lineitem) SELECT l_linestatus, CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big, CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS n_probe, CAST(count(*) FILTER (WHERE l_quantity > qty_avg) AS BIGINT) AS n_above_avg, max(n_all) AS n_all FROM lineitem CROSS JOIN av JOIN big ON l_linestatus = ls GROUP BY l_linestatus ORDER BY l_linestatus""",
     // DuckDB's replace() is replace-all; replaceOne is spelled as the
     // same locate-and-splice the engine composes.
     "sql_ch_sets" ->

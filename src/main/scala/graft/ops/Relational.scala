@@ -2028,4 +2028,29 @@ object Relational {
         |WHERE doc_id < 60
         |ORDER BY doc_id""".stripMargin)
   }
+
+  /** ClickHouse's scalar `WITH <expr> AS name` macro form — constants
+    * AND a scalar-subquery macro (the corpus-average threshold) riding
+    * the injected one-row relation, mixed with a genuine CTE in the
+    * same WITH list. The one-row side broadcasts; resolution stays
+    * Spark's (collisions fail loudly as ambiguity).
+    */
+  def sqlChWithMacro(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH 25 AS qty_cut,
+        |     'A' AS flag_probe,
+        |     (SELECT avg(toInt64(l_quantity)) FROM lineitem) AS qty_avg,
+        |     big AS (SELECT l_linestatus AS ls, toInt64(count(*)) AS n_all
+        |             FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus,
+        |  toInt64(countIf(l_quantity > qty_cut)) AS n_big,
+        |  toInt64(countIf(l_returnflag = flag_probe)) AS n_probe,
+        |  toInt64(countIf(toFloat64(l_quantity) > qty_avg)) AS n_above_avg,
+        |  max(n_all) AS n_all
+        |FROM lineitem
+        |JOIN big ON l_linestatus = ls
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
 }

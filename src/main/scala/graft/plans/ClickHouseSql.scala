@@ -124,7 +124,72 @@ object ClickHouseSqlRewrite {
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
     val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
     val n = rewriteArrayLiterals(sql, masked); if (n ne sql) return n
+    val o = rewriteWithMacros(sql, masked); if (o ne sql) return o
     sql
+  }
+
+  // -------------------------------------- 12. WITH <expr> AS name macros
+
+  private val LeadingWithRe = java.util.regex.Pattern.compile(
+    "(?is)^\\s*WITH\\b")
+
+  /** ClickHouse's scalar WITH form — `WITH 25 AS cut, 'A' AS probe
+    * SELECT …` (an expression ALIAS list, not a CTE; ClickHouse docs use
+    * it pervasively). Spark's WITH is CTE-only, so each macro item moves
+    * into a one-row constant relation cross-joined into the top-level
+    * FROM: `FROM (SELECT (25) AS cut, ('A') AS probe) __graft_with CROSS
+    * JOIN <original>`. Resolution stays SPARK'S: a macro name colliding
+    * with a table column fails LOUDLY as an ambiguous reference instead
+    * of silently shadowing, and the one-row side broadcasts (never a
+    * cartesian of any size). Scalar-subquery expressions work — they
+    * ride the constant relation. Scope limit, stated not guessed: the
+    * names resolve in the OUTER query only (Spark subqueries cannot see
+    * outer columns), so a macro referenced inside a subquery errors —
+    * inline it there. CTE items (`name AS (…)`) in the same WITH list
+    * stay CTEs.
+    */
+  private def rewriteWithMacros(sql: String, masked: String): String = {
+    val m = LeadingWithRe.matcher(masked)
+    if (!m.find()) return sql
+    val selIdx = findKeyword(masked, m.end(), "SELECT")
+    if (selIdx < 0) return sql
+    val items = splitItems(masked, m.end(), selIdx)
+    // Trailing `AS <ident>` is found on the MASKED text (structure), but
+    // the expression comes from the ORIGINAL text — a macro whose expr is
+    // a string literal (`'A' AS probe`) masks to all spaces, so a
+    // masked-side expr match would misread it as a CTE. (scala.Either
+    // spelled out: catalyst's Left/Right string expressions shadow the
+    // standard names under the wildcard import.)
+    val classified: Seq[scala.Either[String, (String, String)]] =
+      items.map { case (s0, e0) =>
+        var e = e0
+        while (e > s0 && masked.charAt(e - 1).isWhitespace) e -= 1
+        var w = e
+        while (w > s0 && isWordChar(masked.charAt(w - 1))) w -= 1
+        var a = w
+        while (a > s0 && masked.charAt(a - 1).isWhitespace) a -= 1
+        val hasAs = a - 2 >= s0 && masked.regionMatches(true, a - 2, "AS", 0, 2) &&
+          (a - 3 < s0 || !isWordChar(masked.charAt(a - 3)))
+        val expr = if (hasAs) sql.substring(s0, a - 2).trim else ""
+        val ident = sql.substring(w, e)
+        if (hasAs && ident.nonEmpty && !ident.head.isDigit && expr.nonEmpty)
+          scala.Right((expr, ident))
+        else scala.Left(sql.substring(s0, e0).trim)
+      }
+    val macros = classified.collect { case scala.Right(x) => x }
+    if (macros.isEmpty) return sql
+    val ctes = classified.collect { case scala.Left(x) => x }
+    val fIdx = findKeyword(masked, selIdx + 6, "FROM")
+    if (fIdx < 0) throw new IllegalArgumentException(
+      "ClickHouse SQL: WITH <expr> AS <name> needs a FROM in the owning " +
+        "SELECT (the macro rides a one-row relation) — for a FROM-less " +
+        "probe, inline the value")
+    val head = if (ctes.isEmpty) "" else "WITH " + ctes.mkString(", ") + " "
+    val macroRel = "(SELECT " +
+      macros.map { case (e, n) => s"($e\n) AS $n" }.mkString(", ") +
+      ") __graft_with CROSS JOIN "
+    head + sql.substring(selIdx, fIdx + 4) + " " + macroRel +
+      sql.substring(fIdx + 4).stripLeading()
   }
 
   // ------------------------------------------- 11. [..] array literals

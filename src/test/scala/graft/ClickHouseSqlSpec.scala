@@ -884,6 +884,30 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(14) == "1,3,6", r)
   }
 
+  test("execution: WITH expr AS name macros ride a one-row relation; CTEs in the same list stay CTEs") {
+    assert(ClickHouseSqlRewrite("WITH 5 AS k SELECT k + v FROM t WHERE v > k")
+      == "SELECT k + v FROM (SELECT (5\n) AS k) __graft_with CROSS JOIN t WHERE v > k")
+    // Mixed list: the CTE survives in WITH, the macros move to the relation.
+    val mixed = ClickHouseSqlRewrite(
+      "WITH 5 AS k, c AS (SELECT 1 AS a) SELECT k FROM c")
+    assert(mixed == "WITH c AS (SELECT 1 AS a) SELECT k FROM " +
+      "(SELECT (5\n) AS k) __graft_with CROSS JOIN c", mixed)
+    // Pure-CTE WITH is untouched.
+    val cte = "WITH c AS (SELECT 1 AS a) SELECT a FROM c"
+    assert(ClickHouseSqlRewrite(cte) eq cte)
+    fixture()
+    val rows = ClickHouseSql.sql(spark,
+      """WITH 15 AS cut, (SELECT min(v) FROM chf) AS vmin
+        |SELECT k, toInt64(countIf(v > cut)) AS n_big,
+        |  toInt64(countIf(v = vmin)) AS n_min
+        |FROM chf GROUP BY k ORDER BY k""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, 2L, 0L), (2L, 1L, 1L)), rows)
+    val noFrom = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "WITH 5 AS k SELECT k"))
+    assert(noFrom.getMessage.contains("one-row relation"), noFrom.getMessage)
+  }
+
   test("execution: a ported custom_query shape — LIMIT BY + QUALIFY + combinators together") {
     fixture()
     // The reference splices {query_filter} into custom_query bodies
