@@ -65,6 +65,21 @@ object ScaleBench {
       (System.nanoTime() - t0) / 1e9
     }.min
 
+  /** Min of N reps plus the rep spread (max − min) — for legs whose
+    * verdict is a close call between two plans, where a 2-rep min can
+    * flip on ambient noise alone (the r10 interval-native vs
+    * SMJ-residual adjudication moved ±10% between runs). The spread is
+    * recorded next to the min so the artifact carries its own error bar.
+    */
+  private def timeMinSpread(runs: Int)(body: => Unit): (Double, Double) = {
+    val ts = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+    (ts.min, ts.max - ts.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = sys.env.getOrElse("SPARK_GRAFT_SCALEBENCH_OUT", "SCALEBENCH.json")
@@ -407,12 +422,17 @@ object ScaleBench {
       // quadratic cliff neither variant takes.
       val H = 900000000L
       var nPairs = 0L
-      results(s"interval_native_x$scale") = timeMin(2) {
+      // 5 reps + recorded spread for the native-vs-SMJ adjudication pair:
+      // the r10 artifact had the two within ~9% of each other with 2-rep
+      // mins, inside single-run noise — the close call needs an error bar.
+      val (nativeT, nativeSpread) = timeMinSpread(5) {
         nPairs = org.apache.spark.sql.graft.Interval.intervalJoin(pSide, cSide,
             Seq("user_id"), Seq("cu"), "pus", "cus", -H, H)
           .groupBy().count().head().getLong(0)
         assert(nPairs > 0)
       }
+      results(s"interval_native_x$scale") = nativeT
+      results(s"interval_native_x${scale}_spread") = nativeSpread
       results(s"interval_native_pairs_x$scale") = nPairs.toDouble
       results(s"interval_composed_x$scale") = timeMin(2) {
         val B = 2L * H
@@ -434,7 +454,7 @@ object ScaleBench {
       // sweep only deserves its extension if it still wins at equal
       // output. Broadcast disabled so the plan under test IS the at-scale
       // plan; output equality-asserted against the native count.
-      results(s"interval_smj_residual_x$scale") = timeMin(2) {
+      val (smjT, smjSpread) = timeMinSpread(5) {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try {
           val n = pSide.join(cSide, col("user_id") === col("cu") &&
@@ -443,6 +463,8 @@ object ScaleBench {
           assert(n == nPairs, s"SMJ+residual disagrees with native: $n vs $nPairs")
         } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       }
+      results(s"interval_smj_residual_x$scale") = smjT
+      results(s"interval_smj_residual_x${scale}_spread") = smjSpread
       ev.unpersist()
     }
 

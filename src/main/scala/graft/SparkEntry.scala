@@ -403,12 +403,14 @@ object SparkEntry {
     "graph_bfs_bucketed" -> (Graph.graphBfsBucketed _),
     "graph_kcore_bucketed" -> ((s, d) => Graph.graphKcoreBucketed(s, d)),
     "sql_ch_limit_by" -> (Relational.sqlChLimitBy _),
+    "sql_ch_limit_by_offset" -> (Relational.sqlChLimitByOffset _),
     "sql_ch_qualify" -> (Relational.sqlChQualify _),
     "sql_ch_functions" -> (Relational.sqlChFunctions _),
     "sql_ch_quantile" -> (Relational.sqlChQuantile _),
     "sql_ch_dates" -> (Relational.sqlChDates _),
     "sql_ch_retention" -> (Relational.sqlChRetention _),
     "sql_ch_funnel" -> (Relational.sqlChFunnel _),
+    "sql_ch_funnel_modes" -> (Relational.sqlChFunnelModes _),
     "sample_reservoir" -> ((s, d) => Analytics.sampleReservoir(s, d)),
     "events_top_paths" -> (Analytics.eventsTopPaths _),
     "events_ab_cuped" -> (Analytics.eventsAbCuped _),
@@ -908,6 +910,8 @@ object SparkEntry {
     // same feature as an independent implementation.
     "sql_ch_limit_by" ->
       """SELECT user_id, event_id, event_type, tus FROM (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, row_number() OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT) DESC, event_id) AS rn FROM events WHERE event_type IN ('click', 'purchase') AND user_id < 200) WHERE rn <= 2 ORDER BY user_id, tus DESC, event_id""",
+    "sql_ch_limit_by_offset" ->
+      """SELECT user_id, event_id, event_type, tus FROM (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tus, row_number() OVER (PARTITION BY user_id ORDER BY CAST(epoch_us(ts) AS BIGINT) DESC, event_id) AS rn FROM events WHERE event_type IN ('click', 'purchase') AND user_id < 200) WHERE rn > 1 AND rn <= 3 ORDER BY user_id, tus DESC, event_id""",
     "sql_ch_qualify" ->
       """SELECT o_orderpriority, o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents, CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn FROM orders QUALIFY rn <= 3 ORDER BY o_orderpriority, rn""",
     "sql_ch_functions" ->
@@ -923,9 +927,20 @@ object SparkEntry {
     // exists iff some purchase lands at-or-after some signup at second
     // granularity.
     "sql_ch_funnel" ->
-      """WITH RECURSIVE ent0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, 1 AS idx FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 2 FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 3 FROM events WHERE event_type = 'purchase'), ent AS (SELECT user_id, t, idx, row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn FROM ent0), users AS (SELECT DISTINCT user_id FROM events), cnt AS (SELECT u.user_id, (SELECT count(*) FROM ent e WHERE e.user_id = u.user_id) AS n FROM users u), rec AS (SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, CAST(NULL AS BIGINT) AS t3 FROM users UNION ALL SELECT r.user_id, r.rn + 1, CASE WHEN e.idx = 1 THEN e.t ELSE r.t1 END, CASE WHEN e.idx = 2 AND r.t1 IS NOT NULL AND e.t - r.t1 <= 21600 THEN r.t1 ELSE r.t2 END, CASE WHEN e.idx = 3 AND r.t2 IS NOT NULL AND e.t - r.t2 <= 21600 THEN r.t2 ELSE r.t3 END FROM rec r JOIN ent e ON e.user_id = r.user_id AND e.rn = r.rn + 1), fin AS (SELECT r.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level FROM rec r JOIN cnt c ON r.user_id = c.user_id AND r.rn = c.n), seq AS (SELECT u.user_id, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000) AS signup_then_buy FROM users u) SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users, CAST(count(*) FILTER (WHERE signup_then_buy) AS BIGINT) AS n_seq FROM fin JOIN seq USING (user_id) GROUP BY funnel_level ORDER BY funnel_level""",
+      """WITH RECURSIVE ent0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, 1 AS idx FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 2 FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 3 FROM events WHERE event_type = 'purchase'), ent AS (SELECT user_id, t, idx, row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn FROM ent0), users AS (SELECT DISTINCT user_id FROM events), cnt AS (SELECT u.user_id, (SELECT count(*) FROM ent e WHERE e.user_id = u.user_id) AS n FROM users u), rec AS (SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, CAST(NULL AS BIGINT) AS t3 FROM users UNION ALL SELECT r.user_id, r.rn + 1, CASE WHEN e.idx = 1 THEN e.t ELSE r.t1 END, CASE WHEN e.idx = 2 AND r.t1 IS NOT NULL AND e.t - r.t1 <= 21600 THEN r.t1 ELSE r.t2 END, CASE WHEN e.idx = 3 AND r.t2 IS NOT NULL AND e.t - r.t2 <= 21600 THEN r.t2 ELSE r.t3 END FROM rec r JOIN ent e ON e.user_id = r.user_id AND e.rn = r.rn + 1), fin AS (SELECT r.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level FROM rec r JOIN cnt c ON r.user_id = c.user_id AND r.rn = c.n), seq AS (SELECT u.user_id, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000) AS signup_then_buy, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000 AND epoch_us(p.ts) // 1000000 - epoch_us(s.ts) // 1000000 <= 21600) AS signup_then_buy_6h FROM users u) SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users, CAST(count(*) FILTER (WHERE signup_then_buy) AS BIGINT) AS n_seq, CAST(count(*) FILTER (WHERE signup_then_buy_6h) AS BIGINT) AS n_seq_6h FROM fin JOIN seq USING (user_id) GROUP BY funnel_level ORDER BY funnel_level""",
+    // The strict-modes oracle replays ClickHouse's getEventLevel scan as
+    // one recursive CTE carrying all three mode states over the same
+    // (t, step)-sorted entry stream: the strict_order lane reads the
+    // (t, 0) sentinel of non-matching rows and terminates (freezing the
+    // prefix level) on interruption or out-of-order arrival; the
+    // strict_deduplication lane terminates at a repeated level; the
+    // strict_increase lane carries (first, last) per level and requires
+    // last < t. Termination columns (odn/ddn) are sticky and coalesce
+    // ahead of the final max-level scan — the algorithm's early returns.
+    "sql_ch_funnel_modes" ->
+      """WITH RECURSIVE ent0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS idx FROM events), ent AS (SELECT user_id, t, idx, row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn FROM ent0), users AS (SELECT DISTINCT user_id FROM events), cnt AS (SELECT u.user_id, (SELECT count(*) FROM ent e WHERE e.user_id = u.user_id) AS n FROM users u), rec AS (SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS o1f, CAST(NULL AS BIGINT) AS o2f, CAST(NULL AS BIGINT) AS o3f, FALSE AS ofe, CAST(NULL AS BIGINT) AS odn, CAST(NULL AS BIGINT) AS d1f, CAST(NULL AS BIGINT) AS d2f, CAST(NULL AS BIGINT) AS d3f, CAST(NULL AS BIGINT) AS ddn, CAST(NULL AS BIGINT) AS i1f, CAST(NULL AS BIGINT) AS i1l, CAST(NULL AS BIGINT) AS i2f, CAST(NULL AS BIGINT) AS i2l, CAST(NULL AS BIGINT) AS i3f FROM users UNION ALL SELECT r.user_id, r.rn + 1, CASE WHEN e.idx = 1 THEN e.t ELSE r.o1f END, CASE WHEN e.idx = 2 AND r.o1f IS NOT NULL AND e.t - r.o1f <= 21600 THEN r.o1f ELSE r.o2f END, CASE WHEN e.idx = 3 AND r.o2f IS NOT NULL AND e.t - r.o2f <= 21600 THEN r.o2f ELSE r.o3f END, r.ofe OR e.idx = 1, CASE WHEN r.odn IS NOT NULL THEN r.odn WHEN e.idx = 0 AND r.ofe THEN (CASE WHEN r.o3f IS NOT NULL THEN 3 WHEN r.o2f IS NOT NULL THEN 2 WHEN r.o1f IS NOT NULL THEN 1 ELSE 0 END) WHEN e.idx = 2 AND r.o1f IS NULL AND r.ofe THEN (CASE WHEN r.o3f IS NOT NULL THEN 3 WHEN r.o2f IS NOT NULL THEN 2 WHEN r.o1f IS NOT NULL THEN 1 ELSE 0 END) WHEN e.idx = 3 AND r.o2f IS NULL AND r.ofe THEN (CASE WHEN r.o3f IS NOT NULL THEN 3 WHEN r.o2f IS NOT NULL THEN 2 WHEN r.o1f IS NOT NULL THEN 1 ELSE 0 END) WHEN e.idx = 3 AND r.o2f IS NOT NULL AND e.t - r.o2f <= 21600 THEN 3 END, CASE WHEN e.idx = 1 THEN e.t ELSE r.d1f END, CASE WHEN e.idx = 2 AND r.d2f IS NULL AND r.d1f IS NOT NULL AND e.t - r.d1f <= 21600 THEN r.d1f ELSE r.d2f END, CASE WHEN e.idx = 3 AND r.d3f IS NULL AND r.d2f IS NOT NULL AND e.t - r.d2f <= 21600 THEN r.d2f ELSE r.d3f END, CASE WHEN r.ddn IS NOT NULL THEN r.ddn WHEN e.idx = 2 AND r.d2f IS NOT NULL THEN 2 WHEN e.idx = 3 AND r.d3f IS NOT NULL THEN 3 WHEN e.idx = 3 AND r.d2f IS NOT NULL AND e.t - r.d2f <= 21600 THEN 3 END, CASE WHEN e.idx = 1 THEN e.t ELSE r.i1f END, CASE WHEN e.idx = 1 THEN e.t ELSE r.i1l END, CASE WHEN e.idx = 2 AND r.i1f IS NOT NULL AND e.t - r.i1f <= 21600 AND r.i1l < e.t THEN r.i1f ELSE r.i2f END, CASE WHEN e.idx = 2 AND r.i1f IS NOT NULL AND e.t - r.i1f <= 21600 AND r.i1l < e.t THEN e.t ELSE r.i2l END, CASE WHEN e.idx = 3 AND r.i2f IS NOT NULL AND e.t - r.i2f <= 21600 AND r.i2l < e.t THEN r.i2f ELSE r.i3f END FROM rec r JOIN ent e ON e.user_id = r.user_id AND e.rn = r.rn + 1), fin AS (SELECT r.user_id, CAST(coalesce(r.odn, CASE WHEN o3f IS NOT NULL THEN 3 WHEN o2f IS NOT NULL THEN 2 WHEN o1f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lvl_order, CAST(coalesce(r.ddn, CASE WHEN d3f IS NOT NULL THEN 3 WHEN d2f IS NOT NULL THEN 2 WHEN d1f IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lvl_dedup, CAST(CASE WHEN i3f IS NOT NULL THEN 3 WHEN i2f IS NOT NULL THEN 2 WHEN i1f IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS lvl_incr FROM rec r JOIN cnt c ON r.user_id = c.user_id AND r.rn = c.n) SELECT lvl_order, lvl_dedup, lvl_incr, CAST(count(*) AS BIGINT) AS n_users FROM fin GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "sql_ch_dates" ->
-      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS VARCHAR) AS month_start, CAST(min(year(o_orderdate)) AS INTEGER) AS y_min, CAST(max(day(o_orderdate)) AS INTEGER) AS d_max, CAST(min(epoch_us(date_trunc('day', o_orderdate)) // 1000000) AS BIGINT) AS first_day_s FROM orders WHERE (o_orderkey % 2 = 0) AND (o_custkey > 0) GROUP BY GROUPING SETS ((year(o_orderdate) * 100 + month(o_orderdate)), ()) ORDER BY ym NULLS FIRST""",
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS ym, CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust, CAST(CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS VARCHAR) AS month_start, CAST(min(year(o_orderdate)) AS INTEGER) AS y_min, CAST(max(day(o_orderdate)) AS INTEGER) AS d_max, CAST(min(epoch_us(date_trunc('day', o_orderdate)) // 1000000) AS BIGINT) AS first_day_s, CAST(max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS VARCHAR) AS wk_mon, CAST(max(CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INTEGER)) AS VARCHAR) AS wk_sun FROM orders WHERE (o_orderkey % 2 = 0) AND (o_custkey > 0) GROUP BY GROUPING SETS ((year(o_orderdate) * 100 + month(o_orderdate)), ()) ORDER BY ym NULLS FIRST""",
     "graph_neighbor_jaccard" -> Graph.neighborJaccardOracleSql,
     "dq_drift" ->
       """WITH cents AS (SELECT o_orderkey % 2 AS half, CAST(floor(o_totalprice*100+0.5) AS BIGINT) AS v FROM orders), nref AS (SELECT CAST(count(*) AS BIGINT) AS n_ref FROM cents WHERE half = 0), cum AS (SELECT v, sum(count(*)) OVER (ORDER BY v) AS cum FROM cents WHERE half = 0 GROUP BY v), edges AS (SELECT i, min(v) AS edge FROM cum CROSS JOIN nref CROSS JOIN range(1, 10) r(i) WHERE cum >= 1 + ((n_ref - 1) * i) // 10 GROUP BY i), bucketed AS (SELECT half, (SELECT count(*) FROM edges WHERE v >= edge) AS bucket FROM cents), bb AS (SELECT bucket, CAST(sum(CASE WHEN half=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref, CAST(sum(CASE WHEN half=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur FROM bucketed GROUP BY bucket), tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc FROM bb) SELECT bucket, n_ref, n_cur, CAST(floor(((CAST(n_ref+1 AS DOUBLE)/(tr+10)) - (CAST(n_cur+1 AS DOUBLE)/(tc+10))) * ln(CAST((n_ref+1)*(tc+10) AS DOUBLE)/CAST((n_cur+1)*(tr+10) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS psi_micro FROM bb CROSS JOIN tot ORDER BY bucket""",

@@ -1604,6 +1604,24 @@ object Relational {
         |LIMIT 2 BY user_id""".stripMargin)
   }
 
+  /** ClickHouse `LIMIT offset, n BY key` — the SECOND page of two
+    * per-user events (skip 1, take 2): rank window rows (1, 3] of the
+    * same deterministic per-group order as [[sqlChLimitBy]]. Groups with
+    * a single event vanish (skip-then-take, not clamp) — at sf0.01 that
+    * prunes real rows, so the offset path is non-vacuous. Same one
+    * window shuffle; the rank filter still rides Catalyst's
+    * WindowGroupLimit pushdown (rn <= o+n caps buffered rows).
+    */
+  def sqlChLimitByOffset(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT user_id, event_id, event_type, unix_micros(ts) AS tus
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase') AND user_id < 200
+        |ORDER BY user_id, tus DESC, event_id
+        |LIMIT 1, 2 BY user_id""".stripMargin)
+  }
+
   /** ClickHouse/DuckDB `QUALIFY` — top-3 orders per priority by price,
     * filtered on a window alias in the same select list. The rewrite moves
     * the predicate into the select list (lateral alias resolution) and
@@ -1684,7 +1702,9 @@ object Relational {
         |  toString(toStartOfMonth(min(o_orderdate))) AS month_start,
         |  min(toYear(o_orderdate)) AS y_min,
         |  max(toDayOfMonth(o_orderdate)) AS d_max,
-        |  min(toUnixTimestamp(toStartOfDay(o_orderdate))) AS first_day_s
+        |  min(toUnixTimestamp(toStartOfDay(o_orderdate))) AS first_day_s,
+        |  toString(max(toStartOfWeek(o_orderdate, 1))) AS wk_mon,
+        |  toString(max(toStartOfWeek(o_orderdate))) AS wk_sun
         |FROM orders
         |PREWHERE o_orderkey % 2 = 0
         |WHERE o_custkey > 0
@@ -1764,15 +1784,47 @@ object Relational {
     graft.plans.ClickHouseSql.sql(spark,
       """SELECT funnel_level,
         |  CAST(count(*) AS BIGINT) AS n_users,
-        |  countIf(signup_then_buy) AS n_seq
+        |  countIf(signup_then_buy) AS n_seq,
+        |  countIf(signup_then_buy_6h) AS n_seq_6h
         |FROM (
         |  SELECT user_id,
         |    toInt64(windowFunnel(21600)(ts, event_type = 'view', event_type = 'click', event_type = 'purchase')) AS funnel_level,
-        |    sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy
+        |    sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy,
+        |    sequenceMatch('(?1).*(?t<=21600)(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy_6h
         |  FROM events
         |  GROUP BY user_id)
         |GROUP BY funnel_level
         |ORDER BY funnel_level""".stripMargin)
+  }
+
+  /** The three STRICT windowFunnel modes side by side over the events
+    * table — `strict_order` (interruption by a non-matching or
+    * out-of-order event terminates), `strict_deduplication` (a repeat of
+    * a matched condition terminates at that level), `strict_increase`
+    * (strictly-later timestamps between consecutive levels) — each
+    * routed through the ClickHouse parameterized-aggregate surface onto
+    * [[graft.plans.ClickHouseSql]]'s `graft_window_funnel_strict` fold.
+    * The oracle replays ClickHouse's documented getEventLevel scan as a
+    * DuckDB recursive CTE carrying all three mode states, over the same
+    * (t, step)-sorted entry stream (non-matching rows contribute the
+    * (t, 0) sentinel only the strict_order lane reads). Scale: identical
+    * movement to the plain funnel — one user-keyed shuffle, per-group
+    * event buffering (ClickHouse's own cost class).
+    */
+  def sqlChFunnelModes(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT lvl_order, lvl_dedup, lvl_incr,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM (
+        |  SELECT user_id,
+        |    toInt64(windowFunnel(21600, 'strict_order')(ts, event_type = 'view', event_type = 'click', event_type = 'purchase')) AS lvl_order,
+        |    toInt64(windowFunnel(21600, 'strict_deduplication')(ts, event_type = 'view', event_type = 'click', event_type = 'purchase')) AS lvl_dedup,
+        |    toInt64(windowFunnel(21600, 'strict_increase')(ts, event_type = 'view', event_type = 'click', event_type = 'purchase')) AS lvl_incr
+        |  FROM events
+        |  GROUP BY user_id)
+        |GROUP BY lvl_order, lvl_dedup, lvl_incr
+        |ORDER BY lvl_order, lvl_dedup, lvl_incr""".stripMargin)
   }
 
   /** ClickHouse's OWN as-of spelling — `ASOF LEFT JOIN … ON key = key AND

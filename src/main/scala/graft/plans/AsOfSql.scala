@@ -478,7 +478,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case che: IllegalArgumentException => che.addSuppressed(e); throw che
         }
         if (ch eq sqlText) throw e // no CH syntax — the parse error stands
-        f(AsOfSqlRewrite(ch))
+        try f(AsOfSqlRewrite(ch)) catch {
+          // A broken STANDARD statement can still trip a depth-0 trigger
+          // word (a column named `settings`) and reach here; when the
+          // rewritten text fails to parse too, the ORIGINAL error is the
+          // one about the user's own SQL — rethrow it with the
+          // rewritten-parse failure attached, mirroring the
+          // IllegalArgumentException handling above. AnalysisException
+          // covers both ParseException and the parse-time validations
+          // Spark raises as ExtendedAnalysisException (e.g. trailing
+          // comma); only parsing has run at this point, so any such
+          // failure is about the malformed text, and the original names
+          // the text the user actually wrote.
+          case e2: org.apache.spark.sql.AnalysisException =>
+            e.addSuppressed(e2); throw e
+        }
     }
   }
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -41,12 +41,15 @@ import org.apache.spark.sql.types._
   *     `quantiles*` forms produce arrays. The same `agg(params)(args)`
   *     scan handles `windowFunnel(w)(ts, conds…)` →
   *     `graft_window_funnel` (the sort-and-fold composition registered
-  *     in [[ClickHouseFunctions]]; modes are named errors) and
-  *     `sequenceMatch('(?1).*(?2)…')` → the same kernel at an unbounded
-  *     window compared to the ref count (the `.*`-separated subset is
-  *     subsequence existence, which the greedy fold decides exactly;
-  *     adjacency and `(?t…)` time-constraint patterns are named
-  *     errors).
+  *     in [[ClickHouseFunctions]]), `windowFunnel(w, modes…)` →
+  *     `graft_window_funnel_strict` (the richer fold carrying
+  *     `strict_order` / `strict_deduplication` / `strict_increase` as a
+  *     flag bitmask) and
+  *     `sequenceMatch('(?1).*[(?t op n)](?2)…')` → `graft_ch_seq_match`
+  *     (the `.*`-separated subset is subsequence existence with
+  *     optional per-gap time bounds, decided exactly by a
+  *     per-row-bitmask (min, max)-last-time fold, one distinct event
+  *     per pattern position; adjacency patterns stay named errors).
   *
   * The combinator / conversion / distinct-count FUNCTIONS (`argMax`,
   * `countIf`, `uniqExact`, `toInt64`, `toStartOfMonth` …) need no parser
@@ -64,7 +67,7 @@ import org.apache.spark.sql.types._
   * `SELECT DISTINCT` (ClickHouse filters before the distinct — a wrapped
   * rewrite would not), `LIMIT BY` without `ORDER BY` (non-deterministic
   * per-group picks have no place in an engine whose gate is a bit-exact
-  * oracle diff), the `LIMIT offset, n BY` form, ordinal ORDER BY items
+  * oracle diff), ordinal ORDER BY items
   * under the projected-sort rewrites (an ordinal would become a CONSTANT
   * — a silent semantics change), set-operation scoping, and a fixpoint
   * that fails to converge.
@@ -262,8 +265,8 @@ object ClickHouseSqlRewrite {
   /** ClickHouse's remaining LIMIT spellings and the trailing FORMAT
     * clause: `LIMIT offset, count` (the pagination form) → standard
     * `LIMIT count OFFSET offset` — unless BY follows, in which case it
-    * is the parameterized LIMIT BY that [[rewriteLimitBy]] owns (its
-    * offset form is a named error there); `LIMIT n WITH TIES` is a NAMED
+    * is the parameterized LIMIT BY that [[rewriteLimitBy]] owns
+    * (including its offset forms); `LIMIT n WITH TIES` is a NAMED
     * error (Spark has no ties-extension — spell the rank window
     * explicitly so the tie rule is visible); a STATEMENT-TRAILING
     * `FORMAT <name>` strips — it selects the CLIENT serialization
@@ -675,16 +678,23 @@ object ClickHouseSqlRewrite {
   private val ParamAggRe = java.util.regex.Pattern.compile(
     "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo|topK)\\s*\\(")
 
-  /** `sequenceMatch('(?1).*(?2)…')` subset: `(?N)` refs separated by
-    * `.*` (leading/trailing `.*` are no-ops and stripped). That form is
-    * SUBSEQUENCE existence, which the greedy windowFunnel fold decides
-    * exactly under an unbounded window — so the rewrite maps it to
-    * `graft_window_funnel(Long.Max, ts, cond_ref1, …) = nrefs`. The two
-    * pattern features whose semantics the fold does NOT have fail with
+  /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
+    * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
+    * time constraint written immediately before the ref it bounds
+    * (leading/trailing `.*` are no-ops and stripped). That form is
+    * SUBSEQUENCE existence with per-gap time bounds, which
+    * `graft_ch_seq_match`'s (min, max)-last-time fold decides EXACTLY
+    * (see [[ClickHouseFunctions]]) — including ClickHouse's
+    * one-distinct-event-per-position rule: a single row matching several
+    * conditions occupies only one pattern position, because entries are
+    * per-ROW bitmasks and every level update reads the PRIOR state.
+    * The pattern features whose semantics the fold does not have stay
     * named errors instead of silently changing meaning: adjacency
-    * (`(?1)(?2)` — consecutive over matched events only) and `(?t op n)`
-    * time constraints (per-STEP bounds, not windowFunnel's
-    * from-chain-start bound).
+    * (`(?1)(?2)` — consecutive over matched events), a constraint with
+    * no `.*` at all (also adjacency), a constraint NOT adjacent to the
+    * ref it bounds (`(?1)(?t>n).*(?2)` — whether it binds the skip or
+    * the ref is ambiguous), `(?t == n)` (equality over an achievable-set
+    * needs full history, not min/max), and two constraints in one gap.
     */
   private def sequenceMatchRepl(pattern: String, args: String,
       argItems: Seq[String]): String = {
@@ -696,21 +706,80 @@ object ClickHouseSqlRewrite {
     var inner = p.substring(1, p.length - 1)
     while (inner.startsWith(".*")) inner = inner.substring(2)
     while (inner.endsWith(".*")) inner = inner.substring(0, inner.length - 2)
-    if (inner.contains("(?t"))
+    // Tokenize: (?N) refs, (?t op n) constraints, .* separators.
+    sealed trait Tok
+    case class Ref(n: Int) extends Tok
+    case class Tc(op: String, n: Long) extends Tok
+    case object Sep extends Tok
+    val RefRe = "^\\(\\?(\\d+)\\)".r
+    val TcRe = "^\\(\\?t\\s*(<=|>=|==|<|>)\\s*(-?\\d+)\\s*\\)".r
+    var rest = inner
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    while (rest.nonEmpty) {
+      if (rest.startsWith(".*")) { toks += Sep; rest = rest.substring(2) }
+      else RefRe.findFirstMatchIn(rest) match {
+        case Some(m0) => toks += Ref(m0.group(1).toInt); rest = rest.substring(m0.end)
+        case None => TcRe.findFirstMatchIn(rest) match {
+          case Some(m0) =>
+            toks += Tc(m0.group(1), m0.group(2).toLong)
+            rest = rest.substring(m0.end)
+          case None => throw new IllegalArgumentException(
+            s"ClickHouse SQL: unsupported sequenceMatch pattern $p — the " +
+              "supported form is (?N) references separated by .*, each " +
+              "optionally preceded by one (?t op n) time constraint")
+        }
+      }
+    }
+    // Validate the shape: Ref (Sep+ Tc? Ref)*, folding each gap to its
+    // constraint (op code 0 = unconstrained).
+    if (toks.isEmpty || !toks.head.isInstanceOf[Ref])
       throw new IllegalArgumentException(
-        "ClickHouse SQL: sequenceMatch time constraints ((?t op n)) are not " +
-          "supported — use windowFunnel for a from-chain-start bound")
-    val shape = inner.replaceAll("\\(\\?\\d+\\)", "R")
-    if (shape.contains("RR"))
-      throw new IllegalArgumentException(
-        "ClickHouse SQL: adjacent sequenceMatch conditions ((?1)(?2) with no " +
-          ".* between) mean adjacency over matched events, which this " +
-          "mapping does not have — separate the steps with .*")
-    if (!shape.matches("R(?:\\.\\*R)*"))
-      throw new IllegalArgumentException(
-        s"ClickHouse SQL: unsupported sequenceMatch pattern $p — the " +
-          "supported form is (?N) references separated by .*")
-    val refs = "\\(\\?(\\d+)\\)".r.findAllMatchIn(inner).map(_.group(1).toInt).toSeq
+        s"ClickHouse SQL: sequenceMatch pattern $p must start with a (?N) " +
+          "reference")
+    val refs = scala.collection.mutable.ArrayBuffer(toks.head.asInstanceOf[Ref].n)
+    val gaps = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var i0 = 1
+    while (i0 < toks.length) {
+      var sawSep = false
+      while (i0 < toks.length && toks(i0) == Sep) { sawSep = true; i0 += 1 }
+      val tc: Option[Tc] = toks.lift(i0) match {
+        case Some(t: Tc) =>
+          i0 += 1
+          if (i0 < toks.length && toks(i0) == Sep) throw new IllegalArgumentException(
+            "ClickHouse SQL: a sequenceMatch time constraint must sit " +
+              "immediately before the (?N) it bounds — (?1).*(?t<=n)(?2), " +
+              "not (?1)(?t<=n).*(?2) (which pair the latter binds is " +
+              "ambiguous)")
+          Some(t)
+        case _ => None
+      }
+      if (!sawSep) throw new IllegalArgumentException(
+        "ClickHouse SQL: adjacent sequenceMatch conditions ((?1)(?2) or " +
+          "(?1)(?t op n)(?2) with no .* between) mean adjacency over " +
+          "matched events, which this mapping does not have — separate " +
+          "the steps with .*")
+      toks.lift(i0) match {
+        case Some(Ref(n)) => refs += n; i0 += 1
+        case Some(t: Tc) => throw new IllegalArgumentException(
+          "ClickHouse SQL: at most one (?t op n) time constraint per gap")
+        case _ => throw new IllegalArgumentException(
+          s"ClickHouse SQL: sequenceMatch pattern $p must end with a (?N) " +
+            "reference")
+      }
+      gaps += (tc match {
+        case None => (0, 0L)
+        case Some(Tc("<=", n)) => (1, n)
+        case Some(Tc("<", n)) => (2, n)
+        case Some(Tc(">=", n)) => (3, n)
+        case Some(Tc(">", n)) => (4, n)
+        case Some(Tc("==", _)) => throw new IllegalArgumentException(
+          "ClickHouse SQL: (?t == n) is not supported — the fold tracks " +
+            "min/max achievable last-times, and equality needs the full " +
+            "set; use a >= and <= pair of steps or windowFunnel")
+        case Some(Tc(op, _)) => throw new IllegalArgumentException(
+          s"ClickHouse SQL: unsupported time-constraint operator $op")
+      })
+    }
     if (argItems.length < 2) throw new IllegalArgumentException(
       "ClickHouse SQL: sequenceMatch(pattern)(timestamp, cond1, ...)")
     val conds = argItems.tail
@@ -718,8 +787,10 @@ object ClickHouseSqlRewrite {
       throw new IllegalArgumentException(
         s"ClickHouse SQL: sequenceMatch pattern references condition $r but " +
           s"only ${conds.length} conditions were given"))
-    s"(graft_window_funnel(9223372036854775807\n, ${argItems.head}, " +
-      refs.map(r => conds(r - 1)).mkString(", ") + s"\n) = ${refs.length})"
+    val k = refs.length
+    val nums = (Seq(k) ++ gaps.flatMap { case (op, n) => Seq(op, n) }).mkString(", ")
+    s"graft_ch_seq_match(${argItems.head}\n, $nums, " +
+      refs.map(r => conds(r - 1)).mkString(",\n") + "\n)"
   }
 
   /** ClickHouse's parameterized-aggregate call syntax `agg(params)(args)`.
@@ -744,12 +815,30 @@ object ClickHouseSqlRewrite {
         val args = sql.substring(aStart, aEnd).trim
         val repl = name match {
           case "windowfunnel" =>
-            if (splitItems(masked, pStart, pEnd).length != 1)
-              throw new IllegalArgumentException(
-                "ClickHouse SQL: windowFunnel modes ('strict_order', " +
-                  "'strict_dedup', 'strict_increase') are not supported — " +
-                  "only windowFunnel(window)(timestamp, cond1, ...)")
-            s"graft_window_funnel($params\n, $args\n)"
+            val items = splitItems(masked, pStart, pEnd)
+              .map { case (s0, e0) => sql.substring(s0, e0).trim }
+            if (items.length == 1) s"graft_window_funnel($params\n, $args\n)"
+            else {
+              // Mode strings are literals by ClickHouse's grammar; fold
+              // them to the strict kernel's flag bitmask at rewrite time.
+              var flags = 0
+              items.tail.foreach { mo =>
+                mo.toLowerCase match {
+                  case "'strict_order'" => flags |= 1
+                  case "'strict_deduplication'" | "'strict_dedup'" => flags |= 2
+                  case "'strict_increase'" => flags |= 4
+                  case "'strict'" => throw new IllegalArgumentException(
+                    "ClickHouse SQL: windowFunnel's deprecated 'strict' " +
+                      "mode was removed in ClickHouse 21.x — use " +
+                      "'strict_deduplication'")
+                  case other => throw new IllegalArgumentException(
+                    s"ClickHouse SQL: unknown windowFunnel mode $other — " +
+                      "supported: 'strict_order', 'strict_deduplication', " +
+                      "'strict_increase'")
+                }
+              }
+              s"graft_window_funnel_strict(${items.head}\n, $flags, $args\n)"
+            }
           case "sequencematch" =>
             sequenceMatchRepl(params, args,
               splitItems(masked, aStart, aEnd).map { case (s0, e0) =>
@@ -905,13 +994,16 @@ object ClickHouseSqlRewrite {
 
   // --------------------------------------------------------- 5. LIMIT n BY
 
+  // Both offset spellings ClickHouse accepts: `LIMIT o, n BY` (offset
+  // first, MySQL-style) and `LIMIT n OFFSET o BY`. group(1) is always
+  // the first number; group(2) = n of the comma form; group(3) = o of
+  // the OFFSET form.
   private val LimitByRe = java.util.regex.Pattern.compile(
-    "(?i)\\bLIMIT\\s+(\\d+)\\s+BY\\b")
-  private val LimitOffsetByRe = java.util.regex.Pattern.compile(
-    "(?i)\\bLIMIT\\s+\\d+\\s*,\\s*\\d+\\s+BY\\b")
+    "(?i)\\bLIMIT\\s+(\\d+)(?:\\s*,\\s*(\\d+)|\\s+OFFSET\\s+(\\d+))?\\s+BY\\b")
 
-  /** `SELECT <list> FROM … ORDER BY <sort> LIMIT n BY <keys> [LIMIT m]` →
-    * a double wrap over PROJECTED keys and sort expressions:
+  /** `SELECT <list> FROM … ORDER BY <sort> LIMIT [o,] n BY <keys>
+    * [LIMIT m]` → a double wrap over PROJECTED keys and sort
+    * expressions:
     *
     * {{{
     * SELECT * EXCEPT (helpers) FROM (
@@ -919,8 +1011,14 @@ object ClickHouseSqlRewrite {
     *                                ORDER BY __graft_ob_* mods) AS __graft_limit_by_rn
     *   FROM (SELECT <list>, (<key_j>) AS __graft_pb_j…,
     *                        (<sort_i>) AS __graft_ob_i… FROM …))
-    * WHERE __graft_limit_by_rn <= n ORDER BY __graft_ob_i mods [LIMIT m]
+    * WHERE [__graft_limit_by_rn > o AND] __graft_limit_by_rn <= o + n
+    * ORDER BY __graft_ob_i mods [LIMIT m]
     * }}}
+    *
+    * The per-group offset forms — `LIMIT o, n BY` and
+    * `LIMIT n OFFSET o BY` — take rank window (o, o + n]: rows o+1
+    * through o+n of each group, empty when the group has ≤ o rows
+    * (ClickHouse's skip-then-take).
     *
     * Projecting the keys/sort as helper columns (rather than repeating the
     * expressions inside the window spec) lets them reference select
@@ -933,14 +1031,15 @@ object ClickHouseSqlRewrite {
     * emulate.
     */
   private def rewriteLimitBy(sql: String, masked: String): String = {
-    if (LimitOffsetByRe.matcher(masked).find())
-      throw new IllegalArgumentException(
-        "ClickHouse SQL: the LIMIT offset, n BY form is not supported — " +
-          "use LIMIT n BY and a WHERE rank filter for the offset")
     val m = LimitByRe.matcher(masked)
     if (!m.find()) return sql
     val lIdx = m.start()
-    val n = m.group(1)
+    // `LIMIT o, n BY` / `LIMIT n OFFSET o BY` → rank window rows
+    // (offset, offset + n]; the plain form is offset 0.
+    val (offset, n) =
+      if (m.group(2) != null) (m.group(1).toLong, m.group(2).toLong)
+      else if (m.group(3) != null) (m.group(3).toLong, m.group(1).toLong)
+      else (0L, m.group(1).toLong)
     val (firstSelIdx, selIdx) = owningSelect(masked, lIdx)
     if (selIdx < 0) throw new IllegalArgumentException(
       "ClickHouse SQL: LIMIT BY without an owning SELECT")
@@ -989,7 +1088,9 @@ object ClickHouseSqlRewrite {
       "SELECT *, row_number() OVER (PARTITION BY " + keys.names.mkString(", ") +
       " ORDER BY " + sort.orderBy + ") AS __graft_limit_by_rn FROM (SELECT " +
       selectList + keys.selectItems + sort.selectItems + "\n" + rest +
-      "\n)) WHERE __graft_limit_by_rn <= " + n +
+      "\n)) WHERE " +
+      (if (offset > 0) s"__graft_limit_by_rn > $offset AND " else "") +
+      "__graft_limit_by_rn <= " + (offset + n) +
       " ORDER BY " + sort.orderBy + " " + sql.substring(keysEnd)
   }
 }
@@ -1268,7 +1369,11 @@ object ClickHouseFunctions {
               "second/minute/hour/day/month/quarter/year")
         }
       }),
-    ("formatDateTime", "formatDateTime(ts, '%F ...') - format with ClickHouse %-codes (%Y %y %m %d %H %M %S %F %T %j %a %b %%)",
+    // %M is the FULL MONTH NAME and %i is minutes, matching ClickHouse's
+    // default since 23.3 (formatdatetime_parsedatetime_m_is_month_name =
+    // 1; the pre-23.3 reading of %M as minutes would silently print '05'
+    // where a current server prints 'January').
+    ("formatDateTime", "formatDateTime(ts, '%F ...') - format with ClickHouse %-codes (%Y %y %m %d %H %i %S %F %T %j %a %b %M %%; %M is the month NAME per ClickHouse >= 23.3, %i is minutes)",
       es => {
         require(es.length == 2,
           "formatDateTime(ts, format) - the timezone argument is not supported")
@@ -1292,14 +1397,17 @@ object ClickHouseFunctions {
             val c = fmt.charAt(i + 1)
             val mapped = c match {
               case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
-              case 'd' => "dd"; case 'H' => "HH"; case 'M' => "mm"
+              case 'd' => "dd"; case 'H' => "HH"; case 'i' => "mm"
+              case 'M' => "MMMM"
               case 'S' => "ss"; case 'F' => "yyyy-MM-dd"
               case 'T' => "HH:mm:ss"; case 'j' => "DDD"
               case 'a' => "EEE"; case 'b' => "MMM"
               case '%' => null // literal percent
               case other => throw new IllegalArgumentException(
                 s"formatDateTime: unsupported code %$other — supported: " +
-                  "%Y %y %m %d %H %M %S %F %T %j %a %b %%")
+                  "%Y %y %m %d %H %i %S %F %T %j %a %b %M %% " +
+                  "(%M is the month NAME per ClickHouse >= 23.3; " +
+                  "%i is minutes)")
             }
             if (mapped == null) lit.append('%') else { flush(); java.append(mapped) }
             i += 2
@@ -1606,6 +1714,237 @@ object ClickHouseFunctions {
           CreateArray(Seq.fill(k)(Literal.create(null, LongType))),
           merge, finish)
       }),
+    // windowFunnel's STRICT modes, as a richer fold over the same sorted
+    // entry list — a faithful transcription of ClickHouse's documented
+    // getEventLevel scan (AggregateFunctionWindowFunnel.h, public
+    // sources), where the modes are semantic, not heuristic:
+    //   strict_order       — a non-matching event after the chain has
+    //                        started TERMINATES the scan ("don't allow
+    //                        interruptions"); so does an out-of-order
+    //                        matching event whose predecessor level is
+    //                        unreached. Non-matching rows therefore
+    //                        contribute (t, 0) sentinel entries — only in
+    //                        this mode (ClickHouse stores them only when
+    //                        strict_order is set).
+    //   strict_deduplication — a REPEAT of an already-matched condition
+    //                        (level ≥ 2; level 1 repeats just restart the
+    //                        chain, as in the plain fold) terminates with
+    //                        result = the repeated level — which on an
+    //                        UNFINISHED chain can be LOWER than the max
+    //                        level already reached (A B C B under a
+    //                        4-step funnel yields 2, not 3), so
+    //                        termination must be modeled, not
+    //                        post-filtered.
+    //   strict_increase    — level j additionally requires a timestamp
+    //                        strictly AFTER level j-1's LAST matched
+    //                        event, so the state carries (first, last)
+    //                        per level instead of first only.
+    // Reaching level k returns k immediately (matters under
+    // strict_deduplication: a later repeat can no longer demote).
+    // Equal-timestamp entries are ordered by (t, step) — a DETERMINISTIC
+    // refinement of ClickHouse's stable-sort-by-timestamp-only, whose
+    // tie order is insertion order and hence merge-order-dependent in a
+    // distributed run; this engine's oracle gate requires the
+    // determinization (same stance as the plain kernel). State is a
+    // struct (done, fe, lv): `done` = terminated result, `fe` =
+    // first-event-seen, `lv` = per-level (first, last) chain timestamps.
+    // Cost class identical to the plain kernel: the group's events
+    // buffer once, the fold is a single pass.
+    ("graft_window_funnel_strict",
+      "graft_window_funnel_strict(window, flags, ts, cond1, ...) - ClickHouse windowFunnel(window, modes...)(ts, conds...); flags is an integer literal bitmask: 1 = strict_order, 2 = strict_deduplication, 4 = strict_increase",
+      es => {
+        require(es.length >= 4,
+          "graft_window_funnel_strict(window, flags, ts, cond1, ...)")
+        val w = es.head
+        val flags = es(1) match {
+          case Literal(f: Int, IntegerType) => f
+          case other => throw new IllegalArgumentException(
+            "graft_window_funnel_strict: flags must be an integer " +
+              s"literal bitmask, got $other")
+        }
+        val strictOrder = (flags & 1) != 0
+        val strictDedup = (flags & 2) != 0
+        val strictIncrease = (flags & 4) != 0
+        val t = Cast(es(2), LongType)
+        val conds = es.drop(3).map(c => Coalesce(Seq(c, Literal(false))))
+        val k = conds.length
+        val entryType = StructType(Seq(
+          StructField("t", LongType), StructField("i", IntegerType)))
+        def entry(i: Int) = CreateNamedStruct(Seq(
+          Literal("t"), t, Literal("i"), Literal(i)))
+        val condEntries = (1 to k).map { j =>
+          If(And(conds(j - 1), IsNotNull(t)), entry(j),
+            Literal.create(null, entryType))
+        }
+        val perRow = ArrayFilter(
+          CreateArray(if (strictOrder)
+            // The (t, 0) sentinel for a row matching NO condition —
+            // i = 0 sorts before any matched step at the same t, the
+            // same pair order ClickHouse's event numbering produces.
+            If(And(Not(conds.reduce(Or)), IsNotNull(t)), entry(0),
+              Literal.create(null, entryType)) +: condEntries
+          else condEntries),
+          lam1(IsNotNull))
+        val entries = new SortArray(
+          Flatten(CollectList(perRow).toAggregateExpression()))
+        val lvType = StructType(Seq(
+          StructField("f", LongType), StructField("l", LongType)))
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val en = UnresolvedNamedLambdaVariable(Seq("__graft_en"))
+        val enT = UnresolvedExtractValue(en, Literal("t"))
+        val enI = UnresolvedExtractValue(en, Literal("i"))
+        val done = UnresolvedExtractValue(st, Literal("done"))
+        val fe = UnresolvedExtractValue(st, Literal("fe"))
+        val lv = UnresolvedExtractValue(st, Literal("lv"))
+        val nullDone = Literal.create(null, IntegerType)
+        def mkSt(d: Expression, f: Expression, l: Expression) =
+          CreateNamedStruct(Seq(
+            Literal("done"), d, Literal("fe"), f, Literal("lv"), l))
+        def lvAt(lvE: Expression, idx0: Int) = GetArrayItem(lvE, Literal(idx0))
+        def fOf(e: Expression) = UnresolvedExtractValue(e, Literal("f"))
+        def lOf(e: Expression) = UnresolvedExtractValue(e, Literal("l"))
+        def setLv(idx0: Int, f: Expression, l: Expression) =
+          CreateArray((0 until k).map(x =>
+            if (x == idx0)
+              CreateNamedStruct(Seq(Literal("f"), f, Literal("l"), l))
+            else lvAt(lv, x)))
+        def maxLevel(lvE: Expression) =
+          CaseWhen((k to 1 by -1).map(j =>
+            (IsNotNull(lvAt(lvE, j - 1)), Literal(j))), Some(Literal(0)))
+        // "break"/out-of-order termination under strict_order: freeze
+        // the result at the current consecutive-prefix length (the set
+        // levels always form a prefix, so first-unset == max-set).
+        val orderBreak = If(fe, mkSt(maxLevel(lv), fe, lv), st)
+        val branches: Seq[(Expression, Expression)] =
+          (if (strictOrder) Seq(EqualTo(enI, Literal(0)) -> orderBreak)
+           else Seq.empty) ++
+          Seq(EqualTo(enI, Literal(1)) ->
+            mkSt(nullDone, Literal(true), setLv(0, enT, enT))) ++
+          (2 to k).map { j =>
+            val own = lvAt(lv, j - 1)
+            val prev = lvAt(lv, j - 2)
+            val timeOk0 = LessThanOrEqual(Subtract(enT, fOf(prev)), w)
+            val timeOk =
+              if (strictIncrease) And(timeOk0, LessThan(lOf(prev), enT))
+              else timeOk0
+            val newLv = setLv(j - 1, fOf(prev), enT)
+            val onSet =
+              if (j == k) mkSt(Literal(k), fe, newLv)
+              else mkSt(nullDone, fe, newLv)
+            val onNoPrev = if (strictOrder) orderBreak else st
+            val core = If(IsNull(prev), onNoPrev, If(timeOk, onSet, st))
+            EqualTo(enI, Literal(j)) -> (
+              if (strictDedup)
+                If(IsNotNull(own), mkSt(Literal(j), fe, lv), core)
+              else core)
+          }
+        val merge = LambdaFunction(
+          If(IsNotNull(done), st, CaseWhen(branches, Some(st))),
+          Seq(st, en))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fst"))
+        val finish = LambdaFunction(
+          Coalesce(Seq(
+            UnresolvedExtractValue(fin, Literal("done")),
+            maxLevel(UnresolvedExtractValue(fin, Literal("lv"))))),
+          Seq(fin))
+        val zero = mkSt(nullDone, Literal(false),
+          CreateArray(Seq.fill(k)(Literal.create(null, lvType))))
+        ArrayAggregate(entries, zero, merge, finish)
+      }),
+    // sequenceMatch's dedicated kernel — subsequence existence with
+    // per-gap time constraints, decided EXACTLY by a fold whose state is
+    // the (min, max) of each level's ACHIEVABLE last-event timestamps:
+    //   - membership into level j under `t - s <= n` holds iff it holds
+    //     for the LATEST achievable s (max), under `>= n` iff for the
+    //     EARLIEST (min) — so (min, max) per level decides every
+    //     <=/</>=/> constraint without the full set (== would need it;
+    //     named error at the rewrite).
+    //   - entries are per-ROW bitmasks (one entry per input row, bit j =
+    //     row satisfies the pattern's j-th referenced condition), and
+    //     every level update reads the PRIOR state — so one row can
+    //     occupy only ONE pattern position per chain, ClickHouse's
+    //     one-distinct-event-per-(?N) rule (the windowFunnel-fold
+    //     mapping this kernel replaces let a row matching two conditions
+    //     advance twice when timestamps tied).
+    //   - unconstrained gaps need only "some achievable predecessor
+    //     exists", which prior-state non-nullness gives (all prior
+    //     entries sort earlier).
+    // Equal-timestamp entries sort by (t, bitmask) — the deterministic
+    // refinement of ClickHouse's insertion-order ties, same stance as
+    // windowFunnel. Cost class: the group's matched rows buffer once,
+    // one pass.
+    ("graft_ch_seq_match",
+      "graft_ch_seq_match(ts, k, op_2, n_2, ..., op_k, n_k, cond_1, ..., cond_k) - ClickHouse sequenceMatch('(?1).*[(?t op n)](?2)...'): true when a subsequence matching every condition in order exists, each constrained gap satisfying t_j - t_{j-1} op n (op codes: 0 none, 1 <=, 2 <, 3 >=, 4 >)",
+      es => {
+        val k = es.lift(1) match {
+          case Some(Literal(kk: Int, IntegerType)) if kk >= 1 => kk
+          case other => throw new IllegalArgumentException(
+            s"graft_ch_seq_match: k must be a positive integer literal, got $other")
+        }
+        require(es.length == 2 + 2 * (k - 1) + k,
+          s"graft_ch_seq_match: expected ${2 + 2 * (k - 1) + k} args for k=$k, " +
+            s"got ${es.length}")
+        val t = Cast(es.head, LongType)
+        val gapSpecs = (2 until k + 1).map { j =>
+          val op = es(2 + 2 * (j - 2)) match {
+            case Literal(o: Int, IntegerType) if o >= 0 && o <= 4 => o
+            case other => throw new IllegalArgumentException(
+              s"graft_ch_seq_match: op codes must be integer literals 0-4, got $other")
+          }
+          (op, es(2 + 2 * (j - 2) + 1))
+        }
+        val conds = es.drop(2 + 2 * (k - 1))
+          .map(c => Coalesce(Seq(c, Literal(false))))
+        val entryType = StructType(Seq(
+          StructField("t", LongType), StructField("m", IntegerType)))
+        val mask = conds.zipWithIndex.map { case (c, j) =>
+          If(c, Literal(1 << j), Literal(0)): Expression
+        }.reduce(Add(_, _))
+        val entry = If(And(GreaterThan(mask, Literal(0)), IsNotNull(t)),
+          CreateNamedStruct(Seq(Literal("t"), t, Literal("m"), mask)),
+          Literal.create(null, entryType))
+        val entries = new SortArray(CollectList(entry).toAggregateExpression())
+        val lvType = StructType(Seq(
+          StructField("mn", LongType), StructField("mx", LongType)))
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val en = UnresolvedNamedLambdaVariable(Seq("__graft_en"))
+        val enT = UnresolvedExtractValue(en, Literal("t"))
+        val enM = UnresolvedExtractValue(en, Literal("m"))
+        def lvAt(idx0: Int) = GetArrayItem(st, Literal(idx0))
+        def mnOf(e: Expression) = UnresolvedExtractValue(e, Literal("mn"))
+        def mxOf(e: Expression) = UnresolvedExtractValue(e, Literal("mx"))
+        def bit(j: Int) = EqualTo(
+          BitwiseAnd(enM, Literal(1 << (j - 1))), Literal(1 << (j - 1)))
+        val merge = LambdaFunction(
+          CreateArray((1 to k).map { j =>
+            val old = lvAt(j - 1)
+            val gate: Expression =
+              if (j == 1) bit(j)
+              else {
+                val prev = lvAt(j - 2)
+                val timeOk: Expression = gapSpecs(j - 2) match {
+                  case (0, _) => Literal(true)
+                  case (1, n) => LessThanOrEqual(Subtract(enT, mxOf(prev)), n)
+                  case (2, n) => LessThan(Subtract(enT, mxOf(prev)), n)
+                  case (3, n) => GreaterThanOrEqual(Subtract(enT, mnOf(prev)), n)
+                  case (4, n) => GreaterThan(Subtract(enT, mnOf(prev)), n)
+                }
+                And(bit(j), And(IsNotNull(prev), timeOk))
+              }
+            If(gate,
+              CreateNamedStruct(Seq(
+                Literal("mn"), Least(Seq(mnOf(old), enT)),
+                Literal("mx"), Greatest(Seq(mxOf(old), enT)))),
+              old)
+          }),
+          Seq(st, en))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fsm"))
+        val finish = LambdaFunction(
+          IsNotNull(GetArrayItem(fin, Literal(k - 1))), Seq(fin))
+        ArrayAggregate(entries,
+          CreateArray(Seq.fill(k)(Literal.create(null, lvType))),
+          merge, finish)
+      }),
     // arrayCount folds with ArrayAggregate rather than size(filter(…)):
     // the analyzer requires a call that was GIVEN a lambda argument to
     // resolve to a top-level higher-order function, so the count must BE
@@ -1735,9 +2074,31 @@ object ClickHouseFunctions {
     // Date bucketing — the functions an incremental-ETL custom_query
     // actually leans on. CH's toStartOf{Month,Quarter,Year} return Date
     // (TruncDate), the sub-day ones return DateTime (TruncTimestamp).
-    // toStartOfWeek is deliberately ABSENT: ClickHouse's default week
-    // starts Sunday, Spark's trunc week starts Monday — a silent
-    // semantics change, so the name stays unresolved rather than wrong.
+    // toStartOfWeek carries ClickHouse's toWeek mode PARITY exactly:
+    // the default (and every even mode) starts weeks on SUNDAY —
+    // date_sub(d, dayofweek(d)-1), Spark's dayofweek being 1=Sunday —
+    // and every odd mode (1, 3, …) starts them on MONDAY —
+    // date_sub(d, weekday(d)), weekday being 0=Monday. Mapping the bare
+    // form to Spark's Monday-based trunc('week') would be the silent
+    // off-by-one-day this layer's contract forbids; both conventions
+    // are exact arithmetic, so both are implemented rather than named
+    // errors.
+    ("toStartOfWeek",
+      "toStartOfWeek(x[, mode]) - first day of x's week as DATE; default/even mode = Sunday start, odd mode = Monday start (ClickHouse toWeek mode parity)",
+      es => {
+        def day(e: Expression) = Cast(e, DateType)
+        def sunday(e: Expression) =
+          DateSub(day(e), Subtract(DayOfWeek(day(e)), Literal(1)))
+        def monday(e: Expression) = DateSub(day(e), WeekDay(day(e)))
+        es match {
+          case Seq(d) => sunday(d)
+          case Seq(d, Literal(m: Int, IntegerType)) if m >= 0 && m <= 9 =>
+            if (m % 2 == 1) monday(d) else sunday(d)
+          case _ => throw new IllegalArgumentException(
+            "toStartOfWeek(x[, mode]) - mode must be an integer literal " +
+              "0-9 (timezone argument not supported)")
+        }
+      }),
     ("toYear", "toYear(x) - calendar year", one(Year(_))),
     ("toMonth", "toMonth(x) - month 1-12", one(Month(_))),
     ("toDayOfMonth", "toDayOfMonth(x) - day 1-31", one(DayOfMonth(_))),
@@ -1797,12 +2158,9 @@ object ClickHouseFunctions {
   * the clause must end the statement (a trailing LIMIT would otherwise
   * apply after the fill — put it in an outer query); no INTERPOLATE; no
   * DESC; outer query only. Omitted FROM/TO derive from the result's
-  * min/max — only interior holes fill.
-  *
-  * Scale: the bounds are a 1-row aggregate, candidates are a generated
-  * sequence, and the anti join moves only the DISTINCT key set — the
-  * result's payload rows are never reshuffled (union is exchange-free);
-  * the final sort is the query's own ORDER BY.
+  * min/max — only interior holes fill. The progression RE-ANCHORS at
+  * every existing row (ClickHouse's FillingTransform), so STEP > 1 with
+  * off-grid rows fills from each row's own value — see [[apply]].
   */
 object ClickHouseWithFill {
   import AsOfSqlRewrite.{isWordChar, mask}
@@ -1917,12 +2275,27 @@ object ClickHouseWithFill {
     (sql.substring(0, orderIdx), Some(FillSpec(expr, from, to, step)))
   }
 
-  /** The fill itself: candidates = the arithmetic progression over
-    * [from|min, to-1|max] by step; missing = candidates anti-joined
-    * against the result's distinct keys; generated rows take ClickHouse
-    * type defaults in every other column (0 / '' / false / epoch;
-    * non-scalar types take NULL, documented divergence); result = union,
-    * sorted by the fill key.
+  /** The fill itself. ClickHouse's FillingTransform RE-ANCHORS the
+    * progression at every existing row — after an off-grid row 5 with
+    * STEP 2 the next fill is 7, not the FROM-grid's 6 — so candidates
+    * are generated PER GAP from each gap's left edge (`k+s, k+2s, … <
+    * next`), never from one fixed global grid (for STEP 1 the two
+    * coincide; for STEP > 1 the grid form silently diverges). Leading
+    * fills anchor at FROM while FROM < min(key) (the fill cursor starts
+    * at FROM and emits while below the first row); a FROM at-or-inside
+    * the data range produces no leading fills, because every existing
+    * row re-bases the cursor to itself. Trailing fills anchor at the
+    * LAST row: `max+s, … < TO`. Generated rows take ClickHouse type
+    * defaults in every other column (0 / '' / false / epoch; non-scalar
+    * types take NULL, documented divergence); result = union, sorted by
+    * the fill key.
+    *
+    * Scale: the lead window runs single-partition over the DISTINCT key
+    * set only — the fill axis is a report dimension whose cardinality is
+    * bounded by its [min, max] span, not by the data; payload rows are
+    * never reshuffled (the union is exchange-free) and the former
+    * anti-join is gone entirely — gap generation cannot produce an
+    * existing key.
     */
   def apply(df: DataFrame, spec: FillSpec): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -1935,18 +2308,27 @@ object ClickHouseWithFill {
           "epoch-day/epoch-second integer and convert in an outer query")
     }
     val key = col(spec.column).cast(LongType)
-    val bounds = df.agg(min(key).as("__dlo"), max(key).as("__dhi"))
-      .select(
-        spec.from.map(lit(_)).getOrElse(col("__dlo")).as("__lo"),
-        spec.to.map(t => lit(t - 1)).getOrElse(col("__dhi")).as("__hi"))
-    val cand = bounds
-      .where(col("__lo").isNotNull && col("__hi").isNotNull &&
-        col("__lo") <= col("__hi"))
-      .select(explode(sequence(col("__lo"), col("__hi"), lit(spec.step)))
+    val s = spec.step
+    val keys = df.select(key.as("__k")).where(col("__k").isNotNull).distinct()
+    val gaps = keys.select(col("__k"),
+      lead(col("__k"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy("__k")).as("__next"))
+    val interior = gaps
+      .where(col("__next").isNotNull && col("__k") + s <= col("__next") - 1)
+      .select(explode(sequence(col("__k") + s, col("__next") - 1, lit(s)))
         .as("__graft_fill_v"))
-    val missing = cand.join(
-      df.select(key.as("__graft_fill_v")).distinct(),
-      Seq("__graft_fill_v"), "left_anti")
+    val bounds = df.agg(min(key).as("__min"), max(key).as("__max"))
+    val leading = spec.from.map { f =>
+      bounds.where(col("__min").isNotNull && lit(f) <= col("__min") - 1)
+        .select(explode(sequence(lit(f), col("__min") - 1, lit(s)))
+          .as("__graft_fill_v"))
+    }
+    val trailing = spec.to.map { t =>
+      bounds.where(col("__max").isNotNull && col("__max") + s <= lit(t - 1))
+        .select(explode(sequence(col("__max") + s, lit(t - 1), lit(s)))
+          .as("__graft_fill_v"))
+    }
+    val missing = (Seq(interior) ++ leading ++ trailing).reduce(_ union _)
     def chDefault(dt: org.apache.spark.sql.types.DataType) = dt match {
       case _: NumericType => lit(0).cast(dt)
       case StringType => lit("")

@@ -310,6 +310,18 @@ class AsOfSqlSpec extends SparkSpec {
       assert(nested.queryExecution.executedPlan.toString.contains("AsOfJoin ["),
         nested.queryExecution.executedPlan.toString)
       assert(nested.collect().head.getLong(0) == 23L)
+      // A broken STANDARD statement containing a depth-0 dialect trigger
+      // word (a column named `settings`) trips the parse-failure gate,
+      // and the dialect-rewritten text fails to parse too: the user must
+      // get the error for THEIR statement, with the rewritten-parse
+      // failure attached as suppressed — not a mangled-rewrite error.
+      val broken = intercept[org.apache.spark.sql.catalyst.parser.ParseException](
+        s.sql("SELECT settings, x FROM t WHERE (a = 1"))
+      assert(broken.getMessage.contains("SELECT settings, x FROM t WHERE (a = 1"),
+        s"must be the ORIGINAL statement's parse error:\n${broken.getMessage}")
+      assert(broken.getSuppressed.exists(
+        _.isInstanceOf[org.apache.spark.sql.AnalysisException]),
+        "the rewritten-parse failure must ride along as suppressed")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -119,13 +119,14 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(ClickHouseSqlRewrite(uniq) eq uniq, "uniq must resolve by name, not rewrite")
   }
 
-  test("rewrite: named errors — unordered LIMIT BY, offset form, ordinals, DISTINCT, unions") {
+  test("rewrite: named errors — unordered LIMIT BY, ordinals, DISTINCT, unions") {
     val e1 = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT u, v FROM t LIMIT 2 BY u"))
     assert(e1.getMessage.contains("requires an ORDER BY"), e1.getMessage)
+    // The offset form demands the same ORDER BY determinism.
     val e2 = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
-      "SELECT u, v FROM t ORDER BY v LIMIT 1, 2 BY u"))
-    assert(e2.getMessage.contains("offset"), e2.getMessage)
+      "SELECT u, v FROM t LIMIT 1, 2 BY u"))
+    assert(e2.getMessage.contains("requires an ORDER BY"), e2.getMessage)
     val e3 = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT u, v FROM t ORDER BY 2 LIMIT 2 BY u"))
     assert(e3.getMessage.contains("ordinal"), e3.getMessage)
@@ -149,6 +150,25 @@ class ClickHouseSqlSpec extends SparkSpec {
       "SELECT k, s, v FROM chf ORDER BY k, v DESC LIMIT 2 BY k")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows == Seq((1L, "z", 30L), (1L, "y", 20L), (2L, "q", 50L), (2L, "p", 5L)), rows)
+  }
+
+  test("execution: LIMIT offset, n BY skips then takes per group; offset past a group's size empties it") {
+    fixture()
+    // Per-k DESC order: k=1 → 30,20,10; k=2 → 50,5. Offset 1, take 2:
+    // k=1 keeps 20,10; k=2 keeps only 5. Offset 0 ≡ plain. Offset 2:
+    // k=1 keeps 10; k=2 (2 rows) is emptied — skip-then-take, not clamp.
+    val off1 = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM chf ORDER BY k, v DESC LIMIT 1, 2 BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(off1 == Seq((1L, 20L), (1L, 10L), (2L, 5L)), off1)
+    val off0 = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM chf ORDER BY k, v DESC LIMIT 0, 2 BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(off0 == Seq((1L, 30L), (1L, 20L), (2L, 50L), (2L, 5L)), off0)
+    val off2 = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM chf ORDER BY k, v DESC LIMIT 1 OFFSET 2 BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(off2 == Seq((1L, 10L)), off2)
   }
 
   test("execution: LIMIT BY orders by a NON-SELECTED column — the latest-row-per-key shape") {
@@ -317,22 +337,54 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(ClickHouseSqlRewrite("SELECT windowFunnel(3600)(ts, a, b) FROM t")
       == "SELECT graft_window_funnel(3600\n, ts, a, b\n) FROM t")
     assert(ClickHouseSqlRewrite("SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t")
-      == "SELECT (graft_window_funnel(9223372036854775807\n, ts, a, b\n) = 2) FROM t")
+      == "SELECT graft_ch_seq_match(ts\n, 2, 0, 0, a,\nb\n) FROM t")
     // Pattern refs reorder the condition list; leading/trailing .* are no-ops.
     assert(ClickHouseSqlRewrite("SELECT sequenceMatch('.*(?2).*(?1).*')(ts, a, b) FROM t")
-      == "SELECT (graft_window_funnel(9223372036854775807\n, ts, b, a\n) = 2) FROM t")
+      == "SELECT graft_ch_seq_match(ts\n, 2, 0, 0, b,\na\n) FROM t")
+    // A (?t op n) immediately before its ref becomes that gap's op/bound
+    // pair (op codes: 1 <=, 2 <, 3 >=, 4 >).
+    assert(ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1).*(?t<=300)(?2).*(?3)')(ts, a, b, c) FROM t")
+      == "SELECT graft_ch_seq_match(ts\n, 3, 1, 300, 0, 0, a,\nb,\nc\n) FROM t")
+    // Modes fold to the strict kernel's flag bitmask (1 = order,
+    // 2 = dedup, 4 = increase); unknown and removed modes stay named
+    // errors.
+    assert(ClickHouseSqlRewrite(
+      "SELECT windowFunnel(3600, 'strict_order')(ts, a) FROM t")
+      == "SELECT graft_window_funnel_strict(3600\n, 1, ts, a\n) FROM t")
+    assert(ClickHouseSqlRewrite(
+      "SELECT windowFunnel(3600, 'strict_increase', 'strict_deduplication')(ts, a, b) FROM t")
+      == "SELECT graft_window_funnel_strict(3600\n, 6, ts, a, b\n) FROM t")
     val mode = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
-      "SELECT windowFunnel(3600, 'strict_order')(ts, a) FROM t"))
-    assert(mode.getMessage.contains("strict_order"), mode.getMessage)
+      "SELECT windowFunnel(3600, 'strict_sideways')(ts, a) FROM t"))
+    assert(mode.getMessage.contains("strict_sideways"), mode.getMessage)
+    val dep = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT windowFunnel(3600, 'strict')(ts, a) FROM t"))
+    assert(dep.getMessage.contains("strict_deduplication"), dep.getMessage)
     val adj = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT sequenceMatch('(?1)(?2)')(ts, a, b) FROM t"))
     assert(adj.getMessage.contains("adjacen"), adj.getMessage)
-    val tc = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
-      "SELECT sequenceMatch('(?1).*(?t>10)(?2)')(ts, a, b) FROM t"))
-    assert(tc.getMessage.contains("time constraint"), tc.getMessage)
+    assert(ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1).*(?t>10)(?2)')(ts, a, b) FROM t")
+      == "SELECT graft_ch_seq_match(ts\n, 2, 4, 10, a,\nb\n) FROM t")
     val oob = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT sequenceMatch('(?1).*(?3)')(ts, a, b) FROM t"))
     assert(oob.getMessage.contains("condition 3"), oob.getMessage)
+    // The named-error frontier: a constraint with no .* is adjacency; a
+    // constraint not adjacent to its ref is ambiguous; == needs the full
+    // achievable set; two constraints in one gap are malformed.
+    val adjTc = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1)(?t<=5)(?2)')(ts, a, b) FROM t"))
+    assert(adjTc.getMessage.contains("adjacen"), adjTc.getMessage)
+    val floatTc = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1)(?t<=5).*(?2)')(ts, a, b) FROM t"))
+    assert(floatTc.getMessage.contains("immediately before"), floatTc.getMessage)
+    val eqTc = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1).*(?t==5)(?2)')(ts, a, b) FROM t"))
+    assert(eqTc.getMessage.contains("== n"), eqTc.getMessage)
+    val twoTc = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT sequenceMatch('(?1).*(?t<=5)(?t>1)(?2)')(ts, a, b) FROM t"))
+    assert(twoTc.getMessage.toLowerCase.contains("one"), twoTc.getMessage)
   }
 
   test("execution: windowFunnel chains within the window of the CHAIN START and restarts greedily") {
@@ -552,6 +604,27 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(derived == Seq((0L, 10L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 20L)), derived)
   }
 
+  test("execution: WITH FILL re-anchors the progression at every existing row (ClickHouse FillingTransform), not at a fixed FROM grid") {
+    // Rows 0, 5, 12 with STEP 2: a fixed 0-anchored grid would fill
+    // 2,4,6,8,10 — but ClickHouse re-bases the fill cursor at each row,
+    // so after the OFF-GRID row 5 the next fill is 7 (5+2), not 6.
+    Seq((0L, 10L), (5L, 20L), (12L, 30L))
+      .toDF("k", "v").createOrReplaceTempView("chfill_og")
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM chfill_og ORDER BY k WITH FILL STEP 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 10L), (2L, 0L), (4L, 0L), (5L, 20L), (7L, 0L),
+      (9L, 0L), (11L, 0L), (12L, 30L)), rows)
+    // FROM anchors only the LEADING region (the cursor starts there and
+    // emits while below the first row); TO bounds trailing fills based
+    // at the LAST row: 12+2=14, 16 < 18.
+    val bounded = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM chfill_og ORDER BY k WITH FILL FROM -3 TO 18 STEP 2")
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(bounded == Seq(-3L, -1L, 0L, 2L, 4L, 5L, 7L, 9L, 11L, 12L, 14L, 16L),
+      bounded)
+  }
+
   test("execution: topK is exact top-N by frequency with a deterministic tiebreak; sumMap pairs sorted keys with sums") {
     assert(ClickHouseSqlRewrite("SELECT topK(3)(x) FROM t GROUP BY k")
       == "SELECT graft_ch_topk(3\n, x\n) FROM t GROUP BY k")
@@ -674,6 +747,229 @@ class ClickHouseSqlSpec extends SparkSpec {
     }
   }
 
+  test("differential: strict-mode windowFunnel agrees with a direct getEventLevel transcription on 300 random groups × windows × all 7 mode combos") {
+    // The oracle is an imperative Scala transcription of ClickHouse's
+    // documented getEventLevel scan — the semantics the strict modes ARE
+    // — decided independently of the expression-fold encoding under
+    // test (the risk sits in the Catalyst state-struct composition, not
+    // the algorithm). Entries arrive sorted by (t, step), the engine's
+    // deterministic refinement of ClickHouse's timestamp-only stable
+    // sort; the oracle sorts identically.
+    def oracle(entries: Seq[(Long, Int)], k: Int, w: Long,
+        order: Boolean, dedup: Boolean, increase: Boolean): Int = {
+      val lv = Array.fill[Option[(Long, Long)]](k)(None)
+      var fe = false
+      def maxLvl: Int = lv.lastIndexWhere(_.isDefined) + 1
+      for ((t, i) <- entries.sorted) {
+        if (order && i == 0) { if (fe) return maxLvl }
+        else if (i == 1) { lv(0) = Some((t, t)); fe = true }
+        else if (dedup && lv(i - 1).isDefined) return i
+        else if (lv(i - 2).isDefined) {
+          val (f, l) = lv(i - 2).get
+          val ok = t - f <= w && (!increase || l < t)
+          if (ok) { lv(i - 1) = Some((f, t)); if (i == k) return k }
+        } else if (order && fe) return maxLvl
+      }
+      maxLvl
+    }
+    val rnd = new scala.util.Random(20260816L)
+    val groups = (0 until 300).map { g =>
+      val n = rnd.nextInt(13)
+      // A fourth "noise" flag: a row matching NO condition, which only
+      // strict_order can see (the (t, 0) sentinel path).
+      val evs = (0 until n).map { _ =>
+        (rnd.nextInt(31).toLong,
+          rnd.nextDouble() < 0.35, rnd.nextDouble() < 0.35, rnd.nextDouble() < 0.35)
+      }
+      g.toLong -> evs
+    }
+    groups.flatMap { case (g, evs) =>
+      evs.map(e => (g, e._1, e._2, e._3, e._4))
+    }.toDF("g", "t", "c1", "c2", "c3").createOrReplaceTempView("chwfs")
+    val modeSets = Seq(
+      Seq("strict_order"), Seq("strict_deduplication"), Seq("strict_increase"),
+      Seq("strict_order", "strict_deduplication"),
+      Seq("strict_order", "strict_increase"),
+      Seq("strict_deduplication", "strict_increase"),
+      Seq("strict_order", "strict_deduplication", "strict_increase"))
+    for (w <- Seq(0L, 4L, 9L); ms <- modeSets) {
+      val got = ClickHouseSql.sql(spark,
+        s"SELECT g, windowFunnel($w${ms.map(m => s", '$m'").mkString})" +
+          "(t, c1, c2, c3) AS lvl FROM chwfs GROUP BY g")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val (od, dd, ic) = (ms.contains("strict_order"),
+        ms.contains("strict_deduplication"), ms.contains("strict_increase"))
+      groups.foreach { case (g, evs) =>
+        if (evs.nonEmpty) {
+          val entries = evs.flatMap { case (t, c1, c2, c3) =>
+            val hits = Seq(c1 -> 1, c2 -> 2, c3 -> 3).collect { case (true, j) => (t, j) }
+            if (hits.isEmpty && od) Seq((t, 0)) else hits
+          }
+          val want = oracle(entries, 3, w, od, dd, ic)
+          assert(got(g) == want,
+            s"group $g w=$w modes=$ms: fold=${got(g)} oracle=$want events=$evs")
+        }
+      }
+    }
+  }
+
+  test("execution: strict windowFunnel modes — hand-built scenarios pin each mode's distinctive behavior") {
+    // (user, t, c1, c2, c3, noise) rows; w = 100 throughout.
+    // u=1 order: A(10) B(20) N(25) C(30) — the noise event between B and
+    //     C terminates at level 2 under strict_order (plain gives 3).
+    // u=2 order: noise BEFORE the first A is ignored (fe not yet set).
+    // u=3 order: out-of-order C(15) after A(10) (level-2 unreached)
+    //     terminates at 1.
+    // u=4 dedup: A(10) B(20) C(30) B(40) — with k=3 the chain COMPLETES
+    //     at C (level k returns immediately), so the later repeat cannot
+    //     demote: result 3. The true demotion needs k=4 — see the
+    //     4-condition query below.
+    // u=5 dedup: A A B — level-1 repeats merely restart; result 2.
+    // u=6 increase: B shares A's timestamp (10) — strictly-later fails,
+    //     level stays 1 (plain fold gives 2).
+    // u=7 increase: strictly increasing 10<11<12 → 3.
+    // u=8 dedup: A B B — repeat stops at 2 (same as max; non-demoting).
+    val rows = Seq(
+      (1L, 10L, true, false, false, false), (1L, 20L, false, true, false, false),
+      (1L, 25L, false, false, false, true), (1L, 30L, false, false, true, false),
+      (2L, 5L, false, false, false, true), (2L, 10L, true, false, false, false),
+      (2L, 20L, false, true, false, false),
+      (3L, 10L, true, false, false, false), (3L, 15L, false, false, true, false),
+      (4L, 10L, true, false, false, false), (4L, 20L, false, true, false, false),
+      (4L, 30L, false, false, true, false), (4L, 40L, false, true, false, false),
+      (5L, 10L, true, false, false, false), (5L, 15L, true, false, false, false),
+      (5L, 20L, false, true, false, false),
+      (6L, 10L, true, false, false, false), (6L, 10L, false, true, false, false),
+      (7L, 10L, true, false, false, false), (7L, 11L, false, true, false, false),
+      (7L, 12L, false, false, true, false),
+      (8L, 10L, true, false, false, false), (8L, 20L, false, true, false, false),
+      (8L, 25L, false, true, false, false))
+    rows.toDF("u", "t", "c1", "c2", "c3", "noise")
+      .createOrReplaceTempView("chwf_hand")
+    def run(mode: String): Map[Long, Int] =
+      ClickHouseSql.sql(spark,
+        s"SELECT u, windowFunnel(100, '$mode')(t, c1, c2, c3) AS lvl " +
+          "FROM chwf_hand GROUP BY u")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val o = run("strict_order")
+    assert(o(1L) == 2 && o(2L) == 2 && o(3L) == 1, o)
+    val d = run("strict_deduplication")
+    assert(d(4L) == 3 && d(5L) == 2 && d(8L) == 2, d)
+    val i = run("strict_increase")
+    assert(i(6L) == 1 && i(7L) == 3, i)
+    // The demotion ClickHouse documents for strict_deduplication needs
+    // an UNFINISHED chain: under a 4-step funnel, A B C B returns 2 at
+    // the level-2 repeat even though level 3 was already reached (the
+    // repeat check precedes the final max-level scan). Plain mode on the
+    // same rows keeps 3.
+    val d4 = ClickHouseSql.sql(spark,
+      "SELECT u, windowFunnel(100, 'strict_deduplication')" +
+        "(t, c1, c2, c3, noise) AS lvl, " +
+        "windowFunnel(100)(t, c1, c2, c3, noise) AS plain " +
+        "FROM chwf_hand WHERE u = 4 GROUP BY u").head()
+    assert(d4.getInt(1) == 2 && d4.getInt(2) == 3, d4)
+  }
+
+  test("differential: sequenceMatch (±time constraints) agrees with a brute-force subsequence search on 300 random groups × 5 patterns") {
+    // The oracle is an exponential DFS over the SAME (t, bitmask)-sorted
+    // row list: strictly increasing positions (one row per pattern
+    // position — ClickHouse's rule), each constrained gap checked
+    // against the previous CHOSEN event. The kernel under test decides
+    // the same question with per-level (min, max) achievable last-times
+    // — an entirely different decision procedure.
+    def brute(rows: Seq[(Long, Int)], needs: Seq[Int],
+        gaps: Seq[(Int, Long)]): Boolean = {
+      val sorted = rows.sorted
+      def ok(op: Int, n: Long, d: Long) = op match {
+        case 0 => true
+        case 1 => d <= n
+        case 2 => d < n
+        case 3 => d >= n
+        case 4 => d > n
+      }
+      def dfs(pos: Int, lvl: Int, last: Long): Boolean =
+        if (lvl > needs.length) true
+        else (pos until sorted.length).exists { q =>
+          val (t, m) = sorted(q)
+          (m & (1 << (needs(lvl - 1) - 1))) != 0 &&
+            (lvl == 1 || { val (op, n) = gaps(lvl - 2); ok(op, n, t - last) }) &&
+            dfs(q + 1, lvl + 1, t)
+        }
+      dfs(0, 1, 0L)
+    }
+    val rnd = new scala.util.Random(20260817L)
+    val groups = (0 until 300).map { g =>
+      val n = rnd.nextInt(12)
+      val evs = (0 until n).map { _ =>
+        (rnd.nextInt(25).toLong,
+          rnd.nextDouble() < 0.4, rnd.nextDouble() < 0.35, rnd.nextDouble() < 0.3)
+      }
+      g.toLong -> evs
+    }
+    groups.flatMap { case (g, evs) =>
+      evs.map(e => (g, e._1, e._2, e._3, e._4))
+    }.toDF("g", "t", "c1", "c2", "c3").createOrReplaceTempView("chsm_diff")
+    // (pattern, refs in order, per-gap (op, n))
+    val cases = Seq(
+      ("'(?1).*(?2).*(?3)'", Seq(1, 2, 3), Seq((0, 0L), (0, 0L))),
+      ("'(?1).*(?t<=5)(?2).*(?3)'", Seq(1, 2, 3), Seq((1, 5L), (0, 0L))),
+      ("'(?1).*(?t>2)(?2).*(?t<=4)(?3)'", Seq(1, 2, 3), Seq((4, 2L), (1, 4L))),
+      ("'(?2).*(?t>=3)(?1)'", Seq(2, 1), Seq((3, 3L))),
+      ("'(?3).*(?t<3)(?3)'", Seq(3, 3), Seq((2, 3L))))
+    for ((pat, needs, gaps) <- cases) {
+      val got = ClickHouseSql.sql(spark,
+        s"SELECT g, sequenceMatch($pat)(t, c1, c2, c3) AS hit " +
+          "FROM chsm_diff GROUP BY g")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      groups.foreach { case (g, evs) =>
+        if (evs.nonEmpty) {
+          val rows = evs.flatMap { case (t, c1, c2, c3) =>
+            // Per-LEVEL bitmask: bit j = row satisfies needs(j)'s cond.
+            val conds = Seq(c1, c2, c3)
+            val m = needs.zipWithIndex.collect {
+              case (r, j) if conds(r - 1) => 1 << j
+            }.sum
+            if (m != 0) Seq((t, m)) else Seq.empty
+          }
+          val want = brute(rows, (1 to needs.length).toSeq, gaps)
+          assert(got(g) == want,
+            s"group $g pat=$pat: fold=${got(g)} brute=$want events=$evs")
+        }
+      }
+    }
+  }
+
+  test("execution: sequenceMatch uses one distinct event per pattern position and bounds gaps exactly") {
+    // u=1: ONE row matches both conds at t=10 — '(?1).*(?2)' must NOT
+    //      match (ClickHouse consumes one event per (?N); the old
+    //      windowFunnel-fold mapping would have said true).
+    // u=2: two rows at the SAME second, cond1's bitmask sorts first —
+    //      matches.
+    // u=3: gap 7 between steps: (?t<=5) rejects, (?t>5) accepts.
+    // u=4: equal-time rows where only the cond2 row exists BEFORE the
+    //      cond1 row by bitmask order — (?1).*(?2) must not match
+    //      backwards.
+    val rows = Seq(
+      (1L, 10L, true, true),
+      (2L, 10L, true, false), (2L, 10L, false, true),
+      (3L, 10L, true, false), (3L, 17L, false, true),
+      (4L, 10L, false, true), (4L, 20L, true, false))
+    rows.toDF("u", "t", "c1", "c2").createOrReplaceTempView("chsm_hand")
+    def run(pat: String): Map[Long, Boolean] =
+      ClickHouseSql.sql(spark,
+        s"SELECT u, sequenceMatch('$pat')(t, c1, c2) AS hit " +
+          "FROM chsm_hand GROUP BY u")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val plain = run("(?1).*(?2)")
+    assert(!plain(1L), "one row must not occupy two pattern positions")
+    assert(plain(2L), "distinct same-second rows chain in bitmask order")
+    assert(plain(3L) && !plain(4L), plain)
+    val tight = run("(?1).*(?t<=5)(?2)")
+    assert(!tight(3L), "gap 7 must fail a <=5 bound")
+    val loose = run("(?1).*(?t>5)(?2)")
+    assert(loose(3L), "gap 7 must pass a >5 bound")
+  }
+
   test("execution: scalar/array helper renames map 1:1; position stays stock (reversed args would be silent)") {
     val r = ClickHouseSql.sql(spark,
       """SELECT empty(array()) AS e1, empty(array(1)) AS e2,
@@ -709,6 +1005,31 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(p.getInt(0) == 2, p)
   }
 
+  test("execution: toStartOfWeek follows ClickHouse's mode parity — default/even Sunday, odd Monday") {
+    // 1995-03-07 is a Tuesday; 1995-03-05 a Sunday; 1995-03-06 a Monday.
+    val r = ClickHouseSql.sql(spark,
+      """SELECT
+        |  toString(toStartOfWeek(toDate('1995-03-07'))) AS tue_sun,
+        |  toString(toStartOfWeek(toDate('1995-03-07'), 1)) AS tue_mon,
+        |  toString(toStartOfWeek(toDate('1995-03-07'), 3)) AS tue_mon3,
+        |  toString(toStartOfWeek(toDate('1995-03-07'), 0)) AS tue_sun0,
+        |  toString(toStartOfWeek(toDate('1995-03-05'))) AS sun_sun,
+        |  toString(toStartOfWeek(toDate('1995-03-05'), 1)) AS sun_mon,
+        |  toString(toStartOfWeek(toDate('1995-03-06'), 1)) AS mon_mon,
+        |  toString(toStartOfWeek(toDate('1995-03-06'))) AS mon_sun""".stripMargin)
+      .head()
+    assert(r.getString(0) == "1995-03-05" && r.getString(1) == "1995-03-06", r)
+    assert(r.getString(2) == "1995-03-06" && r.getString(3) == "1995-03-05", r)
+    // A Sunday is its own Sunday-week start but belongs to the PRIOR
+    // Monday week; a Monday is its own Monday-week start but its
+    // Sunday-week started the day before.
+    assert(r.getString(4) == "1995-03-05" && r.getString(5) == "1995-02-27", r)
+    assert(r.getString(6) == "1995-03-06" && r.getString(7) == "1995-03-05", r)
+    val bad = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT toStartOfWeek(toDate('1995-03-07'), 99)").collect())
+    assert(bad.getMessage.contains("mode"), bad.getMessage)
+  }
+
   test("execution: dateDiff counts unit-boundary crossings (not complete periods); formatDateTime translates %-codes") {
     val r = ClickHouseSql.sql(spark,
       """SELECT
@@ -721,7 +1042,8 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  dateDiff('second', toDateTime('1995-01-01 00:00:01'), toDateTime('1995-01-01 00:00:05')) AS s1,
         |  formatDateTime(toDate('1995-03-07'), '%F') AS f1,
         |  formatDateTime(toDate('1995-03-07'), '%Y/%m day=%d %% %j') AS f2,
-        |  formatDateTime(toDateTime('1995-03-07 14:05:09'), '%T') AS f3""".stripMargin)
+        |  formatDateTime(toDateTime('1995-03-07 14:05:09'), '%T') AS f3,
+        |  formatDateTime(toDateTime('1995-01-07 14:05:09'), '%M %i') AS f4""".stripMargin)
       .head()
     // Boundary semantics: each adjacent-boundary pair reads 1 where
     // complete-period counting would read 0.
@@ -731,6 +1053,10 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(7) == "1995-03-07", r)
     assert(r.getString(8) == "1995/03 day=07 % 066", r)
     assert(r.getString(9) == "14:05:09", r)
+    // %M = month NAME, %i = minutes (ClickHouse >= 23.3 default,
+    // formatdatetime_parsedatetime_m_is_month_name=1) — the pre-23.3
+    // minutes reading of %M would print '05' here.
+    assert(r.getString(10) == "January 05", r)
     val week = intercept[Exception](ClickHouseSql.sql(spark,
       "SELECT dateDiff('week', toDate('1995-01-01'), toDate('1995-02-01'))").collect())
     assert(week.getMessage.contains("Monday"), week.getMessage)
@@ -849,10 +1175,16 @@ class ClickHouseSqlSpec extends SparkSpec {
     val ties = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT a FROM t ORDER BY a LIMIT 5 WITH TIES"))
     assert(ties.getMessage.contains("rank()"), ties.getMessage)
-    // LIMIT n, m BY stays rewriteLimitBy's named offset-form error.
-    val offBy = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
-      "SELECT a FROM t ORDER BY a LIMIT 2, 3 BY k"))
-    assert(offBy.getMessage.toLowerCase.contains("offset"), offBy.getMessage)
+    // LIMIT o, n BY routes to rewriteLimitBy's rank-window wrap with the
+    // (o, o+n] filter — NOT to the pagination LIMIT/OFFSET rewrite.
+    val offBy = ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 2, 3 BY k")
+    assert(offBy.contains("__graft_limit_by_rn > 2 AND __graft_limit_by_rn <= 5"),
+      offBy)
+    val offKw = ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 3 OFFSET 2 BY k")
+    assert(offKw.contains("__graft_limit_by_rn > 2 AND __graft_limit_by_rn <= 5"),
+      offKw)
   }
 
   test("execution: bracket array literals parse; set predicates, bitwise, replace, and array calculus map exactly") {

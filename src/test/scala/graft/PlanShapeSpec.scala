@@ -495,15 +495,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("arrays_zip"), p)
   }
 
-  test("WITH FILL: payload filters reach the scan, the anti join broadcasts, the union is exchange-free") {
+  test("WITH FILL: payload filters reach the scan, gap generation is join-free, the union is exchange-free") {
     val p = plan("sql_ch_with_fill")
     assert(p.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase)"),
       s"payload filter not pushed:\n$p")
     assert(p.contains("explode(sequence("), p)
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"fill anti join must broadcast (the key set is range-sized):\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"no payload-scale join may appear in a fill plan:\n$p")
+    // Re-anchored fills derive from each gap's left edge via a lead
+    // window over the DISTINCT key set — no join of any kind remains in
+    // the fill path (the former grid+anti-join could not re-anchor).
+    assert(p.contains("Window"), s"gap lead window missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"fill generation must be join-free:\n$p")
     assert(p.contains("Union"), p)
   }
 

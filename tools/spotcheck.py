@@ -38,8 +38,23 @@ def isolated_min(query: str, sf_dir: str, cpus: str) -> float:
     raise RuntimeError(f"no bench line for {query}:\n{out.stdout[-2000:]}")
 
 
+# The standard list when no queries are named: the r10 cross-section
+# (one per heavy family + the three r9 TPC-H drifters) plus the dedup
+# family whose r9->r10 artifact drift (dedup_eval 0.95->3.42s etc.) was
+# never adjudicated — the r10 verdict's ask.
+STANDARD = [
+    "dedup_edit_distance", "dedup_simhash", "dq_checks",
+    "generator_explode_map", "graph_modularity", "sql_tpch_q6",
+    "text_langid", "sql_tpch_q2", "sql_tpch_q8", "sql_tpch_q9",
+    "sql_ch_funnel", "sql_ch_array_join",
+    "dedup_eval", "dedup_incremental", "dedup_passages", "dq_benford",
+]
+
+
 def main() -> int:
     out_path, queries = sys.argv[1], sys.argv[2:]
+    if not queries:
+        queries = STANDARD
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     artifact = json.load(open("BENCH_FULL.json"))
