@@ -424,6 +424,13 @@ object SparkEntry {
     "sql_asof_join_strict" -> (Relational.sqlAsofJoinStrict _),
     "sql_ch_asof" -> (Relational.sqlChAsof _),
     "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
+    "sql_ch_with_fill_interp" -> (Relational.sqlChWithFillInterp _),
+    "sql_ch_url" -> (Relational.sqlChUrl _),
+    "sql_ch_strings2" -> (Relational.sqlChStrings2 _),
+    "sql_ch_dates2" -> (Relational.sqlChDates2 _),
+    "sql_ch_agg2" -> (Relational.sqlChAgg2 _),
+    "sql_ch_arrays2" -> (Relational.sqlChArrays2 _),
+    "sql_ch_misc" -> (Relational.sqlChMisc _),
     "sql_ch_topk" -> (Relational.sqlChTopk _),
     "sql_ch_array_join" -> (Relational.sqlChArrayJoin _),
     "sql_ch_scalars" -> (Relational.sqlChScalars _),
@@ -927,7 +934,7 @@ object SparkEntry {
     // exists iff some purchase lands at-or-after some signup at second
     // granularity.
     "sql_ch_funnel" ->
-      """WITH RECURSIVE ent0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, 1 AS idx FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 2 FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 3 FROM events WHERE event_type = 'purchase'), ent AS (SELECT user_id, t, idx, row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn FROM ent0), users AS (SELECT DISTINCT user_id FROM events), cnt AS (SELECT u.user_id, (SELECT count(*) FROM ent e WHERE e.user_id = u.user_id) AS n FROM users u), rec AS (SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, CAST(NULL AS BIGINT) AS t3 FROM users UNION ALL SELECT r.user_id, r.rn + 1, CASE WHEN e.idx = 1 THEN e.t ELSE r.t1 END, CASE WHEN e.idx = 2 AND r.t1 IS NOT NULL AND e.t - r.t1 <= 21600 THEN r.t1 ELSE r.t2 END, CASE WHEN e.idx = 3 AND r.t2 IS NOT NULL AND e.t - r.t2 <= 21600 THEN r.t2 ELSE r.t3 END FROM rec r JOIN ent e ON e.user_id = r.user_id AND e.rn = r.rn + 1), fin AS (SELECT r.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level FROM rec r JOIN cnt c ON r.user_id = c.user_id AND r.rn = c.n), seq AS (SELECT u.user_id, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000) AS signup_then_buy, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000 AND epoch_us(p.ts) // 1000000 - epoch_us(s.ts) // 1000000 <= 21600) AS signup_then_buy_6h FROM users u) SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users, CAST(count(*) FILTER (WHERE signup_then_buy) AS BIGINT) AS n_seq, CAST(count(*) FILTER (WHERE signup_then_buy_6h) AS BIGINT) AS n_seq_6h FROM fin JOIN seq USING (user_id) GROUP BY funnel_level ORDER BY funnel_level""",
+      """WITH RECURSIVE ent0 AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, 1 AS idx FROM events WHERE event_type = 'view' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 2 FROM events WHERE event_type = 'click' UNION ALL SELECT user_id, epoch_us(ts) // 1000000, 3 FROM events WHERE event_type = 'purchase'), ent AS (SELECT user_id, t, idx, row_number() OVER (PARTITION BY user_id ORDER BY t, idx) AS rn FROM ent0), users AS (SELECT DISTINCT user_id FROM events), cnt AS (SELECT u.user_id, (SELECT count(*) FROM ent e WHERE e.user_id = u.user_id) AS n FROM users u), rec AS (SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS t1, CAST(NULL AS BIGINT) AS t2, CAST(NULL AS BIGINT) AS t3 FROM users UNION ALL SELECT r.user_id, r.rn + 1, CASE WHEN e.idx = 1 THEN e.t ELSE r.t1 END, CASE WHEN e.idx = 2 AND r.t1 IS NOT NULL AND e.t - r.t1 <= 21600 THEN r.t1 ELSE r.t2 END, CASE WHEN e.idx = 3 AND r.t2 IS NOT NULL AND e.t - r.t2 <= 21600 THEN r.t2 ELSE r.t3 END FROM rec r JOIN ent e ON e.user_id = r.user_id AND e.rn = r.rn + 1), fin AS (SELECT r.user_id, CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS funnel_level FROM rec r JOIN cnt c ON r.user_id = c.user_id AND r.rn = c.n), seq AS (SELECT u.user_id, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000) AS signup_then_buy, EXISTS (SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id WHERE s.user_id = u.user_id AND s.event_type = 'signup' AND p.event_type = 'purchase' AND p.value > 150 AND epoch_us(p.ts) // 1000000 >= epoch_us(s.ts) // 1000000 AND epoch_us(p.ts) // 1000000 - epoch_us(s.ts) // 1000000 <= 21600) AS signup_then_buy_6h FROM users u), sc0 AS (SELECT user_id, idx, lag(idx) OVER (PARTITION BY user_id ORDER BY t, idx) AS pidx FROM (SELECT user_id, epoch_us(ts) // 1000000 AS t, CASE WHEN event_type = 'signup' THEN 1 ELSE 2 END AS idx FROM events WHERE event_type = 'signup' OR (event_type = 'purchase' AND value > 150))), sc AS (SELECT user_id, CAST(count(*) FILTER (WHERE idx = 2 AND pidx = 1) AS BIGINT) AS nc FROM sc0 GROUP BY user_id) SELECT funnel_level, CAST(count(*) AS BIGINT) AS n_users, CAST(count(*) FILTER (WHERE signup_then_buy) AS BIGINT) AS n_seq, CAST(count(*) FILTER (WHERE signup_then_buy_6h) AS BIGINT) AS n_seq_6h, CAST(sum(coalesce(nc, 0)) AS BIGINT) AS n_chains FROM fin JOIN seq USING (user_id) LEFT JOIN sc USING (user_id) GROUP BY funnel_level ORDER BY funnel_level""",
     // The strict-modes oracle replays ClickHouse's getEventLevel scan as
     // one recursive CTE carrying all three mode states over the same
     // (t, step)-sorted entry stream: the strict_order lane reads the
@@ -1056,7 +1063,7 @@ object SparkEntry {
     // topK replayed exactly: rank values by (count desc, value asc) per
     // group, keep the top 3 in rank order; sumMap as key-ordered lists.
     "sql_ch_topk" ->
-      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, sm_keys, sm_vals FROM tk JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), wc AS (SELECT l_returnflag, CAST(l_suppkey % 50 AS BIGINT) AS wv, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws FROM lineitem GROUP BY 1, 2), wr AS (SELECT l_returnflag, wv, row_number() OVER (PARTITION BY l_returnflag ORDER BY ws DESC, wv) AS rk FROM wc), tw AS (SELECT l_returnflag, array_to_string(list(wv ORDER BY rk), ',') AS top_w FROM wr WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, top_w, sm_keys, sm_vals FROM tk JOIN tw USING (l_returnflag) JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
     "sql_ch_limit_offset" ->
       """SELECT o_orderkey, o_orderpriority, CAST(o_orderkey // 100 AS BIGINT) AS key_century FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20""",
     "sql_ch_rollup" ->
@@ -1092,6 +1099,28 @@ object SparkEntry {
     // min/max, anti-join away the present days, zero-fill the rest.
     "sql_ch_with_fill" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n_hi, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events WHERE event_type = 'purchase' AND value > 180 GROUP BY 1), b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b), f AS (SELECT day, CAST(0 AS BIGINT) AS n_hi, CAST(0 AS BIGINT) AS n_users FROM s WHERE day NOT IN (SELECT day FROM d)) SELECT day, n_hi, n_users FROM d UNION ALL SELECT day, n_hi, n_users FROM f ORDER BY day""",
+    // INTERPOLATE replayed: generated days zero the count but CARRY the
+    // last real day's metric via a max-day-at-or-before scalar lookup.
+    "sql_ch_with_fill_interp" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n, max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1), b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b), f AS (SELECT s.day, CAST(0 AS BIGINT) AS n, (SELECT v_cents FROM d WHERE d.day = (SELECT max(day) FROM d d2 WHERE d2.day <= s.day)) AS v_cents FROM s WHERE s.day NOT IN (SELECT day FROM d)) SELECT day, n, v_cents FROM d UNION ALL SELECT day, n, v_cents FROM f ORDER BY day""",
+    // The URL family replayed with plain regexes over the SAME in-query
+    // constructed URLs — the mapping is pinned by value, not parser trust.
+    "sql_ch_url" ->
+      """WITH u AS (SELECT 'https://www.shop-' || CAST(o_orderkey % 7 AS VARCHAR) || '.example.com:' || CAST(8000 + o_orderkey % 2 AS VARCHAR) || '/' || replace(o_orderpriority, ' ', '_') || '/item-' || CAST(o_orderkey % 13 AS VARCHAR) || '?p=' || replace(o_orderpriority, ' ', '_') || '&s=' || o_orderstatus || '#sec-' || CAST(o_orderkey % 3 AS VARCHAR) AS url FROM orders), d AS (SELECT url, regexp_extract(url, '^https://([^/:?#]+)', 1) AS dom, regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS pth, regexp_extract(url, '\?([^#]*)', 1) AS qs, regexp_extract(url, '#(.*)$', 1) AS frag, regexp_extract(url, '[?&]s=([^&#]*)', 1) AS sparam FROM u) SELECT dom, regexp_replace(dom, '^www\.', '') AS dom2, 'https' AS proto, min(pth) AS min_path, max(pth || '?' || qs) AS max_pathq, min(qs) AS min_qs, max(frag) AS max_frag, min(sparam) AS min_s, '' AS max_absent, max(regexp_replace(url, '\?[^#]*', '')) AS max_cutq, min(regexp_extract(url, '^([^#]*)', 1)) AS min_cutf, min(regexp_extract(url, '^([^?#]*)', 1)) AS min_cut2, max(regexp_extract(dom, '\.([^.]+)$', 1)) AS tld, CAST(min(CAST(regexp_extract(url, '://[^/]*:([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS min_port, CAST(9 AS BIGINT) AS dflt_port, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dom, dom2, proto ORDER BY dom""",
+    "sql_ch_strings2" ->
+      """SELECT doc_id, CAST(strpos(lower(text), 'table') AS BIGINT) AS pos_table, CAST(strpos(text, 'row') AS BIGINT) AS pos_row, CAST((length(text) - length(replace(text, 'an', ''))) // 2 AS BIGINT) AS n_an, regexp_matches(text, 'hash|merge') AS has_hm, coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:3], ','), '') AS first3_long, coalesce(array_to_string(regexp_extract_all(substr(text, 1, 60), 'a([a-z])', 1)[1:4], ''), '') AS after_a, (contains(text, 'spark') OR contains(text, 'flink') OR contains(text, 'zzz')) AS has_engine, to_base64(encode(lang)) AS b64, source AS rt, '' AS bad, upper(sha256(source)) AS sha_hex, replace(substr(text, 1, 12), ' ', '%20') AS enc, substr(text, 1, 12) AS dec_rt, array_to_string(list_filter(string_split_regex(substr(text, 1, 30), '[^a-zA-Z0-9]+'), x -> len(x) > 0)[1:4], '/') AS toks FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
+    "sql_ch_dates2" ->
+      """SELECT o_orderpriority, CAST(max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS VARCHAR) AS max_monday, CAST(min(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS min_eom, CAST(max(quarter(o_orderdate)) AS BIGINT) AS max_q, CAST(max(dayofyear(o_orderdate)) AS BIGINT) AS max_doy, CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_dow0, CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_dow1, CAST(sum(dayofweek(o_orderdate) + 1) AS BIGINT) AS sum_dow2, CAST(sum(dayofweek(o_orderdate)) AS BIGINT) AS sum_dow3, CAST(max(CAST(o_orderdate + INTERVAL 45 DAY AS DATE)) AS VARCHAR) AS max_plus45, CAST(min(CAST(o_orderdate - INTERVAL 2 MONTH AS DATE)) AS VARCHAR) AS min_minus2m, CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT) AS max_rel_day, CAST(min(floor(epoch(o_orderdate) / 3600)) AS BIGINT) AS min_rel_hour, CAST(max(epoch(o_orderdate + INTERVAL 6 HOUR)) AS BIGINT) AS max_plus6h FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Moments two-pass (the engine's are one-pass) — agreement at the
+    // 1e-4 scale is the drift bound stated in the query's scaladoc; the
+    // weighted median is a cumulative-weight window reconstruction of
+    // the discrete >=-crossing rule.
+    "sql_ch_agg2" ->
+      """WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p, CAST(l_quantity AS BIGINT) AS qi, CAST(l_linenumber AS BIGINT) AS w, l_suppkey % 10 AS sk, CAST(l_orderkey AS BIGINT) * 10 + CAST(l_linenumber AS BIGINT) AS ux FROM lineitem), m AS (SELECT rf, avg(p) AS mp FROM base GROUP BY rf), mom AS (SELECT b.rf, sum((p - mp)*(p - mp)) / count(*) AS m2, sum((p - mp)*(p - mp)*(p - mp)) / count(*) AS m3, sum((p - mp)*(p - mp)*(p - mp)*(p - mp)) / count(*) AS m4 FROM base b JOIN m ON b.rf = m.rf GROUP BY b.rf), wm AS (SELECT rf, qi AS x, sum(w) AS wt FROM base GROUP BY rf, qi), wc AS (SELECT rf, x, sum(wt) OVER (PARTITION BY rf ORDER BY x) AS acc, sum(wt) OVER (PARTITION BY rf) AS tot FROM wm), wq AS (SELECT rf, min(x) AS wmed FROM wc WHERE acc >= 0.5 * tot GROUP BY rf), br AS (SELECT rf, (max_by(p, ux) - min_by(p, ux)) / (CAST(max(ux) AS DOUBLE) - CAST(min(ux) AS DOUBLE)) AS brv FROM base GROUP BY rf), ag AS (SELECT rf, sum(p * qi) / CAST(sum(qi) AS DOUBLE) AS avgw, least(count(DISTINCT sk), 4) AS up3, least(count(DISTINCT sk), 21) AS up20, CAST(sum(qi) AS BIGINT) AS sc_sum, CAST(count(qi) AS BIGINT) AS sc_n, CAST(count(DISTINCT sk) AS BIGINT) AS cd, stddev_pop(q) AS sdp, var_samp(q) AS vsm, covar_pop(q, p) AS cvp, regr_slope(p, q) AS slope, regr_intercept(p, q) AS icept FROM base GROUP BY rf) SELECT ag.rf AS l_returnflag, CAST(floor(avgw * 100 + 0.5) AS BIGINT) AS avgw_cents, CAST(up3 AS BIGINT) AS up3, CAST(up20 AS BIGINT) AS up20, sc_sum, sc_n, cd, CAST(floor(sdp * 10000 + 0.5) AS BIGINT) AS sd_4, CAST(floor(vsm * 10000 + 0.5) AS BIGINT) AS vs_4, CAST(floor(cvp * 100 + 0.5) AS BIGINT) AS cov_cents, CAST(floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) AS BIGINT) AS skew_4, CAST(floor(m4 / (m2 * m2) * 10000 + 0.5) AS BIGINT) AS kurt_4, CAST(floor(slope * 10000 + 0.5) AS BIGINT) AS slope_4, CAST(floor(icept * 100 + 0.5) AS BIGINT) AS icept_cents, CAST(floor(brv * 10000 + 0.5) AS BIGINT) AS br_4, CAST(wmed AS BIGINT) AS wmed FROM ag JOIN mom ON ag.rf = mom.rf JOIN wq ON ag.rf = wq.rf JOIN br ON ag.rf = br.rf ORDER BY l_returnflag""",
+    "sql_ch_arrays2" ->
+      """WITH a AS (SELECT l_orderkey AS okey, list_sort(list(CAST(l_suppkey % 3 AS BIGINT))) AS ms, list_sort(list(CAST(l_linenumber AS BIGINT))) AS ln FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey) SELECT CAST(okey AS BIGINT) AS okey, CAST(list_aggregate(ln, 'sum') AS BIGINT) AS s, CAST(floor(list_aggregate(ln, 'avg') * 100 + 0.5) AS BIGINT) AS avg_c, CAST(floor(list_aggregate(ln, 'product') + 0.5) AS BIGINT) AS prod_i, CAST(list_filter(ln, x -> x > 2)[1] AS BIGINT) AS first_gt2, CAST(coalesce(list_position(list_transform(ln, x -> x > 2), true), 0) AS BIGINT) AS fidx, CAST(CASE WHEN coalesce(list_position(list_transform(list_reverse(ln), x -> x > 2), true), 0) = 0 THEN 0 ELSE len(ln) - list_position(list_transform(list_reverse(ln), x -> x > 2), true) + 1 END AS BIGINT) AS lidx, array_to_string(list_sort(list_distinct(ms)), ',') AS compacted, array_to_string(list_append(ln[2:], 99), ',') AS shifted, array_to_string(list_prepend(0, ln[1:len(ln)-1]), ',') AS shifted2, array_to_string([okey % 5, okey % 5, okey % 5], ',') AS const3, array_to_string(generate_series(1, len(ln)), ',') AS enumd, CASE WHEN okey % 4 <= 0 THEN '' ELSE array_to_string(generate_series(0, okey % 4 - 1), ',') END AS rng, array_to_string(list_reverse(ln), ',') AS revd, array_to_string(list_sort(list_distinct(ms)), ',') AS dist FROM a ORDER BY okey""",
+    "sql_ch_misc" ->
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_linenumber AS BIGINT) AS te, l_returnflag || '/' || l_linestatus || '/' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS sp, CAST(-1 AS BIGINT) AS inf_guard, monthname(l_shipdate) AS mn, dayname(l_shipdate) AS wd, CAST(year(l_shipdate) AS VARCHAR) AS yr, CAST(strftime(l_shipdate, '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms, CAST(greatest(CAST(l_quantity AS BIGINT), l_suppkey) AS BIGINT) AS rmax, CAST(CAST(l_quantity AS BIGINT) + l_linenumber AS BIGINT) AS rsum, CASE WHEN l_suppkey % 2 = 1 THEN '1,2,3' ELSE '1,2,1' END AS enq, CAST(coalesce(lag(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS lg, CAST(coalesce(lead(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS ld, 'q,p' AS mk, CAST(CAST(l_quantity AS BIGINT) + l_suppkey AS BIGINT) AS mv, true AS mc1, false AS mc0 FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, lno""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
     "events_bot_detect" ->

@@ -1785,12 +1785,14 @@ object Relational {
       """SELECT funnel_level,
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  countIf(signup_then_buy) AS n_seq,
-        |  countIf(signup_then_buy_6h) AS n_seq_6h
+        |  countIf(signup_then_buy_6h) AS n_seq_6h,
+        |  CAST(sum(n_chains) AS BIGINT) AS n_chains
         |FROM (
         |  SELECT user_id,
         |    toInt64(windowFunnel(21600)(ts, event_type = 'view', event_type = 'click', event_type = 'purchase')) AS funnel_level,
         |    sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy,
-        |    sequenceMatch('(?1).*(?t<=21600)(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy_6h
+        |    sequenceMatch('(?1).*(?t<=21600)(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150) AS signup_then_buy_6h,
+        |    toInt64(sequenceCount('(?1).*(?2)')(ts, event_type = 'signup', event_type = 'purchase' AND value > 150)) AS n_chains
         |  FROM events
         |  GROUP BY user_id)
         |GROUP BY funnel_level
@@ -1880,6 +1882,242 @@ object Relational {
         |ORDER BY day WITH FILL""".stripMargin)
   }
 
+  /** `WITH FILL … INTERPOLATE (col)` (r11) — the carry-previous-value
+    * form: generated day rows take the count's type default (0) but
+    * CARRY the last real day's max-price metric, ClickHouse's
+    * INTERPOLATE-without-expression semantics. The carry is a
+    * last-real-row-struct window over the union (struct wrapper so a
+    * real NULL is carried as-is, never skipped); same report-axis
+    * single-partition cost bound as the gap generation.
+    */
+  def sqlChWithFillInterp(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT intDiv(toUnixTimestamp(ts), 86400) AS day,
+        |  toInt64(count(*)) AS n,
+        |  max(toInt64(floor(value * 100 + 0.5))) AS v_cents
+        |FROM events
+        |PREWHERE event_type = 'purchase'
+        |WHERE value > 150
+        |GROUP BY day
+        |ORDER BY day WITH FILL INTERPOLATE (v_cents)""".stripMargin)
+  }
+
+  /** The ClickHouse URL-function family (r11) — `domain`/`path`/
+    * `queryString`/`extractURLParameter`/`cutQueryString` etc., the
+    * accessors every web-analytics `custom_query` leans on, over Spark's
+    * stock `parse_url` with ClickHouse's ''-not-NULL convention (the
+    * cut* forms are pure string surgery and never parse). URLs are
+    * assembled in-query from order columns, so the oracle reconstructs
+    * the same derivations with plain regexes — the mapping is pinned by
+    * value, not by parser trust. One group-keyed shuffle.
+    */
+  def sqlChUrl(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH u AS (
+        |  SELECT concat('https://www.shop-', toString(modulo(o_orderkey, 7)),
+        |                '.example.com:', toString(8000 + modulo(o_orderkey, 2)),
+        |                '/', replaceAll(o_orderpriority, ' ', '_'),
+        |                '/item-', toString(modulo(o_orderkey, 13)),
+        |                '?p=', replaceAll(o_orderpriority, ' ', '_'),
+        |                '&s=', o_orderstatus,
+        |                '#sec-', toString(modulo(o_orderkey, 3))) AS url
+        |  FROM orders)
+        |SELECT domain(url) AS dom,
+        |  domainWithoutWWW(url) AS dom2,
+        |  protocol(url) AS proto,
+        |  min(path(url)) AS min_path,
+        |  max(pathFull(url)) AS max_pathq,
+        |  min(queryString(url)) AS min_qs,
+        |  max(fragment(url)) AS max_frag,
+        |  min(extractURLParameter(url, 's')) AS min_s,
+        |  max(extractURLParameter(url, 'missing')) AS max_absent,
+        |  max(cutQueryString(url)) AS max_cutq,
+        |  min(cutFragment(url)) AS min_cutf,
+        |  min(cutQueryStringAndFragment(url)) AS min_cut2,
+        |  max(topLevelDomain(url)) AS tld,
+        |  toInt64(min(port(url))) AS min_port,
+        |  toInt64(max(port('https://no-port.example.com/x', 9))) AS dflt_port,
+        |  toInt64(count(*)) AS n
+        |FROM u
+        |GROUP BY dom, dom2, proto
+        |ORDER BY dom""".stripMargin)
+  }
+
+  /** The r11 search/regex/digest batch: haystack-first `positionUTF8`/
+    * `positionCaseInsensitive` (bare `position` stays stock — Spark's
+    * has the arguments reversed and no-clobber keeps it), RE2-subset
+    * `match` → rlike, literal-pattern `extractAll` (capture-group arity
+    * picks the extraction index at build time), the replace-trick
+    * `countSubstrings`, `multiSearchAny` over a `[..]`-literal needle
+    * array, base64 round-trips, and binary `SHA256` whose `hex()` form
+    * is bit-compatible with ClickHouse's (both uppercase). Row-wise over
+    * a pruned scan; no shuffle beyond the sort.
+    */
+  def sqlChStrings2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("documents"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT doc_id,
+        |  toInt64(positionCaseInsensitive(text, 'TABLE')) AS pos_table,
+        |  toInt64(positionUTF8(text, 'row')) AS pos_row,
+        |  toInt64(countSubstrings(text, 'an')) AS n_an,
+        |  match(text, 'hash|merge') AS has_hm,
+        |  arrayStringConcat(arraySlice(extractAll(text, '[a-z]{6,}'), 1, 3), ',') AS first3_long,
+        |  arrayStringConcat(arraySlice(extractAll(substringUTF8(text, 1, 60), 'a([a-z])'), 1, 4), '') AS after_a,
+        |  multiSearchAny(text, ['spark', 'flink', 'zzz']) AS has_engine,
+        |  base64Encode(lang) AS b64,
+        |  base64Decode(base64Encode(source)) AS rt,
+        |  tryBase64Decode('!!!notbase64') AS bad,
+        |  hex(SHA256(source)) AS sha_hex,
+        |  encodeURLComponent(substringUTF8(text, 1, 12)) AS enc,
+        |  decodeURLComponent(encodeURLComponent(substringUTF8(text, 1, 12))) AS dec_rt,
+        |  arrayStringConcat(arraySlice(tokens(substringUTF8(text, 1, 30)), 1, 4), '/') AS toks
+        |FROM documents
+        |WHERE doc_id < 60
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The r11 date-arithmetic batch: `toMonday` (exactly Spark
+    * trunc('week')), `toLastDayOfMonth`, `toQuarter`/`toDayOfYear`, all
+    * four `toDayOfWeek` modes, the `addDays`/`subtractMonths`/`addHours`
+    * family (TIMESTAMP-returning; the Date-input type difference is
+    * documented in the usage strings), and the `toRelative*Num` epoch
+    * bucketing (floor-divided, UTC). All stock datetime expressions;
+    * one map-side-combined shuffle.
+    */
+  def sqlChDates2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderpriority,
+        |  toString(max(toMonday(o_orderdate))) AS max_monday,
+        |  toString(min(toLastDayOfMonth(o_orderdate))) AS min_eom,
+        |  toInt64(max(toQuarter(o_orderdate))) AS max_q,
+        |  toInt64(max(toDayOfYear(o_orderdate))) AS max_doy,
+        |  toInt64(sum(toDayOfWeek(o_orderdate))) AS sum_dow0,
+        |  toInt64(sum(toDayOfWeek(o_orderdate, 1))) AS sum_dow1,
+        |  toInt64(sum(toDayOfWeek(o_orderdate, 2))) AS sum_dow2,
+        |  toInt64(sum(toDayOfWeek(o_orderdate, 3))) AS sum_dow3,
+        |  toString(max(toDate(addDays(o_orderdate, 45)))) AS max_plus45,
+        |  toString(min(toDate(subtractMonths(o_orderdate, 2)))) AS min_minus2m,
+        |  toInt64(max(toRelativeDayNum(o_orderdate))) AS max_rel_day,
+        |  toInt64(min(toRelativeHourNum(o_orderdate))) AS min_rel_hour,
+        |  toInt64(max(toUnixTimestamp(addHours(o_orderdate, 6)))) AS max_plus6h
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** The r11 exact-aggregate batch: `avgWeighted`, saturating
+    * `uniqUpTo(N)`, `sumCount` (struct field access), the camelCase
+    * moments family (`stddevPop`/`varSamp`/`covarPop`; `skewPop` is
+    * exactly Spark's population skewness, `kurtPop` is Spark's excess
+    * kurtosis + 3), `simpleLinearRegression` → regr_slope/intercept,
+    * `boundingRatio` over a UNIQUE x (argMax/argMin tie-freedom keeps
+    * the oracle deterministic), and `quantileExactWeighted` — the
+    * discrete weighted quantile kernel, oracled by a cumulative-weight
+    * window reconstruction. Float aggregates land at 1e-4 precision
+    * (one-pass Spark moments vs the oracle's two-pass formulas differ
+    * below that). One map-side-combined shuffle.
+    */
+  def sqlChAgg2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT l_returnflag,
+        |  toInt64(floor(avgWeighted(l_extendedprice, toInt64(l_quantity)) * 100 + 0.5)) AS avgw_cents,
+        |  toInt64(uniqUpTo(3)(modulo(l_suppkey, 10))) AS up3,
+        |  toInt64(uniqUpTo(20)(modulo(l_suppkey, 10))) AS up20,
+        |  toInt64(sumCount(toInt64(l_quantity)).sum) AS sc_sum,
+        |  toInt64(sumCount(toInt64(l_quantity)).count) AS sc_n,
+        |  toInt64(countDistinct(modulo(l_suppkey, 10))) AS cd,
+        |  toInt64(floor(stddevPop(l_quantity) * 10000 + 0.5)) AS sd_4,
+        |  toInt64(floor(varSamp(l_quantity) * 10000 + 0.5)) AS vs_4,
+        |  toInt64(floor(covarPop(l_quantity, l_extendedprice) * 100 + 0.5)) AS cov_cents,
+        |  toInt64(floor(skewPop(l_extendedprice) * 10000 + 0.5)) AS skew_4,
+        |  toInt64(floor(kurtPop(l_extendedprice) * 10000 + 0.5)) AS kurt_4,
+        |  toInt64(floor(simpleLinearRegression(l_quantity, l_extendedprice).k * 10000 + 0.5)) AS slope_4,
+        |  toInt64(floor(simpleLinearRegression(l_quantity, l_extendedprice).b * 100 + 0.5)) AS icept_cents,
+        |  toInt64(floor(boundingRatio(toInt64(l_orderkey) * 10 + toInt64(l_linenumber), l_extendedprice) * 10000 + 0.5)) AS br_4,
+        |  toInt64(quantileExactWeighted(0.5)(toInt64(l_quantity), toInt64(l_linenumber))) AS wmed
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** The r11 array-calculus batch over per-order collected arrays:
+    * `arraySum` (the Int64-accumulator discipline), `arrayAvg`/
+    * `arrayProduct` (Float64, ClickHouse's declared types),
+    * `arrayFirst`/`arrayFirstIndex`/`arrayLastIndex` (lambda-first),
+    * `arrayCompact` (adjacent dedup — fed a SORTED array so the oracle
+    * is sorted-distinct), push/pop surgery, `arrayWithConstant`,
+    * `arrayEnumerate`, exclusive-end `range`, `arrayReverse`, and
+    * `arrayDistinct` (first-seen order — ascending on sorted input,
+    * which is what makes the oracle deterministic). Arrays serialize to
+    * strings for the diff. One group-keyed shuffle; the array work
+    * rides the aggregate finishers.
+    */
+  def sqlChArrays2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH a AS (
+        |  SELECT l_orderkey AS okey,
+        |    arraySort(groupArray(toInt64(modulo(l_suppkey, 3)))) AS ms,
+        |    arraySort(groupArray(toInt64(l_linenumber))) AS ln
+        |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+        |SELECT okey,
+        |  toInt64(arraySum(ln)) AS s,
+        |  toInt64(floor(arrayAvg(ln) * 100 + 0.5)) AS avg_c,
+        |  toInt64(floor(arrayProduct(ln) + 0.5)) AS prod_i,
+        |  toInt64(arrayFirst(x -> x > 2, ln)) AS first_gt2,
+        |  toInt64(arrayFirstIndex(x -> x > 2, ln)) AS fidx,
+        |  toInt64(arrayLastIndex(x -> x > 2, ln)) AS lidx,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayCompact(ms)), ',') AS compacted,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayPushBack(arrayPopFront(ln), toInt64(99))), ',') AS shifted,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayPushFront(arrayPopBack(ln), toInt64(0))), ',') AS shifted2,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayWithConstant(3, modulo(okey, 5))), ',') AS const3,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerate(ln)), ',') AS enumd,
+        |  arrayStringConcat(arrayMap(x -> toString(x), range(modulo(okey, 4))), ',') AS rng,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayReverse(ln)), ',') AS revd,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayDistinct(ms)), ',') AS dist
+        |FROM a
+        |ORDER BY okey""".stripMargin)
+  }
+
+  /** The r11 misc batch: map/tuple accessors (`mapKeys`/`mapValues`/
+    * `mapContains`, positional-or-named `tupleElement`), regexp split
+    * (ClickHouse argument order), `ifNotFinite` over a real division by
+    * zero, `dateName` English part names, the
+    * `toYYYYMMDDhhmmss` numeric timestamp, literal-dispatch
+    * `arrayReduce`, occurrence-counting `arrayEnumerateUniq`, and
+    * `lagInFrame`/`leadInFrame` → stock lag/lead (the frame-clause
+    * divergence is documented in the usage string; this query uses the
+    * covering-frame shape where they are identical). Row-wise over a
+    * pruned scan plus one window sort.
+    */
+  def sqlChMisc(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT l_orderkey AS okey, toInt64(l_linenumber) AS lno,
+        |  toInt64(tupleElement(tuple(l_orderkey, l_linenumber), 2)) AS te,
+        |  arrayStringConcat(splitByRegexp('[;|]', concat(l_returnflag, ';', l_linestatus, '|', toString(toInt64(l_quantity)))), '/') AS sp,
+        |  toInt64(ifNotFinite(divide(l_extendedprice, minus(l_quantity, l_quantity)), -1)) AS inf_guard,
+        |  dateName('month', l_shipdate) AS mn,
+        |  dateName('weekday', l_shipdate) AS wd,
+        |  dateName('year', l_shipdate) AS yr,
+        |  toYYYYMMDDhhmmss(l_shipdate) AS ymdhms,
+        |  toInt64(arrayReduce('max', array(toInt64(l_quantity), toInt64(l_suppkey)))) AS rmax,
+        |  toInt64(arrayReduce('sum', array(toInt64(l_quantity), toInt64(l_linenumber)))) AS rsum,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerateUniq(array(modulo(l_suppkey, 2), modulo(l_suppkey, 2), toInt64(1)))), ',') AS enq,
+        |  toInt64(lagInFrame(toInt64(l_linenumber), 1, toInt64(-1)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)) AS lg,
+        |  toInt64(leadInFrame(toInt64(l_linenumber), 1, toInt64(-1)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)) AS ld,
+        |  arrayStringConcat(mapKeys(map('q', toInt64(l_quantity), 'p', toInt64(l_suppkey))), ',') AS mk,
+        |  toInt64(arrayReduce('sum', mapValues(map('q', toInt64(l_quantity), 'p', toInt64(l_suppkey))))) AS mv,
+        |  mapContains(map('q', toInt64(l_quantity)), 'q') AS mc1,
+        |  mapContains(map('q', toInt64(l_quantity)), 'z') AS mc0
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY okey, lno""".stripMargin)
+  }
+
   /** ClickHouse's heavy-hitter and map aggregates: `topK(3)(x)` — mapped
     * to EXACT top-3-by-frequency with a deterministic tiebreak (count
     * desc, value asc; ClickHouse's is approximate SpaceSaving — the same
@@ -1894,11 +2132,13 @@ object Relational {
     graft.plans.ClickHouseSql.sql(spark,
       """SELECT l_returnflag,
         |  concat_ws(',', arrayMap(x -> toString(x), tq)) AS top_q,
+        |  concat_ws(',', arrayMap(x -> toString(x), tw)) AS top_w,
         |  concat_ws(',', sm.keys) AS sm_keys,
         |  concat_ws(',', arrayMap(x -> toString(x), sm.values)) AS sm_vals
         |FROM (
         |  SELECT l_returnflag,
         |    topK(3)(toInt64(l_quantity)) AS tq,
+        |    topKWeighted(3)(l_suppkey % 50, toInt64(l_quantity)) AS tw,
         |    sumMap(l_linestatus, toInt64(l_quantity)) AS sm
         |  FROM lineitem
         |  GROUP BY l_returnflag)

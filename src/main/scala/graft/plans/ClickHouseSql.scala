@@ -676,7 +676,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantiles|quantile|windowFunnel|sequenceMatch|uniqUpTo|topK)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK)\\s*\\(")
 
   /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
     * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
@@ -697,7 +697,7 @@ object ClickHouseSqlRewrite {
     * needs full history, not min/max), and two constraints in one gap.
     */
   private def sequenceMatchRepl(pattern: String, args: String,
-      argItems: Seq[String]): String = {
+      argItems: Seq[String], fname: String = "graft_ch_seq_match"): String = {
     val p = pattern.trim
     if (p.length < 2 || p.charAt(0) != '\'' || p.charAt(p.length - 1) != '\'')
       throw new IllegalArgumentException(
@@ -789,7 +789,7 @@ object ClickHouseSqlRewrite {
           s"only ${conds.length} conditions were given"))
     val k = refs.length
     val nums = (Seq(k) ++ gaps.flatMap { case (op, n) => Seq(op, n) }).mkString(", ")
-    s"graft_ch_seq_match(${argItems.head}\n, $nums, " +
+    s"$fname(${argItems.head}\n, $nums, " +
       refs.map(r => conds(r - 1)).mkString(",\n") + "\n)"
   }
 
@@ -843,6 +843,37 @@ object ClickHouseSqlRewrite {
             sequenceMatchRepl(params, args,
               splitItems(masked, aStart, aEnd).map { case (s0, e0) =>
                 sql.substring(s0, e0).trim })
+          case "sequencecount" =>
+            sequenceMatchRepl(params, args,
+              splitItems(masked, aStart, aEnd).map { case (s0, e0) =>
+                sql.substring(s0, e0).trim }, "graft_ch_seq_count")
+          // topKWeighted(n)(x, w): exact top-n by WEIGHT SUM (count desc,
+          // value asc tiebreak) — the weighted sibling of the exact topK
+          // mapping (ClickHouse's is approximate SpaceSaving; same
+          // exact-beats-approx stance, stated in the usage string).
+          case "topkweighted" =>
+            if (splitItems(masked, pStart, pEnd).length != 1)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: topKWeighted takes exactly one parameter N")
+            if (splitItems(masked, aStart, aEnd).length != 2)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: topKWeighted(N)(x, weight)")
+            s"graft_ch_topk_weighted($params\n, $args\n)"
+          // quantileTiming is ClickHouse's third approximate quantile
+          // sketch (fixed-bucket timing histogram) — approx↔approx, like
+          // bare quantile/quantileTDigest.
+          case "quantiletiming" => s"approx_percentile($args\n, $params\n)"
+          case "quantilestiming" => s"approx_percentile($args\n, array($params\n))"
+          // quantileDeterministic(level)(x, determinator): the
+          // determinator only seeds ClickHouse's reservoir sampling (a
+          // determinism device, not a semantic input) — the value column
+          // alone feeds the approx mapping.
+          case "quantiledeterministic" =>
+            val items = splitItems(masked, aStart, aEnd)
+              .map { case (s0, e0) => sql.substring(s0, e0).trim }
+            if (items.length != 2) throw new IllegalArgumentException(
+              "ClickHouse SQL: quantileDeterministic(level)(x, determinator)")
+            s"approx_percentile(${items.head}\n, $params\n)"
           // uniqUpTo(N)(x…): the exact distinct count while it is ≤ N,
           // saturating at N+1 — which is exactly least(uniqExact, N+1).
           case "uniqupto" =>
@@ -862,6 +893,24 @@ object ClickHouseSqlRewrite {
           // the same approx-for-approx pairing as bare quantile.
           case "quantile" | "quantiletdigest" => s"approx_percentile($args\n, $params\n)"
           case "quantiles" | "quantilestdigest" => s"approx_percentile($args\n, array($params\n))"
+          // quantileExactWeighted(level)(x, w): the discrete weighted
+          // quantile — sort by x, walk cumulative weights, return the
+          // first value whose running weight reaches level·Σw (the
+          // documented discrete rule; see the kernel's scaladoc for the
+          // boundary convention and the zero-weight filter).
+          case "quantileexactweighted" =>
+            if (splitItems(masked, aStart, aEnd).length != 2)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: quantileExactWeighted(level)(x, weight)")
+            s"graft_ch_quantile_exact_weighted($args\n, $params\n)"
+          case "quantilesexactweighted" =>
+            val wLevels = splitItems(masked, pStart, pEnd)
+              .map { case (s0, e0) => sql.substring(s0, e0).trim }
+            if (splitItems(masked, aStart, aEnd).length != 2)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: quantilesExactWeighted(levels...)(x, weight)")
+            "array(" + wLevels.map(p =>
+              s"graft_ch_quantile_exact_weighted($args\n, $p)").mkString(", ") + "\n)"
           case "quantileexact" => s"graft_ch_quantile_exact($args\n, $params\n)"
           case "quantilesexact" =>
             val levels = splitItems(masked, pStart, pEnd)
@@ -1151,6 +1200,22 @@ object ClickHouseFunctions {
     f(es.head)
   }
 
+  /** ClickHouse quantileExact's documented convention: the SORTED
+    * element at 0-based index ⌊level·n⌋ (1-based ⌊level·n⌋+1, clamped),
+    * NOT linear interpolation. Shared by `graft_ch_quantile_exact` and
+    * `medianExact`.
+    */
+  private def quantileExactElement(x: Expression, level: Expression): Expression = {
+    val n = Count(Seq(x)).toAggregateExpression()
+    val idx = Cast(Add(Floor(Multiply(Cast(level, DoubleType),
+      Cast(n, DoubleType))), Literal(1L)), IntegerType)
+    val clamped = Greatest(Seq(Literal(1),
+      Least(Seq(idx, Cast(n, IntegerType)))))
+    ElementAt(
+      SortArray(CollectList(x).toAggregateExpression(), Literal(true)),
+      clamped, failOnError = false)
+  }
+
   /** A fresh single-argument lambda (`__graft_x -> body`). Built on
     * [[UnresolvedNamedLambdaVariable]] so the stock
     * `ResolveLambdaVariables` rule binds it exactly like a user-written
@@ -1159,6 +1224,51 @@ object ClickHouseFunctions {
   private def lam1(f: Expression => Expression): LambdaFunction = {
     val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
     LambdaFunction(f(x), Seq(x))
+  }
+
+  /** ClickHouse `quantileExactWeighted`'s discrete rule: sort the
+    * values, accumulate weights, return the FIRST value whose running
+    * weight reaches `level * Σw` (>=, so level 0 is the minimum and
+    * level 1 the maximum). Rows with null value/weight or weight <= 0
+    * are dropped (a zero weight cannot advance the accumulator, so it
+    * can never be the crossing element). Pinned to ClickHouse's
+    * DOCUMENTED discrete convention — like the quantileExact element
+    * rule — not against a live server; the boundary (>= at exact grid
+    * crossings) is stated here so a divergence report has a contract to
+    * check against. Exact-memory like any exact quantile (one sorted
+    * (value, weight) array per group).
+    */
+  private def quantileExactWeightedElement(x: Expression, w: Expression,
+      level: Expression): Expression = {
+    val wl = Cast(w, LongType)
+    val pairType = StructType(Seq(
+      StructField("v", DoubleType), StructField("w", LongType)))
+    val pair = If(And(IsNotNull(x), And(IsNotNull(wl), GreaterThan(wl, Literal(0L)))),
+      CreateNamedStruct(Seq(
+        Literal("v"), Cast(x, DoubleType), Literal("w"), wl)),
+      Literal.create(null, pairType))
+    val pairs = new SortArray(CollectList(pair).toAggregateExpression())
+    val tot = Sum(If(And(IsNotNull(x), And(IsNotNull(wl), GreaterThan(wl, Literal(0L)))),
+      wl, Literal(0L))).toAggregateExpression()
+    val threshold = Multiply(Cast(level, DoubleType), Cast(tot, DoubleType))
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_qst"))
+    val p = UnresolvedNamedLambdaVariable(Seq("__graft_qp"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_qf"))
+    def acc(e: Expression) = UnresolvedExtractValue(e, Literal("acc"))
+    def res(e: Expression) = UnresolvedExtractValue(e, Literal("res"))
+    def mkSt(a: Expression, r: Expression) =
+      CreateNamedStruct(Seq(Literal("acc"), a, Literal("res"), r))
+    val acc2 = Add(acc(st), UnresolvedExtractValue(p, Literal("w")))
+    val merge = LambdaFunction(
+      If(Or(IsNull(p), IsNotNull(res(st))), st,
+        mkSt(acc2,
+          If(GreaterThanOrEqual(Cast(acc2, DoubleType), threshold),
+            UnresolvedExtractValue(p, Literal("v")),
+            Literal.create(null, DoubleType)))),
+      Seq(st, p))
+    val finish = LambdaFunction(res(fin), Seq(fin))
+    ArrayAggregate(pairs,
+      mkSt(Literal(0L), Literal.create(null, DoubleType)), merge, finish)
   }
 
   /** JsonPath literal for the ClickHouse JSONExtract* key/index varargs:
@@ -1205,6 +1315,95 @@ object ClickHouseFunctions {
     CreateNamedStruct(Seq(Literal("keys"), keys, Literal("values"), vals))
   }
 
+  /** Shared sequenceMatch/sequenceCount fold (see the registry entries'
+    * scaladoc for the semantics). `counting = false` returns the boolean
+    * level-k-achievable; `counting = true` wraps the level state in a
+    * (count, levels) struct, increments on each completion, and RESETS
+    * the levels (non-overlap restart).
+    */
+  private def seqKernel(fname: String, es: Seq[Expression],
+      counting: Boolean): Expression = {
+    val k = es.lift(1) match {
+      case Some(Literal(kk: Int, IntegerType)) if kk >= 1 => kk
+      case other => throw new IllegalArgumentException(
+        s"$fname: k must be a positive integer literal, got $other")
+    }
+    require(es.length == 2 + 2 * (k - 1) + k,
+      s"$fname: expected ${2 + 2 * (k - 1) + k} args for k=$k, got ${es.length}")
+    val t = Cast(es.head, LongType)
+    val gapSpecs = (2 until k + 1).map { j =>
+      val op = es(2 + 2 * (j - 2)) match {
+        case Literal(o: Int, IntegerType) if o >= 0 && o <= 4 => o
+        case other => throw new IllegalArgumentException(
+          s"$fname: op codes must be integer literals 0-4, got $other")
+      }
+      (op, es(2 + 2 * (j - 2) + 1))
+    }
+    val conds = es.drop(2 + 2 * (k - 1))
+      .map(c => Coalesce(Seq(c, Literal(false))))
+    val entryType = StructType(Seq(
+      StructField("t", LongType), StructField("m", IntegerType)))
+    val mask = conds.zipWithIndex.map { case (c, j) =>
+      If(c, Literal(1 << j), Literal(0)): Expression
+    }.reduce(Add(_, _))
+    val entry = If(And(GreaterThan(mask, Literal(0)), IsNotNull(t)),
+      CreateNamedStruct(Seq(Literal("t"), t, Literal("m"), mask)),
+      Literal.create(null, entryType))
+    val entries = new SortArray(CollectList(entry).toAggregateExpression())
+    val lvType = StructType(Seq(
+      StructField("mn", LongType), StructField("mx", LongType)))
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+    val en = UnresolvedNamedLambdaVariable(Seq("__graft_en"))
+    val enT = UnresolvedExtractValue(en, Literal("t"))
+    val enM = UnresolvedExtractValue(en, Literal("m"))
+    val lv: Expression =
+      if (counting) UnresolvedExtractValue(st, Literal("lv")) else st
+    val cnt = UnresolvedExtractValue(st, Literal("c"))
+    def lvAt(idx0: Int) = GetArrayItem(lv, Literal(idx0))
+    def mnOf(e: Expression) = UnresolvedExtractValue(e, Literal("mn"))
+    def mxOf(e: Expression) = UnresolvedExtractValue(e, Literal("mx"))
+    def bit(j: Int) = EqualTo(
+      BitwiseAnd(enM, Literal(1 << (j - 1))), Literal(1 << (j - 1)))
+    def gate(j: Int): Expression =
+      if (j == 1) bit(j)
+      else {
+        val prev = lvAt(j - 2)
+        val timeOk: Expression = gapSpecs(j - 2) match {
+          case (0, _) => Literal(true)
+          case (1, n) => LessThanOrEqual(Subtract(enT, mxOf(prev)), n)
+          case (2, n) => LessThan(Subtract(enT, mxOf(prev)), n)
+          case (3, n) => GreaterThanOrEqual(Subtract(enT, mnOf(prev)), n)
+          case (4, n) => GreaterThan(Subtract(enT, mnOf(prev)), n)
+        }
+        And(bit(j), And(IsNotNull(prev), timeOk))
+      }
+    val newLv = CreateArray((1 to k).map { j =>
+      val old = lvAt(j - 1)
+      If(gate(j),
+        CreateNamedStruct(Seq(
+          Literal("mn"), Least(Seq(mnOf(old), enT)),
+          Literal("mx"), Greatest(Seq(mxOf(old), enT)))),
+        old)
+    })
+    val emptyLv = CreateArray(Seq.fill(k)(Literal.create(null, lvType)))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fsm"))
+    if (!counting) {
+      val merge = LambdaFunction(newLv, Seq(st, en))
+      val finish = LambdaFunction(
+        IsNotNull(GetArrayItem(fin, Literal(k - 1))), Seq(fin))
+      ArrayAggregate(entries, emptyLv, merge, finish)
+    } else {
+      def mkSt(c: Expression, l: Expression) =
+        CreateNamedStruct(Seq(Literal("c"), c, Literal("lv"), l))
+      val merge = LambdaFunction(
+        If(gate(k), mkSt(Add(cnt, Literal(1)), emptyLv), mkSt(cnt, newLv)),
+        Seq(st, en))
+      val finish = LambdaFunction(
+        UnresolvedExtractValue(fin, Literal("c")), Seq(fin))
+      ArrayAggregate(entries, mkSt(Literal(0), emptyLv), merge, finish)
+    }
+  }
+
   /** The ClickHouse array HOFs put the lambda FIRST (`arrayMap(x -> …,
     * arr)`); Spark's stock HOF expressions take it last. The mapping is a
     * pure argument swap — Spark's parser already accepts `x -> expr` in
@@ -1220,6 +1419,152 @@ object ClickHouseFunctions {
         s"$name: the first argument must be a lambda (ClickHouse argument " +
           s"order), e.g. $name(x -> x + 1, arr)")
     }
+  }
+
+  /** ClickHouse's hash family is algorithm-incompatible with Spark's:
+    * cityHash64/sipHash64/farmHash64 have no Spark implementation at
+    * all, and even the shared-name xxHash64 differs (Spark seeds with
+    * 42, ClickHouse with 0). A mapping would silently produce DIFFERENT
+    * hash values — breaking sharding, sampling (`xxHash64(id) % 10`),
+    * and hash-keyed dedup ported from ClickHouse — so every member is a
+    * named error pointing at the safe migration (recompute with Spark's
+    * own hash on every side).
+    */
+  private def chHashError(name: String): (String, String, Seq[Expression] => Expression) =
+    (name, s"$name - NOT SUPPORTED: ClickHouse-specific hash algorithm",
+      _ => throw new IllegalArgumentException(
+        s"ClickHouse SQL: $name cannot be mapped — ClickHouse and Spark " +
+          "implement different hash algorithms/seeds (Spark's xxhash64 " +
+          "seeds with 42 where ClickHouse's xxHash64 seeds with 0), so any " +
+          "mapping would silently produce different hash values and break " +
+          "sharding/sampling/dedup logic ported from ClickHouse; recompute " +
+          "the hashes with Spark's xxhash64/hash consistently on every side"))
+
+  /** One-argument URL accessors over Spark's parse_url, with ClickHouse's
+    * empty-string-not-NULL convention for absent parts. Divergence
+    * (documented in each usage): parse_url needs a WELL-FORMED absolute
+    * URL — ClickHouse's parser also accepts scheme-less `host/path`
+    * forms, which return '' here.
+    */
+  private def chUrl(fname: String, part: String, what: String): (String, String, Seq[Expression] => Expression) =
+    (fname, s"$fname(url) - $what, '' when absent or unparseable (the URL must carry a scheme; ClickHouse also parses scheme-less forms)",
+      es => { require(es.length == 1, s"$fname(url)")
+        Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType), Literal(part)),
+          failOnError = false), Literal(""))) })
+
+  /** addDays/subtractHours/…: ClickHouse's date arithmetic family as
+    * stock timestampadd. Returns TIMESTAMP uniformly; ClickHouse returns
+    * Date for Date inputs with day-or-coarser units — a visible TYPE
+    * difference (wrap in toDate for that form), never a value change.
+    */
+  private def chAddUnit(fname: String, unit: String, neg: Boolean): (String, String, Seq[Expression] => Expression) = {
+    val dir = if (neg) "minus" else "plus"
+    (fname, s"$fname(x, n) - x $dir n ${unit.toLowerCase}s, as TIMESTAMP (ClickHouse returns Date for Date input with day-or-coarser units; wrap in toDate for that form)",
+      es => { require(es.length == 2, s"$fname(x, n)")
+        val n = if (neg) UnaryMinus(es(1)) else es(1)
+        TimestampAdd(unit, n, Cast(es.head, TimestampType)) })
+  }
+
+  /** toRelativeDayNum/HourNum/…: whole units elapsed since the epoch,
+    * floor-divided (Pmod keeps pre-1970 buckets right, the
+    * toStartOfInterval discipline). Session timezone is UTC in this
+    * engine, matching ClickHouse's UTC epoch anchoring.
+    */
+  private def chRelativeNum(fname: String, unitMicros: Long, what: String): (String, String, Seq[Expression] => Expression) =
+    (fname, s"$fname(x) - whole $what since 1970-01-01 (UTC), as BIGINT",
+      es => { require(es.length == 1, s"$fname(x)")
+        val us = UnixMicros(Cast(es.head, TimestampType))
+        val d = Literal(unitMicros)
+        IntegralDivide(Subtract(us, Pmod(us, d)), d) })
+
+  /** arrayFirst/arrayLast as ONE ArrayAggregate fold. Spark's analyzer
+    * requires a function invoked with a lambda argument to resolve to a
+    * HigherOrderFunction at the TOP of the built expression (a
+    * composition like element_at(filter(arr, λ), 1) is rejected with
+    * NON_HIGHER_ORDER_FUNCTION), so the user's lambda BODY is inlined
+    * into the fold's merge, binding the user's own lambda variable as
+    * the merge's element argument — name-based lambda resolution makes
+    * the splice exact. The zero is a safely-typed NULL of the element
+    * type (element_at far out of bounds with failOnError=false — the
+    * ANSI-safe typed-null idiom).
+    */
+  private def chSearchFold(name: String, keepFirst: Boolean): Seq[Expression] => Expression = { es =>
+    require(es.length == 2, s"$name(func, arr)")
+    val l = es.head match {
+      case lf: LambdaFunction => lf
+      case _ => throw new IllegalArgumentException(
+        s"$name: the first argument must be a lambda (ClickHouse argument " +
+          s"order), e.g. $name(x -> x > 0, arr)")
+    }
+    require(l.arguments.length == 1, s"$name: the lambda takes one variable")
+    val arr = es(1)
+    val x = l.arguments.head
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+    val cond = Coalesce(Seq(l.function, Literal(false)))
+    val upd = if (keepFirst) If(And(IsNull(st), cond), x, st)
+      else If(cond, x, st)
+    ArrayAggregate(arr,
+      ElementAt(arr, Literal(Int.MaxValue), failOnError = false),
+      LambdaFunction(upd, Seq(st, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** arrayFirstIndex/arrayLastIndex — the same inlined-lambda fold over
+    * a (found, position) counter struct; 0 when no element matches
+    * (ClickHouse's convention).
+    */
+  private def chIndexFold(name: String, keepFirst: Boolean): Seq[Expression] => Expression = { es =>
+    require(es.length == 2, s"$name(func, arr)")
+    val l = es.head match {
+      case lf: LambdaFunction => lf
+      case _ => throw new IllegalArgumentException(
+        s"$name: the first argument must be a lambda (ClickHouse argument " +
+          s"order), e.g. $name(x -> x > 0, arr)")
+    }
+    require(l.arguments.length == 1, s"$name: the lambda takes one variable")
+    val arr = es(1)
+    val x = l.arguments.head
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+    def f(e: Expression) = UnresolvedExtractValue(e, Literal("f"))
+    def i(e: Expression) = UnresolvedExtractValue(e, Literal("i"))
+    def mkSt(ff: Expression, ii: Expression) =
+      CreateNamedStruct(Seq(Literal("f"), ff, Literal("i"), ii))
+    val cond = Coalesce(Seq(l.function, Literal(false)))
+    val i2 = Add(i(st), Literal(1L))
+    val f2 =
+      if (keepFirst) If(And(EqualTo(f(st), Literal(0L)), cond), i2, f(st))
+      else If(cond, i2, f(st))
+    ArrayAggregate(arr, mkSt(Literal(0L), Literal(0L)),
+      LambdaFunction(mkSt(f2, i2), Seq(st, x)),
+      LambdaFunction(f(fin), Seq(fin)))
+  }
+
+  /** toStartOfFiveMinutes/TenMinutes/FifteenMinutes — the fixed-width
+    * sub-hour buckets, floor-divided over epoch micros (Pmod keeps
+    * pre-1970 buckets right, the toStartOfInterval discipline).
+    */
+  private def chStartOfN(fname: String, micros: Long, what: String): (String, String, Seq[Expression] => Expression) =
+    (fname, s"$fname(ts) - floor to the $what bucket, as TIMESTAMP",
+      one { e =>
+        val us = UnixMicros(Cast(e, TimestampType))
+        val d = Literal(micros)
+        MicrosToTimestamp(Multiply(
+          IntegralDivide(Subtract(us, Pmod(us, d)), d), d))
+      })
+
+  /** One ArrayAggregate scan with an identity finish — the shared shape
+    * of arraySum/arrayAvg/arrayProduct.
+    */
+  private def arrayFold(arr: Expression, zero: Expression,
+      merge: (Expression, Expression) => Expression): Expression = {
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+    val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+    ArrayAggregate(arr, zero,
+      LambdaFunction(merge(st, e2), Seq(st, e2)),
+      LambdaFunction(fin, Seq(fin)))
   }
 
   /** (name, usage, builder) — names are registered case-insensitively. */
@@ -1238,6 +1583,12 @@ object ClickHouseFunctions {
         HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
     ("uniqHLL12", "uniqHLL12(x...) - approximate distinct count (HyperLogLog++)",
       es => { require(es.nonEmpty, "uniqHLL12(x...)")
+        HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
+    ("uniqCombined64", "uniqCombined64(x...) - approximate distinct count (HyperLogLog++)",
+      es => { require(es.nonEmpty, "uniqCombined64(x...)")
+        HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
+    ("uniqTheta", "uniqTheta(x...) - approximate distinct count (HyperLogLog++ standing in for the theta sketch: approx-for-approx)",
+      es => { require(es.nonEmpty, "uniqTheta(x...)")
         HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
     ("argMax", "argMax(a, b) - value of a at the row with the maximum b",
       es => { require(es.length == 2, "argMax(a, b)"); MaxBy(es(0), es(1)) }),
@@ -1875,76 +2226,20 @@ object ClickHouseFunctions {
     // one pass.
     ("graft_ch_seq_match",
       "graft_ch_seq_match(ts, k, op_2, n_2, ..., op_k, n_k, cond_1, ..., cond_k) - ClickHouse sequenceMatch('(?1).*[(?t op n)](?2)...'): true when a subsequence matching every condition in order exists, each constrained gap satisfying t_j - t_{j-1} op n (op codes: 0 none, 1 <=, 2 <, 3 >=, 4 >)",
-      es => {
-        val k = es.lift(1) match {
-          case Some(Literal(kk: Int, IntegerType)) if kk >= 1 => kk
-          case other => throw new IllegalArgumentException(
-            s"graft_ch_seq_match: k must be a positive integer literal, got $other")
-        }
-        require(es.length == 2 + 2 * (k - 1) + k,
-          s"graft_ch_seq_match: expected ${2 + 2 * (k - 1) + k} args for k=$k, " +
-            s"got ${es.length}")
-        val t = Cast(es.head, LongType)
-        val gapSpecs = (2 until k + 1).map { j =>
-          val op = es(2 + 2 * (j - 2)) match {
-            case Literal(o: Int, IntegerType) if o >= 0 && o <= 4 => o
-            case other => throw new IllegalArgumentException(
-              s"graft_ch_seq_match: op codes must be integer literals 0-4, got $other")
-          }
-          (op, es(2 + 2 * (j - 2) + 1))
-        }
-        val conds = es.drop(2 + 2 * (k - 1))
-          .map(c => Coalesce(Seq(c, Literal(false))))
-        val entryType = StructType(Seq(
-          StructField("t", LongType), StructField("m", IntegerType)))
-        val mask = conds.zipWithIndex.map { case (c, j) =>
-          If(c, Literal(1 << j), Literal(0)): Expression
-        }.reduce(Add(_, _))
-        val entry = If(And(GreaterThan(mask, Literal(0)), IsNotNull(t)),
-          CreateNamedStruct(Seq(Literal("t"), t, Literal("m"), mask)),
-          Literal.create(null, entryType))
-        val entries = new SortArray(CollectList(entry).toAggregateExpression())
-        val lvType = StructType(Seq(
-          StructField("mn", LongType), StructField("mx", LongType)))
-        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
-        val en = UnresolvedNamedLambdaVariable(Seq("__graft_en"))
-        val enT = UnresolvedExtractValue(en, Literal("t"))
-        val enM = UnresolvedExtractValue(en, Literal("m"))
-        def lvAt(idx0: Int) = GetArrayItem(st, Literal(idx0))
-        def mnOf(e: Expression) = UnresolvedExtractValue(e, Literal("mn"))
-        def mxOf(e: Expression) = UnresolvedExtractValue(e, Literal("mx"))
-        def bit(j: Int) = EqualTo(
-          BitwiseAnd(enM, Literal(1 << (j - 1))), Literal(1 << (j - 1)))
-        val merge = LambdaFunction(
-          CreateArray((1 to k).map { j =>
-            val old = lvAt(j - 1)
-            val gate: Expression =
-              if (j == 1) bit(j)
-              else {
-                val prev = lvAt(j - 2)
-                val timeOk: Expression = gapSpecs(j - 2) match {
-                  case (0, _) => Literal(true)
-                  case (1, n) => LessThanOrEqual(Subtract(enT, mxOf(prev)), n)
-                  case (2, n) => LessThan(Subtract(enT, mxOf(prev)), n)
-                  case (3, n) => GreaterThanOrEqual(Subtract(enT, mnOf(prev)), n)
-                  case (4, n) => GreaterThan(Subtract(enT, mnOf(prev)), n)
-                }
-                And(bit(j), And(IsNotNull(prev), timeOk))
-              }
-            If(gate,
-              CreateNamedStruct(Seq(
-                Literal("mn"), Least(Seq(mnOf(old), enT)),
-                Literal("mx"), Greatest(Seq(mxOf(old), enT)))),
-              old)
-          }),
-          Seq(st, en))
-        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fsm"))
-        val finish = LambdaFunction(
-          IsNotNull(GetArrayItem(fin, Literal(k - 1))), Seq(fin))
-        ArrayAggregate(entries,
-          CreateArray(Seq.fill(k)(Literal.create(null, lvType))),
-          merge, finish)
-      }),
+      es => seqKernel("graft_ch_seq_match", es, counting = false)),
+    // sequenceCount — the same kernel COUNTING non-overlapping chains:
+    // ClickHouse "starts to search for the next chain after the current
+    // chain is matched", i.e. a sequential scan that restarts after each
+    // match's END event. The fold realizes that exactly: a chain
+    // completes at the EARLIEST entry where any level-k chain becomes
+    // achievable (the (min, max) state decides achievability, and
+    // earliest-end greedy IS the restart-scan count), the counter
+    // increments, and the level state resets to EMPTY — the completing
+    // entry is fully consumed (its other condition bits do not seed the
+    // next segment, matching restart-AFTER-the-matched-event).
+    ("graft_ch_seq_count",
+      "graft_ch_seq_count(ts, k, op_2, n_2, ..., op_k, n_k, cond_1, ..., cond_k) - ClickHouse sequenceCount('(?1).*[(?t op n)](?2)...'): number of non-overlapping chains, searching left to right and restarting after each match",
+      es => seqKernel("graft_ch_seq_count", es, counting = true)),
     // arrayCount folds with ArrayAggregate rather than size(filter(…)):
     // the analyzer requires a call that was GIVEN a lambda argument to
     // resolve to a top-level higher-order function, so the count must BE
@@ -1992,6 +2287,42 @@ object ClickHouseFunctions {
           Slice(new SortArray(counted), Literal(1), Cast(es.head, IntegerType)),
           lam1(s => UnresolvedExtractValue(s, Literal("v"))))
       }),
+    // topKWeighted — the same exact kernel ranked by WEIGHT SUM instead
+    // of row count (weights cast to BIGINT, null weights contribute 0 —
+    // ClickHouse's UInt weights cannot be null, so only the value
+    // column's null-drop is observable). Same cost class and the same
+    // two-level-GROUP-BY alternative for high-cardinality keys.
+    ("graft_ch_topk_weighted",
+      "graft_ch_topk_weighted(n, x, w) - ClickHouse topKWeighted(n)(x, w): the n values with the largest weight sums, sum desc then value asc (exact, deterministic; ClickHouse's is approximate SpaceSaving)",
+      es => {
+        require(es.length == 3, "graft_ch_topk_weighted(n, x, w)")
+        val pair = CreateNamedStruct(Seq(
+          Literal("v"), es(1),
+          Literal("w"), Cast(Coalesce(Seq(es(2), Literal(0))), LongType)))
+        val pairs = new Flatten(CollectList(
+          ArrayFilter(CreateArray(Seq(pair)), lam1(p =>
+            IsNotNull(UnresolvedExtractValue(p, Literal("v"))))))
+          .toAggregateExpression())
+        val vals = ArrayDistinct(ArrayTransform(pairs,
+          lam1(p => UnresolvedExtractValue(p, Literal("v")))))
+        val pf = UnresolvedNamedLambdaVariable(Seq("__graft_pf"))
+        val acc = UnresolvedNamedLambdaVariable(Seq("__graft_wacc"))
+        val el = UnresolvedNamedLambdaVariable(Seq("__graft_wel"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_wfin"))
+        val counted = ArrayTransform(vals, lam1(v => {
+          val mine = ArrayFilter(pairs, LambdaFunction(
+            EqualTo(UnresolvedExtractValue(pf, Literal("v")), v), Seq(pf)))
+          val wsum = ArrayAggregate(mine, Literal(0L),
+            LambdaFunction(
+              Add(acc, UnresolvedExtractValue(el, Literal("w"))), Seq(acc, el)),
+            LambdaFunction(fin, Seq(fin)))
+          CreateNamedStruct(Seq(
+            Literal("negs"), UnaryMinus(wsum), Literal("v"), v))
+        }))
+        ArrayTransform(
+          Slice(new SortArray(counted), Literal(1), Cast(es.head, IntegerType)),
+          lam1(s => UnresolvedExtractValue(s, Literal("v"))))
+      }),
     // sumMap returns ClickHouse's pair of parallel arrays as a struct
     // (keys sorted ascending, values the per-key sums); value sums are
     // BIGINT (pass integer-scaled inputs for exactness, the repo's
@@ -2033,8 +2364,10 @@ object ClickHouseFunctions {
       "maxMap(k, v) - struct(keys, values): sorted distinct keys and the per-key maximum",
       es => { require(es.length == 2, "maxMap(k, v)")
         chMapAgg(es(0), es(1), vs => new ArrayMax(vs)) }),
-    ("tuple", "tuple(a, b, ...) - a struct (fields col1, col2, ... — access by name)",
-      es => { require(es.nonEmpty, "tuple(a, ...)"); CreateStruct(es) }),
+    ("tuple", "tuple(a, b, ...) - a struct with POSITIONAL fields col1, col2, ... (always, even for column inputs — tupleElement(t, n) relies on it)",
+      es => { require(es.nonEmpty, "tuple(a, ...)")
+        CreateNamedStruct(es.zipWithIndex.flatMap { case (e, i) =>
+          Seq(Literal(s"col${i + 1}"), e) }) }),
     ("countEqual", "countEqual(arr, x) - number of elements equal to x",
       es => { require(es.length == 2, "countEqual(arr, x)")
         val e1 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
@@ -2049,15 +2382,46 @@ object ClickHouseFunctions {
     ("graft_ch_quantile_exact",
       "graft_ch_quantile_exact(x, level) - ClickHouse quantileExact: the sorted element at index floor(level*n)",
       es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")
-        val x = es(0)
-        val n = Count(Seq(x)).toAggregateExpression()
-        val idx = Cast(Add(Floor(Multiply(Cast(es(1), DoubleType),
-          Cast(n, DoubleType))), Literal(1L)), IntegerType)
-        val clamped = Greatest(Seq(Literal(1),
-          Least(Seq(idx, Cast(n, IntegerType)))))
-        ElementAt(
-          SortArray(CollectList(x).toAggregateExpression(), Literal(true)),
-          clamped, failOnError = false) }),
+        quantileExactElement(es(0), es(1)) }),
+    // `median` is deliberately NOT mapped: Spark's own `median` (exact,
+    // interpolating) wins by the no-clobber rule — exact-beats-approx,
+    // the uniqExact stance, where ClickHouse's median is the approximate
+    // quantile(0.5). `medianExact` IS mapped — it is quantileExact(0.5),
+    // the element convention, which Spark's interpolating median does
+    // not have.
+    ("medianExact", "medianExact(x) - the sorted element at index floor(0.5*n) (ClickHouse quantileExact convention)",
+      es => { require(es.length == 1, "medianExact(x)")
+        quantileExactElement(es.head, Literal(0.5d)) }),
+    // The -If combinator over the aggregates whose base forms are
+    // already mapped (cond is ClickHouse's LAST argument). Empty-match
+    // results are NULL where ClickHouse returns the column type's
+    // default — the same documented divergence as minIf/maxIf (NULL has
+    // no silent wrong value; a default would).
+    ("uniqExactIf", "uniqExactIf(x..., cond) - exact distinct count over rows where cond is true",
+      es => { require(es.length >= 2, "uniqExactIf(x..., cond)")
+        val key = if (es.length == 2) es.head else CreateStruct(es.dropRight(1))
+        Count(Seq(If(es.last, key, Literal.create(null, NullType))))
+          .toAggregateExpression(isDistinct = true) }),
+    ("uniqIf", "uniqIf(x..., cond) - approximate distinct count over rows where cond is true",
+      es => { require(es.length >= 2, "uniqIf(x..., cond)")
+        val key = if (es.length == 2) es.head else CreateStruct(es.dropRight(1))
+        HyperLogLogPlusPlus(If(es.last, key, Literal.create(null, NullType))) }),
+    ("argMaxIf", "argMaxIf(a, b, cond) - a at the row with the maximum b among rows where cond is true",
+      es => { require(es.length == 3, "argMaxIf(a, b, cond)")
+        MaxBy(If(es(2), es(0), Literal.create(null, NullType)),
+          If(es(2), es(1), Literal.create(null, NullType))) }),
+    ("argMinIf", "argMinIf(a, b, cond) - a at the row with the minimum b among rows where cond is true",
+      es => { require(es.length == 3, "argMinIf(a, b, cond)")
+        MinBy(If(es(2), es(0), Literal.create(null, NullType)),
+          If(es(2), es(1), Literal.create(null, NullType))) }),
+    ("groupArrayIf", "groupArrayIf(x, cond) - collected values over rows where cond is true",
+      es => { require(es.length == 2, "groupArrayIf(x, cond)")
+        CollectList(If(es(1), es(0), Literal.create(null, NullType)))
+          .toAggregateExpression() }),
+    ("anyLastIf", "anyLastIf(x, cond) - last non-null x among rows where cond is true",
+      es => { require(es.length == 2, "anyLastIf(x, cond)")
+        Last(If(es(1), es(0), Literal.create(null, NullType)), ignoreNulls = true)
+          .toAggregateExpression() }),
     ("intDiv", "intDiv(a, b) - integer division rounding toward zero (the stock `div` operator)",
       es => { require(es.length == 2, "intDiv(a, b)")
         IntegralDivide(es(0), es(1)) }),
@@ -2100,6 +2464,13 @@ object ClickHouseFunctions {
         }
       }),
     ("toYear", "toYear(x) - calendar year", one(Year(_))),
+    // Spark's weekofyear/yearofweek are ISO-8601 — exactly ClickHouse's
+    // toISOWeek/toISOYear (the mode-dependent toWeek/toYearWeek remain
+    // unmapped: most modes have no Spark counterpart).
+    ("toISOWeek", "toISOWeek(x) - ISO-8601 week number 1-53",
+      one(e => WeekOfYear(Cast(e, DateType)))),
+    ("toISOYear", "toISOYear(x) - ISO-8601 week-numbering year",
+      one(e => YearOfWeek(Cast(e, DateType)))),
     ("toMonth", "toMonth(x) - month 1-12", one(Month(_))),
     ("toDayOfMonth", "toDayOfMonth(x) - day 1-31", one(DayOfMonth(_))),
     ("toHour", "toHour(x) - hour 0-23", one(Hour(_))),
@@ -2124,7 +2495,537 @@ object ClickHouseFunctions {
         Literal(100)), DayOfMonth(e)))),
     ("toUnixTimestamp", "toUnixTimestamp(x) - epoch seconds, as BIGINT",
       one(e => UnixTimestamp(Cast(e, TimestampType),
-        Literal("yyyy-MM-dd HH:mm:ss")))))
+        Literal("yyyy-MM-dd HH:mm:ss")))),
+    // ---------------- URL functions (r11) — the web-analytics accessors
+    // a ported dashboard query leans on, over Spark's parse_url with
+    // ClickHouse's ''-not-NULL convention. cut* are pure string surgery
+    // (no URL parse), so they keep ClickHouse's behavior on scheme-less
+    // input too.
+    chUrl("protocol", "PROTOCOL", "the scheme"),
+    chUrl("domain", "HOST", "the host"),
+    chUrl("path", "PATH", "the path without query string"),
+    chUrl("pathFull", "FILE", "the path including query string"),
+    chUrl("queryString", "QUERY", "the query string without '?'"),
+    chUrl("fragment", "REF", "the fragment without '#'"),
+    ("domainWithoutWWW", "domainWithoutWWW(url) - the host with a leading 'www.' stripped, '' when absent",
+      es => { require(es.length == 1, "domainWithoutWWW(url)")
+        RegExpReplace(Coalesce(Seq(
+          ParseUrl(Seq(Cast(es.head, StringType), Literal("HOST")),
+            failOnError = false),
+          Literal(""))), Literal("^www\\."), Literal("")) }),
+    ("extractURLParameter", "extractURLParameter(url, name) - value of the named query parameter, '' when absent",
+      es => { require(es.length == 2, "extractURLParameter(url, name)")
+        Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType), Literal("QUERY"),
+          es(1)), failOnError = false), Literal(""))) }),
+    ("cutQueryString", "cutQueryString(url) - url without its query string (the fragment is kept, as ClickHouse)",
+      es => { require(es.length == 1, "cutQueryString(url)")
+        val u = Cast(es.head, StringType)
+        val q = new StringLocate(Literal("?"), u)
+        val f = new StringLocate(Literal("#"), u)
+        val before = Substring(u, Literal(1), Subtract(q, Literal(1)))
+        val fragPart = If(GreaterThan(f, q),
+          Substring(u, f, Literal(Int.MaxValue)), Literal(""))
+        If(Or(EqualTo(q, Literal(0)),
+            And(GreaterThan(f, Literal(0)), LessThan(f, q))),
+          u, Concat(Seq(before, fragPart))) }),
+    ("cutFragment", "cutFragment(url) - url without its '#fragment'",
+      es => { require(es.length == 1, "cutFragment(url)")
+        val u = Cast(es.head, StringType)
+        val f = new StringLocate(Literal("#"), u)
+        If(EqualTo(f, Literal(0)), u,
+          Substring(u, Literal(1), Subtract(f, Literal(1)))) }),
+    ("cutQueryStringAndFragment", "cutQueryStringAndFragment(url) - url cut at the first '?' or '#'",
+      es => { require(es.length == 1, "cutQueryStringAndFragment(url)")
+        val u = Cast(es.head, StringType)
+        val q = new StringLocate(Literal("?"), u)
+        val f = new StringLocate(Literal("#"), u)
+        val cut = If(EqualTo(q, Literal(0)), f,
+          If(EqualTo(f, Literal(0)), q, Least(Seq(q, f))))
+        If(EqualTo(cut, Literal(0)), u,
+          Substring(u, Literal(1), Subtract(cut, Literal(1)))) }),
+    // ---------------- search / regex (r11). Bare `position` stays
+    // deliberately unmapped (Spark's own `position` exists with the
+    // ARGUMENTS REVERSED — haystack-first here, needle-first there — and
+    // the no-clobber rule keeps the stock one); the UTF8/CaseInsensitive
+    // variants have no stock name, so they carry ClickHouse's
+    // haystack-first order. `match` is ClickHouse's RE2 search mapped to
+    // rlike — Java regex accepts the common RE2 surface (RE2 has no
+    // backrefs/lookarounds to diverge on), a documented dialect pairing.
+    ("positionUTF8", "positionUTF8(haystack, needle[, start]) - 1-based code-point position, 0 when absent (ClickHouse argument order)",
+      es => es match {
+        case Seq(h, n) => new StringLocate(n, h)
+        case Seq(h, n, s) => StringLocate(n, h, s)
+        case _ => throw new IllegalArgumentException(
+          "positionUTF8(haystack, needle[, start])")
+      }),
+    ("positionCaseInsensitive", "positionCaseInsensitive(haystack, needle[, start]) - case-folded 1-based position, 0 when absent (ClickHouse argument order)",
+      es => es match {
+        case Seq(h, n) => new StringLocate(Lower(n), Lower(h))
+        case Seq(h, n, s) => StringLocate(Lower(n), Lower(h), s)
+        case _ => throw new IllegalArgumentException(
+          "positionCaseInsensitive(haystack, needle[, start])")
+      }),
+    ("positionCaseInsensitiveUTF8", "positionCaseInsensitiveUTF8(haystack, needle[, start]) - case-folded 1-based position, 0 when absent (ClickHouse argument order)",
+      es => es match {
+        case Seq(h, n) => new StringLocate(Lower(n), Lower(h))
+        case Seq(h, n, s) => StringLocate(Lower(n), Lower(h), s)
+        case _ => throw new IllegalArgumentException(
+          "positionCaseInsensitiveUTF8(haystack, needle[, start])")
+      }),
+    ("match", "match(haystack, pattern) - true when the RE2 pattern matches a substring (mapped to rlike; Java regex accepts the common RE2 surface)",
+      es => { require(es.length == 2, "match(haystack, pattern)")
+        RLike(es.head, es(1)) }),
+    ("extractAll", "extractAll(haystack, pattern) - array of every match; with a capture group, the group's text (pattern must be a string literal)",
+      es => {
+        require(es.length == 2, "extractAll(haystack, pattern)")
+        val pat = es(1) match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            "extractAll: the pattern must be a string literal (the capture-" +
+              s"group arity picks the extraction index at build time), got $other")
+        }
+        val idx = if (java.util.regex.Pattern.compile(pat).matcher("").groupCount() > 0) 1 else 0
+        RegExpExtractAll(es.head, es(1), Literal(idx))
+      }),
+    ("countSubstrings", "countSubstrings(haystack, needle) - non-overlapping occurrences of needle, as BIGINT (0 for an empty needle)",
+      es => { require(es.length == 2, "countSubstrings(haystack, needle)")
+        val (h, n) = (es.head, es(1))
+        If(EqualTo(Length(n), Literal(0)), Literal(0L),
+          IntegralDivide(
+            Subtract(Length(h), Length(StringReplace(h, n, Literal("")))),
+            Length(n))) }),
+    ("multiSearchAny", "multiSearchAny(haystack, [needle, ...]) - true when any needle is a substring",
+      es => { require(es.length == 2, "multiSearchAny(haystack, [needles])")
+        ArrayExists(es(1), lam1(n => Contains(es.head, n))) }),
+    // ---------------- encoding / digests (r11). SHA224/256/384/512
+    // return BINARY exactly as ClickHouse's FixedString digests, so
+    // `hex(SHA256(x))` round-trips bit-identically (Spark's hex of
+    // binary is uppercase, like ClickHouse's). SHA1/MD5 stay stock by
+    // no-clobber (Spark's return lowercase HEX STRINGS — wrap in unhex
+    // for the binary form). The non-cryptographic hash family
+    // (cityHash64...) is named-error by design: see [[chHashError]].
+    ("base64Encode", "base64Encode(s) - base64 of the string's bytes",
+      es => { require(es.length == 1, "base64Encode(s)")
+        new Base64(Cast(es.head, BinaryType)) }),
+    ("base64Decode", "base64Decode(s) - decoded string (invalid input raises, as ClickHouse; use tryBase64Decode to tolerate)",
+      es => { require(es.length == 1, "base64Decode(s)")
+        Cast(new UnBase64(es.head), StringType) }),
+    ("tryBase64Decode", "tryBase64Decode(s) - decoded string, '' on invalid input",
+      es => { require(es.length == 1, "tryBase64Decode(s)")
+        Coalesce(Seq(TryEval(Cast(new UnBase64(es.head), StringType)),
+          Literal(""))) }),
+    ("SHA224", "SHA224(s) - 28-byte binary digest (hex() it for the text form)",
+      es => { require(es.length == 1, "SHA224(s)")
+        Unhex(Sha2(Cast(es.head, BinaryType), Literal(224))) }),
+    ("SHA256", "SHA256(s) - 32-byte binary digest (hex() it for the text form)",
+      es => { require(es.length == 1, "SHA256(s)")
+        Unhex(Sha2(Cast(es.head, BinaryType), Literal(256))) }),
+    ("SHA384", "SHA384(s) - 48-byte binary digest (hex() it for the text form)",
+      es => { require(es.length == 1, "SHA384(s)")
+        Unhex(Sha2(Cast(es.head, BinaryType), Literal(384))) }),
+    ("SHA512", "SHA512(s) - 64-byte binary digest (hex() it for the text form)",
+      es => { require(es.length == 1, "SHA512(s)")
+        Unhex(Sha2(Cast(es.head, BinaryType), Literal(512))) }),
+    chHashError("cityHash64"), chHashError("sipHash64"),
+    chHashError("sipHash128"), chHashError("farmHash64"),
+    chHashError("farmFingerprint64"), chHashError("halfMD5"),
+    chHashError("xxHash32"), chHashError("xxHash64"),
+    chHashError("intHash32"), chHashError("intHash64"),
+    // ---------------- date arithmetic (r11)
+    ("toMonday", "toMonday(x) - the Monday of x's week, as DATE (exactly Spark trunc('week'))",
+      one(e => TruncDate(Cast(e, DateType), Literal("WEEK")))),
+    ("toLastDayOfMonth", "toLastDayOfMonth(x) - last day of x's month, as DATE",
+      one(e => LastDay(Cast(e, DateType)))),
+    ("toQuarter", "toQuarter(x) - quarter 1-4", one(e => Quarter(Cast(e, DateType)))),
+    ("toDayOfYear", "toDayOfYear(x) - day of year 1-366",
+      one(e => DayOfYear(Cast(e, DateType)))),
+    ("toDayOfWeek", "toDayOfWeek(x[, mode]) - day of week; mode 0 (default): Mon=1..Sun=7, 1: Mon=0..Sun=6, 2: Sun=1..Sat=7, 3: Sun=0..Sat=6",
+      es => {
+        def dd(e: Expression) = Cast(e, DateType)
+        es match {
+          case Seq(d) => Add(WeekDay(dd(d)), Literal(1))
+          case Seq(d, Literal(m: Int, IntegerType)) if m >= 0 && m <= 3 => m match {
+            case 0 => Add(WeekDay(dd(d)), Literal(1))
+            case 1 => WeekDay(dd(d))
+            case 2 => DayOfWeek(dd(d))
+            case 3 => Subtract(DayOfWeek(dd(d)), Literal(1))
+          }
+          case _ => throw new IllegalArgumentException(
+            "toDayOfWeek(x[, mode]) - mode must be an integer literal 0-3 " +
+              "(timezone argument not supported)")
+        }
+      }),
+    chAddUnit("addYears", "YEAR", neg = false),
+    chAddUnit("addQuarters", "QUARTER", neg = false),
+    chAddUnit("addMonths", "MONTH", neg = false),
+    chAddUnit("addWeeks", "WEEK", neg = false),
+    chAddUnit("addDays", "DAY", neg = false),
+    chAddUnit("addHours", "HOUR", neg = false),
+    chAddUnit("addMinutes", "MINUTE", neg = false),
+    chAddUnit("addSeconds", "SECOND", neg = false),
+    chAddUnit("subtractYears", "YEAR", neg = true),
+    chAddUnit("subtractQuarters", "QUARTER", neg = true),
+    chAddUnit("subtractMonths", "MONTH", neg = true),
+    chAddUnit("subtractWeeks", "WEEK", neg = true),
+    chAddUnit("subtractDays", "DAY", neg = true),
+    chAddUnit("subtractHours", "HOUR", neg = true),
+    chAddUnit("subtractMinutes", "MINUTE", neg = true),
+    chAddUnit("subtractSeconds", "SECOND", neg = true),
+    chRelativeNum("toRelativeDayNum", 86400000000L, "days"),
+    chRelativeNum("toRelativeHourNum", 3600000000L, "hours"),
+    chRelativeNum("toRelativeMinuteNum", 60000000L, "minutes"),
+    chRelativeNum("toRelativeSecondNum", 1000000L, "seconds"),
+    ("toDate32", "toDate32(x) - cast to DATE", cast(DateType)),
+    ("toDateTime64", "toDateTime64(x[, precision]) - cast to TIMESTAMP (micros; a literal precision 0-6 is accepted and absorbed)",
+      es => es match {
+        case Seq(x) => Cast(x, TimestampType)
+        case Seq(x, Literal(p: Int, IntegerType)) if p >= 0 && p <= 6 =>
+          Cast(x, TimestampType)
+        case _ => throw new IllegalArgumentException(
+          "toDateTime64(x[, precision]) - precision must be an integer " +
+            "literal 0-6 (Spark timestamps are microsecond; nanosecond " +
+            "precision cannot be represented)")
+      }),
+    // ---------------- arithmetic (r11)
+    ("roundBankers", "roundBankers(x[, n]) - half-even rounding (exactly Spark bround)",
+      es => es match {
+        case Seq(x) => BRound(x, Literal(0))
+        case Seq(x, n) => BRound(x, n)
+        case _ => throw new IllegalArgumentException("roundBankers(x[, n])")
+      }),
+    ("intDivOrZero", "intDivOrZero(a, b) - intDiv, but 0 when b = 0",
+      es => { require(es.length == 2, "intDivOrZero(a, b)")
+        If(EqualTo(es(1), Literal(0)), Literal(0L),
+          IntegralDivide(es.head, es(1))) }),
+    ("moduloOrZero", "moduloOrZero(a, b) - remainder, but 0 when b = 0",
+      es => { require(es.length == 2, "moduloOrZero(a, b)")
+        If(EqualTo(es(1), Literal(0)), Subtract(es.head, es.head),
+          Remainder(es.head, es(1))) }),
+    ("plus", "plus(a, b)", es => { require(es.length == 2, "plus(a, b)")
+      Add(es.head, es(1)) }),
+    ("minus", "minus(a, b)", es => { require(es.length == 2, "minus(a, b)")
+      Subtract(es.head, es(1)) }),
+    ("multiply", "multiply(a, b)", es => { require(es.length == 2, "multiply(a, b)")
+      Multiply(es.head, es(1)) }),
+    ("divide", "divide(a, b) - Float64 division with ClickHouse's IEEE zero-divisor results: x/0 = +-Inf, 0/0 = NaN (never an error)",
+      es => { require(es.length == 2, "divide(a, b)")
+        val (ld, rd) = (Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+        If(EqualTo(rd, Literal(0.0d)),
+          If(EqualTo(ld, Literal(0.0d)), Literal(Double.NaN),
+            If(GreaterThan(ld, Literal(0.0d)),
+              Literal(Double.PositiveInfinity),
+              Literal(Double.NegativeInfinity))),
+          Divide(ld, rd, EvalMode.LEGACY)) }),
+    ("negate", "negate(a)", one(e => UnaryMinus(e))),
+    ("exp2", "exp2(x) - 2^x as DOUBLE", one(e => Pow(Literal(2.0d), e))),
+    ("exp10", "exp10(x) - 10^x as DOUBLE", one(e => Pow(Literal(10.0d), e))),
+    ("intExp2", "intExp2(n) - 2^n as BIGINT",
+      one(e => ShiftLeft(Literal(1L), Cast(e, IntegerType)))),
+    ("isFinite", "isFinite(x) - true when x is neither NaN nor infinite",
+      one(e => And(Not(IsNaN(Cast(e, DoubleType))),
+        LessThan(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity))))),
+    ("isInfinite", "isInfinite(x) - true when x is +-Inf",
+      one(e => EqualTo(Abs(Cast(e, DoubleType)), Literal(Double.PositiveInfinity)))),
+    ("toNullable", "toNullable(x) - x unchanged (nullability is not load-bearing here)",
+      es => { require(es.length == 1, "toNullable(x)"); es.head }),
+    // ---------------- aggregates (r11). camelCase spellings of the
+    // stock moments/stats family, plus the exact compositions ClickHouse
+    // ships as dedicated aggregates. skewSamp/kurtSamp stay unmapped:
+    // ClickHouse's docs do not pin which moments take the n-1 divisor,
+    // and guessing would be the silent divergence this layer forbids.
+    ("avgWeighted", "avgWeighted(x, w) - sum(x*w)/sum(w) as DOUBLE (NULL on zero weight; ClickHouse returns NaN)",
+      es => { require(es.length == 2, "avgWeighted(x, w)")
+        Divide(
+          Sum(Multiply(Cast(es.head, DoubleType), Cast(es(1), DoubleType)))
+            .toAggregateExpression(),
+          Sum(Cast(es(1), DoubleType)).toAggregateExpression()) }),
+    ("sumCount", "sumCount(x) - struct(sum, count) over non-null x",
+      es => { require(es.length == 1, "sumCount(x)")
+        CreateNamedStruct(Seq(
+          Literal("sum"), Sum(es.head).toAggregateExpression(),
+          Literal("count"), Count(Seq(es.head)).toAggregateExpression())) }),
+    ("countDistinct", "countDistinct(x, ...) - exact distinct count (alias of uniqExact)",
+      es => { require(es.nonEmpty, "countDistinct(x, ...)")
+        Count(es).toAggregateExpression(isDistinct = true) }),
+    ("stddevPop", "stddevPop(x) - population standard deviation",
+      one(e => new StddevPop(Cast(e, DoubleType)).toAggregateExpression())),
+    ("stddevSamp", "stddevSamp(x) - sample standard deviation",
+      one(e => new StddevSamp(Cast(e, DoubleType)).toAggregateExpression())),
+    ("varPop", "varPop(x) - population variance",
+      one(e => new VariancePop(Cast(e, DoubleType)).toAggregateExpression())),
+    ("varSamp", "varSamp(x) - sample variance",
+      one(e => new VarianceSamp(Cast(e, DoubleType)).toAggregateExpression())),
+    ("covarPop", "covarPop(x, y) - population covariance",
+      es => { require(es.length == 2, "covarPop(x, y)")
+        new CovPopulation(Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+          .toAggregateExpression() }),
+    ("covarSamp", "covarSamp(x, y) - sample covariance",
+      es => { require(es.length == 2, "covarSamp(x, y)")
+        new CovSample(Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+          .toAggregateExpression() }),
+    ("skewPop", "skewPop(x) - population skewness m3/m2^1.5 (exactly Spark skewness)",
+      one(e => new Skewness(Cast(e, DoubleType)).toAggregateExpression())),
+    ("kurtPop", "kurtPop(x) - population kurtosis m4/m2^2 (Spark kurtosis is the EXCESS form; +3 restores ClickHouse's)",
+      one(e => Add(new Kurtosis(Cast(e, DoubleType)).toAggregateExpression(),
+        Literal(3.0d)))),
+    ("simpleLinearRegression", "simpleLinearRegression(x, y) - struct(k, b) of the least-squares fit y = k*x + b",
+      es => { require(es.length == 2, "simpleLinearRegression(x, y)")
+        val (x, y) = (Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+        CreateNamedStruct(Seq(
+          Literal("k"), RegrSlope(y, x).toAggregateExpression(),
+          Literal("b"), RegrIntercept(y, x).toAggregateExpression())) }),
+    ("boundingRatio", "boundingRatio(x, y) - slope between the min-x and max-x points: (y@max_x - y@min_x)/(max_x - min_x)",
+      es => { require(es.length == 2, "boundingRatio(x, y)")
+        val (x, y) = (es.head, Cast(es(1), DoubleType))
+        Divide(
+          Subtract(MaxBy(y, x).toAggregateExpression(),
+            MinBy(y, x).toAggregateExpression()),
+          Subtract(Max(Cast(x, DoubleType)).toAggregateExpression(),
+            Min(Cast(x, DoubleType)).toAggregateExpression())) }),
+    ("graft_ch_quantile_exact_weighted",
+      "graft_ch_quantile_exact_weighted(x, w, level) - ClickHouse quantileExactWeighted: first sorted value whose cumulative weight reaches level*sum(w)",
+      es => { require(es.length == 3, "graft_ch_quantile_exact_weighted(x, w, level)")
+        quantileExactWeightedElement(es(0), es(1), es(2)) }),
+    // ---------------- array calculus (r11). arraySum/arrayCumSum share
+    // the Int64-accumulator discipline (usage notes say cast float
+    // arrays to Int64-scaled micros first — the engine-wide integer-
+    // micro exactness rule); arrayProduct is Float64 ALWAYS, exactly
+    // ClickHouse's declared return type.
+    ("arrayDistinct", "arrayDistinct(arr) - distinct elements, first-seen order",
+      one(e => ArrayDistinct(e))),
+    ("arrayReverse", "arrayReverse(arr) - elements in reverse order",
+      one(e => Reverse(e))),
+    ("arraySum", "arraySum(arr) - Int64 sum of an integral array (scale floats to integer micros first)",
+      es => { require(es.length == 1, "arraySum(arr)")
+        arrayFold(es.head, Literal(0L), (st, e2) => Add(st, Cast(e2, LongType))) }),
+    ("arrayAvg", "arrayAvg(arr) - mean as DOUBLE (NULL on an empty array; ClickHouse returns NaN)",
+      es => { require(es.length == 1, "arrayAvg(arr)")
+        Divide(
+          arrayFold(es.head, Literal(0.0d),
+            (st, e2) => Add(st, Cast(e2, DoubleType))),
+          Cast(new Size(es.head), DoubleType)) }),
+    ("arrayProduct", "arrayProduct(arr) - product as DOUBLE (ClickHouse's declared Float64 return)",
+      es => { require(es.length == 1, "arrayProduct(arr)")
+        arrayFold(es.head, Literal(1.0d),
+          (st, e2) => Multiply(st, Cast(e2, DoubleType))) }),
+    ("arrayFirst", "arrayFirst(func, arr) - first element where func is true (NULL when none; ClickHouse returns the type default)",
+      chSearchFold("arrayFirst", keepFirst = true)),
+    ("arrayLast", "arrayLast(func, arr) - last element where func is true (NULL when none; ClickHouse returns the type default)",
+      chSearchFold("arrayLast", keepFirst = false)),
+    ("arrayFirstIndex", "arrayFirstIndex(func, arr) - 1-based index of the first element where func is true, 0 when none",
+      chIndexFold("arrayFirstIndex", keepFirst = true)),
+    ("arrayLastIndex", "arrayLastIndex(func, arr) - 1-based index of the last element where func is true, 0 when none",
+      chIndexFold("arrayLastIndex", keepFirst = false)),
+    ("arrayCompact", "arrayCompact(arr) - adjacent duplicates collapsed (null-safe comparison)",
+      es => { require(es.length == 1, "arrayCompact(arr)")
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        val i = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
+        ArrayFilter(es.head, LambdaFunction(
+          Or(EqualTo(i, Literal(0)),
+            Not(EqualNullSafe(x, GetArrayItem(es.head, Subtract(i, Literal(1)))))),
+          Seq(x, i))) }),
+    ("arrayWithConstant", "arrayWithConstant(n, x) - array of n copies of x",
+      es => { require(es.length == 2, "arrayWithConstant(n, x)")
+        ArrayRepeat(es(1), es.head) }),
+    ("arrayPushBack", "arrayPushBack(arr, x) - arr with x appended",
+      es => { require(es.length == 2, "arrayPushBack(arr, x)")
+        Concat(Seq(es.head, CreateArray(Seq(es(1))))) }),
+    ("arrayPushFront", "arrayPushFront(arr, x) - arr with x prepended",
+      es => { require(es.length == 2, "arrayPushFront(arr, x)")
+        Concat(Seq(CreateArray(Seq(es(1))), es.head)) }),
+    ("arrayPopBack", "arrayPopBack(arr) - arr without its last element",
+      es => { require(es.length == 1, "arrayPopBack(arr)")
+        Slice(es.head, Literal(1),
+          Greatest(Seq(Subtract(new Size(es.head), Literal(1)), Literal(0)))) }),
+    ("arrayPopFront", "arrayPopFront(arr) - arr without its first element",
+      es => { require(es.length == 1, "arrayPopFront(arr)")
+        Slice(es.head, Literal(2),
+          Greatest(Seq(Subtract(new Size(es.head), Literal(1)), Literal(0)))) }),
+    ("arrayEnumerate", "arrayEnumerate(arr) - [1, 2, ..., length(arr)]",
+      es => { require(es.length == 1, "arrayEnumerate(arr)")
+        val sz = new Size(es.head)
+        If(EqualTo(sz, Literal(0)),
+          Cast(CreateArray(Nil), ArrayType(IntegerType)),
+          new Sequence(Literal(1), sz, None)) }),
+    ("range", "range(n) or range(start, end[, step]) - [start, start+step, ...) with EXCLUSIVE end (ClickHouse's convention; Spark's sequence is inclusive)",
+      es => {
+        def empty = Cast(CreateArray(Nil), ArrayType(LongType))
+        def rng(a: Expression, b: Expression, s: Option[Expression]) = {
+          val (aa, bb) = (Cast(a, LongType), Cast(b, LongType))
+          If(GreaterThanOrEqual(aa, bb), empty,
+            new Sequence(aa, Subtract(bb, Literal(1L)),
+              s.map(Cast(_, LongType))))
+        }
+        es match {
+          case Seq(n) => rng(Literal(0L), n, None)
+          case Seq(a, b) => rng(a, b, None)
+          case Seq(a, b, s) => rng(a, b, Some(s))
+          case _ => throw new IllegalArgumentException(
+            "range(n) or range(start, end[, step])")
+        }
+      }),
+    // ---------------- maps / tuples / misc (r11 batch 3)
+    ("mapKeys", "mapKeys(m) - the map's keys as an array",
+      one(MapKeys)),
+    ("mapValues", "mapValues(m) - the map's values as an array",
+      one(MapValues)),
+    ("mapContains", "mapContains(m, k) - true when the map has the key",
+      es => { require(es.length == 2, "mapContains(m, k)")
+        MapContainsKey(es.head, es(1)) }),
+    ("tupleElement", "tupleElement(t, n_or_name) - the tuple's n-th (1-based literal) or named field",
+      es => { require(es.length == 2, "tupleElement(t, n_or_name)")
+        es(1) match {
+          case Literal(i: Int, IntegerType) if i >= 1 =>
+            UnresolvedExtractValue(es.head, Literal(s"col$i"))
+          case Literal(s, StringType) if s != null =>
+            UnresolvedExtractValue(es.head, Literal(s.toString))
+          case other => throw new IllegalArgumentException(
+            s"tupleElement: the selector must be a positive integer or string literal, got $other")
+        } }),
+    ("splitByRegexp", "splitByRegexp(regexp, s) - split on a regexp (ClickHouse argument order; Java regex accepts the common RE2 surface)",
+      es => { require(es.length == 2, "splitByRegexp(regexp, s)")
+        StringSplit(es(1), es.head, Literal(-1)) }),
+    ("ifNotFinite", "ifNotFinite(x, alt) - x when finite, alt otherwise",
+      es => { require(es.length == 2, "ifNotFinite(x, alt)")
+        val d = Cast(es.head, DoubleType)
+        If(And(Not(IsNaN(d)), LessThan(Abs(d), Literal(Double.PositiveInfinity))),
+          es.head, es(1)) }),
+    // lagInFrame/leadInFrame → stock lag/lead. ClickHouse's forms consult
+    // the window FRAME (a row outside the frame yields the default);
+    // Spark's lag/lead read the whole partition. Identical whenever the
+    // frame covers the offset row — the overwhelmingly common
+    // ROWS UNBOUNDED PRECEDING usage — and a documented divergence when
+    // a narrower explicit frame excludes it.
+    ("lagInFrame", "lagInFrame(x[, n[, default]]) - value n rows back in the partition (the frame clause is NOT consulted, unlike ClickHouse; identical when the frame covers the offset row)",
+      es => es match {
+        case Seq(x) => new Lag(x)
+        case Seq(x, n) => new Lag(x, n, Literal(null))
+        case Seq(x, n, d) => new Lag(x, n, d)
+        case _ => throw new IllegalArgumentException("lagInFrame(x[, n[, default]])")
+      }),
+    ("leadInFrame", "leadInFrame(x[, n[, default]]) - value n rows ahead in the partition (the frame clause is NOT consulted, unlike ClickHouse; identical when the frame covers the offset row)",
+      es => es match {
+        case Seq(x) => new Lead(x)
+        case Seq(x, n) => new Lead(x, n, Literal(null))
+        case Seq(x, n, d) => new Lead(x, n, d)
+        case _ => throw new IllegalArgumentException("leadInFrame(x[, n[, default]])")
+      }),
+    ("arrayReduce", "arrayReduce('agg', arr) - fold the array with a literal aggregate name: sum (Int64), min, max, avg, count, uniqExact",
+      es => {
+        require(es.length == 2, "arrayReduce('agg', arr)")
+        val agg = es.head match {
+          case Literal(s, StringType) if s != null => s.toString.toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"arrayReduce: the aggregate must be a string literal, got $other")
+        }
+        val arr = es(1)
+        agg match {
+          case "sum" => arrayFold(arr, Literal(0L),
+            (st, e) => Add(st, Cast(e, LongType)))
+          case "min" => new ArrayMin(arr)
+          case "max" => new ArrayMax(arr)
+          case "avg" => Divide(
+            arrayFold(arr, Literal(0.0d), (st, e) => Add(st, Cast(e, DoubleType))),
+            Cast(new Size(arr), DoubleType))
+          case "count" => Cast(new Size(arr), LongType)
+          case "uniqexact" => Cast(new Size(ArrayDistinct(arr)), LongType)
+          case other => throw new IllegalArgumentException(
+            s"arrayReduce: unsupported aggregate '$other' — sum/min/max/avg/count/uniqExact")
+        }
+      }),
+    ("arrayEnumerateUniq", "arrayEnumerateUniq(arr) - per element, the 1-based occurrence count of its value so far (O(n^2) per array; fine for per-row arrays)",
+      es => { require(es.length == 1, "arrayEnumerateUniq(arr)")
+        val arr = es.head
+        val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
+        val i = UnresolvedNamedLambdaVariable(Seq("__graft_i"))
+        val y = UnresolvedNamedLambdaVariable(Seq("__graft_y"))
+        ArrayTransform(arr, LambdaFunction(
+          new Size(ArrayFilter(
+            Slice(arr, Literal(1), Add(i, Literal(1))),
+            LambdaFunction(EqualNullSafe(y, x), Seq(y)))),
+          Seq(x, i))) }),
+    // `monthName` is deliberately NOT mapped: Spark 4 ships its own
+    // `monthname` (THREE-LETTER 'Sep') and the no-clobber rule keeps it
+    // — a ported query calling monthName gets the abbreviation, not
+    // ClickHouse's full 'September'. Use dateName('month', d) for the
+    // full-name form; same for dayname vs dateName('weekday', d).
+    ("dateName", "dateName('unit', d) - the named part as a string: year, quarter, month (FULL name - Spark's own monthname() is the 3-letter form), day, weekday (full name)",
+      es => {
+        require(es.length == 2, "dateName('unit', d)")
+        val unit = es.head match {
+          case Literal(s, StringType) if s != null => s.toString.toLowerCase
+          case other => throw new IllegalArgumentException(
+            s"dateName: the unit must be a string literal, got $other")
+        }
+        val d = es(1)
+        unit match {
+          case "year" => Cast(Year(d), StringType)
+          case "quarter" => Cast(Quarter(Cast(d, DateType)), StringType)
+          case "month" => new DateFormatClass(Cast(d, TimestampType), Literal("MMMM"))
+          case "day" => Cast(DayOfMonth(d), StringType)
+          case "weekday" => new DateFormatClass(Cast(d, TimestampType), Literal("EEEE"))
+          case other => throw new IllegalArgumentException(
+            s"dateName: unsupported unit '$other' — year/quarter/month/day/weekday")
+        }
+      }),
+    ("toYYYYMMDDhhmmss", "toYYYYMMDDhhmmss(ts) - yyyyMMddHHmmss as BIGINT",
+      one(e => Cast(new DateFormatClass(Cast(e, TimestampType),
+        Literal("yyyyMMddHHmmss")), LongType))),
+    // ---------------- r11 batch 4: URL tail, percent-coding, tokens,
+    // string/bit camelCase aliases, sub-hour bucketing shortcuts.
+    ("topLevelDomain", "topLevelDomain(url) - the host's last dot-label, '' when the host has no dot or cannot be parsed",
+      es => { require(es.length == 1, "topLevelDomain(url)")
+        val host = Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType),
+          Literal("HOST")), failOnError = false), Literal("")))
+        RegExpExtract(host, Literal("\\.([^.]+)$"), Literal(1)) }),
+    ("port", "port(url[, default]) - the port number, default (0) when absent",
+      es => { require(es.length == 1 || es.length == 2, "port(url[, default])")
+        val auth = Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType),
+          Literal("AUTHORITY")), failOnError = false), Literal("")))
+        val p = RegExpExtract(auth, Literal(":([0-9]+)$"), Literal(1))
+        val dflt: Expression = if (es.length == 2) es(1) else Literal(0)
+        If(EqualTo(p, Literal("")), dflt, Cast(p, IntegerType)) }),
+    // ClickHouse percent-codes spaces as %20 both ways; Spark's
+    // url_encode/url_decode speak form-encoding where space <-> '+'.
+    // The composed replacements make the pairing exact: encode swaps the
+    // produced '+' for %20, decode protects a literal '+' from becoming
+    // a space.
+    ("encodeURLComponent", "encodeURLComponent(s) - percent-encode (space = %20, as ClickHouse)",
+      es => { require(es.length == 1, "encodeURLComponent(s)")
+        StringReplace(UrlEncode(Cast(es.head, StringType)),
+          Literal("+"), Literal("%20")) }),
+    ("decodeURLComponent", "decodeURLComponent(s) - percent-decode (a literal '+' stays '+', as ClickHouse)",
+      es => { require(es.length == 1, "decodeURLComponent(s)")
+        new UrlDecode(StringReplace(Cast(es.head, StringType),
+          Literal("+"), Literal("%2B"))) }),
+    ("tokens", "tokens(s) - maximal alphanumeric runs (the ClickHouse default tokenizer), empties dropped",
+      es => { require(es.length == 1, "tokens(s)")
+        ArrayFilter(
+          StringSplit(es.head, Literal("[^\\p{L}\\p{N}]+"), Literal(-1)),
+          lam1(x => GreaterThan(Length(x), Literal(0)))) }),
+    ("substringIndex", "substringIndex(s, delim, count) - camelCase of the stock substring_index",
+      es => { require(es.length == 3, "substringIndex(s, delim, count)")
+        SubstringIndex(es(0), es(1), es(2)) }),
+    ("reverseUTF8", "reverseUTF8(s) - code-point-aware reverse",
+      one(Reverse)),
+    ("concatWithSeparator", "concatWithSeparator(sep, a, b, ...) - camelCase of the stock concat_ws",
+      es => { require(es.length >= 2, "concatWithSeparator(sep, a, ...)")
+        ConcatWs(es) }),
+    ("leftUTF8", "leftUTF8(s, n) - first n code points",
+      es => { require(es.length == 2, "leftUTF8(s, n)"); Left(es(0), es(1)) }),
+    ("rightUTF8", "rightUTF8(s, n) - last n code points",
+      es => { require(es.length == 2, "rightUTF8(s, n)"); Right(es(0), es(1)) }),
+    ("sigmoid", "sigmoid(x) - 1/(1+exp(-x)) as DOUBLE",
+      one(e => Divide(Literal(1.0d),
+        Add(Literal(1.0d), Exp(UnaryMinus(Cast(e, DoubleType))))))),
+    ("bitCount", "bitCount(n) - number of set bits (camelCase of the stock bit_count)",
+      one(e => BitwiseCount(e))),
+    ("bitTest", "bitTest(n, i) - bit i of n as 0/1",
+      es => { require(es.length == 2, "bitTest(n, i)")
+        BitwiseAnd(ShiftRight(es.head, es(1)), Literal(1)) }),
+    chStartOfN("toStartOfFiveMinutes", 300000000L, "five-minute"),
+    chStartOfN("toStartOfTenMinutes", 600000000L, "ten-minute"),
+    chStartOfN("toStartOfFifteenMinutes", 900000000L, "fifteen-minute"))
 
   /** Vanilla-session registration. A same-named function that ALREADY
     * exists — a Spark built-in would have shadowed these anyway, and a
@@ -2156,8 +3057,10 @@ object ClickHouseFunctions {
   * COLUMN of integral type; literal integer bounds (`FROM` inclusive,
   * `TO` exclusive, as ClickHouse); positive literal `STEP` (default 1);
   * the clause must end the statement (a trailing LIMIT would otherwise
-  * apply after the fill — put it in an outer query); no INTERPOLATE; no
-  * DESC; outer query only. Omitted FROM/TO derive from the result's
+  * apply after the fill — put it in an outer query); `INTERPOLATE
+  * [(col, …)]` in its carry-previous-value form only (bare = all
+  * non-key columns, ClickHouse's default; `AS expr` is a named error);
+  * no DESC; outer query only. Omitted FROM/TO derive from the result's
   * min/max — only interior holes fill. The progression RE-ANCHORS at
   * every existing row (ClickHouse's FillingTransform), so STEP > 1 with
   * off-grid rows fills from each row's own value — see [[apply]].
@@ -2166,7 +3069,7 @@ object ClickHouseWithFill {
   import AsOfSqlRewrite.{isWordChar, mask}
 
   final case class FillSpec(column: String, from: Option[Long],
-      to: Option[Long], step: Long)
+      to: Option[Long], step: Long, interpolate: Seq[String] = Seq.empty)
 
   private val FillRe = java.util.regex.Pattern.compile(
     "(?i)\\bWITH\\s+FILL\\b")
@@ -2218,10 +3121,11 @@ object ClickHouseWithFill {
       case None => return (sql, None)
       case Some(i) => i
     }
-    if (java.util.regex.Pattern.compile("(?i)\\bINTERPOLATE\\b")
-        .matcher(masked).find()) fail(
-      "WITH FILL INTERPOLATE is not supported — compute the carried " +
-        "columns with a window over the filled result")
+    if (java.util.regex.Pattern.compile("(?i)\\bINTERPOLATE\\b.*\\bAS\\b",
+        java.util.regex.Pattern.DOTALL).matcher(masked).find()) fail(
+      "WITH FILL INTERPOLATE with an AS expression is not supported — " +
+        "only the carry-previous-value form (INTERPOLATE [(col, ...)]); " +
+        "compute derived carries with a window over the filled result")
     // The match detect() validated: the first one AFTER its ORDER BY (an
     // earlier `WITH fill AS (...)` CTE regex hit must not shadow it).
     val m = FillRe.matcher(masked)
@@ -2267,12 +3171,39 @@ object ClickHouseWithFill {
     if (word("TO")) { i += 2; to = Some(long("TO")) }
     if (word("STEP")) { i += 4; step = long("STEP") }
     if (step <= 0) fail("WITH FILL STEP must be a positive integer")
+    // INTERPOLATE [(col, …)] — the carry-previous-value form only (AS
+    // expressions were rejected above). Bare INTERPOLATE = every
+    // non-key output column, ClickHouse's default.
+    var interp: Seq[String] = Seq.empty
+    var bareInterp = false
+    if (word("INTERPOLATE")) {
+      i += 11
+      skipWs()
+      if (i < masked.length && masked.charAt(i) == '(') {
+        val s0 = i
+        var depth = 0
+        var end = -1
+        while (end < 0 && i < masked.length) {
+          val ch = masked.charAt(i)
+          if (ch == '(') depth += 1
+          else if (ch == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        if (end < 0) fail("INTERPOLATE list is unbalanced")
+        interp = sql.substring(s0 + 1, end).split(",").map(_.trim).toSeq
+        if (interp.isEmpty || interp.exists(!IdentRe.matcher(_).matches())) fail(
+          "INTERPOLATE columns must be plain output-column names, got: " +
+            sql.substring(s0, end + 1))
+      } else bareInterp = true
+    }
     skipWs()
     if (i < masked.length) fail(
       "WITH FILL must end the statement (found trailing text: " +
         sql.substring(i).trim.take(30) + " …) — a LIMIT would apply " +
         "AFTER the fill; put it in an outer query")
-    (sql.substring(0, orderIdx), Some(FillSpec(expr, from, to, step)))
+    (sql.substring(0, orderIdx),
+      Some(FillSpec(expr, from, to, step,
+        if (bareInterp) Seq("*") else interp)))
   }
 
   /** The fill itself. ClickHouse's FillingTransform RE-ANCHORS the
@@ -2338,11 +3269,45 @@ object ClickHouseWithFill {
         lit("1970-01-01 00:00:00").cast(dt)
       case other => lit(null).cast(other)
     }
+    // INTERPOLATE: "*" (bare form) = every non-key column. Carried
+    // columns take the PREVIOUS row's value — implemented as a
+    // last-real-row-struct window over the union (the struct wrapper
+    // makes ignoreNulls skip generated rows, never a real row whose
+    // value happens to be null); leading fills with no prior row fall
+    // back to the ClickHouse type default. The window shares the
+    // single-partition report-axis cost bound of the gap lead above.
+    val interp: Seq[String] =
+      if (spec.interpolate == Seq("*"))
+        df.schema.fieldNames.toSeq.filter(_ != spec.column)
+      else spec.interpolate
+    interp.foreach { c =>
+      if (c == spec.column) fail("the WITH FILL key cannot be INTERPOLATEd")
+      if (!df.schema.fieldNames.contains(c)) fail(
+        s"INTERPOLATE column $c is not an output column of the query")
+    }
+    val interpSet = interp.toSet
     val fills = missing.select(df.schema.fields.toSeq.map { f =>
       if (f.name == spec.column) col("__graft_fill_v").cast(f.dataType).as(f.name)
+      else if (interpSet(f.name)) lit(null).cast(f.dataType).as(f.name)
       else chDefault(f.dataType).as(f.name)
     }: _*)
-    df.unionByName(fills).orderBy(col(spec.column))
+    if (interp.isEmpty) df.unionByName(fills).orderBy(col(spec.column))
+    else {
+      val gen = "__graft_fill_gen"
+      val u = df.withColumn(gen, lit(false))
+        .unionByName(fills.withColumn(gen, lit(true)))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col(spec.column))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val carried = interp.foldLeft(u) { (d, c) =>
+        val src = last(when(!col(gen), struct(col(c))), ignoreNulls = true)
+          .over(w).getField(c)
+        d.withColumn(c,
+          when(col(gen), coalesce(src, chDefault(df.schema(c).dataType)))
+            .otherwise(col(c)))
+      }
+      carried.drop(gen).orderBy(col(spec.column))
+    }
   }
 }
 

@@ -577,7 +577,16 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(err("SELECT k FROM t ORDER BY k WITH FILL FROM lo").contains("literal integer"))
     assert(err("SELECT k FROM t ORDER BY k WITH FILL STEP 0").contains("positive"))
     assert(err("SELECT * FROM (SELECT k FROM t ORDER BY k WITH FILL) q").contains("subquery"))
-    assert(err("SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v)").contains("INTERPOLATE"))
+    // The carry form parses; only the AS-expression form stays a named
+    // error (a derived carry needs a window over the filled result).
+    val (_, interpSpec) = ClickHouseWithFill.extract(
+      "SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v)")
+    assert(interpSpec.exists(_.interpolate == Seq("v")), interpSpec)
+    val (_, bareSpec) = ClickHouseWithFill.extract(
+      "SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE")
+    assert(bareSpec.exists(_.interpolate == Seq("*")), bareSpec)
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)")
+      .contains("AS expression"))
     // The purely-textual path (extension sessions) points at the entry
     // that can run the post-step instead of guessing.
     val e = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
@@ -970,6 +979,143 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(loose(3L), "gap 7 must pass a >5 bound")
   }
 
+  test("differential: sequenceCount agrees with an exhaustive earliest-end restart search on 300 random groups × 5 patterns") {
+    // Independent oracle: repeatedly find the chain with the EARLIEST
+    // END in the remaining suffix by exhaustive search over all
+    // position choices, count it, restart after its end — the
+    // non-overlap semantics ClickHouse documents ("starts to search for
+    // the next chain after the current chain is matched"). The kernel
+    // under test decides the same count with the (min, max)-state fold
+    // plus reset-on-completion.
+    def bruteCount(rows: Seq[(Long, Int)], k: Int, gaps: Seq[(Int, Long)]): Int = {
+      val sorted = rows.sorted
+      def ok(op: Int, n: Long, d: Long) = op match {
+        case 0 => true
+        case 1 => d <= n
+        case 2 => d < n
+        case 3 => d >= n
+        case 4 => d > n
+      }
+      def chainEndsAt(q: Int, from: Int): Boolean = {
+        val (tq, mq) = sorted(q)
+        if ((mq & (1 << (k - 1))) == 0) false
+        else if (k == 1) true
+        else {
+          def dfs(pos: Int, lvl: Int, last: Long): Boolean =
+            if (lvl == k) { val (op, n) = gaps(k - 2); ok(op, n, tq - last) }
+            else (pos until q).exists { r =>
+              val (t, m) = sorted(r)
+              (m & (1 << (lvl - 1))) != 0 &&
+                (lvl == 1 || { val (op, n) = gaps(lvl - 2); ok(op, n, t - last) }) &&
+                dfs(r + 1, lvl + 1, t)
+            }
+          dfs(from, 1, 0L)
+        }
+      }
+      var from = 0
+      var cnt = 0
+      while (from < sorted.length) {
+        (from until sorted.length).find(q => chainEndsAt(q, from)) match {
+          case Some(q) => cnt += 1; from = q + 1
+          case None => from = sorted.length
+        }
+      }
+      cnt
+    }
+    val rnd = new scala.util.Random(20260818L)
+    val groups = (0 until 300).map { g =>
+      val n = rnd.nextInt(14)
+      val evs = (0 until n).map { _ =>
+        (rnd.nextInt(25).toLong,
+          rnd.nextDouble() < 0.45, rnd.nextDouble() < 0.4, rnd.nextDouble() < 0.3)
+      }
+      g.toLong -> evs
+    }
+    groups.flatMap { case (g, evs) =>
+      evs.map(e => (g, e._1, e._2, e._3, e._4))
+    }.toDF("g", "t", "c1", "c2", "c3").createOrReplaceTempView("chsc_diff")
+    val cases = Seq(
+      ("'(?1)'", Seq(1), Seq.empty[(Int, Long)]),
+      ("'(?1).*(?2)'", Seq(1, 2), Seq((0, 0L))),
+      ("'(?1).*(?t<=4)(?2)'", Seq(1, 2), Seq((1, 4L))),
+      ("'(?1).*(?2).*(?3)'", Seq(1, 2, 3), Seq((0, 0L), (0, 0L))),
+      ("'(?2).*(?t>3)(?1).*(?3)'", Seq(2, 1, 3), Seq((4, 3L), (0, 0L))))
+    for ((pat, needs, gaps) <- cases) {
+      val got = ClickHouseSql.sql(spark,
+        s"SELECT g, sequenceCount($pat)(t, c1, c2, c3) AS n " +
+          "FROM chsc_diff GROUP BY g")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      groups.foreach { case (g, evs) =>
+        if (evs.nonEmpty) {
+          val rows = evs.flatMap { case (t, c1, c2, c3) =>
+            val conds = Seq(c1, c2, c3)
+            val m = needs.zipWithIndex.collect {
+              case (r, j) if conds(r - 1) => 1 << j
+            }.sum
+            if (m != 0) Seq((t, m)) else Seq.empty
+          }
+          val want = bruteCount(rows, needs.length, gaps)
+          assert(got(g) == want,
+            s"group $g pat=$pat: fold=${got(g)} brute=$want events=$evs")
+        }
+      }
+    }
+  }
+
+  test("execution: sequenceCount restarts after each match; topKWeighted ranks by exact weight sums") {
+    // A A B B → 1 (the second A extends the SAME chain; after the B
+    // completes it, only an unpaired B remains); A B A B → 2; a single
+    // row matching both conds → 0 (one event per position).
+    Seq((1L, 0L, true, false), (1L, 1L, true, false),
+        (1L, 2L, false, true), (1L, 3L, false, true),
+        (2L, 0L, true, false), (2L, 1L, false, true),
+        (2L, 2L, true, false), (2L, 3L, false, true),
+        (3L, 5L, true, true))
+      .toDF("u", "t", "a", "b").createOrReplaceTempView("chsc_hand")
+    val sc = ClickHouseSql.sql(spark,
+      "SELECT u, sequenceCount('(?1).*(?2)')(t, a, b) AS n " +
+        "FROM chsc_hand GROUP BY u")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sc == Map(1L -> 1, 2L -> 2, 3L -> 0), sc)
+    // topKWeighted: weight sums 5→6, 7→5, 2→9 → top2 = [2, 5]; the
+    // 9-vs-... no tie here; add a tie: 4 with sum 6 ties 5 → value asc
+    // puts 4 first. Null value drops; null weight counts 0.
+    val tw = ClickHouseSql.sql(spark,
+      "SELECT topKWeighted(3)(x, w) AS top FROM VALUES " +
+        "(5, 2), (5, 4), (7, 5), (2, 9), (4, 6), (CAST(NULL AS INT), 8), (5, CAST(NULL AS INT)) " +
+        "AS t(x, w)").head()
+    assert(tw.getSeq[Int](0) == Seq(2, 4, 5), tw)
+    // The remaining approx aliases resolve (approx-for-approx pairings).
+    val ap = ClickHouseSql.sql(spark,
+      "SELECT uniqCombined64(x) AS u64, uniqTheta(x) AS ut, " +
+        "quantileTiming(0.5)(x) AS qt, quantilesTiming(0.25, 0.75)(x) AS qts, " +
+        "quantileDeterministic(0.5)(x, x + 1) AS qd " +
+        "FROM VALUES (1), (2), (3), (4) AS t(x)").head()
+    assert(ap.getLong(0) == 4L && ap.getLong(1) == 4L, ap)
+    assert(ap.getInt(2) == 2 || ap.getInt(2) == 3, ap)
+    assert(ap.getSeq[Int](3).length == 2, ap)
+    assert(ap.getInt(4) == 2 || ap.getInt(4) == 3, ap)
+  }
+
+  test("execution: WITH FILL INTERPOLATE carries the previous real row's value into generated rows") {
+    Seq((0L, 10L, "a"), (3L, 20L, "b"), (5L, 30L, "c"))
+      .toDF("k", "v", "s").createOrReplaceTempView("chfill_int")
+    // v carries (10 into 1,2; 20 into 4); s takes its '' default.
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, v, s FROM chfill_int ORDER BY k WITH FILL INTERPOLATE (v)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((0L, 10L, "a"), (1L, 10L, ""), (2L, 10L, ""),
+      (3L, 20L, "b"), (4L, 20L, ""), (5L, 30L, "c")), rows)
+    // Bare INTERPOLATE carries every non-key column; leading fills with
+    // no prior row take the type default.
+    val bare = ClickHouseSql.sql(spark,
+      "SELECT k, v, s FROM chfill_int ORDER BY k WITH FILL FROM -2 INTERPOLATE")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(bare == Seq((-2L, 0L, ""), (-1L, 0L, ""), (0L, 10L, "a"),
+      (1L, 10L, "a"), (2L, 10L, "a"), (3L, 20L, "b"), (4L, 20L, "b"),
+      (5L, 30L, "c")), bare)
+  }
+
   test("execution: scalar/array helper renames map 1:1; position stays stock (reversed args would be silent)") {
     val r = ClickHouseSql.sql(spark,
       """SELECT empty(array()) AS e1, empty(array(1)) AS e2,
@@ -1254,5 +1400,330 @@ class ClickHouseSqlSpec extends SparkSpec {
         |LIMIT 1 BY k""".stripMargin)
     val rows = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(rows == Seq((1L, "z"), (2L, "q")), rows)
+  }
+
+  // ---- r11 batch 2: URL / search / digest / date-arith / aggregate /
+  // ---- array-calculus function families ----
+
+  test("execution: URL accessors parse a full URL; cut* are string surgery with ClickHouse's fragment rules") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT domain('https://www.ex.com:8080/a/b?x=1&y=2#frag') AS dom,
+        |  domainWithoutWWW('https://www.ex.com/a') AS dom2,
+        |  protocol('https://ex.com/') AS proto,
+        |  path('https://ex.com/a/b?x=1') AS pth,
+        |  pathFull('https://ex.com/a/b?x=1') AS pthq,
+        |  queryString('https://ex.com/a?x=1&y=2#f') AS qs,
+        |  fragment('https://ex.com/a#sec') AS frag,
+        |  extractURLParameter('https://ex.com/a?x=1&y=2', 'y') AS py,
+        |  extractURLParameter('https://ex.com/a?x=1', 'zz') AS pz,
+        |  domain('not a url at all') AS bad,
+        |  cutQueryString('http://h/p?q=1#f') AS cq,
+        |  cutQueryString('http://h/p#f?notq') AS cq2,
+        |  cutFragment('http://h/p?q=1#f') AS cf,
+        |  cutQueryStringAndFragment('http://h/p?q=1#f') AS cqf""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "www.ex.com", r)
+    assert(r.getString(1) == "ex.com", r)
+    assert(r.getString(2) == "https", r)
+    assert(r.getString(3) == "/a/b", r)
+    assert(r.getString(4) == "/a/b?x=1", r)
+    assert(r.getString(5) == "x=1&y=2", r)
+    assert(r.getString(6) == "sec", r)
+    assert(r.getString(7) == "2", r)
+    assert(r.getString(8) == "", r)
+    assert(r.getString(9) == "", r)
+    assert(r.getString(10) == "http://h/p#f", r)
+    // '?' inside the fragment is NOT a query string — url unchanged.
+    assert(r.getString(11) == "http://h/p#f?notq", r)
+    assert(r.getString(12) == "http://h/p?q=1", r)
+    assert(r.getString(13) == "http://h/p", r)
+  }
+
+  test("execution: search functions — haystack-first position variants, match, extractAll group arity, countSubstrings, multiSearchAny") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(positionCaseInsensitive('Hello', 'LO')) AS p1,
+        |  toInt64(positionUTF8('hello', 'll')) AS p2,
+        |  toInt64(positionUTF8('hello', 'zz')) AS p0,
+        |  match('hello world', 'wor.d') AS m1,
+        |  match('hello', '^world$') AS m0,
+        |  arrayStringConcat(extractAll('a1b22c333', '[0-9]+'), '/') AS ea,
+        |  arrayStringConcat(extractAll('k=v;k2=v2', 'k[0-9]*=([a-z0-9]+)'), '/') AS eg,
+        |  toInt64(countSubstrings('aaaa', 'aa')) AS cs,
+        |  toInt64(countSubstrings('abc', '')) AS cs0,
+        |  multiSearchAny('the quick fox', ['quick', 'zebra']) AS ms1,
+        |  multiSearchAny('the quick fox', ['zebra', 'yak']) AS ms0""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L && r.getLong(2) == 0L, r)
+    assert(r.getBoolean(3) && !r.getBoolean(4), r)
+    assert(r.getString(5) == "1/22/333", r)
+    // A capture group switches extraction to the group's text.
+    assert(r.getString(6) == "v/v2", r)
+    assert(r.getLong(7) == 2L, r) // non-overlapping
+    assert(r.getLong(8) == 0L, r)
+    assert(r.getBoolean(9) && !r.getBoolean(10), r)
+  }
+
+  test("execution: base64 round-trip, tryBase64Decode '', binary SHA256 hexes to the known vector; hash family is a named error") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT base64Encode('CH') AS b,
+        |  base64Decode(base64Encode('round')) AS rt,
+        |  tryBase64Decode('!!!') AS bad,
+        |  hex(SHA256('abc')) AS sha""".stripMargin).collect().head
+    assert(r.getString(0) == "Q0g=", r)
+    assert(r.getString(1) == "round", r)
+    assert(r.getString(2) == "", r)
+    assert(r.getString(3) ==
+      "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD", r)
+    val e = intercept[Exception](
+      ClickHouseSql.sql(spark, "SELECT cityHash64('x')").collect())
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert((e.getMessage + msg).contains("different hash algorithms"), e.getMessage)
+  }
+
+  test("execution: toDayOfWeek's four modes, toMonday, toLastDayOfMonth, clamped month arithmetic, floor-divided toRelative*Num") {
+    // 2024-01-01 is a Monday.
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(toDayOfWeek(toDate('2024-01-01'))) AS d0,
+        |  toInt64(toDayOfWeek(toDate('2024-01-01'), 1)) AS d1,
+        |  toInt64(toDayOfWeek(toDate('2024-01-01'), 2)) AS d2,
+        |  toInt64(toDayOfWeek(toDate('2024-01-01'), 3)) AS d3,
+        |  toString(toMonday(toDate('2024-01-04'))) AS mon,
+        |  toString(toLastDayOfMonth(toDate('2024-02-04'))) AS eom,
+        |  toString(toDate(addDays(toDate('2024-01-30'), 3))) AS plus3,
+        |  toString(toDate(subtractMonths(toDate('2024-03-31'), 1))) AS clamp,
+        |  toInt64(toRelativeDayNum(toDateTime('1969-12-31 12:00:00'))) AS neg,
+        |  toInt64(toRelativeHourNum(toDateTime('1970-01-01 05:30:00'))) AS h5,
+        |  toInt64(toQuarter(toDate('2024-05-01'))) AS q2,
+        |  toInt64(toDayOfYear(toDate('2024-02-01'))) AS doy""".stripMargin)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 0L, 2L, 1L)), r)
+    assert(r.getString(4) == "2024-01-01", r)
+    assert(r.getString(5) == "2024-02-29", r)
+    assert(r.getString(6) == "2024-02-02", r)
+    assert(r.getString(7) == "2024-02-29", r) // end-of-month clamp
+    assert(r.getLong(8) == -1L, r) // floor, not truncation toward zero
+    assert(r.getLong(9) == 5L, r)
+    assert(r.getLong(10) == 2L && r.getLong(11) == 32L, r)
+  }
+
+  test("execution: roundBankers half-even; intDivOrZero/moduloOrZero; divide is always Float64") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(roundBankers(2.5)) AS a,
+        |  toInt64(roundBankers(3.5)) AS b,
+        |  toInt64(roundBankers(-2.5)) AS c,
+        |  toInt64(intDivOrZero(7, 2)) AS d,
+        |  toInt64(intDivOrZero(7, 0)) AS e,
+        |  toInt64(moduloOrZero(7, 0)) AS f,
+        |  divide(5, 2) AS g""".stripMargin).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 4L, -2L)), r)
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((3L, 0L, 0L)), r)
+    assert(r.getDouble(6) == 2.5d, r)
+  }
+
+  test("execution: avgWeighted, sumCount struct, quantileExactWeighted boundary levels, boundingRatio, kurtPop excess+3") {
+    Seq((1L, 10.0, 1L), (2L, 20.0, 3L), (3L, 30.0, 1L))
+      .toDF("x", "y", "w").createOrReplaceTempView("chw")
+    val r = ClickHouseSql.sql(spark,
+      """SELECT avgWeighted(y, w) AS aw,
+        |  toInt64(sumCount(x).sum) AS ss,
+        |  toInt64(sumCount(x).count) AS sc,
+        |  toInt64(quantileExactWeighted(0)(x, w)) AS q0,
+        |  toInt64(quantileExactWeighted(0.25)(x, w)) AS q25,
+        |  toInt64(quantileExactWeighted(0.5)(x, w)) AS q50,
+        |  toInt64(quantileExactWeighted(1)(x, w)) AS q100,
+        |  boundingRatio(x, y) AS br,
+        |  toInt64(countDistinct(w)) AS cd
+        |FROM chw""".stripMargin).collect().head
+    assert(r.getDouble(0) == (10.0 + 60.0 + 30.0) / 5.0, r)
+    assert(r.getLong(1) == 6L && r.getLong(2) == 3L, r)
+    // weights (1,3,1), total 5: thresholds 0→first, 1.25→x=2, 2.5→x=2, 5→x=3.
+    assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)) ==
+      ((1L, 2L, 2L, 3L)), r)
+    assert(r.getDouble(7) == 10.0d, r) // (30-10)/(3-1)
+    assert(r.getLong(8) == 2L, r)
+    // kurtPop of a symmetric two-point mass {0,0,1,1} is m4/m2^2 = 1.
+    val k = ClickHouseSql.sql(spark,
+      "SELECT kurtPop(v) AS k FROM (SELECT explode(array(0.0, 0.0, 1.0, 1.0)) AS v)")
+      .collect().head.getDouble(0)
+    assert(math.abs(k - 1.0d) < 1e-9, k)
+  }
+
+  test("execution: array calculus — folds, searches, compact, surgery, exclusive-end range") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(arraySum(array(1, 2, 3))) AS s,
+        |  arrayAvg(array(1, 2, 3, 4)) AS av,
+        |  arrayProduct(array(2, 3, 4)) AS pr,
+        |  toInt64(arrayFirst(x -> x > 2, array(1, 3, 4))) AS fst,
+        |  arrayFirst(x -> x > 9, array(1, 3, 4)) AS fnone,
+        |  toInt64(arrayLast(x -> x > 2, array(1, 3, 4))) AS lst,
+        |  toInt64(arrayFirstIndex(x -> x > 2, array(1, 3, 4))) AS fi,
+        |  toInt64(arrayLastIndex(x -> x > 2, array(1, 3, 4))) AS li,
+        |  toInt64(arrayFirstIndex(x -> x > 9, array(1, 3, 4))) AS fi0,
+        |  arrayCompact(array(1, 1, 2, 2, 1)) AS cp,
+        |  arrayCompact(array(NULL, NULL, 1)) AS cpn,
+        |  arrayWithConstant(3, 7) AS wc,
+        |  arrayPushBack(array(1, 2), 9) AS pb,
+        |  arrayPushFront(array(1, 2), 0) AS pf,
+        |  arrayPopBack(array(1, 2, 3)) AS qb,
+        |  arrayPopFront(array(7)) AS qf,
+        |  arrayEnumerate(array('a', 'b', 'c')) AS en,
+        |  range(4) AS r4,
+        |  range(0) AS r0,
+        |  range(2, 5) AS r25,
+        |  range(0, 10, 3) AS r3,
+        |  arrayReverse(array(1, 2, 3)) AS rv,
+        |  arrayDistinct(array(1, 2, 1, 3)) AS ds""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 6L, r)
+    assert(r.getDouble(1) == 2.5d, r)
+    assert(r.getDouble(2) == 24.0d, r)
+    assert(r.getLong(3) == 3L && r.isNullAt(4) && r.getLong(5) == 4L, r)
+    assert(r.getLong(6) == 2L && r.getLong(7) == 3L && r.getLong(8) == 0L, r)
+    assert(r.getSeq[Int](9) == Seq(1, 2, 1), r)
+    assert(r.getSeq[Any](10) == Seq(null, 1), r)
+    assert(r.getSeq[Int](11) == Seq(7, 7, 7), r)
+    assert(r.getSeq[Int](12) == Seq(1, 2, 9), r)
+    assert(r.getSeq[Int](13) == Seq(0, 1, 2), r)
+    assert(r.getSeq[Int](14) == Seq(1, 2), r)
+    assert(r.getSeq[Int](15) == Seq(), r)
+    assert(r.getSeq[Int](16) == Seq(1, 2, 3), r)
+    assert(r.getSeq[Long](17) == Seq(0L, 1L, 2L, 3L), r)
+    assert(r.getSeq[Long](18) == Seq(), r)
+    assert(r.getSeq[Long](19) == Seq(2L, 3L, 4L), r)
+    assert(r.getSeq[Long](20) == Seq(0L, 3L, 6L, 9L), r)
+    assert(r.getSeq[Int](21) == Seq(3, 2, 1), r)
+    assert(r.getSeq[Int](22) == Seq(1, 2, 3), r)
+  }
+
+  test("differential: quantileExactWeighted agrees with a brute-force cumulative-weight scan on 300 random groups × 5 levels") {
+    // Independent oracle: sort the (value, weight) pairs, drop
+    // null/zero/negative weights, accumulate, return the first value
+    // whose running weight reaches level * total — the >=-crossing rule
+    // the kernel's scaladoc states. Weights include zeros to pin the
+    // filter; levels include both endpoints (0 → min, 1 → max).
+    val rnd = new scala.util.Random(20260818L)
+    val rows = (0 until 300).flatMap { g =>
+      (0 until (1 + rnd.nextInt(12))).map { _ =>
+        (g.toLong, rnd.nextInt(20).toLong, rnd.nextInt(5).toLong)
+      }
+    }
+    rows.toDF("g", "x", "w").createOrReplaceTempView("chqw")
+    def brute(pairs: Seq[(Long, Long)], level: Double): Option[Long] = {
+      val kept = pairs.filter(_._2 > 0).sortBy(_._1)
+      val total = kept.map(_._2).sum
+      if (total == 0) None
+      else {
+        var acc = 0L
+        kept.find { case (_, w) => acc += w; acc.toDouble >= level * total }
+          .map(_._1)
+      }
+    }
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    Seq(0.0, 0.25, 0.5, 0.9, 1.0).foreach { level =>
+      val got = ClickHouseSql.sql(spark,
+        s"SELECT g, quantileExactWeighted($level)(x, w) AS q FROM chqw GROUP BY g")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1).toLong))).toMap
+      byG.foreach { case (g, pairs) =>
+        assert(got(g) == brute(pairs, level), (g, level, pairs, got(g)))
+      }
+    }
+  }
+
+  test("execution: maps/tuples/misc — tupleElement, splitByRegexp, ifNotFinite, arrayReduce, arrayEnumerateUniq, part names") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(tupleElement(tuple('a', 42), 2)) AS te,
+        |  tupleElement(tuple('a', 42), 'col1') AS ten,
+        |  arrayStringConcat(splitByRegexp('[;|]', 'a;b|c'), '/') AS sp,
+        |  toInt64(ifNotFinite(divide(1, 0), -7)) AS inf1,
+        |  toInt64(ifNotFinite(divide(6, 3), -7)) AS fin,
+        |  toInt64(arrayReduce('sum', array(1, 2, 3))) AS rs,
+        |  toInt64(arrayReduce('uniqExact', array(1, 2, 2))) AS ru,
+        |  arrayEnumerateUniq(array('a', 'b', 'a', 'a')) AS eu,
+        |  arrayStringConcat(mapKeys(map('k1', 1, 'k2', 2)), ',') AS mk,
+        |  toInt64(arrayReduce('sum', mapValues(map('k1', 1, 'k2', 2)))) AS mv,
+        |  mapContains(map('k1', 1), 'k1') AS mc,
+        |  dateName('month', toDate('2024-03-05')) AS mn,
+        |  dateName('weekday', toDate('2024-01-01')) AS wd,
+        |  toYYYYMMDDhhmmss(toDateTime('2024-03-05 12:34:56')) AS ts""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 42L && r.getString(1) == "a", r)
+    assert(r.getString(2) == "a/b/c", r)
+    assert(r.getLong(3) == -7L && r.getLong(4) == 2L, r)
+    assert(r.getLong(5) == 6L && r.getLong(6) == 2L, r)
+    assert(r.getSeq[Int](7) == Seq(1, 1, 2, 3), r)
+    assert(r.getString(8) == "k1,k2" && r.getLong(9) == 3L, r)
+    assert(r.getBoolean(10), r)
+    assert(r.getString(11) == "March" && r.getString(12) == "Monday", r)
+    assert(r.getLong(13) == 20240305123456L, r)
+    val e = intercept[IllegalArgumentException](ClickHouseSql.sql(spark,
+      "SELECT arrayReduce('median', array(1))"))
+    assert(e.getMessage.contains("unsupported aggregate"), e.getMessage)
+  }
+
+  test("execution: lagInFrame/leadInFrame ride stock lag/lead over a covering frame") {
+    fixture()
+    val rows = ClickHouseSql.sql(spark,
+      """SELECT k, v,
+        |  toInt64(lagInFrame(v, 1, toInt64(-1)) OVER (PARTITION BY k ORDER BY v)) AS lg,
+        |  toInt64(leadInFrame(v, 1, toInt64(-1)) OVER (PARTITION BY k ORDER BY v)) AS ld
+        |FROM chf ORDER BY k, v""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq(
+      (1L, 10L, -1L, 20L), (1L, 20L, 10L, 30L), (1L, 30L, 20L, -1L),
+      (2L, 5L, -1L, 50L), (2L, 50L, 5L, -1L)), rows)
+  }
+
+  test("execution: URL tail (topLevelDomain/port), percent-coding space rules, tokens, bit/string aliases, sub-hour buckets") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT topLevelDomain('https://a.b.co:99/x') AS tld,
+        |  topLevelDomain('https://localhost/x') AS tld0,
+        |  toInt64(port('https://h.com:8443/x')) AS p1,
+        |  toInt64(port('https://h.com/x')) AS p0,
+        |  toInt64(port('https://h.com/x', 443)) AS pd,
+        |  encodeURLComponent('a b&c') AS enc,
+        |  decodeURLComponent('a%20b+c') AS dec,
+        |  arrayStringConcat(tokens('foo, bar!! baz42'), '/') AS tk,
+        |  toInt64(bitCount(7)) AS bc,
+        |  toInt64(bitTest(5, 0)) AS bt1,
+        |  toInt64(bitTest(5, 1)) AS bt0,
+        |  leftUTF8('hello', 2) AS l2,
+        |  rightUTF8('hello', 2) AS r2,
+        |  substringIndex('a.b.c', '.', 2) AS si,
+        |  sigmoid(0) AS sg,
+        |  toString(toStartOfFiveMinutes(toDateTime('2024-01-01 12:07:31'))) AS m5,
+        |  toString(toStartOfFifteenMinutes(toDateTime('2024-01-01 12:16:00'))) AS m15""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "co" && r.getString(1) == "", r)
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((8443L, 0L, 443L)), r)
+    // space → %20 (not '+'); a literal '+' survives decode.
+    assert(r.getString(5) == "a%20b%26c", r)
+    assert(r.getString(6) == "a b+c", r)
+    assert(r.getString(7) == "foo/bar/baz42", r)
+    assert((r.getLong(8), r.getLong(9), r.getLong(10)) == ((3L, 1L, 0L)), r)
+    assert(r.getString(11) == "he" && r.getString(12) == "lo", r)
+    assert(r.getString(13) == "a.b", r)
+    assert(r.getDouble(14) == 0.5d, r)
+    assert(r.getString(15) == "2024-01-01 12:05:00", r)
+    assert(r.getString(16) == "2024-01-01 12:15:00", r)
+  }
+
+  test("execution: camelCase stats aliases agree with their snake_case stock forms") {
+    Seq(1.0, 2.0, 4.0, 8.0).toDF("v").createOrReplaceTempView("chs")
+    val r = ClickHouseSql.sql(spark,
+      """SELECT stddevPop(v) - stddev_pop(v) AS a,
+        |  stddevSamp(v) - stddev_samp(v) AS b,
+        |  varPop(v) - var_pop(v) AS c,
+        |  varSamp(v) - var_samp(v) AS d,
+        |  covarPop(v, v * 2) - covar_pop(v, v * 2) AS e,
+        |  covarSamp(v, v * 2) - covar_samp(v, v * 2) AS f,
+        |  skewPop(v) - skewness(v) AS g,
+        |  simpleLinearRegression(v, v * 3 + 1).k AS k,
+        |  simpleLinearRegression(v, v * 3 + 1).b AS b2
+        |FROM chs""".stripMargin).collect().head
+    (0 to 6).foreach(i => assert(r.getDouble(i) == 0.0d, (i, r)))
+    assert(math.abs(r.getDouble(7) - 3.0d) < 1e-9, r)
+    assert(math.abs(r.getDouble(8) - 1.0d) < 1e-9, r)
   }
 }
