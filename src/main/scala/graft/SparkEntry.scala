@@ -111,6 +111,31 @@ object SparkEntry {
         col("user_id"), col("ym"), col("rn"))
       .orderBy("event_id")
 
+  /** A realistic dashboard custom_query through the SAME extractor path,
+    * exercising the r11 dialect surface end-to-end: PREWHERE merged with
+    * the spliced watermark filter, toStartOfFifteenMinutes bucketing,
+    * countIf/uniqExact/quantileExactLow aggregates, a sorted
+    * groupUniqArray, and a trailing LIMIT 2 BY — the per-user
+    * first-two-buckets shape ClickHouse dashboards lean on.
+    */
+  private def customQueryDashboard(spark: SparkSession, dir: String): DataFrame =
+    new Extractor(dir, cacheBatches = false).extract(spark,
+      eventsIncrTs.copy(customQuery = Some(
+        """SELECT user_id, toStartOfFifteenMinutes(ts) AS bucket,
+          |  toInt64(countIf(event_type = 'purchase')) AS n_buy,
+          |  toInt64(uniqExact(event_type)) AS n_types,
+          |  toInt64(quantileExactLow(0.5)(toInt64(floor(value * 100 + 0.5)))) AS med_cents,
+          |  arrayStringConcat(arraySort(groupUniqArray(event_type)), ',') AS types,
+          |  max(ts) AS ts
+          |FROM events PREWHERE value > 5 {query_filter}
+          |GROUP BY user_id, bucket
+          |ORDER BY user_id, bucket
+          |LIMIT 2 BY user_id""".stripMargin)),
+      lastPoint = Some("2024-01-10 00:00:00")).df.get
+      .select(col("user_id"), unix_micros(col("bucket")).as("bucket_us"),
+        col("n_buy"), col("n_types"), col("med_cents"), col("types"))
+      .orderBy("user_id", "bucket_us")
+
   /** A9 through the full extractor decision tree: a projection template that
     * keeps the iterate column, spliced with the watermark clause; the
     * watermark max is then computed on the result as in the reference.
@@ -143,6 +168,7 @@ object SparkEntry {
     "custom_query_splice" -> (customQuerySplice _),
     "custom_query_extract" -> (customQueryExtract _),
     "custom_query_clickhouse" -> (customQueryClickhouse _),
+    "custom_query_dashboard" -> (customQueryDashboard _),
     // joins
     "join_inner_hash" -> (Relational.joinInnerHash _),
     "join_multiway" -> (Relational.joinMultiway _),
@@ -516,6 +542,8 @@ object SparkEntry {
       """SELECT event_type, count(*) AS c FROM events WHERE ts >= '2024-01-10 00:00:00' GROUP BY event_type ORDER BY event_type""",
     "custom_query_extract" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value FROM events WHERE ts >= '2024-01-10 00:00:00' ORDER BY event_id""",
+    "custom_query_dashboard" ->
+      """WITH f AS (SELECT user_id, ts, event_type, value FROM events WHERE value > 5 AND ts >= '2024-01-10 00:00:00'), g AS (SELECT user_id, (epoch_us(ts) // 900000000) * 900000000 AS bucket_us, CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_buy, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, CAST(list_sort(list(CAST(floor(value * 100 + 0.5) AS BIGINT)))[CAST(floor(0.5 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS med_cents, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types FROM f GROUP BY 1, 2), r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket_us) AS rn FROM g) SELECT user_id, bucket_us, n_buy, n_types, med_cents, types FROM r WHERE rn <= 2 ORDER BY user_id, bucket_us""",
     "custom_query_clickhouse" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, CAST(year(ts) * 100 + month(ts) AS INTEGER) AS ym, rn FROM (SELECT event_id, ts, user_id, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS BIGINT) AS rn FROM events WHERE (user_id % 2 = 0) AND (ts >= '2024-01-10 00:00:00')) WHERE rn <= 3 ORDER BY event_id""",
     "join_inner_hash" ->
@@ -1108,7 +1136,7 @@ object SparkEntry {
     "sql_ch_url" ->
       """WITH u AS (SELECT 'https://www.shop-' || CAST(o_orderkey % 7 AS VARCHAR) || '.example.com:' || CAST(8000 + o_orderkey % 2 AS VARCHAR) || '/' || replace(o_orderpriority, ' ', '_') || '/item-' || CAST(o_orderkey % 13 AS VARCHAR) || '?p=' || replace(o_orderpriority, ' ', '_') || '&s=' || o_orderstatus || '#sec-' || CAST(o_orderkey % 3 AS VARCHAR) AS url FROM orders), d AS (SELECT url, regexp_extract(url, '^https://([^/:?#]+)', 1) AS dom, regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS pth, regexp_extract(url, '\?([^#]*)', 1) AS qs, regexp_extract(url, '#(.*)$', 1) AS frag, regexp_extract(url, '[?&]s=([^&#]*)', 1) AS sparam FROM u) SELECT dom, regexp_replace(dom, '^www\.', '') AS dom2, 'https' AS proto, min(pth) AS min_path, max(pth || '?' || qs) AS max_pathq, min(qs) AS min_qs, max(frag) AS max_frag, min(sparam) AS min_s, '' AS max_absent, max(regexp_replace(url, '\?[^#]*', '')) AS max_cutq, min(regexp_extract(url, '^([^#]*)', 1)) AS min_cutf, min(regexp_extract(url, '^([^?#]*)', 1)) AS min_cut2, max(regexp_extract(dom, '\.([^.]+)$', 1)) AS tld, CAST(min(CAST(regexp_extract(url, '://[^/]*:([0-9]+)', 1) AS INTEGER)) AS BIGINT) AS min_port, CAST(9 AS BIGINT) AS dflt_port, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY dom, dom2, proto ORDER BY dom""",
     "sql_ch_strings2" ->
-      """SELECT doc_id, CAST(strpos(lower(text), 'table') AS BIGINT) AS pos_table, CAST(strpos(text, 'row') AS BIGINT) AS pos_row, CAST((length(text) - length(replace(text, 'an', ''))) // 2 AS BIGINT) AS n_an, regexp_matches(text, 'hash|merge') AS has_hm, coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:3], ','), '') AS first3_long, coalesce(array_to_string(regexp_extract_all(substr(text, 1, 60), 'a([a-z])', 1)[1:4], ''), '') AS after_a, (contains(text, 'spark') OR contains(text, 'flink') OR contains(text, 'zzz')) AS has_engine, to_base64(encode(lang)) AS b64, source AS rt, '' AS bad, upper(sha256(source)) AS sha_hex, replace(substr(text, 1, 12), ' ', '%20') AS enc, substr(text, 1, 12) AS dec_rt, array_to_string(list_filter(string_split_regex(substr(text, 1, 30), '[^a-zA-Z0-9]+'), x -> len(x) > 0)[1:4], '/') AS toks FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
+      """SELECT doc_id, CAST(strpos(lower(text), 'table') AS BIGINT) AS pos_table, CAST(strpos(text, 'row') AS BIGINT) AS pos_row, CAST((length(text) - length(replace(text, 'an', ''))) // 2 AS BIGINT) AS n_an, regexp_matches(text, 'hash|merge') AS has_hm, coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:3], ','), '') AS first3_long, coalesce(array_to_string(regexp_extract_all(substr(text, 1, 60), 'a([a-z])', 1)[1:4], ''), '') AS after_a, (contains(text, 'spark') OR contains(text, 'flink') OR contains(text, 'zzz')) AS has_engine, to_base64(encode(lang)) AS b64, source AS rt, '' AS bad, upper(sha256(source)) AS sha_hex, replace(substr(text, 1, 12), ' ', '%20') AS enc, substr(text, 1, 12) AS dec_rt, array_to_string(list_filter(string_split_regex(substr(text, 1, 30), '[^a-zA-Z0-9]+'), x -> len(x) > 0)[1:4], '/') AS toks, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS nvv, regexp_extract(text, '([a-z]{5}) ', 1) AS first5, array_to_string(list_filter(string_split_regex(substr(text, 1, 25), '\s+'), x -> len(x) > 0)[1:3], '/') AS ws3 FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
     "sql_ch_dates2" ->
       """SELECT o_orderpriority, CAST(max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS VARCHAR) AS max_monday, CAST(min(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS min_eom, CAST(max(quarter(o_orderdate)) AS BIGINT) AS max_q, CAST(max(dayofyear(o_orderdate)) AS BIGINT) AS max_doy, CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_dow0, CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_dow1, CAST(sum(dayofweek(o_orderdate) + 1) AS BIGINT) AS sum_dow2, CAST(sum(dayofweek(o_orderdate)) AS BIGINT) AS sum_dow3, CAST(max(CAST(o_orderdate + INTERVAL 45 DAY AS DATE)) AS VARCHAR) AS max_plus45, CAST(min(CAST(o_orderdate - INTERVAL 2 MONTH AS DATE)) AS VARCHAR) AS min_minus2m, CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT) AS max_rel_day, CAST(min(floor(epoch(o_orderdate) / 3600)) AS BIGINT) AS min_rel_hour, CAST(max(epoch(o_orderdate + INTERVAL 6 HOUR)) AS BIGINT) AS max_plus6h FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Moments two-pass (the engine's are one-pass) — agreement at the
@@ -1116,7 +1144,7 @@ object SparkEntry {
     // weighted median is a cumulative-weight window reconstruction of
     // the discrete >=-crossing rule.
     "sql_ch_agg2" ->
-      """WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p, CAST(l_quantity AS BIGINT) AS qi, CAST(l_linenumber AS BIGINT) AS w, l_suppkey % 10 AS sk, CAST(l_orderkey AS BIGINT) * 10 + CAST(l_linenumber AS BIGINT) AS ux FROM lineitem), m AS (SELECT rf, avg(p) AS mp FROM base GROUP BY rf), mom AS (SELECT b.rf, sum((p - mp)*(p - mp)) / count(*) AS m2, sum((p - mp)*(p - mp)*(p - mp)) / count(*) AS m3, sum((p - mp)*(p - mp)*(p - mp)*(p - mp)) / count(*) AS m4 FROM base b JOIN m ON b.rf = m.rf GROUP BY b.rf), wm AS (SELECT rf, qi AS x, sum(w) AS wt FROM base GROUP BY rf, qi), wc AS (SELECT rf, x, sum(wt) OVER (PARTITION BY rf ORDER BY x) AS acc, sum(wt) OVER (PARTITION BY rf) AS tot FROM wm), wq AS (SELECT rf, min(x) AS wmed FROM wc WHERE acc >= 0.5 * tot GROUP BY rf), br AS (SELECT rf, (max_by(p, ux) - min_by(p, ux)) / (CAST(max(ux) AS DOUBLE) - CAST(min(ux) AS DOUBLE)) AS brv FROM base GROUP BY rf), ag AS (SELECT rf, sum(p * qi) / CAST(sum(qi) AS DOUBLE) AS avgw, least(count(DISTINCT sk), 4) AS up3, least(count(DISTINCT sk), 21) AS up20, CAST(sum(qi) AS BIGINT) AS sc_sum, CAST(count(qi) AS BIGINT) AS sc_n, CAST(count(DISTINCT sk) AS BIGINT) AS cd, stddev_pop(q) AS sdp, var_samp(q) AS vsm, covar_pop(q, p) AS cvp, regr_slope(p, q) AS slope, regr_intercept(p, q) AS icept FROM base GROUP BY rf) SELECT ag.rf AS l_returnflag, CAST(floor(avgw * 100 + 0.5) AS BIGINT) AS avgw_cents, CAST(up3 AS BIGINT) AS up3, CAST(up20 AS BIGINT) AS up20, sc_sum, sc_n, cd, CAST(floor(sdp * 10000 + 0.5) AS BIGINT) AS sd_4, CAST(floor(vsm * 10000 + 0.5) AS BIGINT) AS vs_4, CAST(floor(cvp * 100 + 0.5) AS BIGINT) AS cov_cents, CAST(floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) AS BIGINT) AS skew_4, CAST(floor(m4 / (m2 * m2) * 10000 + 0.5) AS BIGINT) AS kurt_4, CAST(floor(slope * 10000 + 0.5) AS BIGINT) AS slope_4, CAST(floor(icept * 100 + 0.5) AS BIGINT) AS icept_cents, CAST(floor(brv * 10000 + 0.5) AS BIGINT) AS br_4, CAST(wmed AS BIGINT) AS wmed FROM ag JOIN mom ON ag.rf = mom.rf JOIN wq ON ag.rf = wq.rf JOIN br ON ag.rf = br.rf ORDER BY l_returnflag""",
+      """WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p, CAST(l_quantity AS BIGINT) AS qi, CAST(l_linenumber AS BIGINT) AS w, l_suppkey % 10 AS sk, l_suppkey % 8 AS sk8, CAST(l_orderkey AS BIGINT) * 10 + CAST(l_linenumber AS BIGINT) AS ux FROM lineitem), m AS (SELECT rf, avg(p) AS mp FROM base GROUP BY rf), mom AS (SELECT b.rf, sum((p - mp)*(p - mp)) / count(*) AS m2, sum((p - mp)*(p - mp)*(p - mp)) / count(*) AS m3, sum((p - mp)*(p - mp)*(p - mp)*(p - mp)) / count(*) AS m4 FROM base b JOIN m ON b.rf = m.rf GROUP BY b.rf), wm AS (SELECT rf, qi AS x, sum(w) AS wt FROM base GROUP BY rf, qi), wc AS (SELECT rf, x, sum(wt) OVER (PARTITION BY rf ORDER BY x) AS acc, sum(wt) OVER (PARTITION BY rf) AS tot FROM wm), wq AS (SELECT rf, min(x) AS wmed FROM wc WHERE acc >= 0.5 * tot GROUP BY rf), br AS (SELECT rf, (max_by(p, ux) - min_by(p, ux)) / (CAST(max(ux) AS DOUBLE) - CAST(min(ux) AS DOUBLE)) AS brv FROM base GROUP BY rf), ag AS (SELECT rf, sum(p * qi) / CAST(sum(qi) AS DOUBLE) AS avgw, least(count(DISTINCT sk), 4) AS up3, least(count(DISTINCT sk), 21) AS up20, CAST(sum(qi) AS BIGINT) AS sc_sum, CAST(count(qi) AS BIGINT) AS sc_n, CAST(count(DISTINCT sk) AS BIGINT) AS cd, stddev_pop(q) AS sdp, var_samp(q) AS vsm, covar_pop(q, p) AS cvp, regr_slope(p, q) AS slope, regr_intercept(p, q) AS icept, CAST(list_sort(list(qi))[CAST(floor(0.3 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS qlo, CAST(list_sort(list(qi))[CAST(ceil(0.3 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS qhi, CAST(floor(entropy(sk8) * 10000 + 0.5) AS BIGINT) AS ent_4 FROM base GROUP BY rf) SELECT ag.rf AS l_returnflag, CAST(floor(avgw * 100 + 0.5) AS BIGINT) AS avgw_cents, CAST(up3 AS BIGINT) AS up3, CAST(up20 AS BIGINT) AS up20, sc_sum, sc_n, cd, CAST(floor(sdp * 10000 + 0.5) AS BIGINT) AS sd_4, CAST(floor(vsm * 10000 + 0.5) AS BIGINT) AS vs_4, CAST(floor(cvp * 100 + 0.5) AS BIGINT) AS cov_cents, CAST(floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) AS BIGINT) AS skew_4, CAST(floor(m4 / (m2 * m2) * 10000 + 0.5) AS BIGINT) AS kurt_4, CAST(floor(slope * 10000 + 0.5) AS BIGINT) AS slope_4, CAST(floor(icept * 100 + 0.5) AS BIGINT) AS icept_cents, CAST(floor(brv * 10000 + 0.5) AS BIGINT) AS br_4, CAST(wmed AS BIGINT) AS wmed, CAST(wmed AS BIGINT) AS wmed2, qlo, qhi, ent_4 FROM ag JOIN mom ON ag.rf = mom.rf JOIN wq ON ag.rf = wq.rf JOIN br ON ag.rf = br.rf ORDER BY l_returnflag""",
     "sql_ch_arrays2" ->
       """WITH a AS (SELECT l_orderkey AS okey, list_sort(list(CAST(l_suppkey % 3 AS BIGINT))) AS ms, list_sort(list(CAST(l_linenumber AS BIGINT))) AS ln FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey) SELECT CAST(okey AS BIGINT) AS okey, CAST(list_aggregate(ln, 'sum') AS BIGINT) AS s, CAST(floor(list_aggregate(ln, 'avg') * 100 + 0.5) AS BIGINT) AS avg_c, CAST(floor(list_aggregate(ln, 'product') + 0.5) AS BIGINT) AS prod_i, CAST(list_filter(ln, x -> x > 2)[1] AS BIGINT) AS first_gt2, CAST(coalesce(list_position(list_transform(ln, x -> x > 2), true), 0) AS BIGINT) AS fidx, CAST(CASE WHEN coalesce(list_position(list_transform(list_reverse(ln), x -> x > 2), true), 0) = 0 THEN 0 ELSE len(ln) - list_position(list_transform(list_reverse(ln), x -> x > 2), true) + 1 END AS BIGINT) AS lidx, array_to_string(list_sort(list_distinct(ms)), ',') AS compacted, array_to_string(list_append(ln[2:], 99), ',') AS shifted, array_to_string(list_prepend(0, ln[1:len(ln)-1]), ',') AS shifted2, array_to_string([okey % 5, okey % 5, okey % 5], ',') AS const3, array_to_string(generate_series(1, len(ln)), ',') AS enumd, CASE WHEN okey % 4 <= 0 THEN '' ELSE array_to_string(generate_series(0, okey % 4 - 1), ',') END AS rng, array_to_string(list_reverse(ln), ',') AS revd, array_to_string(list_sort(list_distinct(ms)), ',') AS dist FROM a ORDER BY okey""",
     "sql_ch_misc" ->

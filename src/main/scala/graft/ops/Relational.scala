@@ -1972,7 +1972,10 @@ object Relational {
         |  hex(SHA256(source)) AS sha_hex,
         |  encodeURLComponent(substringUTF8(text, 1, 12)) AS enc,
         |  decodeURLComponent(encodeURLComponent(substringUTF8(text, 1, 12))) AS dec_rt,
-        |  arrayStringConcat(arraySlice(tokens(substringUTF8(text, 1, 30)), 1, 4), '/') AS toks
+        |  arrayStringConcat(arraySlice(tokens(substringUTF8(text, 1, 30)), 1, 4), '/') AS toks,
+        |  toInt64(countMatches(text, '[aeiou]{2}')) AS nvv,
+        |  regexpExtract(text, '([a-z]{5}) ', 1) AS first5,
+        |  arrayStringConcat(arraySlice(splitByWhitespace(substringUTF8(text, 1, 25)), 1, 3), '/') AS ws3
         |FROM documents
         |WHERE doc_id < 60
         |ORDER BY doc_id""".stripMargin)
@@ -2038,7 +2041,11 @@ object Relational {
         |  toInt64(floor(simpleLinearRegression(l_quantity, l_extendedprice).k * 10000 + 0.5)) AS slope_4,
         |  toInt64(floor(simpleLinearRegression(l_quantity, l_extendedprice).b * 100 + 0.5)) AS icept_cents,
         |  toInt64(floor(boundingRatio(toInt64(l_orderkey) * 10 + toInt64(l_linenumber), l_extendedprice) * 10000 + 0.5)) AS br_4,
-        |  toInt64(quantileExactWeighted(0.5)(toInt64(l_quantity), toInt64(l_linenumber))) AS wmed
+        |  toInt64(quantileExactWeighted(0.5)(toInt64(l_quantity), toInt64(l_linenumber))) AS wmed,
+        |  toInt64(medianExactWeighted(toInt64(l_quantity), toInt64(l_linenumber))) AS wmed2,
+        |  toInt64(quantileExactLow(0.3)(toInt64(l_quantity))) AS qlo,
+        |  toInt64(quantileExactHigh(0.3)(toInt64(l_quantity))) AS qhi,
+        |  toInt64(floor(entropy(modulo(l_suppkey, 8)) * 10000 + 0.5)) AS ent_4
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin)

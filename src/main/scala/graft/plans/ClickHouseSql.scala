@@ -435,10 +435,21 @@ object ClickHouseSqlRewrite {
 
   // ----------------------------------------- table modifiers (named errors)
 
+  // The table-name slot must not match a CLAUSE KEYWORD: masking blanks
+  // a backticked table name to spaces, after which `FROM `t` WHERE
+  // sample = 1` reads `FROM <spaces> WHERE sample ...` and WHERE would
+  // pose as the table (the rewrite-prop sweep caught this). SAMPLE is
+  // additionally anchored on its mandatory numeric argument — an
+  // identifier named `sample` is never followed by a bare number in
+  // parseable standard SQL, so the anchor removes the collision class
+  // entirely for SAMPLE.
+  private val NotClauseKw = "(?!(?:WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|" +
+    "PREWHERE|SETTINGS|WINDOW|UNION|EXCEPT|INTERSECT|SELECT|JOIN|ON|USING|" +
+    "INNER|LEFT|RIGHT|FULL|CROSS|AS)\\b)"
   private val FinalRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(?:FROM|JOIN)\\s+[A-Za-z_][\\w.]*\\s+FINAL\\b")
+    s"(?i)\\b(?:FROM|JOIN)\\s+$NotClauseKw[A-Za-z_][\\w.]*\\s+FINAL\\b")
   private val SampleRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(?:FROM|JOIN)\\s+[A-Za-z_][\\w.]*\\s+SAMPLE\\b")
+    s"(?i)\\b(?:FROM|JOIN)\\s+$NotClauseKw[A-Za-z_][\\w.]*\\s+SAMPLE\\s+[0-9.]")
 
   /** `FROM t FINAL` and `FROM t SAMPLE k` cannot be translated without
     * silently changing results, so both are NAMED errors: FINAL's
@@ -676,7 +687,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK)\\s*\\(")
 
   /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
     * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
@@ -862,8 +873,15 @@ object ClickHouseSqlRewrite {
           // quantileTiming is ClickHouse's third approximate quantile
           // sketch (fixed-bucket timing histogram) — approx↔approx, like
           // bare quantile/quantileTDigest.
-          case "quantiletiming" => s"approx_percentile($args\n, $params\n)"
-          case "quantilestiming" => s"approx_percentile($args\n, array($params\n))"
+          case "quantiletiming" | "quantilebfloat16" =>
+            s"approx_percentile($args\n, $params\n)"
+          case "quantilestiming" | "quantilesbfloat16" =>
+            s"approx_percentile($args\n, array($params\n))"
+          // The Low/High variants generalize Python's median_low /
+          // median_high: the sorted element at 0-based floor(level*(n-1))
+          // resp. ceil(level*(n-1)) — stated in the kernels' usage.
+          case "quantileexactlow" => s"graft_ch_quantile_exact_low($args\n, $params\n)"
+          case "quantileexacthigh" => s"graft_ch_quantile_exact_high($args\n, $params\n)"
           // quantileDeterministic(level)(x, determinator): the
           // determinator only seeds ClickHouse's reservoir sampling (a
           // determinism device, not a semantic input) — the value column
@@ -1224,6 +1242,27 @@ object ClickHouseFunctions {
   private def lam1(f: Expression => Expression): LambdaFunction = {
     val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
     LambdaFunction(f(x), Seq(x))
+  }
+
+  /** quantileExactLow/High — the sorted element at 0-based
+    * floor(level*(n-1)) resp. ceil(level*(n-1)), the generalization of
+    * Python's median_low/median_high ClickHouse documents for these
+    * variants (quantileExact's own convention is floor(level*n) — a
+    * DIFFERENT index; the three spellings are three distinct documented
+    * rules, each pinned here).
+    */
+  private def quantileExactLowHigh(x: Expression, level: Expression,
+      high: Boolean): Expression = {
+    val n = Count(Seq(x)).toAggregateExpression()
+    val pos = Multiply(Cast(level, DoubleType),
+      Cast(Subtract(n, Literal(1L)), DoubleType))
+    val idx0 = if (high) Ceil(pos) else Floor(pos)
+    val idx = Cast(Add(idx0, Literal(1L)), IntegerType)
+    val clamped = Greatest(Seq(Literal(1),
+      Least(Seq(idx, Cast(n, IntegerType)))))
+    ElementAt(
+      SortArray(CollectList(x).toAggregateExpression(), Literal(true)),
+      clamped, failOnError = false)
   }
 
   /** ClickHouse `quantileExactWeighted`'s discrete rule: sort the
@@ -2329,7 +2368,7 @@ object ClickHouseFunctions {
     // integer-micro discipline). Null keys drop, as in ClickHouse's
     // Map-flavored aggregates.
     ("sumMap",
-      "sumMap(k, v) - struct(keys, values): sorted distinct keys and the per-key BIGINT sums",
+      "sumMap(k, v) - SCALAR per-row (k, v) pairs -> struct(keys, values): sorted distinct keys and the per-key BIGINT sums",
       es => {
         require(es.length == 2, "sumMap(k, v)")
         val pair = CreateNamedStruct(Seq(
@@ -2357,11 +2396,11 @@ object ClickHouseFunctions {
     // reduction an array_min/array_max over the key's values (input
     // type preserved — no widening needed for min/max).
     ("minMap",
-      "minMap(k, v) - struct(keys, values): sorted distinct keys and the per-key minimum",
+      "minMap(k, v) - SCALAR per-row (k, v) pairs -> struct(keys, values): sorted distinct keys and the per-key minimum",
       es => { require(es.length == 2, "minMap(k, v)")
         chMapAgg(es(0), es(1), vs => new ArrayMin(vs)) }),
     ("maxMap",
-      "maxMap(k, v) - struct(keys, values): sorted distinct keys and the per-key maximum",
+      "maxMap(k, v) - SCALAR per-row (k, v) pairs -> struct(keys, values): sorted distinct keys and the per-key maximum",
       es => { require(es.length == 2, "maxMap(k, v)")
         chMapAgg(es(0), es(1), vs => new ArrayMax(vs)) }),
     ("tuple", "tuple(a, b, ...) - a struct with POSITIONAL fields col1, col2, ... (always, even for column inputs — tupleElement(t, n) relies on it)",
@@ -2383,6 +2422,14 @@ object ClickHouseFunctions {
       "graft_ch_quantile_exact(x, level) - ClickHouse quantileExact: the sorted element at index floor(level*n)",
       es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")
         quantileExactElement(es(0), es(1)) }),
+    ("graft_ch_quantile_exact_low",
+      "graft_ch_quantile_exact_low(x, level) - ClickHouse quantileExactLow: the sorted element at 0-based floor(level*(n-1)) (generalizes Python median_low)",
+      es => { require(es.length == 2, "graft_ch_quantile_exact_low(x, level)")
+        quantileExactLowHigh(es(0), es(1), high = false) }),
+    ("graft_ch_quantile_exact_high",
+      "graft_ch_quantile_exact_high(x, level) - ClickHouse quantileExactHigh: the sorted element at 0-based ceil(level*(n-1)) (generalizes Python median_high)",
+      es => { require(es.length == 2, "graft_ch_quantile_exact_high(x, level)")
+        quantileExactLowHigh(es(0), es(1), high = true) }),
     // `median` is deliberately NOT mapped: Spark's own `median` (exact,
     // interpolating) wins by the no-clobber rule — exact-beats-approx,
     // the uniqExact stance, where ClickHouse's median is the approximate
@@ -3025,7 +3072,60 @@ object ClickHouseFunctions {
         BitwiseAnd(ShiftRight(es.head, es(1)), Literal(1)) }),
     chStartOfN("toStartOfFiveMinutes", 300000000L, "five-minute"),
     chStartOfN("toStartOfTenMinutes", 600000000L, "ten-minute"),
-    chStartOfN("toStartOfFifteenMinutes", 900000000L, "fifteen-minute"))
+    chStartOfN("toStartOfFifteenMinutes", 900000000L, "fifteen-minute"),
+    // ---------------- r11 batch 5: regex counting/extraction, whitespace
+    // split, the median* spellings, exact entropy.
+    ("countMatches", "countMatches(haystack, pattern) - non-overlapping regex matches, as BIGINT",
+      es => { require(es.length == 2, "countMatches(haystack, pattern)")
+        Cast(new Size(RegExpExtractAll(es.head, es(1), Literal(0))), LongType) }),
+    ("regexpExtract", "regexpExtract(haystack, pattern[, index]) - the indexed capture group of the first match (0 = whole match; default 1), '' when no match",
+      es => es match {
+        case Seq(h, p) => RegExpExtract(h, p, Literal(1))
+        case Seq(h, p, i) => RegExpExtract(h, p, i)
+        case _ => throw new IllegalArgumentException(
+          "regexpExtract(haystack, pattern[, index])")
+      }),
+    ("splitByWhitespace", "splitByWhitespace(s) - non-whitespace runs, empties dropped",
+      es => { require(es.length == 1, "splitByWhitespace(s)")
+        ArrayFilter(StringSplit(es.head, Literal("\\s+"), Literal(-1)),
+          lam1(x => GreaterThan(Length(x), Literal(0)))) }),
+    ("medianExactWeighted", "medianExactWeighted(x, w) - quantileExactWeighted at level 0.5",
+      es => { require(es.length == 2, "medianExactWeighted(x, w)")
+        quantileExactWeightedElement(es(0), es(1), Literal(0.5d)) }),
+    // The remaining median* spellings are ClickHouse's approximate
+    // sketches — approx-for-approx onto approx_percentile, the README
+    // migration note's contract (the bare `median` stays Spark's own
+    // exact interpolating median by no-clobber).
+    ("medianTiming", "medianTiming(x) - approximate median (approx-for-approx onto approx_percentile)",
+      one(e => new ApproximatePercentile(Cast(e, DoubleType), Literal(0.5d))
+        .toAggregateExpression())),
+    ("medianTDigest", "medianTDigest(x) - approximate median (approx-for-approx onto approx_percentile)",
+      one(e => new ApproximatePercentile(Cast(e, DoubleType), Literal(0.5d))
+        .toAggregateExpression())),
+    ("medianBFloat16", "medianBFloat16(x) - approximate median (approx-for-approx onto approx_percentile)",
+      one(e => new ApproximatePercentile(Cast(e, DoubleType), Literal(0.5d))
+        .toAggregateExpression())),
+    // Exact Shannon entropy in BITS (ClickHouse's convention), composed
+    // from one collected column per group: H = log2(n) - (sum_v c_v
+    // log2 c_v)/n over the distinct-value counts. O(d*n) per group via
+    // the nested-filter count (the chMapAgg cost class); exact-memory
+    // like any collect-based kernel.
+    ("entropy", "entropy(x) - Shannon entropy of the value distribution, in bits",
+      es => { require(es.length == 1, "entropy(x)")
+        val xs = CollectList(es.head).toAggregateExpression()
+        val n = Cast(new Size(xs), DoubleType)
+        val keys = ArrayDistinct(xs)
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val k = UnresolvedNamedLambdaVariable(Seq("__graft_k"))
+        val y = UnresolvedNamedLambdaVariable(Seq("__graft_y"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        val cnt = Cast(new Size(ArrayFilter(xs,
+          LambdaFunction(EqualNullSafe(y, k), Seq(y)))), DoubleType)
+        val sumClogC = ArrayAggregate(keys, Literal(0.0d),
+          LambdaFunction(Add(st, Multiply(cnt, Log2(cnt))), Seq(st, k)),
+          LambdaFunction(fin, Seq(fin)))
+        If(EqualTo(n, Literal(0.0d)), Literal.create(null, DoubleType),
+          Subtract(Log2(n), Divide(sumClogC, n))) }))
 
   /** Vanilla-session registration. A same-named function that ALREADY
     * exists — a Spark built-in would have shadowed these anyway, and a

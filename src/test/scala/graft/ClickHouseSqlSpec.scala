@@ -1709,6 +1709,42 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(16) == "2024-01-01 12:15:00", r)
   }
 
+  test("execution: quantileExactLow/High element conventions, medianExactWeighted, entropy in bits, countMatches, splitByWhitespace, median* approx aliases") {
+    Seq(10L, 20L, 30L, 40L).toDF("v").createOrReplaceTempView("chq")
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(quantileExactLow(0.5)(v)) AS lo,
+        |  toInt64(quantileExactHigh(0.5)(v)) AS hi,
+        |  toInt64(quantileExact(0.5)(v)) AS ex,
+        |  toInt64(quantileExactLow(0)(v)) AS lo0,
+        |  toInt64(quantileExactHigh(1)(v)) AS hi1,
+        |  medianTiming(v) - approx_percentile(v, 0.5) AS mt0
+        |FROM chq""".stripMargin).collect().head
+    // median_low of [10,20,30,40] is 20, median_high 30; quantileExact's
+    // own floor(level*n) rule gives the THIRD element — three distinct
+    // documented conventions, three distinct answers.
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((20L, 30L, 30L)), r)
+    assert(r.getLong(3) == 10L && r.getLong(4) == 40L, r)
+    assert(r.getDouble(5) == 0.0d, r)
+    val r2 = ClickHouseSql.sql(spark,
+      """SELECT toInt64(medianExactWeighted(x, w)) AS mw,
+        |  toInt64(quantileExactWeighted(0.5)(x, w)) AS qw,
+        |  toInt64(floor(entropy(e) * 1000 + 0.5)) AS ent,
+        |  toInt64(countMatches('aa bee ii o', '[aeiou]{2}')) AS cm,
+        |  arrayStringConcat(splitByWhitespace('  a  bb c '), '/') AS ws,
+        |  regexpExtract('k1=v1;k2=v2', 'k2=([a-z0-9]+)', 1) AS re
+        |FROM (SELECT explode(array(1, 2, 3)) AS x, 1 AS w, 0 AS e
+        |      UNION ALL SELECT 9, 1, 0 UNION ALL SELECT 9, 1, 1
+        |      UNION ALL SELECT 9, 1, 2)""".stripMargin).collect().head
+    // weighted median of {1,2,3,9,9,9} all w=1 -> cum 3 of 6 at value 3.
+    assert(r2.getLong(0) == 3L && r2.getLong(1) == 3L, r2)
+    // counts {0:4? no — e column: 0,0,0 from explode + 0,1,2} = {0:4,1:1,2:1}
+    // H = log2(6) - (4*log2(4))/6 = 2.58496 - 1.33333 = 1.25163 bits.
+    assert(r2.getLong(2) == 1252L, r2)
+    assert(r2.getLong(3) == 3L, r2)
+    assert(r2.getString(4) == "a/bb/c", r2)
+    assert(r2.getString(5) == "v2", r2)
+  }
+
   test("execution: camelCase stats aliases agree with their snake_case stock forms") {
     Seq(1.0, 2.0, 4.0, 8.0).toDF("v").createOrReplaceTempView("chs")
     val r = ClickHouseSql.sql(spark,

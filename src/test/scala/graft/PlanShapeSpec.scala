@@ -229,6 +229,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n$p")
   }
 
+  test("r11 dialect queries keep their scale shapes: agg2 one grouped aggregate pass, misc pushes the key filter to the scan, arrays2 one group shuffle") {
+    // sql_ch_agg2: every camelCase/exact aggregate rides the SAME
+    // grouped aggregation — exactly the two hash exchanges Spark's
+    // two-phase distinct plan needs (once on (group, distinct-key) for
+    // countDistinct/uniqUpTo, once on the group), never a
+    // per-aggregate re-shuffle on top.
+    val a = plan("sql_ch_agg2")
+    val aggEx = "Exchange hashpartitioning\\(l_returnflag".r.findAllIn(a).length
+    assert(aggEx == 2, s"expected the 2 distinct-plan exchanges, got $aggEx:\n$a")
+    assert(!a.contains("CartesianProduct"), a)
+    // sql_ch_misc: the l_orderkey < 300 filter reaches the parquet scan;
+    // the lag/lead window shares one orderkey shuffle.
+    val m = plan("sql_ch_misc")
+    assert(m.contains("LessThan(l_orderkey,300)"), s"filter not pushed:\n$m")
+    val winEx = "Exchange hashpartitioning\\(l_orderkey".r.findAllIn(m).length
+    assert(winEx == 1, s"expected 1 window exchange, got $winEx:\n$m")
+    // sql_ch_arrays2: one group shuffle builds the arrays; all the array
+    // calculus is finisher-side projection, no further hash exchange.
+    val ar = plan("sql_ch_arrays2")
+    val grpEx = "Exchange hashpartitioning".r.findAllIn(ar).length
+    assert(grpEx == 1, s"expected 1 hash exchange, got $grpEx:\n$ar")
+  }
+
   test("bloom blocklist: sketch probe stays codegen, residual anti-join broadcasts") {
     val p = plan("join_bloom_anti")
     assert(p.contains("might_contain"), s"bloom probe missing from plan:\n$p")
