@@ -451,6 +451,7 @@ object SparkEntry {
     "sql_ch_asof" -> (Relational.sqlChAsof _),
     "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
     "sql_ch_with_fill_interp" -> (Relational.sqlChWithFillInterp _),
+    "sql_ch_with_fill_interp2" -> (Relational.sqlChWithFillInterp2 _),
     "sql_ch_url" -> (Relational.sqlChUrl _),
     "sql_ch_strings2" -> (Relational.sqlChStrings2 _),
     "sql_ch_dates2" -> (Relational.sqlChDates2 _),
@@ -1131,6 +1132,11 @@ object SparkEntry {
     // last real day's metric via a max-day-at-or-before scalar lookup.
     "sql_ch_with_fill_interp" ->
       """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n, max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1), b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b), f AS (SELECT s.day, CAST(0 AS BIGINT) AS n, (SELECT v_cents FROM d WHERE d.day = (SELECT max(day) FROM d d2 WHERE d2.day <= s.day)) AS v_cents FROM s WHERE s.day NOT IN (SELECT day FROM d)) SELECT day, n, v_cents FROM d UNION ALL SELECT day, n, v_cents FROM f ORDER BY day""",
+    // The chained linear recurrence has the closed form prev + 100*(day
+    // - prev_day); the bare carry u rides the same max-at-or-before
+    // lookup.
+    "sql_ch_with_fill_interp2" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n, max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_cents, CAST(count(DISTINCT user_id) AS BIGINT) AS u FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1), b AS (SELECT min(day) AS lo, max(day) AS hi FROM d), s AS (SELECT unnest(generate_series(lo, hi)) AS day FROM b), f AS (SELECT s.day, CAST(0 AS BIGINT) AS n, (SELECT v_cents + 100 * (s.day - d.day) FROM d WHERE d.day = (SELECT max(day) FROM d d2 WHERE d2.day <= s.day)) AS v_cents, (SELECT u FROM d WHERE d.day = (SELECT max(day) FROM d d2 WHERE d2.day <= s.day)) AS u FROM s WHERE s.day NOT IN (SELECT day FROM d)) SELECT day, n, v_cents, u FROM d UNION ALL SELECT day, n, v_cents, u FROM f ORDER BY day""",
     // The URL family replayed with plain regexes over the SAME in-query
     // constructed URLs — the mapping is pinned by value, not parser trust.
     "sql_ch_url" ->

@@ -1903,6 +1903,28 @@ object Relational {
         |ORDER BY day WITH FILL INTERPOLATE (v_cents)""".stripMargin)
   }
 
+  /** `WITH FILL … INTERPOLATE (col AS expr, col2)` (r11) — the CHAINED
+    * expression form beside a bare carry in one clause: each generated
+    * day applies `v_cents + 100` to the PREVIOUS row's value (so a gap
+    * of g days climbs +100 per step — the oracle's closed form is
+    * prev + 100·(day − prev_day), exactly the linear recurrence), while
+    * `u` carries unchanged. Same report-axis cost bound; the recurrence
+    * is one ArrayAggregate per fill row, O(gap length).
+    */
+  def sqlChWithFillInterp2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT intDiv(toUnixTimestamp(ts), 86400) AS day,
+        |  toInt64(count(*)) AS n,
+        |  max(toInt64(floor(value * 100 + 0.5))) AS v_cents,
+        |  toInt64(uniqExact(user_id)) AS u
+        |FROM events
+        |PREWHERE event_type = 'purchase'
+        |WHERE value > 150
+        |GROUP BY day
+        |ORDER BY day WITH FILL INTERPOLATE (v_cents AS v_cents + 100, u)""".stripMargin)
+  }
+
   /** The ClickHouse URL-function family (r11) — `domain`/`path`/
     * `queryString`/`extractURLParameter`/`cutQueryString` etc., the
     * accessors every web-analytics `custom_query` leans on, over Spark's

@@ -3158,8 +3158,11 @@ object ClickHouseFunctions {
   * `TO` exclusive, as ClickHouse); positive literal `STEP` (default 1);
   * the clause must end the statement (a trailing LIMIT would otherwise
   * apply after the fill — put it in an outer query); `INTERPOLATE
-  * [(col, …)]` in its carry-previous-value form only (bare = all
-  * non-key columns, ClickHouse's default; `AS expr` is a named error);
+  * [(col [AS expr], …)]` — bare columns carry the previous row's value
+  * (bare INTERPOLATE = all non-key columns, ClickHouse's default) and
+  * `col AS expr` applies the expression to the previous value, CHAINED
+  * across consecutive fill rows (the expression may reference only the
+  * interpolated column itself — anything else is a named error);
   * no DESC; outer query only. Omitted FROM/TO derive from the result's
   * min/max — only interior holes fill. The progression RE-ANCHORS at
   * every existing row (ClickHouse's FillingTransform), so STEP > 1 with
@@ -3169,7 +3172,8 @@ object ClickHouseWithFill {
   import AsOfSqlRewrite.{isWordChar, mask}
 
   final case class FillSpec(column: String, from: Option[Long],
-      to: Option[Long], step: Long, interpolate: Seq[String] = Seq.empty)
+      to: Option[Long], step: Long, interpolate: Seq[String] = Seq.empty,
+      exprs: Map[String, String] = Map.empty)
 
   private val FillRe = java.util.regex.Pattern.compile(
     "(?i)\\bWITH\\s+FILL\\b")
@@ -3221,11 +3225,6 @@ object ClickHouseWithFill {
       case None => return (sql, None)
       case Some(i) => i
     }
-    if (java.util.regex.Pattern.compile("(?i)\\bINTERPOLATE\\b.*\\bAS\\b",
-        java.util.regex.Pattern.DOTALL).matcher(masked).find()) fail(
-      "WITH FILL INTERPOLATE with an AS expression is not supported — " +
-        "only the carry-previous-value form (INTERPOLATE [(col, ...)]); " +
-        "compute derived carries with a window over the filled result")
     // The match detect() validated: the first one AFTER its ORDER BY (an
     // earlier `WITH fill AS (...)` CTE regex hit must not shadow it).
     val m = FillRe.matcher(masked)
@@ -3271,10 +3270,16 @@ object ClickHouseWithFill {
     if (word("TO")) { i += 2; to = Some(long("TO")) }
     if (word("STEP")) { i += 4; step = long("STEP") }
     if (step <= 0) fail("WITH FILL STEP must be a positive integer")
-    // INTERPOLATE [(col, …)] — the carry-previous-value form only (AS
-    // expressions were rejected above). Bare INTERPOLATE = every
-    // non-key output column, ClickHouse's default.
+    // INTERPOLATE [(col [AS expr], …)] — bare columns carry the
+    // previous row's value; `col AS expr` applies the expression to the
+    // PREVIOUS row's value of THAT column, CHAINED across consecutive
+    // fill rows (ClickHouse's FillingTransform recurrence). The
+    // expression may reference only the interpolated column itself —
+    // other columns' previous-row values are not carried, and guessing
+    // would be the silent divergence this layer forbids. Bare
+    // INTERPOLATE = every non-key output column, ClickHouse's default.
     var interp: Seq[String] = Seq.empty
+    var exprMap: Map[String, String] = Map.empty
     var bareInterp = false
     if (word("INTERPOLATE")) {
       i += 11
@@ -3290,10 +3295,52 @@ object ClickHouseWithFill {
           i += 1
         }
         if (end < 0) fail("INTERPOLATE list is unbalanced")
-        interp = sql.substring(s0 + 1, end).split(",").map(_.trim).toSeq
-        if (interp.isEmpty || interp.exists(!IdentRe.matcher(_).matches())) fail(
-          "INTERPOLATE columns must be plain output-column names, got: " +
-            sql.substring(s0, end + 1))
+        // Depth-aware item split — an AS-expression may contain commas.
+        val spans = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var d = 0; var st = s0 + 1; var j = s0 + 1
+          while (j < end) {
+            val ch = masked.charAt(j)
+            if (ch == '(') d += 1
+            else if (ch == ')') d -= 1
+            else if (ch == ',' && d == 0) { buf += ((st, j)); st = j + 1 }
+            j += 1
+          }
+          buf += ((st, end))
+          buf.toSeq
+        }
+        spans.foreach { case (a, b) =>
+          // Locate a depth-0 AS keyword inside the item (on masked text).
+          var asPos = -1; var d2 = 0; var j2 = a
+          while (j2 < b - 1 && asPos < 0) {
+            val ch = masked.charAt(j2)
+            if (ch == '(') d2 += 1
+            else if (ch == ')') d2 -= 1
+            else if (d2 == 0 && (ch == 'A' || ch == 'a') &&
+                (j2 == a || !isWordChar(masked.charAt(j2 - 1))) &&
+                (masked.charAt(j2 + 1) == 'S' || masked.charAt(j2 + 1) == 's') &&
+                (j2 + 2 >= b || !isWordChar(masked.charAt(j2 + 2)))) asPos = j2
+            j2 += 1
+          }
+          if (asPos < 0) {
+            val raw = sql.substring(a, b).trim
+            if (!IdentRe.matcher(raw).matches()) fail(
+              "INTERPOLATE items must be `col` or `col AS expr`, got: " + raw)
+            interp :+= raw
+          } else {
+            val cname = sql.substring(a, asPos).trim
+            if (!IdentRe.matcher(cname).matches()) fail(
+              "INTERPOLATE `col AS expr` needs a plain column name, got: " +
+                sql.substring(a, asPos).trim)
+            val exprRaw = sql.substring(asPos + 2, b).trim
+            if (exprRaw.isEmpty) fail(
+              s"INTERPOLATE $cname AS … needs an expression")
+            validateSelfOnly(cname, masked.substring(asPos + 2, b))
+            interp :+= cname
+            exprMap += (cname -> exprRaw)
+          }
+        }
+        if (interp.isEmpty) fail("INTERPOLATE list is empty")
       } else bareInterp = true
     }
     skipWs()
@@ -3303,7 +3350,58 @@ object ClickHouseWithFill {
         "AFTER the fill; put it in an outer query")
     (sql.substring(0, orderIdx),
       Some(FillSpec(expr, from, to, step,
-        if (bareInterp) Seq("*") else interp)))
+        if (bareInterp) Seq("*") else interp, exprMap)))
+  }
+
+  /** An `INTERPOLATE col AS expr` expression may reference only the
+    * interpolated column itself (plus literals, operators, CASTs, and
+    * function calls) — checked over the MASKED text so string literals
+    * spelling other column names stay inert. Type names and SQL
+    * keywords pass; any other bare identifier is a named error.
+    */
+  private val InterpAllowedKw = Set("CAST", "AS", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "NULL", "TRUE", "FALSE", "AND", "OR", "NOT", "IN", "IS",
+    "INTERVAL", "DIV", "BIGINT", "INT", "INTEGER", "LONG", "SMALLINT",
+    "TINYINT", "DOUBLE", "FLOAT", "REAL", "DECIMAL", "STRING", "VARCHAR",
+    "CHAR", "BOOLEAN", "DATE", "TIMESTAMP")
+
+  private def validateSelfOnly(cname: String, maskedExpr: String): Unit = {
+    val m = IdentRe.matcher(maskedExpr)
+    while (m.find()) {
+      val tok = maskedExpr.substring(m.start(), m.end())
+      var j = m.end()
+      while (j < maskedExpr.length && maskedExpr.charAt(j).isWhitespace) j += 1
+      val isCall = j < maskedExpr.length && maskedExpr.charAt(j) == '('
+      if (!isCall && !tok.equalsIgnoreCase(cname) &&
+          !InterpAllowedKw.contains(tok.toUpperCase)) fail(
+        s"INTERPOLATE $cname AS expr may reference only $cname itself " +
+          s"(found `$tok`) — other columns' previous-row values are not " +
+          "carried; compute multi-column recurrences with a window over " +
+          "the filled result")
+    }
+  }
+
+  /** Replace whole-word, non-function-call references to the column with
+    * the fold variable, over the masked text (a string literal spelling
+    * the column name is untouched).
+    */
+  private def substSelf(cname: String, raw: String): String = {
+    val maskedE = mask(raw)
+    val sb = new StringBuilder
+    var last = 0
+    val m = IdentRe.matcher(maskedE)
+    while (m.find()) {
+      if (maskedE.substring(m.start(), m.end()).equalsIgnoreCase(cname)) {
+        var j = m.end()
+        while (j < maskedE.length && maskedE.charAt(j).isWhitespace) j += 1
+        val isCall = j < maskedE.length && maskedE.charAt(j) == '('
+        if (!isCall) {
+          sb.append(raw.substring(last, m.start())).append("__graft_fst")
+          last = m.end()
+        }
+      }
+    }
+    sb.append(raw.substring(last)).toString
   }
 
   /** The fill itself. ClickHouse's FillingTransform RE-ANCHORS the
@@ -3344,20 +3442,24 @@ object ClickHouseWithFill {
     val gaps = keys.select(col("__k"),
       lead(col("__k"), 1).over(
         org.apache.spark.sql.expressions.Window.orderBy("__k")).as("__next"))
+    // posexplode: the 0-based position INSIDE the gap feeds the
+    // `col AS expr` chained recurrence (fill row p applies the
+    // expression p+1 times to the previous real row's value).
+    val posV = Seq("__graft_fill_pos", "__graft_fill_v")
     val interior = gaps
       .where(col("__next").isNotNull && col("__k") + s <= col("__next") - 1)
-      .select(explode(sequence(col("__k") + s, col("__next") - 1, lit(s)))
-        .as("__graft_fill_v"))
+      .select(posexplode(sequence(col("__k") + s, col("__next") - 1, lit(s)))
+        .as(posV))
     val bounds = df.agg(min(key).as("__min"), max(key).as("__max"))
     val leading = spec.from.map { f =>
       bounds.where(col("__min").isNotNull && lit(f) <= col("__min") - 1)
-        .select(explode(sequence(lit(f), col("__min") - 1, lit(s)))
-          .as("__graft_fill_v"))
+        .select(posexplode(sequence(lit(f), col("__min") - 1, lit(s)))
+          .as(posV))
     }
     val trailing = spec.to.map { t =>
       bounds.where(col("__max").isNotNull && col("__max") + s <= lit(t - 1))
-        .select(explode(sequence(col("__max") + s, lit(t - 1), lit(s)))
-          .as("__graft_fill_v"))
+        .select(posexplode(sequence(col("__max") + s, lit(t - 1), lit(s)))
+          .as(posV))
     }
     val missing = (Seq(interior) ++ leading ++ trailing).reduce(_ union _)
     def chDefault(dt: org.apache.spark.sql.types.DataType) = dt match {
@@ -3386,27 +3488,50 @@ object ClickHouseWithFill {
         s"INTERPOLATE column $c is not an output column of the query")
     }
     val interpSet = interp.toSet
-    val fills = missing.select(df.schema.fields.toSeq.map { f =>
+    val fills = missing.select((df.schema.fields.toSeq.map { f =>
       if (f.name == spec.column) col("__graft_fill_v").cast(f.dataType).as(f.name)
       else if (interpSet(f.name)) lit(null).cast(f.dataType).as(f.name)
       else chDefault(f.dataType).as(f.name)
-    }: _*)
-    if (interp.isEmpty) df.unionByName(fills).orderBy(col(spec.column))
+    } :+ col("__graft_fill_pos")): _*)
+    if (interp.isEmpty)
+      df.unionByName(fills.drop("__graft_fill_pos")).orderBy(col(spec.column))
     else {
       val gen = "__graft_fill_gen"
       val u = df.withColumn(gen, lit(false))
+        .withColumn("__graft_fill_pos", lit(0))
         .unionByName(fills.withColumn(gen, lit(true)))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col(spec.column))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val carried = interp.foldLeft(u) { (d, c) =>
+        val dt = df.schema(c).dataType
         val src = last(when(!col(gen), struct(col(c))), ignoreNulls = true)
           .over(w).getField(c)
-        d.withColumn(c,
-          when(col(gen), coalesce(src, chDefault(df.schema(c).dataType)))
-            .otherwise(col(c)))
+        val base = coalesce(src, chDefault(dt))
+        spec.exprs.get(c) match {
+          case None =>
+            d.withColumn(c, when(col(gen), base).otherwise(col(c)))
+          case Some(raw) =>
+            // `col AS expr`, chained: fill row at gap position p takes
+            // expr applied p+1 times to the previous REAL row's value
+            // (leading fills with no prior row start from the type
+            // default — stated convention). One ArrayAggregate per row,
+            // O(gap length) per fill row; the result is cast back to
+            // the column's type every step, ClickHouse's fixed-column-
+            // type behavior.
+            val ddl = dt.sql
+            val sub = substSelf(c, raw)
+            val foldTxt =
+              "aggregate(sequence(1, __graft_fill_pos + 1), " +
+                s"CAST(`__graft_fill_base` AS $ddl), " +
+                s"(__graft_fst, __graft_fit) -> CAST(($sub) AS $ddl), " +
+                "__graft_fst -> __graft_fst)"
+            d.withColumn("__graft_fill_base", base)
+              .withColumn(c, when(col(gen), expr(foldTxt)).otherwise(col(c)))
+              .drop("__graft_fill_base")
+        }
       }
-      carried.drop(gen).orderBy(col(spec.column))
+      carried.drop(gen).drop("__graft_fill_pos").orderBy(col(spec.column))
     }
   }
 }

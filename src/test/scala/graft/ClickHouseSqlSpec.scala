@@ -577,16 +577,23 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(err("SELECT k FROM t ORDER BY k WITH FILL FROM lo").contains("literal integer"))
     assert(err("SELECT k FROM t ORDER BY k WITH FILL STEP 0").contains("positive"))
     assert(err("SELECT * FROM (SELECT k FROM t ORDER BY k WITH FILL) q").contains("subquery"))
-    // The carry form parses; only the AS-expression form stays a named
-    // error (a derived carry needs a window over the filled result).
+    // Both carry and AS-expression forms parse; an expression that
+    // references a DIFFERENT column stays a named error (only the
+    // interpolated column's previous value is carried).
     val (_, interpSpec) = ClickHouseWithFill.extract(
       "SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v)")
     assert(interpSpec.exists(_.interpolate == Seq("v")), interpSpec)
     val (_, bareSpec) = ClickHouseWithFill.extract(
       "SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE")
     assert(bareSpec.exists(_.interpolate == Seq("*")), bareSpec)
-    assert(err("SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v AS v + 1)")
-      .contains("AS expression"))
+    val (_, exprSpec) = ClickHouseWithFill.extract(
+      "SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v AS greatest(v - 7, 0), u)")
+    assert(exprSpec.exists(s2 => s2.interpolate == Seq("v", "u") &&
+      s2.exprs == Map("v" -> "greatest(v - 7, 0)")), exprSpec)
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v AS v + u)")
+      .contains("only v itself"))
+    assert(err("SELECT k FROM t ORDER BY k WITH FILL INTERPOLATE (v AS )")
+      .contains("needs an expression"))
     // The purely-textual path (extension sessions) points at the entry
     // that can run the post-step instead of guessing.
     val e = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
@@ -1114,6 +1121,41 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(bare == Seq((-2L, 0L, ""), (-1L, 0L, ""), (0L, 10L, "a"),
       (1L, 10L, "a"), (2L, 10L, "a"), (3L, 20L, "b"), (4L, 20L, "b"),
       (5L, 30L, "c")), bare)
+  }
+
+  test("execution: INTERPOLATE col AS expr chains the recurrence across consecutive fill rows") {
+    Seq((0L, 10L, 7L), (3L, 20L, 8L), (5L, 30L, 9L))
+      .toDF("k", "v", "u").createOrReplaceTempView("chfill_exp")
+    // v doubles per fill step from the previous REAL value (gap 1,2:
+    // 20, 40; gap 4: 40); u carries bare in the SAME clause.
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT k, v, u FROM chfill_exp ORDER BY k " +
+        "WITH FILL INTERPOLATE (v AS v * 2, u)")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0L, 10L, 7L), (1L, 20L, 7L), (2L, 40L, 7L),
+      (3L, 20L, 8L), (4L, 40L, 8L), (5L, 30L, 9L)), rows)
+    // A decay with a comma inside the expression (depth-aware item
+    // split), clamped at 0: 20 -> 13 -> 6 across the gap.
+    val decay = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM (SELECT k, v FROM chfill_exp WHERE k <> 5) " +
+        "ORDER BY k WITH FILL TO 6 INTERPOLATE (v AS greatest(v - 7, 0))")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(decay == Seq((0L, 10L), (1L, 3L), (2L, 0L), (3L, 20L),
+      (4L, 13L), (5L, 6L)), decay)
+    // Leading fills (no prior real row) start the recurrence from the
+    // type default: FROM -2 with v AS v + 5 gives 5, 10 before k=0.
+    val lead = ClickHouseSql.sql(spark,
+      "SELECT k, v FROM (SELECT k, v FROM chfill_exp WHERE k = 0) " +
+        "ORDER BY k WITH FILL FROM -2 INTERPOLATE (v AS v + 5)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lead == Seq((-2L, 5L), (-1L, 10L), (0L, 10L)), lead)
+    // A string literal spelling the column name is NOT substituted.
+    Seq((0L, "x"), (2L, "y")).toDF("k", "t").createOrReplaceTempView("chfill_str")
+    val lit = ClickHouseSql.sql(spark,
+      "SELECT k, t FROM chfill_str ORDER BY k " +
+        "WITH FILL INTERPOLATE (t AS concat(t, 't'))")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(lit == Seq((0L, "x"), (1L, "xt"), (2L, "y")), lit)
   }
 
   test("execution: scalar/array helper renames map 1:1; position stays stock (reversed args would be silent)") {
