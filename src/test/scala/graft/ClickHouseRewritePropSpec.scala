@@ -31,7 +31,8 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
   // dialect-legal spelling); non-clause triggers go bare.
   private val trickyIdent = Gen.oneOf(
     "`qualify`", "`prewhere`", "`settings`", "fill", "global", "topk",
-    "quantile", "windowfunnel", "asof", "sample", "totals", "a", "b", "k", "v")
+    "quantile", "windowfunnel", "asof", "sample", "totals", "final",
+    "interpolate", "a", "b", "k", "v")
 
   private val trickyLiteral = Gen.oneOf(
     "'LIMIT 3 BY u'", "'QUALIFY rn <= 2'", "'PREWHERE x'",
@@ -81,6 +82,9 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
       s"SELECT k, max($i) OVER (PARTITION BY k) AS m FROM t QUALIFY m > 1"),
     Gen.choose(1, 9).map(n =>
       s"SELECT quantileExact(0.$n)(x), topK($n)(y) FROM t GROUP BY k"),
+    Gen.choose(1, 9).map(n =>
+      s"SELECT quantileExactWeighted(0.$n)(x, w), quantileExactLow(0.$n)(x), " +
+        s"uniqUpTo($n)(y) FROM t GROUP BY k"),
     Gen.choose(1, 999).map(w =>
       s"SELECT windowFunnel($w, 'strict_order')(ts, a, b) FROM t GROUP BY u"),
     Gen.choose(1, 999).map(w =>
