@@ -452,6 +452,7 @@ object SparkEntry {
     "sql_ch_with_fill" -> (Relational.sqlChWithFill _),
     "sql_ch_with_fill_interp" -> (Relational.sqlChWithFillInterp _),
     "sql_ch_with_fill_interp2" -> (Relational.sqlChWithFillInterp2 _),
+    "sql_ch_vector" -> (Relational.sqlChVector _),
     "sql_ch_url" -> (Relational.sqlChUrl _),
     "sql_ch_strings2" -> (Relational.sqlChStrings2 _),
     "sql_ch_dates2" -> (Relational.sqlChDates2 _),
@@ -1153,6 +1154,8 @@ object SparkEntry {
       """WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p, CAST(l_quantity AS BIGINT) AS qi, CAST(l_linenumber AS BIGINT) AS w, l_suppkey % 10 AS sk, l_suppkey % 8 AS sk8, CAST(l_orderkey AS BIGINT) * 10 + CAST(l_linenumber AS BIGINT) AS ux FROM lineitem), m AS (SELECT rf, avg(p) AS mp FROM base GROUP BY rf), mom AS (SELECT b.rf, sum((p - mp)*(p - mp)) / count(*) AS m2, sum((p - mp)*(p - mp)*(p - mp)) / count(*) AS m3, sum((p - mp)*(p - mp)*(p - mp)*(p - mp)) / count(*) AS m4 FROM base b JOIN m ON b.rf = m.rf GROUP BY b.rf), wm AS (SELECT rf, qi AS x, sum(w) AS wt FROM base GROUP BY rf, qi), wc AS (SELECT rf, x, sum(wt) OVER (PARTITION BY rf ORDER BY x) AS acc, sum(wt) OVER (PARTITION BY rf) AS tot FROM wm), wq AS (SELECT rf, min(x) AS wmed FROM wc WHERE acc >= 0.5 * tot GROUP BY rf), br AS (SELECT rf, (max_by(p, ux) - min_by(p, ux)) / (CAST(max(ux) AS DOUBLE) - CAST(min(ux) AS DOUBLE)) AS brv FROM base GROUP BY rf), ag AS (SELECT rf, sum(p * qi) / CAST(sum(qi) AS DOUBLE) AS avgw, least(count(DISTINCT sk), 4) AS up3, least(count(DISTINCT sk), 21) AS up20, CAST(sum(qi) AS BIGINT) AS sc_sum, CAST(count(qi) AS BIGINT) AS sc_n, CAST(count(DISTINCT sk) AS BIGINT) AS cd, stddev_pop(q) AS sdp, var_samp(q) AS vsm, covar_pop(q, p) AS cvp, regr_slope(p, q) AS slope, regr_intercept(p, q) AS icept, CAST(list_sort(list(qi))[CAST(floor(0.3 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS qlo, CAST(list_sort(list(qi))[CAST(ceil(0.3 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS qhi, CAST(floor(entropy(sk8) * 10000 + 0.5) AS BIGINT) AS ent_4 FROM base GROUP BY rf) SELECT ag.rf AS l_returnflag, CAST(floor(avgw * 100 + 0.5) AS BIGINT) AS avgw_cents, CAST(up3 AS BIGINT) AS up3, CAST(up20 AS BIGINT) AS up20, sc_sum, sc_n, cd, CAST(floor(sdp * 10000 + 0.5) AS BIGINT) AS sd_4, CAST(floor(vsm * 10000 + 0.5) AS BIGINT) AS vs_4, CAST(floor(cvp * 100 + 0.5) AS BIGINT) AS cov_cents, CAST(floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) AS BIGINT) AS skew_4, CAST(floor(m4 / (m2 * m2) * 10000 + 0.5) AS BIGINT) AS kurt_4, CAST(floor(slope * 10000 + 0.5) AS BIGINT) AS slope_4, CAST(floor(icept * 100 + 0.5) AS BIGINT) AS icept_cents, CAST(floor(brv * 10000 + 0.5) AS BIGINT) AS br_4, CAST(wmed AS BIGINT) AS wmed, CAST(wmed AS BIGINT) AS wmed2, qlo, qhi, ent_4 FROM ag JOIN mom ON ag.rf = mom.rf JOIN wq ON ag.rf = wq.rf JOIN br ON ag.rf = br.rf ORDER BY l_returnflag""",
     "sql_ch_arrays2" ->
       """WITH a AS (SELECT l_orderkey AS okey, list_sort(list(CAST(l_suppkey % 3 AS BIGINT))) AS ms, list_sort(list(CAST(l_linenumber AS BIGINT))) AS ln FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey) SELECT CAST(okey AS BIGINT) AS okey, CAST(list_aggregate(ln, 'sum') AS BIGINT) AS s, CAST(floor(list_aggregate(ln, 'avg') * 100 + 0.5) AS BIGINT) AS avg_c, CAST(floor(list_aggregate(ln, 'product') + 0.5) AS BIGINT) AS prod_i, CAST(list_filter(ln, x -> x > 2)[1] AS BIGINT) AS first_gt2, CAST(coalesce(list_position(list_transform(ln, x -> x > 2), true), 0) AS BIGINT) AS fidx, CAST(CASE WHEN coalesce(list_position(list_transform(list_reverse(ln), x -> x > 2), true), 0) = 0 THEN 0 ELSE len(ln) - list_position(list_transform(list_reverse(ln), x -> x > 2), true) + 1 END AS BIGINT) AS lidx, array_to_string(list_sort(list_distinct(ms)), ',') AS compacted, array_to_string(list_append(ln[2:], 99), ',') AS shifted, array_to_string(list_prepend(0, ln[1:len(ln)-1]), ',') AS shifted2, array_to_string([okey % 5, okey % 5, okey % 5], ',') AS const3, array_to_string(generate_series(1, len(ln)), ',') AS enumd, CASE WHEN okey % 4 <= 0 THEN '' ELSE array_to_string(generate_series(0, okey % 4 - 1), ',') END AS rng, array_to_string(list_reverse(ln), ',') AS revd, array_to_string(list_sort(list_distinct(ms)), ',') AS dist FROM a ORDER BY okey""",
+    "sql_ch_vector" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), p AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS x, CAST(q.qe[i] AS DOUBLE) AS y FROM e CROSS JOIN q CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS t(i)), d AS (SELECT vec_id, sum(x * y) AS dot, sum(abs(x - y)) AS l1, sum((x - y) * (x - y)) AS l2s, max(abs(x - y)) AS linf, sum(x * x) AS na, sum(y * y) AS nb FROM p GROUP BY vec_id), j AS (SELECT e.vec_id, CAST(len(list_intersect(list_transform(e.embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)), list_transform(q.qe, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)))) AS DOUBLE) / len(list_distinct(list_concat(list_transform(e.embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)), list_transform(q.qe, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT))))) AS jac FROM e CROSS JOIN q) SELECT d.vec_id, CAST(floor(dot * 1000 + 0.5) AS BIGINT) AS dot_3, CAST(floor((1.0 - dot / (sqrt(na) * sqrt(nb))) * 100000 + 0.5) AS BIGINT) AS cos_5, CAST(floor(sqrt(l2s) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(l2s * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(l1 * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(linf * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(jac * 10000 + 0.5) AS BIGINT) AS jac_4 FROM d JOIN j ON d.vec_id = j.vec_id ORDER BY d.vec_id""",
     "sql_ch_misc" ->
       """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_linenumber AS BIGINT) AS te, l_returnflag || '/' || l_linestatus || '/' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS sp, CAST(-1 AS BIGINT) AS inf_guard, monthname(l_shipdate) AS mn, dayname(l_shipdate) AS wd, CAST(year(l_shipdate) AS VARCHAR) AS yr, CAST(strftime(l_shipdate, '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms, CAST(greatest(CAST(l_quantity AS BIGINT), l_suppkey) AS BIGINT) AS rmax, CAST(CAST(l_quantity AS BIGINT) + l_linenumber AS BIGINT) AS rsum, CASE WHEN l_suppkey % 2 = 1 THEN '1,2,3' ELSE '1,2,1' END AS enq, CAST(coalesce(lag(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS lg, CAST(coalesce(lead(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS ld, 'q,p' AS mk, CAST(CAST(l_quantity AS BIGINT) + l_suppkey AS BIGINT) AS mv, true AS mc1, false AS mc0 FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, lno""",
     "events_mde_power" ->

@@ -1925,6 +1925,34 @@ object Relational {
         |ORDER BY day WITH FILL INTERPOLATE (v_cents AS v_cents + 100, u)""".stripMargin)
   }
 
+  /** ClickHouse's vector-distance family (r11) over the embeddings
+    * table: `arrayDotProduct`/`cosineDistance`/`L1`/`L2`/`L2Squared`/
+    * `Linf` as exact double folds over the zipped arrays, plus
+    * `arrayJaccardIndex` over coarsened integer grids. One probe vector
+    * broadcast against a pruned scan — the dialect spelling of the
+    * engine's own brute-force-cosine ANN baseline. Distances land at
+    * 1e-3/1e-5 micro-scales (double folds on both sides; the oracle
+    * reconstructs element-wise, so agreement is ~1e-11).
+    */
+  def sqlChVector(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("embeddings"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  toInt64(floor(arrayDotProduct(e.embedding, q.qe) * 1000 + 0.5)) AS dot_3,
+        |  toInt64(floor(cosineDistance(e.embedding, q.qe) * 100000 + 0.5)) AS cos_5,
+        |  toInt64(floor(L2Distance(e.embedding, q.qe) * 1000 + 0.5)) AS l2_3,
+        |  toInt64(floor(L2SquaredDistance(e.embedding, q.qe) * 1000 + 0.5)) AS l2s_3,
+        |  toInt64(floor(L1Distance(e.embedding, q.qe) * 1000 + 0.5)) AS l1_3,
+        |  toInt64(floor(LinfDistance(e.embedding, q.qe) * 1000 + 0.5)) AS linf_3,
+        |  toInt64(floor(arrayJaccardIndex(
+        |    arrayMap(x -> toInt64(floor(toFloat64(x) * 10)), e.embedding),
+        |    arrayMap(x -> toInt64(floor(toFloat64(x) * 10)), q.qe)) * 10000 + 0.5)) AS jac_4
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id < 200
+        |ORDER BY e.vec_id""".stripMargin)
+  }
+
   /** The ClickHouse URL-function family (r11) — `domain`/`path`/
     * `queryString`/`extractURLParameter`/`cutQueryString` etc., the
     * accessors every web-analytics `custom_query` leans on, over Spark's

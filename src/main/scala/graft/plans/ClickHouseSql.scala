@@ -1593,6 +1593,27 @@ object ClickHouseFunctions {
           IntegralDivide(Subtract(us, Pmod(us, d)), d), d))
       })
 
+  /** The shared vector-distance fold: zip the two arrays, scan once
+    * accumulating a DOUBLE. Elements cast to double up front — exactly
+    * the dot-product shape the engine's ANN kernels use.
+    */
+  private def vecFold(a: Expression, b: Expression,
+      merge: (Expression, Expression, Expression) => Expression): Expression = {
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_vst"))
+    val p = UnresolvedNamedLambdaVariable(Seq("__graft_vp"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_vfin"))
+    // Casting the arrays to array<double> up front also makes the zip
+    // children UNNAMED, so ArraysZip falls back to indexed field names
+    // (an attribute child would name its field after the column).
+    val zipped = ArraysZip(Seq(
+      Cast(a, ArrayType(DoubleType)), Cast(b, ArrayType(DoubleType))))
+    val x = UnresolvedExtractValue(p, Literal("0"))
+    val y = UnresolvedExtractValue(p, Literal("1"))
+    ArrayAggregate(zipped, Literal(0.0d),
+      LambdaFunction(merge(st, x, y), Seq(st, p)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
   /** One ArrayAggregate scan with an identity finish — the shared shape
     * of arraySum/arrayAvg/arrayProduct.
     */
@@ -3089,6 +3110,42 @@ object ClickHouseFunctions {
       es => { require(es.length == 1, "splitByWhitespace(s)")
         ArrayFilter(StringSplit(es.head, Literal("\\s+"), Literal(-1)),
           lam1(x => GreaterThan(Length(x), Literal(0)))) }),
+    // ---------------- vector distances (r11) — ClickHouse's embedding
+    // workhorses as exact double folds over zipped arrays (the same
+    // shapes the engine's ANN ladder composes; here under ClickHouse's
+    // names for a ported similarity query). Mismatched lengths follow
+    // arrays_zip null-extension into null-poisoned arithmetic (NULL
+    // out, where ClickHouse throws — a visible, documented difference).
+    ("arrayDotProduct", "arrayDotProduct(a, b) - sum of element products, as DOUBLE",
+      es => { require(es.length == 2, "arrayDotProduct(a, b)")
+        vecFold(es(0), es(1), (acc, x, y) => Add(acc, Multiply(x, y))) }),
+    ("L1Distance", "L1Distance(a, b) - sum of absolute differences, as DOUBLE",
+      es => { require(es.length == 2, "L1Distance(a, b)")
+        vecFold(es(0), es(1), (acc, x, y) => Add(acc, Abs(Subtract(x, y)))) }),
+    ("L2Distance", "L2Distance(a, b) - Euclidean distance, as DOUBLE",
+      es => { require(es.length == 2, "L2Distance(a, b)")
+        Sqrt(vecFold(es(0), es(1), (acc, x, y) =>
+          Add(acc, Multiply(Subtract(x, y), Subtract(x, y))))) }),
+    ("L2SquaredDistance", "L2SquaredDistance(a, b) - squared Euclidean distance, as DOUBLE",
+      es => { require(es.length == 2, "L2SquaredDistance(a, b)")
+        vecFold(es(0), es(1), (acc, x, y) =>
+          Add(acc, Multiply(Subtract(x, y), Subtract(x, y)))) }),
+    ("LinfDistance", "LinfDistance(a, b) - maximum absolute difference, as DOUBLE",
+      es => { require(es.length == 2, "LinfDistance(a, b)")
+        vecFold(es(0), es(1), (acc, x, y) =>
+          Greatest(Seq(acc, Abs(Subtract(x, y))))) }),
+    ("cosineDistance", "cosineDistance(a, b) - 1 - dot/(|a|*|b|), as DOUBLE",
+      es => { require(es.length == 2, "cosineDistance(a, b)")
+        val dot = vecFold(es(0), es(1), (acc, x, y) => Add(acc, Multiply(x, y)))
+        def norm(v: Expression) =
+          Sqrt(vecFold(v, v, (acc, x, y) => Add(acc, Multiply(x, y))))
+        Subtract(Literal(1.0d),
+          Divide(dot, Multiply(norm(es(0)), norm(es(1))))) }),
+    ("arrayJaccardIndex", "arrayJaccardIndex(a, b) - |distinct intersection| / |distinct union|, as DOUBLE",
+      es => { require(es.length == 2, "arrayJaccardIndex(a, b)")
+        Divide(
+          Cast(new Size(ArrayIntersect(es(0), es(1))), DoubleType),
+          Cast(new Size(ArrayUnion(es(0), es(1))), DoubleType)) }),
     ("medianExactWeighted", "medianExactWeighted(x, w) - quantileExactWeighted at level 0.5",
       es => { require(es.length == 2, "medianExactWeighted(x, w)")
         quantileExactWeightedElement(es(0), es(1), Literal(0.5d)) }),

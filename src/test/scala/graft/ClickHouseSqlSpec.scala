@@ -1787,6 +1787,26 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r2.getString(5) == "v2", r2)
   }
 
+  test("execution: vector distances fold exactly over zipped arrays") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT arrayDotProduct(array(1, 2, 3), array(4, 5, 6)) AS dot,
+        |  L1Distance(array(1, 2, 3), array(4, 5, 6)) AS l1,
+        |  L2SquaredDistance(array(1, 2, 3), array(4, 5, 6)) AS l2s,
+        |  L2Distance(array(0, 3), array(4, 0)) AS l2,
+        |  LinfDistance(array(1, 2, 3), array(4, 5, 9)) AS linf,
+        |  cosineDistance(array(1, 0), array(0, 1)) AS cosq,
+        |  cosineDistance(array(2, 0), array(5, 0)) AS cos0,
+        |  arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4)) AS jac""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 32.0d, r)
+    assert(r.getDouble(1) == 9.0d && r.getDouble(2) == 27.0d, r)
+    assert(r.getDouble(3) == 5.0d, r) // the 3-4-5 triangle
+    assert(r.getDouble(4) == 6.0d, r)
+    assert(r.getDouble(5) == 1.0d, r) // orthogonal
+    assert(math.abs(r.getDouble(6)) < 1e-12, r) // parallel
+    assert(r.getDouble(7) == 0.5d, r) // |{2,3}| / |{1,2,3,4}|
+  }
+
   test("execution: camelCase stats aliases agree with their snake_case stock forms") {
     Seq(1.0, 2.0, 4.0, 8.0).toDF("v").createOrReplaceTempView("chs")
     val r = ClickHouseSql.sql(spark,
