@@ -1787,6 +1787,31 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r2.getString(5) == "v2", r2)
   }
 
+  test("differential: quantileExactLow/High agree with the sorted-element index rules on 300 random groups × 4 levels") {
+    // Brute force: sorted values, element at 0-based floor(level*(n-1))
+    // (Low) / ceil(level*(n-1)) (High) — the documented conventions the
+    // kernels pin. Random group sizes 1..12 exercise the single-element
+    // and clamping corners.
+    val rnd = new scala.util.Random(20260819L)
+    val rows = (0 until 300).flatMap { g =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => (g.toLong, rnd.nextInt(50).toLong))
+    }
+    rows.toDF("g", "x").createOrReplaceTempView("chql")
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    Seq(0.0, 0.3, 0.5, 1.0).foreach { level =>
+      val got = ClickHouseSql.sql(spark,
+        s"""SELECT g, quantileExactLow($level)(x) AS lo,
+           |  quantileExactHigh($level)(x) AS hi
+           |FROM chql GROUP BY g""".stripMargin)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      byG.foreach { case (g, sorted) =>
+        val pos = level * (sorted.length - 1)
+        val want = (sorted(math.floor(pos).toInt), sorted(math.ceil(pos).toInt))
+        assert(got(g) == want, (g, level, sorted, got(g), want))
+      }
+    }
+  }
+
   test("execution: vector distances fold exactly over zipped arrays") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayDotProduct(array(1, 2, 3), array(4, 5, 6)) AS dot,
