@@ -1157,7 +1157,7 @@ object SparkEntry {
     "sql_ch_vector" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), p AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS x, CAST(q.qe[i] AS DOUBLE) AS y FROM e CROSS JOIN q CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS t(i)), d AS (SELECT vec_id, sum(x * y) AS dot, sum(abs(x - y)) AS l1, sum((x - y) * (x - y)) AS l2s, max(abs(x - y)) AS linf, sum(x * x) AS na, sum(y * y) AS nb FROM p GROUP BY vec_id), j AS (SELECT e.vec_id, CAST(len(list_intersect(list_transform(e.embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)), list_transform(q.qe, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)))) AS DOUBLE) / len(list_distinct(list_concat(list_transform(e.embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)), list_transform(q.qe, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT))))) AS jac FROM e CROSS JOIN q) SELECT d.vec_id, CAST(floor(dot * 1000 + 0.5) AS BIGINT) AS dot_3, CAST(floor((1.0 - dot / (sqrt(na) * sqrt(nb))) * 100000 + 0.5) AS BIGINT) AS cos_5, CAST(floor(sqrt(l2s) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(l2s * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(l1 * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(linf * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(jac * 10000 + 0.5) AS BIGINT) AS jac_4 FROM d JOIN j ON d.vec_id = j.vec_id ORDER BY d.vec_id""",
     "sql_ch_misc" ->
-      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_linenumber AS BIGINT) AS te, l_returnflag || '/' || l_linestatus || '/' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS sp, CAST(-1 AS BIGINT) AS inf_guard, monthname(l_shipdate) AS mn, dayname(l_shipdate) AS wd, CAST(year(l_shipdate) AS VARCHAR) AS yr, CAST(strftime(l_shipdate, '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms, CAST(greatest(CAST(l_quantity AS BIGINT), l_suppkey) AS BIGINT) AS rmax, CAST(CAST(l_quantity AS BIGINT) + l_linenumber AS BIGINT) AS rsum, CASE WHEN l_suppkey % 2 = 1 THEN '1,2,3' ELSE '1,2,1' END AS enq, CAST(coalesce(lag(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS lg, CAST(coalesce(lead(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS ld, 'q,p' AS mk, CAST(CAST(l_quantity AS BIGINT) + l_suppkey AS BIGINT) AS mv, true AS mc1, false AS mc0 FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, lno""",
+      """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_linenumber AS BIGINT) AS te, l_returnflag || '/' || l_linestatus || '/' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS sp, CAST(-1 AS BIGINT) AS inf_guard, monthname(l_shipdate) AS mn, dayname(l_shipdate) AS wd, CAST(year(l_shipdate) AS VARCHAR) AS yr, CAST(strftime(l_shipdate, '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms, CAST(greatest(CAST(l_quantity AS BIGINT), l_suppkey) AS BIGINT) AS rmax, CAST(CAST(l_quantity AS BIGINT) + l_linenumber AS BIGINT) AS rsum, CASE WHEN l_suppkey % 2 = 1 THEN '1,2,3' ELSE '1,2,1' END AS enq, CAST(coalesce(lag(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS lg, CAST(coalesce(lead(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS ld, 'q,p' AS mk, CAST(CAST(l_quantity AS BIGINT) + l_suppkey AS BIGINT) AS mv, true AS mc1, false AS mc0, CAST(2 * (l_linenumber + CAST(l_quantity AS BIGINT)) AS BIGINT) AS fold2, CASE WHEN l_suppkey % 2 = 1 THEN '1,1,1' ELSE '1,1,2' END AS dense, epoch_ms(l_shipdate) AS ship_ms, CAST(greatest(l_linenumber - 2, 0) AS VARCHAR) || ',' || CAST(greatest(l_linenumber - 2, 0) + 3 AS VARCHAR) || ',' || CAST(greatest(greatest(l_linenumber - 2, 0) + 3 - 4, 0) AS VARCHAR) AS nncum FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, lno""",
     "events_mde_power" ->
       """WITH pc AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch FROM events GROUP BY user_id), av AS (SELECT CAST(sum(n_purch) AS DOUBLE) / count(*) AS avg_purch FROM pc), pu AS (SELECT user_id, CASE WHEN CAST(n_purch AS DOUBLE) > avg_purch THEN 1 ELSE 0 END AS converted FROM pc CROSS JOIN av), armed AS (SELECT CASE WHEN ((user_id * 1103515245 + 12345) % 2147483647) % 2 = 0 THEN 'A' ELSE 'B' END AS arm, converted FROM pu), ag AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS conv FROM armed GROUP BY arm), a AS (SELECT n AS n_a, conv AS conv_a FROM ag WHERE arm = 'A'), b AS (SELECT n AS n_b, conv AS conv_b FROM ag WHERE arm = 'B'), j AS (SELECT *, CAST(conv_a + conv_b AS DOUBLE)/(n_a + n_b) AS p, 1.959964 + 0.841621 AS zs FROM a CROSS JOIN b), k AS (SELECT *, zs * sqrt(p * (1.0 - p) * (1.0/n_a + 1.0/n_b)) AS mde FROM j) SELECT n_a, n_b, CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_pool_micro, CAST(floor(mde * 1000000 + 0.5) AS BIGINT) AS mde_abs_micro, CAST(floor(mde / p * 1000000 + 0.5) AS BIGINT) AS mde_rel_micro, CAST(ceil(zs * zs * 2.0 * p * (1.0 - p) / 0.0004) AS BIGINT) AS n_per_arm_2pp FROM k""",
     "events_bot_detect" ->

@@ -2170,7 +2170,11 @@ object Relational {
         |  arrayStringConcat(mapKeys(map('q', toInt64(l_quantity), 'p', toInt64(l_suppkey))), ',') AS mk,
         |  toInt64(arrayReduce('sum', mapValues(map('q', toInt64(l_quantity), 'p', toInt64(l_suppkey))))) AS mv,
         |  mapContains(map('q', toInt64(l_quantity)), 'q') AS mc1,
-        |  mapContains(map('q', toInt64(l_quantity)), 'z') AS mc0
+        |  mapContains(map('q', toInt64(l_quantity)), 'z') AS mc0,
+        |  toInt64(arrayFold((acc, x) -> acc + x * 2, array(toInt64(l_linenumber), toInt64(l_quantity)), toInt64(0))) AS fold2,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayEnumerateDense(array(modulo(l_suppkey, 2), modulo(l_suppkey, 2), toInt64(1)))), ',') AS dense,
+        |  toUnixTimestamp64Milli(l_shipdate) AS ship_ms,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayCumSumNonNegative(array(toInt64(l_linenumber) - 2, toInt64(3), toInt64(-4)))), ',') AS nncum
         |FROM lineitem WHERE l_orderkey < 300
         |ORDER BY okey, lno""".stripMargin)
   }

@@ -1593,6 +1593,20 @@ object ClickHouseFunctions {
           IntegralDivide(Subtract(us, Pmod(us, d)), d), d))
       })
 
+  /** toDecimal32/64/128 — ClickHouse's fixed-precision conversions; the
+    * scale must be an integer literal (it becomes the Spark DecimalType
+    * at build time).
+    */
+  private def chDecimal(precision: Int): Seq[Expression] => Expression = { es =>
+    es match {
+      case Seq(x, Literal(s: Int, IntegerType)) if s >= 0 && s <= precision =>
+        Cast(x, DecimalType(precision, s))
+      case _ => throw new IllegalArgumentException(
+        s"toDecimal$precision(x, scale) - scale must be an integer literal " +
+          s"in [0, $precision]")
+    }
+  }
+
   /** The shared vector-distance fold: zip the two arrays, scan once
     * accumulating a DOUBLE. Elements cast to double up front — exactly
     * the dot-product shape the engine's ANN kernels use.
@@ -3110,6 +3124,96 @@ object ClickHouseFunctions {
       es => { require(es.length == 1, "splitByWhitespace(s)")
         ArrayFilter(StringSplit(es.head, Literal("\\s+"), Literal(-1)),
           lam1(x => GreaterThan(Length(x), Literal(0)))) }),
+    // ---------------- r11 batch 6: epoch/decimal conversions, tolerant
+    // casts, and the remaining array calculus.
+    ("toUnixTimestamp64Milli", "toUnixTimestamp64Milli(ts) - epoch milliseconds, as BIGINT",
+      one(e => UnixMillis(Cast(e, TimestampType)))),
+    ("toUnixTimestamp64Micro", "toUnixTimestamp64Micro(ts) - epoch microseconds, as BIGINT",
+      one(e => UnixMicros(Cast(e, TimestampType)))),
+    ("fromUnixTimestamp", "fromUnixTimestamp(n) - TIMESTAMP from epoch seconds (Spark's from_unixtime returns a STRING; this keeps ClickHouse's DateTime)",
+      one(e => SecondsToTimestamp(e))),
+    ("fromUnixTimestamp64Milli", "fromUnixTimestamp64Milli(n) - TIMESTAMP from epoch milliseconds",
+      one(e => MillisToTimestamp(e))),
+    ("fromUnixTimestamp64Micro", "fromUnixTimestamp64Micro(n) - TIMESTAMP from epoch microseconds",
+      one(e => MicrosToTimestamp(e))),
+    ("toDecimal32", "toDecimal32(x, scale) - DECIMAL(9, scale)", chDecimal(9)),
+    ("toDecimal64", "toDecimal64(x, scale) - DECIMAL(18, scale)", chDecimal(18)),
+    ("toDecimal128", "toDecimal128(x, scale) - DECIMAL(38, scale)", chDecimal(38)),
+    ("accurateCastOrNull", "accurateCastOrNull(x, 'T') - cast, NULL when the value does not fit (T: Int64/UInt64/Int32/Float64/String/Date/DateTime/Decimal(p,s))",
+      es => {
+        require(es.length == 2, "accurateCastOrNull(x, 'T')")
+        val tname = es(1) match {
+          case Literal(s, StringType) if s != null => s.toString.trim
+          case other => throw new IllegalArgumentException(
+            s"accurateCastOrNull: the type must be a string literal, got $other")
+        }
+        val DecRe = "(?i)Decimal\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+        val dt: DataType = tname match {
+          case DecRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+          case t if t.equalsIgnoreCase("Int64") => LongType
+          case t if t.equalsIgnoreCase("UInt64") => DecimalType(20, 0)
+          case t if t.equalsIgnoreCase("Int32") => IntegerType
+          case t if t.equalsIgnoreCase("UInt32") => LongType
+          case t if t.equalsIgnoreCase("Float64") => DoubleType
+          case t if t.equalsIgnoreCase("Float32") => FloatType
+          case t if t.equalsIgnoreCase("String") => StringType
+          case t if t.equalsIgnoreCase("Date") => DateType
+          case t if t.equalsIgnoreCase("DateTime") => TimestampType
+          case other => throw new IllegalArgumentException(
+            s"accurateCastOrNull: unsupported type '$other'")
+        }
+        TryEval(Cast(es.head, dt, None, EvalMode.ANSI))
+      }),
+    ("countSubstringsCaseInsensitive", "countSubstringsCaseInsensitive(haystack, needle) - case-folded non-overlapping occurrences, as BIGINT",
+      es => { require(es.length == 2, "countSubstringsCaseInsensitive(haystack, needle)")
+        val (h, n) = (Lower(es.head), Lower(es(1)))
+        If(EqualTo(Length(n), Literal(0)), Literal(0L),
+          IntegralDivide(
+            Subtract(Length(h), Length(StringReplace(h, n, Literal("")))),
+            Length(n))) }),
+    // arrayFold — ClickHouse's general fold, lambda (acc, x) FIRST: maps
+    // 1:1 onto the stock aggregate with an identity finish (the same
+    // analyzer rule as arrayFirst: the TOP node must be the HOF, and
+    // ArrayAggregate is one).
+    ("arrayFold", "arrayFold(func, arr, init) - fold the array left-to-right with func(acc, x)",
+      es => {
+        require(es.length == 3, "arrayFold(func, arr, init)")
+        val l = es.head match {
+          case lf: LambdaFunction => lf
+          case _ => throw new IllegalArgumentException(
+            "arrayFold: the first argument must be a two-variable lambda, " +
+              "e.g. arrayFold((acc, x) -> acc + x, arr, 0)")
+        }
+        require(l.arguments.length == 2, "arrayFold: the lambda takes (acc, x)")
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        ArrayAggregate(es(1), es(2), l, LambdaFunction(fin, Seq(fin)))
+      }),
+    ("arrayEnumerateDense", "arrayEnumerateDense(arr) - per element, the 1-based rank of its value by FIRST occurrence (O(n^2) per array; fine for per-row arrays)",
+      es => { require(es.length == 1, "arrayEnumerateDense(arr)")
+        val arr = es.head
+        ArrayTransform(arr, lam1(x =>
+          new Size(ArrayDistinct(Slice(arr, Literal(1),
+            Cast(ArrayPosition(arr, x), IntegerType)))))) }),
+    ("arrayCumSumNonNegative", "arrayCumSumNonNegative(arr) - running Int64 sums, clamped to 0 whenever the running value turns negative (ClickHouse's reset rule)",
+      es => {
+        require(es.length == 1, "arrayCumSumNonNegative(arr)")
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        def acc(e: Expression) = UnresolvedExtractValue(e, Literal("acc"))
+        def run(e: Expression) = UnresolvedExtractValue(e, Literal("run"))
+        val next = Greatest(Seq(Add(run(st), Cast(e2, LongType)), Literal(0L)))
+        ArrayAggregate(es.head,
+          CreateNamedStruct(Seq(
+            Literal("acc"), Cast(CreateArray(Nil), ArrayType(LongType)),
+            Literal("run"), Literal(0L))),
+          LambdaFunction(
+            CreateNamedStruct(Seq(
+              Literal("acc"), Concat(Seq(acc(st), CreateArray(Seq(next)))),
+              Literal("run"), next)),
+            Seq(st, e2)),
+          LambdaFunction(acc(fin), Seq(fin)))
+      }),
     // ---------------- vector distances (r11) — ClickHouse's embedding
     // workhorses as exact double folds over zipped arrays (the same
     // shapes the engine's ANN ladder composes; here under ClickHouse's

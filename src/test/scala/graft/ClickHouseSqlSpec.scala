@@ -1812,6 +1812,33 @@ class ClickHouseSqlSpec extends SparkSpec {
     }
   }
 
+  test("execution: epoch/decimal conversions, accurateCastOrNull, arrayFold, dense/non-negative enumerations") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toUnixTimestamp64Milli(toDateTime('2024-01-01 00:00:01')) AS ms,
+        |  toUnixTimestamp64Micro(toDateTime('2024-01-01 00:00:01')) AS us,
+        |  toString(fromUnixTimestamp(1704067201)) AS ts1,
+        |  toString(fromUnixTimestamp64Milli(1704067201500)) AS ts2,
+        |  toString(toDecimal64(1.005, 2)) AS dec2,
+        |  toInt64(accurateCastOrNull('42', 'Int64')) AS ok_cast,
+        |  accurateCastOrNull(1e20, 'Int64') AS overflow,
+        |  accurateCastOrNull('zz', 'Int64') AS junk,
+        |  toInt64(countSubstringsCaseInsensitive('AbaBA', 'ab')) AS csci,
+        |  toInt64(arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), toInt64(0))) AS fold,
+        |  arrayEnumerateDense(array(10, 20, 10, 30)) AS dense,
+        |  arrayCumSumNonNegative(array(3, -5, 4, -1)) AS nn""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 1704067201000L && r.getLong(1) == 1704067201000000L, r)
+    assert(r.getString(2) == "2024-01-01 00:00:01", r)
+    assert(r.getString(3) == "2024-01-01 00:00:01.5", r)
+    assert(r.getString(4) == "1.01", r) // HALF_UP at decimal cast
+    assert(r.getLong(5) == 42L, r)
+    assert(r.isNullAt(6) && r.isNullAt(7), r)
+    assert(r.getLong(8) == 2L, r) // 'ababa' -> ab, ab (non-overlapping)
+    assert(r.getLong(9) == 123L, r) // left-to-right digits
+    assert(r.getSeq[Int](10) == Seq(1, 2, 1, 3), r)
+    assert(r.getSeq[Long](11) == Seq(3L, 0L, 4L, 3L), r) // clamp at 0
+  }
+
   test("execution: vector distances fold exactly over zipped arrays") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayDotProduct(array(1, 2, 3), array(4, 5, 6)) AS dot,
