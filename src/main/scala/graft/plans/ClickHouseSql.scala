@@ -1593,6 +1593,20 @@ object ClickHouseFunctions {
           IntegralDivide(Subtract(us, Pmod(us, d)), d), d))
       })
 
+  /** arrayRotateLeft/Right — modular rotation via two slices. Pmod
+    * normalizes a negative or oversized shift; the empty-array guard
+    * runs FIRST (If short-circuits, so Pmod never sees a zero modulus
+    * under ANSI).
+    */
+  private def chRotate(arr: Expression, n: Expression): Expression = {
+    val sz = new Size(arr)
+    val k = Pmod(Cast(n, IntegerType), sz)
+    val rotated = Concat(Seq(
+      Slice(arr, Add(k, Literal(1)), Subtract(sz, k)),
+      Slice(arr, Literal(1), k)))
+    If(LessThanOrEqual(sz, Literal(0)), arr, rotated)
+  }
+
   /** toDecimal32/64/128 — ClickHouse's fixed-precision conversions; the
     * scale must be an integer literal (it becomes the Spark DecimalType
     * at build time).
@@ -3124,6 +3138,36 @@ object ClickHouseFunctions {
       es => { require(es.length == 1, "splitByWhitespace(s)")
         ArrayFilter(StringSplit(es.head, Literal("\\s+"), Literal(-1)),
           lam1(x => GreaterThan(Length(x), Literal(0)))) }),
+    // ---------------- r11 batch 7: cross-row array intersection, the
+    // half-hour/second/millisecond time accessors, and array rotation.
+    ("groupArrayIntersect", "groupArrayIntersect(arr) - elements present in EVERY row's array (distinct, unspecified order - arraySort for determinism)",
+      es => { require(es.length == 1, "groupArrayIntersect(arr)")
+        val arrays = CollectList(es.head).toAggregateExpression()
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_st"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_e"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_fin"))
+        ArrayAggregate(arrays,
+          ElementAt(arrays, Literal(1), failOnError = false),
+          LambdaFunction(ArrayIntersect(st, e2), Seq(st, e2)),
+          LambdaFunction(fin, Seq(fin))) }),
+    ("timeSlot", "timeSlot(ts) - floor to the half-hour, as TIMESTAMP",
+      one { e =>
+        val us = UnixMicros(Cast(e, TimestampType))
+        val d = Literal(1800000000L)
+        MicrosToTimestamp(Multiply(
+          IntegralDivide(Subtract(us, Pmod(us, d)), d), d))
+      }),
+    ("toStartOfSecond", "toStartOfSecond(ts) - ts with sub-second precision dropped",
+      one(e => TruncTimestamp(Literal("SECOND"), Cast(e, TimestampType)))),
+    ("toMillisecond", "toMillisecond(ts) - the millisecond component 0-999",
+      one(e => Cast(Pmod(UnixMillis(Cast(e, TimestampType)), Literal(1000L)),
+        IntegerType))),
+    ("arrayRotateLeft", "arrayRotateLeft(arr, n) - rotate left by n (negative n rotates right)",
+      es => { require(es.length == 2, "arrayRotateLeft(arr, n)")
+        chRotate(es.head, es(1)) }),
+    ("arrayRotateRight", "arrayRotateRight(arr, n) - rotate right by n (negative n rotates left)",
+      es => { require(es.length == 2, "arrayRotateRight(arr, n)")
+        chRotate(es.head, UnaryMinus(es(1))) }),
     // ---------------- r11 batch 6: epoch/decimal conversions, tolerant
     // casts, and the remaining array calculus.
     ("toUnixTimestamp64Milli", "toUnixTimestamp64Milli(ts) - epoch milliseconds, as BIGINT",

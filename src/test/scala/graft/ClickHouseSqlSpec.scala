@@ -1839,6 +1839,31 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getSeq[Long](11) == Seq(3L, 0L, 4L, 3L), r) // clamp at 0
   }
 
+  test("execution: groupArrayIntersect folds cross-row; rotations are modular; half-hour/second/millisecond accessors") {
+    Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(2L, 3L, 4L)), (3L, Seq(3L, 2L, 9L)))
+      .toDF("g", "arr").createOrReplaceTempView("chgi")
+    val gi = ClickHouseSql.sql(spark,
+      "SELECT arraySort(groupArrayIntersect(arr)) AS i FROM chgi")
+      .collect().head.getSeq[Long](0)
+    assert(gi == Seq(2L, 3L), gi)
+    val r = ClickHouseSql.sql(spark,
+      """SELECT arrayRotateLeft(array(1, 2, 3, 4), 1) AS rl,
+        |  arrayRotateLeft(array(1, 2, 3, 4), -1) AS rln,
+        |  arrayRotateLeft(array(1, 2, 3, 4), 6) AS rl6,
+        |  arrayRotateRight(array(1, 2, 3, 4), 1) AS rr,
+        |  toString(timeSlot(toDateTime('2024-01-01 12:47:31'))) AS slot,
+        |  toString(toStartOfSecond(toDateTime('2024-01-01 12:47:31'))) AS sec,
+        |  toInt64(toMillisecond(fromUnixTimestamp64Milli(1704067201250))) AS ms""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Int](0) == Seq(2, 3, 4, 1), r)
+    assert(r.getSeq[Int](1) == Seq(4, 1, 2, 3), r)
+    assert(r.getSeq[Int](2) == Seq(3, 4, 1, 2), r)
+    assert(r.getSeq[Int](3) == Seq(4, 1, 2, 3), r)
+    assert(r.getString(4) == "2024-01-01 12:30:00", r)
+    assert(r.getString(5) == "2024-01-01 12:47:31", r)
+    assert(r.getLong(6) == 250L, r)
+  }
+
   test("execution: vector distances fold exactly over zipped arrays") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayDotProduct(array(1, 2, 3), array(4, 5, 6)) AS dot,
