@@ -466,6 +466,10 @@ object SparkEntry {
     "sql_ch_json" -> (Relational.sqlChJson _),
     "sql_ch_age" -> (Relational.sqlChAge _),
     "sql_ch_limit_offset" -> (Relational.sqlChLimitOffset _),
+    "sql_ch_limit_ties" -> (Relational.sqlChLimitTies _),
+    "sql_ch_dict" -> (Relational.sqlChDict _),
+    "sql_ch_with_fill_date" -> (Relational.sqlChWithFillDate _),
+    "sql_ch_with_fill_hour" -> (Relational.sqlChWithFillHour _),
     "sql_ch_rollup" -> (Relational.sqlChRollup _),
     "sql_ch_sets" -> (Relational.sqlChSets _),
     "sql_ch_with_macro" -> (Relational.sqlChWithMacro _),
@@ -1096,6 +1100,24 @@ object SparkEntry {
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), r AS (SELECT l_returnflag, q, row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, q) AS rk FROM c), tk AS (SELECT l_returnflag, array_to_string(list(q ORDER BY rk), ',') AS top_q FROM r WHERE rk <= 3 GROUP BY 1), wc AS (SELECT l_returnflag, CAST(l_suppkey % 50 AS BIGINT) AS wv, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ws FROM lineitem GROUP BY 1, 2), wr AS (SELECT l_returnflag, wv, row_number() OVER (PARTITION BY l_returnflag ORDER BY ws DESC, wv) AS rk FROM wc), tw AS (SELECT l_returnflag, array_to_string(list(wv ORDER BY rk), ',') AS top_w FROM wr WHERE rk <= 3 GROUP BY 1), s AS (SELECT l_returnflag, l_linestatus AS k, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), sm AS (SELECT l_returnflag, array_to_string(list(k ORDER BY k), ',') AS sm_keys, array_to_string(list(v ORDER BY k), ',') AS sm_vals FROM s GROUP BY 1) SELECT l_returnflag, top_q, top_w, sm_keys, sm_vals FROM tk JOIN tw USING (l_returnflag) JOIN sm USING (l_returnflag) ORDER BY l_returnflag""",
     "sql_ch_limit_offset" ->
       """SELECT o_orderkey, o_orderpriority, CAST(o_orderkey // 100 AS BIGINT) AS key_century FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 20""",
+    // DuckDB has no WITH TIES spelling — the oracle computes the same
+    // keep-the-tie-group rule with ITS OWN rank window (independent
+    // engine, independent sort), which is what the rewrite emits on the
+    // Spark side too.
+    "sql_ch_limit_ties" ->
+      """WITH f AS (SELECT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000)), r AS (SELECT okey, lno, q, rank() OVER (ORDER BY q) AS rk FROM f) SELECT okey, lno, q FROM r WHERE rk <= 40 ORDER BY q, okey, lno""",
+    "sql_ch_dict" ->
+      """SELECT c_custkey, coalesce((SELECT max(n_name) FROM nation WHERE n_nationkey = c_custkey % 50), 'NONE') AS nat, ((SELECT count(*) FROM nation WHERE n_nationkey = c_custkey % 50) > 0) AS has_nat, (SELECT max(n_regionkey) FROM nation WHERE n_nationkey = c_custkey % 50) AS reg, coalesce((SELECT max(n_name) FROM nation WHERE n_nationkey = c_custkey % 50), '') AS nat_t FROM customer WHERE c_custkey < 600 ORDER BY c_custkey""",
+    // Daily fill: STEP 1 day makes per-gap re-anchoring coincide with
+    // the global calendar spine, so the oracle uses one generate_series;
+    // the INTERPOLATE carry is last_value(IGNORE NULLS) over real rows.
+    "sql_ch_with_fill_date" ->
+      """WITH base AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n, CAST(max(CAST(o_custkey AS BIGINT)) AS BIGINT) AS ck FROM orders WHERE o_orderkey < 300 GROUP BY 1), cal AS (SELECT CAST(unnest(generate_series(CAST((SELECT min(d) FROM base) AS TIMESTAMP), CAST((SELECT max(d) FROM base) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d), j AS (SELECT cal.d AS d, coalesce(base.n, 0) AS n, base.ck AS ck FROM cal LEFT JOIN base ON cal.d = base.d) SELECT CAST(d AS VARCHAR) AS d, n, last_value(ck IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck FROM j ORDER BY d""",
+    // Hourly fill: the 2-hour stride re-anchors PER GAP, so the oracle
+    // generates each gap's series from its own left edge (exclusive
+    // right bound via -1 microsecond on the inclusive generate_series).
+    "sql_ch_with_fill_hour" ->
+      """WITH base AS (SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS n FROM events WHERE event_type = 'purchase' AND value < 15 GROUP BY 1), g2 AS (SELECT h, nh FROM (SELECT h, lead(h) OVER (ORDER BY h) AS nh FROM base) WHERE nh IS NOT NULL), fills AS (SELECT CAST(u.g AS TIMESTAMP) AS h FROM g2, LATERAL (SELECT unnest(generate_series(g2.h + INTERVAL 2 HOUR, g2.nh - INTERVAL 1 MICROSECOND, INTERVAL 2 HOUR)) AS g) u), allr AS (SELECT h, n FROM base UNION ALL SELECT h, 0 FROM fills) SELECT CAST(epoch_us(h) AS BIGINT) AS h_us, n FROM allr ORDER BY h_us""",
     "sql_ch_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "sql_ch_with_macro" ->
@@ -1145,13 +1167,13 @@ object SparkEntry {
     "sql_ch_strings2" ->
       """SELECT doc_id, CAST(strpos(lower(text), 'table') AS BIGINT) AS pos_table, CAST(strpos(text, 'row') AS BIGINT) AS pos_row, CAST((length(text) - length(replace(text, 'an', ''))) // 2 AS BIGINT) AS n_an, regexp_matches(text, 'hash|merge') AS has_hm, coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:3], ','), '') AS first3_long, coalesce(array_to_string(regexp_extract_all(substr(text, 1, 60), 'a([a-z])', 1)[1:4], ''), '') AS after_a, (contains(text, 'spark') OR contains(text, 'flink') OR contains(text, 'zzz')) AS has_engine, to_base64(encode(lang)) AS b64, source AS rt, '' AS bad, upper(sha256(source)) AS sha_hex, replace(substr(text, 1, 12), ' ', '%20') AS enc, substr(text, 1, 12) AS dec_rt, array_to_string(list_filter(string_split_regex(substr(text, 1, 30), '[^a-zA-Z0-9]+'), x -> len(x) > 0)[1:4], '/') AS toks, CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS nvv, regexp_extract(text, '([a-z]{5}) ', 1) AS first5, array_to_string(list_filter(string_split_regex(substr(text, 1, 25), '\s+'), x -> len(x) > 0)[1:3], '/') AS ws3 FROM documents WHERE doc_id < 60 ORDER BY doc_id""",
     "sql_ch_dates2" ->
-      """SELECT o_orderpriority, CAST(max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS VARCHAR) AS max_monday, CAST(min(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS min_eom, CAST(max(quarter(o_orderdate)) AS BIGINT) AS max_q, CAST(max(dayofyear(o_orderdate)) AS BIGINT) AS max_doy, CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_dow0, CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_dow1, CAST(sum(dayofweek(o_orderdate) + 1) AS BIGINT) AS sum_dow2, CAST(sum(dayofweek(o_orderdate)) AS BIGINT) AS sum_dow3, CAST(max(CAST(o_orderdate + INTERVAL 45 DAY AS DATE)) AS VARCHAR) AS max_plus45, CAST(min(CAST(o_orderdate - INTERVAL 2 MONTH AS DATE)) AS VARCHAR) AS min_minus2m, CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT) AS max_rel_day, CAST(min(floor(epoch(o_orderdate) / 3600)) AS BIGINT) AS min_rel_hour, CAST(max(epoch(o_orderdate + INTERVAL 6 HOUR)) AS BIGINT) AS max_plus6h FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      """SELECT o_orderpriority, CAST(max(CAST(date_trunc('week', o_orderdate) AS DATE)) AS VARCHAR) AS max_monday, CAST(min(last_day(CAST(o_orderdate AS DATE))) AS VARCHAR) AS min_eom, CAST(max(quarter(o_orderdate)) AS BIGINT) AS max_q, CAST(max(dayofyear(o_orderdate)) AS BIGINT) AS max_doy, CAST(sum(isodow(o_orderdate)) AS BIGINT) AS sum_dow0, CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_dow1, CAST(sum(dayofweek(o_orderdate)) AS BIGINT) AS sum_dow2, CAST(sum(dayofweek(o_orderdate) + 1) AS BIGINT) AS sum_dow3, CAST(max(CAST(o_orderdate + INTERVAL 45 DAY AS DATE)) AS VARCHAR) AS max_plus45, CAST(min(CAST(o_orderdate - INTERVAL 2 MONTH AS DATE)) AS VARCHAR) AS min_minus2m, CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT) AS max_rel_day, CAST(min(floor(epoch(o_orderdate) / 3600)) AS BIGINT) AS min_rel_hour, CAST(max(epoch(o_orderdate + INTERVAL 6 HOUR)) AS BIGINT) AS max_plus6h FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Moments two-pass (the engine's are one-pass) — agreement at the
     // 1e-4 scale is the drift bound stated in the query's scaladoc; the
     // weighted median is a cumulative-weight window reconstruction of
     // the discrete >=-crossing rule.
     "sql_ch_agg2" ->
-      """WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p, CAST(l_quantity AS BIGINT) AS qi, CAST(l_linenumber AS BIGINT) AS w, l_suppkey % 10 AS sk, l_suppkey % 8 AS sk8, CAST(l_orderkey AS BIGINT) * 10 + CAST(l_linenumber AS BIGINT) AS ux FROM lineitem), m AS (SELECT rf, avg(p) AS mp FROM base GROUP BY rf), mom AS (SELECT b.rf, sum((p - mp)*(p - mp)) / count(*) AS m2, sum((p - mp)*(p - mp)*(p - mp)) / count(*) AS m3, sum((p - mp)*(p - mp)*(p - mp)*(p - mp)) / count(*) AS m4 FROM base b JOIN m ON b.rf = m.rf GROUP BY b.rf), wm AS (SELECT rf, qi AS x, sum(w) AS wt FROM base GROUP BY rf, qi), wc AS (SELECT rf, x, sum(wt) OVER (PARTITION BY rf ORDER BY x) AS acc, sum(wt) OVER (PARTITION BY rf) AS tot FROM wm), wq AS (SELECT rf, min(x) AS wmed FROM wc WHERE acc >= 0.5 * tot GROUP BY rf), br AS (SELECT rf, (max_by(p, ux) - min_by(p, ux)) / (CAST(max(ux) AS DOUBLE) - CAST(min(ux) AS DOUBLE)) AS brv FROM base GROUP BY rf), ag AS (SELECT rf, sum(p * qi) / CAST(sum(qi) AS DOUBLE) AS avgw, least(count(DISTINCT sk), 4) AS up3, least(count(DISTINCT sk), 21) AS up20, CAST(sum(qi) AS BIGINT) AS sc_sum, CAST(count(qi) AS BIGINT) AS sc_n, CAST(count(DISTINCT sk) AS BIGINT) AS cd, stddev_pop(q) AS sdp, var_samp(q) AS vsm, covar_pop(q, p) AS cvp, regr_slope(p, q) AS slope, regr_intercept(p, q) AS icept, CAST(list_sort(list(qi))[CAST(floor(0.3 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS qlo, CAST(list_sort(list(qi))[CAST(ceil(0.3 * (count(*) - 1)) AS BIGINT) + 1] AS BIGINT) AS qhi, CAST(floor(entropy(sk8) * 10000 + 0.5) AS BIGINT) AS ent_4 FROM base GROUP BY rf) SELECT ag.rf AS l_returnflag, CAST(floor(avgw * 100 + 0.5) AS BIGINT) AS avgw_cents, CAST(up3 AS BIGINT) AS up3, CAST(up20 AS BIGINT) AS up20, sc_sum, sc_n, cd, CAST(floor(sdp * 10000 + 0.5) AS BIGINT) AS sd_4, CAST(floor(vsm * 10000 + 0.5) AS BIGINT) AS vs_4, CAST(floor(cvp * 100 + 0.5) AS BIGINT) AS cov_cents, CAST(floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) AS BIGINT) AS skew_4, CAST(floor(m4 / (m2 * m2) * 10000 + 0.5) AS BIGINT) AS kurt_4, CAST(floor(slope * 10000 + 0.5) AS BIGINT) AS slope_4, CAST(floor(icept * 100 + 0.5) AS BIGINT) AS icept_cents, CAST(floor(brv * 10000 + 0.5) AS BIGINT) AS br_4, CAST(wmed AS BIGINT) AS wmed, CAST(wmed AS BIGINT) AS wmed2, qlo, qhi, ent_4 FROM ag JOIN mom ON ag.rf = mom.rf JOIN wq ON ag.rf = wq.rf JOIN br ON ag.rf = br.rf ORDER BY l_returnflag""",
+      """WITH base AS (SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p, CAST(l_quantity AS BIGINT) AS qi, CAST(l_linenumber AS BIGINT) AS w, l_suppkey % 10 AS sk, l_suppkey % 8 AS sk8, CAST(l_orderkey AS BIGINT) * 10 + CAST(l_linenumber AS BIGINT) AS ux FROM lineitem), m AS (SELECT rf, avg(p) AS mp FROM base GROUP BY rf), mom AS (SELECT b.rf, sum((p - mp)*(p - mp)) / count(*) AS m2, sum((p - mp)*(p - mp)*(p - mp)) / count(*) AS m3, sum((p - mp)*(p - mp)*(p - mp)*(p - mp)) / count(*) AS m4 FROM base b JOIN m ON b.rf = m.rf GROUP BY b.rf), wm AS (SELECT rf, qi AS x, sum(w) AS wt FROM base GROUP BY rf, qi), wc AS (SELECT rf, x, sum(wt) OVER (PARTITION BY rf ORDER BY x) AS acc, sum(wt) OVER (PARTITION BY rf) AS tot FROM wm), wq AS (SELECT rf, min(x) AS wmed FROM wc WHERE acc >= 0.5 * tot GROUP BY rf), br AS (SELECT rf, (max_by(p, ux) - min_by(p, ux)) / (CAST(max(ux) AS DOUBLE) - CAST(min(ux) AS DOUBLE)) AS brv FROM base GROUP BY rf), ag AS (SELECT rf, sum(p * qi) / CAST(sum(qi) AS DOUBLE) AS avgw, least(count(DISTINCT sk), 4) AS up3, least(count(DISTINCT sk), 21) AS up20, CAST(sum(qi) AS BIGINT) AS sc_sum, CAST(count(qi) AS BIGINT) AS sc_n, CAST(count(DISTINCT sk) AS BIGINT) AS cd, stddev_pop(q) AS sdp, var_samp(q) AS vsm, covar_pop(q, p) AS cvp, regr_slope(p, q) AS slope, regr_intercept(p, q) AS icept, CAST(list_sort(list(qi))[CAST(least(floor(0.3 * count(*)), count(*) - 1) AS BIGINT) + 1] AS BIGINT) AS qlo, CAST(list_sort(list(qi))[CAST(least(floor(0.3 * count(*)), count(*) - 1) AS BIGINT) + 1] AS BIGINT) AS qhi, CAST(floor(entropy(sk8) * 10000 + 0.5) AS BIGINT) AS ent_4 FROM base GROUP BY rf) SELECT ag.rf AS l_returnflag, CAST(floor(avgw * 100 + 0.5) AS BIGINT) AS avgw_cents, CAST(up3 AS BIGINT) AS up3, CAST(up20 AS BIGINT) AS up20, sc_sum, sc_n, cd, CAST(floor(sdp * 10000 + 0.5) AS BIGINT) AS sd_4, CAST(floor(vsm * 10000 + 0.5) AS BIGINT) AS vs_4, CAST(floor(cvp * 100 + 0.5) AS BIGINT) AS cov_cents, CAST(floor(m3 / (m2 * sqrt(m2)) * 10000 + 0.5) AS BIGINT) AS skew_4, CAST(floor(m4 / (m2 * m2) * 10000 + 0.5) AS BIGINT) AS kurt_4, CAST(floor(slope * 10000 + 0.5) AS BIGINT) AS slope_4, CAST(floor(icept * 100 + 0.5) AS BIGINT) AS icept_cents, CAST(floor(brv * 10000 + 0.5) AS BIGINT) AS br_4, CAST(wmed AS BIGINT) AS wmed, CAST(wmed AS BIGINT) AS wmed2, qlo, qhi, ent_4 FROM ag JOIN mom ON ag.rf = mom.rf JOIN wq ON ag.rf = wq.rf JOIN br ON ag.rf = br.rf ORDER BY l_returnflag""",
     "sql_ch_arrays2" ->
       """WITH a AS (SELECT l_orderkey AS okey, list_sort(list(CAST(l_suppkey % 3 AS BIGINT))) AS ms, list_sort(list(CAST(l_linenumber AS BIGINT))) AS ln FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey) SELECT CAST(okey AS BIGINT) AS okey, CAST(list_aggregate(ln, 'sum') AS BIGINT) AS s, CAST(floor(list_aggregate(ln, 'avg') * 100 + 0.5) AS BIGINT) AS avg_c, CAST(floor(list_aggregate(ln, 'product') + 0.5) AS BIGINT) AS prod_i, CAST(list_filter(ln, x -> x > 2)[1] AS BIGINT) AS first_gt2, CAST(coalesce(list_position(list_transform(ln, x -> x > 2), true), 0) AS BIGINT) AS fidx, CAST(CASE WHEN coalesce(list_position(list_transform(list_reverse(ln), x -> x > 2), true), 0) = 0 THEN 0 ELSE len(ln) - list_position(list_transform(list_reverse(ln), x -> x > 2), true) + 1 END AS BIGINT) AS lidx, array_to_string(list_sort(list_distinct(ms)), ',') AS compacted, array_to_string(list_append(ln[2:], 99), ',') AS shifted, array_to_string(list_prepend(0, ln[1:len(ln)-1]), ',') AS shifted2, array_to_string([okey % 5, okey % 5, okey % 5], ',') AS const3, array_to_string(generate_series(1, len(ln)), ',') AS enumd, CASE WHEN okey % 4 <= 0 THEN '' ELSE array_to_string(generate_series(0, okey % 4 - 1), ',') END AS rng, array_to_string(list_reverse(ln), ',') AS revd, array_to_string(list_sort(list_distinct(ms)), ',') AS dist FROM a ORDER BY okey""",
     "sql_ch_vector" ->

@@ -2343,6 +2343,95 @@ object Relational {
         |FORMAT JSON""".stripMargin)
   }
 
+  /** `LIMIT n WITH TIES` — the rank()-filter rewrite: the first n rows
+    * PLUS the n-th row's whole tie-group, over a deliberately tie-dense
+    * key (integer quantities, ~40 rows per value at the gate scale). A
+    * `GLOBAL IN` predicate rides along — the IN spelling of ClickHouse's
+    * shard-distribution modifier, which strips (semantics-neutral on a
+    * single engine). The inner ORDER BY defines the ties; the outer
+    * re-sort makes the row order fully deterministic for the diff.
+    * Scale: the empty-partition rank window plans as WindowGroupLimit —
+    * a per-partition partial top-n before the single-partition final,
+    * the same TopK shape as a global sort+limit; the IN subquery is a
+    * broadcastable semi-join on the orders keys.
+    */
+  def sqlChLimitTies(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("lineitem", "orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT okey, lno, q FROM (
+        |  SELECT l_orderkey AS okey, toInt64(l_linenumber) AS lno,
+        |    toInt64(l_quantity) AS q
+        |  FROM lineitem
+        |  WHERE l_orderkey GLOBAL IN (
+        |    SELECT o_orderkey FROM orders WHERE o_orderkey < 2000)
+        |  ORDER BY q
+        |  LIMIT 40 WITH TIES
+        |) ORDER BY q, okey, lno""".stripMargin)
+  }
+
+  /** `WITH FILL` over a DATE axis with `STEP INTERVAL 1 DAY` — THE
+    * ClickHouse dashboard fill shape — plus `INTERPOLATE (ck)` carrying
+    * the previous real row's value into generated rows. The fill rides
+    * the integer kernel on epoch days (lossless); generated rows take
+    * 0 in the count column (ClickHouse type default). The DATE column
+    * stringifies for the diff (date-object representations differ
+    * across readers; the string is unambiguous). Scale: the fill axis
+    * is the report dimension — bounded by the date span, not the data;
+    * payload rows never reshuffle.
+    */
+  def sqlChWithFillDate(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT toDate(o_orderdate) AS d,
+        |  toInt64(count(*)) AS n,
+        |  toInt64(max(toInt64(o_custkey))) AS ck
+        |FROM orders WHERE o_orderkey < 300
+        |GROUP BY toDate(o_orderdate)
+        |ORDER BY d WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (ck)""".stripMargin)
+      .selectExpr("CAST(d AS STRING) AS d", "n", "ck")
+  }
+
+  /** The DateTime sibling: `STEP INTERVAL 2 HOUR` over hour-bucketed
+    * event counts whose selective filter leaves ~half the hours EMPTY —
+    * so the 2-hour stride re-anchors per gap (ClickHouse's
+    * FillingTransform cursor, not a fixed grid; the DuckDB oracle
+    * generates each gap's series from its own left edge). Timestamps
+    * compare as epoch micros per the repo convention.
+    */
+  def sqlChWithFillHour(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT toStartOfHour(ts) AS h, toInt64(count(*)) AS n
+        |FROM events WHERE event_type = 'purchase' AND value < 15
+        |GROUP BY toStartOfHour(ts)
+        |ORDER BY h WITH FILL STEP INTERVAL 2 HOUR""".stripMargin)
+      .selectExpr("CAST(unix_micros(h) AS BIGINT) AS h_us", "n")
+  }
+
+  /** The dictGet family — ClickHouse's in-memory dimension lookups,
+    * mapped onto correlated scalar subqueries against the registered
+    * view (FIRST column = key, the documented convention): nation plays
+    * the dictionary, keyed off `c_custkey % 50` so half the probes MISS
+    * (nation has keys 0–24) and every miss rule is exercised —
+    * `dictGetOrDefault`'s explicit default, `dictGetOrNull`'s NULL,
+    * `dictHas`'s false, and `dictGetString`'s typed '' (the flat/hashed
+    * miss semantics the typed name pins). Scale: Spark decorrelates each
+    * lookup into an aggregate + left outer join on the key —
+    * broadcastable for any real dictionary.
+    */
+  def sqlChDict(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("customer", "nation"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT c_custkey,
+        |  dictGetOrDefault('nation', 'n_name', modulo(c_custkey, 50), 'NONE') AS nat,
+        |  dictHas('nation', modulo(c_custkey, 50)) AS has_nat,
+        |  dictGetOrNull('nation', 'n_regionkey', modulo(c_custkey, 50)) AS reg,
+        |  dictGetString('nation', 'n_name', modulo(c_custkey, 50)) AS nat_t
+        |FROM customer
+        |WHERE c_custkey < 600
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** ClickHouse's `GROUP BY … WITH ROLLUP` — the subtotal lattice
     * modifier, rewritten to standard `ROLLUP(keys)` (identical lattices;
     * NULL-keyed subtotal rows are the same TOTALS transport difference,

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
@@ -125,6 +125,8 @@ object ClickHouseSqlRewrite {
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
+    val t = rewriteWithTies(sql, masked); if (t ne sql) return t
+    val u = rewriteDictGet(sql, masked); if (u ne sql) return u
     val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
     val n = rewriteArrayLiterals(sql, masked); if (n ne sql) return n
     val o = rewriteWithMacros(sql, masked); if (o ne sql) return o
@@ -258,26 +260,103 @@ object ClickHouseSqlRewrite {
   private val LimitCommaRe = java.util.regex.Pattern.compile(
     "(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)\\b")
   private val WithTiesRe = java.util.regex.Pattern.compile(
-    "(?i)\\bLIMIT\\s+\\d+\\s+WITH\\s+TIES\\b")
+    "(?i)\\bLIMIT\\s+(\\d+)\\s+WITH\\s+TIES\\b")
+  private val WithTiesOffsetRe = java.util.regex.Pattern.compile(
+    "(?i)\\bLIMIT\\s+\\d+\\s*(?:,\\s*\\d+|\\s+OFFSET\\s+\\d+)\\s+WITH\\s+TIES\\b")
   private val FormatRe = java.util.regex.Pattern.compile(
     "(?i)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$")
+
+  /** `ORDER BY <sort> LIMIT n WITH TIES` — the first n rows PLUS every
+    * following row whose sort key ties the n-th. Exactly a rank()
+    * filter over the same keys, via the projected-sort discipline
+    * [[rewriteLimitBy]] established (helpers let the sort reference
+    * select aliases or non-selected base columns; the outer ORDER BY
+    * on the EXCEPTed helpers re-establishes the final ordering):
+    *
+    * {{{
+    * SELECT * EXCEPT (helpers) FROM (
+    *   SELECT *, rank() OVER (ORDER BY __graft_ob_* mods) AS __graft_ties_rk
+    *   FROM (SELECT <list>, (<sort_i>) AS __graft_ob_i… FROM …))
+    * WHERE __graft_ties_rk <= n
+    * ORDER BY __graft_ob_* mods
+    * }}}
+    *
+    * rank() assigns tied rows one rank and jumps past the group, so
+    * `rank <= n` keeps a whole tie-group iff its first row sits within
+    * the first n — ClickHouse's WITH TIES rule. ORDER BY is REQUIRED
+    * (ties are defined by it; ClickHouse errors without one too). Scale:
+    * the empty-partition rank window plans as WindowGroupLimit — a
+    * per-partition partial top-n before the single-partition final, the
+    * same TopK shape as the global sort+limit it replaces. The offset
+    * forms (`LIMIT o, n WITH TIES`) stay a named error: whether the
+    * offset rows consume tie-groups is a ClickHouse-internal detail its
+    * docs do not state.
+    */
+  private def rewriteWithTies(sql: String, masked: String): String = {
+    val off = WithTiesOffsetRe.matcher(masked)
+    if (off.find()) throw new IllegalArgumentException(
+      "ClickHouse SQL: LIMIT with an OFFSET and WITH TIES together is " +
+        "not supported — how the offset interacts with tie-groups is not " +
+        "documented; apply the offset in an outer query")
+    val m = WithTiesRe.matcher(masked)
+    if (!m.find()) return sql
+    val n = m.group(1).toLong
+    val lIdx = m.start()
+    val (firstSelIdx, selIdx) = owningSelect(masked, lIdx)
+    if (selIdx < 0) throw new IllegalArgumentException(
+      "ClickHouse SQL: LIMIT WITH TIES without an owning SELECT")
+    failIfDistinct(masked, selIdx, "LIMIT WITH TIES")
+    for (op <- Seq("UNION", "INTERSECT", "EXCEPT")) {
+      var s = firstSelIdx + 6
+      var found = -1
+      while (found < 0 && s < lIdx) {
+        val idx = findKeyword(masked, s, op)
+        if (idx < 0 || idx >= lIdx) s = lIdx
+        else {
+          var p = idx - 1
+          while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+          if (p >= 0 && masked.charAt(p) == '*') s = idx + op.length
+          else found = idx
+        }
+      }
+      if (found >= 0) throw new IllegalArgumentException(
+        "ClickHouse SQL: LIMIT WITH TIES over a set operation is " +
+          "ambiguous — wrap the union in a subquery")
+    }
+    val fromIdx = findKeyword(masked, selIdx + 6, "FROM")
+    if (fromIdx < 0 || fromIdx > lIdx) throw new IllegalArgumentException(
+      "ClickHouse SQL: LIMIT WITH TIES requires a FROM clause")
+    val oIdx = findKeyword(masked, selIdx + 6, "ORDER")
+    if (oIdx < 0 || oIdx > lIdx) throw new IllegalArgumentException(
+      "ClickHouse SQL: LIMIT WITH TIES requires an ORDER BY — the ties " +
+        "are defined by the sort key")
+    val byIdx = findKeyword(masked, oIdx + 5, "BY")
+    if (byIdx < 0) throw new IllegalArgumentException(
+      "ClickHouse SQL: malformed ORDER BY")
+    val sort = projectSort(sql, masked, byIdx + 2, lIdx, "__graft_ob")
+    val selectList = sql.substring(selIdx + 6, fromIdx).trim
+    val rest = sql.substring(fromIdx, oIdx).trim
+    val helperNames = sort.names :+ "__graft_ties_rk"
+    sql.substring(0, selIdx) +
+      "SELECT * EXCEPT (" + helperNames.mkString(", ") + ") FROM (" +
+      "SELECT *, rank() OVER (ORDER BY " + sort.orderBy +
+      ") AS __graft_ties_rk FROM (SELECT " +
+      selectList + sort.selectItems + "\n" + rest +
+      "\n)) WHERE __graft_ties_rk <= " + n +
+      " ORDER BY " + sort.orderBy + " " + sql.substring(m.end())
+  }
 
   /** ClickHouse's remaining LIMIT spellings and the trailing FORMAT
     * clause: `LIMIT offset, count` (the pagination form) → standard
     * `LIMIT count OFFSET offset` — unless BY follows, in which case it
     * is the parameterized LIMIT BY that [[rewriteLimitBy]] owns
-    * (including its offset forms); `LIMIT n WITH TIES` is a NAMED
-    * error (Spark has no ties-extension — spell the rank window
-    * explicitly so the tie rule is visible); a STATEMENT-TRAILING
-    * `FORMAT <name>` strips — it selects the CLIENT serialization
-    * (JSON, Pretty, CSV…) and never changes the result rows, the same
-    * rationale as the SETTINGS strip.
+    * (including its offset forms), or WITH TIES follows, which
+    * [[rewriteWithTies]] owns (its offset form is a named error there);
+    * a STATEMENT-TRAILING `FORMAT <name>` strips — it selects the
+    * CLIENT serialization (JSON, Pretty, CSV…) and never changes the
+    * result rows, the same rationale as the SETTINGS strip.
     */
   private def rewriteLimitForms(sql: String, masked: String): String = {
-    val wt = WithTiesRe.matcher(masked)
-    if (wt.find()) throw new IllegalArgumentException(
-      "ClickHouse SQL: LIMIT ... WITH TIES is not supported — spell the " +
-        "tie rule explicitly with a rank() window filter")
     val lc = LimitCommaRe.matcher(masked)
     while (lc.find()) {
       // `LIMIT n, m BY keys` belongs to rewriteLimitBy's named error.
@@ -292,6 +371,147 @@ object ClickHouseSqlRewrite {
     val fm = FormatRe.matcher(masked)
     if (fm.find()) return sql.substring(0, fm.start()).stripTrailing()
     sql
+  }
+
+  // ---------------------------------------------------- 13. dictGet family
+
+  // Typed dictGet variants and the miss value their NAME pins: ClickHouse
+  // returns the named TYPE's default on a miss, so the mapping is exact
+  // without the dictionary DDL — provided the view column already carries
+  // a compatible Spark type, which the catalog lookup validates.
+  private val DictTypedDefaults: Map[String, String] = Map(
+    "string" -> "''",
+    "int8" -> "0", "int16" -> "0", "int32" -> "0", "int64" -> "0",
+    "uint8" -> "0", "uint16" -> "0", "uint32" -> "0", "uint64" -> "0",
+    "float32" -> "CAST(0.0 AS FLOAT)", "float64" -> "CAST(0.0 AS DOUBLE)",
+    "date" -> "DATE '1970-01-01'",
+    "datetime" -> "TIMESTAMP '1970-01-01 00:00:00'")
+
+  private val DictFnRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(dictGetOrDefault|dictGetOrNull|dictHas|dictIsIn|dictGetHierarchy|" +
+      "dictGet(?:String|Int8|Int16|Int32|Int64|UInt8|UInt16|UInt32|UInt64|" +
+      "Float32|Float64|DateTime|Date)(?:OrDefault)?|dictGet)\\s*\\(")
+
+  /** The registered view standing in for the dictionary: its schema, via
+    * the ACTIVE session (the rewrite is otherwise session-free; dict
+    * functions are the one construct that needs the catalog, because the
+    * key column is the view's FIRST column by convention — mirroring
+    * flat/hashed dictionary layouts, whose key leads the structure).
+    */
+  private def dictSchema(name: String): Option[Seq[(String, DataType)]] =
+    org.apache.spark.sql.SparkSession.getActiveSession.flatMap { s =>
+      try Some(s.table(name).schema.fields.toSeq.map(f => (f.name, f.dataType)))
+      catch { case _: Throwable => None }
+    }
+
+  /** `dictGetOrDefault('d','attr',k,def)` / `dictGetOrNull` / `dictHas` /
+    * typed `dictGetString`-style forms → a correlated scalar-subquery
+    * lookup against the registered view `d`, whose FIRST column is the
+    * key (documented convention; ClickHouse reads the key from the
+    * dictionary DDL, which a view does not carry):
+    *
+    *   - `dictGetOrNull('d','a',k)`      → `(SELECT max(a) FROM d WHERE key = (k))`
+    *   - `dictGetOrDefault('d','a',k,v)` → `coalesce((…), (v))`
+    *   - `dictHas('d',k)`                → `((SELECT count(*) FROM d WHERE key = (k)) > 0)`
+    *     (BOOLEAN, where ClickHouse returns UInt8 0/1 — the engine's
+    *     uniform predicate convention)
+    *   - `dictGetString/Int64/…[OrDefault]` → `coalesce((…), <type default>)`
+    *     — the typed name pins the miss value, and the view column's
+    *     Spark type is VALIDATED against the name (ClickHouse errors on
+    *     a type mismatch too; silently casting would diverge).
+    *
+    * `max()` makes the subquery total; dictionary keys are unique in
+    * ClickHouse, so on a deduplicated view it is the identity (duplicate
+    * keys reduce by max — register a deduplicated view). Plain `dictGet`
+    * stays a NAMED error: its miss value is the ATTRIBUTE type's default,
+    * which only the dictionary DDL knows. `dictIsIn`/`dictGetHierarchy`
+    * walk the parent chain — an iterative closure; the named error points
+    * at the recursive-CTE spelling the engine supports. Scale: Spark
+    * decorrelates the equality-correlated scalar subquery into an
+    * aggregate + left outer join on the key — broadcastable for any
+    * real dictionary (dictionaries are small by design).
+    */
+  private def rewriteDictGet(sql: String, masked: String): String = {
+    val m = DictFnRe.matcher(masked)
+    if (!m.find()) return sql
+    val fname = m.group(1)
+    val lower = fname.toLowerCase
+    if (lower == "dictget") throw new IllegalArgumentException(
+      "ClickHouse SQL: dictGet returns the dictionary ATTRIBUTE type's " +
+        "default on a miss, which only the dictionary DDL knows — use " +
+        "dictGetOrDefault('d','attr',key,default) (explicit default, " +
+        "exact), dictGetOrNull (NULL on a miss), or a typed form like " +
+        "dictGetString/dictGetInt64 (whose name pins the miss value)")
+    if (lower == "dictisin" || lower == "dictgethierarchy")
+      throw new IllegalArgumentException(
+        s"ClickHouse SQL: $fname walks a hierarchical dictionary's parent " +
+          "chain — an iterative closure; spell it as a recursive CTE over " +
+          "the parent column (WITH RECURSIVE is supported)")
+    val (aStart, aEnd, afterA) = parenSpan(masked, m.end() - 1)
+    val items = splitItems(masked, aStart, aEnd)
+      .map { case (s0, e0) => sql.substring(s0, e0).trim }
+    def strLit(s: String, what: String): String = {
+      if (s.length < 2 || s.head != '\'' || s.last != '\'' ||
+          s.substring(1, s.length - 1).exists(c => c == '\'' || c == '`'))
+        throw new IllegalArgumentException(
+          s"ClickHouse SQL: $fname's $what must be a plain single-quoted " +
+            s"string literal, got: $s")
+      s.substring(1, s.length - 1)
+    }
+    val isHas = lower == "dicthas"
+    val isOrDefault = lower.endsWith("ordefault")
+    val wantArgs = if (isHas) 2 else if (isOrDefault) 4 else 3
+    if (items.length != wantArgs) throw new IllegalArgumentException(
+      s"ClickHouse SQL: $fname takes $wantArgs arguments, got ${items.length}")
+    val dict = strLit(items.head, "dictionary name")
+    if (!dict.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?"))
+      throw new IllegalArgumentException(
+        s"ClickHouse SQL: $fname: '$dict' is not a plain view name")
+    val cols = dictSchema(dict).getOrElse(throw new IllegalArgumentException(
+      s"ClickHouse SQL: $fname: no view or table named '$dict' is " +
+        "registered — the mapping reads the dictionary as a Spark view " +
+        "whose FIRST column is the key; createOrReplaceTempView the " +
+        "dictionary data first (or run through ClickHouseSql.sql with an " +
+        "active session)"))
+    val keyCol = cols.head._1
+    val repl =
+      if (isHas)
+        s"((SELECT count(*) FROM $dict WHERE `$keyCol` = (${items(1)}\n)) > 0)"
+      else {
+        val attr = strLit(items(1), "attribute name")
+        val attrType = cols.find(_._1 == attr).map(_._2).getOrElse(
+          throw new IllegalArgumentException(
+            s"ClickHouse SQL: $fname: '$dict' has no column '$attr' — " +
+              s"available: ${cols.map(_._1).mkString(", ")}"))
+        val sub = s"(SELECT max(`$attr`) FROM $dict WHERE `$keyCol` = " +
+          s"(${items(2)}\n))"
+        val typed = lower.stripPrefix("dictget").stripSuffix("ordefault")
+        if (DictTypedDefaults.contains(typed)) {
+          val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+          val ok = typed match {
+            case "string" => attrType == StringType
+            case "float32" => attrType == FloatType
+            case "float64" => attrType == DoubleType || attrType == FloatType
+            case "date" => attrType == DateType
+            case "datetime" =>
+              attrType == TimestampType || attrType == TimestampNTZType
+            case "uint64" => integral(attrType) || attrType == DecimalType(20, 0)
+            case _ => integral(attrType)
+          }
+          if (!ok) throw new IllegalArgumentException(
+            s"ClickHouse SQL: $fname requires attribute '$attr' to carry " +
+              s"a ${typed.toUpperCase}-compatible type; the view column is " +
+              s"$attrType (ClickHouse errors on a dictGet type mismatch " +
+              "too — use dictGetOrDefault/dictGetOrNull for the untyped " +
+              "lookup)")
+          val miss = if (isOrDefault) s"(${items(3)}\n)"
+            else DictTypedDefaults(typed)
+          s"coalesce($sub, $miss)"
+        }
+        else if (isOrDefault) s"coalesce($sub, (${items(3)}\n))"
+        else sub // dictGetOrNull
+      }
+    sql.substring(0, m.start()) + repl + sql.substring(afterA)
   }
 
   // ------------------------------------------------------- 9. dateDiff
@@ -389,10 +609,22 @@ object ClickHouseSqlRewrite {
 
   // GLOBAL only before a join introducer: in ClickHouse it moves the
   // right side to every shard — pure distribution, identical results —
-  // so it strips. (GLOBAL IN is NOT handled: `global IN (...)` is also
-  // a column named global, and a guess would silently change meaning.)
+  // so it strips.
   private val GlobalJoinRe = java.util.regex.Pattern.compile(
     "(?i)\\bGLOBAL\\s+(?=(?:ANY|ALL|ASOF|SEMI|ANTI|INNER|LEFT|RIGHT|FULL|CROSS|JOIN)\\b)")
+  // `expr GLOBAL [NOT] IN (...)` — the IN spelling of the same shard
+  // distribution: semantics-neutral on a single engine, so it strips
+  // too. The hazard is `global` as a COLUMN name (`WHERE global IN
+  // (1,2)`), told apart by context: the MODIFIER always follows an
+  // expression terminator (identifier, ')', ']', a literal), while an
+  // operand `global` follows a keyword, comma, operator, or opening
+  // paren — positions that NEED an operand next.
+  private val GlobalInRe = java.util.regex.Pattern.compile(
+    "(?i)\\bGLOBAL\\s+(?=(?:NOT\\s+)?IN\\b)")
+  private val GlobalInOperandKw = Set("SELECT", "WHERE", "AND", "OR", "NOT",
+    "ON", "WHEN", "THEN", "ELSE", "BY", "HAVING", "CASE", "DISTINCT", "ALL",
+    "ANY", "SOME", "IN", "AS", "LIKE", "BETWEEN", "FROM", "JOIN", "UNION",
+    "INTERSECT", "EXCEPT", "VALUES", "SET", "RETURN", "LATERAL", "OVER")
   // ClickHouse's ALL strictness prefix is its JOIN default — strips.
   // `UNION ALL` / `= ALL (subquery)` never precede a join introducer.
   private val AllJoinRe = java.util.regex.Pattern.compile(
@@ -430,6 +662,24 @@ object ClickHouseSqlRewrite {
     if (g.find()) return sql.substring(0, g.start()) + sql.substring(g.end())
     val all = AllJoinRe.matcher(masked)
     if (all.find()) return sql.substring(0, all.start()) + sql.substring(all.end())
+    val gi = GlobalInRe.matcher(masked)
+    var giFrom = 0
+    while (gi.find(giFrom)) {
+      var p = gi.start() - 1
+      while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+      val isModifier = p >= 0 && {
+        val ch = masked.charAt(p)
+        if (ch == ')' || ch == ']' || ch == '\'' || ch == '"' || ch == '`') true
+        else if (isWordChar(ch)) {
+          var q = p
+          while (q >= 0 && isWordChar(masked.charAt(q))) q -= 1
+          !GlobalInOperandKw.contains(masked.substring(q + 1, p + 1).toUpperCase)
+        } else false
+      }
+      if (isModifier)
+        return sql.substring(0, gi.start()) + sql.substring(gi.end())
+      giFrom = gi.end()
+    }
     sql
   }
 
@@ -877,9 +1127,10 @@ object ClickHouseSqlRewrite {
             s"approx_percentile($args\n, $params\n)"
           case "quantilestiming" | "quantilesbfloat16" =>
             s"approx_percentile($args\n, array($params\n))"
-          // The Low/High variants generalize Python's median_low /
-          // median_high: the sorted element at 0-based floor(level*(n-1))
-          // resp. ceil(level*(n-1)) — stated in the kernels' usage.
+          // The Low/High variants are Python's median_low / median_high
+          // AT level 0.5 only; every other level is the sorted element
+          // at 0-based floor(level*n) for both — the kernels' usage
+          // strings state the two-branch rule.
           case "quantileexactlow" => s"graft_ch_quantile_exact_low($args\n, $params\n)"
           case "quantileexacthigh" => s"graft_ch_quantile_exact_high($args\n, $params\n)"
           // quantileDeterministic(level)(x, determinator): the
@@ -1244,19 +1495,26 @@ object ClickHouseFunctions {
     LambdaFunction(f(x), Seq(x))
   }
 
-  /** quantileExactLow/High — the sorted element at 0-based
-    * floor(level*(n-1)) resp. ceil(level*(n-1)), the generalization of
-    * Python's median_low/median_high ClickHouse documents for these
-    * variants (quantileExact's own convention is floor(level*n) — a
-    * DIFFERENT index; the three spellings are three distinct documented
-    * rules, each pinned here).
+  /** quantileExactLow/High — ClickHouse's documented rules: the
+    * median_low/median_high special case applies ONLY at level 0.5
+    * (Low: sorted index (n-1)/2; High: n/2, 0-based integer division);
+    * every OTHER level returns the sorted element at 0-based
+    * ⌊level·n⌋ (clamped to n-1) for BOTH variants — the same index
+    * quantileExact uses, NOT a (n-1)-scaled interpolation grid. E.g.
+    * level 0.25 over 4 elements is index 1 for Low and High alike;
+    * only the median distinguishes the two spellings.
     */
   private def quantileExactLowHigh(x: Expression, level: Expression,
       high: Boolean): Expression = {
     val n = Count(Seq(x)).toAggregateExpression()
-    val pos = Multiply(Cast(level, DoubleType),
-      Cast(Subtract(n, Literal(1L)), DoubleType))
-    val idx0 = if (high) Ceil(pos) else Floor(pos)
+    val lvl = Cast(level, DoubleType)
+    // level 0.5: median_low = (n-1) div 2, median_high = n div 2.
+    val medianIdx0 =
+      if (high) IntegralDivide(n, Literal(2L))
+      else IntegralDivide(Subtract(n, Literal(1L)), Literal(2L))
+    val genericIdx0 = Cast(Floor(Multiply(lvl, Cast(n, DoubleType))), LongType)
+    val idx0 = If(EqualTo(lvl, Literal(0.5d)),
+      Cast(medianIdx0, LongType), genericIdx0)
     val idx = Cast(Add(idx0, Literal(1L)), IntegerType)
     val clamped = Greatest(Seq(Literal(1),
       Least(Seq(idx, Cast(n, IntegerType)))))
@@ -1334,7 +1592,12 @@ object ClickHouseFunctions {
   }
 
   /** The shared minMap/maxMap kernel: collect non-null-key (k, v) pairs,
-    * sort the distinct keys, reduce each key's values with `red`.
+    * sort the distinct keys, reduce each key's values with `red`. Cost:
+    * the group's pairs buffer once (the groupArray class) and the
+    * finisher is O(distinct-keys × pairs) per group — fine for the
+    * small metric-map columns minMap/maxMap target; for high-cardinality
+    * keys use a two-level GROUP BY (key into the grouping) instead,
+    * the same escape hatch as topK's.
     */
   private def chMapAgg(k: Expression, v: Expression,
       red: Expression => Expression): Expression = {
@@ -1378,6 +1641,23 @@ object ClickHouseFunctions {
       }
       (op, es(2 + 2 * (j - 2) + 1))
     }
+    // COUNTING is exact only for unconstrained gaps: there the fold's
+    // earliest-completion greedy IS ClickHouse's lazy left-to-right
+    // scan (each step takes the first qualifying event; restart after
+    // the match). With a (?t op n) constraint ClickHouse's scan commits
+    // to the backtracking-order chain, whose END need not be the
+    // earliest achievable one — the restart point (and so the count)
+    // then depends on an internal matcher order ClickHouse does not
+    // document as a contract. Refusing beats silently diverging.
+    if (counting && gapSpecs.exists(_._1 != 0))
+      throw new IllegalArgumentException(
+        s"$fname: sequenceCount with a (?t op n) time constraint is not " +
+          "supported — ClickHouse's count depends on its matcher's " +
+          "internal backtracking order (which chain it commits to fixes " +
+          "where the next search restarts), not a documented semantic; " +
+          "use an unconstrained pattern, or windowFunnel for bounded-" +
+          "window step counting, or sequenceMatch for constrained " +
+          "existence (which IS exact here)")
     val conds = es.drop(2 + 2 * (k - 1))
       .map(c => Coalesce(Seq(c, Literal(false))))
     val entryType = StructType(Seq(
@@ -1478,6 +1758,23 @@ object ClickHouseFunctions {
           "mapping would silently produce different hash values and break " +
           "sharding/sampling/dedup logic ported from ClickHouse; recompute " +
           "the hashes with Spark's xxhash64/hash consistently on every side"))
+
+  /** dict* stub for extension sessions — the real mapping is a TEXT
+    * rewrite onto a scalar-subquery lookup ([[ClickHouseSqlRewrite]]'s
+    * dictGet section), which only `graft.plans.ClickHouseSql.sql` runs
+    * unconditionally; a function builder cannot emit a subquery. The
+    * stub's job is replacing Spark's generic undefined-function error
+    * with the migration pointer.
+    */
+  private def chDictError(name: String): (String, String, Seq[Expression] => Expression) =
+    (name, s"$name - dictionary lookup; only mapped through graft.plans.ClickHouseSql.sql",
+      _ => throw new IllegalArgumentException(
+        s"ClickHouse SQL: $name maps onto a scalar-subquery lookup " +
+          "against a registered view of the dictionary (FIRST column = " +
+          "key), which needs the text-rewrite path: register the " +
+          "dictionary data with createOrReplaceTempView and run the " +
+          "statement through graft.plans.ClickHouseSql.sql — or spell " +
+          "the lookup as an explicit LEFT JOIN / scalar subquery"))
 
   /** One-argument URL accessors over Spark's parse_url, with ClickHouse's
     * empty-string-not-NULL convention for absent parts. Divergence
@@ -2105,7 +2402,7 @@ object ClickHouseFunctions {
     // windowFunnel pays; at 100 TB the input should be user-keyed, where
     // group sizes are session-scale.
     ("graft_window_funnel",
-      "graft_window_funnel(window, ts, cond1, ...) - ClickHouse windowFunnel(window)(ts, conds...): longest consecutive step chain whose events all land within window of the chain's FIRST event; window is in the timestamp column's unit (TIMESTAMP = seconds, the ClickHouse DateTime convention; pass epoch micros as BIGINT for finer windows)",
+      "graft_window_funnel(window, ts, cond1, ...) - ClickHouse windowFunnel(window)(ts, conds...): longest consecutive step chain whose events all land within window of the chain's FIRST event; window is in the timestamp column's unit (TIMESTAMP = seconds, the ClickHouse DateTime convention; pass epoch micros as BIGINT for finer windows); per-group memory = that group's MATCHING events only (non-matching rows never buffer), the groupArray cost class ClickHouse's own funnel shares",
       es => {
         require(es.length >= 3, "graft_window_funnel(window, ts, cond1, ...)")
         val w = es.head
@@ -2190,7 +2487,7 @@ object ClickHouseFunctions {
     // Cost class identical to the plain kernel: the group's events
     // buffer once, the fold is a single pass.
     ("graft_window_funnel_strict",
-      "graft_window_funnel_strict(window, flags, ts, cond1, ...) - ClickHouse windowFunnel(window, modes...)(ts, conds...); flags is an integer literal bitmask: 1 = strict_order, 2 = strict_deduplication, 4 = strict_increase",
+      "graft_window_funnel_strict(window, flags, ts, cond1, ...) - ClickHouse windowFunnel(window, modes...)(ts, conds...); flags is an integer literal bitmask: 1 = strict_order, 2 = strict_deduplication, 4 = strict_increase; per-group memory = that group's matching events (strict_order buffers ALL of the group's rows - its semantics read non-matching events), single-pass fold after the sort",
       es => {
         require(es.length >= 4,
           "graft_window_funnel_strict(window, flags, ts, cond1, ...)")
@@ -2318,15 +2615,20 @@ object ClickHouseFunctions {
     // sequenceCount — the same kernel COUNTING non-overlapping chains:
     // ClickHouse "starts to search for the next chain after the current
     // chain is matched", i.e. a sequential scan that restarts after each
-    // match's END event. The fold realizes that exactly: a chain
-    // completes at the EARLIEST entry where any level-k chain becomes
-    // achievable (the (min, max) state decides achievability, and
-    // earliest-end greedy IS the restart-scan count), the counter
-    // increments, and the level state resets to EMPTY — the completing
-    // entry is fully consumed (its other condition bits do not seed the
-    // next segment, matching restart-AFTER-the-matched-event).
+    // match's END event. UNCONSTRAINED gaps only: there each scan step
+    // takes the first qualifying event (ClickHouse's matcher is lazy),
+    // so the committed match ends at the earliest achievable entry and
+    // the fold — complete at the earliest level-k achievability,
+    // count++, reset the level state to EMPTY (the completing entry is
+    // fully consumed; its other condition bits do not seed the next
+    // segment) — IS the restart-scan count. A (?t op n) constraint
+    // makes the committed chain depend on the matcher's backtracking
+    // order, which ClickHouse does not document as a contract — that
+    // form is a NAMED ERROR in the kernel (sequenceMatch existence
+    // stays exact for every constraint type: achievability is
+    // order-independent).
     ("graft_ch_seq_count",
-      "graft_ch_seq_count(ts, k, op_2, n_2, ..., op_k, n_k, cond_1, ..., cond_k) - ClickHouse sequenceCount('(?1).*[(?t op n)](?2)...'): number of non-overlapping chains, searching left to right and restarting after each match",
+      "graft_ch_seq_count(ts, k, op_2, n_2, ..., op_k, n_k, cond_1, ..., cond_k) - ClickHouse sequenceCount('(?1).*(?2)...'): number of non-overlapping chains, searching left to right and restarting after each match; UNCONSTRAINED gaps only (op codes must be 0 - a time-constrained count depends on ClickHouse's internal backtracking order)",
       es => seqKernel("graft_ch_seq_count", es, counting = true)),
     // arrayCount folds with ArrayAggregate rather than size(filter(…)):
     // the analyzer requires a call that was GIVEN a lambda argument to
@@ -2472,11 +2774,11 @@ object ClickHouseFunctions {
       es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")
         quantileExactElement(es(0), es(1)) }),
     ("graft_ch_quantile_exact_low",
-      "graft_ch_quantile_exact_low(x, level) - ClickHouse quantileExactLow: the sorted element at 0-based floor(level*(n-1)) (generalizes Python median_low)",
+      "graft_ch_quantile_exact_low(x, level) - ClickHouse quantileExactLow: Python median_low (sorted index (n-1) div 2) at level 0.5; any other level returns the sorted element at 0-based floor(level*n), clamped",
       es => { require(es.length == 2, "graft_ch_quantile_exact_low(x, level)")
         quantileExactLowHigh(es(0), es(1), high = false) }),
     ("graft_ch_quantile_exact_high",
-      "graft_ch_quantile_exact_high(x, level) - ClickHouse quantileExactHigh: the sorted element at 0-based ceil(level*(n-1)) (generalizes Python median_high)",
+      "graft_ch_quantile_exact_high(x, level) - ClickHouse quantileExactHigh: Python median_high (sorted index n div 2) at level 0.5; any other level returns the sorted element at 0-based floor(level*n), clamped",
       es => { require(es.length == 2, "graft_ch_quantile_exact_high(x, level)")
         quantileExactLowHigh(es(0), es(1), high = true) }),
     // `median` is deliberately NOT mapped: Spark's own `median` (exact,
@@ -2727,6 +3029,17 @@ object ClickHouseFunctions {
     chHashError("farmFingerprint64"), chHashError("halfMD5"),
     chHashError("xxHash32"), chHashError("xxHash64"),
     chHashError("intHash32"), chHashError("intHash64"),
+    // dict* on an extension session: the mapping needs a TEXT rewrite
+    // (the lookup becomes a scalar subquery, which a function builder
+    // cannot emit) — these stubs turn Spark's generic undefined-function
+    // failure into the actionable pointer. Through ClickHouseSql.sql the
+    // rewrite replaces the calls before analysis, so the stubs never fire
+    // there.
+    chDictError("dictGet"), chDictError("dictGetOrDefault"),
+    chDictError("dictGetOrNull"), chDictError("dictHas"),
+    chDictError("dictGetString"), chDictError("dictGetInt64"),
+    chDictError("dictGetUInt64"), chDictError("dictGetFloat64"),
+    chDictError("dictGetDate"), chDictError("dictGetDateTime"),
     // ---------------- date arithmetic (r11)
     ("toMonday", "toMonday(x) - the Monday of x's week, as DATE (exactly Spark trunc('week'))",
       one(e => TruncDate(Cast(e, DateType), Literal("WEEK")))),
@@ -2735,7 +3048,7 @@ object ClickHouseFunctions {
     ("toQuarter", "toQuarter(x) - quarter 1-4", one(e => Quarter(Cast(e, DateType)))),
     ("toDayOfYear", "toDayOfYear(x) - day of year 1-366",
       one(e => DayOfYear(Cast(e, DateType)))),
-    ("toDayOfWeek", "toDayOfWeek(x[, mode]) - day of week; mode 0 (default): Mon=1..Sun=7, 1: Mon=0..Sun=6, 2: Sun=1..Sat=7, 3: Sun=0..Sat=6",
+    ("toDayOfWeek", "toDayOfWeek(x[, mode]) - day of week; mode 0 (default): Mon=1..Sun=7, 1: Mon=0..Sun=6, 2: Sun=0..Sat=6, 3: Sun=1..Sat=7",
       es => {
         def dd(e: Expression) = Cast(e, DateType)
         es match {
@@ -2743,8 +3056,11 @@ object ClickHouseFunctions {
           case Seq(d, Literal(m: Int, IntegerType)) if m >= 0 && m <= 3 => m match {
             case 0 => Add(WeekDay(dd(d)), Literal(1))
             case 1 => WeekDay(dd(d))
-            case 2 => DayOfWeek(dd(d))
-            case 3 => Subtract(DayOfWeek(dd(d)), Literal(1))
+            // ClickHouse's mode table: 2 = week starts Sunday, 0-based
+            // (Sun=0..Sat=6); 3 = week starts Sunday, 1-based
+            // (Sun=1..Sat=7). Spark's DayOfWeek is Sun=1..Sat=7.
+            case 2 => Subtract(DayOfWeek(dd(d)), Literal(1))
+            case 3 => DayOfWeek(dd(d))
           }
           case _ => throw new IllegalArgumentException(
             "toDayOfWeek(x[, mode]) - mode must be an integer literal 0-3 " +
@@ -3206,7 +3522,26 @@ object ClickHouseFunctions {
           case other => throw new IllegalArgumentException(
             s"accurateCastOrNull: unsupported type '$other'")
         }
-        TryEval(Cast(es.head, dt, None, EvalMode.ANSI))
+        val tryCast = TryEval(Cast(es.head, dt, None, EvalMode.ANSI))
+        // The UInt targets land on wider SIGNED Spark types (UInt64 →
+        // Decimal(20,0), UInt32 → BIGINT), so the ANSI cast alone would
+        // accept values outside the unsigned range — ClickHouse returns
+        // NULL for those, and the usage string promises the same. Guard
+        // with the exact unsigned bounds.
+        val uintBounds: Option[(Expression, Expression)] =
+          if (tname.equalsIgnoreCase("UInt64"))
+            Some((Literal(Decimal(BigDecimal(0)), DecimalType(20, 0)),
+              Literal(Decimal(BigDecimal("18446744073709551615")),
+                DecimalType(20, 0))))
+          else if (tname.equalsIgnoreCase("UInt32"))
+            Some((Literal(0L), Literal(4294967295L)))
+          else None
+        uintBounds match {
+          case None => tryCast
+          case Some((lo, hi)) =>
+            If(Or(LessThan(tryCast, lo), GreaterThan(tryCast, hi)),
+              Literal.create(null, dt), tryCast)
+        }
       }),
     ("countSubstringsCaseInsensitive", "countSubstringsCaseInsensitive(haystack, needle) - case-folded non-overlapping occurrences, as BIGINT",
       es => { require(es.length == 2, "countSubstringsCaseInsensitive(haystack, needle)")
@@ -3376,9 +3711,19 @@ object ClickHouseFunctions {
 object ClickHouseWithFill {
   import AsOfSqlRewrite.{isWordChar, mask}
 
+  /** `from`/`to`/`step` carry the INTEGRAL spellings (epoch-day /
+    * epoch-second semantics on date axes, matching ClickHouse's
+    * integer-backed Date/DateTime types); `fromLit`/`toLit` carry a
+    * quoted date/datetime literal bound (evaluated against the session
+    * at apply time, so the session time zone governs), and
+    * `stepInterval` the `STEP INTERVAL n UNIT` form — both only legal
+    * on DATE/TIMESTAMP fill keys.
+    */
   final case class FillSpec(column: String, from: Option[Long],
       to: Option[Long], step: Long, interpolate: Seq[String] = Seq.empty,
-      exprs: Map[String, String] = Map.empty)
+      exprs: Map[String, String] = Map.empty,
+      fromLit: Option[String] = None, toLit: Option[String] = None,
+      stepInterval: Option[(Long, String)] = None)
 
   private val FillRe = java.util.regex.Pattern.compile(
     "(?i)\\bWITH\\s+FILL\\b")
@@ -3451,29 +3796,107 @@ object ClickHouseWithFill {
     if (!IdentRe.matcher(expr).matches()) fail(
       s"the WITH FILL key must be a named output column, got: $expr — " +
         "alias the expression in the select list")
-    // Options: FROM / TO / STEP, each a literal integer, in order.
+    // Options: FROM / TO / STEP, in order. Each bound is a literal
+    // integer (integral fill keys), or — for DATE/DateTime keys — a
+    // quoted date/datetime string, optionally wrapped in
+    // toDate(...)/toDateTime(...); STEP additionally takes the
+    // `INTERVAL n UNIT` form.
     var i = m.end()
-    def skipWs(): Unit = { while (i < masked.length && masked.charAt(i).isWhitespace) i += 1 }
+    // RAW-side whitespace skip: the masked text blanks string literals
+    // (quotes included) to spaces, so a masked-side skip would silently
+    // jump over a quoted date bound; raw whitespace is a strict subset.
+    def skipWs(): Unit = { while (i < sql.length && sql.charAt(i).isWhitespace) i += 1 }
     def word(kw: String): Boolean = {
       skipWs()
       masked.regionMatches(true, i, kw, 0, kw.length) &&
         (i + kw.length >= masked.length || !isWordChar(masked.charAt(i + kw.length)))
     }
-    def long(what: String): Long = {
+    def tryLong(): Option[Long] = {
       skipWs()
       val s = i
       if (i < masked.length && (masked.charAt(i) == '-' || masked.charAt(i) == '+')) i += 1
       while (i < masked.length && masked.charAt(i).isDigit) i += 1
-      if (i == s || (i == s + 1 && !masked.charAt(s).isDigit)) fail(
-        s"WITH FILL $what must be a literal integer")
-      sql.substring(s, i).toLong
+      if (i == s || (i == s + 1 && !masked.charAt(s).isDigit)) { i = s; None }
+      else Some(sql.substring(s, i).toLong)
     }
+    // A quoted literal is BLANKED in the masked text, so the scan reads
+    // the RAW sql for the quote span; the optional toDate/toDateTime
+    // wrapper is dropped (the bound evaluates through CAST at apply
+    // time, which is what those functions map to anyway).
+    def tryDateLit(what: String): Option[String] = {
+      // RAW-side leading skip — the masked text blanks a bare quoted
+      // literal to spaces, so the masked skip would jump past it.
+      while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      var j = i
+      var wrapped = false
+      if (masked.regionMatches(true, j, "toDateTime", 0, 10)) { j += 10; wrapped = true }
+      else if (masked.regionMatches(true, j, "toDate", 0, 6)) { j += 6; wrapped = true }
+      // Whitespace skips and the quote scan read the RAW sql: the masked
+      // text blanks the literal INCLUDING its quotes, so a masked-side
+      // skip would swallow the whole bound.
+      if (wrapped) {
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j >= sql.length || sql.charAt(j) != '(') return None
+        j += 1
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+      }
+      if (j >= sql.length || sql.charAt(j) != '\'') return None
+      val q0 = j
+      j += 1
+      while (j < sql.length && sql.charAt(j) != '\'') j += 1
+      if (j >= sql.length) fail(s"WITH FILL $what: unterminated string literal")
+      val lit = sql.substring(q0, j + 1)
+      j += 1
+      if (wrapped) {
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j >= sql.length || sql.charAt(j) != ')') fail(
+          s"WITH FILL $what: malformed toDate(...)/toDateTime(...) bound")
+        j += 1
+      }
+      i = j
+      Some(lit)
+    }
+    def bound(what: String): (Option[Long], Option[String]) =
+      tryLong() match {
+        case Some(v) => (Some(v), None)
+        case None => tryDateLit(what) match {
+          case Some(l) => (None, Some(l))
+          case None => fail(
+            s"WITH FILL $what must be a literal integer, a quoted " +
+              "date/datetime string, or toDate('...')/toDateTime('...')")
+        }
+      }
     var from: Option[Long] = None
     var to: Option[Long] = None
+    var fromLit: Option[String] = None
+    var toLit: Option[String] = None
     var step = 1L
-    if (word("FROM")) { i += 4; from = Some(long("FROM")) }
-    if (word("TO")) { i += 2; to = Some(long("TO")) }
-    if (word("STEP")) { i += 4; step = long("STEP") }
+    var stepInterval: Option[(Long, String)] = None
+    if (word("FROM")) { i += 4; val b = bound("FROM"); from = b._1; fromLit = b._2 }
+    if (word("TO")) { i += 2; val b = bound("TO"); to = b._1; toLit = b._2 }
+    if (word("STEP")) {
+      i += 4
+      if (word("INTERVAL")) {
+        i += 8
+        val n = tryLong().getOrElse(fail(
+          "WITH FILL STEP INTERVAL needs a literal integer count"))
+        skipWs()
+        val u0 = i
+        while (i < masked.length && isWordChar(masked.charAt(i))) i += 1
+        val unit = masked.substring(u0, i).toUpperCase
+        if (Set("MONTH", "QUARTER", "YEAR").contains(unit)) fail(
+          s"WITH FILL STEP INTERVAL $n $unit is not a fixed stride " +
+            "(months vary in length, so the re-anchored progression is " +
+            "not an integer grid) — fill on a toYYYYMM/epoch-month " +
+            "integer axis and convert in an outer query")
+        if (!Set("SECOND", "MINUTE", "HOUR", "DAY", "WEEK").contains(unit))
+          fail(s"WITH FILL STEP INTERVAL: unknown unit '$unit' — " +
+            "SECOND/MINUTE/HOUR/DAY/WEEK")
+        if (n <= 0) fail("WITH FILL STEP must be a positive interval")
+        stepInterval = Some((n, unit))
+      } else step = tryLong().getOrElse(fail(
+        "WITH FILL STEP must be a literal integer or INTERVAL n UNIT"))
+    }
     if (step <= 0) fail("WITH FILL STEP must be a positive integer")
     // INTERPOLATE [(col [AS expr], …)] — bare columns carry the
     // previous row's value; `col AS expr` applies the expression to the
@@ -3555,7 +3978,8 @@ object ClickHouseWithFill {
         "AFTER the fill; put it in an outer query")
     (sql.substring(0, orderIdx),
       Some(FillSpec(expr, from, to, step,
-        if (bareInterp) Seq("*") else interp, exprMap)))
+        if (bareInterp) Seq("*") else interp, exprMap,
+        fromLit, toLit, stepInterval)))
   }
 
   /** An `INTERPOLATE col AS expr` expression may reference only the
@@ -3624,6 +4048,17 @@ object ClickHouseWithFill {
     * types take NULL, documented divergence); result = union, sorted by
     * the fill key.
     *
+    * DATE/TIMESTAMP fill keys (r12) ride the SAME integer kernel
+    * losslessly: DATE as epoch days (`STEP INTERVAL n DAY/WEEK`, or a
+    * plain integer STEP = n days — ClickHouse's Date IS a day integer),
+    * TIMESTAMP as epoch MICROseconds (`SECOND/MINUTE/HOUR/DAY/WEEK`
+    * strides; plain STEP n = n seconds, the DateTime epoch-second
+    * integer), so an off-grid sub-second row re-anchors exactly.
+    * MONTH/QUARTER/YEAR strides are a named error (not fixed strides —
+    * fill an epoch-month integer axis instead). Literal FROM/TO bounds
+    * (`'2024-01-01'` / `toDate('...')`) evaluate through the session —
+    * its time zone governs, exactly as a CAST inside the query would.
+    *
     * Scale: the lead window runs single-partition over the DISTINCT key
     * set only — the fill axis is a report dimension whose cardinality is
     * bounded by its [min, max] span, not by the data; payload rows are
@@ -3635,14 +4070,66 @@ object ClickHouseWithFill {
     import org.apache.spark.sql.functions._
     val field = df.schema.fields.find(_.name == spec.column).getOrElse(fail(
       s"the WITH FILL key ${spec.column} is not an output column of the query"))
-    field.dataType match {
-      case ByteType | ShortType | IntegerType | LongType => ()
+    // The fill axis is always an integer progression internally;
+    // DATE/TIMESTAMP keys ride it losslessly as epoch days / epoch
+    // MICROseconds (micros, not seconds, so sub-second real rows
+    // re-anchor exactly), with `back` converting generated values to
+    // the column type. Literal date bounds evaluate through the
+    // SESSION (one 1-row local eval) so its time zone governs —
+    // exactly what a CAST in the query itself would see.
+    def evalBound(lit: String, castTo: String, toAxis: String): Long =
+      df.sparkSession.range(1)
+        .selectExpr(s"CAST($toAxis(CAST($lit AS $castTo)) AS BIGINT) AS b")
+        .head().getLong(0)
+    val (key, back, s, fromAxis, toAxis): (Column, Column => Column,
+        Long, Option[Long], Option[Long]) = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        if (spec.stepInterval.isDefined) fail(
+          "WITH FILL STEP INTERVAL needs a DATE/DateTime fill key; " +
+            s"${spec.column} is ${field.dataType.simpleString} — use a " +
+            "plain integer STEP")
+        if (spec.fromLit.isDefined || spec.toLit.isDefined) fail(
+          "WITH FILL date-literal bounds need a DATE/DateTime fill key; " +
+            s"${spec.column} is ${field.dataType.simpleString}")
+        (col(spec.column).cast(LongType),
+          (c: Column) => c.cast(field.dataType),
+          spec.step, spec.from, spec.to)
+      case DateType =>
+        val stepDays = spec.stepInterval match {
+          case None => spec.step // ClickHouse Date is day-integer: STEP n = n days
+          case Some((n, "DAY")) => n
+          case Some((n, "WEEK")) => n * 7L
+          case Some((n, u)) => fail(
+            s"WITH FILL STEP INTERVAL $n $u on a DATE key — sub-day " +
+              "strides need a DateTime key (cast the axis to DateTime)")
+        }
+        def b(lit: Option[String], intF: Option[Long]) =
+          intF.orElse(lit.map(evalBound(_, "DATE", "unix_date")))
+        (unix_date(col(spec.column)).cast(LongType),
+          (c: Column) => date_from_unix_date(c.cast(IntegerType)),
+          stepDays,
+          b(spec.fromLit, spec.from), b(spec.toLit, spec.to))
+      case TimestampType =>
+        val unitMicros = Map("SECOND" -> 1000000L, "MINUTE" -> 60000000L,
+          "HOUR" -> 3600000000L, "DAY" -> 86400000000L,
+          "WEEK" -> 604800000000L)
+        val stepUs = spec.stepInterval match {
+          // ClickHouse DateTime is epoch-second-integer: STEP n = n s.
+          case None => spec.step * 1000000L
+          case Some((n, u)) => n * unitMicros(u)
+        }
+        def b(lit: Option[String], intF: Option[Long]) =
+          intF.map(_ * 1000000L) // integer bound = epoch seconds, the CH DateTime value
+            .orElse(lit.map(evalBound(_, "TIMESTAMP", "unix_micros")))
+        (unix_micros(col(spec.column)),
+          (c: Column) => timestamp_micros(c),
+          stepUs,
+          b(spec.fromLit, spec.from), b(spec.toLit, spec.to))
       case other => fail(
-        s"the WITH FILL key must be integral, got $other — fill over an " +
-          "epoch-day/epoch-second integer and convert in an outer query")
+        s"the WITH FILL key must be integral, DATE, or TIMESTAMP, got " +
+          s"$other — fill over an epoch integer and convert in an outer " +
+          "query")
     }
-    val key = col(spec.column).cast(LongType)
-    val s = spec.step
     val keys = df.select(key.as("__k")).where(col("__k").isNotNull).distinct()
     val gaps = keys.select(col("__k"),
       lead(col("__k"), 1).over(
@@ -3656,12 +4143,12 @@ object ClickHouseWithFill {
       .select(posexplode(sequence(col("__k") + s, col("__next") - 1, lit(s)))
         .as(posV))
     val bounds = df.agg(min(key).as("__min"), max(key).as("__max"))
-    val leading = spec.from.map { f =>
+    val leading = fromAxis.map { f =>
       bounds.where(col("__min").isNotNull && lit(f) <= col("__min") - 1)
         .select(posexplode(sequence(lit(f), col("__min") - 1, lit(s)))
           .as(posV))
     }
-    val trailing = spec.to.map { t =>
+    val trailing = toAxis.map { t =>
       bounds.where(col("__max").isNotNull && col("__max") + s <= lit(t - 1))
         .select(posexplode(sequence(col("__max") + s, lit(t - 1), lit(s)))
           .as(posV))
@@ -3694,7 +4181,7 @@ object ClickHouseWithFill {
     }
     val interpSet = interp.toSet
     val fills = missing.select((df.schema.fields.toSeq.map { f =>
-      if (f.name == spec.column) col("__graft_fill_v").cast(f.dataType).as(f.name)
+      if (f.name == spec.column) back(col("__graft_fill_v")).as(f.name)
       else if (interpSet(f.name)) lit(null).cast(f.dataType).as(f.name)
       else chDefault(f.dataType).as(f.name)
     } :+ col("__graft_fill_pos")): _*)

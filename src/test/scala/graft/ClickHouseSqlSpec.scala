@@ -515,6 +515,29 @@ class ClickHouseSqlSpec extends SparkSpec {
     // a modifier — untouched.
     val inert = "SELECT global FROM t WHERE x = ANY (SELECT y FROM u)"
     assert(ClickHouseSqlRewrite(inert) == inert)
+    // GLOBAL IN — the IN spelling of the same shard distribution — also
+    // strips, in every operand shape (identifier, parenthesized
+    // expression, NOT IN)…
+    assert(ClickHouseSqlRewrite(
+      "SELECT * FROM a WHERE k GLOBAL IN (SELECT k FROM b)")
+      == "SELECT * FROM a WHERE k IN (SELECT k FROM b)")
+    assert(ClickHouseSqlRewrite(
+      "SELECT * FROM a WHERE (x + y) GLOBAL NOT IN (1, 2)")
+      == "SELECT * FROM a WHERE (x + y) NOT IN (1, 2)")
+    assert(ClickHouseSqlRewrite(
+      "SELECT * FROM a WHERE a.k GLOBAL IN (1) AND j GLOBAL IN (2)")
+      == "SELECT * FROM a WHERE a.k IN (1) AND j IN (2)")
+    // …but a COLUMN named global used as the IN operand is untouched:
+    // the modifier form always follows an expression terminator, never
+    // a keyword/comma/open-paren that needs an operand next.
+    val inertIn = "SELECT global FROM t WHERE global IN (1, 2)"
+    assert(ClickHouseSqlRewrite(inertIn) eq inertIn)
+    val inertIn2 = "SELECT a FROM t WHERE x = 1 AND global NOT IN (1) " +
+      "AND (global IN (2) OR global IN (3))"
+    assert(ClickHouseSqlRewrite(inertIn2) eq inertIn2)
+    val inertIn3 = "SELECT a, global IN (1, 2) AS flag FROM t " +
+      "GROUP BY a, global HAVING global IN (1)"
+    assert(ClickHouseSqlRewrite(inertIn3) eq inertIn3)
     val any = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k"))
     assert(any.getMessage.contains("arbitrary"), any.getMessage)
@@ -639,6 +662,80 @@ class ClickHouseSqlSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSeq
     assert(bounded == Seq(-3L, -1L, 0L, 2L, 4L, 5L, 7L, 9L, 11L, 12L, 14L, 16L),
       bounded)
+  }
+
+  test("execution: WITH FILL over DATE keys — STEP INTERVAL n DAY, date-literal FROM/TO, INTERPOLATE carries") {
+    Seq(("2024-01-01", 10L), ("2024-01-04", 20L), ("2024-01-05", 30L))
+      .toDF("ds", "v").selectExpr("CAST(ds AS DATE) AS d", "v")
+      .createOrReplaceTempView("chfill_d")
+    // Interior daily fill: 01-02, 01-03 generate with v = 0.
+    val daily = ClickHouseSql.sql(spark,
+      "SELECT d, v FROM chfill_d ORDER BY d WITH FILL STEP INTERVAL 1 DAY")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(daily == Seq(("2024-01-01", 10L), ("2024-01-02", 0L),
+      ("2024-01-03", 0L), ("2024-01-04", 20L), ("2024-01-05", 30L)), daily)
+    // Date-literal FROM/TO (toDate wrapper and bare string both): TO is
+    // exclusive, leading fills anchor at FROM, trailing at the last row.
+    val bounded = ClickHouseSql.sql(spark,
+      "SELECT d, v FROM chfill_d ORDER BY d WITH FILL " +
+        "FROM toDate('2023-12-30') TO '2024-01-08' STEP INTERVAL 2 DAY")
+      .collect().map(_.getDate(0).toString).toSeq
+    assert(bounded == Seq("2023-12-30", "2024-01-01", "2024-01-03",
+      "2024-01-04", "2024-01-05", "2024-01-07"), bounded)
+    // Plain integer STEP on a DATE key = n days (ClickHouse's Date IS a
+    // day integer); INTERPOLATE carries the previous real value.
+    val interp = ClickHouseSql.sql(spark,
+      "SELECT d, v FROM chfill_d ORDER BY d WITH FILL STEP 1 INTERPOLATE (v)")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toSeq
+    assert(interp == Seq(("2024-01-01", 10L), ("2024-01-02", 10L),
+      ("2024-01-03", 10L), ("2024-01-04", 20L), ("2024-01-05", 30L)), interp)
+  }
+
+  test("execution: WITH FILL over TIMESTAMP keys — hourly strides re-anchor at off-grid rows on the micros axis") {
+    Seq(("2024-01-01 00:00:00", 1L), ("2024-01-01 02:30:00", 2L),
+        ("2024-01-01 07:00:00", 3L))
+      .toDF("ss", "v").selectExpr("CAST(ss AS TIMESTAMP) AS ts", "v")
+      .createOrReplaceTempView("chfill_t")
+    // STEP INTERVAL 2 HOUR re-anchors at the off-grid 02:30 row: the
+    // next fills are 04:30 and 06:30 (not the 04:00/06:00 grid).
+    val rows = ClickHouseSql.sql(spark,
+      "SELECT ts, v FROM chfill_t ORDER BY ts WITH FILL STEP INTERVAL 2 HOUR")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(rows == Seq(
+      ("2024-01-01 00:00:00.0", 1L), ("2024-01-01 02:00:00.0", 0L),
+      ("2024-01-01 02:30:00.0", 2L), ("2024-01-01 04:30:00.0", 0L),
+      ("2024-01-01 06:30:00.0", 0L), ("2024-01-01 07:00:00.0", 3L)), rows)
+    // Plain STEP n on a DateTime key = n SECONDS (the epoch-second
+    // integer ClickHouse's DateTime is), and a datetime-literal TO
+    // bounds trailing fills.
+    val secs = ClickHouseSql.sql(spark,
+      "SELECT ts, v FROM chfill_t WHERE v >= 2 ORDER BY ts WITH FILL " +
+        "TO toDateTime('2024-01-01 08:30:00') STEP 3600")
+      .collect().map(_.getTimestamp(0).toString).toSeq
+    assert(secs == Seq("2024-01-01 02:30:00.0", "2024-01-01 03:30:00.0",
+      "2024-01-01 04:30:00.0", "2024-01-01 05:30:00.0",
+      "2024-01-01 06:30:00.0", "2024-01-01 07:00:00.0",
+      "2024-01-01 08:00:00.0"), secs)
+  }
+
+  test("rewrite: WITH FILL date-axis named errors — MONTH strides, INTERVAL on integral keys, sub-day on DATE") {
+    Seq((1L, 1L)).toDF("k", "v").createOrReplaceTempView("chfill_err")
+    Seq(("2024-01-01", 1L)).toDF("ds", "v")
+      .selectExpr("CAST(ds AS DATE) AS d", "v")
+      .createOrReplaceTempView("chfill_err_d")
+    def err(q: String): String =
+      intercept[IllegalArgumentException](
+        ClickHouseSql.sql(spark, q).collect()).getMessage
+    assert(err("SELECT d, v FROM chfill_err_d ORDER BY d WITH FILL STEP INTERVAL 1 MONTH")
+      .contains("not a fixed stride"))
+    assert(err("SELECT k, v FROM chfill_err ORDER BY k WITH FILL STEP INTERVAL 1 DAY")
+      .contains("needs a DATE/DateTime fill key"))
+    assert(err("SELECT k, v FROM chfill_err ORDER BY k WITH FILL FROM '2024-01-01'")
+      .contains("date-literal bounds need"))
+    assert(err("SELECT d, v FROM chfill_err_d ORDER BY d WITH FILL STEP INTERVAL 2 HOUR")
+      .contains("sub-day"))
+    assert(err("SELECT k, v FROM chfill_err ORDER BY k WITH FILL FROM lo")
+      .contains("literal integer"))
   }
 
   test("execution: topK is exact top-N by frequency with a deterministic tiebreak; sumMap pairs sorted keys with sums") {
@@ -1041,12 +1138,15 @@ class ClickHouseSqlSpec extends SparkSpec {
     groups.flatMap { case (g, evs) =>
       evs.map(e => (g, e._1, e._2, e._3, e._4))
     }.toDF("g", "t", "c1", "c2", "c3").createOrReplaceTempView("chsc_diff")
+    // Unconstrained patterns only: time-constrained sequenceCount is a
+    // named error (ClickHouse's count there depends on its matcher's
+    // backtracking order — see the kernel's scaladoc), pinned below.
     val cases = Seq(
       ("'(?1)'", Seq(1), Seq.empty[(Int, Long)]),
       ("'(?1).*(?2)'", Seq(1, 2), Seq((0, 0L))),
-      ("'(?1).*(?t<=4)(?2)'", Seq(1, 2), Seq((1, 4L))),
+      ("'(?2).*(?1)'", Seq(2, 1), Seq((0, 0L))),
       ("'(?1).*(?2).*(?3)'", Seq(1, 2, 3), Seq((0, 0L), (0, 0L))),
-      ("'(?2).*(?t>3)(?1).*(?3)'", Seq(2, 1, 3), Seq((4, 3L), (0, 0L))))
+      ("'(?3).*(?1).*(?2)'", Seq(3, 1, 2), Seq((0, 0L), (0, 0L))))
     for ((pat, needs, gaps) <- cases) {
       val got = ClickHouseSql.sql(spark,
         s"SELECT g, sequenceCount($pat)(t, c1, c2, c3) AS n " +
@@ -1084,6 +1184,21 @@ class ClickHouseSqlSpec extends SparkSpec {
         "FROM chsc_hand GROUP BY u")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(sc == Map(1L -> 1, 2L -> 2, 3L -> 0), sc)
+    // Time-constrained sequenceCount is a NAMED error: the committed
+    // chain (and so the restart point) depends on ClickHouse's internal
+    // backtracking order. sequenceMatch with the same pattern stays
+    // exact (existence is order-independent).
+    val e = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT u, sequenceCount('(?1).*(?t<=4)(?2)')(t, a, b) AS n " +
+        "FROM chsc_hand GROUP BY u").collect())
+    val eMsg = e.getMessage +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(eMsg.contains("backtracking order"), e.getMessage)
+    val okMatch = ClickHouseSql.sql(spark,
+      "SELECT u, sequenceMatch('(?1).*(?t<=4)(?2)')(t, a, b) AS m " +
+        "FROM chsc_hand GROUP BY u")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(okMatch == Map(1L -> true, 2L -> true, 3L -> false), okMatch)
     // topKWeighted: weight sums 5→6, 7→5, 2→9 → top2 = [2, 5]; the
     // 9-vs-... no tie here; add a tie: 4 with sum 6 ties 5 → value asc
     // puts 4 first. Null value drops; null weight counts 0.
@@ -1350,7 +1465,7 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(8) == "x " && r.getString(9) == "  x" && r.getString(10) == "x", r)
   }
 
-  test("rewrite: LIMIT offset,count paginates; FORMAT strips; WITH TIES is a named error") {
+  test("rewrite: LIMIT offset,count paginates; FORMAT strips; WITH TIES rewrites to a rank filter") {
     assert(ClickHouseSqlRewrite("SELECT a FROM t ORDER BY a LIMIT 20, 10")
       == "SELECT a FROM t ORDER BY a LIMIT 10 OFFSET 20")
     assert(ClickHouseSqlRewrite("SELECT a FROM t ORDER BY a LIMIT 5 FORMAT JSON")
@@ -1360,9 +1475,19 @@ class ClickHouseSqlSpec extends SparkSpec {
     // A column merely NAMED format is not the clause (nothing follows it).
     val inert = "SELECT format FROM t ORDER BY format"
     assert(ClickHouseSqlRewrite(inert) eq inert)
-    val ties = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
-      "SELECT a FROM t ORDER BY a LIMIT 5 WITH TIES"))
-    assert(ties.getMessage.contains("rank()"), ties.getMessage)
+    // WITH TIES → the projected-sort rank wrap, filter rank <= n.
+    val ties = ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 5 WITH TIES")
+    assert(ties.contains("rank() OVER (ORDER BY __graft_ob_1") &&
+      ties.contains("__graft_ties_rk <= 5"), ties)
+    // Its offset form and the no-ORDER-BY form stay NAMED errors.
+    val tiesOff = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 2, 5 WITH TIES"))
+    assert(tiesOff.getMessage.contains("tie-groups"), tiesOff.getMessage)
+    val tiesNoOb = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT a FROM t LIMIT 5 WITH TIES"))
+    assert(tiesNoOb.getMessage.contains("requires an ORDER BY"),
+      tiesNoOb.getMessage)
     // LIMIT o, n BY routes to rewriteLimitBy's rank-window wrap with the
     // (o, o+n] filter — NOT to the pagination LIMIT/OFFSET rewrite.
     val offBy = ClickHouseSqlRewrite(
@@ -1373,6 +1498,70 @@ class ClickHouseSqlSpec extends SparkSpec {
       "SELECT a FROM t ORDER BY a LIMIT 3 OFFSET 2 BY k")
     assert(offKw.contains("__graft_limit_by_rn > 2 AND __graft_limit_by_rn <= 5"),
       offKw)
+  }
+
+  test("execution: dict* functions map onto scalar-subquery lookups; plain dictGet and mismatches are named errors") {
+    Seq((1L, "alpha", 10L), (2L, "beta", 20L), (4L, "delta", 40L))
+      .toDF("id", "name", "score").createOrReplaceTempView("chdict")
+    val r = ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  dictGetOrDefault('chdict', 'name', k, 'NONE') AS nm,
+        |  dictGetOrNull('chdict', 'score', k) AS sc,
+        |  dictHas('chdict', k) AS has,
+        |  dictGetString('chdict', 'name', k) AS nm2,
+        |  dictGetInt64('chdict', 'score', k) AS sc2,
+        |  dictGetInt64OrDefault('chdict', 'score', k, -1) AS sc3
+        |FROM (SELECT explode(array(1, 3, 4)) AS k)
+        |ORDER BY k""".stripMargin).collect()
+    val got = r.map(row => (row.getInt(0), row.getString(1),
+      if (row.isNullAt(2)) -99L else row.getLong(2), row.getBoolean(3),
+      row.getString(4), row.getLong(5), row.getLong(6))).toSeq
+    // Hit rows carry the attribute; the miss row (k=3) takes the
+    // explicit default / NULL / false / the TYPED miss value ('' and 0 —
+    // the ClickHouse flat/hashed miss semantics the typed name pins).
+    assert(got == Seq(
+      (1, "alpha", 10L, true, "alpha", 10L, 10L),
+      (3, "NONE", -99L, false, "", 0L, -1L),
+      (4, "delta", 40L, true, "delta", 40L, 40L)), got.mkString("; "))
+    def err(q: String): String = {
+      val e = intercept[Exception](ClickHouseSql.sql(spark, q).collect())
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    }
+    // Plain dictGet: the miss value is the ATTRIBUTE type's default,
+    // which only the dictionary DDL knows — named error.
+    assert(err("SELECT dictGet('chdict', 'name', 1)")
+      .contains("dictGetOrDefault"), "plain dictGet must name the fix")
+    assert(err("SELECT dictGetOrNull('chdict', 'nope', 1)")
+      .contains("no column 'nope'"), "unknown attribute must be named")
+    assert(err("SELECT dictGetOrNull('nosuchdict', 'a', 1)")
+      .contains("createOrReplaceTempView"), "unknown dict must be named")
+    // Typed form against an incompatible column type: named error, not a
+    // silent cast (ClickHouse errors on the mismatch too).
+    assert(err("SELECT dictGetInt64('chdict', 'name', 1)")
+      .contains("compatible type"), "type mismatch must be named")
+    assert(err("SELECT dictGetHierarchy('chdict', 1)")
+      .contains("recursive CTE"), "hierarchy must point at the CTE spelling")
+  }
+
+  test("execution: LIMIT n WITH TIES keeps the whole tie-group of the n-th row") {
+    // Sorted keys: 1, 1, 2, 2, 2, 3 — LIMIT 3 must keep all three 2s
+    // (the 3rd row's tie-group spans rows 3-5); LIMIT 2 stops at the
+    // 1s; LIMIT 6 is the whole set; LIMIT 1 keeps both 1s.
+    Seq((1L, "a"), (1L, "b"), (2L, "c"), (2L, "d"), (2L, "e"), (3L, "f"))
+      .toDF("k", "tag").createOrReplaceTempView("chwt")
+    def run(n: Int): Seq[Long] = ClickHouseSql.sql(spark,
+      s"SELECT k, tag FROM chwt ORDER BY k LIMIT $n WITH TIES")
+      .collect().map(_.getLong(0)).toSeq
+    assert(run(3) == Seq(1L, 1L, 2L, 2L, 2L), run(3))
+    assert(run(2) == Seq(1L, 1L), run(2))
+    assert(run(1) == Seq(1L, 1L), run(1))
+    assert(run(6) == Seq(1L, 1L, 2L, 2L, 2L, 3L), run(6))
+    // The sort may reference a non-selected base column (the projected-
+    // sort discipline), and DESC ties work the same.
+    val desc = ClickHouseSql.sql(spark,
+      "SELECT tag FROM chwt ORDER BY k DESC LIMIT 2 WITH TIES")
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(desc == Seq("c", "d", "e", "f"), desc)
   }
 
   test("execution: bracket array literals parse; set predicates, bitwise, replace, and array calculus map exactly") {
@@ -1538,8 +1727,11 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  toInt64(toQuarter(toDate('2024-05-01'))) AS q2,
         |  toInt64(toDayOfYear(toDate('2024-02-01'))) AS doy""".stripMargin)
       .collect().head
+    // Monday in the four modes: 0 -> 1 (Mon=1), 1 -> 0 (Mon=0),
+    // 2 -> 1 (Sun=0..Sat=6), 3 -> 2 (Sun=1..Sat=7) — ClickHouse's
+    // documented mode table.
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
-      ((1L, 0L, 2L, 1L)), r)
+      ((1L, 0L, 1L, 2L)), r)
     assert(r.getString(4) == "2024-01-01", r)
     assert(r.getString(5) == "2024-02-29", r)
     assert(r.getString(6) == "2024-02-02", r)
@@ -1759,14 +1951,19 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  toInt64(quantileExact(0.5)(v)) AS ex,
         |  toInt64(quantileExactLow(0)(v)) AS lo0,
         |  toInt64(quantileExactHigh(1)(v)) AS hi1,
+        |  toInt64(quantileExactLow(0.25)(v)) AS lo25,
+        |  toInt64(quantileExactHigh(0.25)(v)) AS hi25,
         |  medianTiming(v) - approx_percentile(v, 0.5) AS mt0
         |FROM chq""".stripMargin).collect().head
-    // median_low of [10,20,30,40] is 20, median_high 30; quantileExact's
-    // own floor(level*n) rule gives the THIRD element — three distinct
-    // documented conventions, three distinct answers.
+    // median_low of [10,20,30,40] is 20, median_high 30 — but ONLY at
+    // level 0.5; every other level is the element at floor(level*n) for
+    // Low and High alike (ClickHouse's documented rule): 0.25 over 4
+    // elements is index 1 → 20 for BOTH. quantileExact's own
+    // floor(level*n) rule gives the THIRD element at 0.5.
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((20L, 30L, 30L)), r)
     assert(r.getLong(3) == 10L && r.getLong(4) == 40L, r)
-    assert(r.getDouble(5) == 0.0d, r)
+    assert(r.getLong(5) == 20L && r.getLong(6) == 20L, r)
+    assert(r.getDouble(7) == 0.0d, r)
     val r2 = ClickHouseSql.sql(spark,
       """SELECT toInt64(medianExactWeighted(x, w)) AS mw,
         |  toInt64(quantileExactWeighted(0.5)(x, w)) AS qw,
@@ -1787,26 +1984,33 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r2.getString(5) == "v2", r2)
   }
 
-  test("differential: quantileExactLow/High agree with the sorted-element index rules on 300 random groups × 4 levels") {
-    // Brute force: sorted values, element at 0-based floor(level*(n-1))
-    // (Low) / ceil(level*(n-1)) (High) — the documented conventions the
-    // kernels pin. Random group sizes 1..12 exercise the single-element
-    // and clamping corners.
+  test("differential: quantileExactLow/High agree with ClickHouse's documented index rules on 300 random groups × 5 levels") {
+    // Brute force: ClickHouse's documented rules — the median_low /
+    // median_high special case ONLY at level 0.5 (sorted 0-based index
+    // (n-1)/2 resp. n/2), and the element at 0-based floor(level*n)
+    // (clamped to n-1) for every OTHER level, identical for Low and
+    // High. Random group sizes 1..12 exercise the single-element and
+    // clamping corners.
     val rnd = new scala.util.Random(20260819L)
     val rows = (0 until 300).flatMap { g =>
       (0 until (1 + rnd.nextInt(12))).map(_ => (g.toLong, rnd.nextInt(50).toLong))
     }
     rows.toDF("g", "x").createOrReplaceTempView("chql")
     val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    Seq(0.0, 0.3, 0.5, 1.0).foreach { level =>
+    Seq(0.0, 0.25, 0.3, 0.5, 1.0).foreach { level =>
       val got = ClickHouseSql.sql(spark,
         s"""SELECT g, quantileExactLow($level)(x) AS lo,
            |  quantileExactHigh($level)(x) AS hi
            |FROM chql GROUP BY g""".stripMargin)
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       byG.foreach { case (g, sorted) =>
-        val pos = level * (sorted.length - 1)
-        val want = (sorted(math.floor(pos).toInt), sorted(math.ceil(pos).toInt))
+        val n = sorted.length
+        val want =
+          if (level == 0.5) (sorted((n - 1) / 2), sorted(n / 2))
+          else {
+            val idx = math.min(math.floor(level * n).toInt, n - 1)
+            (sorted(idx), sorted(idx))
+          }
         assert(got(g) == want, (g, level, sorted, got(g), want))
       }
     }
@@ -1822,6 +2026,11 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  toInt64(accurateCastOrNull('42', 'Int64')) AS ok_cast,
         |  accurateCastOrNull(1e20, 'Int64') AS overflow,
         |  accurateCastOrNull('zz', 'Int64') AS junk,
+        |  accurateCastOrNull(-1, 'UInt64') AS neg_u64,
+        |  accurateCastOrNull(-1, 'UInt32') AS neg_u32,
+        |  accurateCastOrNull(5000000000, 'UInt32') AS big_u32,
+        |  toInt64(accurateCastOrNull(4294967295, 'UInt32')) AS max_u32,
+        |  toString(accurateCastOrNull('18446744073709551615', 'UInt64')) AS max_u64,
         |  toInt64(countSubstringsCaseInsensitive('AbaBA', 'ab')) AS csci,
         |  toInt64(arrayFold((acc, x) -> acc * 10 + x, array(1, 2, 3), toInt64(0))) AS fold,
         |  arrayEnumerateDense(array(10, 20, 10, 30)) AS dense,
@@ -1833,10 +2042,15 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(4) == "1.01", r) // HALF_UP at decimal cast
     assert(r.getLong(5) == 42L, r)
     assert(r.isNullAt(6) && r.isNullAt(7), r)
-    assert(r.getLong(8) == 2L, r) // 'ababa' -> ab, ab (non-overlapping)
-    assert(r.getLong(9) == 123L, r) // left-to-right digits
-    assert(r.getSeq[Int](10) == Seq(1, 2, 1, 3), r)
-    assert(r.getSeq[Long](11) == Seq(3L, 0L, 4L, 3L), r) // clamp at 0
+    // UInt targets: NULL outside the unsigned range (ClickHouse's
+    // does-not-fit rule), the exact bounds included.
+    assert(r.isNullAt(8) && r.isNullAt(9) && r.isNullAt(10), r)
+    assert(r.getLong(11) == 4294967295L, r)
+    assert(r.getString(12) == "18446744073709551615", r)
+    assert(r.getLong(13) == 2L, r) // 'ababa' -> ab, ab (non-overlapping)
+    assert(r.getLong(14) == 123L, r) // left-to-right digits
+    assert(r.getSeq[Int](15) == Seq(1, 2, 1, 3), r)
+    assert(r.getSeq[Long](16) == Seq(3L, 0L, 4L, 3L), r) // clamp at 0
   }
 
   test("execution: groupArrayIntersect folds cross-row; rotations are modular; half-hour/second/millisecond accessors") {

@@ -104,6 +104,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("LIMIT n WITH TIES plans a Partial WindowGroupLimit (TopK shape, not a full global window)") {
+    // The rank()-filter rewrite must land on the same per-partition
+    // partial-top-n machinery as LIMIT BY — the shape that makes a
+    // global WITH TIES affordable at scale (each partition keeps at most
+    // its own tie-bounded top-n before the single-partition final).
+    val p = graft.ops.Relational.sqlChLimitTies(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"partial window group limit missing:\n$p")
+  }
+
   test("sim_knn_join plans broadcast probes + partial top-k below the exchange") {
     val p = graft.ops.LlmPipeline.simKnnJoin(spark, sf)
       .queryExecution.executedPlan.toString
