@@ -597,6 +597,62 @@ object ScaleBench {
       }
     }
 
+    // -------------------------- 10. hot-user density: strict funnel / seq
+    // The r11 strict-funnel and timed-sequence kernels buffer one group's
+    // MATCHING events once and fold in a single pass — the groupArray
+    // cost class, shared with ClickHouse's own
+    // AggregateFunctionWindowFunnel. Their latent scale hazard is a HOT
+    // user whose matching-event count explodes, so this leg inflates
+    // per-user DENSITY (not user count): every event replicated ×scale
+    // into disjoint ~100-day time blocks for the SAME user. Each user's
+    // buffered array grows ×scale while the correct answer stays the ×1
+    // answer exactly (the 6 h window never spans blocks, and
+    // strict_increase chains cannot either), so the leg pins BOTH
+    // exactness under density and the measured density curve (expect
+    // ~n·log n from the per-group sort; a quadratic term would diverge
+    // by ×64).
+    {
+      val blockS = 100L * 86400L
+      def evDense(scale: Long) = Tables.t(spark, sfDir, "events")
+        .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+        .select(col("user_id").as("u"),
+          ((unix_micros(col("ts")) / lit(1000000L)).cast("long")
+            + col("rep") * lit(blockS)).as("ts_s"),
+          col("event_type"))
+      var baseStrict: Map[Int, Long] = Map.empty
+      var baseSeq = -1L
+      for (scale <- Seq(1L, 16L, 64L)) {
+        val ev = evDense(scale).repartition(nPart)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ev.count()
+        ev.createOrReplaceTempView("sb_dense")
+        var hist: Map[Int, Long] = Map.empty
+        results(s"funnel_strict_dense_x$scale") = timeMin(2) {
+          hist = graft.plans.ClickHouseSql.sql(spark,
+            """SELECT windowFunnel(21600, 'strict_increase')(ts_s,
+              |  event_type = 'view', event_type = 'click', event_type = 'purchase') AS lvl
+              |FROM sb_dense GROUP BY u""".stripMargin)
+            .groupBy("lvl").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        }
+        if (scale == 1L) baseStrict = hist
+        else assert(hist == baseStrict,
+          s"strict-funnel histogram must be density-invariant: x$scale $hist vs base $baseStrict")
+        var nMatch = -1L
+        results(s"seq_match_dense_x$scale") = timeMin(2) {
+          nMatch = graft.plans.ClickHouseSql.sql(spark,
+            """SELECT u FROM sb_dense GROUP BY u
+              |HAVING sequenceMatch('(?1).*(?t<=21600)(?2)')(ts_s,
+              |  event_type = 'view', event_type = 'purchase')""".stripMargin)
+            .count()
+        }
+        if (scale == 1L) baseSeq = nMatch
+        else assert(nMatch == baseSeq,
+          s"timed sequenceMatch user count must be density-invariant: x$scale $nMatch vs base $baseSeq")
+        ev.unpersist()
+      }
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }

@@ -635,20 +635,167 @@ object ClickHouseSqlRewrite {
   private val SemiAntiRe = java.util.regex.Pattern.compile(
     "(?i)\\b(SEMI|ANTI)\\s+(LEFT|RIGHT)\\s+JOIN\\b")
 
+  /** Opt-in ANY JOIN determinization. ClickHouse's `ANY [LEFT] JOIN`
+    * keeps ONE ARBITRARY matching right row per key — not reproducible
+    * bit-exactly, so by default it stays a named error. With the session
+    * conf `spark.graft.clickhouse.determinizeAnyJoin = true` the engine
+    * instead DETERMINIZES it: the right side (a plain registered
+    * view/table, so its schema is known) collapses to one row per join
+    * key — the row that sorts FIRST by ALL its columns in schema order
+    * (`row_number() = 1`) — before a standard [LEFT] JOIN. This is a
+    * stated determinization, NOT ClickHouse's pick: diffing against a
+    * live ClickHouse can differ on multi-match keys, which is exactly
+    * why it is opt-in. Returns None (→ the named error) for the shapes
+    * the determinization cannot do honestly: RIGHT/FULL ANY, subquery
+    * right sides, non-equality ON conjuncts, ambiguous key attribution,
+    * a right table with MAP columns (no total order), OR in the ON.
+    * Scale: the dedup is one row_number window partitioned by the join
+    * key — the WindowGroupLimit shape — and the join itself is whatever
+    * Spark picks for the deduplicated (smaller) right side.
+    */
+  private val AnyJoinOptInKey = "spark.graft.clickhouse.determinizeAnyJoin"
+
+  private def determinizeAnyJoin(sql: String, masked: String,
+      mStart: Int, mEnd: Int): Option[String] = {
+    val enabled = org.apache.spark.sql.SparkSession.getActiveSession.exists(
+      s => s.conf.getOption(AnyJoinOptInKey).exists(_.equalsIgnoreCase("true")))
+    if (!enabled) return None
+    val joinWords = masked.substring(mStart, mEnd).trim
+      .split("\\s+").map(_.toUpperCase).toSeq
+    if (joinWords.contains("RIGHT") || joinWords.contains("FULL")) return None
+    val joinType = if (joinWords.contains("LEFT")) "LEFT JOIN" else "JOIN"
+    var i = mEnd
+    def ws(): Unit = { while (i < masked.length && masked.charAt(i).isWhitespace) i += 1 }
+    ws()
+    val tStart = i
+    while (i < masked.length && (isWordChar(masked.charAt(i)) || masked.charAt(i) == '.')) i += 1
+    if (i == tStart) return None
+    val tbl = sql.substring(tStart, i)
+    ws()
+    var alias = tbl
+    val kwStop = Set("ON", "USING", "WHERE", "GROUP", "ORDER", "LIMIT",
+      "HAVING", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION",
+      "INTERSECT", "EXCEPT", "SETTINGS", "QUALIFY", "PREWHERE", "WINDOW")
+    if (masked.regionMatches(true, i, "AS", 0, 2) &&
+        (i + 2 >= masked.length || !isWordChar(masked.charAt(i + 2)))) {
+      i += 2; ws()
+      val aStart = i
+      while (i < masked.length && isWordChar(masked.charAt(i))) i += 1
+      if (i == aStart) return None
+      alias = sql.substring(aStart, i); ws()
+    } else {
+      var j = i
+      while (j < masked.length && isWordChar(masked.charAt(j))) j += 1
+      if (j > i && !kwStop.contains(masked.substring(i, j).toUpperCase)) {
+        alias = sql.substring(i, j); i = j; ws()
+      }
+    }
+    val tblEnd = i
+    val cols = dictSchema(tbl).getOrElse(return None)
+    if (cols.exists(_._2.isInstanceOf[MapType])) return None
+    val colSet = cols.map(_._1).toSet
+    def word(kw: String): Boolean =
+      masked.regionMatches(true, i, kw, 0, kw.length) &&
+        (i + kw.length >= masked.length || !isWordChar(masked.charAt(i + kw.length)))
+    val keys: Seq[String] =
+      if (word("USING")) {
+        val (uStart, uEnd, _) = parenSpan(masked, i + 5)
+        splitItems(masked, uStart, uEnd)
+          .map { case (s0, e0) => sql.substring(s0, e0).trim }
+      } else if (word("ON")) {
+        val onStart = i + 2
+        val onEnd = clauseEnd(masked, onStart,
+          WhereEnders ++ Seq("WHERE", "JOIN"))
+        // Depth-0 AND split (OR → None: the determinization must know
+        // exactly which columns key the join).
+        val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var st = onStart
+        var depth = 0
+        var p = onStart
+        while (p < onEnd) {
+          val c = masked.charAt(p)
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          else if (depth == 0 && (p == 0 || !isWordChar(masked.charAt(p - 1)))) {
+            if (masked.regionMatches(true, p, "OR", 0, 2) &&
+                (p + 2 >= onEnd || !isWordChar(masked.charAt(p + 2)))) return None
+            if (masked.regionMatches(true, p, "AND", 0, 3) &&
+                (p + 3 >= onEnd || !isWordChar(masked.charAt(p + 3)))) {
+              parts += ((st, p)); st = p + 3
+            }
+          }
+          p += 1
+        }
+        parts += ((st, onEnd))
+        val Qual = ("(?i)(" + java.util.regex.Pattern.quote(alias) + "|" +
+          java.util.regex.Pattern.quote(tbl) + ")\\.([A-Za-z_][A-Za-z0-9_]*)").r
+        def rightKey(x: String): Option[String] = x match {
+          case Qual(_, c) if colSet(c) => Some(c)
+          case id if id.matches("[A-Za-z_][A-Za-z0-9_]*") && colSet(id) => Some(id)
+          case _ => None
+        }
+        val ks = scala.collection.mutable.ArrayBuffer.empty[String]
+        for ((s0, e0) <- parts) {
+          var eq = -1
+          var d2 = 0
+          var q = s0
+          while (q < e0) {
+            val c = masked.charAt(q)
+            if (c == '(') d2 += 1
+            else if (c == ')') d2 -= 1
+            else if (c == '=' && d2 == 0) {
+              if (eq >= 0) return None // second '=' (e.g. '==') — bail
+              if (q > s0 && "<>!".contains(masked.charAt(q - 1))) return None
+              eq = q
+            }
+            q += 1
+          }
+          if (eq < 0) return None
+          (rightKey(sql.substring(s0, eq).trim),
+            rightKey(sql.substring(eq + 1, e0).trim)) match {
+            case (Some(k), None) => ks += k
+            case (None, Some(k)) => ks += k
+            case _ => return None
+          }
+        }
+        if (ks.isEmpty) return None
+        ks.toSeq
+      } else return None
+    if (!keys.forall(k => k.matches("[A-Za-z_][A-Za-z0-9_]*") && colSet(k)))
+      return None
+    val orderAll = cols.map(c => s"`${c._1}`").mkString(", ")
+    val part = keys.map(k => s"`$k`").mkString(", ")
+    Some(sql.substring(0, mStart) + joinType +
+      " (SELECT * EXCEPT (__graft_any_rn) FROM (SELECT *, row_number()" +
+      s" OVER (PARTITION BY $part ORDER BY $orderAll) AS __graft_any_rn" +
+      s" FROM $tbl) WHERE __graft_any_rn = 1) AS $alias " +
+      sql.substring(tblEnd))
+  }
+
   /** ClickHouse's join modifiers: `GLOBAL` (shard distribution) and the
     * `ALL` strictness default strip — result-identical; `SEMI LEFT` /
     * `ANTI LEFT` (ClickHouse puts strictness first) normalize to Spark's
-    * `LEFT SEMI` / `LEFT ANTI`; `ANY` (one ARBITRARY match per key) and
-    * the right-sided semi/anti are NAMED errors — the first is not
-    * reproducible bit-exactly, the second has no Spark join type.
+    * `LEFT SEMI` / `LEFT ANTI`; `ANY` (one ARBITRARY match per key) is a
+    * NAMED error by default — see [[determinizeAnyJoin]] for the opt-in
+    * deterministic mapping — and the right-sided semi/anti stay named
+    * errors (no Spark join type).
     */
   private def rewriteJoinModifiers(sql: String, masked: String): String = {
     val any = AnyJoinRe.matcher(masked)
-    if (any.find()) throw new IllegalArgumentException(
-      "ClickHouse SQL: ANY JOIN picks one arbitrary match per key, which " +
-        "is not reproducible bit-exactly — use ASOF JOIN for " +
-        "latest-by-time or LIMIT 1 BY key with an ORDER BY for a " +
-        "deterministic pick")
+    if (any.find()) {
+      determinizeAnyJoin(sql, masked, any.start(), any.end()) match {
+        case Some(r) => return r
+        case None => throw new IllegalArgumentException(
+          "ClickHouse SQL: ANY JOIN picks one arbitrary match per key, " +
+            "which is not reproducible bit-exactly — use ASOF JOIN for " +
+            "latest-by-time, LIMIT 1 BY key with an ORDER BY for a " +
+            "deterministic pick, or opt into the engine's stated " +
+            s"determinization (set $AnyJoinOptInKey=true: the right side " +
+            "keeps the row sorting FIRST by all its columns per join key " +
+            "— deterministic, but NOT ClickHouse's arbitrary pick; plain " +
+            "view right sides with equality keys only)")
+      }
+    }
     val sa = SemiAntiRe.matcher(masked)
     if (sa.find()) {
       val strictness = sa.group(1).toUpperCase

@@ -549,6 +549,50 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(rightSemi.getMessage.contains("swap"), rightSemi.getMessage)
   }
 
+  test("execution: ANY JOIN determinizes under the opt-in conf (first-by-all-columns per key); default stays the named error") {
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "lv")
+      .createOrReplaceTempView("anyl")
+    Seq((1L, "b", 10L), (1L, "a", 20L), (2L, "c", 30L)).toDF("k", "rv", "w")
+      .createOrReplaceTempView("anyr")
+    // Default: the named error, now carrying the opt-in pointer.
+    val e = intercept[IllegalArgumentException](ClickHouseSql.sql(spark,
+      "SELECT * FROM anyl ANY LEFT JOIN anyr ON anyl.k = anyr.k"))
+    assert(e.getMessage.contains("determinizeAnyJoin"), e.getMessage)
+    spark.conf.set("spark.graft.clickhouse.determinizeAnyJoin", "true")
+    try {
+      // Key 1 has two right rows (1,'b',10) and (1,'a',20): the stated
+      // pick sorts by ALL right columns (k, rv, w) → 'a'. Key 3 is
+      // unmatched → kept with nulls (LEFT form).
+      val r = ClickHouseSql.sql(spark,
+        "SELECT anyl.k AS k, lv, rv FROM anyl ANY LEFT JOIN anyr " +
+          "ON anyl.k = anyr.k ORDER BY k")
+        .collect().map(x => (x.getLong(0), x.getString(1),
+          Option(x.getString(2)).getOrElse("-"))).toSeq
+      assert(r == Seq((1L, "x", "a"), (2L, "y", "c"), (3L, "z", "-")), r)
+      // The bare (inner) ANY JOIN drops the unmatched probe.
+      val inner = ClickHouseSql.sql(spark,
+        "SELECT anyl.k AS k, rv FROM anyl ANY JOIN anyr " +
+          "ON anyl.k = anyr.k ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(inner == Seq(1L, 2L), inner)
+      // USING spelling: keys given bare.
+      val us = ClickHouseSql.sql(spark,
+        "SELECT k, rv FROM anyl ANY LEFT JOIN anyr USING (k) ORDER BY k")
+        .collect().map(x => (x.getLong(0),
+          Option(x.getString(1)).getOrElse("-"))).toSeq
+      assert(us == Seq((1L, "a"), (2L, "c"), (3L, "-")), us)
+      // Shapes the determinization cannot do honestly fall back to the
+      // named error even when opted in: a subquery right side…
+      val e2 = intercept[IllegalArgumentException](ClickHouseSql.sql(spark,
+        "SELECT * FROM anyl ANY LEFT JOIN (SELECT * FROM anyr) q ON anyl.k = q.k"))
+      assert(e2.getMessage.contains("arbitrary"), e2.getMessage)
+      // …and a non-equality conjunct.
+      val e3 = intercept[IllegalArgumentException](ClickHouseSql.sql(spark,
+        "SELECT * FROM anyl ANY LEFT JOIN anyr ON anyl.k = anyr.k AND anyr.w > 5"))
+      assert(e3.getMessage.contains("arbitrary"), e3.getMessage)
+    } finally spark.conf.unset("spark.graft.clickhouse.determinizeAnyJoin")
+  }
+
   test("execution: ClickHouse ASOF LEFT JOIN with the ON-conjunct inequality lands on the native kernel") {
     Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
       .toDF("u", "t", "pid").createOrReplaceTempView("cha_l")
