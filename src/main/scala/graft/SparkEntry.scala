@@ -469,6 +469,7 @@ object SparkEntry {
     "sql_ch_limit_ties" -> (Relational.sqlChLimitTies _),
     "sql_ch_dict" -> (Relational.sqlChDict _),
     "sql_ch_with_fill_date" -> (Relational.sqlChWithFillDate _),
+    "sql_ch_week" -> (Relational.sqlChWeek _),
     "sql_ch_with_fill_hour" -> (Relational.sqlChWithFillHour _),
     "sql_ch_rollup" -> (Relational.sqlChRollup _),
     "sql_ch_sets" -> (Relational.sqlChSets _),
@@ -1108,6 +1109,11 @@ object SparkEntry {
       """WITH f AS (SELECT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000)), r AS (SELECT okey, lno, q, rank() OVER (ORDER BY q) AS rk FROM f) SELECT okey, lno, q FROM r WHERE rk <= 40 ORDER BY q, okey, lno""",
     "sql_ch_dict" ->
       """SELECT c_custkey, coalesce((SELECT max(n_name) FROM nation WHERE n_nationkey = c_custkey % 50), 'NONE') AS nat, ((SELECT count(*) FROM nation WHERE n_nationkey = c_custkey % 50) > 0) AS has_nat, (SELECT max(n_regionkey) FROM nation WHERE n_nationkey = c_custkey % 50) AS reg, coalesce((SELECT max(n_name) FROM nation WHERE n_nationkey = c_custkey % 50), '') AS nat_t FROM customer WHERE c_custkey < 600 ORDER BY c_custkey""",
+    // toWeek mode 0 replayed arithmetically (DuckDB dayofweek is Sun=0,
+    // so the year's first Sunday is day 1 + (7 - dow(jan1)) % 7); mode 3
+    // is DuckDB's own ISO weekofyear — an independent implementation.
+    "sql_ch_week" ->
+      """WITH t AS (SELECT o_orderpriority, o_orderdate, CASE WHEN dayofyear(o_orderdate) < 1 + (7 - dayofweek(date_trunc('year', o_orderdate))) % 7 THEN 0 ELSE (dayofyear(o_orderdate) - (1 + (7 - dayofweek(date_trunc('year', o_orderdate))) % 7)) // 7 + 1 END AS w0 FROM orders) SELECT o_orderpriority, CASE substring(o_orderpriority, 1, 1) WHEN '1' THEN 'high' WHEN '2' THEN 'med' WHEN '3' THEN 'low' ELSE 'other' END AS prio_name, CAST(min(w0) AS BIGINT) AS min_w0, CAST(max(w0) AS BIGINT) AS max_w0, CAST(sum(w0) AS BIGINT) AS sum_w0, CAST(max(weekofyear(o_orderdate)) AS BIGINT) AS max_w3, CAST(sum(weekofyear(o_orderdate)) AS BIGINT) AS sum_w3 FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Daily fill: STEP 1 day makes per-gap re-anchoring coincide with
     // the global calendar spine, so the oracle uses one generate_series;
     // the INTERPOLATE carry is last_value(IGNORE NULLS) over real rows.

@@ -2408,6 +2408,30 @@ object Relational {
       .selectExpr("CAST(unix_micros(h) AS BIGINT) AS h_us", "n")
   }
 
+  /** `transform` (ClickHouse's constant-array lookup, rewritten to a
+    * CASE — Spark's own higher-order transform keeps the 2-arg name by
+    * no-clobber) + `toWeek` in both supported modes: mode 0 (the
+    * default — Sunday-start weeks 0-53 counted from the year's FIRST
+    * Sunday, MySQL WEEK semantics) replayed arithmetically by the
+    * oracle, mode 3 = ISO 8601 cross-checked against DuckDB's native
+    * weekofyear. One map-side-combined shuffle.
+    */
+  def sqlChWeek(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderpriority,
+        |  transform(substring(o_orderpriority, 1, 1),
+        |    ['1', '2', '3'], ['high', 'med', 'low'], 'other') AS prio_name,
+        |  toInt64(min(toWeek(o_orderdate))) AS min_w0,
+        |  toInt64(max(toWeek(o_orderdate))) AS max_w0,
+        |  toInt64(sum(toWeek(o_orderdate, 0))) AS sum_w0,
+        |  toInt64(max(toWeek(o_orderdate, 3))) AS max_w3,
+        |  toInt64(sum(toWeek(o_orderdate, 3))) AS sum_w3
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** The dictGet family — ClickHouse's in-memory dimension lookups,
     * mapped onto correlated scalar subqueries against the registered
     * view (FIRST column = key, the documented convention): nation plays

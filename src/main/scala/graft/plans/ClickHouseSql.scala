@@ -127,6 +127,7 @@ object ClickHouseSqlRewrite {
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
     val t = rewriteWithTies(sql, masked); if (t ne sql) return t
     val u = rewriteDictGet(sql, masked); if (u ne sql) return u
+    val v = rewriteTransform(sql, masked); if (v ne sql) return v
     val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
     val n = rewriteArrayLiterals(sql, masked); if (n ne sql) return n
     val o = rewriteWithMacros(sql, masked); if (o ne sql) return o
@@ -370,6 +371,94 @@ object ClickHouseSqlRewrite {
     }
     val fm = FormatRe.matcher(masked)
     if (fm.find()) return sql.substring(0, fm.start()).stripTrailing()
+    sql
+  }
+
+  // ---------------------------------------------- 14. transform -> CASE
+
+  private val TransformRe = java.util.regex.Pattern.compile(
+    "(?i)\\btransform\\s*\\(")
+
+  /** ClickHouse's `transform(x, [f1, f2…], [t1, t2…][, default])` — the
+    * constant-array lookup CASE. It cannot be a registered function:
+    * Spark's own higher-order `transform(arr, lambda)` holds the name by
+    * no-clobber, so the 3/4-arg constant-array form rewrites TEXTUALLY
+    * into the equivalent `CASE (x) WHEN f1 THEN t1 … ELSE default END`
+    * (ClickHouse requires constant arrays here too, so the restriction
+    * to literal-array spellings `[…]`/`array(…)` loses nothing; the
+    * 3-arg form falls back to x itself, ClickHouse's rule). A 2-arg
+    * call — Spark's HOF — passes through untouched, as does a member
+    * access `t.transform(…)`.
+    */
+  private def rewriteTransform(sql: String, masked: String): String = {
+    // Bracket-AWARE depth-0 comma split: the general splitItems tracks
+    // only parens, so a comma inside a `[…]` literal would split the
+    // argument list mid-array (and a half-converted mixed
+    // `array(…)/[…]` state mid-fixpoint would then look like a
+    // malformed call).
+    def splitArgs(from0: Int, until: Int): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var st = from0
+      var depth = 0
+      var i2 = from0
+      while (i2 <= until) {
+        val c = if (i2 < until) masked.charAt(i2) else ','
+        if (c == '(' || c == '[') depth += 1
+        else if (c == ')' || c == ']') depth -= 1
+        else if (c == ',' && depth == 0) { out += ((st, i2)); st = i2 + 1 }
+        i2 += 1
+      }
+      out.toSeq
+    }
+    val m = TransformRe.matcher(masked)
+    var from = 0
+    while (m.find(from)) {
+      var p = m.start() - 1
+      while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+      val isMember = p >= 0 && masked.charAt(p) == '.'
+      val (aStart, aEnd, afterA) = parenSpan(masked, m.end() - 1)
+      val items = splitArgs(aStart, aEnd)
+      if (!isMember && (items.length == 3 || items.length == 4)) {
+        def arrEls(span: (Int, Int)): Option[Seq[String]] = {
+          var a = span._1; var b = span._2
+          while (a < b && masked.charAt(a).isWhitespace) a += 1
+          while (b > a && masked.charAt(b - 1).isWhitespace) b -= 1
+          if (a < b && masked.charAt(a) == '[' && masked.charAt(b - 1) == ']')
+            Some(splitArgs(a + 1, b - 1)
+              .map { case (x, y) => sql.substring(x, y).trim })
+          else if (masked.regionMatches(true, a, "array", 0, 5)) {
+            var c = a + 5
+            while (c < b && masked.charAt(c).isWhitespace) c += 1
+            if (c < b && masked.charAt(c) == '(') {
+              val (s1, e1, af) = parenSpan(masked, c)
+              if (af == b) Some(splitItems(masked, s1, e1)
+                .map { case (x, y) => sql.substring(x, y).trim })
+              else None
+            } else None
+          } else None
+        }
+        (arrEls(items(1)), arrEls(items(2))) match {
+          case (Some(fs), Some(ts)) if fs.nonEmpty && fs.length == ts.length =>
+            val x = sql.substring(items(0)._1, items(0)._2).trim
+            val dflt =
+              if (items.length == 4)
+                "(" + sql.substring(items(3)._1, items(3)._2).trim + "\n)"
+              else s"($x\n)"
+            val whens = fs.zip(ts)
+              .map { case (f, t) => s"WHEN ($f\n) THEN ($t\n)" }.mkString(" ")
+            return sql.substring(0, m.start()) +
+              s"CASE ($x\n) $whens ELSE $dflt END" + sql.substring(afterA)
+          case (Some(fs), Some(ts)) => throw new IllegalArgumentException(
+            s"ClickHouse SQL: transform's from/to arrays must be the same " +
+              s"non-empty length, got ${fs.length} vs ${ts.length}")
+          case _ => throw new IllegalArgumentException(
+            "ClickHouse SQL: transform(x, from, to[, default]) needs " +
+              "literal array arguments ([…] or array(…)) — ClickHouse " +
+              "requires constant arrays here too")
+        }
+      }
+      from = afterA
+    }
     sql
   }
 
@@ -1906,6 +1995,19 @@ object ClickHouseFunctions {
           "sharding/sampling/dedup logic ported from ClickHouse; recompute " +
           "the hashes with Spark's xxhash64/hash consistently on every side"))
 
+  /** Named error for ClickHouse's block-local function family — their
+    * values depend on internal block boundaries by documented design,
+    * so no Spark mapping could be faithful; the error carries the
+    * window-function spelling a migration should use instead.
+    */
+  private def chBlockError(name: String, window: String): (String, String, Seq[Expression] => Expression) =
+    (name, s"$name - NOT SUPPORTED: ClickHouse block-local function; use $window",
+      _ => throw new IllegalArgumentException(
+        s"ClickHouse SQL: $name computes within ClickHouse's internal " +
+          "data blocks — its value depends on block boundaries " +
+          "(ClickHouse's own docs call the behavior incidental and point " +
+          s"at window functions) — spell it as: $window"))
+
   /** dict* stub for extension sessions — the real mapping is a TEXT
     * rewrite onto a scalar-subquery lookup ([[ClickHouseSqlRewrite]]'s
     * dictGet section), which only `graft.plans.ClickHouseSql.sql` runs
@@ -2406,6 +2508,107 @@ object ClickHouseFunctions {
       es => { require(es.length == 1, "trimBoth(s)"); new StringTrim(es.head) }),
     ("today", "today() - the current date",
       es => { require(es.isEmpty, "today()"); CurrentDate() }),
+    ("now64", "now64([precision]) - the current TIMESTAMP; Spark timestamps are microsecond-native, so precision literals 0-6 all yield the same micros instant (7-9 are a named error: sub-microsecond is not representable)",
+      es => es match {
+        case Seq() => CurrentTimestamp()
+        case Seq(Literal(p: Int, IntegerType)) if p >= 0 && p <= 6 =>
+          CurrentTimestamp()
+        case Seq(Literal(p: Int, IntegerType)) =>
+          throw new IllegalArgumentException(
+            s"now64($p): precision above 6 is sub-microsecond — Spark " +
+              "timestamps carry microseconds; use precision <= 6")
+        case _ => throw new IllegalArgumentException(
+          "now64([precision]) - precision must be an integer literal")
+      }),
+    // toWeek — MySQL's WEEK() mode table, of which ClickHouse documents
+    // the same 0-9 spread. Mode 0 (the DEFAULT, Sunday-start weeks 0-53
+    // counted from the year's first Sunday) and mode 3 (ISO 8601 =
+    // toISOWeek = Spark's weekofyear) are exact arithmetic; the other
+    // modes mix week-start and first-week rules with no second
+    // implementation to oracle against — named errors.
+    ("toWeek", "toWeek(x[, mode]) - week number; mode 0 (default): Sunday-start weeks 0-53 counted from the year's first Sunday (MySQL WEEK mode 0), mode 3: ISO 8601 (= toISOWeek); other modes are named errors",
+      es => {
+        def day(e: Expression) = Cast(e, DateType)
+        def week0(e: Expression): Expression = {
+          val d = day(e)
+          val doy = DayOfYear(d)
+          val jan1 = TruncDate(d, Literal("YEAR"))
+          // First Sunday's day-of-year: Spark DayOfWeek is Sun=1..Sat=7.
+          val firstSun = Add(Literal(1),
+            Pmod(Subtract(Literal(8), DayOfWeek(jan1)), Literal(7)))
+          If(LessThan(doy, firstSun), Literal(0),
+            Cast(Add(IntegralDivide(Subtract(doy, firstSun), Literal(7L)),
+              Literal(1L)), IntegerType))
+        }
+        es match {
+          case Seq(d) => week0(d)
+          case Seq(d, Literal(0, IntegerType)) => week0(d)
+          case Seq(d, Literal(3, IntegerType)) => WeekOfYear(day(d))
+          case Seq(_, Literal(m: Int, IntegerType)) =>
+            throw new IllegalArgumentException(
+              s"ClickHouse SQL: toWeek mode $m is not supported — modes 0 " +
+                "(Sunday-start 0-53) and 3 (ISO 8601) are implemented; the " +
+                "other MySQL week modes mix week-start and first-week " +
+                "rules — use toISOWeek, toStartOfWeek, or epoch-day " +
+                "arithmetic")
+          case _ => throw new IllegalArgumentException(
+            "toWeek(x[, mode]) - mode must be an integer literal")
+        }
+      }),
+    // formatReadable* — ClickHouse's human-size formatters, as a CASE
+    // ladder over the unit thresholds + format_string('%.2f <unit>').
+    // Note: Java's %.2f rounds HALF_UP where C-family printf rounds by
+    // the double's nearest representation — divergence is confined to
+    // exact .xx5 quotients, which binary-power divisions of real sizes
+    // essentially never produce (spec-pinned values, not oracled —
+    // display helpers).
+    ("formatReadableSize", "formatReadableSize(x) - '%.2f B|KiB|MiB|GiB|TiB|PiB|EiB', the largest binary (1024) unit with quotient >= 1",
+      es => { require(es.length == 1, "formatReadableSize(x)")
+        val x = Cast(es.head, DoubleType)
+        val units = Seq("KiB" -> math.pow(1024d, 1), "MiB" -> math.pow(1024d, 2),
+          "GiB" -> math.pow(1024d, 3), "TiB" -> math.pow(1024d, 4),
+          "PiB" -> math.pow(1024d, 5), "EiB" -> math.pow(1024d, 6))
+        val branches = units.reverse.map { case (u, f) =>
+          (GreaterThanOrEqual(Abs(x), Literal(f)),
+            FormatString(Literal("%.2f " + u), Divide(x, Literal(f))): Expression)
+        }
+        CaseWhen(branches, Some(FormatString(Literal("%.2f B"), x))) }),
+    ("formatReadableQuantity", "formatReadableQuantity(x) - '%.2f [thousand|million|billion|trillion]', the largest decimal unit with quotient >= 1 (bare '%.2f' below a thousand)",
+      es => { require(es.length == 1, "formatReadableQuantity(x)")
+        val x = Cast(es.head, DoubleType)
+        val units = Seq("thousand" -> 1e3, "million" -> 1e6,
+          "billion" -> 1e9, "trillion" -> 1e12)
+        val branches = units.reverse.map { case (u, f) =>
+          (GreaterThanOrEqual(Abs(x), Literal(f)),
+            FormatString(Literal("%.2f " + u), Divide(x, Literal(f))): Expression)
+        }
+        CaseWhen(branches, Some(FormatString(Literal("%.2f"), x))) }),
+    // ClickHouse's BLOCK-LOCAL functions compute within its internal
+    // data blocks — the values depend on block boundaries (ClickHouse's
+    // own docs call the behavior incidental and point at window
+    // functions). No Spark mapping could be faithful to an explicitly
+    // boundary-dependent semantic, so each is a named error carrying
+    // the window spelling a migration should use.
+    chBlockError("runningDifference",
+      "x - lagInFrame(x, 1, x) OVER (ORDER BY ...)"),
+    chBlockError("runningDifferenceStartingWithFirstValue",
+      "x - lagInFrame(x, 1, x) OVER (ORDER BY ...)"),
+    chBlockError("runningAccumulate",
+      "the aggregate OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)"),
+    chBlockError("neighbor",
+      "lagInFrame/leadInFrame(x, n, default) OVER (ORDER BY ...)"),
+    chBlockError("rowNumberInAllBlocks", "row_number() OVER (ORDER BY ...)"),
+    chBlockError("rowNumberInBlock", "row_number() OVER (ORDER BY ...)"),
+    ("toTimeZone", "toTimeZone - NOT SUPPORTED: Spark has no per-expression display zone",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: toTimeZone changes a DateTime's DISPLAY zone " +
+          "(the instant is unchanged; later accessors read wall-clock in " +
+          "that zone) — Spark renders all timestamps in the single " +
+          "session zone (spark.sql.session.timeZone). To read wall-clock " +
+          "fields in another zone use convert_timezone(sessionZone, tz, " +
+          "ts): the extracted fields then match ClickHouse's " +
+          "toTimeZone+accessor, but the shifted instant must not be " +
+          "compared to unshifted timestamps")),
     ("yesterday", "yesterday() - the current date minus one day",
       es => { require(es.isEmpty, "yesterday()")
         DateSub(CurrentDate(), Literal(1)) }),

@@ -75,6 +75,12 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsRetry(Seq(0.05, 0.15), famMedian = 0.5, prior = None))
     // agreement within 2x does not fire
     assert(!Bench.needsRetry(Seq(0.6, 1.0), famMedian = 0.5, prior = None))
+    // With a third run (the r12 sub-second min-of-3), the WARM runs
+    // adjudicate: a cold run 1 far above two agreeing warm runs is the
+    // systematic family-boundary cold/warm gap, not contention…
+    assert(!Bench.needsRetry(Seq(1.2, 0.3, 0.32), famMedian = 0.5, prior = None))
+    // …while two disagreeing WARM runs still fire.
+    assert(Bench.needsRetry(Seq(0.3, 0.3, 0.9), famMedian = 0.5, prior = None))
   }
 
   test("trigger 2: min >3x family median fires above 0.5s") {

@@ -1544,6 +1544,68 @@ class ClickHouseSqlSpec extends SparkSpec {
       offKw)
   }
 
+  test("execution: transform -> CASE; toWeek modes 0/3; now64; formatReadable*; block-local functions are named errors") {
+    // transform: constant-array lookup CASE, 4-arg default and 3-arg
+    // fall-back-to-x (ClickHouse's rule); Spark's own 2-arg HOF passes
+    // through untouched.
+    val tr = ClickHouseSql.sql(spark,
+      """SELECT transform('b', ['a', 'b'], ['Alpha', 'Beta'], 'other') AS hit,
+        |  transform('z', ['a', 'b'], ['Alpha', 'Beta'], 'other') AS miss,
+        |  transform(7, [1, 2], [10, 20]) AS self,
+        |  transform(2, array(1, 2), array(10, 20), 0) AS arr_sp,
+        |  transform(array(1, 2), x -> x * 10) AS hof""".stripMargin).head()
+    assert(tr.getString(0) == "Beta" && tr.getString(1) == "other", tr)
+    assert(tr.getInt(2) == 7 && tr.getInt(3) == 20, tr)
+    assert(tr.getSeq[Int](4) == Seq(10, 20), tr)
+    // toWeek mode 0: Sunday-start weeks counted from the year's first
+    // Sunday — 2024-01-01 (Mon) is week 0, Jan 7 (the first Sunday)
+    // starts week 1, Jan 14 week 2; mode 3 = ISO (2024-01-01 is ISO
+    // week 1). 2017-01-01 was a Sunday: week 1 immediately.
+    val wk = ClickHouseSql.sql(spark,
+      """SELECT toInt64(toWeek(toDate('2024-01-01'))) AS w0a,
+        |  toInt64(toWeek(toDate('2024-01-06'))) AS w0b,
+        |  toInt64(toWeek(toDate('2024-01-07'))) AS w0c,
+        |  toInt64(toWeek(toDate('2024-01-14'), 0)) AS w0d,
+        |  toInt64(toWeek(toDate('2017-01-01'))) AS w0e,
+        |  toInt64(toWeek(toDate('2024-01-01'), 3)) AS w3,
+        |  toInt64(toWeek(toDate('2023-01-01'), 3)) AS w3b
+        |""".stripMargin).head()
+    assert((wk.getLong(0), wk.getLong(1), wk.getLong(2), wk.getLong(3),
+      wk.getLong(4)) == ((0L, 0L, 1L, 2L, 1L)), wk)
+    assert(wk.getLong(5) == 1L && wk.getLong(6) == 52L, wk) // 2023-01-01 = ISO week 52 of 2022
+    // formatReadable*: binary vs decimal units, %.2f, below-unit forms.
+    val fr = ClickHouseSql.sql(spark,
+      """SELECT formatReadableSize(0) AS a, formatReadableSize(1023) AS b,
+        |  formatReadableSize(1024) AS c, formatReadableSize(1536) AS d,
+        |  formatReadableSize(1073741824) AS e, formatReadableSize(-2048) AS f,
+        |  formatReadableQuantity(999) AS g, formatReadableQuantity(1500) AS h,
+        |  formatReadableQuantity(2500000) AS i""".stripMargin).head()
+    assert((fr.getString(0), fr.getString(1), fr.getString(2), fr.getString(3)) ==
+      (("0.00 B", "1023.00 B", "1.00 KiB", "1.50 KiB")), fr)
+    assert(fr.getString(4) == "1.00 GiB" && fr.getString(5) == "-2.00 KiB", fr)
+    assert((fr.getString(6), fr.getString(7), fr.getString(8)) ==
+      (("999.00", "1.50 thousand", "2.50 million")), fr)
+    // now64 resolves (micros instant; precision 0-6 accepted, 9 named).
+    assert(!ClickHouseSql.sql(spark,
+      "SELECT now64() AS a, now64(3) AS b").head().isNullAt(0))
+    def err(q: String): String = {
+      val e = intercept[Exception](ClickHouseSql.sql(spark, q).collect())
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    }
+    assert(err("SELECT now64(9)").contains("microsecond"))
+    assert(err("SELECT toWeek(toDate('2024-01-01'), 4)").contains("mode 4"))
+    assert(err("SELECT runningDifference(x) FROM VALUES (1) AS t(x)")
+      .contains("lagInFrame"))
+    assert(err("SELECT neighbor(x, 1) FROM VALUES (1) AS t(x)")
+      .contains("block"))
+    assert(err("SELECT toTimeZone(x, 'UTC') FROM VALUES (1) AS t(x)")
+      .contains("convert_timezone"))
+    assert(err("SELECT transform(x, [1, 2], [1], 0) FROM VALUES (1) AS t(x)")
+      .contains("same"))
+    assert(err("SELECT transform(x, f, t, 0) FROM VALUES (1) AS t(x)")
+      .contains("literal array"))
+  }
+
   test("execution: dict* functions map onto scalar-subquery lookups; plain dictGet and mismatches are named errors") {
     Seq((1L, "alpha", 10L), (2L, "beta", 20L), (4L, "delta", 40L))
       .toDF("id", "name", "score").createOrReplaceTempView("chdict")
