@@ -470,6 +470,7 @@ object SparkEntry {
     "sql_ch_dict" -> (Relational.sqlChDict _),
     "sql_ch_with_fill_date" -> (Relational.sqlChWithFillDate _),
     "sql_ch_week" -> (Relational.sqlChWeek _),
+    "sql_ch_like" -> (Relational.sqlChLike _),
     "sql_ch_with_fill_hour" -> (Relational.sqlChWithFillHour _),
     "sql_ch_rollup" -> (Relational.sqlChRollup _),
     "sql_ch_sets" -> (Relational.sqlChSets _),
@@ -1109,6 +1110,8 @@ object SparkEntry {
       """WITH f AS (SELECT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_quantity AS BIGINT) AS q FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey < 2000)), r AS (SELECT okey, lno, q, rank() OVER (ORDER BY q) AS rk FROM f) SELECT okey, lno, q FROM r WHERE rk <= 40 ORDER BY q, okey, lno""",
     "sql_ch_dict" ->
       """SELECT c_custkey, coalesce((SELECT max(n_name) FROM nation WHERE n_nationkey = c_custkey % 50), 'NONE') AS nat, ((SELECT count(*) FROM nation WHERE n_nationkey = c_custkey % 50) > 0) AS has_nat, (SELECT max(n_regionkey) FROM nation WHERE n_nationkey = c_custkey % 50) AS reg, coalesce((SELECT max(n_name) FROM nation WHERE n_nationkey = c_custkey % 50), '') AS nat_t FROM customer WHERE c_custkey < 600 ORDER BY c_custkey""",
+    "sql_ch_like" ->
+      """SELECT c_custkey, c_mktsegment LIKE 'BUIL%' AS seg_like, c_mktsegment NOT LIKE '%MOTIVE%' AS seg_notlike, c_mktsegment ILIKE 'buil%' AS seg_ilike, NOT (c_mktsegment ILIKE 'auto%') AS seg_notilike, (regexp_matches(c_mktsegment, '^BUIL') OR regexp_matches(c_mktsegment, 'HOLD$')) AS seg_mm, starts_with(c_mktsegment, 'AUTO') AS seg_sw, ends_with(c_mktsegment, 'RY') AS seg_ew, CAST(CAST(DATE '2024-01-15' + to_days(CAST(c_custkey % 40 AS INT)) AS DATE) AS VARCHAR) AS d_plus, CAST(CAST(DATE '2024-01-31' + to_months(CAST(c_custkey % 5 AS INT)) AS DATE) AS VARCHAR) AS m_plus, CAST(c_nationkey AS VARCHAR) || ',-1,-1' AS resized FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""",
     // toWeek mode 0 replayed arithmetically (DuckDB dayofweek is Sun=0,
     // so the year's first Sunday is day 1 + (7 - dow(jan1)) % 7); mode 3
     // is DuckDB's own ISO weekofyear — an independent implementation.

@@ -2408,6 +2408,36 @@ object Relational {
       .selectExpr("CAST(unix_micros(h) AS BIGINT) AS h_us", "n")
   }
 
+  /** The LIKE-family function spellings + interval constructors +
+    * arrayResize (r12): `like`/`ilike` resolve to Spark's own stock
+    * names (identical %/_ wildcards), `notLike`/`notILike` fill the
+    * negated forms, `multiMatchAny` is any-of-regexes via an
+    * array-exists over rlike (the match() Java/RE2 pairing),
+    * `startsWith`/`endsWith` are the stock names, and
+    * `toIntervalDay/Month` feed per-row date arithmetic through the
+    * stock make-interval expressions (day-time vs ANSI year-month —
+    * the month leg exercises the end-of-month clamp both engines
+    * share). arrayResize right-pads with the explicit extender. One
+    * scan, zero shuffles before the ORDER BY.
+    */
+  def sqlChLike(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("customer"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT c_custkey,
+        |  like(c_mktsegment, 'BUIL%') AS seg_like,
+        |  notLike(c_mktsegment, '%MOTIVE%') AS seg_notlike,
+        |  ilike(c_mktsegment, 'buil%') AS seg_ilike,
+        |  notILike(c_mktsegment, 'auto%') AS seg_notilike,
+        |  multiMatchAny(c_mktsegment, ['^BUIL', 'HOLD$']) AS seg_mm,
+        |  startsWith(c_mktsegment, 'AUTO') AS seg_sw,
+        |  endsWith(c_mktsegment, 'RY') AS seg_ew,
+        |  toString(toDate(toDate('2024-01-15') + toIntervalDay(modulo(c_custkey, 40)))) AS d_plus,
+        |  toString(toDate('2024-01-31') + toIntervalMonth(modulo(c_custkey, 5))) AS m_plus,
+        |  arrayStringConcat(arrayResize([toInt64(c_nationkey)], 3, toInt64(-1)), ',') AS resized
+        |FROM customer WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** `transform` (ClickHouse's constant-array lookup, rewritten to a
     * CASE — Spark's own higher-order transform keeps the 2-arg name by
     * no-clobber) + `toWeek` in both supported modes: mode 0 (the

@@ -1995,6 +1995,21 @@ object ClickHouseFunctions {
           "sharding/sampling/dedup logic ported from ClickHouse; recompute " +
           "the hashes with Spark's xxhash64/hash consistently on every side"))
 
+  /** Typed empty-array constructor (`emptyArrayInt64()` …) — the UInt
+    * widths widen onto the same signed carriers as the to* casts
+    * (UInt32 → BIGINT, UInt64 → DECIMAL(20,0)).
+    */
+  private def chEmptyArray(fname: String, dt: DataType): (String, String, Seq[Expression] => Expression) =
+    (fname, s"$fname() - empty ARRAY<${dt.simpleString}>",
+      es => { require(es.isEmpty, s"$fname()")
+        Cast(CreateArray(Nil), ArrayType(dt)) })
+
+  /** One-argument interval constructor (`toIntervalDay(n)` …). */
+  private def chInterval(fname: String,
+      f: Expression => Expression): (String, String, Seq[Expression] => Expression) =
+    (fname, s"$fname(n) - the n-unit interval (stock make-interval; day-time for sub-month units, year-month for month/quarter/year)",
+      es => { require(es.length == 1, s"$fname(n)"); f(es.head) })
+
   /** Named error for ClickHouse's block-local function family — their
     * values depend on internal block boundaries by documented design,
     * so no Spark mapping could be faithful; the error carries the
@@ -2616,6 +2631,19 @@ object ClickHouseFunctions {
       es => { require(es.length == 2, "modulo(a, b)"); Remainder(es(0), es(1)) }),
     ("arrayMin", "arrayMin(arr) - smallest element", one(ArrayMin)),
     ("arrayMax", "arrayMax(arr) - largest element", one(ArrayMax)),
+    chEmptyArray("emptyArrayInt8", ByteType),
+    chEmptyArray("emptyArrayInt16", ShortType),
+    chEmptyArray("emptyArrayInt32", IntegerType),
+    chEmptyArray("emptyArrayInt64", LongType),
+    chEmptyArray("emptyArrayUInt8", IntegerType),
+    chEmptyArray("emptyArrayUInt16", IntegerType),
+    chEmptyArray("emptyArrayUInt32", LongType),
+    chEmptyArray("emptyArrayUInt64", DecimalType(20, 0)),
+    chEmptyArray("emptyArrayFloat32", FloatType),
+    chEmptyArray("emptyArrayFloat64", DoubleType),
+    chEmptyArray("emptyArrayString", StringType),
+    chEmptyArray("emptyArrayDate", DateType),
+    chEmptyArray("emptyArrayDateTime", TimestampType),
     ("empty", "empty(arr) - true when the array/map has no elements",
       es => { require(es.length == 1, "empty(arr)")
         EqualTo(new Size(es.head), Literal(0)) }),
@@ -3323,6 +3351,33 @@ object ClickHouseFunctions {
     ("match", "match(haystack, pattern) - true when the RE2 pattern matches a substring (mapped to rlike; Java regex accepts the common RE2 surface)",
       es => { require(es.length == 2, "match(haystack, pattern)")
         RLike(es.head, es(1)) }),
+    // The LIKE-family function spellings. `like`/`ilike` are stock Spark
+    // names (no-clobber keeps them; same %/_ wildcard semantics); the
+    // negated forms have no stock name.
+    ("notLike", "notLike(haystack, pattern) - NOT (haystack LIKE pattern)",
+      es => { require(es.length == 2, "notLike(haystack, pattern)")
+        Not(new Like(es.head, es(1))) }),
+    ("notILike", "notILike(haystack, pattern) - NOT (haystack ILIKE pattern), case-insensitive wildcards",
+      es => { require(es.length == 2, "notILike(haystack, pattern)")
+        Not(new ILike(es.head, es(1))) }),
+    ("multiMatchAny", "multiMatchAny(haystack, patterns) - true when ANY of the regex patterns matches a substring (ClickHouse evaluates via hyperscan; Java regex accepts the common RE2 surface, the match() pairing)",
+      es => { require(es.length == 2, "multiMatchAny(haystack, patterns)")
+        val h = es.head
+        ArrayExists(es(1), lam1(p => RLike(h, p))) }),
+    ("arrayResize", "arrayResize(arr, size, extender) - truncate to size, or right-pad with extender up to size (non-negative sizes; the 2-arg form is a named error: ClickHouse pads it with the ELEMENT type's default, which needs the resolved type - pass the extender explicitly)",
+      es => es match {
+        case Seq(arr, size, ext) =>
+          val sz = Cast(size, IntegerType)
+          If(GreaterThanOrEqual(new Size(arr), sz),
+            Slice(arr, Literal(1), Greatest(Seq(sz, Literal(0)))),
+            Concat(Seq(arr, ArrayRepeat(ext, Subtract(sz, new Size(arr))))))
+        case Seq(_, _) => throw new IllegalArgumentException(
+          "arrayResize(arr, size) pads with the element TYPE's default, " +
+            "which a builder cannot synthesize — pass the extender " +
+            "explicitly: arrayResize(arr, size, 0 / '' / …)")
+        case _ => throw new IllegalArgumentException(
+          "arrayResize(arr, size, extender)")
+      }),
     ("extractAll", "extractAll(haystack, pattern) - array of every match; with a capture group, the group's text (pattern must be a string literal)",
       es => {
         require(es.length == 2, "extractAll(haystack, pattern)")
@@ -3417,6 +3472,17 @@ object ClickHouseFunctions {
               "(timezone argument not supported)")
         }
       }),
+    // toInterval* — ClickHouse's interval constructors, onto the stock
+    // make-interval expressions (day-time for sub-month units, ANSI
+    // year-month for month and coarser — the two Spark interval kinds).
+    chInterval("toIntervalSecond", n => MakeDTInterval(Literal(0), Literal(0), Literal(0), Cast(n, DecimalType(18, 6)))),
+    chInterval("toIntervalMinute", n => MakeDTInterval(Literal(0), Literal(0), Cast(n, IntegerType), Literal(Decimal(0, 18, 6), DecimalType(18, 6)))),
+    chInterval("toIntervalHour", n => MakeDTInterval(Literal(0), Cast(n, IntegerType), Literal(0), Literal(Decimal(0, 18, 6), DecimalType(18, 6)))),
+    chInterval("toIntervalDay", n => MakeDTInterval(Cast(n, IntegerType), Literal(0), Literal(0), Literal(Decimal(0, 18, 6), DecimalType(18, 6)))),
+    chInterval("toIntervalWeek", n => MakeDTInterval(Cast(Multiply(n, Literal(7)), IntegerType), Literal(0), Literal(0), Literal(Decimal(0, 18, 6), DecimalType(18, 6)))),
+    chInterval("toIntervalMonth", n => MakeYMInterval(Literal(0), Cast(n, IntegerType))),
+    chInterval("toIntervalQuarter", n => MakeYMInterval(Literal(0), Cast(Multiply(n, Literal(3)), IntegerType))),
+    chInterval("toIntervalYear", n => MakeYMInterval(Cast(n, IntegerType), Literal(0))),
     chAddUnit("addYears", "YEAR", neg = false),
     chAddUnit("addQuarters", "QUARTER", neg = false),
     chAddUnit("addMonths", "MONTH", neg = false),

@@ -32,7 +32,7 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
   private val trickyIdent = Gen.oneOf(
     "`qualify`", "`prewhere`", "`settings`", "fill", "global", "topk",
     "quantile", "windowfunnel", "asof", "sample", "totals", "final",
-    "interpolate", "a", "b", "k", "v")
+    "interpolate", "transform", "dictget", "toweek", "a", "b", "k", "v")
 
   private val trickyLiteral = Gen.oneOf(
     "'LIMIT 3 BY u'", "'QUALIFY rn <= 2'", "'PREWHERE x'",

@@ -1606,6 +1606,64 @@ class ClickHouseSqlSpec extends SparkSpec {
       .contains("literal array"))
   }
 
+  test("execution: notLike/notILike/multiMatchAny, toInterval* arithmetic, arrayResize, emptyArray* typed empties") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT notLike('BUILDING', 'BU%') AS a,
+        |  notILike('BUILDING', 'bu%') AS b,
+        |  multiMatchAny('HOUSEHOLD', ['^BUIL', 'HOLD$']) AS c,
+        |  multiMatchAny('MACHINERY', ['^BUIL', 'HOLD$']) AS d,
+        |  toString(toDate(toDate('2024-01-15') + toIntervalDay(3))) AS e,
+        |  toString(toDate('2024-01-31') + toIntervalMonth(1)) AS f,
+        |  toString(toDate('2024-03-10') + toIntervalYear(1)) AS g,
+        |  toString(toDate(toDate('2024-01-01') + toIntervalWeek(2))) AS h,
+        |  arrayStringConcat(arrayResize([1, 2, 3], 2, 0), ',') AS trunc2,
+        |  arrayStringConcat(arrayResize([1], 3, 9), ',') AS pad3,
+        |  toInt64(size(arrayResize([1, 2], 0, 0))) AS zero,
+        |  toInt64(size(emptyArrayInt64())) AS e64,
+        |  toInt64(size(arrayConcat(emptyArrayString(), ['x']))) AS es1
+        |""".stripMargin).head()
+    assert(!r.getBoolean(0) && !r.getBoolean(1), r)
+    assert(r.getBoolean(2) && !r.getBoolean(3), r)
+    assert(r.getString(4) == "2024-01-18", r)
+    assert(r.getString(5) == "2024-02-29", r) // end-of-month clamp
+    assert(r.getString(6) == "2025-03-10", r)
+    assert(r.getString(7) == "2024-01-15", r)
+    assert(r.getString(8) == "1,2" && r.getString(9) == "1,9,9", r)
+    assert(r.getLong(10) == 0L && r.getLong(11) == 0L && r.getLong(12) == 1L, r)
+    // The 2-arg arrayResize (element-type-default pad) is a named error.
+    val e = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT arrayResize([1, 2], 5)").collect())
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("extender"), e.getMessage)
+  }
+
+  test("differential: toWeek mode 0 agrees with a LocalDate reference on 600 random dates across year boundaries") {
+    // Independent reference: weeks 0-53 counted from the year's first
+    // Sunday (java.time, no shared arithmetic with the Catalyst
+    // expression). Random dates over 1969-2039 hit leap years, all
+    // seven Jan-1 weekdays, and the pre-1970 epoch side.
+    val rnd = new scala.util.Random(20260815L)
+    val dates = (0 until 600).map { _ =>
+      java.time.LocalDate.ofEpochDay(rnd.between(-365L, 25550L))
+    } ++ (2012 to 2024).map(y => java.time.LocalDate.of(y, 1, 1)) ++
+      (2012 to 2024).map(y => java.time.LocalDate.of(y, 12, 31))
+    def ref(d: java.time.LocalDate): Int = {
+      val jan1 = d.withDayOfYear(1)
+      // DayOfWeek.getValue: Mon=1..Sun=7 → days until the first Sunday.
+      val firstSunDoy = 1 + (7 - jan1.getDayOfWeek.getValue % 7) % 7
+      if (d.getDayOfYear < firstSunDoy) 0
+      else (d.getDayOfYear - firstSunDoy) / 7 + 1
+    }
+    dates.map(d => Tuple1(d.toString)).toDF("ds")
+      .createOrReplaceTempView("chwk_diff")
+    val got = ClickHouseSql.sql(spark,
+      "SELECT ds, toWeek(toDate(ds)) AS w FROM chwk_diff")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    dates.foreach { d =>
+      assert(got(d.toString) == ref(d), (d, got(d.toString), ref(d)))
+    }
+  }
+
   test("execution: dict* functions map onto scalar-subquery lookups; plain dictGet and mismatches are named errors") {
     Seq((1L, "alpha", 10L), (2L, "beta", 20L), (4L, "delta", 40L))
       .toDF("id", "name", "score").createOrReplaceTempView("chdict")

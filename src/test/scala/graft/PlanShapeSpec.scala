@@ -104,6 +104,22 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("date/hour WITH FILL plans stay join-free and push the scan filter") {
+    // The fill is a union of the real rows with per-gap generated rows —
+    // gap generation cannot produce an existing key, so there is no
+    // anti-join (or any join) anywhere in the plan…
+    val pd = graft.ops.Relational.sqlChWithFillDate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pd.contains("Join"), s"date fill must be join-free:\n$pd")
+    val ph = graft.ops.Relational.sqlChWithFillHour(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ph.contains("Join"), s"hour fill must be join-free:\n$ph")
+    // …and the dialect WHERE reaches the parquet scan as a pushed filter
+    // (the fill is a post-step over the already-filtered aggregate).
+    assert(ph.contains("PushedFilters: [") && ph.contains("event_type"),
+      s"event_type filter must reach the scan:\n$ph")
+  }
+
   test("LIMIT n WITH TIES plans a Partial WindowGroupLimit (TopK shape, not a full global window)") {
     // The rank()-filter rewrite must land on the same per-partition
     // partial-top-n machinery as LIMIT BY — the shape that makes a
