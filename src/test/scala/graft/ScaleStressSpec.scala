@@ -234,4 +234,45 @@ class ScaleStressSpec extends SparkSpec {
       assert(slice == expected, s"copy $rep diverged from the base novelty profile")
     }
   }
+
+  test("strict funnel and timed sequenceMatch are density-invariant at 32x per-user event inflation") {
+    // The strict-funnel/sequence folds buffer one group's matching
+    // events (the groupArray cost class); the hot-user hazard is that
+    // buffer growing with density. Replicate every event ×32 into
+    // disjoint ~100-day time blocks for the SAME user: each per-user
+    // array grows ×32 while the exact answer provably cannot change (no
+    // 6 h window or strict chain spans blocks). SCALEBENCH's
+    // funnel_strict_dense/seq_match_dense legs measure the ×16/×64 cost
+    // curve; this pins the exactness half deterministically in-suite.
+    val blockS = 100L * 86400L
+    def ev(scale: Long): DataFrame = Tables.t(spark, sf, "events")
+      .withColumn("rep", explode(sequence(lit(0L), lit(scale - 1))))
+      .select(col("user_id").as("u"),
+        ((unix_micros(col("ts")) / lit(1000000L)).cast("long") +
+          col("rep") * lit(blockS)).as("ts_s"),
+        col("event_type"))
+    def strictHist(df: DataFrame): Map[Int, Long] = {
+      df.createOrReplaceTempView("ss_dense")
+      graft.plans.ClickHouseSql.sql(spark,
+        """SELECT windowFunnel(21600, 'strict_increase')(ts_s,
+          |  event_type = 'view', event_type = 'click', event_type = 'purchase') AS lvl
+          |FROM ss_dense GROUP BY u""".stripMargin)
+        .groupBy("lvl").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    def seqUsers(df: DataFrame): Long = {
+      df.createOrReplaceTempView("ss_dense")
+      graft.plans.ClickHouseSql.sql(spark,
+        """SELECT u FROM ss_dense GROUP BY u
+          |HAVING sequenceMatch('(?1).*(?t<=21600)(?2)')(ts_s,
+          |  event_type = 'view', event_type = 'purchase')""".stripMargin).count()
+    }
+    val baseHist = strictHist(ev(1L))
+    val baseSeq = seqUsers(ev(1L))
+    assert(baseHist.nonEmpty && baseSeq > 0, (baseHist, baseSeq))
+    assert(strictHist(ev(32L)) == baseHist,
+      "strict-funnel histogram must be density-invariant at x32")
+    assert(seqUsers(ev(32L)) == baseSeq,
+      "timed sequenceMatch user count must be density-invariant at x32")
+  }
 }
