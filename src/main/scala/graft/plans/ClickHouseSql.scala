@@ -754,13 +754,18 @@ object ClickHouseSqlRewrite {
     if (joinWords.contains("RIGHT") || joinWords.contains("FULL")) return None
     val joinType = if (joinWords.contains("LEFT")) "LEFT JOIN" else "JOIN"
     var i = mEnd
-    def ws(): Unit = { while (i < masked.length && masked.charAt(i).isWhitespace) i += 1 }
+    // RAW-side whitespace: the mask blanks quoted identifiers to spaces,
+    // and skipping over one here would silently swallow it from the
+    // rebuilt text. A backticked table or alias bails to the named
+    // error instead (the determinization needs plain names).
+    def ws(): Unit = { while (i < sql.length && sql.charAt(i).isWhitespace) i += 1 }
     ws()
     val tStart = i
     while (i < masked.length && (isWordChar(masked.charAt(i)) || masked.charAt(i) == '.')) i += 1
     if (i == tStart) return None
     val tbl = sql.substring(tStart, i)
     ws()
+    if (i < sql.length && (sql.charAt(i) == '`' || sql.charAt(i) == '"')) return None
     var alias = tbl
     val kwStop = Set("ON", "USING", "WHERE", "GROUP", "ORDER", "LIMIT",
       "HAVING", "JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "UNION",
@@ -901,11 +906,18 @@ object ClickHouseSqlRewrite {
     val gi = GlobalInRe.matcher(masked)
     var giFrom = 0
     while (gi.find(giFrom)) {
+      // Skip whitespace on the RAW text: the mask blanks string literals
+      // (quotes included) to spaces, so a masked-side skip would jump
+      // over a literal operand end ('abc' GLOBAL IN …). A position whose
+      // raw char is non-whitespace while its masked char is a blank IS
+      // inside a masked literal/quoted identifier — an expression
+      // terminator, so the modifier reading holds.
       var p = gi.start() - 1
-      while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
+      while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
       val isModifier = p >= 0 && {
         val ch = masked.charAt(p)
-        if (ch == ')' || ch == ']' || ch == '\'' || ch == '"' || ch == '`') true
+        if (ch == ' ' && !sql.charAt(p).isWhitespace) true // masked literal
+        else if (ch == ')' || ch == ']') true
         else if (isWordChar(ch)) {
           var q = p
           while (q >= 0 && isWordChar(masked.charAt(q))) q -= 1

@@ -538,6 +538,14 @@ class ClickHouseSqlSpec extends SparkSpec {
     val inertIn3 = "SELECT a, global IN (1, 2) AS flag FROM t " +
       "GROUP BY a, global HAVING global IN (1)"
     assert(ClickHouseSqlRewrite(inertIn3) eq inertIn3)
+    // A string-literal or backticked-identifier operand end also reads
+    // as the modifier (the mask blanks both — the raw-side check).
+    assert(ClickHouseSqlRewrite(
+      "SELECT * FROM a WHERE 'x' GLOBAL IN (SELECT s FROM b)")
+      == "SELECT * FROM a WHERE 'x' IN (SELECT s FROM b)")
+    assert(ClickHouseSqlRewrite(
+      "SELECT * FROM a WHERE `k 2` GLOBAL NOT IN (1, 2)")
+      == "SELECT * FROM a WHERE `k 2` NOT IN (1, 2)")
     val any = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k"))
     assert(any.getMessage.contains("arbitrary"), any.getMessage)
