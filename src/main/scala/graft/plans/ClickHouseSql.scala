@@ -263,7 +263,8 @@ object ClickHouseSqlRewrite {
   private val WithTiesRe = java.util.regex.Pattern.compile(
     "(?i)\\bLIMIT\\s+(\\d+)\\s+WITH\\s+TIES\\b")
   private val WithTiesOffsetRe = java.util.regex.Pattern.compile(
-    "(?i)\\bLIMIT\\s+\\d+\\s*(?:,\\s*\\d+|\\s+OFFSET\\s+\\d+)\\s+WITH\\s+TIES\\b")
+    "(?i)\\bLIMIT\\s+\\d+\\s*(?:,\\s*\\d+|\\s+OFFSET\\s+\\d+)\\s+WITH\\s+TIES\\b" +
+      "|(?i)\\bLIMIT\\s+\\d+\\s+WITH\\s+TIES\\s+OFFSET\\b")
   private val FormatRe = java.util.regex.Pattern.compile(
     "(?i)\\bFORMAT\\s+[A-Za-z][A-Za-z0-9]*\\s*;?\\s*$")
 
@@ -391,25 +392,6 @@ object ClickHouseSqlRewrite {
     * access `t.transform(…)`.
     */
   private def rewriteTransform(sql: String, masked: String): String = {
-    // Bracket-AWARE depth-0 comma split: the general splitItems tracks
-    // only parens, so a comma inside a `[…]` literal would split the
-    // argument list mid-array (and a half-converted mixed
-    // `array(…)/[…]` state mid-fixpoint would then look like a
-    // malformed call).
-    def splitArgs(from0: Int, until: Int): Seq[(Int, Int)] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
-      var st = from0
-      var depth = 0
-      var i2 = from0
-      while (i2 <= until) {
-        val c = if (i2 < until) masked.charAt(i2) else ','
-        if (c == '(' || c == '[') depth += 1
-        else if (c == ')' || c == ']') depth -= 1
-        else if (c == ',' && depth == 0) { out += ((st, i2)); st = i2 + 1 }
-        i2 += 1
-      }
-      out.toSeq
-    }
     val m = TransformRe.matcher(masked)
     var from = 0
     while (m.find(from)) {
@@ -417,14 +399,14 @@ object ClickHouseSqlRewrite {
       while (p >= 0 && masked.charAt(p).isWhitespace) p -= 1
       val isMember = p >= 0 && masked.charAt(p) == '.'
       val (aStart, aEnd, afterA) = parenSpan(masked, m.end() - 1)
-      val items = splitArgs(aStart, aEnd)
+      val items = splitItems(masked, aStart, aEnd)
       if (!isMember && (items.length == 3 || items.length == 4)) {
         def arrEls(span: (Int, Int)): Option[Seq[String]] = {
           var a = span._1; var b = span._2
           while (a < b && masked.charAt(a).isWhitespace) a += 1
           while (b > a && masked.charAt(b - 1).isWhitespace) b -= 1
           if (a < b && masked.charAt(a) == '[' && masked.charAt(b - 1) == ']')
-            Some(splitArgs(a + 1, b - 1)
+            Some(splitItems(masked, a + 1, b - 1)
               .map { case (x, y) => sql.substring(x, y).trim })
           else if (masked.regionMatches(true, a, "array", 0, 5)) {
             var c = a + 5
@@ -474,7 +456,9 @@ object ClickHouseSqlRewrite {
     "uint8" -> "0", "uint16" -> "0", "uint32" -> "0", "uint64" -> "0",
     "float32" -> "CAST(0.0 AS FLOAT)", "float64" -> "CAST(0.0 AS DOUBLE)",
     "date" -> "DATE '1970-01-01'",
-    "datetime" -> "TIMESTAMP '1970-01-01 00:00:00'")
+    // Epoch INSTANT zero — ClickHouse's DateTime(0) — not a session-zone
+    // wall clock (a TIMESTAMP literal would shift by the zone offset).
+    "datetime" -> "CAST(0 AS TIMESTAMP)")
 
   private val DictFnRe = java.util.regex.Pattern.compile(
     "(?i)\\b(dictGetOrDefault|dictGetOrNull|dictHas|dictIsIn|dictGetHierarchy|" +
@@ -563,6 +547,45 @@ object ClickHouseSqlRewrite {
         "dictionary data first (or run through ClickHouseSql.sql with an " +
         "active session)"))
     val keyCol = cols.head._1
+    // The probe key splices INSIDE the lookup subquery, where the
+    // dictionary's own columns shadow outer names: a bare identifier in
+    // the key that also names a dictionary column would resolve to the
+    // DICTIONARY side (inner scope wins), turning the predicate into a
+    // tautology — every probe would silently get the whole-dictionary
+    // max. Same-name keys (dim.user_id probed by fact.user_id) are the
+    // ubiquitous convention, so this is a named error demanding the
+    // qualified spelling, never a silent wrong answer. Scanned on the
+    // MASKED text so string literals spelling column names stay inert;
+    // dotted references (t.user_id) and function calls are exempt.
+    val keyMasked = {
+      val (s0, e0) = splitItems(masked, aStart, aEnd)
+        .lift(if (isHas) 1 else 2).getOrElse((0, 0))
+      masked.substring(s0, e0)
+    }
+    val colNamesLower = cols.map(_._1.toLowerCase).toSet
+    val idm = java.util.regex.Pattern
+      .compile("[A-Za-z_][A-Za-z0-9_]*").matcher(keyMasked)
+    while (idm.find()) {
+      val tok = keyMasked.substring(idm.start(), idm.end())
+      val before = {
+        var b = idm.start() - 1
+        while (b >= 0 && keyMasked.charAt(b).isWhitespace) b -= 1
+        if (b >= 0) keyMasked.charAt(b) else ' '
+      }
+      val after = {
+        var a = idm.end()
+        while (a < keyMasked.length && keyMasked.charAt(a).isWhitespace) a += 1
+        if (a < keyMasked.length) keyMasked.charAt(a) else ' '
+      }
+      if (before != '.' && after != '(' && after != '.' &&
+          colNamesLower.contains(tok.toLowerCase))
+        throw new IllegalArgumentException(
+          s"ClickHouse SQL: $fname: the probe key references bare `$tok`, " +
+            s"which is also a column of the dictionary view '$dict' — " +
+            "inside the lookup subquery that name resolves to the " +
+            "DICTIONARY side and the lookup would silently match every " +
+            "row; qualify the probe (e.g. fact_table.`" + tok + "`)")
+    }
     val repl =
       if (isHas)
         s"((SELECT count(*) FROM $dict WHERE `$keyCol` = (${items(1)}\n)) > 0)"
@@ -785,6 +808,10 @@ object ClickHouseSqlRewrite {
       }
     }
     val tblEnd = i
+    // A dotted table name with NO explicit alias cannot be re-aliased
+    // faithfully: `AS db.t` is invalid and a bare-part alias would break
+    // fully-qualified ON references — bail to the named error.
+    if (alias == tbl && tbl.contains('.')) return None
     val cols = dictSchema(tbl).getOrElse(return None)
     if (cols.exists(_._2.isInstanceOf[MapType])) return None
     val colSet = cols.map(_._1).toSet
@@ -906,17 +933,29 @@ object ClickHouseSqlRewrite {
     val gi = GlobalInRe.matcher(masked)
     var giFrom = 0
     while (gi.find(giFrom)) {
-      // Skip whitespace on the RAW text: the mask blanks string literals
-      // (quotes included) to spaces, so a masked-side skip would jump
-      // over a literal operand end ('abc' GLOBAL IN …). A position whose
-      // raw char is non-whitespace while its masked char is a blank IS
-      // inside a masked literal/quoted identifier — an expression
-      // terminator, so the modifier reading holds.
+      // Walk back over RAW whitespace and BLOCK COMMENTS (both masked to
+      // blanks — but a comment is transparent context while a string
+      // literal is an expression terminator; the raw text tells them
+      // apart: a comment span ends in '*/', a masked literal in its
+      // closing quote). A masked-blank stop whose raw char is a closing
+      // quote means a literal/quoted-identifier operand end → modifier;
+      // any other masked-blank raw char (a line comment's content, a
+      // malformed span) reads conservatively as NOT the modifier.
       var p = gi.start() - 1
-      while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+      var walking = true
+      while (walking) {
+        while (p >= 0 && sql.charAt(p).isWhitespace) p -= 1
+        if (p >= 1 && masked.charAt(p) == ' ' && sql.charAt(p) == '/' &&
+            sql.charAt(p - 1) == '*') {
+          val open = sql.lastIndexOf("/*", p - 1)
+          if (open >= 0) p = open - 1 else { walking = false }
+        } else walking = false
+      }
       val isModifier = p >= 0 && {
         val ch = masked.charAt(p)
-        if (ch == ' ' && !sql.charAt(p).isWhitespace) true // masked literal
+        val raw = sql.charAt(p)
+        if (ch == ' ')
+          raw == '\'' || raw == '"' || raw == '`' // masked literal end
         else if (ch == ')' || ch == ']') true
         else if (isWordChar(ch)) {
           var q = p
@@ -1099,7 +1138,11 @@ object ClickHouseSqlRewrite {
           "wrap the DISTINCT in a subquery")
   }
 
-  /** Depth-0 comma split of a masked span: (start, end) offsets per item. */
+  /** Depth-0 comma split of a masked span: (start, end) offsets per
+    * item. Brackets count toward depth alongside parens — a comma
+    * inside a `[…]` array literal (or ClickHouse's bracket indexing)
+    * belongs to the bracket, not the item list.
+    */
   private def splitItems(masked: String, from: Int, until: Int): Seq[(Int, Int)] = {
     val items = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var itemStart = from
@@ -1107,8 +1150,8 @@ object ClickHouseSqlRewrite {
     var i = from
     while (i <= until) {
       val c = if (i < until) masked.charAt(i) else ','
-      if (c == '(') depth += 1
-      else if (c == ')') depth -= 1
+      if (c == '(' || c == '[') depth += 1
+      else if (c == ')' || c == ']') depth -= 1
       else if (c == ',' && depth == 0) {
         items += ((itemStart, i))
         itemStart = i + 1
@@ -3376,13 +3419,21 @@ object ClickHouseFunctions {
       es => { require(es.length == 2, "multiMatchAny(haystack, patterns)")
         val h = es.head
         ArrayExists(es(1), lam1(p => RLike(h, p))) }),
-    ("arrayResize", "arrayResize(arr, size, extender) - truncate to size, or right-pad with extender up to size (non-negative sizes; the 2-arg form is a named error: ClickHouse pads it with the ELEMENT type's default, which needs the resolved type - pass the extender explicitly)",
+    ("arrayResize", "arrayResize(arr, size, extender) - truncate or pad with extender to |size| elements; positive sizes work on the RIGHT end, negative sizes on the LEFT (ClickHouse's rule); the 2-arg form is a named error: ClickHouse pads it with the ELEMENT type's default, which needs the resolved type - pass the extender explicitly",
       es => es match {
         case Seq(arr, size, ext) =>
           val sz = Cast(size, IntegerType)
-          If(GreaterThanOrEqual(new Size(arr), sz),
-            Slice(arr, Literal(1), Greatest(Seq(sz, Literal(0)))),
-            Concat(Seq(arr, ArrayRepeat(ext, Subtract(sz, new Size(arr))))))
+          val n = new Size(arr)
+          val negLen = UnaryMinus(sz)
+          If(GreaterThanOrEqual(sz, Literal(0)),
+            If(GreaterThanOrEqual(n, sz),
+              Slice(arr, Literal(1), Greatest(Seq(sz, Literal(0)))),
+              Concat(Seq(arr, ArrayRepeat(ext, Subtract(sz, n))))),
+            // Negative size: keep/pad from the LEFT — the last |size|
+            // elements, left-padded with the extender when |size| > n.
+            If(GreaterThanOrEqual(n, negLen),
+              Slice(arr, sz, negLen),
+              Concat(Seq(ArrayRepeat(ext, Subtract(negLen, n)), arr))))
         case Seq(_, _) => throw new IllegalArgumentException(
           "arrayResize(arr, size) pads with the element TYPE's default, " +
             "which a builder cannot synthesize — pass the extender " +
@@ -4587,8 +4638,11 @@ object ClickHouseWithFill {
       case StringType => lit("")
       case BooleanType => lit(false)
       case DateType => to_date(lit("1970-01-01"))
-      case TimestampType | TimestampNTZType =>
-        lit("1970-01-01 00:00:00").cast(dt)
+      // TIMESTAMP default = the epoch-0 INSTANT (ClickHouse DateTime(0)),
+      // not a session-zone wall clock; NTZ is zone-free, so the
+      // wall-clock string IS its epoch default.
+      case TimestampType => lit(0L).cast(TimestampType)
+      case TimestampNTZType => lit("1970-01-01 00:00:00").cast(dt)
       case other => lit(null).cast(other)
     }
     // INTERPOLATE: "*" (bare form) = every non-key column. Carried

@@ -546,6 +546,14 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(ClickHouseSqlRewrite(
       "SELECT * FROM a WHERE `k 2` GLOBAL NOT IN (1, 2)")
       == "SELECT * FROM a WHERE `k 2` NOT IN (1, 2)")
+    // Comments are transparent context, not operand ends: a modifier
+    // after a block comment still strips, and a COLUMN named global
+    // preceded by one stays inert.
+    assert(ClickHouseSqlRewrite(
+      "SELECT * FROM a WHERE k /* shard */ GLOBAL IN (1, 2)")
+      == "SELECT * FROM a WHERE k /* shard */ IN (1, 2)")
+    val inertCmt = "SELECT a FROM t WHERE /* note */ global IN (1, 2)"
+    assert(ClickHouseSqlRewrite(inertCmt) eq inertCmt)
     val any = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT * FROM a ANY LEFT JOIN b ON a.k = b.k"))
     assert(any.getMessage.contains("arbitrary"), any.getMessage)
@@ -1536,6 +1544,9 @@ class ClickHouseSqlSpec extends SparkSpec {
     val tiesOff = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT a FROM t ORDER BY a LIMIT 2, 5 WITH TIES"))
     assert(tiesOff.getMessage.contains("tie-groups"), tiesOff.getMessage)
+    val tiesOff2 = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
+      "SELECT a FROM t ORDER BY a LIMIT 5 WITH TIES OFFSET 2"))
+    assert(tiesOff2.getMessage.contains("tie-groups"), tiesOff2.getMessage)
     val tiesNoOb = intercept[IllegalArgumentException](ClickHouseSqlRewrite(
       "SELECT a FROM t LIMIT 5 WITH TIES"))
     assert(tiesNoOb.getMessage.contains("requires an ORDER BY"),
@@ -1626,6 +1637,8 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  toString(toDate(toDate('2024-01-01') + toIntervalWeek(2))) AS h,
         |  arrayStringConcat(arrayResize([1, 2, 3], 2, 0), ',') AS trunc2,
         |  arrayStringConcat(arrayResize([1], 3, 9), ',') AS pad3,
+        |  arrayStringConcat(arrayResize([1, 2, 3], -2, 0), ',') AS left2,
+        |  arrayStringConcat(arrayResize([1], -3, 9), ',') AS lpad3,
         |  toInt64(size(arrayResize([1, 2], 0, 0))) AS zero,
         |  toInt64(size(emptyArrayInt64())) AS e64,
         |  toInt64(size(arrayConcat(emptyArrayString(), ['x']))) AS es1
@@ -1637,7 +1650,10 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(6) == "2025-03-10", r)
     assert(r.getString(7) == "2024-01-15", r)
     assert(r.getString(8) == "1,2" && r.getString(9) == "1,9,9", r)
-    assert(r.getLong(10) == 0L && r.getLong(11) == 0L && r.getLong(12) == 1L, r)
+    // Negative sizes work on the LEFT end (ClickHouse's rule): the last
+    // |size| elements, left-padded when growing.
+    assert(r.getString(10) == "2,3" && r.getString(11) == "9,9,1", r)
+    assert(r.getLong(12) == 0L && r.getLong(13) == 0L && r.getLong(14) == 1L, r)
     // The 2-arg arrayResize (element-type-default pad) is a named error.
     val e = intercept[Exception](ClickHouseSql.sql(spark,
       "SELECT arrayResize([1, 2], 5)").collect())
@@ -1713,6 +1729,17 @@ class ClickHouseSqlSpec extends SparkSpec {
       .contains("compatible type"), "type mismatch must be named")
     assert(err("SELECT dictGetHierarchy('chdict', 1)")
       .contains("recursive CTE"), "hierarchy must point at the CTE spelling")
+    // A bare probe-key identifier that ALSO names a dictionary column
+    // would resolve to the DICTIONARY inside the lookup subquery (inner
+    // scope wins) and silently match every row — named error demanding
+    // the qualified spelling; the qualified form works.
+    Seq((1L, 7L)).toDF("id", "v").createOrReplaceTempView("chdict_f")
+    assert(err("SELECT dictGetOrNull('chdict', 'name', id) FROM chdict_f")
+      .contains("DICTIONARY side"), "bare shadowed key must be named")
+    val q = ClickHouseSql.sql(spark,
+      "SELECT dictGetOrNull('chdict', 'name', chdict_f.id) AS nm FROM chdict_f")
+      .collect().map(_.getString(0)).toSeq
+    assert(q == Seq("alpha"), q)
   }
 
   test("execution: LIMIT n WITH TIES keeps the whole tie-group of the n-th row") {
