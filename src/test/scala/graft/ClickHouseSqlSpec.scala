@@ -1661,6 +1661,58 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(msg.contains("extender"), e.getMessage)
   }
 
+  test("differential: formatReadableSize/Quantity unit selection agrees with a Scala reference over random magnitudes") {
+    // Independent reference for the CASE-ladder logic (threshold choice,
+    // abs handling, unit order); both sides share Java's %.2f, so what
+    // this pins is the unit selection across 19 orders of magnitude,
+    // negatives, and the exact power-of-1024 boundaries.
+    val rnd = new scala.util.Random(20260816L)
+    val vals = Seq(0d, 1d, 1023d, 1024d, 1025d, -1536d, 1048575d, 1048576d,
+      999d, 1000d, -2500000d) ++
+      (0 until 200).map(_ => (rnd.nextDouble() * 2 - 1) *
+        math.pow(10, rnd.nextInt(19)))
+    def fmt2(x: Double, suffix: String): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(x)) +
+        (if (suffix.isEmpty) "" else " " + suffix)
+    def refSize(x: Double): String = {
+      val units = Seq("EiB" -> math.pow(1024d, 6), "PiB" -> math.pow(1024d, 5),
+        "TiB" -> math.pow(1024d, 4), "GiB" -> math.pow(1024d, 3),
+        "MiB" -> math.pow(1024d, 2), "KiB" -> 1024d)
+      units.find { case (_, f) => math.abs(x) >= f }
+        .map { case (u, f) => fmt2(x / f, u) }.getOrElse(fmt2(x, "B"))
+    }
+    def refQty(x: Double): String = {
+      val units = Seq("trillion" -> 1e12, "billion" -> 1e9,
+        "million" -> 1e6, "thousand" -> 1e3)
+      units.find { case (_, f) => math.abs(x) >= f }
+        .map { case (u, f) => fmt2(x / f, u) }.getOrElse(fmt2(x, ""))
+    }
+    vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .createOrReplaceTempView("chfrs")
+    val got = ClickHouseSql.sql(spark,
+      "SELECT i, formatReadableSize(v) AS s, formatReadableQuantity(v) AS q FROM chfrs")
+      .collect().map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i) == ((refSize(v), refQty(v))), (v, got(i), refSize(v), refQty(v)))
+    }
+  }
+
+  test("execution: dictGetDate/dictGetDateTime typed misses return epoch defaults (instant 0, not session wall clock)") {
+    Seq((1L, java.sql.Date.valueOf("2024-03-01"),
+        java.sql.Timestamp.valueOf("2024-03-01 12:00:00")))
+      .toDF("id", "d", "ts").createOrReplaceTempView("chdict_dt")
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toString(dictGetDate('chdict_dt', 'd', 1)) AS hit_d,
+        |  toString(dictGetDate('chdict_dt', 'd', 2)) AS miss_d,
+        |  toInt64(toUnixTimestamp64Micro(dictGetDateTime('chdict_dt', 'ts', 1))) AS hit_us,
+        |  toInt64(toUnixTimestamp64Micro(dictGetDateTime('chdict_dt', 'ts', 2))) AS miss_us
+        |""".stripMargin).head()
+    assert(r.getString(0) == "2024-03-01", r)
+    assert(r.getString(1) == "1970-01-01", r)
+    assert(r.getLong(2) == 1709294400000000L, r) // 2024-03-01 12:00 UTC
+    assert(r.getLong(3) == 0L, r) // the epoch-0 INSTANT, zone-free
+  }
+
   test("differential: toWeek mode 0 agrees with a LocalDate reference on 600 random dates across year boundaries") {
     // Independent reference: weeks 0-53 counted from the year's first
     // Sunday (java.time, no shared arithmetic with the Catalyst
