@@ -468,6 +468,12 @@ object SparkEntry {
     "sql_ch_limit_offset" -> (Relational.sqlChLimitOffset _),
     "sql_ch_limit_ties" -> (Relational.sqlChLimitTies _),
     "sql_ch_dict" -> (Relational.sqlChDict _),
+    "sql_ch_conv" -> (Relational.sqlChConv _),
+    "sql_ch_parse_dt" -> (Relational.sqlChParseDt _),
+    "sql_ch_ip" -> (Relational.sqlChIp _),
+    "sql_ch_strdist" -> (Relational.sqlChStrDist _),
+    "sql_ch_json2" -> (Relational.sqlChJson2 _),
+    "sql_ch_vector2" -> (Relational.sqlChVector2 _),
     "sql_ch_with_fill_date" -> (Relational.sqlChWithFillDate _),
     "sql_ch_week" -> (Relational.sqlChWeek _),
     "sql_ch_like" -> (Relational.sqlChLike _),
@@ -1187,6 +1193,28 @@ object SparkEntry {
       """WITH a AS (SELECT l_orderkey AS okey, list_sort(list(CAST(l_suppkey % 3 AS BIGINT))) AS ms, list_sort(list(CAST(l_linenumber AS BIGINT))) AS ln FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey) SELECT CAST(okey AS BIGINT) AS okey, CAST(list_aggregate(ln, 'sum') AS BIGINT) AS s, CAST(floor(list_aggregate(ln, 'avg') * 100 + 0.5) AS BIGINT) AS avg_c, CAST(floor(list_aggregate(ln, 'product') + 0.5) AS BIGINT) AS prod_i, CAST(list_filter(ln, x -> x > 2)[1] AS BIGINT) AS first_gt2, CAST(coalesce(list_position(list_transform(ln, x -> x > 2), true), 0) AS BIGINT) AS fidx, CAST(CASE WHEN coalesce(list_position(list_transform(list_reverse(ln), x -> x > 2), true), 0) = 0 THEN 0 ELSE len(ln) - list_position(list_transform(list_reverse(ln), x -> x > 2), true) + 1 END AS BIGINT) AS lidx, array_to_string(list_sort(list_distinct(ms)), ',') AS compacted, array_to_string(list_append(ln[2:], 99), ',') AS shifted, array_to_string(list_prepend(0, ln[1:len(ln)-1]), ',') AS shifted2, array_to_string([okey % 5, okey % 5, okey % 5], ',') AS const3, array_to_string(generate_series(1, len(ln)), ',') AS enumd, CASE WHEN okey % 4 <= 0 THEN '' ELSE array_to_string(generate_series(0, okey % 4 - 1), ',') END AS rng, array_to_string(list_reverse(ln), ',') AS revd, array_to_string(list_sort(list_distinct(ms)), ',') AS dist FROM a ORDER BY okey""",
     "sql_ch_vector" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200), p AS (SELECT e.vec_id, CAST(e.embedding[i] AS DOUBLE) AS x, CAST(q.qe[i] AS DOUBLE) AS y FROM e CROSS JOIN q CROSS JOIN UNNEST(generate_series(1, len(e.embedding))) AS t(i)), d AS (SELECT vec_id, sum(x * y) AS dot, sum(abs(x - y)) AS l1, sum((x - y) * (x - y)) AS l2s, max(abs(x - y)) AS linf, sum(x * x) AS na, sum(y * y) AS nb FROM p GROUP BY vec_id), j AS (SELECT e.vec_id, CAST(len(list_intersect(list_transform(e.embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)), list_transform(q.qe, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)))) AS DOUBLE) / len(list_distinct(list_concat(list_transform(e.embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT)), list_transform(q.qe, v -> CAST(floor(CAST(v AS DOUBLE) * 10) AS BIGINT))))) AS jac FROM e CROSS JOIN q) SELECT d.vec_id, CAST(floor(dot * 1000 + 0.5) AS BIGINT) AS dot_3, CAST(floor((1.0 - dot / (sqrt(na) * sqrt(nb))) * 100000 + 0.5) AS BIGINT) AS cos_5, CAST(floor(sqrt(l2s) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(l2s * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(l1 * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(linf * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(jac * 10000 + 0.5) AS BIGINT) AS jac_4 FROM d JOIN j ON d.vec_id = j.vec_id ORDER BY d.vec_id""",
+    // The conversion family's rules re-derived as direct expected
+    // values (NULL/0/default lanes spelled out), not a re-implementation
+    // of the parse — the independent-oracle discipline.
+    "sql_ch_conv" ->
+      """SELECT o_orderkey AS k, CAST(o_orderkey AS INTEGER) AS i32, CAST(NULL AS INTEGER) AS i32_pad, CAST(NULL AS INTEGER) AS i32_frac, CAST(0 AS INTEGER) AS i32_zero, CAST(-7 AS INTEGER) AS i32_def, CAST(NULL AS INTEGER) AS i32_over, CAST(CASE WHEN o_orderkey % 300 <= 255 THEN o_orderkey % 300 END AS SMALLINT) AS u8, CAST(o_orderkey * 7 AS INTEGER) AS u16, CAST(NULL AS BIGINT) AS u32_neg, CAST(o_orderkey + 4294967295 AS DECIMAL(20,0)) AS u64_big, CAST(o_orderkey AS DOUBLE) + 0.25 AS f64, CASE o_orderkey % 3 WHEN 0 THEN 'Infinity' WHEN 1 THEN '-Infinity' ELSE 'NaN' END AS f64_spec, CAST(0 AS REAL) AS f32_zero, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_ok, '1970-01-01' AS d_zero, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR + INTERVAL 30 MINUTE) AS BIGINT) AS dt_epoch FROM orders WHERE o_orderkey < 400 ORDER BY k""",
+    "sql_ch_parse_dt" ->
+      """SELECT o_orderkey AS k, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS rt_epoch, CAST(NULL AS BIGINT) AS p_bad, CAST(0 AS BIGINT) AS p_zero, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) + 8*3600 + 15*60 + 30 AS BIGINT) AS be_iso, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS be_dot, CAST(1000000000 + o_orderkey AS BIGINT) AS be_unix, CAST(NULL AS BIGINT) AS be_null, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS be_slash FROM orders WHERE o_orderkey < 400 ORDER BY k""",
+    // IPv4 octets and /20 bounds re-derived with integer arithmetic —
+    // no IP parser on the oracle side.
+    "sql_ch_ip" ->
+      """WITH s AS (SELECT o_orderkey AS k, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, CAST(n // 16777216 AS VARCHAR) || '.' || CAST((n // 65536) % 256 AS VARCHAR) || '.' || CAST((n // 256) % 256 AS VARCHAR) || '.' || CAST(n % 256 AS VARCHAR) AS ip, CAST(n AS BIGINT) AS rt, true AS ok, false AS five_octets, CAST(NULL AS BIGINT) AS bad, CAST(0 AS BIGINT) AS dflt, CAST(n - n % 4096 AS BIGINT) AS cidr_lo, CAST(n - n % 4096 + 4095 AS BIGINT) AS cidr_hi FROM s ORDER BY k""",
+    // DuckDB's levenshtein/hamming/jaccard are independent
+    // implementations of the SAME definitions (probed: jaccard is
+    // distinct-character sets, hamming equal-length positions).
+    "sql_ch_strdist" ->
+      """SELECT doc_id, CAST(levenshtein(substr(text, 1, 12), substr(text, 20, 12)) AS BIGINT) AS lev, CAST(levenshtein(lang, source) AS BIGINT) AS lev2, CAST(hamming(substr(text, 1, 10), substr(text, 11, 10)) AS BIGINT) AS ham, CAST(floor(jaccard(substr(text, 1, 40), substr(text, 41, 40)) * 10000 + 0.5) AS BIGINT) AS jac_4, CAST(floor(jaccard(lang, source) * 10000 + 0.5) AS BIGINT) AS jac2_4, array_to_string(regexp_extract_all(substr(text, 1, 30), '[a-zA-Z]+')[1:4], '/') AS alpha4, lang || source || '|' || source || lang AS shingles2 FROM documents WHERE doc_id < 150 ORDER BY doc_id""",
+    // Every value re-derived from the source columns directly — the
+    // oracle never parses the JSON it is checking.
+    "sql_ch_json2" ->
+      """SELECT o_orderkey AS k, true AS has_q, false AS has_zz, true AS has_tag2, false AS has_tag3, CAST(2 AS BIGINT) AS n_tags, CAST(3 AS BIGINT) AS n_doc, CAST(0 AS BIGINT) AS n_scalar, CAST(o_orderkey AS VARCHAR) AS raw_k, '"' || o_orderstatus || '"' AS raw_tag1, 'null' AS raw_q, '' AS raw_missing, '"' || o_orderstatus || '"|"' || o_orderpriority || '"' AS tags_raw, 'k,tags,meta' AS keys_doc, 'p,q' AS keys_meta FROM orders WHERE o_orderkey < 400 ORDER BY k""",
+    "sql_ch_vector2" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve FROM embeddings WHERE vec_id < 300) SELECT vec_id, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'sum') * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(list_aggregate(list_transform(ve, x -> x * x), 'sum') * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'max') * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(ve[1] / sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 100000 + 0.5) AS BIGINT) AS unit0_5, array_to_string(list_reverse(list_sort(list_transform(ve[1:6], v -> CAST(floor(v * 10) AS BIGINT)))), ',') AS rsorted FROM e ORDER BY vec_id""",
     "sql_ch_misc" ->
       """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_linenumber AS BIGINT) AS te, l_returnflag || '/' || l_linestatus || '/' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS sp, CAST(-1 AS BIGINT) AS inf_guard, monthname(l_shipdate) AS mn, dayname(l_shipdate) AS wd, CAST(year(l_shipdate) AS VARCHAR) AS yr, CAST(strftime(l_shipdate, '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms, CAST(greatest(CAST(l_quantity AS BIGINT), l_suppkey) AS BIGINT) AS rmax, CAST(CAST(l_quantity AS BIGINT) + l_linenumber AS BIGINT) AS rsum, CASE WHEN l_suppkey % 2 = 1 THEN '1,2,3' ELSE '1,2,1' END AS enq, CAST(coalesce(lag(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS lg, CAST(coalesce(lead(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS ld, 'q,p' AS mk, CAST(CAST(l_quantity AS BIGINT) + l_suppkey AS BIGINT) AS mv, true AS mc1, false AS mc0, CAST(2 * (l_linenumber + CAST(l_quantity AS BIGINT)) AS BIGINT) AS fold2, CASE WHEN l_suppkey % 2 = 1 THEN '1,1,1' ELSE '1,1,2' END AS dense, epoch_ms(l_shipdate) AS ship_ms, CAST(greatest(l_linenumber - 2, 0) AS VARCHAR) || ',' || CAST(greatest(l_linenumber - 2, 0) + 3 AS VARCHAR) || ',' || CAST(greatest(greatest(l_linenumber - 2, 0) + 3 - 4, 0) AS VARCHAR) AS nncum FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, lno""",
     "events_mde_power" ->

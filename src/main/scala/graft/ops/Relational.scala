@@ -2531,6 +2531,167 @@ object Relational {
     * same WITH list. The one-row side broadcasts; resolution stays
     * Spark's (collisions fail loudly as ambiguity).
     */
+  /** The r12 dirty-data conversion batch: the generated
+    * `to<T>OrNull/OrZero/OrDefault` family over strings CONSTRUCTED
+    * in-query from `orders` columns, covering every rule the builders
+    * document — whitespace-padded and fractional text as a non-parse,
+    * partial consumption, Int32 overflow vs the UInt64 Decimal(20,0)
+    * lane, the unsigned bounds guards (a 256..299 value nulls
+    * `toUInt8OrNull`), ClickHouse's case-insensitive inf/nan spellings,
+    * and the Date/DateTime epoch defaults. Row-wise over a pruned scan;
+    * no shuffle beyond the sort.
+    */
+  def sqlChConv(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderkey AS k,
+        |  toInt32OrNull(toString(o_orderkey)) AS i32,
+        |  toInt32OrNull(concat(' ', toString(o_orderkey))) AS i32_pad,
+        |  toInt32OrNull(concat(toString(o_orderkey), '.5')) AS i32_frac,
+        |  toInt32OrZero(concat('x', toString(o_orderkey))) AS i32_zero,
+        |  toInt32OrDefault(concat('x', toString(o_orderkey)), -7) AS i32_def,
+        |  toInt32OrNull('3000000000') AS i32_over,
+        |  toUInt8OrNull(toString(o_orderkey % 300)) AS u8,
+        |  toUInt16OrZero(toString(o_orderkey * 7)) AS u16,
+        |  toUInt32OrNull(toString(-o_orderkey - 1)) AS u32_neg,
+        |  toUInt64OrNull(toString(o_orderkey + 4294967295)) AS u64_big,
+        |  toFloat64OrNull(concat(toString(o_orderkey), '.25')) AS f64,
+        |  toString(toFloat64OrNull(multiIf(o_orderkey % 3 = 0, 'inf', o_orderkey % 3 = 1, '-Infinity', 'nan'))) AS f64_spec,
+        |  toFloat32OrZero('junk') AS f32_zero,
+        |  toString(toDateOrNull(toString(toDate(o_orderdate)))) AS d_ok,
+        |  toString(toDateOrZero(concat(toString(toDate(o_orderdate)), 'x'))) AS d_zero,
+        |  toUnixTimestamp(toDateTimeOrNull(concat(toString(toDate(o_orderdate)), ' 12:30:00'))) AS dt_epoch
+        |FROM orders
+        |WHERE o_orderkey < 400
+        |ORDER BY k""".stripMargin)
+  }
+
+  /** The r12 datetime-parsing batch: `parseDateTime` round-tripping its
+    * own `formatDateTime` %-codes (the shared translator makes that
+    * bit-exact by construction), the OrNull/OrZero lenient forms, and
+    * `parseDateTimeBestEffort(OrNull)` across its documented subset —
+    * ISO 8601 with explicit Z, DD.MM.YYYY, YYYY/MM/DD, a 10-digit unix
+    * string — plus a non-parse lane. Epochs compared (UTC session), so
+    * the oracle needs no timestamp-rendering agreement.
+    */
+  def sqlChParseDt(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderkey AS k,
+        |  toUnixTimestamp(parseDateTime(formatDateTime(toDateTime(o_orderdate), '%d/%m/%Y %H:%i:%S'), '%d/%m/%Y %H:%i:%S')) AS rt_epoch,
+        |  toUnixTimestamp(parseDateTimeOrNull(toString(o_orderkey), '%d/%m/%Y')) AS p_bad,
+        |  toUnixTimestamp(parseDateTimeOrZero('nope', '%F')) AS p_zero,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull(concat(toString(toDate(o_orderdate)), 'T08:15:30Z'))) AS be_iso,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull(formatDateTime(o_orderdate, '%d.%m.%Y'))) AS be_dot,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull(toString(1000000000 + o_orderkey))) AS be_unix,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull(concat('garbage-', toString(o_orderkey)))) AS be_null,
+        |  toUnixTimestamp(parseDateTimeBestEffort(formatDateTime(o_orderdate, '%Y/%m/%d'))) AS be_slash
+        |FROM orders
+        |WHERE o_orderkey < 400
+        |ORDER BY k""".stripMargin)
+  }
+
+  /** The r12 IPv4 batch: address numbers synthesized per-row (a
+    * Knuth-hash of the order key into the UInt32 space), rendered with
+    * `IPv4NumToString`, round-tripped through `IPv4StringToNum`, and
+    * block-bounded with `IPv4CIDRToRange` — the oracle recomputes the
+    * octets and the /20 bounds with integer arithmetic, no IP library
+    * on either side. Row-wise over a pruned scan.
+    */
+  def sqlChIp(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderkey AS k,
+        |  IPv4NumToString((o_orderkey * 2654435761) % 4294967296) AS ip,
+        |  IPv4StringToNum(IPv4NumToString((o_orderkey * 2654435761) % 4294967296)) AS rt,
+        |  isIPv4String(IPv4NumToString((o_orderkey * 2654435761) % 4294967296)) AS ok,
+        |  isIPv4String(concat(IPv4NumToString((o_orderkey * 2654435761) % 4294967296), '.9')) AS five_octets,
+        |  IPv4StringToNumOrNull(concat('x', toString(o_orderkey))) AS bad,
+        |  IPv4StringToNumOrDefault('nope') AS dflt,
+        |  tupleElement(IPv4CIDRToRange((o_orderkey * 2654435761) % 4294967296, 20), 1) AS cidr_lo,
+        |  tupleElement(IPv4CIDRToRange((o_orderkey * 2654435761) % 4294967296, 20), 2) AS cidr_hi
+        |FROM orders
+        |WHERE o_orderkey < 400
+        |ORDER BY k""".stripMargin)
+  }
+
+  /** The r12 string-distance batch over `documents` text windows —
+    * `editDistance`/`byteHammingDistance`/`stringJaccardIndex` against
+    * DuckDB's own independent levenshtein/hamming/jaccard
+    * implementations (probed: identical definitions, including the
+    * distinct-set jaccard). The hamming lanes use equal-length windows
+    * (DuckDB's hamming requires it); the unequal-length penalty is
+    * pinned in scalatest. Row-wise; no shuffle beyond the sort.
+    */
+  def sqlChStrDist(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("documents"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT doc_id,
+        |  editDistance(substringUTF8(text, 1, 12), substringUTF8(text, 20, 12)) AS lev,
+        |  levenshteinDistance(lang, source) AS lev2,
+        |  byteHammingDistance(substringUTF8(text, 1, 10), substringUTF8(text, 11, 10)) AS ham,
+        |  toInt64(floor(stringJaccardIndex(substringUTF8(text, 1, 40), substringUTF8(text, 41, 40)) * 10000 + 0.5)) AS jac_4,
+        |  toInt64(floor(stringJaccardIndex(lang, source) * 10000 + 0.5)) AS jac2_4,
+        |  arrayStringConcat(arraySlice(alphaTokens(substringUTF8(text, 1, 30)), 1, 4), '/') AS alpha4,
+        |  arrayStringConcat(arrayMap(w -> arrayStringConcat(w, ''), arrayShingles(array(lang, source, lang), 2)), '|') AS shingles2
+        |FROM documents
+        |WHERE doc_id < 150
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The r12 raw-JSON batch: documents built in-query from `orders`
+    * columns, then read back with the variant-kernel family —
+    * `JSONHas` (a JSON null value still EXISTS), `JSONLength`'s
+    * array/object/scalar/missing rules, `JSONExtractRaw`'s
+    * quoted-string and `''`-default conventions, `JSONExtractArrayRaw`
+    * element rendering, and document-order `JSONExtractKeys`. The
+    * oracle re-derives every value from the source columns directly —
+    * it never parses JSON.
+    */
+  def sqlChJson2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  JSONHas(j, 'meta', 'q') AS has_q,
+        |  JSONHas(j, 'zz') AS has_zz,
+        |  JSONHas(j, 'tags', 2) AS has_tag2,
+        |  JSONHas(j, 'tags', 3) AS has_tag3,
+        |  JSONLength(j, 'tags') AS n_tags,
+        |  JSONLength(j) AS n_doc,
+        |  JSONLength(j, 'k') AS n_scalar,
+        |  JSONExtractRaw(j, 'k') AS raw_k,
+        |  JSONExtractRaw(j, 'tags', 1) AS raw_tag1,
+        |  JSONExtractRaw(j, 'meta', 'q') AS raw_q,
+        |  JSONExtractRaw(j, 'zz') AS raw_missing,
+        |  arrayStringConcat(JSONExtractArrayRaw(j, 'tags'), '|') AS tags_raw,
+        |  arrayStringConcat(JSONExtractKeys(j), ',') AS keys_doc,
+        |  arrayStringConcat(JSONExtractKeys(j, 'meta'), ',') AS keys_meta
+        |FROM (SELECT o_orderkey AS k,
+        |        concat('{"k":', toString(o_orderkey), ',"tags":["', o_orderstatus, '","', o_orderpriority, '"],"meta":{"p":', toString(o_custkey), ',"q":null}}') AS j
+        |      FROM orders WHERE o_orderkey < 400) src
+        |ORDER BY k""".stripMargin)
+  }
+
+  /** The r12 vector-norm batch over `embeddings`: the L1/L2/L2Squared/
+    * Linf norms and the L2Normalize head elements (micro-scaled), plus
+    * a descending `arrayReverseSort` lane — the oracle recomputes each
+    * with DuckDB list folds. One pruned scan, row-wise.
+    */
+  def sqlChVector2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("embeddings"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT vec_id,
+        |  toInt64(floor(L1Norm(embedding) * 1000 + 0.5)) AS l1_3,
+        |  toInt64(floor(L2Norm(embedding) * 1000 + 0.5)) AS l2_3,
+        |  toInt64(floor(L2SquaredNorm(embedding) * 1000 + 0.5)) AS l2s_3,
+        |  toInt64(floor(LinfNorm(embedding) * 1000 + 0.5)) AS linf_3,
+        |  toInt64(floor(arrayFirst(x -> true, L2Normalize(embedding)) * 100000 + 0.5)) AS unit0_5,
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayReverseSort(arrayMap(v -> toInt64(floor(v * 10)), arraySlice(embedding, 1, 6)))), ',') AS rsorted
+        |FROM embeddings
+        |WHERE vec_id < 300
+        |ORDER BY vec_id""".stripMargin)
+  }
+
   def sqlChWithMacro(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(spark, dir, Seq("lineitem"))
     graft.plans.ClickHouseSql.sql(spark,

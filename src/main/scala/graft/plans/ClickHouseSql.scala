@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.expressions.variant.{ParseJson, VariantGet}
 import org.apache.spark.sql.types._
 
 /** ClickHouse SQL dialect compat for the `custom_query` migration path.
@@ -125,6 +126,7 @@ object ClickHouseSqlRewrite {
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
+    val p = rewritePosition(sql, masked); if (p ne sql) return p
     val t = rewriteWithTies(sql, masked); if (t ne sql) return t
     val u = rewriteDictGet(sql, masked); if (u ne sql) return u
     val v = rewriteTransform(sql, masked); if (v ne sql) return v
@@ -648,6 +650,32 @@ object ClickHouseSqlRewrite {
         return sql.substring(0, m.start()) + "graft_ch_datediff" +
           sql.substring(nameEnd)
       }
+    }
+    sql
+  }
+
+  // ------------------------------------------------------ 9b. position
+
+  private val PositionRe = java.util.regex.Pattern.compile(
+    "(?i)\\bposition\\s*\\(")
+
+  /** ClickHouse's bare `position(haystack, needle[, start])` →
+    * `graft_ch_position`. Renamed TEXTUALLY because Spark's own
+    * `position` exists with the ARGUMENTS REVERSED (needle first) — an
+    * unmapped call RUNS and is silently wrong, the one failure mode this
+    * layer exists to prevent. The standard `position(needle IN
+    * haystack)` spelling means the same thing in both dialects and
+    * passes through untouched (detected as a top-level IN inside the
+    * call's parens on the masked text).
+    */
+  private def rewritePosition(sql: String, masked: String): String = {
+    val m = PositionRe.matcher(masked)
+    while (m.find()) {
+      val open = masked.indexOf('(', m.start())
+      val (cs, _, _) = parenSpan(masked, open)
+      if (findKeyword(masked, cs, "IN") < 0)
+        return sql.substring(0, m.start()) + "graft_ch_position" +
+          sql.substring(open)
     }
     sql
   }
@@ -1776,6 +1804,150 @@ object ClickHouseFunctions {
       clamped, failOnError = false)
   }
 
+  /** Require a non-null string literal argument (formats, type names —
+    * anything consumed at BUILD time), with the function's own name in
+    * the error.
+    */
+  private def literalString(e: Expression, fn: String, what: String): String =
+    e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: the $what must be a string literal, got $other")
+    }
+
+  /** ClickHouse %-codes → a Java datetime pattern, translated at BUILD
+    * time (literal runs quoted, '' escapes). Shared by `formatDateTime`
+    * and the `parseDateTime*` family so a format that round-trips
+    * through one parses back bit-exactly through the other. Unknown
+    * %-codes are a named error — never a silently-wrong pattern.
+    */
+  private def chPercentToJava(fmt: String, fn: String): String = {
+    val java = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      val s = lit.toString
+      if (s.exists(c => c.isLetter || c == '\''))
+        java.append('\'').append(s.replace("'", "''")).append('\'')
+      else java.append(s)
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
+        val c = fmt.charAt(i + 1)
+        val mapped = c match {
+          case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
+          case 'd' => "dd"; case 'H' => "HH"; case 'i' => "mm"
+          case 'M' => "MMMM"
+          case 'S' => "ss"; case 'F' => "yyyy-MM-dd"
+          case 'T' => "HH:mm:ss"; case 'j' => "DDD"
+          case 'a' => "EEE"; case 'b' => "MMM"
+          case '%' => null // literal percent
+          case other => throw new IllegalArgumentException(
+            s"$fn: unsupported code %$other — supported: " +
+              "%Y %y %m %d %H %i %S %F %T %j %a %b %M %% " +
+              "(%M is the month NAME per ClickHouse >= 23.3; " +
+              "%i is minutes)")
+        }
+        if (mapped == null) lit.append('%') else { flush(); java.append(mapped) }
+        i += 2
+      } else { lit.append(fmt.charAt(i)); i += 1 }
+    }
+    flush()
+    java.toString
+  }
+
+  /** Shared parseDateTime/OrNull builder: the %-format is translated at
+    * build time; `failOnError = true` reproduces ClickHouse's throwing
+    * base form, `false` the OrNull form.
+    */
+  private def chParseDateTime(es: Seq[Expression], failOnError: Boolean): Expression = {
+    require(es.length == 2,
+      "parseDateTime(str, format) - the timezone argument is not supported")
+    GetTimestamp(Cast(es.head, StringType),
+      Literal(chPercentToJava(literalString(es(1), "parseDateTime", "format"),
+        "parseDateTime")),
+      TimestampType, "parseDateTimeOrNull", None, failOnError)
+  }
+
+  /** parseDateTimeBestEffort's documented-subset kernel over a TRIMMED
+    * string: a coalesce of independent try-parses, first match wins.
+    * The subset (stated in the registry usage strings — the contract):
+    * digits-only strings via the digit lanes (9-10 digits unix SECONDS,
+    * 8 compact yyyyMMdd, 14 compact yyyyMMddHHmmss, others a
+    * non-parse), ISO 8601 /
+    * 'YYYY-MM-DD[ hh:mm:ss[.f]][Z|±hh:mm]' via Spark's own timestamp
+    * cast, 'YYYY/MM/DD[ hh:mm:ss]', 'DD.MM.YYYY[ hh:mm:ss]', and
+    * 'DD Mon YYYY[ hh:mm:ss]' (English month names). Anything else is a
+    * NULL from here — the callers decide between throw/NULL/epoch.
+    */
+  private def chBestEffortTimestamp(s: Expression): Expression = {
+    def tryFmt(p: String): Expression =
+      GetTimestamp(s, Literal(p), TimestampType, "parseDateTimeBestEffortOrNull",
+        None, false)
+    // Digits-only strings take the DIGIT lanes exclusively: 9-10 digits
+    // are unix SECONDS, 8 is compact yyyyMMdd, 14 compact
+    // yyyyMMddHHmmss, anything else a non-parse — Spark's own timestamp
+    // cast would otherwise read '123456' as the year 123456, a guess
+    // ClickHouse never makes.
+    val digitBranch = CaseWhen(Seq(
+      (RLike(s, Literal("^[0-9]{9,10}$")),
+        SecondsToTimestamp(TryEval(Cast(s, LongType, None, EvalMode.ANSI)))),
+      (RLike(s, Literal("^[0-9]{8}$")), tryFmt("yyyyMMdd")),
+      (RLike(s, Literal("^[0-9]{14}$")), tryFmt("yyyyMMddHHmmss"))),
+      Literal.create(null, TimestampType))
+    If(RLike(s, Literal("^[0-9]+$")), digitBranch,
+      Coalesce(Seq(
+        TryEval(Cast(s, TimestampType, None, EvalMode.ANSI)),
+        tryFmt("yyyy/M/d H:m:s"), tryFmt("yyyy/M/d"),
+        tryFmt("d.M.yyyy H:m:s"), tryFmt("d.M.yyyy"),
+        tryFmt("d MMM yyyy H:m:s"), tryFmt("d MMM yyyy"))))
+  }
+
+  /** Dotted-quad IPv4 with each octet 0-255 (leading zeros accepted,
+    * as ClickHouse's reader accepts them). Anchored — partial matches
+    * and surrounding whitespace are invalid.
+    */
+  private val Ipv4Pattern: String = {
+    val oct = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    s"^$oct\\.$oct\\.$oct\\.$oct$$"
+  }
+
+  /** IPv4 string → UInt32 address number (BIGINT), NULL when invalid.
+    * The shared kernel of the IPv4StringToNum* / toIPv4OrNull forms.
+    */
+  private def ipv4OrNull(e: Expression): Expression = {
+    val s = Cast(e, StringType)
+    def grp(i: Int) = Cast(RegExpExtract(s, Literal(Ipv4Pattern),
+      Literal(i)), LongType)
+    If(RLike(s, Literal(Ipv4Pattern)),
+      Add(Add(Multiply(grp(1), Literal(16777216L)),
+        Multiply(grp(2), Literal(65536L))),
+        Add(Multiply(grp(3), Literal(256L)), grp(4))),
+      Literal.create(null, LongType))
+  }
+
+  /** Split a string into its code points (one UTF8String scan via the
+    * empty-pattern regex split) — the shared kernel of the
+    * byteHammingDistance/stringJaccardIndex character sets.
+    */
+  private def chars(e: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("__graft_ch"))
+    // limit -1 keeps Java's trailing "" element — filter it out, an
+    // empty string is never a character.
+    ArrayFilter(StringSplit(Cast(e, StringType), Literal(""), Literal(-1)),
+      LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+  }
+
+  /** The variant at a JsonPath: lenient parse (invalid JSON → NULL, the
+    * ClickHouse *OrDefault posture the JSON* family documents), lenient
+    * get (absent path → NULL). Shared by JSONHas/JSONExtractRaw/
+    * JSONExtractKeys/JSONLength.
+    */
+  private def chVariantAt(json: Expression, path: Expression): Expression =
+    VariantGet(ParseJson(Cast(json, StringType), failOnError = false),
+      path, VariantType, failOnError = false, None)
+
   /** A fresh single-argument lambda (`__graft_x -> body`). Built on
     * [[UnresolvedNamedLambdaVariable]] so the stock
     * `ResolveLambdaVariables` rule binds it exactly like a user-written
@@ -2095,6 +2267,17 @@ object ClickHouseFunctions {
           "statement through graft.plans.ClickHouseSql.sql — or spell " +
           "the lookup as an explicit LEFT JOIN / scalar subquery"))
 
+  private def chIpv6Error(name: String): (String, String, Seq[Expression] => Expression) =
+    (name, s"$name - IPv6 is not representable here; a named error",
+      _ => throw new IllegalArgumentException(
+        s"ClickHouse SQL: $name is not supported — ClickHouse IPv6 " +
+          "values are FixedString(16) binaries with :: display " +
+          "compression, and this engine has no faithful column type " +
+          "for them; keep IPv6 addresses as strings and compare " +
+          "textually, or pre-normalize them upstream (the IPv4 family " +
+          "IS mapped: IPv4NumToString/IPv4StringToNum*/isIPv4String/" +
+          "IPv4CIDRToRange)"))
+
   /** One-argument URL accessors over Spark's parse_url, with ClickHouse's
     * empty-string-not-NULL convention for absent parts. Divergence
     * (documented in each usage): parse_url needs a WELL-FORMED absolute
@@ -2272,7 +2455,10 @@ object ClickHouseFunctions {
   }
 
   /** (name, usage, builder) — names are registered case-insensitively. */
-  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] =
+    baseBuilders ++ convFamily
+
+  private def baseBuilders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("uniqExact", "uniqExact(x...) - exact distinct count",
       es => { require(es.nonEmpty, "uniqExact(x...)")
         Count(es).toAggregateExpression(isDistinct = true) }),
@@ -2369,12 +2555,13 @@ object ClickHouseFunctions {
     // `indexOf` returns ClickHouse's 0-for-missing convention, which
     // Spark's array_position shares; the *UTF8 names land on Spark's
     // code-point string expressions (UTF8String counts code points, the
-    // ClickHouse convention). ClickHouse's `position(haystack, needle)`
-    // is deliberately NOT mapped: Spark's own `position` takes the
-    // ARGUMENTS REVERSED and the no-clobber rule keeps the stock one —
-    // a mapping would be skipped and the query silently wrong; use
-    // `locate`/`instr`. `ifNull`/`nullIf`/`coalesce` need no mapping
-    // (stock names, same semantics).
+    // ClickHouse convention). Bare `position(haystack, needle)` — whose
+    // Spark namesake takes the ARGUMENTS REVERSED, so an unmapped call
+    // would RUN and be silently wrong — is renamed TEXTUALLY by
+    // [[ClickHouseSqlRewrite]] onto `graft_ch_position` below (the
+    // standard `position(needle IN haystack)` spelling, identical in
+    // both dialects, passes through). `ifNull`/`nullIf`/`coalesce` need
+    // no mapping (stock names, same semantics).
     // dateDiff / formatDateTime — the two remaining date workhorses.
     // ClickHouse's dateDiff counts unit-BOUNDARY crossings (truncate
     // both sides to the unit, then diff — Jan 31 → Feb 1 is 1 month),
@@ -2432,45 +2619,52 @@ object ClickHouseFunctions {
       es => {
         require(es.length == 2,
           "formatDateTime(ts, format) - the timezone argument is not supported")
-        val fmt = es(1) match {
-          case Literal(f, StringType) if f != null => f.toString
-          case other => throw new IllegalArgumentException(
-            s"formatDateTime: the format must be a string literal, got $other")
-        }
-        val java = new StringBuilder
-        val lit = new StringBuilder
-        def flush(): Unit = if (lit.nonEmpty) {
-          val s = lit.toString
-          if (s.exists(c => c.isLetter || c == '\''))
-            java.append('\'').append(s.replace("'", "''")).append('\'')
-          else java.append(s)
-          lit.clear()
-        }
-        var i = 0
-        while (i < fmt.length) {
-          if (fmt.charAt(i) == '%' && i + 1 < fmt.length) {
-            val c = fmt.charAt(i + 1)
-            val mapped = c match {
-              case 'Y' => "yyyy"; case 'y' => "yy"; case 'm' => "MM"
-              case 'd' => "dd"; case 'H' => "HH"; case 'i' => "mm"
-              case 'M' => "MMMM"
-              case 'S' => "ss"; case 'F' => "yyyy-MM-dd"
-              case 'T' => "HH:mm:ss"; case 'j' => "DDD"
-              case 'a' => "EEE"; case 'b' => "MMM"
-              case '%' => null // literal percent
-              case other => throw new IllegalArgumentException(
-                s"formatDateTime: unsupported code %$other — supported: " +
-                  "%Y %y %m %d %H %i %S %F %T %j %a %b %M %% " +
-                  "(%M is the month NAME per ClickHouse >= 23.3; " +
-                  "%i is minutes)")
-            }
-            if (mapped == null) lit.append('%') else { flush(); java.append(mapped) }
-            i += 2
-          } else { lit.append(fmt.charAt(i)); i += 1 }
-        }
-        flush()
-        DateFormatClass(es.head, Literal(java.toString))
+        DateFormatClass(es.head,
+          Literal(chPercentToJava(literalString(es(1), "formatDateTime",
+            "format"), "formatDateTime")))
       }),
+    // parseDateTime — formatDateTime's inverse, the SAME %-code table
+    // translated to a Java pattern at build time (so a format that
+    // round-trips through formatDateTime parses back bit-exactly). The
+    // throwing base form matches ClickHouse (error on a non-matching
+    // row); OrNull nulls, OrZero takes ClickHouse's epoch default.
+    ("parseDateTime", "parseDateTime(str, '%Y-%m-%d ...') - parse with ClickHouse %-codes, ERROR on non-matching input (parseDateTimeOrNull/OrZero for the lenient forms); no timezone argument",
+      es => chParseDateTime(es, failOnError = true)),
+    ("parseDateTimeOrNull", "parseDateTimeOrNull(str, '%Y-%m-%d ...') - parseDateTime, NULL when the input does not match the format",
+      es => chParseDateTime(es, failOnError = false)),
+    ("parseDateTimeOrZero", "parseDateTimeOrZero(str, '%Y-%m-%d ...') - parseDateTime, 1970-01-01 00:00:00 when the input does not match the format",
+      es => Coalesce(Seq(chParseDateTime(es, failOnError = false),
+        Literal.create(0L, TimestampType)))),
+    // parseDateTimeBestEffort — ClickHouse's kitchen-sink parser, mapped
+    // onto a DOCUMENTED deterministic subset (the usage string is the
+    // contract; shapes outside it are a non-parse, never a guess):
+    // ISO 8601 / 'YYYY-MM-DD[ hh:mm:ss[.f]][Z|±hh:mm]' (Spark's own
+    // timestamp cast), 'YYYY/MM/DD[ hh:mm:ss]', 'DD.MM.YYYY[ hh:mm:ss]',
+    // 'DD Mon YYYY[ hh:mm:ss]' (English month names), and digits-only
+    // strings via dedicated lanes (9-10 digits unix SECONDS, 8 compact
+    // yyyyMMdd, 14 compact yyyyMMddHHmmss, other digit counts a
+    // non-parse). The base form throws on a non-parse
+    // (ClickHouse's behavior), OrNull nulls, OrZero takes the epoch.
+    ("parseDateTimeBestEffort", "parseDateTimeBestEffort(str) - parse the documented subset (ISO 8601, YYYY/MM/DD, DD.MM.YYYY, DD Mon YYYY, 8/14-digit compact, 9-10 digit unix seconds), ERROR when no shape matches",
+      es => { require(es.length == 1, "parseDateTimeBestEffort(str)")
+        val s = StringTrim(Cast(es.head, StringType), None)
+        val best = chBestEffortTimestamp(s)
+        If(And(IsNotNull(s), IsNull(best)),
+          Cast(RaiseError(Concat(Seq(
+            Literal("parseDateTimeBestEffort: unparseable datetime string '"),
+            s,
+            Literal("' (supported: ISO 8601, YYYY/MM/DD, DD.MM.YYYY, " +
+              "DD Mon YYYY, 8/14-digit compact, 9-10 digit unix seconds; " +
+              "parseDateTimeBestEffortOrNull for NULL)")))), TimestampType),
+          best) }),
+    ("parseDateTimeBestEffortOrNull", "parseDateTimeBestEffortOrNull(str) - parse the documented subset (ISO 8601, YYYY/MM/DD, DD.MM.YYYY, DD Mon YYYY, 8/14-digit compact, 9-10 digit unix seconds), NULL when no shape matches",
+      es => { require(es.length == 1, "parseDateTimeBestEffortOrNull(str)")
+        chBestEffortTimestamp(StringTrim(Cast(es.head, StringType), None)) }),
+    ("parseDateTimeBestEffortOrZero", "parseDateTimeBestEffortOrZero(str) - parseDateTimeBestEffortOrNull, 1970-01-01 00:00:00 when no shape matches",
+      es => { require(es.length == 1, "parseDateTimeBestEffortOrZero(str)")
+        Coalesce(Seq(
+          chBestEffortTimestamp(StringTrim(Cast(es.head, StringType), None)),
+          Literal.create(0L, TimestampType))) }),
     // toStartOfInterval — the dashboard time-bucketing workhorse. The
     // interval must be a positive INTERVAL literal: day-time intervals
     // floor epoch micros (floorDiv via Pmod, so pre-1970 buckets stay
@@ -2514,6 +2708,50 @@ object ClickHouseFunctions {
       es => Cast(GetJsonObject(es.head, jsonPathLit("JSONExtractFloat", es)), DoubleType)),
     ("JSONExtractBool", "JSONExtractBool(json, key_or_index...) - BOOLEAN at the path",
       es => Cast(GetJsonObject(es.head, jsonPathLit("JSONExtractBool", es)), BooleanType)),
+    // The RAW JSON forms ride Spark 4's variant kernel (parse_json →
+    // variant_get → to_json): unlike get_json_object, to_json of a
+    // variant keeps string values QUOTED and null values as the text
+    // `null` — exactly ClickHouse's JSONExtractRaw rendering. Absent
+    // paths and invalid JSON take ClickHouse's defaults ('' / 0 / []),
+    // not NULL.
+    ("JSONHas", "JSONHas(json, key_or_index...) - true when the path exists (a JSON null value still exists)",
+      es => IsNotNull(chVariantAt(es.head, jsonPathLit("JSONHas", es)))),
+    ("JSONExtractRaw", "JSONExtractRaw(json, key_or_index...) - raw JSON text at the path (strings stay quoted; object keys re-render SORTED, the variant canonical order); '' when absent",
+      es => {
+        val path = if (es.length == 1) Literal("$")
+          else jsonPathLit("JSONExtractRaw", es)
+        Coalesce(Seq(
+          StructsToJson(Map.empty[String, String],
+            chVariantAt(es.head, path), None),
+          Literal(""))) }),
+    ("JSONExtractArrayRaw", "JSONExtractArrayRaw(json, key_or_index...) - array elements as raw JSON texts; [] when the path is not an array",
+      es => {
+        val path = if (es.length == 1) Literal("$")
+          else jsonPathLit("JSONExtractArrayRaw", es)
+        val arr = VariantGet(ParseJson(Cast(es.head, StringType),
+          failOnError = false), path, ArrayType(VariantType),
+          failOnError = false, None)
+        Coalesce(Seq(
+          ArrayTransform(arr,
+            lam1(x => StructsToJson(Map.empty[String, String], x, None))),
+          Cast(CreateArray(Nil), ArrayType(StringType)))) }),
+    ("JSONExtractKeys", "JSONExtractKeys(json[, key_or_index...]) - object keys at the path, in DOCUMENT order; [] when not an object",
+      es => {
+        // get_json_object, not the variant kernel: its raw substring
+        // keeps the document's key order, where the variant encoding
+        // would canonicalize keys sorted.
+        val src = if (es.length == 1) Cast(es.head, StringType)
+          else GetJsonObject(es.head, jsonPathLit("JSONExtractKeys", es))
+        Coalesce(Seq(JsonObjectKeys(src),
+          Cast(CreateArray(Nil), ArrayType(StringType)))) }),
+    ("JSONLength", "JSONLength(json[, key_or_index...]) - element count of the array or object at the path, 0 otherwise (ClickHouse's rule)",
+      es => {
+        val path = if (es.length == 1) Literal("$")
+          else jsonPathLit("JSONLength", es)
+        val raw = StructsToJson(Map.empty[String, String],
+          chVariantAt(es.head, path), None)
+        Cast(Coalesce(Seq(LengthOfJsonArray(raw),
+          new Size(JsonObjectKeys(raw)), Literal(0))), LongType) }),
     ("splitByString", "splitByString(sep, s) - split on a literal multi-character separator",
       es => { require(es.length == 2, "splitByString(sep, s)")
         val sep = Option(es.head.eval()).map(_.toString).getOrElse(
@@ -3202,6 +3440,12 @@ object ClickHouseFunctions {
         Concat(Seq(
           new SortArray(ArrayFilter(es.head, lam1(IsNotNull))),
           ArrayFilter(es.head, lam1(IsNull)))) }),
+    ("arrayReverseSort", "arrayReverseSort(arr) - descending sort, nulls LAST (ClickHouse keeps them last in both directions)",
+      es => { require(es.length == 1,
+          "arrayReverseSort(arr) - the lambda-keyed form is not supported; sort a mapped copy instead")
+        Concat(Seq(
+          SortArray(ArrayFilter(es.head, lam1(IsNotNull)), Literal(false)),
+          ArrayFilter(es.head, lam1(IsNull)))) }),
     ("graft_ch_quantile_exact",
       "graft_ch_quantile_exact(x, level) - ClickHouse quantileExact: the sorted element at index floor(level*n)",
       es => { require(es.length == 2, "graft_ch_quantile_exact(x, level)")
@@ -3382,6 +3626,28 @@ object ClickHouseFunctions {
     // haystack-first order. `match` is ClickHouse's RE2 search mapped to
     // rlike — Java regex accepts the common RE2 surface (RE2 has no
     // backrefs/lookarounds to diverge on), a documented dialect pairing.
+    // graft_ch_position — the textual-rename target for ClickHouse's
+    // bare `position(haystack, needle[, start])`. ClickHouse's bare form
+    // counts BYTES: the needle is located at code points (a valid UTF-8
+    // needle can only match at a code-point boundary, so the first
+    // code-point hit IS the first byte hit) and the prefix's octet
+    // length converts the offset — exact byte semantics, not an
+    // ASCII-only approximation. The optional start is a CODE-POINT
+    // offset (equal to the byte offset on ASCII haystacks — the byte
+    // interpretation would need a byte-substring Spark does not have;
+    // the boundary is stated here, not guessed).
+    ("graft_ch_position", "position(haystack, needle[, start]) - ClickHouse argument order, 1-based BYTE position, 0 when absent (start is a code-point offset)",
+      es => {
+        require(es.length == 2 || es.length == 3,
+          "position(haystack, needle[, start])")
+        val h = Cast(es.head, StringType)
+        val n = Cast(es(1), StringType)
+        val loc = if (es.length == 3) StringLocate(n, h, es(2))
+          else new StringLocate(n, h)
+        If(LessThanOrEqual(loc, Literal(0)), loc,
+          Add(OctetLength(Substring(h, Literal(1), Subtract(loc, Literal(1)))),
+            Literal(1)))
+      }),
     ("positionUTF8", "positionUTF8(haystack, needle[, start]) - 1-based code-point position, 0 when absent (ClickHouse argument order)",
       es => es match {
         case Seq(h, n) => new StringLocate(n, h)
@@ -3403,6 +3669,164 @@ object ClickHouseFunctions {
         case _ => throw new IllegalArgumentException(
           "positionCaseInsensitiveUTF8(haystack, needle[, start])")
       }),
+    // ---------------- IPv4 family (r12). The engine's IPv4 value
+    // representation is ClickHouse's own under the hood: the UInt32
+    // address number (CH's IPv4 type IS a UInt32 with display sugar),
+    // carried as BIGINT. IPv6 stays a NAMED error below — its values
+    // are FixedString(16) binaries with :: compression rules this
+    // engine has no faithful column type for.
+    ("IPv4NumToString", "IPv4NumToString(n) - dotted-quad string of the low 32 bits of n (the UInt32 address number)",
+      es => { require(es.length == 1, "IPv4NumToString(n)")
+        val l = BitwiseAnd(Cast(es.head, LongType), Literal(4294967295L))
+        def oct(sh: Int) = Cast(BitwiseAnd(ShiftRight(l, Literal(sh)),
+          Literal(255L)), StringType)
+        Concat(Seq(oct(24), Literal("."), oct(16), Literal("."), oct(8),
+          Literal("."), oct(0))) }),
+    ("IPv4StringToNum", "IPv4StringToNum(s) - UInt32 address number of a dotted-quad string, ERROR on an invalid address (IPv4StringToNumOrNull for NULL)",
+      es => { require(es.length == 1, "IPv4StringToNum(s)")
+        val v = ipv4OrNull(es.head)
+        If(And(IsNotNull(Cast(es.head, StringType)), IsNull(v)),
+          Cast(RaiseError(Concat(Seq(
+            Literal("IPv4StringToNum: invalid IPv4 address '"),
+            Cast(es.head, StringType), Literal("'")))), LongType), v) }),
+    ("IPv4StringToNumOrNull", "IPv4StringToNumOrNull(s) - UInt32 address number of a dotted-quad string, NULL when invalid",
+      es => { require(es.length == 1, "IPv4StringToNumOrNull(s)")
+        ipv4OrNull(es.head) }),
+    ("IPv4StringToNumOrDefault", "IPv4StringToNumOrDefault(s) - UInt32 address number of a dotted-quad string, 0 when invalid",
+      es => { require(es.length == 1, "IPv4StringToNumOrDefault(s)")
+        Coalesce(Seq(ipv4OrNull(es.head), Literal(0L))) }),
+    ("toIPv4OrNull", "toIPv4OrNull(s) - the address as its UInt32 number (the engine's IPv4 representation), NULL when invalid",
+      es => { require(es.length == 1, "toIPv4OrNull(s)")
+        ipv4OrNull(es.head) }),
+    ("isIPv4String", "isIPv4String(s) - true when s is a valid dotted-quad IPv4 address",
+      es => { require(es.length == 1, "isIPv4String(s)")
+        RLike(Cast(es.head, StringType), Literal(Ipv4Pattern)) }),
+    ("IPv4CIDRToRange", "IPv4CIDRToRange(ip, prefix) - tuple (col1, col2) of the lowest and highest UInt32 address numbers in the /prefix block containing ip",
+      es => {
+        require(es.length == 2, "IPv4CIDRToRange(ip, prefix)")
+        val p = Cast(es(1), IntegerType)
+        val bad = Or(LessThan(p, Literal(0)), GreaterThan(p, Literal(32)))
+        val span = ShiftLeft(Literal(1L), Subtract(Literal(32), p))
+        val l = BitwiseAnd(Cast(es.head, LongType), Literal(4294967295L))
+        val lo = Subtract(l, Pmod(l, span))
+        val hi = Subtract(Add(lo, span), Literal(1L))
+        val guard = If(bad, Cast(RaiseError(
+          Literal("IPv4CIDRToRange: the prefix must be in 0..32")),
+          LongType), lo)
+        CreateNamedStruct(Seq(Literal("col1"), guard, Literal("col2"), hi))
+      }),
+    // ---------------- string distances (r12). ClickHouse's editDistance
+    // family is byte-based; Spark's Levenshtein counts code points —
+    // identical on ASCII, and `editDistanceUTF8` is the exact pairing.
+    // byteHammingDistance/stringJaccardIndex split strings into
+    // code-point arrays (one UTF8String scan each): position mismatches
+    // AND the length difference both count for hamming (ClickHouse's
+    // rule for unequal lengths), and the Jaccard sets are DISTINCT
+    // code points. The byte-vs-code-point boundary is stated here:
+    // non-ASCII inputs count multi-byte characters once, not per byte.
+    ("editDistance", "editDistance(a, b) - Levenshtein distance (code-point based; equals ClickHouse's byte distance on ASCII)",
+      es => { require(es.length == 2, "editDistance(a, b)")
+        Cast(Levenshtein(Cast(es.head, StringType), Cast(es(1), StringType),
+          None), LongType) }),
+    ("editDistanceUTF8", "editDistanceUTF8(a, b) - Levenshtein distance over code points",
+      es => { require(es.length == 2, "editDistanceUTF8(a, b)")
+        Cast(Levenshtein(Cast(es.head, StringType), Cast(es(1), StringType),
+          None), LongType) }),
+    ("levenshteinDistance", "levenshteinDistance(a, b) - alias of editDistance",
+      es => { require(es.length == 2, "levenshteinDistance(a, b)")
+        Cast(Levenshtein(Cast(es.head, StringType), Cast(es(1), StringType),
+          None), LongType) }),
+    ("byteHammingDistance", "byteHammingDistance(a, b) - positions that differ plus the length difference (code-point based; equals ClickHouse's byte distance on ASCII)",
+      es => { require(es.length == 2, "byteHammingDistance(a, b)")
+        val ca = chars(es.head)
+        val cb = chars(es(1))
+        val xv = UnresolvedNamedLambdaVariable(Seq("__graft_hx"))
+        val yv = UnresolvedNamedLambdaVariable(Seq("__graft_hy"))
+        // ZipWith pads the shorter side with NULLs: <=> is false there,
+        // so the padded tail counts as differences — ClickHouse's rule.
+        val diffs = ZipWith(ca, cb, LambdaFunction(
+          If(EqualNullSafe(xv, yv), Literal(0L), Literal(1L)), Seq(xv, yv)))
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_hst"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_he"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_hf"))
+        ArrayAggregate(diffs, Literal(0L),
+          LambdaFunction(Add(st, e2), Seq(st, e2)),
+          LambdaFunction(fin, Seq(fin))) }),
+    ("stringJaccardIndex", "stringJaccardIndex(a, b) - |distinct chars in both| / |distinct chars in either|, as DOUBLE (code-point sets; two empty strings -> 1.0, a stated convention)",
+      es => { require(es.length == 2, "stringJaccardIndex(a, b)")
+        val ad = ArrayDistinct(chars(es.head))
+        val bd = ArrayDistinct(chars(es(1)))
+        val union = Cast(new Size(ArrayUnion(ad, bd)), DoubleType)
+        If(EqualTo(union, Literal(0.0d)), Literal(1.0d),
+          Divide(Cast(new Size(ArrayIntersect(ad, bd)), DoubleType), union)) }),
+    ("alphaTokens", "alphaTokens(s) - maximal runs of a-z/A-Z letters, as an array (ClickHouse's ASCII-letter rule, not Unicode classes)",
+      es => { require(es.length == 1, "alphaTokens(s)")
+        RegExpExtractAll(Cast(es.head, StringType), Literal("[a-zA-Z]+"),
+          Literal(0)) }),
+    ("arrayShingles", "arrayShingles(arr, n) - all length-n contiguous windows, as an array of arrays (ERROR when n < 1 or n > length, ClickHouse's rule)",
+      es => { require(es.length == 2, "arrayShingles(arr, n)")
+        val arr = es.head
+        val n = Cast(es(1), IntegerType)
+        val count = Add(Subtract(new Size(arr), n), Literal(1))
+        val bad = Or(LessThan(n, Literal(1)), LessThan(count, Literal(1)))
+        // The raise rides the window COUNT (same integer type), so the
+        // error branch needs no knowledge of the unresolved array's
+        // element type.
+        val guarded = If(bad, Cast(RaiseError(Literal(
+          "arrayShingles: the shingle size must be in 1..length(arr)")),
+          IntegerType), count)
+        ArrayTransform(
+          new Sequence(Literal(1), guarded),
+          lam1(i => Slice(arr, i, n))) }),
+    // bar — ClickHouse's inline histogram glyph. The band width is
+    // (x-min)/(max-min)*width, clamped to [0, width], rendered at
+    // ClickHouse's 1/8-character resolution: ⌊w⌋ full blocks (█) plus
+    // the partial block for the remaining eighths (▏▎▍▌▋▊▉),
+    // ROUNDED to the nearest eighth — the stated convention.
+    ("bar", "bar(x, min, max[, width=80]) - unicode bar of width (x-min)/(max-min)*width characters at 1/8 resolution",
+      es => {
+        require(es.length == 3 || es.length == 4, "bar(x, min, max[, width])")
+        val width = if (es.length == 4) Cast(es(3), DoubleType)
+          else Literal(80.0d)
+        val frac = Divide(
+          Subtract(Cast(es.head, DoubleType), Cast(es(1), DoubleType)),
+          Subtract(Cast(es(2), DoubleType), Cast(es(1), DoubleType)),
+          EvalMode.LEGACY)
+        val w = Multiply(Greatest(Seq(Literal(0.0d),
+          Least(Seq(Literal(1.0d), frac)))), width)
+        val eighths = Floor(Add(Multiply(w, Literal(8.0d)), Literal(0.5d)))
+        val full = IntegralDivide(eighths, Literal(8L))
+        val rem = Pmod(eighths, Literal(8L))
+        Concat(Seq(
+          StringRepeat(Literal("█"), Cast(full, IntegerType)),
+          If(EqualTo(rem, Literal(0L)), Literal(""),
+            Substring(
+              Literal("▏▎▍▌▋▊▉"),
+              Cast(rem, IntegerType), Literal(1))))) }),
+    // deltaSum — the sum of POSITIVE deltas between consecutive values,
+    // in execution order (order-dependent, as in ClickHouse — the
+    // groupArray stance; feed it a one-partition ordered relation for a
+    // reproducible answer). Folds the collected column once with a
+    // (prev, acc) struct state.
+    ("deltaSum", "deltaSum(x) - sum of positive consecutive differences, as DOUBLE (collection order is execution order, as in ClickHouse)",
+      es => { require(es.length == 1, "deltaSum(x)")
+        val xs = CollectList(Cast(es.head, DoubleType)).toAggregateExpression()
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_dst"))
+        val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_de"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_dfin"))
+        def fld(e: Expression, f: String) = UnresolvedExtractValue(e, Literal(f))
+        val step = CreateNamedStruct(Seq(
+          Literal("prev"), e2,
+          Literal("acc"), Add(fld(st, "acc"),
+            If(And(IsNotNull(fld(st, "prev")),
+              GreaterThan(e2, fld(st, "prev"))),
+              Subtract(e2, fld(st, "prev")), Literal(0.0d)))))
+        ArrayAggregate(xs,
+          CreateNamedStruct(Seq(
+            Literal("prev"), Literal.create(null, DoubleType),
+            Literal("acc"), Literal(0.0d))),
+          LambdaFunction(step, Seq(st, e2)),
+          LambdaFunction(fld(fin, "acc"), Seq(fin))) }),
     ("match", "match(haystack, pattern) - true when the RE2 pattern matches a substring (mapped to rlike; Java regex accepts the common RE2 surface)",
       es => { require(es.length == 2, "match(haystack, pattern)")
         RLike(es.head, es(1)) }),
@@ -3508,6 +3932,13 @@ object ClickHouseFunctions {
     chDictError("dictGetString"), chDictError("dictGetInt64"),
     chDictError("dictGetUInt64"), chDictError("dictGetFloat64"),
     chDictError("dictGetDate"), chDictError("dictGetDateTime"),
+    // IPv6 — a NAMED error, not a mapping: ClickHouse's IPv6 values are
+    // FixedString(16) binaries with RFC 5952 :: display compression,
+    // and a string-in/string-out fake would silently disagree with any
+    // query that compares or sorts the binary form.
+    chIpv6Error("IPv6NumToString"), chIpv6Error("IPv6StringToNum"),
+    chIpv6Error("IPv6StringToNumOrNull"), chIpv6Error("toIPv6"),
+    chIpv6Error("toIPv6OrNull"), chIpv6Error("isIPv6String"),
     // ---------------- date arithmetic (r11)
     ("toMonday", "toMonday(x) - the Monday of x's week, as DATE (exactly Spark trunc('week'))",
       one(e => TruncDate(Cast(e, DateType), Literal("WEEK")))),
@@ -4108,6 +4539,48 @@ object ClickHouseFunctions {
         Divide(
           Cast(new Size(ArrayIntersect(es(0), es(1))), DoubleType),
           Cast(new Size(ArrayUnion(es(0), es(1))), DoubleType)) }),
+    // Vector NORMS — the single-vector companions of the distance
+    // family above, on the same vecFold kernel (norm(v) ≡
+    // distance(v, 0) without materializing a zero vector). The
+    // *Normalize forms divide each element by the norm; a norm of 0
+    // means EVERY element is 0, so the IEEE result ClickHouse produces
+    // is 0/0 = NaN per element — special-cased explicitly (Spark's ANSI
+    // division would raise DIVIDE_BY_ZERO, its legacy division returns
+    // NULL; neither is the IEEE value).
+    ("L1Norm", "L1Norm(v) - sum of absolute values, as DOUBLE",
+      es => { require(es.length == 1, "L1Norm(v)")
+        vecFold(es.head, es.head, (acc, x, _) => Add(acc, Abs(x))) }),
+    ("L2Norm", "L2Norm(v) - Euclidean length, as DOUBLE",
+      es => { require(es.length == 1, "L2Norm(v)")
+        Sqrt(vecFold(es.head, es.head, (acc, x, _) =>
+          Add(acc, Multiply(x, x)))) }),
+    ("L2SquaredNorm", "L2SquaredNorm(v) - sum of squares, as DOUBLE",
+      es => { require(es.length == 1, "L2SquaredNorm(v)")
+        vecFold(es.head, es.head, (acc, x, _) => Add(acc, Multiply(x, x))) }),
+    ("LinfNorm", "LinfNorm(v) - maximum absolute value, as DOUBLE",
+      es => { require(es.length == 1, "LinfNorm(v)")
+        vecFold(es.head, es.head, (acc, x, _) =>
+          Greatest(Seq(acc, Abs(x)))) }),
+    ("L1Normalize", "L1Normalize(v) - v / L1Norm(v), element-wise DOUBLE (a zero vector yields non-finite elements, as in ClickHouse)",
+      es => { require(es.length == 1, "L1Normalize(v)")
+        val n = vecFold(es.head, es.head, (acc, x, _) => Add(acc, Abs(x)))
+        ArrayTransform(es.head, lam1(x =>
+          If(EqualTo(n, Literal(0.0d)), Literal(Double.NaN),
+            Divide(Cast(x, DoubleType), n, EvalMode.LEGACY)))) }),
+    ("L2Normalize", "L2Normalize(v) - v / L2Norm(v), element-wise DOUBLE (a zero vector yields non-finite elements, as in ClickHouse)",
+      es => { require(es.length == 1, "L2Normalize(v)")
+        val n = Sqrt(vecFold(es.head, es.head, (acc, x, _) =>
+          Add(acc, Multiply(x, x))))
+        ArrayTransform(es.head, lam1(x =>
+          If(EqualTo(n, Literal(0.0d)), Literal(Double.NaN),
+            Divide(Cast(x, DoubleType), n, EvalMode.LEGACY)))) }),
+    ("LinfNormalize", "LinfNormalize(v) - v / LinfNorm(v), element-wise DOUBLE (a zero vector yields non-finite elements, as in ClickHouse)",
+      es => { require(es.length == 1, "LinfNormalize(v)")
+        val n = vecFold(es.head, es.head, (acc, x, _) =>
+          Greatest(Seq(acc, Abs(x))))
+        ArrayTransform(es.head, lam1(x =>
+          If(EqualTo(n, Literal(0.0d)), Literal(Double.NaN),
+            Divide(Cast(x, DoubleType), n, EvalMode.LEGACY)))) }),
     ("medianExactWeighted", "medianExactWeighted(x, w) - quantileExactWeighted at level 0.5",
       es => { require(es.length == 2, "medianExactWeighted(x, w)")
         quantileExactWeightedElement(es(0), es(1), Literal(0.5d)) }),
@@ -4145,6 +4618,91 @@ object ClickHouseFunctions {
           LambdaFunction(fin, Seq(fin)))
         If(EqualTo(n, Literal(0.0d)), Literal.create(null, DoubleType),
           Subtract(Log2(n), Divide(sumClogC, n))) }))
+
+  /** The `to<T>OrNull` / `to<T>OrZero` / `to<T>OrDefault` dirty-data
+    * parsing family, generated over the 12 everyday targets (Int8-64,
+    * UInt8-64, Float32/64, Date, DateTime). ClickHouse's contract for
+    * these is STRING parsing (the non-Or forms handle numeric inputs),
+    * so the input is cast to string first; the parse is strict the way
+    * ClickHouse's readers are — surrounding whitespace is a non-parse
+    * (Spark's ANSI cast would trim it, so an equals-trim guard
+    * re-tightens), partial consumption ('123abc') and fractional text
+    * for integral targets ('1.5') fail via the ANSI cast, and the
+    * unsigned targets land on wider signed Spark types with the exact
+    * unsigned bounds guarded (the accurateCastOrNull discipline —
+    * UInt64 rides Decimal(20,0)). Float targets additionally accept
+    * ClickHouse's case-insensitive 'inf'/'+inf'/'-inf'/'infinity'/'nan'
+    * spellings, which Java's parser would reject. OrZero/OrDefault
+    * defaults are ClickHouse's type defaults: 0, 1970-01-01, epoch.
+    * OrDefault takes the optional explicit default (cast to the target
+    * type); with one argument it equals OrZero.
+    */
+  private def convFamily: Seq[(String, String, Seq[Expression] => Expression)] = {
+    val targets: Seq[(String, DataType, Option[(Expression, Expression)], Expression)] = Seq(
+      ("Int8", ByteType, None, Literal(0.toByte)),
+      ("Int16", ShortType, None, Literal(0.toShort)),
+      ("Int32", IntegerType, None, Literal(0)),
+      ("Int64", LongType, None, Literal(0L)),
+      ("UInt8", ShortType, Some((Literal(0.toShort), Literal(255.toShort))),
+        Literal(0.toShort)),
+      ("UInt16", IntegerType, Some((Literal(0), Literal(65535))), Literal(0)),
+      ("UInt32", LongType, Some((Literal(0L), Literal(4294967295L))), Literal(0L)),
+      ("UInt64", DecimalType(20, 0),
+        Some((Literal(Decimal(BigDecimal(0)), DecimalType(20, 0)),
+          Literal(Decimal(BigDecimal("18446744073709551615")), DecimalType(20, 0)))),
+        Literal(Decimal(BigDecimal(0)), DecimalType(20, 0))),
+      ("Float32", FloatType, None, Literal(0.0f)),
+      ("Float64", DoubleType, None, Literal(0.0d)),
+      ("Date", DateType, None, Literal.create(0, DateType)),
+      ("DateTime", TimestampType, None, Literal.create(0L, TimestampType)))
+    targets.flatMap { case (tn, dt, bounds, zero) =>
+      def orNull(e: Expression): Expression = {
+        val s = Cast(e, StringType)
+        val parsed = TryEval(Cast(s, dt, None, EvalMode.ANSI))
+        val ranged = bounds match {
+          case None => parsed
+          case Some((lo, hi)) =>
+            If(Or(LessThan(parsed, lo), GreaterThan(parsed, hi)),
+              Literal.create(null, dt), parsed)
+        }
+        val special = dt match {
+          case FloatType | DoubleType =>
+            val low = Lower(s)
+            def isIn(vs: Seq[String]) = In(low, vs.map(Literal(_)))
+            def num(d: Double): Expression =
+              if (dt == FloatType) Literal(d.toFloat) else Literal(d)
+            CaseWhen(Seq(
+              (isIn(Seq("inf", "+inf", "infinity", "+infinity")),
+                num(Double.PositiveInfinity)),
+              (isIn(Seq("-inf", "-infinity")), num(Double.NegativeInfinity)),
+              (isIn(Seq("nan", "+nan", "-nan")), num(Double.NaN))), ranged)
+          case _ => ranged
+        }
+        If(Not(EqualNullSafe(s, StringTrim(s, None))),
+          Literal.create(null, dt), special)
+      }
+      val usageT = tn match {
+        case "Date" => "1970-01-01"; case "DateTime" => "1970-01-01 00:00:00"
+        case _ => "0"
+      }
+      Seq(
+        (s"to${tn}OrNull",
+          s"to${tn}OrNull(s) - strict-parse s as $tn, NULL when it does not parse or fit (surrounding whitespace is a non-parse, ClickHouse's reader rule)",
+          (es: Seq[Expression]) => { require(es.length == 1, s"to${tn}OrNull(s)")
+            orNull(es.head) }),
+        (s"to${tn}OrZero",
+          s"to${tn}OrZero(s) - to${tn}OrNull, $usageT when it does not parse or fit",
+          (es: Seq[Expression]) => { require(es.length == 1, s"to${tn}OrZero(s)")
+            Coalesce(Seq(orNull(es.head), zero)) }),
+        (s"to${tn}OrDefault",
+          s"to${tn}OrDefault(s[, default]) - to${tn}OrNull with the explicit default (or the $usageT type default) when it does not parse or fit",
+          (es: Seq[Expression]) => {
+            require(es.length == 1 || es.length == 2,
+              s"to${tn}OrDefault(s[, default])")
+            val d = if (es.length == 2) Cast(es(1), dt) else zero
+            Coalesce(Seq(orNull(es.head), d)) }))
+    }
+  }
 
   /** Vanilla-session registration. A same-named function that ALREADY
     * exists — a Spark built-in would have shadowed these anyway, and a

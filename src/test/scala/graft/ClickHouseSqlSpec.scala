@@ -1333,7 +1333,7 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(lit == Seq((0L, "x"), (1L, "xt"), (2L, "y")), lit)
   }
 
-  test("execution: scalar/array helper renames map 1:1; position stays stock (reversed args would be silent)") {
+  test("execution: scalar/array helper renames map 1:1; bare position is haystack-first via the rename") {
     val r = ClickHouseSql.sql(spark,
       """SELECT empty(array()) AS e1, empty(array(1)) AS e2,
         |  notEmpty(array(1)) AS ne,
@@ -1360,11 +1360,12 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getInt(12) == 5, r)
     assert(r.getString(13) == "ÉLL", r)
     assert(r.getString(14) == "x", r)
-    // `position` resolves to SPARK's function (needle-first): the
-    // no-clobber rule keeps it, so ClickHouse's haystack-first call is
-    // never silently accepted with flipped args.
+    // Bare `position` carries ClickHouse's HAYSTACK-FIRST order through
+    // the dialect path (r12: the textual rename to graft_ch_position —
+    // before it, the call resolved to Spark's needle-first namesake and
+    // ran silently wrong).
     val p = ClickHouseSql.sql(spark,
-      "SELECT position('b', 'abc') AS spark_pos").head()
+      "SELECT position('abc', 'b') AS ch_pos").head()
     assert(p.getInt(0) == 2, p)
   }
 
@@ -2365,5 +2366,327 @@ class ClickHouseSqlSpec extends SparkSpec {
     (0 to 6).foreach(i => assert(r.getDouble(i) == 0.0d, (i, r)))
     assert(math.abs(r.getDouble(7) - 3.0d) < 1e-9, r)
     assert(math.abs(r.getDouble(8) - 1.0d) < 1e-9, r)
+  }
+
+  // ---- r12: the to*OrNull/OrZero/OrDefault conversion family ----
+
+  test("execution: conversion family is strict the way ClickHouse's readers are") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt32OrNull('123') AS ok,
+        |  toInt32OrNull(' 123') AS pad_l,
+        |  toInt32OrNull('123 ') AS pad_r,
+        |  toInt32OrNull('1.5') AS frac,
+        |  toInt32OrNull('123abc') AS partial,
+        |  toInt32OrNull('') AS empty,
+        |  toInt32OrNull('+7') AS plus,
+        |  toInt32OrNull('-2147483648') AS int_min,
+        |  toInt32OrNull('2147483648') AS int_over,
+        |  toInt8OrNull('127') AS i8_max,
+        |  toInt8OrNull('128') AS i8_over,
+        |  toUInt8OrNull('255') AS u8_max,
+        |  toUInt8OrNull('256') AS u8_over,
+        |  toUInt16OrNull('65535') AS u16_max,
+        |  toUInt16OrNull('65536') AS u16_over,
+        |  toUInt64OrNull('18446744073709551615') AS u64_max,
+        |  toUInt64OrNull('18446744073709551616') AS u64_over,
+        |  toInt64OrZero('junk') AS zero64,
+        |  toInt64OrDefault('junk') AS def0,
+        |  toInt64OrDefault('junk', -9) AS def9,
+        |  toInt64OrDefault('11', -9) AS def_ok
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getInt(0) == 123 && r.getInt(6) == 7, r)
+    Seq(1, 2, 3, 4, 5, 8, 10, 12, 14, 16).foreach(i => assert(r.isNullAt(i), (i, r)))
+    assert(r.getInt(7) == Int.MinValue, r)
+    assert(r.getByte(9) == 127.toByte, r)
+    assert(r.getShort(11) == 255.toShort, r)
+    assert(r.getInt(13) == 65535, r)
+    assert(r.getDecimal(15).toString == "18446744073709551615", r)
+    assert(r.getLong(17) == 0L && r.getLong(18) == 0L, r)
+    assert(r.getLong(19) == -9L && r.getLong(20) == 11L, r)
+  }
+
+  test("execution: float conversions accept ClickHouse's inf/nan spellings; date/datetime defaults are the epoch") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toFloat64OrNull('INF') AS inf_uc,
+        |  toFloat64OrNull('+infinity') AS inf_plus,
+        |  toFloat32OrNull('-Inf') AS inf_neg,
+        |  toFloat64OrNull('NaN') AS nan1,
+        |  toFloat64OrNull('-nan') AS nan2,
+        |  toFloat64OrNull('1e308') AS big,
+        |  toFloat64OrNull(' 1.5') AS padded,
+        |  toString(toDateOrNull('2024-02-29')) AS leap,
+        |  toDateOrNull('2024-02-30') AS bad_day,
+        |  toString(toDateOrZero('nope')) AS d_epoch,
+        |  toString(toDateTimeOrZero('nope')) AS dt_epoch,
+        |  toUnixTimestamp(toDateTimeOrNull('2024-01-01 00:00:01')) AS dt_ok
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getDouble(0).isPosInfinity && r.getDouble(1).isPosInfinity, r)
+    assert(r.getFloat(2).isNegInfinity, r)
+    assert(r.getDouble(3).isNaN && r.getDouble(4).isNaN, r)
+    assert(r.getDouble(5) == 1e308, r)
+    assert(r.isNullAt(6) && r.isNullAt(8), r)
+    assert(r.getString(7) == "2024-02-29", r)
+    assert(r.getString(9) == "1970-01-01", r)
+    assert(r.getString(10) == "1970-01-01 00:00:00", r)
+    assert(r.getLong(11) == 1704067201L, r)
+  }
+
+  // ---- r12: parseDateTime family ----
+
+  test("execution: parseDateTime round-trips formatDateTime codes; best-effort subset parses; base forms throw") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toUnixTimestamp(parseDateTime('29/02/2024 13:45:06', '%d/%m/%Y %H:%i:%S')) AS p1,
+        |  toUnixTimestamp(parseDateTime('2024-01-02', '%F')) AS p2,
+        |  parseDateTimeOrNull('2024-13-02', '%F') AS bad_month,
+        |  toUnixTimestamp(parseDateTimeOrZero('x', '%F')) AS z,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('2024-01-02T03:04:05Z')) AS iso_z,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('2024-01-02 03:04:05+02:00')) AS iso_off,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('2024/1/2 3:4:5')) AS slash,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('02.01.2024')) AS dotted,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('2 Jan 2024 03:04:05')) AS rfc,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('1704164645')) AS unix10,
+        |  parseDateTimeBestEffortOrNull('not a date') AS miss,
+        |  parseDateTimeBestEffortOrNull('123456') AS short_digits,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('20240102')) AS compact8,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrNull('20240102030405')) AS compact14,
+        |  toUnixTimestamp(parseDateTimeBestEffortOrZero('junk')) AS be_zero
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getLong(0) == 1709214306L, r) // 2024-02-29 13:45:06 UTC
+    assert(r.getLong(1) == 1704153600L, r)
+    assert(r.isNullAt(2), r)
+    assert(r.getLong(3) == 0L, r)
+    assert(r.getLong(4) == 1704164645L, r)
+    assert(r.getLong(5) == 1704164645L - 7200L, r) // +02:00 offset applied
+    assert(r.getLong(6) == 1704164645L, r)
+    assert(r.getLong(7) == 1704153600L, r)
+    assert(r.getLong(8) == 1704164645L, r)
+    assert(r.getLong(9) == 1704164645L, r)
+    // Outside the documented subset: NULL, never a guess — a 6-digit
+    // string is neither unix seconds nor a compact date (Spark's bare
+    // cast would have read it as the year 123456).
+    assert(r.isNullAt(10) && r.isNullAt(11), r)
+    assert(r.getLong(12) == 1704153600L, r)
+    assert(r.getLong(13) == 1704164645L, r)
+    assert(r.getLong(14) == 0L, r)
+    // The throwing base forms reproduce ClickHouse's error behavior.
+    val e1 = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT parseDateTime('junk', '%F') AS x FROM range(1)").collect()
+    }
+    assert(e1.getMessage != null, e1)
+    val e2 = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT parseDateTimeBestEffort('not a date') AS x FROM range(1)").collect()
+    }
+    assert(e2.getMessage.contains("unparseable datetime string"), e2)
+    val e3 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT parseDateTime('2024-01-01', '%Q') AS x FROM range(1)")
+    }
+    assert(e3.getMessage.contains("unsupported code"), e3)
+  }
+
+  // ---- r12: bare position() textual rename ----
+
+  test("rewrite: bare position() renames to the haystack-first builder; the IN form passes through") {
+    val out = ClickHouseSqlRewrite("SELECT position(txt, 'ab') FROM t")
+    assert(out.contains("graft_ch_position(txt, 'ab')"), out)
+    val in = "SELECT position('ab' IN txt) FROM t"
+    assert(ClickHouseSqlRewrite(in) == in)
+    // No match inside wider names or string literals.
+    val noop = "SELECT positionUTF8(a, b), array_position(xs, 1), 'position(' FROM t"
+    assert(ClickHouseSqlRewrite(noop) == noop)
+  }
+
+  // ---- r12: IPv4 family ----
+
+  test("execution: IPv4 family round-trips; bounds and invalid forms take their documented lanes") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT IPv4NumToString(3232235777) AS s1,
+        |  IPv4NumToString(0) AS s0,
+        |  IPv4NumToString(4294967295) AS smax,
+        |  IPv4StringToNum('192.168.1.1') AS n1,
+        |  IPv4StringToNum(IPv4NumToString(167772161)) AS rt,
+        |  IPv4StringToNumOrNull('256.1.1.1') AS bad_octet,
+        |  IPv4StringToNumOrNull('1.2.3') AS short3,
+        |  IPv4StringToNumOrNull(' 1.2.3.4') AS padded,
+        |  IPv4StringToNumOrDefault('junk') AS dflt,
+        |  toIPv4OrNull('010.0.0.1') AS zeros,
+        |  isIPv4String('8.8.8.8') AS ok,
+        |  isIPv4String('8.8.8.256') AS no,
+        |  IPv4CIDRToRange(3232235777, 24) AS r24,
+        |  IPv4CIDRToRange(3232235777, 32) AS r32,
+        |  IPv4CIDRToRange(3232235777, 0) AS r0
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getString(0) == "192.168.1.1" && r.getString(1) == "0.0.0.0", r)
+    assert(r.getString(2) == "255.255.255.255", r)
+    assert(r.getLong(3) == 3232235777L && r.getLong(4) == 167772161L, r)
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7), r)
+    assert(r.getLong(8) == 0L, r)
+    assert(r.getLong(9) == 167772161L, r) // leading zeros accepted
+    assert(r.getBoolean(10) && !r.getBoolean(11), r)
+    val r24 = r.getStruct(12)
+    assert(r24.getLong(0) == 3232235776L && r24.getLong(1) == 3232236031L, r24)
+    val r32 = r.getStruct(13)
+    assert(r32.getLong(0) == 3232235777L && r32.getLong(1) == 3232235777L, r32)
+    val r0 = r.getStruct(14)
+    assert(r0.getLong(0) == 0L && r0.getLong(1) == 4294967295L, r0)
+    val e = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT IPv4StringToNum('nope') AS x FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("invalid IPv4 address"), e)
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT IPv6StringToNum('::1') AS x FROM range(1)")
+    }
+    assert(e2.getMessage.contains("IPv6"), e2)
+  }
+
+  // ---- r12: string distances and vector norms ----
+
+  test("execution: string distances — levenshtein, hamming with length penalty, code-point jaccard") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT editDistance('kitten', 'sitting') AS lev,
+        |  editDistanceUTF8('héllo', 'hello') AS lev_u,
+        |  levenshteinDistance('abc', 'abc') AS lev0,
+        |  byteHammingDistance('karolin', 'kathrin') AS ham,
+        |  byteHammingDistance('abc', 'ab') AS ham_len,
+        |  byteHammingDistance('', 'xy') AS ham_empty,
+        |  stringJaccardIndex('abc', 'bcd') AS jac,
+        |  stringJaccardIndex('', '') AS jac_empty,
+        |  stringJaccardIndex('aab', 'ab') AS jac_dup
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 0L, r)
+    assert(r.getLong(3) == 3L, r)
+    assert(r.getLong(4) == 1L, r) // the missing position counts
+    assert(r.getLong(5) == 2L, r)
+    assert(r.getDouble(6) == 0.5d, r) // {b,c} over {a,b,c,d}
+    assert(r.getDouble(7) == 1.0d, r) // the stated both-empty convention
+    assert(r.getDouble(8) == 1.0d, r) // sets, not bags
+  }
+
+  test("execution: vector norms and normalizers on the shared fold kernel") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT L1Norm(array(1, -2, 3)) AS l1,
+        |  L2Norm(array(3, 4)) AS l2,
+        |  L2SquaredNorm(array(3, 4)) AS l2s,
+        |  LinfNorm(array(1, -7, 2)) AS linf,
+        |  L2Normalize(array(3, 4)) AS unit,
+        |  L1Normalize(array(2, 2)) AS l1n,
+        |  LinfNormalize(array(-4, 2)) AS linfn,
+        |  L2Normalize(array(0, 0)) AS zero
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getDouble(0) == 6.0d && r.getDouble(1) == 5.0d, r)
+    assert(r.getDouble(2) == 25.0d && r.getDouble(3) == 7.0d, r)
+    assert(r.getSeq[Double](4) == Seq(0.6d, 0.8d), r)
+    assert(r.getSeq[Double](5) == Seq(0.5d, 0.5d), r)
+    assert(r.getSeq[Double](6) == Seq(-1.0d, 0.5d), r)
+    assert(r.getSeq[Double](7).forall(_.isNaN), r) // 0/0, as documented
+  }
+
+  // ---- r12: raw-JSON family over the variant kernel ----
+
+  test("execution: JSONHas/JSONLength/JSONExtractRaw/ArrayRaw/Keys with ClickHouse defaults") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT JSONHas('{"a":{"b":[1,2]}}', 'a', 'b') AS has_ab,
+        |  JSONHas('{"a":null}', 'a') AS has_null,
+        |  JSONHas('{"a":1}', 'z') AS has_no,
+        |  JSONHas('{"a":[10,20]}', 'a', 2) AS has_idx,
+        |  JSONHas('{"a":[10,20]}', 'a', 3) AS has_idx_no,
+        |  JSONLength('{"a":[1,2,3]}', 'a') AS len_arr,
+        |  JSONLength('{"a":1,"b":2}') AS len_obj,
+        |  JSONLength('{"a":"str"}', 'a') AS len_scalar,
+        |  JSONLength('{"a":1}', 'z') AS len_missing,
+        |  JSONExtractRaw('{"a":"x"}', 'a') AS raw_str,
+        |  JSONExtractRaw('{"a":[1,2]}', 'a') AS raw_arr,
+        |  JSONExtractRaw('{"a":null}', 'a') AS raw_null,
+        |  JSONExtractRaw('{"a":1}', 'z') AS raw_missing,
+        |  JSONExtractRaw('{"b":1,"a":2}') AS raw_sorted,
+        |  JSONExtractArrayRaw('{"a":[1,"x",null]}', 'a') AS arr_raw,
+        |  JSONExtractArrayRaw('{"a":5}', 'a') AS arr_not,
+        |  JSONExtractKeys('{"b":1,"a":{"z":0,"y":1}}') AS keys_doc,
+        |  JSONExtractKeys('{"b":1,"a":{"z":0,"y":1}}', 'a') AS keys_sub,
+        |  JSONExtractKeys('{"a":[1]}', 'a') AS keys_arr
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getBoolean(0), r)
+    assert(r.getBoolean(1), r) // a JSON null value still EXISTS
+    assert(!r.getBoolean(2), r)
+    assert(r.getBoolean(3) && !r.getBoolean(4), r)
+    assert(r.getLong(5) == 3L && r.getLong(6) == 2L, r)
+    assert(r.getLong(7) == 0L && r.getLong(8) == 0L, r)
+    assert(r.getString(9) == "\"x\"", r) // strings stay QUOTED
+    assert(r.getString(10) == "[1,2]", r)
+    assert(r.getString(11) == "null", r)
+    assert(r.getString(12) == "", r) // ClickHouse's '' default
+    assert(r.getString(13) == """{"a":2,"b":1}""", r) // variant sorts keys
+    assert(r.getSeq[String](14) == Seq("1", "\"x\"", "null"), r)
+    assert(r.getSeq[String](15) == Seq.empty, r)
+    assert(r.getSeq[String](16) == Seq("b", "a"), r) // DOCUMENT order
+    assert(r.getSeq[String](17) == Seq("z", "y"), r)
+    assert(r.getSeq[String](18) == Seq.empty, r)
+  }
+
+  test("execution: bar renders eighth-resolution blocks; alphaTokens/arrayShingles; deltaSum folds in order") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT bar(5, 0, 10, 4) AS half,
+        |  bar(10, 0, 10, 4) AS fullb,
+        |  bar(0, 0, 10, 4) AS none,
+        |  bar(-3, 0, 10, 4) AS clamp_lo,
+        |  bar(1, 0, 16, 4) AS quarter_char,
+        |  lengthUTF8(bar(80, 0, 100, 80)) AS len80pct,
+        |  alphaTokens('ab12cd--EF') AS toks,
+        |  alphaTokens('123') AS toks_none,
+        |  arrayShingles(array(1, 2, 3, 4), 2) AS sh2,
+        |  arrayShingles(array(1, 2), 2) AS sh_all
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getString(0) == "██", r)
+    assert(r.getString(1) == "████", r)
+    assert(r.getString(2) == "", r)
+    assert(r.getString(3) == "", r)
+    assert(r.getString(4) == "▎", r) // 0.25 chars -> the 2/8 block
+    assert(r.getInt(5) == 64, r)
+    assert(r.getSeq[String](6) == Seq("ab", "cd", "EF"), r)
+    assert(r.getSeq[String](7) == Seq.empty, r)
+    assert(r.getSeq[Seq[Int]](8) == Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)), r)
+    assert(r.getSeq[Seq[Int]](9) == Seq(Seq(1, 2)), r)
+    val e = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT arrayShingles(array(1, 2), 3) AS x FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("shingle size"), e)
+    // deltaSum over a one-partition ordered relation (the documented
+    // order-dependence posture, shared with groupArray).
+    val d = ClickHouseSql.sql(spark,
+      """SELECT deltaSum(v) AS ds
+        |FROM (SELECT id, CAST(element_at(array(1, 3, 2, 7, 7, 6, 9), CAST(id + 1 AS INT)) AS DOUBLE) AS v
+        |      FROM range(0, 7, 1, 1) ORDER BY id)""".stripMargin)
+      .collect().head
+    // +2 (1->3), +5 (2->7), +3 (6->9) = 10
+    assert(d.getDouble(0) == 10.0d, d)
+  }
+
+  test("execution: arrayReverseSort descends with nulls last") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,
+        |  arrayReverseSort(array('b', 'a', 'c')) AS s
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getSeq[Integer](0) == Seq(9, 4, 2, null), r)
+    assert(r.getSeq[String](1) == Seq("c", "b", "a"), r)
+  }
+
+  test("execution: position counts BYTES haystack-first (ClickHouse's bare-form convention)") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toInt64(position('Hello, world!', 'world')) AS p1,
+        |  toInt64(position('Hello, world!', 'zzz')) AS p0,
+        |  toInt64(position('chçade', 'de')) AS bytes,
+        |  toInt64(positionUTF8('chçade', 'de')) AS cps,
+        |  toInt64(position('ababab', 'ab', 3)) AS from3
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getLong(0) == 8L && r.getLong(1) == 0L, r)
+    // 'ç' is two UTF-8 bytes: byte position 6, code-point position 5.
+    assert(r.getLong(2) == 6L, r)
+    assert(r.getLong(3) == 5L, r)
+    assert(r.getLong(4) == 3L, r)
   }
 }

@@ -78,6 +78,10 @@ class SchemaDisciplineSpec extends SparkSpec {
     "sink_coalesce" -> Seq("o_totalprice"),
     "sink_partitioned_prune" -> Seq("o_totalprice"),
     "sort_limit_topk" -> Seq("l_extendedprice"),
+    // r12: f64 is a genuine double lane (the oracle computes the same
+    // DOUBLE arithmetic); f32_zero pins the Float32 type default
+    // against DuckDB's REAL — both hash-green in the r12 verify.
+    "sql_ch_conv" -> Seq("f64", "f32_zero"),
     "sql_tpch_q1" -> Seq("sum_qty", "sum_base_price", "sum_disc_price",
       "sum_charge", "avg_qty", "avg_price", "avg_disc"),
     "sql_tpch_q10" -> Seq("revenue"),
