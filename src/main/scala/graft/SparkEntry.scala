@@ -474,6 +474,8 @@ object SparkEntry {
     "sql_ch_strdist" -> (Relational.sqlChStrDist _),
     "sql_ch_json2" -> (Relational.sqlChJson2 _),
     "sql_ch_vector2" -> (Relational.sqlChVector2 _),
+    "sql_ch_star" -> (Relational.sqlChStar _),
+    "sql_ch_geo" -> (Relational.sqlChGeo _),
     "sql_ch_with_fill_date" -> (Relational.sqlChWithFillDate _),
     "sql_ch_week" -> (Relational.sqlChWeek _),
     "sql_ch_like" -> (Relational.sqlChLike _),
@@ -1215,6 +1217,14 @@ object SparkEntry {
       """SELECT o_orderkey AS k, true AS has_q, false AS has_zz, true AS has_tag2, false AS has_tag3, CAST(2 AS BIGINT) AS n_tags, CAST(3 AS BIGINT) AS n_doc, CAST(0 AS BIGINT) AS n_scalar, CAST(o_orderkey AS VARCHAR) AS raw_k, '"' || o_orderstatus || '"' AS raw_tag1, 'null' AS raw_q, '' AS raw_missing, '"' || o_orderstatus || '"|"' || o_orderpriority || '"' AS tags_raw, 'k,tags,meta' AS keys_doc, 'p,q' AS keys_meta FROM orders WHERE o_orderkey < 400 ORDER BY k""",
     "sql_ch_vector2" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve FROM embeddings WHERE vec_id < 300) SELECT vec_id, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'sum') * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(list_aggregate(list_transform(ve, x -> x * x), 'sum') * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'max') * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(ve[1] / sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 100000 + 0.5) AS BIGINT) AS unit0_5, array_to_string(list_reverse(list_sort(list_transform(ve[1:6], v -> CAST(floor(v * 10) AS BIGINT)))), ',') AS rsorted FROM e ORDER BY vec_id""",
+    // The star expansion spelled by hand, with APPLY's func(col)
+    // output names as quoted aliases.
+    // Round-trip containment identities (the self-checking pattern) +
+    // the published ezs42 decode values.
+    "sql_ch_geo" ->
+      """SELECT o_orderkey AS k, CAST(9 AS BIGINT) AS len9, true AS pfx_ok, true AS lon_ok, true AS lat_ok, true AS reenc_ok, -5.60302734375 AS ez_lon, 42.60498046875 AS ez_lat FROM orders WHERE o_orderkey < 400 ORDER BY k""",
+    "sql_ch_star" ->
+      """SELECT o_orderstatus, CAST(max(o_orderkey) AS BIGINT) AS "max(o_orderkey)", CAST(max(o_custkey) AS BIGINT) AS "max(o_custkey)", CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS "max(o_totalprice)" FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sql_ch_misc" ->
       """SELECT l_orderkey AS okey, CAST(l_linenumber AS BIGINT) AS lno, CAST(l_linenumber AS BIGINT) AS te, l_returnflag || '/' || l_linestatus || '/' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS sp, CAST(-1 AS BIGINT) AS inf_guard, monthname(l_shipdate) AS mn, dayname(l_shipdate) AS wd, CAST(year(l_shipdate) AS VARCHAR) AS yr, CAST(strftime(l_shipdate, '%Y%m%d%H%M%S') AS BIGINT) AS ymdhms, CAST(greatest(CAST(l_quantity AS BIGINT), l_suppkey) AS BIGINT) AS rmax, CAST(CAST(l_quantity AS BIGINT) + l_linenumber AS BIGINT) AS rsum, CASE WHEN l_suppkey % 2 = 1 THEN '1,2,3' ELSE '1,2,1' END AS enq, CAST(coalesce(lag(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS lg, CAST(coalesce(lead(CAST(l_linenumber AS BIGINT)) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber), -1) AS BIGINT) AS ld, 'q,p' AS mk, CAST(CAST(l_quantity AS BIGINT) + l_suppkey AS BIGINT) AS mv, true AS mc1, false AS mc0, CAST(2 * (l_linenumber + CAST(l_quantity AS BIGINT)) AS BIGINT) AS fold2, CASE WHEN l_suppkey % 2 = 1 THEN '1,1,1' ELSE '1,1,2' END AS dense, epoch_ms(l_shipdate) AS ship_ms, CAST(greatest(l_linenumber - 2, 0) AS VARCHAR) || ',' || CAST(greatest(l_linenumber - 2, 0) + 3 AS VARCHAR) || ',' || CAST(greatest(greatest(l_linenumber - 2, 0) + 3 - 4, 0) AS VARCHAR) AS nncum FROM lineitem WHERE l_orderkey < 300 ORDER BY okey, lno""",
     "events_mde_power" ->

@@ -2621,7 +2621,9 @@ object Relational {
     * implementations (probed: identical definitions, including the
     * distinct-set jaccard). The hamming lanes use equal-length windows
     * (DuckDB's hamming requires it); the unequal-length penalty is
-    * pinned in scalatest. Row-wise; no shuffle beyond the sort.
+    * pinned in scalatest. `alphaTokens` and `arrayShingles` ride the
+    * same oracle (regexp_extract_all / hand-spelled windows).
+    * Row-wise; no shuffle beyond the sort.
     */
   def sqlChStrDist(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(spark, dir, Seq("documents"))
@@ -2690,6 +2692,61 @@ object Relational {
         |FROM embeddings
         |WHERE vec_id < 300
         |ORDER BY vec_id""".stripMargin)
+  }
+
+  /** The r12 star-transformer batch: ClickHouse's `* EXCEPT … REPLACE
+    * (expr AS col) APPLY func` column modifiers expanded against the
+    * registered schema (a mixed select list — the group key rides
+    * before the star), with APPLY's `func(col)` output names carried
+    * through GROUP BY. The oracle spells the expansion by hand with the
+    * same quoted aliases.
+    */
+  def sqlChStar(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderstatus,
+        |  * EXCEPT (o_orderstatus, o_orderdate, o_orderpriority)
+        |    REPLACE (toInt64(floor(o_totalprice)) AS o_totalprice)
+        |    APPLY max
+        |FROM orders
+        |WHERE o_orderkey < 3000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  /** The r12 geohash batch — round-trip CONTAINMENT identities (the
+    * sql_ch_json self-checking pattern: the oracle states the algebra,
+    * Spark runs the real machinery): decode(encode(p, 9)) lands within
+    * half a 9-char cell of p on both axes (<=, not <: a point exactly
+    * on a cell edge decodes to the adjacent center exactly half a width
+    * away), coarser precisions are string PREFIXES, the decoded center
+    * re-encodes to the SAME cell, and the published ezs42 vector pins
+    * absolute values. Coordinates sweep the full lon/lat ranges from
+    * the order key.
+    */
+  def sqlChGeo(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  toInt64(lengthUTF8(g9)) AS len9,
+        |  g5 = substringUTF8(g9, 1, 5) AS pfx_ok,
+        |  abs(tupleElement(d, 1) - lon) <= 180.0 / 8388608 AS lon_ok,
+        |  abs(tupleElement(d, 2) - lat) <= 90.0 / 4194304 AS lat_ok,
+        |  geohashEncode(tupleElement(d, 1), tupleElement(d, 2), 9) = g9 AS reenc_ok,
+        |  tupleElement(geohashDecode('ezs42'), 1) AS ez_lon,
+        |  tupleElement(geohashDecode('ezs42'), 2) AS ez_lat
+        |FROM (
+        |  SELECT k, lon, lat, g5, g9, geohashDecode(g9) AS d
+        |  FROM (
+        |    SELECT k, lon, lat,
+        |      geohashEncode(lon, lat, 5) AS g5,
+        |      geohashEncode(lon, lat, 9) AS g9
+        |    FROM (
+        |      SELECT o_orderkey AS k,
+        |        toFloat64((o_orderkey % 360) - 180) + 0.25 AS lon,
+        |        toFloat64((o_orderkey % 170) - 85) + 0.25 AS lat
+        |      FROM orders WHERE o_orderkey < 400) c) e) r
+        |ORDER BY k""".stripMargin)
   }
 
   def sqlChWithMacro(spark: SparkSession, dir: String): DataFrame = {

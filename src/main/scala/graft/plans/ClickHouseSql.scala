@@ -131,6 +131,7 @@ object ClickHouseSqlRewrite {
     val u = rewriteDictGet(sql, masked); if (u ne sql) return u
     val v = rewriteTransform(sql, masked); if (v ne sql) return v
     val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
+    val st = rewriteStarTransformers(sql, masked); if (st ne sql) return st
     val n = rewriteArrayLiterals(sql, masked); if (n ne sql) return n
     val o = rewriteWithMacros(sql, masked); if (o ne sql) return o
     sql
@@ -652,6 +653,203 @@ object ClickHouseSqlRewrite {
       }
     }
     sql
+  }
+
+  // -------------------------------------- 13. star column transformers
+
+  private val StarModRe = java.util.regex.Pattern.compile(
+    "(?i)\\*\\s+(EXCEPT|REPLACE|APPLY)\\b")
+  private val PlainIdentRe = java.util.regex.Pattern.compile(
+    "[A-Za-z_][A-Za-z0-9_]*")
+
+  /** ClickHouse's `* EXCEPT … / REPLACE(expr AS col) / APPLY(func)`
+    * column transformers. Spark already parses the parenthesized
+    * `* EXCEPT (a, b)` natively (this layer's own rewrites emit it), so
+    * that form passes through; everything else expands the star into an
+    * EXPLICIT column list against the FROM table's registered schema
+    * (the dictGet session-lookup pattern):
+    *
+    *   - `EXCEPT col` (paren-less) and `EXCEPT (a, b)` drop columns —
+    *     LENIENT on absent names as ClickHouse's default, with the
+    *     `STRICT` keyword raising (ClickHouse's EXCEPT STRICT);
+    *   - `REPLACE (expr AS col [, …])` substitutes the expression at
+    *     the column's ORIGINAL position, keeping its name — lenient /
+    *     STRICT as above;
+    *   - `APPLY func` / `APPLY(func)` wraps every remaining column,
+    *     naming results `func(col)` (ClickHouse's output names; the
+    *     alias is backtick-quoted). Chained APPLYs compose left to
+    *     right.
+    *
+    * Modifiers process LEFT TO RIGHT in any order/repetition. Needs the
+    * star's relation to be ONE registered table/view: a subquery, join,
+    * or comma-list FROM is a named error (spell the list explicitly),
+    * as is a lambda APPLY (`APPLY x -> …`) or an unregistered table.
+    * `t.*` qualified stars pass through untouched.
+    */
+  private def rewriteStarTransformers(sql: String, masked: String): String = {
+    val m = StarModRe.matcher(masked)
+    while (m.find()) {
+      // A qualified star (t.* EXCEPT …) is left to Spark.
+      if (m.start() > 0 && masked.charAt(m.start() - 1) == '.') {
+        // keep scanning
+      } else {
+        val out = expandStar(sql, masked, m.start())
+        if (out ne sql) return out
+      }
+    }
+    sql
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException("ClickHouse SQL: " + msg)
+
+  private def expandStar(sql: String, masked: String, star: Int): String = {
+    def skipWs(i0: Int): Int = {
+      var i = i0
+      while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+      i
+    }
+    def wordAt(i: Int, w: String): Boolean =
+      masked.regionMatches(true, i, w, 0, w.length) &&
+        (i + w.length >= masked.length || !isWordChar(masked.charAt(i + w.length)))
+    def readIdent(i0: Int): Option[(String, Int)] = {
+      val mm = PlainIdentRe.matcher(masked)
+      if (mm.find(i0) && mm.start() == i0) Some((sql.substring(mm.start(), mm.end()), mm.end()))
+      else None
+    }
+    // Parse the modifier chain.
+    sealed trait Mod
+    case class Except(names: Seq[String], strict: Boolean) extends Mod
+    case class Replace(items: Seq[(String, String)], strict: Boolean) extends Mod
+    case class Apply_(fn: String) extends Mod
+    var cur = skipWs(star + 1)
+    val mods = scala.collection.mutable.ArrayBuffer.empty[Mod]
+    var onlyParenExcept = true
+    var go = true
+    while (go) {
+      if (wordAt(cur, "EXCEPT")) {
+        var i = skipWs(cur + 6)
+        val strict = wordAt(i, "STRICT")
+        if (strict) i = skipWs(i + 6)
+        if (i < masked.length && masked.charAt(i) == '(') {
+          val (cs, ce, after) = parenSpan(masked, i)
+          val names = splitItems(masked, cs, ce).map { case (s0, e0) =>
+            val t = sql.substring(s0, e0).trim
+            if (!PlainIdentRe.matcher(t).matches()) fail(
+              s"* EXCEPT takes plain column names, got '$t'")
+            t
+          }
+          if (strict) onlyParenExcept = false
+          mods += Except(names, strict)
+          cur = skipWs(after)
+        } else readIdent(i) match {
+          case Some((name, after)) if !name.equalsIgnoreCase("SELECT") =>
+            onlyParenExcept = false
+            mods += Except(Seq(name), strict)
+            cur = skipWs(after)
+          case _ => fail("* EXCEPT needs a column name or (list)")
+        }
+      } else if (wordAt(cur, "REPLACE")) {
+        onlyParenExcept = false
+        var i = skipWs(cur + 7)
+        val strict = wordAt(i, "STRICT")
+        if (strict) i = skipWs(i + 6)
+        if (i >= masked.length || masked.charAt(i) != '(') fail(
+          "* REPLACE needs a parenthesized list: REPLACE (expr AS col, …)")
+        val (cs, ce, after) = parenSpan(masked, i)
+        val items = splitItems(masked, cs, ce).map { case (s0, e0) =>
+          val im = ItemAliasRe.matcher(masked.substring(s0, e0))
+          if (!im.matches()) fail(
+            "* REPLACE items must be 'expr AS col', got '" +
+              sql.substring(s0, e0).trim + "'")
+          (sql.substring(s0, s0 + im.end(1)).trim, im.group(2))
+        }
+        mods += Replace(items, strict)
+        cur = skipWs(after)
+      } else if (wordAt(cur, "APPLY")) {
+        onlyParenExcept = false
+        val i = skipWs(cur + 5)
+        if (i < masked.length && masked.charAt(i) == '(') {
+          val (cs, ce, after) = parenSpan(masked, i)
+          val inner = sql.substring(cs, ce).trim
+          if (!PlainIdentRe.matcher(inner).matches()) fail(
+            s"* APPLY takes a bare function name (lambdas have no column-" +
+              s"name contract to expand against), got '$inner'")
+          mods += Apply_(inner)
+          cur = skipWs(after)
+        } else readIdent(i) match {
+          case Some((fn, after)) =>
+            mods += Apply_(fn)
+            cur = skipWs(after)
+          case None => fail("* APPLY needs a function name")
+        }
+      } else go = false
+    }
+    // Parenthesized EXCEPT alone is Spark-native — leave it.
+    if (onlyParenExcept) return sql
+    // Resolve the star's relation: exactly one registered table/view.
+    val fromIdx = findKeyword(masked, cur, "FROM")
+    if (fromIdx < 0) fail(
+      "* EXCEPT/REPLACE/APPLY needs a FROM table to expand against")
+    val tIdx = skipWs(fromIdx + 4)
+    if (tIdx < masked.length && masked.charAt(tIdx) == '(') fail(
+      "* EXCEPT/REPLACE/APPLY expands against a REGISTERED table's " +
+        "schema — name the subquery's columns explicitly instead")
+    val (tbl, afterTbl) = readIdent(tIdx).getOrElse(fail(
+      "* EXCEPT/REPLACE/APPLY needs a plain FROM table name"))
+    // A join or comma-list FROM would make the star span MORE than this
+    // table's columns — refuse rather than expand half the star.
+    var j = skipWs(afterTbl)
+    readIdent(j) match {
+      case Some((w, afterAlias)) if !Seq("WHERE", "GROUP", "ORDER", "LIMIT",
+        "HAVING", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW",
+        "QUALIFY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF",
+        "GLOBAL", "ANY", "SEMI", "ANTI", "ON", "USING")
+        .exists(_.equalsIgnoreCase(w)) =>
+        j = skipWs(afterAlias) // a plain alias — step past it
+      case _ => ()
+    }
+    val joinish = (j < masked.length && masked.charAt(j) == ',') ||
+      Seq("JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF",
+        "GLOBAL", "ANY", "SEMI", "ANTI").exists(w => wordAt(j, w))
+    if (joinish) fail(
+      "* EXCEPT/REPLACE/APPLY over a JOIN would need both sides' " +
+        "schemas — spell the column list explicitly")
+    val cols = dictSchema(tbl).getOrElse(fail(
+      s"* EXCEPT/REPLACE/APPLY: no registered table or view named " +
+        s"'$tbl' to read the star's columns from — " +
+        "createOrReplaceTempView the data first"))
+    // Fold the modifiers over (exprText, outputName, plain).
+    var items: Seq[(String, String, Boolean)] =
+      cols.map { case (n, _) => (s"`$n`", n, true) }
+    mods.foreach {
+      case Except(names, strict) =>
+        if (strict) names.foreach { n =>
+          if (!items.exists(_._2.equalsIgnoreCase(n))) fail(
+            s"* EXCEPT STRICT: no column '$n' to drop")
+        }
+        items = items.filterNot(it => names.exists(_.equalsIgnoreCase(it._2)))
+      case Replace(reps, strict) =>
+        if (strict) reps.foreach { case (_, n) =>
+          if (!items.exists(_._2.equalsIgnoreCase(n))) fail(
+            s"* REPLACE STRICT: no column '$n' to replace")
+        }
+        items = items.map { case it @ (_, n, _) =>
+          reps.find(_._2.equalsIgnoreCase(n)) match {
+            case Some((expr, _)) => (s"($expr\n)", n, false)
+            case None => it
+          }
+        }
+      case Apply_(fn) =>
+        items = items.map { case (e, n, _) => (s"$fn($e\n)", s"$fn($n)", false) }
+    }
+    if (items.isEmpty) fail(
+      "* EXCEPT/REPLACE/APPLY left no columns to select")
+    val list = items.map {
+      case (e, n, true) => e
+      case (e, n, false) => s"$e AS `$n`"
+    }.mkString(", ")
+    sql.substring(0, star) + list + " " + sql.substring(cur).stripLeading()
   }
 
   // ------------------------------------------------------ 9b. position
@@ -1256,7 +1454,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg)\\s*\\(")
 
   /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
     * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
@@ -1439,6 +1637,16 @@ object ClickHouseSqlRewrite {
               throw new IllegalArgumentException(
                 "ClickHouse SQL: topKWeighted(N)(x, weight)")
             s"graft_ch_topk_weighted($params\n, $args\n)"
+          // groupArrayMovingSum/Avg(n)(x): windowed running arrays in
+          // collection order (the groupArray order stance), on the
+          // prefix-difference kernel ClickHouse itself uses.
+          case "grouparraymovingsum" | "grouparraymovingavg" =>
+            if (splitItems(masked, pStart, pEnd).length != 1 ||
+              splitItems(masked, aStart, aEnd).length != 1)
+              throw new IllegalArgumentException(
+                s"ClickHouse SQL: ${m.group(1)}(window)(x)")
+            val kind = if (name.endsWith("sum")) "sum" else "avg"
+            s"graft_ch_moving_$kind($params\n, $args\n)"
           // quantileTiming is ClickHouse's third approximate quantile
           // sketch (fixed-bucket timing histogram) — approx↔approx, like
           // bare quantile/quantileTDigest.
@@ -1902,6 +2110,54 @@ object ClickHouseFunctions {
         tryFmt("yyyy/M/d H:m:s"), tryFmt("yyyy/M/d"),
         tryFmt("d.M.yyyy H:m:s"), tryFmt("d.M.yyyy"),
         tryFmt("d MMM yyyy H:m:s"), tryFmt("d MMM yyyy"))))
+  }
+
+  /** The geohash base32 alphabet (no a/i/l/o). */
+  private val GeoB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** groupArrayMovingSum/Avg kernel: collect → one cumulative-sum fold
+    * → out[i] = cum[i] − cum[i−n] (prefix difference, ClickHouse's own
+    * computation), dividing by the window (or, windowless, the total
+    * count) for the avg forms. DOUBLE lane throughout.
+    */
+  private def chMovingArray(x: Expression, win: Option[Expression],
+      avg: Boolean): Expression = {
+    val xs = CollectList(Cast(x, DoubleType)).toAggregateExpression()
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_mst"))
+    val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_me"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_mf"))
+    def fld(e: Expression, f: String) = UnresolvedExtractValue(e, Literal(f))
+    val nxt = Add(fld(st, "run"), e2)
+    val cum = ArrayAggregate(xs,
+      CreateNamedStruct(Seq(
+        Literal("acc"), Cast(CreateArray(Nil), ArrayType(DoubleType)),
+        Literal("run"), Literal(0.0d))),
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("acc"), Concat(Seq(fld(st, "acc"), CreateArray(Seq(nxt)))),
+        Literal("run"), nxt)), Seq(st, e2)),
+      LambdaFunction(fld(fin, "acc"), Seq(fin)))
+    val n = win.map { w =>
+      val wi = Cast(w, IntegerType)
+      If(LessThan(wi, Literal(1)),
+        Cast(RaiseError(Literal(
+          "groupArrayMovingSum/Avg: the window must be >= 1")), IntegerType),
+        wi)
+    }
+    val size = new Size(cum)
+    val iv = UnresolvedNamedLambdaVariable(Seq("__graft_mi"))
+    val prev = n match {
+      case Some(nn) => If(GreaterThan(iv, nn),
+        ElementAt(cum, Subtract(iv, nn)), Literal(0.0d))
+      case None => Literal(0.0d)
+    }
+    val winSum = Subtract(ElementAt(cum, iv), prev)
+    val denom = n match {
+      case Some(nn) => Cast(nn, DoubleType)
+      case None => Cast(size, DoubleType)
+    }
+    val item = if (avg) Divide(winSum, denom) else winSum
+    ArrayTransform(new Sequence(Literal(1), size, Literal(1)),
+      LambdaFunction(item, Seq(iv)))
   }
 
   /** Dotted-quad IPv4 with each octet 0-255 (leading zeros accepted,
@@ -3759,6 +4015,99 @@ object ClickHouseFunctions {
         val union = Cast(new Size(ArrayUnion(ad, bd)), DoubleType)
         If(EqualTo(union, Literal(0.0d)), Literal(1.0d),
           Divide(Cast(new Size(ArrayIntersect(ad, bd)), DoubleType), union)) }),
+    // geohash — the standard interleaved-bisection cell id (longitude
+    // takes the FIRST bit), folded bit-by-bit with a bounds struct.
+    // Every step halves an interval at an exact binary midpoint, so the
+    // doubles are bit-reproducible across engines; decode returns the
+    // cell CENTER as ClickHouse does. Spec-pinned on the published
+    // vectors (ezs42, u4pruydqqvj); the oracle leg is the round-trip
+    // containment identity (decode(encode(p)) lands within half a cell
+    // of p, and coarser precisions are string PREFIXES).
+    ("geohashEncode", "geohashEncode(lon, lat[, precision=12]) - geohash cell id, base32, precision 1..12 (an integer literal)",
+      es => {
+        require(es.length == 2 || es.length == 3,
+          "geohashEncode(lon, lat[, precision])")
+        val prec = if (es.length == 2) 12 else es(2) match {
+          case Literal(p: Int, IntegerType) if p >= 1 && p <= 12 => p
+          case other => throw new IllegalArgumentException(
+            s"geohashEncode: the precision must be an integer literal in 1..12, got $other")
+        }
+        val lon = Cast(es.head, DoubleType)
+        val lat = Cast(es(1), DoubleType)
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_gst"))
+        val iv = UnresolvedNamedLambdaVariable(Seq("__graft_gi"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_gf"))
+        def f(n: String) = UnresolvedExtractValue(st, Literal(n))
+        val isLon = EqualTo(Pmod(iv, Literal(2)), Literal(1))
+        val midLon = Multiply(Add(f("lo0"), f("lo1")), Literal(0.5d))
+        val midLat = Multiply(Add(f("la0"), f("la1")), Literal(0.5d))
+        val bit = If(isLon, GreaterThanOrEqual(lon, midLon),
+          GreaterThanOrEqual(lat, midLat))
+        val chNext = Add(Multiply(f("ch"), Literal(2)),
+          If(bit, Literal(1), Literal(0)))
+        val emit = EqualTo(Pmod(iv, Literal(5)), Literal(0))
+        val step = CreateNamedStruct(Seq(
+          Literal("lo0"), If(And(isLon, bit), midLon, f("lo0")),
+          Literal("lo1"), If(And(isLon, Not(bit)), midLon, f("lo1")),
+          Literal("la0"), If(And(Not(isLon), bit), midLat, f("la0")),
+          Literal("la1"), If(And(Not(isLon), Not(bit)), midLat, f("la1")),
+          Literal("ch"), If(emit, Literal(0), chNext),
+          Literal("out"), If(emit,
+            Concat(Seq(f("out"), Substring(Literal(GeoB32),
+              Add(chNext, Literal(1)), Literal(1)))), f("out"))))
+        ArrayAggregate(
+          new Sequence(Literal(1), Literal(prec * 5), Literal(1)),
+          CreateNamedStruct(Seq(
+            Literal("lo0"), Literal(-180.0d), Literal("lo1"), Literal(180.0d),
+            Literal("la0"), Literal(-90.0d), Literal("la1"), Literal(90.0d),
+            Literal("ch"), Literal(0), Literal("out"), Literal(""))),
+          LambdaFunction(step, Seq(st, iv)),
+          LambdaFunction(UnresolvedExtractValue(fin, Literal("out")), Seq(fin)))
+      }),
+    ("geohashDecode", "geohashDecode(s) - tuple (col1 = longitude, col2 = latitude) of the cell CENTER; ERROR on a non-base32 character",
+      es => {
+        require(es.length == 1, "geohashDecode(s)")
+        val s = Cast(es.head, StringType)
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_dgst"))
+        val iv = UnresolvedNamedLambdaVariable(Seq("__graft_dgi"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_dgf"))
+        def f(n: String) = UnresolvedExtractValue(st, Literal(n))
+        val charIdx = Add(IntegralDivide(Subtract(iv, Literal(1L)),
+          Literal(5L)), Literal(1L))
+        val loc = new StringLocate(Substring(s, Cast(charIdx, IntegerType),
+          Literal(1)), Literal(GeoB32))
+        val ch = If(LessThanOrEqual(loc, Literal(0)),
+          Cast(RaiseError(Concat(Seq(
+            Literal("geohashDecode: invalid geohash '"), s, Literal("'")))),
+            IntegerType),
+          Subtract(loc, Literal(1)))
+        val bitPos = Cast(Subtract(Literal(4L),
+          Pmod(Subtract(iv, Literal(1L)), Literal(5L))), IntegerType)
+        val bit = EqualTo(Pmod(ShiftRight(ch, bitPos), Literal(2)), Literal(1))
+        val isLon = EqualTo(Pmod(iv, Literal(2L)), Literal(1L))
+        val midLon = Multiply(Add(f("lo0"), f("lo1")), Literal(0.5d))
+        val midLat = Multiply(Add(f("la0"), f("la1")), Literal(0.5d))
+        val step = CreateNamedStruct(Seq(
+          Literal("lo0"), If(And(isLon, bit), midLon, f("lo0")),
+          Literal("lo1"), If(And(isLon, Not(bit)), midLon, f("lo1")),
+          Literal("la0"), If(And(Not(isLon), bit), midLat, f("la0")),
+          Literal("la1"), If(And(Not(isLon), Not(bit)), midLat, f("la1"))))
+        ArrayAggregate(
+          new Sequence(Literal(1L),
+            Multiply(Cast(Length(s), LongType), Literal(5L)), Literal(1L)),
+          CreateNamedStruct(Seq(
+            Literal("lo0"), Literal(-180.0d), Literal("lo1"), Literal(180.0d),
+            Literal("la0"), Literal(-90.0d), Literal("la1"), Literal(90.0d))),
+          LambdaFunction(step, Seq(st, iv)),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("col1"), Multiply(Add(
+              UnresolvedExtractValue(fin, Literal("lo0")),
+              UnresolvedExtractValue(fin, Literal("lo1"))), Literal(0.5d)),
+            Literal("col2"), Multiply(Add(
+              UnresolvedExtractValue(fin, Literal("la0")),
+              UnresolvedExtractValue(fin, Literal("la1"))), Literal(0.5d)))),
+            Seq(fin)))
+      }),
     ("alphaTokens", "alphaTokens(s) - maximal runs of a-z/A-Z letters, as an array (ClickHouse's ASCII-letter rule, not Unicode classes)",
       es => { require(es.length == 1, "alphaTokens(s)")
         RegExpExtractAll(Cast(es.head, StringType), Literal("[a-zA-Z]+"),
@@ -3827,6 +4176,26 @@ object ClickHouseFunctions {
             Literal("acc"), Literal(0.0d))),
           LambdaFunction(step, Seq(st, e2)),
           LambdaFunction(fld(fin, "acc"), Seq(fin))) }),
+    // groupArrayMovingSum/Avg — running-window arrays in collection
+    // order (the groupArray stance). One prefix-sum pass, then
+    // out[i] = cum[i] − cum[i−n] — the prefix-difference ClickHouse's
+    // own implementation computes. DOUBLE lane (exact for integers to
+    // 2^53); the parameterless forms take ClickHouse's window =
+    // all-rows rule (MovingSum → cumulative sums, MovingAvg divides by
+    // the TOTAL count); the parameterized avg divides by the WINDOW
+    // SIZE even for the leading partial windows — ClickHouse's rule.
+    ("graft_ch_moving_sum", "groupArrayMovingSum(n)(x) - running n-window sums in collection order, as array<double>",
+      es => { require(es.length == 2, "groupArrayMovingSum(n)(x)")
+        chMovingArray(es(1), Some(es.head), avg = false) }),
+    ("graft_ch_moving_avg", "groupArrayMovingAvg(n)(x) - running n-window sums divided by n (ClickHouse divides by the window size even for leading partial windows), as array<double>",
+      es => { require(es.length == 2, "groupArrayMovingAvg(n)(x)")
+        chMovingArray(es(1), Some(es.head), avg = true) }),
+    ("groupArrayMovingSum", "groupArrayMovingSum(x) - cumulative sums in collection order (window = all rows), as array<double>",
+      es => { require(es.length == 1, "groupArrayMovingSum(x)")
+        chMovingArray(es.head, None, avg = false) }),
+    ("groupArrayMovingAvg", "groupArrayMovingAvg(x) - cumulative sums divided by the TOTAL count (ClickHouse's all-rows window), as array<double>",
+      es => { require(es.length == 1, "groupArrayMovingAvg(x)")
+        chMovingArray(es.head, None, avg = true) }),
     ("match", "match(haystack, pattern) - true when the RE2 pattern matches a substring (mapped to rlike; Java regex accepts the common RE2 surface)",
       es => { require(es.length == 2, "match(haystack, pattern)")
         RLike(es.head, es(1)) }),

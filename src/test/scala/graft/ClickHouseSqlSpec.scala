@@ -2666,6 +2666,117 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(d.getDouble(0) == 10.0d, d)
   }
 
+  test("execution: groupArrayMovingSum/Avg window and all-rows forms (ClickHouse's divide-by-window rule)") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT groupArrayMovingSum(3)(v) AS ms3,
+        |  groupArrayMovingAvg(2)(v) AS ma2,
+        |  groupArrayMovingSum(v) AS cum,
+        |  groupArrayMovingAvg(v) AS cavg
+        |FROM (SELECT id, CAST(element_at(array(1, 2, 3, 4, 5), CAST(id + 1 AS INT)) AS DOUBLE) AS v
+        |      FROM range(0, 5, 1, 1) ORDER BY id)""".stripMargin)
+      .collect().head
+    assert(r.getSeq[Double](0) == Seq(1.0, 3.0, 6.0, 9.0, 12.0), r)
+    // Leading partial window still divides by the WINDOW size (2).
+    assert(r.getSeq[Double](1) == Seq(0.5, 1.5, 2.5, 3.5, 4.5), r)
+    assert(r.getSeq[Double](2) == Seq(1.0, 3.0, 6.0, 10.0, 15.0), r)
+    // All-rows avg divides by the TOTAL count (5).
+    assert(r.getSeq[Double](3) == Seq(0.2, 0.6, 1.2, 2.0, 3.0), r)
+    val e = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT groupArrayMovingSum(0)(x) AS m FROM (SELECT 1.0 AS x)").collect()
+    }
+    assert(e.getMessage.contains("window must be >= 1"), e)
+  }
+
+  // ---- r12: star column transformers ----
+
+  test("rewrite+execution: * EXCEPT/REPLACE/APPLY expand against the registered schema") {
+    Seq((1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"))
+      .toDF("id", "v", "tag").createOrReplaceTempView("star_t")
+    // Paren-less EXCEPT (schema expansion).
+    val a = ClickHouseSql.sql(spark,
+      "SELECT * EXCEPT v FROM star_t ORDER BY id")
+    assert(a.columns.toSeq == Seq("id", "tag"), a.columns.toSeq)
+    // Parenthesized EXCEPT alone passes through to Spark's native form.
+    val aN = ClickHouseSqlRewrite("SELECT * EXCEPT (v) FROM star_t")
+    assert(aN == "SELECT * EXCEPT (v) FROM star_t", aN)
+    // REPLACE keeps the column's position and name.
+    val b = ClickHouseSql.sql(spark,
+      "SELECT * REPLACE (v * 2 AS v) FROM star_t ORDER BY id")
+    assert(b.columns.toSeq == Seq("id", "v", "tag"), b.columns.toSeq)
+    assert(b.collect().map(_.getDouble(1)).toSeq == Seq(20.0, 40.0, 60.0))
+    // APPLY names results func(col), over the EXCEPT-filtered list.
+    val c = ClickHouseSql.sql(spark,
+      "SELECT * EXCEPT (tag) APPLY max FROM star_t")
+    assert(c.columns.toSeq == Seq("max(id)", "max(v)"), c.columns.toSeq)
+    assert(c.collect().head.getInt(0) == 3)
+    // Chained: REPLACE then APPLY composes left to right.
+    val d = ClickHouseSql.sql(spark,
+      "SELECT * EXCEPT (id, tag) REPLACE (v + 1 AS v) APPLY (sum) FROM star_t")
+    assert(d.columns.toSeq == Seq("sum(v)"), d.columns.toSeq)
+    assert(d.collect().head.getDouble(0) == 63.0)
+    // Lenient EXCEPT ignores an absent column; STRICT raises.
+    val e0 = ClickHouseSql.sql(spark,
+      "SELECT * EXCEPT (nope, v) APPLY count FROM star_t")
+    assert(e0.columns.toSeq == Seq("count(id)", "count(tag)"), e0.columns.toSeq)
+    val e1 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT * EXCEPT STRICT (nope) FROM star_t")
+    }
+    assert(e1.getMessage.contains("EXCEPT STRICT"), e1)
+    // Named errors: join spans, subqueries, lambdas, unknown tables.
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT * APPLY max FROM star_t JOIN star_t s2 ON star_t.id = s2.id")
+    }
+    assert(e2.getMessage.contains("JOIN"), e2)
+    val e3 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT * APPLY max FROM (SELECT 1 AS x)")
+    }
+    assert(e3.getMessage.contains("REGISTERED table"), e3)
+    val e4 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT * APPLY (x -> x + 1) FROM star_t")
+    }
+    assert(e4.getMessage.contains("bare function name"), e4)
+    // A qualified star passes through untouched.
+    val q = "SELECT t.* EXCEPT (v) FROM star_t t"
+    assert(ClickHouseSqlRewrite(q) == q)
+  }
+
+  test("execution: geohash encode/decode match the published vectors and round-trip") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT geohashEncode(-5.60302734375, 42.60498046875, 5) AS ez,
+        |  geohashEncode(13.361389, 38.115556, 8) AS palermo,
+        |  geohashEncode(10.40744, 57.64911, 11) AS jutland,
+        |  geohashEncode(0.0, 0.0, 12) AS origin,
+        |  tupleElement(geohashDecode('ezs42'), 1) AS ez_lon,
+        |  tupleElement(geohashDecode('ezs42'), 2) AS ez_lat,
+        |  tupleElement(geohashDecode('u4pruydqqvj'), 1) AS ju_lon,
+        |  tupleElement(geohashDecode('u4pruydqqvj'), 2) AS ju_lat
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getString(0) == "ezs42", r)
+    assert(r.getString(1) == "sqc8b49r", r)
+    assert(r.getString(2) == "u4pruydqqvj", r)
+    assert(r.getString(3) == "s00000000000", r)
+    // Exact binary midpoints — bit-equal, no tolerance needed.
+    assert(r.getDouble(4) == -5.60302734375d, r)
+    assert(r.getDouble(5) == 42.60498046875d, r)
+    assert(math.abs(r.getDouble(6) - 10.40744) < 1e-5, r)
+    assert(math.abs(r.getDouble(7) - 57.64911) < 1e-5, r)
+    val e = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT geohashDecode('ab!') AS x FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("invalid geohash"), e)
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT geohashEncode(0.0, 0.0, 13) AS x FROM range(1)")
+    }
+    assert(e2.getMessage.contains("1..12"), e2)
+  }
+
   test("execution: arrayReverseSort descends with nulls last") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,

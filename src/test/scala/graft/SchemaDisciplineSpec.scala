@@ -82,6 +82,9 @@ class SchemaDisciplineSpec extends SparkSpec {
     // DOUBLE arithmetic); f32_zero pins the Float32 type default
     // against DuckDB's REAL — both hash-green in the r12 verify.
     "sql_ch_conv" -> Seq("f64", "f32_zero"),
+    // r12: the published geohash decode values are exact binary
+    // midpoints — both sides render the same DOUBLE.
+    "sql_ch_geo" -> Seq("ez_lon", "ez_lat"),
     "sql_tpch_q1" -> Seq("sum_qty", "sum_base_price", "sum_disc_price",
       "sum_charge", "avg_qty", "avg_price", "avg_disc"),
     "sql_tpch_q10" -> Seq("revenue"),
