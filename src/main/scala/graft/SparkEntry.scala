@@ -1216,7 +1216,7 @@ object SparkEntry {
     "sql_ch_json2" ->
       """SELECT o_orderkey AS k, true AS has_q, false AS has_zz, true AS has_tag2, false AS has_tag3, CAST(2 AS BIGINT) AS n_tags, CAST(3 AS BIGINT) AS n_doc, CAST(0 AS BIGINT) AS n_scalar, CAST(o_orderkey AS VARCHAR) AS raw_k, '"' || o_orderstatus || '"' AS raw_tag1, 'null' AS raw_q, '' AS raw_missing, '"' || o_orderstatus || '"|"' || o_orderpriority || '"' AS tags_raw, 'k,tags,meta' AS keys_doc, 'p,q' AS keys_meta FROM orders WHERE o_orderkey < 400 ORDER BY k""",
     "sql_ch_vector2" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve FROM embeddings WHERE vec_id < 300) SELECT vec_id, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'sum') * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(list_aggregate(list_transform(ve, x -> x * x), 'sum') * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'max') * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(ve[1] / sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 100000 + 0.5) AS BIGINT) AS unit0_5, array_to_string(list_reverse(list_sort(list_transform(ve[1:6], v -> CAST(floor(v * 10) AS BIGINT)))), ',') AS rsorted FROM e ORDER BY vec_id""",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve FROM embeddings WHERE vec_id < 300) SELECT vec_id, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'sum') * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(list_aggregate(list_transform(ve, x -> x * x), 'sum') * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'max') * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(ve[1] / sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 100000 + 0.5) AS BIGINT) AS unit0_5, array_to_string(list_reverse(list_sort(list_transform(ve[1:6], v -> CAST(floor(v * 10) AS BIGINT)))), ',') AS rsorted, (SELECT CAST(floor(sum(CASE WHEN ve[i] > ve[j] THEN 1.0 WHEN ve[i] = ve[j] THEN 0.5 ELSE 0.0 END) / 16 * 1000000 + 0.5) AS BIGINT) FROM UNNEST([1, 3, 5, 7]) t(i) CROSS JOIN UNNEST([2, 4, 6, 8]) u(j)) AS auc_6 FROM e ORDER BY vec_id""",
     // The star expansion spelled by hand, with APPLY's func(col)
     // output names as quoted aliases.
     // Round-trip containment identities (the self-checking pattern) +

@@ -2688,7 +2688,8 @@ object Relational {
         |  toInt64(floor(L2SquaredNorm(embedding) * 1000 + 0.5)) AS l2s_3,
         |  toInt64(floor(LinfNorm(embedding) * 1000 + 0.5)) AS linf_3,
         |  toInt64(floor(arrayFirst(x -> true, L2Normalize(embedding)) * 100000 + 0.5)) AS unit0_5,
-        |  arrayStringConcat(arrayMap(x -> toString(x), arrayReverseSort(arrayMap(v -> toInt64(floor(v * 10)), arraySlice(embedding, 1, 6)))), ',') AS rsorted
+        |  arrayStringConcat(arrayMap(x -> toString(x), arrayReverseSort(arrayMap(v -> toInt64(floor(v * 10)), arraySlice(embedding, 1, 6)))), ',') AS rsorted,
+        |  toInt64(floor(arrayAUC(arraySlice(embedding, 1, 8), array(1, 0, 1, 0, 1, 0, 1, 0)) * 1000000 + 0.5)) AS auc_6
         |FROM embeddings
         |WHERE vec_id < 300
         |ORDER BY vec_id""".stripMargin)

@@ -3137,6 +3137,20 @@ object ClickHouseFunctions {
             FormatString(Literal("%.2f " + u), Divide(x, Literal(f))): Expression)
         }
         CaseWhen(branches, Some(FormatString(Literal("%.2f B"), x))) }),
+    ("formatReadableDecimalSize", "formatReadableDecimalSize(x) - '%.2f B|KB|MB|GB|TB|PB|EB', the largest decimal (1000) unit with quotient >= 1",
+      es => { require(es.length == 1, "formatReadableDecimalSize(x)")
+        val x = Cast(es.head, DoubleType)
+        val units = Seq("KB" -> 1e3, "MB" -> 1e6, "GB" -> 1e9,
+          "TB" -> 1e12, "PB" -> 1e15, "EB" -> 1e18)
+        val branches = units.reverse.map { case (u, f) =>
+          (GreaterThanOrEqual(Abs(x), Literal(f)),
+            FormatString(Literal("%.2f " + u), Divide(x, Literal(f))): Expression)
+        }
+        CaseWhen(branches, Some(FormatString(Literal("%.2f B"), x))) }),
+    ("regexpQuoteMeta", "regexpQuoteMeta(s) - backslash-escape the regex metacharacters \\ | ( ) ^ $ . [ ] ? * + { : -",
+      es => { require(es.length == 1, "regexpQuoteMeta(s)")
+        RegExpReplace(Cast(es.head, StringType),
+          Literal("[\\\\|()^$.\\[\\]?*+{:\\-]"), Literal("\\\\$0")) }),
     ("formatReadableQuantity", "formatReadableQuantity(x) - '%.2f [thousand|million|billion|trillion]', the largest decimal unit with quotient >= 1 (bare '%.2f' below a thousand)",
       es => { require(es.length == 1, "formatReadableQuantity(x)")
         val x = Cast(es.head, DoubleType)
@@ -4908,6 +4922,45 @@ object ClickHouseFunctions {
         Divide(
           Cast(new Size(ArrayIntersect(es(0), es(1))), DoubleType),
           Cast(new Size(ArrayUnion(es(0), es(1))), DoubleType)) }),
+    // arrayAUC — exact ROC area over per-row (score, label) arrays via
+    // the rank formula with tie-averaging: for each positive score s,
+    // credit |{scores < s}| + (|{scores = s}|+1)/2; AUC =
+    // (ranksum − P(P+1)/2) / (P·N) — provably equal to pair counting
+    // with half-credit ties (the in-suite differential brute-forces
+    // that identity). O(n²) per ROW via nested filters — per-row
+    // arrays, not a dataset-level AUC. P = 0 or N = 0 → NaN
+    // (ClickHouse's degenerate-class answer). Labels are positive when
+    // > 0, ClickHouse's rule.
+    ("arrayAUC", "arrayAUC(scores, labels) - exact ROC AUC of the per-row arrays (label > 0 = positive; ties half-credit; NaN when one class is empty)",
+      es => {
+        require(es.length == 2, "arrayAUC(scores, labels)")
+        val s = Cast(es.head, ArrayType(DoubleType))
+        val l = Cast(es(1), ArrayType(DoubleType))
+        val pos = lam1(x => GreaterThan(x, Literal(0.0d)))
+        val p = Cast(new Size(ArrayFilter(l, pos)), DoubleType)
+        val n = Subtract(Cast(new Size(l), DoubleType), p)
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_ast"))
+        val iv = UnresolvedNamedLambdaVariable(Seq("__graft_ai"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_af"))
+        val si = ElementAt(s, iv)
+        val less = Cast(new Size(ArrayFilter(s,
+          lam1(x => LessThan(x, si)))), DoubleType)
+        val eq = Cast(new Size(ArrayFilter(s,
+          lam1(x => EqualTo(x, si)))), DoubleType)
+        val credit = If(GreaterThan(ElementAt(l, iv), Literal(0.0d)),
+          Add(less, Multiply(Add(eq, Literal(1.0d)), Literal(0.5d))),
+          Literal(0.0d))
+        val rankSum = ArrayAggregate(
+          new Sequence(Literal(1), new Size(s), Literal(1)),
+          Literal(0.0d),
+          LambdaFunction(Add(st, credit), Seq(st, iv)),
+          LambdaFunction(fin, Seq(fin)))
+        If(Or(EqualTo(p, Literal(0.0d)), EqualTo(n, Literal(0.0d))),
+          Literal(Double.NaN),
+          Divide(Subtract(rankSum,
+            Multiply(Multiply(p, Add(p, Literal(1.0d))), Literal(0.5d))),
+            Multiply(p, n)))
+      }),
     // Vector NORMS — the single-vector companions of the distance
     // family above, on the same vecFold kernel (norm(v) ≡
     // distance(v, 0) without materializing a zero vector). The

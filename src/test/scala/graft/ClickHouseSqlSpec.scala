@@ -2777,6 +2777,42 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("1..12"), e2)
   }
 
+  test("execution: arrayAUC matches hand values and the pair-counting identity on random arrays") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)) AS classic,
+        |  arrayAUC(array(1.0, 1.0, 2.0), array(1, 0, 1)) AS tied,
+        |  arrayAUC(array(1.0, 2.0), array(1, 1)) AS one_class,
+        |  regexpQuoteMeta('a.b|c(d)-e') AS quoted,
+        |  formatReadableDecimalSize(1500000) AS dsz,
+        |  formatReadableDecimalSize(999) AS dsz_b
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.getDouble(0) == 0.75d, r)
+    assert(r.getDouble(1) == 0.75d, r) // the tie takes half credit
+    assert(r.getDouble(2).isNaN, r)
+    assert(r.getString(3) == "a\\.b\\|c\\(d\\)\\-e", r)
+    assert(r.getString(4) == "1.50 MB" && r.getString(5) == "999.00 B", r)
+    // Differential: the rank formula == brute-force pair counting with
+    // half-credit ties, on 40 random score/label arrays.
+    val rnd = new scala.util.Random(12)
+    (1 to 40).foreach { _ =>
+      val n = 2 + rnd.nextInt(8)
+      val scores = Seq.fill(n)((rnd.nextInt(5) + 1).toDouble / 2)
+      val labels = Seq.fill(n)(rnd.nextInt(2))
+      val p = labels.count(_ == 1)
+      if (p > 0 && p < n) {
+        val pairs = for {
+          (sp, lp) <- scores.zip(labels) if lp == 1
+          (sn, ln) <- scores.zip(labels) if ln == 0
+        } yield if (sp > sn) 1.0 else if (sp == sn) 0.5 else 0.0
+        val want = pairs.sum / (p.toDouble * (n - p))
+        val got = ClickHouseSql.sql(spark,
+          s"SELECT arrayAUC(array(${scores.mkString(", ")}), " +
+            s"array(${labels.mkString(", ")})) AS a").collect().head.getDouble(0)
+        assert(math.abs(got - want) < 1e-12, (scores, labels, got, want))
+      }
+    }
+  }
+
   test("execution: arrayReverseSort descends with nulls last") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,
