@@ -2183,9 +2183,14 @@ object ClickHouseFunctions {
       Literal.create(null, LongType))
   }
 
-  /** Split a string into its code points (one UTF8String scan via the
+  /** Split a string into its characters (one UTF8String scan via the
     * empty-pattern regex split) — the shared kernel of the
-    * byteHammingDistance/stringJaccardIndex character sets.
+    * byteHammingDistance/stringJaccardIndex character sets. Boundary,
+    * stated: the regex split works in UTF-16 units, so BMP code points
+    * (ASCII, accents, CJK) are one element each but astral-plane
+    * characters (emoji) split into surrogate halves — on top of the
+    * byte-vs-character boundary the usage strings already declare for
+    * non-ASCII input.
     */
   private def chars(e: Expression): Expression = {
     val x = UnresolvedNamedLambdaVariable(Seq("__graft_ch"))

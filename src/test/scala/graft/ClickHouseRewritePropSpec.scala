@@ -32,7 +32,8 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
   private val trickyIdent = Gen.oneOf(
     "`qualify`", "`prewhere`", "`settings`", "fill", "global", "topk",
     "quantile", "windowfunnel", "asof", "sample", "totals", "final",
-    "interpolate", "transform", "dictget", "toweek", "a", "b", "k", "v")
+    "interpolate", "transform", "dictget", "toweek", "position", "apply",
+    "`except`", "replace", "geohashencode", "a", "b", "k", "v")
 
   private val trickyLiteral = Gen.oneOf(
     "'LIMIT 3 BY u'", "'QUALIFY rn <= 2'", "'PREWHERE x'",
@@ -89,7 +90,13 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
       s"SELECT windowFunnel($w, 'strict_order')(ts, a, b) FROM t GROUP BY u"),
     Gen.choose(1, 999).map(w =>
       s"SELECT sequenceMatch('(?1).*(?t<=$w)(?2)')(ts, a, b) FROM t GROUP BY u"),
-    trickyIdent.map(i => s"SELECT $i FROM t PREWHERE k = 1 WHERE v > 2"))
+    trickyIdent.map(i => s"SELECT $i FROM t PREWHERE k = 1 WHERE v > 2"),
+    // Bare position() carries ClickHouse's haystack-first order via the
+    // textual rename; the standard position(needle IN haystack) form is
+    // pinned inert in ClickHouseSqlSpec.
+    trickyIdent.map(i => s"SELECT position($i, 'ab') FROM t WHERE k = 1"),
+    Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9)).map { case (a, b) =>
+      s"SELECT groupArrayMovingSum($a)(v), groupArrayMovingAvg($b)(v) FROM t GROUP BY u" })
 
   property("generated dialect statements rewrite once, then fixpoint") =
     forAll(chStmt) { s =>
