@@ -1454,7 +1454,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg|exponentialMovingAverage)\\s*\\(")
 
   /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
     * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
@@ -1647,6 +1647,14 @@ object ClickHouseSqlRewrite {
                 s"ClickHouse SQL: ${m.group(1)}(window)(x)")
             val kind = if (name.endsWith("sum")) "sum" else "avg"
             s"graft_ch_moving_$kind($params\n, $args\n)"
+          case "exponentialmovingaverage" =>
+            throw new IllegalArgumentException(
+              "ClickHouse SQL: exponentialMovingAverage folds in " +
+                "ClickHouse's row order, which a distributed engine does " +
+                "not have — spell the decay explicitly over a window: " +
+                "sum(v * pow(0.5, (t_now - t) / half_life)) OVER (ORDER " +
+                "BY t) / sum(pow(...)) OVER (...), the deterministic " +
+                "time-anchored form")
           // quantileTiming is ClickHouse's third approximate quantile
           // sketch (fixed-bucket timing histogram) — approx↔approx, like
           // bare quantile/quantileTDigest.
@@ -4320,6 +4328,52 @@ object ClickHouseFunctions {
     chDictError("dictGetString"), chDictError("dictGetInt64"),
     chDictError("dictGetUInt64"), chDictError("dictGetFloat64"),
     chDictError("dictGetDate"), chDictError("dictGetDateTime"),
+    // The remaining common spellings with no faithful mapping — each a
+    // NAMED error carrying the closest exact alternative, never a
+    // silent approximation.
+    ("ngramDistance", "ngramDistance - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: ngramDistance is not supported — ClickHouse's " +
+          "4-gram frequency-vector distance is defined by internals its " +
+          "docs state no contract for (hash tables, length clipping), so " +
+          "a mapping could not be verified exact; the mapped exact " +
+          "alternatives are editDistance, byteHammingDistance, and " +
+          "stringJaccardIndex")),
+    ("ngramSearch", "ngramSearch - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: ngramSearch is not supported (same contract gap " +
+          "as ngramDistance) — for containment-style checks use " +
+          "multiSearchAny, position, or match")),
+    ("exponentialMovingAverage", "exponentialMovingAverage - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: exponentialMovingAverage folds in ClickHouse's " +
+          "row order, which a distributed engine does not have — spell " +
+          "the decay explicitly over a window: sum(v * pow(0.5, (t_now - " +
+          "t) / half_life)) OVER (ORDER BY t) / sum(pow(...)) OVER (...), " +
+          "the deterministic time-anchored form")),
+    ("studentTTest", "studentTTest - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: studentTTest/welchTTest return p-values from the " +
+          "t-distribution CDF (an incomplete-beta special function this " +
+          "engine does not ship, and an approximation would silently " +
+          "disagree) — compute the t-statistic exactly from avg/varSamp/" +
+          "count per group and look the p-value up downstream")),
+    ("welchTTest", "welchTTest - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: studentTTest/welchTTest return p-values from the " +
+          "t-distribution CDF — compute the Welch statistic exactly from " +
+          "avg/varSamp/count per group and look the p-value up downstream")),
+    ("mannWhitneyUTest", "mannWhitneyUTest - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: mannWhitneyUTest returns a normal-approximation " +
+          "p-value — the U statistic itself is exact rank algebra: " +
+          "sum(rank) OVER the pooled ordering minus n1(n1+1)/2, the " +
+          "arrayAUC rank discipline")),
+    ("byteSize", "byteSize - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: byteSize reports ClickHouse's INTERNAL value " +
+          "representation sizes, which have no Spark counterpart — for " +
+          "string/binary payload sizes use octet_length")),
     // IPv6 — a NAMED error, not a mapping: ClickHouse's IPv6 values are
     // FixedString(16) binaries with RFC 5952 :: display compression,
     // and a string-in/string-out fake would silently disagree with any

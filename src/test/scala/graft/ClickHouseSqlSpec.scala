@@ -2813,6 +2813,32 @@ class ClickHouseSqlSpec extends SparkSpec {
     }
   }
 
+  test("named errors: ngram*, t-tests, exponentialMovingAverage (both call forms), byteSize") {
+    // Registry-builder errors surface during ANALYSIS wrapped in Spark's
+    // analysis exception — collect the whole cause chain's text.
+    def err(sql: String): String = {
+      val e = intercept[Exception] { ClickHouseSql.sql(spark, sql) }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    }
+    assert(err("SELECT ngramDistance('ab', 'cd') FROM range(1)")
+      .contains("stringJaccardIndex"))
+    assert(err("SELECT ngramSearch('ab', 'x') FROM range(1)")
+      .contains("multiSearchAny"))
+    assert(err("SELECT studentTTest(id, 1) FROM range(1)")
+      .contains("t-distribution"))
+    assert(err("SELECT welchTTest(id, 1) FROM range(1)").contains("Welch"))
+    assert(err("SELECT mannWhitneyUTest(id, 1) FROM range(1)")
+      .contains("rank"))
+    assert(err("SELECT byteSize(id) FROM range(1)").contains("octet_length"))
+    // The parameterized agg(params)(args) spelling hits the SAME named
+    // error at rewrite time, not Spark's generic undefined-function.
+    assert(err("SELECT exponentialMovingAverage(5)(id, id) FROM range(1)")
+      .contains("time-anchored"))
+    assert(err("SELECT exponentialMovingAverage(id, id) FROM range(1)")
+      .contains("time-anchored"))
+  }
+
   test("execution: arrayReverseSort descends with nulls last") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,

@@ -559,6 +559,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Union"), p)
   }
 
+  test("star-transformer expansion prunes the EXCEPTed columns from the scan") {
+    // `* EXCEPT (o_orderdate, o_orderpriority) …` becomes an explicit
+    // list at rewrite time, so Catalyst's column pruning must drop the
+    // excepted columns from the parquet ReadSchema — at 100 TB the
+    // whole point of EXCEPT is not reading what you dropped.
+    val p = plan("sql_ch_star")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"),
+      s"expected columns missing: $readSchema")
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_orderpriority"),
+      s"EXCEPTed columns not pruned: $readSchema")
+  }
+
   test("no query in the inventory plans an unbounded cartesian product") {
     // join_cross is the deliberate cartesian demo; everything else must ride
     // an equi key (broadcast-nested-loop over a broadcast *small* side — e.g.
