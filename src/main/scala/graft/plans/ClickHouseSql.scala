@@ -800,7 +800,15 @@ object ClickHouseSqlRewrite {
     // A join or comma-list FROM would make the star span MORE than this
     // table's columns — refuse rather than expand half the star.
     var j = skipWs(afterTbl)
+    // Step past an optional alias — including the `AS alias` spelling,
+    // which must not be consumed AS the alias itself (that would hide a
+    // following JOIN from the guard below).
     readIdent(j) match {
+      case Some((w, afterAs)) if w.equalsIgnoreCase("AS") =>
+        readIdent(skipWs(afterAs)) match {
+          case Some((_, afterAlias)) => j = skipWs(afterAlias)
+          case None => ()
+        }
       case Some((w, afterAlias)) if !Seq("WHERE", "GROUP", "ORDER", "LIMIT",
         "HAVING", "UNION", "INTERSECT", "EXCEPT", "SETTINGS", "WINDOW",
         "QUALIFY", "JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF",
@@ -870,8 +878,14 @@ object ClickHouseSqlRewrite {
     val m = PositionRe.matcher(masked)
     while (m.find()) {
       val open = masked.indexOf('(', m.start())
-      val (cs, _, _) = parenSpan(masked, open)
-      if (findKeyword(masked, cs, "IN") < 0)
+      val (cs, ce, _) = parenSpan(masked, open)
+      // The ClickHouse form ALWAYS has a depth-0 comma between haystack
+      // and needle; the standard `position(needle IN haystack)` never
+      // does. Discriminating on the comma (not on the presence of an
+      // IN keyword) keeps calls whose ARGUMENTS contain a depth-0 IN —
+      // e.g. a CASE … WHEN code IN (1, 2) — on the rename path instead
+      // of silently falling back to Spark's reversed-argument builtin.
+      if (splitItems(masked, cs, ce).length > 1)
         return sql.substring(0, m.start()) + "graft_ch_position" +
           sql.substring(open)
     }
@@ -2164,8 +2178,13 @@ object ClickHouseFunctions {
       case None => Cast(size, DoubleType)
     }
     val item = if (avg) Divide(winSum, denom) else winSum
-    ArrayTransform(new Sequence(Literal(1), size, Literal(1)),
-      LambdaFunction(item, Seq(iv)))
+    // An empty aggregation input yields an empty cum array — return []
+    // (ClickHouse's answer) instead of letting Sequence(1, 0) throw its
+    // boundary error (the arrayEnumerate guard, mirrored).
+    If(EqualTo(size, Literal(0)),
+      Cast(CreateArray(Nil), ArrayType(DoubleType)),
+      ArrayTransform(new Sequence(Literal(1), size, Literal(1)),
+        LambdaFunction(item, Seq(iv))))
   }
 
   /** Dotted-quad IPv4 with each octet 0-255 (leading zeros accepted,
@@ -2901,9 +2920,11 @@ object ClickHouseFunctions {
       es => chParseDateTime(es, failOnError = true)),
     ("parseDateTimeOrNull", "parseDateTimeOrNull(str, '%Y-%m-%d ...') - parseDateTime, NULL when the input does not match the format",
       es => chParseDateTime(es, failOnError = false)),
-    ("parseDateTimeOrZero", "parseDateTimeOrZero(str, '%Y-%m-%d ...') - parseDateTime, 1970-01-01 00:00:00 when the input does not match the format",
-      es => Coalesce(Seq(chParseDateTime(es, failOnError = false),
-        Literal.create(0L, TimestampType)))),
+    ("parseDateTimeOrZero", "parseDateTimeOrZero(str, '%Y-%m-%d ...') - parseDateTime, 1970-01-01 00:00:00 when a non-null input does not match the format (NULL stays NULL)",
+      es => If(IsNull(Cast(es.head, StringType)),
+        Literal.create(null, TimestampType),
+        Coalesce(Seq(chParseDateTime(es, failOnError = false),
+          Literal.create(0L, TimestampType))))),
     // parseDateTimeBestEffort — ClickHouse's kitchen-sink parser, mapped
     // onto a DOCUMENTED deterministic subset (the usage string is the
     // contract; shapes outside it are a non-parse, never a guess):
@@ -2929,11 +2950,13 @@ object ClickHouseFunctions {
     ("parseDateTimeBestEffortOrNull", "parseDateTimeBestEffortOrNull(str) - parse the documented subset (ISO 8601, YYYY/MM/DD, DD.MM.YYYY, DD Mon YYYY, 8/14-digit compact, 9-10 digit unix seconds), NULL when no shape matches",
       es => { require(es.length == 1, "parseDateTimeBestEffortOrNull(str)")
         chBestEffortTimestamp(StringTrim(Cast(es.head, StringType), None)) }),
-    ("parseDateTimeBestEffortOrZero", "parseDateTimeBestEffortOrZero(str) - parseDateTimeBestEffortOrNull, 1970-01-01 00:00:00 when no shape matches",
+    ("parseDateTimeBestEffortOrZero", "parseDateTimeBestEffortOrZero(str) - parseDateTimeBestEffortOrNull, 1970-01-01 00:00:00 when a non-null input matches no shape (NULL stays NULL)",
       es => { require(es.length == 1, "parseDateTimeBestEffortOrZero(str)")
-        Coalesce(Seq(
-          chBestEffortTimestamp(StringTrim(Cast(es.head, StringType), None)),
-          Literal.create(0L, TimestampType))) }),
+        If(IsNull(Cast(es.head, StringType)),
+          Literal.create(null, TimestampType),
+          Coalesce(Seq(
+            chBestEffortTimestamp(StringTrim(Cast(es.head, StringType), None)),
+            Literal.create(0L, TimestampType)))) }),
     // toStartOfInterval — the dashboard time-bucketing workhorse. The
     // interval must be a positive INTERVAL literal: day-time intervals
     // floor epoch micros (floorDiv via Pmod, so pre-1970 buckets stay
@@ -3975,9 +3998,10 @@ object ClickHouseFunctions {
     ("IPv4StringToNumOrNull", "IPv4StringToNumOrNull(s) - UInt32 address number of a dotted-quad string, NULL when invalid",
       es => { require(es.length == 1, "IPv4StringToNumOrNull(s)")
         ipv4OrNull(es.head) }),
-    ("IPv4StringToNumOrDefault", "IPv4StringToNumOrDefault(s) - UInt32 address number of a dotted-quad string, 0 when invalid",
+    ("IPv4StringToNumOrDefault", "IPv4StringToNumOrDefault(s) - UInt32 address number of a dotted-quad string, 0 when a non-null input is invalid (NULL stays NULL)",
       es => { require(es.length == 1, "IPv4StringToNumOrDefault(s)")
-        Coalesce(Seq(ipv4OrNull(es.head), Literal(0L))) }),
+        If(IsNull(Cast(es.head, StringType)), Literal.create(null, LongType),
+          Coalesce(Seq(ipv4OrNull(es.head), Literal(0L)))) }),
     ("toIPv4OrNull", "toIPv4OrNull(s) - the address as its UInt32 number (the engine's IPv4 representation), NULL when invalid",
       es => { require(es.length == 1, "toIPv4OrNull(s)")
         ipv4OrNull(es.head) }),
@@ -4119,7 +4143,7 @@ object ClickHouseFunctions {
           Literal("lo1"), If(And(isLon, Not(bit)), midLon, f("lo1")),
           Literal("la0"), If(And(Not(isLon), bit), midLat, f("la0")),
           Literal("la1"), If(And(Not(isLon), Not(bit)), midLat, f("la1"))))
-        ArrayAggregate(
+        val folded = ArrayAggregate(
           new Sequence(Literal(1L),
             Multiply(Cast(Length(s), LongType), Literal(5L)), Literal(1L)),
           CreateNamedStruct(Seq(
@@ -4134,6 +4158,13 @@ object ClickHouseFunctions {
               UnresolvedExtractValue(fin, Literal("la0")),
               UnresolvedExtractValue(fin, Literal("la1"))), Literal(0.5d)))),
             Seq(fin)))
+        // '' decodes with ZERO refinements — the whole-world cell's
+        // center (0, 0), the bisection algebra's own answer — instead
+        // of Sequence(1, 0)'s boundary error.
+        If(EqualTo(Length(s), Literal(0)),
+          CreateNamedStruct(Seq(
+            Literal("col1"), Literal(0.0d), Literal("col2"), Literal(0.0d))),
+          folded)
       }),
     ("alphaTokens", "alphaTokens(s) - maximal runs of a-z/A-Z letters, as an array (ClickHouse's ASCII-letter rule, not Unicode classes)",
       es => { require(es.length == 1, "alphaTokens(s)")
@@ -5106,17 +5137,23 @@ object ClickHouseFunctions {
     * these is STRING parsing (the non-Or forms handle numeric inputs),
     * so the input is cast to string first; the parse is strict the way
     * ClickHouse's readers are — surrounding whitespace is a non-parse
-    * (Spark's ANSI cast would trim it, so an equals-trim guard
-    * re-tightens), partial consumption ('123abc') and fractional text
-    * for integral targets ('1.5') fail via the ANSI cast, and the
-    * unsigned targets land on wider signed Spark types with the exact
-    * unsigned bounds guarded (the accurateCastOrNull discipline —
-    * UInt64 rides Decimal(20,0)). Float targets additionally accept
+    * (guarded over the FULL <= 0x20 class Spark's casts trimAll, tabs
+    * and newlines included), partial consumption ('123abc') and
+    * fractional text for integral targets ('1.5') fail via the ANSI
+    * cast — with an explicit digits-only pre-guard on the UInt64 lane,
+    * whose Decimal(20,0) carrier would otherwise ROUND fractional text
+    * — the date/datetime lanes take shape pre-guards (Spark's casts
+    * accept partial dates like '2023-05' and trailing junk after 'T';
+    * ClickHouse's readers do not), and the unsigned targets land on
+    * wider signed Spark types with the exact unsigned bounds guarded
+    * (the accurateCastOrNull discipline — UInt64 rides Decimal(20,0)). Float targets additionally accept
     * ClickHouse's case-insensitive 'inf'/'+inf'/'-inf'/'infinity'/'nan'
     * spellings, which Java's parser would reject. OrZero/OrDefault
     * defaults are ClickHouse's type defaults: 0, 1970-01-01, epoch.
     * OrDefault takes the optional explicit default (cast to the target
-    * type); with one argument it equals OrZero.
+    * type); with one argument it equals OrZero. A NULL INPUT stays
+    * NULL through every form — ClickHouse's NULL-in propagation; only
+    * a non-null non-parse takes the zero/default.
     */
   private def convFamily: Seq[(String, String, Seq[Expression] => Expression)] = {
     val targets: Seq[(String, DataType, Option[(Expression, Expression)], Expression)] = Seq(
@@ -5137,6 +5174,23 @@ object ClickHouseFunctions {
       ("Date", DateType, None, Literal.create(0, DateType)),
       ("DateTime", TimestampType, None, Literal.create(0L, TimestampType)))
     targets.flatMap { case (tn, dt, bounds, zero) =>
+      // Shape pre-guards re-tightening Spark's lenient casts to
+      // ClickHouse's readers: the Decimal(20,0) UInt64 carrier would
+      // ROUND fractional/exponent text (every other integral lane's
+      // ANSI cast rejects it), and the date/datetime casts accept
+      // partial dates ('2023-05'), bare years, and trailing junk after
+      // 'T' — all NULL in ClickHouse. Date also takes a full datetime
+      // string (ClickHouse truncates it); DateTime also takes a bare
+      // date (midnight). Digit-only epoch strings stay a non-parse
+      // here — that is parseDateTimeBestEffort's documented lane.
+      val shapeRe: Option[String] = dt match {
+        case _: DecimalType => Some("^[+-]?[0-9]+$")
+        case DateType =>
+          Some("^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?)?$")
+        case TimestampType =>
+          Some("^[0-9]{4}-[0-9]{2}-[0-9]{2}([ T][0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?)?$")
+        case _ => None
+      }
       def orNull(e: Expression): Expression = {
         val s = Cast(e, StringType)
         val parsed = TryEval(Cast(s, dt, None, EvalMode.ANSI))
@@ -5145,6 +5199,11 @@ object ClickHouseFunctions {
           case Some((lo, hi)) =>
             If(Or(LessThan(parsed, lo), GreaterThan(parsed, hi)),
               Literal.create(null, dt), parsed)
+        }
+        val shaped = shapeRe match {
+          case Some(re) =>
+            If(Not(RLike(s, Literal(re))), Literal.create(null, dt), ranged)
+          case None => ranged
         }
         val special = dt match {
           case FloatType | DoubleType =>
@@ -5156,12 +5215,21 @@ object ClickHouseFunctions {
               (isIn(Seq("inf", "+inf", "infinity", "+infinity")),
                 num(Double.PositiveInfinity)),
               (isIn(Seq("-inf", "-infinity")), num(Double.NegativeInfinity)),
-              (isIn(Seq("nan", "+nan", "-nan")), num(Double.NaN))), ranged)
-          case _ => ranged
+              (isIn(Seq("nan", "+nan", "-nan")), num(Double.NaN))), shaped)
+          case _ => shaped
         }
-        If(Not(EqualNullSafe(s, StringTrim(s, None))),
+        // Surrounding whitespace is a non-parse (ClickHouse's readers):
+        // the guard covers the FULL class Spark's casts trimAll — every
+        // char <= 0x20, not just the space character.
+        If(RLike(s, Literal("^[\\x00-\\x20]|[\\x00-\\x20]$")),
           Literal.create(null, dt), special)
       }
+      // The Or-default forms still propagate a NULL INPUT as NULL
+      // (ClickHouse's NULL-in rule) — only a non-null NON-PARSE takes
+      // the default.
+      def orElse(e: Expression, d: Expression): Expression =
+        If(IsNull(Cast(e, StringType)), Literal.create(null, dt),
+          Coalesce(Seq(orNull(e), d)))
       val usageT = tn match {
         case "Date" => "1970-01-01"; case "DateTime" => "1970-01-01 00:00:00"
         case _ => "0"
@@ -5172,16 +5240,16 @@ object ClickHouseFunctions {
           (es: Seq[Expression]) => { require(es.length == 1, s"to${tn}OrNull(s)")
             orNull(es.head) }),
         (s"to${tn}OrZero",
-          s"to${tn}OrZero(s) - to${tn}OrNull, $usageT when it does not parse or fit",
+          s"to${tn}OrZero(s) - to${tn}OrNull, $usageT when a non-null input does not parse or fit (NULL stays NULL)",
           (es: Seq[Expression]) => { require(es.length == 1, s"to${tn}OrZero(s)")
-            Coalesce(Seq(orNull(es.head), zero)) }),
+            orElse(es.head, zero) }),
         (s"to${tn}OrDefault",
-          s"to${tn}OrDefault(s[, default]) - to${tn}OrNull with the explicit default (or the $usageT type default) when it does not parse or fit",
+          s"to${tn}OrDefault(s[, default]) - to${tn}OrNull with the explicit default (or the $usageT type default) when a non-null input does not parse or fit (NULL stays NULL)",
           (es: Seq[Expression]) => {
             require(es.length == 1 || es.length == 2,
               s"to${tn}OrDefault(s[, default])")
             val d = if (es.length == 2) Cast(es(1), dt) else zero
-            Coalesce(Seq(orNull(es.head), d)) }))
+            orElse(es.head, d) }))
     }
   }
 

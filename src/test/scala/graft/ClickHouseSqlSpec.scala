@@ -2839,6 +2839,58 @@ class ClickHouseSqlSpec extends SparkSpec {
       .contains("time-anchored"))
   }
 
+  test("review fixes: conversion strictness corners, NULL-in propagation, empty-input guards") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT toUInt64OrNull('1.5') AS u64_frac,
+        |  toUInt64OrNull('1e3') AS u64_exp,
+        |  toInt32OrNull(concat(char(9), '123')) AS tab_pad,
+        |  toInt32OrNull(concat('123', char(10))) AS nl_pad,
+        |  toDateOrNull('2023-05') AS partial_month,
+        |  toDateOrNull('2023') AS bare_year,
+        |  toDateOrNull('2024-01-02Txyz') AS t_junk,
+        |  toString(toDateOrNull('2024-01-02 03:04:05')) AS date_of_dt,
+        |  toUnixTimestamp(toDateTimeOrNull('2024-01-02')) AS dt_of_date,
+        |  toDateTimeOrNull('1704067200') AS dt_epoch_str,
+        |  toInt64OrZero(CAST(NULL AS STRING)) AS z_null,
+        |  toInt32OrDefault(CAST(NULL AS STRING), -7) AS d_null,
+        |  parseDateTimeOrZero(CAST(NULL AS STRING), '%F') AS p_null,
+        |  parseDateTimeBestEffortOrZero(CAST(NULL AS STRING)) AS be_null,
+        |  IPv4StringToNumOrDefault(CAST(NULL AS STRING)) AS ip_null,
+        |  tupleElement(geohashDecode(''), 1) AS gh_empty_lon,
+        |  tupleElement(geohashDecode(''), 2) AS gh_empty_lat
+        |FROM range(1)""".stripMargin).collect().head
+    // The UInt64 Decimal carrier must not ROUND fractional/exponent
+    // text the other integral lanes reject.
+    Seq(0, 1, 2, 3, 4, 5, 6, 9, 10, 11, 12, 13, 14).foreach(i =>
+      assert(r.isNullAt(i), (i, r)))
+    assert(r.getString(7) == "2024-01-02", r) // datetime text -> its date
+    assert(r.getLong(8) == 1704153600L, r) // bare date -> midnight
+    assert(r.getDouble(15) == 0.0d && r.getDouble(16) == 0.0d, r)
+    // Empty aggregation input: [] (ClickHouse), not a Sequence error.
+    val m = ClickHouseSql.sql(spark,
+      "SELECT groupArrayMovingSum(3)(id) AS ms, groupArrayMovingAvg(id) AS ma FROM range(1) WHERE id < 0")
+      .collect().head
+    assert(m.getSeq[Double](0) == Seq.empty && m.getSeq[Double](1) == Seq.empty, m)
+    // A depth-0 IN inside a bare position() ARGUMENT stays on the
+    // haystack-first rename path (the comma discriminator).
+    val p = ClickHouseSql.sql(spark,
+      """SELECT position('xaybz', CASE WHEN 1 IN (1, 2) THEN 'b' ELSE 'a' END) AS pos
+        |FROM range(1)""".stripMargin).collect().head
+    assert(p.getInt(0) == 4, p)
+    // An AS-aliased join still refuses the star expansion.
+    Seq((1, "x")).toDF("id", "tag").createOrReplaceTempView("star_a")
+    val e = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT * APPLY max FROM star_a AS a JOIN star_a b ON a.id = b.id")
+    }
+    assert(e.getMessage.contains("JOIN"), e)
+    val e2 = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark,
+        "SELECT * APPLY max FROM star_a AS a, star_a b")
+    }
+    assert(e2.getMessage.contains("JOIN") || e2.getMessage.contains("explicitly"), e2)
+  }
+
   test("execution: arrayReverseSort descends with nulls last") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,
