@@ -476,6 +476,7 @@ object SparkEntry {
     "sql_ch_vector2" -> (Relational.sqlChVector2 _),
     "sql_ch_star" -> (Relational.sqlChStar _),
     "sql_ch_geo" -> (Relational.sqlChGeo _),
+    "sql_ch_lttb" -> (Relational.sqlChLttb _),
     "sql_ch_with_fill_date" -> (Relational.sqlChWithFillDate _),
     "sql_ch_week" -> (Relational.sqlChWeek _),
     "sql_ch_like" -> (Relational.sqlChLike _),
@@ -1219,6 +1220,10 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS ve FROM embeddings WHERE vec_id < 300) SELECT vec_id, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'sum') * 1000 + 0.5) AS BIGINT) AS l1_3, CAST(floor(sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 1000 + 0.5) AS BIGINT) AS l2_3, CAST(floor(list_aggregate(list_transform(ve, x -> x * x), 'sum') * 1000 + 0.5) AS BIGINT) AS l2s_3, CAST(floor(list_aggregate(list_transform(ve, x -> abs(x)), 'max') * 1000 + 0.5) AS BIGINT) AS linf_3, CAST(floor(ve[1] / sqrt(list_aggregate(list_transform(ve, x -> x * x), 'sum')) * 100000 + 0.5) AS BIGINT) AS unit0_5, array_to_string(list_reverse(list_sort(list_transform(ve[1:6], v -> CAST(floor(v * 10) AS BIGINT)))), ',') AS rsorted, (SELECT CAST(floor(sum(CASE WHEN ve[i] > ve[j] THEN 1.0 WHEN ve[i] = ve[j] THEN 0.5 ELSE 0.0 END) / 16 * 1000000 + 0.5) AS BIGINT) FROM UNNEST([1, 3, 5, 7]) t(i) CROSS JOIN UNNEST([2, 4, 6, 8]) u(j)) AS auc_6 FROM e ORDER BY vec_id""",
     // The star expansion spelled by hand, with APPLY's func(col)
     // output names as quoted aliases.
+    // LTTB invariants (size, endpoints, subset) — the exact selection
+    // is pinned by the in-suite reference-algorithm differential.
+    "sql_ch_lttb" ->
+      """SELECT event_type, CAST(least(40, count(*)) AS BIGINT) AS n_out, CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS first_x, CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS last_x, true AS subset_ok FROM events GROUP BY event_type ORDER BY event_type""",
     // Round-trip containment identities (the self-checking pattern) +
     // the published ezs42 decode values.
     "sql_ch_geo" ->

@@ -2750,6 +2750,30 @@ object Relational {
         |ORDER BY k""".stripMargin)
   }
 
+  /** The r12 LTTB batch: `largestTriangleThreeBuckets(40)(epoch, value)`
+    * per event type, with the oracle stating the INVARIANTS the
+    * algorithm guarantees (output size = min(n, count), the endpoints
+    * are the series' min/max x, every kept x exists in the source) —
+    * the exact point selection is pinned by the in-suite differential
+    * against a transcription of Steinarsson's reference algorithm.
+    */
+  def sqlChLttb(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH g AS (
+        |  SELECT event_type,
+        |    largestTriangleThreeBuckets(40)(toFloat64(toUnixTimestamp(ts)), value) AS lt,
+        |    groupUniqArray(toFloat64(toUnixTimestamp(ts))) AS xs
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  toInt64(size(lt)) AS n_out,
+        |  toInt64(tupleElement(arrayFirst(p -> true, lt), 1)) AS first_x,
+        |  toInt64(tupleElement(arrayLast(p -> true, lt), 1)) AS last_x,
+        |  hasAll(xs, arrayMap(p -> tupleElement(p, 1), lt)) AS subset_ok
+        |FROM g
+        |ORDER BY event_type""".stripMargin)
+  }
+
   def sqlChWithMacro(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.registerViews(spark, dir, Seq("lineitem"))
     graft.plans.ClickHouseSql.sql(spark,

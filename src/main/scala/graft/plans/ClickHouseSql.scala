@@ -1468,7 +1468,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg|exponentialMovingAverage)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg|exponentialMovingAverage|largestTriangleThreeBuckets|lttb)\\s*\\(")
 
   /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
     * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
@@ -1661,6 +1661,12 @@ object ClickHouseSqlRewrite {
                 s"ClickHouse SQL: ${m.group(1)}(window)(x)")
             val kind = if (name.endsWith("sum")) "sum" else "avg"
             s"graft_ch_moving_$kind($params\n, $args\n)"
+          case "largesttrianglethreebuckets" | "lttb" =>
+            if (splitItems(masked, pStart, pEnd).length != 1 ||
+              splitItems(masked, aStart, aEnd).length != 2)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: largestTriangleThreeBuckets(n)(x, y)")
+            s"graft_ch_lttb($params\n, $args\n)"
           case "exponentialmovingaverage" =>
             throw new IllegalArgumentException(
               "ClickHouse SQL: exponentialMovingAverage folds in " +
@@ -2136,6 +2142,95 @@ object ClickHouseFunctions {
 
   /** The geohash base32 alphabet (no a/i/l/o). */
   private val GeoB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** LTTB kernel over a SORTED array<struct(col1=x, col2=y)>: the
+    * reference algorithm's floor grid, sequential bucket fold, and
+    * first-max tie rule (see the registry entry's scaladoc). Degenerate
+    * inputs take their stated branches: empty → [], n <= 1 → the first
+    * point, n = 2 → endpoints, n >= count → all points. The grid is
+    * strictly increasing in the fold branch (every >= 1 there), so no
+    * Sequence boundary can invert.
+    */
+  private def chLttb(pts: Expression, n: Expression): Expression = {
+    val sz = new Size(pts)
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_tst"))
+    val iv = UnresolvedNamedLambdaVariable(Seq("__graft_ti"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_tf"))
+    def f(nm: String) = UnresolvedExtractValue(st, Literal(nm))
+    // Every point access inside the fold reads the SORTED array from
+    // the fold STATE ("p"), populated once in the zero — a bare `pts`
+    // reference there would re-evaluate the sort per access (a full
+    // TimSort per candidate; measured as the difference between
+    // milliseconds and minutes on a 2,000-point group).
+    val szIn = new Size(f("p"))
+    val every = Divide(Cast(Subtract(szIn, Literal(2)), DoubleType),
+      Cast(Subtract(n, Literal(2)), DoubleType))
+    def x(e: Expression) = UnresolvedExtractValue(e, Literal("col1"))
+    def y(e: Expression) = UnresolvedExtractValue(e, Literal("col2"))
+    def at0(i: Expression) = ElementAt(f("p"), Add(i, Literal(1)))
+    def gridAt(k: Expression) = Add(Cast(Floor(Multiply(
+      Cast(k, DoubleType), every)), IntegerType), Literal(1))
+    val rs = gridAt(iv)
+    val re = gridAt(Add(iv, Literal(1)))
+    val ae = Least(Seq(gridAt(Add(iv, Literal(2))), szIn))
+    // Next bucket's average point, one inner fold over [re, ae).
+    val s2 = UnresolvedNamedLambdaVariable(Seq("__graft_tas"))
+    val j2 = UnresolvedNamedLambdaVariable(Seq("__graft_taj"))
+    val f2 = UnresolvedNamedLambdaVariable(Seq("__graft_taf"))
+    val sums = ArrayAggregate(
+      new Sequence(re, Subtract(ae, Literal(1)), Literal(1)),
+      CreateNamedStruct(Seq(Literal("sx"), Literal(0.0d),
+        Literal("sy"), Literal(0.0d))),
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("sx"), Add(UnresolvedExtractValue(s2, Literal("sx")), x(at0(j2))),
+        Literal("sy"), Add(UnresolvedExtractValue(s2, Literal("sy")), y(at0(j2))))),
+        Seq(s2, j2)),
+      LambdaFunction(f2, Seq(f2)))
+    val cnt = Cast(Subtract(ae, re), DoubleType)
+    val avgX = Divide(UnresolvedExtractValue(sums, Literal("sx")), cnt)
+    val avgY = Divide(UnresolvedExtractValue(sums, Literal("sy")), cnt)
+    val prev = at0(f("a"))
+    // Best candidate in [rs, re): max triangle area, first max wins.
+    val s3 = UnresolvedNamedLambdaVariable(Seq("__graft_tcs"))
+    val j3 = UnresolvedNamedLambdaVariable(Seq("__graft_tcj"))
+    val f3 = UnresolvedNamedLambdaVariable(Seq("__graft_tcf"))
+    val cand = at0(j3)
+    val area = Abs(Subtract(
+      Multiply(Subtract(x(prev), avgX), Subtract(y(cand), y(prev))),
+      Multiply(Subtract(x(prev), x(cand)), Subtract(avgY, y(prev)))))
+    val better = GreaterThan(area, UnresolvedExtractValue(s3, Literal("ba")))
+    val pick = ArrayAggregate(
+      new Sequence(rs, Subtract(re, Literal(1)), Literal(1)),
+      CreateNamedStruct(Seq(Literal("bi"), rs,
+        Literal("ba"), Literal(-1.0d))),
+      LambdaFunction(CreateNamedStruct(Seq(
+        Literal("bi"), If(better, j3, UnresolvedExtractValue(s3, Literal("bi"))),
+        Literal("ba"), If(better, area, UnresolvedExtractValue(s3, Literal("ba"))))),
+        Seq(s3, j3)),
+      LambdaFunction(UnresolvedExtractValue(f3, Literal("bi")), Seq(f3)))
+    val step = CreateNamedStruct(Seq(
+      Literal("p"), f("p"),
+      Literal("a"), pick,
+      Literal("acc"), Concat(Seq(f("acc"), CreateArray(Seq(at0(pick)))))))
+    val folded = ArrayAggregate(
+      new Sequence(Literal(0), Subtract(n, Literal(3)), Literal(1)),
+      CreateNamedStruct(Seq(
+        Literal("p"), pts,
+        Literal("a"), Literal(0),
+        Literal("acc"), CreateArray(Seq(ElementAt(pts, Literal(1)))))),
+      LambdaFunction(step, Seq(st, iv)),
+      LambdaFunction(Concat(Seq(UnresolvedExtractValue(fin, Literal("acc")),
+        CreateArray(Seq(ElementAt(UnresolvedExtractValue(fin, Literal("p")),
+          new Size(UnresolvedExtractValue(fin, Literal("p"))))))))
+        , Seq(fin)))
+    CaseWhen(Seq(
+      (EqualTo(sz, Literal(0)), Slice(pts, Literal(1), Literal(0))),
+      (LessThanOrEqual(n, Literal(1)), Slice(pts, Literal(1), Literal(1))),
+      (GreaterThanOrEqual(n, sz), pts),
+      (EqualTo(n, Literal(2)),
+        Concat(Seq(Slice(pts, Literal(1), Literal(1)),
+          CreateArray(Seq(ElementAt(pts, sz))))))), folded)
+  }
 
   /** groupArrayMovingSum/Avg kernel: collect → one cumulative-sum fold
     * → out[i] = cum[i] − cum[i−n] (prefix difference, ClickHouse's own
@@ -5012,6 +5107,26 @@ object ClickHouseFunctions {
         Divide(
           Cast(new Size(ArrayIntersect(es(0), es(1))), DoubleType),
           Cast(new Size(ArrayUnion(es(0), es(1))), DoubleType)) }),
+    // largestTriangleThreeBuckets — Steinarsson's LTTB downsampling
+    // (the dashboard decimation ClickHouse ships), exactly the
+    // reference algorithm: sort by x (ties by y — a stated
+    // deterministic refinement of ClickHouse's unspecified tie order),
+    // keep the first and last points, split the middle into n−2
+    // buckets on the reference's floor grid, and from each bucket keep
+    // the point maximizing the triangle area against the PREVIOUSLY
+    // SELECTED point and the NEXT bucket's average (first maximum wins
+    // ties, the reference's `>` rule). Selection is sequential by
+    // construction — one outer fold over buckets with an inner fold
+    // per candidate range, O(size) total per group after the sort.
+    ("graft_ch_lttb", "largestTriangleThreeBuckets(n)(x, y) - LTTB-downsampled array of (col1=x, col2=y) structs, n >= 1 (all points when n >= count)",
+      es => {
+        require(es.length == 3, "largestTriangleThreeBuckets(n)(x, y)")
+        val n = Cast(es.head, IntegerType)
+        val pts = new SortArray(CollectList(CreateNamedStruct(Seq(
+          Literal("col1"), Cast(es(1), DoubleType),
+          Literal("col2"), Cast(es(2), DoubleType)))).toAggregateExpression())
+        chLttb(pts, n)
+      }),
     // arrayAUC — exact ROC area over per-row (score, label) arrays via
     // the rank formula with tie-averaging: for each positive score s,
     // credit |{scores < s}| + (|{scores = s}|+1)/2; AUC =

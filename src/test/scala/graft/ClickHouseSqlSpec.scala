@@ -2891,6 +2891,77 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("JOIN") || e2.getMessage.contains("explicitly"), e2)
   }
 
+  test("differential: largestTriangleThreeBuckets matches the reference LTTB on random series") {
+    // Steinarsson's reference algorithm, transcribed directly (floor
+    // grid, previous-SELECTED anchor, next-bucket average, first-max
+    // tie rule) — the independent implementation the kernel must match.
+    def refLttb(data: Seq[(Double, Double)], n: Int): Seq[(Double, Double)] = {
+      val sz = data.length
+      if (sz == 0) Seq.empty
+      else if (n <= 1) data.take(1)
+      else if (n >= sz) data
+      else if (n == 2) Seq(data.head, data.last)
+      else {
+        val every = (sz - 2).toDouble / (n - 2)
+        var a = 0
+        val out = scala.collection.mutable.ArrayBuffer(data.head)
+        for (i <- 0 until n - 2) {
+          val avgS = math.floor((i + 1) * every).toInt + 1
+          val avgE = math.min(math.floor((i + 2) * every).toInt + 1, sz)
+          val avgX = (avgS until avgE).map(data(_)._1).sum / (avgE - avgS)
+          val avgY = (avgS until avgE).map(data(_)._2).sum / (avgE - avgS)
+          val rs = math.floor(i * every).toInt + 1
+          val re = math.floor((i + 1) * every).toInt + 1
+          var (bi, ba) = (rs, -1.0)
+          for (j <- rs until re) {
+            val area = math.abs(
+              (data(a)._1 - avgX) * (data(j)._2 - data(a)._2) -
+                (data(a)._1 - data(j)._1) * (avgY - data(a)._2))
+            if (area > ba) { bi = j; ba = area }
+          }
+          out += data(bi); a = bi
+        }
+        (out += data.last).toSeq
+      }
+    }
+    def run(data: Seq[(Double, Double)], n: Int): Seq[(Double, Double)] = {
+      val vals = data.map { case (xx, yy) => s"($xx, $yy)" }.mkString(", ")
+      ClickHouseSql.sql(spark,
+        s"SELECT largestTriangleThreeBuckets($n)(x, y) AS r FROM " +
+          s"(SELECT col1 AS x, col2 AS y FROM VALUES $vals)")
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getDouble(0), r.getDouble(1)))
+    }
+    // A hand-checkable series: the spike at x=4 must survive 10 -> 5.
+    val spike = Seq((0.0, 1.0), (1.0, 1.1), (2.0, 0.9), (3.0, 1.0),
+      (4.0, 9.0), (5.0, 1.0), (6.0, 1.2), (7.0, 0.8), (8.0, 1.0), (9.0, 1.1))
+    val got = run(spike, 5)
+    assert(got == refLttb(spike, 5), (got, refLttb(spike, 5)))
+    assert(got.contains((4.0, 9.0)), got)
+    assert(got.head == spike.head && got.last == spike.last, got)
+    // Degenerate branches.
+    assert(run(spike, 1) == spike.take(1))
+    assert(run(spike, 2) == Seq(spike.head, spike.last))
+    assert(run(spike, 10) == spike)
+    assert(run(spike, 99) == spike)
+    // Randomized differential (sorted unique x keeps both sides on the
+    // same deterministic footing).
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { _ =>
+      val sz = 3 + rnd.nextInt(40)
+      val data = (0 until sz).map(i =>
+        (i.toDouble, (rnd.nextInt(200) - 100).toDouble / 4))
+      val n = 3 + rnd.nextInt(sz + 4)
+      val want = refLttb(data, n)
+      val g = run(data, n)
+      assert(g == want, (sz, n, g, want))
+    }
+    val e = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "SELECT lttb(5)(x) FROM t")
+    }
+    assert(e.getMessage.contains("largestTriangleThreeBuckets(n)(x, y)"), e)
+  }
+
   test("execution: arrayReverseSort descends with nulls last") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,
