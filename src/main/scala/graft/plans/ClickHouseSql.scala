@@ -1468,7 +1468,7 @@ object ClickHouseSqlRewrite {
   // --------------------------------------- 1. quantile(p)(x) call syntax
 
   private val ParamAggRe = java.util.regex.Pattern.compile(
-    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg|exponentialMovingAverage|largestTriangleThreeBuckets|lttb)\\s*\\(")
+    "(?i)\\b(quantilesExactInclusive|quantileExactInclusive|quantilesExactWeighted|quantileExactWeighted|quantileExactLow|quantileExactHigh|quantilesExact|quantileExact|quantilesTDigest|quantileTDigest|quantilesTiming|quantileTiming|quantilesBFloat16|quantileBFloat16|quantileDeterministic|quantiles|quantile|windowFunnel|sequenceMatch|sequenceCount|uniqUpTo|topKWeighted|topK|groupArrayMovingSum|groupArrayMovingAvg|exponentialMovingAverage|largestTriangleThreeBuckets|lttb|sparkbar)\\s*\\(")
 
   /** `sequenceMatch('(?1).*[(?t op n)](?2)…')` subset: `(?N)` refs
     * separated by `.*`, each gap optionally carrying ONE `(?t op n)`
@@ -1667,6 +1667,13 @@ object ClickHouseSqlRewrite {
               throw new IllegalArgumentException(
                 "ClickHouse SQL: largestTriangleThreeBuckets(n)(x, y)")
             s"graft_ch_lttb($params\n, $args\n)"
+          case "sparkbar" =>
+            throw new IllegalArgumentException(
+              "ClickHouse SQL: sparkbar's rendering rules (the " +
+                "empty-bucket glyph, level rounding) are implementation " +
+                "details its docs state no contract for — bucket " +
+                "explicitly (toStartOfInterval / intDiv) and render each " +
+                "bucket with bar(sum, 0, max, width)")
           case "exponentialmovingaverage" =>
             throw new IllegalArgumentException(
               "ClickHouse SQL: exponentialMovingAverage folds in " +
@@ -2142,6 +2149,39 @@ object ClickHouseFunctions {
 
   /** The geohash base32 alphabet (no a/i/l/o). */
   private val GeoB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** arrayAUC kernel (see the registry entry's scaladoc): the rank
+    * formula with tie-averaging. Shared by arrayAUC and the ClickHouse
+    * 23.x rename arrayROCAUC.
+    */
+  private def chArrayAuc(es: Seq[Expression]): Expression = {
+        val s = Cast(es.head, ArrayType(DoubleType))
+        val l = Cast(es(1), ArrayType(DoubleType))
+        val pos = lam1(x => GreaterThan(x, Literal(0.0d)))
+        val p = Cast(new Size(ArrayFilter(l, pos)), DoubleType)
+        val n = Subtract(Cast(new Size(l), DoubleType), p)
+        val st = UnresolvedNamedLambdaVariable(Seq("__graft_ast"))
+        val iv = UnresolvedNamedLambdaVariable(Seq("__graft_ai"))
+        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_af"))
+        val si = ElementAt(s, iv)
+        val less = Cast(new Size(ArrayFilter(s,
+          lam1(x => LessThan(x, si)))), DoubleType)
+        val eq = Cast(new Size(ArrayFilter(s,
+          lam1(x => EqualTo(x, si)))), DoubleType)
+        val credit = If(GreaterThan(ElementAt(l, iv), Literal(0.0d)),
+          Add(less, Multiply(Add(eq, Literal(1.0d)), Literal(0.5d))),
+          Literal(0.0d))
+        val rankSum = ArrayAggregate(
+          new Sequence(Literal(1), new Size(s), Literal(1)),
+          Literal(0.0d),
+          LambdaFunction(Add(st, credit), Seq(st, iv)),
+          LambdaFunction(fin, Seq(fin)))
+        If(Or(EqualTo(p, Literal(0.0d)), EqualTo(n, Literal(0.0d))),
+          Literal(Double.NaN),
+          Divide(Subtract(rankSum,
+            Multiply(Multiply(p, Add(p, Literal(1.0d))), Literal(0.5d))),
+            Multiply(p, n)))
+  }
 
   /** LTTB kernel over a SORTED array<struct(col1=x, col2=y)>: the
     * reference algorithm's floor grid, sequential bucket fold, and
@@ -5139,33 +5179,24 @@ object ClickHouseFunctions {
     ("arrayAUC", "arrayAUC(scores, labels) - exact ROC AUC of the per-row arrays (label > 0 = positive; ties half-credit; NaN when one class is empty)",
       es => {
         require(es.length == 2, "arrayAUC(scores, labels)")
-        val s = Cast(es.head, ArrayType(DoubleType))
-        val l = Cast(es(1), ArrayType(DoubleType))
-        val pos = lam1(x => GreaterThan(x, Literal(0.0d)))
-        val p = Cast(new Size(ArrayFilter(l, pos)), DoubleType)
-        val n = Subtract(Cast(new Size(l), DoubleType), p)
-        val st = UnresolvedNamedLambdaVariable(Seq("__graft_ast"))
-        val iv = UnresolvedNamedLambdaVariable(Seq("__graft_ai"))
-        val fin = UnresolvedNamedLambdaVariable(Seq("__graft_af"))
-        val si = ElementAt(s, iv)
-        val less = Cast(new Size(ArrayFilter(s,
-          lam1(x => LessThan(x, si)))), DoubleType)
-        val eq = Cast(new Size(ArrayFilter(s,
-          lam1(x => EqualTo(x, si)))), DoubleType)
-        val credit = If(GreaterThan(ElementAt(l, iv), Literal(0.0d)),
-          Add(less, Multiply(Add(eq, Literal(1.0d)), Literal(0.5d))),
-          Literal(0.0d))
-        val rankSum = ArrayAggregate(
-          new Sequence(Literal(1), new Size(s), Literal(1)),
-          Literal(0.0d),
-          LambdaFunction(Add(st, credit), Seq(st, iv)),
-          LambdaFunction(fin, Seq(fin)))
-        If(Or(EqualTo(p, Literal(0.0d)), EqualTo(n, Literal(0.0d))),
-          Literal(Double.NaN),
-          Divide(Subtract(rankSum,
-            Multiply(Multiply(p, Add(p, Literal(1.0d))), Literal(0.5d))),
-            Multiply(p, n)))
+        chArrayAuc(es)
       }),
+
+    ("arrayROCAUC", "arrayROCAUC(scores, labels) - alias of arrayAUC (the ClickHouse 23.x rename)",
+      es => {
+        require(es.length == 2, "arrayROCAUC(scores, labels)")
+        chArrayAuc(es)
+      }),
+    ("timeDiff", "timeDiff(a, b) - seconds from a to b (ClickHouse's dateDiff('second', a, b) shorthand)",
+      es => { require(es.length == 2, "timeDiff(a, b)")
+        Subtract(Cast(Cast(es(1), TimestampType), LongType),
+          Cast(Cast(es.head, TimestampType), LongType)) }),
+    ("sparkbar", "sparkbar - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: sparkbar's rendering rules (the empty-bucket " +
+          "glyph, level rounding) are implementation details its docs " +
+          "state no contract for — bucket explicitly (toStartOfInterval " +
+          "/ intDiv) and render each bucket with bar(sum, 0, max, width)")),
     // Vector NORMS — the single-vector companions of the distance
     // family above, on the same vecFold kernel (norm(v) ≡
     // distance(v, 0) without materializing a zero vector). The

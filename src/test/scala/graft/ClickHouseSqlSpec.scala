@@ -2791,6 +2791,16 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getDouble(2).isNaN, r)
     assert(r.getString(3) == "a\\.b\\|c\\(d\\)\\-e", r)
     assert(r.getString(4) == "1.50 MB" && r.getString(5) == "999.00 B", r)
+    val al = ClickHouseSql.sql(spark,
+      """SELECT arrayROCAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)) AS a,
+        |  timeDiff(toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 00:02:05')) AS td
+        |FROM range(1)""".stripMargin).collect().head
+    assert(al.getDouble(0) == 0.75d, al) // the 23.x rename, same kernel
+    assert(al.getLong(1) == 125L, al)
+    val sb = intercept[IllegalArgumentException] {
+      ClickHouseSql.sql(spark, "SELECT sparkbar(9)(id, id) FROM range(1)")
+    }
+    assert(sb.getMessage.contains("bar(sum, 0, max, width)"), sb)
     // Differential: the rank formula == brute-force pair counting with
     // half-credit ties, on 40 random score/label arrays.
     val rnd = new scala.util.Random(12)
