@@ -1228,6 +1228,8 @@ object SparkEntry {
     // the published ezs42 decode values.
     "sql_ch_geo" ->
       """SELECT o_orderkey AS k, CAST(9 AS BIGINT) AS len9, true AS pfx_ok, true AS lon_ok, true AS lat_ok, true AS reenc_ok, -5.60302734375 AS ez_lon, 42.60498046875 AS ez_lat FROM orders WHERE o_orderkey < 400 ORDER BY k""",
+    // The star expansion spelled by hand, with APPLY's func(col)
+    // output names as quoted aliases.
     "sql_ch_star" ->
       """SELECT o_orderstatus, CAST(max(o_orderkey) AS BIGINT) AS "max(o_orderkey)", CAST(max(o_custkey) AS BIGINT) AS "max(o_custkey)", CAST(max(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS "max(o_totalprice)" FROM orders WHERE o_orderkey < 3000 GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "sql_ch_misc" ->

@@ -1668,12 +1668,7 @@ object ClickHouseSqlRewrite {
                 "ClickHouse SQL: largestTriangleThreeBuckets(n)(x, y)")
             s"graft_ch_lttb($params\n, $args\n)"
           case "sparkbar" =>
-            throw new IllegalArgumentException(
-              "ClickHouse SQL: sparkbar's rendering rules (the " +
-                "empty-bucket glyph, level rounding) are implementation " +
-                "details its docs state no contract for — bucket " +
-                "explicitly (toStartOfInterval / intDiv) and render each " +
-                "bucket with bar(sum, 0, max, width)")
+            throw new IllegalArgumentException(ClickHouseFunctions.SparkbarError)
           case "exponentialmovingaverage" =>
             throw new IllegalArgumentException(
               "ClickHouse SQL: exponentialMovingAverage folds in " +
@@ -2147,6 +2142,21 @@ object ClickHouseFunctions {
         tryFmt("d MMM yyyy H:m:s"), tryFmt("d MMM yyyy"))))
   }
 
+  /** Epoch seconds of a timestamp/date/string expression — the shared
+    * kernel of dateDiff's 'second' unit and timeDiff.
+    */
+  private def chEpochSeconds(e: Expression): Expression =
+    Cast(Cast(e, TimestampType), LongType)
+
+  /** The one sparkbar refusal, shared by the registry entry and the
+    * rewriter's parameterized-form case so the guidance cannot drift.
+    */
+  private[plans] val SparkbarError: String =
+    "ClickHouse SQL: sparkbar's rendering rules (the empty-bucket " +
+      "glyph, level rounding) are implementation details its docs " +
+      "state no contract for — bucket explicitly (toStartOfInterval " +
+      "/ intDiv) and render each bucket with bar(sum, 0, max, width)"
+
   /** The geohash base32 alphabet (no a/i/l/o). */
   private val GeoB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -2191,7 +2201,14 @@ object ClickHouseFunctions {
     * strictly increasing in the fold branch (every >= 1 there), so no
     * Sequence boundary can invert.
     */
-  private def chLttb(pts: Expression, n: Expression): Expression = {
+  private def chLttb(pts: Expression, nRaw: Expression): Expression = {
+    // n outside the documented domain (>= 1) raises — the layer's
+    // every-exclusion-is-a-named-error stance, routed through the int
+    // so the error branch needs no knowledge of the element type.
+    val n = If(LessThanOrEqual(nRaw, Literal(0)),
+      Cast(RaiseError(Literal(
+        "largestTriangleThreeBuckets: n must be >= 1")), IntegerType),
+      nRaw)
     val sz = new Size(pts)
     val st = UnresolvedNamedLambdaVariable(Seq("__graft_tst"))
     val iv = UnresolvedNamedLambdaVariable(Seq("__graft_ti"))
@@ -3010,7 +3027,7 @@ object ClickHouseFunctions {
             s"dateDiff: the unit must be a string literal, got $other")
         }
         val (a, b) = (es(1), es(2))
-        def secs(e: Expression) = Cast(Cast(e, TimestampType), LongType)
+        def secs(e: Expression) = chEpochSeconds(e)
         // floorDiv (not truncation) so pre-epoch timestamps bucket the
         // same way ClickHouse's toRelative*Num does.
         def floorDiv(x: Expression, d: Long) =
@@ -5187,16 +5204,11 @@ object ClickHouseFunctions {
         require(es.length == 2, "arrayROCAUC(scores, labels)")
         chArrayAuc(es)
       }),
-    ("timeDiff", "timeDiff(a, b) - seconds from a to b (ClickHouse's dateDiff('second', a, b) shorthand)",
+    ("timeDiff", "timeDiff(a, b) - seconds from a to b (ClickHouse's dateDiff('second', a, b) shorthand, on the same epoch-seconds kernel)",
       es => { require(es.length == 2, "timeDiff(a, b)")
-        Subtract(Cast(Cast(es(1), TimestampType), LongType),
-          Cast(Cast(es.head, TimestampType), LongType)) }),
+        Subtract(chEpochSeconds(es(1)), chEpochSeconds(es.head)) }),
     ("sparkbar", "sparkbar - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: sparkbar's rendering rules (the empty-bucket " +
-          "glyph, level rounding) are implementation details its docs " +
-          "state no contract for — bucket explicitly (toStartOfInterval " +
-          "/ intDiv) and render each bucket with bar(sum, 0, max, width)")),
+      _ => throw new IllegalArgumentException(SparkbarError)),
     // Vector NORMS — the single-vector companions of the distance
     // family above, on the same vecFold kernel (norm(v) ≡
     // distance(v, 0) without materializing a zero vector). The

@@ -2801,6 +2801,15 @@ class ClickHouseSqlSpec extends SparkSpec {
       ClickHouseSql.sql(spark, "SELECT sparkbar(9)(id, id) FROM range(1)")
     }
     assert(sb.getMessage.contains("bar(sum, 0, max, width)"), sb)
+    // The DIRECT registry form must raise the same guidance (the shared
+    // message constant), not a generic undefined-function error.
+    val sb2 = intercept[Exception] {
+      ClickHouseSql.sql(spark, "SELECT sparkbar(id, id) FROM range(1)")
+    }
+    val sb2Text = Iterator.iterate(sb2: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(sb2Text.contains("bar(sum, 0, max, width)"), sb2)
     // Differential: the rank formula == brute-force pair counting with
     // half-credit ties, on 40 random score/label arrays.
     val rnd = new scala.util.Random(12)
@@ -2970,6 +2979,17 @@ class ClickHouseSqlSpec extends SparkSpec {
       ClickHouseSql.sql(spark, "SELECT lttb(5)(x) FROM t")
     }
     assert(e.getMessage.contains("largestTriangleThreeBuckets(n)(x, y)"), e)
+    // n outside the documented domain raises the named error (runtime,
+    // since n is a per-call expression), never a silent 1-point answer.
+    val ez = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT largestTriangleThreeBuckets(0)(x, y) FROM " +
+          "(SELECT 1.0 AS x, 2.0 AS y)").collect()
+    }
+    val ezText = Iterator.iterate(ez: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(ezText.contains("n must be >= 1"), ez)
   }
 
   test("execution: arrayReverseSort descends with nulls last") {
