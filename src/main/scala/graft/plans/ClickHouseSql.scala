@@ -2142,6 +2142,28 @@ object ClickHouseFunctions {
         tryFmt("d MMM yyyy H:m:s"), tryFmt("d MMM yyyy"))))
   }
 
+  /** mapAdd/mapSubtract kernel: union the key arrays (sorted distinct,
+    * the sumMap order), then per union key combine each map's value —
+    * a positional lookup via array_position, 0 when absent — with the
+    * per-map sign. Fields are read by the layer's map-aggregate NAMES
+    * (keys/values); see the registry entries' contract.
+    */
+  private def chMapArith(maps: Seq[Expression], negate: Seq[Boolean]): Expression = {
+    def ks(m: Expression) = UnresolvedExtractValue(m, Literal("keys"))
+    def vs(m: Expression) = UnresolvedExtractValue(m, Literal("values"))
+    val allKeys = new SortArray(ArrayDistinct(Concat(maps.map(ks))))
+    val combined = ArrayTransform(allKeys, lam1 { k =>
+      maps.zip(negate).map { case (m, neg) =>
+        val pos = ArrayPosition(ks(m), k)
+        val v = If(GreaterThan(pos, Literal(0L)),
+          ElementAt(vs(m), Cast(pos, IntegerType)), Literal(0))
+        if (neg) UnaryMinus(v) else (v: Expression)
+      }.reduce(Add(_, _))
+    })
+    CreateNamedStruct(Seq(
+      Literal("keys"), allKeys, Literal("values"), combined))
+  }
+
   /** Epoch seconds of a timestamp/date/string expression — the shared
     * kernel of dateDiff's 'second' unit and timeDiff.
     */
@@ -5199,6 +5221,22 @@ object ClickHouseFunctions {
         chArrayAuc(es)
       }),
 
+    // mapAdd/mapSubtract — ClickHouse's per-key map arithmetic, over
+    // this layer's map-aggregate representation: struct(keys, values)
+    // as sumMap/minMap/maxMap produce (spell ad-hoc maps as
+    // named_struct('keys', ks, 'values', vs); the positional tuple()
+    // form has no keys/values field names, so it fails at ANALYSIS
+    // with Spark's no-such-field error naming the missing field).
+    // Result keys are the sorted distinct union (the sumMap order);
+    // a key absent from a map contributes 0. O(union-keys × maps ×
+    // key-count) per row — the chMapAgg cost class, right for the
+    // small metric maps these target.
+    ("mapAdd", "mapAdd(m1, m2, ...) - per-key sums of struct(keys, values) maps (the sumMap shape; absent keys contribute 0)",
+      es => { require(es.length >= 2, "mapAdd(m1, m2, ...)")
+        chMapArith(es, es.map(_ => false)) }),
+    ("mapSubtract", "mapSubtract(m1, m2, ...) - m1 minus the per-key sums of the rest, over struct(keys, values) maps (the sumMap shape)",
+      es => { require(es.length >= 2, "mapSubtract(m1, m2, ...)")
+        chMapArith(es, false +: es.tail.map(_ => true)) }),
     ("arrayROCAUC", "arrayROCAUC(scores, labels) - alias of arrayAUC (the ClickHouse 23.x rename)",
       es => {
         require(es.length == 2, "arrayROCAUC(scores, labels)")

@@ -2992,6 +2992,36 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(ezText.contains("n must be >= 1"), ez)
   }
 
+  test("execution: mapAdd/mapSubtract combine struct(keys, values) maps per key") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT mapAdd(named_struct('keys', array(1, 2), 'values', array(10, 20)),
+        |              named_struct('keys', array(2, 3), 'values', array(1, 1))) AS a,
+        |  mapSubtract(named_struct('keys', array(1, 2), 'values', array(10, 20)),
+        |              named_struct('keys', array(2, 3), 'values', array(1, 1))) AS s,
+        |  mapAdd(named_struct('keys', array(5), 'values', array(1)),
+        |         named_struct('keys', array(5), 'values', array(2)),
+        |         named_struct('keys', array(6), 'values', array(7))) AS three
+        |FROM range(1)""".stripMargin).collect().head
+    val a = r.getStruct(0)
+    assert(a.getSeq[Int](0) == Seq(1, 2, 3), a)
+    assert(a.getSeq[Int](1) == Seq(10, 21, 1), a)
+    val sres = r.getStruct(1)
+    assert(sres.getSeq[Int](0) == Seq(1, 2, 3), sres)
+    assert(sres.getSeq[Int](1) == Seq(10, 19, -1), sres)
+    val t = r.getStruct(2)
+    assert(t.getSeq[Int](0) == Seq(5, 6), t)
+    assert(t.getSeq[Int](1) == Seq(3, 7), t)
+    // It composes with the layer's own map aggregates (the sumMap
+    // shape); sumMap values are BIGINT arrays, so the ad-hoc side
+    // matches the element type.
+    Seq((1, 10), (2, 5), (1, 3)).toDF("k", "v").createOrReplaceTempView("mm")
+    val cc = ClickHouseSql.sql(spark,
+      """SELECT mapAdd(sumMap(k, v), named_struct('keys', array(9), 'values', array(toInt64(4)))) AS m
+        |FROM (SELECT k, toInt64(v) AS v FROM mm)""".stripMargin).collect().head.getStruct(0)
+    assert(cc.getSeq[Int](0) == Seq(1, 2, 9), cc)
+    assert(cc.getSeq[Long](1) == Seq(13L, 5L, 4L), cc)
+  }
+
   test("execution: arrayReverseSort descends with nulls last") {
     val r = ClickHouseSql.sql(spark,
       """SELECT arrayReverseSort(array(2, 9, NULL, 4)) AS a,
