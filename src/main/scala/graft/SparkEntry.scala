@@ -484,6 +484,9 @@ object SparkEntry {
     "sql_ch_rollup" -> (Relational.sqlChRollup _),
     "sql_ch_sets" -> (Relational.sqlChSets _),
     "sql_ch_with_macro" -> (Relational.sqlChWithMacro _),
+    "sql_ch_ngram" -> (Relational.sqlChNgram _),
+    "sql_ch_ema" -> (Relational.sqlChEma _),
+    "sql_ch_sparkbar" -> (Relational.sqlChSparkbar _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1200,7 +1203,7 @@ object SparkEntry {
     // values (NULL/0/default lanes spelled out), not a re-implementation
     // of the parse — the independent-oracle discipline.
     "sql_ch_conv" ->
-      """SELECT o_orderkey AS k, CAST(o_orderkey AS INTEGER) AS i32, CAST(NULL AS INTEGER) AS i32_pad, CAST(NULL AS INTEGER) AS i32_frac, CAST(0 AS INTEGER) AS i32_zero, CAST(-7 AS INTEGER) AS i32_def, CAST(NULL AS INTEGER) AS i32_over, CAST(CASE WHEN o_orderkey % 300 <= 255 THEN o_orderkey % 300 END AS SMALLINT) AS u8, CAST(o_orderkey * 7 AS INTEGER) AS u16, CAST(NULL AS BIGINT) AS u32_neg, CAST(o_orderkey + 4294967295 AS DECIMAL(20,0)) AS u64_big, CAST(o_orderkey AS DOUBLE) + 0.25 AS f64, CASE o_orderkey % 3 WHEN 0 THEN 'Infinity' WHEN 1 THEN '-Infinity' ELSE 'NaN' END AS f64_spec, CAST(0 AS REAL) AS f32_zero, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_ok, '1970-01-01' AS d_zero, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR + INTERVAL 30 MINUTE) AS BIGINT) AS dt_epoch FROM orders WHERE o_orderkey < 400 ORDER BY k""",
+      """SELECT o_orderkey AS k, CAST(o_orderkey AS INTEGER) AS i32, CAST(NULL AS INTEGER) AS i32_pad, CAST(NULL AS INTEGER) AS i32_frac, CAST(0 AS INTEGER) AS i32_zero, CAST(-7 AS INTEGER) AS i32_def, CAST(NULL AS INTEGER) AS i32_over, CAST(CASE WHEN o_orderkey % 300 <= 255 THEN o_orderkey % 300 END AS SMALLINT) AS u8, CAST(o_orderkey * 7 AS INTEGER) AS u16, CAST(NULL AS BIGINT) AS u32_neg, CAST(o_orderkey + 4294967295 AS VARCHAR) AS u64_big, CAST(o_orderkey AS DOUBLE) + 0.25 AS f64, CASE o_orderkey % 3 WHEN 0 THEN 'Infinity' WHEN 1 THEN '-Infinity' ELSE 'NaN' END AS f64_spec, CAST(0 AS REAL) AS f32_zero, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d_ok, '1970-01-01' AS d_zero, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) + INTERVAL 12 HOUR + INTERVAL 30 MINUTE) AS BIGINT) AS dt_epoch FROM orders WHERE o_orderkey < 400 ORDER BY k""",
     "sql_ch_parse_dt" ->
       """SELECT o_orderkey AS k, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS rt_epoch, CAST(NULL AS BIGINT) AS p_bad, CAST(0 AS BIGINT) AS p_zero, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) + 8*3600 + 15*60 + 30 AS BIGINT) AS be_iso, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS be_dot, CAST(1000000000 + o_orderkey AS BIGINT) AS be_unix, CAST(NULL AS BIGINT) AS be_null, CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT) AS be_slash FROM orders WHERE o_orderkey < 400 ORDER BY k""",
     // IPv4 octets and /20 bounds re-derived with integer arithmetic —
@@ -1224,6 +1227,32 @@ object SparkEntry {
     // is pinned by the in-suite reference-algorithm differential.
     "sql_ch_lttb" ->
       """SELECT event_type, CAST(least(40, count(*)) AS BIGINT) AS n_out, CAST(min(epoch_us(ts) // 1000000) AS BIGINT) AS first_x, CAST(max(epoch_us(ts) // 1000000) AS BIGINT) AS last_x, true AS subset_ok FROM events GROUP BY event_type ORDER BY event_type""",
+    // The documented 4-gram multiset algebra reconstructed RELATIONALLY
+    // (UNNEST gram positions -> GROUP BY gram -> sum(least(counts))) —
+    // an independent spelling of the same definition, no lambdas, with
+    // the <4-char empty-gram lane falling out of generate_series(1, n<1)
+    // being empty. ASCII data makes byte grams == character grams; the
+    // case-insensitive legs lower both sides (already-lowercase text
+    // makes ASCII-vs-Unicode lowering moot here; the multibyte boundary
+    // is pinned in ClickHouseSqlSpec).
+    "sql_ch_ngram" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS a1, substr(text, 25, 24) AS b1, substr(text, 1, 16) AS a2, substr(text, 9, 16) AS b2, lang AS a3, source AS b3, text AS a4, replace(substr(text, 10, 12), 'a', 'e') AS b4 FROM documents WHERE doc_id < 120), p AS (SELECT doc_id, 1 AS pid, a1 AS a, b1 AS b FROM d UNION ALL SELECT doc_id, 2, a2, b2 FROM d UNION ALL SELECT doc_id, 3, a3, b3 FROM d UNION ALL SELECT doc_id, 4, a4, b4 FROM d), ga AS (SELECT doc_id, pid, substr(a, CAST(i AS INTEGER), 4) AS g, count(*) AS c FROM p CROSS JOIN UNNEST(generate_series(1, length(a) - 3)) AS t(i) GROUP BY doc_id, pid, g), gb AS (SELECT doc_id, pid, substr(b, CAST(i AS INTEGER), 4) AS g, count(*) AS c FROM p CROSS JOIN UNNEST(generate_series(1, length(b) - 3)) AS t(i) GROUP BY doc_id, pid, g), cm AS (SELECT ga.doc_id, ga.pid, sum(least(ga.c, gb.c)) AS common FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND ga.pid = gb.pid AND ga.g = gb.g GROUP BY ga.doc_id, ga.pid), m AS (SELECT p.doc_id, p.pid, greatest(length(a) - 3, 0) AS na, greatest(length(b) - 3, 0) AS nb, coalesce(cm.common, 0) AS c FROM p LEFT JOIN cm ON p.doc_id = cm.doc_id AND p.pid = cm.pid), v AS (SELECT doc_id, pid, CAST(na + nb - 2 * c AS DOUBLE) / greatest(na + nb, 1) AS dist, CAST(c AS DOUBLE) / greatest(nb, 1) AS srch FROM m) SELECT doc_id, CAST(floor(max(CASE WHEN pid = 1 THEN dist END) * 10000 + 0.5) AS BIGINT) AS nd_4, CAST(floor(max(CASE WHEN pid = 2 THEN dist END) * 10000 + 0.5) AS BIGINT) AS ndci_4, CAST(floor(max(CASE WHEN pid = 3 THEN dist END) * 10000 + 0.5) AS BIGINT) AS nd_tiny_4, CAST(floor(max(CASE WHEN pid = 4 THEN srch END) * 10000 + 0.5) AS BIGINT) AS ns_4, CAST(floor(max(CASE WHEN pid = 4 THEN srch END) * 10000 + 0.5) AS BIGINT) AS nsci_4 FROM v GROUP BY doc_id ORDER BY doc_id""",
+    // The SAME closed form as plain SQL — the mapping is faithful
+    // precisely because the docs-pinned formula is a sum to the max-t
+    // anchor, not a row-order recurrence. floor(epoch(ts)) matches
+    // toUnixTimestamp's whole-second truncation (events carry
+    // microseconds; DuckDB's epoch() returns fractional DOUBLE).
+    // 1e4-scaled; drift bound = double summation order.
+    "sql_ch_ema" ->
+      """WITH e AS (SELECT event_type, value AS v, floor(epoch(ts)) AS t FROM events), mx AS (SELECT event_type, max(t) AS tmax FROM e GROUP BY event_type) SELECT e.event_type, CAST(floor((1 - pow(2, -1.0 / 3600)) * sum(v * pow(2, -(tmax - t) / 3600)) * 10000 + 0.5) AS BIGINT) AS ema_4, CAST(floor((1 - pow(2, -1.0 / 86400)) * sum(v * pow(2, -(tmax - t) / 86400)) * 10000 + 0.5) AS BIGINT) AS ema_day_4 FROM e JOIN mx ON e.event_type = mx.event_type GROUP BY e.event_type ORDER BY e.event_type""",
+    // The stated bucket/glyph contract reconstructed relationally:
+    // identical IEEE bucket arithmetic ((m-1)/11.0*12, floor, clamp),
+    // per-bucket sums, ceil(s*8/max) glyph levels, string_agg in bucket
+    // order. The max bucket's ratio is exactly 8.0 on both sides (its
+    // own sum over its own max); other levels sit far from integer
+    // boundaries relative to summation-order drift.
+    "sql_ch_sparkbar" ->
+      """WITH o AS (SELECT o_orderpriority AS pr, month(CAST(o_orderdate AS DATE)) AS m, o_totalprice AS y FROM orders), b12 AS (SELECT pr, least(CAST(floor((m - 1) / 11.0 * 12) AS BIGINT), 11) AS b, sum(y) AS s FROM o WHERE m BETWEEN 1 AND 12 GROUP BY pr, b), g12 AS (SELECT pr, b, s, max(s) OVER (PARTITION BY pr) AS mx FROM b12), f12 AS (SELECT t.pr, t.b, CASE WHEN g.s IS NULL OR g.s <= 0 THEN ' ' ELSE substr('▁▂▃▄▅▆▇█', CAST(greatest(1, least(8, ceil(g.s * 8 / g.mx))) AS INTEGER), 1) END AS ch FROM (SELECT DISTINCT pr, i AS b FROM o CROSS JOIN UNNEST(generate_series(0, 11)) AS u(i)) t LEFT JOIN g12 g ON t.pr = g.pr AND t.b = g.b), s12 AS (SELECT pr, string_agg(ch, '' ORDER BY b) AS bar12 FROM f12 GROUP BY pr), b6 AS (SELECT pr, least(CAST(floor((m - 1) / 11.0 * 6) AS BIGINT), 5) AS b, sum(y) AS s FROM o WHERE m BETWEEN 1 AND 12 GROUP BY pr, b), g6 AS (SELECT pr, b, s, max(s) OVER (PARTITION BY pr) AS mx FROM b6), f6 AS (SELECT t.pr, t.b, CASE WHEN g.s IS NULL OR g.s <= 0 THEN ' ' ELSE substr('▁▂▃▄▅▆▇█', CAST(greatest(1, least(8, ceil(g.s * 8 / g.mx))) AS INTEGER), 1) END AS ch FROM (SELECT DISTINCT pr, i AS b FROM o CROSS JOIN UNNEST(generate_series(0, 5)) AS u(i)) t LEFT JOIN g6 g ON t.pr = g.pr AND t.b = g.b), s6 AS (SELECT pr, string_agg(ch, '' ORDER BY b) AS bar6 FROM f6 GROUP BY pr) SELECT s12.pr AS o_orderpriority, s12.bar12, s6.bar6 FROM s12 JOIN s6 ON s12.pr = s6.pr ORDER BY o_orderpriority""",
     // Round-trip containment identities (the self-checking pattern) +
     // the published ezs42 decode values.
     "sql_ch_geo" ->

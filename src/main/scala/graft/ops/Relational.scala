@@ -2536,7 +2536,11 @@ object Relational {
     * in-query from `orders` columns, covering every rule the builders
     * document — whitespace-padded and fractional text as a non-parse,
     * partial consumption, Int32 overflow vs the UInt64 Decimal(20,0)
-    * lane, the unsigned bounds guards (a 256..299 value nulls
+    * lane (compared through `toString` — the r12 artifact proved the
+    * two engines' DECIMAL(20,0) carriers reach the driver hasher as
+    * different objects despite value equality, so the compared lane is
+    * the string render; the carrier TYPE itself stays pinned in
+    * ClickHouseSqlSpec), the unsigned bounds guards (a 256..299 value nulls
     * `toUInt8OrNull`), ClickHouse's case-insensitive inf/nan spellings,
     * and the Date/DateTime epoch defaults. Row-wise over a pruned scan;
     * no shuffle beyond the sort.
@@ -2554,7 +2558,7 @@ object Relational {
         |  toUInt8OrNull(toString(o_orderkey % 300)) AS u8,
         |  toUInt16OrZero(toString(o_orderkey * 7)) AS u16,
         |  toUInt32OrNull(toString(-o_orderkey - 1)) AS u32_neg,
-        |  toUInt64OrNull(toString(o_orderkey + 4294967295)) AS u64_big,
+        |  toString(toUInt64OrNull(toString(o_orderkey + 4294967295))) AS u64_big,
         |  toFloat64OrNull(concat(toString(o_orderkey), '.25')) AS f64,
         |  toString(toFloat64OrNull(multiIf(o_orderkey % 3 = 0, 'inf', o_orderkey % 3 = 1, '-Infinity', 'nan'))) AS f64_spec,
         |  toFloat32OrZero('junk') AS f32_zero,
@@ -2791,5 +2795,67 @@ object Relational {
         |JOIN big ON l_linestatus = ls
         |GROUP BY l_linestatus
         |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** The r13 ngram batch: `ngramDistance`/`ngramSearch` (ClickHouse's
+    * documented 4-gram multiset algebra, computed exactly — see the
+    * kernel scaladoc) over `documents` string slices, including the
+    * <4-char empty-multiset boundary (`lang` is 2 chars) and the
+    * case-insensitive variants. The oracle reconstructs the same
+    * definition relationally in DuckDB (UNNEST the gram positions,
+    * GROUP BY gram, Σ min(count_a, count_b) — an independent spelling
+    * of the multiset arithmetic, no lambdas). ASCII data makes byte
+    * grams ≡ character grams on both sides; the UTF-8 multibyte
+    * boundary is spec-pinned instead. Row-wise over a pruned scan.
+    */
+  def sqlChNgram(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("documents"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT doc_id,
+        |  toInt64(floor(ngramDistance(substring(text, 1, 24), substring(text, 25, 24)) * 10000 + 0.5)) AS nd_4,
+        |  toInt64(floor(ngramDistanceCaseInsensitive(upper(substring(text, 1, 16)), substring(text, 9, 16)) * 10000 + 0.5)) AS ndci_4,
+        |  toInt64(floor(ngramDistance(lang, source) * 10000 + 0.5)) AS nd_tiny_4,
+        |  toInt64(floor(ngramSearch(text, replace(substring(text, 10, 12), 'a', 'e')) * 10000 + 0.5)) AS ns_4,
+        |  toInt64(floor(ngramSearchCaseInsensitive(text, upper(replace(substring(text, 10, 12), 'a', 'e'))) * 10000 + 0.5)) AS nsci_4
+        |FROM documents
+        |WHERE doc_id < 120
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  /** The r13 exponentialMovingAverage query: the docs-pinned
+    * order-independent closed form (see the kernel scaladoc) per event
+    * type with a one-hour half-life over epoch seconds. The oracle
+    * spells the SAME closed form as plain SQL — (1 − 2^(−1/x)) ·
+    * Σ v·2^(−(max(t)−t)/x) — which is exactly why the mapping is
+    * faithful: the formula is a sum, not a row-order recurrence.
+    * 1e4-scaled (stated drift bound: double summation order).
+    */
+  def sqlChEma(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("events"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT event_type,
+        |  toInt64(floor(exponentialMovingAverage(3600)(value, toUnixTimestamp(ts)) * 10000 + 0.5)) AS ema_4,
+        |  toInt64(floor(exponentialMovingAverage(86400)(value, toUnixTimestamp(ts)) * 10000 + 0.5)) AS ema_day_4
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin)
+  }
+
+  /** The r13 sparkbar query: monthly order-value sparklines per
+    * priority, explicit [1, 12] bounds (the oracle reconstructs the
+    * stated bucket/glyph contract — index, ⌈sum·8/max⌉ level, space
+    * for empty — with the same integer-exact bucket arithmetic; the
+    * data-derived-bounds form is spec-pinned). One shuffle on the
+    * group key; the glyph fold is per-group over the collected pairs.
+    */
+  def sqlChSparkbar(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderpriority,
+        |  sparkbar(12, 1, 12)(toMonth(o_orderdate), o_totalprice) AS bar12,
+        |  sparkbar(6, 1, 12)(toMonth(o_orderdate), o_totalprice) AS bar6
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
   }
 }

@@ -686,12 +686,35 @@ object ClickHouseSqlRewrite {
     * as is a lambda APPLY (`APPLY x -> …`) or an unregistered table.
     * `t.*` qualified stars pass through untouched.
     */
+  /** True when the `*` at `star` is a SELECT-LIST star — the previous
+    * non-space masked token is SELECT, DISTINCT, a comma, or an opening
+    * paren. Anything else (`price * replace`, `2 * apply`) is
+    * MULTIPLICATION by a column that happens to be named like a
+    * modifier keyword, and the transformer path must not engage (the
+    * r12 regex alone threw a false-positive error on such valid SQL).
+    */
+  private def isSelectListStar(masked: String, star: Int): Boolean = {
+    var i = star - 1
+    while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+    if (i < 0) return true // a leading `*` can only be a select star
+    val c = masked.charAt(i)
+    if (c == ',' || c == '(') return true
+    if (!isWordChar(c)) return false
+    var j = i
+    while (j >= 0 && isWordChar(masked.charAt(j))) j -= 1
+    val w = masked.substring(j + 1, i + 1)
+    w.equalsIgnoreCase("SELECT") || w.equalsIgnoreCase("DISTINCT")
+  }
+
   private def rewriteStarTransformers(sql: String, masked: String): String = {
     val m = StarModRe.matcher(masked)
     while (m.find()) {
-      // A qualified star (t.* EXCEPT …) is left to Spark.
+      // A qualified star (t.* EXCEPT …) is left to Spark; a `*` that is
+      // not a select-list star is multiplication, not a transformer.
       if (m.start() > 0 && masked.charAt(m.start() - 1) == '.') {
         // keep scanning
+      } else if (!isSelectListStar(masked, m.start())) {
+        // keep scanning — `expr * replace/apply/except_col` is arithmetic
       } else {
         val out = expandStar(sql, masked, m.start())
         if (out ne sql) return out
@@ -1667,16 +1690,28 @@ object ClickHouseSqlRewrite {
               throw new IllegalArgumentException(
                 "ClickHouse SQL: largestTriangleThreeBuckets(n)(x, y)")
             s"graft_ch_lttb($params\n, $args\n)"
+          // sparkbar(n[, min_x, max_x])(x, y) — the stated-contract
+          // renderer (see [[ClickHouseFunctions]]' graft_ch_sparkbar
+          // scaladoc for the bucket/glyph rules the r12 named error
+          // said ClickHouse's docs don't pin).
           case "sparkbar" =>
-            throw new IllegalArgumentException(ClickHouseFunctions.SparkbarError)
+            if (splitItems(masked, pStart, pEnd).length != 1 &&
+              splitItems(masked, pStart, pEnd).length != 3)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: sparkbar(n[, min_x, max_x])(x, y)")
+            if (splitItems(masked, aStart, aEnd).length != 2)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: sparkbar(n[, min_x, max_x])(x, y)")
+            s"graft_ch_sparkbar($params\n, $args\n)"
+          // exponentialMovingAverage(x)(v, t) — rewritten to the 3-arg
+          // registry spelling (the docs-pinned order-independent closed
+          // form; see [[ClickHouseFunctions]]).
           case "exponentialmovingaverage" =>
-            throw new IllegalArgumentException(
-              "ClickHouse SQL: exponentialMovingAverage folds in " +
-                "ClickHouse's row order, which a distributed engine does " +
-                "not have — spell the decay explicitly over a window: " +
-                "sum(v * pow(0.5, (t_now - t) / half_life)) OVER (ORDER " +
-                "BY t) / sum(pow(...)) OVER (...), the deterministic " +
-                "time-anchored form")
+            if (splitItems(masked, pStart, pEnd).length != 1 ||
+              splitItems(masked, aStart, aEnd).length != 2)
+              throw new IllegalArgumentException(
+                "ClickHouse SQL: exponentialMovingAverage(x)(v, t)")
+            s"exponentialMovingAverage($params\n, $args\n)"
           // quantileTiming is ClickHouse's third approximate quantile
           // sketch (fixed-bucket timing histogram) — approx↔approx, like
           // bare quantile/quantileTDigest.
@@ -2170,15 +2205,6 @@ object ClickHouseFunctions {
   private def chEpochSeconds(e: Expression): Expression =
     Cast(Cast(e, TimestampType), LongType)
 
-  /** The one sparkbar refusal, shared by the registry entry and the
-    * rewriter's parameterized-form case so the guidance cannot drift.
-    */
-  private[plans] val SparkbarError: String =
-    "ClickHouse SQL: sparkbar's rendering rules (the empty-bucket " +
-      "glyph, level rounding) are implementation details its docs " +
-      "state no contract for — bucket explicitly (toStartOfInterval " +
-      "/ intDiv) and render each bucket with bar(sum, 0, max, width)"
-
   /** The geohash base32 alphabet (no a/i/l/o). */
   private val GeoB32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
@@ -2418,6 +2444,232 @@ object ClickHouseFunctions {
   private def lam1(f: Expression => Expression): LambdaFunction = {
     val x = UnresolvedNamedLambdaVariable(Seq("__graft_x"))
     LambdaFunction(f(x), Seq(x))
+  }
+
+  /** The 4-gram MULTISET of a string, as array<string> — the shared
+    * kernel of the ngramDistance/ngramSearch family (r13, replacing the
+    * r12 named errors). ClickHouse DOCUMENTS the algorithm (4-gram
+    * multiset symmetric / non-symmetric difference, normalized); its
+    * implementation folds grams into 2^16 hashed counters, an internal
+    * device whose collisions can perturb its result — this kernel
+    * computes the documented definition EXACTLY, the same
+    * exact-beats-approx stance as topK/uniqExact.
+    *
+    * Byte variants gram over the UTF-8 BYTES via the hex render (two
+    * hex chars per byte, so a byte 4-gram is an 8-char hex slice at an
+    * even offset — ClickHouse's byte windows with no binary-comparison
+    * semantics to depend on); UTF8 variants gram over CODE POINTS (Java
+    * regex `.` is code-point-wise, so astral-plane characters count
+    * once). Both extractions are ONE regex scan
+    * (`(?=(gram))advance` — the zero-width lookahead captures each
+    * overlapping gram, the consumed chars pace the walk: 1 code point
+    * for UTF8 grams, 2 hex chars = 1 byte for byte grams), keeping the
+    * whole family codegen-friendly with no per-gram string re-scan.
+    * Case-insensitive byte variants lower ASCII A–Z only (ClickHouse's
+    * byte tolower, via translate); the UTF8 CI variants use full
+    * Unicode lowercasing. Strings shorter than 4 (bytes / code points)
+    * have the EMPTY multiset — the boundary the usage strings state.
+    */
+  private def chNgramMultiset(s0: Expression, ci: Boolean,
+      utf8: Boolean): Expression = {
+    val s = Cast(s0, StringType)
+    val lowered: Expression =
+      if (!ci) s
+      else if (utf8) Lower(s)
+      else StringTranslate(s,
+        Literal("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+        Literal("abcdefghijklmnopqrstuvwxyz"))
+    if (utf8)
+      RegExpExtractAll(lowered, Literal("(?s)(?=(.{4}))."), Literal(1))
+    else
+      RegExpExtractAll(Hex(Cast(lowered, BinaryType)),
+        Literal("(?s)(?=(.{8})).."), Literal(1))
+  }
+
+  /** Shared ngram multiset fold: accumulates `common` =
+    * Σ_g min(cnt_a(g), cnt_b(g)) over the DISTINCT grams of the first
+    * array (the support of the min — grams absent from `a` contribute
+    * 0, so distinct(a) suffices), then hands (|a|, |b|, common) to
+    * `finish`. Both gram arrays are threaded through the fold's ZERO
+    * STATE so they are built once per row, not re-built per distinct
+    * gram (the LTTB fold-state lesson); per-gram counting filters the
+    * state arrays, O(distinct·(|a|+|b|)) on inputs a scalar string
+    * bounds. NULL strings propagate to a NULL result.
+    */
+  private def chNgramFold(ga: Expression, gb: Expression,
+      finish: (Expression, Expression, Expression) => Expression): Expression = {
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_ngst"))
+    val g = UnresolvedNamedLambdaVariable(Seq("__graft_ngg"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_ngf"))
+    def fld(e: Expression, n: String) = UnresolvedExtractValue(e, Literal(n))
+    def cnt(arr: Expression) =
+      Cast(new Size(ArrayFilter(arr, lam1(x => EqualTo(x, g)))), LongType)
+    val step = CreateNamedStruct(Seq(
+      Literal("a"), fld(st, "a"),
+      Literal("b"), fld(st, "b"),
+      Literal("c"), Add(fld(st, "c"),
+        Least(Seq(cnt(fld(st, "a")), cnt(fld(st, "b")))))))
+    ArrayAggregate(ArrayDistinct(ga),
+      CreateNamedStruct(Seq(
+        Literal("a"), ga, Literal("b"), gb, Literal("c"), Literal(0L))),
+      LambdaFunction(step, Seq(st, g)),
+      LambdaFunction(finish(
+        Cast(new Size(fld(fin, "a")), LongType),
+        Cast(new Size(fld(fin, "b")), LongType),
+        fld(fin, "c")), Seq(fin)))
+  }
+
+  /** ngramDistance: symmetric difference over total gram count —
+    * (|a| + |b| − 2·common) / max(|a| + |b|, 1). Two gram-less strings
+    * are distance 0 (identical), a gram-less string vs a grammed one is
+    * distance 1 — the stated max(,1) boundary.
+    */
+  private def chNgramDistanceExpr(hay: Expression, needle: Expression,
+      ci: Boolean, utf8: Boolean): Expression =
+    chNgramFold(chNgramMultiset(hay, ci, utf8),
+      chNgramMultiset(needle, ci, utf8),
+      (na, nb, c) => {
+        val tot = Add(na, nb)
+        Divide(Cast(Subtract(tot, Multiply(c, Literal(2L))), DoubleType),
+          Cast(Greatest(Seq(tot, Literal(1L))), DoubleType))
+      })
+
+  /** ngramSearch: the needle-anchored similarity — common / max(|needle
+    * grams|, 1) (equivalently 1 − non-symmetric difference /
+    * |needle grams|, ClickHouse's documented form; closer to 1 = needle
+    * more likely contained). A gram-less needle scores 0, stated.
+    */
+  private def chNgramSearchExpr(hay: Expression, needle: Expression,
+      ci: Boolean, utf8: Boolean): Expression =
+    chNgramFold(chNgramMultiset(needle, ci, utf8),
+      chNgramMultiset(hay, ci, utf8),
+      (nn, _, c) => Divide(Cast(c, DoubleType),
+        Cast(Greatest(Seq(nn, Literal(1L))), DoubleType)))
+
+  /** exponentialMovingAverage(x)(v, t) — ClickHouse's exponentially
+    * smoothed weighted moving average at the LATEST time point:
+    *
+    *   (1 − 2^(−1/x)) · Σ_i v_i · 2^(−(max(t) − t_i)/x)
+    *
+    * x = half-life in t's units. The normalizer is the unit-step
+    * geometric sum Σ_{k≥0} 2^(−k/x) inverted — the closed form pinned
+    * by ClickHouse's own docs' worked example (v≡1, t=1..10, x=1 →
+    * 1 − 2^(−n): 0.5, 0.75, 0.875, …). Unlike the deltaSum /
+    * groupArrayMovingSum order-dependent family, this sum is
+    * ORDER-INDEPENDENT by construction (every point decays to the one
+    * anchor max(t)); the fold still runs over the (t, v)-sorted pairs
+    * so double summation is bit-stable across partition orders. Pairs
+    * with a NULL value or time are skipped; an empty group returns 0.0.
+    * Cost class: groupArray + one fold (the moving-aggregate shape).
+    */
+  private def chEmaExpr(x0: Expression, v0: Expression,
+      t0: Expression): Expression = {
+    val x = Cast(x0, DoubleType)
+    def fld(e: Expression, n: String) = UnresolvedExtractValue(e, Literal(n))
+    val pair = CreateNamedStruct(Seq(
+      Literal("t"), Cast(t0, DoubleType),
+      Literal("v"), Cast(v0, DoubleType)))
+    val xs = new SortArray(CollectList(pair).toAggregateExpression(),
+      Literal(true))
+    // max t over pairs whose value is non-null (a skipped pair must not
+    // anchor the decay); ArrayMax ignores nulls.
+    val tmax = ArrayMax(ArrayTransform(xs, lam1(e =>
+      If(IsNull(fld(e, "v")), Literal.create(null, DoubleType),
+        fld(e, "t")))))
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_emst"))
+    val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_eme"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_emf"))
+    val decayed = Multiply(fld(e2, "v"),
+      Pow(Literal(2.0d),
+        Divide(Subtract(fld(e2, "t"), fld(st, "tmax")), x)))
+    val step = CreateNamedStruct(Seq(
+      Literal("tmax"), fld(st, "tmax"),
+      Literal("acc"),
+      If(Or(IsNull(fld(e2, "t")), IsNull(fld(e2, "v"))),
+        fld(st, "acc"), Add(fld(st, "acc"), decayed))))
+    val norm = Subtract(Literal(1.0d),
+      Pow(Literal(2.0d), Divide(Literal(-1.0d), x)))
+    ArrayAggregate(xs,
+      CreateNamedStruct(Seq(
+        Literal("tmax"), tmax, Literal("acc"), Literal(0.0d))),
+      LambdaFunction(step, Seq(st, e2)),
+      LambdaFunction(Multiply(fld(fin, "acc"), norm), Seq(fin)))
+  }
+
+  /** sparkbar(n[, min_x, max_x])(x, y) — ClickHouse's inline frequency
+    * sparkline: y summed into n equal-width x-buckets over
+    * [min_x, max_x] (defaulting to the group's min/max x), each bucket
+    * rendered as one glyph. The RENDERING CONTRACT is stated here (the
+    * r12 named error cited ClickHouse's docs pinning none): bucket
+    * index = ⌊(x − min)/(max − min)·n⌋ clamped to n−1 (min = max puts
+    * everything in bucket 0; x outside the bounds is dropped), an
+    * EMPTY or non-positive bucket renders ' ' (ClickHouse's own doc
+    * example shows interior spaces), and a positive bucket renders the
+    * 1/8-block glyph at level ⌈sum·8 / max_sum⌉ clamped to [1, 8] —
+    * '▁' through '█', the same 1/8 resolution as `bar`. NULL x/y rows
+    * are skipped; an empty group renders n spaces. The collected pairs
+    * are sorted before summing so double accumulation is bit-stable
+    * across partition orders. Cost class: groupArray + one fold with an
+    * O(n) bucket-array update per row.
+    */
+  private def chSparkbarExpr(n0: Expression, mnOpt: Option[Expression],
+      mxOpt: Option[Expression], x0: Expression,
+      y0: Expression): Expression = {
+    val n = Cast(n0, IntegerType)
+    def fld(e: Expression, f: String) = UnresolvedExtractValue(e, Literal(f))
+    val pair = CreateNamedStruct(Seq(
+      Literal("x"), Cast(x0, DoubleType),
+      Literal("y"), Cast(y0, DoubleType)))
+    val xs = new SortArray(CollectList(pair).toAggregateExpression(),
+      Literal(true))
+    def xsOf(which: String): Expression =
+      ArrayTransform(xs, lam1(e =>
+        If(IsNull(fld(e, "y")), Literal.create(null, DoubleType),
+          fld(e, which))))
+    val mn = mnOpt.map(Cast(_, DoubleType)).getOrElse(ArrayMin(xsOf("x")))
+    val mx = mxOpt.map(Cast(_, DoubleType)).getOrElse(ArrayMax(xsOf("x")))
+    val st = UnresolvedNamedLambdaVariable(Seq("__graft_sbst"))
+    val e2 = UnresolvedNamedLambdaVariable(Seq("__graft_sbe"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("__graft_sbf"))
+    val exv = fld(e2, "x")
+    // Bucket index of this row's x against the state's bounds.
+    val idx = If(EqualTo(fld(st, "mn"), fld(st, "mx")), Literal(0L),
+      Least(Seq(
+        Cast(Floor(Multiply(
+          Divide(Subtract(exv, fld(st, "mn")),
+            Subtract(fld(st, "mx"), fld(st, "mn")), EvalMode.LEGACY),
+          Cast(fld(st, "n"), DoubleType))), LongType),
+        Subtract(Cast(fld(st, "n"), LongType), Literal(1L)))))
+    val skip = Or(Or(IsNull(exv), IsNull(fld(e2, "y"))),
+      Or(IsNull(fld(st, "mn")),
+        Or(LessThan(exv, fld(st, "mn")),
+          GreaterThan(exv, fld(st, "mx")))))
+    val sv = UnresolvedNamedLambdaVariable(Seq("__graft_sbv"))
+    val si = UnresolvedNamedLambdaVariable(Seq("__graft_sbi"))
+    val bumped = ArrayTransform(fld(st, "sums"), LambdaFunction(
+      If(EqualTo(Cast(si, LongType), idx),
+        Add(Coalesce(Seq(sv, Literal(0.0d))), fld(e2, "y")), sv),
+      Seq(sv, si)))
+    val step = CreateNamedStruct(Seq(
+      Literal("n"), fld(st, "n"),
+      Literal("mn"), fld(st, "mn"),
+      Literal("mx"), fld(st, "mx"),
+      Literal("sums"), If(skip, fld(st, "sums"), bumped)))
+    val gv = UnresolvedNamedLambdaVariable(Seq("__graft_sbg"))
+    val glyphs = ArrayTransform(fld(fin, "sums"), LambdaFunction(
+      If(Or(IsNull(gv), LessThanOrEqual(gv, Literal(0.0d))), Literal(" "),
+        Substring(Literal("▁▂▃▄▅▆▇█"),
+          Cast(Greatest(Seq(Literal(1L), Least(Seq(Literal(8L),
+            Cast(Ceil(Divide(Multiply(gv, Literal(8.0d)),
+              ArrayMax(fld(fin, "sums")), EvalMode.LEGACY)), LongType))))),
+            IntegerType),
+          Literal(1))), Seq(gv)))
+    ArrayAggregate(xs,
+      CreateNamedStruct(Seq(
+        Literal("n"), n, Literal("mn"), mn, Literal("mx"), mx,
+        Literal("sums"), ArrayRepeat(Literal.create(null, DoubleType), n))),
+      LambdaFunction(step, Seq(st, e2)),
+      LambdaFunction(new ArrayJoin(glyphs, Literal(""), None), Seq(fin)))
   }
 
   /** quantileExactLow/High — ClickHouse's documented rules: the
@@ -3179,10 +3431,14 @@ object ClickHouseFunctions {
     // variant keeps string values QUOTED and null values as the text
     // `null` — exactly ClickHouse's JSONExtractRaw rendering. Absent
     // paths and invalid JSON take ClickHouse's defaults ('' / 0 / []),
-    // not NULL.
+    // not NULL. Two RE-RENDER divergences, stated (the variant codec
+    // round-trips values, ClickHouse echoes the document's bytes):
+    // object keys come back SORTED, and numbers come back CANONICALIZED
+    // ('1.50' → '1.5', '1e2' → a plain or normalized exponent form) —
+    // both pinned in ClickHouseSqlSpec.
     ("JSONHas", "JSONHas(json, key_or_index...) - true when the path exists (a JSON null value still exists)",
       es => IsNotNull(chVariantAt(es.head, jsonPathLit("JSONHas", es)))),
-    ("JSONExtractRaw", "JSONExtractRaw(json, key_or_index...) - raw JSON text at the path (strings stay quoted; object keys re-render SORTED, the variant canonical order); '' when absent",
+    ("JSONExtractRaw", "JSONExtractRaw(json, key_or_index...) - raw JSON text at the path (strings stay quoted; object keys re-render SORTED and numbers re-render CANONICALIZED ('1.50' -> '1.5', exponent forms normalized) - the variant codec re-renders, it does not echo the document's bytes as ClickHouse does); '' when absent",
       es => {
         val path = if (es.length == 1) Literal("$")
           else jsonPathLit("JSONExtractRaw", es)
@@ -3190,7 +3446,7 @@ object ClickHouseFunctions {
           StructsToJson(Map.empty[String, String],
             chVariantAt(es.head, path), None),
           Literal(""))) }),
-    ("JSONExtractArrayRaw", "JSONExtractArrayRaw(json, key_or_index...) - array elements as raw JSON texts; [] when the path is not an array",
+    ("JSONExtractArrayRaw", "JSONExtractArrayRaw(json, key_or_index...) - array elements as raw JSON texts (the JSONExtractRaw re-render contract: keys sorted, numbers canonicalized); [] when the path is not an array",
       es => {
         val path = if (es.length == 1) Literal("$")
           else jsonPathLit("JSONExtractArrayRaw", es)
@@ -4536,26 +4792,47 @@ object ClickHouseFunctions {
     // The remaining common spellings with no faithful mapping — each a
     // NAMED error carrying the closest exact alternative, never a
     // silent approximation.
-    ("ngramDistance", "ngramDistance - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: ngramDistance is not supported — ClickHouse's " +
-          "4-gram frequency-vector distance is defined by internals its " +
-          "docs state no contract for (hash tables, length clipping), so " +
-          "a mapping could not be verified exact; the mapped exact " +
-          "alternatives are editDistance, byteHammingDistance, and " +
-          "stringJaccardIndex")),
-    ("ngramSearch", "ngramSearch - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: ngramSearch is not supported (same contract gap " +
-          "as ngramDistance) — for containment-style checks use " +
-          "multiSearchAny, position, or match")),
-    ("exponentialMovingAverage", "exponentialMovingAverage - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: exponentialMovingAverage folds in ClickHouse's " +
-          "row order, which a distributed engine does not have — spell " +
-          "the decay explicitly over a window: sum(v * pow(0.5, (t_now - " +
-          "t) / half_life)) OVER (ORDER BY t) / sum(pow(...)) OVER (...), " +
-          "the deterministic time-anchored form")),
+    // ngramDistance/ngramSearch (r13, replacing r12 named errors):
+    // ClickHouse's DOCUMENTED 4-gram multiset algorithm computed
+    // exactly — see [[chNgramMultiset]] for the byte-vs-UTF8 gram
+    // contract, the exact-vs-hashed-counter stance, and the <4-char
+    // empty-multiset boundary.
+    ("ngramDistance", "ngramDistance(haystack, needle) - 4-gram multiset symmetric difference / total gram count, DOUBLE in [0,1], 0 = identical (ClickHouse's documented definition computed EXACTLY over UTF-8 byte grams; ClickHouse folds grams into 2^16 hashed counters whose collisions can perturb its result, and renders Float32 - the wider DOUBLE lane is stated; strings under 4 bytes have the empty multiset: two gram-less strings -> 0, gram-less vs grammed -> 1)",
+      es => { require(es.length == 2, "ngramDistance(haystack, needle)")
+        chNgramDistanceExpr(es.head, es(1), ci = false, utf8 = false) }),
+    ("ngramDistanceCaseInsensitive", "ngramDistanceCaseInsensitive(haystack, needle) - ngramDistance after ASCII A-Z lowering (ClickHouse's byte tolower; non-ASCII case is NOT folded in the byte variant)",
+      es => { require(es.length == 2,
+        "ngramDistanceCaseInsensitive(haystack, needle)")
+        chNgramDistanceExpr(es.head, es(1), ci = true, utf8 = false) }),
+    ("ngramDistanceUTF8", "ngramDistanceUTF8(haystack, needle) - ngramDistance over CODE-POINT 4-grams (multi-byte characters count once)",
+      es => { require(es.length == 2, "ngramDistanceUTF8(haystack, needle)")
+        chNgramDistanceExpr(es.head, es(1), ci = false, utf8 = true) }),
+    ("ngramDistanceCaseInsensitiveUTF8", "ngramDistanceCaseInsensitiveUTF8(haystack, needle) - code-point 4-grams after full Unicode lowercasing",
+      es => { require(es.length == 2,
+        "ngramDistanceCaseInsensitiveUTF8(haystack, needle)")
+        chNgramDistanceExpr(es.head, es(1), ci = true, utf8 = true) }),
+    ("ngramSearch", "ngramSearch(haystack, needle) - common 4-grams / needle 4-grams, DOUBLE in [0,1], closer to 1 = needle more likely contained (ClickHouse's documented non-symmetric form 1 - diff/|needle|, computed exactly over UTF-8 byte grams; a needle under 4 bytes scores 0, stated)",
+      es => { require(es.length == 2, "ngramSearch(haystack, needle)")
+        chNgramSearchExpr(es.head, es(1), ci = false, utf8 = false) }),
+    ("ngramSearchCaseInsensitive", "ngramSearchCaseInsensitive(haystack, needle) - ngramSearch after ASCII A-Z lowering",
+      es => { require(es.length == 2,
+        "ngramSearchCaseInsensitive(haystack, needle)")
+        chNgramSearchExpr(es.head, es(1), ci = true, utf8 = false) }),
+    ("ngramSearchUTF8", "ngramSearchUTF8(haystack, needle) - ngramSearch over code-point 4-grams",
+      es => { require(es.length == 2, "ngramSearchUTF8(haystack, needle)")
+        chNgramSearchExpr(es.head, es(1), ci = false, utf8 = true) }),
+    ("ngramSearchCaseInsensitiveUTF8", "ngramSearchCaseInsensitiveUTF8(haystack, needle) - code-point 4-grams after full Unicode lowercasing",
+      es => { require(es.length == 2,
+        "ngramSearchCaseInsensitiveUTF8(haystack, needle)")
+        chNgramSearchExpr(es.head, es(1), ci = true, utf8 = true) }),
+    // exponentialMovingAverage (r13, replacing the r12 named error):
+    // the docs-pinned closed form is ORDER-INDEPENDENT (every point
+    // decays to the max-t anchor), so no row-order determinization is
+    // even needed — see [[chEmaExpr]]. Registered at the 3-arg spelling
+    // the agg(params)(args) rewrite emits; the bare call works too.
+    ("exponentialMovingAverage", "exponentialMovingAverage(x)(v, t) - (1 - 2^(-1/x)) * sum(v_i * 2^(-(max(t) - t_i)/x)), x = half-life in t's units (ClickHouse's exponentially smoothed weighted moving average at the latest time point, pinned by its docs' worked example; order-independent, folded over (t, v)-sorted pairs for bit-stable doubles; NULL pairs skipped; empty group -> 0.0)",
+      es => { require(es.length == 3, "exponentialMovingAverage(x)(v, t)")
+        chEmaExpr(es.head, es(1), es(2)) }),
     ("studentTTest", "studentTTest - not mapped; a named error",
       _ => throw new IllegalArgumentException(
         "ClickHouse SQL: studentTTest/welchTTest return p-values from the " +
@@ -5245,8 +5522,28 @@ object ClickHouseFunctions {
     ("timeDiff", "timeDiff(a, b) - seconds from a to b (ClickHouse's dateDiff('second', a, b) shorthand, on the same epoch-seconds kernel)",
       es => { require(es.length == 2, "timeDiff(a, b)")
         Subtract(chEpochSeconds(es(1)), chEpochSeconds(es.head)) }),
-    ("sparkbar", "sparkbar - not mapped; a named error",
-      _ => throw new IllegalArgumentException(SparkbarError)),
+    // sparkbar (r13, replacing the r12 named error) — the stated-
+    // contract renderer: see [[chSparkbarExpr]] for the bucket-index,
+    // empty-bucket-space, and ⌈sum·8/max⌉ glyph-level rules this layer
+    // pins (ClickHouse documents the SHAPE — n buckets over
+    // [min_x, max_x], doc example shows interior spaces — but not the
+    // level rounding; the contract here is explicit, not silent). The
+    // 3/5-arg spellings are what the agg(params)(args) rewrite emits;
+    // the bare registry name accepts them too.
+    ("graft_ch_sparkbar", "sparkbar(n[, min_x, max_x])(x, y) - n-glyph sparkline of y summed into equal-width x buckets; empty/non-positive bucket -> ' ', else 1/8-block glyph at ceil(sum*8/max_sum) in [1,8]",
+      es => {
+        require(es.length == 3 || es.length == 5,
+          "sparkbar(n[, min_x, max_x])(x, y)")
+        if (es.length == 3) chSparkbarExpr(es.head, None, None, es(1), es(2))
+        else chSparkbarExpr(es.head, Some(es(1)), Some(es(2)), es(3), es(4))
+      }),
+    ("sparkbar", "sparkbar(n[, min_x, max_x], x, y) - the bare-call spelling of graft_ch_sparkbar (ClickHouse's form is sparkbar(n)(x, y), accepted via the parameterized-call rewrite)",
+      es => {
+        require(es.length == 3 || es.length == 5,
+          "sparkbar(n[, min_x, max_x], x, y)")
+        if (es.length == 3) chSparkbarExpr(es.head, None, None, es(1), es(2))
+        else chSparkbarExpr(es.head, Some(es(1)), Some(es(2)), es(3), es(4))
+      }),
     // Vector NORMS — the single-vector companions of the distance
     // family above, on the same vecFold kernel (norm(v) ≡
     // distance(v, 0) without materializing a zero vector). The

@@ -218,9 +218,15 @@ class ClickHouseSqlSpec extends SparkSpec {
   }
 
   test("execution: conversion functions cast exactly") {
-    val r = ClickHouseSql.sql(spark,
+    val df = ClickHouseSql.sql(spark,
       """SELECT toInt64('42') AS a, toInt32(7.0) AS b, toUInt64(9) AS c,
-        |       toString(DATE'2024-02-29') AS d, toFloat64('2.5') AS e""".stripMargin).head()
+        |       toString(DATE'2024-02-29') AS d, toFloat64('2.5') AS e""".stripMargin)
+    // toUInt64's carrier is DECIMAL(20,0) — the only integral Spark type
+    // covering the UInt64 range. Pinned as a TYPE (oracled queries
+    // compare the lane through toString; the carrier is the contract).
+    assert(df.schema("c").dataType ==
+      org.apache.spark.sql.types.DecimalType(20, 0), df.schema)
+    val r = df.head()
     assert(r.getLong(0) == 42L && r.getInt(1) == 7 &&
       r.getDecimal(2).longValueExact() == 9L &&
       r.getString(3) == "2024-02-29" && r.getDouble(4) == 2.5, r)
@@ -2797,19 +2803,12 @@ class ClickHouseSqlSpec extends SparkSpec {
         |FROM range(1)""".stripMargin).collect().head
     assert(al.getDouble(0) == 0.75d, al) // the 23.x rename, same kernel
     assert(al.getLong(1) == 125L, al)
+    // sparkbar is MAPPED since r13 — a malformed arity still raises the
+    // usage string, not a generic undefined-function error.
     val sb = intercept[IllegalArgumentException] {
-      ClickHouseSql.sql(spark, "SELECT sparkbar(9)(id, id) FROM range(1)")
+      ClickHouseSql.sql(spark, "SELECT sparkbar(9, 1)(id, id) FROM range(1)")
     }
-    assert(sb.getMessage.contains("bar(sum, 0, max, width)"), sb)
-    // The DIRECT registry form must raise the same guidance (the shared
-    // message constant), not a generic undefined-function error.
-    val sb2 = intercept[Exception] {
-      ClickHouseSql.sql(spark, "SELECT sparkbar(id, id) FROM range(1)")
-    }
-    val sb2Text = Iterator.iterate(sb2: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
-    assert(sb2Text.contains("bar(sum, 0, max, width)"), sb2)
+    assert(sb.getMessage.contains("sparkbar(n[, min_x, max_x])(x, y)"), sb)
     // Differential: the rank formula == brute-force pair counting with
     // half-credit ties, on 40 random score/label arrays.
     val rnd = new scala.util.Random(12)
@@ -2832,7 +2831,7 @@ class ClickHouseSqlSpec extends SparkSpec {
     }
   }
 
-  test("named errors: ngram*, t-tests, exponentialMovingAverage (both call forms), byteSize") {
+  test("named errors: t-tests, byteSize; malformed ngram/EMA arity raises usage") {
     // Registry-builder errors surface during ANALYSIS wrapped in Spark's
     // analysis exception — collect the whole cause chain's text.
     def err(sql: String): String = {
@@ -2840,22 +2839,169 @@ class ClickHouseSqlSpec extends SparkSpec {
       Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
         .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     }
-    assert(err("SELECT ngramDistance('ab', 'cd') FROM range(1)")
-      .contains("stringJaccardIndex"))
-    assert(err("SELECT ngramSearch('ab', 'x') FROM range(1)")
-      .contains("multiSearchAny"))
     assert(err("SELECT studentTTest(id, 1) FROM range(1)")
       .contains("t-distribution"))
     assert(err("SELECT welchTTest(id, 1) FROM range(1)").contains("Welch"))
     assert(err("SELECT mannWhitneyUTest(id, 1) FROM range(1)")
       .contains("rank"))
     assert(err("SELECT byteSize(id) FROM range(1)").contains("octet_length"))
-    // The parameterized agg(params)(args) spelling hits the SAME named
-    // error at rewrite time, not Spark's generic undefined-function.
-    assert(err("SELECT exponentialMovingAverage(5)(id, id) FROM range(1)")
-      .contains("time-anchored"))
+    // ngram*/EMA are MAPPED since r13 — malformed arity still raises the
+    // usage string, not Spark's generic undefined-function.
+    assert(err("SELECT ngramDistance('ab') FROM range(1)")
+      .contains("ngramDistance(haystack, needle)"))
+    assert(err("SELECT exponentialMovingAverage(5)(id, id, id) FROM range(1)")
+      .contains("exponentialMovingAverage(x)(v, t)"))
     assert(err("SELECT exponentialMovingAverage(id, id) FROM range(1)")
-      .contains("time-anchored"))
+      .contains("exponentialMovingAverage(x)(v, t)"))
+  }
+
+  test("execution: ngramDistance/ngramSearch — documented 4-gram multiset algebra") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT ngramDistance('abcd', 'abcd') AS same,
+        |  ngramDistance('abcde', 'abcdf') AS half,
+        |  ngramDistance('ab', 'cd') AS both_empty,
+        |  ngramDistance('ab', 'abcd') AS one_empty,
+        |  ngramDistance('aaaaa', 'aaaa') AS multi,
+        |  ngramDistance('ABCD', 'abcd') AS case_sens,
+        |  ngramDistanceCaseInsensitive('ABCD', 'abcd') AS case_ci,
+        |  ngramSearch('abcdef', 'bcde') AS hit,
+        |  ngramSearch('abcdef', 'wxyz') AS miss,
+        |  ngramSearch('abcdef', 'ab') AS tiny_needle
+        |FROM range(1)""".stripMargin).head()
+    assert(r.getDouble(0) == 0.0d, r)
+    // {abcd,bcde} vs {abcd,bcdf}: common 1, tot 4 -> (4-2)/4 = 0.5
+    assert(r.getDouble(1) == 0.5d, r)
+    assert(r.getDouble(2) == 0.0d, r) // two gram-less strings
+    assert(r.getDouble(3) == 1.0d, r) // gram-less vs grammed
+    // MULTISET: {aaaa x2} vs {aaaa x1}: common 1, tot 3 -> 1/3
+    assert(math.abs(r.getDouble(4) - 1.0 / 3) < 1e-15, r)
+    assert(r.getDouble(5) == 1.0d, r)
+    assert(r.getDouble(6) == 0.0d, r)
+    assert(r.getDouble(7) == 1.0d, r)
+    assert(r.getDouble(8) == 0.0d, r)
+    assert(r.getDouble(9) == 0.0d, r) // gram-less needle, stated
+    // Byte-vs-code-point boundary: 'ééé' is 6 UTF-8 bytes (3 byte
+    // grams) but 3 code points (gram-less in the UTF8 variants).
+    val u = ClickHouseSql.sql(spark,
+      """SELECT ngramSearch('ééé', 'ééé') AS by_bytes,
+        |  ngramSearchUTF8('ééé', 'ééé') AS by_cps,
+        |  ngramDistanceUTF8('héllo', 'héllo') AS u_same,
+        |  ngramDistanceCaseInsensitiveUTF8('HÉLLO', 'héllo') AS u_ci,
+        |  ngramDistanceCaseInsensitive('HÉLLO', 'héllo') AS b_ci
+        |FROM range(1)""".stripMargin).head()
+    assert(u.getDouble(0) == 1.0d, u)
+    assert(u.getDouble(1) == 0.0d, u)
+    assert(u.getDouble(2) == 0.0d, u)
+    assert(u.getDouble(3) == 0.0d, u) // Unicode lowering folds É
+    assert(u.getDouble(4) > 0.0d, u)  // ASCII-only lowering does not
+    // Differential: random ASCII pairs vs a plain-Scala multiset
+    // reference of the documented formula (byte = char on ASCII).
+    def refGrams(s: String): Seq[String] =
+      if (s.length < 4) Seq.empty else (0 to s.length - 4).map(i => s.substring(i, i + 4))
+    def refDist(a: String, b: String): Double = {
+      val (ga, gb) = (refGrams(a), refGrams(b))
+      val common = ga.distinct.map(g =>
+        math.min(ga.count(_ == g), gb.count(_ == g))).sum
+      (ga.size + gb.size - 2.0 * common) / math.max(ga.size + gb.size, 1)
+    }
+    def refSearch(a: String, b: String): Double = {
+      val (ga, gb) = (refGrams(a), refGrams(b))
+      val common = gb.distinct.map(g =>
+        math.min(ga.count(_ == g), gb.count(_ == g))).sum
+      common.toDouble / math.max(gb.size, 1)
+    }
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(25) {
+      def s() = Seq.fill(rnd.nextInt(12))(('a' + rnd.nextInt(3)).toChar).mkString
+      (s(), s())
+    }
+    val got = ClickHouseSql.sql(spark,
+      pairs.zipWithIndex.map { case ((a, b), i) =>
+        s"SELECT $i AS i, ngramDistance('$a', '$b') AS d, ngramSearch('$a', '$b') AS s"
+      }.mkString(" UNION ALL ")).collect()
+      .map(r0 => r0.getInt(0) -> ((r0.getDouble(1), r0.getDouble(2)))).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(got(i)._1 - refDist(a, b)) < 1e-12, (a, b, got(i)))
+      assert(math.abs(got(i)._2 - refSearch(a, b)) < 1e-12, (a, b, got(i)))
+    }
+  }
+
+  test("execution: exponentialMovingAverage — docs example pin + reference fold + NULL skip") {
+    // ClickHouse's docs' worked example: v=1, t=1..10, x=1 -> 1 - 2^-n.
+    val doc = ClickHouseSql.sql(spark,
+      """SELECT exponentialMovingAverage(1)(1.0, id + 1) AS ema
+        |FROM range(10)""".stripMargin).head().getDouble(0)
+    assert(math.abs(doc - (1.0 - math.pow(2.0, -10))) < 1e-12, doc)
+    // Plain-Scala reference of the closed form on irregular timestamps.
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(40)((rnd.nextInt(1000).toDouble, rnd.nextDouble() * 20 - 5))
+    val x = 37.0
+    val tmax = pts.map(_._1).max
+    val want = (1.0 - math.pow(2.0, -1.0 / x)) *
+      pts.map { case (t, v) => v * math.pow(2.0, -(tmax - t) / x) }.sum
+    val rows = pts.map { case (t, v) => s"SELECT $t AS t, $v AS v" }
+      .mkString(" UNION ALL ")
+    val got = ClickHouseSql.sql(spark,
+      s"SELECT exponentialMovingAverage($x)(v, t) AS ema FROM ($rows)")
+      .head().getDouble(0)
+    assert(math.abs(got - want) < 1e-9 * math.max(math.abs(want), 1.0), (got, want))
+    // NULL pairs are skipped, and must not anchor the decay even when
+    // the NULL-valued row carries the latest timestamp.
+    val ns = ClickHouseSql.sql(spark,
+      """SELECT exponentialMovingAverage(1)(v, t) AS ema FROM (
+        |  SELECT 1.0 AS t, 1.0 AS v
+        |  UNION ALL SELECT 2.0, 1.0
+        |  UNION ALL SELECT 99.0, CAST(NULL AS DOUBLE))""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(ns - 0.75) < 1e-12, ns) // the 2-point docs value
+  }
+
+  test("execution: sparkbar — stated bucket/glyph contract") {
+    // 4 buckets over [1, 8]: idx = floor((x-1)/7*4) clamped to 3.
+    // x=1,2 -> 0; x=3 -> 1; x=5 -> 2; x=8 -> 3. Bucket sums 3, 1, 2, 4
+    // -> levels ceil(s*8/4) = 6, 2, 4, 8.
+    val r = ClickHouseSql.sql(spark,
+      """SELECT sparkbar(4)(x, y) AS auto_bounds,
+        |  sparkbar(4, 1, 8)(x, y) AS explicit,
+        |  sparkbar(6, 1, 8)(x, y) AS with_gaps
+        |FROM (
+        |  SELECT 1 AS x, 1.0 AS y UNION ALL SELECT 2, 2.0
+        |  UNION ALL SELECT 3, 1.0 UNION ALL SELECT 5, 2.0
+        |  UNION ALL SELECT 8, 4.0)""".stripMargin).head()
+    assert(r.getString(0) == "▆▂▄█", r)
+    assert(r.getString(1) == "▆▂▄█", r)
+    // 6 buckets over [1,8]: x=1,2 -> 0; x=3 -> 1; x=5 -> 3; x=8 -> 5.
+    // Sums 3,1,_,2,_,4 -> glyphs at ceil(s*8/4) with spaces inside.
+    assert(r.getString(2) == "▆▂ ▄ █", r)
+    // Out-of-bounds x dropped; non-positive bucket sum renders ' ';
+    // a single-point group with equal bounds lands in bucket 0.
+    val e = ClickHouseSql.sql(spark,
+      """SELECT sparkbar(3, 0, 2)(x, y) AS s,
+        |  sparkbar(2)(z, y) AS eq_bounds
+        |FROM (
+        |  SELECT 0 AS x, 1.0 AS y, 5 AS z
+        |  UNION ALL SELECT 1, -2.0, 5
+        |  UNION ALL SELECT 9, 7.0, 5)""".stripMargin).head()
+    assert(e.getString(0) == "█  ", e)
+    assert(e.getString(1) == "█ ", e)
+  }
+
+  test("star transformers do not engage on multiplication by a column named like a modifier") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT price * replace AS x, 3 * apply AS y
+        |FROM (SELECT CAST(10.0 AS DOUBLE) AS price,
+        |             CAST(2.0 AS DOUBLE) AS replace, 4 AS apply
+        |      FROM range(1))""".stripMargin).head()
+    assert(r.getDouble(0) == 20.0d && r.getInt(1) == 12, r)
+  }
+
+  test("JSONExtractRaw re-render contract: numbers canonicalized, keys sorted (pinned divergence)") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT JSONExtractRaw('{"a": 1.50}', 'a') AS num,
+        |  JSONExtractRaw('{"b": {"z": 1, "a": 2}}', 'b') AS keys
+        |FROM range(1)""".stripMargin).head()
+    assert(r.getString(0) == "1.5", r)
+    assert(r.getString(1) == """{"a":2,"z":1}""", r)
   }
 
   test("review fixes: conversion strictness corners, NULL-in propagation, empty-input guards") {

@@ -78,9 +78,12 @@ class SchemaDisciplineSpec extends SparkSpec {
     "sink_coalesce" -> Seq("o_totalprice"),
     "sink_partitioned_prune" -> Seq("o_totalprice"),
     "sort_limit_topk" -> Seq("l_extendedprice"),
-    // r12: f64 is a genuine double lane (the oracle computes the same
-    // DOUBLE arithmetic); f32_zero pins the Float32 type default
-    // against DuckDB's REAL — both hash-green in the r12 verify.
+    // r12/r13: f64 is a genuine double lane (the oracle computes the
+    // same DOUBLE arithmetic); f32_zero pins the Float32 type default
+    // against DuckDB's REAL. The u64_big DECIMAL(20,0) lane was the one
+    // r12 hash-red row (value-correct, carrier-rendered differently by
+    // the two engines' drivers) — r13 compares it through toString;
+    // ClickHouseSqlSpec pins the DECIMAL(20,0) carrier type itself.
     "sql_ch_conv" -> Seq("f64", "f32_zero"),
     // r12: the published geohash decode values are exact binary
     // midpoints — both sides render the same DOUBLE.
