@@ -119,6 +119,30 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.loadGatePassed(0.4, -1.0, gateBefore = 2.0, gateAfter = 8.0))
   }
 
+  test("fresh-process escalation: a still-inflated min is replaced, never worsened (the r12 worktree shape)") {
+    // The adversarial r12 shape: dedup_eval's artifact min 10.23s vs a
+    // prior-round 1.39s — every in-JVM run agreed (contamination shifts
+    // them together), so triggers 1–3's retry already ran and kept it.
+    // The escalation must fire on the FINAL min...
+    assert(Bench.needsFreshRetry(10.23, Some(1.39)))
+    // ...and folding the fresh (isolated) run in replaces the number.
+    assert(Bench.mergeFresh(10.23, Some(1.41)) == 1.41)
+    // A fresh run can only lower: slower-than-artifact (the fresh JVM hit
+    // its own contention) keeps the artifact min.
+    assert(Bench.mergeFresh(10.23, Some(12.0)) == 10.23)
+    // A failed (−1) or absent fresh run changes nothing.
+    assert(Bench.mergeFresh(10.23, Some(-1.0)) == 10.23)
+    assert(Bench.mergeFresh(10.23, None) == 10.23)
+    // An all-failed in-JVM query (−1) takes a successful fresh value.
+    assert(Bench.mergeFresh(-1.0, Some(2.0)) == 2.0)
+    // No prior / clean min / sub-noise-floor min: never escalates.
+    assert(!Bench.needsFreshRetry(10.23, None))
+    assert(!Bench.needsFreshRetry(1.5, Some(1.39)))
+    assert(!Bench.needsFreshRetry(0.19, Some(0.01)))
+    // Boundary: exactly 3× does not fire (same as trigger 3).
+    assert(!Bench.needsFreshRetry(3.0 * 1.39, Some(1.39)))
+  }
+
   test("family boundaries fall exactly at the first query of each new name-family") {
     val names = Seq("agg_cube", "agg_mode", "dedup_exact", "dedup_simhash",
       "sql_tpch_q1", "window_rank")
