@@ -33,7 +33,8 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
     "`qualify`", "`prewhere`", "`settings`", "fill", "global", "topk",
     "quantile", "windowfunnel", "asof", "sample", "totals", "final",
     "interpolate", "transform", "dictget", "toweek", "position", "apply",
-    "`except`", "replace", "geohashencode", "a", "b", "k", "v")
+    "`except`", "replace", "geohashencode", "sparkbar", "ngramdistance",
+    "exponentialmovingaverage", "a", "b", "k", "v")
 
   private val trickyLiteral = Gen.oneOf(
     "'LIMIT 3 BY u'", "'QUALIFY rn <= 2'", "'PREWHERE x'",
@@ -96,7 +97,16 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
     // pinned inert in ClickHouseSqlSpec.
     trickyIdent.map(i => s"SELECT position($i, 'ab') FROM t WHERE k = 1"),
     Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9)).map { case (a, b) =>
-      s"SELECT groupArrayMovingSum($a)(v), groupArrayMovingAvg($b)(v) FROM t GROUP BY u" })
+      s"SELECT groupArrayMovingSum($a)(v), groupArrayMovingAvg($b)(v) FROM t GROUP BY u" },
+    // r13 spellings: EMA rewrites to its own 3-arg registry name (the
+    // second pass must see the flattened call as standard SQL), sparkbar
+    // to graft_ch_sparkbar in both the 1- and 3-parameter forms.
+    Gen.choose(1, 999).map(x =>
+      s"SELECT exponentialMovingAverage($x)(v, t) FROM t GROUP BY u"),
+    Gen.choose(2, 99).map(n =>
+      s"SELECT sparkbar($n)(x, y) FROM t GROUP BY u"),
+    Gen.zip(Gen.choose(2, 99), Gen.choose(1, 12)).map { case (n, m) =>
+      s"SELECT sparkbar($n, 1, $m)(x, y) FROM t GROUP BY u" })
 
   property("generated dialect statements rewrite once, then fixpoint") =
     forAll(chStmt) { s =>
