@@ -327,9 +327,10 @@ object Bench {
     * the nested sbt: the forked run JVM's own java.home + input
     * arguments + java.class.path reproduce the launch), parsing each
     * stdout contract line with [[priorMins]] (same `"queries":{...}`
-    * shape). Safety posture: stderr is appended to a /tmp log (never
-    * pumped on this thread — no pipe deadlock), a subprocess gets 30
-    * minutes then is killed, recursion is cut by exporting
+    * shape). Safety posture: BOTH child streams redirect to /tmp files
+    * (nothing is pumped on this thread, so no pipe can deadlock and the
+    * timeout below stays live against a hung child), a subprocess gets
+    * 30 minutes then is killed, recursion is cut by exporting
     * `SPARK_GRAFT_FRESH_RETRY=0` into the child, and a non-forked
     * launcher classpath (no compiled-classes entry to re-launch from)
     * degrades to an empty map with a stderr note — the sweep then ships
@@ -372,12 +373,21 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_FRESH_RETRY", "0")
         pb.redirectError(ProcessBuilder.Redirect.appendTo(
           new java.io.File(s"/tmp/graft_bench_fresh_$n.stderr.log")))
+        // Both streams go to FILES so the 30-minute kill below can run
+        // unconditionally — draining stdout on this thread first would
+        // block forever on a hung child (exactly the wedged-JVM scenario
+        // that triggers the escalation) and turn the kill into dead code.
+        val outFile = new java.io.File(s"/tmp/graft_bench_fresh_$n.stdout.log")
+        pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
         val proc = pb.start()
-        val out = new String(proc.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        if (!proc.waitFor(1800, java.util.concurrent.TimeUnit.SECONDS))
+        val finished = proc.waitFor(1800, java.util.concurrent.TimeUnit.SECONDS)
+        if (!finished) {
           proc.destroyForcibly()
-        priorMins(out).get(n).map(n -> _)
+          proc.waitFor()
+          System.err.println(s"[bench] fresh retry timed out for $n — killed")
+        }
+        if (finished) priorMins(Files.readString(outFile.toPath)).get(n).map(n -> _)
+        else None
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] fresh retry failed for $n: ${e.getMessage}")

@@ -687,17 +687,25 @@ object ClickHouseSqlRewrite {
     * `t.*` qualified stars pass through untouched.
     */
   /** True when the `*` at `star` is a SELECT-LIST star — the previous
-    * non-space masked token is SELECT, DISTINCT, a comma, or an opening
-    * paren. Anything else (`price * replace`, `2 * apply`) is
-    * MULTIPLICATION by a column that happens to be named like a
-    * modifier keyword, and the transformer path must not engage (the
-    * r12 regex alone threw a false-positive error on such valid SQL).
+    * non-space token is SELECT, DISTINCT, a comma, or an opening paren.
+    * Anything else (`price * replace`, `2 * apply`) is MULTIPLICATION
+    * by a column that happens to be named like a modifier keyword, and
+    * the transformer path must not engage (the r12 regex alone threw a
+    * false-positive error on such valid SQL). The scan-back runs on the
+    * ORIGINAL text in lockstep with the mask: a masked-out span
+    * (backtick/double-quoted identifier, string literal) reads as
+    * whitespace in `masked` but is an expression OPERAND — skipping it
+    * would walk `` `price` * replace `` back to SELECT and re-open the
+    * false positive for quoted left operands.
     */
-  private def isSelectListStar(masked: String, star: Int): Boolean = {
+  private def isSelectListStar(sql: String, masked: String,
+      star: Int): Boolean = {
     var i = star - 1
-    while (i >= 0 && masked.charAt(i).isWhitespace) i -= 1
+    while (i >= 0 && masked.charAt(i).isWhitespace &&
+      sql.charAt(i).isWhitespace) i -= 1
     if (i < 0) return true // a leading `*` can only be a select star
     val c = masked.charAt(i)
+    if (c.isWhitespace) return false // masked token = a quoted operand
     if (c == ',' || c == '(') return true
     if (!isWordChar(c)) return false
     var j = i
@@ -713,7 +721,7 @@ object ClickHouseSqlRewrite {
       // not a select-list star is multiplication, not a transformer.
       if (m.start() > 0 && masked.charAt(m.start() - 1) == '.') {
         // keep scanning
-      } else if (!isSelectListStar(masked, m.start())) {
+      } else if (!isSelectListStar(sql, masked, m.start())) {
         // keep scanning — `expr * replace/apply/except_col` is arithmetic
       } else {
         val out = expandStar(sql, masked, m.start())
@@ -1695,11 +1703,9 @@ object ClickHouseSqlRewrite {
           // scaladoc for the bucket/glyph rules the r12 named error
           // said ClickHouse's docs don't pin).
           case "sparkbar" =>
-            if (splitItems(masked, pStart, pEnd).length != 1 &&
-              splitItems(masked, pStart, pEnd).length != 3)
-              throw new IllegalArgumentException(
-                "ClickHouse SQL: sparkbar(n[, min_x, max_x])(x, y)")
-            if (splitItems(masked, aStart, aEnd).length != 2)
+            val nParams = splitItems(masked, pStart, pEnd).length
+            if ((nParams != 1 && nParams != 3) ||
+              splitItems(masked, aStart, aEnd).length != 2)
               throw new IllegalArgumentException(
                 "ClickHouse SQL: sparkbar(n[, min_x, max_x])(x, y)")
             s"graft_ch_sparkbar($params\n, $args\n)"
@@ -2612,6 +2618,17 @@ object ClickHouseFunctions {
     * across partition orders. Cost class: groupArray + one fold with an
     * O(n) bucket-array update per row.
     */
+  /** The shared sparkbar arity dispatch — one body behind both the
+    * rewrite-target and bare-call registry spellings, so the two can
+    * never diverge.
+    */
+  private def chSparkbarBuilder(usage: String): Seq[Expression] => Expression =
+    es => {
+      require(es.length == 3 || es.length == 5, usage)
+      if (es.length == 3) chSparkbarExpr(es.head, None, None, es(1), es(2))
+      else chSparkbarExpr(es.head, Some(es(1)), Some(es(2)), es(3), es(4))
+    }
+
   private def chSparkbarExpr(n0: Expression, mnOpt: Option[Expression],
       mxOpt: Option[Expression], x0: Expression,
       y0: Expression): Expression = {
@@ -2656,14 +2673,20 @@ object ClickHouseFunctions {
       Literal("mx"), fld(st, "mx"),
       Literal("sums"), If(skip, fld(st, "sums"), bumped)))
     val gv = UnresolvedNamedLambdaVariable(Seq("__graft_sbg"))
-    val glyphs = ArrayTransform(fld(fin, "sums"), LambdaFunction(
+    val gm = UnresolvedNamedLambdaVariable(Seq("__graft_sbm"))
+    // The max bucket sum is zipped in as a repeated array so ArrayMax
+    // evaluates ONCE per group (as an argument of array_repeat), not
+    // once per glyph — the render stays O(n).
+    val maxRep = ArrayRepeat(ArrayMax(fld(fin, "sums")),
+      new Size(fld(fin, "sums")))
+    val glyphs = ZipWith(fld(fin, "sums"), maxRep, LambdaFunction(
       If(Or(IsNull(gv), LessThanOrEqual(gv, Literal(0.0d))), Literal(" "),
         Substring(Literal("▁▂▃▄▅▆▇█"),
           Cast(Greatest(Seq(Literal(1L), Least(Seq(Literal(8L),
             Cast(Ceil(Divide(Multiply(gv, Literal(8.0d)),
-              ArrayMax(fld(fin, "sums")), EvalMode.LEGACY)), LongType))))),
+              gm, EvalMode.LEGACY)), LongType))))),
             IntegerType),
-          Literal(1))), Seq(gv)))
+          Literal(1))), Seq(gv, gm)))
     ArrayAggregate(xs,
       CreateNamedStruct(Seq(
         Literal("n"), n, Literal("mn"), mn, Literal("mx"), mx,
@@ -5531,19 +5554,9 @@ object ClickHouseFunctions {
     // 3/5-arg spellings are what the agg(params)(args) rewrite emits;
     // the bare registry name accepts them too.
     ("graft_ch_sparkbar", "sparkbar(n[, min_x, max_x])(x, y) - n-glyph sparkline of y summed into equal-width x buckets; empty/non-positive bucket -> ' ', else 1/8-block glyph at ceil(sum*8/max_sum) in [1,8]",
-      es => {
-        require(es.length == 3 || es.length == 5,
-          "sparkbar(n[, min_x, max_x])(x, y)")
-        if (es.length == 3) chSparkbarExpr(es.head, None, None, es(1), es(2))
-        else chSparkbarExpr(es.head, Some(es(1)), Some(es(2)), es(3), es(4))
-      }),
+      chSparkbarBuilder("sparkbar(n[, min_x, max_x])(x, y)")),
     ("sparkbar", "sparkbar(n[, min_x, max_x], x, y) - the bare-call spelling of graft_ch_sparkbar (ClickHouse's form is sparkbar(n)(x, y), accepted via the parameterized-call rewrite)",
-      es => {
-        require(es.length == 3 || es.length == 5,
-          "sparkbar(n[, min_x, max_x], x, y)")
-        if (es.length == 3) chSparkbarExpr(es.head, None, None, es(1), es(2))
-        else chSparkbarExpr(es.head, Some(es(1)), Some(es(2)), es(3), es(4))
-      }),
+      chSparkbarBuilder("sparkbar(n[, min_x, max_x], x, y)")),
     // Vector NORMS — the single-vector companions of the distance
     // family above, on the same vecFold kernel (norm(v) ≡
     // distance(v, 0) without materializing a zero vector). The

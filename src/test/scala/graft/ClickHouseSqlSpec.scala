@@ -2993,6 +2993,15 @@ class ClickHouseSqlSpec extends SparkSpec {
         |             CAST(2.0 AS DOUBLE) AS replace, 4 AS apply
         |      FROM range(1))""".stripMargin).head()
     assert(r.getDouble(0) == 20.0d && r.getInt(1) == 12, r)
+    // A QUOTED left operand masks to spaces — the scan-back must stop at
+    // the masked token (an operand) instead of walking through it to
+    // SELECT and re-opening the false positive (review finding).
+    val q = ClickHouseSql.sql(spark,
+      """SELECT `price` * replace AS x, price, `price` * apply AS y
+        |FROM (SELECT CAST(10.0 AS DOUBLE) AS price,
+        |             CAST(2.0 AS DOUBLE) AS replace, 4 AS apply
+        |      FROM range(1))""".stripMargin).head()
+    assert(q.getDouble(0) == 20.0d && q.getDouble(2) == 40.0d, q)
   }
 
   test("JSONExtractRaw re-render contract: numbers canonicalized, keys sorted (pinned divergence)") {
