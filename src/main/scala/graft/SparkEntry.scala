@@ -487,6 +487,7 @@ object SparkEntry {
     "sql_ch_ngram" -> (Relational.sqlChNgram _),
     "sql_ch_ema" -> (Relational.sqlChEma _),
     "sql_ch_sparkbar" -> (Relational.sqlChSparkbar _),
+    "sql_ch_url2" -> (Relational.sqlChUrl2 _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1237,6 +1238,12 @@ object SparkEntry {
     // is pinned in ClickHouseSqlSpec).
     "sql_ch_ngram" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS a1, substr(text, 25, 24) AS b1, substr(text, 1, 16) AS a2, substr(text, 9, 16) AS b2, lang AS a3, source AS b3, text AS a4, replace(substr(text, 10, 12), 'a', 'e') AS b4 FROM documents WHERE doc_id < 120), p AS (SELECT doc_id, 1 AS pid, a1 AS a, b1 AS b FROM d UNION ALL SELECT doc_id, 2, a2, b2 FROM d UNION ALL SELECT doc_id, 3, a3, b3 FROM d UNION ALL SELECT doc_id, 4, a4, b4 FROM d), ga AS (SELECT doc_id, pid, substr(a, CAST(i AS INTEGER), 4) AS g, count(*) AS c FROM p CROSS JOIN UNNEST(generate_series(1, length(a) - 3)) AS t(i) GROUP BY doc_id, pid, g), gb AS (SELECT doc_id, pid, substr(b, CAST(i AS INTEGER), 4) AS g, count(*) AS c FROM p CROSS JOIN UNNEST(generate_series(1, length(b) - 3)) AS t(i) GROUP BY doc_id, pid, g), cm AS (SELECT ga.doc_id, ga.pid, sum(least(ga.c, gb.c)) AS common FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND ga.pid = gb.pid AND ga.g = gb.g GROUP BY ga.doc_id, ga.pid), m AS (SELECT p.doc_id, p.pid, greatest(length(a) - 3, 0) AS na, greatest(length(b) - 3, 0) AS nb, coalesce(cm.common, 0) AS c FROM p LEFT JOIN cm ON p.doc_id = cm.doc_id AND p.pid = cm.pid), v AS (SELECT doc_id, pid, CAST(na + nb - 2 * c AS DOUBLE) / greatest(na + nb, 1) AS dist, CAST(c AS DOUBLE) / greatest(nb, 1) AS srch FROM m) SELECT doc_id, CAST(floor(max(CASE WHEN pid = 1 THEN dist END) * 10000 + 0.5) AS BIGINT) AS nd_4, CAST(floor(max(CASE WHEN pid = 2 THEN dist END) * 10000 + 0.5) AS BIGINT) AS ndci_4, CAST(floor(max(CASE WHEN pid = 3 THEN dist END) * 10000 + 0.5) AS BIGINT) AS nd_tiny_4, CAST(floor(max(CASE WHEN pid = 4 THEN srch END) * 10000 + 0.5) AS BIGINT) AS ns_4, CAST(floor(max(CASE WHEN pid = 4 THEN srch END) * 10000 + 0.5) AS BIGINT) AS nsci_4 FROM v GROUP BY doc_id ORDER BY doc_id""",
+    // Every URL value re-derived from the same building blocks the
+    // query constructs the URL from — the oracle never parses a URL.
+    // The medians are re-derived by the sorted-index definition
+    // (row_number over ORDER BY), an independent spelling.
+    "sql_ch_url2" ->
+      """WITH u AS (SELECT o_orderkey AS k, o_orderkey % 5 AS k5, o_orderkey % 7 AS k7, 8080 + o_orderkey % 2 AS prt, o_orderkey % 3 AS k3, o_orderkey % 4 AS k4, o_orderstatus AS st, o_orderkey % 2 AS k2 FROM orders WHERE o_orderkey < 300), agg AS (SELECT CAST(min(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS BIGINT) AS mlo, CAST(min(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS mhi FROM (SELECT o_orderkey % 97 AS v, row_number() OVER (ORDER BY o_orderkey % 97) AS rn, count(*) OVER () AS n FROM orders WHERE o_orderkey < 300)) SELECT k, 'u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt AS nl, 'p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS qsf, '' AS qsf_noq, 'p=' || k4 || '|q=' || st || '|p2=x' AS params, 'p,q,p2' AS names, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&p2=x#f' || k2 AS cut_mid, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?q=' || st || '&p2=x#f' || k2 AS cut_first, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '#f' || k2 AS cut_last, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS cut_absent, mlo, mhi, CAST(1500 AS BIGINT) AS dp FROM u CROSS JOIN agg ORDER BY k""",
     // The SAME closed form as plain SQL — the mapping is faithful
     // precisely because the docs-pinned formula is a sum to the max-t
     // anchor, not a row-order recurrence. floor(epoch(ts)) matches

@@ -2797,6 +2797,54 @@ object Relational {
         |ORDER BY l_linestatus""".stripMargin)
   }
 
+  /** The r13 URL batch: the remaining web-analytics spellings —
+    * `netloc` (parse_url AUTHORITY), `queryStringAndFragment` (stated
+    * '?'-anchored boundary), the `extractURLParameters`/`Names` arrays,
+    * and `cutURLParameter` across first/mid/last/absent positions —
+    * plus `medianExactLow/High` (the quantileExactLow/High kernels at
+    * 0.5) and `dotProduct` on the vecFold kernel. URLs are CONSTRUCTED
+    * in-query from order columns, so the oracle re-derives every value
+    * from the same building blocks directly (the sql_ch_json2
+    * self-deriving pattern — no URL parser on the oracle side).
+    * Row-wise over a pruned scan; the median legs are one small
+    * aggregate broadcast back over the rows.
+    */
+  def sqlChUrl2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH u AS (
+        |  SELECT o_orderkey AS k,
+        |    concat('https://u', toString(o_orderkey % 5), ':pw@host-',
+        |           toString(o_orderkey % 7), '.example.com:',
+        |           toString(8080 + o_orderkey % 2),
+        |           '/a/b-', toString(o_orderkey % 3),
+        |           '?p=', toString(o_orderkey % 4),
+        |           '&q=', o_orderstatus, '&p2=x',
+        |           '#f', toString(o_orderkey % 2)) AS url
+        |  FROM orders WHERE o_orderkey < 300),
+        |agg AS (
+        |  SELECT toInt64(medianExactLow(o_orderkey % 97)) AS mlo,
+        |         toInt64(medianExactHigh(o_orderkey % 97)) AS mhi
+        |  FROM orders WHERE o_orderkey < 300),
+        |vec AS (
+        |  SELECT toInt64(floor(dotProduct(array(1.5, 2.0, -0.5),
+        |                                  array(2.0, 0.25, 4.0)) * 1000 + 0.5)) AS dp
+        |  FROM range(1))
+        |SELECT k,
+        |  netloc(url) AS nl,
+        |  queryStringAndFragment(url) AS qsf,
+        |  queryStringAndFragment('https://h.com/x#only-frag') AS qsf_noq,
+        |  arrayStringConcat(extractURLParameters(url), '|') AS params,
+        |  arrayStringConcat(extractURLParameterNames(url), ',') AS names,
+        |  cutURLParameter(url, 'q') AS cut_mid,
+        |  cutURLParameter(url, 'p') AS cut_first,
+        |  cutURLParameter(url, 'p2') AS cut_last,
+        |  cutURLParameter(url, 'zz') AS cut_absent,
+        |  mlo, mhi, dp
+        |FROM u CROSS JOIN agg CROSS JOIN vec
+        |ORDER BY k""".stripMargin)
+  }
+
   /** The r13 ngram batch: `ngramDistance`/`ngramSearch` (ClickHouse's
     * documented 4-gram multiset algebra, computed exactly — see the
     * kernel scaladoc) over `documents` string slices, including the

@@ -2452,6 +2452,18 @@ object ClickHouseFunctions {
     LambdaFunction(f(x), Seq(x))
   }
 
+  /** The query string's name=value items as array<string> — the shared
+    * kernel of extractURLParameters/extractURLParameterNames: the same
+    * parse_url QUERY lane the rest of the URL family rides (''-not-NULL
+    * convention), split on '&' with empty items dropped.
+    */
+  private def chUrlParams(u0: Expression): Expression = {
+    val qs = Coalesce(Seq(ParseUrl(Seq(Cast(u0, StringType),
+      Literal("QUERY")), failOnError = false), Literal("")))
+    ArrayFilter(StringSplit(qs, Literal("&"), Literal(-1)),
+      lam1(x => Not(EqualTo(x, Literal("")))))
+  }
+
   /** The 4-gram MULTISET of a string, as array<string> — the shared
     * kernel of the ngramDistance/ngramSearch family (r13, replacing the
     * r12 named errors). ClickHouse DOCUMENTS the algorithm (4-gram
@@ -4226,6 +4238,12 @@ object ClickHouseFunctions {
     ("medianExact", "medianExact(x) - the sorted element at index floor(0.5*n) (ClickHouse quantileExact convention)",
       es => { require(es.length == 1, "medianExact(x)")
         quantileExactElement(es.head, Literal(0.5d)) }),
+    ("medianExactLow", "medianExactLow(x) - quantileExactLow at level 0.5 (Python median_low: sorted index (n-1) div 2)",
+      es => { require(es.length == 1, "medianExactLow(x)")
+        quantileExactLowHigh(es.head, Literal(0.5d), high = false) }),
+    ("medianExactHigh", "medianExactHigh(x) - quantileExactHigh at level 0.5 (Python median_high: sorted index n div 2)",
+      es => { require(es.length == 1, "medianExactHigh(x)")
+        quantileExactLowHigh(es.head, Literal(0.5d), high = true) }),
     // The -If combinator over the aggregates whose base forms are
     // already mapped (cond is ClickHouse's LAST argument). Empty-match
     // results are NULL where ClickHouse returns the column type's
@@ -4377,6 +4395,48 @@ object ClickHouseFunctions {
           If(EqualTo(f, Literal(0)), q, Least(Seq(q, f))))
         If(EqualTo(cut, Literal(0)), u,
           Substring(u, Literal(1), Subtract(cut, Literal(1)))) }),
+    // ---------------- URL functions, the r13 batch: the remaining
+    // spellings a web-analytics migration hits. netloc rides parse_url's
+    // AUTHORITY (exactly ClickHouse's username:password@host:port);
+    // queryStringAndFragment and the parameter-array forms are pure
+    // string surgery on the '?'-anchored tail (separator corners stated
+    // in the usage strings and spec-pinned); cutURLParameter requires a
+    // LITERAL name (it becomes a quoted regex at build time — the
+    // jsonPath/dictGet precedent) and removes every occurrence.
+    ("netloc", "netloc(url) - network locality username:password@host:port ('' when unparseable)",
+      es => { require(es.length == 1, "netloc(url)")
+        Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType),
+          Literal("AUTHORITY")), failOnError = false), Literal(""))) }),
+    ("queryStringAndFragment", "queryStringAndFragment(url) - everything after the first '?' (query plus '#fragment'); '' when the url has no '?' (the stated boundary: a fragment-only url returns '')",
+      es => { require(es.length == 1, "queryStringAndFragment(url)")
+        val u = Cast(es.head, StringType)
+        val q = new StringLocate(Literal("?"), u)
+        If(EqualTo(q, Literal(0)), Literal(""),
+          Substring(u, Add(q, Literal(1)), Literal(Int.MaxValue))) }),
+    ("extractURLParameters", "extractURLParameters(url) - the query string's name=value items as array<string> (split on '&', empty items dropped, fragment excluded; [] when no query string)",
+      es => { require(es.length == 1, "extractURLParameters(url)")
+        chUrlParams(es.head) }),
+    ("extractURLParameterNames", "extractURLParameterNames(url) - the query string's parameter NAMES as array<string> (the text before each item's first '='; a bare item is its own name)",
+      es => { require(es.length == 1, "extractURLParameterNames(url)")
+        ArrayTransform(chUrlParams(es.head), lam1(p =>
+          RegExpReplace(p, Literal("=.*$"), Literal("")))) }),
+    ("cutURLParameter", "cutURLParameter(url, name) - url with every name=value query parameter of that LITERAL name removed (separators healed; a sole parameter leaves the trailing '?', stated)",
+      es => {
+        require(es.length == 2, "cutURLParameter(url, name)")
+        val name = es(1) match {
+          case Literal(s, StringType) if s != null => s.toString
+          case other => throw new IllegalArgumentException(
+            "ClickHouse SQL: cutURLParameter's parameter name must be a " +
+              s"string literal (it becomes the removal pattern), got $other")
+        }
+        val q = java.util.regex.Pattern.quote(name)
+        // Alternatives, tried in order at each position: a mid-list item
+        // with its TRAILING '&' (the preceding separator survives), a
+        // LAST item with its LEADING '&', and a sole item after '?'
+        // (the '?' survives). [^&#]* stops values at the fragment.
+        RegExpReplace(Cast(es.head, StringType),
+          Literal(s"(?<=[?&])$q=[^&#]*&|&$q=[^&#]*|(?<=\\?)$q=[^&#]*"),
+          Literal("")) }),
     // ---------------- search / regex (r11). Bare `position` stays
     // deliberately unmapped (Spark's own `position` exists with the
     // ARGUMENTS REVERSED — haystack-first here, needle-first there — and
@@ -4868,6 +4928,54 @@ object ClickHouseFunctions {
         "ClickHouse SQL: studentTTest/welchTTest return p-values from the " +
           "t-distribution CDF — compute the Welch statistic exactly from " +
           "avg/varSamp/count per group and look the p-value up downstream")),
+    // The r13 named-error additions — each a mapping that WOULD silently
+    // diverge: the significant-subdomain pair depends on an embedded
+    // public-suffix list ClickHouse's own docs mark as changeable; the
+    // geo distances use an internal sphere radius + series approximation
+    // the docs state no formula for; pointInPolygon's edge/winding rules
+    // are unspecified; the URL hierarchy pair's prefix rendering
+    // (trailing slashes, query inclusion in the last element) is not
+    // pinned by the docs.
+    ("firstSignificantSubdomain", "firstSignificantSubdomain - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: firstSignificantSubdomain depends on ClickHouse's " +
+          "embedded public-suffix list, which its docs explicitly mark as " +
+          "changeable — derive the label explicitly from domain(url) with " +
+          "splitByChar('.', …) against your own suffix rules")),
+    ("cutToFirstSignificantSubdomain", "cutToFirstSignificantSubdomain - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: cutToFirstSignificantSubdomain shares " +
+          "firstSignificantSubdomain's public-suffix-list dependence — " +
+          "derive it from domain(url) with splitByChar('.', …)")),
+    ("greatCircleDistance", "greatCircleDistance - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: greatCircleDistance/geoDistance use an internal " +
+          "sphere radius and series approximation ClickHouse's docs state " +
+          "no formula for — an independent implementation would silently " +
+          "differ; spell the haversine explicitly: 2 * 6371000 * " +
+          "asin(sqrt(pow(sin(radians(lat2-lat1)/2), 2) + cos(radians(lat1))" +
+          " * cos(radians(lat2)) * pow(sin(radians(lon2-lon1)/2), 2)))")),
+    ("geoDistance", "geoDistance - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: geoDistance (WGS-84-adjusted) shares " +
+          "greatCircleDistance's unstated-formula gap — spell the " +
+          "haversine explicitly with your chosen radius")),
+    ("pointInPolygon", "pointInPolygon - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: pointInPolygon's on-edge and self-intersection " +
+          "rules are unspecified — spell a ray-casting test explicitly " +
+          "over the vertex arrays with aggregate(...)")),
+    ("URLHierarchy", "URLHierarchy - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: URLHierarchy's prefix rendering (trailing " +
+          "slashes, query-string inclusion in the last element) is not " +
+          "pinned by its docs — build prefixes explicitly from " +
+          "protocol/domain/path and splitByChar('/', path(url))")),
+    ("URLPathHierarchy", "URLPathHierarchy - not mapped; a named error",
+      _ => throw new IllegalArgumentException(
+        "ClickHouse SQL: URLPathHierarchy shares URLHierarchy's " +
+          "unpinned prefix rendering — build prefixes explicitly from " +
+          "splitByChar('/', path(url))")),
     ("mannWhitneyUTest", "mannWhitneyUTest - not mapped; a named error",
       _ => throw new IllegalArgumentException(
         "ClickHouse SQL: mannWhitneyUTest returns a normal-approximation " +
@@ -5565,6 +5673,9 @@ object ClickHouseFunctions {
     // is 0/0 = NaN per element — special-cased explicitly (Spark's ANSI
     // division would raise DIVIDE_BY_ZERO, its legacy division returns
     // NULL; neither is the IEEE value).
+    ("dotProduct", "dotProduct(a, b) - sum of element-wise products over the zipped arrays, as DOUBLE (ClickHouse's array form; its tuple form has no column type here)",
+      es => { require(es.length == 2, "dotProduct(a, b)")
+        vecFold(es.head, es(1), (acc, x, y) => Add(acc, Multiply(x, y))) }),
     ("L1Norm", "L1Norm(v) - sum of absolute values, as DOUBLE",
       es => { require(es.length == 1, "L1Norm(v)")
         vecFold(es.head, es.head, (acc, x, _) => Add(acc, Abs(x))) }),

@@ -2845,6 +2845,14 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(err("SELECT mannWhitneyUTest(id, 1) FROM range(1)")
       .contains("rank"))
     assert(err("SELECT byteSize(id) FROM range(1)").contains("octet_length"))
+    // The r13 named-error additions: public-suffix-list / unstated-
+    // formula / unpinned-rendering dependents refuse with guidance.
+    assert(err("SELECT firstSignificantSubdomain('https://a.b.c/') FROM range(1)")
+      .contains("public-suffix"))
+    assert(err("SELECT greatCircleDistance(0.0, 0.0, 1.0, 1.0) FROM range(1)")
+      .contains("haversine"))
+    assert(err("SELECT URLPathHierarchy('https://a/b/c') FROM range(1)")
+      .contains("splitByChar"))
     // ngram*/EMA are MAPPED since r13 — malformed arity still raises the
     // usage string, not Spark's generic undefined-function.
     assert(err("SELECT ngramDistance('ab') FROM range(1)")
@@ -2984,6 +2992,48 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  UNION ALL SELECT 9, 7.0, 5)""".stripMargin).head()
     assert(e.getString(0) == "█  ", e)
     assert(e.getString(1) == "█ ", e)
+  }
+
+  test("execution: r13 URL batch — netloc, queryStringAndFragment, parameter arrays, cutURLParameter, medians, dotProduct") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT netloc('https://u:pw@h.example.com:8080/a?b=1') AS nl_full,
+        |  netloc('https://example.com/x') AS nl_bare,
+        |  netloc('not a url') AS nl_bad,
+        |  queryStringAndFragment('http://x/?a=1') AS qsf_q,
+        |  queryStringAndFragment('http://x/?a=1#f') AS qsf_qf,
+        |  queryStringAndFragment('http://x/#f') AS qsf_f,
+        |  arrayStringConcat(extractURLParameters('http://x/?a=1&bare&b=2'), '|') AS params,
+        |  arrayStringConcat(extractURLParameterNames('http://x/?a=1&bare&b=2'), ',') AS names,
+        |  arrayStringConcat(extractURLParameters('http://x/nothing'), '|') AS params_none,
+        |  cutURLParameter('http://x/?a=1', 'a') AS cut_sole,
+        |  cutURLParameter('http://x/?a=1&a=2&b=3', 'a') AS cut_rep,
+        |  toInt64(dotProduct(array(1, 2, 3), array(4, 5, 6))) AS dp
+        |FROM range(1)""".stripMargin).head()
+    assert(r.getString(0) == "u:pw@h.example.com:8080", r)
+    assert(r.getString(1) == "example.com", r)
+    assert(r.getString(2) == "", r)
+    assert(r.getString(3) == "a=1" && r.getString(4) == "a=1#f", r)
+    assert(r.getString(5) == "", r) // fragment-only: the stated boundary
+    assert(r.getString(6) == "a=1|bare|b=2", r)
+    assert(r.getString(7) == "a,bare,b", r)
+    assert(r.getString(8) == "", r)
+    assert(r.getString(9) == "http://x/?", r) // sole param: trailing '?', stated
+    assert(r.getString(10) == "http://x/?b=3", r) // every occurrence removed
+    assert(r.getLong(11) == 32L, r)
+    // Medians: [1,2,3,4] -> low = sorted index (4-1) div 2 = 2,
+    // high = index 4 div 2 = 3 (the quantileExactLow/High kernels at 0.5).
+    val m = ClickHouseSql.sql(spark,
+      """SELECT toInt64(medianExactLow(v)) AS lo, toInt64(medianExactHigh(v)) AS hi
+        |FROM (SELECT id + 1 AS v FROM range(4))""".stripMargin).head()
+    assert(m.getLong(0) == 2L && m.getLong(1) == 3L, m)
+    // Non-literal cutURLParameter name is a named error, not a bad regex.
+    val e = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT cutURLParameter('http://x/?a=1', concat('a', '')) FROM range(1)")
+    }
+    val txt = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(txt.contains("string literal"), e)
   }
 
   test("star transformers do not engage on multiplication by a column named like a modifier") {
