@@ -2797,6 +2797,33 @@ object Relational {
         |ORDER BY l_linestatus""".stripMargin)
   }
 
+  /** The r13 bracket-indexing query: ClickHouse's 1-based `arr[i]` /
+    * `map[k]` subscripts (negative from end, out-of-bounds and missing
+    * keys → NULL — the Nullable lane the builder's usage states) over
+    * arrays CONSTRUCTED in-query, including a data-dependent index that
+    * walks off the end and a literal-array subscript. The oracle
+    * re-derives every lane from the same building blocks directly —
+    * no array on the oracle side at all. Row-wise over a pruned scan.
+    */
+  def sqlChIndex(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderkey AS k,
+        |  arr[1] AS a1,
+        |  arr[-1] AS al,
+        |  arr[o_orderkey % 4 + 1] AS adyn,
+        |  arr[9] AS oob,
+        |  ['x', 'y'][2] AS lit2,
+        |  m['p'] AS mp,
+        |  m['absent'] AS mabs
+        |FROM (
+        |  SELECT o_orderkey,
+        |    array(toString(o_orderkey % 3), 'mid', toString(o_orderkey % 5)) AS arr,
+        |    map('p', o_orderkey % 7) AS m
+        |  FROM orders WHERE o_orderkey < 400)
+        |ORDER BY k""".stripMargin)
+  }
+
   /** The r13 URL batch: the remaining web-analytics spellings —
     * `netloc` (parse_url AUTHORITY), `queryStringAndFragment` (stated
     * '?'-anchored boundary), the `extractURLParameters`/`Names` arrays,

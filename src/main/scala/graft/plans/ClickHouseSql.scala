@@ -133,6 +133,7 @@ object ClickHouseSqlRewrite {
     val l = rewriteLimitForms(sql, masked); if (l ne sql) return l
     val st = rewriteStarTransformers(sql, masked); if (st ne sql) return st
     val n = rewriteArrayLiterals(sql, masked); if (n ne sql) return n
+    val ix = rewriteBracketIndexing(sql, masked); if (ix ne sql) return ix
     val o = rewriteWithMacros(sql, masked); if (o ne sql) return o
     sql
   }
@@ -214,29 +215,42 @@ object ClickHouseSqlRewrite {
     "EXCEPT", "CASE", "BETWEEN", "LIKE", "ILIKE", "IS", "QUALIFY",
     "PREWHERE", "USING", "VALUES", "RETURN", "FROM", "JOIN", "DIV", "MOD")
 
+  /** The literal-vs-indexing classifier for a `[` at `i` (shared by
+    * [[rewriteArrayLiterals]] and [[rewriteBracketIndexing]]): INDEXING
+    * when the previous non-whitespace token is `)`, `]`, a non-keyword
+    * identifier, or a MASKED span (a backtick-quoted identifier or
+    * string literal — masked to spaces, but an operand; the scan walks
+    * the original text in lockstep with the mask, the isSelectListStar
+    * lesson). Anything else — operator, comma, opening bracket, keyword
+    * — makes it a literal start.
+    */
+  private def isIndexingBracket(sql: String, masked: String, i: Int): Boolean = {
+    var j = i - 1
+    while (j >= 0 && masked.charAt(j).isWhitespace &&
+      sql.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return false
+    val prev = masked.charAt(j)
+    if (prev.isWhitespace) true // a masked (quoted) operand before '['
+    else if (prev == ')' || prev == ']') true
+    else if (isWordChar(prev)) {
+      var w = j
+      while (w >= 0 && isWordChar(masked.charAt(w))) w -= 1
+      !PreLiteralKeywords.contains(masked.substring(w + 1, j + 1).toUpperCase)
+    } else false
+  }
+
   /** ClickHouse's bracket array literals (`['a', 'b']`, `[[1], [2]]`) →
     * `array(...)`. A `[` is a LITERAL start when the previous non-space
     * token is an operator/opening bracket/comma or a KEYWORD — a
-    * non-keyword identifier, `)`, or `]` before it means Spark's own
-    * indexing/field access (`arr[1]`, `m['k']`, `split(s, ' ')[0]`),
-    * which must pass through untouched. One bracket pair per pass; the
-    * fixpoint unnests inner literals.
+    * non-keyword identifier, `)`, `]`, or a masked quoted span before
+    * it means indexing ([[rewriteBracketIndexing]]'s case). One bracket
+    * pair per pass; the fixpoint unnests inner literals.
     */
   private def rewriteArrayLiterals(sql: String, masked: String): String = {
     var i = 0
     while (i < masked.length) {
       if (masked.charAt(i) == '[') {
-        var j = i - 1
-        while (j >= 0 && masked.charAt(j).isWhitespace) j -= 1
-        val prev = if (j >= 0) masked.charAt(j) else '('
-        val indexing =
-          if (prev == ')' || prev == ']') true
-          else if (isWordChar(prev)) {
-            var w = j
-            while (w >= 0 && isWordChar(masked.charAt(w))) w -= 1
-            !PreLiteralKeywords.contains(masked.substring(w + 1, j + 1).toUpperCase)
-          } else false
-        if (!indexing) {
+        if (!isIndexingBracket(sql, masked, i)) {
           var depth = 0
           var k = i
           while (k < masked.length) {
@@ -253,6 +267,86 @@ object ClickHouseSqlRewrite {
           throw new IllegalArgumentException(
             "ClickHouse SQL: unbalanced '[' in array literal")
         }
+      }
+      i += 1
+    }
+    sql
+  }
+
+  /** Start index of the expression an indexing `[` applies to: balance
+    * backward over any `)`/`]`-ended suffixes (call arguments, prior
+    * index brackets), then absorb the identifier chain in front — word
+    * characters, dots, and MASKED quoted spans (walked via the original
+    * text in lockstep with the mask, so a backticked base is carried
+    * whole).
+    */
+  private def indexBaseStart(sql: String, masked: String, bracket: Int): Int = {
+    var i = bracket - 1
+    while (i >= 0 && masked.charAt(i).isWhitespace &&
+      sql.charAt(i).isWhitespace) i -= 1
+    var continue = true
+    while (continue && i >= 0) {
+      val c = masked.charAt(i)
+      if (c == ')' || c == ']') {
+        val close = c
+        val open = if (c == ')') '(' else '['
+        var depth = 0
+        var found = false
+        while (i >= 0 && !found) {
+          val ch = masked.charAt(i)
+          if (ch == close) depth += 1
+          else if (ch == open) { depth -= 1; if (depth == 0) found = true }
+          i -= 1
+        }
+        if (!found) throw new IllegalArgumentException(
+          "ClickHouse SQL: unbalanced parentheses before an index bracket")
+      } else if (isWordChar(c) || c == '.' ||
+        (c.isWhitespace && !sql.charAt(i).isWhitespace)) {
+        i -= 1
+      } else {
+        continue = false
+      }
+    }
+    i + 1
+  }
+
+  /** ClickHouse bracket INDEXING (r13) — `arr[i]` is 1-BASED with
+    * negative-from-end in ClickHouse; Spark's bracket subscript is
+    * 0-BASED, so an untouched pass-through runs SILENTLY SHIFTED — the
+    * one failure mode the layer exists to prevent (the bare-`position`
+    * haystack-first precedent). On the explicit dialect path every
+    * indexing bracket rewrites to `graft_ch_element(base, idx)` —
+    * Spark's own `element_at`, which already IS ClickHouse's array
+    * convention (1-based, negative from end) and key lookup for maps.
+    * Out-of-bounds indexes and missing map keys return NULL
+    * (ClickHouse's Array(Nullable(T))/Map Nullable lane; the
+    * non-nullable default-value lane has no Spark counterpart — stated
+    * in the builder's usage), and index 0 raises Spark's loud
+    * indices-start-at-1 error. In an extension session, standard SQL
+    * containing `arr[0]` parses STOCK and keeps Spark's 0-based
+    * subscript — the parse-failure gate, the same split the position
+    * rename documents. One bracket per pass; chains (`x[1][2]`) resolve
+    * through the fixpoint.
+    */
+  private def rewriteBracketIndexing(sql: String, masked: String): String = {
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '[' && isIndexingBracket(sql, masked, i)) {
+        var depth = 0
+        var k = i
+        var close = -1
+        while (k < masked.length && close < 0) {
+          val ch = masked.charAt(k)
+          if (ch == '[') depth += 1
+          else if (ch == ']') { depth -= 1; if (depth == 0) close = k }
+          k += 1
+        }
+        if (close < 0) throw new IllegalArgumentException(
+          "ClickHouse SQL: unbalanced '[' in index expression")
+        val bs = indexBaseStart(sql, masked, i)
+        return sql.substring(0, bs) + "graft_ch_element(" +
+          sql.substring(bs, i) + "\n, " + sql.substring(i + 1, close) +
+          "\n)" + sql.substring(close + 1)
       }
       i += 1
     }
@@ -2055,6 +2149,33 @@ object ClickHouseSqlRewrite {
   *     nulls-LAST ascending sort (ClickHouse's placement — Spark's
   *     sort_array puts nulls first, so the mapping splits and re-concats)
   */
+/** ClickHouse bracket indexing, dispatched on the BASE's resolved type
+  * (a build-time builder cannot know it): ARRAY indexes cast explicitly
+  * to INT — ClickHouse accepts any integer width where Spark's
+  * element_at requires INT, and the explicit cast raises loudly on an
+  * absurd (>2^31) index instead of silently narrowing — while MAP keys
+  * pass through untouched (a key is not an index). Anything else
+  * (struct, scalar) raises a named error pointing at tupleElement.
+  * RuntimeReplaceable: the analyzer types this node via the replacement
+  * (built lazily, after children resolve) and the optimizer swaps it in.
+  */
+case class ChBracketIndex(base: Expression, idx: Expression)
+    extends Expression with RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(base, idx)
+  override lazy val replacement: Expression = base.dataType match {
+    case _: ArrayType =>
+      ElementAt(base, Cast(idx, IntegerType), None, failOnError = false)
+    case _: MapType =>
+      ElementAt(base, idx, None, failOnError = false)
+    case other => throw new IllegalArgumentException(
+      "ClickHouse SQL: bracket indexing needs an array or map base, got " +
+        s"${other.simpleString(10)} — tuples/structs use tupleElement(t, n)")
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(base = newChildren(0), idx = newChildren(1))
+}
+
 object ClickHouseFunctions {
 
   private def cast(to: DataType): Seq[Expression] => Expression = { es =>
@@ -3723,6 +3844,18 @@ object ClickHouseFunctions {
         case Seq(arr, sep) => ArrayJoin(arr, sep, None)
         case _ => throw new IllegalArgumentException("arrayStringConcat(arr[, sep])")
       }),
+    // Bracket indexing + its function spelling (r13): element_at IS
+    // ClickHouse's convention — arrays 1-based with negative-from-end,
+    // maps by key. Out-of-bounds / missing keys return NULL (the
+    // Array(Nullable(T)) lane; ClickHouse's non-nullable default-value
+    // lane has no Spark counterpart — stated, not silent). Index 0
+    // raises Spark's loud indices-start-at-1 error.
+    ("graft_ch_element", "arr[i] / map[k] - ClickHouse bracket indexing: arrays 1-based, negative from end; out-of-bounds and missing map keys -> NULL (the Nullable lane; the non-nullable default-value lane has no counterpart here); index 0 raises",
+      es => { require(es.length == 2, "graft_ch_element(base, index)")
+        ChBracketIndex(es.head, es(1)) }),
+    ("arrayElement", "arrayElement(arr, i) - the bracket-indexing semantics as a function (1-based, negative from end, out-of-bounds -> NULL)",
+      es => { require(es.length == 2, "arrayElement(arr, i)")
+        ChBracketIndex(es.head, es(1)) }),
     ("indexOf", "indexOf(arr, x) - 1-based position of x in arr, 0 when absent",
       es => { require(es.length == 2, "indexOf(arr, x)")
         ArrayPosition(es(0), es(1)) }),

@@ -22,7 +22,11 @@ import graft.plans.ClickHouseSqlRewrite
   * the clauses (the rewriter must treat them so), and in an extensions
   * session standard SQL containing them parses cleanly stock and never
   * reaches the rewriter at all (the parse-failure gate + the
-  * original-error-with-suppressed rethrow in `GraftSqlParser`).
+  * original-error-with-suppressed rethrow in `GraftSqlParser`). Also
+  * excluded since r13: bracket INDEXING (`arr[1]`) — on the explicit
+  * dialect path that IS ClickHouse's 1-based subscript and must
+  * rewrite (covered by the dialect-statement generator below); the
+  * extensions session keeps Spark's 0-based form via the same gate.
   */
 object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
 
@@ -106,7 +110,13 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
     Gen.choose(2, 99).map(n =>
       s"SELECT sparkbar($n)(x, y) FROM t GROUP BY u"),
     Gen.zip(Gen.choose(2, 99), Gen.choose(1, 12)).map { case (n, m) =>
-      s"SELECT sparkbar($n, 1, $m)(x, y) FROM t GROUP BY u" })
+      s"SELECT sparkbar($n, 1, $m)(x, y) FROM t GROUP BY u" },
+    // Bracket indexing (r13): plain, chained, call-result, and
+    // negative-index forms all rewrite to graft_ch_element and reach
+    // fixpoint (the rewrite emits no brackets of its own).
+    Gen.zip(trickyIdent, Gen.choose(-9, 9).suchThat(_ != 0)).map {
+      case (a, n) => s"SELECT $a[$n] FROM t" },
+    Gen.choose(1, 9).map(n => s"SELECT split(s, ',')[$n][1] FROM t"))
 
   property("generated dialect statements rewrite once, then fixpoint") =
     forAll(chStmt) { s =>

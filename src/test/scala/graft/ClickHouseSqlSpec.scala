@@ -1823,9 +1823,11 @@ class ClickHouseSqlSpec extends SparkSpec {
   }
 
   test("execution: bracket array literals parse; set predicates, bitwise, replace, and array calculus map exactly") {
-    // Literal-position [ becomes array(); indexing [ is untouched.
+    // Literal-position [ becomes array(); indexing [ becomes the
+    // 1-based graft_ch_element wrap (r13 — pass-through ran Spark's
+    // 0-based subscript, silently shifted).
     assert(ClickHouseSqlRewrite("SELECT ['a', 'b'] AS l, arr[1] AS e FROM t")
-      == "SELECT array('a', 'b') AS l, arr[1] AS e FROM t")
+      == "SELECT array('a', 'b') AS l, graft_ch_element(arr\n, 1\n) AS e FROM t")
     assert(ClickHouseSqlRewrite("SELECT [[1], [2, 3]] AS m FROM t")
       == "SELECT array(array(1), array(2, 3)) AS m FROM t")
     val r = ClickHouseSql.sql(spark,
@@ -3034,6 +3036,45 @@ class ClickHouseSqlSpec extends SparkSpec {
     val txt = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(txt.contains("string literal"), e)
+  }
+
+  test("execution: bracket indexing is 1-based with ClickHouse semantics on the dialect path") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT ['a', 'b', 'c'][1] AS first,
+        |  ['a', 'b', 'c'][-1] AS last,
+        |  ['a', 'b', 'c'][9] AS oob,
+        |  arr[2] AS second,
+        |  arr[2 + 1] AS third,
+        |  `arr`[2] AS quoted_base,
+        |  split('x,y', ',')[1] AS from_call,
+        |  m['k'] AS by_key,
+        |  m['zz'] AS missing_key,
+        |  nested[1][2] AS chained
+        |FROM (SELECT array('p', 'q', 'r') AS arr,
+        |             map('k', 7) AS m,
+        |             array(array(1, 2), array(3)) AS nested
+        |      FROM range(1))""".stripMargin).head()
+    assert(r.getString(0) == "a" && r.getString(1) == "c", r)
+    assert(r.isNullAt(2), r) // out-of-bounds -> NULL, the Nullable lane
+    assert(r.getString(3) == "q" && r.getString(4) == "r", r)
+    assert(r.getString(5) == "q", r) // backticked base carried whole
+    assert(r.getString(6) == "x", r) // 1-based on a call result
+    assert(r.getInt(7) == 7, r)
+    assert(r.isNullAt(8), r) // missing map key -> NULL
+    assert(r.getInt(9) == 2L, r) // x[1][2] chains through the fixpoint
+    // arrayElement is the same semantics as a function spelling.
+    val f = ClickHouseSql.sql(spark,
+      "SELECT arrayElement(array(5, 6), -1) AS e, arrayElement(array(5), 3) AS n FROM range(1)")
+      .head()
+    assert(f.getInt(0) == 6 && f.isNullAt(1), f)
+    // Index 0 raises loudly (Spark's indices-start-at-1 error), never a
+    // silent shift.
+    val z = intercept[Exception] {
+      ClickHouseSql.sql(spark, "SELECT array(1)[0] AS z FROM range(1)").collect()
+    }
+    val zt = Iterator.iterate(z: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(zt.toLowerCase.contains("0") || zt.toLowerCase.contains("index"), z)
   }
 
   test("star transformers do not engage on multiplication by a column named like a modifier") {
