@@ -1250,7 +1250,7 @@ object SparkEntry {
     // The medians are re-derived by the sorted-index definition
     // (row_number over ORDER BY), an independent spelling.
     "sql_ch_url2" ->
-      """WITH u AS (SELECT o_orderkey AS k, o_orderkey % 5 AS k5, o_orderkey % 7 AS k7, 8080 + o_orderkey % 2 AS prt, o_orderkey % 3 AS k3, o_orderkey % 4 AS k4, o_orderstatus AS st, o_orderkey % 2 AS k2 FROM orders WHERE o_orderkey < 300), agg AS (SELECT CAST(min(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS BIGINT) AS mlo, CAST(min(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS mhi FROM (SELECT o_orderkey % 97 AS v, row_number() OVER (ORDER BY o_orderkey % 97) AS rn, count(*) OVER () AS n FROM orders WHERE o_orderkey < 300)) SELECT k, 'u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt AS nl, 'p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS qsf, '' AS qsf_noq, 'p=' || k4 || '|q=' || st || '|p2=x' AS params, 'p,q,p2' AS names, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&p2=x#f' || k2 AS cut_mid, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?q=' || st || '&p2=x#f' || k2 AS cut_first, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '#f' || k2 AS cut_last, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS cut_absent, mlo, mhi, CAST(1500 AS BIGINT) AS dp FROM u CROSS JOIN agg ORDER BY k""",
+      """WITH u AS (SELECT o_orderkey AS k, o_orderkey % 5 AS k5, o_orderkey % 7 AS k7, 8080 + o_orderkey % 2 AS prt, o_orderkey % 3 AS k3, o_orderkey % 4 AS k4, o_orderstatus AS st, o_orderkey % 2 AS k2 FROM orders WHERE o_orderkey < 300), agg AS (SELECT CAST(min(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS BIGINT) AS mlo, CAST(min(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS mhi FROM (SELECT o_orderkey % 97 AS v, row_number() OVER (ORDER BY o_orderkey % 97) AS rn, count(*) OVER () AS n FROM orders WHERE o_orderkey < 300)) SELECT k, 'u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt AS nl, 'p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS qsf, '#only-frag' AS qsf_noq, 'p=' || k4 || '|q=' || st || '|p2=x' AS params, 'p,q,p2' AS names, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&p2=x#f' || k2 AS cut_mid, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?q=' || st || '&p2=x#f' || k2 AS cut_first, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '#f' || k2 AS cut_last, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS cut_absent, mlo, mhi, CAST(1500 AS BIGINT) AS dp FROM u CROSS JOIN agg ORDER BY k""",
     // The SAME closed form as plain SQL — the mapping is faithful
     // precisely because the docs-pinned formula is a sum to the max-t
     // anchor, not a row-order recurrence. floor(epoch(ts)) matches

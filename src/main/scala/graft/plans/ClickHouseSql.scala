@@ -215,23 +215,67 @@ object ClickHouseSqlRewrite {
     "EXCEPT", "CASE", "BETWEEN", "LIKE", "ILIKE", "IS", "QUALIFY",
     "PREWHERE", "USING", "VALUES", "RETURN", "FROM", "JOIN", "DIV", "MOD")
 
+  /** Per-char classes of the ORIGINAL text: 0 = code, 1 = comment
+    * (`--` to newline, `/*` to `*/`), 2 = quoted span (`'…'`, `"…"`,
+    * `` `…` `` with backslash escapes outside backticks and doubled-
+    * quote escapes — exactly [[AsOfSqlRewrite.mask]]'s rules, which
+    * blank classes 1 and 2 IDENTICALLY). The bracket classifiers need
+    * them apart: a comment is skippable air, a quoted span is an
+    * OPERAND (the review repro: treating a masked comment as an operand
+    * wrapped graft_ch_element INSIDE the comment text).
+    */
+  private def charClasses(s: String): Array[Byte] = {
+    val cls = new Array[Byte](s.length)
+    def fill(from: Int, until: Int, v: Byte): Unit = {
+      var j = from
+      while (j < until && j < s.length) { cls(j) = v; j += 1 }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        var j = i + 1
+        var end = -1
+        while (j < s.length && end < 0) {
+          if (s.charAt(j) == '\\' && c != '`') j += 2
+          else if (s.charAt(j) == c) {
+            if (j + 1 < s.length && s.charAt(j + 1) == c) j += 2 else end = j + 1
+          } else j += 1
+        }
+        val stop = if (end < 0) s.length else end
+        fill(i, stop, 2); i = stop
+      } else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        var j = i + 2
+        while (j < s.length && s.charAt(j) != '\n') j += 1
+        fill(i, j, 1); i = j
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        val e = s.indexOf("*/", i + 2)
+        val stop = if (e < 0) s.length else e + 2
+        fill(i, stop, 1); i = stop
+      } else i += 1
+    }
+    cls
+  }
+
+  /** Skippable air at `p`: real code whitespace or a comment char. */
+  private def isAir(sql: String, cls: Array[Byte], p: Int): Boolean =
+    cls(p) == 1 || (cls(p) == 0 && sql.charAt(p).isWhitespace)
+
   /** The literal-vs-indexing classifier for a `[` at `i` (shared by
     * [[rewriteArrayLiterals]] and [[rewriteBracketIndexing]]): INDEXING
-    * when the previous non-whitespace token is `)`, `]`, a non-keyword
-    * identifier, or a MASKED span (a backtick-quoted identifier or
-    * string literal — masked to spaces, but an operand; the scan walks
-    * the original text in lockstep with the mask, the isSelectListStar
-    * lesson). Anything else — operator, comma, opening bracket, keyword
-    * — makes it a literal start.
+    * when the previous token — skipping whitespace AND comments — is
+    * `)`, `]`, a non-keyword identifier, or a QUOTED span (an operand).
+    * Anything else — operator, comma, opening bracket, keyword, or
+    * nothing — makes it a literal start.
     */
-  private def isIndexingBracket(sql: String, masked: String, i: Int): Boolean = {
+  private def isIndexingBracket(sql: String, masked: String,
+      cls: Array[Byte], i: Int): Boolean = {
     var j = i - 1
-    while (j >= 0 && masked.charAt(j).isWhitespace &&
-      sql.charAt(j).isWhitespace) j -= 1
+    while (j >= 0 && isAir(sql, cls, j)) j -= 1
     if (j < 0) return false
+    if (cls(j) == 2) return true // a quoted operand before '['
     val prev = masked.charAt(j)
-    if (prev.isWhitespace) true // a masked (quoted) operand before '['
-    else if (prev == ')' || prev == ']') true
+    if (prev == ')' || prev == ']') true
     else if (isWordChar(prev)) {
       var w = j
       while (w >= 0 && isWordChar(masked.charAt(w))) w -= 1
@@ -247,10 +291,11 @@ object ClickHouseSqlRewrite {
     * pair per pass; the fixpoint unnests inner literals.
     */
   private def rewriteArrayLiterals(sql: String, masked: String): String = {
+    val cls = charClasses(sql)
     var i = 0
     while (i < masked.length) {
       if (masked.charAt(i) == '[') {
-        if (!isIndexingBracket(sql, masked, i)) {
+        if (!isIndexingBracket(sql, masked, cls, i)) {
           var depth = 0
           var k = i
           while (k < masked.length) {
@@ -276,35 +321,53 @@ object ClickHouseSqlRewrite {
   /** Start index of the expression an indexing `[` applies to: balance
     * backward over any `)`/`]`-ended suffixes (call arguments, prior
     * index brackets), then absorb the identifier chain in front — word
-    * characters, dots, and MASKED quoted spans (walked via the original
-    * text in lockstep with the mask, so a backticked base is carried
-    * whole).
+    * characters, dots, QUOTED spans carried whole (interior spaces
+    * included — `` `my col`[1] `` must not split, the review repro),
+    * and comments riding inside the span. Air (whitespace/comments) is
+    * absorbed only directly after a balanced group and only when an
+    * identifier or quoted span precedes it — the call-name-with-space
+    * shape (`count (x)[1]`); air after an identifier ends the chain, so
+    * `SELECT arr [1]` never swallows the keyword.
     */
-  private def indexBaseStart(sql: String, masked: String, bracket: Int): Int = {
+  private def indexBaseStart(sql: String, masked: String,
+      cls: Array[Byte], bracket: Int): Int = {
     var i = bracket - 1
-    while (i >= 0 && masked.charAt(i).isWhitespace &&
-      sql.charAt(i).isWhitespace) i -= 1
+    while (i >= 0 && isAir(sql, cls, i)) i -= 1
     var continue = true
+    var justBalanced = false
     while (continue && i >= 0) {
-      val c = masked.charAt(i)
-      if (c == ')' || c == ']') {
-        val close = c
-        val open = if (c == ')') '(' else '['
-        var depth = 0
-        var found = false
-        while (i >= 0 && !found) {
-          val ch = masked.charAt(i)
-          if (ch == close) depth += 1
-          else if (ch == open) { depth -= 1; if (depth == 0) found = true }
-          i -= 1
+      if (cls(i) == 2) { i -= 1; justBalanced = false }
+      else if (cls(i) == 1) i -= 1 // a comment inside the base span
+      else {
+        val c = masked.charAt(i)
+        if (c == ')' || c == ']') {
+          val close = c
+          val open = if (c == ')') '(' else '['
+          var depth = 0
+          var found = false
+          while (i >= 0 && !found) {
+            val ch = masked.charAt(i)
+            if (ch == close) depth += 1
+            else if (ch == open) { depth -= 1; if (depth == 0) found = true }
+            i -= 1
+          }
+          if (!found) throw new IllegalArgumentException(
+            "ClickHouse SQL: unbalanced parentheses before an index bracket")
+          justBalanced = true
+        } else if (isWordChar(c) || c == '.') {
+          i -= 1; justBalanced = false
+        } else if (c.isWhitespace && justBalanced) {
+          // Peek past the air: absorb it only when a call name (ident
+          // chain or quoted identifier) sits in front of the group.
+          var p = i
+          while (p >= 0 && isAir(sql, cls, p)) p -= 1
+          if (p >= 0 && (cls(p) == 2 ||
+            isWordChar(masked.charAt(p)) || masked.charAt(p) == '.')) {
+            i = p; justBalanced = false
+          } else continue = false
+        } else {
+          continue = false
         }
-        if (!found) throw new IllegalArgumentException(
-          "ClickHouse SQL: unbalanced parentheses before an index bracket")
-      } else if (isWordChar(c) || c == '.' ||
-        (c.isWhitespace && !sql.charAt(i).isWhitespace)) {
-        i -= 1
-      } else {
-        continue = false
       }
     }
     i + 1
@@ -329,9 +392,11 @@ object ClickHouseSqlRewrite {
     * through the fixpoint.
     */
   private def rewriteBracketIndexing(sql: String, masked: String): String = {
+    val cls = charClasses(sql)
     var i = 0
     while (i < masked.length) {
-      if (masked.charAt(i) == '[' && isIndexingBracket(sql, masked, i)) {
+      if (masked.charAt(i) == '[' && cls(i) == 0 &&
+        isIndexingBracket(sql, masked, cls, i)) {
         var depth = 0
         var k = i
         var close = -1
@@ -343,7 +408,7 @@ object ClickHouseSqlRewrite {
         }
         if (close < 0) throw new IllegalArgumentException(
           "ClickHouse SQL: unbalanced '[' in index expression")
-        val bs = indexBaseStart(sql, masked, i)
+        val bs = indexBaseStart(sql, masked, cls, i)
         return sql.substring(0, bs) + "graft_ch_element(" +
           sql.substring(bs, i) + "\n, " + sql.substring(i + 1, close) +
           "\n)" + sql.substring(close + 1)
@@ -4540,12 +4605,15 @@ object ClickHouseFunctions {
       es => { require(es.length == 1, "netloc(url)")
         Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType),
           Literal("AUTHORITY")), failOnError = false), Literal(""))) }),
-    ("queryStringAndFragment", "queryStringAndFragment(url) - everything after the first '?' (query plus '#fragment'); '' when the url has no '?' (the stated boundary: a fragment-only url returns '')",
+    ("queryStringAndFragment", "queryStringAndFragment(url) - everything after the first '?' (query plus '#fragment'); with no '?' the fragment FROM its '#' ('#' is the separator the rendering keeps, matching the with-query form); '' when neither exists",
       es => { require(es.length == 1, "queryStringAndFragment(url)")
         val u = Cast(es.head, StringType)
         val q = new StringLocate(Literal("?"), u)
-        If(EqualTo(q, Literal(0)), Literal(""),
-          Substring(u, Add(q, Literal(1)), Literal(Int.MaxValue))) }),
+        val f = new StringLocate(Literal("#"), u)
+        If(GreaterThan(q, Literal(0)),
+          Substring(u, Add(q, Literal(1)), Literal(Int.MaxValue)),
+          If(GreaterThan(f, Literal(0)),
+            Substring(u, f, Literal(Int.MaxValue)), Literal(""))) }),
     ("extractURLParameters", "extractURLParameters(url) - the query string's name=value items as array<string> (split on '&', empty items dropped, fragment excluded; [] when no query string)",
       es => { require(es.length == 1, "extractURLParameters(url)")
         chUrlParams(es.head) }),
@@ -4563,13 +4631,23 @@ object ClickHouseFunctions {
               s"string literal (it becomes the removal pattern), got $other")
         }
         val q = java.util.regex.Pattern.quote(name)
-        // Alternatives, tried in order at each position: a mid-list item
-        // with its TRAILING '&' (the preceding separator survives), a
-        // LAST item with its LEADING '&', and a sole item after '?'
-        // (the '?' survives). [^&#]* stops values at the fragment.
-        RegExpReplace(Cast(es.head, StringType),
-          Literal(s"(?<=[?&])$q=[^&#]*&|&$q=[^&#]*|(?<=\\?)$q=[^&#]*"),
-          Literal("")) }),
+        // The regex runs on the PRE-'#' head only (a '&' inside the
+        // fragment must never start a match — review repro), and each
+        // alternative consumes a whole RUN of consecutive repeats so a
+        // trailing repeat cannot survive its predecessor eating the
+        // shared '&' (review repro: '?a=1&a=2' kept 'a=2' under the
+        // single-item form). Order: leading-after-'?' runs (trailing
+        // '&' consumed when more parameters follow; a sole run leaves
+        // the '?'), then interior/trailing '&'-led runs.
+        val item = s"$q=[^&]*"
+        val pat = s"(?<=\\?)$item(&$item)*&?|&$item(&$item)*"
+        val u = Cast(es.head, StringType)
+        val f = new StringLocate(Literal("#"), u)
+        val head = If(EqualTo(f, Literal(0)), u,
+          Substring(u, Literal(1), Subtract(f, Literal(1))))
+        val frag = If(EqualTo(f, Literal(0)), Literal(""),
+          Substring(u, f, Literal(Int.MaxValue)))
+        Concat(Seq(RegExpReplace(head, Literal(pat), Literal("")), frag)) }),
     // ---------------- search / regex (r11). Bare `position` stays
     // deliberately unmapped (Spark's own `position` exists with the
     // ARGUMENTS REVERSED — haystack-first here, needle-first there — and

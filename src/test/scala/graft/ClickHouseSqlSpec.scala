@@ -3015,13 +3015,26 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(1) == "example.com", r)
     assert(r.getString(2) == "", r)
     assert(r.getString(3) == "a=1" && r.getString(4) == "a=1#f", r)
-    assert(r.getString(5) == "", r) // fragment-only: the stated boundary
+    // Fragment-only keeps the '#' (the separator the with-query form
+    // renders: 'page=1#frag'), symmetric with cutQueryStringAndFragment.
+    assert(r.getString(5) == "#f", r)
     assert(r.getString(6) == "a=1|bare|b=2", r)
     assert(r.getString(7) == "a,bare,b", r)
     assert(r.getString(8) == "", r)
     assert(r.getString(9) == "http://x/?", r) // sole param: trailing '?', stated
     assert(r.getString(10) == "http://x/?b=3", r) // every occurrence removed
     assert(r.getLong(11) == 32L, r)
+    // Review repros: a trailing repeat is a RUN (the shared '&' must not
+    // shield the last occurrence), and a '&' inside the FRAGMENT can
+    // never start a removal match.
+    val c2 = ClickHouseSql.sql(spark,
+      """SELECT cutURLParameter('http://x/?a=1&a=2', 'a') AS run_all,
+        |  cutURLParameter('http://x/?b=1&a=2&a=3', 'a') AS run_tail,
+        |  cutURLParameter('http://x/?b=1#f&a=2', 'a') AS frag_kept
+        |FROM range(1)""".stripMargin).head()
+    assert(c2.getString(0) == "http://x/?", c2)
+    assert(c2.getString(1) == "http://x/?b=1", c2)
+    assert(c2.getString(2) == "http://x/?b=1#f&a=2", c2)
     // Medians: [1,2,3,4] -> low = sorted index (4-1) div 2 = 2,
     // high = index 4 div 2 = 3 (the quantileExactLow/High kernels at 0.5).
     val m = ClickHouseSql.sql(spark,
@@ -3067,6 +3080,21 @@ class ClickHouseSqlSpec extends SparkSpec {
       "SELECT arrayElement(array(5, 6), -1) AS e, arrayElement(array(5), 3) AS n FROM range(1)")
       .head()
     assert(f.getInt(0) == 6 && f.isNullAt(1), f)
+    // Review repros: comments are AIR, not operands — a comment before a
+    // literal bracket keeps it a literal, a comment between base and
+    // bracket rides inside the wrap, and a backticked base with an
+    // interior space is carried whole.
+    assert(ClickHouseSqlRewrite("SELECT /* note */ ['a', 'b'] AS t FROM x")
+      == "SELECT /* note */ array('a', 'b') AS t FROM x")
+    assert(ClickHouseSqlRewrite("SELECT -- note\n ['a', 'b'] AS t FROM x")
+      == "SELECT -- note\n array('a', 'b') AS t FROM x")
+    val withComment = ClickHouseSqlRewrite("SELECT arr /* c */ [1] FROM t")
+    assert(withComment.contains("graft_ch_element(arr /* c */"), withComment)
+    val spaced = ClickHouseSql.sql(spark,
+      """SELECT `my col`[2] AS e
+        |FROM (SELECT array('u', 'v') AS `my col` FROM range(1))""".stripMargin)
+      .head()
+    assert(spaced.getString(0) == "v", spaced)
     // Index 0 raises loudly (Spark's indices-start-at-1 error), never a
     // silent shift.
     val z = intercept[Exception] {
