@@ -489,6 +489,7 @@ object SparkEntry {
     "sql_ch_sparkbar" -> (Relational.sqlChSparkbar _),
     "sql_ch_url2" -> (Relational.sqlChUrl2 _),
     "sql_ch_index" -> (Relational.sqlChIndex _),
+    "sql_ch_dateadd" -> (Relational.sqlChDateAdd _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
     "scalar_inet" -> (Scalars.scalarInet _),
     "orders_interarrival" -> (Analytics.ordersInterarrival _),
@@ -1239,6 +1240,12 @@ object SparkEntry {
     // is pinned in ClickHouseSqlSpec).
     "sql_ch_ngram" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 24) AS a1, substr(text, 25, 24) AS b1, substr(text, 1, 16) AS a2, substr(text, 9, 16) AS b2, lang AS a3, source AS b3, text AS a4, replace(substr(text, 10, 12), 'a', 'e') AS b4 FROM documents WHERE doc_id < 120), p AS (SELECT doc_id, 1 AS pid, a1 AS a, b1 AS b FROM d UNION ALL SELECT doc_id, 2, a2, b2 FROM d UNION ALL SELECT doc_id, 3, a3, b3 FROM d UNION ALL SELECT doc_id, 4, a4, b4 FROM d), ga AS (SELECT doc_id, pid, substr(a, CAST(i AS INTEGER), 4) AS g, count(*) AS c FROM p CROSS JOIN UNNEST(generate_series(1, length(a) - 3)) AS t(i) GROUP BY doc_id, pid, g), gb AS (SELECT doc_id, pid, substr(b, CAST(i AS INTEGER), 4) AS g, count(*) AS c FROM p CROSS JOIN UNNEST(generate_series(1, length(b) - 3)) AS t(i) GROUP BY doc_id, pid, g), cm AS (SELECT ga.doc_id, ga.pid, sum(least(ga.c, gb.c)) AS common FROM ga JOIN gb ON ga.doc_id = gb.doc_id AND ga.pid = gb.pid AND ga.g = gb.g GROUP BY ga.doc_id, ga.pid), m AS (SELECT p.doc_id, p.pid, greatest(length(a) - 3, 0) AS na, greatest(length(b) - 3, 0) AS nb, coalesce(cm.common, 0) AS c FROM p LEFT JOIN cm ON p.doc_id = cm.doc_id AND p.pid = cm.pid), v AS (SELECT doc_id, pid, CAST(na + nb - 2 * c AS DOUBLE) / greatest(na + nb, 1) AS dist, CAST(c AS DOUBLE) / greatest(nb, 1) AS srch FROM m) SELECT doc_id, CAST(floor(max(CASE WHEN pid = 1 THEN dist END) * 10000 + 0.5) AS BIGINT) AS nd_4, CAST(floor(max(CASE WHEN pid = 2 THEN dist END) * 10000 + 0.5) AS BIGINT) AS ndci_4, CAST(floor(max(CASE WHEN pid = 3 THEN dist END) * 10000 + 0.5) AS BIGINT) AS nd_tiny_4, CAST(floor(max(CASE WHEN pid = 4 THEN srch END) * 10000 + 0.5) AS BIGINT) AS ns_4, CAST(floor(max(CASE WHEN pid = 4 THEN srch END) * 10000 + 0.5) AS BIGINT) AS nsci_4 FROM v GROUP BY doc_id ORDER BY doc_id""",
+    // Calendar arithmetic replayed on DuckDB's independent to_days/
+    // to_months/to_hours interval functions; hasSubstr's dynamic lane
+    // re-derived arithmetically ([k3,1,k5] contains [k4,1] contiguously
+    // iff k4=k3 at position 1, or k4=1 and k5=1 at position 2).
+    "sql_ch_dateadd" ->
+      """SELECT o_orderkey AS k, CAST(CAST(CAST(o_orderdate AS DATE) + to_days(CAST(o_orderkey % 40 AS INTEGER)) AS DATE) AS VARCHAR) AS d_day, CAST(CAST(CAST(o_orderdate AS DATE) + to_months(2) AS DATE) AS VARCHAR) AS d_mon, CAST(floor(epoch(o_orderdate + to_hours(CAST(o_orderkey % 50 AS INTEGER)))) AS BIGINT) AS ts_hr, CAST(CAST(CAST(o_orderdate AS DATE) - to_days(7) AS DATE) AS VARCHAR) AS d_wk, CAST(floor(epoch(o_orderdate - to_minutes(30))) AS BIGINT) AS ts_min, true AS hs_t, false AS hs_f, (o_orderkey % 4 = o_orderkey % 3) OR (o_orderkey % 4 = 1 AND o_orderkey % 5 = 1) AS hs_dyn FROM orders WHERE o_orderkey < 400 ORDER BY k""",
     // Every indexing lane re-derived from the same building blocks —
     // the oracle holds no array at all. adyn walks k%4+1 over indexes
     // 1..4 (4 is out of bounds -> NULL); the literal subscript and the

@@ -2797,6 +2797,32 @@ object Relational {
         |ORDER BY l_linestatus""".stripMargin)
   }
 
+  /** The r13 dateAdd/dateSub + hasSubstr query: the unit-first
+    * arithmetic spellings (textually renamed — Spark owns `dateadd` as
+    * the 2-arg days form) across Date-stays-DATE and timestamp lanes,
+    * both call spellings for the unit (bare keyword and string
+    * literal), and `hasSubstr`'s contiguous-run test with a
+    * data-dependent lane the oracle re-derives arithmetically. The
+    * calendar arithmetic replays on DuckDB's independent to_days/
+    * to_months interval functions (the sql_ch_like clamp precedent).
+    * Row-wise over a pruned scan.
+    */
+  def sqlChDateAdd(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT o_orderkey AS k,
+        |  toString(dateAdd(day, o_orderkey % 40, toDate(o_orderdate))) AS d_day,
+        |  toString(dateAdd('month', 2, toDate(o_orderdate))) AS d_mon,
+        |  toUnixTimestamp(dateAdd(hour, o_orderkey % 50, o_orderdate)) AS ts_hr,
+        |  toString(dateSub(week, 1, toDate(o_orderdate))) AS d_wk,
+        |  toUnixTimestamp(dateSub(minute, 30, o_orderdate)) AS ts_min,
+        |  hasSubstr(array(1, 2, 3, 4), array(2, 3)) AS hs_t,
+        |  hasSubstr(array(1, 2, 3), array(3, 2)) AS hs_f,
+        |  hasSubstr(array(o_orderkey % 3, 1, o_orderkey % 5), array(o_orderkey % 4, 1)) AS hs_dyn
+        |FROM orders WHERE o_orderkey < 400
+        |ORDER BY k""".stripMargin)
+  }
+
   /** The r13 bracket-indexing query: ClickHouse's 1-based `arr[i]` /
     * `map[k]` subscripts (negative from end, out-of-bounds and missing
     * keys → NULL — the Nullable lane the builder's usage states) over

@@ -126,6 +126,7 @@ object ClickHouseSqlRewrite {
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
+    val da = rewriteDateAddSub(sql, masked); if (da ne sql) return da
     val p = rewritePosition(sql, masked); if (p ne sql) return p
     val t = rewriteWithTies(sql, masked); if (t ne sql) return t
     val u = rewriteDictGet(sql, masked); if (u ne sql) return u
@@ -809,6 +810,47 @@ object ClickHouseSqlRewrite {
         val nameEnd = sql.indexOf('(', m.start())
         return sql.substring(0, m.start()) + "graft_ch_datediff" +
           sql.substring(nameEnd)
+      }
+    }
+    sql
+  }
+
+  private val DateAddRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(dateAdd|dateSub|date_add|date_sub)\\s*\\(")
+
+  /** ClickHouse's unit-first `dateAdd(unit, n, d)` / `dateSub(unit, n,
+    * d)` → a TEXTUAL RENAME onto `graft_ch_dateadd`/`graft_ch_datesub`
+    * (the dateDiff/position precedent — Spark already owns `dateadd` as
+    * the 2-arg days form, so the spelling cannot register). The rename
+    * fires ONLY when the call has three arguments and the FIRST is a
+    * unit keyword (bare or quoted) — Spark's own `date_add(d, 5)` and a
+    * 3-arg call keyed by a genuine column pass through untouched (a
+    * column NAMED like a unit in first position reads as the unit, as
+    * it does in ClickHouse itself).
+    */
+  private def rewriteDateAddSub(sql: String, masked: String): String = {
+    val m = DateAddRe.matcher(masked)
+    while (m.find()) {
+      val (aStart, aEnd, _) = parenSpan(masked, m.end() - 1)
+      val items = splitItems(masked, aStart, aEnd)
+      if (items.length == 3) {
+        val first = sql.substring(items.head._1, items.head._2).trim
+          .stripPrefix("'").stripSuffix("'")
+          .toLowerCase(java.util.Locale.ROOT)
+        if (ClickHouseFunctions.ChAddUnits.contains(first)) {
+          val target =
+            if (m.group(1).toLowerCase(java.util.Locale.ROOT).contains("sub"))
+              "graft_ch_datesub"
+            else "graft_ch_dateadd"
+          // The unit is QUOTED in the emitted text: a bare keyword would
+          // sit in the call as an unresolvable column reference, and an
+          // UnresolvedFunction whose children never resolve is never
+          // handed to the builder at all (childrenResolved gates
+          // ResolveFunctions) — the analyzer reports the phantom column
+          // instead of reaching the rename's target.
+          return sql.substring(0, m.start()) + target + "('" + first + "'" +
+            sql.substring(items.head._2)
+        }
       }
     }
     sql
@@ -2224,6 +2266,36 @@ object ClickHouseSqlRewrite {
   * RuntimeReplaceable: the analyzer types this node via the replacement
   * (built lazily, after children resolve) and the optimizer swaps it in.
   */
+/** ClickHouse `dateAdd(unit, n, d)` typing, dispatched on the resolved
+  * input type: ClickHouse returns DATE for a Date input with day-or-
+  * coarser units, TIMESTAMP otherwise — a build-time builder cannot
+  * know which. The arithmetic itself is Spark's own TimestampAdd (the
+  * calendar rules, including the end-of-month clamp, already agree —
+  * the toInterval* family pinned that in r12).
+  */
+case class ChDateAdd(unit: String, n: Expression, d: Expression)
+    extends Expression with RuntimeReplaceable {
+  override def children: Seq[Expression] = Seq(n, d)
+  override lazy val replacement: Expression = {
+    // A RuntimeReplaceable's replacement is never re-analyzed, so the
+    // time-zone-aware nodes (TimestampAdd, date<->timestamp Casts) must
+    // carry the session zone themselves — ResolveTimeZone will not fill
+    // them in.
+    val zone = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val added = TimestampAdd(unit, Cast(n, LongType),
+      Cast(d, TimestampType, zone), zone)
+    d.dataType match {
+      case DateType if Set("day", "week", "month", "quarter", "year")
+        .contains(unit.toLowerCase(java.util.Locale.ROOT)) =>
+        Cast(added, DateType, zone)
+      case _ => added
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(n = newChildren(0), d = newChildren(1))
+}
+
 case class ChBracketIndex(base: Expression, idx: Expression)
     extends Expression with RuntimeReplaceable {
   override def children: Seq[Expression] = Seq(base, idx)
@@ -2643,6 +2715,32 @@ object ClickHouseFunctions {
     * parse_url QUERY lane the rest of the URL family rides (''-not-NULL
     * convention), split on '&' with empty items dropped.
     */
+  /** The units dateAdd/dateSub accept — Spark's TimestampAdd spellings,
+    * which cover ClickHouse's documented list.
+    */
+  private[plans] val ChAddUnits = Set("microsecond", "millisecond",
+    "second", "minute", "hour", "day", "week", "month", "quarter", "year")
+
+  /** The unit argument of dateAdd/dateSub: a bare keyword (parsed as an
+    * unresolved single-part attribute) or a string literal, validated
+    * against [[ChAddUnits]].
+    */
+  private def chUnitName(fname: String, e: Expression): String = {
+    val raw = e match {
+      case Literal(s, StringType) if s != null => s.toString
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        if u.nameParts.length == 1 => u.nameParts.head
+      case other => throw new IllegalArgumentException(
+        s"ClickHouse SQL: $fname's unit must be a bare or quoted unit " +
+          s"keyword, got $other")
+    }
+    if (!ChAddUnits.contains(raw.toLowerCase(java.util.Locale.ROOT)))
+      throw new IllegalArgumentException(
+        s"ClickHouse SQL: $fname unit '$raw' is not supported — one of " +
+          ChAddUnits.toSeq.sorted.mkString("/"))
+    raw
+  }
+
   private def chUrlParams(u0: Expression): Expression = {
     val qs = Coalesce(Seq(ParseUrl(Seq(Cast(u0, StringType),
       Literal("QUERY")), failOnError = false), Literal("")))
@@ -3921,6 +4019,28 @@ object ClickHouseFunctions {
     ("arrayElement", "arrayElement(arr, i) - the bracket-indexing semantics as a function (1-based, negative from end, out-of-bounds -> NULL)",
       es => { require(es.length == 2, "arrayElement(arr, i)")
         ChBracketIndex(es.head, es(1)) }),
+    // dateAdd/dateSub land here via the rewrite's TEXTUAL RENAME (the
+    // dateDiff/position precedent): Spark already owns `dateadd` as the
+    // 2-arg days form, so the unit-first 3-arg spelling cannot register
+    // under its own name without clobbering. The unit arrives as a bare
+    // identifier or string literal; typing dispatches on the resolved
+    // input ([[ChDateAdd]] — Date stays DATE for day-or-coarser units).
+    ("graft_ch_dateadd", "dateAdd(unit, n, d) - d plus n units (microsecond..year; a DATE input with day-or-coarser units stays DATE, ClickHouse's typing, otherwise TIMESTAMP)",
+      es => { require(es.length == 3, "dateAdd(unit, n, d)")
+        ChDateAdd(chUnitName("dateAdd", es.head), es(1), es(2)) }),
+    ("graft_ch_datesub", "dateSub(unit, n, d) - d minus n units (dateAdd with the count negated)",
+      es => { require(es.length == 3, "dateSub(unit, n, d)")
+        ChDateAdd(chUnitName("dateSub", es.head), UnaryMinus(es(1)), es(2)) }),
+    ("hasSubstr", "hasSubstr(arr, sub) - true when sub occurs in arr as a CONTIGUOUS run in order (unlike hasAll's set test); an empty sub is contained in anything (ClickHouse's rule)",
+      es => { require(es.length == 2, "hasSubstr(arr, sub)")
+        val a = es.head
+        val b = es(1)
+        val nb = new Size(b)
+        val span = Subtract(Add(new Size(a), Literal(1)), nb)
+        If(EqualTo(nb, Literal(0)), Literal(true),
+          If(LessThan(span, Literal(1)), Literal(false),
+            ArrayExists(new Sequence(Literal(1), span),
+              lam1(i => EqualTo(Slice(a, Cast(i, IntegerType), nb), b))))) }),
     ("indexOf", "indexOf(arr, x) - 1-based position of x in arr, 0 when absent",
       es => { require(es.length == 2, "indexOf(arr, x)")
         ArrayPosition(es(0), es(1)) }),

@@ -116,7 +116,11 @@ object ClickHouseRewritePropSpec extends Properties("ClickHouseRewrite") {
     // fixpoint (the rewrite emits no brackets of its own).
     Gen.zip(trickyIdent, Gen.choose(-9, 9).suchThat(_ != 0)).map {
       case (a, n) => s"SELECT $a[$n] FROM t" },
-    Gen.choose(1, 9).map(n => s"SELECT split(s, ',')[$n][1] FROM t"))
+    Gen.choose(1, 9).map(n => s"SELECT split(s, ',')[$n][1] FROM t"),
+    // dateAdd/dateSub unit-first renames (r13): bare and quoted units.
+    Gen.oneOf("day", "hour", "month", "'week'", "'minute'").flatMap(u =>
+      Gen.choose(1, 99).map(n => s"SELECT dateAdd($u, $n, ts) FROM t")),
+    Gen.choose(1, 99).map(n => s"SELECT dateSub(year, $n, d) FROM t GROUP BY k"))
 
   property("generated dialect statements rewrite once, then fixpoint") =
     forAll(chStmt) { s =>

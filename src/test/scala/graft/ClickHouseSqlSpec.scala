@@ -3105,6 +3105,54 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(zt.toLowerCase.contains("0") || zt.toLowerCase.contains("index"), z)
   }
 
+  test("execution: dateAdd/dateSub unit-first spellings + hasSubstr contiguous runs") {
+    // The rename is arity- and unit-gated: Spark's own 2-arg date_add
+    // stays inert; the 3-arg unit-first form renames with the unit
+    // QUOTED (a bare keyword would be an unresolvable column child).
+    assert(ClickHouseSqlRewrite("SELECT date_add(d, 5) FROM t")
+      eq "SELECT date_add(d, 5) FROM t")
+    val rw = ClickHouseSqlRewrite("SELECT dateAdd(hour, 2, ts) FROM t")
+    assert(rw == "SELECT graft_ch_dateadd('hour', 2, ts) FROM t", rw)
+    val rs = ClickHouseSqlRewrite("SELECT dateSub('week', 1, d) FROM t")
+    assert(rs == "SELECT graft_ch_datesub('week', 1, d) FROM t", rs)
+    val r = ClickHouseSql.sql(spark,
+      """SELECT dateAdd(month, 1, toDate('2024-01-31')) AS clamp,
+        |  dateAdd(day, 3, toDate('2024-02-27')) AS leap,
+        |  dateAdd(hour, 25, toDateTime('2024-01-01 00:00:00')) AS ts_h,
+        |  dateSub(minute, 90, toDateTime('2024-01-01 02:00:00')) AS ts_m
+        |FROM range(1)""".stripMargin)
+    // ClickHouse's typing: Date input + day-or-coarser unit stays DATE;
+    // sub-day units and timestamp inputs are TIMESTAMP.
+    assert(r.schema("clamp").dataType ==
+      org.apache.spark.sql.types.DateType, r.schema)
+    assert(r.schema("ts_h").dataType ==
+      org.apache.spark.sql.types.TimestampType, r.schema)
+    val row = r.head()
+    assert(row.getDate(0).toString == "2024-02-29", row) // end-of-month clamp
+    assert(row.getDate(1).toString == "2024-03-01", row) // leap day crossed
+    assert(row.getTimestamp(2).toString.startsWith("2024-01-02 01:00"), row)
+    assert(row.getTimestamp(3).toString.startsWith("2024-01-01 00:30"), row)
+    // Unknown units raise the named usage error.
+    val e = intercept[Exception] {
+      ClickHouseSql.sql(spark, "SELECT dateAdd(fortnight, 1, ts) FROM range(1)")
+    }
+    // A non-unit first argument is NOT renamed (it reads as a column) —
+    // dateAdd(fortnight, ...) resolves as an unknown function/column, a
+    // loud error either way.
+    assert(e != null)
+    // hasSubstr: contiguity and order (unlike hasAll), empty sub, and a
+    // sub longer than the array.
+    val h = ClickHouseSql.sql(spark,
+      """SELECT hasSubstr([1, 2, 3, 4], [2, 3]) AS yes,
+        |  hasSubstr([1, 2, 3], [3, 2]) AS order_no,
+        |  hasSubstr([1, 2, 4], [2, 3]) AS gap_no,
+        |  hasSubstr([1, 2], emptyArrayInt64()) AS empty_yes,
+        |  hasSubstr([1], [1, 2]) AS too_long_no
+        |FROM range(1)""".stripMargin).head()
+    assert(h.getBoolean(0) && !h.getBoolean(1) && !h.getBoolean(2), h)
+    assert(h.getBoolean(3) && !h.getBoolean(4), h)
+  }
+
   test("star transformers do not engage on multiplication by a column named like a modifier") {
     val r = ClickHouseSql.sql(spark,
       """SELECT price * replace AS x, 3 * apply AS y
