@@ -2721,15 +2721,15 @@ object ClickHouseFunctions {
   private[plans] val ChAddUnits = Set("microsecond", "millisecond",
     "second", "minute", "hour", "day", "week", "month", "quarter", "year")
 
-  /** The unit argument of dateAdd/dateSub: a bare keyword (parsed as an
-    * unresolved single-part attribute) or a string literal, validated
-    * against [[ChAddUnits]].
+  /** The unit argument of dateAdd/dateSub: a STRING LITERAL, validated
+    * against [[ChAddUnits]]. The rewrite quotes bare unit keywords
+    * before the call reaches resolution (an unresolved child would keep
+    * ResolveFunctions from ever invoking this builder), so a literal is
+    * the only spelling that can arrive.
     */
   private def chUnitName(fname: String, e: Expression): String = {
     val raw = e match {
       case Literal(s, StringType) if s != null => s.toString
-      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-        if u.nameParts.length == 1 => u.nameParts.head
       case other => throw new IllegalArgumentException(
         s"ClickHouse SQL: $fname's unit must be a bare or quoted unit " +
           s"keyword, got $other")
@@ -3323,17 +3323,19 @@ object ClickHouseFunctions {
         Coalesce(Seq(ParseUrl(Seq(Cast(es.head, StringType), Literal(part)),
           failOnError = false), Literal(""))) })
 
-  /** addDays/subtractHours/…: ClickHouse's date arithmetic family as
-    * stock timestampadd. Returns TIMESTAMP uniformly; ClickHouse returns
-    * Date for Date inputs with day-or-coarser units — a visible TYPE
-    * difference (wrap in toDate for that form), never a value change.
+  /** addDays/subtractHours/…: ClickHouse's date arithmetic family on
+    * the same [[ChDateAdd]] node as the unit-first dateAdd/dateSub
+    * spellings (r13 — before that this family returned TIMESTAMP
+    * uniformly with a documented wrap-in-toDate divergence; one layer
+    * must not type the same ClickHouse operation two ways): a DATE
+    * input with day-or-coarser units stays DATE, otherwise TIMESTAMP.
     */
   private def chAddUnit(fname: String, unit: String, neg: Boolean): (String, String, Seq[Expression] => Expression) = {
     val dir = if (neg) "minus" else "plus"
-    (fname, s"$fname(x, n) - x $dir n ${unit.toLowerCase}s, as TIMESTAMP (ClickHouse returns Date for Date input with day-or-coarser units; wrap in toDate for that form)",
+    (fname, s"$fname(x, n) - x $dir n ${unit.toLowerCase}s (a DATE input with day-or-coarser units stays DATE, ClickHouse's typing; otherwise TIMESTAMP)",
       es => { require(es.length == 2, s"$fname(x, n)")
         val n = if (neg) UnaryMinus(es(1)) else es(1)
-        TimestampAdd(unit, n, Cast(es.head, TimestampType)) })
+        ChDateAdd(unit, n, es.head) })
   }
 
   /** toRelativeDayNum/HourNum/…: whole units elapsed since the epoch,

@@ -3132,14 +3132,35 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(row.getDate(1).toString == "2024-03-01", row) // leap day crossed
     assert(row.getTimestamp(2).toString.startsWith("2024-01-02 01:00"), row)
     assert(row.getTimestamp(3).toString.startsWith("2024-01-01 00:30"), row)
-    // Unknown units raise the named usage error.
-    val e = intercept[Exception] {
-      ClickHouseSql.sql(spark, "SELECT dateAdd(fortnight, 1, ts) FROM range(1)")
+    // A non-unit first argument is NOT renamed (dateAdd(fortnight, …)
+    // reads fortnight as a column, a loud unresolved error); the
+    // builder's OWN unknown-unit named error is exercised through the
+    // rename target directly (review finding: the previous assertion
+    // never reached chUnitName).
+    intercept[Exception] {
+      ClickHouseSql.sql(spark, "SELECT dateAdd(fortnight, 1, ts) FROM range(1)").collect()
     }
-    // A non-unit first argument is NOT renamed (it reads as a column) —
-    // dateAdd(fortnight, ...) resolves as an unknown function/column, a
-    // loud error either way.
-    assert(e != null)
+    val ue = intercept[Exception] {
+      ClickHouseSql.sql(spark,
+        "SELECT graft_ch_dateadd('fortnight', 1, toDateTime('2024-01-01 00:00:00')) FROM range(1)")
+    }
+    val ut = Iterator.iterate(ue: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(ut.contains("not supported") && ut.contains("fortnight"), ue)
+    // The add*/subtract* family types identically to dateAdd (the one
+    // ClickHouse operation must not type two ways in one layer):
+    // Date + day-or-coarser stays DATE, and values agree.
+    val agree = ClickHouseSql.sql(spark,
+      """SELECT addDays(toDate('2024-01-30'), 3) AS a,
+        |  dateAdd(day, 3, toDate('2024-01-30')) AS b,
+        |  addHours(toDate('2024-01-30'), 5) AS c
+        |FROM range(1)""".stripMargin)
+    assert(agree.schema("a").dataType ==
+      org.apache.spark.sql.types.DateType, agree.schema)
+    assert(agree.schema("c").dataType ==
+      org.apache.spark.sql.types.TimestampType, agree.schema)
+    val ag = agree.head()
+    assert(ag.getDate(0) == ag.getDate(1), ag)
     // hasSubstr: contiguity and order (unlike hasAll), empty sub, and a
     // sub longer than the array.
     val h = ClickHouseSql.sql(spark,
