@@ -143,6 +143,86 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsFreshRetry(3.0 * 1.39, Some(1.39)))
   }
 
+  // --- r14 timeout-proofing: write-before-escalate + total budget ---
+
+  test("fresh-child timeout is the remaining budget capped by the wedge guard; exhausted budget skips") {
+    // Plenty of budget left: the 30-minute wedge guard caps the child.
+    assert(Bench.freshChildTimeoutS(5000L) === Some(1800L))
+    // Less budget than the guard: the child gets exactly what remains.
+    assert(Bench.freshChildTimeoutS(120L) === Some(120L))
+    // Budget exhausted (or overdrawn by the previous child): skip, don't launch.
+    assert(Bench.freshChildTimeoutS(0L) === None)
+    assert(Bench.freshChildTimeoutS(-30L) === None)
+  }
+
+  test("a mid-escalation kill leaves a complete parseable artifact (the r13 rc=124 shape)") {
+    // Simulate the r14 sequence exactly as main() performs it: a complete
+    // in-JVM sweep is rendered and written BEFORE any fresh subprocess
+    // launches. The "kill" is simply that the final rewrite never happens —
+    // whatever is on disk at that point is what the driver grades.
+    val results = Seq("agg_cube" -> Seq(0.2, 0.15), "dedup_eval" -> Seq(10.2, 10.3),
+      "sql_tpch_q1" -> Seq(0.5, 0.45))
+    val mins = results.map { case (n, ts) => n -> ts.min }
+    val candidates = Seq("dedup_eval")
+    val pre = Bench.renderArtifact("/root/testdata/sf0.1", results, mins,
+      retried = Seq.empty, freshRetries = Map.empty,
+      freshCandidates = candidates, freshUnretried = candidates,
+      freshBudgetS = 900L, freshPending = true,
+      priorLoaded = true, priorSource = "/tmp/p.json", priorN = 3,
+      priorCovered = 3, priorAccepted = true, nRuns = 2, subsecExtraRuns = 1,
+      loadBefore = "0.5 0.4 0.3", loadAfter = "4.0 2.0 1.0",
+      gateJson = """{"passed":true}""",
+      gcMs = Seq("agg_cube" -> 12L), storMb = Seq("agg_cube" -> 0.0))
+    val path = java.nio.file.Files.createTempFile("bench_kill", ".json")
+    Bench.writeArtifact(path.toString, pre)
+    val onDisk = java.nio.file.Files.readString(path)
+    // The pre-escalation artifact is the FULL inventory, parseable by the
+    // same reader the next round's cross-round prior load uses.
+    assert(Bench.priorMins(onDisk) === Map(
+      "agg_cube" -> 0.15, "dedup_eval" -> 10.2, "sql_tpch_q1" -> 0.45))
+    assert(onDisk.contains(""""n_queries":3"""))
+    assert(onDisk.contains(""""fresh_pending":true"""))
+    assert(onDisk.contains(""""fresh_unretried":["dedup_eval"]"""))
+    // The healthy completion path: the merged rewrite atomically replaces it.
+    val post = Bench.renderArtifact("/root/testdata/sf0.1", results, Seq(
+      "agg_cube" -> 0.15, "dedup_eval" -> Bench.mergeFresh(10.2, Some(1.4)),
+      "sql_tpch_q1" -> 0.45),
+      retried = Seq.empty, freshRetries = Map("dedup_eval" -> 1.4),
+      freshCandidates = candidates, freshUnretried = Seq.empty,
+      freshBudgetS = 900L, freshPending = false,
+      priorLoaded = true, priorSource = "/tmp/p.json", priorN = 3,
+      priorCovered = 3, priorAccepted = true, nRuns = 2, subsecExtraRuns = 1,
+      loadBefore = "0.5 0.4 0.3", loadAfter = "4.0 2.0 1.0",
+      gateJson = """{"passed":true}""",
+      gcMs = Seq("agg_cube" -> 12L), storMb = Seq("agg_cube" -> 0.0))
+    Bench.writeArtifact(path.toString, post)
+    val finalDisk = java.nio.file.Files.readString(path)
+    assert(Bench.priorMins(finalDisk)("dedup_eval") === 1.4)
+    assert(finalDisk.contains(""""fresh_pending":false"""))
+    java.nio.file.Files.deleteIfExists(path)
+  }
+
+  test("renderArtifact totals: value sums mins, cold-clean scrubs adjudicated first runs") {
+    // dedup_eval's first run (9.0) was adjudicated contention by the fresh
+    // pass (final min 1.4): cold_clean substitutes the min; agg_cube's cold
+    // run stands.
+    val results = Seq("agg_cube" -> Seq(0.6, 0.2), "dedup_eval" -> Seq(9.0, 8.8, 1.4))
+    val mins = Seq("agg_cube" -> 0.2, "dedup_eval" -> 1.4)
+    val art = Bench.renderArtifact("/sf", results, mins,
+      retried = Seq.empty, freshRetries = Map("dedup_eval" -> 1.4),
+      freshCandidates = Seq("dedup_eval"), freshUnretried = Seq.empty,
+      freshBudgetS = 900L, freshPending = false,
+      priorLoaded = false, priorSource = "p", priorN = 0, priorCovered = 0,
+      priorAccepted = false, nRuns = 2, subsecExtraRuns = 0,
+      loadBefore = "", loadAfter = "", gateJson = "{}",
+      gcMs = Seq.empty, storMb = Seq.empty)
+    assert(art.contains(""""value":1.600""")) // 0.2 + 1.4
+    assert(art.contains(""""value_cold":9.600""")) // 0.6 + 9.0
+    assert(art.contains(""""value_cold_clean":2.000""")) // 0.6 + 1.4
+    assert(art.contains(""""cold_contaminated":["dedup_eval"]"""))
+    assert(art.contains(""""n_failed":0"""))
+  }
+
   test("family boundaries fall exactly at the first query of each new name-family") {
     val names = Seq("agg_cube", "agg_mode", "dedup_exact", "dedup_simhash",
       "sql_tpch_q1", "window_rank")
