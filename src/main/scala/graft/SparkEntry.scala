@@ -471,6 +471,7 @@ object SparkEntry {
     "sql_ch_conv" -> (Relational.sqlChConv _),
     "sql_ch_parse_dt" -> (Relational.sqlChParseDt _),
     "sql_ch_ip" -> (Relational.sqlChIp _),
+    "sql_ch_ip6" -> (Relational.sqlChIp6 _),
     "sql_ch_strdist" -> (Relational.sqlChStrDist _),
     "sql_ch_json2" -> (Relational.sqlChJson2 _),
     "sql_ch_vector2" -> (Relational.sqlChVector2 _),
@@ -1213,6 +1214,12 @@ object SparkEntry {
     // no IP parser on the oracle side.
     "sql_ch_ip" ->
       """WITH s AS (SELECT o_orderkey AS k, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, CAST(n // 16777216 AS VARCHAR) || '.' || CAST((n // 65536) % 256 AS VARCHAR) || '.' || CAST((n // 256) % 256 AS VARCHAR) || '.' || CAST(n % 256 AS VARCHAR) AS ip, CAST(n AS BIGINT) AS rt, true AS ok, false AS five_octets, CAST(NULL AS BIGINT) AS bad, CAST(0 AS BIGINT) AS dflt, CAST(n - n % 4096 AS BIGINT) AS cidr_lo, CAST(n - n % 4096 + 4095 AS BIGINT) AS cidr_hi FROM s ORDER BY k""",
+    // IPv6 lanes re-derived with printf/concat hex arithmetic — the
+    // oracle RECONSTRUCTS each canonical form from the same group
+    // values, it never parses an address; the compression boundary
+    // lanes are constants pinned straight from RFC 5952.
+    "sql_ch_ip6" ->
+      """WITH s AS (SELECT o_orderkey AS k, o_orderkey % 65535 + 1 AS g1, (o_orderkey * 31) % 65535 + 1 AS g2, (o_orderkey * 101) % 65535 + 1 AS g3, (o_orderkey * 257) % 65535 + 1 AS g4, (o_orderkey * 1021) % 65535 + 1 AS g5, (o_orderkey * 4099) % 65535 + 1 AS g6, (o_orderkey * 16381) % 65535 + 1 AS g7, (o_orderkey * 65521) % 65535 + 1 AS g8, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, printf('%x',g1)||':'||printf('%x',g2)||':'||printf('%x',g3)||':'||printf('%x',g4)||':'||printf('%x',g5)||':'||printf('%x',g6)||':'||printf('%x',g7)||':'||printf('%x',g8) AS full8, '2a02:'||printf('%x',g1)||'::'||printf('%x',g2) AS comp, '2A02'||upper(printf('%04x',g1))||'00000000000000000000'||upper(printf('%04x',g2)) AS rt_hex, '::ffff:'||CAST(n // 16777216 AS VARCHAR)||'.'||CAST((n // 65536) % 256 AS VARCHAR)||'.'||CAST((n // 256) % 256 AS VARCHAR)||'.'||CAST(n % 256 AS VARCHAR) AS mapped, '00000000000000000000FFFF01020304' AS mapped_hex, true AS ok, false AS v4_not_v6, CAST(NULL AS VARCHAR) AS bad, '00000000000000000000000000000000' AS dflt_hex, '::' AS all_zero, '::1' AS loopback, '1::2:0:0:3:4' AS tie, '0:0:1:2::3' AS longest, '1:2:3:0:5:6:7:8' AS single_zero, '::102:304' AS compat, '1:2:3:4:5:6:4d4d:5863' AS tail, 'ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff' AS max_addr, false AS bad_expand, '::ffff:0.0.0.0' AS mapped_zero FROM s ORDER BY k""",
     // DuckDB's levenshtein/hamming/jaccard are independent
     // implementations of the SAME definitions (probed: jaccard is
     // distinct-character sets, hamming equal-length positions).

@@ -2619,6 +2619,60 @@ object Relational {
         |ORDER BY k""".stripMargin)
   }
 
+  /** The r14 IPv6 family — the FixedString(16) codec behind ClickHouse's
+    * IPv6 type ([[graft.functions.Ipv6Codec]]), exercised end-to-end
+    * through the dialect: canonical RFC 5952 round-trips on per-row
+    * synthesized addresses, reader leniency (padded/uppercase groups),
+    * the documented plain-IPv4 → ::ffff: mapping, byte-layout hex dumps,
+    * and the compression boundary pins (::, ::1, leftmost tie,
+    * longest-run-wins, single zero group uncompressed, IPv4-COMPATIBLE
+    * stays pure hex, embedded dotted tail, the ::-must-expand rule). The
+    * oracle RECONSTRUCTS every value with DuckDB printf/concat
+    * arithmetic — no IPv6 parser on the oracle side. Row-wise codegen
+    * expressions over a pruned scan; no shuffle beyond the sort.
+    */
+  def sqlChIp6(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  IPv6NumToString(IPv6StringToNum(addr8)) AS full8,
+        |  IPv6NumToString(IPv6StringToNum(addrc)) AS comp,
+        |  hex(IPv6StringToNum(addrc)) AS rt_hex,
+        |  IPv6NumToString(toIPv6(IPv4NumToString(n))) AS mapped,
+        |  hex(toIPv6OrNull('::ffff:1.2.3.4')) AS mapped_hex,
+        |  isIPv6String(addr8) AS ok,
+        |  isIPv6String(IPv4NumToString(n)) AS v4_not_v6,
+        |  hex(IPv6StringToNumOrNull(concat('x', toString(k)))) AS bad,
+        |  hex(IPv6StringToNumOrDefault('nope')) AS dflt_hex,
+        |  IPv6NumToString(IPv6StringToNum('::')) AS all_zero,
+        |  IPv6NumToString(IPv6StringToNum('::1')) AS loopback,
+        |  IPv6NumToString(IPv6StringToNum('1:0:0:2:0:0:3:4')) AS tie,
+        |  IPv6NumToString(IPv6StringToNum('0:0:1:2:0:0:0:3')) AS longest,
+        |  IPv6NumToString(IPv6StringToNum('1:2:3:0:5:6:7:8')) AS single_zero,
+        |  IPv6NumToString(IPv6StringToNum('::1.2.3.4')) AS compat,
+        |  IPv6NumToString(IPv6StringToNum('1:2:3:4:5:6:77.77.88.99')) AS tail,
+        |  IPv6NumToString(IPv6StringToNum('FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF')) AS max_addr,
+        |  isIPv6String('1:2:3:4:5:6:7::8') AS bad_expand,
+        |  IPv6NumToString(IPv6StringToNum('::ffff:0:0')) AS mapped_zero
+        |FROM (
+        |  SELECT o_orderkey AS k,
+        |    concat(
+        |      lower(hex(o_orderkey % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 31) % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 101) % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 257) % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 1021) % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 4099) % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 16381) % 65535 + 1)), ':',
+        |      lower(hex((o_orderkey * 65521) % 65535 + 1))) AS addr8,
+        |    concat('2A02:',
+        |      lpad(hex(o_orderkey % 65535 + 1), 4, '0'), '::',
+        |      lpad(hex((o_orderkey * 31) % 65535 + 1), 4, '0')) AS addrc,
+        |    (o_orderkey * 2654435761) % 4294967296 AS n
+        |  FROM orders WHERE o_orderkey < 400) t
+        |ORDER BY k""".stripMargin)
+  }
+
   /** The r12 string-distance batch over `documents` text windows —
     * `editDistance`/`byteHammingDistance`/`stringJaccardIndex` against
     * DuckDB's own independent levenshtein/hamming/jaccard

@@ -3300,17 +3300,6 @@ object ClickHouseFunctions {
           "statement through graft.plans.ClickHouseSql.sql — or spell " +
           "the lookup as an explicit LEFT JOIN / scalar subquery"))
 
-  private def chIpv6Error(name: String): (String, String, Seq[Expression] => Expression) =
-    (name, s"$name - IPv6 is not representable here; a named error",
-      _ => throw new IllegalArgumentException(
-        s"ClickHouse SQL: $name is not supported — ClickHouse IPv6 " +
-          "values are FixedString(16) binaries with :: display " +
-          "compression, and this engine has no faithful column type " +
-          "for them; keep IPv6 addresses as strings and compare " +
-          "textually, or pre-normalize them upstream (the IPv4 family " +
-          "IS mapped: IPv4NumToString/IPv4StringToNum*/isIPv4String/" +
-          "IPv4CIDRToRange)"))
-
   /** One-argument URL accessors over Spark's parse_url, with ClickHouse's
     * empty-string-not-NULL convention for absent parts. Divergence
     * (documented in each usage): parse_url needs a WELL-FORMED absolute
@@ -4824,9 +4813,8 @@ object ClickHouseFunctions {
     // ---------------- IPv4 family (r12). The engine's IPv4 value
     // representation is ClickHouse's own under the hood: the UInt32
     // address number (CH's IPv4 type IS a UInt32 with display sugar),
-    // carried as BIGINT. IPv6 stays a NAMED error below — its values
-    // are FixedString(16) binaries with :: compression rules this
-    // engine has no faithful column type for.
+    // carried as BIGINT. The IPv6 family (r14, further down) carries
+    // FixedString(16) as BINARY through graft.functions.Ipv6Codec.
     ("IPv4NumToString", "IPv4NumToString(n) - dotted-quad string of the low 32 bits of n (the UInt32 address number)",
       es => { require(es.length == 1, "IPv4NumToString(n)")
         val l = BitwiseAnd(Cast(es.head, LongType), Literal(4294967295L))
@@ -5320,13 +5308,49 @@ object ClickHouseFunctions {
         "ClickHouse SQL: byteSize reports ClickHouse's INTERNAL value " +
           "representation sizes, which have no Spark counterpart — for " +
           "string/binary payload sizes use octet_length")),
-    // IPv6 — a NAMED error, not a mapping: ClickHouse's IPv6 values are
-    // FixedString(16) binaries with RFC 5952 :: display compression,
-    // and a string-in/string-out fake would silently disagree with any
-    // query that compares or sorts the binary form.
-    chIpv6Error("IPv6NumToString"), chIpv6Error("IPv6StringToNum"),
-    chIpv6Error("IPv6StringToNumOrNull"), chIpv6Error("toIPv6"),
-    chIpv6Error("toIPv6OrNull"), chIpv6Error("isIPv6String"),
+    // ---------------- IPv6 family (r14 — named errors through r13). The
+    // engine's IPv6 representation is ClickHouse's own under the hood:
+    // the FixedString(16) network-order binary, carried as BINARY — so
+    // byte comparison/sorting on the column matches ClickHouse's
+    // FixedString ordering, the property the r12/r13 refusals protected.
+    // Parse grammar and RFC 5952 render (with ClickHouse's documented
+    // IPv4-mapped ::ffff:a.b.c.d mixed-notation exception, and the
+    // stated IPv4-COMPATIBLE boundary) live in
+    // [[graft.functions.Ipv6Codec]] — codegen'd kernels, no InetAddress.
+    ("IPv6NumToString", "IPv6NumToString(b) - RFC 5952 string of a 16-byte binary IPv6 value (lowercase, longest >=2 zero run compressed leftmost, IPv4-MAPPED addresses in ::ffff:a.b.c.d mixed notation; IPv4-COMPATIBLE ::a.b.c.d stays pure hex — stated boundary); ERROR on a non-16-byte binary",
+      one(e => graft.functions.Ipv6Render(Cast(e, BinaryType)))),
+    ("IPv6StringToNum", "IPv6StringToNum(s) - 16-byte binary of an IPv6 string (hex either case, one ::, embedded dotted tail; a plain IPv4 string maps to ::ffff:a.b.c.d), ERROR on an invalid address (IPv6StringToNumOrNull for NULL)",
+      es => { require(es.length == 1, "IPv6StringToNum(s)")
+        val s = Cast(es.head, StringType)
+        val v = graft.functions.Ipv6Parse(s, acceptIpv4 = true)
+        If(And(IsNotNull(s), IsNull(v)),
+          Cast(RaiseError(Concat(Seq(
+            Literal("IPv6StringToNum: invalid IPv6 address '"),
+            s, Literal("'")))), BinaryType), v) }),
+    ("IPv6StringToNumOrNull", "IPv6StringToNumOrNull(s) - 16-byte binary of an IPv6 string (plain IPv4 maps to ::ffff:a.b.c.d), NULL when invalid",
+      one(e => graft.functions.Ipv6Parse(Cast(e, StringType), acceptIpv4 = true))),
+    ("IPv6StringToNumOrDefault", "IPv6StringToNumOrDefault(s) - 16-byte binary of an IPv6 string, the 16 zero bytes (::) when a non-null input is invalid (NULL stays NULL)",
+      es => { require(es.length == 1, "IPv6StringToNumOrDefault(s)")
+        val s = Cast(es.head, StringType)
+        If(IsNull(s), Literal.create(null, BinaryType),
+          Coalesce(Seq(graft.functions.Ipv6Parse(s, acceptIpv4 = true),
+            Literal(new Array[Byte](16))))) }),
+    ("toIPv6", "toIPv6(s) - the address as its 16-byte binary (the engine's IPv6 representation; plain IPv4 maps to ::ffff:a.b.c.d), ERROR when invalid",
+      es => { require(es.length == 1, "toIPv6(s)")
+        val s = Cast(es.head, StringType)
+        val v = graft.functions.Ipv6Parse(s, acceptIpv4 = true)
+        If(And(IsNotNull(s), IsNull(v)),
+          Cast(RaiseError(Concat(Seq(
+            Literal("toIPv6: invalid IPv6 address '"),
+            s, Literal("'")))), BinaryType), v) }),
+    ("toIPv6OrNull", "toIPv6OrNull(s) - the address as its 16-byte binary, NULL when invalid",
+      one(e => graft.functions.Ipv6Parse(Cast(e, StringType), acceptIpv4 = true))),
+    ("isIPv6String", "isIPv6String(s) - true when s is a valid IPv6 string, NULL propagates; STRICT: a plain dotted-quad IPv4 is NOT an IPv6 string (ClickHouse documents isIPv6String('127.0.0.1') = 0)",
+      one(e => { val s = Cast(e, StringType)
+        // NULL in -> NULL out (IsNotNull alone would read false), the
+        // isIPv4String RLike convention.
+        If(IsNull(s), Literal.create(null, BooleanType),
+          IsNotNull(graft.functions.Ipv6Parse(s, acceptIpv4 = false))) })),
     // ---------------- date arithmetic (r11)
     ("toMonday", "toMonday(x) - the Monday of x's week, as DATE (exactly Spark trunc('week'))",
       one(e => TruncDate(Cast(e, DateType), Literal("WEEK")))),

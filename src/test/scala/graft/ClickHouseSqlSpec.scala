@@ -3374,6 +3374,43 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getSeq[String](1) == Seq("c", "b", "a"), r)
   }
 
+  test("execution: IPv6 family — error lanes, NULL propagation, and the binary carrier (the oracle lanes live in sql_ch_ip6)") {
+    // The throwing conversion forms name the offending input.
+    val bad = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT IPv6StringToNum('1::2::3') FROM range(1)").collect())
+    assert(bad.getMessage.contains("1::2::3"), bad.getMessage)
+    val badTo = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT toIPv6('fe80::1%eth0') FROM range(1)").collect())
+    assert(badTo.getMessage.contains("eth0"), badTo.getMessage)
+    // IPv6NumToString requires the 16-byte carrier — a schema mistake is
+    // an ERROR, not silent data.
+    val short = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT IPv6NumToString(unhex('AABB')) FROM range(1)").collect())
+    assert(short.getMessage.contains("16-byte"), short.getMessage)
+    // NULL propagates through every form (OrDefault's documented
+    // NULL-stays-NULL included); invalid non-null hits the default.
+    val r = ClickHouseSql.sql(spark,
+      """SELECT isIPv6String(CAST(NULL AS STRING)) AS v_null,
+        |  IPv6StringToNumOrNull(CAST(NULL AS STRING)) AS p_null,
+        |  IPv6StringToNumOrDefault(CAST(NULL AS STRING)) AS d_null,
+        |  IPv6NumToString(IPv6StringToNumOrDefault('nope')) AS d_bad,
+        |  isIPv6String('::ffff:1.2.3.4') AS mapped_is_v6,
+        |  isIPv6String('1.2.3.4') AS v4_not_v6
+        |FROM range(1)""".stripMargin).collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), r)
+    assert(r.getString(3) == "::", r)
+    // The embedded-tail form IS an IPv6 string; the plain quad is not.
+    assert(r.getBoolean(4) && !r.getBoolean(5), r)
+    // The binary carrier sorts like ClickHouse's FixedString(16): byte
+    // order == numeric address order ('::1' < '::1:0' < '1::').
+    val sorted = ClickHouseSql.sql(spark,
+      """SELECT IPv6NumToString(a) AS s FROM (
+        |  SELECT explode(array(IPv6StringToNum('1::'),
+        |    IPv6StringToNum('::1:0'), IPv6StringToNum('::1'))) AS a) t
+        |ORDER BY a""".stripMargin).collect().map(_.getString(0)).toSeq
+    assert(sorted == Seq("::1", "::1:0", "1::"), sorted)
+  }
+
   test("execution: position counts BYTES haystack-first (ClickHouse's bare-form convention)") {
     val r = ClickHouseSql.sql(spark,
       """SELECT toInt64(position('Hello, world!', 'world')) AS p1,
