@@ -653,6 +653,34 @@ object ScaleBench {
       }
     }
 
+    // ---------------------------- 11. ngram kernel vs document LENGTH
+    // The r13 ngramDistance/ngramSearch kernel is one regex scan per row
+    // with O(len · distinct-grams) array work inside the fold — its
+    // latent scale hazard is LONG documents, not many documents (every
+    // other leg inflates row counts). This leg inflates text length
+    // ×8/×32 per row (rep-tagged segments, same row count, needle size
+    // fixed) and records the wall clock: near-linear growth
+    // (t(×32)/t(×8) ≈ 4) is the claim; the kernel's per-gram re-scan
+    // failure mode would read ≈16 and a long-document corpus would
+    // cliff silently without this row in the artifact.
+    for (scale <- Seq(8L, 32L)) {
+      val docs = Tables.t(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          array_join(transform(sequence(lit(1L), lit(scale)),
+            i => concat(col("text"), lit(" "), i)), " ").as("text"))
+        .repartition(nPart)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      docs.count()
+      docs.createOrReplaceTempView("sb_ngram")
+      results(s"ngram_len_x$scale") = timeMin(2) {
+        assert(graft.plans.ClickHouseSql.sql(spark,
+          """SELECT sum(toInt64(floor(
+            |    ngramDistance(text, substringUTF8(text, 5, 200)) * 10000))) AS s
+            |FROM sb_ngram""".stripMargin).head().getLong(0) >= 0)
+      }
+      docs.unpersist()
+    }
+
     hot.unpersist(); dim.unpersist()
 
     val json = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }

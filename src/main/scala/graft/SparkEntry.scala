@@ -489,6 +489,8 @@ object SparkEntry {
     "sql_ch_ema" -> (Relational.sqlChEma _),
     "sql_ch_sparkbar" -> (Relational.sqlChSparkbar _),
     "sql_ch_url2" -> (Relational.sqlChUrl2 _),
+    "sql_ch_url3" -> (Relational.sqlChUrl3 _),
+    "sql_ch_pip" -> (Relational.sqlChPip _),
     "sql_ch_index" -> (Relational.sqlChIndex _),
     "sql_ch_dateadd" -> (Relational.sqlChDateAdd _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
@@ -1219,7 +1221,7 @@ object SparkEntry {
     // values, it never parses an address; the compression boundary
     // lanes are constants pinned straight from RFC 5952.
     "sql_ch_ip6" ->
-      """WITH s AS (SELECT o_orderkey AS k, o_orderkey % 65535 + 1 AS g1, (o_orderkey * 31) % 65535 + 1 AS g2, (o_orderkey * 101) % 65535 + 1 AS g3, (o_orderkey * 257) % 65535 + 1 AS g4, (o_orderkey * 1021) % 65535 + 1 AS g5, (o_orderkey * 4099) % 65535 + 1 AS g6, (o_orderkey * 16381) % 65535 + 1 AS g7, (o_orderkey * 65521) % 65535 + 1 AS g8, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, printf('%x',g1)||':'||printf('%x',g2)||':'||printf('%x',g3)||':'||printf('%x',g4)||':'||printf('%x',g5)||':'||printf('%x',g6)||':'||printf('%x',g7)||':'||printf('%x',g8) AS full8, '2a02:'||printf('%x',g1)||'::'||printf('%x',g2) AS comp, '2A02'||upper(printf('%04x',g1))||'00000000000000000000'||upper(printf('%04x',g2)) AS rt_hex, '::ffff:'||CAST(n // 16777216 AS VARCHAR)||'.'||CAST((n // 65536) % 256 AS VARCHAR)||'.'||CAST((n // 256) % 256 AS VARCHAR)||'.'||CAST(n % 256 AS VARCHAR) AS mapped, '00000000000000000000FFFF01020304' AS mapped_hex, true AS ok, false AS v4_not_v6, CAST(NULL AS VARCHAR) AS bad, '00000000000000000000000000000000' AS dflt_hex, '::' AS all_zero, '::1' AS loopback, '1::2:0:0:3:4' AS tie, '0:0:1:2::3' AS longest, '1:2:3:0:5:6:7:8' AS single_zero, '::102:304' AS compat, '1:2:3:4:5:6:4d4d:5863' AS tail, 'ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff' AS max_addr, false AS bad_expand, '::ffff:0.0.0.0' AS mapped_zero FROM s ORDER BY k""",
+      """WITH s AS (SELECT o_orderkey AS k, o_orderkey % 65535 + 1 AS g1, (o_orderkey * 31) % 65535 + 1 AS g2, (o_orderkey * 101) % 65535 + 1 AS g3, (o_orderkey * 257) % 65535 + 1 AS g4, (o_orderkey * 1021) % 65535 + 1 AS g5, (o_orderkey * 4099) % 65535 + 1 AS g6, (o_orderkey * 16381) % 65535 + 1 AS g7, (o_orderkey * 65521) % 65535 + 1 AS g8, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, printf('%x',g1)||':'||printf('%x',g2)||':'||printf('%x',g3)||':'||printf('%x',g4)||':'||printf('%x',g5)||':'||printf('%x',g6)||':'||printf('%x',g7)||':'||printf('%x',g8) AS full8, '2a02:'||printf('%x',g1)||'::'||printf('%x',g2) AS comp, '2A02'||upper(printf('%04x',g1))||'00000000000000000000'||upper(printf('%04x',g2)) AS rt_hex, '::ffff:'||CAST(n // 16777216 AS VARCHAR)||'.'||CAST((n // 65536) % 256 AS VARCHAR)||'.'||CAST((n // 256) % 256 AS VARCHAR)||'.'||CAST(n % 256 AS VARCHAR) AS mapped, '00000000000000000000FFFF01020304' AS mapped_hex, true AS ok, false AS v4_not_v6, CAST(NULL AS VARCHAR) AS bad, '00000000000000000000000000000000' AS dflt_hex, '::' AS all_zero, '::1' AS loopback, '1::2:0:0:3:4' AS tie, '0:0:1:2::3' AS longest, '1:2:3:0:5:6:7:8' AS single_zero, '::102:304' AS compat, '1:2:3:4:5:6:4d4d:5863' AS tail, 'ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff' AS max_addr, false AS bad_expand, '::ffff:0.0.0.0' AS mapped_zero, '2a02:'||printf('%x',g1)||'::' AS cidr64_lo, '2a02:'||printf('%x',g1)||'::ffff:ffff:ffff:ffff' AS cidr64_hi, '::' AS cidr0_lo, 'ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff' AS cidr0_hi, '2a02:'||printf('%x',g1)||'::'||printf('%x',g2) AS cidr128_hi FROM s ORDER BY k""",
     // DuckDB's levenshtein/hamming/jaccard are independent
     // implementations of the SAME definitions (probed: jaccard is
     // distinct-character sets, hamming equal-length positions).
@@ -1265,6 +1267,17 @@ object SparkEntry {
     // (row_number over ORDER BY), an independent spelling.
     "sql_ch_url2" ->
       """WITH u AS (SELECT o_orderkey AS k, o_orderkey % 5 AS k5, o_orderkey % 7 AS k7, 8080 + o_orderkey % 2 AS prt, o_orderkey % 3 AS k3, o_orderkey % 4 AS k4, o_orderstatus AS st, o_orderkey % 2 AS k2 FROM orders WHERE o_orderkey < 300), agg AS (SELECT CAST(min(CASE WHEN rn = (n - 1) // 2 + 1 THEN v END) AS BIGINT) AS mlo, CAST(min(CASE WHEN rn = n // 2 + 1 THEN v END) AS BIGINT) AS mhi FROM (SELECT o_orderkey % 97 AS v, row_number() OVER (ORDER BY o_orderkey % 97) AS rn, count(*) OVER () AS n FROM orders WHERE o_orderkey < 300)) SELECT k, 'u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt AS nl, 'p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS qsf, '#only-frag' AS qsf_noq, 'p=' || k4 || '|q=' || st || '|p2=x' AS params, 'p,q,p2' AS names, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&p2=x#f' || k2 AS cut_mid, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?q=' || st || '&p2=x#f' || k2 AS cut_first, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '#f' || k2 AS cut_last, 'https://u' || k5 || ':pw@host-' || k7 || '.example.com:' || prt || '/a/b-' || k3 || '?p=' || k4 || '&q=' || st || '&p2=x#f' || k2 AS cut_absent, mlo, mhi, CAST(1500 AS BIGINT) AS dp FROM u CROSS JOIN agg ORDER BY k""",
+    // Every hierarchy prefix re-derived from the same URL building
+    // blocks by concatenation — the oracle never scans for separators;
+    // the constant lanes are the docs' own example plus the stated
+    // corners spelled out literally.
+    "sql_ch_url3" ->
+      """WITH u AS (SELECT o_orderkey AS k, 'https://ex' || CAST(o_orderkey % 5 AS VARCHAR) || '.com' AS hst, '/cat' || CAST(o_orderkey % 7 AS VARCHAR) || '/' AS seg1, 'item' || CAST(o_orderkey AS VARCHAR) AS seg2, CASE WHEN o_orderkey % 3 = 0 THEN '?p=' || CAST(o_orderkey AS VARCHAR) ELSE '' END AS qs FROM orders WHERE o_orderkey < 400) SELECT k, CASE WHEN qs = '' THEN hst || '/' || '|' || hst || seg1 || '|' || hst || seg1 || seg2 ELSE hst || '/' || '|' || hst || seg1 || '|' || hst || seg1 || seg2 || '?' || '|' || hst || seg1 || seg2 || qs END AS h, CASE WHEN qs = '' THEN seg1 || '|' || seg1 || seg2 ELSE seg1 || '|' || seg1 || seg2 || '?' || '|' || seg1 || seg2 || qs END AS p, 'https://example.com/|https://example.com/browse/|https://example.com/browse/CONV-6788' AS doc_ex, '/browse/|/browse/CONV-6788' AS doc_ex_p, '' AS no_path, 'https://example.com/' AS root_only, '' AS root_only_p, 'https://e.com/|https://e.com/a//|https://e.com/a//b/?|https://e.com/a//b/?q=1&r=2' AS runs, '/a//|/a//b/?|/a//b/?q=1&r=2' AS runs_p, 'https://e.com/|https://e.com/a#frag/|https://e.com/a#frag/x' AS frag, 'e.com/|e.com/a/|e.com/a/b' AS schemeless FROM u ORDER BY k""",
+    // Containment re-derived by coordinate INEQUALITIES over the same
+    // fixtures (boundary-is-inside spelled with <=, hole exclusion with
+    // strict <) — no ray caster on the oracle side.
+    "sql_ch_pip" ->
+      """WITH s AS (SELECT o_orderkey AS k, (o_orderkey % 13) / 2.0 AS x, (o_orderkey % 9) / 2.0 AS y FROM orders WHERE o_orderkey < 400) SELECT k, (x >= 1 AND x <= 3 AND y >= 1 AND y <= 3) AS sq, (x >= 0 AND y >= 0 AND x + y <= 4) AS tri, ((x >= 0 AND x <= 4 AND y >= 0 AND y <= 2) OR (x >= 0 AND x <= 2 AND y >= 0 AND y <= 4)) AS ell, (x >= 0 AND x <= 6 AND y >= 0 AND y <= 6 AND NOT (x > 2 AND x < 4 AND y > 2 AND y < 4)) AS holed FROM s ORDER BY k""",
     // The SAME closed form as plain SQL — the mapping is faithful
     // precisely because the docs-pinned formula is a sum to the max-t
     // anchor, not a row-order recurrence. floor(epoch(ts)) matches
@@ -1272,7 +1285,7 @@ object SparkEntry {
     // microseconds; DuckDB's epoch() returns fractional DOUBLE).
     // 1e4-scaled; drift bound = double summation order.
     "sql_ch_ema" ->
-      """WITH e AS (SELECT event_type, value AS v, floor(epoch(ts)) AS t FROM events), mx AS (SELECT event_type, max(t) AS tmax FROM e GROUP BY event_type) SELECT e.event_type, CAST(floor((1 - pow(2, -1.0 / 3600)) * sum(v * pow(2, -(tmax - t) / 3600)) * 10000 + 0.5) AS BIGINT) AS ema_4, CAST(floor((1 - pow(2, -1.0 / 86400)) * sum(v * pow(2, -(tmax - t) / 86400)) * 10000 + 0.5) AS BIGINT) AS ema_day_4 FROM e JOIN mx ON e.event_type = mx.event_type GROUP BY e.event_type ORDER BY e.event_type""",
+      """WITH e AS (SELECT event_type, value AS v, floor(epoch(ts)) AS t FROM events), mx AS (SELECT event_type, max(t) AS tmax FROM e WHERE v IS NOT NULL GROUP BY event_type) SELECT e.event_type, CAST(floor((1 - pow(2, -1.0 / 3600)) * sum(v * pow(2, -(tmax - t) / 3600)) * 10000 + 0.5) AS BIGINT) AS ema_4, CAST(floor((1 - pow(2, -1.0 / 86400)) * sum(v * pow(2, -(tmax - t) / 86400)) * 10000 + 0.5) AS BIGINT) AS ema_day_4 FROM e JOIN mx ON e.event_type = mx.event_type GROUP BY e.event_type ORDER BY e.event_type""",
     // The stated bucket/glyph contract reconstructed relationally:
     // identical IEEE bucket arithmetic ((m-1)/11.0*12, floor, clamp),
     // per-bucket sums, ceil(s*8/max) glyph levels, string_agg in bucket

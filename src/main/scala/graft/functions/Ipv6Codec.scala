@@ -83,7 +83,57 @@ case class Ipv6Render(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One bound of `IPv6CIDRToRange(addr, prefix)` — the lowest (`high =
+  * false`) or highest (`high = true`) 16-byte address in the /prefix
+  * block containing `addr`: bits past the prefix cleared or set. Prefix
+  * outside 0..128, or a non-16-byte address, is an ERROR (the
+  * IPv4CIDRToRange posture).
+  */
+case class Ipv6CidrBound(addr: Expression, prefix: Expression, high: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = addr
+  override def right: Expression = prefix
+  override def dataType: DataType = BinaryType
+
+  override def nullSafeEval(a: Any, p: Any): Any =
+    Ipv6Codec.cidrBound(a.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[Int], high)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, p) =>
+      s"graft.functions.Ipv6Codec.cidrBound($a, $p, $high)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Ipv6CidrBound =
+    copy(addr = newLeft, prefix = newRight)
+}
+
 object Ipv6Codec {
+
+  /** See [[Ipv6CidrBound]]: clear (low) or set (high) every bit past the
+    * prefix, byte by byte.
+    */
+  def cidrBound(b: Array[Byte], p: Int, high: Boolean): Array[Byte] = {
+    if (b == null) return null
+    if (b.length != 16)
+      throw new IllegalArgumentException(
+        s"IPv6CIDRToRange: expected a 16-byte binary address, got ${b.length} bytes")
+    if (p < 0 || p > 128)
+      throw new IllegalArgumentException(
+        "IPv6CIDRToRange: the prefix must be in 0..128")
+    val out = new Array[Byte](16)
+    var i = 0
+    while (i < 16) {
+      val bits = math.max(0, math.min(8, p - i * 8))
+      val mask = (0xff << (8 - bits)) & 0xff
+      out(i) =
+        if (high) ((b(i) & mask) | (~mask & 0xff)).toByte
+        else (b(i) & mask).toByte
+      i += 1
+    }
+    out
+  }
 
   /** Dotted-quad parse shared by the plain-IPv4 and embedded-tail lanes:
     * four 1-3 digit decimal octets ≤ 255 (leading zeros accepted, matching

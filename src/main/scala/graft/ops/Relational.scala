@@ -2653,7 +2653,12 @@ object Relational {
         |  IPv6NumToString(IPv6StringToNum('1:2:3:4:5:6:77.77.88.99')) AS tail,
         |  IPv6NumToString(IPv6StringToNum('FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF:FFFF')) AS max_addr,
         |  isIPv6String('1:2:3:4:5:6:7::8') AS bad_expand,
-        |  IPv6NumToString(IPv6StringToNum('::ffff:0:0')) AS mapped_zero
+        |  IPv6NumToString(IPv6StringToNum('::ffff:0:0')) AS mapped_zero,
+        |  IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum(addrc), 64), 1)) AS cidr64_lo,
+        |  IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum(addrc), 64), 2)) AS cidr64_hi,
+        |  IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum(addrc), 0), 1)) AS cidr0_lo,
+        |  IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum(addrc), 0), 2)) AS cidr0_hi,
+        |  IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum(addrc), 128), 2)) AS cidr128_hi
         |FROM (
         |  SELECT o_orderkey AS k,
         |    concat(
@@ -2949,6 +2954,71 @@ object Relational {
         |  cutURLParameter(url, 'zz') AS cut_absent,
         |  mlo, mhi, dp
         |FROM u CROSS JOIN agg CROSS JOIN vec
+        |ORDER BY k""".stripMargin)
+  }
+
+  /** The r14 URL-hierarchy pair — `URLHierarchy`/`URLPathHierarchy`
+    * ([[graft.functions.UrlHierarchy]]): the documented
+    * cut-after-each-separator-run rule over per-row CONSTRUCTED URLs
+    * (with and without a query string), the docs' own CONV-6788 example
+    * as a constant lane, and the STATED corners (no-path → empty,
+    * root-only, '//' and '/?' runs counted once, '#' not a separator,
+    * scheme-less input). Arrays ride as '|'-joined strings; the oracle
+    * re-derives every prefix from the same building blocks (no URL
+    * parser on the oracle side). Row-wise over a pruned scan.
+    */
+  def sqlChUrl3(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """WITH u AS (
+        |  SELECT o_orderkey AS k,
+        |    concat('https://ex', toString(o_orderkey % 5), '.com/cat',
+        |           toString(o_orderkey % 7), '/item', toString(o_orderkey),
+        |           CASE WHEN o_orderkey % 3 = 0
+        |                THEN concat('?p=', toString(o_orderkey)) ELSE '' END) AS url
+        |  FROM orders WHERE o_orderkey < 400)
+        |SELECT k,
+        |  arrayStringConcat(URLHierarchy(url), '|') AS h,
+        |  arrayStringConcat(URLPathHierarchy(url), '|') AS p,
+        |  arrayStringConcat(URLHierarchy('https://example.com/browse/CONV-6788'), '|') AS doc_ex,
+        |  arrayStringConcat(URLPathHierarchy('https://example.com/browse/CONV-6788'), '|') AS doc_ex_p,
+        |  arrayStringConcat(URLHierarchy('https://example.com'), '|') AS no_path,
+        |  arrayStringConcat(URLHierarchy('https://example.com/'), '|') AS root_only,
+        |  arrayStringConcat(URLPathHierarchy('https://example.com/'), '|') AS root_only_p,
+        |  arrayStringConcat(URLHierarchy('https://e.com/a//b/?q=1&r=2'), '|') AS runs,
+        |  arrayStringConcat(URLPathHierarchy('https://e.com/a//b/?q=1&r=2'), '|') AS runs_p,
+        |  arrayStringConcat(URLHierarchy('https://e.com/a#frag/x'), '|') AS frag,
+        |  arrayStringConcat(URLHierarchy('e.com/a/b'), '|') AS schemeless
+        |FROM u
+        |ORDER BY k""".stripMargin)
+  }
+
+  /** The r14 `pointInPolygon` mapping ([[graft.functions.PointInPolygon]]
+    * — even-odd ray casting with the STATED boundary-is-inside contract)
+    * over four constructed fixtures whose containment the oracle derives
+    * INDEPENDENTLY by coordinate inequalities (square, triangle, concave
+    * L, square-with-hole — no ray caster on the oracle side). The point
+    * grid uses exact binary halves, so on-edge/on-vertex rows are
+    * plentiful and the boundary contract is non-vacuous in every lane.
+    * Row-wise foldable-ring evaluation over a pruned scan.
+    */
+  def sqlChPip(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  pointInPolygon(tuple(x, y), array(tuple(1.0, 1.0), tuple(3.0, 1.0),
+        |    tuple(3.0, 3.0), tuple(1.0, 3.0))) AS sq,
+        |  pointInPolygon(tuple(x, y), array(tuple(0.0, 0.0), tuple(4.0, 0.0),
+        |    tuple(0.0, 4.0))) AS tri,
+        |  pointInPolygon(tuple(x, y), array(tuple(0.0, 0.0), tuple(4.0, 0.0),
+        |    tuple(4.0, 2.0), tuple(2.0, 2.0), tuple(2.0, 4.0), tuple(0.0, 4.0))) AS ell,
+        |  pointInPolygon(tuple(x, y), array(tuple(0.0, 0.0), tuple(6.0, 0.0),
+        |    tuple(6.0, 6.0), tuple(0.0, 6.0)), array(tuple(2.0, 2.0),
+        |    tuple(4.0, 2.0), tuple(4.0, 4.0), tuple(2.0, 4.0))) AS holed
+        |FROM (
+        |  SELECT o_orderkey AS k, (o_orderkey % 13) / 2.0 AS x,
+        |         (o_orderkey % 9) / 2.0 AS y
+        |  FROM orders WHERE o_orderkey < 400) t
         |ORDER BY k""".stripMargin)
   }
 

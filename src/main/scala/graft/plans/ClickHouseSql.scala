@@ -334,6 +334,36 @@ object ClickHouseSqlRewrite {
       cls: Array[Byte], bracket: Int): Int = {
     var i = bracket - 1
     while (i >= 0 && isAir(sql, cls, i)) i -= 1
+    // `CASE … END[1]` (r14): END is an expression TERMINATOR, not an
+    // identifier chain — absorbing just the word END emitted malformed
+    // SQL (`… ELSE b graft_ch_element(END, 1)`). Balance backward to the
+    // matching CASE (nested pairs counted; quoted spans and comments are
+    // blanked in `masked`, so their words never match) and make the
+    // whole CASE expression the base.
+    if (i >= 0 && isWordChar(masked.charAt(i))) {
+      var w = i
+      while (w >= 0 && isWordChar(masked.charAt(w))) w -= 1
+      if (masked.substring(w + 1, i + 1).equalsIgnoreCase("END") &&
+          (w < 0 || masked.charAt(w) != '.')) {
+        var depth = 1
+        var p = w
+        while (p >= 0 && depth > 0) {
+          if (isWordChar(masked.charAt(p))) {
+            var s2 = p
+            while (s2 >= 0 && isWordChar(masked.charAt(s2))) s2 -= 1
+            val word = masked.substring(s2 + 1, p + 1)
+            if (word.equalsIgnoreCase("END")) depth += 1
+            else if (word.equalsIgnoreCase("CASE") &&
+              (s2 < 0 || masked.charAt(s2) != '.')) depth -= 1
+            if (depth == 0) return s2 + 1
+            p = s2
+          } else p -= 1
+        }
+        throw new IllegalArgumentException(
+          "ClickHouse SQL: no matching CASE before END[...] — " +
+            "parenthesize the CASE expression: (CASE ... END)[i]")
+      }
+    }
     var continue = true
     var justBalanced = false
     while (continue && i >= 0) {
@@ -356,15 +386,32 @@ object ClickHouseSqlRewrite {
             "ClickHouse SQL: unbalanced parentheses before an index bracket")
           justBalanced = true
         } else if (isWordChar(c) || c == '.') {
-          i -= 1; justBalanced = false
+          // A word directly touching a balanced group is its call name —
+          // unless it is a KEYWORD (`SELECT (CASE…END)[1]`,
+          // `THEN (x)[1]`): keywords terminate the base (r14 — the
+          // parenthesized-CASE workaround used to swallow SELECT).
+          if (justBalanced && c != '.' && {
+            var w2 = i
+            while (w2 >= 0 && isWordChar(masked.charAt(w2))) w2 -= 1
+            PreLiteralKeywords.contains(
+              masked.substring(w2 + 1, i + 1).toUpperCase)
+          }) continue = false
+          else { i -= 1; justBalanced = false }
         } else if (c.isWhitespace && justBalanced) {
           // Peek past the air: absorb it only when a call name (ident
-          // chain or quoted identifier) sits in front of the group.
+          // chain or quoted identifier) sits in front of the group —
+          // a KEYWORD in front (r14) ends the base instead.
           var p = i
           while (p >= 0 && isAir(sql, cls, p)) p -= 1
           if (p >= 0 && (cls(p) == 2 ||
             isWordChar(masked.charAt(p)) || masked.charAt(p) == '.')) {
-            i = p; justBalanced = false
+            if (cls(p) == 0 && isWordChar(masked.charAt(p)) && {
+              var w2 = p
+              while (w2 >= 0 && isWordChar(masked.charAt(w2))) w2 -= 1
+              PreLiteralKeywords.contains(
+                masked.substring(w2 + 1, p + 1).toUpperCase)
+            }) continue = false
+            else { i = p; justBalanced = false }
           } else continue = false
         } else {
           continue = false
@@ -892,21 +939,22 @@ object ClickHouseSqlRewrite {
     * Anything else (`price * replace`, `2 * apply`) is MULTIPLICATION
     * by a column that happens to be named like a modifier keyword, and
     * the transformer path must not engage (the r12 regex alone threw a
-    * false-positive error on such valid SQL). The scan-back runs on the
-    * ORIGINAL text in lockstep with the mask: a masked-out span
-    * (backtick/double-quoted identifier, string literal) reads as
-    * whitespace in `masked` but is an expression OPERAND — skipping it
-    * would walk `` `price` * replace `` back to SELECT and re-open the
-    * false positive for quoted left operands.
+    * false-positive error on such valid SQL). The scan-back uses the
+    * [[charClasses]] scanner (r14 — the isIndexingBracket discipline):
+    * COMMENTS are air it skips over (`SELECT /* note */ * EXCEPT(x)`
+    * must still expand), while a quoted span (backtick/double-quoted
+    * identifier, string literal) is an expression OPERAND that stops
+    * the scan — both read as whitespace in `masked`, so the earlier
+    * masked-whitespace heuristic conflated them and dropped commented
+    * transformers to a Spark parse error.
     */
   private def isSelectListStar(sql: String, masked: String,
-      star: Int): Boolean = {
+      cls: Array[Byte], star: Int): Boolean = {
     var i = star - 1
-    while (i >= 0 && masked.charAt(i).isWhitespace &&
-      sql.charAt(i).isWhitespace) i -= 1
+    while (i >= 0 && isAir(sql, cls, i)) i -= 1
     if (i < 0) return true // a leading `*` can only be a select star
+    if (cls(i) == 2) return false // a quoted operand — multiplication
     val c = masked.charAt(i)
-    if (c.isWhitespace) return false // masked token = a quoted operand
     if (c == ',' || c == '(') return true
     if (!isWordChar(c)) return false
     var j = i
@@ -917,12 +965,13 @@ object ClickHouseSqlRewrite {
 
   private def rewriteStarTransformers(sql: String, masked: String): String = {
     val m = StarModRe.matcher(masked)
+    val cls = charClasses(sql)
     while (m.find()) {
       // A qualified star (t.* EXCEPT …) is left to Spark; a `*` that is
       // not a select-list star is multiplication, not a transformer.
       if (m.start() > 0 && masked.charAt(m.start() - 1) == '.') {
         // keep scanning
-      } else if (!isSelectListStar(sql, masked, m.start())) {
+      } else if (!isSelectListStar(sql, masked, cls, m.start())) {
         // keep scanning — `expr * replace/apply/except_col` is arithmetic
       } else {
         val out = expandStar(sql, masked, m.start())
@@ -2771,6 +2820,11 @@ object ClickHouseFunctions {
     * byte tolower, via translate); the UTF8 CI variants use full
     * Unicode lowercasing. Strings shorter than 4 (bytes / code points)
     * have the EMPTY multiset — the boundary the usage strings state.
+    * Cost vs document LENGTH: O(len · distinct-grams) from the
+    * per-distinct-gram count filters inside the fold — measured
+    * near-linear on rep-tagged long documents in `SCALEBENCH.json`'s
+    * `ngram_len_x8/x32` rows (a per-gram re-scan would read quadratic
+    * there).
     */
   private def chNgramMultiset(s0: Expression, ci: Boolean,
       utf8: Boolean): Expression = {
@@ -5253,10 +5307,7 @@ object ClickHouseFunctions {
     // diverge: the significant-subdomain pair depends on an embedded
     // public-suffix list ClickHouse's own docs mark as changeable; the
     // geo distances use an internal sphere radius + series approximation
-    // the docs state no formula for; pointInPolygon's edge/winding rules
-    // are unspecified; the URL hierarchy pair's prefix rendering
-    // (trailing slashes, query inclusion in the last element) is not
-    // pinned by the docs.
+    // the docs state no formula for.
     ("firstSignificantSubdomain", "firstSignificantSubdomain - not mapped; a named error",
       _ => throw new IllegalArgumentException(
         "ClickHouse SQL: firstSignificantSubdomain depends on ClickHouse's " +
@@ -5281,22 +5332,35 @@ object ClickHouseFunctions {
         "ClickHouse SQL: geoDistance (WGS-84-adjusted) shares " +
           "greatCircleDistance's unstated-formula gap — spell the " +
           "haversine explicitly with your chosen radius")),
-    ("pointInPolygon", "pointInPolygon - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: pointInPolygon's on-edge and self-intersection " +
-          "rules are unspecified — spell a ray-casting test explicitly " +
-          "over the vertex arrays with aggregate(...)")),
-    ("URLHierarchy", "URLHierarchy - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: URLHierarchy's prefix rendering (trailing " +
-          "slashes, query-string inclusion in the last element) is not " +
-          "pinned by its docs — build prefixes explicitly from " +
-          "protocol/domain/path and splitByChar('/', path(url))")),
-    ("URLPathHierarchy", "URLPathHierarchy - not mapped; a named error",
-      _ => throw new IllegalArgumentException(
-        "ClickHouse SQL: URLPathHierarchy shares URLHierarchy's " +
-          "unpinned prefix rendering — build prefixes explicitly from " +
-          "splitByChar('/', path(url))")),
+    // pointInPolygon (r14 — a named error through r13): the signature is
+    // documented (point tuple, outer ring, optional hole rings); the
+    // on-edge/self-intersection rules are NOT, so the mapping STATES
+    // them (boundary-is-inside, even-odd half-open ray casting, implicit
+    // ring closure — the full contract in
+    // [[graft.functions.PointInPolygon]]). Spell the point as
+    // tuple(x, y) and rings as array(tuple(...), ...).
+    ("pointInPolygon", "pointInPolygon(tuple(x, y), ring, holes...) - even-odd ray-casting containment with BOUNDARY-IS-INSIDE (stated: ClickHouse pins no on-edge rule), holes subtracted (their boundary still inside), rings implicitly closed; NULL point/ring/vertex -> NULL",
+      es => {
+        require(es.length >= 2, "pointInPolygon(point, ring[, holes...])")
+        val pt = StructType(Seq(StructField("col1", DoubleType),
+          StructField("col2", DoubleType)))
+        graft.functions.PointInPolygon(
+          Cast(es.head, pt), es.tail.map(r => Cast(r, ArrayType(pt))))
+      }),
+    // URLHierarchy/URLPathHierarchy (r14 — named errors through r13):
+    // the truncation rule IS documented (cut after each run of
+    // consecutive '/','?' separators in the path+query region; full URL
+    // last when it doesn't end in a run; PathHierarchy strips
+    // protocol+host and drops the root '/'), and the remaining corners
+    // are STATED in [[graft.functions.UrlHierarchy]] (no-path → empty
+    // array, '#' is not a separator, scheme-less scan-from-0, '/?' is
+    // one run) — the sparkbar precedent.
+    ("URLHierarchy", "URLHierarchy(url) - prefixes of url cut AFTER each run of consecutive '/'/'?' separators in the path+query (full URL last unless it ends in a run; no separator after the host -> []; '#' is not a separator; stated corners in the kernel scaladoc)",
+      one(e => graft.functions.UrlHierarchy(Cast(e, StringType),
+        pathOnly = false))),
+    ("URLPathHierarchy", "URLPathHierarchy(url) - URLHierarchy with protocol and host stripped from every element and the root '/' excluded",
+      one(e => graft.functions.UrlHierarchy(Cast(e, StringType),
+        pathOnly = true))),
     ("mannWhitneyUTest", "mannWhitneyUTest - not mapped; a named error",
       _ => throw new IllegalArgumentException(
         "ClickHouse SQL: mannWhitneyUTest returns a normal-approximation " +
@@ -5345,6 +5409,15 @@ object ClickHouseFunctions {
             s, Literal("'")))), BinaryType), v) }),
     ("toIPv6OrNull", "toIPv6OrNull(s) - the address as its 16-byte binary, NULL when invalid",
       one(e => graft.functions.Ipv6Parse(Cast(e, StringType), acceptIpv4 = true))),
+    ("IPv6CIDRToRange", "IPv6CIDRToRange(addr, prefix) - tuple (col1, col2) of the lowest and highest 16-byte binary addresses in the /prefix block containing addr (prefix 0..128 enforced; the IPv4CIDRToRange shape)",
+      es => {
+        require(es.length == 2, "IPv6CIDRToRange(addr, prefix)")
+        val a = Cast(es.head, BinaryType)
+        val p = Cast(es(1), IntegerType)
+        CreateNamedStruct(Seq(
+          Literal("col1"), graft.functions.Ipv6CidrBound(a, p, high = false),
+          Literal("col2"), graft.functions.Ipv6CidrBound(a, p, high = true)))
+      }),
     ("isIPv6String", "isIPv6String(s) - true when s is a valid IPv6 string, NULL propagates; STRICT: a plain dotted-quad IPv4 is NOT an IPv6 string (ClickHouse documents isIPv6String('127.0.0.1') = 0)",
       one(e => { val s = Cast(e, StringType)
         // NULL in -> NULL out (IsNotNull alone would read false), the

@@ -2544,11 +2544,11 @@ class ClickHouseSqlSpec extends SparkSpec {
         "SELECT IPv4StringToNum('nope') AS x FROM range(1)").collect()
     }
     assert(e.getMessage.contains("invalid IPv4 address"), e)
-    val e2 = intercept[IllegalArgumentException] {
-      ClickHouseSql.sql(spark,
-        "SELECT IPv6StringToNum('::1') AS x FROM range(1)")
-    }
-    assert(e2.getMessage.contains("IPv6"), e2)
+    // IPv6 graduated from a named error to a real mapping in r14 — the
+    // family's own lanes live in the r14 IPv6 test + sql_ch_ip6.
+    val v6 = ClickHouseSql.sql(spark,
+      "SELECT IPv6NumToString(IPv6StringToNum('::1')) AS x FROM range(1)").head()
+    assert(v6.getString(0) == "::1", v6)
   }
 
   // ---- r12: string distances and vector norms ----
@@ -2751,6 +2751,17 @@ class ClickHouseSqlSpec extends SparkSpec {
     // A qualified star passes through untouched.
     val q = "SELECT t.* EXCEPT (v) FROM star_t t"
     assert(ClickHouseSqlRewrite(q) == q)
+    // r14: a comment directly before the star is AIR, not an operand —
+    // the transformer still expands (the masked-whitespace heuristic
+    // used to stop on it and drop the statement to a parse error)…
+    val cm = ClickHouseSql.sql(spark,
+      "SELECT /* note */ * EXCEPT v FROM star_t ORDER BY id")
+    assert(cm.columns.toSeq == Seq("id", "tag"), cm.columns.toSeq)
+    val cm2 = ClickHouseSql.sql(spark,
+      "SELECT -- note\n * EXCEPT (v) APPLY count FROM star_t")
+    assert(cm2.columns.toSeq == Seq("count(id)", "count(tag)"), cm2.columns.toSeq)
+    // (The quoted-left-operand multiplication guard keeps its own test:
+    // "star transformers do not engage on multiplication…")
   }
 
   test("execution: geohash encode/decode match the published vectors and round-trip") {
@@ -2853,8 +2864,8 @@ class ClickHouseSqlSpec extends SparkSpec {
       .contains("public-suffix"))
     assert(err("SELECT greatCircleDistance(0.0, 0.0, 1.0, 1.0) FROM range(1)")
       .contains("haversine"))
-    assert(err("SELECT URLPathHierarchy('https://a/b/c') FROM range(1)")
-      .contains("splitByChar"))
+    // URLHierarchy/pointInPolygon graduated to mappings in r14 — their
+    // lanes live in their own tests + sql_ch_url3 / sql_ch_pip.
     // ngram*/EMA are MAPPED since r13 — malformed arity still raises the
     // usage string, not Spark's generic undefined-function.
     assert(err("SELECT ngramDistance('ab') FROM range(1)")
@@ -3103,6 +3114,25 @@ class ClickHouseSqlSpec extends SparkSpec {
     val zt = Iterator.iterate(z: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
     assert(zt.toLowerCase.contains("0") || zt.toLowerCase.contains("index"), z)
+    // r14: `CASE … END[i]` — END terminates an expression, so the base
+    // balances back to the matching CASE (nested pairs included) instead
+    // of absorbing the bare word END into malformed SQL.
+    val ce = ClickHouseSql.sql(spark,
+      """SELECT CASE WHEN k = 1 THEN array('a', 'b') ELSE array('z') END[2] AS e,
+        |  CASE WHEN k = 2 THEN arr ELSE
+        |    CASE WHEN k = 1 THEN array('n') ELSE arr END END[1] AS nested_e
+        |FROM (SELECT 1 AS k, array('p') AS arr FROM range(1))""".stripMargin).head()
+    assert(ce.getString(0) == "b", ce)
+    assert(ce.getString(1) == "n", ce)
+    // An END with no CASE before it names the parenthesize workaround.
+    val noCase = intercept[IllegalArgumentException] {
+      ClickHouseSqlRewrite("SELECT END[1] FROM t")
+    }
+    assert(noCase.getMessage.contains("(CASE ... END)[i]"), noCase)
+    // The parenthesized spelling keeps working too.
+    val par = ClickHouseSql.sql(spark,
+      "SELECT (CASE WHEN 1 = 1 THEN array(7, 8) END)[2] AS e FROM range(1)").head()
+    assert(par.getInt(0) == 8, par)
   }
 
   test("execution: dateAdd/dateSub unit-first spellings + hasSubstr contiguous runs") {
@@ -3401,6 +3431,19 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(r.getString(3) == "::", r)
     // The embedded-tail form IS an IPv6 string; the plain quad is not.
     assert(r.getBoolean(4) && !r.getBoolean(5), r)
+    // IPv6CIDRToRange: non-byte-aligned prefix splits inside a group;
+    // prefix out of 0..128 raises loudly.
+    val cr = ClickHouseSql.sql(spark,
+      """SELECT IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum('2001:db8::1'), 60), 1)) AS lo60,
+        |  IPv6NumToString(tupleElement(IPv6CIDRToRange(IPv6StringToNum('2001:db8::1'), 60), 2)) AS hi60
+        |FROM range(1)""".stripMargin).collect().head
+    assert(cr.getString(0) == "2001:db8::", cr)
+    assert(cr.getString(1) == "2001:db8:0:f:ffff:ffff:ffff:ffff", cr)
+    val badPrefix = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT IPv6CIDRToRange(IPv6StringToNum('::1'), 129) FROM range(1)").collect())
+    val bpMsg = Iterator.iterate(badPrefix: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString
+    assert(bpMsg.contains("0..128"), badPrefix)
     // The binary carrier sorts like ClickHouse's FixedString(16): byte
     // order == numeric address order ('::1' < '::1:0' < '1::').
     val sorted = ClickHouseSql.sql(spark,
@@ -3409,6 +3452,54 @@ class ClickHouseSqlSpec extends SparkSpec {
         |    IPv6StringToNum('::1:0'), IPv6StringToNum('::1'))) AS a) t
         |ORDER BY a""".stripMargin).collect().map(_.getString(0)).toSeq
     assert(sorted == Seq("::1", "::1:0", "1::"), sorted)
+  }
+
+  test("execution: URLHierarchy corners beyond the oracle — bare path, trailing-separator end, NULL") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT URLHierarchy('/a/b') AS bare,
+        |  URLPathHierarchy('/a/b') AS bare_p,
+        |  URLHierarchy('https://e.com/a?') AS q_end,
+        |  URLHierarchy(CAST(NULL AS STRING)) AS nul
+        |FROM range(1)""".stripMargin).collect().head
+    // Bare path (no ://): the scan starts at position 0 — the root '/'
+    // IS an element for URLHierarchy, excluded for URLPathHierarchy.
+    assert(r.getSeq[String](0) == Seq("/", "/a/", "/a/b"), r)
+    assert(r.getSeq[String](1) == Seq("/a/", "/a/b"), r)
+    // A URL ending in a separator run: the cut at the run end IS the
+    // full URL — no duplicate final element.
+    assert(r.getSeq[String](2) == Seq("https://e.com/", "https://e.com/a?"), r)
+    assert(r.isNullAt(3), r)
+  }
+
+  test("execution: pointInPolygon stated contract — vertices, hole boundary, vertex-grazing ray, even-odd, degenerate, NULL") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT
+        |  pointInPolygon(tuple(0.0, 0.0), array(tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS on_vertex,
+        |  pointInPolygon(tuple(2.0, 2.0), array(tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS on_edge,
+        |  pointInPolygon(tuple(3.0, 3.0), array(tuple(0.0, 0.0), tuple(6.0, 0.0), tuple(6.0, 6.0), tuple(0.0, 6.0)),
+        |                 array(tuple(2.0, 2.0), tuple(4.0, 2.0), tuple(4.0, 4.0), tuple(2.0, 4.0))) AS in_hole,
+        |  pointInPolygon(tuple(2.0, 3.0), array(tuple(0.0, 0.0), tuple(6.0, 0.0), tuple(6.0, 6.0), tuple(0.0, 6.0)),
+        |                 array(tuple(2.0, 2.0), tuple(4.0, 2.0), tuple(4.0, 4.0), tuple(2.0, 4.0))) AS hole_edge,
+        |  pointInPolygon(tuple(1.0, 2.0), array(tuple(0.0, 2.0), tuple(2.0, 0.0), tuple(4.0, 2.0), tuple(2.0, 4.0))) AS graze,
+        |  pointInPolygon(tuple(3.5, 1.0), array(tuple(0.0, 0.0), tuple(4.0, 4.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS bowtie_in,
+        |  pointInPolygon(tuple(2.0, 3.9), array(tuple(0.0, 0.0), tuple(4.0, 4.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS bowtie_out,
+        |  pointInPolygon(tuple(1.0, 1.0), array(tuple(0.0, 0.0), tuple(2.0, 2.0))) AS degen_on,
+        |  pointInPolygon(tuple(1.5, 0.5), array(tuple(0.0, 0.0), tuple(2.0, 2.0))) AS degen_off,
+        |  pointInPolygon(tuple(CAST(NULL AS DOUBLE), 1.0), array(tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS null_pt
+        |FROM range(1)""".stripMargin).collect().head
+    // Boundary is inside: vertices and edge midpoints of the outer ring…
+    assert(r.getBoolean(0) && r.getBoolean(1), r)
+    // …a hole's interior is outside, but the hole's own boundary belongs.
+    assert(!r.getBoolean(2) && r.getBoolean(3), r)
+    // A horizontal ray through the diamond's left vertex must count
+    // crossings correctly: (1,2) is strictly inside the diamond.
+    assert(r.getBoolean(4), r)
+    // Bow-tie (self-intersecting): even-odd verbatim — inside the right
+    // lobe, outside the wedge regions the lobes pinch off (2 crossings).
+    assert(r.getBoolean(5) && !r.getBoolean(6), r)
+    // A 2-vertex ring has no interior; only its segment is boundary.
+    assert(r.getBoolean(7) && !r.getBoolean(8), r)
+    assert(r.isNullAt(9), r)
   }
 
   test("execution: position counts BYTES haystack-first (ClickHouse's bare-form convention)") {

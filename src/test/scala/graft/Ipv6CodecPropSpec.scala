@@ -102,4 +102,21 @@ object Ipv6CodecPropSpec extends Properties("Ipv6Codec") {
       Ipv6Codec.parse(s, acceptIpv4 = true) == null &&
         Ipv6Codec.parse(s, acceptIpv4 = false) == null
     }
+
+  private def unsignedLe(a: Array[Byte], b: Array[Byte]): Boolean =
+    java.util.Arrays.compareUnsigned(a, b) <= 0
+
+  property("cidrBound: lo <= addr <= hi bytewise, bounds share the prefix, block width = 2^(128-p)") =
+    forAll(genBytes, Gen.chooseNum(0, 128)) { (b, p) =>
+      val lo = Ipv6Codec.cidrBound(b, p, high = false)
+      val hi = Ipv6Codec.cidrBound(b, p, high = true)
+      val prefixShared = (0 until 16).forall { i =>
+        val bits = math.max(0, math.min(8, p - i * 8))
+        val mask = (0xff << (8 - bits)) & 0xff
+        (lo(i) & mask) == (b(i) & mask) && (hi(i) & mask) == (b(i) & mask) &&
+          (lo(i) & ~mask & 0xff) == 0 && (hi(i) & ~mask & 0xff) == (~mask & 0xff)
+      }
+      unsignedLe(lo, b) && unsignedLe(b, hi) && prefixShared &&
+        java.util.Arrays.equals(Ipv6Codec.cidrBound(lo, p, high = true), hi)
+    }
 }
