@@ -373,8 +373,15 @@ object Bench {
     */
   private def runFreshRetries(names: Seq[String], sfDir: String,
       cpus: String, budgetS: Long): (Map[String, Double], Seq[String]) = {
-    if (names.isEmpty || sys.env.get("SPARK_GRAFT_FRESH_RETRY").contains("0"))
-      return (Map.empty, Seq.empty)
+    // Every early-return path reports ALL candidates as un-retried: the
+    // artifact's contract is that `fresh_unretried` names exactly the
+    // candidates that never got a fresh run, and a disabled or
+    // non-relaunchable escalation is the strongest such case (review
+    // finding: an empty list here read as "escalation ran and confirmed
+    // the mins").
+    if (names.isEmpty) return (Map.empty, Seq.empty)
+    if (sys.env.get("SPARK_GRAFT_FRESH_RETRY").contains("0"))
+      return (Map.empty, names)
     val cp = System.getProperty("java.class.path", "")
     // Relaunchable only when the classpath that STARTED this JVM carries
     // this class (a forked run or plain java — sbt's fork packages the
@@ -386,7 +393,7 @@ object Bench {
     if (codeSrc.isEmpty || !cp.contains(codeSrc)) {
       System.err.println(
         s"[bench] fresh retry unavailable: launch classpath does not carry $codeSrc")
-      return (Map.empty, Seq.empty)
+      return (Map.empty, names)
     }
     val javaBin = java.nio.file.Paths
       .get(System.getProperty("java.home"), "bin", "java").toString
@@ -475,6 +482,37 @@ object Bench {
     * and the contamination bookkeeping are all derived here from the
     * results/mins passed in, so both renders use identical logic.
     */
+  /** The headline numbers derived from a sweep's results/mins — ONE
+    * implementation shared by [[renderArtifact]] and main's stdout
+    * contract line, so the printed line can never silently disagree with
+    * the artifact on a totals rule (cold = first SUCCESSFUL run; the
+    * CLEAN variant substitutes the final min for any retried/escalated
+    * query whose first run the adjudication read as contention, >3× the
+    * final min).
+    */
+  private[graft] case class Totals(failed: Seq[String], total: Double,
+      totalCold: Double, coldContaminated: Seq[String], totalColdClean: Double)
+
+  private[graft] def computeTotals(
+      results: Seq[(String, Seq[Double])],
+      mins: Seq[(String, Double)],
+      retried: Seq[String],
+      freshRetries: Map[String, Double]): Totals = {
+    val failed = mins.collect { case (n, v) if v < 0.0 => n }
+    val total = mins.map { case (_, v) => math.max(v, 0.0) }.sum
+    def firstOk(ts: Seq[Double]): Double = ts.find(_ >= 0.0).getOrElse(0.0)
+    val totalCold = results.map { case (_, ts) => firstOk(ts) }.sum
+    val minOf = mins.toMap
+    val coldContaminated: Seq[String] = results.collect {
+      case (n, ts) if (retried.contains(n) || freshRetries.contains(n)) &&
+        minOf(n) >= 0.0 && firstOk(ts) > 3.0 * minOf(n) => n
+    }
+    val totalColdClean = results.map { case (n, ts) =>
+      if (coldContaminated.contains(n)) math.max(minOf(n), 0.0) else firstOk(ts)
+    }.sum
+    Totals(failed, total, totalCold, coldContaminated, totalColdClean)
+  }
+
   private[graft] def renderArtifact(
       sfDir: String,
       results: Seq[(String, Seq[Double])],
@@ -490,18 +528,8 @@ object Bench {
       nRuns: Int, subsecExtraRuns: Int,
       loadBefore: String, loadAfter: String, gateJson: String,
       gcMs: Seq[(String, Long)], storMb: Seq[(String, Double)]): String = {
-    val failed = mins.collect { case (n, v) if v < 0.0 => n }
-    val total = mins.map { case (_, v) => math.max(v, 0.0) }.sum
-    def firstOk(ts: Seq[Double]): Double = ts.find(_ >= 0.0).getOrElse(0.0)
-    val totalCold = results.map { case (_, ts) => firstOk(ts) }.sum
-    val minOf = mins.toMap
-    val coldContaminated: Seq[String] = results.collect {
-      case (n, ts) if (retried.contains(n) || freshRetries.contains(n)) &&
-        minOf(n) >= 0.0 && firstOk(ts) > 3.0 * minOf(n) => n
-    }
-    val totalColdClean = results.map { case (n, ts) =>
-      if (coldContaminated.contains(n)) math.max(minOf(n), 0.0) else firstOk(ts)
-    }.sum
+    val Totals(failed, total, totalCold, coldContaminated, totalColdClean) =
+      computeTotals(results, mins, retried, freshRetries)
     val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
     val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
     val retriedJson = retried.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -730,18 +758,8 @@ object Bench {
     val results: Seq[(String, Seq[Double])] = resultsInJvm.map { case (n, ts) =>
       n -> (ts ++ freshRetries.get(n).toSeq)
     }
-    val failed = mins.collect { case (n, v) if v < 0.0 => n }
-    val total = mins.map { case (_, v) => math.max(v, 0.0) }.sum
-    def firstOk(ts: Seq[Double]): Double = ts.find(_ >= 0.0).getOrElse(0.0)
-    val totalCold = results.map { case (_, ts) => firstOk(ts) }.sum
-    val minOf = mins.toMap
-    val coldContaminated: Seq[String] = results.collect {
-      case (n, ts) if (retried.contains(n) || freshRetries.contains(n)) &&
-        minOf(n) >= 0.0 && firstOk(ts) > 3.0 * minOf(n) => n
-    }
-    val totalColdClean = results.map { case (n, ts) =>
-      if (coldContaminated.contains(n)) math.max(minOf(n), 0.0) else firstOk(ts)
-    }.sum
+    val Totals(failed, total, totalCold, _, totalColdClean) =
+      computeTotals(results, mins, retried, freshRetries)
     val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
 
     // Final atomic rewrite with the merged mins — escalation can only have

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 /** Point-in-polygon behind the dialect's `pointInPolygon(tuple(x, y),
   * ring[, holes…])` — even-odd ray casting over an outer ring plus
@@ -29,12 +29,16 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   *     to the first; a duplicated closing vertex is harmless);
   *   - a ring with fewer than 3 vertices has no interior (only its
   *     degenerate boundary can match);
-  *   - NULL point, NULL ring, or a NULL vertex → NULL.
+  *   - NULL point, NULL ring, or a NULL vertex → NULL — adjudicated
+  *     BEFORE any containment verdict, so the result never depends on
+  *     where the point happens to sit relative to the non-null rings.
   *
   * Self-intersecting rings follow the even-odd rule verbatim (the
   * winding interpretation is NOT used). CodegenFallback: a per-row
   * vertex loop over small constant rings — the surrounding projection
-  * stays codegen'd, and polygon arguments are almost always literals.
+  * stays codegen'd, and polygon arguments are almost always literals,
+  * so FOLDABLE ring children are extracted to coordinate arrays exactly
+  * once per expression instance, not per row.
   */
 case class PointInPolygon(point: Expression, rings: Seq[Expression])
     extends Expression with CodegenFallback {
@@ -44,43 +48,62 @@ case class PointInPolygon(point: Expression, rings: Seq[Expression])
   override def nullable: Boolean = true
   override lazy val foldable: Boolean = children.forall(_.foldable)
 
+  /** (xs, ys) of a ring value; null when the ring or any vertex is NULL. */
+  private def extractRing(rv: Any): (Array[Double], Array[Double]) = {
+    if (rv == null) return null
+    val arr = rv.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val xs = new Array[Double](n)
+    val ys = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) return null
+      val v = arr.getStruct(j, 2)
+      if (v.isNullAt(0) || v.isNullAt(1)) return null
+      xs(j) = v.getDouble(0)
+      ys(j) = v.getDouble(1)
+      j += 1
+    }
+    (xs, ys)
+  }
+
+  /** Once-per-instance extraction for FOLDABLE ring children (a null
+    * entry means not-foldable-or-null — evaluated per row instead,
+    * which for a foldable NULL literal still yields NULL cheaply).
+    */
+  @transient private lazy val foldedRings: Array[(Array[Double], Array[Double])] =
+    rings.map(r => if (r.foldable) extractRing(r.eval(null)) else null).toArray
+
   override def eval(input: InternalRow): Any = {
+    // ALL ring arguments are extracted (and their nulls adjudicated)
+    // before any verdict — a boundary hit on the outer ring must not
+    // preempt a NULL hole ring (review finding).
+    val extracted = new Array[(Array[Double], Array[Double])](rings.size)
+    var i = 0
+    while (i < rings.size) {
+      val cached = foldedRings(i)
+      val ex = if (cached != null) cached else extractRing(rings(i).eval(input))
+      if (ex == null) return null
+      extracted(i) = ex
+      i += 1
+    }
     val p = point.eval(input)
     if (p == null) return null
     val pr = p.asInstanceOf[InternalRow]
     if (pr.isNullAt(0) || pr.isNullAt(1)) return null
     val px = pr.getDouble(0)
     val py = pr.getDouble(1)
-    val ringStruct = rings.head.dataType
-      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
-      .elementType.asInstanceOf[StructType]
-    var inside = false
-    var i = 0
-    while (i < rings.size) {
-      val rv = rings(i).eval(input)
-      if (rv == null) return null
-      val arr = rv.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val xs = new Array[Double](n)
-      val ys = new Array[Double](n)
-      var j = 0
-      while (j < n) {
-        if (arr.isNullAt(j)) return null
-        val v = arr.getStruct(j, ringStruct.size)
-        if (v.isNullAt(0) || v.isNullAt(1)) return null
-        xs(j) = v.getDouble(0)
-        ys(j) = v.getDouble(1)
-        j += 1
-      }
-      if (PointInPolygon.onRing(px, py, xs, ys)) return true // boundary is inside
-      val in = PointInPolygon.strictlyIn(px, py, xs, ys)
-      if (i == 0) {
-        if (!in) return false // not in the outer ring (and not on it)
-        inside = true
-      } else if (in) return false // strictly inside a hole
+    val (oxs, oys) = extracted(0)
+    if (PointInPolygon.onRing(px, py, oxs, oys)) return true // boundary is inside
+    if (!PointInPolygon.strictlyIn(px, py, oxs, oys)) return false
+    i = 1
+    while (i < extracted.length) {
+      val (hxs, hys) = extracted(i)
+      if (PointInPolygon.onRing(px, py, hxs, hys)) return true // a hole's boundary belongs
+      if (PointInPolygon.strictlyIn(px, py, hxs, hys)) return false // strictly inside a hole
       i += 1
     }
-    inside
+    true
   }
 
   override protected def withNewChildrenInternal(

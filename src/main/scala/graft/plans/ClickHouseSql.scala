@@ -352,9 +352,13 @@ object ClickHouseSqlRewrite {
             var s2 = p
             while (s2 >= 0 && isWordChar(masked.charAt(s2))) s2 -= 1
             val word = masked.substring(s2 + 1, p + 1)
-            if (word.equalsIgnoreCase("END")) depth += 1
-            else if (word.equalsIgnoreCase("CASE") &&
-              (s2 < 0 || masked.charAt(s2) != '.')) depth -= 1
+            // dot-qualified names (t.end, a.case) are identifiers, not
+            // CASE-expression delimiters — both directions guarded
+            // (review finding: an unguarded t.end miscounted depth and
+            // threw on valid SQL).
+            val qualified = s2 >= 0 && masked.charAt(s2) == '.'
+            if (word.equalsIgnoreCase("END") && !qualified) depth += 1
+            else if (word.equalsIgnoreCase("CASE") && !qualified) depth -= 1
             if (depth == 0) return s2 + 1
             p = s2
           } else p -= 1
@@ -393,8 +397,11 @@ object ClickHouseSqlRewrite {
           if (justBalanced && c != '.' && {
             var w2 = i
             while (w2 >= 0 && isWordChar(masked.charAt(w2))) w2 -= 1
-            PreLiteralKeywords.contains(
-              masked.substring(w2 + 1, i + 1).toUpperCase)
+            // a dot-QUALIFIED last segment (cat.ns.mod) is a call name,
+            // not a keyword (review finding)
+            (w2 < 0 || masked.charAt(w2) != '.') &&
+              PreLiteralKeywords.contains(
+                masked.substring(w2 + 1, i + 1).toUpperCase)
           }) continue = false
           else { i -= 1; justBalanced = false }
         } else if (c.isWhitespace && justBalanced) {
@@ -408,8 +415,9 @@ object ClickHouseSqlRewrite {
             if (cls(p) == 0 && isWordChar(masked.charAt(p)) && {
               var w2 = p
               while (w2 >= 0 && isWordChar(masked.charAt(w2))) w2 -= 1
-              PreLiteralKeywords.contains(
-                masked.substring(w2 + 1, p + 1).toUpperCase)
+              (w2 < 0 || masked.charAt(w2) != '.') &&
+                PreLiteralKeywords.contains(
+                  masked.substring(w2 + 1, p + 1).toUpperCase)
             }) continue = false
             else { i = p; justBalanced = false }
           } else continue = false

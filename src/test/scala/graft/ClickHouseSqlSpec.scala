@@ -3124,6 +3124,16 @@ class ClickHouseSqlSpec extends SparkSpec {
         |FROM (SELECT 1 AS k, array('p') AS arr FROM range(1))""".stripMargin).head()
     assert(ce.getString(0) == "b", ce)
     assert(ce.getString(1) == "n", ce)
+    // Dot-qualified identifiers are NOT delimiters/keywords (review
+    // repros): a column t.end inside the CASE doesn't miscount depth,
+    // and a qualified call segment named like a keyword stays a call
+    // name before a balanced group.
+    val qe = ClickHouseSql.sql(spark,
+      """SELECT CASE WHEN t.end > 0 THEN array('y') ELSE array('n') END[1] AS e
+        |FROM (SELECT 5 AS end) t""".stripMargin).head()
+    assert(qe.getString(0) == "y", qe)
+    val qmod = ClickHouseSqlRewrite("SELECT a.mod (arr)[1] FROM t")
+    assert(qmod.contains("graft_ch_element(a.mod (arr)"), qmod)
     // An END with no CASE before it names the parenthesize workaround.
     val noCase = intercept[IllegalArgumentException] {
       ClickHouseSqlRewrite("SELECT END[1] FROM t")
@@ -3485,7 +3495,9 @@ class ClickHouseSqlSpec extends SparkSpec {
         |  pointInPolygon(tuple(2.0, 3.9), array(tuple(0.0, 0.0), tuple(4.0, 4.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS bowtie_out,
         |  pointInPolygon(tuple(1.0, 1.0), array(tuple(0.0, 0.0), tuple(2.0, 2.0))) AS degen_on,
         |  pointInPolygon(tuple(1.5, 0.5), array(tuple(0.0, 0.0), tuple(2.0, 2.0))) AS degen_off,
-        |  pointInPolygon(tuple(CAST(NULL AS DOUBLE), 1.0), array(tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS null_pt
+        |  pointInPolygon(tuple(CAST(NULL AS DOUBLE), 1.0), array(tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(0.0, 4.0))) AS null_pt,
+        |  pointInPolygon(tuple(0.0, 0.0), array(tuple(0.0, 0.0), tuple(4.0, 0.0), tuple(0.0, 4.0)),
+        |                 CAST(NULL AS ARRAY<STRUCT<col1: DOUBLE, col2: DOUBLE>>)) AS null_hole
         |FROM range(1)""".stripMargin).collect().head
     // Boundary is inside: vertices and edge midpoints of the outer ring…
     assert(r.getBoolean(0) && r.getBoolean(1), r)
@@ -3500,6 +3512,9 @@ class ClickHouseSqlSpec extends SparkSpec {
     // A 2-vertex ring has no interior; only its segment is boundary.
     assert(r.getBoolean(7) && !r.getBoolean(8), r)
     assert(r.isNullAt(9), r)
+    // NULL is adjudicated BEFORE any verdict: a point ON the outer
+    // boundary with a NULL hole ring is NULL, not true (review repro).
+    assert(r.isNullAt(10), r)
   }
 
   test("execution: position counts BYTES haystack-first (ClickHouse's bare-form convention)") {
