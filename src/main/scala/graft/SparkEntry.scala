@@ -491,6 +491,7 @@ object SparkEntry {
     "sql_ch_url2" -> (Relational.sqlChUrl2 _),
     "sql_ch_url3" -> (Relational.sqlChUrl3 _),
     "sql_ch_pip" -> (Relational.sqlChPip _),
+    "sql_ch_misc2" -> (Relational.sqlChMisc2 _),
     "sql_ch_index" -> (Relational.sqlChIndex _),
     "sql_ch_dateadd" -> (Relational.sqlChDateAdd _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
@@ -1273,6 +1274,14 @@ object SparkEntry {
     // corners spelled out literally.
     "sql_ch_url3" ->
       """WITH u AS (SELECT o_orderkey AS k, 'https://ex' || CAST(o_orderkey % 5 AS VARCHAR) || '.com' AS hst, '/cat' || CAST(o_orderkey % 7 AS VARCHAR) || '/' AS seg1, 'item' || CAST(o_orderkey AS VARCHAR) AS seg2, CASE WHEN o_orderkey % 3 = 0 THEN '?p=' || CAST(o_orderkey AS VARCHAR) ELSE '' END AS qs FROM orders WHERE o_orderkey < 400) SELECT k, CASE WHEN qs = '' THEN hst || '/' || '|' || hst || seg1 || '|' || hst || seg1 || seg2 ELSE hst || '/' || '|' || hst || seg1 || '|' || hst || seg1 || seg2 || '?' || '|' || hst || seg1 || seg2 || qs END AS h, CASE WHEN qs = '' THEN seg1 || '|' || seg1 || seg2 ELSE seg1 || '|' || seg1 || seg2 || '?' || '|' || seg1 || seg2 || qs END AS p, 'https://example.com/|https://example.com/browse/|https://example.com/browse/CONV-6788' AS doc_ex, '/browse/|/browse/CONV-6788' AS doc_ex_p, '' AS no_path, 'https://example.com/' AS root_only, '' AS root_only_p, 'https://e.com/|https://e.com/a//|https://e.com/a//b/?|https://e.com/a//b/?q=1&r=2' AS runs, '/a//|/a//b/?|/a//b/?q=1&r=2' AS runs_p, 'https://e.com/|https://e.com/a#frag/|https://e.com/a#frag/x' AS frag, 'e.com/|e.com/a/|e.com/a/b' AS schemeless FROM u ORDER BY k""",
+    // The NULL-propagation lanes are SPELLED OUT with CASE (DuckDB's
+    // greatest/least skip nulls like Spark's — the independent oracle
+    // derives ClickHouse's rule by hand); gcd/lcm ride DuckDB's own
+    // implementations (abs() on the negative lane pins OUR stated
+    // non-negative contract); CIDR lanes re-derive by arithmetic and
+    // construction.
+    "sql_ch_misc2" ->
+      """WITH s AS (SELECT o_orderkey AS k, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, CASE WHEN k % 5 = 0 THEN NULL ELSE k + 3 END AS g_null, CASE WHEN k % 11 = 0 THEN NULL ELSE least(k % 7, k % 5) END AS l_null, least(k % 7, k % 5, k % 3) AS l_ok, CAST(gcd(k + 1, k % 12 + 1) AS BIGINT) AS gcd1, CAST(gcd(k % 4, k % 8) AS BIGINT) AS gcd_zero, CAST(abs(gcd(-(k + 2), k % 9 + 1)) AS BIGINT) AS gcd_neg, CAST(lcm(k % 6 + 1, k % 4 + 1) AS BIGINT) AS lcm1, CAST(lcm(k % 3, 4) AS BIGINT) AS lcm_zero, (n >= 2147483648) AS ipr_half, true AS ipr_all, true AS ipr_v6_hit, false AS ipr_v6_miss, false AS ipr_mix, false AS ipr_bad, CAST(k % 3 AS VARCHAR) || ',7,9,11' AS uni, true AS sw, (k % 10 = 7) AS ew FROM s ORDER BY k""",
     // Containment re-derived by coordinate INEQUALITIES over the same
     // fixtures (boundary-is-inside spelled with <=, hole exclusion with
     // strict <) — no ray caster on the oracle side.

@@ -109,7 +109,79 @@ case class Ipv6CidrBound(addr: Expression, prefix: Expression, high: Boolean)
     copy(addr = newLeft, prefix = newRight)
 }
 
+/** `isIPAddressInRange(addr, cidr)` — CIDR containment for BOTH families
+  * (ClickHouse documents the signature and the family-mixing zero:
+  * `isIPAddressInRange('127.0.0.1', 'ffff::/16') = 0`). Stated contract
+  * for the unpinned corners: a malformed or family-mismatched ADDRESS is
+  * simply not in the range (false — the isIPv4String/isIPv6String
+  * boolean-test posture; an IPv4-MAPPED string like `::ffff:1.2.3.4`
+  * still matches a v6 network, since it IS a v6 address), while a
+  * malformed CIDR (no '/', bad prefix bounds, unparseable network) is an
+  * ERROR — the range is the query's own constant and deserves a loud
+  * failure, never a silent all-false column.
+  */
+case class IpInRange(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(addr: Any, cidr: Any): Any =
+    Ipv6Codec.ipInRange(addr.asInstanceOf[UTF8String].toString,
+      cidr.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c) =>
+      s"graft.functions.Ipv6Codec.ipInRange($a.toString(), $c.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IpInRange =
+    copy(left = newLeft, right = newRight)
+}
+
 object Ipv6Codec {
+
+  /** See [[IpInRange]] for the stated contract. */
+  def ipInRange(addr: String, cidr: String): Boolean = {
+    val slash = cidr.lastIndexOf('/')
+    if (slash <= 0 || slash == cidr.length - 1)
+      throw new IllegalArgumentException(
+        s"isIPAddressInRange: malformed CIDR '$cidr' — expected net/prefix")
+    val netS = cidr.substring(0, slash)
+    val p =
+      try cidr.substring(slash + 1).toInt
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"isIPAddressInRange: malformed CIDR prefix in '$cidr'")
+      }
+    if (netS.indexOf(':') >= 0) {
+      val net = parse(netS, acceptIpv4 = false)
+      if (net == null)
+        throw new IllegalArgumentException(
+          s"isIPAddressInRange: malformed IPv6 network in '$cidr'")
+      if (p < 0 || p > 128)
+        throw new IllegalArgumentException(
+          "isIPAddressInRange: an IPv6 prefix must be in 0..128")
+      // strict v6 parse: a plain dotted quad is a FAMILY MISMATCH (the
+      // documented mixing zero), but ::ffff:a.b.c.d is a v6 address.
+      val a = parse(addr, acceptIpv4 = false)
+      a != null && java.util.Arrays.equals(
+        cidrBound(a, p, high = false), cidrBound(net, p, high = false))
+    } else {
+      val net = parseIpv4(netS, 0, netS.length)
+      if (net < 0)
+        throw new IllegalArgumentException(
+          s"isIPAddressInRange: malformed IPv4 network in '$cidr'")
+      if (p < 0 || p > 32)
+        throw new IllegalArgumentException(
+          "isIPAddressInRange: an IPv4 prefix must be in 0..32")
+      val a =
+        if (addr.indexOf(':') >= 0) -1L // v6 address vs v4 net: mismatch
+        else parseIpv4(addr, 0, addr.length)
+      val mask = if (p == 0) 0L else (0xffffffffL << (32 - p)) & 0xffffffffL
+      a >= 0 && (a & mask) == (net & mask)
+    }
+  }
 
   /** See [[Ipv6CidrBound]]: clear (low) or set (high) every bit past the
     * prefix, byte by byte.

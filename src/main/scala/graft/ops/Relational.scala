@@ -3022,6 +3022,46 @@ object Relational {
         |ORDER BY k""".stripMargin)
   }
 
+  /** The r14 misc batch — the gaps a migrating query hits beyond the
+    * named-error frontier: `greatest`/`least` with ClickHouse's
+    * NULL-PROPAGATING semantics (Spark's own skip nulls — a silent value
+    * divergence closed by a textual rename, the dateDiff/position
+    * precedent), `gcd`/`lcm` (absent from Spark; DuckDB's own
+    * gcd/lcm are the independent oracle), `isIPAddressInRange` for both
+    * families including the documented family-mixing false, variadic
+    * `arrayUnion` (first-occurrence order, stated), and the UTF8 affix
+    * aliases. Row-wise over a pruned scan.
+    */
+  def sqlChMisc2(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  greatest(k, CASE WHEN k % 5 = 0 THEN NULL ELSE k + 3 END) AS g_null,
+        |  least(k % 7, CASE WHEN k % 11 = 0 THEN NULL ELSE k % 5 END) AS l_null,
+        |  least(k % 7, k % 5, k % 3) AS l_ok,
+        |  gcd(k + 1, k % 12 + 1) AS gcd1,
+        |  gcd(k % 4, k % 8) AS gcd_zero,
+        |  gcd(0 - (k + 2), k % 9 + 1) AS gcd_neg,
+        |  lcm(k % 6 + 1, k % 4 + 1) AS lcm1,
+        |  lcm(k % 3, 4) AS lcm_zero,
+        |  isIPAddressInRange(ip, '128.0.0.0/1') AS ipr_half,
+        |  isIPAddressInRange(ip, '0.0.0.0/0') AS ipr_all,
+        |  isIPAddressInRange(ip6, '2a02::/16') AS ipr_v6_hit,
+        |  isIPAddressInRange(ip6, '2a03::/16') AS ipr_v6_miss,
+        |  isIPAddressInRange(ip, 'ffff::/16') AS ipr_mix,
+        |  isIPAddressInRange(concat('x', toString(k)), '10.0.0.0/8') AS ipr_bad,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayUnion(array(k % 3, 7), array(k % 3, 9), array(7, 11))), ',') AS uni,
+        |  startsWithUTF8(concat('pre', toString(k)), 'pre') AS sw,
+        |  endsWithUTF8(toString(k), '7') AS ew
+        |FROM (
+        |  SELECT o_orderkey AS k,
+        |    IPv4NumToString((o_orderkey * 2654435761) % 4294967296) AS ip,
+        |    concat('2a02:', lower(hex(o_orderkey % 65535 + 1)), '::1') AS ip6
+        |  FROM orders WHERE o_orderkey < 400) t
+        |ORDER BY k""".stripMargin)
+  }
+
   /** The r13 ngram batch: `ngramDistance`/`ngramSearch` (ClickHouse's
     * documented 4-gram multiset algebra, computed exactly — see the
     * kernel scaladoc) over `documents` string slices, including the

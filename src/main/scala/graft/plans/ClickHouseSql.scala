@@ -126,6 +126,7 @@ object ClickHouseSqlRewrite {
     val g = rewriteJoinModifiers(sql, masked); if (g ne sql) return g
     val h = rewriteArrayJoin(sql, masked); if (h ne sql) return h
     val k = rewriteDateDiff(sql, masked); if (k ne sql) return k
+    val gl = rewriteGreatestLeast(sql, masked); if (gl ne sql) return gl
     val da = rewriteDateAddSub(sql, masked); if (da ne sql) return da
     val p = rewritePosition(sql, masked); if (p ne sql) return p
     val t = rewriteWithTies(sql, masked); if (t ne sql) return t
@@ -864,6 +865,32 @@ object ClickHouseSqlRewrite {
       if (k < sql.length && sql.charAt(k) == '\'') {
         val nameEnd = sql.indexOf('(', m.start())
         return sql.substring(0, m.start()) + "graft_ch_datediff" +
+          sql.substring(nameEnd)
+      }
+    }
+    sql
+  }
+
+  private val GreatestLeastRe = java.util.regex.Pattern.compile(
+    "(?i)\\b(greatest|least)\\s*\\(")
+
+  /** ClickHouse's `greatest`/`least` NULL-propagate (NULL if ANY argument
+    * is NULL); Spark's own functions SKIP nulls — a silent value
+    * divergence on the exact rows where it matters, so the dialect path
+    * renames every call to the null-propagating `graft_ch_greatest`/
+    * `graft_ch_least` builders (the dateDiff/position precedent).
+    * Extension sessions keep Spark's semantics via the parse-failure
+    * gate — stock `greatest` parses cleanly and is never rewritten there.
+    * A dot-qualified name (`cat.greatest(...)`) is somebody else's
+    * function, left alone.
+    */
+  private def rewriteGreatestLeast(sql: String, masked: String): String = {
+    val m = GreatestLeastRe.matcher(masked)
+    while (m.find()) {
+      if (m.start() == 0 || masked.charAt(m.start() - 1) != '.') {
+        val nameEnd = sql.indexOf('(', m.start())
+        return sql.substring(0, m.start()) +
+          "graft_ch_" + m.group(1).toLowerCase(java.util.Locale.ROOT) +
           sql.substring(nameEnd)
       }
     }
@@ -2001,11 +2028,14 @@ object ClickHouseSqlRewrite {
             s"approx_percentile(${items.head}\n, $params\n)"
           // uniqUpTo(N)(x…): the exact distinct count while it is ≤ N,
           // saturating at N+1 — which is exactly least(uniqExact, N+1).
+          // Emitted as graft_ch_least directly (r14): the fixpoint would
+          // rename a bare `least(` anyway, and neither operand is ever
+          // NULL, so the null-propagating form is value-identical.
           case "uniqupto" =>
             if (splitItems(masked, pStart, pEnd).length != 1)
               throw new IllegalArgumentException(
                 "ClickHouse SQL: uniqUpTo takes exactly one parameter N")
-            s"least(count(DISTINCT $args\n), ($params\n) + 1)"
+            s"graft_ch_least(count(DISTINCT $args\n), ($params\n) + 1)"
           case "topk" =>
             if (splitItems(masked, pStart, pEnd).length != 1)
               throw new IllegalArgumentException(
@@ -5426,6 +5456,41 @@ object ClickHouseFunctions {
           Literal("col1"), graft.functions.Ipv6CidrBound(a, p, high = false),
           Literal("col2"), graft.functions.Ipv6CidrBound(a, p, high = true)))
       }),
+    ("isIPAddressInRange", "isIPAddressInRange(addr, 'net/prefix') - CIDR containment for both families (family mixing is false, per the docs' isIPAddressInRange('127.0.0.1', 'ffff::/16') = 0; a malformed ADDRESS is false — it is not in the range; a malformed CIDR is an ERROR, the range is the query's own constant)",
+      es => { require(es.length == 2, "isIPAddressInRange(addr, cidr)")
+        graft.functions.IpInRange(Cast(es.head, StringType),
+          Cast(es(1), StringType)) }),
+    // ---------------- misc r14 batch: gaps a migrating query hits as
+    // loud undefined-function errors (gcd/lcm have no Spark
+    // counterpart) or as ORDER-convention gaps (arrayUnion is variadic
+    // in ClickHouse; result order is unspecified there, STATED here as
+    // first-occurrence across the concatenated arguments — Spark's own
+    // array_union rule). greatest/least are NOT here: Spark owns those
+    // names, so the NULL-semantics divergence rides a textual rename
+    // (graft_ch_greatest below, the dateDiff/position precedent).
+    ("gcd", "gcd(a, b) - greatest common divisor, non-negative (Euclid on absolute values; gcd(0, 0) = 0, stated; abs(Int64.min) is a loud overflow error)",
+      es => { require(es.length == 2, "gcd(a, b)")
+        graft.functions.Gcd(Cast(es.head, LongType), Cast(es(1), LongType)) }),
+    ("lcm", "lcm(a, b) - least common multiple, non-negative (lcm(x, 0) = 0; overflow is a loud error, never a silent wrap - stated, ClickHouse wraps)",
+      es => { require(es.length == 2, "lcm(a, b)")
+        graft.functions.Lcm(Cast(es.head, LongType), Cast(es(1), LongType)) }),
+    ("arrayUnion", "arrayUnion(arr1, arr2, ...) - distinct union of all arguments; element order STATED as first occurrence across the concatenated arguments (ClickHouse leaves it unspecified)",
+      es => { require(es.length >= 2, "arrayUnion(arr1, arr2, ...)")
+        es.reduceLeft((a, b) => ArrayUnion(a, b)) }),
+    ("startsWithUTF8", "startsWithUTF8(s, prefix) - true when s starts with prefix (affix equality is identical under byte and code-point comparison, so this is exactly startsWith)",
+      es => { require(es.length == 2, "startsWithUTF8(s, prefix)")
+        StartsWith(Cast(es.head, StringType), Cast(es(1), StringType)) }),
+    ("endsWithUTF8", "endsWithUTF8(s, suffix) - true when s ends with suffix (exactly endsWith; see startsWithUTF8)",
+      es => { require(es.length == 2, "endsWithUTF8(s, suffix)")
+        EndsWith(Cast(es.head, StringType), Cast(es(1), StringType)) }),
+    ("graft_ch_greatest", "graft_ch_greatest(a, b, ...) - ClickHouse greatest: the largest argument, NULL when ANY argument is NULL (Spark's own greatest SKIPS nulls — the dialect's textual rename exists for exactly this silent divergence)",
+      es => { require(es.length >= 2, "greatest(a, b, ...)")
+        If(es.map(IsNull(_): Expression).reduce(Or),
+          Literal.create(null, NullType), Greatest(es)) }),
+    ("graft_ch_least", "graft_ch_least(a, b, ...) - ClickHouse least: the smallest argument, NULL when ANY argument is NULL (see graft_ch_greatest)",
+      es => { require(es.length >= 2, "least(a, b, ...)")
+        If(es.map(IsNull(_): Expression).reduce(Or),
+          Literal.create(null, NullType), Least(es)) }),
     ("isIPv6String", "isIPv6String(s) - true when s is a valid IPv6 string, NULL propagates; STRICT: a plain dotted-quad IPv4 is NOT an IPv6 string (ClickHouse documents isIPv6String('127.0.0.1') = 0)",
       one(e => { val s = Cast(e, StringType)
         // NULL in -> NULL out (IsNotNull alone would read false), the

@@ -438,7 +438,7 @@ class ClickHouseSqlSpec extends SparkSpec {
 
   test("rewrite: uniqUpTo saturates via least; WITH TOTALS becomes GROUPING SETS; FINAL and SAMPLE are named errors") {
     assert(ClickHouseSqlRewrite("SELECT uniqUpTo(5)(x) FROM t GROUP BY k")
-      == "SELECT least(count(DISTINCT x\n), (5\n) + 1) FROM t GROUP BY k")
+      == "SELECT graft_ch_least(count(DISTINCT x\n), (5\n) + 1) FROM t GROUP BY k")
     assert(ClickHouseSqlRewrite("SELECT k, count(*) FROM t GROUP BY k WITH TOTALS ORDER BY k")
       == "SELECT k, count(*) FROM t GROUP BY GROUPING SETS ((k\n), ()) ORDER BY k")
     assert(ClickHouseSqlRewrite("SELECT a, b, count(*) FROM t GROUP BY a, b WITH ROLLUP")
@@ -3515,6 +3515,46 @@ class ClickHouseSqlSpec extends SparkSpec {
     // NULL is adjudicated BEFORE any verdict: a point ON the outer
     // boundary with a NULL hole ring is NULL, not true (review repro).
     assert(r.isNullAt(10), r)
+  }
+
+  test("execution: r14 misc batch — null-propagating greatest/least, gcd/lcm edges, CIDR errors, arrayUnion dedup") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT greatest(1, CAST(NULL AS BIGINT), 3) AS g3,
+        |  least(CAST(NULL AS INT), 2) AS l2,
+        |  greatest(4, 9, 2) AS g_ok,
+        |  gcd(0, 0) AS gz, gcd(-12, 18) AS gneg, lcm(4, 6) AS l1,
+        |  lcm(0, 5) AS lz,
+        |  isIPAddressInRange('::ffff:10.1.2.3', '::ffff:10.0.0.0/104') AS mapped_in,
+        |  isIPAddressInRange('10.1.2.3', '10.0.0.0/8') AS v4_in,
+        |  isIPAddressInRange('11.1.2.3', '10.0.0.0/8') AS v4_out,
+        |  arrayUnion(array(3, 1), array(1, 2), array(2, 3)) AS uni
+        |FROM range(1)""".stripMargin).head()
+    // ClickHouse NULL-propagation: ANY null argument -> NULL (Spark's
+    // own greatest/least would return 3 / 2 here — the silent
+    // divergence the textual rename closes).
+    assert(r.isNullAt(0) && r.isNullAt(1), r)
+    assert(r.getInt(2) == 9, r)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 6L, r)
+    assert(r.getLong(5) == 12L && r.getLong(6) == 0L, r)
+    // An IPv4-MAPPED v6 string against a v6-mapped network prefix
+    // matches; plain v4 against a v4 net by mask.
+    assert(r.getBoolean(7) && r.getBoolean(8) && !r.getBoolean(9), r)
+    assert(r.getSeq[Int](10) == Seq(3, 1, 2), r)
+    // Overflow lanes are LOUD (never a wrapped number)…
+    val ov = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT lcm(4611686018427387904, 3) FROM range(1)").collect())
+    val ovMsg = Iterator.iterate(ov: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+    assert(ovMsg.contains("overflow") || ovMsg.contains("long"), ov)
+    // …and a malformed CIDR is an error, not an all-false column.
+    val badCidr = intercept[Exception](ClickHouseSql.sql(spark,
+      "SELECT isIPAddressInRange('1.2.3.4', 'nonsense') FROM range(1)").collect())
+    val bcMsg = Iterator.iterate(badCidr: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString
+    assert(bcMsg.contains("malformed CIDR"), badCidr)
+    // The rename is dialect-path-only: a dot-qualified name is left alone.
+    val q = ClickHouseSqlRewrite("SELECT cat.greatest(a, b) FROM t")
+    assert(q == "SELECT cat.greatest(a, b) FROM t", q)
   }
 
   test("execution: position counts BYTES haystack-first (ClickHouse's bare-form convention)") {
