@@ -492,6 +492,7 @@ object SparkEntry {
     "sql_ch_url3" -> (Relational.sqlChUrl3 _),
     "sql_ch_pip" -> (Relational.sqlChPip _),
     "sql_ch_misc2" -> (Relational.sqlChMisc2 _),
+    "sql_ch_round" -> (Relational.sqlChRound _),
     "sql_ch_index" -> (Relational.sqlChIndex _),
     "sql_ch_dateadd" -> (Relational.sqlChDateAdd _),
     "sql_interval_left_join" -> (Relational.sqlIntervalLeftJoin _),
@@ -1282,6 +1283,12 @@ object SparkEntry {
     // construction.
     "sql_ch_misc2" ->
       """WITH s AS (SELECT o_orderkey AS k, (o_orderkey * 2654435761) % 4294967296 AS n FROM orders WHERE o_orderkey < 400) SELECT k, CASE WHEN k % 5 = 0 THEN NULL ELSE k + 3 END AS g_null, CASE WHEN k % 11 = 0 THEN NULL ELSE least(k % 7, k % 5) END AS l_null, least(k % 7, k % 5, k % 3) AS l_ok, CAST(gcd(k + 1, k % 12 + 1) AS BIGINT) AS gcd1, CAST(gcd(k % 4, k % 8) AS BIGINT) AS gcd_zero, CAST(abs(gcd(-(k + 2), k % 9 + 1)) AS BIGINT) AS gcd_neg, CAST(lcm(k % 6 + 1, k % 4 + 1) AS BIGINT) AS lcm1, CAST(lcm(k % 3, 4) AS BIGINT) AS lcm_zero, (n >= 2147483648) AS ipr_half, true AS ipr_all, true AS ipr_v6_hit, false AS ipr_v6_miss, false AS ipr_mix, false AS ipr_bad, CAST(k % 3 AS VARCHAR) || ',7,9,11' AS uni, true AS sw, (k % 10 = 7) AS ew FROM s ORDER BY k""",
+    // Buckets re-derived as CASE chains from the same documented
+    // tables; positions via DuckDB's own strpos (ASCII lanes, so byte
+    // == char); the power of two via floor(log2) — IEEE-exact at this
+    // range, independently of the engine's bit kernel.
+    "sql_ch_round" ->
+      """WITH s AS (SELECT o_orderkey AS k, o_orderkey % 4 + 1 AS m, repeat('x', CAST(o_orderkey % 4 + 1 AS INTEGER)) || 'ab' || CAST(o_orderkey % 10 AS VARCHAR) || 'cd' AS str FROM orders WHERE o_orderkey < 400) SELECT k, CAST(strpos(str, 'ab') AS VARCHAR) || ',0,' || CAST(strpos(str, 'cd') AS VARCHAR) AS pos_all, CAST(strpos(str, 'ab') AS BIGINT) AS pos_first, CAST(0 AS BIGINT) AS pos_none, CAST(pow(2, floor(log2(k + 1))) AS BIGINT) AS exp2, CAST(0 AS BIGINT) AS exp2_neg, CAST(CASE WHEN k % 50 >= 40 THEN 40 WHEN k % 50 >= 20 THEN 20 WHEN k % 50 >= 10 THEN 10 ELSE 0 END AS BIGINT) AS rdown, CAST(1 AS BIGINT) AS rdown_low, CAST(CASE WHEN k % 700 >= 600 THEN 600 WHEN k % 700 >= 300 THEN 300 WHEN k % 700 >= 240 THEN 240 WHEN k % 700 >= 180 THEN 180 WHEN k % 700 >= 120 THEN 120 WHEN k % 700 >= 60 THEN 60 WHEN k % 700 >= 30 THEN 30 WHEN k % 700 >= 10 THEN 10 WHEN k % 700 >= 1 THEN 1 ELSE 0 END AS BIGINT) AS rdur, CAST(CASE WHEN k % 90 >= 55 THEN 55 WHEN k % 90 >= 45 THEN 45 WHEN k % 90 >= 35 THEN 35 WHEN k % 90 >= 25 THEN 25 WHEN k % 90 >= 18 THEN 18 WHEN k % 90 >= 1 THEN 17 ELSE 0 END AS BIGINT) AS rage FROM s ORDER BY k""",
     // Containment re-derived by coordinate INEQUALITIES over the same
     // fixtures (boundary-is-inside spelled with <=, hole exclusion with
     // strict <) — no ray caster on the oracle side.

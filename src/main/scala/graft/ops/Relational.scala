@@ -3062,6 +3062,39 @@ object Relational {
         |ORDER BY k""".stripMargin)
   }
 
+  /** The r14 rounding + multi-search batch: the documented bucket tables
+    * (`roundDuration`/`roundAge`), exact-bit `roundToExp2`
+    * (highestOneBit — no float log2 boundary misrounds),
+    * floor-into-array `roundDown` with the lowest-bound rule, and the
+    * byte-position `multiSearchAllPositions`/`multiSearchFirstPosition`
+    * pair on the bare-`position` kernel. The oracle re-derives buckets
+    * with CASE chains spelled from the SAME documented tables, positions
+    * with DuckDB's own strpos over ASCII lanes (byte == char there), and
+    * the power of two via floor(log2) — exact in IEEE for this range.
+    * Row-wise over a pruned scan.
+    */
+  def sqlChRound(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerViews(spark, dir, Seq("orders"))
+    graft.plans.ClickHouseSql.sql(spark,
+      """SELECT k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    multiSearchAllPositions(s, ['ab', 'zz', 'cd'])), ',') AS pos_all,
+        |  toInt64(multiSearchFirstPosition(s, ['zz', 'cd', 'ab'])) AS pos_first,
+        |  toInt64(multiSearchFirstPosition(s, ['zz', 'qq'])) AS pos_none,
+        |  roundToExp2(k + 1) AS exp2,
+        |  roundToExp2(0 - 3) AS exp2_neg,
+        |  toInt64(roundDown(k % 50, [0, 10, 20, 40])) AS rdown,
+        |  toInt64(roundDown(0 - 5, [1, 10])) AS rdown_low,
+        |  roundDuration(k % 700) AS rdur,
+        |  roundAge(k % 90) AS rage
+        |FROM (
+        |  SELECT o_orderkey AS k,
+        |    concat(repeat('x', o_orderkey % 4 + 1), 'ab',
+        |           toString(o_orderkey % 10), 'cd') AS s
+        |  FROM orders WHERE o_orderkey < 400) t
+        |ORDER BY k""".stripMargin)
+  }
+
   /** The r13 ngram batch: `ngramDistance`/`ngramSearch` (ClickHouse's
     * documented 4-gram multiset algebra, computed exactly — see the
     * kernel scaladoc) over `documents` string slices, including the

@@ -2761,6 +2761,21 @@ object ClickHouseFunctions {
       Literal.create(null, LongType))
   }
 
+  /** 1-based BYTE position of `n0` in `h0`, 0 when absent — the bare
+    * `position` convention (the needle locates at code points; a valid
+    * UTF-8 needle only matches at a code-point boundary, so the first
+    * code-point hit IS the first byte hit, and the prefix's octet length
+    * converts the offset). Shared by the multiSearch* position family.
+    */
+  private def chBytePos(h0: Expression, n0: Expression): Expression = {
+    val h = Cast(h0, StringType)
+    val n = Cast(n0, StringType)
+    val loc = new StringLocate(n, h)
+    If(LessThanOrEqual(loc, Literal(0)), loc,
+      Add(OctetLength(Substring(h, Literal(1), Subtract(loc, Literal(1)))),
+        Literal(1)))
+  }
+
   /** Split a string into its characters (one UTF8String scan via the
     * empty-pattern regex split) — the shared kernel of the
     * byteHammingDistance/stringJaccardIndex character sets. Boundary,
@@ -5483,6 +5498,57 @@ object ClickHouseFunctions {
     ("endsWithUTF8", "endsWithUTF8(s, suffix) - true when s ends with suffix (exactly endsWith; see startsWithUTF8)",
       es => { require(es.length == 2, "endsWithUTF8(s, suffix)")
         EndsWith(Cast(es.head, StringType), Cast(es(1), StringType)) }),
+    ("multiSearchAllPositions", "multiSearchAllPositions(haystack, [needles]) - array of each needle's first occurrence as a 1-based BYTE position (the bare-position convention), 0 for a needle not found",
+      es => { require(es.length == 2, "multiSearchAllPositions(haystack, [needles])")
+        val h = Cast(es.head, StringType)
+        ArrayTransform(es(1), lam1(n => chBytePos(h, n))) }),
+    ("multiSearchFirstPosition", "multiSearchFirstPosition(haystack, [needles]) - the leftmost 1-based BYTE offset at which ANY needle occurs, 0 when none does",
+      es => { require(es.length == 2, "multiSearchFirstPosition(haystack, [needles])")
+        val h = Cast(es.head, StringType)
+        val pos = ArrayTransform(es(1), lam1(n => chBytePos(h, n)))
+        val nz = ArrayFilter(pos, lam1(p => GreaterThan(p, Literal(0))))
+        If(EqualTo(new Size(nz), Literal(0)), Literal(0), ArrayMin(nz)) }),
+    // ---------------- the rounding family (r14): documented bucket
+    // tables and floor rules, mapped exactly. roundToExp2 uses the
+    // EXACT bit kernel (highestOneBit), not a float log2 whose
+    // boundaries can misround; fractional input truncates toward zero
+    // through the Int64 cast (stated — ClickHouse's float behavior is
+    // per-type and undocumented).
+    ("roundToExp2", "roundToExp2(x) - rounds DOWN to the nearest power of two; below 1 returns 0 (exact bit arithmetic; fractional input truncates toward zero, stated)",
+      one(e => { val x = Cast(e, LongType)
+        If(LessThan(x, Literal(1L)), Literal(0L),
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            classOf[java.lang.Long], LongType, "highestOneBit",
+            Seq(x), Seq(LongType), returnNullable = false)) })),
+    ("roundDown", "roundDown(x, arr) - rounds DOWN to the largest array element <= x; below every element returns the array's smallest (the documented lowest-bound rule); NULL x propagates",
+      es => { require(es.length == 2, "roundDown(x, arr)")
+        val x = es.head
+        val le = ArrayFilter(es(1), lam1(el => LessThanOrEqual(el, x)))
+        // the NULL guard: a null x makes the filter drop everything and
+        // the lowest-bound rule would silently fire instead of NULL
+        If(IsNull(x), Literal.create(null, NullType),
+          If(EqualTo(new Size(le), Literal(0)), ArrayMin(es(1)), ArrayMax(le))) }),
+    ("roundDuration", "roundDuration(x) - floors into the documented duration set {1,10,30,60,120,180,240,300,600,1200,1800,3600,7200,18000,36000}; below 1 returns 0; NULL propagates",
+      one(e => { val x = Cast(e, LongType)
+        val set = Seq(36000L, 18000L, 7200L, 3600L, 1800L, 1200L, 600L,
+          300L, 240L, 180L, 120L, 60L, 30L, 10L, 1L)
+        // NULL guard: every CaseWhen branch is null for a null x and the
+        // ELSE 0 would fire — ClickHouse's ordinary functions propagate.
+        If(IsNull(x), Literal.create(null, LongType),
+          CaseWhen(set.map(b =>
+            (GreaterThanOrEqual(x, Literal(b)), Literal(b): Expression)),
+            Literal(0L))) })),
+    ("roundAge", "roundAge(x) - the documented age buckets: <1 -> 0, 1-17 -> 17, 18-24 -> 18, 25-34 -> 25, 35-44 -> 35, 45-54 -> 45, 55+ -> 55; NULL propagates",
+      one(e => { val x = Cast(e, LongType)
+        If(IsNull(x), Literal.create(null, LongType),
+          CaseWhen(Seq(
+            (GreaterThanOrEqual(x, Literal(55L)), Literal(55L): Expression),
+            (GreaterThanOrEqual(x, Literal(45L)), Literal(45L)),
+            (GreaterThanOrEqual(x, Literal(35L)), Literal(35L)),
+            (GreaterThanOrEqual(x, Literal(25L)), Literal(25L)),
+            (GreaterThanOrEqual(x, Literal(18L)), Literal(18L)),
+            (GreaterThanOrEqual(x, Literal(1L)), Literal(17L))),
+            Literal(0L))) })),
     ("graft_ch_greatest", "graft_ch_greatest(a, b, ...) - ClickHouse greatest: the largest argument, NULL when ANY argument is NULL (Spark's own greatest SKIPS nulls — the dialect's textual rename exists for exactly this silent divergence)",
       es => { require(es.length >= 2, "greatest(a, b, ...)")
         If(es.map(IsNull(_): Expression).reduce(Or),

@@ -3557,6 +3557,31 @@ class ClickHouseSqlSpec extends SparkSpec {
     assert(q == "SELECT cat.greatest(a, b) FROM t", q)
   }
 
+  test("execution: rounding family + multiSearch positions — byte offsets, exact bit boundaries, bucket edges") {
+    val r = ClickHouseSql.sql(spark,
+      """SELECT multiSearchAllPositions('chçade', ['de', 'zz', 'ç']) AS bytes_pos,
+        |  toInt64(multiSearchFirstPosition('chçade', ['de', 'ad'])) AS first_b,
+        |  roundToExp2(4611686018427387909) AS exp2_big,
+        |  roundToExp2(1) AS exp2_one,
+        |  roundToExp2(1024) AS exp2_pow,
+        |  toInt64(roundDown(20, [0, 10, 20, 40])) AS rdown_tie,
+        |  roundDuration(36000000) AS rdur_top,
+        |  roundAge(17) AS rage17, roundAge(18) AS rage18,
+        |  roundAge(CAST(NULL AS INT)) AS rage_null
+        |FROM range(1)""".stripMargin).head()
+    // 'ç' is two UTF-8 bytes: 'de' at byte 6, 'ç' at byte 3 (the same
+    // byte convention the bare position test pins).
+    assert(r.getSeq[Int](0) == Seq(6, 0, 3), r)
+    assert(r.getLong(1) == 5L, r) // leftmost = 'ad' at byte 5, beats 'de' at 6
+    // 2^62 + 5 floors to 2^62 EXACTLY — a float log2 kernel misrounds here.
+    assert(r.getLong(2) == 4611686018427387904L, r)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 1024L, r)
+    assert(r.getLong(5) == 20L, r) // x equal to an element keeps it
+    assert(r.getLong(6) == 36000L, r) // above the top bucket clamps to it
+    assert(r.getLong(7) == 17L && r.getLong(8) == 18L, r)
+    assert(r.isNullAt(9), r)
+  }
+
   test("execution: position counts BYTES haystack-first (ClickHouse's bare-form convention)") {
     val r = ClickHouseSql.sql(spark,
       """SELECT toInt64(position('Hello, world!', 'world')) AS p1,
