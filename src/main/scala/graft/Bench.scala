@@ -100,8 +100,15 @@ import java.nio.file.{Files, Paths}
   *
   * Output goes to TWO places:
   *
-  *   - ONE compact JSON line on stdout (the driver contract:
-  *     `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`)
+  *   - the compact JSON contract line on stdout
+  *     (`{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`)
+  *     — printed TWICE (r15): immediately after the in-JVM sweep (marked
+  *     `fresh_pending:true` when escalation candidates exist) and again
+  *     with the merged mins after escalation. The driver takes the LAST
+  *     complete line, so a kill during escalation degrades the graded
+  *     number to the in-JVM sweep instead of to parsed=null (the r13/r14
+  *     failure mode: the artifact-side fix saved the file, not the stdout
+  *     signal). Each line
   *     with seconds rounded to 1 ms so the full query map survives the
   *     driver's bounded stdout tail; `n_failed` (and the failing names) ride
   *     along so a sweep with failures can never masquerade as a speedup —
@@ -493,6 +500,38 @@ object Bench {
   private[graft] case class Totals(failed: Seq[String], total: Double,
       totalCold: Double, coldContaminated: Seq[String], totalColdClean: Double)
 
+  /** The ONE-LINE stdout contract the driver parses — extracted (r15) so the
+    * sweep can print it TWICE: once IMMEDIATELY after the in-JVM sweep
+    * (before any fresh-process escalation starts) and once after escalation
+    * with the merged mins. Two consecutive rounds lost their graded bench
+    * (`BENCH_r13/14.json` rc=124, parsed=null) because this line was printed
+    * only at the very end of main(): the r14 write-before-escalate fix saved
+    * the on-disk artifact, but the driver greps STDOUT — a kill during
+    * escalation (or any post-sweep work) still yielded parsed=null. The
+    * driver tails stdout, so the LAST complete line wins when the run
+    * finishes and the early line survives a mid-escalation kill. Escalation
+    * can only lower mins ([[mergeFresh]]), so the early line is always a
+    * conservative upper bound on the final one, never an understatement.
+    * `fresh_pending` rides along so a graded number from the early line is
+    * self-identifying.
+    */
+  private[graft] def contractLine(
+      results: Seq[(String, Seq[Double])],
+      mins: Seq[(String, Double)],
+      retried: Seq[String],
+      freshRetries: Map[String, Double],
+      gatePassed: Boolean,
+      freshPending: Boolean,
+      sfDir: String): String = {
+    val Totals(failed, total, totalCold, _, totalColdClean) =
+      computeTotals(results, mins, retried, freshRetries)
+    val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""value_cold":${fmt(totalCold)},"value_cold_clean":${fmt(totalColdClean)},""" +
+      s""""n_failed":${failed.size},"load_gate_passed":$gatePassed,""" +
+      s""""fresh_pending":$freshPending,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   private[graft] def computeTotals(
       results: Seq[(String, Seq[Double])],
       mins: Seq[(String, Double)],
@@ -527,7 +566,9 @@ object Bench {
       priorCovered: Int, priorAccepted: Boolean,
       nRuns: Int, subsecExtraRuns: Int,
       loadBefore: String, loadAfter: String, gateJson: String,
-      gcMs: Seq[(String, Long)], storMb: Seq[(String, Double)]): String = {
+      gcMs: Seq[(String, Long)], storMb: Seq[(String, Double)],
+      benchBudgetS: Long = 0L,
+      budgetDegraded: Seq[String] = Seq.empty): String = {
     val Totals(failed, total, totalCold, coldContaminated, totalColdClean) =
       computeTotals(results, mins, retried, freshRetries)
     val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
@@ -551,6 +592,8 @@ object Bench {
       s""""fresh_retried":${freshRetries.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")},""" +
       s""""fresh_candidates":$freshCandJson,"fresh_unretried":$freshUnretriedJson,""" +
       s""""fresh_budget_s":$freshBudgetS,"fresh_pending":$freshPending,""" +
+      s""""bench_budget_s":$benchBudgetS,""" +
+      s""""budget_degraded":${budgetDegraded.distinct.map(n => s""""$n"""").mkString("[", ",", "]")},""" +
       s""""loadavg_before":"$loadBefore","loadavg_after":"$loadAfter",""" +
       s""""load_gate":$gateJson,""" +
       s""""queries":$qs,"all_runs":$runsJson,""" +
@@ -609,6 +652,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val loadBefore = loadavg()
+    // TOTAL sweep budget (r15): the r14 graded run was killed MID-SWEEP
+    // (rc=124 with the tail still executing) — per-child and escalation
+    // budgets bound the tail of the run but nothing bounded the sweep
+    // itself under driver-window contention. When the budget expires,
+    // every remaining query degrades to a SINGLE run (no min-of-N, no
+    // sub-second third run, no in-JVM retry) so the sweep always reaches
+    // the artifact write and the stdout contract line; degraded names are
+    // recorded in `budget_degraded`. A single contended run can only read
+    // HIGH, so degradation never manufactures a speedup.
+    val benchBudgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toLong
+    val sweepDeadlineMs = System.nanoTime() / 1000000L + benchBudgetS * 1000L
+    def overBudget(): Boolean = System.nanoTime() / 1000000L > sweepDeadlineMs
+    val budgetDegraded = collection.mutable.ArrayBuffer[String]()
     // Untimed warm-up: JVM/codegen/classloader costs otherwise land entirely
     // on whichever query happens to run first.
     try Tables.t(spark, sfDir, "customer").count()
@@ -644,11 +700,13 @@ object Bench {
     val firstPass: Seq[(String, Seq[Double])] =
       swept.map { case (name, fn) =>
         if (boundaries.contains(name)) familyCleanup(spark, sfDir)
+        val degraded = overBudget()
+        if (degraded) budgetDegraded += name
         val gc0 = gcMillis()
-        val base = (1 to nRuns).map(_ => run1(fn))
+        val base = (1 to (if (degraded) 1 else nRuns)).map(_ => run1(fn))
         val okMin = base.filter(_ >= 0.0).minOption
         val ts =
-          if (okMin.exists(_ < 1.0) && base.size < 3) {
+          if (!degraded && okMin.exists(_ < 1.0) && base.size < 3) {
             subsecExtraRuns += 1
             base :+ run1(fn)
           } else base
@@ -676,8 +734,12 @@ object Bench {
         famMedian.getOrElse(familyOf(n), Double.MaxValue),
         prior.get(n)) => n
     }
-    val retries: Map[String, Double] = retried.map { n =>
-      n -> run1(swept.find(_._1 == n).get._2)
+    // In-JVM retries also respect the sweep budget: once it expires the
+    // remaining adjudicated retries are skipped (their names land in
+    // `budget_degraded`) — the min of the runs already taken stands.
+    val retries: Map[String, Double] = retried.flatMap { n =>
+      if (overBudget()) { budgetDegraded += n; None }
+      else Some(n -> run1(swept.find(_._1 == n).get._2))
     }.toMap
 
     val resultsInJvm: Seq[(String, Seq[Double])] = firstPass.map { case (n, ts) =>
@@ -737,7 +799,7 @@ object Bench {
         prior.nonEmpty, outPath, priorAll.size,
         inventory.count(priorAll.contains), priorAccepted,
         nRuns, subsecExtraRuns, loadBefore, loadAfter, gateJson,
-        gcMs.toSeq, storMb.toSeq)
+        gcMs.toSeq, storMb.toSeq, benchBudgetS, budgetDegraded.toSeq)
     }
 
     // WRITE-BEFORE-ESCALATE (r14): the complete in-JVM sweep goes to disk
@@ -749,6 +811,18 @@ object Bench {
       render(Map.empty, freshCandidates, pending = freshCandidates.nonEmpty))
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
 
+    // PRINT-BEFORE-ESCALATE (r15, the r14 verdict's top ask): the driver
+    // parses a JSON line from STDOUT, not the on-disk artifact — two
+    // consecutive graded runs died rc=124/parsed=null because this line
+    // printed only at the very end of main(). The early line carries the
+    // complete in-JVM sweep (escalation can only lower mins, so it is a
+    // conservative upper bound); the final merged line below overrides it
+    // when the run completes because the driver takes the last complete
+    // line.
+    println(contractLine(resultsInJvm, minsInJvm, retried, Map.empty,
+      gatePassed, freshPending = freshCandidates.nonEmpty, sfDir))
+    System.out.flush()
+
     val (freshRetries, budgetSkipped) =
       runFreshRetries(freshCandidates.take(freshMax), sfDir, cpus, freshBudgetS)
     val unretried = (budgetSkipped ++ cappedTail).distinct
@@ -758,9 +832,6 @@ object Bench {
     val results: Seq[(String, Seq[Double])] = resultsInJvm.map { case (n, ts) =>
       n -> (ts ++ freshRetries.get(n).toSeq)
     }
-    val Totals(failed, total, totalCold, _, totalColdClean) =
-      computeTotals(results, mins, retried, freshRetries)
-    val qs = mins.map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString("{", ",", "}")
 
     // Final atomic rewrite with the merged mins — escalation can only have
     // LOWERED numbers ([[mergeFresh]]), so replacing the pre-escalation
@@ -768,7 +839,8 @@ object Bench {
     try writeArtifact(writePath, render(freshRetries, unretried, pending = false))
     catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: ${e.getMessage}") }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_cold":${fmt(totalCold)},"value_cold_clean":${fmt(totalColdClean)},"n_failed":${failed.size},"load_gate_passed":$gatePassed,"queries":$qs,"sf":"$sfDir"}""")
+    println(contractLine(results, mins, retried, freshRetries,
+      gatePassed, freshPending = false, sfDir))
     spark.stop()
   }
 }

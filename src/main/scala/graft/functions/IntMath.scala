@@ -5,11 +5,18 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** `gcd(a, b)` — ClickHouse's integer greatest common divisor, absent
-  * from Spark's function library. Contract (stated where ClickHouse's
-  * docs are silent): the result is NON-NEGATIVE (Euclid on absolute
-  * values), `gcd(0, 0) = 0`, and `abs(Long.MinValue)` — which has no
-  * 64-bit representation — is a loud ArithmeticException rather than a
-  * silent wrap (the engine's ANSI posture). Codegen emits a static call.
+  * from Spark's function library. Contract: the result is NON-NEGATIVE
+  * (Euclid on absolute values), `gcd(0, 0) = 0`, and `abs(Long.MinValue)`
+  * — which has no 64-bit representation — is a loud ArithmeticException
+  * rather than a silent wrap (the engine's ANSI posture). The zero
+  * handling is a DELIBERATE RELAXATION of ClickHouse, not a doc gap:
+  * ClickHouse's gcd/lcm kernel runs its division-by-zero FPE check on
+  * both arguments and THROWS when either is 0; this engine returns the
+  * mathematical convention (gcd(x,0)=|x|, lcm(x,0)=0) instead of erroring
+  * — a migrating query gets values where ClickHouse raised. (The same
+  * stated relaxation applies to `isIPAddressInRange`, which returns false
+  * on a malformed address where ClickHouse throws.) Codegen emits a
+  * static call.
   */
 case class Gcd(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -60,7 +60,14 @@ object UrlHierarchy {
   /** The prefix array — see the class scaladoc for the full contract. */
   def hierarchy(url: String, pathOnly: Boolean): Array[UTF8String] = {
     val n = url.length
-    val proto = url.indexOf("://")
+    // '://' marks a scheme only when no path/query separator precedes it:
+    // a RELATIVE url carrying an absolute url in a query parameter
+    // ('/redirect?u=https://x.com/p') must scan from position 0 per the
+    // scheme-less contract above, not skip to the embedded scheme.
+    val protoCand = url.indexOf("://")
+    val proto =
+      if (protoCand >= 0 && url.substring(0, protoCand).exists(isSep)) -1
+      else protoCand
     // The path region begins at the first separator after '://'+host
     // (the '//' of the protocol is skipped wholesale by starting the
     // separator scan past it).

@@ -366,7 +366,8 @@ object ClickHouseSqlRewrite {
         }
         throw new IllegalArgumentException(
           "ClickHouse SQL: no matching CASE before END[...] — " +
-            "parenthesize the CASE expression: (CASE ... END)[i]")
+            "parenthesize the CASE expression: (CASE ... END)[i]; for a " +
+            "COLUMN named end, backtick it: `end`[i]")
       }
     }
     var continue = true
@@ -863,7 +864,12 @@ object ClickHouseSqlRewrite {
       var k = m.end()
       while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
       if (k < sql.length && sql.charAt(k) == '\'') {
-        val nameEnd = sql.indexOf('(', m.start())
+        // The regex ends AT the paren it matched in the MASKED text (where
+        // comment bytes are blanked), so m.end()-1 is the real '(' —
+        // sql.indexOf('(', …) on the ORIGINAL text would land inside a
+        // comment sitting between the name and its argument list
+        // (`dateDiff /* ( */ (…)`) and splice corrupted SQL.
+        val nameEnd = m.end() - 1
         return sql.substring(0, m.start()) + "graft_ch_datediff" +
           sql.substring(nameEnd)
       }
@@ -888,7 +894,10 @@ object ClickHouseSqlRewrite {
     val m = GreatestLeastRe.matcher(masked)
     while (m.find()) {
       if (m.start() == 0 || masked.charAt(m.start() - 1) != '.') {
-        val nameEnd = sql.indexOf('(', m.start())
+        // m.end()-1 is the '(' matched in the MASKED text — see
+        // rewriteDateDiff: indexOf on the original text could land on a
+        // '(' inside a comment between the name and the argument list.
+        val nameEnd = m.end() - 1
         return sql.substring(0, m.start()) +
           "graft_ch_" + m.group(1).toLowerCase(java.util.Locale.ROOT) +
           sql.substring(nameEnd)

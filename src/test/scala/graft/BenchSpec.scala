@@ -223,6 +223,51 @@ class BenchSpec extends AnyFunSuite {
     assert(art.contains(""""n_failed":0"""))
   }
 
+  // --- r15 parseability: the stdout contract line prints BEFORE escalation ---
+
+  test("the stdout contract line parses with priorMins, pre- and post-escalation (the r14 rc=124 shape)") {
+    // The r13 AND r14 graded benches were lost (rc=124/parsed=null) because
+    // the stdout line the driver greps printed only at the very end of
+    // main(). The early line must be a complete, parseable, conservative
+    // upper bound (escalation only lowers mins); the final line overrides it.
+    val results = Seq("agg_cube" -> Seq(0.2, 0.15), "dedup_eval" -> Seq(10.2, 10.3))
+    val mins = results.map { case (n, ts) => n -> ts.min }
+    val early = Bench.contractLine(results, mins, retried = Seq.empty,
+      freshRetries = Map.empty, gatePassed = true, freshPending = true, sfDir = "/sf")
+    assert(Bench.priorMins(early) === Map("agg_cube" -> 0.15, "dedup_eval" -> 10.2))
+    assert(early.contains(""""metric":"total""""))
+    assert(early.contains(""""value":10.350""")) // 0.15 + 10.2
+    assert(early.contains(""""fresh_pending":true"""))
+    assert(early.contains(""""load_gate_passed":true"""))
+    // After escalation the merged mins take over and pending clears.
+    val fin = Bench.contractLine(
+      results.map { case (n, ts) => n -> (ts ++ (if (n == "dedup_eval") Seq(1.4) else Nil)) },
+      Seq("agg_cube" -> 0.15, "dedup_eval" -> 1.4),
+      retried = Seq.empty, freshRetries = Map("dedup_eval" -> 1.4),
+      gatePassed = true, freshPending = false, sfDir = "/sf")
+    assert(Bench.priorMins(fin) === Map("agg_cube" -> 0.15, "dedup_eval" -> 1.4))
+    assert(fin.contains(""""value":1.550"""))
+    assert(fin.contains(""""fresh_pending":false"""))
+    // Escalation can only lower: the early line never understates the final.
+    assert(Bench.priorMins(early).values.sum >= Bench.priorMins(fin).values.sum)
+  }
+
+  test("the artifact records the sweep budget and the degraded names") {
+    val art = Bench.renderArtifact("/sf",
+      Seq("agg_cube" -> Seq(0.2)), Seq("agg_cube" -> 0.2),
+      retried = Seq.empty, freshRetries = Map.empty,
+      freshCandidates = Seq.empty, freshUnretried = Seq.empty,
+      freshBudgetS = 900L, freshPending = false,
+      priorLoaded = false, priorSource = "p", priorN = 0, priorCovered = 0,
+      priorAccepted = false, nRuns = 2, subsecExtraRuns = 0,
+      loadBefore = "", loadAfter = "", gateJson = "{}",
+      gcMs = Seq.empty, storMb = Seq.empty,
+      benchBudgetS = 1500L, budgetDegraded = Seq("agg_cube", "agg_cube"))
+    assert(art.contains(""""bench_budget_s":1500"""))
+    // Names dedup: a query can degrade in both the sweep and the retry pass.
+    assert(art.contains(""""budget_degraded":["agg_cube"]"""))
+  }
+
   test("family boundaries fall exactly at the first query of each new name-family") {
     val names = Seq("agg_cube", "agg_mode", "dedup_exact", "dedup_simhash",
       "sql_tpch_q1", "window_rank")
