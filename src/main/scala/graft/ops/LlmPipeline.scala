@@ -640,15 +640,25 @@ object LlmPipeline {
     * doc's first k·q + 1 grams of that order, so candidates come from a
     * PREFIX×PREFIX equi join only (the [[dedupJaccardPrefix]] machinery on
     * character grams), with the |len_a − len_b| ≤ k length condition as a
-    * join-time residual; the count bound itself then re-applies as a CHEAP
-    * per-candidate filter (sorted-array intersect ≥ max(m_a, m_b) − k·q),
-    * and only its survivors pay the one expensive per-pair op — exact
-    * `levenshtein` at ~0.4 ms/call (profiled: at sf0.1 the three stages go
-    * 12.5M pair space → 175k prefix candidates → 7.5k count survivors →
-    * 25× less verify time than prefix-only). The
-    * [[graft.plans.LevenshteinLengthGuard]] rule injects its implied
-    * length guard into that verify filter — the optimizer extension's
-    * production consumer. The resemblance family (MinHash/PPJoin) scores
+    * join-time residual; every candidate then pays ONE banded
+    * `levenshtein(a, b, k)` — Spark's threshold variant prunes the DP to
+    * the 2k+1 diagonal band and abandons as soon as the band exceeds k,
+    * so the verify is O(k·n) per pair (~25 µs at this fixture's text
+    * length), not the O(n·m) full DP (~0.4 ms). An intermediate
+    * Gravano-count filter (sorted-array intersect ≥ max(m_a, m_b) − k·q on
+    * per-doc gram arrays) used to stand between the prefix join and a
+    * FULL-DP verify; with the banded DP it costs more than it saves —
+    * r15 stage profile at sf0.1: the count stage alone took 5.2 s
+    * (175k candidate rows each carrying two ~1.5k-element gram arrays
+    * through two joins) while the banded verify on ALL 175k prefix
+    * candidates takes 0.37 s — so the count stage is gone and the banded
+    * DP is the one per-pair op (whole query 12.0 s → ~6 s). The
+    * candidate join's length residual already embeds the
+    * [[graft.plans.LevenshteinLengthGuard]] implication (lev ≥ |Δlen|),
+    * and the banded DP re-checks it in O(1) on entry; the rule's
+    * production consumer remains [[graft.ops.Analytics.erBlockedMatch]],
+    * whose verify still spells the guardable `levenshtein(a, b) <= k`.
+    * The resemblance family (MinHash/PPJoin) scores
     * SET overlap of word shingles; this is the character-level metric —
     * transposed words are FAR here, NEAR there.
     *
@@ -674,28 +684,18 @@ object LlmPipeline {
     */
   def dedupEditDistance(spark: SparkSession, dir: String, k: Int = 8,
       q: Int = 8): DataFrame = {
-    // The verify predicate is this rule's production shape (same
-    // install-at-the-consumer pattern as [[graft.ops.Analytics.erBlockedMatch]]).
-    graft.plans.LevenshteinLengthGuard.install(spark)
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("ln"))
-    // Materialized once: THREE consumers (gram arrays, df counts, the
-    // prefix build) would each re-run the explode+distinct gram pipeline
-    // (profiled 4.4 s per pass at sf0.1). Grams travel as xxhash64 LONGS
-    // from here on — every join key and the count filter's array intersect
-    // get ~8× cheaper than 8-char strings (profiled 12 s → 2 s on the
-    // intersect stage), and a collision can only ADD a candidate (the
-    // filter stays sound; the exact verify decides membership).
+    // Materialized once: TWO consumers (df counts, the prefix build) would
+    // each re-run the explode+distinct gram pipeline (profiled 4.4 s per
+    // pass at sf0.1, r14). Grams travel as xxhash64 LONGS from here on —
+    // every join key gets ~8× cheaper than 8-char strings, and a collision
+    // can only ADD a candidate (the prefix filter stays sound; the exact
+    // verify decides membership).
     val gd = docs.select(col("doc_id"), col("ln"), explode(expr(
         s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
           s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
           s"ELSE CAST(array() AS array<bigint>) END")).as("gram"))
-      .localCheckpoint()
-    // Per-doc SORTED gram arrays + set size, materialized once (both sides
-    // of the count filter read it; sorted arrays make array_intersect a
-    // cheap per-pair op).
-    val gs = gd.groupBy("doc_id")
-      .agg(sort_array(collect_list(col("gram"))).as("gs"), count(lit(1)).as("m"))
       .localCheckpoint()
     val docFreq = gd.groupBy("gram").agg(count(lit(1)).as("ddf"))
     // Per-doc grams sorted rarest-first; the prefix is the first k·q + 1.
@@ -733,29 +733,27 @@ object LlmPipeline {
       .filter(col("ida") =!= col("idb") && abs(col("ln_a") - col("ln_b")) <= k)
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"))
-    // Stage 2, the COUNT filter on candidates only (Gravano's bound applied
-    // where it is cheap): lev ≤ k ⇒ |Ga ∩ Gb| ≥ max(m_a, m_b) − k·q. At
-    // sf0.1 this is the stage that makes the exact verify affordable —
-    // 175k prefix candidates → 7.5k survivors → exact levenshtein (the lone
-    // expensive per-pair op at ~0.4 ms/call) runs 23× less often.
-    // Left joins: a doc shorter than q has NO grams (absent from gs) — its
-    // micro-pairs must still reach the verify (m = 0 makes the bound
-    // vacuous for them, which is exactly right).
-    val counted = cand.unionAll(shortPairs).distinct()
-      .join(gs.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"), col("m").as("m_a")),
-        Seq("doc_a"), "left")
-      .join(gs.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"), col("m").as("m_b")),
-        Seq("doc_b"), "left")
-      .filter(coalesce(size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"), lit(0L)) >=
-        greatest(coalesce(col("m_a"), lit(0L)), coalesce(col("m_b"), lit(0L))) - lit(k.toLong * q))
-      .select("doc_a", "doc_b")
+    // Stage 2, the banded verify on ALL candidates (prefix ∪ fallback):
+    // `levenshtein(a, b, k)` runs the 2k+1-diagonal-band DP with early
+    // abandon and returns −1 past the threshold, so `d ≥ 0` IS the ≤ k
+    // predicate and d the exact distance — identical output to a full-DP
+    // filter at O(k·n) instead of O(n·m) per pair. The former Gravano
+    // count filter (gram-array intersect ≥ max(m_a, m_b) − k·q between
+    // the prefix join and a full-DP verify) is deliberately GONE: the
+    // r15 stage profile read it at 5.2 s — two joins shipping a ~1.5k-long
+    // gram array per side for every candidate — versus 0.37 s for the
+    // banded DP over every candidate it would have pruned (see the class
+    // scaladoc). Gramless micro-docs (< q chars) reach this verify
+    // directly through the fallback union; nothing filters on gram
+    // membership anymore, so no left-join resurrection is needed.
     val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
     val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
-    counted
+    cand.unionAll(shortPairs).distinct()
       .join(ta, "doc_a").join(tb, "doc_b")
-      .filter(levenshtein(col("text_a"), col("text_b")) <= k)
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance"))
+        levenshtein(col("text_a"), col("text_b"), k).as("d"))
+      .filter(col("d") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("d").cast("long").as("edit_distance"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -37,6 +37,83 @@ object StageProfile {
     (1 to reps).foreach { i =>
       timeIt(s"$name run$i", spark)(graft.SparkEntry.queries(name)(spark, dir))
     }
+    if (name == "dedup_edit_distance") profileEditDistance(spark, dir)
     spark.stop()
+  }
+
+  /** Stage decomposition of [[graft.ops.LlmPipeline.dedupEditDistance]] —
+    * replicates its pipeline stage by stage so the expensive one is
+    * measured, not guessed (the stages share no state with the real query;
+    * each is timed through the noop sink).
+    */
+  private def profileEditDistance(spark: SparkSession, dir: String,
+      k: Int = 8, q: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("ln"))
+    timeIt("1 gd explode grams", spark)(docs.select(col("doc_id"), col("ln"), explode(expr(
+      s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
+        s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
+        s"ELSE CAST(array() AS array<bigint>) END")).as("gram")))
+    val gd = docs.select(col("doc_id"), col("ln"), explode(expr(
+      s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
+        s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
+        s"ELSE CAST(array() AS array<bigint>) END")).as("gram"))
+      .localCheckpoint()
+    timeIt("2 gs sorted arrays", spark)(gd.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("gs"), count(lit(1)).as("m")))
+    val gs = gd.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("gram"))).as("gs"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    val docFreq = gd.groupBy("gram").agg(count(lit(1)).as("ddf"))
+    timeIt("3 pre prefix build", spark)(gd.join(docFreq, "gram")
+      .groupBy("doc_id", "ln")
+      .agg(sort_array(collect_list(struct(col("ddf"), col("gram")))).as("ord"))
+      .select(col("doc_id"), col("ln"),
+        explode(slice(transform(col("ord"), o => o.getField("gram")),
+          lit(1), lit(k * q + 1))).as("gram")))
+    timeIt("3w pre via window", spark) {
+      import org.apache.spark.sql.expressions.Window
+      gd.join(docFreq, "gram")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("ddf", "gram")))
+        .filter(col("rn") <= k * q + 1)
+        .select(col("doc_id"), col("ln"), col("gram"))
+    }
+    val pre = gd.join(docFreq, "gram")
+      .groupBy("doc_id", "ln")
+      .agg(sort_array(collect_list(struct(col("ddf"), col("gram")))).as("ord"))
+      .select(col("doc_id"), col("ln"),
+        explode(slice(transform(col("ord"), o => o.getField("gram")),
+          lit(1), lit(k * q + 1))).as("gram"))
+      .localCheckpoint()
+    val cand = pre.select(col("gram"), col("doc_id").as("doc_a"), col("ln").as("ln_a"))
+      .join(pre.select(col("gram"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "gram")
+      .filter(col("doc_a") < col("doc_b") && abs(col("ln_a") - col("ln_b")) <= k)
+      .select("doc_a", "doc_b")
+    timeIt("4 cand self-join", spark)(cand)
+    val counted = cand.distinct()
+      .join(gs.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"), col("m").as("m_a")),
+        Seq("doc_a"), "left")
+      .join(gs.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"), col("m").as("m_b")),
+        Seq("doc_b"), "left")
+      .filter(coalesce(size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"), lit(0L)) >=
+        greatest(coalesce(col("m_a"), lit(0L)), coalesce(col("m_b"), lit(0L))) - lit(k.toLong * q))
+      .select("doc_a", "doc_b")
+    timeIt("5 count filter", spark)(counted)
+    val cn = counted.localCheckpoint()
+    val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    timeIt("6 verify levenshtein", spark)(cn
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .filter(levenshtein(col("text_a"), col("text_b")) <= k)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance")))
+    timeIt("6t verify thresholded", spark)(cn
+      .join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b"), k).as("d"))
+      .filter(col("d") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("d").cast("long").as("edit_distance")))
   }
 }

@@ -330,14 +330,20 @@ class PlanShapeSpec extends SparkSpec {
       s"length guard missing from the levenshtein predicate line:\n$p")
     assert(joinLine.indexOf("abs((length(") < joinLine.indexOf("levenshtein"),
       s"guard must precede the DP in the conjunction:\n$joinLine")
-    // The edit-distance join's verify condition is the rule's second
-    // production consumer — same guard, join-condition shape.
+    // The edit-distance verify runs the BANDED threshold DP (r15):
+    // `levenshtein(a, b, 8)` prunes to the 2k+1 diagonal band and returns
+    // −1 past the threshold, so the ≥ 0 filter IS the ≤ k predicate at
+    // O(k·n) per pair — the guard rule's implication (lev ≥ |Δlen|) is
+    // enforced upstream as the candidate join's length residual and
+    // re-checked in O(1) inside the banded DP itself.
     val p2 = plan("dedup_edit_distance")
-    val line2 = p2.linesIterator
-      .find(l => l.contains("levenshtein") && l.contains("<=")).getOrElse("")
-    assert(line2.contains("abs((length(") &&
-      line2.indexOf("abs((length(") < line2.indexOf("levenshtein"),
-      s"guard missing from the edit-distance verify:\n$line2")
+    val verifyLine = p2.linesIterator
+      .find(l => l.contains("levenshtein")).getOrElse("")
+    assert(verifyLine.contains("Some(8)"),
+      s"banded threshold missing from the edit-distance verify:\n$verifyLine")
+    assert(p2.linesIterator.exists(l =>
+      l.contains("abs((ln_a") && l.contains("<= 8")),
+      s"length residual missing from the candidate join:\n$p2")
   }
 
   test("interval join rides the time-grid equi key — no nested-loop join") {
