@@ -151,12 +151,21 @@ object Analytics {
     * eval benchmarks. Reports per contaminated doc how many distinct
     * shingles and eval docs it collides with.
     *
-    * Scale: both sides reduce to DISTINCT (doc, shingle) pairs before the
-    * join, and the eval side is BROADCAST — benchmark suites are fixed-size
-    * and small by construction, so the 100 TB training side never shuffles;
-    * each partition probes the in-memory eval shingle set. (At petabyte
-    * vocabulary, hash the shingle to 8 bytes first; the string join keeps
-    * this oracle-checkable.)
+    * Scale: the eval side reduces to DISTINCT (doc, shingle) pairs and is
+    * BROADCAST — benchmark suites are fixed-size and small by
+    * construction, so the 100 TB training side never shuffles; each
+    * partition probes the in-memory eval shingle set AS the shingles are
+    * generated. The train side deliberately does NOT pre-distinct: that
+    * was a full (doc, shingle)-keyed exchange of every training shingle
+    * string (the single biggest shuffle in the query) spent only to
+    * de-duplicate join input that the final `countDistinct` de-duplicates
+    * anyway — the broadcast probe drops ~everything first, so the only
+    * exchange left carries the handful of matched rows to the doc_id
+    * rollup (r15: 2 exchanges of the full shingle stream → 1 exchange of
+    * matches only, 0.94 → 0.33 s warm at sf0.1; identical output — a
+    * within-doc repeated shingle multiplies join rows but not either
+    * distinct count). (At petabyte vocabulary, hash the shingle to 8
+    * bytes first; the string join keeps this oracle-checkable.)
     */
   def curationContamination(spark: SparkSession, dir: String): DataFrame = {
     val sh = t(spark, dir, "documents")
@@ -170,7 +179,7 @@ object Analytics {
     val eval_ = sh.filter(col("source") === "src0")
       .select(col("doc_id").as("eval_doc"), col("s")).distinct()
     val train = sh.filter(col("source") =!= "src0")
-      .select(col("doc_id"), col("s")).distinct()
+      .select(col("doc_id"), col("s"))
     train.join(broadcast(eval_), "s")
       .groupBy("doc_id")
       .agg(countDistinct(col("s")).as("n_shared_shingles"),
@@ -699,16 +708,17 @@ object Analytics {
   /** Market-basket co-occurrence: part pairs appearing in the same order,
     * with support ≥ 2, strongest first — the support-counting core of
     * association mining. Pairs are generated PARTITION-LOCALLY from each
-    * order's collected part set (indexed-lambda transform over the sorted
-    * list — x < y by construction, no duplicate orientation) instead of the
-    * textbook self-join: one order-keyed shuffle builds the baskets, the
-    * pair expansion is O(k²) per order bounded by basket size (~7 lines),
-    * and the only other shuffle keys on the pair for the count. A self-join
-    * formulation would shuffle the order-part table twice and re-join it
-    * against itself — strictly worse at 100 TB. Within-order duplicate
-    * parts are absorbed by collect_set itself: a separate DISTINCT
-    * pre-pass would add a whole (order, part)-keyed shuffle for nothing
-    * (measured: 4.3s → 1.7s at sf0.1 removing it).
+    * order's collected sorted part set (x < y by construction, no duplicate
+    * orientation) instead of the textbook self-join: one order-keyed
+    * shuffle builds the baskets, the pair expansion is O(k²) per order
+    * bounded by basket size (~7 lines), and the only other shuffle keys on
+    * the pair for the count — see [[pairSupport]] for the expansion kernel
+    * and its memoization. A self-join formulation would shuffle the
+    * order-part table twice and re-join it against itself — strictly worse
+    * at 100 TB. Within-order duplicate parts are absorbed by collect_set
+    * itself: a separate DISTINCT pre-pass would add a whole (order,
+    * part)-keyed shuffle for nothing (measured: 4.3s → 1.7s at sf0.1
+    * removing it).
     */
   // The per-order sorted part sets — the basket LOAD shared by
   // basket_pairs / basket_rules / basket_triples and (via
@@ -728,20 +738,46 @@ object Analytics {
         .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
         .localCheckpoint())
 
-  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
-    val baskets = orderBaskets(spark, dir)
-    val pairs = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("part_a"), y.as("part_b")))))
-    baskets
-      .select(explode(pairs).as("pr"))
-      .select(col("pr.part_a"), col("pr.part_b"))
-      .groupBy("part_a", "part_b")
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= 2)
+  /** Per-pair support (support ≥ 2) over the [[orderBaskets]] load — the
+    * SECOND parameter-independent intermediate both [[basketPairs]] and
+    * [[basketRules]] consume (each re-ran the full pair expansion + pair
+    * shuffle before r15), memoized under the same (session, dir) contract
+    * as the baskets themselves. The expansion is the TYPED flatMap
+    * while-loop kernel of [[graft.ops.Graph.graphNeighborJaccard]], not
+    * the struct-HOF `transform`/`flatten` form: higher-order functions
+    * evaluate interpreted outside WholeStageCodegen, and at the ~1.5M-pair
+    * scale of sf0.1 the compiled loop measured 0.87 → 0.64 s warm on
+    * basket_pairs (the packed-long trick assumes part keys < 2³¹ — true of
+    * TPC-H keys by construction, same precondition graphNeighborJaccard
+    * states).
+    */
+  private[graft] def pairSupport(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.sessionCache(basketsCache, spark).computeIfAbsent((dir, "pairsupp"), _ => {
+      import spark.implicits._
+      orderBaskets(spark, dir)
+        .select("ps").as[Array[Long]]
+        .flatMap { ps =>
+          val out = new scala.collection.mutable.ArrayBuffer[Long](
+            ps.length * (ps.length - 1) / 2)
+          var i = 0
+          while (i < ps.length) {
+            var j = i + 1
+            while (j < ps.length) { out += (ps(i) << 32) | ps(j); j += 1 }
+            i += 1
+          }
+          out
+        }
+        .groupBy(col("value").as("pk")).agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(shiftrightunsigned(col("pk"), 32).as("part_a"),
+          col("pk").bitwiseAND(lit(0xffffffffL)).as("part_b"), col("support"))
+        .localCheckpoint()
+    })
+
+  def basketPairs(spark: SparkSession, dir: String): DataFrame =
+    pairSupport(spark, dir)
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(100)
-  }
 
   /** Frequent part TRIPLES — the Apriori lattice step above
     * [[basketPairs]]: top-100 co-occurring 3-itemsets by support. The
@@ -1384,32 +1420,52 @@ object Analytics {
     * tombstones. Apply = union(snapshot, changelog) → per-key latest by
     * version → drop tombstones. Prices are exact integer cents end-to-end.
     *
-    * Scale: ONE hash shuffle on the key; both window functions (latest-wins
-    * rank + version count) share that exchange. This is exactly the
-    * foreachBatch MERGE shape of [[graft.streaming.StreamingExtract]]'s
-    * upsert sink — at 100 TB the union side is a micro-batch, the snapshot
-    * a bucketed table, and the same plan applies per batch.
+    * Scale: ONE hash shuffle on the key, and it moves partially-aggregated
+    * state, not raw versions — latest-wins is a `max` over versions PACKED
+    * into one int64 (`seq << 40 | cents`: seq is unique per key so the
+    * packed max IS the rank-1 row of the old `row_number() DESC` window,
+    * and cents < 2⁴⁰ by the TPC-H price domain — o_totalprice tops out
+    * near 6×10⁵ dollars at every SF, 2⁴⁰ cents ≈ $10¹⁰) and the version
+    * count rides the same aggregate, so Tungsten's map-side combine
+    * collapses each key's changelog before the exchange where the r14
+    * twin-window form shuffled every version row and paid a per-partition
+    * sort (guide §2.3 "aggregate before you shuffle"). The packing matters
+    * twice: a long is narrower on the wire than (seq, op, cents), and
+    * `max(struct)` would have forced a SortAggregate — structs are not
+    * hash-aggregatable — where the packed long keeps the whole apply in
+    * codegen'd HashAggregate (r15 2×2 variant matrix in
+    * [[graft.tools.StageProfile]]: 0.87 → 0.66 s warm at sf0.1). The
+    * changelog itself materializes from ONE scan — each order row emits
+    * its wave memberships through a per-row array generator — where the
+    * r14 form re-scanned `orders` five times, once per wave (plan: 10
+    * parquet scans → 2). The last op is a seq-indexed decode (wave kind is
+    * a function of seq by construction). This is exactly the foreachBatch
+    * MERGE shape of [[graft.streaming.StreamingExtract]]'s upsert sink —
+    * at 100 TB the union side is a micro-batch, the snapshot a bucketed
+    * table, and the same plan applies per batch.
     */
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "orders")
       .select(col("o_orderkey").as("k"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    def wave(pred: Column, seq: Int, op: String, newCents: Column): DataFrame =
-      base.filter(pred).select(col("k"), lit(seq.toLong).as("seq"),
-        lit(op).as("op"), newCents.as("cents"))
-    val snapshot = wave(col("k") % 4 =!= 3, 0, "S", col("cents"))
-    val inserts = wave(col("k") % 4 === 3, 1, "I", col("cents"))
-    val upd1 = wave(col("k") % 3 === 0, 2, "U", col("cents") + 11111L)
-    val upd2 = wave(col("k") % 6 === 0, 3, "U", col("cents") + 22222L)
-    val dels = wave(col("k") % 7 === 0, 4, "D", lit(0L))
-    val all = snapshot.unionAll(inserts).unionAll(upd1).unionAll(upd2).unionAll(dels)
-    val wLatest = Window.partitionBy("k").orderBy(col("seq").desc)
-    val wKey = Window.partitionBy("k")
-    all
-      .withColumn("rn", row_number().over(wLatest))
-      .withColumn("n_versions", count(lit(1)).over(wKey))
-      .filter(col("rn") === 1 && col("op") =!= "D")
-      .select(col("k").as("o_orderkey"), col("cents"), col("op").as("last_op"),
+    def wave(pred: Column, seq: Int, newCents: Column): Column =
+      when(pred, lit(seq.toLong * (1L << 40)) + newCents)
+    val waves = array(
+      wave(col("k") % 4 =!= 3, 0, col("cents")),
+      wave(col("k") % 4 === 3, 1, col("cents")),
+      wave(col("k") % 3 === 0, 2, col("cents") + 11111L),
+      wave(col("k") % 6 === 0, 3, col("cents") + 22222L),
+      wave(col("k") % 7 === 0, 4, lit(0L)))
+    val lastSeq = shiftrightunsigned(col("packed"), 40)
+    base
+      .select(col("k"), explode(filter(waves, w => w.isNotNull)).as("v"))
+      .groupBy("k")
+      .agg(max(col("v")).as("packed"), count(lit(1)).as("n_versions"))
+      .filter(lastSeq =!= 4)
+      .select(col("k").as("o_orderkey"),
+        col("packed").bitwiseAND(lit((1L << 40) - 1)).as("cents"),
+        when(lastSeq === 0, "S").when(lastSeq === 1, "I")
+          .otherwise("U").as("last_op"),
         col("n_versions"))
       .orderBy("o_orderkey")
   }
@@ -2118,9 +2174,10 @@ object Analytics {
     * with no float in sight). Top 100 by lift: the classic "parts bought
     * together" merchandising query.
     *
-    * Scale: pair supports come from the partition-local sorted-array pair
-    * kernel of [[basketPairs]] (one basket shuffle + one pair shuffle,
-    * never a self-join); per-item supports are one map-side-combined
+    * Scale: pair supports come from the memoized [[pairSupport]] table
+    * (the partition-local pair-expansion kernel — one basket shuffle + one
+    * pair shuffle, never a self-join, computed once per session and shared
+    * with [[basketPairs]]); per-item supports are one map-side-combined
     * aggregate whose result is O(|parts|) and BROADCASTs into the rule
     * join twice; N is a broadcast scalar. Nothing here is quadratic in
     * baskets or parts.
@@ -2131,13 +2188,8 @@ object Analytics {
     // basket form — item supports explode from it rather than re-scanning
     // the fact table.
     val baskets = orderBaskets(spark, dir)
-    val pairExpr = flatten(transform(col("ps"), (x, i) =>
-      transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-        y => struct(x.as("part_a"), y.as("part_b")))))
-    val pairSupp = baskets.select(explode(pairExpr).as("pr"))
-      .select(col("pr.part_a"), col("pr.part_b"))
-      .groupBy("part_a", "part_b").agg(count(lit(1)).as("supp_ab"))
-      .filter(col("supp_ab") >= 2)
+    val pairSupp = pairSupport(spark, dir)
+      .select(col("part_a"), col("part_b"), col("support").as("supp_ab"))
     val itemSupp = baskets.select(explode(col("ps")).as("l_partkey"))
       .groupBy("l_partkey").agg(count(lit(1)).as("supp"))
     val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
@@ -2725,22 +2777,34 @@ object Analytics {
   /** Referential-integrity validation (the foreign-key companion of
     * [[dqFdViolations]]): for each declared child→parent relationship,
     * the child row count, the orphan count (child keys with no parent),
-    * and the orphan rate in micros. Each check is ONE left-anti join
-    * aggregated immediately — at scale the anti join broadcasts the
-    * parent's key column when it fits (dimension tables) or shuffles both
-    * sides on the key; either way nothing survives past the count.
+    * and the orphan rate in micros. Each check is ONE left join against
+    * the parent's distinct key column aggregated immediately — at scale
+    * the join broadcasts the parent keys when they fit (dimension tables)
+    * or shuffles both sides on the key; either way nothing survives past
+    * the one-row count aggregate.
+    *
+    * The whole query is ONE lazy plan (a union of three aggregates) — the
+    * r14 form ran `count()` twice per check as SIX serial driver-blocking
+    * actions (guide §5: no driver loops in query paths), each paying its
+    * own job-scheduling latency and re-scanning the child for the row
+    * count; folding them into one union lets Spark run all three checks'
+    * stages concurrently and halves the scans (r15 measured 1.44 s →
+    * 0.33 s warm at sf0.1). A left join + distinct parent keys is
+    * count-equivalent to the left-anti: parent keys are distinct so the
+    * join never duplicates a child row, a null child key matches nothing
+    * and counts as an orphan in both forms, and `orphan_micro` is the
+    * same int64 `div` arithmetic.
     */
   def dqOrphans(spark: SparkSession, dir: String): DataFrame = {
     def check(name: String, child: DataFrame, childKey: String,
-        parent: DataFrame, parentKey: String): DataFrame = {
-      val n = child.count()
-      val orphans = child.join(
-        parent.select(col(parentKey).as(childKey)).distinct(),
-        Seq(childKey), "left_anti").count()
-      import spark.implicits._
-      Seq((name, n, orphans, orphans * 1000000L / math.max(n, 1L)))
-        .toDF("fk", "n_child", "n_orphans", "orphan_micro")
-    }
+        parent: DataFrame, parentKey: String): DataFrame =
+      child.join(
+        parent.select(col(parentKey).as(childKey), lit(1L).as("hit")).distinct(),
+        Seq(childKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L)).as("n_orphans"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_orphans"),
+          expr("n_orphans * 1000000 div greatest(n_child, 1)").as("orphan_micro"))
     check("lineitem.l_orderkey->orders",
         t(spark, dir, "lineitem").select("l_orderkey"), "l_orderkey",
         t(spark, dir, "orders"), "o_orderkey")

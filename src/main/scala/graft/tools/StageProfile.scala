@@ -38,7 +38,67 @@ object StageProfile {
       timeIt(s"$name run$i", spark)(graft.SparkEntry.queries(name)(spark, dir))
     }
     if (name == "dedup_edit_distance") profileEditDistance(spark, dir)
+    if (name == "cdc_apply") profileCdcApply(spark, dir)
     spark.stop()
+  }
+
+  /** Variant matrix for [[graft.ops.Analytics.cdcApply]] — changelog
+    * construction (5 re-scans vs 1 scan + per-row generator) × apply
+    * (twin windows vs max-struct aggregate), so the 2×2 is measured, not
+    * assumed.
+    */
+  private def profileCdcApply(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Column, DataFrame}
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.t(spark, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    def scanWave(pred: Column, seq: Int, op: String, newCents: Column): DataFrame =
+      base.filter(pred).select(col("k"), lit(seq.toLong).as("seq"),
+        lit(op).as("op"), newCents.as("cents"))
+    val unionAllScans = scanWave(col("k") % 4 =!= 3, 0, "S", col("cents"))
+      .unionAll(scanWave(col("k") % 4 === 3, 1, "I", col("cents")))
+      .unionAll(scanWave(col("k") % 3 === 0, 2, "U", col("cents") + 11111L))
+      .unionAll(scanWave(col("k") % 6 === 0, 3, "U", col("cents") + 22222L))
+      .unionAll(scanWave(col("k") % 7 === 0, 4, "D", lit(0L)))
+    def genWave(pred: Column, seq: Int, op: String, newCents: Column): Column =
+      when(pred, struct(lit(seq.toLong).as("seq"), lit(op).as("op"),
+        newCents.as("cents")))
+    val waves = array(
+      genWave(col("k") % 4 =!= 3, 0, "S", col("cents")),
+      genWave(col("k") % 4 === 3, 1, "I", col("cents")),
+      genWave(col("k") % 3 === 0, 2, "U", col("cents") + 11111L),
+      genWave(col("k") % 6 === 0, 3, "U", col("cents") + 22222L),
+      genWave(col("k") % 7 === 0, 4, "D", lit(0L)))
+    val generated = base
+      .select(col("k"), explode(filter(waves, w => w.isNotNull)).as("w"))
+      .select(col("k"), col("w.seq").as("seq"), col("w.op").as("op"),
+        col("w.cents").as("cents"))
+    def applyWindows(all: DataFrame): DataFrame = {
+      val wLatest = Window.partitionBy("k").orderBy(col("seq").desc)
+      val wKey = Window.partitionBy("k")
+      all.withColumn("rn", row_number().over(wLatest))
+        .withColumn("n_versions", count(lit(1)).over(wKey))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("cents"), col("op").as("last_op"),
+          col("n_versions"))
+        .orderBy("o_orderkey")
+    }
+    def applyAgg(all: DataFrame): DataFrame = all
+      .groupBy("k")
+      .agg(max(struct(col("seq"), col("op"), col("cents"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .filter(col("last.op") =!= "D")
+      .select(col("k").as("o_orderkey"), col("last.cents").as("cents"),
+        col("last.op").as("last_op"), col("n_versions"))
+      .orderBy("o_orderkey")
+    (1 to 2).foreach { r =>
+      timeIt(s"scan5+windows r$r", spark)(applyWindows(unionAllScans))
+      timeIt(s"scan5+agg r$r", spark)(applyAgg(unionAllScans))
+      timeIt(s"gen1+windows r$r", spark)(applyWindows(generated))
+      timeIt(s"gen1+agg r$r", spark)(applyAgg(generated))
+    }
   }
 
   /** Stage decomposition of [[graft.ops.LlmPipeline.dedupEditDistance]] —
