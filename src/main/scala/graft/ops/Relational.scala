@@ -1644,8 +1644,11 @@ object Relational {
   /** The ClickHouse combinator/conversion function surface in one grouped
     * report: `uniqExact` (→ exact distinct count), `countIf` / `sumIf`
     * (condition combinators, with ClickHouse's 0-not-NULL empty-match
-    * sum), `has` (array membership), `argMax` / `argMin` (on a UNIQUE
-    * tiebreak key, so both engines agree deterministically), `toString ∘
+    * sum), `has` (array membership), `argMax` / `argMin` (ties on the key
+    * resolve to the extremal value — the dialect's stated total-order
+    * contract, mirrored in the oracle; the fixture DOES carry duplicate
+    * (orderkey, linenumber) lines, so tie-freedom cannot be assumed),
+    * `toString ∘
     * toDate` / `toInt64` conversions, and `multiIf`. Round-10 widening:
     * `minIf`/`maxIf` (NULL on empty match, as ClickHouse), `uniqUpTo(N)`
     * — the exact distinct count saturating at N+1, i.e.
@@ -2066,8 +2069,9 @@ object Relational {
     * moments family (`stddevPop`/`varSamp`/`covarPop`; `skewPop` is
     * exactly Spark's population skewness, `kurtPop` is Spark's excess
     * kurtosis + 3), `simpleLinearRegression` → regr_slope/intercept,
-    * `boundingRatio` over a UNIQUE x (argMax/argMin tie-freedom keeps
-    * the oracle deterministic), and `quantileExactWeighted` — the
+    * `boundingRatio` (ties on x resolve to the extremal y — the dialect's
+    * stated total-order contract, mirrored in the oracle's struct-max
+    * reconstruction), and `quantileExactWeighted` — the
     * discrete weighted quantile kernel, oracled by a cumulative-weight
     * window reconstruction. Float aggregates land at 1e-4 precision
     * (one-pass Spark moments vs the oracle's two-pass formulas differ

@@ -3620,10 +3620,19 @@ object ClickHouseFunctions {
     ("uniqTheta", "uniqTheta(x...) - approximate distinct count (HyperLogLog++ standing in for the theta sketch: approx-for-approx)",
       es => { require(es.nonEmpty, "uniqTheta(x...)")
         HyperLogLogPlusPlus(if (es.length == 1) es.head else CreateStruct(es)) }),
-    ("argMax", "argMax(a, b) - value of a at the row with the maximum b",
-      es => { require(es.length == 2, "argMax(a, b)"); MaxBy(es(0), es(1)) }),
-    ("argMin", "argMin(a, b) - value of a at the row with the minimum b",
-      es => { require(es.length == 2, "argMin(a, b)"); MinBy(es(0), es(1)) }),
+    // Stated tie contract (r15): ClickHouse documents argMax/argMin as
+    // NON-deterministic when several rows share the extremal key; this
+    // engine totalizes the order by composing the VALUE into the key —
+    // argMax returns the greatest a among max-b rows, argMin the least a
+    // among min-b rows — so the result is deterministic on any data (the
+    // sf0.001 fixture carries duplicate (orderkey, linenumber) lines that
+    // made the raw MaxBy diverge from the oracle's arg_max tie-pick).
+    ("argMax", "argMax(a, b) - value of a at the row with the maximum b; ties on b resolve to the greatest a (stated contract - ClickHouse leaves tied picks undefined)",
+      es => { require(es.length == 2, "argMax(a, b)")
+        MaxBy(es(0), CreateStruct(Seq(es(1), es(0)))) }),
+    ("argMin", "argMin(a, b) - value of a at the row with the minimum b; ties on b resolve to the least a (stated contract - ClickHouse leaves tied picks undefined)",
+      es => { require(es.length == 2, "argMin(a, b)")
+        MinBy(es(0), CreateStruct(Seq(es(1), es(0)))) }),
     ("countIf", "countIf(cond) - number of rows where cond is true",
       es => { require(es.length == 1, "countIf(cond)")
         Count(Seq(If(es.head, Literal(1), Literal.create(null, IntegerType)))) }),
@@ -5729,12 +5738,12 @@ object ClickHouseFunctions {
         CreateNamedStruct(Seq(
           Literal("k"), RegrSlope(y, x).toAggregateExpression(),
           Literal("b"), RegrIntercept(y, x).toAggregateExpression())) }),
-    ("boundingRatio", "boundingRatio(x, y) - slope between the min-x and max-x points: (y@max_x - y@min_x)/(max_x - min_x)",
+    ("boundingRatio", "boundingRatio(x, y) - slope between the min-x and max-x points: (y@max_x - y@min_x)/(max_x - min_x); ties on x resolve to the extremal y (stated contract - the argMax/argMin tie rule)",
       es => { require(es.length == 2, "boundingRatio(x, y)")
         val (x, y) = (es.head, Cast(es(1), DoubleType))
         Divide(
-          Subtract(MaxBy(y, x).toAggregateExpression(),
-            MinBy(y, x).toAggregateExpression()),
+          Subtract(MaxBy(y, CreateStruct(Seq(x, y))).toAggregateExpression(),
+            MinBy(y, CreateStruct(Seq(x, y))).toAggregateExpression()),
           Subtract(Max(Cast(x, DoubleType)).toAggregateExpression(),
             Min(Cast(x, DoubleType)).toAggregateExpression())) }),
     ("graft_ch_quantile_exact_weighted",
