@@ -269,6 +269,19 @@ object LlmPipeline {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var round = 0
     var converged = false
+    // Convergence witness (r15): min-propagation is monotone — every
+    // node's label is non-increasing round over round — so the label SUM
+    // over the static paired-node set strictly decreases exactly when any
+    // node changed. Comparing this round's sum to the previous round's is
+    // therefore an EXACT convergence test that costs one aggregate over
+    // the (persisted) label table, where the former probe joined next to
+    // prev and ran isEmpty — a two-sided join plus a take(1) job per
+    // round. The sum rides DECIMAL(38,0) so a 10⁹-node × 10¹⁸-id corpus
+    // cannot wrap int64 into a false fixed point. A side benefit: the
+    // aggregate scans every partition (no short-circuit), so it fully
+    // materializes the round's persist and the final count() job the
+    // isEmpty probe needed is gone too.
+    var prevSum: Option[java.math.BigDecimal] = None
     while (!converged && round < maxRounds) {
       val viaEdges = edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("label"))
@@ -290,24 +303,20 @@ object LlmPipeline {
       // recovery cost grow without bound unless the chain is cut.
       next = if (round % 4 == 3) next.localCheckpoint(true)
              else next.persist(StorageLevel.MEMORY_AND_DISK)
-      // The round-0 probe is skipped: with any non-self pair present, round
-      // 0 always relabels something, so the check could only fire on
+      // The round-0 comparison is skipped: with any non-self pair present,
+      // round 0 always relabels something, so the check could only fire on
       // degenerate all-self-loop input (where it merely costs one extra
-      // round). Skipping it folds rounds 0 and 1 into ONE Spark job — on
-      // the common 2-round shallow-blob graph, half the probe jobs.
-      converged = round > 0 &&
-        next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-          .filter(col("label") =!= col("prev"))
-          .isEmpty
+      // round).
+      val curSum = Option(next
+        .agg(sum(col("label").cast("decimal(38,0)")).as("s")).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      converged = round > 0 && prevSum.exists(_.compareTo(curSum) == 0)
+      prevSum = Some(curSum)
       labels.unpersist()
       labels = next
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds")
-    // The convergence probe (isEmpty) may short-circuit before every
-    // partition of `labels` is cached — materialize fully before dropping
-    // the parents it would otherwise recompute through.
-    labels.count()
     edges.unpersist()
     paired.unpersist()
     labels
@@ -848,7 +857,12 @@ object LlmPipeline {
     * k×64 broadcast parameter — no stage touches O(N²) and payload vectors
     * shuffle only for candidate ids.
     */
-  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.45,
+  /** The projected/checkpointed embedding table of [[dedupSemantic]] —
+    * split out so [[graft.tools.StageProfile]] can time the stages the
+    * production query runs (same instance rationale as the edit-distance
+    * decomposition).
+    */
+  private[graft] def semanticEmb(spark: SparkSession, dir: String,
       k: Int = 10, iters: Int = 2): DataFrame = {
     val cents = kMeansCentroids(spark, dir, k, iters)
     // Materialized ONCE (localCheckpoint, not persist: blocks free with the
@@ -858,21 +872,32 @@ object LlmPipeline {
     // (measured ~10% off the query: 4.57 → 4.14 s min-of-3 at sf0.1 under
     // load ≈ 2 — the remaining cost is the convergence-probed component
     // rounds, which are per-round job latency, not recomputation).
-    val emb = t(spark, dir, "embeddings")
+    t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), l2(spark, col("embedding")).as("norm"))
       .withColumn("cell", nearestCell(spark, cents))
       .withColumn("cos_center", element_at(centroidCosArr(spark, cents), col("cell") + 1))
       .localCheckpoint()
+  }
+
+  /** The candidate-pair stage of [[dedupSemantic]] over a [[semanticEmb]]
+    * table — split out for the same profiling reason. */
+  private[graft] def semanticPairs(emb: DataFrame, threshold: Double): DataFrame = {
     val banded = emb.select(col("vec_id").as("doc_id"),
       lit(0).as("band"), col("cell").as("bucket"))
     val a = emb.select(col("vec_id").as("doc_a"), col("embedding").as("emb_a"),
       col("norm").as("norm_a"))
     val b = emb.select(col("vec_id").as("doc_b"), col("embedding").as("emb_b"),
       col("norm").as("norm_b"))
-    val pairs = bucketedPairs(banded).join(a, "doc_a").join(b, "doc_b")
-      .filter(dot(spark, col("emb_a"), col("emb_b")) /
+    bucketedPairs(banded).join(a, "doc_a").join(b, "doc_b")
+      .filter(dot(emb.sparkSession, col("emb_a"), col("emb_b")) /
         (col("norm_a") * col("norm_b")) >= threshold)
       .select("doc_a", "doc_b")
+  }
+
+  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.45,
+      k: Int = 10, iters: Int = 2): DataFrame = {
+    val emb = semanticEmb(spark, dir, k, iters)
+    val pairs = semanticPairs(emb, threshold)
     val labels = componentLabels(pairs).withColumnRenamed("doc_id", "vec_id")
     val scored = emb.join(labels, Seq("vec_id"), "left")
       .withColumn("cluster", coalesce(col("label"), col("vec_id")))
@@ -2260,8 +2285,16 @@ object LlmPipeline {
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val nDocs = t(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    // Materialized once (localCheckpoint): TWO consumers — the window path
+    // and the df rollup — would otherwise each re-run the (doc, term)
+    // aggregate over the exploded term table (the plan showed the
+    // Exchange + HashAggregate subtree duplicated under the broadcast df
+    // branch; r15 measured 1.00 → ~0.93 s warm at sf0.1 — modest locally
+    // where the persisted docTerms makes the re-aggregate cheap, but the
+    // duplicate was a second full pass over the corpus-sized term table).
     val tf = docTerms(spark, dir).select(col("doc_id"), col("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val score = col("tf") * col("n_docs") * 1.0 / col("df")
     val w = Window.partitionBy("doc_id").orderBy(score.desc, col("term"))

@@ -39,7 +39,32 @@ object StageProfile {
     }
     if (name == "dedup_edit_distance") profileEditDistance(spark, dir)
     if (name == "cdc_apply") profileCdcApply(spark, dir)
+    if (name == "dedup_semantic") profileSemantic(spark, dir)
     spark.stop()
+  }
+
+  /** Stage decomposition of [[graft.ops.LlmPipeline.dedupSemantic]] —
+    * k-means fit, the projected/checkpointed embedding table, candidate
+    * pairs, component labels, and the final rollup, each timed through the
+    * noop sink (the label stage is timed around the loop since the loop
+    * itself runs actions).
+    */
+  private def profileSemantic(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    graft.ops.LlmPipeline.kMeansCentroids(spark, dir, 10, 2)
+    println(f"[profile] ${"kmeans fit (memoized)"}%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    val te = System.nanoTime()
+    val emb = graft.ops.LlmPipeline.semanticEmb(spark, dir)
+    println(f"[profile] ${"emb project+checkpoint"}%-40s ${(System.nanoTime() - te) / 1e9}%8.3f s")
+    val pairs = graft.ops.LlmPipeline.semanticPairs(emb, 0.45)
+    timeIt("semantic candidate pairs", spark)(pairs)
+    val cp = pairs.localCheckpoint()
+    val t1 = System.nanoTime()
+    graft.ops.LlmPipeline.componentLabels(cp).count()
+    println(f"[profile] ${"component labels"}%-40s ${(System.nanoTime() - t1) / 1e9}%8.3f s")
+    timeIt("full dedup_semantic", spark)(
+      graft.SparkEntry.queries("dedup_semantic")(spark, dir))
   }
 
   /** Variant matrix for [[graft.ops.Analytics.cdcApply]] — changelog
