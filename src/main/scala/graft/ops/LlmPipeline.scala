@@ -701,10 +701,15 @@ object LlmPipeline {
     // every join key gets ~8× cheaper than 8-char strings, and a collision
     // can only ADD a candidate (the prefix filter stays sound; the exact
     // verify decides membership).
-    val gd = docs.select(col("doc_id"), col("ln"), explode(expr(
-        s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
-          s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
-          s"ELSE CAST(array() AS array<bigint>) END")).as("gram"))
+    // r15: the distinct-gram-hash stream comes from the native
+    // [[graft.functions.QGramHashes]] generator — one zero-copy pass per
+    // doc, replacing the interpreted explode∘array_distinct∘transform∘
+    // substring stack (bit-identical rows; the generator hashes each
+    // char-window's byte range in place with Spark's own XXH64 seed-42
+    // kernel). Measured at sf0.1: the gd stage 2.26 → 0.35 s through the
+    // noop sink, whole query ~8.0 → ~6.5 s warm.
+    val gd = docs.select(col("doc_id"), col("ln"),
+        graft.functions.QGramHashes.qgramHashes(spark, col("text"), lit(q)).as(Seq("gram")))
       .localCheckpoint()
     val docFreq = gd.groupBy("gram").agg(count(lit(1)).as("ddf"))
     // Per-doc grams sorted rarest-first; the prefix is the first k·q + 1.

@@ -136,14 +136,14 @@ object StageProfile {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.t(spark, dir, "documents")
       .select(col("doc_id"), col("text"), length(col("text")).cast("long").as("ln"))
-    timeIt("1 gd explode grams", spark)(docs.select(col("doc_id"), col("ln"), explode(expr(
+    timeIt("1 gd explode grams (HOF stack)", spark)(docs.select(col("doc_id"), col("ln"), explode(expr(
       s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
         s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
         s"ELSE CAST(array() AS array<bigint>) END")).as("gram")))
-    val gd = docs.select(col("doc_id"), col("ln"), explode(expr(
-      s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
-        s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
-        s"ELSE CAST(array() AS array<bigint>) END")).as("gram"))
+    timeIt("1n gd native generator", spark)(docs.select(col("doc_id"), col("ln"),
+      graft.functions.QGramHashes.qgramHashes(spark, col("text"), lit(q)).as(Seq("gram"))))
+    val gd = docs.select(col("doc_id"), col("ln"),
+      graft.functions.QGramHashes.qgramHashes(spark, col("text"), lit(q)).as(Seq("gram")))
       .localCheckpoint()
     timeIt("2 gs sorted arrays", spark)(gd.groupBy("doc_id")
       .agg(sort_array(collect_list(col("gram"))).as("gs"), count(lit(1)).as("m")))

@@ -2496,6 +2496,33 @@ class OpsSpec extends SparkSpec {
       "the cross-bucket zero-shared-gram pair must survive the banded fallback")
   }
 
+  test("QGramHashes generator is bit-identical to the xxhash64(substring) HOF stack") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Fixture docs + hand-built corners: multi-byte code points (the
+    // generator walks CHARACTER windows over UTF8 bytes), repeated grams
+    // (first-occurrence distinctness), exactly-q, shorter-than-q, empty,
+    // and null text.
+    val corners = Seq((9001L, "añécafé¢añé"), (9002L, "ααααααααα"),
+      (9003L, "abcabcabcabc"), (9004L, "abcd"), (9005L, "abc"), (9006L, ""),
+      (9007L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).unionAll(corners)
+    for (q <- Seq(4, 8)) {
+      val hof = docs.select(col("doc_id"), explode(expr(
+          s"CASE WHEN length(text) >= $q THEN array_distinct(transform(" +
+            s"sequence(1, length(text) - $q + 1), i -> xxhash64(substring(text, i, $q)))) " +
+            s"ELSE CAST(array() AS array<bigint>) END")).as("gram"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      val native = docs.select(col("doc_id"),
+          graft.functions.QGramHashes.qgramHashes(spark, col("text"), lit(q)).as(Seq("gram")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(native.length == hof.length, s"q=$q row count ${native.length} vs ${hof.length}")
+      assert(native.sameElements(hof), s"q=$q gram hash streams diverge")
+    }
+  }
+
   test("window_regr_slope recovers an exact linear trend and rejects partial windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-slope").toString
     import spark.implicits._
