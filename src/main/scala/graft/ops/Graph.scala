@@ -247,12 +247,22 @@ object Graph {
       " SELECT node, pr FROM r8 ORDER BY pr DESC, node LIMIT 30"
   }
 
-  /** Fixed rounds of min-label propagation — chosen over pointer doubling
-    * (which [[graft.ops.LlmPipeline.dedupClusters]] uses) precisely BECAUSE
-    * a fixed synchronous schedule is renderable as unrolled SQL: after K
-    * identical rounds both engines hold the same labels whether or not the
-    * propagation has converged, so the oracle is exact, not heuristic. */
-  val ComponentRounds = 8
+  /** Fixed rounds of min-label propagation WITH pointer doubling (r15 —
+    * the [[graft.ops.LlmPipeline.dedupClusters]] recurrence, now unrolled
+    * as SQL too): each round every node takes the min over its closed
+    * neighborhood AND over label(label(node)), so the distance to the
+    * component minimum halves-and-steps per round — O(log diameter)
+    * rounds instead of O(diameter). A fixed synchronous schedule remains
+    * the point: after K identical rounds both engines hold the same
+    * labels whether or not the propagation has converged, so the oracle
+    * is exact, not heuristic — the doubling term is just one more
+    * renderable self-join in the unrolled CTE. 4 doubled rounds cover
+    * label eccentricity ≤ 2⁴ − 1; the fixture graphs' eccentricity from
+    * each component's min node is ≤ 6 at every SF (r14 note), so the
+    * r14 8-plain-round schedule and this one both converge and agree
+    * (the spec still pins round K+1 as a fixed point) — at HALF the
+    * supersteps, which at 100 TB is half the global barriers. */
+  val ComponentRounds = 4
 
   /** Undirected edge set of the domestic trade graph: distinct
     * customer↔supplier pairs trading within one nation, supplier ids
@@ -325,7 +335,7 @@ object Graph {
       broadcastLabels: Boolean = true): DataFrame = {
     var labels = e.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       val lbls = if (broadcastLabels) broadcast(labels) else labels
       // One aggregate per round, no fold-back join (r15): the new label is
       // min over the closed neighborhood, so the self-label rides the SAME
@@ -337,7 +347,20 @@ object Graph {
       // node appears in `labels`, so the union preserves the node set.
       val incoming = e.join(lbls, e("src") === labels("node"))
         .select(col("dst").as("node"), col("lbl"))
-      labels = incoming.unionAll(labels)
+      // Pointer doubling (r15): label(label(node)) joins the label table
+      // to itself — total, since every label value is itself a node (the
+      // initial labels are identity and each round takes mins over
+      // existing label values). Skipped in round 1, where labels ARE the
+      // identity map and the self-join would be a no-op costing a full
+      // O(N) join — the same skip [[graft.ops.LlmPipeline.componentLabels]]
+      // documents.
+      val contrib =
+        if (round == 1) incoming
+        else incoming.unionAll(
+          labels.select(col("node"), col("lbl").as("mid"))
+            .join(labels.select(col("node").as("mid"), col("lbl").as("dlbl")), "mid")
+            .select(col("node"), col("dlbl").as("lbl")))
+      labels = contrib.unionAll(labels)
         .groupBy("node").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
     }
@@ -395,14 +418,24 @@ object Graph {
     * [[pagerankOracleSql]] — the recursive leg of WITH RECURSIVE cannot
     * aggregate).
     */
-  /** The unrolled l1..lN min-propagation rounds — shared by
-    * [[componentsOracleSql]] and [[modularityOracleSql]].
+  /** The unrolled l1..lN pointer-doubled min-propagation rounds — shared
+    * by [[componentsOracleSql]] and [[modularityOracleSql]]. Mirrors
+    * [[componentLabelsOf]] term for term: each round is one min over the
+    * union of the previous labels (closed neighborhood's self part), the
+    * edge-propagated labels, and — from round 2 on — the label-of-label
+    * self-join (skipped in round 1 where labels are the identity map).
     */
   private def componentRoundsCte: String =
     (1 to ComponentRounds).map { i =>
-      s"l$i AS MATERIALIZED (SELECT l.node, least(l.lbl, coalesce(m.in_lbl, l.lbl)) AS lbl " +
-        s"FROM l${i - 1} l LEFT JOIN (SELECT e.dst AS node, min(p.lbl) AS in_lbl " +
-        s"FROM edges e JOIN l${i - 1} p ON e.src = p.node GROUP BY e.dst) m ON l.node = m.node)"
+      val doubled =
+        if (i == 1) ""
+        else s" UNION ALL SELECT l.node, p2.lbl FROM l${i - 1} l " +
+          s"JOIN l${i - 1} p2 ON l.lbl = p2.node"
+      s"l$i AS MATERIALIZED (SELECT node, min(lbl) AS lbl FROM (" +
+        s"SELECT node, lbl FROM l${i - 1} " +
+        s"UNION ALL SELECT e.dst AS node, p.lbl FROM edges e " +
+        s"JOIN l${i - 1} p ON e.src = p.node" + doubled +
+        s") u GROUP BY node)"
     }.mkString(", ")
 
   def componentsOracleSql: String = {
