@@ -251,6 +251,7 @@ object SparkEntry {
     "window_running_sum" -> (Relational.windowRunningSum _),
     "window_lag_delta" -> (Relational.windowLagDelta _),
     "window_moving_avg" -> (Relational.windowMovingAvg _),
+    "window_moving_avg_twopass" -> (Relational.windowMovingAvgTwopass _),
     // sorts / limits / set ops
     "sort_limit_topk" -> (Relational.sortLimitTopK _),
     "setop_union" -> (Relational.setopUnion _),
@@ -803,6 +804,10 @@ object SparkEntry {
     "window_lag_delta" ->
       """SELECT event_id, user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us FROM events ORDER BY event_id""",
     "window_moving_avg" ->
+      """SELECT o_orderkey, floor(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER w / count(*) OVER w + 0.5)/100.0 AS mavg FROM orders WINDOW w AS (ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""",
+    // Same oracle as window_moving_avg: the two-pass variant must produce
+    // the IDENTICAL relation — that equality is the point of the query.
+    "window_moving_avg_twopass" ->
       """SELECT o_orderkey, floor(sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) OVER w / count(*) OVER w + 0.5)/100.0 AS mavg FROM orders WINDOW w AS (ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) ORDER BY o_orderkey""",
     "sort_limit_topk" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 10""",

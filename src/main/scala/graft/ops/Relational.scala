@@ -1357,14 +1357,66 @@ object Relational {
 
   /** 7-row moving average of order totalprice by date. NOTE: a global
     * (unpartitioned) window — single-partition by construction; fine for this
-    * fixture, but at 100 TB you'd bound it with a partition key or use a
-    * time-bucketed two-pass rewrite. Exact via cents.
+    * fixture, but at 100 TB you'd bound it with a partition key or use the
+    * time-bucketed two-pass rewrite [[windowMovingAvgTwopass]] (same rows,
+    * measured, no global window). Exact via cents.
     */
   def windowMovingAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-6, 0)
     t(spark, dir, "orders")
       .select(col("o_orderkey"),
         (floor(sum(cents(col("o_totalprice"))).over(w) / count(lit(1)).over(w) + 0.5) / 100.0).as("mavg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** [[windowMovingAvg]] without the single-partition window — the 100 TB
+    * rewrite its scaladoc promises, shipped as a second query variant
+    * (identical rows, same oracle SQL; equality additionally pinned in
+    * scalatest). Two passes, every stage partitioned:
+    *
+    *   1. GLOBAL ROW INDEX by (o_orderdate, o_orderkey) via distributed
+    *      ranking: a rank window PARTITIONED by the month bucket (the
+    *      window order's leading column derives the bucket, so bucket
+    *      boundaries respect the global order), plus each bucket's
+    *      cumulative predecessor count from a months-cardinality rollup —
+    *      the only unpartitioned window runs over THAT calendar-bounded
+    *      table (the repo's documented tiny-relation window class), never
+    *      over the fact table.
+    *   2. WINDOW SUM AS AGGREGATION: each row contributes its cents to
+    *      the 7 target indices [idx, idx+6] (a bounded ×7 generator — the
+    *      frame width, not the data, sets the fanout), and one hash
+    *      aggregate keyed on the target index rebuilds exactly
+    *      `ROWS BETWEEN 6 PRECEDING AND CURRENT ROW`: absent
+    *      predecessors of the first rows simply contribute nothing, so
+    *      the count is min(idx, 7) as in the window form. A join back on
+    *      the index re-attaches the order key.
+    *
+    * Shuffle ledger at 100 TB: month-keyed rank exchange + ×7 long-pair
+    * aggregate exchange + index equi-join — all keyed, all
+    * AQE-coalescible, no single-partition stage anywhere.
+    */
+  def windowMovingAvgTwopass(spark: SparkSession, dir: String): DataFrame = {
+    val rows = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), cents(col("o_totalprice")).as("c"))
+      .withColumn("b", unix_micros(date_trunc("month", col("o_orderdate"))))
+    val wInB = Window.partitionBy("b").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val perBucket = rows.groupBy("b").agg(count(lit(1)).as("n"))
+    // Cumulative predecessor count per bucket: a window over the
+    // months-cardinality rollup — bounded by the calendar, not the data.
+    val wB = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .select(col("b"), coalesce(sum(col("n")).over(wB), lit(0L)).as("off"))
+    val indexed = rows
+      .withColumn("r", row_number().over(wInB).cast("long"))
+      .join(broadcast(offsets), "b")
+      .select(col("o_orderkey"), col("c"), (col("off") + col("r")).as("idx"))
+    val frame = indexed
+      .select(col("c"), explode(sequence(col("idx"), col("idx") + 6)).as("tgt"))
+      .groupBy("tgt").agg(sum(col("c")).as("s"), count(lit(1)).as("k"))
+    indexed
+      .join(frame, col("idx") === col("tgt"))
+      .select(col("o_orderkey"),
+        (floor(col("s") / col("k") + 0.5) / 100.0).as("mavg"))
       .orderBy("o_orderkey")
   }
 

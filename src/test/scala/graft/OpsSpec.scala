@@ -2496,6 +2496,21 @@ class OpsSpec extends SparkSpec {
       "the cross-bucket zero-shared-gram pair must survive the banded fallback")
   }
 
+  test("window_moving_avg_twopass equals the single-window form row for row") {
+    val a = Relational.windowMovingAvg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Relational.windowMovingAvgTwopass(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "two-pass moving average diverged from the window form")
+    // The point of the variant: the FACT table never passes through an
+    // unpartitioned window. The only global window runs over the
+    // months-cardinality offset rollup.
+    val plan = Relational.windowMovingAvgTwopass(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition(o_orderdate"),
+      s"fact-table global window survived in the two-pass plan:\n$plan")
+  }
+
   test("QGramHashes generator is bit-identical to the xxhash64(substring) HOF stack") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
