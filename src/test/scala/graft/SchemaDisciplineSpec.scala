@@ -118,6 +118,9 @@ class SchemaDisciplineSpec extends SparkSpec {
     "udaf_stable_mean" -> Seq("mean_value"),
     "window_cume_dist" -> Seq("o_totalprice", "cd"),
     "window_moving_avg" -> Seq("mavg"),
+    // The two-pass variant emits the identical relation (same oracle,
+    // equality pinned in OpsSpec), so the same floor-scaled double column.
+    "window_moving_avg_twopass" -> Seq("mavg"),
     "window_nth_lead" -> Seq("third", "lead2"),
     "window_percent_rank" -> Seq("value", "pr", "cd"),
     "window_range_frame" -> Seq("hour_sum"),
