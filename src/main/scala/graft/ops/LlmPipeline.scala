@@ -714,12 +714,24 @@ object LlmPipeline {
     val docFreq = gd.groupBy("gram").agg(count(lit(1)).as("ddf"))
     // Per-doc grams sorted rarest-first; the prefix is the first k·q + 1.
     // Materialized once — it feeds BOTH sides of the candidate self-join.
+    // Singleton prefix slots are dropped AFTER the slice (r15): a gram
+    // with ddf = 1 exists in exactly one document, so it can only ever
+    // equi-join a doc to itself — pruned by doc_a < doc_b anyway. The
+    // prefix membership itself must still be computed over ALL grams
+    // (rarest-first order decides WHICH k·q + 1 grams are the prefix),
+    // but the join never needs the join-inert rows. Measured honestly:
+    // this fixture's templated text shares grams heavily, so only 270 of
+    // 322,690 prefix rows are singletons at sf0.1 (~0 wall effect here);
+    // on a natural-text corpus singleton grams DOMINATE rarest-first
+    // prefixes and this is a large candidate-input cut. Output identical
+    // either way (oracle-checked at both SFs).
     val pre = gd.join(docFreq, "gram")
       .groupBy("doc_id", "ln")
       .agg(sort_array(collect_list(struct(col("ddf"), col("gram")))).as("ord"))
       .select(col("doc_id"), col("ln"),
-        explode(slice(transform(col("ord"), o => o.getField("gram")),
-          lit(1), lit(k * q + 1))).as("gram"))
+        explode(slice(col("ord"), lit(1), lit(k * q + 1))).as("o"))
+      .filter(col("o.ddf") >= 2)
+      .select(col("doc_id"), col("ln"), col("o.gram").as("gram"))
       .localCheckpoint()
     val cand = pre.select(col("gram"), col("doc_id").as("doc_a"), col("ln").as("ln_a"))
       .join(pre.select(col("gram"), col("doc_id").as("doc_b"), col("ln").as("ln_b")), "gram")
